@@ -1,0 +1,382 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** One decoded glyph occurrence inside a show-text op, positioned in device
+  * (page) space. `unicode` may be multi-char (ligatures → pieces, like
+  * PDFium's CharType::kPiece). */
+final case class RawChar(
+    code: Int,
+    unicode: String,
+    ox: Double, oy: Double,          // pen origin (baseline start), device space
+    ex: Double, ey: Double,          // pen after advance, device space
+    tight: Option[Rect],             // glyph outline bbox, device space; None = no outline
+    loose: Rect,                     // origin..advance × descent..ascent, device space
+    fontSize: Double,                // nominal (text-space) size
+    effFontSize: Double)             // size scaled into device space
+
+/** Pending horizontal gap from a TJ kern entry, in device-space pts. */
+final case class RawKern(gap: Double)
+
+/** One show-text operator (= one PDFium CPDF_TextObject). */
+final case class RawTextObject(
+    chars: Vector[RawChar],
+    kernsBefore: Map[Int, Double],   // char index -> device gap inserted just before it
+    font: PdfFontDecoder,
+    fontSize: Double,
+    effFontSize: Double,
+    baselineY: Double,               // device-space baseline y at object start
+    startX: Double) {
+  /** Union of tight boxes — PDFium skips text objects whose rect is
+    * zero-width (this is what drops space-only justified-line tails; see
+    * golden text_extract.txt / tests/test_textpage.py count 438). */
+  lazy val bbox: Option[Rect] =
+    chars.flatMap(_.tight).reduceOption(_ union _)
+}
+
+/** Page object info for get_objects()-style enumeration
+  * (reference page.py:274-325, pageobjects.py). */
+final case class PageObjectInfo(
+    objType: String,                 // text | path | image | shading | form
+    bounds: Rect,
+    level: Int,
+    text: String,                    // text objects: decoded string
+    fontName: String,
+    fontSize: Double,
+    imgWidth: Int, imgHeight: Int,   // image objects (pixels)
+    imgBpc: Int,
+    imgColorspace: String,
+    imgFilters: Vector[String],
+    raw: Option[RawTextObject])
+
+/** Content-stream interpreter: tokenizes and executes the operator stream
+  * (PDF 32000-1 §8-9), maintaining the q/Q CTM stack and the full text state
+  * (Tf/Tc/Tw/Tz/TL/Ts/Td/TD/Tm/T*), descending into Form XObjects with a
+  * depth bound (reference page.py:283-284). Emits positioned RawTextObjects
+  * for the text-page assembler and PageObjectInfo rows for object listing.
+  */
+object ContentInterpreter {
+
+  private final class GState(var ctm: Mat) {
+    def copy(): GState = new GState(ctm)
+  }
+
+  private final class TState {
+    var tm: Mat = Mat.identity
+    var tlm: Mat = Mat.identity
+    var font: PdfFontDecoder = null
+    var fontSize: Double = 0
+    var charSp: Double = 0
+    var wordSp: Double = 0
+    var hscale: Double = 1.0
+    var leading: Double = 0
+    var rise: Double = 0
+  }
+
+  final case class Result(textObjects: Vector[RawTextObject], objects: Vector[PageObjectInfo])
+
+  def run(page: PdfPage): Result = {
+    val doc = page.doc
+    val fontCache = mutable.Map[String, PdfFontDecoder]()
+    val textObjs = Vector.newBuilder[RawTextObject]
+    val objs = Vector.newBuilder[PageObjectInfo]
+
+    def fontFor(resources: PdfDict, tag: String): PdfFontDecoder = {
+      val key = tag + "@" + System.identityHashCode(resources)
+      fontCache.getOrElseUpdate(key, {
+        doc.resolve(resources("Font")) match {
+          case fonts: PdfDict => doc.resolve(fonts(tag)) match {
+            case fd: PdfDict => PdfFontDecoder.fromDict(tag, fd, doc)
+            case _ => PdfFontDecoder.fromDict(tag, PdfDict.empty, doc)
+          }
+          case _ => PdfFontDecoder.fromDict(tag, PdfDict.empty, doc)
+        }
+      })
+    }
+
+    def exec(content: Array[Byte], resources: PdfDict, baseCtm: Mat, level: Int): Unit = {
+      if (level > 15) return
+      val lx = new Lexer(content)
+      val operands = mutable.ArrayBuffer[PdfObject]()
+      val gstack = mutable.Stack[GState]()
+      var gs = new GState(baseCtm)
+      val ts = new TState
+      // path bounds accumulation
+      var pathMinX = Double.MaxValue; var pathMinY = Double.MaxValue
+      var pathMaxX = Double.MinValue; var pathMaxY = Double.MinValue
+      var pathHasPts = false
+      var curX = 0.0; var curY = 0.0
+
+      @inline def nums(n: Int): Array[Double] = {
+        val out = new Array[Double](n)
+        val base = operands.length - n
+        var i = 0
+        while (i < n) {
+          out(i) = operands.lift(base + i) match { case Some(PdfNumber(v)) => v; case _ => 0.0 }
+          i += 1
+        }
+        out
+      }
+      @inline def addPt(x: Double, y: Double): Unit = {
+        val (dx, dy) = gs.ctm.onPoint(x, y)
+        if (dx < pathMinX) pathMinX = dx
+        if (dy < pathMinY) pathMinY = dy
+        if (dx > pathMaxX) pathMaxX = dx
+        if (dy > pathMaxY) pathMaxY = dy
+        pathHasPts = true
+        curX = x; curY = y
+      }
+      def flushPath(): Unit = {
+        if (pathHasPts) {
+          objs += PageObjectInfo("path", Rect(pathMinX, pathMinY, pathMaxX, pathMaxY),
+            level, "", "", 0, 0, 0, 0, "", Vector.empty, None)
+        }
+        pathMinX = Double.MaxValue; pathMinY = Double.MaxValue
+        pathMaxX = Double.MinValue; pathMaxY = Double.MinValue
+        pathHasPts = false
+      }
+
+      def showText(strBytes: Array[Byte], perCharKerns: Vector[(Int, Double)] = Vector.empty): Unit = {
+        val _ = perCharKerns
+        showItems(Vector(PdfString(strBytes)))
+      }
+
+      /** Execute a TJ-style item sequence (strings + kern numbers). */
+      def showItems(items: Vector[PdfObject]): Unit = {
+        if (ts.font == null) return
+        val font = ts.font
+        val chars = Vector.newBuilder[RawChar]
+        val kerns = mutable.Map[Int, Double]()
+        var charIdx = 0
+        var pendingKern = 0.0
+        val objStartTm = ts.tm
+        val objOrigin = objStartTm.multiply(gs.ctm).onPoint(0, ts.rise)
+        items.foreach {
+          case PdfNumber(v) =>
+            val tx = -v / 1000.0 * ts.fontSize * ts.hscale
+            ts.tm = Mat.identity.translate(tx, 0).multiply(ts.tm)
+            // device-space gap magnitude (for generated-space decisions)
+            val m = ts.tm.multiply(gs.ctm)
+            val g = -v / 1000.0 * ts.fontSize * ts.hscale * math.hypot(m.a, m.b)
+            if (g > 0) pendingKern += g else pendingKern = math.max(0.0, pendingKern + g)
+          case PdfString(bytes) =>
+            val codes = font.codes(bytes)
+            var i = 0
+            while (i < codes.length) {
+              val code = codes(i)
+              if (pendingKern > 0) { kerns(charIdx) = pendingKern; pendingKern = 0.0 }
+              val uni = font.unicode(code)
+              val w0 = font.advance(code)
+              val trm = Mat(ts.fontSize * ts.hscale, 0, 0, ts.fontSize, 0, ts.rise)
+                .multiply(ts.tm).multiply(gs.ctm)
+              val (ox, oy) = trm.onPoint(0, 0)
+              val isSpaceByte = code == 32 && !font.isType0
+              val tx = (w0 * ts.fontSize + ts.charSp + (if (isSpaceByte) ts.wordSp else 0.0)) * ts.hscale
+              val mAdv = ts.tm.multiply(gs.ctm)
+              val (zx, zy) = mAdv.onPoint(0, 0)
+              val (axp, ayp) = mAdv.onPoint(tx, 0)
+              val ex = ox + (axp - zx); val ey = oy + (ayp - zy)
+              val tight = font.glyphBBox(code).map(b => trm.onRect(b))
+              val loose = trm.onRect(Rect(0, font.descent / 1000.0, w0, font.ascent / 1000.0))
+              val effSize = ts.fontSize * math.hypot(trm.c / ts.fontSize, trm.d / ts.fontSize) match {
+                case s if s > 0 => s
+                case _ => ts.fontSize
+              }
+              val uniOut = if (uni.nonEmpty) uni else ""
+              chars += RawChar(code, uniOut, ox, oy, ex, ey, tight, loose, ts.fontSize, effSize)
+              charIdx += 1
+              ts.tm = Mat.identity.translate(tx, 0).multiply(ts.tm)
+              i += 1
+            }
+          case _ => ()
+        }
+        val built = chars.result()
+        if (built.nonEmpty) {
+          val m0 = objStartTm.multiply(gs.ctm)
+          val eff = ts.fontSize * math.hypot(m0.c, m0.d)
+          val obj = RawTextObject(built, kerns.toMap, font, ts.fontSize, eff, objOrigin._2, objOrigin._1)
+          textObjs += obj
+          objs += PageObjectInfo("text", obj.bbox.getOrElse(Rect(objOrigin._1, objOrigin._2, objOrigin._1, objOrigin._2)),
+            level, built.map(_.unicode).mkString, font.baseNameNoSubset, ts.fontSize,
+            0, 0, 0, "", Vector.empty, Some(obj))
+        }
+      }
+
+      def doXObject(tag: String): Unit = {
+        doc.resolve(resources("XObject")) match {
+          case xobjs: PdfDict => doc.resolve(xobjs(tag)) match {
+            case s @ PdfStream(xd, _) =>
+              doc.resolve(xd("Subtype")) match {
+                case PdfName("Image") =>
+                  val w = doc.resolve(xd("Width")) match { case PdfNumber(v) => v.toInt; case _ => 0 }
+                  val h = doc.resolve(xd("Height")) match { case PdfNumber(v) => v.toInt; case _ => 0 }
+                  val bpc = doc.resolve(xd("BitsPerComponent")) match { case PdfNumber(v) => v.toInt; case _ => 0 }
+                  val cs = doc.resolve(xd("ColorSpace")) match {
+                    case PdfName(n) => n
+                    case PdfArray(items) if items.nonEmpty => doc.resolve(items(0)) match { case PdfName(n) => n; case _ => "" }
+                    case _ => ""
+                  }
+                  val filters = Filters.filterNames(xd, doc.resolve)
+                  objs += PageObjectInfo("image", gs.ctm.onRect(Rect(0, 0, 1, 1)), level,
+                    "", "", 0, w, h, bpc, cs, filters, None)
+                case PdfName("Form") =>
+                  val formRes = doc.resolve(xd("Resources")) match { case d: PdfDict => d; case _ => resources }
+                  val formMat = doc.resolve(xd("Matrix")) match {
+                    case PdfArray(items) if items.length == 6 =>
+                      val v = items.map(doc.resolve).collect { case PdfNumber(n) => n }
+                      if (v.length == 6) Mat(v(0), v(1), v(2), v(3), v(4), v(5)) else Mat.identity
+                    case _ => Mat.identity
+                  }
+                  objs += PageObjectInfo("form", gs.ctm.onRect(Rect(0, 0, 1, 1)), level,
+                    "", "", 0, 0, 0, 0, "", Vector.empty, None)
+                  exec(doc.streamData(s), formRes, formMat.multiply(gs.ctm), level + 1)
+                case _ => ()
+              }
+            case _ => ()
+          }
+          case _ => ()
+        }
+      }
+
+      def skipInlineImage(): Unit = {
+        // consume dict tokens until ID, then raw data until whitespace+EI
+        var done = false
+        while (!lx.atEnd && !done) {
+          lx.skipWs()
+          if (lx.peek == '/') { lx.parseObject(); lx.parseObject() }
+          else {
+            val t = lx.readToken()
+            if (t == "ID") {
+              lx.pos += 1 // single whitespace after ID
+              var i = lx.pos
+              val d = lx.data
+              var found = false
+              while (i < d.length - 1 && !found) {
+                if (d(i) == 'E' && d(i + 1) == 'I' &&
+                  (i + 2 >= d.length || !lx.isRegular(d(i + 2) & 0xff)) &&
+                  (i == 0 || lx.isWhite(d(i - 1) & 0xff))) {
+                  found = true
+                  lx.pos = i + 2
+                } else i += 1
+              }
+              if (!found) lx.pos = d.length
+              objs += PageObjectInfo("image", gs.ctm.onRect(Rect(0, 0, 1, 1)), level,
+                "", "", 0, 0, 0, 0, "", Vector.empty, None)
+              done = true
+            } else if (t.isEmpty) { lx.parseObject() }
+          }
+        }
+      }
+
+      var running = true
+      while (running && !lx.atEnd) {
+        lx.skipWs()
+        if (lx.atEnd) running = false
+        else {
+          val c = lx.peek
+          if (c == '/' || c == '(' || c == '[' || c == '<' || c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+            operands += lx.parseObject()
+            if (operands.length > 64) operands.remove(0, operands.length - 64)
+          } else {
+            val op = lx.readToken()
+            if (op.isEmpty) { lx.pos += 1 }
+            else op match {
+              case "q" => gstack.push(gs.copy())
+              case "Q" => if (gstack.nonEmpty) gs = gstack.pop()
+              case "cm" =>
+                val v = nums(6)
+                gs.ctm = Mat(v(0), v(1), v(2), v(3), v(4), v(5)).multiply(gs.ctm)
+              case "BT" => ts.tm = Mat.identity; ts.tlm = Mat.identity
+              case "ET" => ()
+              case "Td" =>
+                val v = nums(2)
+                ts.tlm = Mat.identity.translate(v(0), v(1)).multiply(ts.tlm)
+                ts.tm = ts.tlm
+              case "TD" =>
+                val v = nums(2)
+                ts.leading = -v(1)
+                ts.tlm = Mat.identity.translate(v(0), v(1)).multiply(ts.tlm)
+                ts.tm = ts.tlm
+              case "Tm" =>
+                val v = nums(6)
+                ts.tlm = Mat(v(0), v(1), v(2), v(3), v(4), v(5))
+                ts.tm = ts.tlm
+              case "T*" =>
+                ts.tlm = Mat.identity.translate(0, -ts.leading).multiply(ts.tlm)
+                ts.tm = ts.tlm
+              case "TL" => ts.leading = nums(1)(0)
+              case "Tc" => ts.charSp = nums(1)(0)
+              case "Tw" => ts.wordSp = nums(1)(0)
+              case "Tz" => ts.hscale = nums(1)(0) / 100.0
+              case "Ts" => ts.rise = nums(1)(0)
+              case "Tr" => ()
+              case "Tf" =>
+                val size = nums(1)(0)
+                val tag = operands.lift(operands.length - 2) match { case Some(PdfName(n)) => n; case _ => "" }
+                ts.font = fontFor(resources, tag)
+                ts.fontSize = size
+              case "Tj" =>
+                operands.lastOption match {
+                  case Some(PdfString(b)) => showText(b)
+                  case _ => ()
+                }
+              case "'" =>
+                ts.tlm = Mat.identity.translate(0, -ts.leading).multiply(ts.tlm)
+                ts.tm = ts.tlm
+                operands.lastOption match {
+                  case Some(PdfString(b)) => showText(b)
+                  case _ => ()
+                }
+              case "\"" =>
+                val base = operands.length - 3
+                (operands.lift(base), operands.lift(base + 1), operands.lift(base + 2)) match {
+                  case (Some(PdfNumber(aw)), Some(PdfNumber(ac)), Some(PdfString(b))) =>
+                    ts.wordSp = aw; ts.charSp = ac
+                    ts.tlm = Mat.identity.translate(0, -ts.leading).multiply(ts.tlm)
+                    ts.tm = ts.tlm
+                    showText(b)
+                  case _ => ()
+                }
+              case "TJ" =>
+                operands.lastOption match {
+                  case Some(PdfArray(items)) => showItems(items)
+                  case _ => ()
+                }
+              case "Do" =>
+                operands.lastOption match {
+                  case Some(PdfName(tag)) => doXObject(tag)
+                  case _ => ()
+                }
+              case "BI" => skipInlineImage()
+              case "m" => val v = nums(2); addPt(v(0), v(1))
+              case "l" => val v = nums(2); addPt(v(0), v(1))
+              case "c" => val v = nums(6); addPt(v(0), v(1)); addPt(v(2), v(3)); addPt(v(4), v(5))
+              case "v" => val v = nums(4); addPt(v(0), v(1)); addPt(v(2), v(3))
+              case "y" => val v = nums(4); addPt(v(0), v(1)); addPt(v(2), v(3))
+              case "re" =>
+                val v = nums(4)
+                addPt(v(0), v(1)); addPt(v(0) + v(2), v(1) + v(3))
+              case "h" => ()
+              case "n" | "f" | "F" | "f*" | "B" | "B*" | "b" | "b*" | "s" | "S" => flushPath()
+              case "W" | "W*" => () // clipping: keep path for the paint op that follows
+              case "sh" =>
+                objs += PageObjectInfo("shading", gs.ctm.onRect(Rect(0, 0, 1, 1)), level,
+                  "", "", 0, 0, 0, 0, "", Vector.empty, None)
+              case _ => () // color ops, marked content, etc.
+            }
+            operands.clear()
+          }
+        }
+      }
+    }
+
+    exec(page.contentBytes, page.resources, Mat.identity, 0)
+    Result(textObjs.result(), objs.result())
+  }
+
+  /** get_objects analog with type filter + max depth (page.py:274-325). */
+  def enumerate(page: PdfPage, filter: Set[String], maxDepth: Int): Vector[PageObjectInfo] = {
+    val all = run(page).objects
+    all.filter(o => o.level < maxDepth && (filter.isEmpty || filter.contains(o.objType)))
+  }
+}

@@ -1,0 +1,349 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Glyph-level metrics + unicode decoding for one PDF font resource.
+  *
+  * Re-implements (from PDF 32000-1 §9 + the sfnt spec) what PDFium's
+  * CPDF_Font/CFX_Font do behind pypdfium2's text APIs: ToUnicode CMaps,
+  * /Encoding /Differences with AGL + uniXXXX glyph names, Type0/Identity-H
+  * two-byte codes, /Widths advances, and embedded-TrueType glyph bounding
+  * boxes (needed for charboxes — reference textpage.py:196-221 — and for
+  * PDFium's zero-width text-object skip that drops space-only show ops).
+  */
+final class PdfFontDecoder(
+    val tag: String,                    // resource name, e.g. "F1"
+    val subtype: String,
+    val baseFont: String,
+    val isType0: Boolean,
+    codeBytes: Int,                     // 1 for simple fonts, 2 for Identity-H
+    toUnicode: Map[Int, String],
+    diffNames: Map[Int, String],        // code -> glyph name (simple fonts)
+    baseEncoding: String,
+    firstChar: Int,
+    widths: Array[Double],              // advance per code-index, /1000 units
+    defaultWidth: Double,
+    cidWidths: Map[Int, Double],        // Type0 /W, /1000 units
+    val truetype: Option[TrueTypeFont],
+    cidToGid: Option[Array[Int]],
+    val ascent: Double,                 // /1000 units
+    val descent: Double,                // /1000 units (negative)
+    val weight: Int,
+    val isEmbedded: Boolean,
+    fontMatrix: Option[Mat]) {          // Type3 only
+
+  /** Strip the 6-letter subset tag ("BAAAAA+Ubuntu" → "Ubuntu") like PDFium's
+    * base-name helpers (reference test: tests/test_textpage.py:159-191). */
+  def baseNameNoSubset: String =
+    if (baseFont.length > 7 && baseFont.charAt(6) == '+' &&
+      baseFont.take(6).forall(c => c >= 'A' && c <= 'Z')) baseFont.drop(7)
+    else baseFont
+
+  def familyName: String =
+    truetype.flatMap(_.familyName).getOrElse(baseNameNoSubset)
+
+  /** Split a show-string into charcodes. */
+  def codes(bytes: Array[Byte]): Array[Int] = {
+    if (codeBytes == 2) {
+      val n = bytes.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) { out(i) = ((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff); i += 1 }
+      out
+    } else {
+      val out = new Array[Int](bytes.length)
+      var i = 0
+      while (i < bytes.length) { out(i) = bytes(i) & 0xff; i += 1 }
+      out
+    }
+  }
+
+  /** Unicode string for a charcode — may be multi-char (ligatures: fixture
+    * text.pdf maps <1D> → "ffi"); empty string if unmappable. Preference
+    * order mirrors PDFium: ToUnicode, then encoding/glyph names, then the
+    * code itself for simple fonts. */
+  def unicode(code: Int): String = {
+    toUnicode.get(code) match {
+      case Some(s) => return s
+      case None => ()
+    }
+    if (isType0) return "" // no ToUnicode: cannot map CIDs without full CMap data
+    diffNames.get(code).flatMap(GlyphNames.toUnicode) match {
+      case Some(s) => return s
+      case None => ()
+    }
+    val viaBase = baseEncoding match {
+      case "WinAnsiEncoding" => GlyphNames.winAnsi(code)
+      case "MacRomanEncoding" => GlyphNames.macRoman(code)
+      case _ => GlyphNames.standard(code)
+    }
+    viaBase match {
+      case Some(s) => s
+      case None => if (code >= 32 && code < 127) code.toChar.toString else ""
+    }
+  }
+
+  /** Advance width in text-space units (em fraction, i.e. /1000 applied). */
+  def advance(code: Int): Double = {
+    if (isType0) {
+      cidWidths.get(cid(code)) match {
+        case Some(w) => return w / 1000.0
+        case None => return defaultWidth / 1000.0
+      }
+    }
+    val idx = code - firstChar
+    if (idx >= 0 && idx < widths.length && widths(idx) > 0) widths(idx) / 1000.0
+    else if (idx >= 0 && idx < widths.length) 0.0 // explicit zero width
+    else truetype.flatMap(tt => glyphId(code).map(tt.advance)).getOrElse(defaultWidth / 1000.0)
+  }
+
+  def cid(code: Int): Int = code // Identity-H/V; CMap-coded CID fonts degrade to identity
+
+  /** Glyph id in the embedded TrueType, per PDF §9.6.6.4 mapping rules. */
+  def glyphId(code: Int): Option[Int] = truetype.flatMap { tt =>
+    if (isType0) {
+      val c = cid(code)
+      cidToGid match {
+        case Some(mapArr) => if (c < mapArr.length) Some(mapArr(c)) else Some(0)
+        case None => Some(c)
+      }
+    } else {
+      def nonZero(g: Option[Int]): Option[Int] = g.filter(_ != 0)
+      nonZero(tt.cmapLookup(1, code))
+        .orElse(nonZero(tt.cmapLookup(3, 0xF000 | code)))
+        .orElse(nonZero(tt.cmapLookup(3, code)))
+        .orElse {
+          val u = unicode(code)
+          if (u.nonEmpty) nonZero(tt.cmapLookup(3, u.codePointAt(0))) else None
+        }
+        .orElse(if (tt.hasCmap) None else Some(code))
+    }
+  }
+
+  /** Tight glyph bbox in em fractions (glyph-space/unitsPerEm), or None when
+    * the glyph has no outline (space) or no metrics source exists. */
+  def glyphBBox(code: Int): Option[Rect] = {
+    truetype match {
+      case Some(tt) =>
+        glyphId(code).flatMap(tt.glyphBBox)
+      case None =>
+        // No embedded outline data: approximate with advance × (descent..ascent),
+        // except spaces which stay outline-less (keeps PDFium's zero-width
+        // object skip working for unembedded fonts).
+        val u = unicode(code)
+        if (u == " " || u.isEmpty) None
+        else {
+          val adv = advance(code)
+          if (adv <= 0) None
+          else Some(Rect(0, math.min(descent / 1000.0, 0), adv, math.max(ascent / 1000.0, 0.7)))
+        }
+    }
+  }
+
+  def type3Matrix: Option[Mat] = fontMatrix
+}
+
+object PdfFontDecoder {
+
+  /** Build a decoder from a /Font resource dict. */
+  def fromDict(tag: String, fontDict: PdfDict, doc: PdfDocument): PdfFontDecoder = {
+    def res(o: PdfObject): PdfObject = doc.resolve(o)
+    def name(o: PdfObject): String = res(o) match { case PdfName(n) => n; case _ => "" }
+    def num(o: PdfObject, dflt: Double): Double = res(o) match { case PdfNumber(v) => v; case _ => dflt }
+
+    val subtype = name(fontDict("Subtype"))
+    val isType0 = subtype == "Type0"
+    val descFont: PdfDict =
+      if (isType0) res(fontDict("DescendantFonts")) match {
+        case PdfArray(items) if items.nonEmpty => res(items(0)) match { case d: PdfDict => d; case _ => PdfDict.empty }
+        case _ => PdfDict.empty
+      } else fontDict
+    val baseFont = name(fontDict("BaseFont")) match { case "" => name(descFont("BaseFont")); case b => b }
+
+    // ToUnicode
+    val toUni: Map[Int, String] = res(fontDict("ToUnicode")) match {
+      case s: PdfStream => CMapParser.parseToUnicode(doc.streamData(s))
+      case _ => Map.empty
+    }
+
+    // Encoding (simple fonts)
+    var baseEnc = ""
+    val diffs = mutable.Map[Int, String]()
+    if (!isType0) res(fontDict("Encoding")) match {
+      case PdfName(n) => baseEnc = n
+      case d: PdfDict =>
+        baseEnc = name(d("BaseEncoding"))
+        res(d("Differences")) match {
+          case PdfArray(items) =>
+            var cur = 0
+            items.foreach { it =>
+              res(it) match {
+                case PdfNumber(v) => cur = v.toInt
+                case PdfName(g) => diffs(cur) = g; cur += 1
+                case _ => ()
+              }
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+
+    // Encoding (Type0): only Identity-H/V carried; CMap names degrade to 2-byte identity
+    val codeBytes = if (isType0) 2 else 1
+
+    val firstChar = num(fontDict("FirstChar"), 0).toInt
+    val widths: Array[Double] = res(fontDict("Widths")) match {
+      case PdfArray(items) => items.map(it => num(it, 0)).toArray
+      case _ => Array.emptyDoubleArray
+    }
+
+    // Type0 /W array: [ cidStart [w1 w2 ...] | cidStart cidEnd w ]*
+    val cidW = mutable.Map[Int, Double]()
+    if (isType0) res(descFont("W")) match {
+      case PdfArray(items) =>
+        var i = 0
+        val resolved = items.map(res)
+        while (i < resolved.length) {
+          resolved(i) match {
+            case PdfNumber(start) =>
+              if (i + 1 < resolved.length) resolved(i + 1) match {
+                case PdfArray(ws) =>
+                  var k = 0
+                  ws.map(res).foreach { case PdfNumber(w) => cidW(start.toInt + k) = w; k += 1; case _ => () }
+                  i += 2
+                case PdfNumber(end) =>
+                  if (i + 2 < resolved.length) resolved(i + 2) match {
+                    case PdfNumber(w) =>
+                      var c = start.toInt
+                      while (c <= end.toInt) { cidW(c) = w; c += 1 }
+                    case _ => ()
+                  }
+                  i += 3
+                case _ => i += 1
+              } else i += 1
+            case _ => i += 1
+          }
+        }
+      case _ => ()
+    }
+    val defaultW = if (isType0) num(descFont("DW"), 1000.0) else {
+      res(descFont("FontDescriptor")) match {
+        case fd: PdfDict => num(fd("MissingWidth"), 500.0)
+        case _ => 500.0
+      }
+    }
+
+    // descriptor + embedded font program
+    val descriptor: PdfDict = res(descFont("FontDescriptor")) match { case d: PdfDict => d; case _ => PdfDict.empty }
+    val fontFile2 = res(descriptor("FontFile2"))
+    val embedded = descriptor.contains("FontFile2") || descriptor.contains("FontFile3") || descriptor.contains("FontFile")
+    val tt: Option[TrueTypeFont] = fontFile2 match {
+      case s: PdfStream =>
+        try TrueTypeFont.parse(doc.streamData(s))
+        catch { case _: Exception => None }
+      case _ => None
+    }
+
+    val cid2gid: Option[Array[Int]] = if (isType0) res(descFont("CIDToGIDMap")) match {
+      case s: PdfStream =>
+        val b = doc.streamData(s)
+        val arr = new Array[Int](b.length / 2)
+        var i = 0
+        while (i < arr.length) { arr(i) = ((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff); i += 1 }
+        Some(arr)
+      case _ => None // /Identity or absent
+    } else None
+
+    val ascent = num(descriptor("Ascent"), tt.map(_.ascent1000).getOrElse(750.0))
+    val descent = num(descriptor("Descent"), tt.map(_.descent1000).getOrElse(-250.0))
+    val weight = num(descriptor("FontWeight"), tt.flatMap(_.os2Weight).getOrElse(400).toDouble).toInt
+
+    val fontMatrix: Option[Mat] = if (subtype == "Type3") res(fontDict("FontMatrix")) match {
+      case PdfArray(items) if items.length == 6 =>
+        val v = items.map(it => num(it, 0))
+        Some(Mat(v(0), v(1), v(2), v(3), v(4), v(5)))
+      case _ => Some(Mat(0.001, 0, 0, 0.001, 0, 0))
+    } else None
+
+    new PdfFontDecoder(tag, subtype, baseFont, isType0, codeBytes, toUni, diffs.toMap,
+      baseEnc, firstChar, widths, defaultW, cidW.toMap, tt, cid2gid,
+      ascent, descent, weight, embedded, fontMatrix)
+  }
+}
+
+/** ToUnicode CMap parser (bfchar / bfrange / codespacerange subset of the CMap
+  * grammar — enough for Tagged-PDF-era generators; PDF §9.10.3). */
+object CMapParser {
+  def parseToUnicode(data: Array[Byte]): Map[Int, String] = {
+    val out = mutable.Map[Int, String]()
+    val lx = new Lexer(data)
+    val stack = mutable.ArrayBuffer[PdfObject]()
+    var mode = 0 // 0 none, 1 bfchar, 2 bfrange
+    while (!lx.atEnd) {
+      lx.skipWs()
+      if (lx.atEnd) ()
+      else {
+        val c = lx.peek
+        if (c == '<' && lx.peekAt(1) != '<') stack += lx.readHexString()
+        else if (c == '[') stack += lx.parseObject()
+        else if (c == '<' || c == '(' || c == '/' || c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9'))
+          stack += lx.parseObject()
+        else {
+          val kw = lx.readToken()
+          if (kw.isEmpty) lx.pos += 1
+          else kw match {
+            case "beginbfchar" => mode = 1; stack.clear()
+            case "beginbfrange" => mode = 2; stack.clear()
+            case "endbfchar" | "endbfrange" | "begincodespacerange" | "endcodespacerange" =>
+              mode = 0; stack.clear()
+            case _ => ()
+          }
+        }
+        // drain complete tuples
+        if (mode == 1 && stack.length >= 2) {
+          (stack(0), stack(1)) match {
+            case (PdfString(src), PdfString(dst)) => out(beInt(src)) = utf16be(dst)
+            case _ => ()
+          }
+          stack.remove(0, 2)
+        } else if (mode == 2 && stack.length >= 3) {
+          (stack(0), stack(1), stack(2)) match {
+            case (PdfString(lo), PdfString(hi), PdfString(dst)) =>
+              val l = beInt(lo); val h = beInt(hi)
+              var code = l
+              val base = dst.clone()
+              while (code <= h && code - l < 65536) {
+                val d = base.clone()
+                // increment last 2 bytes (UTF-16BE code unit) by (code - l)
+                if (d.length >= 2) {
+                  val last = ((d(d.length - 2) & 0xff) << 8 | (d(d.length - 1) & 0xff)) + (code - l)
+                  d(d.length - 2) = ((last >> 8) & 0xff).toByte
+                  d(d.length - 1) = (last & 0xff).toByte
+                }
+                out(code) = utf16be(d)
+                code += 1
+              }
+            case (PdfString(lo), PdfString(hi), PdfArray(items)) =>
+              val l = beInt(lo)
+              items.zipWithIndex.foreach {
+                case (PdfString(d), k) if l + k <= beInt(hi) => out(l + k) = utf16be(d)
+                case _ => ()
+              }
+            case _ => ()
+          }
+          stack.remove(0, 3)
+        } else if (mode == 0 && stack.nonEmpty) stack.clear()
+      }
+    }
+    out.toMap
+  }
+
+  private def beInt(b: Array[Byte]): Int = {
+    var v = 0
+    var i = 0
+    while (i < b.length && i < 4) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+    v
+  }
+  private def utf16be(b: Array[Byte]): String =
+    new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+}

@@ -1,0 +1,191 @@
+package graft.core
+
+/** Minimal sfnt (TrueType) reader: head / maxp / loca / glyf bounding boxes,
+  * cmap (formats 0/4/6/12), hhea/hmtx advances, OS/2 weight, name table
+  * family. This is the metrics source for tight charboxes (reference
+  * textpage.py:196-221; golden first-rect test tests/test_textpage.py:50-69).
+  * Parses from the decoded /FontFile2 stream of a font descriptor.
+  */
+final class TrueTypeFont private (
+    data: Array[Byte],
+    tables: Map[String, (Int, Int)],
+    val unitsPerEm: Int,
+    locaLong: Boolean,
+    numGlyphs: Int) {
+
+  @inline private def u8(i: Int): Int = data(i) & 0xff
+  @inline private def u16(i: Int): Int = ((data(i) & 0xff) << 8) | (data(i + 1) & 0xff)
+  @inline private def s16(i: Int): Int = (u16(i) << 16) >> 16
+  @inline private def u32(i: Int): Long =
+    ((data(i) & 0xffL) << 24) | ((data(i + 1) & 0xffL) << 16) | ((data(i + 2) & 0xffL) << 8) | (data(i + 3) & 0xffL)
+
+  def hasCmap: Boolean = tables.contains("cmap")
+
+  /** charcode→glyph via a cmap subtable of the given platform id (any fmt we
+    * support); falls back across encodings within the platform. */
+  def cmapLookup(platformId: Int, code: Int): Option[Int] = {
+    cmapSubtables.collectFirst {
+      case (pid, _, off) if pid == platformId => lookupInSubtable(off, code)
+    }.flatten
+  }
+
+  private lazy val cmapSubtables: Vector[(Int, Int, Int)] = tables.get("cmap") match {
+    case Some((base, _)) =>
+      val n = u16(base + 2)
+      (0 until n).map { i =>
+        val rec = base + 4 + 8 * i
+        (u16(rec), u16(rec + 2), base + u32(rec + 4).toInt)
+      }.toVector
+    case None => Vector.empty
+  }
+
+  private def lookupInSubtable(sub: Int, code: Int): Option[Int] = {
+    if (sub < 0 || sub + 2 > data.length) return None
+    u16(sub) match {
+      case 0 =>
+        if (code < 0 || code > 255) None
+        else { val g = u8(sub + 6 + code); if (g != 0) Some(g) else None }
+      case 4 =>
+        val segX2 = u16(sub + 6)
+        val segs = segX2 / 2
+        val endBase = sub + 14
+        val startBase = endBase + segX2 + 2
+        val deltaBase = startBase + segX2
+        val rangeBase = deltaBase + segX2
+        var i = 0
+        while (i < segs) {
+          val end = u16(endBase + 2 * i)
+          if (code <= end) {
+            val start = u16(startBase + 2 * i)
+            if (code < start) return None
+            val delta = s16(deltaBase + 2 * i)
+            val rngOff = u16(rangeBase + 2 * i)
+            val g =
+              if (rngOff == 0) (code + delta) & 0xffff
+              else {
+                val idx = rangeBase + 2 * i + rngOff + 2 * (code - start)
+                if (idx + 1 >= data.length) 0
+                else {
+                  val gi = u16(idx)
+                  if (gi == 0) 0 else (gi + delta) & 0xffff
+                }
+              }
+            return if (g != 0) Some(g) else None
+          }
+          i += 1
+        }
+        None
+      case 6 =>
+        val first = u16(sub + 6)
+        val cnt = u16(sub + 8)
+        if (code >= first && code < first + cnt) {
+          val g = u16(sub + 10 + 2 * (code - first))
+          if (g != 0) Some(g) else None
+        } else None
+      case 12 =>
+        val nGroups = u32(sub + 12).toInt
+        var i = 0
+        while (i < nGroups) {
+          val g = sub + 16 + 12 * i
+          val startC = u32(g).toInt; val endC = u32(g + 4).toInt; val startG = u32(g + 8).toInt
+          if (code >= startC && code <= endC) return Some(startG + (code - startC))
+          i += 1
+        }
+        None
+      case _ => None
+    }
+  }
+
+  /** Glyph bbox in em fractions; None for empty outlines (e.g. space). */
+  def glyphBBox(gid: Int): Option[Rect] = {
+    if (gid < 0 || gid >= numGlyphs) return None
+    (tables.get("loca"), tables.get("glyf")) match {
+      case (Some((loca, _)), Some((glyf, _))) =>
+        val (o1, o2) =
+          if (locaLong) (u32(loca + 4 * gid).toInt, u32(loca + 4 * gid + 4).toInt)
+          else (u16(loca + 2 * gid) * 2, u16(loca + 2 * gid + 2) * 2)
+        if (o1 >= o2) None // empty outline
+        else {
+          val g = glyf + o1
+          if (g + 10 > data.length) None
+          else {
+            val upm = unitsPerEm.toDouble
+            Some(Rect(s16(g + 2) / upm, s16(g + 4) / upm, s16(g + 6) / upm, s16(g + 8) / upm))
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** hmtx advance in em fractions. */
+  def advance(gid: Int): Double = {
+    (tables.get("hhea"), tables.get("hmtx")) match {
+      case (Some((hhea, _)), Some((hmtx, _))) =>
+        val numH = u16(hhea + 34)
+        val idx = math.min(gid, math.max(0, numH - 1))
+        u16(hmtx + 4 * idx) / unitsPerEm.toDouble
+      case _ => 0.5
+    }
+  }
+
+  def ascent1000: Double = tables.get("hhea") match {
+    case Some((hhea, _)) => s16(hhea + 4) * 1000.0 / unitsPerEm
+    case None => 750.0
+  }
+  def descent1000: Double = tables.get("hhea") match {
+    case Some((hhea, _)) => s16(hhea + 6) * 1000.0 / unitsPerEm
+    case None => -250.0
+  }
+
+  def os2Weight: Option[Int] = tables.get("OS/2").map { case (os2, _) => u16(os2 + 4) }
+
+  /** Family name (name table id 1), preferring Windows-platform UTF-16BE. */
+  lazy val familyName: Option[String] = tables.get("name").flatMap { case (base, _) =>
+    val count = u16(base + 2)
+    val strBase = base + u16(base + 4)
+    val recs = (0 until count).map { i =>
+      val r = base + 6 + 12 * i
+      (u16(r), u16(r + 1 * 2), u16(r + 3 * 2), u16(r + 4 * 2), u16(r + 5 * 2))
+    }
+    def read(platform: Int): Option[String] = recs.collectFirst {
+      case (pid, _, nameId, len, off) if nameId == 1 && pid == platform =>
+        val s = strBase + off
+        if (s + len <= data.length) {
+          if (platform == 3 || platform == 0)
+            new String(data, s, len, java.nio.charset.StandardCharsets.UTF_16BE)
+          else new String(data, s, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+        } else ""
+    }.filter(_.nonEmpty)
+    read(3).orElse(read(1)).orElse(read(0))
+  }
+}
+
+object TrueTypeFont {
+  def parse(data: Array[Byte]): Option[TrueTypeFont] = {
+    if (data.length < 12) return None
+    def u16(i: Int): Int = ((data(i) & 0xff) << 8) | (data(i + 1) & 0xff)
+    def u32(i: Int): Long =
+      ((data(i) & 0xffL) << 24) | ((data(i + 1) & 0xffL) << 16) | ((data(i + 2) & 0xffL) << 8) | (data(i + 3) & 0xffL)
+    val magic = u32(0)
+    // 0x00010000 (TrueType), 'true'; 'OTTO' (CFF outlines) has no glyf — reject
+    if (magic != 0x00010000L && magic != 0x74727565L) return None
+    val numTables = u16(4)
+    if (numTables <= 0 || numTables > 64) return None
+    val tables = (0 until numTables).flatMap { i =>
+      val rec = 12 + 16 * i
+      if (rec + 16 > data.length) None
+      else {
+        val tag = new String(data, rec, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val off = u32(rec + 8).toInt
+        val len = u32(rec + 12).toInt
+        if (off >= 0 && off < data.length) Some(tag -> (off, len)) else None
+      }
+    }.toMap
+    tables.get("head").map { case (head, _) =>
+      val unitsPerEm = u16(head + 18)
+      val locFmt = u16(head + 50)
+      val numGlyphs = tables.get("maxp").map { case (mx, _) => u16(mx + 4) }.getOrElse(0)
+      new TrueTypeFont(data, tables, if (unitsPerEm > 0) unitsPerEm else 1000, locFmt == 1, numGlyphs)
+    }
+  }
+}
