@@ -1,0 +1,322 @@
+package graft
+
+/** DuckDB oracle SQL per query (driver contract; validated against DuckDB
+  * 1.0 locally before pinning).
+  *
+  * pdf_* oracles are literal VALUES pinned to reference goldens:
+  * tests/expectations/text_extract.txt, pdfinfo_multipage.txt,
+  * pageobjects_images.txt, attachments_list.txt, toc.txt, and the literal
+  * expectations in tests/test_textpage.py / test_document.py /
+  * test_attachments.py — independent of this implementation.
+  *
+  * Relational / dedup / ann / text_* oracles are equivalent SQL over the
+  * same parquet tables (bare table names; the driver attaches sfDir).
+  * Queries with no SQL-expressible oracle (bit-level sketches, LSH with
+  * designed recall<1) are omitted → driver's rows-only check.
+  */
+object OracleSql {
+
+  /** Shared corpus CTE for dedup oracles — must mirror
+    * graft.ops.Dedup.corpusWithReplicas exactly. */
+  private val corpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, substr(text, 1, length(text) - 15) AS text
+      |  FROM documents WHERE length(text) > 60
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  /** Word 3-gram shingle list — mirrors graft.ops.Dedup.shingles3. */
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM corpus)""".stripMargin
+
+  private val nTok =
+    "(CASE WHEN length(trim(text))=0 THEN 0 ELSE length(text)-length(replace(text,' ',''))+1 END)"
+
+  private def markerScore(words: Seq[String]): String =
+    words.map(w =>
+      s"floor(CAST(length(' '||text||' ') - length(replace(' '||text||' ',' $w ','')) AS DOUBLE)/${w.length + 2}.0)")
+      .mkString(" + ")
+
+  // golden page texts (tests/expectations/text_extract.txt, CRLF→LF)
+  private val textPdfReport =
+    """# Page 1
+      |Lorem ipsum dolor sit amet,
+      |consectetur adipisici elit,
+      |sed eiusmod tempor incidunt ut labore et dolore magna aliqua.
+      |Ut enim ad minim veniam,
+      |quis nostrud exercitation ullamco laboris nisi ut aliquid ex ea
+      |commodi consequat.
+      |Quis aute iure reprehenderit in voluptate velit esse cillum dolore
+      |eu fugiat nulla pariatur.
+      |Excepteur sint obcaecat cupiditat non proident, sunt in culpa qui
+      |officia deserunt mollit anim id est laborum.
+      |
+      |# Page 2
+      |https://www.wikipedia.org/
+      |https://www.openstreetmap.org/
+      |https://www.opensuse.org/
+      |https://kde.org/
+      |""".stripMargin
+  private val multipageReport =
+    "# Page 1\nPage\n1\n\n# Page 2\nPage\n2\n\n# Page 3\nPage\n3\n"
+  private val emptyReport = "# Page 1\n\n"
+
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  def all: Map[String, String] = Map(
+
+    "pdf_extract_text" ->
+      s"""SELECT url, ok, CAST(n_pages AS BIGINT) AS n_pages, CAST(n_chars AS BIGINT) AS n_chars, text
+         |FROM (VALUES
+         |  ('fixture://text.pdf', TRUE, 2, 541, ${sq(textPdfReport)}),
+         |  ('fixture://multipage.pdf', TRUE, 3, 21, ${sq(multipageReport)}),
+         |  ('fixture://empty.pdf', TRUE, 1, 0, ${sq(emptyReport)})
+         |) AS t(url, ok, n_pages, n_chars, text) ORDER BY url""".stripMargin,
+
+    "pdf_extract_encrypted" ->
+      """SELECT * FROM (VALUES
+        |  ('test_user', TRUE, '', 'Encrypted PDF'),
+        |  ('test_owner', TRUE, '', 'Encrypted PDF'),
+        |  ('wrong_password', FALSE, 'PASSWORD', ''),
+        |  ('<none>', FALSE, 'PASSWORD', '')
+        |) AS t(password, ok, err_code, text)""".stripMargin,
+
+    "pdf_page_count" ->
+      """SELECT url, ok, CAST(n_pages AS BIGINT) AS n_pages FROM (VALUES
+        |  ('fixture://attachments.pdf', TRUE, 1),
+        |  ('fixture://box_fallback.pdf', TRUE, 1),
+        |  ('fixture://empty.pdf', TRUE, 1),
+        |  ('fixture://forms.pdf', TRUE, 1),
+        |  ('fixture://images.pdf', TRUE, 1),
+        |  ('fixture://multipage.pdf', TRUE, 3),
+        |  ('fixture://render.pdf', TRUE, 1),
+        |  ('fixture://text.pdf', TRUE, 2),
+        |  ('fixture://toc.pdf', TRUE, 2),
+        |  ('fixture://toc_circular.pdf', TRUE, 2),
+        |  ('fixture://toc_maxdepth.pdf', TRUE, 2),
+        |  ('fixture://toc_viewmodes.pdf', TRUE, 8)
+        |) AS t(url, ok, n_pages) ORDER BY url""".stripMargin,
+
+    "pdf_metadata" ->
+      """SELECT * FROM (VALUES
+        |  ('multipage.pdf', 'Title', ''), ('multipage.pdf', 'Author', ''),
+        |  ('multipage.pdf', 'Subject', ''), ('multipage.pdf', 'Keywords', ''),
+        |  ('multipage.pdf', 'Creator', 'Scribus 1.5.7'),
+        |  ('multipage.pdf', 'Producer', 'Scribus PDF Library 1.5.7'),
+        |  ('multipage.pdf', 'CreationDate', 'D:20211209144456Z'),
+        |  ('multipage.pdf', 'ModDate', 'D:20211209144456Z'),
+        |  ('empty.pdf', 'Title', ''), ('empty.pdf', 'Author', ''),
+        |  ('empty.pdf', 'Subject', ''), ('empty.pdf', 'Keywords', ''),
+        |  ('empty.pdf', 'Creator', 'Writer'),
+        |  ('empty.pdf', 'Producer', 'LibreOffice 6.4'),
+        |  ('empty.pdf', 'CreationDate', 'D:20220520145414+02''00'''),
+        |  ('empty.pdf', 'ModDate', '')
+        |) AS t(fixture, key, value)""".stripMargin,
+
+    "pdf_version_ids" ->
+      """SELECT fixture, CAST(version AS BIGINT) AS version, id_permanent, id_changing, tagged, page_mode, form_type
+        |FROM (VALUES
+        |  ('text.pdf', 15, '2D20EFB73406521EB1E4ACB8569340', '2D20EFB73406521EB1E4ACB8569340', TRUE, 'UseNone', 'None'),
+        |  ('multipage.pdf', 16, '6A68724B54AA67BC259BBF73333528', '6A68724B54AA67BC259BBF73333528', FALSE, 'UseNone', 'None'),
+        |  ('empty.pdf', 15, 'ECE52104D61B28521A8966850ABEA4', 'ECE52104D61B28521A8966850ABEA4', TRUE, 'UseNone', 'None')
+        |) AS t(fixture, version, id_permanent, id_changing, tagged, page_mode, form_type)""".stripMargin,
+
+    "pdf_boxes" ->
+      """SELECT fixture, CAST(page AS BIGINT) AS page, CAST(width AS DOUBLE) AS width,
+        |  CAST(height AS DOUBLE) AS height, CAST(rotation AS BIGINT) AS rotation,
+        |  CAST(media_l AS DOUBLE) AS media_l, CAST(media_b AS DOUBLE) AS media_b,
+        |  CAST(media_r AS DOUBLE) AS media_r, CAST(media_t AS DOUBLE) AS media_t,
+        |  CAST(crop_r AS DOUBLE) AS crop_r, CAST(bbox_t AS DOUBLE) AS bbox_t
+        |FROM (VALUES
+        |  ('multipage.pdf', 0, 595.2756, 841.8898, 0, 0.0, 0.0, 595.2756, 841.8898, 595.2756, 841.8898),
+        |  ('multipage.pdf', 1, 595.2756, 419.5276, 0, 0.0, 0.0, 595.2756, 419.5276, 595.2756, 419.5276),
+        |  ('multipage.pdf', 2, 297.6378, 419.5276, 0, 0.0, 0.0, 297.6378, 419.5276, 297.6378, 419.5276),
+        |  ('box_fallback.pdf', 0, 612.0, 792.0, 0, 0.0, 0.0, 612.0, 792.0, 612.0, 792.0)
+        |) AS t(fixture, page, width, height, rotation, media_l, media_b, media_r, media_t, crop_r, bbox_t)""".stripMargin,
+
+    "pdf_toc" ->
+      """SELECT CAST(ord AS BIGINT) AS ord, CAST(level AS BIGINT) AS level, title,
+        |  CAST(count AS BIGINT) AS count, CAST(page_index AS BIGINT) AS page_index, view,
+        |  CAST(px AS DOUBLE) AS px, CAST(py AS DOUBLE) AS py
+        |FROM (VALUES
+        |  (0, 0, 'One', -2, 0, 'XYZ', 89.0, 758.0),
+        |  (1, 1, 'One-A', 0, 0, 'XYZ', 89.0, 707.0),
+        |  (2, 1, 'One-B', -2, 0, 'XYZ', 89.0, 657.0),
+        |  (3, 2, 'One-B-I', 0, 0, 'XYZ', 89.0, 607.0),
+        |  (4, 2, 'One-B-II', 0, 0, 'XYZ', 89.0, 558.0),
+        |  (5, 0, 'Two', 0, 0, 'XYZ', 89.0, 507.0),
+        |  (6, 0, 'Three', -2, 1, 'XYZ', 89.0, 758.0),
+        |  (7, 1, 'Three-A', 0, 1, 'XYZ', 89.0, 707.0),
+        |  (8, 1, 'Three-B', 0, 1, 'XYZ', 89.0, 657.0)
+        |) AS t(ord, level, title, count, page_index, view, px, py)""".stripMargin,
+
+    "pdf_toc_bounded" ->
+      """SELECT fixture, CAST(max_depth AS BIGINT) AS max_depth,
+        |  CAST(n_bookmarks AS BIGINT) AS n_bookmarks, CAST(max_level AS BIGINT) AS max_level
+        |FROM (VALUES
+        |  ('toc_maxdepth.pdf', 4, 9, 3),
+        |  ('toc_maxdepth.pdf', 8, 13, 7),
+        |  ('toc_circular.pdf', 15, 2, 0)
+        |) AS t(fixture, max_depth, n_bookmarks, max_level)""".stripMargin,
+
+    "pdf_attachments" ->
+      """SELECT CAST(ord AS BIGINT) AS ord, name, CAST(n_bytes AS BIGINT) AS n_bytes
+        |FROM (VALUES (1, '1.txt', 4), (2, 'attached.pdf', 5869)) AS t(ord, name, n_bytes)""".stripMargin,
+
+    "pdf_page_labels" ->
+      """SELECT CAST(page AS BIGINT) AS page, label FROM (VALUES
+        |  (0, 'i'), (1, 'ii'), (2, 'appendix-C'), (3, 'appendix-D'), (4, 'appendix-E'),
+        |  (5, 'appendix-F'), (6, 'appendix-G'), (7, 'appendix-H')
+        |) AS t(page, label)""".stripMargin,
+
+    "pdf_search" ->
+      """SELECT CAST(ord AS BIGINT) AS ord, CAST(char_index AS BIGINT) AS char_index, CAST(length AS BIGINT) AS length
+        |FROM (VALUES (0, 89, 5), (1, 181, 5), (2, 430, 5)) AS t(ord, char_index, length)""".stripMargin,
+
+    "pdf_rects_chars" ->
+      """SELECT CAST(n_chars AS BIGINT) AS n_chars, CAST(n_rects AS BIGINT) AS n_rects,
+        |  CAST(r_left AS BIGINT) AS r_left, CAST(r_bottom AS BIGINT) AS r_bottom,
+        |  CAST(r_right AS BIGINT) AS r_right, CAST(r_top AS BIGINT) AS r_top, first_rect_text
+        |FROM (VALUES (438, 10, 58, 767, 258, 782, 'Lorem ipsum dolor sit amet,')
+        |) AS t(n_chars, n_rects, r_left, r_bottom, r_right, r_top, first_rect_text)""".stripMargin,
+
+    "pdf_images" ->
+      """SELECT CAST(ord AS BIGINT) AS ord, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |  CAST(bpc AS BIGINT) AS bpc, colorspace, filters,
+        |  CAST(l AS DOUBLE) AS l, CAST(b AS DOUBLE) AS b, CAST(r AS DOUBLE) AS r, CAST(t AS DOUBLE) AS t
+        |FROM (VALUES
+        |  (1, 115, 48, 1, 'DeviceGray', 'CCITTFaxDecode', 132.7, 459.19, 349.5, 549.69),
+        |  (2, 115, 48, 1, 'DeviceGray', 'CCITTFaxDecode', 47.65, 652.24, 162.6, 700.24),
+        |  (3, 115, 48, 1, 'DeviceGray', 'CCITTFaxDecode', 203.55, 204.09, 577.2, 360.04)
+        |) AS t(ord, width, height, bpc, colorspace, filters, l, b, r, t)""".stripMargin,
+
+    "pdf_objects_count" ->
+      """SELECT fixture, obj_type, CAST(cnt AS BIGINT) AS cnt FROM (VALUES
+        |  ('images.pdf', 'image', 3), ('images.pdf', 'text', 1),
+        |  ('text.pdf', 'text', 13),
+        |  ('render.pdf', 'path', 6), ('render.pdf', 'text', 4)
+        |) AS t(fixture, obj_type, cnt)""".stripMargin,
+
+    "extract_metrics" ->
+      """SELECT CAST(docs AS BIGINT) AS docs, CAST(pages AS BIGINT) AS pages,
+        |  CAST(chars AS BIGINT) AS chars, CAST(decode_failures AS BIGINT) AS decode_failures,
+        |  CAST(n_partitions AS BIGINT) AS n_partitions
+        |FROM (VALUES (130, 282, 23982, 0, 8)) AS t(docs, pages, chars, decode_failures, n_partitions)""".stripMargin,
+
+    // ---- relational --------------------------------------------------------
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_join_revenue" ->
+      """SELECT n_name, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 2 AND o_custkey < 100 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_topk_global" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+        |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10""".stripMargin,
+
+    "q_events_daily" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1,2 HAVING count(*) > 1 ORDER BY 1,2""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH ck AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS k FROM customer),
+        |     sk AS (SELECT DISTINCT CAST(s_nationkey AS INT) AS k FROM supplier)
+        |SELECT k, 'intersect' AS op FROM (SELECT k FROM ck INTERSECT SELECT k FROM sk) a
+        |UNION ALL SELECT k, 'except' AS op FROM (SELECT k FROM ck EXCEPT SELECT k FROM sk) b
+        |UNION ALL SELECT k, 'union' AS op FROM (SELECT k FROM ck UNION SELECT k FROM sk) c
+        |ORDER BY op, k""".stripMargin,
+
+    // ---- dedup -------------------------------------------------------------
+    "dedup_exact" ->
+      s"""WITH $corpusCte
+         |SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keeper
+         |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $corpusCte, $shinglesCte
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_cnt,
+         |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS union_cnt
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(a.s) > 0 AND len(b.s) > 0
+         |  AND len(list_intersect(a.s, b.s)) >= len(list_distinct(list_concat(a.s, b.s))) * 0.7
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_jaccard_block" ->
+      s"""WITH $corpusCte, $shinglesCte,
+         |shb AS (SELECT doc_id, string_split(text,' ')[1] AS blk, s
+         |        FROM corpus JOIN sh USING (doc_id) WHERE len(s) > 0)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_cnt,
+         |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS union_cnt
+         |FROM shb a JOIN shb b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s)) >= len(list_distinct(list_concat(a.s, b.s))) * 0.5
+         |ORDER BY a, b""".stripMargin,
+
+    // ---- similarity --------------------------------------------------------
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+        |scored AS (
+        |  SELECT qid, cid,
+        |    list_aggregate(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(range(1, len(ce)+1), i -> CAST(ce[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE)), 'sum'))) AS sim
+        |  FROM c CROSS JOIN q WHERE qid <> cid),
+        |ranked AS (SELECT qid, cid, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank FROM scored)
+        |SELECT qid AS vec_id, CAST(rank AS BIGINT) AS rank, cid AS neighbor_id, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // ---- text analysis -----------------------------------------------------
+    "text_token_count" ->
+      s"""SELECT doc_id, CAST($nTok AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id""",
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST($nTok AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN $nTok > 0
+         |    THEN floor(CAST((length(text) - (length(text)-length(replace(text,' ','')))) AS DOUBLE) * 1000.0
+         |      / CAST($nTok AS DOUBLE))
+         |    ELSE 0 END AS BIGINT) AS mean_tok_len_x1000,
+         |  CAST(length(text) - length(replace(text,'.','')) AS BIGINT) AS n_periods,
+         |  CAST(floor(CAST(length(' '||text||' ') - length(replace(' '||text||' ',' the ','')) AS DOUBLE)/5.0) AS BIGINT) AS n_the
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      val langs = Seq(
+        "en" -> Seq("the", "and", "of"),
+        "de" -> Seq("der", "und", "die"),
+        "es" -> Seq("el", "los", "de"),
+        "fr" -> Seq("le", "les", "et"))
+      val cols = langs.map { case (l, ws) =>
+        s"CAST(CASE WHEN $nTok > 0 THEN floor(CAST((${markerScore(ws)}) AS DOUBLE) * 1000.0 / CAST($nTok AS DOUBLE)) ELSE 0 END AS BIGINT) AS score_$l"
+      }.mkString(",\n  ")
+      s"SELECT doc_id,\n  $cols\nFROM documents ORDER BY doc_id"
+    },
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

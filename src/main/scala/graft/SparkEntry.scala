@@ -1,13 +1,332 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.spark.{ExtractPipeline, PagesTable}
+import graft.ops.{Dedup, Similarity, TextStats}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with a DuckDB oracle where SQL-expressible.
+  *
+  * Two query families:
+  *  - `pdf_*`: run the extraction engine over a deterministic pages table
+  *    synthesized from the reference fixture corpus; oracles are literal
+  *    VALUES pinned to the reference goldens (tests/expectations and
+  *    tests/test_ literals) — independent of this implementation.
+  *  - relational / `dedup_*` / `ann_*` / `text_*`: run on the driver's
+  *    parquet tables in sfDir; oracles are equivalent DuckDB SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full extraction pipeline over a synthesized skewed corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = PagesTable.synthesize(spark, 200, 8)
+    ExtractPipeline.extract(pages).toDF()
+  }
+
+  // fixture sets used by pdf_* queries
+  private val TextualFixtures = Seq("text.pdf", "multipage.pdf", "empty.pdf")
+  private val AllFixtures = Seq(
+    "text.pdf", "multipage.pdf", "empty.pdf", "attachments.pdf", "forms.pdf",
+    "images.pdf", "render.pdf", "box_fallback.pdf", "toc.pdf",
+    "toc_viewmodes.pdf", "toc_maxdepth.pdf", "toc_circular.pdf")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- extraction engine (SURVEY.md §2.1/2.2, north-star op) ----------
+    "pdf_extract_text" -> ((s, _) => {
+      val pages = PagesTable.ofFixtures(s, TextualFixtures)
+      ExtractPipeline.extract(pages)
+        .select(col("url"), col("ok"), col("n_pages").cast("long").as("n_pages"),
+          col("n_chars"), col("text"))
+        .orderBy("url")
+    }),
+
+    "pdf_extract_encrypted" -> ((s, _) => {
+      import s.implicits._
+      // password matrix: user / owner / wrong / none (test_document.py:106-146)
+      val rows = Seq("test_user", "test_owner", "wrong_password", "").map { pwd =>
+        val res = graft.core.Extract.extractText(PagesTable.fixture("encrypted.pdf"), pwd)
+        (if (pwd.isEmpty) "<none>" else pwd, res.ok, res.errCode,
+          res.pages.headOption.map(_.text).getOrElse(""))
+      }
+      // tiny driver-side matrix (4 rows) — parallelized for schema fidelity
+      s.createDataset(rows).toDF("password", "ok", "err_code", "text")
+    }),
+
+    "pdf_page_count" -> ((s, _) => {
+      val pages = PagesTable.ofFixtures(s, AllFixtures)
+      ExtractPipeline.extract(pages)
+        .select(col("url"), col("ok"), col("n_pages").cast("long").as("n_pages"))
+        .orderBy("url")
+    }),
+
+    "pdf_metadata" -> ((s, _) => {
+      import s.implicits._
+      val keys = Seq("Title", "Author", "Subject", "Keywords", "Creator", "Producer", "CreationDate", "ModDate")
+      val rows = Seq("multipage.pdf", "empty.pdf").flatMap { f =>
+        graft.core.PdfDocument.load(PagesTable.fixture(f)).toOption.toSeq.flatMap { d =>
+          val m = d.metadata()
+          keys.map(k => (f, k, m.getOrElse(k, "")))
+        }
+      }
+      s.createDataset(rows).toDF("fixture", "key", "value")
+    }),
+
+    "pdf_version_ids" -> ((s, _) => {
+      import s.implicits._
+      val rows = Seq("text.pdf", "multipage.pdf", "empty.pdf").flatMap { f =>
+        graft.core.PdfDocument.load(PagesTable.fixture(f)).toOption.map { d =>
+          val (idp, idc) = d.identifiers
+          // the reference's get_identifier slices [:n_bytes-2], observably
+          // dropping the ID's last byte (document.py:278-292; literal at
+          // tests/test_document.py:153-154) — mirror that here
+          def hex(b: Array[Byte]) = b.dropRight(1).map(x => f"$x%02X").mkString
+          (f, d.version.toLong, hex(idp), hex(idc), d.isTagged, d.pageMode, d.formType)
+        }
+      }
+      s.createDataset(rows).toDF("fixture", "version", "id_permanent", "id_changing", "tagged", "page_mode", "form_type")
+    }),
+
+    "pdf_boxes" -> ((s, _) => {
+      import s.implicits._
+      val rows = Seq("multipage.pdf", "box_fallback.pdf").flatMap { f =>
+        graft.core.PdfDocument.load(PagesTable.fixture(f)).toOption.toSeq.flatMap { d =>
+          d.pages.zipWithIndex.map { case (p, i) =>
+            def r4(v: Double) = math.round(v * 10000).toDouble / 10000
+            (f, i.toLong, r4(p.width), r4(p.height), p.rotation.toLong,
+              r4(p.mediaBox.left), r4(p.mediaBox.bottom), r4(p.mediaBox.right), r4(p.mediaBox.top),
+              r4(p.cropBox.right), r4(p.bbox.top))
+          }
+        }
+      }
+      s.createDataset(rows).toDF("fixture", "page", "width", "height", "rotation",
+        "media_l", "media_b", "media_r", "media_t", "crop_r", "bbox_t")
+    }),
+
+    "pdf_toc" -> ((s, _) => {
+      import s.implicits._
+      val rows = graft.core.PdfDocument.load(PagesTable.fixture("toc.pdf")).toOption.toSeq.flatMap { d =>
+        d.toc().zipWithIndex.map { case (bm, i) =>
+          val dest = bm.dest
+          def r0(v: Option[Double]) = v.map(x => math.round(x).toDouble).getOrElse(-1.0)
+          (i.toLong, bm.level.toLong, bm.title, bm.count.toLong,
+            dest.map(_.pageIndex.toLong).getOrElse(-1L),
+            dest.map(_.viewMode).getOrElse(""),
+            r0(dest.flatMap(_.params.lift(0).flatten)),
+            r0(dest.flatMap(_.params.lift(1).flatten)))
+        }
+      }
+      s.createDataset(rows).toDF("ord", "level", "title", "count", "page_index", "view", "px", "py")
+    }),
+
+    "pdf_toc_bounded" -> ((s, _) => {
+      import s.implicits._
+      // max_depth bound + circular-chain cut (document.py:530-557)
+      val rows = Seq(
+        ("toc_maxdepth.pdf", 4), ("toc_maxdepth.pdf", 8), ("toc_circular.pdf", 15))
+        .flatMap { case (f, depth) =>
+          graft.core.PdfDocument.load(PagesTable.fixture(f)).toOption.map { d =>
+            val t = d.toc(maxDepth = depth)
+            (f, depth.toLong, t.length.toLong, t.map(_.level).maxOption.getOrElse(-1).toLong)
+          }
+        }
+      s.createDataset(rows).toDF("fixture", "max_depth", "n_bookmarks", "max_level")
+    }),
+
+    "pdf_attachments" -> ((s, _) => {
+      import s.implicits._
+      val rows = graft.core.PdfDocument.load(PagesTable.fixture("attachments.pdf")).toOption.toSeq.flatMap { d =>
+        d.attachments.zipWithIndex.map { case (a, i) =>
+          (i.toLong + 1, a.name, a.data.length.toLong)
+        }
+      }
+      s.createDataset(rows).toDF("ord", "name", "n_bytes")
+    }),
+
+    "pdf_page_labels" -> ((s, _) => {
+      import s.implicits._
+      val rows = graft.core.PdfDocument.load(PagesTable.fixture("toc_viewmodes.pdf")).toOption.toSeq.flatMap { d =>
+        (0 until d.pageCount).map(i => (i.toLong, d.pageLabel(i)))
+      }
+      s.createDataset(rows).toDF("page", "label")
+    }),
+
+    "pdf_search" -> ((s, _) => {
+      import s.implicits._
+      val rows = graft.core.PdfDocument.load(PagesTable.fixture("text.pdf")).toOption.toSeq.flatMap { d =>
+        val tp = d.page(0).textPage
+        tp.search("labor").zipWithIndex.map { case ((idx, cnt), i) =>
+          (i.toLong, idx.toLong, cnt.toLong)
+        }
+      }
+      s.createDataset(rows).toDF("ord", "char_index", "length")
+    }),
+
+    "pdf_rects_chars" -> ((s, _) => {
+      import s.implicits._
+      val rows = graft.core.PdfDocument.load(PagesTable.fixture("text.pdf")).toOption.toSeq.map { d =>
+        val tp = d.page(0).textPage
+        val rs = tp.rects()
+        val first = rs.head
+        (tp.countChars.toLong, rs.length.toLong,
+          math.round(first.left), math.round(first.bottom),
+          math.round(first.right), math.round(first.top),
+          tp.textBounded(Some(first.left), Some(first.bottom), Some(first.right), Some(first.top)))
+      }
+      s.createDataset(rows).toDF("n_chars", "n_rects", "r_left", "r_bottom", "r_right", "r_top", "first_rect_text")
+    }),
+
+    "pdf_images" -> ((s, _) => {
+      import s.implicits._
+      // multimodal metadata: image objects with typed metadata columns
+      // (golden tests/expectations/pageobjects_images.txt)
+      val rows = graft.core.PdfDocument.load(PagesTable.fixture("images.pdf")).toOption.toSeq.flatMap { d =>
+        d.page(0).objects(Set("image")).zipWithIndex.map { case (o, i) =>
+          def r2(v: Double) = math.round(v * 100).toDouble / 100
+          (i.toLong + 1, o.imgWidth.toLong, o.imgHeight.toLong, o.imgBpc.toLong,
+            o.imgColorspace, o.imgFilters.mkString(","),
+            r2(o.bounds.left), r2(o.bounds.bottom), r2(o.bounds.right), r2(o.bounds.top))
+        }
+      }
+      s.createDataset(rows).toDF("ord", "width", "height", "bpc", "colorspace", "filters", "l", "b", "r", "t")
+    }),
+
+    "pdf_objects_count" -> ((s, _) => {
+      import s.implicits._
+      val rows = Seq("images.pdf", "text.pdf", "render.pdf").flatMap { f =>
+        graft.core.PdfDocument.load(PagesTable.fixture(f)).toOption.toSeq.flatMap { d =>
+          d.page(0).objects().groupBy(_.objType).toSeq.map { case (t, os) => (f, t, os.length.toLong) }
+        }
+      }
+      s.createDataset(rows).toDF("fixture", "obj_type", "cnt")
+    }),
+
+    // ---- metrics / lineage (north-star requirement) ---------------------
+    "extract_metrics" -> ((s, _) => {
+      val pages = PagesTable.synthesize(s, 130, 8)
+      val ext = ExtractPipeline.extract(pages, numPartitions = 8)
+      ExtractPipeline.metrics(ext, "verify")
+        .agg(sum(col("docs")).as("docs"), sum(col("pages")).as("pages"),
+          sum(col("chars")).as("chars"), sum(col("decode_failures")).as("decode_failures"),
+          countDistinct(col("partition_id")).as("n_partitions"))
+    }),
+
+    // ---- relational core (SURVEY.md §2.4; TPC-H-shaped) ------------------
+    "q1_agg" -> ((s, dir) => {
+      docs(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_join_revenue" -> ((s, dir) => {
+      val li = docs(s, dir, "lineitem")
+      val o = docs(s, dir, "orders")
+      val c = docs(s, dir, "customer")
+      val n = docs(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("n_name")
+    }),
+
+    "q_window_topk" -> ((s, dir) => {
+      val o = docs(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+        .select(col("o_custkey"), col("rk").cast("long").as("rk"), col("o_orderkey"))
+        .where(col("o_custkey") < 100)
+        .orderBy("o_custkey", "rk")
+    }),
+
+    "q_topk_global" -> ((s, dir) => {
+      docs(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"), col("l_extendedprice"))
+        .limit(10)
+    }),
+
+    "q_events_daily" -> ((s, dir) => {
+      docs(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"), min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .where(col("cnt") > 1)
+        .orderBy("event_type", "day")
+    }),
+
+    "q_set_ops" -> ((s, dir) => {
+      // union/intersect/except semantics (SURVEY.md §2.7 import_pages analog)
+      val c = docs(s, dir, "customer").select(col("c_nationkey").cast("int").as("k"))
+      val sup = docs(s, dir, "supplier").select(col("s_nationkey").cast("int").as("k"))
+      val inter = c.distinct().intersect(sup.distinct()).withColumn("op", lit("intersect"))
+      val exc = c.distinct().except(sup.distinct()).withColumn("op", lit("except"))
+      val uni = c.union(sup).distinct().withColumn("op", lit("union"))
+      inter.unionByName(exc).unionByName(uni).orderBy("op", "k")
+    }),
+
+    // ---- dedup family ----------------------------------------------------
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Dedup.corpusWithReplicas(docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("h")
+    }),
+
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(Dedup.corpusWithReplicas(docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("a", "b")
+    }),
+
+    "dedup_jaccard_block" -> ((s, dir) => {
+      Dedup.jaccardBlocked(Dedup.corpusWithReplicas(docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("a", "b")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      // no SQL oracle (bit-level sketch); rows-only check + ScalaTest coverage
+      Dedup.simhashPairs(Dedup.corpusWithReplicas(docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("a", "b")
+    }),
+
+    // ---- similarity search ----------------------------------------------
+    "ann_cosine_topk" -> ((s, dir) => {
+      Similarity.bruteForceTopK(docs(s, dir, "embeddings"), nQueries = 20, k = 3)
+        .orderBy("vec_id", "rank")
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      // scale path: LSH-bucketed; recall<1 by design → rows-only check
+      Similarity.lshTopK(docs(s, dir, "embeddings"), nQueries = 20, k = 3)
+        .orderBy("vec_id", "rank")
+    }),
+
+    // ---- text analysis ----------------------------------------------------
+    "text_token_count" -> ((s, dir) => {
+      TextStats.tokenCount(docs(s, dir, "documents")).orderBy("doc_id")
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      TextStats.quality(docs(s, dir, "documents")).orderBy("doc_id")
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      TextStats.langScores(docs(s, dir, "documents")).orderBy("doc_id")
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      TextStats.fingerprint(docs(s, dir, "documents")).orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -126,8 +126,11 @@ object ContentInterpreter {
         pathHasPts = true
         curX = x; curY = y
       }
-      def flushPath(): Unit = {
-        if (pathHasPts) {
+      /** `painted=false` for the `n` no-op (clip-only paths become clip
+        * state, not page objects — matches PDFium's object model; golden
+        * pageobjects_images.txt counts no clip rects). */
+      def flushPath(painted: Boolean): Unit = {
+        if (pathHasPts && painted) {
           objs += PageObjectInfo("path", Rect(pathMinX, pathMinY, pathMaxX, pathMaxY),
             level, "", "", 0, 0, 0, 0, "", Vector.empty, None)
         }
@@ -357,7 +360,8 @@ object ContentInterpreter {
                 val v = nums(4)
                 addPt(v(0), v(1)); addPt(v(0) + v(2), v(1) + v(3))
               case "h" => ()
-              case "n" | "f" | "F" | "f*" | "B" | "B*" | "b" | "b*" | "s" | "S" => flushPath()
+              case "n" => flushPath(painted = false)
+              case "f" | "F" | "f*" | "B" | "B*" | "b" | "b*" | "s" | "S" => flushPath(painted = true)
               case "W" | "W*" => () // clipping: keep path for the paint op that follows
               case "sh" =>
                 objs += PageObjectInfo("shading", gs.ctm.onRect(Rect(0, 0, 1, 1)), level,

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token counting, quality scoring, heuristic language scoring, and document
+  * fingerprinting. Every expression is arithmetic over length/replace/
+  * split/md5 — engine-portable semantics, so each query has an exact DuckDB
+  * oracle. All codegen'd built-ins, no UDFs. */
+object TextStats {
+
+  /** Whitespace token count via occurrence arithmetic (exact and portable:
+    * (len - len(remove ' ')) + 1, 0 for empty). */
+  def tokenCountCol(text: Column): Column =
+    when(length(trim(text)) === 0, 0L)
+      .otherwise(length(text) - length(regexp_replace(text, " ", "")) + 1L)
+      .cast("long")
+
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokenCountCol(col("text")).as("n_tokens"))
+
+  /** Quality score components: char count, token count, mean token length,
+    * punctuation count, stopword-ish density ("the"/"a" occurrences), upper
+    * ratio. Scores are ×1000 integers to stay float-free across engines. */
+  def quality(docs: DataFrame): DataFrame = {
+    val nTok = tokenCountCol(col("text"))
+    val nChar = length(col("text")).cast("long")
+    val punct = (length(col("text")) -
+      length(expr("replace(text, '.', '')"))).cast("long")
+    val theCount = floor(
+      (length(concat(lit(" "), col("text"), lit(" "))) -
+        length(expr("replace(' ' || text || ' ', ' the ', '')"))).cast("double") / 5.0).cast("long")
+    docs.select(
+      col("doc_id"),
+      nChar.as("n_chars"),
+      nTok.as("n_tokens"),
+      when(nTok > 0, floor((nChar - (nTok - 1)).cast("double") * 1000.0 / nTok.cast("double")))
+        .otherwise(0L).cast("long").as("mean_tok_len_x1000"),
+      punct.as("n_periods"),
+      theCount.as("n_the"))
+  }
+
+  /** Heuristic language-ID scores: per-language marker-token densities
+    * (whitespace-delimited occurrence counts ×1000 / token count). The
+    * marker lists are the classifier; argmax is the prediction. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "los", "de"),
+    "fr" -> Seq("le", "les", "et"))
+
+  private def occurrences(word: String): Column = {
+    val needle = s" $word "
+    // non-overlapping occurrence count via replace-length arithmetic
+    // (markers are alphanumeric; semantics identical in Spark and DuckDB)
+    floor((length(expr("' ' || text || ' '")) -
+      length(expr(s"replace(' ' || text || ' ', '$needle', '')"))).cast("double") /
+      needle.length.toDouble).cast("long")
+  }
+
+  def langScores(docs: DataFrame): DataFrame = {
+    val nTok = tokenCountCol(col("text"))
+    val scoreCols = markers.map { case (lang, words) =>
+      val cnt = words.map(occurrences).reduce(_ + _)
+      when(nTok > 0, floor(cnt.cast("double") * 1000.0 / nTok.cast("double")))
+        .otherwise(0L).cast("long").as(s"score_$lang")
+    }
+    docs.select((col("doc_id") +: scoreCols): _*)
+  }
+
+  /** Document fingerprint: md5 of case-folded, punctuation-stripped,
+    * space-normalized text — the cheap exact-dedup key for web corpora. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).as("fp"))
+}

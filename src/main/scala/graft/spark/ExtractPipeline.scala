@@ -1,0 +1,124 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Extract
+
+/** Per-document extraction result row (FIXTURES.md §5 `extracted`). `text`
+  * is the CLI-normalized report (LF line breaks, "# Page N" headers) so the
+  * byte-identity contract is checkable against
+  * tests/expectations/text_extract.txt verbatim. */
+final case class ExtractedDoc(
+    url: String,
+    ok: Boolean,
+    err_code: String,
+    n_pages: Int,
+    n_chars: Long,
+    text: String,
+    partition_id: Int,
+    parse_ms: Long)
+
+/** The engine: Dataset[PageRow] → Dataset[ExtractedDoc] via mapPartitions —
+  * the reference's execution-architecture lesson re-expressed in Spark
+  * (open-once per worker, heavy work partition-local, ship only small
+  * results; render.py:372-383 + changelog.md:447-457, SURVEY.md §3.2).
+  *
+  * Scale design (SURVEY.md §4.2):
+  *  - salted repartition by xxhash64(url, salt) spreads size-skewed docs
+  *    uniformly across tasks (a million 1-pagers vs 5000-page monsters);
+  *  - AQE (enabled in session conf) re-splits residual skew;
+  *  - a max-payload guard turns pathological rows into error statuses
+  *    instead of executor OOMs;
+  *  - per-partition metrics ride on the rows (partition_id column) and
+  *    aggregate declaratively into the metrics table — no driver loops.
+  */
+object ExtractPipeline {
+
+  val MaxHtmlBytes: Int = 64 << 20 // 64 MiB per-row guard
+
+  def extract(pages: Dataset[PageRow], password: String = "", salt: Int = 0,
+              numPartitions: Int = 0): Dataset[ExtractedDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val salted = pages.repartition(parts, xxhash64(col("url"), lit(salt)))
+    salted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.map { row =>
+        val t0 = System.nanoTime()
+        val res =
+          if (row.html == null) graft.core.DocExtract(ok = false, graft.core.ErrCodes.Format, "null payload", 0, Vector.empty)
+          else if (row.html.length > MaxHtmlBytes) graft.core.DocExtract(ok = false, graft.core.ErrCodes.Format, "payload too large", 0, Vector.empty)
+          else Extract.extractText(row.html, password)
+        val ms = (System.nanoTime() - t0) / 1000000L
+        ExtractedDoc(
+          url = row.url,
+          ok = res.ok,
+          err_code = res.errCode,
+          n_pages = res.nPages,
+          n_chars = res.pages.map(_.nChars.toLong).sum,
+          text = if (res.ok) res.cliReport else "",
+          partition_id = pid,
+          parse_ms = ms)
+      }
+    }
+  }
+
+  /** Per-partition lineage/metrics table (FIXTURES.md §5 `metrics`;
+    * north-star requirement BASELINE.json). Pure declarative aggregation —
+    * partial+final aggregation and the tiny shuffle are Catalyst's. */
+  def metrics(extracted: Dataset[ExtractedDoc], runId: String): DataFrame = {
+    extracted.groupBy(col("partition_id")).agg(
+      count(lit(1)).as("docs"),
+      sum(col("n_pages")).as("pages"),
+      sum(col("n_chars")).as("chars"),
+      sum(when(col("ok"), 0L).otherwise(1L)).as("decode_failures"),
+      sum(col("parse_ms")).as("wall_ms"))
+      .withColumn("run_id", lit(runId))
+  }
+}
+
+/** Checkpoint-resume via partition watermarks (SURVEY.md §2.10): the input is
+  * bucketed by a stable key hash; completed buckets are recorded in a
+  * watermark table; a restart anti-joins the input against completed buckets
+  * and only processes the remainder. Batch semantics — the reference has no
+  * streaming — but the same watermark table would back a
+  * Trigger.AvailableNow structured-streaming carrier. */
+object ResumableExtract {
+
+  def bucketed(pages: Dataset[PageRow], nBuckets: Int): DataFrame =
+    pages.withColumn("bucket", pmod(xxhash64(col("url")), lit(nBuckets)))
+
+  /** Remaining work = input buckets minus completed watermarks. */
+  def pending(pages: Dataset[PageRow], nBuckets: Int, watermarkDir: String): Dataset[PageRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val withBucket = bucketed(pages, nBuckets)
+    val done: DataFrame =
+      try spark.read.parquet(watermarkDir).select(col("bucket"))
+      catch { case _: Exception => spark.emptyDataFrame.withColumn("bucket", lit(-1L)).limit(0) }
+    withBucket.join(done, Seq("bucket"), "left_anti")
+      .drop("bucket").as[PageRow]
+  }
+
+  /** Run extraction bucket group by bucket group, committing a watermark row
+    * after each group's output lands (idempotent restart unit). */
+  def run(spark: SparkSession, pages: Dataset[PageRow], outDir: String,
+          watermarkDir: String, nBuckets: Int, groups: Int): Unit = {
+    import spark.implicits._
+    val todo = pending(pages, nBuckets, watermarkDir)
+    val withBucket = bucketed(todo, nBuckets).cache()
+    try {
+      (0 until groups).foreach { g =>
+        val slice = withBucket.filter(pmod(col("bucket"), lit(groups)) === g)
+        val bucketsInSlice = slice.select(col("bucket")).distinct()
+        val rows = slice.drop("bucket").as[PageRow]
+        ExtractPipeline.extract(rows)
+          .write.mode("append").parquet(outDir)
+        bucketsInSlice.withColumn("completed_at", current_timestamp())
+          .write.mode("append").parquet(watermarkDir)
+      }
+    } finally withBucket.unpersist()
+  }
+}
