@@ -37,13 +37,63 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
       .where(col("cnt") > 1)
 
-  /** Word 3-gram shingle set, distinct, as a column (array<string>). */
+  /** Word 3-gram shingle set, distinct, as a column (array<string>).
+    * NOTE: only for small/expository use — Catalyst higher-order lambdas
+    * re-evaluate the captured `split` per element (O(tokens²) per row).
+    * The operators below shingle in one typed-map pass instead. */
   def shingles3(text: Column): Column = {
     val toks = split(text, " ")
     array_distinct(filter(
       transform(toks, (_, i) =>
         when(i + 2 < size(toks), concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))),
       x => x.isNotNull))
+  }
+
+  /** Distinct word-3-gram shingles of a text, single pass (Scala side).
+    * split(" ", -1) keeps trailing empty tokens — matching Catalyst split
+    * and DuckDB string_split exactly (replica texts can end mid-space). */
+  def shingleStrings(text: String): Array[String] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < 3) Array.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + 2 < toks.length) {
+        seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
+
+  /** Distinct 64-bit shingle hashes of a text, single pass, SORTED (so pair
+    * verification is a primitive merge — no hash-set boxing per pair). */
+  def shingleHashes(text: String): Array[Long] = {
+    val sh = shingleStrings(text)
+    val hs = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { hs(i) = shingleHash(sh(i)); i += 1 }
+    java.util.Arrays.sort(hs)
+    // dedupe in place (collisions between distinct shingles are ~impossible
+    // but keep set semantics exact)
+    var w = 0
+    i = 0
+    while (i < hs.length) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w)
+  }
+
+  /** Intersection size of two sorted long arrays (primitive merge). */
+  def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
   }
 
   /** Deterministic 64-bit shingle hash (MurmurHash3 x2 — stable). */
@@ -61,9 +111,68 @@ object Dedup {
 
   /** MinHash signature: k seeded avalanche hashes, unsigned-min per seed.
     * Seeds derive from the index — deterministic, no RNG state. */
-  def minhashSignature(shingles: Seq[String], k: Int): Array[Long] = {
-    val hs = shingles.map(shingleHash).toArray
-    val sig = Array.fill(k)(-1L) // unsigned max
+  def minhashSignature(shingles: Seq[String], k: Int): Array[Long] =
+    minhashOfHashes(shingles.map(shingleHash).toArray, k)
+
+  /** MinHash+LSH near-dup pairs with exact verification.
+    * k hashes split into `bands`; docs sharing any band bucket become
+    * candidates; candidates are verified with exact shingle-set Jaccard and
+    * reported as integer (inter, union) counts — exactly comparable with a
+    * brute-force oracle. Output: (a, b, inter_cnt, union_cnt) with a < b,
+    * inter/union ≥ threshold. */
+  def minhashLsh(corpus: DataFrame, k: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.7): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rowsPerBand = k / bands
+    // One pass per doc: 64-bit shingle hashes (8B each — shuffles stay small;
+    // a 64-bit collision inside one pair's union is ~1e-16, far below the
+    // correctness bar) + banded signature keys.
+    val prepared = corpus
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val hs = shingleHashes(text)
+        val sig = minhashOfHashes(hs, k)
+        val bandKeys = Array.tabulate(bands) { b =>
+          var acc = 0xcbf29ce484222325L ^ b
+          var r = 0
+          while (r < rowsPerBand) { acc = (acc ^ sig(b * rowsPerBand + r)) * 0x100000001b3L; r += 1 }
+          acc
+        }
+        (id, hs, bandKeys)
+      }
+      .filter(_._2.nonEmpty)
+      .toDF("doc_id", "hs", "bks")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // candidate generation carries ids only — the band-bucket self-join never
+    // shuffles shingle payloads (the 10^12-doc shape: bucket sizes bound the
+    // quadratic term; salt-cap oversized buckets upstream at real scale)
+    val ids = prepared.select(col("doc_id"), explode(col("bks")).as("bk"))
+    val cand = ids.select(col("bk"), col("doc_id").as("a"))
+      .join(ids.select(col("bk"), col("doc_id").as("b")), Seq("bk"))
+      .where(col("a") < col("b"))
+      .select("a", "b").dropDuplicates("a", "b")
+
+    // exact verification: join hashed-shingle arrays back per side, then a
+    // primitive sorted-merge per pair (typed map — no per-pair hash sets)
+    val pa = prepared.select(col("doc_id").as("a"), col("hs").as("ha"))
+    val pb = prepared.select(col("doc_id").as("b"), col("hs").as("hb"))
+    cand.join(pa, Seq("a")).join(pb, Seq("b"))
+      .select(col("a"), col("b"), col("ha"), col("hb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .flatMap { case (a, b, ha, hb) =>
+        val inter = sortedIntersectCount(ha, hb)
+        val union = ha.length + hb.length - inter
+        if (inter >= union * threshold) Some((a, b, inter.toLong, union.toLong)) else None
+      }
+      .toDF("a", "b", "inter_cnt", "union_cnt")
+  }
+
+  /** MinHash over pre-hashed shingles. */
+  def minhashOfHashes(hs: Array[Long], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(-1L)
     var i = 0
     while (i < k) {
       val seed = mix64(0xC2B2AE3D27D4EB4FL * (i + 1))
@@ -78,60 +187,34 @@ object Dedup {
     sig
   }
 
-  /** MinHash+LSH near-dup pairs with exact verification.
-    * k hashes split into `bands`; docs sharing any band bucket become
-    * candidates; candidates are verified with exact shingle-set Jaccard and
-    * reported as integer (inter, union) counts — exactly comparable with a
-    * brute-force oracle. Output: (a, b, inter_cnt, union_cnt) with a < b,
-    * inter/union ≥ threshold. */
-  def minhashLsh(corpus: DataFrame, k: Int = 64, bands: Int = 16,
-                 threshold: Double = 0.7): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val rows = bands
-    val rowsPerBand = k / rows
-    val withShingles = corpus
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
-      .where(size(col("sh")) > 0)
-      .as[(Long, Seq[String])]
-    val sigs = withShingles.map { case (id, sh) =>
-      val sig = minhashSignature(sh, k)
-      val bandKeys = (0 until bands).map { b =>
-        val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
-        s"$b:${slice.mkString(",")}".hashCode.toLong & 0xffffffffL | (b.toLong << 32)
-      }
-      (id, sh, bandKeys)
-    }.toDF("doc_id", "sh", "band_keys")
-
-    val exploded = sigs.select(col("doc_id"), col("sh"), explode(col("band_keys")).as("bk"))
-    val l = exploded.select(col("bk"), col("doc_id").as("a"), col("sh").as("sha"))
-    val r = exploded.select(col("bk"), col("doc_id").as("b"), col("sh").as("shb"))
-    val cand = l.join(r, Seq("bk")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sha"), col("shb"))
-      .dropDuplicates("a", "b")
-    cand
-      .withColumn("inter_cnt", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("union_cnt", size(array_union(col("sha"), col("shb"))))
-      .where(col("inter_cnt") >= col("union_cnt") * threshold)
-      .select(col("a"), col("b"), col("inter_cnt").cast("long").as("inter_cnt"),
-        col("union_cnt").cast("long").as("union_cnt"))
-  }
-
   /** Blocked exact n-gram Jaccard: pairwise within a blocking key (first
     * token), SQL-replicable. Output matches minhashLsh's shape. */
   def jaccardBlocked(corpus: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val withSh = corpus.select(
-      col("doc_id"),
-      split(col("text"), " ").getItem(0).as("blk"),
-      shingles3(col("text")).as("sh"))
-      .where(size(col("sh")) > 0)
-    val l = withSh.select(col("blk"), col("doc_id").as("a"), col("sh").as("sha"))
-    val r = withSh.select(col("blk"), col("doc_id").as("b"), col("sh").as("shb"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // hashed shingles (8B/element) keep the blocked self-join shuffle ~5×
+    // smaller than string shingles; counts are collision-safe at 64 bits
+    val withSh = corpus
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val blk = { val sp = text.indexOf(' '); if (sp < 0) text else text.substring(0, sp) }
+        (id, blk, shingleHashes(text))
+      }
+      .filter(_._3.nonEmpty)
+      .toDF("doc_id", "blk", "hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = withSh.select(col("blk"), col("doc_id").as("a"), col("hs").as("ha"))
+    val r = withSh.select(col("blk"), col("doc_id").as("b"), col("hs").as("hb"))
     l.join(r, Seq("blk")).where(col("a") < col("b"))
-      .withColumn("inter_cnt", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .withColumn("union_cnt", size(array_union(col("sha"), col("shb"))).cast("long"))
-      .where(col("inter_cnt") >= col("union_cnt") * threshold)
-      .select("a", "b", "inter_cnt", "union_cnt")
+      .select(col("a"), col("b"), col("ha"), col("hb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .flatMap { case (a, b, ha, hb) =>
+        val inter = sortedIntersectCount(ha, hb)
+        val union = ha.length + hb.length - inter
+        if (inter >= union * threshold) Some((a, b, inter.toLong, union.toLong)) else None
+      }
+      .toDF("a", "b", "inter_cnt", "union_cnt")
   }
 
   /** 64-bit SimHash over word 3-gram shingles. Deterministic. */
@@ -156,11 +239,13 @@ object Dedup {
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val fps = corpus.select(col("doc_id"), shingles3(col("text")).as("sh"))
-      .where(size(col("sh")) > 0)
-      .as[(Long, Seq[String])]
+    val fps = corpus.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, shingleStrings(text)) }
+      .filter(_._2.nonEmpty)
       .map { case (id, sh) => (id, simhash64(sh)) }
       .toDF("doc_id", "fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = fps.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map(b =>
         concat_ws(":", lit(b), shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL)).cast("string"))): _*)).as("bk"))

@@ -36,14 +36,37 @@ object ExtractPipeline {
 
   val MaxHtmlBytes: Int = 64 << 20 // 64 MiB per-row guard
 
-  def extract(pages: Dataset[PageRow], password: String = "", salt: Int = 0,
+  /** Narrow (shuffle-free) extraction: parse rows where the scan produced
+    * them. This is the default at scale — repartitioning would shuffle the
+    * full binary payload, the exact anti-pattern the reference documents
+    * ("bitmap transfer … outweighed parallelization", changelog.md:447-453).
+    * Input-split sizing (spark.sql.files.maxPartitionBytes) + AQE already
+    * bound per-task work for file-backed scans; use [[extractSalted]] only
+    * when upstream partitioning is pathologically skewed. */
+  def extract(pages: Dataset[PageRow], password: String = "",
               numPartitions: Int = 0): Dataset[ExtractedDoc] = {
+    val repartitioned =
+      if (numPartitions > 0 && pages.rdd.getNumPartitions != numPartitions)
+        pages.repartition(numPartitions, xxhash64(col("url")))
+      else pages
+    mapParse(repartitioned, password)
+  }
+
+  /** Salted repartition variant for size-skewed upstreams (north-star
+    * "salted repartitioning" requirement): spreads documents uniformly by
+    * xxhash64(url, salt) at the cost of shuffling payloads once. */
+  def extractSalted(pages: Dataset[PageRow], password: String = "", salt: Int = 0,
+                    numPartitions: Int = 0): Dataset[ExtractedDoc] = {
     val spark = pages.sparkSession
-    import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val salted = pages.repartition(parts, xxhash64(col("url"), lit(salt)))
-    salted.mapPartitions { it =>
+    mapParse(pages.repartition(parts, xxhash64(col("url"), lit(salt))), password)
+  }
+
+  private def mapParse(pages: Dataset[PageRow], password: String): Dataset[ExtractedDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       it.map { row =>
         val t0 = System.nanoTime()
