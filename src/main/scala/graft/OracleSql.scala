@@ -202,6 +202,41 @@ object OracleSql {
         |  ('render.pdf', 'path', 6), ('render.pdf', 'text', 4)
         |) AS t(fixture, obj_type, cnt)""".stripMargin,
 
+    "pdf_fonts_report" ->
+      """SELECT fixture, font, family, embedded, CAST(weight AS BIGINT) AS weight, pages
+        |FROM (VALUES
+        |  ('multipage.pdf', 'CMUSansSerif', 'CMU Sans Serif', TRUE, 500, '1'),
+        |  ('multipage.pdf', 'Carlito', 'Carlito', TRUE, 400, '1-3'),
+        |  ('text.pdf', 'Ubuntu', 'Ubuntu', TRUE, 400, '1-2')
+        |) AS t(fixture, font, family, embedded, weight, pages) ORDER BY fixture, font""".stripMargin,
+
+    "pdf_arrange" ->
+      """SELECT CAST(new_idx AS BIGINT) AS new_idx, CAST(src_page AS BIGINT) AS src_page, text
+        |FROM (VALUES
+        |  (0, 1, 'Page' || chr(10) || '2'),
+        |  (1, 0, 'Page' || chr(10) || '1'),
+        |  (2, 1, 'Page' || chr(10) || '2'),
+        |  (3, 2, 'Page' || chr(10) || '3'),
+        |  (4, 1, 'Page' || chr(10) || '2')
+        |) AS t(new_idx, src_page, text)""".stripMargin,
+
+    "pdf_payload_stats" ->
+      """SELECT url, CAST(n_bytes AS BIGINT) AS n_bytes, sha256, magic,
+        |  CAST(img_w AS BIGINT) AS img_w, CAST(img_h AS BIGINT) AS img_h
+        |FROM (VALUES
+        |  ('fixture://empty.pdf', 13441, '7c664890c99682a3e1d9b514993e0988f791915fdac027b59a5f6483f57b0efe', 'pdf', -1, -1),
+        |  ('fixture://mona_lisa.jpg', 6167, '4f036238a5f7d02fecd2a295050183f5ba9b0e07b094e662a7bdd41aa6550b19', 'jpeg', 120, 120),
+        |  ('fixture://multipage.pdf', 233265, 'ac317d7da793b366b325eb3e4409077e101b2c47cf25d31d2226a93c64bac9ec', 'pdf', -1, -1),
+        |  ('fixture://text.pdf', 30080, '6d2bef6d7b518c92af38bf134167a877884ea8c3c1f0a72b28327736402d2751', 'pdf', -1, -1)
+        |) AS t(url, n_bytes, sha256, magic, img_w, img_h) ORDER BY url""".stripMargin,
+
+    "pdf_coords_roundtrip" ->
+      """SELECT CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y,
+        |  CAST(rt_x AS DOUBLE) AS rt_x, CAST(rt_y AS DOUBLE) AS rt_y
+        |FROM (VALUES (0.0, 0.0, 0.0, 0.0), (100.0, 200.0, 100.0, 200.0),
+        |  (595.0, 841.0, 595.0, 841.0), (297.5, 420.5, 297.5, 420.5)
+        |) AS t(x, y, rt_x, rt_y)""".stripMargin,
+
     "extract_metrics" ->
       """SELECT CAST(docs AS BIGINT) AS docs, CAST(pages AS BIGINT) AS pages,
         |  CAST(chars AS BIGINT) AS chars, CAST(decode_failures AS BIGINT) AS decode_failures,

@@ -206,6 +206,65 @@ object SparkEntry {
       s.createDataset(rows).toDF("fixture", "obj_type", "cnt")
     }),
 
+    "pdf_fonts_report" -> ((s, _) => {
+      import s.implicits._
+      // fonts report: group fonts by identity across pages, page-range
+      // compression (reference fonts.py:60-77, _parsers.py:40-61)
+      val rows = Seq("text.pdf", "multipage.pdf").flatMap { f =>
+        graft.core.PdfDocument.load(PagesTable.fixture(f)).toOption.toSeq.flatMap { d =>
+          d.pages.zipWithIndex.flatMap { case (p, i) =>
+            graft.core.Reports.pageFonts(p).map { case (bn, fam, emb, w) =>
+              (f, bn, fam, emb, w.toLong, i + 1)
+            }
+          }
+        }
+      }
+      s.createDataset(rows).toDF("fixture", "font", "family", "embedded", "weight", "page")
+        .groupBy("fixture", "font", "family", "embedded", "weight")
+        .agg(sort_array(collect_set(col("page"))).as("pages"))
+        .as[(String, String, String, Boolean, Long, Seq[Int])]
+        .map { case (f, bn, fam, emb, w, pages) =>
+          (f, bn, fam, emb, w, graft.core.Reports.rangeCompress(pages))
+        }
+        .toDF("fixture", "font", "family", "embedded", "weight", "pages")
+        .orderBy("fixture", "font")
+    }),
+
+    "pdf_arrange" -> ((s, _) => {
+      import s.implicits._
+      // import_pages / arrange analog: page-range spec with duplicates and
+      // order preserved (reference document.py:445-473, _parsers.py:10-28;
+      // sequences tested at tests/test_document.py:220-236)
+      val d = graft.core.PdfDocument.load(PagesTable.fixture("multipage.pdf")).toOption.get
+      val idxs = graft.core.Reports.pageRanges("2,1-3,2", d.pageCount).toOption.get
+      val perPage = d.pages.map(p => p.textPage.text.replace("\r\n", "\n"))
+      val rows = idxs.zipWithIndex.map { case (src, newIdx) =>
+        (newIdx.toLong, src.toLong, perPage(src))
+      }
+      s.createDataset(rows).toDF("new_idx", "src_page", "text")
+    }),
+
+    "pdf_payload_stats" -> ((s, _) => {
+      // multimodal binary-column plumbing: magic, hash, JPEG header decode
+      val pages = PagesTable.ofFixtures(s, Seq("text.pdf", "multipage.pdf", "mona_lisa.jpg", "empty.pdf"))
+      graft.ops.Multimodal.payloadStats(pages).toDF().orderBy("url")
+    }),
+
+    "pdf_coords_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      // device↔page transform round trip (reference tests/test_page.py:64-80)
+      val d = graft.core.PdfDocument.load(PagesTable.fixture("text.pdf")).toOption.get
+      val p = d.page(0)
+      def r6(v: Double) = math.round(v * 1e6) / 1e6
+      val pts = Seq((0.0, 0.0), (100.0, 200.0), (595.0, 841.0), (297.5, 420.5))
+      val rows = pts.map { case (x, y) =>
+        val (dx, dy) = graft.core.PageCoords.pageToDevice(p, 400, 600, x, y)
+        val (rx, ry) = graft.core.PageCoords.deviceToPage(p, 400, 600, dx, dy)
+        (x, y, r6(rx), r6(ry))
+      }
+      s.createDataset(rows).toDF("x", "y", "rt_x", "rt_y")
+    }),
+
     // ---- metrics / lineage (north-star requirement) ---------------------
     "extract_metrics" -> ((s, _) => {
       val pages = PagesTable.synthesize(s, 130, 8)

@@ -205,7 +205,8 @@ object Filters {
               dict(dictSize) = prev :+ entry(0)
               dictSize += 1
             }
-            if (dictSize + earlyChange - 1 >= (1 << codeLen) && codeLen < 12) codeLen += 1
+            // early-change: width grows when entry 2^len - earlyChange exists
+            if (dictSize + earlyChange >= (1 << codeLen) && codeLen < 12) codeLen += 1
             prev = entry
           }
         }

@@ -33,7 +33,7 @@ object PagesTable {
 
   @transient private lazy val fixtureBytes: Map[String, Array[Byte]] =
     (rotation.toSet + heavy + "encrypted.pdf" + "box_fallback.pdf" + "toc_circular.pdf" +
-      "toc_maxdepth.pdf" + "multipage.pdf").map { n =>
+      "toc_maxdepth.pdf" + "multipage.pdf" + "mona_lisa.jpg").map { n =>
       n -> java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$FixtureDir/$n"))
     }.toMap
 

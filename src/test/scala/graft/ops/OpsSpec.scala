@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSessionFixture
+
+/** Unit + small-data semantics for the training-data operators. */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+
+  test("shingles: distinct word 3-grams, split semantics keep empty tokens") {
+    assert(Dedup.shingleStrings("a b c d").toVector == Vector("a b c", "b c d"))
+    assert(Dedup.shingleStrings("a b").isEmpty)
+    assert(Dedup.shingleStrings("x y z x y z x y z").toVector == Vector("x y z", "y z x", "z x y"))
+    // trailing space produces an empty 4th token, like SQL split → 2 shingles
+    assert(Dedup.shingleStrings("a b c ").toVector == Vector("a b c", "b c "))
+  }
+
+  test("minhash estimates jaccard") {
+    val a = Dedup.shingleHashes(Seq.tabulate(100)(i => s"tok$i tok${i + 1} tok${i + 2}").mkString(" x ")) // arbitrary
+    val base = Seq.tabulate(120)(i => s"w$i").mkString(" ")
+    val ha = Dedup.shingleHashes(base)
+    val hb = Dedup.shingleHashes(base.split(" ", -1).dropRight(10).mkString(" "))
+    val sa = Dedup.minhashOfHashes(ha, 256)
+    val sb = Dedup.minhashOfHashes(hb, 256)
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 256.0
+    val inter = Dedup.sortedIntersectCount(ha, hb)
+    val exact = inter.toDouble / (ha.length + hb.length - inter)
+    assert(math.abs(est - exact) < 0.12, s"est=$est exact=$exact")
+    val _ = a
+  }
+
+  test("simhash: identical texts → 0 hamming, perturbed → small, disjoint → large") {
+    val t1 = Seq.tabulate(60)(i => s"w$i").mkString(" ")
+    val t2 = t1.split(" ", -1).dropRight(2).mkString(" ")
+    val t3 = Seq.tabulate(60)(i => s"z$i").mkString(" ")
+    def fp(t: String) = Dedup.simhash64(Dedup.shingleStrings(t).toSeq)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(t1), fp(t1)) == 0)
+    assert(ham(fp(t1), fp(t2)) < 12)
+    assert(ham(fp(t1), fp(t3)) > 20)
+  }
+
+  test("minhash LSH finds engineered near-dups with exact counts") {
+    import spark.implicits._
+    val base = Seq.tabulate(40)(i => s"tok${i * 7 % 41}").mkString(" ")
+    val other = Seq.tabulate(40)(i => s"oth${i * 5 % 37}").mkString(" ")
+    val docs = Seq((1L, base), (2L, base + " tail extra"), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, k = 64, bands = 16, threshold = 0.7)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    val (_, _, inter, union) = pairs.head
+    // exact: base has 38 shingles; doc2 adds "tail extra" → 2 extra shingles
+    assert(union - inter == 2, s"inter=$inter union=$union")
+  }
+
+  test("exact dedup groups identical texts") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    val groups = Dedup.exact(docs).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("cnt") == 2 && groups(0).getAs[Long]("keeper") == 1)
+  }
+
+  test("brute-force ANN matches hand-computed cosine ordering") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f), 0), (1L, Seq(0.9f, 0.1f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f), 1), (3L, Seq(0.5f, 0.5f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(vecs, nQueries = 1, k = 3)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(top.map(_._2).toVector == Vector(1L, 3L, 2L)) // cos: .994, .707, 0
+  }
+
+  test("LSH ANN: identical vectors land in the same bucket, top-1 correct") {
+    import spark.implicits._
+    val base = Seq.tabulate(16)(i => (i * 37 % 13 - 6).toFloat / 7f)
+    val near = base.updated(0, base(0) + 0.01f)
+    val far = Seq.tabulate(16)(i => (i * 17 % 11 - 5).toFloat / 3f)
+    val vecs = Seq((0L, base, 0), (1L, near, 0), (2L, far, 1)).toDF("vec_id", "embedding", "label")
+    val top = Similarity.lshTopK(vecs, nQueries = 1, k = 1, bits = 8)
+      .select("neighbor_id").as[Long].collect()
+    assert(top.toVector == Vector(1L))
+  }
+
+  test("text stats: hand-checked arithmetic") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat and the dog."), (2L, "")).toDF("doc_id", "text")
+    val q = TextStats.quality(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(q(1L).getAs[Long]("n_tokens") == 5)
+    assert(q(1L).getAs[Long]("n_periods") == 1)
+    assert(q(1L).getAs[Long]("n_the") == 2) // padded " the cat and the dog. " has two " the "
+    assert(q(2L).getAs[Long]("n_tokens") == 0)
+    val tc = TextStats.tokenCount(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc == Map(1L -> 5L, 2L -> 0L))
+    val fp = TextStats.fingerprint(docs).collect().map(r => r.getString(1))
+    assert(fp.distinct.length == 2)
+  }
+
+  test("multimodal payload stats: magic + jpeg header decode") {
+    val jpg = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/resources/mona_lisa.jpg"))
+    assert(Multimodal.detectMagic(jpg) == "jpeg")
+    assert(Multimodal.jpegDims(jpg).contains((120, 120)))
+    assert(Multimodal.detectMagic("%PDF-1.7\n".getBytes) == "pdf")
+    assert(Multimodal.detectMagic("<!doctype html><html>".getBytes) == "html")
+    assert(Multimodal.detectMagic(Array[Byte](1, 2, 3)) == "bin")
+  }
+}
