@@ -238,9 +238,7 @@ object PdfFontDecoder {
     val fontFile2 = res(descriptor("FontFile2"))
     val embedded = descriptor.contains("FontFile2") || descriptor.contains("FontFile3") || descriptor.contains("FontFile")
     val tt: Option[TrueTypeFont] = fontFile2 match {
-      case s: PdfStream =>
-        try TrueTypeFont.parse(doc.streamData(s))
-        catch { case _: Exception => None }
+      case s: PdfStream => FontCache.trueType(s.raw, () => doc.streamData(s))
       case _ => None
     }
 
