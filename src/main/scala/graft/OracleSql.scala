@@ -267,6 +267,19 @@ object OracleSql {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
         |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10""".stripMargin,
 
+    "pdf_sql_surface" ->
+      """SELECT url, CAST(n_pages AS BIGINT) AS n_pages, CAST(n_chars AS BIGINT) AS n_chars, err_code
+        |FROM (VALUES
+        |  ('fixture://empty.pdf', 1, 0, ''),
+        |  ('fixture://multipage.pdf', 3, 21, ''),
+        |  ('fixture://text.pdf', 2, 541, '')
+        |) AS t(url, n_pages, n_chars, err_code) ORDER BY url""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+
     "q_events_daily" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt,
         |  min(value) AS min_v, max(value) AS max_v

@@ -265,6 +265,17 @@ object SparkEntry {
       s.createDataset(rows).toDF("x", "y", "rt_x", "rt_y")
     }),
 
+    "pdf_sql_surface" -> ((s, _) => {
+      // ScalaUDF SQL registration (SURVEY.md §2.11): the parser callable
+      // straight from spark.sql
+      graft.functions.PdfFunctions.register(s)
+      PagesTable.ofFixtures(s, Seq("text.pdf", "multipage.pdf", "empty.pdf"))
+        .toDF().createOrReplaceTempView("pages_v")
+      s.sql("""SELECT url, CAST(pdf_page_count(html) AS BIGINT) AS n_pages,
+               |  pdf_char_count(html) AS n_chars, pdf_err_code(html) AS err_code
+               |FROM pages_v ORDER BY url""".stripMargin)
+    }),
+
     // ---- metrics / lineage (north-star requirement) ---------------------
     "extract_metrics" -> ((s, _) => {
       val pages = PagesTable.synthesize(s, 130, 8)
@@ -315,6 +326,14 @@ object SparkEntry {
         .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"), col("l_extendedprice"))
         .limit(10)
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      // rollup totals (SURVEY.md §2.4: pageobjects per-page + total counts)
+      docs(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
     }),
 
     "q_events_daily" -> ((s, dir) => {

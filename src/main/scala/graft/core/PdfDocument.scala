@@ -493,12 +493,16 @@ object PdfDocument {
         })
       }
     }
-    if (!ok || !trailerAcc.contains("Root")) {
+    def runReconstruction(): Option[PdfError] = {
       // xref reconstruction: linear scan for "N G obj" (SURVEY.md §7.4 item 3)
       reconstruct(data, xrefAcc)
-      if (!trailerAcc.contains("Root")) {
-        // find a catalog object
-        val doc0 = new PdfDocument(data, xrefAcc.toMap, PdfDict.empty, None, -1)
+      val doc0 = new PdfDocument(data, xrefAcc.toMap, PdfDict.empty, None, -1)
+      // re-resolve Root if missing or dangling
+      val rootOk = trailerAcc.get("Root").exists(r => doc0.resolve(r) match {
+        case d: PdfDict => d.contains("Pages") || d.get("Type").contains(PdfName("Catalog"))
+        case _ => false
+      })
+      if (!rootOk) {
         val rootNum = xrefAcc.keys.toSeq.sorted.find { n =>
           doc0.getObject(n) match {
             case d: PdfDict => d.get("Type").contains(PdfName("Catalog"))
@@ -507,17 +511,39 @@ object PdfDocument {
         }
         rootNum match {
           case Some(n) => trailerAcc = PdfDict(trailerAcc.entries + ("Root" -> PdfRef(n, 0)))
-          case None => return Left(PdfError(ErrCodes.Format, "no catalog found"))
+          case None => return Some(PdfError(ErrCodes.Format, "no catalog found"))
         }
-        // find an info object for metadata completeness
-        if (!trailerAcc.contains("Info")) {
-          val infoNum = xrefAcc.keys.toSeq.sorted.find { n =>
-            doc0.getObject(n) match {
-              case d: PdfDict => d.contains("Producer") || d.contains("Creator") || d.contains("CreationDate")
-              case _ => false
-            }
+      }
+      // find an info object for metadata completeness
+      if (!trailerAcc.contains("Info")) {
+        val infoNum = xrefAcc.keys.toSeq.sorted.find { n =>
+          doc0.getObject(n) match {
+            case d: PdfDict => d.contains("Producer") || d.contains("Creator") || d.contains("CreationDate")
+            case _ => false
           }
-          infoNum.foreach(n => trailerAcc = PdfDict(trailerAcc.entries + ("Info" -> PdfRef(n, 0))))
+        }
+        infoNum.foreach(n => trailerAcc = PdfDict(trailerAcc.entries + ("Info" -> PdfRef(n, 0))))
+      }
+      None
+    }
+
+    if (!ok || !trailerAcc.contains("Root")) {
+      runReconstruction() match {
+        case Some(err) => return Left(err)
+        case None => ()
+      }
+    } else {
+      // xref chain parsed, but verify it actually resolves to a page tree —
+      // stale/shifted offsets (incremental saves through byte-mangling
+      // proxies are a classic web-PDF failure) otherwise yield silent
+      // zero-page docs. PDFium rebuilds in this case; so do we.
+      val probe = new PdfDocument(data, xrefAcc.toMap, trailerAcc, None, -1)
+      val resolvable =
+        probe.resolve(probe.trailer("Root")).isInstanceOf[PdfDict] && probe.pages.nonEmpty
+      if (!resolvable) {
+        runReconstruction() match {
+          case Some(err) => return Left(err)
+          case None => ()
         }
       }
     }
