@@ -267,6 +267,16 @@ object OracleSql {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
         |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10""".stripMargin,
 
+    "pdf_annotations" ->
+      """SELECT CAST(page AS BIGINT) AS page, CAST(ord AS BIGINT) AS ord, subtype,
+        |  CAST(l AS DOUBLE) AS l, CAST(b AS DOUBLE) AS b, CAST(r AS DOUBLE) AS r, CAST(t AS DOUBLE) AS t, uri
+        |FROM (VALUES
+        |  (1, 0, 'Link', 56.693, 766.789, 256.807, 785.189, 'https://www.wikipedia.org/'),
+        |  (1, 1, 'Link', 56.693, 711.589, 172.757, 729.989, 'https://kde.org/'),
+        |  (1, 2, 'Link', 56.693, 729.989, 257.107, 748.389, 'https://www.opensuse.org/'),
+        |  (1, 3, 'Link', 56.693, 748.389, 300.307, 766.789, 'https://www.openstreetmap.org/')
+        |) AS t(page, ord, subtype, l, b, r, t, uri)""".stripMargin,
+
     "pdf_sql_surface" ->
       """SELECT url, CAST(n_pages AS BIGINT) AS n_pages, CAST(n_chars AS BIGINT) AS n_chars, err_code
         |FROM (VALUES

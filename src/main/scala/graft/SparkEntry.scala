@@ -265,6 +265,20 @@ object SparkEntry {
       s.createDataset(rows).toDF("x", "y", "rt_x", "rt_y")
     }),
 
+    "pdf_annotations" -> ((s, _) => {
+      import s.implicits._
+      // link harvesting: URI annots with rects (fixture text.pdf page 2)
+      val rows = graft.core.PdfDocument.load(PagesTable.fixture("text.pdf")).toOption.toSeq.flatMap { d =>
+        d.pages.zipWithIndex.flatMap { case (p, pi) =>
+          p.annotationInfos.zipWithIndex.map { case ((sub, r, uri), ai) =>
+            def r3(v: Double) = math.round(v * 1000).toDouble / 1000
+            (pi.toLong, ai.toLong, sub, r3(r.left), r3(r.bottom), r3(r.right), r3(r.top), uri)
+          }
+        }
+      }
+      s.createDataset(rows).toDF("page", "ord", "subtype", "l", "b", "r", "t", "uri")
+    }),
+
     "pdf_sql_surface" -> ((s, _) => {
       // ScalaUDF SQL registration (SURVEY.md §2.11): the parser callable
       // straight from spark.sql

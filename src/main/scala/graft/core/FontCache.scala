@@ -37,4 +37,22 @@ object FontCache {
     cache.put(k, parsed)
     parsed
   }
+
+  // ToUnicode CMaps repeat identically across same-generator documents too
+  private val cmapCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Map[Int, String]](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Map[Int, String]]): Boolean =
+        size() > MaxEntries
+    })
+
+  def toUnicode(rawStream: Array[Byte], decode: () => Array[Byte]): Map[Int, String] = {
+    val k = key(rawStream)
+    val hit = cmapCache.get(k)
+    if (hit != null) return hit
+    val parsed =
+      try CMapParser.parseToUnicode(decode())
+      catch { case _: Exception => Map.empty[Int, String] }
+    cmapCache.put(k, parsed)
+    parsed
+  }
 }

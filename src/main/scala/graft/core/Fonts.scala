@@ -162,7 +162,7 @@ object PdfFontDecoder {
 
     // ToUnicode
     val toUni: Map[Int, String] = res(fontDict("ToUnicode")) match {
-      case s: PdfStream => CMapParser.parseToUnicode(doc.streamData(s))
+      case s: PdfStream => FontCache.toUnicode(s.raw, () => doc.streamData(s))
       case _ => Map.empty
     }
 

@@ -67,6 +67,26 @@ final class PdfPage private[core] (
     case _ => Vector.empty
   }
 
+  /** Typed annotation view: (subtype, rect, uri) — link harvesting is a core
+    * web-corpus operation (the reference exposes annots via the raw API;
+    * fixture text.pdf page 2 carries 4 URI links). */
+  def annotationInfos: Vector[(String, Rect, String)] = annotations.map { a =>
+    val subtype = doc.get(a, "Subtype") match { case PdfName(n) => n; case _ => "" }
+    val rect = doc.get(a, "Rect") match {
+      case PdfArray(items) if items.length == 4 =>
+        val v = items.map(doc.resolve).collect { case PdfNumber(n) => n }
+        if (v.length == 4) Rect(math.min(v(0), v(2)), math.min(v(1), v(3)), math.max(v(0), v(2)), math.max(v(1), v(3)))
+        else Rect.empty
+      case _ => Rect.empty
+    }
+    val uri = doc.get(a, "A") match {
+      case act: PdfDict if doc.get(act, "S") == PdfName("URI") =>
+        doc.get(act, "URI") match { case s: PdfString => s.asText; case _ => "" }
+      case _ => ""
+    }
+    (subtype, rect, uri)
+  }
+
   private var cachedTextPage: TextPage = null
   /** Text page (content-stream tokenize + font decode + PDFium-order text-run
     * assembly — the FPDFText_LoadPage analog, reference page.py:191-201). */

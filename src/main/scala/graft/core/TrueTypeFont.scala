@@ -96,9 +96,22 @@ final class TrueTypeFont private (
     }
   }
 
+  // glyph bboxes are looked up once per char per document; the font object
+  // itself is shared across documents via FontCache, so memoize per glyph
+  // (idempotent writes — benign under concurrency)
+  private val bboxMemo = new java.util.concurrent.ConcurrentHashMap[Integer, Option[Rect]]()
+
   /** Glyph bbox in em fractions; None for empty outlines (e.g. space). */
   def glyphBBox(gid: Int): Option[Rect] = {
     if (gid < 0 || gid >= numGlyphs) return None
+    val cached = bboxMemo.get(Integer.valueOf(gid))
+    if (cached != null) return cached
+    val computed = glyphBBoxUncached(gid)
+    bboxMemo.put(Integer.valueOf(gid), computed)
+    computed
+  }
+
+  private def glyphBBoxUncached(gid: Int): Option[Rect] = {
     (tables.get("loca"), tables.get("glyf")) match {
       case (Some((loca, _)), Some((glyf, _))) =>
         val (o1, o2) =
