@@ -26,7 +26,13 @@ final case class RawTextObject(
     fontSize: Double,
     effFontSize: Double,
     baselineY: Double,               // device-space baseline y at object start
-    startX: Double) {
+    startX: Double,
+    dirX: Double, dirY: Double) {    // unit baseline direction in device space
+
+  /** Coordinate of a device point along the baseline direction. */
+  @inline def par(x: Double, y: Double): Double = x * dirX + y * dirY
+  /** Perpendicular offset of a device point from the baseline through origin. */
+  @inline def perp(x: Double, y: Double): Double = -x * dirY + y * dirX
   /** Union of tight boxes — PDFium skips text objects whose rect is
     * zero-width (this is what drops space-only justified-line tails; see
     * golden text_extract.txt / tests/test_textpage.py count 438). */
@@ -197,7 +203,10 @@ object ContentInterpreter {
         if (built.nonEmpty) {
           val m0 = objStartTm.multiply(gs.ctm)
           val eff = ts.fontSize * math.hypot(m0.c, m0.d)
-          val obj = RawTextObject(built, kerns.toMap, font, ts.fontSize, eff, objOrigin._2, objOrigin._1)
+          // baseline direction: image of the text-space x axis
+          val dLen = math.hypot(m0.a, m0.b)
+          val (dx, dy) = if (dLen > 1e-12) (m0.a / dLen, m0.b / dLen) else (1.0, 0.0)
+          val obj = RawTextObject(built, kerns.toMap, font, ts.fontSize, eff, objOrigin._2, objOrigin._1, dx, dy)
           textObjs += obj
           objs += PageObjectInfo("text", obj.bbox.getOrElse(Rect(objOrigin._1, objOrigin._2, objOrigin._1, objOrigin._2)),
             level, built.map(_.unicode).mkString, font.baseNameNoSubset, ts.fontSize,

@@ -211,22 +211,29 @@ object TextPage {
 
     val entries = new mutable.ArrayBuffer[CharEntry](256)
 
-    // 2. group consecutive objects into baseline lines
+    // 2. group consecutive objects into baseline lines. Geometry is measured
+    //    in the line's own frame (first object's baseline direction), so
+    //    rotated text groups exactly like axis-aligned text; for horizontal
+    //    text par==x and perp==y, preserving the PDFium-validated behavior.
     val lines = mutable.ArrayBuffer[mutable.ArrayBuffer[(RawTextObject, Int)]]()
     objs.foreach { case (o, idx) =>
       val startNew = lines.isEmpty || {
-        val prevLine = lines.last
-        val (p, _) = prevLine.last
+        val frame = lines.last.head._1
+        val (p, _) = lines.last.last
+        val sameDir = frame.dirX * o.dirX + frame.dirY * o.dirY > 0.9
         val tol = math.max(p.effFontSize, o.effFontSize) * LineBreakFrac
-        math.abs(o.baselineY - p.baselineY) > math.max(tol, 0.1)
+        val dPerp = frame.perp(o.startX, o.baselineY) - frame.perp(p.startX, p.baselineY)
+        !sameDir || math.abs(dPerp) > math.max(tol, 0.1)
       }
       if (startNew) lines += mutable.ArrayBuffer((o, idx))
       else {
-        // insertion-sort by start x (PDFium m_LineObj insertion)
+        // insertion-sort along the line direction (PDFium m_LineObj insertion)
+        val frame = lines.last.head._1
         val line = lines.last
+        val key = frame.par(o.startX, o.baselineY)
         var insertAt = line.length
         var k = line.length - 1
-        while (k >= 0 && line(k)._1.startX > o.startX) { insertAt = k; k -= 1 }
+        while (k >= 0 && frame.par(line(k)._1.startX, line(k)._1.baselineY) > key) { insertAt = k; k -= 1 }
         line.insert(insertAt, (o, idx))
       }
     }
@@ -242,14 +249,15 @@ object TextPage {
         entries += CharEntry('\n', generated = true, None, None, px, py, 0, -1)
         lastEmitted = '\n'
       }
+      val frame = line.head._1
       var prevEndX = Double.NaN
       line.foreach { case (o, objIdx) =>
-        // inter-object gap → generated space
+        // inter-object gap → generated space (measured along the baseline)
         if (!prevEndX.isNaN) {
-          val gap = o.startX - prevEndX
+          val gap = frame.par(o.startX, o.baselineY) - prevEndX
           if (gap > o.effFontSize * SpaceGapFrac && lastEmitted != ' ' && lastEmitted != 0) {
             val oc = o.chars.head
-            entries += CharEntry(' ', generated = true, None, None, prevEndX, oc.oy, o.fontSize, -1)
+            entries += CharEntry(' ', generated = true, None, None, oc.ox, oc.oy, o.fontSize, -1)
             lastEmitted = ' '
           }
         }
@@ -284,7 +292,8 @@ object TextPage {
           }
           ci += 1
         }
-        val endX = o.chars.lastOption.map(_.ex).getOrElse(o.startX)
+        val endX = o.chars.lastOption.map(c => frame.par(c.ex, c.ey))
+          .getOrElse(frame.par(o.startX, o.baselineY))
         prevEndX = if (prevEndX.isNaN) endX else math.max(prevEndX, endX)
       }
     }

