@@ -53,7 +53,8 @@ final case class PageObjectInfo(
     imgBpc: Int,
     imgColorspace: String,
     imgFilters: Vector[String],
-    raw: Option[RawTextObject])
+    raw: Option[RawTextObject],
+    mcid: Int = -1)                  // marked-content id (BDC /MCID), -1 if none
 
 /** Content-stream interpreter: tokenizes and executes the operator stream
   * (PDF 32000-1 §8-9), maintaining the q/Q CTM stack and the full text state
@@ -107,6 +108,9 @@ object ContentInterpreter {
       val gstack = mutable.Stack[GState]()
       var gs = new GState(baseCtm)
       val ts = new TState
+      // marked-content stack: BDC/BMC push (MCID or -1), EMC pops
+      val mcStack = mutable.Stack[Int]()
+      @inline def curMcid: Int = mcStack.find(_ >= 0).getOrElse(-1)
       // path bounds accumulation
       var pathMinX = Double.MaxValue; var pathMinY = Double.MaxValue
       var pathMaxX = Double.MinValue; var pathMaxY = Double.MinValue
@@ -229,8 +233,19 @@ object ContentInterpreter {
                     case _ => ""
                   }
                   val filters = Filters.filterNames(xd, doc.resolve)
-                  objs += PageObjectInfo("image", gs.ctm.onRect(Rect(0, 0, 1, 1)), level,
-                    "", "", 0, w, h, bpc, cs, filters, None)
+                  // PDFium transforms the unit square in float32; the f32
+                  // corner sums are observable in the dpi goldens
+                  // (pageobjects_images.txt vertical_dpi) — mirror exactly
+                  val bounds = {
+                    val a = gs.ctm.a.toFloat; val b = gs.ctm.b.toFloat
+                    val c = gs.ctm.c.toFloat; val d = gs.ctm.d.toFloat
+                    val e = gs.ctm.e.toFloat; val f = gs.ctm.f.toFloat
+                    val xs = Array(e, a + e, c + e, a + c + e)
+                    val ys = Array(f, b + f, d + f, b + d + f)
+                    Rect(xs.min.toDouble, ys.min.toDouble, xs.max.toDouble, ys.max.toDouble)
+                  }
+                  objs += PageObjectInfo("image", bounds, level,
+                    "", "", 0, w, h, bpc, cs, filters, None, curMcid)
                 case PdfName("Form") =>
                   val formRes = doc.resolve(xd("Resources")) match { case d: PdfDict => d; case _ => resources }
                   val formMat = doc.resolve(xd("Matrix")) match {
@@ -360,6 +375,28 @@ object ContentInterpreter {
                   case _ => ()
                 }
               case "BI" => skipInlineImage()
+              case "BMC" => mcStack.push(-1)
+              case "BDC" =>
+                val mcid = operands.lastOption.map(doc.resolve) match {
+                  case Some(d: PdfDict) => doc.resolve(d("MCID")) match {
+                    case PdfNumber(v) => v.toInt
+                    case _ => -1
+                  }
+                  case Some(PdfName(propName)) => // named properties resource
+                    doc.resolve(resources("Properties")) match {
+                      case props: PdfDict => doc.resolve(props(propName)) match {
+                        case d: PdfDict => doc.resolve(d("MCID")) match {
+                          case PdfNumber(v) => v.toInt
+                          case _ => -1
+                        }
+                        case _ => -1
+                      }
+                      case _ => -1
+                    }
+                  case _ => -1
+                }
+                mcStack.push(mcid)
+              case "EMC" => if (mcStack.nonEmpty) mcStack.pop()
               case "m" => val v = nums(2); addPt(v(0), v(1))
               case "l" => val v = nums(2); addPt(v(0), v(1))
               case "c" => val v = nums(6); addPt(v(0), v(1)); addPt(v(2), v(3)); addPt(v(4), v(5))

@@ -210,27 +210,46 @@ final class PdfDocument private (
 
   /** Flattened bookmark tree with level, cycle detection and max_depth bound
     * (reference document.py:520-559). */
-  def toc(maxDepth: Int = 15): Vector[Bookmark] = {
-    val out = Vector.newBuilder[Bookmark]
+  def toc(maxDepth: Int = 15): Vector[Bookmark] =
+    tocEvents(maxDepth).collect { case TocBookmark(bm) => bm }
+
+  /** TOC traversal as an event stream: bookmarks interleaved with the
+    * reference's warnings (circular chain cut, depth-bound subtree skip) in
+    * emission order — needed for byte-identical toc reports
+    * (tests/expectations/toc_maxdepth.txt, toc_circular.txt). */
+  def tocEvents(maxDepth: Int = 15): Vector[TocEvent] = {
+    val out = Vector.newBuilder[TocEvent]
     val seen = mutable.Set[(Int, Int)]()
     def walkLevel(first: PdfObject, level: Int): Unit = {
-      if (level >= maxDepth) return
       var cur = first
       var guard = 0
-      while (cur != PdfNull && guard < 4096) {
+      var done = false
+      while (cur != PdfNull && guard < 4096 && !done) {
         guard += 1
-        val key = cur match { case PdfRef(n, g) => (n, g); case _ => (-guard, -1) }
-        if (seen.contains(key)) return // circular chain (fixture toc_circular.pdf)
-        seen += key
-        resolve(cur) match {
-          case d: PdfDict =>
-            val title = get(d, "Title") match { case s: PdfString => s.asText; case _ => "" }
-            val count = get(d, "Count") match { case PdfNumber(v) => v.toInt; case _ => 0 }
-            val dest = resolveDest(d)
-            out += Bookmark(level, title, count, dest)
-            d.get("First").foreach(f => walkLevel(f, level + 1))
-            cur = d.get("Next").getOrElse(PdfNull)
-          case _ => cur = PdfNull
+        val key = cur match { case PdfRef(n, g) => (n, g); case _ => (-guard - level * 8192, -1) }
+        if (seen.contains(key)) {
+          out += TocWarning("A circular bookmark reference was detected while traversing the table of contents.")
+          done = true
+        } else {
+          seen += key
+          resolve(cur) match {
+            case d: PdfDict =>
+              val title = get(d, "Title") match { case s: PdfString => s.asText; case _ => "" }
+              val count = get(d, "Count") match { case PdfNumber(v) => v.toInt; case _ => 0 }
+              val dest = resolveDest(d)
+              val color = get(d, "C") match {
+                case PdfArray(items) if items.length == 3 =>
+                  val v = items.map(resolve).collect { case PdfNumber(n) => n }
+                  if (v.length == 3) Some((v(0), v(1), v(2))) else None
+                case _ => None
+              }
+              out += TocBookmark(Bookmark(level, title, count, dest, color))
+              if (level < maxDepth - 1) d.get("First").foreach(f => walkLevel(f, level + 1))
+              else if (d.contains("First"))
+                out += TocWarning(s"Maximum recursion depth $maxDepth reached (subtree skipped).")
+              cur = d.get("Next").getOrElse(PdfNull)
+            case _ => cur = PdfNull
+          }
         }
       }
     }
@@ -458,7 +477,11 @@ final class PdfDocument private (
   }
 }
 
-final case class Bookmark(level: Int, title: String, count: Int, dest: Option[Dest])
+final case class Bookmark(level: Int, title: String, count: Int, dest: Option[Dest],
+                          color: Option[(Double, Double, Double)] = None)
+sealed trait TocEvent
+final case class TocBookmark(bm: Bookmark) extends TocEvent
+final case class TocWarning(msg: String) extends TocEvent
 final case class Dest(pageIndex: Int, viewMode: String, params: Vector[Option[Double]])
 final case class Attachment(name: String, data: Array[Byte], params: Map[String, String])
 

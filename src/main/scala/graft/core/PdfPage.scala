@@ -31,6 +31,10 @@ final class PdfPage private[core] (
   /** bbox = media ∩ crop (page.py:176-185). */
   def bbox: Rect = mediaBox.intersect(cropBox)
 
+  /** Box without fallback chain (reference get_*box(fallback_ok=False)):
+    * None when the key is absent (inheritance still applies). */
+  def boxExplicit(key: String): Option[Rect] = boxOf(key)
+
   /** Rotation ∈ {0,90,180,270} (page.py:78-92). */
   def rotation: Int = attr("Rotate") match {
     case PdfNumber(v) =>

@@ -48,6 +48,185 @@ object Reports {
     sb.toString
   }
 
+  /** Python-repr of a float rounded to n digits (round-half-even like
+    * python's round; shortest repr like CPython float repr for the value
+    * ranges PDFs carry). Used for byte-identical CLI-report goldens. */
+  def pyRound(v: Double, nDigits: Int): String = {
+    val bd = new java.math.BigDecimal(v).setScale(nDigits, java.math.RoundingMode.HALF_EVEN)
+    val d = bd.doubleValue()
+    if (d == d.toLong.toDouble && math.abs(d) < 1e15) s"${d.toLong}.0"
+    else d.toString
+  }
+
+  /** Byte-identical `toc` CLI report (reference src/pypdfium2_cli/toc.py;
+    * goldens tests/expectations/toc*.txt). `colorIndicator` wraps a Unicode
+    * dot in an ANSI truecolor escape like the reference. */
+  def tocReport(doc: PdfDocument, maxDepth: Int = 15, nDigits: Int = 4,
+                colorIndicator: Boolean = false): String = {
+    val sb = new StringBuilder
+    doc.tocEvents(maxDepth).foreach {
+      case TocWarning(msg) => sb.append(msg).append('\n')
+      case TocBookmark(bm) =>
+        val countStr = if (bm.count == 0) "*" else f"${bm.count}%+d"
+        sb.append("    " * bm.level)
+        sb.append(s"[$countStr] ${bm.title} -> ")
+        bm.dest match {
+          case Some(d) =>
+            val page = if (d.pageIndex >= 0) (d.pageIndex + 1).toString else "?"
+            val pos = d.params.map(p => pyRound(p.getOrElse(0.0), nDigits)).mkString(", ")
+            sb.append(s"$page  # ${d.viewMode} [$pos]")
+          case None => sb.append("_")
+        }
+        bm.color.foreach { case (r, g, b) =>
+          val ind = if (colorIndicator) {
+            val (ri, gi, bi) = (math.round(r * 255), math.round(g * 255), math.round(b * 255))
+            s"[38;2;$ri;$gi;${bi}m⬤[0m "
+          } else ""
+          sb.append(" | " + ind +
+            s"RGB(${pyRound(r, nDigits)}, ${pyRound(g, nDigits)}, ${pyRound(b, nDigits)})")
+        }
+        sb.append('\n')
+    }
+    sb.toString
+  }
+
+  /** CPython bytes-repr emulation (b'...' with \xNN escapes) — the pdfinfo
+    * golden prints file identifiers this way. */
+  def pyBytesRepr(b: Array[Byte]): String = {
+    val hasSingle = b.contains('\''.toByte)
+    val hasDouble = b.contains('"'.toByte)
+    val quote = if (hasSingle && !hasDouble) '"' else '\''
+    val sb = new StringBuilder("b").append(quote)
+    b.foreach { x =>
+      val c = x & 0xff
+      if (c == '\\') sb.append("\\\\")
+      else if (c == quote) sb.append('\\').append(quote)
+      else if (c == '\t') sb.append("\\t")
+      else if (c == '\n') sb.append("\\n")
+      else if (c == '\r') sb.append("\\r")
+      else if (c >= 0x20 && c <= 0x7e) sb.append(c.toChar)
+      else sb.append(f"\\x$c%02x")
+    }
+    sb.append(quote).toString
+  }
+
+  private val PageModeToStr = Map(
+    "UseNone" -> "None", "UseOutlines" -> "Outline", "UseThumbs" -> "Thumbnails",
+    "FullScreen" -> "Full-screen", "UseOC" -> "Layers", "UseAttachments" -> "Attachments")
+
+  /** Byte-identical `pdfinfo` CLI report (reference src/pypdfium2_cli/
+    * pdfinfo.py:19-58; goldens tests/expectations/pdfinfo_*.txt). */
+  def pdfinfoReport(doc: PdfDocument, nDigits: Int = 4): String = {
+    val sb = new StringBuilder
+    // PDFium's unsupported-feature handler fires on attachment presence
+    if (doc.attachments.nonEmpty)
+      sb.append("Unsupported PDF feature: Attachment (incomplete support)\n")
+    sb.append(s"Page Count: ${doc.pageCount}\n")
+    sb.append(s"PDF Version: ${pyRound(doc.version / 10.0, 1)}\n")
+    // get_identifier drops the ID's trailing byte (document.py:278-292)
+    val idp = doc.identifiers._1.dropRight(1)
+    val idc = doc.identifiers._2.dropRight(1)
+    sb.append(s"ID (permanent): ${pyBytesRepr(idp)}\n")
+    sb.append(s"ID (changing):  ${pyBytesRepr(idc)}\n")
+    sb.append(s"ID match? - ${if (java.util.Arrays.equals(idp, idc)) "True" else "False"}\n")
+    sb.append(s"Tagged? - ${if (doc.isTagged) "True" else "False"}\n")
+    if (doc.pageMode != "UseNone")
+      sb.append(s"Page Mode: ${PageModeToStr.getOrElse(doc.pageMode, "?")}\n")
+    if (doc.formType != "None")
+      sb.append(s"Form Type: ${doc.formType}\n")
+    val meta = doc.metadata()
+    val keys = Seq("Title", "Author", "Subject", "Keywords", "Creator", "Producer", "CreationDate", "ModDate")
+      .filter(k => meta.getOrElse(k, "").nonEmpty)
+    if (keys.nonEmpty) {
+      sb.append("Metadata:\n")
+      keys.foreach(k => sb.append(s"    $k: ${meta(k)}\n"))
+    }
+    def tup(vals: Seq[Double]): String =
+      vals.map(pyRound(_, nDigits)).mkString("(", ", ", ")")
+    doc.pages.zipWithIndex.foreach { case (p, i) =>
+      sb.append(s"\n# Page ${i + 1}\n")
+      sb.append(s"Size: ${tup(Seq(p.width, p.height))}\n")
+      sb.append(s"Rotation: ${p.rotation}\n")
+      val bb = p.bbox
+      sb.append(s"Bounding Box: ${tup(Seq(bb.left, bb.bottom, bb.right, bb.top))}\n")
+      Seq("Media" -> "MediaBox", "Crop" -> "CropBox", "Bleed" -> "BleedBox",
+        "Trim" -> "TrimBox", "Art" -> "ArtBox").foreach { case (_, key) =>
+        p.boxExplicit(key).foreach { r =>
+          sb.append(s"$key: ${tup(Seq(r.left, r.bottom, r.right, r.top))}\n")
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** CPython str-repr for simple text (pageobjects report prints
+    * repr(obj.extract())). */
+  def pyStrRepr(s: String): String = {
+    val sb = new StringBuilder("'")
+    s.foreach { c =>
+      if (c == '\\') sb.append("\\\\")
+      else if (c == '\'') sb.append("\\'")
+      else if (c == '\t') sb.append("\\t")
+      else if (c == '\n') sb.append("\\n")
+      else if (c == '\r') sb.append("\\r")
+      else sb.append(c)
+    }
+    sb.append('\'').toString
+  }
+
+  /** Byte-identical `attachments list` CLI report (golden
+    * attachments_list.txt) — PDFium's load-time unsupported-feature warning
+    * leads the capture. */
+  def attachmentsListReport(doc: PdfDocument): String = {
+    val warn = if (doc.attachments.nonEmpty)
+      "Unsupported PDF feature: Attachment (incomplete support)\n" else ""
+    warn + doc.attachments.zipWithIndex.map { case (a, i) => s"[${i + 1}] ${a.name}\n" }.mkString
+  }
+
+  /** Byte-identical `pageobjects` CLI report (reference
+    * src/pypdfium2_cli/pageobjects.py; golden pageobjects_images.txt). */
+  def pageObjectsReport(doc: PdfDocument, maxDepth: Int = 2, nDigits: Int = 4): String = {
+    val sb = new StringBuilder
+    var total = 0
+    def tup(vals: Seq[Double]): String = vals.map(pyRound(_, nDigits)).mkString("(", ", ", ")")
+    doc.pages.zipWithIndex.foreach { case (p, i) =>
+      val objs = p.objects(maxDepth = maxDepth)
+      if (objs.nonEmpty) {
+        sb.append(s"# Page ${i + 1}\n")
+        objs.foreach { o =>
+          val pad0 = "    " * o.level
+          val pad1 = pad0 + "    "
+          sb.append(pad0 + o.objType + "\n")
+          val b = o.bounds
+          sb.append(pad1 + s"Bounding Box: ${tup(Seq(b.left, b.bottom, b.right, b.top))}\n")
+          if (o.objType == "image" || o.objType == "text") {
+            val quads = quadPoints(b).map { case (x, y) => tup(Seq(x, y)) }.mkString("[", ", ", "]")
+            sb.append(pad1 + s"Quad Points: $quads\n")
+          }
+          if (o.objType == "image") {
+            val filters = o.imgFilters.map(pyStrRepr).mkString("[", ", ", "]")
+            sb.append(pad1 + s"Filters: $filters\n")
+            sb.append(pad1 + s"width: ${o.imgWidth}\n")
+            sb.append(pad1 + s"height: ${o.imgHeight}\n")
+            val hdpi = if (b.width > 0) o.imgWidth * 72.0 / b.width else 0.0
+            val vdpi = if (b.height > 0) o.imgHeight * 72.0 / b.height else 0.0
+            sb.append(pad1 + s"horizontal_dpi: ${pyRound(hdpi, nDigits)}\n")
+            sb.append(pad1 + s"vertical_dpi: ${pyRound(vdpi, nDigits)}\n")
+            sb.append(pad1 + s"bits_per_pixel: ${o.imgBpc}\n")
+            sb.append(pad1 + s"colorspace: ${o.imgColorspace}\n")
+            if (o.mcid != -1) sb.append(pad1 + s"marked_content_id: ${o.mcid}\n")
+          } else if (o.objType == "text") {
+            sb.append(pad1 + pyStrRepr(o.text) + "\n")
+          }
+          total += 1
+        }
+        sb.append(s"-> Count: ${objs.length}\n\n")
+      }
+    }
+    if (total > 0) sb.append(s"-> Total count: $total\n")
+    sb.toString
+  }
+
   /** Quad points of a rect: 4 (x,y) corners CCW from bottom-left
     * (reference pageobjects.py:108-129). */
   def quadPoints(r: Rect): Vector[(Double, Double)] =

@@ -111,7 +111,8 @@ final class TrueTypeFont private (
     computed
   }
 
-  private def glyphBBoxUncached(gid: Int): Option[Rect] = {
+  private def glyphBBoxUncached(gid: Int, depth: Int = 0): Option[Rect] = {
+    if (depth > 4) return None
     (tables.get("loca"), tables.get("glyf")) match {
       case (Some((loca, _)), Some((glyf, _))) =>
         val (o1, o2) =
@@ -122,13 +123,109 @@ final class TrueTypeFont private (
           val g = glyf + o1
           if (g + 10 > data.length) None
           else {
-            val upm = unitsPerEm.toDouble
-            Some(Rect(s16(g + 2) / upm, s16(g + 4) / upm, s16(g + 6) / upm, s16(g + 8) / upm))
+            val nContours = s16(g)
+            // control box from the outline POINTS (FreeType semantics; the
+            // glyf header can lie), then PDFium's TT2PDF normalization:
+            // int(v*1000/upem + 0.5) — C truncation toward zero, so -188
+            // becomes -187 (golden pageobjects_images.txt pins this)
+            @inline def tt2pdf(v: Double): Double =
+              (v * 1000.0 / unitsPerEm + 0.5).toInt / 1000.0
+            val fromPoints =
+              if (nContours >= 0) simpleGlyphCBox(g, nContours)
+              else compositeCBox(g, o2 - o1, depth)
+            fromPoints.map { case (x0, y0, x1, y1) =>
+              Rect(tt2pdf(x0), tt2pdf(y0), tt2pdf(x1), tt2pdf(y1))
+            }.orElse(Some(Rect(tt2pdf(s16(g + 2)), tt2pdf(s16(g + 4)), tt2pdf(s16(g + 6)), tt2pdf(s16(g + 8)))))
           }
         }
       case _ => None
     }
   }
+
+  /** Control box of a simple glyph from its point array (sfnt glyf format). */
+  private def simpleGlyphCBox(g: Int, nContours: Int): Option[(Double, Double, Double, Double)] = {
+    try {
+      var p = g + 10
+      if (nContours == 0) return None
+      val endPts = (0 until nContours).map(i => u16(p + 2 * i))
+      val nPoints = endPts.last + 1
+      p += 2 * nContours
+      val insLen = u16(p); p += 2 + insLen
+      // flags (with repeat)
+      val flags = new Array[Int](nPoints)
+      var i = 0
+      while (i < nPoints) {
+        val f = u8(p); p += 1
+        flags(i) = f; i += 1
+        if ((f & 8) != 0) { // repeat
+          val rep = u8(p); p += 1
+          var r = 0
+          while (r < rep && i < nPoints) { flags(i) = f; i += 1; r += 1 }
+        }
+      }
+      var minX = Double.MaxValue; var maxX = Double.MinValue
+      var x = 0
+      i = 0
+      while (i < nPoints) {
+        val f = flags(i)
+        if ((f & 2) != 0) { val d = u8(p); p += 1; x += (if ((f & 16) != 0) d else -d) }
+        else if ((f & 16) == 0) { x += s16(p); p += 2 }
+        if (x < minX) minX = x
+        if (x > maxX) maxX = x
+        i += 1
+      }
+      var minY = Double.MaxValue; var maxY = Double.MinValue
+      var y = 0
+      i = 0
+      while (i < nPoints) {
+        val f = flags(i)
+        if ((f & 4) != 0) { val d = u8(p); p += 1; y += (if ((f & 32) != 0) d else -d) }
+        else if ((f & 32) == 0) { y += s16(p); p += 2 }
+        if (y < minY) minY = y
+        if (y > maxY) maxY = y
+        i += 1
+      }
+      Some((minX, minY, maxX, maxY))
+    } catch { case _: Exception => None }
+  }
+
+  /** Control box of a composite glyph: union of transformed component boxes. */
+  private def compositeCBox(g: Int, len: Int, depth: Int): Option[(Double, Double, Double, Double)] = {
+    try {
+      var p = g + 10
+      var minX = Double.MaxValue; var minY = Double.MaxValue
+      var maxX = Double.MinValue; var maxY = Double.MinValue
+      var more = true
+      while (more && p < g + len) {
+        val flags = u16(p); val glyphIndex = u16(p + 2); p += 4
+        var dx = 0.0; var dy = 0.0
+        if ((flags & 1) != 0) { dx = s16(p); dy = s16(p + 2); p += 4 }
+        else { dx = (data(p) << 24 >> 24); dy = (data(p + 1) << 24 >> 24); p += 2 }
+        var a = 1.0; var b = 0.0; var c = 0.0; var d = 1.0
+        if ((flags & 8) != 0) { a = f2dot14(p); d = a; p += 2 }
+        else if ((flags & 0x40) != 0) { a = f2dot14(p); d = f2dot14(p + 2); p += 4 }
+        else if ((flags & 0x80) != 0) { a = f2dot14(p); b = f2dot14(p + 2); c = f2dot14(p + 4); d = f2dot14(p + 6); p += 8 }
+        // ARGS_ARE_XY_VALUES assumed (flags & 2) — point-matching is rare
+        glyphBBoxUncached(glyphIndex, depth + 1).foreach { r =>
+          val upm = unitsPerEm.toDouble
+          val corners = Seq((r.left * upm, r.bottom * upm), (r.right * upm, r.bottom * upm),
+            (r.left * upm, r.top * upm), (r.right * upm, r.top * upm))
+          corners.foreach { case (x0, y0) =>
+            val x = a * x0 + c * y0 + dx
+            val y = b * x0 + d * y0 + dy
+            if (x < minX) minX = x
+            if (x > maxX) maxX = x
+            if (y < minY) minY = y
+            if (y > maxY) maxY = y
+          }
+        }
+        more = (flags & 0x20) != 0
+      }
+      if (minX == Double.MaxValue) None else Some((minX, minY, maxX, maxY))
+    } catch { case _: Exception => None }
+  }
+
+  @inline private def f2dot14(i: Int): Double = s16(i) / 16384.0
 
   /** hmtx advance in em fractions. */
   def advance(gid: Int): Double = {

@@ -54,6 +54,53 @@ class DocumentSpec extends AnyFunSuite {
     assert(load("toc_maxdepth.pdf").toc(maxDepth = 15).length == 20)
   }
 
+  def golden(name: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"/root/reference/tests/expectations/$name")), "UTF-8")
+
+  test("toc CLI reports byte-identical to goldens (tests/test_cli.py:86-93)") {
+    for (fx <- Seq("toc", "toc_viewmodes", "toc_maxdepth", "toc_circular")) {
+      val got = Reports.tocReport(load(s"$fx.pdf"))
+      val exp = golden(s"$fx.txt")
+      assert(got == exp, {
+        val g = got.linesIterator.toVector; val e = exp.linesIterator.toVector
+        val firstDiff = g.zipAll(e, "<missing>", "<missing>").indexWhere(p => p._1 != p._2)
+        s"$fx diff at line $firstDiff:\nGOT: ${g.lift(firstDiff)}\nEXP: ${e.lift(firstDiff)}"
+      })
+    }
+  }
+
+  test("pdfinfo CLI reports byte-identical to goldens (tests/test_cli.py:127-129)") {
+    for (fx <- Seq("multipage", "attachments", "forms")) {
+      val got = Reports.pdfinfoReport(load(s"$fx.pdf"))
+      val exp = golden(s"pdfinfo_$fx.txt")
+      assert(got == exp, {
+        val g = got.linesIterator.toVector; val e = exp.linesIterator.toVector
+        val firstDiff = g.zipAll(e, "<missing>", "<missing>").indexWhere(p => p._1 != p._2)
+        s"$fx diff at line $firstDiff:\nGOT: ${g.lift(firstDiff)}\nEXP: ${e.lift(firstDiff)}"
+      })
+    }
+  }
+
+  test("pageobjects CLI report byte-identical (tests/test_cli.py:132-134)") {
+    val got = Reports.pageObjectsReport(load("images.pdf"))
+    val exp = golden("pageobjects_images.txt")
+    assert(got == exp, {
+      val g = got.linesIterator.toVector; val e = exp.linesIterator.toVector
+      val firstDiff = g.zipAll(e, "<missing>", "<missing>").indexWhere(p => p._1 != p._2)
+      s"diff at line $firstDiff:\nGOT: ${g.lift(firstDiff)}\nEXP: ${e.lift(firstDiff)}"
+    })
+  }
+
+  test("attachments list CLI report byte-identical (tests/test_cli.py:96-105)") {
+    assert(Reports.attachmentsListReport(load("attachments.pdf")) == golden("attachments_list.txt"))
+  }
+
+  test("toc colored report byte-identical (tests/test_cli.py:92-93)") {
+    val got = Reports.tocReport(load("toc_viewmodes.pdf"), colorIndicator = true)
+    assert(got == golden("toc_viewmodes_colored.txt"))
+  }
+
   test("attachments.pdf: names, bytes, params (test_attachments.py)") {
     val atts = load("attachments.pdf").attachments
     assert(atts.map(_.name) == Vector("1.txt", "attached.pdf"))
