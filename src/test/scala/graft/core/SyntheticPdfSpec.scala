@@ -6,27 +6,49 @@ import org.scalatest.funsuite.AnyFunSuite
   * rotated text runs, Tz/Tw/Tc state, generated word spaces, Tw on
   * code-32. The builder emits classic-xref uncompressed files. */
 object MiniPdf {
-  /** Build a 1-page classic-xref PDF around the given content stream. */
-  def onePage(content: String, fontDict: String =
-      "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>"): Array[Byte] = {
-    val objs = Vector(
-      "<</Type/Catalog/Pages 2 0 R>>",
-      "<</Type/Pages/Kids[3 0 R]/Count 1>>",
-      "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Resources<</Font<</F1 4 0 R>>>>/Contents 5 0 R>>",
-      fontDict,
-      s"<</Length ${content.length}>>\nstream\n$content\nendstream")
-    val sb = new StringBuilder("%PDF-1.4\n")
+  /** Build a classic-xref PDF from object bodies (1-indexed refs). Bodies
+    * may be raw byte arrays (binary streams). */
+  def build(objs: Vector[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def wr(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    wr("%PDF-1.4\n")
     val offsets = Vector.newBuilder[Int]
     objs.zipWithIndex.foreach { case (body, i) =>
-      offsets += sb.length
-      sb.append(s"${i + 1} 0 obj\n$body\nendobj\n")
+      offsets += out.size()
+      wr(s"${i + 1} 0 obj\n")
+      out.write(body)
+      wr("\nendobj\n")
     }
-    val xrefAt = sb.length
-    sb.append(s"xref\n0 ${objs.length + 1}\n")
-    sb.append("0000000000 65535 f \n")
-    offsets.result().foreach(o => sb.append(f"$o%010d 00000 n \n"))
-    sb.append(s"trailer\n<</Size ${objs.length + 1}/Root 1 0 R>>\nstartxref\n$xrefAt\n%%EOF\n")
-    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val xrefAt = out.size()
+    wr(s"xref\n0 ${objs.length + 1}\n")
+    wr("0000000000 65535 f \n")
+    offsets.result().foreach(o => wr(f"$o%010d 00000 n \n"))
+    wr(s"trailer\n<</Size ${objs.length + 1}/Root 1 0 R>>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Build a 1-page classic-xref PDF around the given content stream. */
+  def onePage(content: String, fontDict: String =
+      "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>"): Array[Byte] =
+    build(Vector(
+      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Resources<</Font<</F1 4 0 R>>>>/Contents 5 0 R>>".getBytes,
+      fontDict.getBytes,
+      s"<</Length ${content.length}>>\nstream\n$content\nendstream".getBytes))
+
+  /** imgtopdf analog (reference src/pypdfium2_cli/imgtopdf.py): embed a JPEG
+    * as a DCTDecode image XObject on one page. */
+  def jpegPdf(jpeg: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val imgHdr = s"<</Type/XObject/Subtype/Image/Width $w/Height $h/BitsPerComponent 8/ColorSpace/DeviceRGB/Filter/DCTDecode/Length ${jpeg.length}>>\nstream\n"
+    val img = imgHdr.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ jpeg ++ "\nendstream".getBytes
+    val content = s"q $w 0 0 $h 0 0 cm /Im1 Do Q"
+    build(Vector(
+      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      s"<</Type/Page/Parent 2 0 R/MediaBox[0 0 $w $h]/Resources<</XObject<</Im1 4 0 R>>>>/Contents 5 0 R>>".getBytes,
+      img,
+      s"<</Length ${content.length}>>\nstream\n$content\nendstream".getBytes))
   }
 }
 
@@ -90,6 +112,28 @@ class SyntheticPdfSpec extends AnyFunSuite {
     // at 200% scale AB ends at 100+2*12=124; CD at 126 → gap 2 < 3 → no space
     val r = Extract.extractText(MiniPdf.onePage(content))
     assert(r.pages.head.text == "ABCD", s"got: [${r.pages.head.text}]")
+  }
+
+  test("JPEG→PDF→extract round trip is byte-identical (tests/test_cli.py:108-119)") {
+    val jpg = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/resources/mona_lisa.jpg"))
+    val pdf = MiniPdf.jpegPdf(jpg, 120, 120)
+    val doc = PdfDocument.load(pdf).toOption.get
+    val imgs = ImageExtract.pageImages(doc.page(0))
+    assert(imgs.length == 1)
+    assert(imgs.head.format == "jpg")
+    assert(imgs.head.width == 120 && imgs.head.height == 120)
+    assert(java.util.Arrays.equals(imgs.head.data, jpg), "extracted JPEG differs from source")
+  }
+
+  test("CCITT images extract as raw codec payloads (images.pdf)") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/resources/images.pdf"))
+    val doc = PdfDocument.load(bytes).toOption.get
+    val imgs = ImageExtract.pageImages(doc.page(0))
+    assert(imgs.length == 1) // one shared XObject drawn three times
+    assert(imgs.head.format == "raw" && imgs.head.data.nonEmpty)
+    assert(imgs.head.width == 115 && imgs.head.height == 48)
   }
 
   test("' and \" operators advance the line and show text") {
