@@ -94,7 +94,13 @@ final class PdfFontDecoder(
     val idx = code - firstChar
     if (idx >= 0 && idx < widths.length && widths(idx) > 0) widths(idx) / 1000.0
     else if (idx >= 0 && idx < widths.length) 0.0 // explicit zero width
-    else truetype.flatMap(tt => glyphId(code).map(tt.advance)).getOrElse(defaultWidth / 1000.0)
+    else truetype.flatMap(tt => glyphId(code).map(tt.advance))
+      .orElse {
+        // Standard-14 base font without /Widths (older web PDFs)
+        val u = unicode(code)
+        if (u.nonEmpty) Standard14.width(baseNameNoSubset, u.charAt(0)).map(_ / 1000.0) else None
+      }
+      .getOrElse(defaultWidth / 1000.0)
   }
 
   def cid(code: Int): Int = code // Identity-H/V; CMap-coded CID fonts degrade to identity
