@@ -267,6 +267,14 @@ object OracleSql {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
         |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10""".stripMargin,
 
+    "html_extract_main" -> {
+      def row(i: Int) =
+        s"('synthetic://html/$i', TRUE, 1, 154, '# Page 1' || chr(10) || 'Para one of document $i carries the primary payload sentence for extraction.' || chr(10) || 'Para two of document $i adds a second long sentence so the block filter passes.' || chr(10))"
+      s"""SELECT url, ok, CAST(n_pages AS BIGINT) AS n_pages, CAST(n_chars AS BIGINT) AS n_chars, text
+         |FROM (VALUES ${row(0)}, ${row(1)}, ${row(2)}
+         |) AS t(url, ok, n_pages, n_chars, text) ORDER BY url""".stripMargin
+    },
+
     "pdf_annotations" ->
       """SELECT CAST(page AS BIGINT) AS page, CAST(ord AS BIGINT) AS ord, subtype,
         |  CAST(l AS DOUBLE) AS l, CAST(b AS DOUBLE) AS b, CAST(r AS DOUBLE) AS r, CAST(t AS DOUBLE) AS t, uri

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.spark.{ExtractPipeline, PagesTable}
+import graft.spark.{ExtractPipeline, PageRow, PagesTable}
 import graft.ops.{Dedup, Similarity, TextStats}
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -263,6 +263,26 @@ object SparkEntry {
         (x, y, r6(rx), r6(ry))
       }
       s.createDataset(rows).toDF("x", "y", "rt_x", "rt_y")
+    }),
+
+    "html_extract_main" -> ((s, _) => {
+      import s.implicits._
+      // HTML half of the extraction pipeline: boilerplate strip + DOM
+      // heuristics over Common-Crawl-shaped html payloads
+      def page(i: Int): String =
+        s"""<html lang="en"><head><title>Doc $i</title><script>var x = 1 < 2;</script></head><body>""" +
+          """<nav><a href="/">Home</a> <a href="/all">All pages listing here</a></nav>""" +
+          s"""<main><p>Para one of document $i carries the primary payload sentence for extraction.</p>""" +
+          s"""<p>Para two of document $i adds a second long sentence so the block filter passes.</p></main>""" +
+          """<footer>Footer boilerplate text that is also long enough to form a block.</footer></body></html>"""
+      val rows = (0 until 3).map { i =>
+        PageRow(s"synthetic://html/$i", new java.sql.Timestamp(1704067200000L + i * 1000), page(i).getBytes("UTF-8"), null, "en")
+      }
+      val ds = s.createDataset(rows)
+      ExtractPipeline.extract(ds)
+        .select(col("url"), col("ok"), col("n_pages").cast("long").as("n_pages"),
+          col("n_chars"), col("text"))
+        .orderBy("url")
     }),
 
     "pdf_annotations" -> ((s, _) => {

@@ -23,6 +23,34 @@ final case class DocExtract(
 
 object Extract {
 
+  /** Unified Common-Crawl payload extraction: sniff the payload and route —
+    * PDF → the full parser; HTML → boilerplate-stripped main content
+    * (north rule: "HTML boilerplate strip, PDF/layout parse, DOM
+    * heuristics"). Unknown payloads become error rows, never throws. */
+  def extractAny(bytes: Array[Byte], password: String = ""): DocExtract = {
+    if (bytes == null || bytes.length < 4)
+      return DocExtract(ok = false, ErrCodes.Format, "empty payload", 0, Vector.empty)
+    val head = new String(bytes, 0, math.min(256, bytes.length),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (head.startsWith("%PDF")) extractText(bytes, password)
+    else if (head.toLowerCase.contains("<html") || head.toLowerCase.contains("<!doctype html"))
+      extractHtml(bytes)
+    else if (bytes(0) == '%' || head.contains("obj")) extractText(bytes, password) // PDF w/o clean header
+    else DocExtract(ok = false, ErrCodes.Format, "unsupported payload type", 0, Vector.empty)
+  }
+
+  /** HTML main-content extraction as a single-page document. */
+  def extractHtml(bytes: Array[Byte]): DocExtract = {
+    try {
+      val doc = graft.core.html.HtmlExtract.parse(bytes)
+      val text = doc.mainText()
+      DocExtract(ok = true, "", "", 1, Vector(PageText(0, text, text.length)))
+    } catch {
+      case e: Exception =>
+        DocExtract(ok = false, ErrCodes.Unknown, s"html: ${e.getMessage}", 0, Vector.empty)
+    }
+  }
+
   /** Parse + extract all page texts from raw bytes. Never throws: failures
     * become (ok=false, errCode, ...) rows (misc.py:7-21 error-model analog). */
   def extractText(bytes: Array[Byte], password: String = ""): DocExtract =

@@ -73,7 +73,7 @@ object ExtractPipeline {
         val res =
           if (row.html == null) graft.core.DocExtract(ok = false, graft.core.ErrCodes.Format, "null payload", 0, Vector.empty)
           else if (row.html.length > MaxHtmlBytes) graft.core.DocExtract(ok = false, graft.core.ErrCodes.Format, "payload too large", 0, Vector.empty)
-          else Extract.extractText(row.html, password)
+          else Extract.extractAny(row.html, password)
         val ms = (System.nanoTime() - t0) / 1000000L
         ExtractedDoc(
           url = row.url,
