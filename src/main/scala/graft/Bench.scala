@@ -68,6 +68,16 @@ object Bench {
 
     // --- phase 2: the full query suite at the driver's parallelism --------
     val spark = session(cpus)
+    // HTML-path throughput (boilerplate-strip pipeline), same session
+    val htmlThr = {
+      import org.apache.spark.sql.functions._
+      val ds = graft.spark.PagesTable.synthesizeHtml(spark, 20000, cpus * 3)
+      graft.spark.ExtractPipeline.extract(ds).agg(count(lit(1))).collect() // warm
+      val t0 = System.nanoTime()
+      val n = graft.spark.ExtractPipeline.extract(ds)
+        .agg(count(lit(1))).collect()(0).getLong(0)
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -83,6 +93,7 @@ object Bench {
         s""","scaling_levels":"local[$levelN]->local[$level4N]"""" +
         f""","extract_sec_n":$t8%.3f,"extract_sec_4n":$t32%.3f""" +
         f""","extract_docs_per_sec_n":$thr8%.1f,"extract_docs_per_sec_4n":$thr32%.1f""" +
+        f""","html_docs_per_sec":$htmlThr%.1f""" +
         f""","scaling_efficiency":$eff%.3f}""")
     spark.stop()
   }

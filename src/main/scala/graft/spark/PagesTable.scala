@@ -61,6 +61,23 @@ object PagesTable {
     }
   }
 
+  /** Deterministic synthetic HTML corpus (for the HTML extraction path of
+    * the pipeline — Common-Crawl payloads are mostly HTML). ~2 KB pages with
+    * nav/footer boilerplate and row-dependent article content. */
+  def synthesizeHtml(spark: SparkSession, nDocs: Long, nPartitions: Int = 32): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.range(0, nDocs, 1, nPartitions).as[Long].map { i =>
+      val filler = s"sentence $i of the corpus body keeps the paragraph over the threshold"
+      val html =
+        s"""<html lang="en"><head><title>Doc $i</title><script>var x=$i<2;</script></head><body>""" +
+          """<nav><a href="/">Home</a> <a href="/all">Complete listing of site pages</a></nav>""" +
+          (0 until 8).map(k => s"<p>Paragraph $k of document $i: $filler, $filler, $filler.</p>").mkString +
+          """<footer>Footer boilerplate long enough to form its own block entirely.</footer></body></html>"""
+      PageRow(s"synthetic://html/$i", new java.sql.Timestamp(epochMs + i * 1000L),
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_8), null, "en")
+    }
+  }
+
   /** Small fixed table over an explicit fixture list (for oracle-pinned
     * correctness queries — one row per named fixture). */
   def ofFixtures(spark: SparkSession, names: Seq[String]): Dataset[PageRow] = {
