@@ -275,6 +275,17 @@ object OracleSql {
          |) AS t(url, ok, n_pages, n_chars, text) ORDER BY url""".stripMargin
     },
 
+    "pdf_form_fields" ->
+      """SELECT CAST(ord AS BIGINT) AS ord, name, field_type, form_type FROM (VALUES
+        |  (0, 'Listbox_SingleSelect', 'Ch', 'AcroForm'),
+        |  (1, 'Listbox_MultiSelect', 'Ch', 'AcroForm'),
+        |  (2, 'Listbox_ReadOnly', 'Ch', 'AcroForm'),
+        |  (3, 'Listbox_MultiSelectMultipleIndices', 'Ch', 'AcroForm'),
+        |  (4, 'Listbox_MultiSelectMultipleValues', 'Ch', 'AcroForm'),
+        |  (5, 'Listbox_MultiSelectMultipleMismatch', 'Ch', 'AcroForm'),
+        |  (6, 'Listbox_SingleSelectLastSelected', 'Ch', 'AcroForm')
+        |) AS t(ord, name, field_type, form_type)""".stripMargin,
+
     "pdf_annotations" ->
       """SELECT CAST(page AS BIGINT) AS page, CAST(ord AS BIGINT) AS ord, subtype,
         |  CAST(l AS DOUBLE) AS l, CAST(b AS DOUBLE) AS b, CAST(r AS DOUBLE) AS r, CAST(t AS DOUBLE) AS t, uri

@@ -285,6 +285,14 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    "pdf_form_fields" -> ((s, _) => {
+      import s.implicits._
+      val rows = graft.core.PdfDocument.load(PagesTable.fixture("forms.pdf")).toOption.toSeq.flatMap { d =>
+        d.formFields.zipWithIndex.map { case ((name, ft), i) => (i.toLong, name, ft, d.formType) }
+      }
+      s.createDataset(rows).toDF("ord", "name", "field_type", "form_type")
+    }),
+
     "pdf_annotations" -> ((s, _) => {
       import s.implicits._
       // link harvesting: URI annots with rects (fixture text.pdf page 2)

@@ -459,6 +459,35 @@ final class PdfDocument private (
     ch.toString * reps
   }
 
+  /** AcroForm field tree flattened to (qualified name, field type) —
+    * reference formenv surface (document.py:598-632; fixture forms.pdf has
+    * 7 choice fields). */
+  def formFields: Vector[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    def walk(node: PdfObject, prefix: String, inheritedFt: String, depth: Int): Unit = {
+      if (depth > 16) return
+      resolve(node) match {
+        case d: PdfDict =>
+          val t = get(d, "T") match { case s: PdfString => s.asText; case _ => "" }
+          val ft = get(d, "FT") match { case PdfName(n) => n; case _ => inheritedFt }
+          val qualified = if (prefix.isEmpty) t else if (t.isEmpty) prefix else s"$prefix.$t"
+          get(d, "Kids") match {
+            case PdfArray(kids) => kids.foreach(walk(_, qualified, ft, depth + 1))
+            case _ => if (t.nonEmpty || ft.nonEmpty) out += ((qualified, ft))
+          }
+        case _ => ()
+      }
+    }
+    get(catalog, "AcroForm") match {
+      case af: PdfDict => get(af, "Fields") match {
+        case PdfArray(fields) => fields.foreach(walk(_, "", "", 0))
+        case _ => ()
+      }
+      case _ => ()
+    }
+    out.result()
+  }
+
   def formType: String = get(catalog, "AcroForm") match {
     case d: PdfDict =>
       val xfa = d.contains("XFA")
