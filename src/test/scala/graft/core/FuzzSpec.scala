@@ -1,0 +1,75 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial-input sweep: seeded random mutations of real fixtures must
+  * never throw, never hang, and always produce a status row — the web-scale
+  * contract (per-row error containment, SURVEY.md §7.4). */
+class FuzzSpec extends AnyFunSuite {
+
+  def fixture(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"/root/reference/tests/resources/$name"))
+
+  private def mutate(base: Array[Byte], rnd: scala.util.Random): Array[Byte] = {
+    val b = base.clone()
+    rnd.nextInt(4) match {
+      case 0 => // byte flips
+        (0 until 1 + rnd.nextInt(20)).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        }
+        b
+      case 1 => // truncation
+        java.util.Arrays.copyOf(b, 1 + rnd.nextInt(b.length))
+      case 2 => // splice two regions
+        val at = rnd.nextInt(b.length)
+        val len = rnd.nextInt(b.length - at)
+        val src = rnd.nextInt(b.length - len)
+        System.arraycopy(base, src, b, at, len)
+        b
+      case _ => // random prefix garbage
+        val junk = new Array[Byte](rnd.nextInt(64))
+        rnd.nextBytes(junk)
+        junk ++ b
+    }
+  }
+
+  test("300 seeded mutations of real PDFs: no throw, bounded time") {
+    val bases = Seq("text.pdf", "attachments.pdf", "encrypted.pdf", "toc.pdf", "images.pdf").map(fixture)
+    val rnd = new scala.util.Random(1234)
+    var oks = 0
+    var errs = 0
+    (0 until 300).foreach { i =>
+      val base = bases(i % bases.length)
+      val bytes = mutate(base, rnd)
+      val t0 = System.nanoTime()
+      val r = Extract.extractAny(bytes) // must not throw
+      val ms = (System.nanoTime() - t0) / 1000000
+      assert(ms < 5000, s"mutation $i took ${ms}ms")
+      if (r.ok) oks += 1 else errs += 1
+    }
+    // most mutations should still parse (small flips) — sanity that the
+    // recovery machinery isn't rejecting everything
+    assert(oks > 50, s"oks=$oks errs=$errs")
+    assert(oks + errs == 300)
+  }
+
+  test("random garbage payloads: clean error rows") {
+    val rnd = new scala.util.Random(99)
+    (0 until 50).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(4096))
+      rnd.nextBytes(b)
+      val r = Extract.extractAny(b)
+      assert(!r.ok || r.nPages >= 0)
+    }
+  }
+
+  test("html fuzz: tag soup terminates") {
+    val rnd = new scala.util.Random(7)
+    val frags = Seq("<div>", "</p>", "<a href='x'>", "&amp;", "<!--", "<script>", "]]>", "<p ", "\"", "<html>", "text ")
+    (0 until 100).foreach { _ =>
+      val soup = (0 until 200).map(_ => frags(rnd.nextInt(frags.length))).mkString
+      val r = Extract.extractAny(("<html>" + soup).getBytes("UTF-8"))
+      assert(r.ok)
+    }
+  }
+}
