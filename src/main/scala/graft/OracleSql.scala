@@ -19,13 +19,14 @@ object OracleSql {
   /** Shared corpus CTE for dedup oracles — must mirror
     * graft.ops.Dedup.corpusWithReplicas exactly. */
   private val corpusCte =
-    """corpus AS (
-      |  SELECT doc_id, text FROM documents
+    """base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2500),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, substr(text, 1, length(text) - 15) AS text
-      |  FROM documents WHERE length(text) > 60
+      |  FROM base WHERE length(text) > 60
       |  UNION ALL
-      |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+      |  SELECT doc_id + 200000 AS doc_id, text FROM base WHERE doc_id % 5 = 0)""".stripMargin
 
   /** Word 3-gram shingle list — mirrors graft.ops.Dedup.shingles3. */
   private val shinglesCte =

@@ -19,7 +19,10 @@ object Dedup {
   /** The corpus used by dedup correctness queries: documents ∪ deterministic
     * near-dup replicas (text prefix, id+100000) — synthesized identically in
     * the DuckDB oracle SQL (substr is 1-based in both engines). */
-  def corpusWithReplicas(docs: DataFrame): DataFrame = {
+  def corpusWithReplicas(docs0: DataFrame): DataFrame = {
+    // cap the correctness corpus so the brute-force O(n²) oracle stays
+    // tractable at any sf (no effect at sf0.01 where doc_id < 500)
+    val docs = docs0.where(col("doc_id") < 2500)
     val nearDups = docs
       .where(length(col("text")) > 60)
       .select(
