@@ -91,12 +91,26 @@ object ContentInterpreter {
     def fontFor(resources: PdfDict, tag: String): PdfFontDecoder = {
       val key = tag + "@" + System.identityHashCode(resources)
       fontCache.getOrElseUpdate(key, {
-        doc.resolve(resources("Font")) match {
-          case fonts: PdfDict => doc.resolve(fonts(tag)) match {
+        val entry = doc.resolve(resources("Font")) match {
+          case fonts: PdfDict => fonts(tag)
+          case _ => PdfNull
+        }
+        // document-level cache: pages share font objects (keyed by the
+        // resolved dict identity — stable via the document object cache)
+        val resolved = doc.resolve(entry)
+        val docKey: AnyRef = resolved match {
+          case d: PdfDict => d
+          case _ => key
+        }
+        val cached = doc.fontDecoderCache.get(docKey)
+        if (cached != null) cached
+        else {
+          val built = resolved match {
             case fd: PdfDict => PdfFontDecoder.fromDict(tag, fd, doc)
             case _ => PdfFontDecoder.fromDict(tag, PdfDict.empty, doc)
           }
-          case _ => PdfFontDecoder.fromDict(tag, PdfDict.empty, doc)
+          doc.fontDecoderCache.put(docKey, built)
+          built
         }
       })
     }
@@ -162,15 +176,23 @@ object ContentInterpreter {
         val kerns = mutable.Map[Int, Double]()
         var charIdx = 0
         var pendingKern = 0.0
-        val objStartTm = ts.tm
-        val objOrigin = objStartTm.multiply(gs.ctm).onPoint(0, ts.rise)
+        // Per-object frame: within one show op the text matrix only gains
+        // translate(tx, 0) compositions, so every per-char quantity is the
+        // object-start frame applied to text-space coords offset by the
+        // accumulated advance X — no per-char matrix products.
+        val base = ts.tm.multiply(gs.ctm) // text space (pre-font-size) → device
+        val fs = ts.fontSize
+        val fsh = fs * ts.hscale
+        val scaleAB = math.hypot(base.a, base.b)
+        val effSize0 = fs * math.hypot(base.c, base.d)
+        val effSize = if (effSize0 > 0) effSize0 else fs
+        val objOrigin = base.onPoint(0, ts.rise)
+        var x = 0.0 // accumulated advance in text-space units
         items.foreach {
           case PdfNumber(v) =>
-            val tx = -v / 1000.0 * ts.fontSize * ts.hscale
-            ts.tm = Mat.identity.translate(tx, 0).multiply(ts.tm)
-            // device-space gap magnitude (for generated-space decisions)
-            val m = ts.tm.multiply(gs.ctm)
-            val g = -v / 1000.0 * ts.fontSize * ts.hscale * math.hypot(m.a, m.b)
+            val tx = -v / 1000.0 * fs * ts.hscale
+            x += tx
+            val g = tx * scaleAB
             if (g > 0) pendingKern += g else pendingKern = math.max(0.0, pendingKern + g)
           case PdfString(bytes) =>
             val codes = font.codes(bytes)
@@ -180,37 +202,28 @@ object ContentInterpreter {
               if (pendingKern > 0) { kerns(charIdx) = pendingKern; pendingKern = 0.0 }
               val uni = font.unicode(code)
               val w0 = font.advance(code)
-              val trm = Mat(ts.fontSize * ts.hscale, 0, 0, ts.fontSize, 0, ts.rise)
-                .multiply(ts.tm).multiply(gs.ctm)
-              val (ox, oy) = trm.onPoint(0, 0)
+              val (ox, oy) = base.onPoint(x, ts.rise)
               val isSpaceByte = code == 32 && !font.isType0
-              val tx = (w0 * ts.fontSize + ts.charSp + (if (isSpaceByte) ts.wordSp else 0.0)) * ts.hscale
-              val mAdv = ts.tm.multiply(gs.ctm)
-              val (zx, zy) = mAdv.onPoint(0, 0)
-              val (axp, ayp) = mAdv.onPoint(tx, 0)
-              val ex = ox + (axp - zx); val ey = oy + (ayp - zy)
-              val tight = font.glyphBBox(code).map(b => trm.onRect(b))
-              val loose = trm.onRect(Rect(0, font.descent / 1000.0, w0, font.ascent / 1000.0))
-              val effSize = ts.fontSize * math.hypot(trm.c / ts.fontSize, trm.d / ts.fontSize) match {
-                case s if s > 0 => s
-                case _ => ts.fontSize
-              }
+              val tx = (w0 * fs + ts.charSp + (if (isSpaceByte) ts.wordSp else 0.0)) * ts.hscale
+              val (ex, ey) = base.onPoint(x + tx, ts.rise)
+              val tight = font.glyphBBox(code).map(b => base.onRect(Rect(
+                x + b.left * fsh, ts.rise + b.bottom * fs, x + b.right * fsh, ts.rise + b.top * fs)))
+              val loose = base.onRect(Rect(
+                x, ts.rise + font.descent / 1000.0 * fs, x + w0 * fsh, ts.rise + font.ascent / 1000.0 * fs))
               val uniOut = if (uni.nonEmpty) uni else ""
-              chars += RawChar(code, uniOut, ox, oy, ex, ey, tight, loose, ts.fontSize, effSize)
+              chars += RawChar(code, uniOut, ox, oy, ex, ey, tight, loose, fs, effSize)
               charIdx += 1
-              ts.tm = Mat.identity.translate(tx, 0).multiply(ts.tm)
+              x += tx
               i += 1
             }
           case _ => ()
         }
+        ts.tm = Mat.identity.translate(x, 0).multiply(ts.tm)
         val built = chars.result()
         if (built.nonEmpty) {
-          val m0 = objStartTm.multiply(gs.ctm)
-          val eff = ts.fontSize * math.hypot(m0.c, m0.d)
           // baseline direction: image of the text-space x axis
-          val dLen = math.hypot(m0.a, m0.b)
-          val (dx, dy) = if (dLen > 1e-12) (m0.a / dLen, m0.b / dLen) else (1.0, 0.0)
-          val obj = RawTextObject(built, kerns.toMap, font, ts.fontSize, eff, objOrigin._2, objOrigin._1, dx, dy)
+          val (dx, dy) = if (scaleAB > 1e-12) (base.a / scaleAB, base.b / scaleAB) else (1.0, 0.0)
+          val obj = RawTextObject(built, kerns.toMap, font, fs, effSize, objOrigin._2, objOrigin._1, dx, dy)
           textObjs += obj
           objs += PageObjectInfo("text", obj.bbox.getOrElse(Rect(objOrigin._1, objOrigin._2, objOrigin._1, objOrigin._2)),
             level, built.map(_.unicode).mkString, font.baseNameNoSubset, ts.fontSize,

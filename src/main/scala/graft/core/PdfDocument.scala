@@ -34,6 +34,8 @@ final class PdfDocument private (
 
   private val cache = new java.util.HashMap[Int, PdfObject]()
   private val objStmCache = new java.util.HashMap[Int, Map[Int, PdfObject]]()
+  /** Font decoders are document-scoped (pages share font objects). */
+  private[core] val fontDecoderCache = new java.util.HashMap[AnyRef, PdfFontDecoder]()
 
   // ---- object resolution -------------------------------------------------
 
