@@ -273,7 +273,9 @@ object TextPage {
           val uni = rc.unicode
           if (uni.isEmpty) {
             // unmappable: PDFium records the charcode; emit nothing only if 0
-            if (rc.code > 0 && rc.code < 0xFFFF) {
+            // (skip the surrogate range — errors="ignore" semantics keep the
+            // output valid UTF-16, textpage.py:85)
+            if (rc.code > 0 && rc.code < 0xFFFF && (rc.code < 0xD800 || rc.code > 0xDFFF)) {
               entries += CharEntry(rc.code.toChar, generated = false, rc.tight, Some(rc.loose),
                 rc.ox, rc.oy, rc.fontSize, objIdx)
               lastEmitted = rc.code.toChar

@@ -136,6 +136,27 @@ class SyntheticPdfSpec extends AnyFunSuite {
     assert(imgs.head.width == 115 && imgs.head.height == 48)
   }
 
+  test("incremental update: newest xref section wins, /Prev chain intact") {
+    // append an update that replaces the content stream of page 1 (obj 5)
+    val base = MiniPdf.onePage("BT /F1 12 Tf 1 0 0 1 100 700 Tm (Original) Tj ET")
+    val baseStr = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val prevXref = baseStr.lastIndexOf("xref\n")
+    val newContent = "BT /F1 12 Tf 1 0 0 1 100 700 Tm (Updated) Tj ET"
+    val sb = new StringBuilder(baseStr)
+    val objAt = sb.length
+    sb.append(s"5 0 obj\n<</Length ${newContent.length}>>\nstream\n$newContent\nendstream\nendobj\n")
+    val xrefAt = sb.length
+    sb.append("xref\n0 1\n0000000000 65535 f \n5 1\n")
+    sb.append(f"$objAt%010d 00000 n \n")
+    sb.append(s"trailer\n<</Size 6/Root 1 0 R/Prev $prevXref>>\nstartxref\n$xrefAt\n%%EOF\n")
+    val updated = sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val r = Extract.extractText(updated)
+    assert(r.ok, r.errMsg)
+    assert(r.pages.head.text == "Updated", s"got: [${r.pages.head.text}]")
+    // the original still reads "Original"
+    assert(Extract.extractText(base).pages.head.text == "Original")
+  }
+
   test("' and \" operators advance the line and show text") {
     val content =
       """BT /F1 12 Tf 14 TL 1 0 0 1 100 700 Tm
