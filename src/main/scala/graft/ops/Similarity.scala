@@ -83,10 +83,13 @@ object Similarity {
       .toDF("vec_id", "embedding", "sig")
     // corpus exploded to its own bucket; queries probe bucket + 1-bit flips
     val corpusB = sigged.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("sig").as("bkt"))
+    val probeMasks: Seq[Long] = Seq(0L) ++
+      (0 until bits).map(b => 1L << b) ++
+      (for (a <- 0 until bits; b <- a + 1 until bits) yield (1L << a) | (1L << b))
     val queriesB = sigged.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig"))
       .withColumn("probe", explode(array(
-        (Seq(col("sig")) ++ (0 until bits).map(b => col("sig").bitwiseXOR(lit(1L << b)))): _*)))
+        probeMasks.map(m => col("sig").bitwiseXOR(lit(m))): _*)))
     val cand = corpusB.join(broadcast(queriesB), col("bkt") === col("probe"))
       .where(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSessionFixture
+
+/** LSH-ANN quality: the scale path's designed workload is near-duplicate
+  * retrieval (cosine ≈ 1 pairs — dedup of training corpora), where sign
+  * buckets concentrate; on uniformly random vectors every method degrades
+  * to a scan, so the planted-near-dup recall is the meaningful bound. */
+class RecallSpec extends AnyFunSuite {
+  lazy val spark = SparkSessionFixture.spark
+
+  test("hyperplane-LSH finds planted near-duplicates (recall@1 ≥ 0.8)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    // plant a slightly perturbed copy of each of the first 40 vectors
+    val planted = base.take(40).map { case (id, e) =>
+      (id + 10000L, e.zipWithIndex.map { case (v, k) => v + (if (k % 7 == 0) 0.01f else 0f) })
+    }
+    val all = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val top1 = Similarity.lshTopK(all, nQueries = 40, k = 1)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = (0 until 40).count(i => top1.get(i.toLong).contains(i + 10000L))
+    info(s"planted-near-dup recall@1 = ${hits / 40.0} ($hits/40)")
+    assert(hits >= 32, s"hits=$hits")
+  }
+
+  test("LSH candidates are a strict subset of the corpus (sanity)") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val approx = Similarity.lshTopK(emb, nQueries = 10, k = 3)
+    val rows = approx.select("vec_id").distinct().count()
+    assert(rows <= 10)
+  }
+}
