@@ -1,0 +1,49 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSessionFixture
+
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark = SparkSessionFixture.spark
+
+  private def stageEvents(): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("events").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    s"$tmp/in"
+  }
+
+  test("watermarked windowed counts: streaming closes exactly the watermark-passed windows") {
+    val in = stageEvents()
+    val tmp = java.nio.file.Files.createTempDirectory("wc").toString
+    EventStreams.windowedCounts(spark, in, s"$tmp/out", s"$tmp/cp")
+    val streamed = spark.read.parquet(s"$tmp/out")
+    val batch = EventStreams.windowedCountsBatch(spark, in)
+    // append-mode emits only windows older than the final watermark
+    val maxTs = spark.read.parquet(in)
+      .agg(max(col("ts").cast("timestamp"))).collect()(0).getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+    val expected = batch.where(col("w_start") < lit(cutoff))
+    // every streamed row must match the batch computation exactly
+    val joined = streamed.join(batch, Seq("event_type", "w_start"), "left_anti")
+    assert(joined.count() == 0, "streamed rows disagree with batch")
+    assert(streamed.count() >= expected.count() - 1) // boundary window tolerance
+    assert(streamed.count() > 10)
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) equals batch sessionization") {
+    import spark.implicits._
+    val in = stageEvents()
+    val tmp = java.nio.file.Files.createTempDirectory("sess").toString
+    EventStreams.sessionize(spark, in, s"$tmp/out", s"$tmp/cp")
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select("user_id", "n_events", "first_ts", "last_ts")
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    val batch = EventStreams.sessionizeBatch(spark, in)
+      .select(col("user_id"), col("n_events"), col("first_ts"), col("last_ts"))
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(batch.nonEmpty)
+  }
+}
