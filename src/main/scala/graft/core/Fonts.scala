@@ -91,8 +91,10 @@ final class PdfFontDecoder(
         case None => return defaultWidth / 1000.0
       }
     }
+    // Type3 glyph space is scaled by /FontMatrix, not the fixed 1/1000
+    val wScale = fontMatrix.map(_.a).getOrElse(0.001)
     val idx = code - firstChar
-    if (idx >= 0 && idx < widths.length && widths(idx) > 0) widths(idx) / 1000.0
+    if (idx >= 0 && idx < widths.length && widths(idx) > 0) widths(idx) * wScale
     else if (idx >= 0 && idx < widths.length) 0.0 // explicit zero width
     else truetype.flatMap(tt => glyphId(code).map(tt.advance))
       .orElse {

@@ -136,6 +136,38 @@ class SyntheticPdfSpec extends AnyFunSuite {
     assert(imgs.head.width == 115 && imgs.head.height == 48)
   }
 
+  test("Type3 font: FontMatrix-scaled advances, Differences-mapped text") {
+    // glyph space 1/500 (FontMatrix .002), widths 250 → advance 0.5 em
+    val font = "<</Type/Font/Subtype/Type3/FontBBox[0 0 500 500]" +
+      "/FontMatrix[0.002 0 0 0.002 0 0]" +
+      "/CharProcs<<>>/Encoding<</Type/Encoding/Differences[65 /uni0041 /uni0042]>>" +
+      "/FirstChar 65/LastChar 66/Widths[250 250]>>"
+    val content =
+      """BT /F1 10 Tf
+        |1 0 0 1 100 700 Tm (AB) Tj
+        |1 0 0 1 113 700 Tm (AB) Tj
+        |ET""".stripMargin
+    // AB ends at 100 + 2*(250*0.002*10) = 110; next at 113 → gap 3 > 2.5 → space
+    val r = Extract.extractText(MiniPdf.onePage(content, font))
+    assert(r.ok, r.errMsg)
+    assert(r.pages.head.text == "AB AB", s"got: [${r.pages.head.text}]")
+  }
+
+  test("string escapes: octal, line continuation, nested parens, hex") {
+    val content =
+      """BT /F1 12 Tf 1 0 0 1 100 700 Tm
+        |(a\101\x) Tj
+        |1 0 0 1 200 700 Tm ((n)) Tj
+        |1 0 0 1 300 700 Tm <414243> Tj
+        |1 0 0 1 400 700 Tm (l1\
+        |l2) Tj
+        |ET""".stripMargin
+    val r = Extract.extractText(MiniPdf.onePage(content))
+    // \101='A'; \x → unknown escape keeps 'x'; ((n)) nests; <414243>=ABC;
+    // backslash-EOL is a line continuation
+    assert(r.pages.head.text == "aAx (n) ABC l1l2", s"got: [${r.pages.head.text}]")
+  }
+
   test("incremental update: newest xref section wins, /Prev chain intact") {
     // append an update that replaces the content stream of page 1 (obj 5)
     val base = MiniPdf.onePage("BT /F1 12 Tf 1 0 0 1 100 700 Tm (Original) Tj ET")
