@@ -19,7 +19,7 @@ object OracleSql {
   /** Shared corpus CTE for dedup oracles — must mirror
     * graft.ops.Dedup.corpusWithReplicas exactly. */
   private val corpusCte =
-    """base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2500),
+    """base AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
       |corpus AS (
       |  SELECT doc_id, text FROM base
       |  UNION ALL

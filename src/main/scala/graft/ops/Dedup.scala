@@ -22,7 +22,7 @@ object Dedup {
   def corpusWithReplicas(docs0: DataFrame): DataFrame = {
     // cap the correctness corpus so the brute-force O(n²) oracle stays
     // tractable at any sf (no effect at sf0.01 where doc_id < 500)
-    val docs = docs0.where(col("doc_id") < 2500)
+    val docs = docs0.where(col("doc_id") < 1000)
     val nearDups = docs
       .where(length(col("text")) > 60)
       .select(
