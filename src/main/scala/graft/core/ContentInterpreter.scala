@@ -279,11 +279,22 @@ object ContentInterpreter {
       }
 
       def skipInlineImage(): Unit = {
-        // consume dict tokens until ID, then raw data until whitespace+EI
+        // parse dict tokens until ID (W/H/BPC abbreviations per §8.9.7),
+        // then raw data until whitespace+EI
         var done = false
+        var w = 0; var h = 0; var bpc = 0; var cs = ""
         while (!lx.atEnd && !done) {
           lx.skipWs()
-          if (lx.peek == '/') { lx.parseObject(); lx.parseObject() }
+          if (lx.peek == '/') {
+            val k = lx.parseObject(); val v = lx.parseObject()
+            (k, v) match {
+              case (PdfName("W") | PdfName("Width"), PdfNumber(n)) => w = n.toInt
+              case (PdfName("H") | PdfName("Height"), PdfNumber(n)) => h = n.toInt
+              case (PdfName("BPC") | PdfName("BitsPerComponent"), PdfNumber(n)) => bpc = n.toInt
+              case (PdfName("CS") | PdfName("ColorSpace"), PdfName(n)) => cs = n
+              case _ => ()
+            }
+          }
           else {
             val t = lx.readToken()
             if (t == "ID") {
@@ -300,8 +311,12 @@ object ContentInterpreter {
                 } else i += 1
               }
               if (!found) lx.pos = d.length
+              val csName = cs match {
+                case "G" => "DeviceGray"; case "RGB" => "DeviceRGB"; case "CMYK" => "DeviceCMYK"
+                case other => other
+              }
               objs += PageObjectInfo("image", gs.ctm.onRect(Rect(0, 0, 1, 1)), level,
-                "", "", 0, 0, 0, 0, "", Vector.empty, None)
+                "", "", 0, w, h, bpc, csName, Vector.empty, None, curMcid)
               done = true
             } else if (t.isEmpty) { lx.parseObject() }
           }

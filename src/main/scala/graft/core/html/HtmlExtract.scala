@@ -91,12 +91,31 @@ object HtmlExtract {
   }
 
   private def decodeBytes(bytes: Array[Byte]): String = {
-    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
-    catch {
-      case _: Exception =>
-        new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // declared charset first (meta charset= / http-equiv content=..charset=)
+    val head = new String(bytes, 0, math.min(2048, bytes.length),
+      java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+    val declared = {
+      val at = head.indexOf("charset=")
+      if (at < 0) None
+      else {
+        val start = at + 8
+        val raw = head.substring(start, math.min(start + 32, head.length))
+          .dropWhile(c => c == '"' || c == '\'' || c == ' ')
+          .takeWhile(c => c.isLetterOrDigit || c == '-' || c == '_')
+        if (raw.isEmpty || raw == "utf-8" || raw == "utf8") None
+        else try Some(java.nio.charset.Charset.forName(raw)) catch { case _: Exception => None }
+      }
+    }
+    declared match {
+      case Some(cs) => new String(bytes, cs)
+      case None =>
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+        catch {
+          case _: Exception =>
+            new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+        }
     }
   }
 
