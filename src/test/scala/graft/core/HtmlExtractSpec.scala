@@ -83,7 +83,7 @@ class HtmlExtractSpec extends AnyFunSuite {
 
   test("declared meta charset is honored (windows-1252 smart quote)") {
     val html = ("<html><head><meta charset=\"windows-1252\"></head><body>" +
-      "<p>A block with a smart quote long enough to pass filters fine.</p></body></html>")
+      "<p>A block with a “smart quote” long enough to pass filters fine.</p></body></html>")
       .getBytes(java.nio.charset.Charset.forName("windows-1252"))
     val doc = HtmlExtract.parse(html)
     assert(doc.mainText().contains("“smart quote”"), doc.mainText())
