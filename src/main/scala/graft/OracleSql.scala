@@ -276,6 +276,22 @@ object OracleSql {
          |) AS t(url, ok, n_pages, n_chars, text) ORDER BY url""".stripMargin
     },
 
+    "pdf_spans" ->
+      """SELECT url, CAST(n_chars AS BIGINT) AS n_chars, CAST(l AS BIGINT) AS l,
+        |  CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r, CAST(t AS BIGINT) AS t
+        |FROM (VALUES
+        |  ('fixture://text.pdf', 438, 58, 767, 258, 782),
+        |  ('fixture://text.pdf', 438, 58, 712, 235, 727),
+        |  ('fixture://text.pdf', 438, 57, 675, 511, 690),
+        |  ('fixture://text.pdf', 438, 58, 657, 242, 672),
+        |  ('fixture://text.pdf', 438, 58, 638, 537, 653),
+        |  ('fixture://text.pdf', 438, 58, 620, 206, 635),
+        |  ('fixture://text.pdf', 438, 58, 601, 537, 617),
+        |  ('fixture://text.pdf', 438, 58, 583, 225, 598),
+        |  ('fixture://text.pdf', 438, 58, 564, 537, 580),
+        |  ('fixture://text.pdf', 438, 58, 549, 367, 561)
+        |) AS t(url, n_chars, l, b, r, t) ORDER BY b DESC""".stripMargin,
+
     "pdf_form_fields" ->
       """SELECT CAST(ord AS BIGINT) AS ord, name, field_type, form_type FROM (VALUES
         |  (0, 'Listbox_SingleSelect', 'Ch', 'AcroForm'),

@@ -285,6 +285,20 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    "pdf_spans" -> ((s, _) => {
+      // span/bbox structs per page (north-star output shape): line rects of
+      // text.pdf page 0, rounded to ints — count and first rect are pinned
+      // by the reference (10 rects; ≈(58,767,258,782); 56 < left < 59)
+      val pages = PagesTable.ofFixtures(s, Seq("text.pdf"))
+      ExtractPipeline.extractSpans(pages)
+        .where(col("page_idx") === 0)
+        .select(col("url"), col("n_chars"), explode(col("rects")).as("rect"))
+        .select(col("url"), col("n_chars"),
+          round(col("rect.l")).cast("long").as("l"), round(col("rect.b")).cast("long").as("b"),
+          round(col("rect.r")).cast("long").as("r"), round(col("rect.t")).cast("long").as("t"))
+        .orderBy(col("b").desc)
+    }),
+
     "pdf_form_fields" -> ((s, _) => {
       import s.implicits._
       val rows = graft.core.PdfDocument.load(PagesTable.fixture("forms.pdf")).toOption.toSeq.flatMap { d =>

@@ -8,6 +8,15 @@ import graft.core.Extract
   * is the CLI-normalized report (LF line breaks, "# Page N" headers) so the
   * byte-identity contract is checkable against
   * tests/expectations/text_extract.txt verbatim. */
+final case class SpanRect(l: Double, b: Double, r: Double, t: Double)
+/** Page-level extraction row: text + line-span geometry (FIXTURES.md §5). */
+final case class PageSpans(
+    url: String,
+    page_idx: Int,
+    text: String,
+    n_chars: Long,
+    rects: Seq[SpanRect])
+
 final case class ExtractedDoc(
     url: String,
     ok: Boolean,
@@ -84,6 +93,26 @@ object ExtractPipeline {
           text = if (res.ok) res.cliReport else "",
           partition_id = pid,
           parse_ms = ms)
+      }
+    }
+  }
+
+  /** Page-level output with span/bbox structs (north star: "emits per-url
+    * extracted text and span/bbox structs"): one row per (url, page) with
+    * the page text and its line rects in PDF canvas units. */
+  def extractSpans(pages: Dataset[PageRow], password: String = ""): Dataset[PageSpans] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap { row =>
+      if (row.html == null || row.html.length > MaxHtmlBytes) Iterator.empty
+      else graft.core.PdfDocument.load(row.html, password) match {
+        case Left(_) => Iterator.empty
+        case Right(doc) =>
+          doc.pages.iterator.zipWithIndex.map { case (p, i) =>
+            val tp = p.textPage
+            val rects = tp.rects().map(r => SpanRect(r.left, r.bottom, r.right, r.top))
+            PageSpans(row.url, i, tp.text, tp.countChars.toLong, rects)
+          }
       }
     }
   }
