@@ -2,15 +2,29 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark (driver contract: ONE JSON line on stdout).
+/** Per-round benchmark (driver contract: ONE JSON line on stdout; build.sbt
+  * sets `run / outputStrategy := StdoutOutput` so the forked JVM's stdout is
+  * NOT wrapped in sbt `[info]` prefixes — the driver parses this line).
   *
   * Two measurements:
   *  1. Headline (BASELINE.md protocol): end-to-end PDF→text extraction
-  *     throughput (docs/sec) over the synthesized skewed corpus, at two
-  *     parallelism levels (local[8] vs local[32]) on identical warmed input —
-  *     the sandbox evidence for the north rule's N→4N scaling-efficiency
-  *     criterion (target ≥ 0.8).
-  *  2. All SparkEntry queries timed at SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS.
+  *     throughput (docs/sec) over the synthesized skewed corpus at two
+  *     parallelism levels (default local[4] vs local[16]) on identical
+  *     input — the sandbox evidence for the north rule's N→4N
+  *     scaling-efficiency criterion (target ≥ 0.8).
+  *
+  *     The sandbox host is an oversubscribed VM: a fixed-work spin test
+  *     shows per-thread slowdown appears and disappears with co-tenant
+  *     load (16 identical processes take 3.9s in a quiet window and 7.3s
+  *     in a noisy one; 1 process always takes ~4.2s). A single N/4N pair
+  *     can therefore land in different noise regimes and report nonsense
+  *     (BENCH_r01 recorded 0.114 that way). Protocol: INTERLEAVE the
+  *     levels (N,4N,N,4N,…) so both sample the same load distribution,
+  *     and take the best rep per level — the standard contention-filtering
+  *     estimator for "what does this code do on an idle machine".
+  *  2. All SparkEntry queries timed at SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS,
+  *     each with an ok flag and row count (a throwing query must not look
+  *     like a fast success).
   */
 object Bench {
 
@@ -42,31 +56,47 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "150000").toLong
-
-    // --- phase 1: extraction scaling (8 → 32 threads = N → 4N) ------------
-    // The sandbox VM's CPU availability fluctuates (shared host), so each
-    // level is measured `reps` times and the best run is reported — the
-    // standard contention-filtering protocol; see BASELINE.md.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-
-    def measure(level: Int): (Double, Long, Long, Long) = {
-      val s = session(level)
-      runExtraction(s, 800, level) // warm-up: JIT + fixture bytes page cache
-      val best = (1 to reps).map(_ => runExtraction(s, nDocs, level * 3)).minBy(_._1)
-      s.stop()
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      best
-    }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val levelN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4").toInt
     val level4N = levelN * 4
-    val (t8, d8, _, _) = measure(levelN)
-    val (t32, d32, p32, c32) = measure(level4N)
 
-    val thr8 = d8 / t8
-    val thr32 = d32 / t32
-    val eff = (thr32 / thr8) / 4.0
+    // --- phase 1: extraction scaling, interleaved N/4N reps ----------------
+    // One SparkContext per JVM: the two levels must run in SEPARATE,
+    // sequential sessions (a second getOrCreate with a different master
+    // silently reuses the first context — that bug made both levels run at
+    // N threads). Each rep creates a fresh session for its level, does a
+    // small warm run (JIT is JVM-wide and persists; only scheduler paths
+    // and the fixture broadcast need warming), then measures.
+    def measureOnce(level: Int): (Double, Long, Long, Long) = {
+      val s = session(level)
+      try {
+        runExtraction(s, 2000, level * 3) // warm scheduler + fixture broadcast
+        runExtraction(s, nDocs, level * 3)
+      } finally {
+        s.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      }
+    }
+    // one-time JIT warm-up before any timed rep (small corpus, throwaway)
+    locally {
+      val s = session(level4N)
+      try runExtraction(s, 20000, level4N * 3)
+      finally { s.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession() }
+    }
+    val runsN = scala.collection.mutable.ArrayBuffer[(Double, Long, Long, Long)]()
+    val runs4N = scala.collection.mutable.ArrayBuffer[(Double, Long, Long, Long)]()
+    (1 to reps).foreach { _ =>
+      runsN += measureOnce(levelN)
+      runs4N += measureOnce(level4N)
+    }
 
-    // --- phase 2: the full query suite at the driver's parallelism --------
+    val (tN, dN, _, _) = runsN.minBy(_._1)
+    val (t4N, d4N, p4N, c4N) = runs4N.minBy(_._1)
+    val thrN = dN / tN
+    val thr4N = d4N / t4N
+    val eff = (thr4N / thrN) / 4.0
+
+    // --- phase 2: the full query suite at the driver's parallelism ---------
     val spark = session(cpus)
     // HTML-path throughput (boilerplate-strip pipeline), same session
     val htmlThr = {
@@ -78,23 +108,42 @@ object Bench {
         .agg(count(lit(1))).collect()(0).getLong(0)
       n / ((System.nanoTime() - t0) / 1e9)
     }
+    // pre-warm the SQL parser + UDF registration path so the first SQL-using
+    // query isn't charged for one-time classloading/JIT
+    try {
+      graft.functions.PdfFunctions.register(spark)
+      spark.sql("SELECT 1").collect()
+    } catch { case _: Throwable => () }
+
+    final case class QR(sec: Double, rows: Long, ok: Boolean)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val (rows, ok) =
+        try (fn(spark, sfDir).count(), true)
+        catch { case _: Throwable => (-1L, false) }
+      name -> QR((System.nanoTime() - t0) / 1e9, rows, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${v.sec}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qrows = results.map { case (k, v) => "\"" + k + "\":" + v.rows }
+      .mkString("{", ",", "}")
+    val failed = results.filter(!_._2.ok).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2.sec).sum
 
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-        f""","extract_docs":$nDocs,"extract_pages":$p32,"extract_chars":$c32""" +
-        s""","scaling_levels":"local[$levelN]->local[$level4N]"""" +
-        f""","extract_sec_n":$t8%.3f,"extract_sec_4n":$t32%.3f""" +
-        f""","extract_docs_per_sec_n":$thr8%.1f,"extract_docs_per_sec_4n":$thr32%.1f""" +
+        s""","query_rows":$qrows,"queries_failed":$failed""" +
+        f""","extract_docs":$nDocs,"extract_pages":$p4N,"extract_chars":$c4N""" +
+        s""","scaling_levels":"local[$levelN]->local[$level4N]","scaling_reps":$reps""" +
+        f""","extract_sec_n":$tN%.3f,"extract_sec_4n":$t4N%.3f""" +
+        f""","extract_docs_per_sec_n":$thrN%.1f,"extract_docs_per_sec_4n":$thr4N%.1f""" +
         f""","html_docs_per_sec":$htmlThr%.1f""" +
-        f""","scaling_efficiency":$eff%.3f}""")
+        f""","scaling_efficiency":$eff%.3f}"""
+    println(json)
+    // fallback artifact in case stdout is captured through a log wrapper
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

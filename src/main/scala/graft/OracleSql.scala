@@ -165,9 +165,18 @@ object OracleSql {
         |  ('toc_circular.pdf', 15, 2, 0)
         |) AS t(fixture, max_depth, n_bookmarks, max_level)""".stripMargin,
 
+    // params values pinned from reference tests/test_attachments.py:27-41
+    // (get_str_value semantics: strings only, CheckSum hex-bracketed, the
+    // numeric Size renders empty)
     "pdf_attachments" ->
-      """SELECT CAST(ord AS BIGINT) AS ord, name, CAST(n_bytes AS BIGINT) AS n_bytes
-        |FROM (VALUES (1, '1.txt', 4), (2, 'attached.pdf', 5869)) AS t(ord, name, n_bytes)""".stripMargin,
+      """SELECT CAST(ord AS BIGINT) AS ord, name, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  p_size, p_creation_date, p_mod_date, p_checksum
+        |FROM (VALUES
+        |  (1, '1.txt', 4, '', 'D:20170712214438-07''00''', 'D:20160115091400',
+        |   '<098F6BCD4621D373CADE4E832627B4F6>'),
+        |  (2, 'attached.pdf', 5869, '', 'D:20170712214443-07''00''', 'D:20170712214410',
+        |   '<72AFCDDEDF554DDA63C0C88E06F1CE18>')
+        |) AS t(ord, name, n_bytes, p_size, p_creation_date, p_mod_date, p_checksum)""".stripMargin,
 
     "pdf_page_labels" ->
       """SELECT CAST(page AS BIGINT) AS page, label FROM (VALUES

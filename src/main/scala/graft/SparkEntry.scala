@@ -1,9 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.spark.{ExtractPipeline, PageRow, PagesTable}
+import graft.spark.{DocParts, ExtractPipeline, PageRow, PagesTable}
 import graft.ops.{Dedup, Similarity, TextStats}
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -28,6 +28,10 @@ object SparkEntry {
     ExtractPipeline.extract(pages).toDF()
   }
 
+  /** `fixture://name` → `name` (PagesTable.ofFixtures url scheme). */
+  private def fixtureCol: Column =
+    regexp_replace(col("url"), "^fixture://", "").as("fixture")
+
   // fixture sets used by pdf_* queries
   private val TextualFixtures = Seq("text.pdf", "multipage.pdf", "empty.pdf")
   private val AllFixtures = Seq(
@@ -49,13 +53,16 @@ object SparkEntry {
     "pdf_extract_encrypted" -> ((s, _) => {
       import s.implicits._
       // password matrix: user / owner / wrong / none (test_document.py:106-146)
-      val rows = Seq("test_user", "test_owner", "wrong_password", "").map { pwd =>
-        val res = graft.core.Extract.extractText(PagesTable.fixture("encrypted.pdf"), pwd)
-        (if (pwd.isEmpty) "<none>" else pwd, res.ok, res.errCode,
-          res.pages.headOption.map(_.text).getOrElse(""))
-      }
-      // tiny driver-side matrix (4 rows) — parallelized for schema fidelity
-      s.createDataset(rows).toDF("password", "ok", "err_code", "text")
+      // — the password varies per row, so the parse runs as a typed map over
+      // a 4-row dataset (in tasks), with the fixture bytes captured once
+      val bytes = PagesTable.fixture("encrypted.pdf")
+      s.createDataset(Seq("test_user", "test_owner", "wrong_password", ""))
+        .map { pwd =>
+          val res = graft.core.Extract.extractText(bytes, pwd)
+          (if (pwd.isEmpty) "<none>" else pwd, res.ok, res.errCode,
+            res.pages.headOption.map(_.text).getOrElse(""))
+        }
+        .toDF("password", "ok", "err_code", "text")
     }),
 
     "pdf_page_count" -> ((s, _) => {
@@ -66,160 +73,160 @@ object SparkEntry {
     }),
 
     "pdf_metadata" -> ((s, _) => {
-      import s.implicits._
+      // metadata map rides on the distributed doc carrier; the 8-key
+      // projection (document.py:308-337) is a pure Catalyst explode
       val keys = Seq("Title", "Author", "Subject", "Keywords", "Creator", "Producer", "CreationDate", "ModDate")
-      val rows = Seq("multipage.pdf", "empty.pdf").flatMap { f =>
-        graft.core.PdfDocument.load(PagesTable.fixture(f)).toOption.toSeq.flatMap { d =>
-          val m = d.metadata()
-          keys.map(k => (f, k, m.getOrElse(k, "")))
-        }
-      }
-      s.createDataset(rows).toDF("fixture", "key", "value")
+      ExtractPipeline.extractDoc(
+        PagesTable.ofFixtures(s, Seq("multipage.pdf", "empty.pdf")), parts = Set(DocParts.Meta))
+        .select(fixtureCol, explode(array(keys.map(lit): _*)).as("key"), col("metadata"))
+        .select(col("fixture"), col("key"),
+          coalesce(element_at(col("metadata"), col("key")), lit("")).as("value"))
     }),
 
     "pdf_version_ids" -> ((s, _) => {
-      import s.implicits._
-      val rows = Seq("text.pdf", "multipage.pdf", "empty.pdf").flatMap { f =>
-        graft.core.PdfDocument.load(PagesTable.fixture(f)).toOption.map { d =>
-          val (idp, idc) = d.identifiers
-          // the reference's get_identifier slices [:n_bytes-2], observably
-          // dropping the ID's last byte (document.py:278-292; literal at
-          // tests/test_document.py:153-154) — mirror that here
-          def hex(b: Array[Byte]) = b.dropRight(1).map(x => f"$x%02X").mkString
-          (f, d.version.toLong, hex(idp), hex(idc), d.isTagged, d.pageMode, d.formType)
-        }
-      }
-      s.createDataset(rows).toDF("fixture", "version", "id_permanent", "id_changing", "tagged", "page_mode", "form_type")
+      // version/id/tagged/page-mode/form-type scalars straight off the
+      // carrier (the get_identifier last-byte-drop quirk lives in DocTable)
+      ExtractPipeline.extractDoc(
+        PagesTable.ofFixtures(s, TextualFixtures), parts = Set(DocParts.Meta))
+        .select(fixtureCol, col("version").cast("long").as("version"),
+          col("id_permanent"), col("id_changing"), col("tagged"),
+          col("page_mode"), col("form_type"))
     }),
 
     "pdf_boxes" -> ((s, _) => {
       import s.implicits._
-      val rows = Seq("multipage.pdf", "box_fallback.pdf").flatMap { f =>
-        graft.core.PdfDocument.load(PagesTable.fixture(f)).toOption.toSeq.flatMap { d =>
-          d.pages.zipWithIndex.map { case (p, i) =>
-            def r4(v: Double) = math.round(v * 10000).toDouble / 10000
-            (f, i.toLong, r4(p.width), r4(p.height), p.rotation.toLong,
-              r4(p.mediaBox.left), r4(p.mediaBox.bottom), r4(p.mediaBox.right), r4(p.mediaBox.top),
-              r4(p.cropBox.right), r4(p.bbox.top))
+      // box getters with fallback chain ride on the carrier; rounding is a
+      // typed distributed map to keep JVM math.round semantics exactly
+      ExtractPipeline.extractDoc(
+        PagesTable.ofFixtures(s, Seq("multipage.pdf", "box_fallback.pdf")), parts = Set(DocParts.Boxes))
+        .flatMap { d =>
+          def r4(v: Double) = math.round(v * 10000).toDouble / 10000
+          val f = d.url.stripPrefix("fixture://")
+          d.boxes.map { b =>
+            (f, b.page.toLong, r4(b.width), r4(b.height), b.rotation.toLong,
+              r4(b.media_l), r4(b.media_b), r4(b.media_r), r4(b.media_t),
+              r4(b.crop_r), r4(b.bbox_t))
           }
         }
-      }
-      s.createDataset(rows).toDF("fixture", "page", "width", "height", "rotation",
-        "media_l", "media_b", "media_r", "media_t", "crop_r", "bbox_t")
+        .toDF("fixture", "page", "width", "height", "rotation",
+          "media_l", "media_b", "media_r", "media_t", "crop_r", "bbox_t")
     }),
 
     "pdf_toc" -> ((s, _) => {
       import s.implicits._
-      val rows = graft.core.PdfDocument.load(PagesTable.fixture("toc.pdf")).toOption.toSeq.flatMap { d =>
-        d.toc().zipWithIndex.map { case (bm, i) =>
-          val dest = bm.dest
+      ExtractPipeline.extractDoc(
+        PagesTable.ofFixtures(s, Seq("toc.pdf")), parts = Set(DocParts.Toc))
+        .flatMap { d =>
           def r0(v: Option[Double]) = v.map(x => math.round(x).toDouble).getOrElse(-1.0)
-          (i.toLong, bm.level.toLong, bm.title, bm.count.toLong,
-            dest.map(_.pageIndex.toLong).getOrElse(-1L),
-            dest.map(_.viewMode).getOrElse(""),
-            r0(dest.flatMap(_.params.lift(0).flatten)),
-            r0(dest.flatMap(_.params.lift(1).flatten)))
+          d.toc.map { t =>
+            (t.ord.toLong, t.level.toLong, t.title, t.count.toLong,
+              t.page_index.toLong, t.view, r0(t.px), r0(t.py))
+          }
         }
-      }
-      s.createDataset(rows).toDF("ord", "level", "title", "count", "page_index", "view", "px", "py")
+        .toDF("ord", "level", "title", "count", "page_index", "view", "px", "py")
     }),
 
     "pdf_toc_bounded" -> ((s, _) => {
       import s.implicits._
-      // max_depth bound + circular-chain cut (document.py:530-557)
-      val rows = Seq(
-        ("toc_maxdepth.pdf", 4), ("toc_maxdepth.pdf", 8), ("toc_circular.pdf", 15))
-        .flatMap { case (f, depth) =>
-          graft.core.PdfDocument.load(PagesTable.fixture(f)).toOption.map { d =>
-            val t = d.toc(maxDepth = depth)
-            (f, depth.toLong, t.length.toLong, t.map(_.level).maxOption.getOrElse(-1).toLong)
-          }
-        }
-      s.createDataset(rows).toDF("fixture", "max_depth", "n_bookmarks", "max_level")
+      // max_depth bound + circular-chain cut (document.py:530-557). The
+      // carrier stores the depth-15 traversal; a depth-d bound is exactly
+      // the level<=d-1 prefix filter of that traversal (DFS with a depth
+      // bound visits the same shallow nodes in the same order).
+      val depths = Seq(("toc_maxdepth.pdf", 4L), ("toc_maxdepth.pdf", 8L), ("toc_circular.pdf", 15L))
+      val tocs = ExtractPipeline.extractDoc(
+        PagesTable.ofFixtures(s, Seq("toc_maxdepth.pdf", "toc_circular.pdf")), parts = Set(DocParts.Toc))
+        .select(fixtureCol, col("toc"))
+      s.createDataset(depths).toDF("fixture", "max_depth")
+        .join(broadcast(tocs), Seq("fixture"))
+        .select(col("fixture"), col("max_depth"),
+          filter(col("toc"), t => t.getField("level") <= col("max_depth") - 1).as("bounded"))
+        .select(col("fixture"), col("max_depth"),
+          size(col("bounded")).cast("long").as("n_bookmarks"),
+          coalesce(array_max(transform(col("bounded"), t => t.getField("level"))), lit(-1))
+            .cast("long").as("max_level"))
     }),
 
     "pdf_attachments" -> ((s, _) => {
-      import s.implicits._
-      val rows = graft.core.PdfDocument.load(PagesTable.fixture("attachments.pdf")).toOption.toSeq.flatMap { d =>
-        d.attachments.zipWithIndex.map { case (a, i) =>
-          (i.toLong + 1, a.name, a.data.length.toLong)
-        }
-      }
-      s.createDataset(rows).toDF("ord", "name", "n_bytes")
+      // attachments with the typed /Params dict (attachment.py:96-145):
+      // CheckSum is exposed hex-encoded, dates as raw PDF date strings
+      ExtractPipeline.extractDoc(
+        PagesTable.ofFixtures(s, Seq("attachments.pdf")), parts = Set(DocParts.Attachments))
+        .select(explode(col("attachments")).as("a"))
+        .select(col("a.ord").cast("long").as("ord"), col("a.name"),
+          col("a.n_bytes").cast("long").as("n_bytes"),
+          coalesce(element_at(col("a.params"), "Size"), lit("")).as("p_size"),
+          coalesce(element_at(col("a.params"), "CreationDate"), lit("")).as("p_creation_date"),
+          coalesce(element_at(col("a.params"), "ModDate"), lit("")).as("p_mod_date"),
+          coalesce(element_at(col("a.params"), "CheckSum"), lit("")).as("p_checksum"))
     }),
 
     "pdf_page_labels" -> ((s, _) => {
-      import s.implicits._
-      val rows = graft.core.PdfDocument.load(PagesTable.fixture("toc_viewmodes.pdf")).toOption.toSeq.flatMap { d =>
-        (0 until d.pageCount).map(i => (i.toLong, d.pageLabel(i)))
-      }
-      s.createDataset(rows).toDF("page", "label")
+      ExtractPipeline.extractDoc(
+        PagesTable.ofFixtures(s, Seq("toc_viewmodes.pdf")), parts = Set(DocParts.Labels))
+        .select(posexplode(col("page_labels")).as(Seq("page", "label")))
+        .select(col("page").cast("long").as("page"), col("label"))
     }),
 
     "pdf_search" -> ((s, _) => {
       import s.implicits._
-      val rows = graft.core.PdfDocument.load(PagesTable.fixture("text.pdf")).toOption.toSeq.flatMap { d =>
-        val tp = d.page(0).textPage
-        tp.search("labor").zipWithIndex.map { case ((idx, cnt), i) =>
+      // search term is query-specific → generic distributed per-doc transform
+      ExtractPipeline.mapDocs(PagesTable.ofFixtures(s, Seq("text.pdf"))) { (_, d) =>
+        d.page(0).textPage.search("labor").zipWithIndex.map { case ((idx, cnt), i) =>
           (i.toLong, idx.toLong, cnt.toLong)
         }
-      }
-      s.createDataset(rows).toDF("ord", "char_index", "length")
+      }.toDF("ord", "char_index", "length")
     }),
 
     "pdf_rects_chars" -> ((s, _) => {
       import s.implicits._
-      val rows = graft.core.PdfDocument.load(PagesTable.fixture("text.pdf")).toOption.toSeq.map { d =>
+      ExtractPipeline.mapDocs(PagesTable.ofFixtures(s, Seq("text.pdf"))) { (_, d) =>
         val tp = d.page(0).textPage
         val rs = tp.rects()
         val first = rs.head
-        (tp.countChars.toLong, rs.length.toLong,
+        Iterator.single((tp.countChars.toLong, rs.length.toLong,
           math.round(first.left), math.round(first.bottom),
           math.round(first.right), math.round(first.top),
-          tp.textBounded(Some(first.left), Some(first.bottom), Some(first.right), Some(first.top)))
-      }
-      s.createDataset(rows).toDF("n_chars", "n_rects", "r_left", "r_bottom", "r_right", "r_top", "first_rect_text")
+          tp.textBounded(Some(first.left), Some(first.bottom), Some(first.right), Some(first.top))))
+      }.toDF("n_chars", "n_rects", "r_left", "r_bottom", "r_right", "r_top", "first_rect_text")
     }),
 
     "pdf_images" -> ((s, _) => {
       import s.implicits._
       // multimodal metadata: image objects with typed metadata columns
       // (golden tests/expectations/pageobjects_images.txt)
-      val rows = graft.core.PdfDocument.load(PagesTable.fixture("images.pdf")).toOption.toSeq.flatMap { d =>
-        d.page(0).objects(Set("image")).zipWithIndex.map { case (o, i) =>
+      ExtractPipeline.extractDoc(
+        PagesTable.ofFixtures(s, Seq("images.pdf")), parts = Set(DocParts.Objects))
+        .flatMap { d =>
           def r2(v: Double) = math.round(v * 100).toDouble / 100
-          (i.toLong + 1, o.imgWidth.toLong, o.imgHeight.toLong, o.imgBpc.toLong,
-            o.imgColorspace, o.imgFilters.mkString(","),
-            r2(o.bounds.left), r2(o.bounds.bottom), r2(o.bounds.right), r2(o.bounds.top))
+          d.objects.filter(o => o.page == 0 && o.obj_type == "image").zipWithIndex.map { case (o, i) =>
+            (i.toLong + 1, o.img_width.toLong, o.img_height.toLong, o.img_bpc.toLong,
+              o.img_colorspace, o.img_filters.mkString(","), r2(o.l), r2(o.b), r2(o.r), r2(o.t))
+          }
         }
-      }
-      s.createDataset(rows).toDF("ord", "width", "height", "bpc", "colorspace", "filters", "l", "b", "r", "t")
+        .toDF("ord", "width", "height", "bpc", "colorspace", "filters", "l", "b", "r", "t")
     }),
 
     "pdf_objects_count" -> ((s, _) => {
-      import s.implicits._
-      val rows = Seq("images.pdf", "text.pdf", "render.pdf").flatMap { f =>
-        graft.core.PdfDocument.load(PagesTable.fixture(f)).toOption.toSeq.flatMap { d =>
-          d.page(0).objects().groupBy(_.objType).toSeq.map { case (t, os) => (f, t, os.length.toLong) }
-        }
-      }
-      s.createDataset(rows).toDF("fixture", "obj_type", "cnt")
+      ExtractPipeline.extractDoc(
+        PagesTable.ofFixtures(s, Seq("images.pdf", "text.pdf", "render.pdf")), parts = Set(DocParts.Objects))
+        .select(fixtureCol, explode(col("objects")).as("o"))
+        .where(col("o.page") === 0)
+        .groupBy(col("fixture"), col("o.obj_type").as("obj_type"))
+        .agg(count(lit(1)).as("cnt"))
     }),
 
     "pdf_fonts_report" -> ((s, _) => {
       import s.implicits._
       // fonts report: group fonts by identity across pages, page-range
-      // compression (reference fonts.py:60-77, _parsers.py:40-61)
-      val rows = Seq("text.pdf", "multipage.pdf").flatMap { f =>
-        graft.core.PdfDocument.load(PagesTable.fixture(f)).toOption.toSeq.flatMap { d =>
-          d.pages.zipWithIndex.flatMap { case (p, i) =>
-            graft.core.Reports.pageFonts(p).map { case (bn, fam, emb, w) =>
-              (f, bn, fam, emb, w.toLong, i + 1)
-            }
-          }
-        }
-      }
-      s.createDataset(rows).toDF("fixture", "font", "family", "embedded", "weight", "page")
+      // compression (reference fonts.py:60-77, _parsers.py:40-61). Per-page
+      // font rows come off the carrier; the groupBy + range compression are
+      // distributed aggregation + a typed map.
+      ExtractPipeline.extractDoc(
+        PagesTable.ofFixtures(s, Seq("text.pdf", "multipage.pdf")), parts = Set(DocParts.Fonts))
+        .select(fixtureCol, explode(col("fonts")).as("fo"))
+        .select(col("fixture"), col("fo.font").as("font"), col("fo.family").as("family"),
+          col("fo.embedded").as("embedded"), col("fo.weight").cast("long").as("weight"),
+          col("fo.page").as("page"))
         .groupBy("fixture", "font", "family", "embedded", "weight")
         .agg(sort_array(collect_set(col("page"))).as("pages"))
         .as[(String, String, String, Boolean, Long, Seq[Int])]
@@ -235,13 +242,11 @@ object SparkEntry {
       // import_pages / arrange analog: page-range spec with duplicates and
       // order preserved (reference document.py:445-473, _parsers.py:10-28;
       // sequences tested at tests/test_document.py:220-236)
-      val d = graft.core.PdfDocument.load(PagesTable.fixture("multipage.pdf")).toOption.get
-      val idxs = graft.core.Reports.pageRanges("2,1-3,2", d.pageCount).toOption.get
-      val perPage = d.pages.map(p => p.textPage.text.replace("\r\n", "\n"))
-      val rows = idxs.zipWithIndex.map { case (src, newIdx) =>
-        (newIdx.toLong, src.toLong, perPage(src))
-      }
-      s.createDataset(rows).toDF("new_idx", "src_page", "text")
+      ExtractPipeline.mapDocs(PagesTable.ofFixtures(s, Seq("multipage.pdf"))) { (_, d) =>
+        val idxs = graft.core.Reports.pageRanges("2,1-3,2", d.pageCount).toOption.get
+        val perPage = d.pages.map(p => p.textPage.text.replace("\r\n", "\n"))
+        idxs.zipWithIndex.map { case (src, newIdx) => (newIdx.toLong, src.toLong, perPage(src)) }
+      }.toDF("new_idx", "src_page", "text")
     }),
 
     "pdf_payload_stats" -> ((s, _) => {
@@ -253,16 +258,15 @@ object SparkEntry {
     "pdf_coords_roundtrip" -> ((s, _) => {
       import s.implicits._
       // device↔page transform round trip (reference tests/test_page.py:64-80)
-      val d = graft.core.PdfDocument.load(PagesTable.fixture("text.pdf")).toOption.get
-      val p = d.page(0)
-      def r6(v: Double) = math.round(v * 1e6) / 1e6
-      val pts = Seq((0.0, 0.0), (100.0, 200.0), (595.0, 841.0), (297.5, 420.5))
-      val rows = pts.map { case (x, y) =>
-        val (dx, dy) = graft.core.PageCoords.pageToDevice(p, 400, 600, x, y)
-        val (rx, ry) = graft.core.PageCoords.deviceToPage(p, 400, 600, dx, dy)
-        (x, y, r6(rx), r6(ry))
-      }
-      s.createDataset(rows).toDF("x", "y", "rt_x", "rt_y")
+      ExtractPipeline.mapDocs(PagesTable.ofFixtures(s, Seq("text.pdf"))) { (_, d) =>
+        val p = d.page(0)
+        def r6(v: Double) = math.round(v * 1e6) / 1e6
+        Seq((0.0, 0.0), (100.0, 200.0), (595.0, 841.0), (297.5, 420.5)).map { case (x, y) =>
+          val (dx, dy) = graft.core.PageCoords.pageToDevice(p, 400, 600, x, y)
+          val (rx, ry) = graft.core.PageCoords.deviceToPage(p, 400, 600, dx, dy)
+          (x, y, r6(rx), r6(ry))
+        }
+      }.toDF("x", "y", "rt_x", "rt_y")
     }),
 
     "html_extract_main" -> ((s, _) => {
@@ -300,25 +304,25 @@ object SparkEntry {
     }),
 
     "pdf_form_fields" -> ((s, _) => {
-      import s.implicits._
-      val rows = graft.core.PdfDocument.load(PagesTable.fixture("forms.pdf")).toOption.toSeq.flatMap { d =>
-        d.formFields.zipWithIndex.map { case ((name, ft), i) => (i.toLong, name, ft, d.formType) }
-      }
-      s.createDataset(rows).toDF("ord", "name", "field_type", "form_type")
+      ExtractPipeline.extractDoc(
+        PagesTable.ofFixtures(s, Seq("forms.pdf")), parts = Set(DocParts.Meta, DocParts.Forms))
+        .select(col("form_type"), explode(col("form_fields")).as("ff"))
+        .select(col("ff.ord").cast("long").as("ord"), col("ff.name"),
+          col("ff.field_type").as("field_type"), col("form_type"))
     }),
 
     "pdf_annotations" -> ((s, _) => {
       import s.implicits._
       // link harvesting: URI annots with rects (fixture text.pdf page 2)
-      val rows = graft.core.PdfDocument.load(PagesTable.fixture("text.pdf")).toOption.toSeq.flatMap { d =>
-        d.pages.zipWithIndex.flatMap { case (p, pi) =>
-          p.annotationInfos.zipWithIndex.map { case ((sub, r, uri), ai) =>
-            def r3(v: Double) = math.round(v * 1000).toDouble / 1000
-            (pi.toLong, ai.toLong, sub, r3(r.left), r3(r.bottom), r3(r.right), r3(r.top), uri)
+      ExtractPipeline.extractDoc(
+        PagesTable.ofFixtures(s, Seq("text.pdf")), parts = Set(DocParts.Annotations))
+        .flatMap { d =>
+          def r3(v: Double) = math.round(v * 1000).toDouble / 1000
+          d.annotations.map { a =>
+            (a.page.toLong, a.ord.toLong, a.subtype, r3(a.l), r3(a.b), r3(a.r), r3(a.t), a.uri)
           }
         }
-      }
-      s.createDataset(rows).toDF("page", "ord", "subtype", "l", "b", "r", "t", "uri")
+        .toDF("page", "ord", "subtype", "l", "b", "r", "t", "uri")
     }),
 
     "pdf_sql_surface" -> ((s, _) => {

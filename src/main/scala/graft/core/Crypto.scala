@@ -53,11 +53,25 @@ object Crypto {
     out
   }
 
-  /** Decryption state for one document. `keyFor(num, gen)` derives the
-    * per-object key (§7.6.2 algorithm 1). */
-  final case class Decryptor(fileKey: Array[Byte], revision: Int, useAes: Boolean) {
-    def decrypt(data: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+  /** Decryption state for one document. V4 security handlers name separate
+    * crypt filters for streams (/StmF) and strings (/StrF) — each may be
+    * Identity, V2 (RC4) or AESV2/AESV3 — so the two paths are kept apart
+    * (§7.6.5). `encryptMetadata=false` additionally exempts /Type /Metadata
+    * streams from decryption. */
+  final case class Decryptor(fileKey: Array[Byte], revision: Int,
+                             streamCfm: String, stringCfm: String,
+                             encryptMetadata: Boolean = true) {
+    /** Decrypt stream bytes (per /StmF). */
+    def decrypt(data: Array[Byte], num: Int, gen: Int): Array[Byte] =
+      applyCfm(streamCfm, data, num, gen)
+    /** Decrypt string bytes (per /StrF). */
+    def decryptString(data: Array[Byte], num: Int, gen: Int): Array[Byte] =
+      applyCfm(stringCfm, data, num, gen)
+
+    private def applyCfm(cfm: String, data: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+      if (cfm == "Identity") return data
       if (revision >= 5) return aesDecrypt(fileKey, data) // AES-256: key used directly
+      val useAes = cfm.startsWith("AESV")
       val ext = new Array[Byte](fileKey.length + (if (useAes) 9 else 5))
       System.arraycopy(fileKey, 0, ext, 0, fileKey.length)
       ext(fileKey.length) = (num & 0xff).toByte
@@ -116,22 +130,52 @@ object Crypto {
     val u = str("U")
     val p = int("P", -1)
     val lengthBits = int("Length", 40)
-    val keyLen = if (v <= 1) 5 else lengthBits / 8
-    val useAes = v >= 4 && {
-      // CF/StmF indirection: look up the crypt filter method
-      val stmf = resolve(encrypt("StmF")) match { case PdfName(n) => n; case _ => "Identity" }
-      resolve(encrypt("CF")) match {
-        case cf: PdfDict =>
-          resolve(cf(stmf)) match {
-            case cfd: PdfDict =>
-              resolve(cfd("CFM")) match { case PdfName(m) => m.startsWith("AESV"); case _ => false }
-            case _ => false
-          }
-        case _ => false
-      }
-    }
 
-    if (r >= 5) return authenticateV5(encrypt, password, str, r)
+    // V4+ crypt-filter indirection (§7.6.5): /StmF names the stream filter,
+    // /StrF the string filter; both default to Identity. Each filter dict
+    // carries its own /CFM and /Length (bytes per spec; bits tolerated —
+    // both spellings occur in the wild).
+    def cryptFilterDict(fname: String): Option[PdfDict] =
+      resolve(encrypt("CF")) match {
+        case cf: PdfDict => resolve(cf(fname)) match { case d: PdfDict => Some(d); case _ => None }
+        case _ => None
+      }
+    def cfmOf(fname: String): String =
+      if (fname == "Identity") "Identity"
+      else cryptFilterDict(fname).map { d =>
+        resolve(d("CFM")) match { case PdfName(m) => m; case _ => "V2" }
+      }.getOrElse("Identity")
+    def cfLengthBytes(fname: String): Option[Int] =
+      cryptFilterDict(fname).flatMap { d =>
+        resolve(d("Length")) match {
+          case PdfNumber(len) if len > 0 =>
+            Some(if (len >= 40) (len / 8).toInt else len.toInt) // >=40 → bits
+          case _ => None
+        }
+      }
+    val stmfName = resolve(encrypt("StmF")) match { case PdfName(n) => n; case _ => "Identity" }
+    val strfName = resolve(encrypt("StrF")) match { case PdfName(n) => n; case _ => "Identity" }
+    val (stmCfm, strCfm) =
+      if (v >= 4) (cfmOf(stmfName), cfmOf(strfName)) else ("V2", "V2")
+
+    // Key length: CFM dictates it for AES; V4 RC4 filters carry /Length in
+    // the CF dict (the top-level /Length default of 40 bits must NOT win
+    // over an AESV2 filter — that would derive a 5-byte AES key and turn
+    // every stream into silent empty output).
+    def lenForCfm(cfm: String, fname: String): Option[Int] = cfm match {
+      case "AESV3" => Some(32)
+      case "AESV2" => Some(16)
+      case "V2" | "V3" => cfLengthBytes(fname)
+      case _ => None
+    }
+    val keyLen =
+      if (v <= 1) 5
+      else if (v >= 4)
+        lenForCfm(stmCfm, stmfName).orElse(lenForCfm(strCfm, strfName)).getOrElse(lengthBits / 8)
+      else lengthBits / 8
+    val encMeta = metadataEncrypted(encrypt, resolve)
+
+    if (r >= 5) return authenticateV5(encrypt, password, str, r, stmCfm, strCfm, encMeta)
 
     def computeKey(pwd: Array[Byte]): Array[Byte] = {
       val d = MessageDigest.getInstance("MD5")
@@ -167,7 +211,7 @@ object Crypto {
 
     // 1) try as user password
     val userKey = computeKey(password)
-    if (checkUser(userKey)) return AuthOk(Decryptor(userKey, r, useAes))
+    if (checkUser(userKey)) return AuthOk(Decryptor(userKey, r, stmCfm, strCfm, encMeta))
     // 2) try as owner password: recover user password from O
     val od = MessageDigest.getInstance("MD5")
     od.update(pad(password))
@@ -194,7 +238,7 @@ object Crypto {
     var key2 = d2.digest()
     if (r >= 3) { var i = 0; while (i < 50) { key2 = md5(key2.take(keyLen)); i += 1 } }
     val ownerKey = key2.take(keyLen)
-    if (checkUser(ownerKey)) AuthOk(Decryptor(ownerKey, r, useAes)) else AuthFailed
+    if (checkUser(ownerKey)) AuthOk(Decryptor(ownerKey, r, stmCfm, strCfm, encMeta)) else AuthFailed
   }
 
   private def metadataEncrypted(encrypt: PdfDict, resolve: PdfObject => PdfObject): Boolean =
@@ -202,7 +246,8 @@ object Crypto {
 
   /** AES-256 (R5/R6) authentication, §7.6.4.3.3/4. */
   private def authenticateV5(encrypt: PdfDict, password: Array[Byte],
-                             str: String => Array[Byte], r: Int): AuthResult = {
+                             str: String => Array[Byte], r: Int,
+                             stmCfm: String, strCfm: String, encMeta: Boolean): AuthResult = {
     val u = str("U"); val o = str("O"); val ue = str("UE"); val oe = str("OE")
     if (u.length < 48) return AuthFailed
     val sha256 = MessageDigest.getInstance("SHA-256")
@@ -249,7 +294,7 @@ object Crypto {
         new javax.crypto.spec.SecretKeySpec(ik, "AES"),
         new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
       val fileKey = cipher.doFinal(ue.take(32))
-      return AuthOk(Decryptor(fileKey, r, useAes = true))
+      return AuthOk(Decryptor(fileKey, r, stmCfm, strCfm, encMeta))
     }
     if (o.length >= 48) {
       val oValidSalt = o.slice(32, 40); val oKeySalt = o.slice(40, 48)
@@ -260,7 +305,7 @@ object Crypto {
           new javax.crypto.spec.SecretKeySpec(ik, "AES"),
           new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
         val fileKey = cipher.doFinal(oe.take(32))
-        return AuthOk(Decryptor(fileKey, r, useAes = true))
+        return AuthOk(Decryptor(fileKey, r, stmCfm, strCfm, encMeta))
       }
     }
     AuthFailed

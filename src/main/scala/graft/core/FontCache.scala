@@ -5,23 +5,28 @@ package graft.core
   * documents (every LibreOffice/Scribus export ships the same subset
   * families), so table parsing amortizes to ~zero — the same
   * open-once-per-worker amortization lesson the reference applies to
-  * documents (render.py:372-383), applied one level down. Bounded LRU;
-  * thread-safe (parsing runs on every task thread). */
+  * documents (render.py:372-383), applied one level down.
+  *
+  * Lock-free reads: every task thread hits this on every document, so a
+  * synchronized LRU would serialize the hot path at high core counts.
+  * ConcurrentHashMap + clear-on-overflow keeps the bound without a global
+  * lock (a rare full refill is far cheaper than per-doc lock traffic). */
 object FontCache {
 
-  private val MaxEntries = 256
+  private val MaxEntries = 512
 
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, Option[TrueTypeFont]](64, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, Option[TrueTypeFont]]): Boolean =
-        size() > MaxEntries
-    })
+  private val sha1 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("SHA-1"))
 
   private def key(bytes: Array[Byte]): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val md = sha1.get()
+    md.reset()
     val d = md.digest(bytes)
     java.util.Base64.getEncoder.encodeToString(d) + ":" + bytes.length
   }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[TrueTypeFont]](256)
 
   /** Keyed on the RAW (still compressed) stream bytes so the cache also
     * absorbs the FlateDecode of the font program — the dominant repeated
@@ -34,16 +39,14 @@ object FontCache {
     val parsed =
       try TrueTypeFont.parse(decode())
       catch { case _: Exception => None }
+    if (cache.size >= MaxEntries) cache.clear()
     cache.put(k, parsed)
     parsed
   }
 
   // ToUnicode CMaps repeat identically across same-generator documents too
-  private val cmapCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, Map[Int, String]](64, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, Map[Int, String]]): Boolean =
-        size() > MaxEntries
-    })
+  private val cmapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, String]](256)
 
   def toUnicode(rawStream: Array[Byte], decode: () => Array[Byte]): Map[Int, String] = {
     val k = key(rawStream)
@@ -52,6 +55,7 @@ object FontCache {
     val parsed =
       try CMapParser.parseToUnicode(decode())
       catch { case _: Exception => Map.empty[Int, String] }
+    if (cmapCache.size >= MaxEntries) cmapCache.clear()
     cmapCache.put(k, parsed)
     parsed
   }

@@ -84,13 +84,16 @@ final class PdfDocument private (
     case Some(dec) =>
       if (num == encryptRefNum) return obj
       def walk(o: PdfObject): PdfObject = o match {
-        case PdfString(b) => PdfString(dec.decrypt(b, num, gen))
+        case PdfString(b) => PdfString(dec.decryptString(b, num, gen))
         case PdfArray(items) => PdfArray(items.map(walk))
         case PdfDict(m) => PdfDict(m.map { case (k, v) => k -> walk(v) })
         case PdfStream(d, raw) =>
-          val isXrefOrMeta = d.get("Type").contains(PdfName("XRef"))
+          // XRef streams are never encrypted; Metadata streams stay
+          // plaintext when the encrypt dict says EncryptMetadata=false.
+          val skipDecrypt = d.get("Type").contains(PdfName("XRef")) ||
+            (!dec.encryptMetadata && d.get("Type").contains(PdfName("Metadata")))
           val walkedDict = PdfDict(d.entries.map { case (k, v) => k -> walk(v) })
-          if (isXrefOrMeta) PdfStream(walkedDict, raw)
+          if (skipDecrypt) PdfStream(walkedDict, raw)
           else PdfStream(walkedDict, dec.decrypt(raw, num, gen))
         case other => other
       }
@@ -363,14 +366,18 @@ final class PdfDocument private (
                     val ef = get(fs, "EF") match { case e: PdfDict => e; case _ => PdfDict.empty }
                     val fileStream = ef.get("F").orElse(ef.get("UF")).getOrElse(PdfNull)
                     val bytes = streamData(fileStream)
+                    // params follow FPDFAttachment_GetStringValue semantics
+                    // (attachment.py:96-145 get_str_value): only string
+                    // values render ("" otherwise), and CheckSum renders as
+                    // an uppercase hex string in angle brackets
+                    // (tests/test_attachments.py:33-36).
                     val params = resolve(fileStream) match {
                       case PdfStream(sd, _) => get(sd, "Params") match {
                         case p: PdfDict => p.entries.map { case (pk, pv) =>
                           pk -> (resolve(pv) match {
+                            case PdfString(b) if pk == "CheckSum" =>
+                              "<" + b.map(x => f"${x & 0xff}%02X").mkString + ">"
                             case s: PdfString => s.asText
-                            case PdfNumber(n) => if (n == n.toLong.toDouble) n.toLong.toString else n.toString
-                            case PdfName(nm) => nm
-                            case PdfBool(b) => b.toString
                             case _ => ""
                           })
                         }
@@ -667,11 +674,16 @@ object PdfDocument {
                   val offTok = lx.readToken()
                   val genTok = lx.readToken()
                   val kindTok = lx.readToken()
-                  if (kindTok == "n") {
-                    val num = start + i
-                    if (!acc.contains(num)) {
+                  // 'f' entries are recorded as kind-0 tombstones: an object
+                  // freed in a newer incremental section must shadow an older
+                  // section's in-use offset, not resurrect it (§7.5.4).
+                  val num = start + i
+                  if (!acc.contains(num)) {
+                    if (kindTok == "n") {
                       try acc(num) = XrefEntry(offTok.toLong, genTok.toInt, 1, -1, -1)
                       catch { case _: Exception => () }
+                    } else if (kindTok == "f" && num != 0) {
+                      acc(num) = XrefEntry(-1, 0, 0, -1, -1)
                     }
                   }
                   i += 1
@@ -721,6 +733,9 @@ object PdfDocument {
                         t match {
                           case 1 => acc(num) = XrefEntry(f2, f3.toInt, 1, -1, -1)
                           case 2 => acc(num) = XrefEntry(-1, 0, 2, f2.toInt, f3.toInt)
+                          // type-0 = free: tombstone so newer free entries
+                          // shadow older in-use offsets (see classic path)
+                          case 0 if num != 0 => acc(num) = XrefEntry(-1, 0, 0, -1, -1)
                           case _ => ()
                         }
                       }

@@ -54,9 +54,10 @@ object ExtractPipeline {
     * when upstream partitioning is pathologically skewed. */
   def extract(pages: Dataset[PageRow], password: String = "",
               numPartitions: Int = 0): Dataset[ExtractedDoc] = {
+    // (no pages.rdd probe here — materializing the RDD lineage just to
+    // compare partition counts costs a full plan translation per call)
     val repartitioned =
-      if (numPartitions > 0 && pages.rdd.getNumPartitions != numPartitions)
-        pages.repartition(numPartitions, xxhash64(col("url")))
+      if (numPartitions > 0) pages.repartition(numPartitions, xxhash64(col("url")))
       else pages
     mapParse(repartitioned, password)
   }
@@ -117,6 +118,47 @@ object ExtractPipeline {
     }
   }
 
+  /** Distributed full-document carrier: every non-text report of the
+    * reference API (metadata, TOC, boxes, objects, annotations, attachments,
+    * form fields, fonts, page labels) parsed inside tasks and emitted as one
+    * struct row per document. The individual reports are then plain
+    * selects/explodes over this Dataset — no driver-side document loads.
+    * `parts` prunes sections at parse time (mapPartitions is opaque to
+    * Catalyst column pruning, so pruning must happen here). */
+  def extractDoc(pages: Dataset[PageRow], password: String = "",
+                 parts: Set[String] = DocParts.All): Dataset[DocRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions { it =>
+      it.map { row =>
+        if (row.html == null || row.html.length > MaxHtmlBytes)
+          DocTable.error(row.url, graft.core.ErrCodes.Format)
+        else graft.core.PdfDocument.load(row.html, password) match {
+          case Left(err) => DocTable.error(row.url, err.code)
+          case Right(doc) =>
+            try DocTable.build(row.url, doc, parts)
+            catch { case _: Exception => DocTable.error(row.url, graft.core.ErrCodes.Format) }
+        }
+      }
+    }
+  }
+
+  /** Generic distributed per-document transform for operators that need the
+    * parsed document but aren't covered by [[extractDoc]]'s fixed surface
+    * (e.g. text search with a query-specific term). `f` runs inside tasks;
+    * load failures yield no rows. */
+  def mapDocs[T: org.apache.spark.sql.Encoder](pages: Dataset[PageRow], password: String = "")(
+      f: (String, graft.core.PdfDocument) => IterableOnce[T]): Dataset[T] =
+    pages.mapPartitions { it =>
+      it.flatMap { row =>
+        if (row.html == null || row.html.length > MaxHtmlBytes) Iterator.empty
+        else graft.core.PdfDocument.load(row.html, password) match {
+          case Left(_) => Iterator.empty
+          case Right(doc) => f(row.url, doc).iterator
+        }
+      }
+    }
+
   /** Per-partition lineage/metrics table (FIXTURES.md §5 `metrics`;
     * north-star requirement BASELINE.json). Pure declarative aggregation —
     * partial+final aggregation and the tiny shuffle are Catalyst's. */
@@ -154,8 +196,12 @@ object ResumableExtract {
       .drop("bucket").as[PageRow]
   }
 
-  /** Run extraction bucket group by bucket group, committing a watermark row
-    * after each group's output lands (idempotent restart unit). */
+  /** Run extraction bucket group by bucket group. Each group writes to a
+    * deterministic per-group directory with OVERWRITE semantics and commits
+    * its watermark only after the output lands, so a crash between the two
+    * writes makes the restart redo the group in place — never append
+    * duplicates (idempotent restart unit). Restarts must use the same
+    * `groups` value (group numbering is derived from it). */
   def run(spark: SparkSession, pages: Dataset[PageRow], outDir: String,
           watermarkDir: String, nBuckets: Int, groups: Int): Unit = {
     import spark.implicits._
@@ -164,12 +210,18 @@ object ResumableExtract {
     try {
       (0 until groups).foreach { g =>
         val slice = withBucket.filter(pmod(col("bucket"), lit(groups)) === g)
-        val bucketsInSlice = slice.select(col("bucket")).distinct()
-        val rows = slice.drop("bucket").as[PageRow]
-        ExtractPipeline.extract(rows)
-          .write.mode("append").parquet(outDir)
-        bucketsInSlice.withColumn("completed_at", current_timestamp())
-          .write.mode("append").parquet(watermarkDir)
+        // A fully-committed group has an empty pending slice — skip it, or
+        // the overwrite below would erase its previously-landed output.
+        if (!slice.isEmpty) {
+          val rows = slice.drop("bucket").as[PageRow]
+          // 1) output first (overwrite → rerun-safe after a mid-group crash)
+          ExtractPipeline.extract(rows)
+            .write.mode("overwrite").parquet(s"$outDir/group=$g")
+          // 2) watermark second — only after the group's output is durable
+          slice.select(col("bucket")).distinct()
+            .withColumn("completed_at", current_timestamp())
+            .write.mode("overwrite").parquet(s"$watermarkDir/group=$g")
+        }
       }
     } finally withBucket.unpersist()
   }
