@@ -87,6 +87,17 @@ object OracleSql {
         |  ('<none>', FALSE, 'PASSWORD', '')
         |) AS t(password, ok, err_code, text)""".stripMargin,
 
+    // CID/CMap text extraction over synthesized Type0 fixtures (no
+    // ToUnicode): expected strings are the unicode of the raw charset
+    // bytes in each CMap's encoding — GBK, UCS2, Shift-JIS, UHC
+    "pdf_extract_cid" ->
+      """SELECT * FROM (VALUES
+        |  ('gbk_euc_h', TRUE, 'Hi你好'),
+        |  ('unigb_ucs2_h', TRUE, '你好世界AB'),
+        |  ('rksj_h', TRUE, 'Aこんにちは'),
+        |  ('kscms_uhc_h', TRUE, 'K안녕')
+        |) AS t(case_id, ok, text)""".stripMargin,
+
     "pdf_page_count" ->
       """SELECT url, ok, CAST(n_pages AS BIGINT) AS n_pages FROM (VALUES
         |  ('fixture://attachments.pdf', TRUE, 1),

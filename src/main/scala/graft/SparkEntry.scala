@@ -65,6 +65,27 @@ object SparkEntry {
         .toDF("password", "ok", "err_code", "text")
     }),
 
+    "pdf_extract_cid" -> ((s, _) => {
+      import s.implicits._
+      // CID-keyed Type0 fonts under predefined CMaps, NO ToUnicode — the
+      // CJK web-PDF case (reference behavior via PDFium's shipped Adobe
+      // CMaps; here unicode comes from the CMap family's charset/UCS2 rule).
+      // Fixtures are synthesized deterministically (SynthPdf.cidPdf).
+      val cases: Seq[(String, String, String, Array[Byte])] = Seq(
+        ("gbk_euc_h", "GBK-EUC-H", "GB1",
+          Array(0x48, 0x69, 0xC4, 0xE3, 0xBA, 0xC3).map(_.toByte)),
+        ("unigb_ucs2_h", "UniGB-UCS2-H", "GB1",
+          "你好世界AB".flatMap(c => Seq(((c >> 8) & 0xff).toByte, (c & 0xff).toByte)).toArray),
+        ("rksj_h", "90ms-RKSJ-H", "Japan1",
+          Array(0x41, 0x82, 0xB1, 0x82, 0xF1, 0x82, 0xC9, 0x82, 0xBF, 0x82, 0xCD).map(_.toByte)),
+        ("kscms_uhc_h", "KSCms-UHC-H", "Korea1",
+          Array(0x4B, 0xBE, 0xC8, 0xB3, 0xE7).map(_.toByte))) // K안녕 (EUC-KR subset of UHC)
+      s.createDataset(cases).map { case (id, enc, ord, bytes) =>
+        val r = graft.core.Extract.extractText(graft.core.SynthPdf.cidPdf(enc, ord, bytes))
+        (id, r.ok, r.pages.headOption.map(_.text).getOrElse(""))
+      }.toDF("case_id", "ok", "text")
+    }),
+
     "pdf_page_count" -> ((s, _) => {
       val pages = PagesTable.ofFixtures(s, AllFixtures)
       ExtractPipeline.extract(pages)

@@ -30,7 +30,8 @@ final class PdfFontDecoder(
     val descent: Double,                // /1000 units (negative)
     val weight: Int,
     val isEmbedded: Boolean,
-    fontMatrix: Option[Mat]) {          // Type3 only
+    fontMatrix: Option[Mat],            // Type3 only
+    cmapEnc: Option[CMapEncoding]) {    // Type0 encoding CMap
 
   /** Strip the 6-letter subset tag ("BAAAAA+Ubuntu" → "Ubuntu") like PDFium's
     * base-name helpers (reference test: tests/test_textpage.py:159-191). */
@@ -44,6 +45,10 @@ final class PdfFontDecoder(
 
   /** Split a show-string into charcodes. */
   def codes(bytes: Array[Byte]): Array[Int] = {
+    cmapEnc match {
+      case Some(e) if !e.isPlainTwoByte => return e.splitCodes(bytes)
+      case _ => ()
+    }
     if (codeBytes == 2) {
       val n = bytes.length / 2
       val out = new Array[Int](n)
@@ -67,7 +72,8 @@ final class PdfFontDecoder(
       case Some(s) => return s
       case None => ()
     }
-    if (isType0) return "" // no ToUnicode: cannot map CIDs without full CMap data
+    if (isType0) // no ToUnicode: fall back to the encoding CMap's unicode
+      return cmapEnc.map(_.unicode(code)).getOrElse("")
     diffNames.get(code).flatMap(GlyphNames.toUnicode) match {
       case Some(s) => return s
       case None => ()
@@ -86,10 +92,12 @@ final class PdfFontDecoder(
   /** Advance width in text-space units (em fraction, i.e. /1000 applied). */
   def advance(code: Int): Double = {
     if (isType0) {
-      cidWidths.get(cid(code)) match {
+      val c = cid(code)
+      if (c >= 0) cidWidths.get(c) match {
         case Some(w) => return w / 1000.0
-        case None => return defaultWidth / 1000.0
+        case None => ()
       }
+      return defaultWidth / 1000.0
     }
     // Type3 glyph space is scaled by /FontMatrix, not the fixed 1/1000
     val wScale = fontMatrix.map(_.a).getOrElse(0.001)
@@ -105,13 +113,20 @@ final class PdfFontDecoder(
       .getOrElse(defaultWidth / 1000.0)
   }
 
-  def cid(code: Int): Int = code // Identity-H/V; CMap-coded CID fonts degrade to identity
+  /** CID for a charcode: identity for Identity-H/V, embedded-CMap lookup
+    * otherwise; -1 (→ /DW width, glyph 0) for predefined non-identity CMaps
+    * whose tables the engine does not carry. */
+  def cid(code: Int): Int = cmapEnc match {
+    case Some(e) => e.cid(code)
+    case None => code
+  }
 
   /** Glyph id in the embedded TrueType, per PDF §9.6.6.4 mapping rules. */
   def glyphId(code: Int): Option[Int] = truetype.flatMap { tt =>
     if (isType0) {
       val c = cid(code)
-      cidToGid match {
+      if (c < 0) Some(0) // unresolvable CID (predefined non-identity CMap)
+      else cidToGid match {
         case Some(mapArr) => if (c < mapArr.length) Some(mapArr(c)) else Some(0)
         case None => Some(c)
       }
@@ -196,7 +211,17 @@ object PdfFontDecoder {
       case _ => ()
     }
 
-    // Encoding (Type0): only Identity-H/V carried; CMap names degrade to 2-byte identity
+    // Encoding (Type0): predefined CMaps by name (Identity-H/V, Uni*-UCS2/
+    // UTF16, GBK-EUC, RKSJ, EUC, B5, UHC families) or an embedded CMap stream
+    val cmapEnc: Option[CMapEncoding] = if (isType0) {
+      res(fontDict("Encoding")) match {
+        case PdfName(n) => Some(PredefCMaps.byName(n))
+        case s: PdfStream =>
+          try Some(CMapParser.parseCidCMap(doc.streamData(s)))
+          catch { case _: Exception => Some(PredefCMaps.identityH) }
+        case _ => Some(PredefCMaps.identityH)
+      }
+    } else None
     val codeBytes = if (isType0) 2 else 1
 
     val firstChar = num(fontDict("FirstChar"), 0).toInt
@@ -273,7 +298,7 @@ object PdfFontDecoder {
 
     new PdfFontDecoder(tag, subtype, baseFont, isType0, codeBytes, toUni, diffs.toMap,
       baseEnc, firstChar, widths, defaultW, cidW.toMap, tt, cid2gid,
-      ascent, descent, weight, embedded, fontMatrix)
+      ascent, descent, weight, embedded, fontMatrix, cmapEnc)
   }
 }
 
@@ -352,4 +377,82 @@ object CMapParser {
   }
   private def utf16be(b: Array[Byte]): String =
     new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+
+  /** Embedded encoding-CMap stream (PDF §9.7.5.3): codespacerange +
+    * cidchar/cidrange define code splitting and code→CID; `usecmap`
+    * inherits from a predefined CMap (charset/UCS2 unicode mapping rides
+    * along from that base). */
+  def parseCidCMap(data: Array[Byte]): CMapEncoding = {
+    val space = Vector.newBuilder[(Int, Long, Long)]
+    val cidSingle = scala.collection.mutable.Map[Int, Int]()
+    val cidRanges = Vector.newBuilder[(Int, Int, Int)]
+    var useBase: Option[CMapEncoding] = None
+    var lastName: String = ""
+
+    val lx = new Lexer(data)
+    val stack = scala.collection.mutable.ArrayBuffer[PdfObject]()
+    var mode = 0 // 0 none, 1 codespacerange, 2 cidchar, 3 cidrange
+    while (!lx.atEnd) {
+      lx.skipWs()
+      if (!lx.atEnd) {
+        val c = lx.peek
+        if (c == '<' && lx.peekAt(1) != '<') stack += lx.readHexString()
+        else if (c == '<' || c == '(' || c == '/' || c == '+' || c == '-' || c == '.' ||
+          (c >= '0' && c <= '9') || c == '[') {
+          val o = lx.parseObject()
+          o match { case PdfName(n) => lastName = n; case _ => () }
+          stack += o
+        } else {
+          val kw = lx.readToken()
+          if (kw.isEmpty) lx.pos += 1
+          else kw match {
+            case "begincodespacerange" => mode = 1; stack.clear()
+            case "begincidchar" => mode = 2; stack.clear()
+            case "begincidrange" => mode = 3; stack.clear()
+            case "endcodespacerange" | "endcidchar" | "endcidrange" => mode = 0; stack.clear()
+            case "usecmap" => useBase = Some(PredefCMaps.byName(lastName)); stack.clear()
+            case _ => ()
+          }
+        }
+        if (mode == 1 && stack.length >= 2) {
+          (stack(0), stack(1)) match {
+            case (PdfString(lo), PdfString(hi)) =>
+              space += ((lo.length, beLong(lo), beLong(hi)))
+            case _ => ()
+          }
+          stack.remove(0, 2)
+        } else if (mode == 2 && stack.length >= 2) {
+          (stack(0), stack(1)) match {
+            case (PdfString(code), PdfNumber(cid)) => cidSingle(beInt(code)) = cid.toInt
+            case _ => ()
+          }
+          stack.remove(0, 2)
+        } else if (mode == 3 && stack.length >= 3) {
+          (stack(0), stack(1), stack(2)) match {
+            case (PdfString(lo), PdfString(hi), PdfNumber(cid)) =>
+              cidRanges += ((beInt(lo), beInt(hi), cid.toInt))
+            case _ => ()
+          }
+          stack.remove(0, 3)
+        } else if (mode == 0 && stack.length > 8) stack.clear()
+      }
+    }
+    val ownSpace = space.result()
+    val (baseSpace, charsetName, ucs2) = useBase match {
+      case Some(b) => (b.rawCodespace, b.rawCharsetName, b.isUcs2)
+      case None => (Vector.empty[(Int, Long, Long)], None, false)
+    }
+    new CMapEncoding("embedded",
+      if (ownSpace.nonEmpty) ownSpace ++ baseSpace
+      else if (baseSpace.nonEmpty) baseSpace
+      else Vector((2, 0x0000L, 0xffffL)),
+      charsetName, ucs2, identityCid = false, cidSingle.toMap, cidRanges.result())
+  }
+
+  private def beLong(b: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < b.length && i < 8) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+    v
+  }
 }

@@ -1,0 +1,60 @@
+package graft.core
+
+/** Deterministic minimal-PDF builder (classic xref, uncompressed). Used by
+  * specs and by oracle queries that need fixtures the reference corpus
+  * lacks (e.g. CID-keyed fonts with predefined CMaps — the reference's CJK
+  * behavior is exercised through PDFium's shipped Adobe CMaps, so the
+  * corpus has no such file; we synthesize one instead). */
+object SynthPdf {
+
+  /** Build a classic-xref PDF from object bodies (1-indexed refs). Bodies
+    * may be raw byte arrays (binary streams). */
+  def build(objs: Vector[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def wr(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    wr("%PDF-1.4\n")
+    val offsets = Vector.newBuilder[Int]
+    objs.zipWithIndex.foreach { case (body, i) =>
+      offsets += out.size()
+      wr(s"${i + 1} 0 obj\n")
+      out.write(body)
+      wr("\nendobj\n")
+    }
+    val xrefAt = out.size()
+    wr(s"xref\n0 ${objs.length + 1}\n")
+    wr("0000000000 65535 f \n")
+    offsets.result().foreach(o => wr(f"$o%010d 00000 n \n"))
+    wr(s"trailer\n<</Size ${objs.length + 1}/Root 1 0 R>>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Build a 1-page classic-xref PDF around the given content stream. The
+    * content string is latin-1-encoded (binary-safe for show-string bytes). */
+  def onePage(content: String, fontDict: String =
+      "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>"): Array[Byte] = {
+    val cBytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    build(Vector(
+      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Resources<</Font<</F1 4 0 R>>>>/Contents 5 0 R>>".getBytes,
+      fontDict.getBytes,
+      (s"<</Length ${cBytes.length}>>\nstream\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        ++ cBytes ++ "\nendstream".getBytes): Array[Byte]))
+  }
+
+  /** Type0 font dict with a predefined encoding CMap and no ToUnicode. */
+  def type0FontDict(baseFont: String, encoding: String, registry: String,
+                    ordering: String, dw: Int = 1000): String =
+    s"<</Type/Font/Subtype/Type0/BaseFont/$baseFont/Encoding/$encoding" +
+      s"/DescendantFonts[<</Type/Font/Subtype/CIDFontType0/BaseFont/$baseFont" +
+      s"/CIDSystemInfo<</Registry($registry)/Ordering($ordering)/Supplement 2>>/DW $dw>>]>>"
+
+  /** One-page CID PDF showing `textBytes` (already in the CMap's encoding)
+    * through a Type0 font with the given predefined CMap. */
+  def cidPdf(encoding: String, ordering: String, textBytes: Array[Byte],
+             baseFont: String = "STSong-Light"): Array[Byte] = {
+    val hex = textBytes.map(b => f"${b & 0xff}%02X").mkString
+    val content = s"BT /F1 12 Tf 1 0 0 1 100 700 Tm <$hex> Tj ET"
+    onePage(content, type0FontDict(baseFont, encoding, "Adobe", ordering))
+  }
+}

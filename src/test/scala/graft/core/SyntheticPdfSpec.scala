@@ -4,38 +4,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Hand-assembled minimal PDFs exercising paths the fixture corpus lacks:
   * rotated text runs, Tz/Tw/Tc state, generated word spaces, Tw on
-  * code-32. The builder emits classic-xref uncompressed files. */
+  * code-32. Delegates to the main-source SynthPdf builder. */
 object MiniPdf {
-  /** Build a classic-xref PDF from object bodies (1-indexed refs). Bodies
-    * may be raw byte arrays (binary streams). */
-  def build(objs: Vector[Array[Byte]]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    def wr(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-    wr("%PDF-1.4\n")
-    val offsets = Vector.newBuilder[Int]
-    objs.zipWithIndex.foreach { case (body, i) =>
-      offsets += out.size()
-      wr(s"${i + 1} 0 obj\n")
-      out.write(body)
-      wr("\nendobj\n")
-    }
-    val xrefAt = out.size()
-    wr(s"xref\n0 ${objs.length + 1}\n")
-    wr("0000000000 65535 f \n")
-    offsets.result().foreach(o => wr(f"$o%010d 00000 n \n"))
-    wr(s"trailer\n<</Size ${objs.length + 1}/Root 1 0 R>>\nstartxref\n$xrefAt\n%%EOF\n")
-    out.toByteArray
-  }
+  def build(objs: Vector[Array[Byte]]): Array[Byte] = SynthPdf.build(objs)
 
-  /** Build a 1-page classic-xref PDF around the given content stream. */
   def onePage(content: String, fontDict: String =
       "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>"): Array[Byte] =
-    build(Vector(
-      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
-      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
-      "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Resources<</Font<</F1 4 0 R>>>>/Contents 5 0 R>>".getBytes,
-      fontDict.getBytes,
-      s"<</Length ${content.length}>>\nstream\n$content\nendstream".getBytes))
+    SynthPdf.onePage(content, fontDict)
 
   /** imgtopdf analog (reference src/pypdfium2_cli/imgtopdf.py): embed a JPEG
     * as a DCTDecode image XObject on one page. */
@@ -187,6 +162,58 @@ class SyntheticPdfSpec extends AnyFunSuite {
     assert(r.pages.head.text == "Updated", s"got: [${r.pages.head.text}]")
     // the original still reads "Original"
     assert(Extract.extractText(base).pages.head.text == "Original")
+  }
+
+  test("Type0/GBK-EUC-H without ToUnicode extracts CJK text (predefined CMap)") {
+    // "Hi" (1-byte ASCII codes) + 你好 (GBK 2-byte codes C4E3 BAC3)
+    val gbk = Array[Byte](0x48, 0x69, 0xC4.toByte, 0xE3.toByte, 0xBA.toByte, 0xC3.toByte)
+    val r = Extract.extractText(SynthPdf.cidPdf("GBK-EUC-H", "GB1", gbk))
+    assert(r.ok, r.errMsg)
+    assert(r.pages.head.text == "Hi你好", s"got: [${r.pages.head.text}]")
+  }
+
+  test("Type0/UniGB-UCS2-H without ToUnicode: charcode IS the UTF-16 unit") {
+    val ucs2 = "你好世界AB".flatMap(c =>
+      Seq(((c >> 8) & 0xff).toByte, (c & 0xff).toByte)).toArray
+    val r = Extract.extractText(SynthPdf.cidPdf("UniGB-UCS2-H", "GB1", ucs2))
+    assert(r.ok, r.errMsg)
+    assert(r.pages.head.text == "你好世界AB", s"got: [${r.pages.head.text}]")
+  }
+
+  test("Type0/90ms-RKSJ-H without ToUnicode: Shift-JIS mixed-width codes") {
+    // "A" (1 byte 0x41), こんにちは Shift-JIS: 82B1 82F1 82C9 82BF 82CD
+    val sjis = Array(0x41, 0x82, 0xB1, 0x82, 0xF1, 0x82, 0xC9, 0x82, 0xBF, 0x82, 0xCD)
+      .map(_.toByte)
+    val r = Extract.extractText(SynthPdf.cidPdf("90ms-RKSJ-H", "Japan1", sjis))
+    assert(r.ok, r.errMsg)
+    assert(r.pages.head.text == "Aこんにちは", s"got: [${r.pages.head.text}]")
+  }
+
+  test("embedded CMap stream: codespace split + cidrange mapping") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |/GBK-EUC-H usecmap
+        |1 begincodespacerange
+        |<00> <80>
+        |endcodespacerange
+        |2 begincidrange
+        |<20> <7e> 1
+        |<8140> <fefe> 1000
+        |endcidrange
+        |1 begincidchar
+        |<41> 999
+        |endcidchar
+        |endcmap""".stripMargin.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val enc = CMapParser.parseCidCMap(cmap)
+    // split: 1-byte ASCII + 2-byte GBK (codespace inherited via usecmap)
+    val codes = enc.splitCodes(Array[Byte](0x48, 0xC4.toByte, 0xE3.toByte, 0x21))
+    assert(codes.toSeq == Seq(0x48, 0xC4E3, 0x21))
+    assert(enc.cid(0x20) == 1 && enc.cid(0x7e) == 0x5e + 1)
+    assert(enc.cid(0x41) == 999) // cidchar overrides range
+    assert(enc.cid(0x8140) == 1000 && enc.cid(0x8141) == 1001)
+    // unicode inherited from the GBK base
+    assert(enc.unicode(0xC4E3) == "你")
   }
 
   test("' and \" operators advance the line and show text") {
