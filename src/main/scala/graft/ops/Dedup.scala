@@ -191,8 +191,19 @@ object Dedup {
   }
 
   /** Blocked exact n-gram Jaccard: pairwise within a blocking key (first
-    * token), SQL-replicable. Output matches minhashLsh's shape. */
-  def jaccardBlocked(corpus: DataFrame, threshold: Double = 0.5): DataFrame = {
+    * token), SQL-replicable. Output matches minhashLsh's shape.
+    *
+    * Skew/size guard: natural-language corpora concentrate on a few first
+    * tokens ("The"/"A" blocks — quadratic hot partitions at scale). Blocks
+    * larger than `maxBlock` are sub-split by a doc-id hash: candidate count
+    * per block drops from n² to ~n²/S (S = ⌈n/maxBlock⌉ sub-blocks) and the
+    * work spreads across S shuffle keys. Within-sub-block pairs keep exact
+    * Jaccard semantics; cross-sub-block pairs of OVERSIZED blocks are
+    * sacrificed — the standard blocked-dedup cap (oversized blocks are
+    * boilerplate-dominated in practice). Blocks under the cap (S=1, the
+    * oracle corpus) are exhaustive and exact. */
+  def jaccardBlocked(corpus: DataFrame, threshold: Double = 0.5,
+                     maxBlock: Int = 1000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // hashed shingles (8B/element) keep the blocked self-join shuffle ~5×
@@ -207,9 +218,14 @@ object Dedup {
       .filter(_._3.nonEmpty)
       .toDF("doc_id", "blk", "hs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = withSh.select(col("blk"), col("doc_id").as("a"), col("hs").as("ha"))
-    val r = withSh.select(col("blk"), col("doc_id").as("b"), col("hs").as("hb"))
-    l.join(r, Seq("blk")).where(col("a") < col("b"))
+    // block sizes are tiny (one row per distinct first token) → broadcast
+    val sizes = withSh.groupBy(col("blk")).agg(count(lit(1)).as("blk_n"))
+    val salted = withSh.join(broadcast(sizes), Seq("blk"))
+      .withColumn("sub",
+        pmod(xxhash64(col("doc_id")), greatest(ceil(col("blk_n") / maxBlock), lit(1))))
+    val l = salted.select(col("blk"), col("sub"), col("doc_id").as("a"), col("hs").as("ha"))
+    val r = salted.select(col("blk"), col("sub"), col("doc_id").as("b"), col("hs").as("hb"))
+    l.join(r, Seq("blk", "sub")).where(col("a") < col("b"))
       .select(col("a"), col("b"), col("ha"), col("hb"))
       .as[(Long, Long, Array[Long], Array[Long])]
       .flatMap { case (a, b, ha, hb) =>
@@ -237,24 +253,69 @@ object Dedup {
     out
   }
 
-  /** SimHash near-dup pairs: bucket by 16-bit bands of the fingerprint
-    * (4 bands → hamming ≤ 3 guaranteed candidate recall), verify hamming. */
-  def simhashPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** 6 blocks of the 64-bit fingerprint (11,11,11,11,10,10 bits) and the
+    * C(6,3)=20 three-block combination keys (Manku/Jain/Sarma, WWW'07
+    * "Detecting Near-Duplicates for Web Crawling"): any two fingerprints
+    * within hamming distance 3 differ in at most 3 blocks, so at least one
+    * 3-block combination is intact on both — guaranteed candidate recall at
+    * ~2³² key space per combination (vs 2¹⁶ for naive 16-bit bands, whose
+    * buckets go quadratic at ≥10⁹ docs). Keys are packed longs:
+    * comboIdx(5 bits) :: blockI(11) :: blockJ(11) :: blockK(11). */
+  private val SimhashBlockBits = Array(11, 11, 11, 11, 10, 10)
+  private val SimhashBlockShift: Array[Int] = {
+    val sh = new Array[Int](6)
+    var acc = 0
+    var i = 0
+    while (i < 6) { sh(i) = acc; acc += SimhashBlockBits(i); i += 1 }
+    sh
+  }
+  private val SimhashCombos: Array[(Int, Int, Int)] = (for {
+    i <- 0 until 6; j <- (i + 1) until 6; k <- (j + 1) until 6
+  } yield (i, j, k)).toArray
+
+  def simhashBandKeys(fp: Long): Array[Long] = {
+    def block(i: Int): Long =
+      (fp >>> SimhashBlockShift(i)) & ((1L << SimhashBlockBits(i)) - 1)
+    val out = new Array[Long](SimhashCombos.length)
+    var c = 0
+    while (c < SimhashCombos.length) {
+      val (i, j, k) = SimhashCombos(c)
+      out(c) = (c.toLong << 33) | (block(i) << 22) | (block(j) << 11) | block(k)
+      c += 1
+    }
+    out
+  }
+
+  /** SimHash near-dup pairs: candidates bucketed by the 20 combination keys
+    * (guaranteed recall for hamming ≤ 3), verified by exact hamming. Buckets
+    * larger than `maxBucket` (mass-identical boilerplate at web scale) are
+    * sub-split by doc-id hash — the same bounded-candidates cap as
+    * [[jaccardBlocked]]; sub-capped buckets keep intact pairs only within
+    * sub-blocks. */
+  def simhashPairs(corpus: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 10000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val fps = corpus.select(col("doc_id"), col("text"))
+    val banded = corpus.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, shingleStrings(text)) }
       .filter(_._2.nonEmpty)
-      .map { case (id, sh) => (id, simhash64(sh)) }
-      .toDF("doc_id", "fp")
+      .flatMap { case (id, sh) =>
+        val fp = simhash64(sh)
+        simhashBandKeys(fp).iterator.map(bk => (id, fp, bk))
+      }
+      .toDF("doc_id", "fp", "bk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = fps.select(col("doc_id"), col("fp"),
-      explode(array((0 until 4).map(b =>
-        concat_ws(":", lit(b), shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL)).cast("string"))): _*)).as("bk"))
-    val l = banded.select(col("bk"), col("doc_id").as("a"), col("fp").as("fpa"))
-    val r = banded.select(col("bk"), col("doc_id").as("b"), col("fp").as("fpb"))
-    l.join(r, Seq("bk")).where(col("a") < col("b"))
+    // bucket-size table scales with corpus (not vocab) → no broadcast hint;
+    // AQE picks the join strategy. Singleton buckets can't pair — drop early.
+    val sizes = banded.groupBy(col("bk")).agg(count(lit(1)).as("bk_n"))
+      .where(col("bk_n") > 1)
+    val salted = banded.join(sizes, Seq("bk"))
+      .withColumn("sub",
+        pmod(xxhash64(col("doc_id")), greatest(ceil(col("bk_n") / maxBucket), lit(1))))
+    val l = salted.select(col("bk"), col("sub"), col("doc_id").as("a"), col("fp").as("fpa"))
+    val r = salted.select(col("bk"), col("sub"), col("doc_id").as("b"), col("fp").as("fpb"))
+    l.join(r, Seq("bk", "sub")).where(col("a") < col("b"))
       .dropDuplicates("a", "b")
       .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
       .where(col("hamming") <= maxHamming)

@@ -55,6 +55,43 @@ class OpsSpec extends AnyFunSuite {
     assert(union - inter == 2, s"inter=$inter union=$union")
   }
 
+  test("simhash band keys: guaranteed recall for hamming ≤ 3 (Manku blocks)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val fp = rnd.nextLong()
+      val flips = 1 + rnd.nextInt(3)
+      var fp2 = fp
+      (0 until flips).foreach(_ => fp2 ^= (1L << rnd.nextInt(64)))
+      val shared = Dedup.simhashBandKeys(fp).toSet intersect Dedup.simhashBandKeys(fp2).toSet
+      assert(shared.nonEmpty, f"no shared band key for fp=$fp%016x flips=$flips")
+    }
+  }
+
+  test("simhash pipeline pairs near-identical docs; far docs excluded") {
+    import spark.implicits._
+    val base = Seq.tabulate(80)(i => s"w$i").mkString(" ")
+    val near = base.split(" ", -1).dropRight(1).mkString(" ")
+    val far = Seq.tabulate(80)(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("jaccard block cap bounds candidate pairs on a single-token-skewed corpus") {
+    import spark.implicits._
+    // 120 IDENTICAL docs (one "the …" block): every candidate survives
+    // verification, so the output count observably equals the candidate count
+    val text = "the " + Seq.tabulate(30)(i => s"w$i").mkString(" ")
+    val docs = (1L to 120L).map(i => (i, text)).toDF("doc_id", "text")
+    val full = Dedup.jaccardBlocked(docs).count()
+    assert(full == 120L * 119 / 2, s"uncapped should be exhaustive, got $full")
+    val capped = Dedup.jaccardBlocked(docs, maxBlock = 30).count()
+    // 4 sub-blocks of ~30 docs: ~4 × C(30,2) ≈ 1740 ≪ 7140 (loose bound for
+    // hash-split imbalance)
+    assert(capped < 4000, s"capped candidates not bounded: $capped")
+    assert(capped > 500, s"cap should not destroy within-sub-block pairs: $capped")
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
