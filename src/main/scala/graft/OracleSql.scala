@@ -189,6 +189,17 @@ object OracleSql {
         |   '<72AFCDDEDF554DDA63C0C88E06F1CE18>')
         |) AS t(ord, name, n_bytes, p_size, p_creation_date, p_mod_date, p_checksum)""".stripMargin,
 
+    // smart image extraction: CCITT geometry from the reference expectations
+    // (pageobjects_images.txt: 115×48 @1bpp → 48 rows × 15 bytes); jpeg md5
+    // pinned to the source fixture file (byte-identical passthrough,
+    // tests/test_cli.py:108-119)
+    "pdf_image_pixels" ->
+      """SELECT * FROM (VALUES
+        |  ('ccitt_g4', 'pix', CAST(115 AS BIGINT), CAST(48 AS BIGINT), CAST(720 AS BIGINT), ''),
+        |  ('jpeg_passthrough', 'jpg', CAST(120 AS BIGINT), CAST(120 AS BIGINT), CAST(6167 AS BIGINT),
+        |   '79de823617c0b2b7e612641f17ac2638')
+        |) AS t(case_id, format, width, height, n_bytes, md5)""".stripMargin,
+
     "pdf_page_labels" ->
       """SELECT CAST(page AS BIGINT) AS page, label FROM (VALUES
         |  (0, 'i'), (1, 'ii'), (2, 'appendix-C'), (3, 'appendix-D'), (4, 'appendix-E'),

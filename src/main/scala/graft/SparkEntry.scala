@@ -227,6 +227,40 @@ object SparkEntry {
         .toDF("ord", "width", "height", "bpc", "colorspace", "filters", "l", "b", "r", "t")
     }),
 
+    "pdf_image_pixels" -> ((s, _) => {
+      import s.implicits._
+      // smart image extraction (pageobjects.py:543-659): DCT passthrough is
+      // byte-identical (md5 vs the source fixture), CCITT G4 decodes to
+      // packed 1bpp pixel rows (48 rows × 15 bytes for the 115×48 fixture)
+      val jpg = PagesTable.fixture("mona_lisa.jpg")
+      val jpgPdf = {
+        // imgtopdf analog (reference src/pypdfium2_cli/imgtopdf.py)
+        val imgHdr = s"<</Type/XObject/Subtype/Image/Width 120/Height 120/BitsPerComponent 8/ColorSpace/DeviceRGB/Filter/DCTDecode/Length ${jpg.length}>>\nstream\n"
+        val img = imgHdr.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ jpg ++ "\nendstream".getBytes
+        val content = "q 120 0 0 120 0 0 cm /Im1 Do Q"
+        graft.core.SynthPdf.build(Vector(
+          "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+          "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+          "<</Type/Page/Parent 2 0 R/MediaBox[0 0 120 120]/Resources<</XObject<</Im1 4 0 R>>>>/Contents 5 0 R>>".getBytes,
+          img,
+          s"<</Length ${content.length}>>\nstream\n$content\nendstream".getBytes))
+      }
+      val rows = Seq(
+        ("ccitt_g4", PagesTable.fixture("images.pdf")),
+        ("jpeg_passthrough", jpgPdf))
+      s.createDataset(rows).map { case (id, bytes) =>
+        val doc = graft.core.PdfDocument.load(bytes).toOption.get
+        val img = graft.core.ImageExtract.pageImages(doc.page(0)).head
+        // md5 only where an INDEPENDENT golden exists (the source jpeg);
+        // CCITT pixel identity is covered by the round-trip specs
+        val md5 = if (id == "jpeg_passthrough")
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(img.data).map(b => f"$b%02x").mkString
+        else ""
+        (id, img.format, img.width.toLong, img.height.toLong, img.data.length.toLong, md5)
+      }.toDF("case_id", "format", "width", "height", "n_bytes", "md5")
+    }),
+
     "pdf_objects_count" -> ((s, _) => {
       ExtractPipeline.extractDoc(
         PagesTable.ofFixtures(s, Seq("images.pdf", "text.pdf", "render.pdf")), parts = Set(DocParts.Objects))

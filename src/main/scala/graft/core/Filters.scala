@@ -49,6 +49,23 @@ object Filters {
     out
   }
 
+  /** Terminal (image-codec) filter name and its DecodeParms dict, if any. */
+  def terminalFilter(dict: PdfDict, resolve: PdfObject => PdfObject): Option[(String, PdfDict)] = {
+    val filters = filterNames(dict, resolve)
+    if (filters.isEmpty) return None
+    val parmsList: Vector[PdfObject] = resolve(dict("DecodeParms")) match {
+      case d: PdfDict => Vector(d)
+      case PdfArray(items) => items.map(resolve)
+      case _ => Vector.empty
+    }
+    val i = filters.length - 1
+    val parms = if (i < parmsList.length) parmsList(i) match {
+      case d: PdfDict => d
+      case _ => PdfDict.empty
+    } else PdfDict.empty
+    Some((filters(i), parms))
+  }
+
   /** Names of filters applied, in application order (for image metadata —
     * reference pageobjects.py:518-540). */
   def filterNames(dict: PdfDict, resolve: PdfObject => PdfObject): Vector[String] =

@@ -30,14 +30,20 @@ object ImageExtract {
                     val w = doc.resolve(xd("Width")) match { case PdfNumber(v) => v.toInt; case _ => 0 }
                     val h = doc.resolve(xd("Height")) match { case PdfNumber(v) => v.toInt; case _ => 0 }
                     val filters = Filters.filterNames(xd, doc.resolve)
-                    val format = filters.lastOption match {
-                      case Some("DCTDecode") | Some("DCT") => "jpg"
-                      case Some("JPXDecode") => "jp2"
-                      case _ => "raw"
-                    }
                     // decode applies simple prefilters and stops at the
                     // terminal codec, leaving its payload byte-identical
-                    val data = doc.streamData(s)
+                    val codecData = doc.streamData(s)
+                    val (format, data) = filters.lastOption match {
+                      case Some("DCTDecode") | Some("DCT") => ("jpg", codecData)
+                      case Some("JPXDecode") => ("jp2", codecData)
+                      case Some("CCITTFaxDecode") | Some("CCF") =>
+                        // smart-path decode branch (pageobjects.py:543-659):
+                        // CCITT G3/G4 → packed 1bpp pixel rows
+                        val parms = Filters.terminalFilter(xd, doc.resolve).map(_._2).getOrElse(PdfDict.empty)
+                        try ("pix", Ccitt.decodeFilter(codecData, parms, doc.resolve))
+                        catch { case _: Exception => ("raw", codecData) }
+                      case _ => ("raw", codecData)
+                    }
                     out += ExtractedImage(name, format, data, w, h)
                   case PdfName("Form") =>
                     doc.resolve(xd("Resources")) match {

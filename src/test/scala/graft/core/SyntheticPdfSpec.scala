@@ -101,13 +101,13 @@ class SyntheticPdfSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(imgs.head.data, jpg), "extracted JPEG differs from source")
   }
 
-  test("CCITT images extract as raw codec payloads (images.pdf)") {
+  test("CCITT images extract as decoded 1bpp pixels (images.pdf smart path)") {
     val bytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/tests/resources/images.pdf"))
     val doc = PdfDocument.load(bytes).toOption.get
     val imgs = ImageExtract.pageImages(doc.page(0))
     assert(imgs.length == 1) // one shared XObject drawn three times
-    assert(imgs.head.format == "raw" && imgs.head.data.nonEmpty)
+    assert(imgs.head.format == "pix" && imgs.head.data.length == 48 * 15)
     assert(imgs.head.width == 115 && imgs.head.height == 48)
   }
 

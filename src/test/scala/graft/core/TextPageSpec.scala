@@ -145,4 +145,32 @@ class TextPageSpec extends AnyFunSuite {
     val bad = Extract.extractText(fixture("encrypted.pdf"), "wrong")
     assert(!bad.ok && bad.errCode == ErrCodes.Password)
   }
+
+  test("get_text_bounded defaults under /Rotate 90 use native PDF coords (test_textpage.py:144-156)") {
+    // page.set_rotation(90) analog: incremental update replacing page obj 1
+    // with the same dict + /Rotate 90
+    val base = fixture("text.pdf")
+    val baseStr = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val prevXref = baseStr.lastIndexOf("startxref")
+    val prevOff = baseStr.substring(prevXref + 9).trim.takeWhile(_.isDigit)
+    val newPage = "<</Type/Page/Parent 31 0 R/Resources 38 0 R" +
+      "/MediaBox[0 0 595.303937007874 841.889763779528]/StructParents 0" +
+      "/Rotate 90/Group<</S/Transparency/CS/DeviceRGB/I true>>/Contents 2 0 R>>"
+    val sb = new StringBuilder(baseStr)
+    val objAt = sb.length
+    sb.append(s"1 0 obj\n$newPage\nendobj\n")
+    val xrefAt = sb.length
+    sb.append("xref\n0 1\n0000000000 65535 f \n1 1\n")
+    sb.append(f"$objAt%010d 00000 n \n")
+    sb.append(s"trailer\n<</Size 70/Root 68 0 R/Prev $prevOff>>\nstartxref\n$xrefAt\n%%EOF\n")
+    val rotated = sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val doc = PdfDocument.load(rotated).toOption.get
+    val page = doc.page(0)
+    assert(page.rotation == 90)
+    val text = page.textPage.textBounded()
+    // reference pins a tolerance band: 430 < len < 460 (pdfium drift across
+    // versions); the defaults must span the native mediaBox, not the
+    // rotation-normalized size
+    assert(text.length > 430 && text.length < 460, s"len=${text.length}")
+  }
 }
