@@ -189,6 +189,19 @@ object OracleSql {
         |   '<72AFCDDEDF554DDA63C0C88E06F1CE18>')
         |) AS t(ord, name, n_bytes, p_size, p_creation_date, p_mod_date, p_checksum)""".stripMargin,
 
+    // rasterizer probes: device pixels pinned by construction (612×792
+    // page, y-flip; red re at (100..150, 600..630)pdf → (100..150,
+    // 162..192)dev; even-odd hole stays white; cmyk magenta triangle)
+    "pdf_render" ->
+      """SELECT probe_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, argb FROM (VALUES
+        |  ('red_inside', 125, 175, 'FFFF0000'),
+        |  ('red_left', 90, 175, 'FFFFFFFF'),
+        |  ('ring_outer', 110, 342, 'FF0000FF'),
+        |  ('ring_hole', 150, 342, 'FFFFFFFF'),
+        |  ('tri_inside', 350, 672, 'FFFF00FF'),
+        |  ('tri_outside', 301, 602, 'FFFFFFFF')
+        |) AS t(probe_id, x, y, argb)""".stripMargin,
+
     // smart image extraction: CCITT geometry from the reference expectations
     // (pageobjects_images.txt: 115×48 @1bpp → 48 rows × 15 bytes); jpeg md5
     // pinned to the source fixture file (byte-identical passthrough,

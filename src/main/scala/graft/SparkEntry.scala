@@ -227,6 +227,25 @@ object SparkEntry {
         .toDF("ord", "width", "height", "bpc", "colorspace", "filters", "l", "b", "r", "t")
     }),
 
+    "pdf_render" -> ((s, _) => {
+      import s.implicits._
+      // minimal rasterizer (page.render analog): synthetic page with
+      // geometry pinned by construction, probed at fixed device pixels
+      val content = "1 0 0 rg 100 600 50 30 re f " +
+        "0 0 1 rg 100 400 100 100 re 130 430 40 40 re f* " +
+        "0 1 0 0 k 300 100 m 400 100 l 350 200 l h f"
+      val pdf = graft.core.SynthPdf.onePage(content)
+      val probes = Seq(
+        ("red_inside", 125, 175), ("red_left", 90, 175),
+        ("ring_outer", 110, 342), ("ring_hole", 150, 342),
+        ("tri_inside", 350, 672), ("tri_outside", 301, 602))
+      s.createDataset(probes).map { case (id, x, y) =>
+        val doc = graft.core.PdfDocument.load(pdf).toOption.get
+        val bmp = graft.core.render.Rasterizer.render(doc.page(0))
+        (id, x.toLong, y.toLong, f"${bmp.get(x, y)}%08X")
+      }.toDF("probe_id", "x", "y", "argb")
+    }),
+
     "pdf_image_pixels" -> ((s, _) => {
       import s.implicits._
       // smart image extraction (pageobjects.py:543-659): DCT passthrough is

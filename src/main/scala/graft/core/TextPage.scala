@@ -13,7 +13,9 @@ final case class CharEntry(
     loose: Option[Rect],
     ox: Double, oy: Double,
     fontSize: Double,
-    objIdx: Int)
+    objIdx: Int,
+    excluded: Boolean = false) // in the char list but not the text view
+                               // (PDFium unicode-0 chars; textpage.py:88-146)
 
 /** Assembled text page — the FPDFText_* surface (reference
   * src/pypdfium2/_helpers/textpage.py). Chars are emitted in PDFium order:
@@ -28,19 +30,61 @@ final class TextPage private (
     val textObjects: Vector[RawTextObject],
     val pageBBox: Rect) {
 
-  lazy val text: String = chars.map(_.unicode).mkString
+  /** The text view: char list minus excluded chars (PDFium m_TextBuf). */
+  lazy val text: String = {
+    val sb = new java.lang.StringBuilder(chars.length)
+    chars.foreach(c => if (!c.excluded) sb.append(c.unicode))
+    sb.toString
+  }
 
   def countChars: Int = chars.length
 
-  /** get_text_range (textpage.py:88-146). count = -1 → to end. */
+  /** FPDFText_GetTextIndexFromCharIndex analog: -1 for excluded chars. */
+  lazy val textIndexFromCharIndex: Array[Int] = {
+    val out = new Array[Int](chars.length)
+    var t = 0
+    var i = 0
+    while (i < chars.length) {
+      if (chars(i).excluded) out(i) = -1 else { out(i) = t; t += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** FPDFText_GetCharIndexFromTextIndex analog. */
+  def charIndexFromTextIndex(t: Int): Int = {
+    var i = 0
+    var seen = 0
+    while (i < chars.length) {
+      if (!chars(i).excluded) {
+        if (seen == t) return i
+        seen += 1
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** get_text_range (textpage.py:88-146). count = -1 → to end. The range is
+    * in CHAR indices; excluded chars can make it diverge from the text view,
+    * so the range is narrowed to its active (non-excluded) core and mapped
+    * to text indices — the reference's _get_active_text_range. */
   def textRange(index: Int = 0, count: Int = -1): Either[PdfError, String] = {
-    if (index < 0 || index >= math.max(chars.length, 1) && !(index == 0 && chars.isEmpty))
-      if (chars.isEmpty && index == 0) return Right("")
-      else return Left(PdfError(ErrCodes.Unknown, "Character index out of bounds."))
+    if (chars.isEmpty && index == 0) return Right("")
+    if (index < 0 || index >= chars.length)
+      return Left(PdfError(ErrCodes.Unknown, "Character index out of bounds."))
     val n = if (count == -1) chars.length - index else count
     if (n < 0 || index + n > chars.length)
       return Left(PdfError(ErrCodes.Unknown, "Character range out of bounds."))
-    Right(text.substring(index, index + n))
+    // narrow to the active range (leading/trailing excluded chars dropped)
+    var cStart = index
+    var cEnd = index + n - 1
+    while (cStart <= cEnd && chars(cStart).excluded) cStart += 1
+    while (cEnd >= cStart && chars(cEnd).excluded) cEnd -= 1
+    if (cStart > cEnd) return Right("")
+    val tStart = textIndexFromCharIndex(cStart)
+    val tEnd = textIndexFromCharIndex(cEnd)
+    Right(text.substring(tStart, tEnd + 1))
   }
 
   /** get_charbox (textpage.py:196-221): tight or loose per-char box. */
@@ -92,7 +136,7 @@ final class TextPage private (
     var addLineFeed = false
     var posy = 0.0
     chars.foreach { c =>
-      val contain = c.tight.exists(b => intersectsLoose(b, rect))
+      val contain = !c.excluded && c.tight.exists(b => intersectsLoose(b, rect))
       if (contain) {
         if (math.abs(posy - c.oy) > 0 && !containPre && addLineFeed) {
           posy = c.oy
@@ -101,7 +145,7 @@ final class TextPage private (
         containPre = true
         addLineFeed = false
         sb.append(c.unicode)
-      } else if (c.unicode == ' ') {
+      } else if (c.unicode == ' ' && !c.excluded) {
         if (containPre) {
           sb.append(' ')
           containPre = false
@@ -272,13 +316,18 @@ object TextPage {
           }
           val uni = rc.unicode
           if (uni.isEmpty) {
-            // unmappable: PDFium records the charcode; emit nothing only if 0
-            // (skip the surrogate range — errors="ignore" semantics keep the
-            // output valid UTF-16, textpage.py:85)
+            // unmappable: PDFium records the charcode when representable
+            // (errors="ignore" semantics keep the output valid UTF-16,
+            // textpage.py:85); otherwise the char stays in the CHAR LIST as
+            // an excluded entry — present for counts/boxes, absent from the
+            // text view (the char-vs-text dual index, textpage.py:88-146)
             if (rc.code > 0 && rc.code < 0xFFFF && (rc.code < 0xD800 || rc.code > 0xDFFF)) {
               entries += CharEntry(rc.code.toChar, generated = false, rc.tight, Some(rc.loose),
                 rc.ox, rc.oy, rc.fontSize, objIdx)
               lastEmitted = rc.code.toChar
+            } else {
+              entries += CharEntry(' ', generated = false, rc.tight, Some(rc.loose),
+                rc.ox, rc.oy, rc.fontSize, objIdx, excluded = true)
             }
           } else if (uni == " " && lastEmitted == ' ') {
             // collapse duplicate spaces (real space after generated space)

@@ -1,0 +1,47 @@
+package graft.core.render
+
+/** In-memory ARGB raster — the PdfBitmap analog (reference
+  * src/pypdfium2/_helpers/bitmap.py:17-325): owned buffer, explicit
+  * width/height/stride, fill helpers, deterministic pixel access. One
+  * 4-byte ARGB int per pixel; row-major, top-down. */
+final class Bitmap(val width: Int, val height: Int, background: Int = 0xFFFFFFFF) {
+  require(width > 0 && height > 0, s"bad bitmap dims ${width}x$height")
+  val buf: Array[Int] = Array.fill(width * height)(background)
+
+  @inline def inBounds(x: Int, y: Int): Boolean = x >= 0 && x < width && y >= 0 && y < height
+  @inline def get(x: Int, y: Int): Int = buf(y * width + x)
+  @inline def set(x: Int, y: Int, argb: Int): Unit =
+    if (inBounds(x, y)) buf(y * width + x) = argb
+
+  /** fill_rect analog (bitmap.py fill_rect). Coordinates clipped. */
+  def fillRect(x0: Int, y0: Int, w: Int, h: Int, argb: Int): Unit = {
+    var y = math.max(0, y0)
+    val yEnd = math.min(height, y0 + h)
+    val xs = math.max(0, x0)
+    val xEnd = math.min(width, x0 + w)
+    while (y < yEnd) {
+      var x = xs
+      while (x < xEnd) { buf(y * width + x) = argb; x += 1 }
+      y += 1
+    }
+  }
+
+  /** Fraction of non-background pixels (probe helper). */
+  def inkFraction: Double =
+    buf.count(_ != 0xFFFFFFFF).toDouble / buf.length
+
+  /** Raw bytes in BGRA order (PDFium's native byte layout). */
+  def toBgra: Array[Byte] = {
+    val out = new Array[Byte](buf.length * 4)
+    var i = 0
+    while (i < buf.length) {
+      val p = buf(i)
+      out(i * 4) = (p & 0xff).toByte
+      out(i * 4 + 1) = ((p >> 8) & 0xff).toByte
+      out(i * 4 + 2) = ((p >> 16) & 0xff).toByte
+      out(i * 4 + 3) = ((p >>> 24) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,442 @@
+package graft.core.render
+
+import scala.collection.mutable
+import graft.core._
+
+/** Minimal page rasterizer — the `page.render` analog (reference
+  * src/pypdfium2/_helpers/page.py:354-494). Declared IN SCOPE as the
+  * multimodal extension of the extraction engine (page images for VLM
+  * training data); fidelity is scoped to structure, not PDFium pixel parity:
+  *
+  *  - vector paths: real geometry (m/l/c/v/y/re/h), scanline fill with
+  *    even-odd or nonzero winding, strokes as width-quads, DeviceRGB/Gray/
+  *    CMYK fill+stroke colors;
+  *  - images: DCT via javax.imageio, CCITT via the in-repo G3/G4 decoder,
+  *    Flate/raw gray+RGB+1bpp buffers; drawn through the full CTM by
+  *    inverse mapping (rotation/shear handled), nearest-neighbor;
+  *  - form XObjects: recursed with /Matrix ∘ CTM;
+  *  - text: glyph tight boxes filled in the fill color (outline rasterization
+  *    is the declared round-3+ upgrade; boxes keep layout structure);
+  *  - not modeled: clipping paths, transparency groups, shading gradients
+  *    (drawn as bbox fills), blend modes.
+  */
+object Rasterizer {
+
+  /** Render a page at `scale` pixels per PDF unit onto a white background. */
+  def render(page: PdfPage, scale: Double = 1.0): Bitmap = {
+    val bbox = page.bbox
+    val w = math.max(1, math.ceil(bbox.width * scale).toInt)
+    val h = math.max(1, math.ceil(bbox.height * scale).toInt)
+    val bmp = new Bitmap(w, h)
+    // page space (y-up) → bitmap space (y-down)
+    val dev = Mat(scale, 0, 0, -scale, -bbox.left * scale, bbox.top * scale)
+    walk(page.doc, page.contentBytes, page.resources, dev, bmp, 0)
+    // text overlay: reuse the text interpreter's page-space char boxes
+    val text = ContentInterpreter.run(page)
+    text.textObjects.foreach { obj =>
+      obj.chars.foreach { rc =>
+        rc.tight.foreach { b =>
+          if (b.width > 0 && b.height > 0) {
+            val p1 = dev.onPoint(b.left, b.bottom)
+            val p2 = dev.onPoint(b.right, b.top)
+            val x0 = math.floor(math.min(p1._1, p2._1)).toInt
+            val y0 = math.floor(math.min(p1._2, p2._2)).toInt
+            val x1 = math.ceil(math.max(p1._1, p2._1)).toInt
+            val y1 = math.ceil(math.max(p1._2, p2._2)).toInt
+            bmp.fillRect(x0, y0, x1 - x0, y1 - y0, 0xFF000000)
+          }
+        }
+      }
+    }
+    bmp
+  }
+
+  // ---- content walk (paths, colors, images, forms) -------------------------
+
+  private final class RState(var ctm: Mat) {
+    var fill: Int = 0xFF000000
+    var stroke: Int = 0xFF000000
+    var lineWidth: Double = 1.0
+    def copy(): RState = {
+      val s = new RState(ctm)
+      s.fill = fill; s.stroke = stroke; s.lineWidth = lineWidth
+      s
+    }
+  }
+
+  private def rgb(r: Double, g: Double, b: Double): Int = {
+    def c(v: Double) = math.max(0, math.min(255, math.round(v * 255).toInt))
+    0xFF000000 | (c(r) << 16) | (c(g) << 8) | c(b)
+  }
+  private def cmyk(cc: Double, m: Double, y: Double, k: Double): Int =
+    rgb((1 - cc) * (1 - k), (1 - m) * (1 - k), (1 - y) * (1 - k))
+
+  private def walk(doc: PdfDocument, content: Array[Byte], resources: PdfDict,
+                   baseCtm: Mat, bmp: Bitmap, level: Int): Unit = {
+    if (level > 8) return
+    val lx = new Lexer(content)
+    val operands = mutable.ArrayBuffer[PdfObject]()
+    val stack = mutable.Stack[RState]()
+    var gs = new RState(baseCtm)
+
+    // current path: subpaths of device-space points
+    val subpaths = mutable.ArrayBuffer[mutable.ArrayBuffer[(Double, Double)]]()
+    var cx = 0.0; var cy = 0.0 // current point, user space
+
+    @inline def nums(n: Int): Array[Double] = {
+      val out = new Array[Double](n)
+      val base = operands.length - n
+      var i = 0
+      while (i < n) {
+        out(i) = operands.lift(base + i) match { case Some(PdfNumber(v)) => v; case _ => 0.0 }
+        i += 1
+      }
+      out
+    }
+    @inline def moveTo(x: Double, y: Double): Unit = {
+      subpaths += mutable.ArrayBuffer(gs.ctm.onPoint(x, y))
+      cx = x; cy = y
+    }
+    @inline def lineTo(x: Double, y: Double): Unit = {
+      if (subpaths.isEmpty) subpaths += mutable.ArrayBuffer[(Double, Double)]()
+      subpaths.last += gs.ctm.onPoint(x, y)
+      cx = x; cy = y
+    }
+    def curveTo(x1: Double, y1: Double, x2: Double, y2: Double, x3: Double, y3: Double): Unit = {
+      val (x0, y0) = (cx, cy)
+      var i = 1
+      val n = 16
+      while (i <= n) {
+        val t = i.toDouble / n
+        val mt = 1 - t
+        val x = mt * mt * mt * x0 + 3 * mt * mt * t * x1 + 3 * mt * t * t * x2 + t * t * t * x3
+        val y = mt * mt * mt * y0 + 3 * mt * mt * t * y1 + 3 * mt * t * t * y2 + t * t * t * y3
+        lineTo(x, y)
+        i += 1
+      }
+      cx = x3; cy = y3
+    }
+    def clearPath(): Unit = subpaths.clear()
+    def paint(fill: Boolean, stroke: Boolean, evenOdd: Boolean): Unit = {
+      if (subpaths.nonEmpty) {
+        val polys = subpaths.map(_.toArray).toVector.filter(_.length >= 2)
+        if (fill && polys.nonEmpty) fillPolygons(bmp, polys, evenOdd, gs.fill)
+        if (stroke && polys.nonEmpty) {
+          val wDev = math.max(gs.lineWidth * math.hypot(gs.ctm.a, gs.ctm.b), 0.7)
+          polys.foreach(p => strokePolyline(bmp, p, wDev, gs.stroke))
+        }
+      }
+      clearPath()
+    }
+
+    def doXObject(tag: String): Unit = doc.resolve(resources("XObject")) match {
+      case xobjs: PdfDict => doc.resolve(xobjs(tag)) match {
+        case s @ PdfStream(xd, _) => doc.resolve(xd("Subtype")) match {
+          case PdfName("Image") =>
+            decodeImagePixels(doc, s).foreach(px => blitImage(bmp, gs.ctm, px, gs.fill))
+          case PdfName("Form") =>
+            val formRes = doc.resolve(xd("Resources")) match { case d: PdfDict => d; case _ => resources }
+            val formMat = doc.resolve(xd("Matrix")) match {
+              case PdfArray(items) if items.length == 6 =>
+                val v = items.map(doc.resolve).collect { case PdfNumber(n) => n }
+                if (v.length == 6) Mat(v(0), v(1), v(2), v(3), v(4), v(5)) else Mat.identity
+              case _ => Mat.identity
+            }
+            walk(doc, doc.streamData(s), formRes, formMat.multiply(gs.ctm), bmp, level + 1)
+          case _ => ()
+        }
+        case _ => ()
+      }
+      case _ => ()
+    }
+
+    def skipInlineImage(): Unit = {
+      var done = false
+      while (!lx.atEnd && !done) {
+        lx.skipWs()
+        if (lx.peek == '/') { lx.parseObject(); lx.parseObject() }
+        else {
+          val t = lx.readToken()
+          if (t == "ID") {
+            var i = lx.pos + 1
+            val d = lx.data
+            var found = false
+            while (i < d.length - 1 && !found) {
+              if (d(i) == 'E' && d(i + 1) == 'I' && (i == 0 || lx.isWhite(d(i - 1) & 0xff))) {
+                found = true; lx.pos = i + 2
+              } else i += 1
+            }
+            if (!found) lx.pos = d.length
+            done = true
+          } else if (t.isEmpty) lx.parseObject()
+        }
+      }
+    }
+
+    var running = true
+    while (running && !lx.atEnd) {
+      lx.skipWs()
+      if (lx.atEnd) running = false
+      else {
+        val c = lx.peek
+        if (c == '/' || c == '(' || c == '[' || c == '<' || c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+          operands += lx.parseObject()
+          if (operands.length > 64) operands.remove(0, operands.length - 64)
+        } else {
+          val op = lx.readToken()
+          if (op.isEmpty) lx.pos += 1
+          else op match {
+            case "q" => stack.push(gs.copy())
+            case "Q" => if (stack.nonEmpty) gs = stack.pop()
+            case "cm" =>
+              val v = nums(6)
+              gs.ctm = Mat(v(0), v(1), v(2), v(3), v(4), v(5)).multiply(gs.ctm)
+            case "w" => gs.lineWidth = nums(1)(0)
+            case "g" => val v = nums(1); gs.fill = rgb(v(0), v(0), v(0))
+            case "G" => val v = nums(1); gs.stroke = rgb(v(0), v(0), v(0))
+            case "rg" => val v = nums(3); gs.fill = rgb(v(0), v(1), v(2))
+            case "RG" => val v = nums(3); gs.stroke = rgb(v(0), v(1), v(2))
+            case "k" => val v = nums(4); gs.fill = cmyk(v(0), v(1), v(2), v(3))
+            case "K" => val v = nums(4); gs.stroke = cmyk(v(0), v(1), v(2), v(3))
+            case "sc" | "scn" =>
+              // approximate: infer the family from operand count (1=gray,
+              // 3=rgb, 4=cmyk); pattern operands fall back to mid gray
+              val ns = operands.collect { case PdfNumber(v) => v }
+              gs.fill = ns.length match {
+                case 1 => rgb(ns(0), ns(0), ns(0))
+                case 3 => rgb(ns(0), ns(1), ns(2))
+                case 4 => cmyk(ns(0), ns(1), ns(2), ns(3))
+                case _ => rgb(0.5, 0.5, 0.5)
+              }
+            case "SC" | "SCN" =>
+              val ns = operands.collect { case PdfNumber(v) => v }
+              gs.stroke = ns.length match {
+                case 1 => rgb(ns(0), ns(0), ns(0))
+                case 3 => rgb(ns(0), ns(1), ns(2))
+                case 4 => cmyk(ns(0), ns(1), ns(2), ns(3))
+                case _ => rgb(0.5, 0.5, 0.5)
+              }
+            case "m" => val v = nums(2); moveTo(v(0), v(1))
+            case "l" => val v = nums(2); lineTo(v(0), v(1))
+            case "c" => val v = nums(6); curveTo(v(0), v(1), v(2), v(3), v(4), v(5))
+            case "v" => val v = nums(4); curveTo(cx, cy, v(0), v(1), v(2), v(3))
+            case "y" => val v = nums(4); curveTo(v(0), v(1), v(2), v(3), v(2), v(3))
+            case "re" =>
+              val v = nums(4)
+              moveTo(v(0), v(1)); lineTo(v(0) + v(2), v(1)); lineTo(v(0) + v(2), v(1) + v(3)); lineTo(v(0), v(1) + v(3))
+              subpaths.last += subpaths.last.head // close
+            case "h" => if (subpaths.nonEmpty && subpaths.last.nonEmpty) subpaths.last += subpaths.last.head
+            case "f" | "F" => paint(fill = true, stroke = false, evenOdd = false)
+            case "f*" => paint(fill = true, stroke = false, evenOdd = true)
+            case "B" => paint(fill = true, stroke = true, evenOdd = false)
+            case "B*" => paint(fill = true, stroke = true, evenOdd = true)
+            case "b" | "b*" =>
+              if (subpaths.nonEmpty && subpaths.last.nonEmpty) subpaths.last += subpaths.last.head
+              paint(fill = true, stroke = true, evenOdd = op == "b*")
+            case "s" =>
+              if (subpaths.nonEmpty && subpaths.last.nonEmpty) subpaths.last += subpaths.last.head
+              paint(fill = false, stroke = true, evenOdd = false)
+            case "S" => paint(fill = false, stroke = true, evenOdd = false)
+            case "n" => clearPath()
+            case "W" | "W*" => () // clipping not modeled
+            case "Do" => operands.lastOption match {
+              case Some(PdfName(tag)) => doXObject(tag)
+              case _ => ()
+            }
+            case "BI" => skipInlineImage()
+            case "sh" => () // gradient fills not modeled
+            case _ => () // text ops handled by the text overlay pass
+          }
+          operands.clear()
+        }
+      }
+    }
+  }
+
+  // ---- scanline polygon fill ------------------------------------------------
+
+  /** Fill closed polygons (device space) with even-odd or nonzero winding. */
+  def fillPolygons(bmp: Bitmap, polys: Vector[Array[(Double, Double)]],
+                   evenOdd: Boolean, argb: Int): Unit = {
+    var minY = Double.MaxValue
+    var maxY = Double.MinValue
+    polys.foreach(_.foreach { case (_, y) =>
+      if (y < minY) minY = y
+      if (y > maxY) maxY = y
+    })
+    val y0 = math.max(0, math.floor(minY).toInt)
+    val y1 = math.min(bmp.height - 1, math.ceil(maxY).toInt)
+    var y = y0
+    while (y <= y1) {
+      val yc = y + 0.5
+      // crossings: (x, direction)
+      val xs = mutable.ArrayBuffer[(Double, Int)]()
+      polys.foreach { p =>
+        var i = 0
+        while (i < p.length) {
+          val (ax, ay) = p(i)
+          val (bx, by) = p((i + 1) % p.length)
+          if ((ay <= yc && by > yc) || (by <= yc && ay > yc)) {
+            val t = (yc - ay) / (by - ay)
+            xs += ((ax + t * (bx - ax), if (by > ay) 1 else -1))
+          }
+          i += 1
+        }
+      }
+      if (xs.nonEmpty) {
+        val sorted = xs.sortBy(_._1)
+        if (evenOdd) {
+          var i = 0
+          while (i + 1 < sorted.length) {
+            fillSpan(bmp, sorted(i)._1, sorted(i + 1)._1, y, argb)
+            i += 2
+          }
+        } else {
+          // nonzero: fill between consecutive crossings while winding ≠ 0
+          var wind = 0
+          var i = 0
+          while (i + 1 < sorted.length) {
+            wind += sorted(i)._2
+            if (wind != 0) fillSpan(bmp, sorted(i)._1, sorted(i + 1)._1, y, argb)
+            i += 1
+          }
+        }
+      }
+      y += 1
+    }
+  }
+
+  @inline private def fillSpan(bmp: Bitmap, xa: Double, xb: Double, y: Int, argb: Int): Unit = {
+    var x = math.max(0, math.round(xa).toInt)
+    val xe = math.min(bmp.width - 1, math.round(xb).toInt - 1)
+    while (x <= xe) { bmp.set(x, y, argb); x += 1 }
+  }
+
+  /** Stroke a polyline as per-segment width-quads (round joins skipped). */
+  def strokePolyline(bmp: Bitmap, pts: Array[(Double, Double)], width: Double, argb: Int): Unit = {
+    val hw = width / 2
+    var i = 0
+    while (i + 1 < pts.length) {
+      val (ax, ay) = pts(i)
+      val (bx, by) = pts(i + 1)
+      val len = math.hypot(bx - ax, by - ay)
+      if (len > 1e-9) {
+        val nx = -(by - ay) / len * hw
+        val ny = (bx - ax) / len * hw
+        fillPolygons(bmp, Vector(Array(
+          (ax + nx, ay + ny), (bx + nx, by + ny), (bx - nx, by - ny), (ax - nx, ay - ny))),
+          evenOdd = false, argb)
+      }
+      i += 1
+    }
+  }
+
+  // ---- image decode + blit ----------------------------------------------------
+
+  final case class ImagePixels(w: Int, h: Int, argb: Array[Int])
+
+  /** Decode an image XObject to ARGB pixels where the codec allows. */
+  def decodeImagePixels(doc: PdfDocument, s: PdfStream): Option[ImagePixels] = {
+    val xd = s.dict
+    def int(key: String, dflt: Int): Int = doc.resolve(xd(key)) match {
+      case PdfNumber(v) => v.toInt; case _ => dflt
+    }
+    val w = int("Width", 0)
+    val h = int("Height", 0)
+    if (w <= 0 || h <= 0) return None
+    val bpc = int("BitsPerComponent", 8)
+    val cs = doc.resolve(xd("ColorSpace")) match {
+      case PdfName(n) => n
+      case PdfArray(items) if items.nonEmpty => doc.resolve(items(0)) match { case PdfName(n) => n; case _ => "" }
+      case _ => "DeviceGray"
+    }
+    val data = doc.streamData(s)
+    Filters.terminalFilter(xd, doc.resolve).map(_._1) match {
+      case Some("DCTDecode") | Some("DCT") =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+          if (img == null) return None
+          val out = new Array[Int](img.getWidth * img.getHeight)
+          img.getRGB(0, 0, img.getWidth, img.getHeight, out, 0, img.getWidth)
+          Some(ImagePixels(img.getWidth, img.getHeight, out))
+        } catch { case _: Exception => None }
+      case Some("CCITTFaxDecode") | Some("CCF") =>
+        try {
+          val parms = Filters.terminalFilter(xd, doc.resolve).map(_._2).getOrElse(PdfDict.empty)
+          val bits = Ccitt.decodeFilter(data, parms, doc.resolve)
+          // decodeFilter output polarity follows BlackIs1 (spec raw output)
+          val oneIsBlack = doc.resolve(parms("BlackIs1")) match {
+            case PdfBool(b) => b
+            case _ => false
+          }
+          Some(onebitToArgb(bits, w, h, oneIsBlack))
+        } catch { case _: Exception => None }
+      case Some("JPXDecode") | Some("JBIG2Decode") => None // codecs not carried
+      case _ => // fully decoded buffer (Flate/LZW/raw)
+        val out = new Array[Int](w * h)
+        if (bpc == 8 && cs == "DeviceRGB" && data.length >= w * h * 3) {
+          var i = 0
+          while (i < w * h) {
+            out(i) = 0xFF000000 | ((data(i * 3) & 0xff) << 16) | ((data(i * 3 + 1) & 0xff) << 8) | (data(i * 3 + 2) & 0xff)
+            i += 1
+          }
+          Some(ImagePixels(w, h, out))
+        } else if (bpc == 8 && data.length >= w * h) { // gray (or 1-comp approx)
+          var i = 0
+          while (i < w * h) {
+            val v = data(i) & 0xff
+            out(i) = 0xFF000000 | (v << 16) | (v << 8) | v
+            i += 1
+          }
+          Some(ImagePixels(w, h, out))
+        } else if (bpc == 1 && data.length >= ((w + 7) / 8) * h) {
+          Some(onebitToArgb(data, w, h, oneIsBlack = false)) // DeviceGray: 0 = black
+        } else None
+    }
+  }
+
+  private def onebitToArgb(bits: Array[Byte], w: Int, h: Int, oneIsBlack: Boolean): ImagePixels = {
+    val rowBytes = (w + 7) / 8
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bit = (bits(y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+        val black = (bit == 1) == oneIsBlack
+        out(y * w + x) = if (black) 0xFF000000 else 0xFFFFFFFF
+        x += 1
+      }
+      y += 1
+    }
+    ImagePixels(w, h, out)
+  }
+
+  /** Draw ARGB pixels through `ctm` (unit square → device), inverse-mapped. */
+  def blitImage(bmp: Bitmap, ctm: Mat, px: ImagePixels, fillForMask: Int): Unit = {
+    val _ = fillForMask
+    val bounds = ctm.onRect(Rect(0, 0, 1, 1))
+    val x0 = math.max(0, math.floor(math.min(bounds.left, bounds.right)).toInt)
+    val x1 = math.min(bmp.width - 1, math.ceil(math.max(bounds.left, bounds.right)).toInt)
+    val y0 = math.max(0, math.floor(math.min(bounds.bottom, bounds.top)).toInt)
+    val y1 = math.min(bmp.height - 1, math.ceil(math.max(bounds.bottom, bounds.top)).toInt)
+    ctm.invert match {
+      case Some(inv) =>
+        var y = y0
+        while (y <= y1) {
+          var x = x0
+          while (x <= x1) {
+            val (u, v) = inv.onPoint(x + 0.5, y + 0.5)
+            if (u >= 0 && u < 1 && v >= 0 && v < 1) {
+              val sx = math.min(px.w - 1, (u * px.w).toInt)
+              val sy = math.min(px.h - 1, ((1 - v) * px.h).toInt) // image rows top-down
+              bmp.set(x, y, px.argb(sy * px.w + sx))
+            }
+            x += 1
+          }
+          y += 1
+        }
+      case None => ()
+    }
+  }
+}

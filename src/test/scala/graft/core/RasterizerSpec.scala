@@ -1,0 +1,80 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.render.Rasterizer
+
+/** Minimal-rasterizer probes: synthetic pages with geometry pinned by
+  * construction (probe pixels), plus fixture smoke renders. */
+class RasterizerSpec extends AnyFunSuite {
+
+  private def renderOf(content: String) = {
+    val doc = PdfDocument.load(SynthPdf.onePage(content)).toOption.get
+    Rasterizer.render(doc.page(0)) // scale 1 → 612×792, y-down
+  }
+
+  test("rect fill: red re lands at the transformed device pixels") {
+    val bmp = renderOf("1 0 0 rg 100 600 50 30 re f")
+    assert(bmp.width == 612 && bmp.height == 792)
+    assert(bmp.get(125, 175) == 0xFFFF0000, f"inside=${bmp.get(125, 175)}%08x") // (125, 792-617)
+    assert(bmp.get(90, 175) == 0xFFFFFFFF)  // left of rect
+    assert(bmp.get(125, 140) == 0xFFFFFFFF) // above rect (device y < 162)
+  }
+
+  test("even-odd ring: inner square stays white; nonzero fills it") {
+    val ring = "0 0 1 rg 100 600 100 100 re 130 630 40 40 re "
+    val eo = renderOf(ring + "f*")
+    assert(eo.get(110, 142) == 0xFF0000FF) // in outer ring
+    assert(eo.get(150, 142) == 0xFFFFFFFF) // inside inner square → hole
+    val nz = renderOf(ring + "f")
+    assert(nz.get(150, 142) == 0xFF0000FF) // nonzero: same winding → filled
+  }
+
+  test("triangle fill via m/l and cmyk color") {
+    // magenta-ish triangle (0,1,0,0 cmyk = magenta)
+    val bmp = renderOf("0 1 0 0 k 300 100 m 400 100 l 350 200 l h f")
+    assert(bmp.get(350, 792 - 120) == 0xFFFF00FF)
+    assert(bmp.get(301, 792 - 190) == 0xFFFFFFFF) // outside the apex
+  }
+
+  test("stroke: green diagonal leaves ink along the segment") {
+    val bmp = renderOf("0 1 0 RG 4 w 100 100 m 200 200 l S")
+    assert(bmp.get(150, 792 - 150) == 0xFF00FF00)
+    assert(bmp.get(160, 792 - 140) == 0xFFFFFFFF) // off the line
+  }
+
+  test("cm transform: unit-square image scaled/translated; jpeg blit") {
+    val jpg = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/resources/mona_lisa.jpg"))
+    val doc = PdfDocument.load(MiniPdf.jpegPdf(jpg, 120, 120)).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    assert(bmp.width == 120 && bmp.height == 120)
+    // the painting is not blank and not solid; center pixel is some color
+    val ink = bmp.inkFraction
+    assert(ink > 0.5, s"ink=$ink")
+    assert(bmp.get(60, 60) != 0xFFFFFFFF)
+  }
+
+  test("text overlay: glyph boxes darken the text line") {
+    val bmp = renderOf("BT /F1 24 Tf 1 0 0 1 100 700 Tm (Hello) Tj ET")
+    // some non-white pixels near the baseline band of 'Hello'
+    var ink = 0
+    var y = 792 - 700 - 24
+    while (y < 792 - 700 + 4) {
+      var x = 100
+      while (x < 180) { if (bmp.get(x, y) != 0xFFFFFFFF) ink += 1; x += 1 }
+      y += 1
+    }
+    assert(ink > 50, s"text ink=$ink")
+  }
+
+  test("fixture smoke: render.pdf and images.pdf rasterize with sane ink") {
+    Seq("render.pdf", "images.pdf").foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/root/reference/tests/resources/$f"))
+      val doc = PdfDocument.load(bytes).toOption.get
+      val bmp = Rasterizer.render(doc.page(0), scale = 0.5)
+      val ink = bmp.inkFraction
+      assert(ink > 0.001 && ink < 0.9, s"$f ink=$ink")
+    }
+  }
+}

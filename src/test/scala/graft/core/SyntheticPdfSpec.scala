@@ -216,6 +216,23 @@ class SyntheticPdfSpec extends AnyFunSuite {
     assert(enc.unicode(0xC4E3) == "你")
   }
 
+  test("excluded chars: char list keeps them, text view and ranges skip them") {
+    // code 0 is unmappable and unrepresentable → stays in the CHAR list as
+    // an excluded entry (PDFium unicode-0), absent from the text view
+    // (reference textpage.py:88-146 active-range narrowing)
+    val content = "BT /F1 12 Tf 1 0 0 1 100 700 Tm (AB\\000CD) Tj ET"
+    val pdf = MiniPdf.onePage(content)
+    val tp = PdfDocument.load(pdf).toOption.get.page(0).textPage
+    assert(tp.countChars == 5, s"chars=${tp.countChars}") // A B <excl> C D
+    assert(tp.text == "ABCD")
+    assert(tp.textIndexFromCharIndex.toSeq == Seq(0, 1, -1, 2, 3))
+    assert(tp.charIndexFromTextIndex(2) == 3)
+    assert(tp.textRange(0, -1).toOption.get == "ABCD")
+    assert(tp.textRange(2, 1).toOption.get == "") // range covers only the excluded char
+    assert(tp.textRange(1, 3).toOption.get == "BC") // narrowed to the active core
+    assert(tp.textRange(2, 3).toOption.get == "CD")
+  }
+
   test("' and \" operators advance the line and show text") {
     val content =
       """BT /F1 12 Tf 14 TL 1 0 0 1 100 700 Tm
