@@ -233,6 +233,23 @@ class SyntheticPdfSpec extends AnyFunSuite {
     assert(tp.textRange(2, 3).toOption.get == "CD")
   }
 
+  test("incremental update freeing an object tombstones it (no resurrection)") {
+    // newer section marks obj 5 (the content stream) free: the older
+    // section's in-use offset must NOT resolve it anymore (§7.5.4)
+    val base = MiniPdf.onePage("BT /F1 12 Tf 1 0 0 1 100 700 Tm (Original) Tj ET")
+    val baseStr = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val prevXref = baseStr.lastIndexOf("startxref")
+    val prevOff = baseStr.substring(prevXref + 9).trim.takeWhile(_.isDigit)
+    val sb = new StringBuilder(baseStr)
+    val xrefAt = sb.length
+    sb.append("xref\n0 1\n0000000000 65535 f \n5 1\n0000000000 65536 f \n")
+    sb.append(s"trailer\n<</Size 6/Root 1 0 R/Prev $prevOff>>\nstartxref\n$xrefAt\n%%EOF\n")
+    val freed = sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val r = Extract.extractText(freed)
+    assert(r.ok, r.errMsg)
+    assert(r.pages.head.text == "", s"freed object resurrected: [${r.pages.head.text}]")
+  }
+
   test("' and \" operators advance the line and show text") {
     val content =
       """BT /F1 12 Tf 14 TL 1 0 0 1 100 700 Tm
