@@ -13,7 +13,8 @@ final case class RawChar(
     tight: Option[Rect],             // glyph outline bbox, device space; None = no outline
     loose: Rect,                     // origin..advance × descent..ascent, device space
     fontSize: Double,                // nominal (text-space) size
-    effFontSize: Double)             // size scaled into device space
+    effFontSize: Double,             // size scaled into device space
+    xOff: Double = 0.0)              // text-space advance offset at glyph origin
 
 /** Pending horizontal gap from a TJ kern entry, in device-space pts. */
 final case class RawKern(gap: Double)
@@ -27,7 +28,10 @@ final case class RawTextObject(
     effFontSize: Double,
     baselineY: Double,               // device-space baseline y at object start
     startX: Double,
-    dirX: Double, dirY: Double) {    // unit baseline direction in device space
+    dirX: Double, dirY: Double,      // unit baseline direction in device space
+    base: Mat = Mat.identity,        // text space (pre-font-size) -> page space
+    hscale: Double = 1.0,
+    rise: Double = 0.0) {
 
   /** Coordinate of a device point along the baseline direction. */
   @inline def par(x: Double, y: Double): Double = x * dirX + y * dirY
@@ -211,7 +215,7 @@ object ContentInterpreter {
               val loose = base.onRect(Rect(
                 x, ts.rise + font.descent / 1000.0 * fs, x + w0 * fsh, ts.rise + font.ascent / 1000.0 * fs))
               val uniOut = if (uni.nonEmpty) uni else ""
-              chars += RawChar(code, uniOut, ox, oy, ex, ey, tight, loose, fs, effSize)
+              chars += RawChar(code, uniOut, ox, oy, ex, ey, tight, loose, fs, effSize, x)
               charIdx += 1
               x += tx
               i += 1
@@ -223,7 +227,8 @@ object ContentInterpreter {
         if (built.nonEmpty) {
           // baseline direction: image of the text-space x axis
           val (dx, dy) = if (scaleAB > 1e-12) (base.a / scaleAB, base.b / scaleAB) else (1.0, 0.0)
-          val obj = RawTextObject(built, kerns.toMap, font, fs, effSize, objOrigin._2, objOrigin._1, dx, dy)
+          val obj = RawTextObject(built, kerns.toMap, font, fs, effSize, objOrigin._2, objOrigin._1, dx, dy,
+            base, ts.hscale, ts.rise)
           textObjs += obj
           objs += PageObjectInfo("text", obj.bbox.getOrElse(Rect(objOrigin._1, objOrigin._2, objOrigin._1, objOrigin._2)),
             level, built.map(_.unicode).mkString, font.baseNameNoSubset, ts.fontSize,

@@ -227,6 +227,169 @@ final class TrueTypeFont private (
 
   @inline private def f2dot14(i: Int): Double = s16(i) / 16384.0
 
+  // ---- glyph outlines (for the rasterizer) ---------------------------------
+
+  private val contourMemo =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Vector[Array[Double]]]()
+
+  /** Glyph outline as closed contours in EM FRACTIONS (x0,y0,x1,y1,... pairs,
+    * quadratics flattened). Empty vector = no outline (space / missing). */
+  def glyphContours(gid: Int): Vector[Array[Double]] = {
+    if (gid < 0 || gid >= numGlyphs) return Vector.empty
+    val cached = contourMemo.get(Integer.valueOf(gid))
+    if (cached != null) return cached
+    val raw = contoursUncached(gid, 0) // font units
+    val s = 1.0 / unitsPerEm
+    val out = raw.map { c =>
+      val a = new Array[Double](c.length)
+      var i = 0
+      while (i < c.length) { a(i) = c(i) * s; i += 1 }
+      a
+    }
+    contourMemo.put(Integer.valueOf(gid), out)
+    out
+  }
+
+  private def contoursUncached(gid: Int, depth: Int): Vector[Array[Double]] = {
+    if (depth > 4) return Vector.empty
+    (tables.get("loca"), tables.get("glyf")) match {
+      case (Some((loca, _)), Some((glyf, _))) =>
+        try {
+          val (o1, o2) =
+            if (locaLong) (u32(loca + 4 * gid).toInt, u32(loca + 4 * gid + 4).toInt)
+            else (u16(loca + 2 * gid) * 2, u16(loca + 2 * gid + 2) * 2)
+          if (o1 >= o2) return Vector.empty
+          val g = glyf + o1
+          if (g + 10 > data.length) return Vector.empty
+          val nContours = s16(g)
+          if (nContours >= 0) simpleContours(g, nContours)
+          else compositeContours(g, o2 - o1, depth)
+        } catch { case _: Exception => Vector.empty }
+      case _ => Vector.empty
+    }
+  }
+
+  private def simpleContours(g: Int, nContours: Int): Vector[Array[Double]] = {
+    if (nContours == 0) return Vector.empty
+    var p = g + 10
+    val endPts = (0 until nContours).map(i => u16(p + 2 * i))
+    val nPoints = endPts.last + 1
+    p += 2 * nContours
+    val insLen = u16(p); p += 2 + insLen
+    val flags = new Array[Int](nPoints)
+    var i = 0
+    while (i < nPoints) {
+      val f = u8(p); p += 1
+      flags(i) = f; i += 1
+      if ((f & 8) != 0) {
+        val rep = u8(p); p += 1
+        var r = 0
+        while (r < rep && i < nPoints) { flags(i) = f; i += 1; r += 1 }
+      }
+    }
+    val xs = new Array[Double](nPoints)
+    var x = 0
+    i = 0
+    while (i < nPoints) {
+      val f = flags(i)
+      if ((f & 2) != 0) { val d = u8(p); p += 1; x += (if ((f & 16) != 0) d else -d) }
+      else if ((f & 16) == 0) { x += s16(p); p += 2 }
+      xs(i) = x
+      i += 1
+    }
+    val ys = new Array[Double](nPoints)
+    var y = 0
+    i = 0
+    while (i < nPoints) {
+      val f = flags(i)
+      if ((f & 4) != 0) { val d = u8(p); p += 1; y += (if ((f & 32) != 0) d else -d) }
+      else if ((f & 32) == 0) { y += s16(p); p += 2 }
+      ys(i) = y
+      i += 1
+    }
+    val out = Vector.newBuilder[Array[Double]]
+    var start = 0
+    endPts.foreach { end =>
+      val n = end - start + 1
+      if (n >= 2) {
+        val pts = new scala.collection.mutable.ArrayBuffer[Double](n * 4)
+        @inline def onCurve(k: Int): Boolean = (flags(start + (k % n)) & 1) != 0
+        @inline def px(k: Int): Double = xs(start + (k % n))
+        @inline def py(k: Int): Double = ys(start + (k % n))
+        // starting on-curve anchor (implied midpoint if none at index 0)
+        var anchorX = 0.0; var anchorY = 0.0; var first = 0
+        if (onCurve(0)) { anchorX = px(0); anchorY = py(0); first = 1 }
+        else if (onCurve(n - 1)) { anchorX = px(n - 1); anchorY = py(n - 1); first = 0 }
+        else { anchorX = (px(0) + px(n - 1)) / 2; anchorY = (py(0) + py(n - 1)) / 2; first = 0 }
+        pts += anchorX += anchorY
+        var cx0 = anchorX; var cy0 = anchorY // current on-curve point
+        var k = first
+        val stop = first + n
+        var pendCx = 0.0; var pendCy = 0.0; var havePend = false
+        @inline def quad(ctrlX: Double, ctrlY: Double, endX: Double, endY: Double): Unit = {
+          var s = 1
+          val nSeg = 8
+          while (s <= nSeg) {
+            val t = s.toDouble / nSeg
+            val mt = 1 - t
+            pts += mt * mt * cx0 + 2 * mt * t * ctrlX + t * t * endX
+            pts += mt * mt * cy0 + 2 * mt * t * ctrlY + t * t * endY
+            s += 1
+          }
+          cx0 = endX; cy0 = endY
+        }
+        while (k < stop) {
+          val qx = px(k); val qy = py(k)
+          if (onCurve(k)) {
+            if (havePend) { quad(pendCx, pendCy, qx, qy); havePend = false }
+            else { pts += qx += qy; cx0 = qx; cy0 = qy }
+          } else {
+            if (havePend) { // implied on-curve midpoint between two controls
+              val mx = (pendCx + qx) / 2; val my = (pendCy + qy) / 2
+              quad(pendCx, pendCy, mx, my)
+            }
+            pendCx = qx; pendCy = qy; havePend = true
+          }
+          k += 1
+        }
+        if (havePend) quad(pendCx, pendCy, anchorX, anchorY)
+        out += pts.toArray
+      }
+      start = end + 1
+    }
+    out.result()
+  }
+
+  private def compositeContours(g: Int, len: Int, depth: Int): Vector[Array[Double]] = {
+    var p = g + 10
+    val out = Vector.newBuilder[Array[Double]]
+    var more = true
+    while (more && p < g + len) {
+      val flags = u16(p); val glyphIndex = u16(p + 2); p += 4
+      var dx = 0.0; var dy = 0.0
+      if ((flags & 1) != 0) { dx = s16(p); dy = s16(p + 2); p += 4 }
+      else { dx = (data(p) << 24 >> 24); dy = (data(p + 1) << 24 >> 24); p += 2 }
+      var a = 1.0; var b = 0.0; var c = 0.0; var d = 1.0
+      if ((flags & 8) != 0) { a = f2dot14(p); d = a; p += 2 }
+      else if ((flags & 0x40) != 0) { a = f2dot14(p); d = f2dot14(p + 2); p += 4 }
+      else if ((flags & 0x80) != 0) { a = f2dot14(p); b = f2dot14(p + 2); c = f2dot14(p + 4); d = f2dot14(p + 6); p += 8 }
+      contoursUncached(glyphIndex, depth + 1).foreach { child =>
+        // child contours are in font units; apply the component transform
+        val t = new Array[Double](child.length)
+        var i = 0
+        while (i + 1 < child.length) {
+          val x0 = child(i); val y0 = child(i + 1)
+          t(i) = a * x0 + c * y0 + dx
+          t(i + 1) = b * x0 + d * y0 + dy
+          i += 2
+        }
+        out += t
+      }
+      more = (flags & 0x20) != 0
+    }
+    out.result()
+  }
+
   /** hmtx advance in em fractions. */
   def advance(gid: Int): Double = {
     (tables.get("hhea"), tables.get("hmtx")) match {

@@ -31,11 +31,32 @@ object Rasterizer {
     // page space (y-up) → bitmap space (y-down)
     val dev = Mat(scale, 0, 0, -scale, -bbox.left * scale, bbox.top * scale)
     walk(page.doc, page.contentBytes, page.resources, dev, bmp, 0)
-    // text overlay: reuse the text interpreter's page-space char boxes
+    // text overlay: real TrueType outlines where the font program is
+    // embedded (glyf contours, nonzero fill); glyph-box fills otherwise.
+    // Rendered black — per-show-op fill color is a declared limitation.
     val text = ContentInterpreter.run(page)
     text.textObjects.foreach { obj =>
+      val fs = obj.fontSize
+      val fsh = fs * obj.hscale
       obj.chars.foreach { rc =>
-        rc.tight.foreach { b =>
+        val contours: Vector[Array[Double]] = obj.font.truetype match {
+          case Some(tt) =>
+            obj.font.glyphId(rc.code).map(tt.glyphContours).getOrElse(Vector.empty)
+          case None => Vector.empty
+        }
+        if (contours.nonEmpty) {
+          val polys = contours.map { c =>
+            val pts = new Array[(Double, Double)](c.length / 2)
+            var i = 0
+            while (i + 1 < c.length) {
+              val (px, py) = obj.base.onPoint(rc.xOff + c(i) * fsh, obj.rise + c(i + 1) * fs)
+              pts(i / 2) = dev.onPoint(px, py)
+              i += 2
+            }
+            pts
+          }
+          fillPolygons(bmp, polys, evenOdd = false, 0xFF000000)
+        } else rc.tight.foreach { b =>
           if (b.width > 0 && b.height > 0) {
             val p1 = dev.onPoint(b.left, b.bottom)
             val p2 = dev.onPoint(b.right, b.top)

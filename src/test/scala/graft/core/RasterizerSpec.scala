@@ -67,6 +67,43 @@ class RasterizerSpec extends AnyFunSuite {
     assert(ink > 50, s"text ink=$ink")
   }
 
+  test("TrueType glyph contours agree with the independently-parsed bboxes") {
+    val doc = PdfDocument.load(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/resources/text.pdf"))).toOption.get
+    // force font decoders via the text page, then inspect the embedded TT
+    val page = doc.page(0)
+    page.textPage
+    val fonts = ContentInterpreter.run(page).textObjects.map(_.font).distinct
+    val tt = fonts.flatMap(_.truetype).headOption.getOrElse(fail("no embedded TrueType"))
+    var checked = 0
+    (1 until 40).foreach { gid =>
+      val contours = tt.glyphContours(gid)
+      val bbox = tt.glyphBBox(gid)
+      if (contours.nonEmpty && bbox.isDefined) {
+        val xs = contours.flatMap(c => c.indices.collect { case i if i % 2 == 0 => c(i) })
+        val ys = contours.flatMap(c => c.indices.collect { case i if i % 2 == 1 => c(i) })
+        val b = bbox.get
+        // bbox uses TT2PDF int rounding; contour extremes must agree within
+        // that quantization (±2.5/1000 em) — a parsing bug would be far off
+        assert(math.abs(xs.min - b.left) < 0.0025, s"gid=$gid left ${xs.min} vs ${b.left}")
+        assert(math.abs(xs.max - b.right) < 0.0025, s"gid=$gid right")
+        assert(math.abs(ys.min - b.bottom) < 0.0025, s"gid=$gid bottom")
+        assert(math.abs(ys.max - b.top) < 0.0025, s"gid=$gid top")
+        checked += 1
+      }
+    }
+    assert(checked > 10, s"only $checked glyphs had outlines")
+  }
+
+  test("text.pdf renders with outline ink (sparser than solid boxes)") {
+    val doc = PdfDocument.load(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/resources/text.pdf"))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    val ink = bmp.inkFraction
+    // a text page at 1px/pt: outlines ≈ 0.5-4% ink; solid boxes would be ~3×
+    assert(ink > 0.003 && ink < 0.06, s"ink=$ink")
+  }
+
   test("fixture smoke: render.pdf and images.pdf rasterize with sane ink") {
     Seq("render.pdf", "images.pdf").foreach { f =>
       val bytes = java.nio.file.Files.readAllBytes(
