@@ -108,6 +108,22 @@ object Bench {
         .agg(count(lit(1))).collect()(0).getLong(0)
       n / ((System.nanoTime() - t0) / 1e9)
     }
+    // rasterizer throughput: distributed page renders (multimodal path)
+    val renderThr = {
+      import spark.implicits._
+      val ds = graft.spark.PagesTable.synthesize(spark, 4000, cpus * 3)
+      def run(): Long = graft.spark.ExtractPipeline.mapDocs(ds) { (_, d) =>
+        if (d.pageCount == 0) Iterator.empty
+        else {
+          val bmp = graft.core.render.Rasterizer.render(d.page(0), scale = 0.5)
+          Iterator.single(bmp.inkFraction)
+        }
+      }.filter(_ >= 0.0).count()
+      run() // warm
+      val t0 = System.nanoTime()
+      val n = run()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
     // pre-warm the SQL parser + UDF registration path so the first SQL-using
     // query isn't charged for one-time classloading/JIT
     try {
@@ -137,7 +153,7 @@ object Bench {
         s""","scaling_levels":"local[$levelN]->local[$level4N]","scaling_reps":$reps""" +
         f""","extract_sec_n":$tN%.3f,"extract_sec_4n":$t4N%.3f""" +
         f""","extract_docs_per_sec_n":$thrN%.1f,"extract_docs_per_sec_4n":$thr4N%.1f""" +
-        f""","html_docs_per_sec":$htmlThr%.1f""" +
+        f""","html_docs_per_sec":$htmlThr%.1f,"render_docs_per_sec":$renderThr%.1f""" +
         f""","scaling_efficiency":$eff%.3f}"""
     println(json)
     // fallback artifact in case stdout is captured through a log wrapper

@@ -30,11 +30,15 @@ object Rasterizer {
     val bmp = new Bitmap(w, h)
     // page space (y-up) → bitmap space (y-down)
     val dev = Mat(scale, 0, 0, -scale, -bbox.left * scale, bbox.top * scale)
-    walk(page.doc, page.contentBytes, page.resources, dev, bmp, 0)
+    // malformed content must yield a partial render, never a crash — this
+    // runs inside tasks over untrusted web payloads
+    try walk(page.doc, page.contentBytes, page.resources, dev, bmp, 0)
+    catch { case _: Exception => () }
     // text overlay: real TrueType outlines where the font program is
     // embedded (glyf contours, nonzero fill); glyph-box fills otherwise.
     // Rendered black — per-show-op fill color is a declared limitation.
-    val text = ContentInterpreter.run(page)
+    val text = try ContentInterpreter.run(page)
+      catch { case _: Exception => ContentInterpreter.Result(Vector.empty, Vector.empty) }
     text.textObjects.foreach { obj =>
       val fs = obj.fontSize
       val fsh = fs * obj.hscale

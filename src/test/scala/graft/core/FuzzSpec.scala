@@ -53,6 +53,38 @@ class FuzzSpec extends AnyFunSuite {
     assert(oks + errs == 300)
   }
 
+  test("rasterizer fuzz: mutated PDFs render partially, never throw") {
+    val bases = Seq("text.pdf", "render.pdf", "images.pdf").map(fixture)
+    val rnd = new scala.util.Random(4321)
+    var rendered = 0
+    (0 until 60).foreach { i =>
+      val bytes = mutate(bases(i % bases.length), rnd)
+      PdfDocument.load(bytes).toOption.foreach { doc =>
+        if (doc.pageCount > 0) {
+          val t0 = System.nanoTime()
+          val bmp = graft.core.render.Rasterizer.render(doc.page(0), scale = 0.25)
+          assert(bmp.width > 0 && bmp.height > 0)
+          assert((System.nanoTime() - t0) / 1000000 < 5000, s"mutation $i render too slow")
+          rendered += 1
+        }
+      }
+    }
+    assert(rendered > 10, s"rendered=$rendered")
+  }
+
+  test("ccitt fuzz: random bitstreams decode or error cleanly, bounded output") {
+    val rnd = new scala.util.Random(31337)
+    (0 until 100).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(2048))
+      rnd.nextBytes(b)
+      try {
+        val out = Ccitt.decode(b, columns = 115, rows = 64, k = -1,
+          blackIs1 = true, encodedByteAlign = false)
+        assert(out.length <= 64 * 15)
+      } catch { case _: java.io.IOException => () } // clean decode error
+    }
+  }
+
   test("random garbage payloads: clean error rows") {
     val rnd = new scala.util.Random(99)
     (0 until 50).foreach { _ =>
