@@ -202,6 +202,18 @@ object OracleSql {
         |  ('tri_outside', 301, 602, 'FFFFFFFF')
         |) AS t(probe_id, x, y, argb)""".stripMargin,
 
+    // page-image generation: dims = ceil(mediaBox) at scale 1 (595.3×841.9
+    // → 596×842 for both fixtures); text pages carry ink, empty.pdf doesn't
+    "pdf_page_images" ->
+      """SELECT fixture, CAST(page_idx AS BIGINT) AS page_idx,
+        |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |  png_round_trip, has_ink
+        |FROM (VALUES
+        |  ('text.pdf', 0, 596, 842, TRUE, TRUE),
+        |  ('text.pdf', 1, 596, 842, TRUE, TRUE),
+        |  ('empty.pdf', 0, 596, 842, TRUE, FALSE)
+        |) AS t(fixture, page_idx, width, height, png_round_trip, has_ink)""".stripMargin,
+
     // smart image extraction: CCITT geometry from the reference expectations
     // (pageobjects_images.txt: 115×48 @1bpp → 48 rows × 15 bytes); jpeg md5
     // pinned to the source fixture file (byte-identical passthrough,

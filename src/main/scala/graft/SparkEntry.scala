@@ -246,6 +246,22 @@ object SparkEntry {
       }.toDF("probe_id", "x", "y", "argb")
     }),
 
+    "pdf_page_images" -> ((s, _) => {
+      import s.implicits._
+      // page-image generation (VLM training-data op): rasterize inside
+      // tasks, emit PNG; the query re-decodes the PNG (javax.imageio) and
+      // pins geometry + round-trip + ink presence
+      graft.ops.Multimodal.renderPages(
+        PagesTable.ofFixtures(s, Seq("text.pdf", "empty.pdf")), scale = 1.0)
+        .map { pi =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pi.png))
+          val rt = img != null && img.getWidth == pi.width && img.getHeight == pi.height
+          (pi.url.stripPrefix("fixture://"), pi.page_idx.toLong,
+            pi.width.toLong, pi.height.toLong, rt, pi.ink_pct > 0.0)
+        }
+        .toDF("fixture", "page_idx", "width", "height", "png_round_trip", "has_ink")
+    }),
+
     "pdf_image_pixels" -> ((s, _) => {
       import s.implicits._
       // smart image extraction (pageobjects.py:543-659): DCT passthrough is

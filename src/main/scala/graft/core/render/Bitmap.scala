@@ -30,6 +30,16 @@ final class Bitmap(val width: Int, val height: Int, background: Int = 0xFFFFFFFF
   def inkFraction: Double =
     buf.count(_ != 0xFFFFFFFF).toDouble / buf.length
 
+  /** PNG encoding via javax.imageio (JDK built-in) — the `to_pil`/save
+    * analog (bitmap.py:249-325) for page-image training-data columns. */
+  def toPng: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, width, height, buf, 0, width)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Raw bytes in BGRA order (PDFium's native byte layout). */
   def toBgra: Array[Byte] = {
     val out = new Array[Byte](buf.length * 4)

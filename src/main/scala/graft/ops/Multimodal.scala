@@ -47,6 +47,37 @@ object Multimodal {
     None
   }
 
+  final case class PageImage(
+      url: String,
+      page_idx: Int,
+      width: Int,
+      height: Int,
+      ink_pct: Double,   // non-background fraction ×100, rounded to 2dp
+      png: Array[Byte])
+
+  /** Page-image generation for VLM training pipelines: rasterize each PDF
+    * page inside tasks and emit PNG bytes + geometry. Narrow (no shuffle);
+    * payload-heavy output rides directly to the sink. `maxPages` bounds
+    * per-document work (skew guard — the 5000-page monster can't stall a
+    * task indefinitely). */
+  def renderPages(pages: Dataset[PageRow], scale: Double = 1.0,
+                  maxPages: Int = 32): Dataset[PageImage] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap { r =>
+      if (r.html == null) Iterator.empty
+      else graft.core.PdfDocument.load(r.html) match {
+        case Left(_) => Iterator.empty
+        case Right(doc) =>
+          (0 until math.min(doc.pageCount, maxPages)).iterator.map { i =>
+            val bmp = graft.core.render.Rasterizer.render(doc.page(i), scale)
+            val ink = math.round(bmp.inkFraction * 10000).toDouble / 100
+            PageImage(r.url, i, bmp.width, bmp.height, ink, bmp.toPng)
+          }
+      }
+    }
+  }
+
   /** Typed metadata extraction over the binary column. Init-once pattern:
     * the digest instance lives per partition, not per row. */
   def payloadStats(pages: Dataset[PageRow]): Dataset[PayloadMeta] = {

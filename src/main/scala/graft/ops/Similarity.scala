@@ -46,9 +46,15 @@ object Similarity {
 
   /** Random-hyperplane LSH signature (sign bits of h deterministic pseudo
     * projections). Buckets share sign prefixes; probing the query's bucket
-    * (plus single-bit flips) retrieves candidates. */
-  def hyperplaneSig(vec: Seq[Float], bits: Int): Long = {
+    * (plus flips of low-margin bits) retrieves candidates. */
+  def hyperplaneSig(vec: Seq[Float], bits: Int): Long =
+    hyperplaneSigMargins(vec, bits)._1
+
+  /** Signature plus the per-bit projection values. |projection| is the
+    * query's distance to that hyperplane — the multi-probe ordering key. */
+  def hyperplaneSigMargins(vec: Seq[Float], bits: Int): (Long, Array[Double]) = {
     var out = 0L
+    val margins = new Array[Double](bits)
     var b = 0
     while (b < bits) {
       var acc = 0.0
@@ -64,32 +70,62 @@ object Similarity {
         acc += vec(i) * (h.toDouble / Long.MaxValue.toDouble)
         i += 1
       }
+      margins(b) = acc
       if (acc > 0) out |= (1L << b)
       b += 1
     }
-    out
+    (out, margins)
   }
 
-  /** LSH-bucketed ANN: candidates share the exact sign-bucket or differ in
-    * one bit (multi-probe); exact cosine re-rank inside buckets. Recall < 1
-    * by design — the scale path; pair with bruteForceTopK as the oracle on
-    * samples. */
-  def lshTopK(embeddings: DataFrame, nQueries: Int, k: Int, bits: Int = 12): DataFrame = {
+  /** Query-directed multi-probe sequence (Lv et al., VLDB'07): the query's
+    * own bucket, then single-bit flips ordered by |margin| ascending (a near
+    * neighbor most likely crossed the closest hyperplane), then low-margin
+    * bit PAIRS — truncated to `probes` total. A fixed probe budget replaces
+    * the all-1-and-2-bit-flip explosion (79 buckets at bits=12) that made
+    * query-heavy workloads blow up. */
+  def probeSequence(sig: Long, margins: Array[Double], probes: Int): Array[Long] = {
+    val order = margins.indices.sortBy(i => math.abs(margins(i))).toArray
+    val out = new scala.collection.mutable.ArrayBuffer[Long](probes)
+    out += sig
+    var i = 0
+    while (i < order.length && out.length < probes) {
+      out += (sig ^ (1L << order(i)))
+      i += 1
+    }
+    // pairs of the lowest-margin bits, cheapest combined margin first
+    var a = 0
+    while (a < order.length && out.length < probes) {
+      var b = a + 1
+      while (b < order.length && out.length < probes) {
+        out += (sig ^ (1L << order(a)) ^ (1L << order(b)))
+        b += 1
+      }
+      a += 1
+    }
+    out.toArray
+  }
+
+  /** LSH-bucketed ANN: the corpus sits in its exact sign-bucket; each query
+    * probes a fixed budget of buckets chosen by its hyperplane margins
+    * (query-directed multi-probe) and re-ranks candidates by exact cosine.
+    * Recall < 1 by design — the scale path; pair with bruteForceTopK as the
+    * oracle on samples. */
+  def lshTopK(embeddings: DataFrame, nQueries: Int, k: Int, bits: Int = 12,
+              probes: Int = 24): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val sigged = embeddings.select(col("vec_id"), col("embedding"))
+    val corpusB = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
       .map { case (id, e) => (id, e, hyperplaneSig(e, bits)) }
-      .toDF("vec_id", "embedding", "sig")
-    // corpus exploded to its own bucket; queries probe bucket + 1-bit flips
-    val corpusB = sigged.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("sig").as("bkt"))
-    val probeMasks: Seq[Long] = Seq(0L) ++
-      (0 until bits).map(b => 1L << b) ++
-      (for (a <- 0 until bits; b <- a + 1 until bits) yield (1L << a) | (1L << b))
-    val queriesB = sigged.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig"))
-      .withColumn("probe", explode(array(
-        probeMasks.map(m => col("sig").bitwiseXOR(lit(m))): _*)))
+      .toDF("cid", "ce", "bkt")
+    val queriesB = embeddings.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, e) =>
+        val (sig, margins) = hyperplaneSigMargins(e, bits)
+        probeSequence(sig, margins, probes).iterator.map(p => (id, e, p))
+      }
+      .toDF("qid", "qe", "probe")
     val cand = corpusB.join(broadcast(queriesB), col("bkt") === col("probe"))
       .where(col("qid") =!= col("cid"))
       .dropDuplicates("qid", "cid")

@@ -123,6 +123,67 @@ object CcittTestEncoder {
     bw.finish()
   }
 
+  /** Group 3 mixed two-dimensional (K>0) encoder: every row prefixed by
+    * EOL + a tag bit (1 = 1D row, 0 = 2D row); rows alternate modes. */
+  def encodeMixed(bitmap: Array[Array[Boolean]]): Array[Byte] = {
+    val columns = bitmap(0).length
+    val bw = new BitWriter()
+    var ref = Array.empty[Int]
+    bitmap.zipWithIndex.foreach { case (row, r) =>
+      bw.write(1, 12) // EOL
+      val use1D = r % 2 == 0
+      bw.write(if (use1D) 1 else 0, 1) // tag bit
+      val cur = transitions(row)
+      if (use1D) {
+        var pos = 0
+        var white = true
+        var ti = 0
+        while (pos < columns) {
+          val next = if (ti < cur.length) cur(ti) else columns
+          writeRun(bw, next - pos, white)
+          pos = next
+          white = !white
+          ti += 1
+        }
+      } else {
+        var a0 = -1
+        var white = true
+        while (a0 < columns) {
+          var bi = 0
+          while (bi < ref.length && (ref(bi) <= a0 || ((bi & 1) == 0) != white)) bi += 1
+          val b1 = if (bi < ref.length) ref(bi) else columns
+          val b2 = if (bi + 1 < ref.length) ref(bi + 1) else columns
+          var ai = 0
+          while (ai < cur.length && cur(ai) <= a0) ai += 1
+          val a1 = if (ai < cur.length) cur(ai) else columns
+          if (b2 < a1) { bw.write(1, 4); a0 = b2 }
+          else if (math.abs(a1 - b1) <= 3) {
+            (a1 - b1) match {
+              case 0 => bw.write(1, 1)
+              case 1 => bw.write(3, 3)
+              case 2 => bw.write(3, 6)
+              case 3 => bw.write(3, 7)
+              case -1 => bw.write(2, 3)
+              case -2 => bw.write(2, 6)
+              case -3 => bw.write(2, 7)
+            }
+            a0 = a1; white = !white
+          } else {
+            val a2 = if (ai + 1 < cur.length) cur(ai + 1) else columns
+            bw.write(1, 3)
+            val s = if (a0 < 0) 0 else a0
+            writeRun(bw, a1 - s, white)
+            writeRun(bw, a2 - a1, !white)
+            a0 = a2
+          }
+        }
+      }
+      ref = cur
+    }
+    bw.write(1, 12)
+    bw.finish()
+  }
+
   def pack(bitmap: Array[Array[Boolean]], blackIs1: Boolean): Array[Byte] = {
     val columns = bitmap(0).length
     val rowBytes = (columns + 7) / 8
@@ -171,6 +232,13 @@ class CcittSpec extends AnyFunSuite {
     val bm = randomBitmap(9, 80, 11, 0.35)
     val enc = CcittTestEncoder.encodeMH(bm)
     val dec = Ccitt.decode(enc, 80, 9, k = 0, blackIs1 = true, encodedByteAlign = false)
+    assert(java.util.Arrays.equals(dec, CcittTestEncoder.pack(bm, blackIs1 = true)))
+  }
+
+  test("mixed mode (K>0) round trip: alternating 1D/2D rows with EOL tags") {
+    val bm = randomBitmap(10, 70, 21, 0.3)
+    val enc = CcittTestEncoder.encodeMixed(bm)
+    val dec = Ccitt.decode(enc, 70, 10, k = 4, blackIs1 = true, encodedByteAlign = false)
     assert(java.util.Arrays.equals(dec, CcittTestEncoder.pack(bm, blackIs1 = true)))
   }
 

@@ -122,6 +122,18 @@ class OpsSpec extends AnyFunSuite {
     assert(top.toVector == Vector(1L))
   }
 
+  test("query-directed probe sequence: budget respected, lowest margins first") {
+    val margins = Array(0.9, -0.05, 0.4, 0.01, -0.7, 0.2)
+    val (sig) = 0x2AL
+    val seq = Similarity.probeSequence(sig, margins, probes = 4)
+    assert(seq.length == 4)
+    assert(seq(0) == sig)
+    // closest hyperplanes are bits 3 (0.01) and 1 (0.05) — flipped first
+    assert(seq(1) == (sig ^ 8L))
+    assert(seq(2) == (sig ^ 2L))
+    assert(seq.distinct.length == seq.length)
+  }
+
   test("text stats: hand-checked arithmetic") {
     import spark.implicits._
     val docs = Seq((1L, "the cat and the dog."), (2L, "")).toDF("doc_id", "text")
