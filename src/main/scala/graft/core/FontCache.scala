@@ -44,6 +44,24 @@ object FontCache {
     parsed
   }
 
+  // classic Type1 programs repeat across same-generator documents too
+  private val type1Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Type1Font]](64)
+
+  def type1(rawStream: Array[Byte], decode: () => Array[Byte],
+            len1: Int, len2: Int): Option[Type1Font] = {
+    if (rawStream.length < 8) return None
+    val k = key(rawStream)
+    val hit = type1Cache.get(k)
+    if (hit != null) return hit
+    val parsed =
+      try Type1Font.parse(decode(), len1, len2)
+      catch { case _: Exception => None }
+    if (type1Cache.size >= MaxEntries) type1Cache.clear()
+    type1Cache.put(k, parsed)
+    parsed
+  }
+
   // ToUnicode CMaps repeat identically across same-generator documents too
   private val cmapCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, String]](256)

@@ -31,7 +31,8 @@ final class PdfFontDecoder(
     val weight: Int,
     val isEmbedded: Boolean,
     fontMatrix: Option[Mat],            // Type3 only
-    cmapEnc: Option[CMapEncoding]) {    // Type0 encoding CMap
+    cmapEnc: Option[CMapEncoding],      // Type0 encoding CMap
+    val type1: Option[Type1Font] = None) { // embedded /FontFile program
 
   /** Strip the 6-letter subset tag ("BAAAAA+Ubuntu" → "Ubuntu") like PDFium's
     * base-name helpers (reference test: tests/test_textpage.py:159-191). */
@@ -105,6 +106,7 @@ final class PdfFontDecoder(
     if (idx >= 0 && idx < widths.length && widths(idx) > 0) widths(idx) * wScale
     else if (idx >= 0 && idx < widths.length) 0.0 // explicit zero width
     else truetype.flatMap(tt => glyphId(code).map(tt.advance))
+      .orElse(type1.flatMap(t1 => glyphName(code).flatMap(t1.emAdvance)))
       .orElse {
         // Standard-14 base font without /Widths (older web PDFs)
         val u = unicode(code)
@@ -119,6 +121,21 @@ final class PdfFontDecoder(
   def cid(code: Int): Int = cmapEnc match {
     case Some(e) => e.cid(code)
     case None => code
+  }
+
+  /** Glyph NAME for a simple-font charcode: /Differences first, then the
+    * embedded Type1 program's builtin encoding. */
+  def glyphName(code: Int): Option[String] =
+    diffNames.get(code).orElse(type1.flatMap(_.encoding.get(code)))
+
+  /** Flattened glyph outline contours in em fractions (for rasterization):
+    * TrueType glyf contours, else Type1 charstring outlines. */
+  def glyphOutline(code: Int): Vector[Array[Double]] = truetype match {
+    case Some(tt) => glyphId(code).map(tt.glyphContours).getOrElse(Vector.empty)
+    case None => type1 match {
+      case Some(t1) => glyphName(code).map(t1.emContours).getOrElse(Vector.empty)
+      case None => Vector.empty
+    }
   }
 
   /** Glyph id in the embedded TrueType, per PDF §9.6.6.4 mapping rules. */
@@ -150,6 +167,11 @@ final class PdfFontDecoder(
       case Some(tt) =>
         glyphId(code).flatMap(tt.glyphBBox)
       case None =>
+        // Type1 program: exact charstring control box
+        type1.flatMap(t1 => glyphName(code).flatMap(t1.emBBox)) match {
+          case some @ Some(_) => return some
+          case None => ()
+        }
         // No embedded outline data: approximate with advance × (descent..ascent),
         // except spaces which stay outline-less (keeps PDFium's zero-width
         // object skip working for unembedded fonts).
@@ -275,6 +297,15 @@ object PdfFontDecoder {
       case _ => None
     }
 
+    // classic Type1 program (/FontFile): exact widths/boxes/outlines
+    val t1: Option[Type1Font] = res(descriptor("FontFile")) match {
+      case s: PdfStream =>
+        val l1 = num(s.dict("Length1"), 0).toInt
+        val l2 = num(s.dict("Length2"), 0).toInt
+        FontCache.type1(s.raw, () => doc.streamData(s), l1, l2)
+      case _ => None
+    }
+
     val cid2gid: Option[Array[Int]] = if (isType0) res(descFont("CIDToGIDMap")) match {
       case s: PdfStream =>
         val b = doc.streamData(s)
@@ -298,7 +329,7 @@ object PdfFontDecoder {
 
     new PdfFontDecoder(tag, subtype, baseFont, isType0, codeBytes, toUni, diffs.toMap,
       baseEnc, firstChar, widths, defaultW, cidW.toMap, tt, cid2gid,
-      ascent, descent, weight, embedded, fontMatrix, cmapEnc)
+      ascent, descent, weight, embedded, fontMatrix, cmapEnc, t1)
   }
 }
 

@@ -43,11 +43,7 @@ object Rasterizer {
       val fs = obj.fontSize
       val fsh = fs * obj.hscale
       obj.chars.foreach { rc =>
-        val contours: Vector[Array[Double]] = obj.font.truetype match {
-          case Some(tt) =>
-            obj.font.glyphId(rc.code).map(tt.glyphContours).getOrElse(Vector.empty)
-          case None => Vector.empty
-        }
+        val contours = obj.font.glyphOutline(rc.code) // TrueType glyf or Type1 charstrings
         if (contours.nonEmpty) {
           val polys = contours.map { c =>
             val pts = new Array[(Double, Double)](c.length / 2)
