@@ -62,6 +62,22 @@ object FontCache {
     parsed
   }
 
+  private val cffCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[CffFont]](64)
+
+  def cff(rawStream: Array[Byte], decode: () => Array[Byte]): Option[CffFont] = {
+    if (rawStream.length < 8) return None
+    val k = key(rawStream)
+    val hit = cffCache.get(k)
+    if (hit != null) return hit
+    val parsed =
+      try CffFont.parse(decode())
+      catch { case _: Exception => None }
+    if (cffCache.size >= MaxEntries) cffCache.clear()
+    cffCache.put(k, parsed)
+    parsed
+  }
+
   // ToUnicode CMaps repeat identically across same-generator documents too
   private val cmapCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, String]](256)

@@ -32,7 +32,8 @@ final class PdfFontDecoder(
     val isEmbedded: Boolean,
     fontMatrix: Option[Mat],            // Type3 only
     cmapEnc: Option[CMapEncoding],      // Type0 encoding CMap
-    val type1: Option[Type1Font] = None) { // embedded /FontFile program
+    val type1: Option[Type1Font] = None,   // embedded /FontFile program
+    val cff: Option[CffFont] = None) {     // embedded /FontFile3 (Type1C/CID-CFF)
 
   /** Strip the 6-letter subset tag ("BAAAAA+Ubuntu" → "Ubuntu") like PDFium's
     * base-name helpers (reference test: tests/test_textpage.py:159-191). */
@@ -107,6 +108,7 @@ final class PdfFontDecoder(
     else if (idx >= 0 && idx < widths.length) 0.0 // explicit zero width
     else truetype.flatMap(tt => glyphId(code).map(tt.advance))
       .orElse(type1.flatMap(t1 => glyphName(code).flatMap(t1.emAdvance)))
+      .orElse(cff.flatMap(c => cffGid(code).flatMap(c.emAdvance)))
       .orElse {
         // Standard-14 base font without /Widths (older web PDFs)
         val u = unicode(code)
@@ -124,17 +126,30 @@ final class PdfFontDecoder(
   }
 
   /** Glyph NAME for a simple-font charcode: /Differences first, then the
-    * embedded Type1 program's builtin encoding. */
+    * embedded Type1 program's builtin encoding, then Adobe StandardEncoding
+    * (needed for CFF fonts, whose builtin encoding usually IS standard). */
   def glyphName(code: Int): Option[String] =
-    diffNames.get(code).orElse(type1.flatMap(_.encoding.get(code)))
+    diffNames.get(code)
+      .orElse(type1.flatMap(_.encoding.get(code)))
+      .orElse(if (cff.isDefined || type1.isDefined) CffFont.standardName(code) else None)
+
+  /** CFF glyph id for a charcode: CID-keyed charset for Type0, glyph-name
+    * charset for simple fonts. */
+  private def cffGid(code: Int): Option[Int] = cff.flatMap { c =>
+    if (isType0) { val cd = cid(code); if (cd >= 0) c.gidForCid(cd).orElse(Some(cd).filter(_ < c.numGlyphs)) else None }
+    else glyphName(code).flatMap(c.gidForName)
+  }
 
   /** Flattened glyph outline contours in em fractions (for rasterization):
-    * TrueType glyf contours, else Type1 charstring outlines. */
+    * TrueType glyf, Type1 charstrings, or CFF Type2 charstrings. */
   def glyphOutline(code: Int): Vector[Array[Double]] = truetype match {
     case Some(tt) => glyphId(code).map(tt.glyphContours).getOrElse(Vector.empty)
     case None => type1 match {
       case Some(t1) => glyphName(code).map(t1.emContours).getOrElse(Vector.empty)
-      case None => Vector.empty
+      case None => cff match {
+        case Some(c) => cffGid(code).map(c.emContours).getOrElse(Vector.empty)
+        case None => Vector.empty
+      }
     }
   }
 
@@ -167,8 +182,9 @@ final class PdfFontDecoder(
       case Some(tt) =>
         glyphId(code).flatMap(tt.glyphBBox)
       case None =>
-        // Type1 program: exact charstring control box
-        type1.flatMap(t1 => glyphName(code).flatMap(t1.emBBox)) match {
+        // Type1/CFF program: exact charstring control box
+        type1.flatMap(t1 => glyphName(code).flatMap(t1.emBBox))
+          .orElse(cff.flatMap(c => cffGid(code).flatMap(c.emBBox))) match {
           case some @ Some(_) => return some
           case None => ()
         }
@@ -305,6 +321,11 @@ object PdfFontDecoder {
         FontCache.type1(s.raw, () => doc.streamData(s), l1, l2)
       case _ => None
     }
+    // CFF program (/FontFile3: Type1C, CIDFontType0C, or OpenType wrapper)
+    val cffFont: Option[CffFont] = res(descriptor("FontFile3")) match {
+      case s: PdfStream => FontCache.cff(s.raw, () => doc.streamData(s))
+      case _ => None
+    }
 
     val cid2gid: Option[Array[Int]] = if (isType0) res(descFont("CIDToGIDMap")) match {
       case s: PdfStream =>
@@ -329,7 +350,7 @@ object PdfFontDecoder {
 
     new PdfFontDecoder(tag, subtype, baseFont, isType0, codeBytes, toUni, diffs.toMap,
       baseEnc, firstChar, widths, defaultW, cidW.toMap, tt, cid2gid,
-      ascent, descent, weight, embedded, fontMatrix, cmapEnc, t1)
+      ascent, descent, weight, embedded, fontMatrix, cmapEnc, t1, cffFont)
   }
 }
 
