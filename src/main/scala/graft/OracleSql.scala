@@ -369,6 +369,14 @@ object OracleSql {
         |  (1, 3, 'Link', 56.693, 748.389, 300.307, 766.789, 'https://www.openstreetmap.org/')
         |) AS t(page, ord, subtype, l, b, r, t, uri)""".stripMargin,
 
+    "pdf_sql_native" ->
+      """SELECT url, CAST(n_pages AS BIGINT) AS n_pages, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (VALUES
+        |  ('fixture://empty.pdf', 1, 0),
+        |  ('fixture://multipage.pdf', 3, 21),
+        |  ('fixture://text.pdf', 2, 541)
+        |) AS t(url, n_pages, n_chars) ORDER BY url""".stripMargin,
+
     "pdf_sql_surface" ->
       """SELECT url, CAST(n_pages AS BIGINT) AS n_pages, CAST(n_chars AS BIGINT) AS n_chars, err_code
         |FROM (VALUES

@@ -415,6 +415,17 @@ object SparkEntry {
         .toDF("page", "ord", "subtype", "l", "b", "r", "t", "uri")
     }),
 
+    "pdf_sql_native" -> ((s, _) => {
+      // native Catalyst Expression surface (codegen'd, no ScalaUDF
+      // boundary) — same pinned results as the UDF surface
+      graft.functions.NativeRegistry.register(s)
+      PagesTable.ofFixtures(s, Seq("text.pdf", "multipage.pdf", "empty.pdf"))
+        .toDF().createOrReplaceTempView("pages_nv")
+      s.sql("""SELECT url, CAST(pdf_page_count_native(html) AS BIGINT) AS n_pages,
+               |  pdf_char_count_native(html) AS n_chars
+               |FROM pages_nv ORDER BY url""".stripMargin)
+    }),
+
     "pdf_sql_surface" -> ((s, _) => {
       // ScalaUDF SQL registration (SURVEY.md §2.11): the parser callable
       // straight from spark.sql

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StringType}
+
+/** Native Catalyst Expressions for the engine's SQL scalars — the
+  * preference-order tier above ScalaUDF (build brief: "a native Catalyst
+  * Expression (with doGenCode) beats a Scala UDF"): no encoder round trip,
+  * no closure dispatch, null handling fused into whole-stage codegen. The
+  * generated code calls a static JVM method, so the parse cost itself is
+  * unchanged — what disappears is the per-row UDF boundary. */
+object NativeFns {
+  // static entry points referenced from generated code (stable names)
+  def pageCount(b: Array[Byte]): Int = {
+    val r = graft.core.Extract.extractText(if (b == null) Array.emptyByteArray else b)
+    if (r.ok) r.nPages else -1
+  }
+  def charCount(b: Array[Byte]): Long = {
+    val r = graft.core.Extract.extractText(if (b == null) Array.emptyByteArray else b)
+    if (r.ok) r.pages.map(_.nChars.toLong).sum else -1L
+  }
+  def simhash(s: String): Long =
+    graft.ops.Dedup.simhash64(graft.ops.Dedup.shingleStrings(if (s == null) "" else s).toSeq)
+}
+
+/** pdf_page_count_native(html binary) → int */
+final case class PdfPageCountExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(s"expected binary, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    NativeFns.pageCount(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeFns.pageCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): PdfPageCountExpr =
+    copy(child = newChild)
+  override def prettyName: String = "pdf_page_count_native"
+}
+
+/** pdf_char_count_native(html binary) → bigint */
+final case class PdfCharCountExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(s"expected binary, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    NativeFns.charCount(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeFns.charCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): PdfCharCountExpr =
+    copy(child = newChild)
+  override def prettyName: String = "pdf_char_count_native"
+}
+
+/** simhash64_native(text string) → bigint */
+final case class SimhashExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    NativeFns.simhash(input.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeFns.simhash($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64_native"
+}
+
+/** Session-extension entry point:
+  * `spark-submit --conf spark.sql.extensions=graft.functions.GraftSparkExtensions`
+  * injects the native functions into every session built on the cluster. */
+class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    NativeRegistry.entries.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
+}
+
+object NativeRegistry {
+  type Builder = Seq[Expression] => Expression
+  val entries: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("pdf_page_count_native",
+      new ExpressionInfo(classOf[PdfPageCountExpr].getName, "pdf_page_count_native"),
+      (args: Seq[Expression]) => PdfPageCountExpr(args.head)),
+    ("pdf_char_count_native",
+      new ExpressionInfo(classOf[PdfCharCountExpr].getName, "pdf_char_count_native"),
+      (args: Seq[Expression]) => PdfCharCountExpr(args.head)),
+    ("simhash64_native",
+      new ExpressionInfo(classOf[SimhashExpr].getName, "simhash64_native"),
+      (args: Seq[Expression]) => SimhashExpr(args.head)))
+
+  /** In-session registration (same builders as the extension path) for
+    * sessions created without `spark.sql.extensions`. */
+  def register(spark: SparkSession): Unit =
+    entries.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSessionFixture
+import graft.spark.PagesTable
+
+/** Native Catalyst Expressions: same results as the ScalaUDF surface, but
+  * the plan carries the expression itself (no ScalaUDF boundary) inside
+  * whole-stage codegen. */
+class NativeExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+
+  test("native expressions match the UDF results on the fixture corpus") {
+    PdfFunctions.register(spark)
+    NativeRegistry.register(spark)
+    PagesTable.ofFixtures(spark, Seq("text.pdf", "multipage.pdf", "empty.pdf"))
+      .toDF().createOrReplaceTempView("pages_native_v")
+    val rows = spark.sql(
+      """SELECT url,
+        |  pdf_page_count(html) AS u_pages, pdf_page_count_native(html) AS n_pages,
+        |  pdf_char_count(html) AS u_chars, pdf_char_count_native(html) AS n_chars
+        |FROM pages_native_v""".stripMargin).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("u_pages") == r.getAs[Int]("n_pages"), r.toString)
+      assert(r.getAs[Long]("u_chars") == r.getAs[Long]("n_chars"), r.toString)
+    }
+    // simhash parity with the Scala-side op
+    val s = spark.sql("SELECT simhash64_native('a b c d e f g') AS h").collect()(0).getLong(0)
+    assert(s == graft.ops.Dedup.simhash64(graft.ops.Dedup.shingleStrings("a b c d e f g").toSeq))
+  }
+
+  test("plan contains the native expression, not a ScalaUDF wrapper") {
+    NativeRegistry.register(spark)
+    PagesTable.ofFixtures(spark, Seq("text.pdf")).toDF().createOrReplaceTempView("pages_native_v2")
+    val df = spark.sql("SELECT pdf_page_count_native(html) FROM pages_native_v2")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pdf_page_count_native"), plan.take(500))
+    assert(!plan.contains("UDF"), plan.take(500))
+    // null flows through nullSafeEval → null out, not a crash
+    val n = spark.sql("SELECT pdf_page_count_native(CAST(NULL AS BINARY))").collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("type mismatch is rejected at analysis time") {
+    NativeRegistry.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT pdf_page_count_native('not binary')").collect()
+    }
+    val _ = e
+  }
+}
