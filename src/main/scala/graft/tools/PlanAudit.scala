@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Emits `explain("formatted")` for the flagship plans (PLANS.md source).
+  * Diagnostic main, not part of the library surface. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    def show(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n===== $name =====")
+      println(df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+
+    show("extract (flagship, narrow)") {
+      graft.spark.ExtractPipeline.extract(graft.spark.PagesTable.synthesize(spark, 1000, 8)).toDF()
+    }
+    show("extract_metrics (declarative agg over carrier)") {
+      graft.SparkEntry.queries("extract_metrics")(spark, sfDir)
+    }
+    show("pdf_metadata (carrier select/explode)") {
+      graft.SparkEntry.queries("pdf_metadata")(spark, sfDir)
+    }
+    show("q_join_revenue (broadcast dim)") {
+      graft.SparkEntry.queries("q_join_revenue")(spark, sfDir)
+    }
+    show("dedup_minhash_lsh (band-bucket join, id-only candidates)") {
+      graft.SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+    }
+    show("parquet pushdown probe (filter+projection reach the scan)") {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .where(org.apache.spark.sql.functions.col("l_orderkey") < 100)
+        .select("l_orderkey", "l_quantity")
+    }
+    spark.stop()
+  }
+}
