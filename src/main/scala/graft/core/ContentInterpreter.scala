@@ -31,7 +31,8 @@ final case class RawTextObject(
     dirX: Double, dirY: Double,      // unit baseline direction in device space
     base: Mat = Mat.identity,        // text space (pre-font-size) -> page space
     hscale: Double = 1.0,
-    rise: Double = 0.0) {
+    rise: Double = 0.0,
+    fillArgb: Int = 0xFF000000) {    // nonstroking color at show time
 
   /** Coordinate of a device point along the baseline direction. */
   @inline def par(x: Double, y: Double): Double = x * dirX + y * dirY
@@ -68,8 +69,14 @@ final case class PageObjectInfo(
   */
 object ContentInterpreter {
 
+  @inline private def packRgb(r: Double, g: Double, b: Double): Int = {
+    def c(v: Double) = math.max(0, math.min(255, math.round(v * 255).toInt))
+    0xFF000000 | (c(r) << 16) | (c(g) << 8) | c(b)
+  }
+
   private final class GState(var ctm: Mat) {
-    def copy(): GState = new GState(ctm)
+    var fillArgb: Int = 0xFF000000 // current nonstroking color (for text objects)
+    def copy(): GState = { val g = new GState(ctm); g.fillArgb = fillArgb; g }
   }
 
   private final class TState {
@@ -228,7 +235,7 @@ object ContentInterpreter {
           // baseline direction: image of the text-space x axis
           val (dx, dy) = if (scaleAB > 1e-12) (base.a / scaleAB, base.b / scaleAB) else (1.0, 0.0)
           val obj = RawTextObject(built, kerns.toMap, font, fs, effSize, objOrigin._2, objOrigin._1, dx, dy,
-            base, ts.hscale, ts.rise)
+            base, ts.hscale, ts.rise, gs.fillArgb)
           textObjs += obj
           objs += PageObjectInfo("text", obj.bbox.getOrElse(Rect(objOrigin._1, objOrigin._2, objOrigin._1, objOrigin._2)),
             level, built.map(_.unicode).mkString, font.baseNameNoSubset, ts.fontSize,
@@ -445,7 +452,24 @@ object ContentInterpreter {
               case "sh" =>
                 objs += PageObjectInfo("shading", gs.ctm.onRect(Rect(0, 0, 1, 1)), level,
                   "", "", 0, 0, 0, 0, "", Vector.empty, None)
-              case _ => () // color ops, marked content, etc.
+              // nonstroking color state (stamped onto text objects so the
+              // rasterizer can fill glyphs in the right color)
+              case "g" =>
+                val v = nums(1); gs.fillArgb = packRgb(v(0), v(0), v(0))
+              case "rg" =>
+                val v = nums(3); gs.fillArgb = packRgb(v(0), v(1), v(2))
+              case "k" =>
+                val v = nums(4)
+                gs.fillArgb = packRgb((1 - v(0)) * (1 - v(3)), (1 - v(1)) * (1 - v(3)), (1 - v(2)) * (1 - v(3)))
+              case "sc" | "scn" =>
+                val ns = operands.collect { case PdfNumber(n) => n }
+                gs.fillArgb = ns.length match {
+                  case 1 => packRgb(ns(0), ns(0), ns(0))
+                  case 3 => packRgb(ns(0), ns(1), ns(2))
+                  case 4 => packRgb((1 - ns(0)) * (1 - ns(3)), (1 - ns(1)) * (1 - ns(3)), (1 - ns(2)) * (1 - ns(3)))
+                  case _ => gs.fillArgb
+                }
+              case _ => () // stroke color ops, marked content, etc.
             }
             operands.clear()
           }

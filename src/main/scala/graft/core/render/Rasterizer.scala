@@ -15,10 +15,11 @@ import graft.core._
   *    Flate/raw gray+RGB+1bpp buffers; drawn through the full CTM by
   *    inverse mapping (rotation/shear handled), nearest-neighbor;
   *  - form XObjects: recursed with /Matrix ∘ CTM;
-  *  - text: glyph tight boxes filled in the fill color (outline rasterization
-  *    is the declared round-3+ upgrade; boxes keep layout structure);
-  *  - not modeled: clipping paths, transparency groups, shading gradients
-  *    (drawn as bbox fills), blend modes.
+  *  - text: TrueType/Type1/CFF outlines filled in the show-time
+  *    nonstroking color; glyph-box fills for unembedded fonts;
+  *  - clipping: rectangular (clip-path BBOX intersection — exact for the
+  *    ubiquitous `re W n` idiom, conservative for shaped clips);
+  *  - not modeled: transparency groups, shading gradients, blend modes.
   */
 object Rasterizer {
 
@@ -34,9 +35,8 @@ object Rasterizer {
     // runs inside tasks over untrusted web payloads
     try walk(page.doc, page.contentBytes, page.resources, dev, bmp, 0)
     catch { case _: Exception => () }
-    // text overlay: real TrueType outlines where the font program is
-    // embedded (glyf contours, nonzero fill); glyph-box fills otherwise.
-    // Rendered black — per-show-op fill color is a declared limitation.
+    // text overlay: real glyph outlines (TrueType/Type1/CFF) in the
+    // show-time fill color; glyph-box fills for unembedded fonts.
     val text = try ContentInterpreter.run(page)
       catch { case _: Exception => ContentInterpreter.Result(Vector.empty, Vector.empty) }
     text.textObjects.foreach { obj =>
@@ -55,7 +55,7 @@ object Rasterizer {
             }
             pts
           }
-          fillPolygons(bmp, polys, evenOdd = false, 0xFF000000)
+          fillPolygons(bmp, polys, evenOdd = false, obj.fillArgb)
         } else rc.tight.foreach { b =>
           if (b.width > 0 && b.height > 0) {
             val p1 = dev.onPoint(b.left, b.bottom)
@@ -64,7 +64,7 @@ object Rasterizer {
             val y0 = math.floor(math.min(p1._2, p2._2)).toInt
             val x1 = math.ceil(math.max(p1._1, p2._1)).toInt
             val y1 = math.ceil(math.max(p1._2, p2._2)).toInt
-            bmp.fillRect(x0, y0, x1 - x0, y1 - y0, 0xFF000000)
+            bmp.fillRect(x0, y0, x1 - x0, y1 - y0, obj.fillArgb)
           }
         }
       }
@@ -74,13 +74,17 @@ object Rasterizer {
 
   // ---- content walk (paths, colors, images, forms) -------------------------
 
+  /** Device-space clip rect (x0,y0,x1,y1 inclusive), None = unclipped. */
+  type Clip = Option[(Int, Int, Int, Int)]
+
   private final class RState(var ctm: Mat) {
     var fill: Int = 0xFF000000
     var stroke: Int = 0xFF000000
     var lineWidth: Double = 1.0
+    var clip: Clip = None
     def copy(): RState = {
       val s = new RState(ctm)
-      s.fill = fill; s.stroke = stroke; s.lineWidth = lineWidth
+      s.fill = fill; s.stroke = stroke; s.lineWidth = lineWidth; s.clip = clip
       s
     }
   }
@@ -137,14 +141,37 @@ object Rasterizer {
       }
       cx = x3; cy = y3
     }
-    def clearPath(): Unit = subpaths.clear()
+    var pendingClip = false
+    def applyPendingClip(): Unit = {
+      if (pendingClip) {
+        pendingClip = false
+        if (subpaths.nonEmpty) {
+          var minX = Double.MaxValue; var minY = Double.MaxValue
+          var maxX = Double.MinValue; var maxY = Double.MinValue
+          subpaths.foreach(_.foreach { case (px, py) =>
+            if (px < minX) minX = px
+            if (px > maxX) maxX = px
+            if (py < minY) minY = py
+            if (py > maxY) maxY = py
+          })
+          val nc = (math.floor(minX).toInt, math.floor(minY).toInt,
+            math.ceil(maxX).toInt, math.ceil(maxY).toInt)
+          gs.clip = Some(gs.clip match {
+            case Some((a, b, c, d)) =>
+              (math.max(a, nc._1), math.max(b, nc._2), math.min(c, nc._3), math.min(d, nc._4))
+            case None => nc
+          })
+        }
+      }
+    }
+    def clearPath(): Unit = { applyPendingClip(); subpaths.clear() }
     def paint(fill: Boolean, stroke: Boolean, evenOdd: Boolean): Unit = {
       if (subpaths.nonEmpty) {
         val polys = subpaths.map(_.toArray).toVector.filter(_.length >= 2)
-        if (fill && polys.nonEmpty) fillPolygons(bmp, polys, evenOdd, gs.fill)
+        if (fill && polys.nonEmpty) fillPolygons(bmp, polys, evenOdd, gs.fill, gs.clip)
         if (stroke && polys.nonEmpty) {
           val wDev = math.max(gs.lineWidth * math.hypot(gs.ctm.a, gs.ctm.b), 0.7)
-          polys.foreach(p => strokePolyline(bmp, p, wDev, gs.stroke))
+          polys.foreach(p => strokePolyline(bmp, p, wDev, gs.stroke, gs.clip))
         }
       }
       clearPath()
@@ -154,7 +181,7 @@ object Rasterizer {
       case xobjs: PdfDict => doc.resolve(xobjs(tag)) match {
         case s @ PdfStream(xd, _) => doc.resolve(xd("Subtype")) match {
           case PdfName("Image") =>
-            decodeImagePixels(doc, s).foreach(px => blitImage(bmp, gs.ctm, px, gs.fill))
+            decodeImagePixels(doc, s).foreach(px => blitImage(bmp, gs.ctm, px, gs.fill, gs.clip))
           case PdfName("Form") =>
             val formRes = doc.resolve(xd("Resources")) match { case d: PdfDict => d; case _ => resources }
             val formMat = doc.resolve(xd("Matrix")) match {
@@ -259,7 +286,7 @@ object Rasterizer {
               paint(fill = false, stroke = true, evenOdd = false)
             case "S" => paint(fill = false, stroke = true, evenOdd = false)
             case "n" => clearPath()
-            case "W" | "W*" => () // clipping not modeled
+            case "W" | "W*" => pendingClip = true // rect-bbox clip, applied at the paint op
             case "Do" => operands.lastOption match {
               case Some(PdfName(tag)) => doXObject(tag)
               case _ => ()
@@ -278,15 +305,16 @@ object Rasterizer {
 
   /** Fill closed polygons (device space) with even-odd or nonzero winding. */
   def fillPolygons(bmp: Bitmap, polys: Vector[Array[(Double, Double)]],
-                   evenOdd: Boolean, argb: Int): Unit = {
+                   evenOdd: Boolean, argb: Int, clip: Clip = None): Unit = {
     var minY = Double.MaxValue
     var maxY = Double.MinValue
     polys.foreach(_.foreach { case (_, y) =>
       if (y < minY) minY = y
       if (y > maxY) maxY = y
     })
-    val y0 = math.max(0, math.floor(minY).toInt)
-    val y1 = math.min(bmp.height - 1, math.ceil(maxY).toInt)
+    var y0 = math.max(0, math.floor(minY).toInt)
+    var y1 = math.min(bmp.height - 1, math.ceil(maxY).toInt)
+    clip.foreach { case (_, cy0, _, cy1) => y0 = math.max(y0, cy0); y1 = math.min(y1, cy1) }
     var y = y0
     while (y <= y1) {
       val yc = y + 0.5
@@ -309,7 +337,7 @@ object Rasterizer {
         if (evenOdd) {
           var i = 0
           while (i + 1 < sorted.length) {
-            fillSpan(bmp, sorted(i)._1, sorted(i + 1)._1, y, argb)
+            fillSpan(bmp, sorted(i)._1, sorted(i + 1)._1, y, argb, clip)
             i += 2
           }
         } else {
@@ -318,7 +346,7 @@ object Rasterizer {
           var i = 0
           while (i + 1 < sorted.length) {
             wind += sorted(i)._2
-            if (wind != 0) fillSpan(bmp, sorted(i)._1, sorted(i + 1)._1, y, argb)
+            if (wind != 0) fillSpan(bmp, sorted(i)._1, sorted(i + 1)._1, y, argb, clip)
             i += 1
           }
         }
@@ -327,14 +355,17 @@ object Rasterizer {
     }
   }
 
-  @inline private def fillSpan(bmp: Bitmap, xa: Double, xb: Double, y: Int, argb: Int): Unit = {
+  @inline private def fillSpan(bmp: Bitmap, xa: Double, xb: Double, y: Int, argb: Int,
+                               clip: Clip): Unit = {
     var x = math.max(0, math.round(xa).toInt)
-    val xe = math.min(bmp.width - 1, math.round(xb).toInt - 1)
+    var xe = math.min(bmp.width - 1, math.round(xb).toInt - 1)
+    clip.foreach { case (cx0, _, cx1, _) => x = math.max(x, cx0); xe = math.min(xe, cx1) }
     while (x <= xe) { bmp.set(x, y, argb); x += 1 }
   }
 
   /** Stroke a polyline as per-segment width-quads (round joins skipped). */
-  def strokePolyline(bmp: Bitmap, pts: Array[(Double, Double)], width: Double, argb: Int): Unit = {
+  def strokePolyline(bmp: Bitmap, pts: Array[(Double, Double)], width: Double, argb: Int,
+                     clip: Clip = None): Unit = {
     val hw = width / 2
     var i = 0
     while (i + 1 < pts.length) {
@@ -346,7 +377,7 @@ object Rasterizer {
         val ny = (bx - ax) / len * hw
         fillPolygons(bmp, Vector(Array(
           (ax + nx, ay + ny), (bx + nx, by + ny), (bx - nx, by - ny), (ax - nx, ay - ny))),
-          evenOdd = false, argb)
+          evenOdd = false, argb, clip)
       }
       i += 1
     }
@@ -434,13 +465,18 @@ object Rasterizer {
   }
 
   /** Draw ARGB pixels through `ctm` (unit square → device), inverse-mapped. */
-  def blitImage(bmp: Bitmap, ctm: Mat, px: ImagePixels, fillForMask: Int): Unit = {
+  def blitImage(bmp: Bitmap, ctm: Mat, px: ImagePixels, fillForMask: Int,
+                clip: Clip = None): Unit = {
     val _ = fillForMask
     val bounds = ctm.onRect(Rect(0, 0, 1, 1))
-    val x0 = math.max(0, math.floor(math.min(bounds.left, bounds.right)).toInt)
-    val x1 = math.min(bmp.width - 1, math.ceil(math.max(bounds.left, bounds.right)).toInt)
-    val y0 = math.max(0, math.floor(math.min(bounds.bottom, bounds.top)).toInt)
-    val y1 = math.min(bmp.height - 1, math.ceil(math.max(bounds.bottom, bounds.top)).toInt)
+    var x0 = math.max(0, math.floor(math.min(bounds.left, bounds.right)).toInt)
+    var x1 = math.min(bmp.width - 1, math.ceil(math.max(bounds.left, bounds.right)).toInt)
+    var y0 = math.max(0, math.floor(math.min(bounds.bottom, bounds.top)).toInt)
+    var y1 = math.min(bmp.height - 1, math.ceil(math.max(bounds.bottom, bounds.top)).toInt)
+    clip.foreach { case (cx0, cy0, cx1, cy1) =>
+      x0 = math.max(x0, cx0); x1 = math.min(x1, cx1)
+      y0 = math.max(y0, cy0); y1 = math.min(y1, cy1)
+    }
     ctm.invert match {
       case Some(inv) =>
         var y = y0

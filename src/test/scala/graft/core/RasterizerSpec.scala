@@ -67,6 +67,38 @@ class RasterizerSpec extends AnyFunSuite {
     assert(ink > 50, s"text ink=$ink")
   }
 
+  test("re W n clip: a full-page fill only lands inside the clip rect") {
+    val bmp = renderOf("100 600 50 30 re W n 1 0 0 rg 0 0 612 792 re f")
+    assert(bmp.get(125, 175) == 0xFFFF0000) // inside clip
+    assert(bmp.get(90, 175) == 0xFFFFFFFF)  // outside clip (left)
+    assert(bmp.get(300, 400) == 0xFFFFFFFF) // far outside
+  }
+
+  test("q/Q restores the clip; nested clips intersect") {
+    val content =
+      "q 100 600 100 100 re W n 0 1 0 rg 0 0 612 792 re f " + // green in outer clip
+      "q 100 600 50 50 re W n 0 0 1 rg 0 0 612 792 re f Q Q " + // blue in inner∩outer
+      "1 0 0 rg 10 10 20 20 re f"                              // after Q Q: unclipped
+    val bmp = renderOf(content)
+    assert(bmp.get(120, 140) == 0xFF00FF00) // outer only (pdf y 652 > inner top)
+    assert(bmp.get(160, 175) == 0xFF00FF00) // outer only (pdf x 160 > inner right)
+    assert(bmp.get(120, 175) == 0xFF0000FF) // inner∩outer (pdf 120,617)
+    assert(bmp.get(20, 792 - 20) == 0xFFFF0000) // unclipped after Q Q
+    assert(bmp.get(300, 400) == 0xFFFFFFFF)
+  }
+
+  test("text renders in the show-time fill color") {
+    val bmp = renderOf("BT 1 0 0 rg /F1 24 Tf 1 0 0 1 100 700 Tm (Hello) Tj ET")
+    var red = 0
+    var y = 792 - 700 - 24
+    while (y < 792 - 700 + 4) {
+      var x = 100
+      while (x < 180) { if (bmp.get(x, y) == 0xFFFF0000) red += 1; x += 1 }
+      y += 1
+    }
+    assert(red > 50, s"red text pixels=$red")
+  }
+
   test("TrueType glyph contours agree with the independently-parsed bboxes") {
     val doc = PdfDocument.load(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/tests/resources/text.pdf"))).toOption.get
