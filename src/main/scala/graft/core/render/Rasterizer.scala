@@ -198,24 +198,61 @@ object Rasterizer {
       case _ => ()
     }
 
-    def skipInlineImage(): Unit = {
+    /** BI…ID…EI: parse the abbreviated dict, capture the data bytes, map the
+      * abbreviations to full filter names and draw through the normal image
+      * path (a synthetic PdfStream feeds decodeImagePixels). */
+    def drawInlineImage(): Unit = {
+      val entries = mutable.Map[String, PdfObject]()
       var done = false
       while (!lx.atEnd && !done) {
         lx.skipWs()
-        if (lx.peek == '/') { lx.parseObject(); lx.parseObject() }
-        else {
+        if (lx.peek == '/') {
+          val k = lx.parseObject(); val v = lx.parseObject()
+          k match { case PdfName(n) => entries(n) = v; case _ => () }
+        } else {
           val t = lx.readToken()
           if (t == "ID") {
-            var i = lx.pos + 1
+            lx.pos += 1 // single whitespace after ID
+            val start = lx.pos
+            var i = start
             val d = lx.data
-            var found = false
-            while (i < d.length - 1 && !found) {
-              if (d(i) == 'E' && d(i + 1) == 'I' && (i == 0 || lx.isWhite(d(i - 1) & 0xff))) {
-                found = true; lx.pos = i + 2
-              } else i += 1
+            var end = -1
+            while (i < d.length - 1 && end < 0) {
+              if (d(i) == 'E' && d(i + 1) == 'I' &&
+                (i + 2 >= d.length || !lx.isRegular(d(i + 2) & 0xff)) &&
+                (i == 0 || lx.isWhite(d(i - 1) & 0xff))) end = i
+              else i += 1
             }
-            if (!found) lx.pos = d.length
+            if (end < 0) { lx.pos = d.length; return }
+            val raw = java.util.Arrays.copyOfRange(d, start, math.max(start, end - 1))
+            lx.pos = end + 2
             done = true
+            // expand §8.9.7 abbreviations → standard stream-dict keys
+            def full(o: PdfObject): PdfObject = o match {
+              case PdfName(n) => PdfName(n match {
+                case "G" => "DeviceGray"; case "RGB" => "DeviceRGB"; case "CMYK" => "DeviceCMYK"
+                case "I" => "Indexed"
+                case "AHx" => "ASCIIHexDecode"; case "A85" => "ASCII85Decode"
+                case "LZW" => "LZWDecode"; case "Fl" => "FlateDecode"
+                case "RL" => "RunLengthDecode"; case "CCF" => "CCITTFaxDecode"
+                case "DCT" => "DCTDecode"; case other => other
+              })
+              case PdfArray(items) => PdfArray(items.map(full))
+              case other => other
+            }
+            val normalized = entries.toMap.map {
+              case ("W", v) => "Width" -> v
+              case ("H", v) => "Height" -> v
+              case ("BPC", v) => "BitsPerComponent" -> v
+              case ("CS", v) => "ColorSpace" -> full(v)
+              case ("F", v) => "Filter" -> full(v)
+              case ("DP", v) => "DecodeParms" -> v
+              case ("IM", v) => "ImageMask" -> v
+              case (k, v) => k -> full(v)
+            }
+            val s = PdfStream(PdfDict(normalized), raw)
+            try decodeImagePixels(doc, s).foreach(px => blitImage(bmp, gs.ctm, px, gs.fill, gs.clip))
+            catch { case _: Exception => () }
           } else if (t.isEmpty) lx.parseObject()
         }
       }
@@ -291,7 +328,7 @@ object Rasterizer {
               case Some(PdfName(tag)) => doXObject(tag)
               case _ => ()
             }
-            case "BI" => skipInlineImage()
+            case "BI" => drawInlineImage()
             case "sh" => () // gradient fills not modeled
             case _ => () // text ops handled by the text overlay pass
           }

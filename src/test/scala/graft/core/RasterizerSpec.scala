@@ -99,6 +99,18 @@ class RasterizerSpec extends AnyFunSuite {
     assert(red > 50, s"red text pixels=$red")
   }
 
+  test("inline image (BI/ID/EI): raw gray samples blit through the CTM") {
+    // 2×2 gray image: TL black, TR white / BL white, BR black, scaled to
+    // 100×100 at pdf (50,600) → device y 92..192
+    val content = "q 100 0 0 100 50 600 cm BI /W 2 /H 2 /BPC 8 /CS /G ID " +
+      "\u0000\u00ff\u00ff\u0000 EI Q"
+    val bmp = renderOf(content)
+    assert(bmp.get(75, 120) == 0xFF000000, f"tl=${bmp.get(75, 120)}%08x")  // top-left black
+    assert(bmp.get(125, 120) == 0xFFFFFFFF) // top-right white
+    assert(bmp.get(75, 170) == 0xFFFFFFFF)  // bottom-left white
+    assert(bmp.get(125, 170) == 0xFF000000) // bottom-right black
+  }
+
   test("TrueType glyph contours agree with the independently-parsed bboxes") {
     val doc = PdfDocument.load(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/tests/resources/text.pdf"))).toOption.get
