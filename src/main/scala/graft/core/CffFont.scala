@@ -14,12 +14,11 @@ final class CffFont(
     data: Array[Byte],
     charStrings: IndexedSeq[Array[Byte]],
     gsubrs: IndexedSeq[Array[Byte]],
-    lsubrs: IndexedSeq[Array[Byte]],
+    fdPrivates: Array[(Double, Double, IndexedSeq[Array[Byte]])], // (defaultWidthX, nominalWidthX, local subrs) per FD
+    fdSelect: Array[Int],               // gid → FD index (all 0 for non-CID)
     val isCid: Boolean,
     gidToSid: Array[Int],               // charset: gid → SID (name) or CID
     sidName: Int => String,
-    defaultWidthX: Double,
-    nominalWidthX: Double,
     unitsScale: Double) {               // FontMatrix [0] — usually 0.001
 
   def numGlyphs: Int = charStrings.length
@@ -43,9 +42,11 @@ final class CffFont(
     if (gid < 0 || gid >= charStrings.length) return None
     val cached = memo.get(Integer.valueOf(gid))
     if (cached != null) return cached
-    val computed =
-      try Some(new Type2Interp(gsubrs, lsubrs, defaultWidthX, nominalWidthX).run(charStrings(gid)))
-      catch { case _: Exception => None }
+    val computed = try {
+      val fd = if (gid < fdSelect.length) math.min(fdSelect(gid), fdPrivates.length - 1) else 0
+      val (dW, nW, lsubrs) = fdPrivates(math.max(0, fd))
+      Some(new Type2Interp(gsubrs, lsubrs, dW, nW).run(charStrings(gid)))
+    } catch { case _: Exception => None }
     memo.put(Integer.valueOf(gid), computed)
     computed
   }
@@ -466,14 +467,40 @@ object CffFont {
             (dW, nW, subrs)
           case _ => (0.0, 0.0, IndexedSeq.empty)
         }
-      val (dW, nW, lsubrs) =
-        if (!isCid) privateOf(top)
+      // per-FD privates (CID-keyed fonts carry one private dict per font
+      // dict, selected per glyph by FDSelect format 0/3)
+      val fdPrivates: Array[(Double, Double, IndexedSeq[Array[Byte]])] =
+        if (!isCid) Array(privateOf(top))
         else top.get(1236).flatMap(_.headOption) match { // FDArray
           case Some(fdaOff) =>
             val (fds, _) = readIndex(fdaOff.toInt)
-            if (fds.nonEmpty) privateOf(parseDict(fds.head)) else (0.0, 0.0, IndexedSeq.empty)
-          case None => (0.0, 0.0, IndexedSeq.empty)
+            if (fds.nonEmpty) fds.map(fd => privateOf(parseDict(fd))).toArray
+            else Array((0.0, 0.0, IndexedSeq.empty[Array[Byte]]))
+          case None => Array((0.0, 0.0, IndexedSeq.empty[Array[Byte]]))
         }
+      val fdSelect: Array[Int] = {
+        val sel = new Array[Int](nGlyphs) // default 0
+        if (isCid) top.get(1237).flatMap(_.headOption).map(_.toInt).foreach { at =>
+          u8(at) match {
+            case 0 =>
+              var g = 0
+              while (g < nGlyphs) { sel(g) = u8(at + 1 + g); g += 1 }
+            case 3 =>
+              val nRanges = u16(at + 1)
+              var r = 0
+              while (r < nRanges) {
+                val first = u16(at + 3 + r * 3)
+                val fd = u8(at + 3 + r * 3 + 2)
+                val next = if (r + 1 < nRanges) u16(at + 3 + (r + 1) * 3) else u16(at + 3 + nRanges * 3)
+                var g = first
+                while (g < math.min(next, nGlyphs)) { sel(g) = fd; g += 1 }
+                r += 1
+              }
+            case _ => ()
+          }
+        }
+        sel
+      }
 
       // charset: gid → SID/CID
       val gidToSid = new Array[Int](nGlyphs)
@@ -508,7 +535,7 @@ object CffFont {
       val scale = top.get(1207).filter(_.length >= 1).map(_.head)
         .filter(v => v > 0 && v < 1).getOrElse(0.001)
 
-      Some(new CffFont(data, charStrings, gsubrs, lsubrs, isCid, gidToSid, sidName, dW, nW, scale))
+      Some(new CffFont(data, charStrings, gsubrs, fdPrivates, fdSelect, isCid, gidToSid, sidName, scale))
     } catch { case _: Exception => None }
   }
 }

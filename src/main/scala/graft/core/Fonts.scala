@@ -33,7 +33,9 @@ final class PdfFontDecoder(
     fontMatrix: Option[Mat],            // Type3 only
     cmapEnc: Option[CMapEncoding],      // Type0 encoding CMap
     val type1: Option[Type1Font] = None,   // embedded /FontFile program
-    val cff: Option[CffFont] = None) {     // embedded /FontFile3 (Type1C/CID-CFF)
+    val cff: Option[CffFont] = None,       // embedded /FontFile3 (Type1C/CID-CFF)
+    val type3Procs: Map[String, PdfStream] = Map.empty, // Type3 CharProcs
+    val type3Resources: PdfDict = PdfDict.empty) {      // Type3 /Resources
 
   /** Strip the 6-letter subset tag ("BAAAAA+Ubuntu" → "Ubuntu") like PDFium's
     * base-name helpers (reference test: tests/test_textpage.py:159-191). */
@@ -341,6 +343,21 @@ object PdfFontDecoder {
     val descent = num(descriptor("Descent"), tt.map(_.descent1000).getOrElse(-250.0))
     val weight = num(descriptor("FontWeight"), tt.flatMap(_.os2Weight).getOrElse(400).toDouble).toInt
 
+    // Type3 glyph procedures (content streams keyed by glyph name) + the
+    // font's own resource dict, for the rasterizer's charproc execution
+    val t3Procs: Map[String, PdfStream] =
+      if (subtype == "Type3") res(fontDict("CharProcs")) match {
+        case cp: PdfDict => cp.entries.flatMap { case (n, v) =>
+          res(v) match { case s: PdfStream => Some(n -> s); case _ => None }
+        }
+        case _ => Map.empty
+      } else Map.empty
+    val t3Res: PdfDict =
+      if (subtype == "Type3") res(fontDict("Resources")) match {
+        case d: PdfDict => d
+        case _ => PdfDict.empty
+      } else PdfDict.empty
+
     val fontMatrix: Option[Mat] = if (subtype == "Type3") res(fontDict("FontMatrix")) match {
       case PdfArray(items) if items.length == 6 =>
         val v = items.map(it => num(it, 0))
@@ -350,7 +367,7 @@ object PdfFontDecoder {
 
     new PdfFontDecoder(tag, subtype, baseFont, isType0, codeBytes, toUni, diffs.toMap,
       baseEnc, firstChar, widths, defaultW, cidW.toMap, tt, cid2gid,
-      ascent, descent, weight, embedded, fontMatrix, cmapEnc, t1, cffFont)
+      ascent, descent, weight, embedded, fontMatrix, cmapEnc, t1, cffFont, t3Procs, t3Res)
   }
 }
 

@@ -43,7 +43,28 @@ object Rasterizer {
       val fs = obj.fontSize
       val fsh = fs * obj.hscale
       obj.chars.foreach { rc =>
-        val contours = obj.font.glyphOutline(rc.code) // TrueType glyf or Type1 charstrings
+        // Type3: execute the glyph's content-stream procedure through the
+        // walker, with glyph space → device = FontMatrix ∘ (fs·hscale, fs)
+        // ∘ advance-offset ∘ text base ∘ page-to-device
+        val t3Drawn = obj.font.type3Matrix match {
+          case Some(fm) if obj.font.type3Procs.nonEmpty =>
+            obj.font.glyphName(rc.code).flatMap(obj.font.type3Procs.get) match {
+              case Some(proc) =>
+                val glyphToPage = fm
+                  .multiply(Mat(fs * obj.hscale, 0, 0, fs, 0, obj.rise))
+                  .multiply(Mat.identity.translate(rc.xOff, 0))
+                  .multiply(obj.base)
+                try walk(page.doc, page.doc.streamData(proc), obj.font.type3Resources,
+                  glyphToPage.multiply(dev), bmp, 1)
+                catch { case _: Exception => () }
+                true
+              case None => false
+            }
+          case _ => false
+        }
+        val contours =
+          if (t3Drawn) Vector.empty
+          else obj.font.glyphOutline(rc.code) // TrueType glyf / Type1 / CFF charstrings
         if (contours.nonEmpty) {
           val polys = contours.map { c =>
             val pts = new Array[(Double, Double)](c.length / 2)
@@ -56,7 +77,7 @@ object Rasterizer {
             pts
           }
           fillPolygons(bmp, polys, evenOdd = false, obj.fillArgb)
-        } else rc.tight.foreach { b =>
+        } else if (!t3Drawn) rc.tight.foreach { b =>
           if (b.width > 0 && b.height > 0) {
             val p1 = dev.onPoint(b.left, b.bottom)
             val p2 = dev.onPoint(b.right, b.top)

@@ -111,6 +111,30 @@ class RasterizerSpec extends AnyFunSuite {
     assert(bmp.get(125, 170) == 0xFF000000) // bottom-right black
   }
 
+  test("Type3 glyphs: charproc content renders through the glyph matrix") {
+    // glyph space 1/500 (FontMatrix .002): a full-em filled square charproc
+    // shown at 100pt → a 100×100 block at the pen position
+    val proc = "0 0 500 500 re f"
+    val pdf = SynthPdf.build(Vector(
+      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Resources<</Font<</F1 4 0 R>>>>/Contents 5 0 R>>".getBytes,
+      ("<</Type/Font/Subtype/Type3/FontBBox[0 0 500 500]/FontMatrix[0.002 0 0 0.002 0 0]" +
+        "/CharProcs<</boxglyph 6 0 R>>/Encoding<</Type/Encoding/Differences[65 /boxglyph]>>" +
+        "/FirstChar 65/LastChar 65/Widths[500]>>").getBytes,
+      {
+        val content = "BT /F1 100 Tf 1 0 0 1 100 400 Tm (A) Tj ET"
+        s"<</Length ${content.length}>>\nstream\n$content\nendstream".getBytes
+      },
+      s"<</Length ${proc.length}>>\nstream\n$proc\nendstream".getBytes))
+    val doc = PdfDocument.load(pdf).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    // glyph square: pdf (100,400)-(200,500) → device y 292..392
+    assert(bmp.get(150, 342) == 0xFF000000, f"center=${bmp.get(150, 342)}%08x")
+    assert(bmp.get(150, 250) == 0xFFFFFFFF) // above the glyph
+    assert(bmp.get(250, 342) == 0xFFFFFFFF) // right of the glyph
+  }
+
   test("TrueType glyph contours agree with the independently-parsed bboxes") {
     val doc = PdfDocument.load(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/tests/resources/text.pdf"))).toOption.get
