@@ -10,10 +10,10 @@ import scala.collection.mutable
   * extraction + rasterization need: per-glyph advance width (hsbw), control
   * box, and flattened contours, plus the font's builtin encoding.
   *
-  * Not implemented: hints (pure rendering quality), seac accent
-  * COMPOSITION (base glyph is used alone), othersubr hint replacement
-  * beyond arg plumbing. Flex (othersubrs 0/1/2) renders the collected
-  * points as two cubic curves, the standard minimal treatment. */
+  * seac accented glyphs compose base + shifted accent (StandardEncoding
+  * names). Not implemented: hints (pure rendering quality), othersubr hint
+  * replacement beyond arg plumbing. Flex (othersubrs 0/1/2) renders the
+  * collected points as two cubic curves, the standard minimal treatment. */
 final class Type1Font(
     val encoding: Map[Int, String],         // builtin code → glyph name
     charstrings: Map[String, Array[Byte]],  // decrypted charstrings
@@ -31,11 +31,35 @@ final class Type1Font(
     val cached = memo.get(name)
     if (cached != null) return cached
     val computed = charstrings.get(name).flatMap { cs =>
-      try Some(new Type1Interp(subrs).run(cs))
+      try Some(compose(new Type1Interp(subrs).run(cs), 0))
       catch { case _: Exception => None }
     }
     memo.put(name, computed)
     computed
+  }
+
+  /** seac composition: the base and accent glyphs are named through
+    * StandardEncoding codes; the accent shifts by (adx - asb + base sbx, ady).
+    * The sidebearing correction uses adx directly (the common approximation —
+    * asb equals the accent's own sidebearing in well-formed fonts). */
+  private def compose(g: Type1Glyph, depth: Int): Type1Glyph = g.seac match {
+    case Some((_, adx, ady, bchar, achar)) if depth < 3 =>
+      val baseName = CffFont.standardName(bchar)
+      val accName = CffFont.standardName(achar)
+      val baseG = baseName.flatMap(charstrings.get).flatMap { cs =>
+        try Some(compose(new Type1Interp(subrs).run(cs), depth + 1)) catch { case _: Exception => None }
+      }
+      val accG = accName.flatMap(charstrings.get).flatMap { cs =>
+        try Some(compose(new Type1Interp(subrs).run(cs), depth + 1)) catch { case _: Exception => None }
+      }
+      val shifted = accG.map(_.contours.map { c =>
+        val a = new Array[Double](c.length)
+        var i = 0
+        while (i + 1 < c.length) { a(i) = c(i) + adx; a(i + 1) = c(i + 1) + ady; i += 2 }
+        a
+      }).getOrElse(Vector.empty)
+      Type1Glyph(g.width, baseG.map(_.contours).getOrElse(Vector.empty) ++ shifted, None)
+    case _ => g
   }
 
   def emAdvance(name: String): Option[Double] = glyph(name).map(_.width * fontMatrixScale)
@@ -73,7 +97,8 @@ final class Type1Font(
   }
 }
 
-final case class Type1Glyph(width: Double, contours: Vector[Array[Double]])
+final case class Type1Glyph(width: Double, contours: Vector[Array[Double]],
+    seac: Option[(Double, Double, Double, Int, Int)] = None) // asb adx ady bchar achar
 
 /** Type1 charstring interpreter (font-unit coordinates). */
 private final class Type1Interp(subrs: Array[Array[Byte]]) {
@@ -85,6 +110,7 @@ private final class Type1Interp(subrs: Array[Array[Byte]]) {
   private var sbx = 0.0
   private val contours = Vector.newBuilder[Array[Double]]
   private var cur = new mutable.ArrayBuffer[Double](64)
+  private var seacInfo: Option[(Double, Double, Double, Int, Int)] = None
   private var inFlex = false
   private val flexPts = new mutable.ArrayBuffer[Double](16)
   private var done = false
@@ -121,7 +147,7 @@ private final class Type1Interp(subrs: Array[Array[Byte]]) {
   def run(cs: Array[Byte]): Type1Glyph = {
     exec(cs, 0)
     closeContour()
-    Type1Glyph(width, contours.result())
+    Type1Glyph(width, contours.result(), seacInfo)
   }
 
   private def exec(cs: Array[Byte], depth: Int): Unit = {
@@ -196,7 +222,12 @@ private final class Type1Interp(subrs: Array[Array[Byte]]) {
                   val a2 = stack.remove(stack.length - 1)
                   stack += (if (b2 != 0) a2 / b2 else 0.0)
                 }
-              case 6 => // seac: asb adx ady bchar achar — render base glyph only
+              case 6 => // seac: asb adx ady bchar achar (accent composition)
+                if (stack.length >= 5) {
+                  val b5 = stack.length - 5
+                  seacInfo = Some((stack(b5), stack(b5 + 1), stack(b5 + 2),
+                    stack(b5 + 3).toInt, stack(b5 + 4).toInt))
+                }
                 stack.clear(); done = true
               case 7 => // sbw: sbx sby wx wy
                 if (stack.length >= 4) { sbx = stack(0); width = stack(2); x = sbx; y = stack(1) }

@@ -78,6 +78,14 @@ object Multimodal {
     }
   }
 
+  /** PNG dimensions from the IHDR chunk (bytes 16..23 after the signature). */
+  def pngDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 24) return None
+    def be32(i: Int) = ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    if (new String(b, 12, 4, java.nio.charset.StandardCharsets.ISO_8859_1) != "IHDR") None
+    else Some((be32(16), be32(20)))
+  }
+
   /** Typed metadata extraction over the binary column. Init-once pattern:
     * the digest instance lives per partition, not per row. */
   def payloadStats(pages: Dataset[PageRow]): Dataset[PayloadMeta] = {
@@ -89,7 +97,11 @@ object Multimodal {
         val b = if (r.html == null) Array.emptyByteArray else r.html
         md.reset()
         val sha = md.digest(b).map(x => f"$x%02x").mkString
-        val dims = if (detectMagic(b) == "jpeg") jpegDims(b) else None
+        val dims = detectMagic(b) match {
+          case "jpeg" => jpegDims(b)
+          case "png" => pngDims(b)
+          case _ => None
+        }
         PayloadMeta(r.url, b.length.toLong, sha, detectMagic(b),
           dims.map(_._1.toLong).getOrElse(-1L), dims.map(_._2.toLong).getOrElse(-1L))
       }

@@ -61,6 +61,56 @@ class Type1FontSpec extends AnyFunSuite {
     }
   }
 
+  test("seac accent composition: synthetic encrypted Type1 font") {
+    // independent test-side Type1 writer: charstring + eexec encryption
+    def encrypt(data: Array[Byte], r0: Int, prefix: Int): Array[Byte] = {
+      var r = r0
+      val in = Array.fill[Byte](prefix)(0x55) ++ data
+      val out = new Array[Byte](in.length)
+      var i = 0
+      while (i < in.length) {
+        val p = in(i) & 0xff
+        val c = p ^ (r >> 8)
+        r = ((c + r) * 52845 + 22719) & 0xffff
+        out(i) = c.toByte
+        i += 1
+      }
+      out
+    }
+    def num(v: Int): Array[Byte] = { require(v >= -107 && v <= 107); Array((v + 139).toByte) }
+    // base 'a': 100-wide square; accent 'quoteright': 50 square; composite
+    // glyph 'aacute': seac(0, 25, 100, 97, 39)
+    val csA = num(0) ++ num(100) ++ Array[Byte](13) ++ // hsbw
+      num(0) ++ num(0) ++ Array[Byte](21) ++           // rmoveto
+      num(100) ++ num(0) ++ Array[Byte](5) ++ num(0) ++ num(100) ++ Array[Byte](5) ++
+      num(-100) ++ num(0) ++ Array[Byte](5) ++ Array[Byte](9, 14)
+    val csQ = num(0) ++ num(50) ++ Array[Byte](13) ++
+      num(0) ++ num(0) ++ Array[Byte](21) ++
+      num(50) ++ num(0) ++ Array[Byte](5) ++ num(0) ++ num(50) ++ Array[Byte](5) ++
+      num(-50) ++ num(0) ++ Array[Byte](5) ++ Array[Byte](9, 14)
+    val csComp = num(0) ++ num(100) ++ Array[Byte](13) ++
+      num(0) ++ num(25) ++ num(100) ++ num(97) ++ num(39) ++ Array[Byte](12, 6) // seac
+    def entry(name: String, cs: Array[Byte]): Array[Byte] = {
+      val enc = encrypt(cs, 4330, 4)
+      s"/$name ${enc.length} RD ".getBytes("ISO-8859-1") ++ enc ++ " ND\n".getBytes("ISO-8859-1")
+    }
+    val privPlain = "dup /Private 1 dict\n/Subrs 0 array NP\n/CharStrings 3 dict dup begin\n".getBytes("ISO-8859-1") ++
+      entry("a", csA) ++ entry("quoteright", csQ) ++ entry("aacute", csComp) ++
+      "end\n".getBytes("ISO-8859-1")
+    val encPart = encrypt(privPlain, 55665, 4)
+    val clear = ("%!PS-AdobeFont-1.0: SeacTest\n/FontMatrix [0.001 0 0 0.001 0 0] def\n" +
+      "/Encoding 256 array\ndup 97 /a put\ndup 228 /aacute put\nreadonly def\ncurrentdict end\n" +
+      "currentfile eexec\n").getBytes("ISO-8859-1")
+    val t1 = Type1Font.parse(clear ++ encPart).getOrElse(fail("synthetic Type1 parse failed"))
+    assert(t1.glyphNames == Set("a", "quoteright", "aacute"))
+    // base square 0..100; accent shifted by (25, 100): 25..75 × 100..150
+    val bb = t1.emBBox("aacute").getOrElse(fail("no composite bbox"))
+    assert(math.abs(bb.left - 0.0) < 1e-9 && math.abs(bb.right - 0.1) < 1e-9, s"bb=$bb")
+    assert(math.abs(bb.bottom - 0.0) < 1e-9 && math.abs(bb.top - 0.15) < 1e-9, s"bb=$bb")
+    assert(t1.emContours("aacute").length == 2) // base + accent
+    assert(t1.emAdvance("aacute").contains(0.1))
+  }
+
   test("glyph bboxes sit inside the descriptor FontBBox") {
     val desc = (1 to 60).iterator.map(doc.getObject).collectFirst {
       case d: PdfDict if d.contains("FontBBox") && d.contains("FontFile") => d

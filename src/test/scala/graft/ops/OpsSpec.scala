@@ -148,6 +148,13 @@ class OpsSpec extends AnyFunSuite {
     assert(fp.distinct.length == 2)
   }
 
+  test("png header decode: IHDR dims from a rendered page PNG") {
+    val doc = graft.core.PdfDocument.load(graft.core.SynthPdf.onePage("1 0 0 rg 10 10 50 50 re f")).toOption.get
+    val png = graft.core.render.Rasterizer.render(doc.page(0), scale = 0.25).toPng
+    assert(Multimodal.detectMagic(png) == "png")
+    assert(Multimodal.pngDims(png).contains((153, 198))) // ceil(612*.25), ceil(792*.25)
+  }
+
   test("multimodal payload stats: magic + jpeg header decode") {
     val jpg = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/tests/resources/mona_lisa.jpg"))
