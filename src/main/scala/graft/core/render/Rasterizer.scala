@@ -19,7 +19,9 @@ import graft.core._
   *    nonstroking color; glyph-box fills for unembedded fonts;
   *  - clipping: rectangular (clip-path BBOX intersection — exact for the
   *    ubiquitous `re W n` idiom, conservative for shaped clips);
-  *  - not modeled: transparency groups, shading gradients, blend modes.
+  *  - shadings: axial (type 2) exact, radial (type 3) approximated along
+  *    the center line, with type-2/3 PDF functions evaluated;
+  *  - not modeled: transparency groups, blend modes, patterns-as-fill.
   */
 object Rasterizer {
 
@@ -198,6 +200,87 @@ object Rasterizer {
       clearPath()
     }
 
+    /** `sh`: axial (type 2) and radial (type 3) shadings painted across the
+      * current clip, colors from type-2 (exponential) / type-3 (stitching)
+      * functions; other shading/function types fall back to the midpoint
+      * color. Coords live in the CURRENT user space (gs.ctm). */
+    def drawShading(name: String): Unit = doc.resolve(resources("Shading")) match {
+      case shd: PdfDict => doc.resolve(shd(name)) match {
+        case d: PdfDict => paintShadingDict(d)
+        case PdfStream(sd, _) => paintShadingDict(sd)
+        case _ => ()
+      }
+      case _ => ()
+    }
+
+    def paintShadingDict(sd: PdfDict): Unit = {
+      def numsOf(o: PdfObject): Array[Double] = doc.resolve(o) match {
+        case PdfArray(items) => items.map(doc.resolve).collect { case PdfNumber(v) => v }.toArray
+        case _ => Array.emptyDoubleArray
+      }
+      val shType = doc.resolve(sd("ShadingType")) match { case PdfNumber(v) => v.toInt; case _ => 0 }
+      val coords = numsOf(sd("Coords"))
+      val domain = { val a = numsOf(sd("Domain")); if (a.length >= 2) a else Array(0.0, 1.0) }
+      val extend = doc.resolve(sd("Extend")) match {
+        case PdfArray(items) =>
+          val bs = items.map(doc.resolve).collect { case PdfBool(b) => b }
+          (bs.headOption.getOrElse(false), bs.lift(1).getOrElse(false))
+        case _ => (false, false)
+      }
+      val csComponents = doc.resolve(sd("ColorSpace")) match {
+        case PdfName("DeviceGray") => 1
+        case PdfName("DeviceCMYK") => 4
+        case _ => 3
+      }
+      val fn = evalFunction(doc, sd("Function"))
+      def colorAt(t: Double): Int = {
+        val c = fn(domain(0) + t * (domain(1) - domain(0)))
+        csComponents match {
+          case 1 if c.length >= 1 => rgb(c(0), c(0), c(0))
+          case 4 if c.length >= 4 => cmyk(c(0), c(1), c(2), c(3))
+          case _ if c.length >= 3 => rgb(c(0), c(1), c(2))
+          case _ if c.length >= 1 => rgb(c(0), c(0), c(0))
+          case _ => 0xFF808080
+        }
+      }
+      val (cx0, cy0, cx1, cy1) = gs.clip.getOrElse((0, 0, bmp.width - 1, bmp.height - 1))
+      gs.ctm.invert.foreach { inv =>
+        var y = math.max(0, cy0)
+        while (y <= math.min(bmp.height - 1, cy1)) {
+          var x = math.max(0, cx0)
+          while (x <= math.min(bmp.width - 1, cx1)) {
+            val (ux, uy) = inv.onPoint(x + 0.5, y + 0.5)
+            val tRaw: Option[Double] = shType match {
+              case 2 if coords.length >= 4 =>
+                val dx = coords(2) - coords(0); val dy = coords(3) - coords(1)
+                val den = dx * dx + dy * dy
+                if (den <= 0) Some(0.0)
+                else Some(((ux - coords(0)) * dx + (uy - coords(1)) * dy) / den)
+              case 3 if coords.length >= 6 =>
+                // radial approximation: fraction along the center line by
+                // distance from the start circle, normalized by Δr + |Δc|
+                val d0 = math.hypot(ux - coords(0), uy - coords(1)) - coords(2)
+                val span = math.hypot(coords(3) - coords(0), coords(4) - coords(1)) +
+                  (coords(5) - coords(2))
+                if (math.abs(span) < 1e-9) Some(0.0) else Some(d0 / span)
+              case _ => Some(0.5)
+            }
+            tRaw.foreach { t0 =>
+              val inRange = t0 >= 0 && t0 <= 1
+              val t =
+                if (inRange) t0
+                else if (t0 < 0 && extend._1) 0.0
+                else if (t0 > 1 && extend._2) 1.0
+                else Double.NaN
+              if (!t.isNaN) bmp.set(x, y, colorAt(t))
+            }
+            x += 1
+          }
+          y += 1
+        }
+      }
+    }
+
     def doXObject(tag: String): Unit = doc.resolve(resources("XObject")) match {
       case xobjs: PdfDict => doc.resolve(xobjs(tag)) match {
         case s @ PdfStream(xd, _) => doc.resolve(xd("Subtype")) match {
@@ -350,7 +433,10 @@ object Rasterizer {
               case _ => ()
             }
             case "BI" => drawInlineImage()
-            case "sh" => () // gradient fills not modeled
+            case "sh" => operands.lastOption match {
+              case Some(PdfName(n)) => try drawShading(n) catch { case _: Exception => () }
+              case _ => ()
+            }
             case _ => () // text ops handled by the text overlay pass
           }
           operands.clear()
@@ -438,6 +524,61 @@ object Rasterizer {
           evenOdd = false, argb, clip)
       }
       i += 1
+    }
+  }
+
+  // ---- PDF functions (for shadings) ---------------------------------------
+
+  /** Evaluate a /Function object: type 2 (exponential) and type 3
+    * (stitching) exactly; arrays evaluate per component; sampled (0) and
+    * PostScript (4) functions fall back to the midpoint constant. */
+  def evalFunction(doc: PdfDocument, fnObj: PdfObject): Double => Array[Double] =
+    doc.resolve(fnObj) match {
+      case d: PdfDict => evalFunctionDict(doc, d)
+      case PdfStream(sd, _) => evalFunctionDict(doc, sd)
+      case PdfArray(items) =>
+        val fns = items.map(evalFunction(doc, _))
+        (t: Double) => fns.flatMap(f => f(t)).toArray
+      case _ => (_: Double) => Array(0.5)
+    }
+
+  private def evalFunctionDict(doc: PdfDocument, d: PdfDict): Double => Array[Double] = {
+    def numsOf(o: PdfObject): Array[Double] = doc.resolve(o) match {
+      case PdfArray(items) => items.map(doc.resolve).collect { case PdfNumber(v) => v }.toArray
+      case _ => Array.emptyDoubleArray
+    }
+    doc.resolve(d("FunctionType")) match {
+      case PdfNumber(ft) if ft.toInt == 2 =>
+        val c0 = { val a = numsOf(d("C0")); if (a.nonEmpty) a else Array(0.0) }
+        val c1 = { val a = numsOf(d("C1")); if (a.nonEmpty) a else Array(1.0) }
+        val n = doc.resolve(d("N")) match { case PdfNumber(v) => v; case _ => 1.0 }
+        (t: Double) => {
+          val tn = math.pow(math.max(0.0, math.min(1.0, t)), n)
+          Array.tabulate(math.min(c0.length, c1.length))(i => c0(i) + tn * (c1(i) - c0(i)))
+        }
+      case PdfNumber(ft) if ft.toInt == 3 =>
+        val dom = { val a = numsOf(d("Domain")); if (a.length >= 2) a else Array(0.0, 1.0) }
+        val bounds = numsOf(d("Bounds"))
+        val encode = numsOf(d("Encode"))
+        val subs: Vector[Double => Array[Double]] = doc.resolve(d("Functions")) match {
+          case PdfArray(items) => items.map(evalFunction(doc, _))
+          case _ => Vector.empty
+        }
+        (t0: Double) => {
+          if (subs.isEmpty) Array(0.5)
+          else {
+            val t = math.max(dom(0), math.min(dom(1), t0))
+            var k = 0
+            while (k < bounds.length && t >= bounds(k)) k += 1
+            val lo = if (k == 0) dom(0) else bounds(k - 1)
+            val hi = if (k >= bounds.length) dom(1) else bounds(k)
+            val e0 = if (encode.length > 2 * k) encode(2 * k) else 0.0
+            val e1 = if (encode.length > 2 * k + 1) encode(2 * k + 1) else 1.0
+            val u = if (hi - lo < 1e-12) e0 else e0 + (t - lo) / (hi - lo) * (e1 - e0)
+            subs(math.min(k, subs.length - 1))(u)
+          }
+        }
+      case _ => (_: Double) => Array(0.5)
     }
   }
 

@@ -135,6 +135,56 @@ class RasterizerSpec extends AnyFunSuite {
     assert(bmp.get(250, 342) == 0xFFFFFFFF) // right of the glyph
   }
 
+  test("axial shading: red→blue gradient across the clip rect") {
+    val fontDictSlot = "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>" // unused F1
+    val pdf = SynthPdf.build(Vector(
+      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      ("<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Resources<</Font<</F1 4 0 R>>" +
+        "/Shading<</Sh0<</ShadingType 2/ColorSpace/DeviceRGB/Coords[100 0 300 0]" +
+        "/Function<</FunctionType 2/Domain[0 1]/C0[1 0 0]/C1[0 0 1]/N 1>>" +
+        "/Extend[true true]>>>>>>/Contents 5 0 R>>").getBytes,
+      fontDictSlot.getBytes,
+      {
+        val content = "q 100 600 200 100 re W n /Sh0 sh Q"
+        s"<</Length ${content.length}>>\nstream\n$content\nendstream".getBytes
+      }))
+    val doc = PdfDocument.load(pdf).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    // clip: pdf (100..300)×(600..700) → device y 92..192
+    def rgbOf(p: Int) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    val (rl, _, bl) = rgbOf(bmp.get(110, 142))
+    assert(rl > 200 && bl < 60, s"left=${rgbOf(bmp.get(110, 142))}")
+    val (rr, _, br) = rgbOf(bmp.get(290, 142))
+    assert(rr < 60 && br > 200, s"right=${rgbOf(bmp.get(290, 142))}")
+    val (rm, _, bm) = rgbOf(bmp.get(200, 142))
+    assert(math.abs(rm - bm) < 30 && rm > 90 && rm < 160, s"mid=${rgbOf(bmp.get(200, 142))}")
+    assert(bmp.get(90, 142) == 0xFFFFFFFF)  // outside clip
+    assert(bmp.get(200, 300) == 0xFFFFFFFF) // below clip
+  }
+
+  test("stitching function (type 3) drives a two-segment gradient") {
+    val pdf = SynthPdf.build(Vector(
+      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      ("<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Resources<<" +
+        "/Shading<</Sh1<</ShadingType 2/ColorSpace/DeviceRGB/Coords[100 0 300 0]" +
+        "/Function<</FunctionType 3/Domain[0 1]/Bounds[0.5]/Encode[0 1 0 1]" +
+        "/Functions[<</FunctionType 2/Domain[0 1]/C0[1 0 0]/C1[0 1 0]/N 1>>" +
+        "<</FunctionType 2/Domain[0 1]/C0[0 1 0]/C1[0 0 1]/N 1>>]>>" +
+        "/Extend[true true]>>>>>>/Contents 4 0 R>>").getBytes,
+      {
+        val content = "q 100 600 200 100 re W n /Sh1 sh Q"
+        s"<</Length ${content.length}>>\nstream\n$content\nendstream".getBytes
+      }))
+    val doc = PdfDocument.load(pdf).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    def g(p: Int) = (p >> 8) & 0xff
+    assert(g(bmp.get(200, 142)) > 200, f"mid-green=${bmp.get(200, 142)}%08x") // t=0.5 → pure green
+    assert(((bmp.get(110, 142) >> 16) & 0xff) > 180) // left reddish
+    assert((bmp.get(290, 142) & 0xff) > 180)         // right bluish
+  }
+
   test("TrueType glyph contours agree with the independently-parsed bboxes") {
     val doc = PdfDocument.load(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/tests/resources/text.pdf"))).toOption.get
