@@ -419,6 +419,24 @@ object OracleSql {
          |  AND len(list_intersect(a.s, b.s)) >= len(list_distinct(list_concat(a.s, b.s))) * 0.7
          |ORDER BY a, b""".stripMargin,
 
+    // connected components over the same verified pair set, as a recursive
+    // CTE: root set of a node = its whole (undirected) component, so
+    // MIN(root) is the canonical representative
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $corpusCte, $shinglesCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND len(list_intersect(a.s, b.s)) >= len(list_distinct(list_concat(a.s, b.s))) * 0.7),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+         |reach(node, root) AS (
+         |  SELECT a AS node, a AS root FROM edges
+         |  UNION
+         |  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node)
+         |SELECT node AS doc_id, MIN(root) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
     "dedup_jaccard_block" ->
       s"""WITH $corpusCte, $shinglesCte,
          |shb AS (SELECT doc_id, string_split(text,' ')[1] AS blk, s
@@ -460,6 +478,29 @@ object OracleSql {
          |  CAST(length(text) - length(replace(text,'.','')) AS BIGINT) AS n_periods,
          |  CAST(floor(CAST(length(' '||text||' ') - length(replace(' '||text||' ',' the ','')) AS DOUBLE)/5.0) AS BIGINT) AS n_the
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Gopher filter rules (token bounds, mean-word-length band, symbol
+    // caps, stopword floor) — integer/boolean arithmetic identical in DuckDB
+    "text_gopher_rules" -> {
+      val meanLen = s"""CAST(CASE WHEN $nTok > 0
+         |    THEN floor(CAST((length(text) - (length(text)-length(replace(text,' ','')))) AS DOUBLE) * 1000.0
+         |      / CAST($nTok AS DOUBLE))
+         |    ELSE 0 END AS BIGINT)""".stripMargin
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(w => s"(CASE WHEN ' '||text||' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""SELECT doc_id,
+         |  CAST($nTok AS BIGINT) AS n_tokens,
+         |  $meanLen AS mean_tok_len_x1000,
+         |  CAST(length(text)-length(replace(text,'#','')) AS BIGINT) AS n_hash,
+         |  CAST(floor(CAST(length(text)-length(replace(text,'...','')) AS DOUBLE)/3.0) AS BIGINT) AS n_ellipsis,
+         |  CAST($stops AS BIGINT) AS n_stopwords,
+         |  ($nTok >= 50 AND $nTok <= 100000
+         |   AND $meanLen >= 3000 AND $meanLen <= 10000
+         |   AND (length(text)-length(replace(text,'#','')))*10 <= $nTok
+         |   AND ($stops) >= 2) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "text_langid" -> {
       val langs = Seq(

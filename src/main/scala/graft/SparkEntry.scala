@@ -531,6 +531,13 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "dedup_clusters" -> ((s, dir) => {
+      // connected components over the verified near-dup pairs → canonical
+      // representative per document (min doc_id in the component)
+      Dedup.clusters(Dedup.corpusWithReplicas(docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // no SQL oracle (bit-level sketch); rows-only check + ScalaTest coverage
       Dedup.simhashPairs(Dedup.corpusWithReplicas(docs(s, dir, "documents").select(col("doc_id"), col("text"))))
@@ -564,6 +571,10 @@ object SparkEntry {
 
     "text_fingerprint" -> ((s, dir) => {
       TextStats.fingerprint(docs(s, dir, "documents")).orderBy("doc_id")
+    }),
+
+    "text_gopher_rules" -> ((s, dir) => {
+      TextStats.gopherRules(docs(s, dir, "documents")).orderBy("doc_id")
     })
   )
 

