@@ -529,20 +529,22 @@ object Rasterizer {
 
   // ---- PDF functions (for shadings) ---------------------------------------
 
-  /** Evaluate a /Function object: type 2 (exponential) and type 3
-    * (stitching) exactly; arrays evaluate per component; sampled (0) and
-    * PostScript (4) functions fall back to the midpoint constant. */
+  /** Evaluate a /Function object (1-D input, as shadings use them): all
+    * four function types — 0 (sampled, linear interpolation), 2
+    * (exponential), 3 (stitching), 4 (PostScript calculator subset);
+    * arrays evaluate per component. */
   def evalFunction(doc: PdfDocument, fnObj: PdfObject): Double => Array[Double] =
     doc.resolve(fnObj) match {
-      case d: PdfDict => evalFunctionDict(doc, d)
-      case PdfStream(sd, _) => evalFunctionDict(doc, sd)
+      case d: PdfDict => evalFunctionDict(doc, d, None)
+      case st @ PdfStream(sd, _) => evalFunctionDict(doc, sd, Some(st))
       case PdfArray(items) =>
         val fns = items.map(evalFunction(doc, _))
         (t: Double) => fns.flatMap(f => f(t)).toArray
       case _ => (_: Double) => Array(0.5)
     }
 
-  private def evalFunctionDict(doc: PdfDocument, d: PdfDict): Double => Array[Double] = {
+  private def evalFunctionDict(doc: PdfDocument, d: PdfDict,
+                               stream: Option[PdfStream]): Double => Array[Double] = {
     def numsOf(o: PdfObject): Array[Double] = doc.resolve(o) match {
       case PdfArray(items) => items.map(doc.resolve).collect { case PdfNumber(v) => v }.toArray
       case _ => Array.emptyDoubleArray
@@ -578,7 +580,194 @@ object Rasterizer {
             subs(math.min(k, subs.length - 1))(u)
           }
         }
+      case PdfNumber(ft) if ft.toInt == 0 && stream.isDefined =>
+        evalSampled(doc, d, doc.streamData(stream.get))
+      case PdfNumber(ft) if ft.toInt == 4 && stream.isDefined =>
+        evalPostScript(doc, d, doc.streamData(stream.get))
       case _ => (_: Double) => Array(0.5)
+    }
+  }
+
+  /** Type 0 sampled function, 1-D input: bit-packed big-endian samples,
+    * linear interpolation, Encode/Decode mapping (PDF §7.10.2). */
+  private def evalSampled(doc: PdfDocument, d: PdfDict, data: Array[Byte]): Double => Array[Double] = {
+    def numsOf(o: PdfObject): Array[Double] = doc.resolve(o) match {
+      case PdfArray(items) => items.map(doc.resolve).collect { case PdfNumber(v) => v }.toArray
+      case _ => Array.emptyDoubleArray
+    }
+    val dom = { val a = numsOf(d("Domain")); if (a.length >= 2) a else Array(0.0, 1.0) }
+    val range = numsOf(d("Range"))
+    val nOut = math.max(1, range.length / 2)
+    val size = numsOf(d("Size")).headOption.getOrElse(2.0).toInt
+    val bps = doc.resolve(d("BitsPerSample")) match { case PdfNumber(v) => v.toInt; case _ => 8 }
+    val encode = { val a = numsOf(d("Encode")); if (a.length >= 2) a else Array(0.0, (size - 1).toDouble) }
+    val decode = { val a = numsOf(d("Decode")); if (a.length >= range.length) a else range }
+    val maxVal = (1L << bps) - 1
+    def sampleAt(idx: Int, comp: Int): Double = {
+      val bitPos = (idx.toLong * nOut + comp) * bps
+      var v = 0L
+      var b = 0L
+      while (b < bps) {
+        val p = bitPos + b
+        val bit = if ((p >> 3) < data.length) (data((p >> 3).toInt) >> (7 - (p & 7))) & 1 else 0
+        v = (v << 1) | bit
+        b += 1
+      }
+      v.toDouble / maxVal
+    }
+    (t0: Double) => {
+      val t = math.max(dom(0), math.min(dom(1), t0))
+      val e0 = if (dom(1) - dom(0) < 1e-12) encode(0)
+        else encode(0) + (t - dom(0)) / (dom(1) - dom(0)) * (encode(1) - encode(0))
+      val e = math.max(0.0, math.min((size - 1).toDouble, e0))
+      val i0 = math.floor(e).toInt
+      val i1 = math.min(size - 1, i0 + 1)
+      val frac = e - i0
+      Array.tabulate(nOut) { c =>
+        val raw = sampleAt(i0, c) * (1 - frac) + sampleAt(i1, c) * frac
+        val dLo = if (decode.length > 2 * c) decode(2 * c) else 0.0
+        val dHi = if (decode.length > 2 * c + 1) decode(2 * c + 1) else 1.0
+        dLo + raw * (dHi - dLo)
+      }
+    }
+  }
+
+  /** Type 4 PostScript calculator subset (PDF §7.10.5): arithmetic,
+    * comparison, stack and conditional operators over a 1-value input. */
+  private def evalPostScript(doc: PdfDocument, d: PdfDict, program: Array[Byte]): Double => Array[Double] = {
+    def numsOf(o: PdfObject): Array[Double] = doc.resolve(o) match {
+      case PdfArray(items) => items.map(doc.resolve).collect { case PdfNumber(v) => v }.toArray
+      case _ => Array.emptyDoubleArray
+    }
+    val range = numsOf(d("Range"))
+    val nOut = math.max(1, range.length / 2)
+    // tokenize into a nested procedure tree
+    sealed trait Tok
+    final case class TNum(v: Double) extends Tok
+    final case class TOp(name: String) extends Tok
+    final case class TProc(body: Vector[Tok]) extends Tok
+    val text = new String(program, java.nio.charset.StandardCharsets.ISO_8859_1)
+    var pos = 0
+    def parseProc(): Vector[Tok] = {
+      val out = Vector.newBuilder[Tok]
+      while (pos < text.length) {
+        while (pos < text.length && text(pos).isWhitespace) pos += 1
+        if (pos >= text.length) return out.result()
+        text(pos) match {
+          case '{' => pos += 1; out += TProc(parseProc())
+          case '}' => pos += 1; return out.result()
+          case _ =>
+            val start = pos
+            while (pos < text.length && !text(pos).isWhitespace && text(pos) != '{' && text(pos) != '}') pos += 1
+            val w = text.substring(start, pos)
+            try out += TNum(w.toDouble)
+            catch { case _: Exception => out += TOp(w.toLowerCase) }
+        }
+      }
+      out.result()
+    }
+    val outer0 = parseProc()
+    // the program is wrapped in one outer { } — unwrap it
+    val body: Vector[Tok] = outer0 match {
+      case Vector(TProc(b)) => b
+      case other => other
+    }
+    def exec(toks: Vector[Tok], st: mutable.ArrayBuffer[Double]): Unit = {
+      var i = 0
+      def pop(): Double = if (st.nonEmpty) st.remove(st.length - 1) else 0.0
+      def push(v: Double): Unit = st += v
+      def bool(v: Boolean): Double = if (v) 1.0 else 0.0
+      while (i < toks.length) {
+        toks(i) match {
+          case TNum(v) => push(v)
+          case TProc(_) => () // consumed by if/ifelse lookahead below
+          case TOp(op) => op match {
+            case "add" => val b = pop(); val a = pop(); push(a + b)
+            case "sub" => val b = pop(); val a = pop(); push(a - b)
+            case "mul" => val b = pop(); val a = pop(); push(a * b)
+            case "div" => val b = pop(); val a = pop(); push(if (b != 0) a / b else 0.0)
+            case "idiv" => val b = pop(); val a = pop(); push(if (b != 0) (a.toLong / b.toLong).toDouble else 0.0)
+            case "mod" => val b = pop(); val a = pop(); push(if (b != 0) (a.toLong % b.toLong).toDouble else 0.0)
+            case "neg" => push(-pop())
+            case "abs" => push(math.abs(pop()))
+            case "sqrt" => push(math.sqrt(math.max(0, pop())))
+            case "sin" => push(math.sin(math.toRadians(pop())))
+            case "cos" => push(math.cos(math.toRadians(pop())))
+            case "atan" =>
+              val den = pop(); val num = pop()
+              val deg = math.toDegrees(math.atan2(num, den))
+              push(if (deg < 0) deg + 360 else deg)
+            case "exp" => val b = pop(); val a = pop(); push(math.pow(a, b))
+            case "ln" => push(math.log(math.max(1e-300, pop())))
+            case "log" => push(math.log10(math.max(1e-300, pop())))
+            case "cvi" | "truncate" => push(pop().toLong.toDouble)
+            case "cvr" => () // already real
+            case "floor" => push(math.floor(pop()))
+            case "ceiling" => push(math.ceil(pop()))
+            case "round" => push(math.round(pop()).toDouble)
+            case "dup" => val a = pop(); push(a); push(a)
+            case "pop" => pop()
+            case "exch" => val b = pop(); val a = pop(); push(b); push(a)
+            case "copy" =>
+              val n = pop().toInt
+              val base = st.length - n
+              if (n > 0 && base >= 0) (0 until n).foreach(k => push(st(base + k)))
+            case "index" =>
+              val n = pop().toInt
+              if (n >= 0 && n < st.length) push(st(st.length - 1 - n))
+            case "roll" =>
+              val j = pop().toInt; val n = pop().toInt
+              if (n > 0 && n <= st.length) {
+                val base = st.length - n
+                val seg = st.slice(base, st.length).toVector
+                val jj = ((j % n) + n) % n
+                val rolled = seg.takeRight(jj) ++ seg.dropRight(jj)
+                (0 until n).foreach(k => st(base + k) = rolled(k))
+              }
+            case "eq" => val b = pop(); val a = pop(); push(bool(a == b))
+            case "ne" => val b = pop(); val a = pop(); push(bool(a != b))
+            case "gt" => val b = pop(); val a = pop(); push(bool(a > b))
+            case "ge" => val b = pop(); val a = pop(); push(bool(a >= b))
+            case "lt" => val b = pop(); val a = pop(); push(bool(a < b))
+            case "le" => val b = pop(); val a = pop(); push(bool(a <= b))
+            case "and" => val b = pop(); val a = pop(); push(bool(a != 0 && b != 0))
+            case "or" => val b = pop(); val a = pop(); push(bool(a != 0 || b != 0))
+            case "xor" => val b = pop(); val a = pop(); push(bool((a != 0) ^ (b != 0)))
+            case "not" => push(bool(pop() == 0))
+            case "bitshift" =>
+              val sh = pop().toInt; val a = pop().toLong
+              push((if (sh >= 0) a << sh else a >> -sh).toDouble)
+            case "true" => push(1.0)
+            case "false" => push(0.0)
+            case "if" =>
+              // pattern: cond {proc} if — the proc token precedes this op
+              (toks.lift(i - 1)) match {
+                case Some(TProc(p)) => if (pop() != 0) exec(p, st)
+                case _ => pop()
+              }
+            case "ifelse" =>
+              (toks.lift(i - 2), toks.lift(i - 1)) match {
+                case (Some(TProc(p1)), Some(TProc(p2))) =>
+                  if (pop() != 0) exec(p1, st) else exec(p2, st)
+                case _ => pop()
+              }
+            case _ => ()
+          }
+        }
+        i += 1
+      }
+    }
+    (t: Double) => {
+      val st = new mutable.ArrayBuffer[Double](16)
+      st += t
+      try exec(body, st) catch { case _: Exception => () }
+      val out = Array.tabulate(nOut) { c =>
+        val v = if (st.length >= nOut) st(st.length - nOut + c) else 0.5
+        val lo = if (range.length > 2 * c) range(2 * c) else 0.0
+        val hi = if (range.length > 2 * c + 1) range(2 * c + 1) else 1.0
+        math.max(lo, math.min(hi, v))
+      }
+      out
     }
   }
 

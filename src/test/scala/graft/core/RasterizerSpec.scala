@@ -185,6 +185,41 @@ class RasterizerSpec extends AnyFunSuite {
     assert((bmp.get(290, 142) & 0xff) > 180)         // right bluish
   }
 
+  private def shadingPdf(fnObjRef: String, extraObjs: Vector[Array[Byte]]): Array[Byte] =
+    SynthPdf.build(Vector(
+      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      ("<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Resources<<" +
+        "/Shading<</Sh<</ShadingType 2/ColorSpace/DeviceRGB/Coords[100 0 300 0]" +
+        s"/Function $fnObjRef/Extend[true true]>>>>>>/Contents 4 0 R>>").getBytes,
+      {
+        val content = "q 100 600 200 100 re W n /Sh sh Q"
+        s"<</Length ${content.length}>>\nstream\n$content\nendstream".getBytes
+      }) ++ extraObjs)
+
+  test("sampled (type 0) function: red→blue from bit-packed samples") {
+    val samples = Array(0xFF, 0x00, 0x00, 0x00, 0x00, 0xFF).map(_.toByte)
+    val fnObj = ("<</FunctionType 0/Domain[0 1]/Range[0 1 0 1 0 1]/Size[2]" +
+      s"/BitsPerSample 8/Length ${samples.length}>>\nstream\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ samples ++ "\nendstream".getBytes
+    val doc = PdfDocument.load(shadingPdf("5 0 R", Vector(fnObj))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    assert(((bmp.get(110, 142) >> 16) & 0xff) > 200) // left red
+    assert((bmp.get(290, 142) & 0xff) > 200)         // right blue
+    val mid = bmp.get(200, 142)
+    assert(math.abs(((mid >> 16) & 0xff) - (mid & 0xff)) < 30) // balanced middle
+  }
+
+  test("PostScript (type 4) function: calculator program drives the gradient") {
+    val prog = "{ dup 1 exch sub 0 3 -1 roll }" // t → (1-t, 0, t)
+    val fnObj = (s"<</FunctionType 4/Domain[0 1]/Range[0 1 0 1 0 1]/Length ${prog.length}>>\nstream\n" +
+      prog + "\nendstream").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val doc = PdfDocument.load(shadingPdf("5 0 R", Vector(fnObj))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    assert(((bmp.get(110, 142) >> 16) & 0xff) > 200, f"left=${bmp.get(110, 142)}%08x")
+    assert((bmp.get(290, 142) & 0xff) > 200, f"right=${bmp.get(290, 142)}%08x")
+  }
+
   test("TrueType glyph contours agree with the independently-parsed bboxes") {
     val doc = PdfDocument.load(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/tests/resources/text.pdf"))).toOption.get
