@@ -105,9 +105,11 @@ object Rasterizer {
     var stroke: Int = 0xFF000000
     var lineWidth: Double = 1.0
     var clip: Clip = None
+    var fillPattern: Option[PdfDict] = None // shading pattern (PatternType 2)
     def copy(): RState = {
       val s = new RState(ctm)
       s.fill = fill; s.stroke = stroke; s.lineWidth = lineWidth; s.clip = clip
+      s.fillPattern = fillPattern
       s
     }
   }
@@ -191,7 +193,32 @@ object Rasterizer {
     def paint(fill: Boolean, stroke: Boolean, evenOdd: Boolean): Unit = {
       if (subpaths.nonEmpty) {
         val polys = subpaths.map(_.toArray).toVector.filter(_.length >= 2)
-        if (fill && polys.nonEmpty) fillPolygons(bmp, polys, evenOdd, gs.fill, gs.clip)
+        if (fill && polys.nonEmpty) gs.fillPattern match {
+          case Some(shDict) =>
+            // shading-pattern fill: paint the shading across the path bbox
+            // (conservative for non-rect paths, exact for the `re` idiom)
+            var minX = Double.MaxValue; var minY = Double.MaxValue
+            var maxX = Double.MinValue; var maxY = Double.MinValue
+            polys.foreach(_.foreach { case (px, py) =>
+              if (px < minX) minX = px
+              if (px > maxX) maxX = px
+              if (py < minY) minY = py
+              if (py > maxY) maxY = py
+            })
+            val pathClip = (math.floor(minX).toInt, math.floor(minY).toInt,
+              math.ceil(maxX).toInt, math.ceil(maxY).toInt)
+            val merged = gs.clip match {
+              case Some((a, b2, c, d2)) =>
+                (math.max(a, pathClip._1), math.max(b2, pathClip._2),
+                  math.min(c, pathClip._3), math.min(d2, pathClip._4))
+              case None => pathClip
+            }
+            val saved = gs.clip
+            gs.clip = Some(merged)
+            try paintShadingDict(shDict) catch { case _: Exception => () }
+            gs.clip = saved
+          case None => fillPolygons(bmp, polys, evenOdd, gs.fill, gs.clip)
+        }
         if (stroke && polys.nonEmpty) {
           val wDev = math.max(gs.lineWidth * math.hypot(gs.ctm.a, gs.ctm.b), 0.7)
           polys.foreach(p => strokePolyline(bmp, p, wDev, gs.stroke, gs.clip))
@@ -388,14 +415,35 @@ object Rasterizer {
             case "k" => val v = nums(4); gs.fill = cmyk(v(0), v(1), v(2), v(3))
             case "K" => val v = nums(4); gs.stroke = cmyk(v(0), v(1), v(2), v(3))
             case "sc" | "scn" =>
-              // approximate: infer the family from operand count (1=gray,
-              // 3=rgb, 4=cmyk); pattern operands fall back to mid gray
-              val ns = operands.collect { case PdfNumber(v) => v }
-              gs.fill = ns.length match {
-                case 1 => rgb(ns(0), ns(0), ns(0))
-                case 3 => rgb(ns(0), ns(1), ns(2))
-                case 4 => cmyk(ns(0), ns(1), ns(2), ns(3))
-                case _ => rgb(0.5, 0.5, 0.5)
+              // numeric operands: infer the family from the count (1=gray,
+              // 3=rgb, 4=cmyk). A trailing pattern NAME selects a pattern
+              // from /Pattern resources: shading patterns (PatternType 2)
+              // fill through the shading machinery at paint time; tiling
+              // patterns fall back to mid gray.
+              gs.fillPattern = None
+              operands.lastOption match {
+                case Some(PdfName(pname)) =>
+                  doc.resolve(resources("Pattern")) match {
+                    case pats: PdfDict => doc.resolve(pats(pname)) match {
+                      case pd: PdfDict if doc.resolve(pd("PatternType")) == PdfNumber(2) =>
+                        doc.resolve(pd("Shading")) match {
+                          case shDict: PdfDict => gs.fillPattern = Some(shDict)
+                          case PdfStream(shDict, _) => gs.fillPattern = Some(shDict)
+                          case _ => ()
+                        }
+                      case _ => ()
+                    }
+                    case _ => ()
+                  }
+                  if (gs.fillPattern.isEmpty) gs.fill = rgb(0.5, 0.5, 0.5)
+                case _ =>
+                  val ns = operands.collect { case PdfNumber(v) => v }
+                  gs.fill = ns.length match {
+                    case 1 => rgb(ns(0), ns(0), ns(0))
+                    case 3 => rgb(ns(0), ns(1), ns(2))
+                    case 4 => cmyk(ns(0), ns(1), ns(2), ns(3))
+                    case _ => rgb(0.5, 0.5, 0.5)
+                  }
               }
             case "SC" | "SCN" =>
               val ns = operands.collect { case PdfNumber(v) => v }

@@ -220,6 +220,26 @@ class RasterizerSpec extends AnyFunSuite {
     assert((bmp.get(290, 142) & 0xff) > 200, f"right=${bmp.get(290, 142)}%08x")
   }
 
+  test("shading-pattern fill: scn /P paints the gradient across the path") {
+    val pdf = SynthPdf.build(Vector(
+      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      ("<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Resources<<" +
+        "/Pattern<</P<</PatternType 2/Shading<</ShadingType 2/ColorSpace/DeviceRGB" +
+        "/Coords[100 0 300 0]/Function<</FunctionType 2/Domain[0 1]/C0[1 0 0]/C1[0 0 1]/N 1>>" +
+        "/Extend[true true]>>>>>>>>/Contents 4 0 R>>").getBytes,
+      {
+        val content = "/Pattern cs /P scn 100 600 200 100 re f"
+        s"<</Length ${content.length}>>\nstream\n$content\nendstream".getBytes
+      }))
+    val doc = PdfDocument.load(pdf).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    assert(((bmp.get(110, 142) >> 16) & 0xff) > 200, f"left=${bmp.get(110, 142)}%08x")
+    assert((bmp.get(290, 142) & 0xff) > 200)
+    assert(bmp.get(90, 142) == 0xFFFFFFFF)  // outside the path
+    assert(bmp.get(200, 300) == 0xFFFFFFFF)
+  }
+
   test("TrueType glyph contours agree with the independently-parsed bboxes") {
     val doc = PdfDocument.load(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/tests/resources/text.pdf"))).toOption.get
