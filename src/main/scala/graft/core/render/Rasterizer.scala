@@ -105,7 +105,7 @@ object Rasterizer {
     var stroke: Int = 0xFF000000
     var lineWidth: Double = 1.0
     var clip: Clip = None
-    var fillPattern: Option[PdfDict] = None // shading pattern (PatternType 2)
+    var fillPattern: Option[Either[PdfStream, PdfDict]] = None // Left=tiling (1), Right=shading (2)
     def copy(): RState = {
       val s = new RState(ctm)
       s.fill = fill; s.stroke = stroke; s.lineWidth = lineWidth; s.clip = clip
@@ -122,12 +122,14 @@ object Rasterizer {
     rgb((1 - cc) * (1 - k), (1 - m) * (1 - k), (1 - y) * (1 - k))
 
   private def walk(doc: PdfDocument, content: Array[Byte], resources: PdfDict,
-                   baseCtm: Mat, bmp: Bitmap, level: Int): Unit = {
+                   baseCtm: Mat, bmp: Bitmap, level: Int,
+                   initClip: Clip = None): Unit = {
     if (level > 8) return
     val lx = new Lexer(content)
     val operands = mutable.ArrayBuffer[PdfObject]()
     val stack = mutable.Stack[RState]()
     var gs = new RState(baseCtm)
+    gs.clip = initClip
 
     // current path: subpaths of device-space points
     val subpaths = mutable.ArrayBuffer[mutable.ArrayBuffer[(Double, Double)]]()
@@ -194,7 +196,7 @@ object Rasterizer {
       if (subpaths.nonEmpty) {
         val polys = subpaths.map(_.toArray).toVector.filter(_.length >= 2)
         if (fill && polys.nonEmpty) gs.fillPattern match {
-          case Some(shDict) =>
+          case Some(pattern) =>
             // shading-pattern fill: paint the shading across the path bbox
             // (conservative for non-rect paths, exact for the `re` idiom)
             var minX = Double.MaxValue; var minY = Double.MaxValue
@@ -215,7 +217,10 @@ object Rasterizer {
             }
             val saved = gs.clip
             gs.clip = Some(merged)
-            try paintShadingDict(shDict) catch { case _: Exception => () }
+            try pattern match {
+              case Right(shDict) => paintShadingDict(shDict)
+              case Left(tile) => paintTilingPattern(tile, merged)
+            } catch { case _: Exception => () }
             gs.clip = saved
           case None => fillPolygons(bmp, polys, evenOdd, gs.fill, gs.clip)
         }
@@ -307,6 +312,53 @@ object Rasterizer {
         }
       }
     }
+
+    /** Tiling pattern (PatternType 1): the cell content stream walked
+      * repeatedly at XStep/YStep offsets covering the clip region (pattern
+      * space approximated by the current CTM; cell count capped). */
+    def paintTilingPattern(tile: PdfStream, clip: (Int, Int, Int, Int)): Unit = {
+      val td = tile.dict
+      def numOf(key: String, dflt: Double): Double = doc.resolve(td(key)) match {
+        case PdfNumber(v) => v; case _ => dflt
+      }
+      val xStep = math.abs(numOf("XStep", 1.0))
+      val yStep = math.abs(numOf("YStep", 1.0))
+      if (xStep < 1e-6 || yStep < 1e-6) return
+      val patRes = doc.resolve(td("Resources")) match { case r: PdfDict => r; case _ => resources }
+      val patMat = doc.resolve(td("Matrix")) match {
+        case PdfArray(items) if items.length == 6 =>
+          val v = items.map(doc.resolve).collect { case PdfNumber(n) => n }
+          if (v.length == 6) Mat(v(0), v(1), v(2), v(3), v(4), v(5)) else Mat.identity
+        case _ => Mat.identity
+      }
+      val cellBytes = doc.streamData(tile)
+      // cover the clip rect in pattern steps (device extent / device step)
+      val base = patMat.multiply(gs.ctm)
+      val stepDevX = math.max(1.0, math.abs(xStep * math.hypot(base.a, base.b)))
+      val stepDevY = math.max(1.0, math.abs(yStep * math.hypot(base.c, base.d)))
+      val nx = math.min(64, ((clip._3 - clip._1) / stepDevX).toInt + 2)
+      val ny = math.min(64, ((clip._4 - clip._2) / stepDevY).toInt + 2)
+      // anchor the grid at the pattern origin nearest the clip corner
+      val inv = base.invert.getOrElse(return)
+      val (u0, v0) = inv.onPoint(clip._1.toDouble, clip._4.toDouble) // bottom-left in pattern space (device y-down)
+      val i0 = math.floor(u0 / xStep).toInt - 1
+      val j0 = math.floor(v0 / yStep).toInt - 1
+      var j = 0
+      while (j <= ny) {
+        var i = 0
+        while (i <= nx) {
+          val cellCtm = Mat.identity.translate((i0 + i) * xStep, (j0 + j) * yStep).multiply(base)
+          val savedClip = gs.clip
+          walkCell(cellBytes, patRes, cellCtm, clip)
+          gs.clip = savedClip
+          i += 1
+        }
+        j += 1
+      }
+    }
+    def walkCell(cellBytes: Array[Byte], patRes: PdfDict, cellCtm: Mat,
+                 clip: (Int, Int, Int, Int)): Unit =
+      walk(doc, cellBytes, patRes, cellCtm, bmp, level + 1, initClip = Some(clip))
 
     def doXObject(tag: String): Unit = doc.resolve(resources("XObject")) match {
       case xobjs: PdfDict => doc.resolve(xobjs(tag)) match {
@@ -427,10 +479,12 @@ object Rasterizer {
                     case pats: PdfDict => doc.resolve(pats(pname)) match {
                       case pd: PdfDict if doc.resolve(pd("PatternType")) == PdfNumber(2) =>
                         doc.resolve(pd("Shading")) match {
-                          case shDict: PdfDict => gs.fillPattern = Some(shDict)
-                          case PdfStream(shDict, _) => gs.fillPattern = Some(shDict)
+                          case shDict: PdfDict => gs.fillPattern = Some(Right(shDict))
+                          case PdfStream(shDict, _) => gs.fillPattern = Some(Right(shDict))
                           case _ => ()
                         }
+                      case tile @ PdfStream(td, _) if doc.resolve(td("PatternType")) == PdfNumber(1) =>
+                        gs.fillPattern = Some(Left(tile))
                       case _ => ()
                     }
                     case _ => ()

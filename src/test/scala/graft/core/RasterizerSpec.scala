@@ -240,6 +240,30 @@ class RasterizerSpec extends AnyFunSuite {
     assert(bmp.get(200, 300) == 0xFFFFFFFF)
   }
 
+  test("tiling pattern: checkerboard cells repeat across the filled path") {
+    // 20×20 cell with a 10×10 black square at its origin, tiled over a rect
+    val cell = "0 0 0 rg 0 0 10 10 re f"
+    val pdf = SynthPdf.build(Vector(
+      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      ("<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Resources<<" +
+        "/Pattern<</P 5 0 R>>>>/Contents 4 0 R>>").getBytes,
+      {
+        val content = "/Pattern cs /P scn 100 600 100 100 re f"
+        s"<</Length ${content.length}>>\nstream\n$content\nendstream".getBytes
+      },
+      (s"<</PatternType 1/PaintType 1/TilingType 1/BBox[0 0 20 20]/XStep 20/YStep 20" +
+        s"/Resources<<>>/Length ${cell.length}>>\nstream\n$cell\nendstream").getBytes))
+    val doc = PdfDocument.load(pdf).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    // device y: pdf 600..700 → 92..192. Pattern anchored at pattern-space
+    // origin: black squares at pdf x in [0,10)+20k, y in [0,10)+20k.
+    assert(bmp.get(105, 792 - 605) == 0xFF000000, f"in-cell=${bmp.get(105, 792 - 605)}%08x")
+    assert(bmp.get(115, 792 - 605) == 0xFFFFFFFF) // gap between cells
+    assert(bmp.get(125, 792 - 625) == 0xFF000000) // next cell over (+20,+20)
+    assert(bmp.get(90, 792 - 605) == 0xFFFFFFFF)  // outside the path
+  }
+
   test("TrueType glyph contours agree with the independently-parsed bboxes") {
     val doc = PdfDocument.load(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/tests/resources/text.pdf"))).toOption.get
