@@ -107,31 +107,51 @@ object Bench {
       try runExtraction(s, 20000, level4N * 3)
       finally { s.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession() }
     }
-    // Adaptive contention filter: interleave N/4N pairs; once the best-of
-    // efficiency clears the quiet-machine bar, stop. A noisy window can
-    // depress EVERY rep of a fixed-count run (co-tenant bursts last
-    // minutes), so the cap is generous and the noise level is recorded.
+    // Noise-gated protocol with a METRIC-INDEPENDENT stop rule (the round-2
+    // loop stopped as soon as best-of efficiency cleared the bar — a
+    // result-conditioned rule that rejected deflating noise but accepted
+    // inflating noise; it recorded a physically meaningless 1.353 once).
+    // Here: each pair is bracketed by host-noise probes (1-thread vs
+    // 4N-thread fixed scalar loop); a pair is QUIET iff noise ≤ 1.2 on both
+    // sides. Pairs run until `reps` quiet pairs are collected (or the hard
+    // cap), regardless of what efficiency they show. The headline efficiency
+    // is the MEDIAN over quiet-pair efficiencies — an estimator that never
+    // looks at the value while sampling. A median > 1.05 is physically
+    // impossible on this workload and is flagged + clamped, never trusted.
     val maxReps = math.max(reps, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "10").toInt)
-    val noiseBefore = hostNoise()
-    val runsN = scala.collection.mutable.ArrayBuffer[(Double, Long, Long, Long)]()
-    val runs4N = scala.collection.mutable.ArrayBuffer[(Double, Long, Long, Long)]()
+    final case class Pair(n: (Double, Long, Long, Long), f: (Double, Long, Long, Long),
+                          noiseBefore: Double, noiseAfter: Double) {
+      def quiet: Boolean = noiseBefore <= 1.2 && noiseAfter <= 1.2
+      def eff: Double = ((f._2 / f._1) / (n._2 / n._1)) / 4.0
+    }
+    val pairs = scala.collection.mutable.ArrayBuffer[Pair]()
     var rep = 0
-    var effSoFar = 0.0
-    while (rep < maxReps && (rep < reps || effSoFar < 0.85)) {
-      runsN += measureOnce(levelN)
-      runs4N += measureOnce(level4N)
-      val bN = runsN.minBy(_._1)
-      val b4N = runs4N.minBy(_._1)
-      effSoFar = ((b4N._2 / b4N._1) / (bN._2 / bN._1)) / 4.0
+    while (rep < maxReps && pairs.count(_.quiet) < reps) {
+      val nb = hostNoise()
+      val rN = measureOnce(levelN)
+      val r4N = measureOnce(level4N)
+      val na = hostNoise()
+      pairs += Pair(rN, r4N, nb, na)
       rep += 1
     }
-    val noiseAfter = hostNoise()
+    val noiseBefore = pairs.head.noiseBefore
+    val noiseAfter = pairs.last.noiseAfter
+    val quietPairs = pairs.filter(_.quiet)
+    // fall back to all pairs (flagged) if the host never went quiet
+    val scored = if (quietPairs.nonEmpty) quietPairs else pairs
+    val effs = scored.map(_.eff).sorted
+    val effMedian =
+      if (effs.length % 2 == 1) effs(effs.length / 2)
+      else (effs(effs.length / 2 - 1) + effs(effs.length / 2)) / 2.0
+    val effFlagged = effMedian > 1.05 || quietPairs.isEmpty
+    val eff = math.min(effMedian, 1.0)
 
-    val (tN, dN, _, _) = runsN.minBy(_._1)
-    val (t4N, d4N, p4N, c4N) = runs4N.minBy(_._1)
+    // throughput numbers: best rep per level among scored pairs (absolute
+    // docs/sec headline; the efficiency above does NOT use these)
+    val (tN, dN, _, _) = scored.map(_.n).minBy(_._1)
+    val (t4N, d4N, p4N, c4N) = scored.map(_.f).minBy(_._1)
     val thrN = dN / tN
     val thr4N = d4N / t4N
-    val eff = (thr4N / thrN) / 4.0
 
     // --- phase 2: the full query suite at the driver's parallelism ---------
     val spark = session(cpus)
@@ -188,10 +208,14 @@ object Bench {
         s""","query_rows":$qrows,"queries_failed":$failed""" +
         f""","extract_docs":$nDocs,"extract_pages":$p4N,"extract_chars":$c4N""" +
         s""","scaling_levels":"local[$levelN]->local[$level4N]","scaling_reps":$rep""" +
+        s""","scaling_quiet_pairs":${quietPairs.length}""" +
+        s""","pair_effs":${scored.map(p => f"${p.eff}%.3f").mkString("[", ",", "]")}""" +
+        s""","pair_noise":${pairs.map(p => f"[${p.noiseBefore}%.2f,${p.noiseAfter}%.2f]").mkString("[", ",", "]")}""" +
         f""","host_noise_before":$noiseBefore%.2f,"host_noise_after":$noiseAfter%.2f""" +
         f""","extract_sec_n":$tN%.3f,"extract_sec_4n":$t4N%.3f""" +
         f""","extract_docs_per_sec_n":$thrN%.1f,"extract_docs_per_sec_4n":$thr4N%.1f""" +
         f""","html_docs_per_sec":$htmlThr%.1f,"render_docs_per_sec":$renderThr%.1f""" +
+        f""","scaling_efficiency_raw":$effMedian%.3f,"scaling_flagged":$effFlagged""" +
         f""","scaling_efficiency":$eff%.3f}"""
     println(json)
     // fallback artifact in case stdout is captured through a log wrapper

@@ -239,10 +239,14 @@ object SparkEntry {
         ("red_inside", 125, 175), ("red_left", 90, 175),
         ("ring_outer", 110, 342), ("ring_hole", 150, 342),
         ("tri_inside", 350, 672), ("tri_outside", 301, 602))
-      s.createDataset(probes).map { case (id, x, y) =>
+      // render ONCE per page in the task, probe as a local loop (the probe
+      // rows are not independent work units — re-parsing per probe was 6×)
+      s.createDataset(Seq(0)).flatMap { _ =>
         val doc = graft.core.PdfDocument.load(pdf).toOption.get
         val bmp = graft.core.render.Rasterizer.render(doc.page(0))
-        (id, x.toLong, y.toLong, f"${bmp.get(x, y)}%08X")
+        probes.iterator.map { case (id, x, y) =>
+          (id, x.toLong, y.toLong, f"${bmp.get(x, y)}%08X")
+        }
       }.toDF("probe_id", "x", "y", "argb")
     }),
 

@@ -20,8 +20,12 @@ import graft.core._
   *  - clipping: rectangular (clip-path BBOX intersection — exact for the
   *    ubiquitous `re W n` idiom, conservative for shaped clips);
   *  - shadings: axial (type 2) exact, radial (type 3) approximated along
-  *    the center line, with type-2/3 PDF functions evaluated;
-  *  - not modeled: transparency groups, blend modes, patterns-as-fill.
+  *    the center line, with all four PDF function types evaluated;
+  *  - transparency: ImageMask stencils, /SMask per-pixel alpha, ExtGState
+  *    constant alpha (/ca /CA) and separable blend modes (Multiply/Screen/
+  *    Darken/Lighten/Difference), composited src-over onto the backdrop;
+  *  - not modeled: transparency groups (isolated/knockout semantics),
+  *    non-separable blend modes, ExtGState soft masks (/SMask in gs).
   */
 object Rasterizer {
 
@@ -100,15 +104,38 @@ object Rasterizer {
   /** Device-space clip rect (x0,y0,x1,y1 inclusive), None = unclipped. */
   type Clip = Option[(Int, Int, Int, Int)]
 
+  /** Blend-mode ids (§11.3.5 separable modes carried; others → Normal). */
+  final val BlendNormal = 0
+  final val BlendMultiply = 1
+  final val BlendScreen = 2
+  final val BlendDarken = 3
+  final val BlendLighten = 4
+  final val BlendDifference = 5
+  private def blendId(name: String): Int = name match {
+    case "Multiply" => BlendMultiply
+    case "Screen" => BlendScreen
+    case "Darken" => BlendDarken
+    case "Lighten" => BlendLighten
+    case "Difference" => BlendDifference
+    case _ => BlendNormal
+  }
+
   private final class RState(var ctm: Mat) {
     var fill: Int = 0xFF000000
     var stroke: Int = 0xFF000000
     var lineWidth: Double = 1.0
     var clip: Clip = None
-    var fillPattern: Option[Either[PdfStream, PdfDict]] = None // Left=tiling (1), Right=shading (2)
+    var fillAlpha: Double = 1.0   // /ca from ExtGState
+    var strokeAlpha: Double = 1.0 // /CA from ExtGState
+    var blend: Int = BlendNormal  // /BM from ExtGState
+    // Left=tiling (1), Right=shading (2); the Mat is patternMatrix ∘
+    // streamBaseCtm captured at scn time — §8.7.3.1 pattern space is the
+    // content stream's DEFAULT space, not the CTM at paint time.
+    var fillPattern: Option[(Either[PdfStream, PdfDict], Mat)] = None
     def copy(): RState = {
       val s = new RState(ctm)
       s.fill = fill; s.stroke = stroke; s.lineWidth = lineWidth; s.clip = clip
+      s.fillAlpha = fillAlpha; s.strokeAlpha = strokeAlpha; s.blend = blend
       s.fillPattern = fillPattern
       s
     }
@@ -218,15 +245,15 @@ object Rasterizer {
             val saved = gs.clip
             gs.clip = Some(merged)
             try pattern match {
-              case Right(shDict) => paintShadingDict(shDict)
-              case Left(tile) => paintTilingPattern(tile, merged)
+              case (Right(shDict), patCtm) => paintShadingDict(shDict, patCtm)
+              case (Left(tile), patCtm) => paintTilingPattern(tile, patCtm, merged)
             } catch { case _: Exception => () }
             gs.clip = saved
-          case None => fillPolygons(bmp, polys, evenOdd, gs.fill, gs.clip)
+          case None => fillPolygons(bmp, polys, evenOdd, gs.fill, gs.clip, gs.fillAlpha, gs.blend)
         }
         if (stroke && polys.nonEmpty) {
           val wDev = math.max(gs.lineWidth * math.hypot(gs.ctm.a, gs.ctm.b), 0.7)
-          polys.foreach(p => strokePolyline(bmp, p, wDev, gs.stroke, gs.clip))
+          polys.foreach(p => strokePolyline(bmp, p, wDev, gs.stroke, gs.clip, gs.strokeAlpha, gs.blend))
         }
       }
       clearPath()
@@ -238,14 +265,17 @@ object Rasterizer {
       * color. Coords live in the CURRENT user space (gs.ctm). */
     def drawShading(name: String): Unit = doc.resolve(resources("Shading")) match {
       case shd: PdfDict => doc.resolve(shd(name)) match {
-        case d: PdfDict => paintShadingDict(d)
-        case PdfStream(sd, _) => paintShadingDict(sd)
+        case d: PdfDict => paintShadingDict(d, gs.ctm)
+        case PdfStream(sd, _) => paintShadingDict(sd, gs.ctm)
         case _ => ()
       }
       case _ => ()
     }
 
-    def paintShadingDict(sd: PdfDict): Unit = {
+    /** Paint a shading dict across the current clip; `shCtm` maps shading
+      * space → device (gs.ctm for `sh`, the captured pattern matrix for
+      * pattern fills). */
+    def paintShadingDict(sd: PdfDict, shCtm: Mat): Unit = {
       def numsOf(o: PdfObject): Array[Double] = doc.resolve(o) match {
         case PdfArray(items) => items.map(doc.resolve).collect { case PdfNumber(v) => v }.toArray
         case _ => Array.emptyDoubleArray
@@ -276,7 +306,7 @@ object Rasterizer {
         }
       }
       val (cx0, cy0, cx1, cy1) = gs.clip.getOrElse((0, 0, bmp.width - 1, bmp.height - 1))
-      gs.ctm.invert.foreach { inv =>
+      shCtm.invert.foreach { inv =>
         var y = math.max(0, cy0)
         while (y <= math.min(bmp.height - 1, cy1)) {
           var x = math.max(0, cx0)
@@ -304,7 +334,7 @@ object Rasterizer {
                 else if (t0 < 0 && extend._1) 0.0
                 else if (t0 > 1 && extend._2) 1.0
                 else Double.NaN
-              if (!t.isNaN) bmp.set(x, y, colorAt(t))
+              if (!t.isNaN) composePixel(bmp, x, y, colorAt(t), gs.fillAlpha, gs.blend)
             }
             x += 1
           }
@@ -314,9 +344,10 @@ object Rasterizer {
     }
 
     /** Tiling pattern (PatternType 1): the cell content stream walked
-      * repeatedly at XStep/YStep offsets covering the clip region (pattern
-      * space approximated by the current CTM; cell count capped). */
-    def paintTilingPattern(tile: PdfStream, clip: (Int, Int, Int, Int)): Unit = {
+      * repeatedly at XStep/YStep offsets covering the clip region. `base`
+      * is patternMatrix ∘ stream-default-CTM captured at scn time (§8.7.3.1
+      * — pattern space is anchored to the page, not the paint-time CTM). */
+    def paintTilingPattern(tile: PdfStream, base: Mat, clip: (Int, Int, Int, Int)): Unit = {
       val td = tile.dict
       def numOf(key: String, dflt: Double): Double = doc.resolve(td(key)) match {
         case PdfNumber(v) => v; case _ => dflt
@@ -325,15 +356,8 @@ object Rasterizer {
       val yStep = math.abs(numOf("YStep", 1.0))
       if (xStep < 1e-6 || yStep < 1e-6) return
       val patRes = doc.resolve(td("Resources")) match { case r: PdfDict => r; case _ => resources }
-      val patMat = doc.resolve(td("Matrix")) match {
-        case PdfArray(items) if items.length == 6 =>
-          val v = items.map(doc.resolve).collect { case PdfNumber(n) => n }
-          if (v.length == 6) Mat(v(0), v(1), v(2), v(3), v(4), v(5)) else Mat.identity
-        case _ => Mat.identity
-      }
       val cellBytes = doc.streamData(tile)
       // cover the clip rect in pattern steps (device extent / device step)
-      val base = patMat.multiply(gs.ctm)
       val stepDevX = math.max(1.0, math.abs(xStep * math.hypot(base.a, base.b)))
       val stepDevY = math.max(1.0, math.abs(yStep * math.hypot(base.c, base.d)))
       val nx = math.min(64, ((clip._3 - clip._1) / stepDevX).toInt + 2)
@@ -364,7 +388,8 @@ object Rasterizer {
       case xobjs: PdfDict => doc.resolve(xobjs(tag)) match {
         case s @ PdfStream(xd, _) => doc.resolve(xd("Subtype")) match {
           case PdfName("Image") =>
-            decodeImagePixels(doc, s).foreach(px => blitImage(bmp, gs.ctm, px, gs.fill, gs.clip))
+            decodeImagePixels(doc, s).foreach(px =>
+              blitImage(bmp, gs.ctm, px, gs.fill, gs.clip, gs.fillAlpha, gs.blend))
           case PdfName("Form") =>
             val formRes = doc.resolve(xd("Resources")) match { case d: PdfDict => d; case _ => resources }
             val formMat = doc.resolve(xd("Matrix")) match {
@@ -434,7 +459,8 @@ object Rasterizer {
               case (k, v) => k -> full(v)
             }
             val s = PdfStream(PdfDict(normalized), raw)
-            try decodeImagePixels(doc, s).foreach(px => blitImage(bmp, gs.ctm, px, gs.fill, gs.clip))
+            try decodeImagePixels(doc, s).foreach(px =>
+              blitImage(bmp, gs.ctm, px, gs.fill, gs.clip, gs.fillAlpha, gs.blend))
             catch { case _: Exception => () }
           } else if (t.isEmpty) lx.parseObject()
         }
@@ -460,12 +486,38 @@ object Rasterizer {
               val v = nums(6)
               gs.ctm = Mat(v(0), v(1), v(2), v(3), v(4), v(5)).multiply(gs.ctm)
             case "w" => gs.lineWidth = nums(1)(0)
-            case "g" => val v = nums(1); gs.fill = rgb(v(0), v(0), v(0))
+            // §8.6.8: selecting a device color space REPLACES the pattern
+            // color source — a stale pattern must not survive g/rg/k/cs
+            case "g" => val v = nums(1); gs.fill = rgb(v(0), v(0), v(0)); gs.fillPattern = None
             case "G" => val v = nums(1); gs.stroke = rgb(v(0), v(0), v(0))
-            case "rg" => val v = nums(3); gs.fill = rgb(v(0), v(1), v(2))
+            case "rg" => val v = nums(3); gs.fill = rgb(v(0), v(1), v(2)); gs.fillPattern = None
             case "RG" => val v = nums(3); gs.stroke = rgb(v(0), v(1), v(2))
-            case "k" => val v = nums(4); gs.fill = cmyk(v(0), v(1), v(2), v(3))
+            case "k" => val v = nums(4); gs.fill = cmyk(v(0), v(1), v(2), v(3)); gs.fillPattern = None
             case "K" => val v = nums(4); gs.stroke = cmyk(v(0), v(1), v(2), v(3))
+            case "cs" => operands.lastOption match {
+              case Some(PdfName("Pattern")) => () // pattern selected by the following scn
+              case _ => gs.fillPattern = None
+            }
+            case "gs" => operands.lastOption match {
+              // ExtGState: constant alpha (/ca /CA), blend mode (/BM), /LW
+              case Some(PdfName(gname)) => doc.resolve(resources("ExtGState")) match {
+                case egs: PdfDict => doc.resolve(egs(gname)) match {
+                  case gd: PdfDict =>
+                    doc.resolve(gd("ca")) match { case PdfNumber(v) => gs.fillAlpha = math.max(0, math.min(1, v)); case _ => () }
+                    doc.resolve(gd("CA")) match { case PdfNumber(v) => gs.strokeAlpha = math.max(0, math.min(1, v)); case _ => () }
+                    doc.resolve(gd("LW")) match { case PdfNumber(v) => gs.lineWidth = v; case _ => () }
+                    doc.resolve(gd("BM")) match {
+                      case PdfName(bm) => gs.blend = blendId(bm)
+                      case PdfArray(items) if items.nonEmpty =>
+                        doc.resolve(items(0)) match { case PdfName(bm) => gs.blend = blendId(bm); case _ => () }
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+                case _ => ()
+              }
+              case _ => ()
+            }
             case "sc" | "scn" =>
               // numeric operands: infer the family from the count (1=gray,
               // 3=rgb, 4=cmyk). A trailing pattern NAME selects a pattern
@@ -475,16 +527,23 @@ object Rasterizer {
               gs.fillPattern = None
               operands.lastOption match {
                 case Some(PdfName(pname)) =>
+                  def matOf(o: PdfObject): Mat = doc.resolve(o) match {
+                    case PdfArray(items) if items.length == 6 =>
+                      val v = items.map(doc.resolve).collect { case PdfNumber(n) => n }
+                      if (v.length == 6) Mat(v(0), v(1), v(2), v(3), v(4), v(5)) else Mat.identity
+                    case _ => Mat.identity
+                  }
                   doc.resolve(resources("Pattern")) match {
                     case pats: PdfDict => doc.resolve(pats(pname)) match {
                       case pd: PdfDict if doc.resolve(pd("PatternType")) == PdfNumber(2) =>
+                        val patCtm = matOf(pd("Matrix")).multiply(baseCtm)
                         doc.resolve(pd("Shading")) match {
-                          case shDict: PdfDict => gs.fillPattern = Some(Right(shDict))
-                          case PdfStream(shDict, _) => gs.fillPattern = Some(Right(shDict))
+                          case shDict: PdfDict => gs.fillPattern = Some((Right(shDict), patCtm))
+                          case PdfStream(shDict, _) => gs.fillPattern = Some((Right(shDict), patCtm))
                           case _ => ()
                         }
                       case tile @ PdfStream(td, _) if doc.resolve(td("PatternType")) == PdfNumber(1) =>
-                        gs.fillPattern = Some(Left(tile))
+                        gs.fillPattern = Some((Left(tile), matOf(td("Matrix")).multiply(baseCtm)))
                       case _ => ()
                     }
                     case _ => ()
@@ -547,11 +606,44 @@ object Rasterizer {
     }
   }
 
+  // ---- compositing ----------------------------------------------------------
+
+  /** src-over composite of `src` onto the bitmap pixel at (x,y), with
+    * constant alpha and a separable blend mode (§11.3.5). alpha=1 + Normal
+    * short-circuits to a plain store — the hot path stays branch-cheap. */
+  @inline def composePixel(bmp: Bitmap, x: Int, y: Int, src: Int,
+                           alpha: Double, blend: Int): Unit = {
+    if (alpha >= 1.0 && blend == BlendNormal) bmp.set(x, y, src)
+    else if (alpha > 0.0 && bmp.inBounds(x, y)) {
+      val dst = bmp.get(x, y)
+      bmp.set(x, y, composeArgb(dst, src, alpha, blend))
+    }
+  }
+
+  /** Blend `src` over `dst` (both opaque ARGB) at constant `alpha`. */
+  def composeArgb(dst: Int, src: Int, alpha: Double, blend: Int): Int = {
+    @inline def bl(sb: Int, db: Int): Int = blend match {
+      case BlendMultiply => sb * db / 255
+      case BlendScreen => 255 - (255 - sb) * (255 - db) / 255
+      case BlendDarken => math.min(sb, db)
+      case BlendLighten => math.max(sb, db)
+      case BlendDifference => math.abs(sb - db)
+      case _ => sb
+    }
+    @inline def mix(shift: Int): Int = {
+      val db = (dst >> shift) & 0xff
+      val b = bl((src >> shift) & 0xff, db)
+      math.max(0, math.min(255, math.round(db + alpha * (b - db)).toInt))
+    }
+    0xFF000000 | (mix(16) << 16) | (mix(8) << 8) | mix(0)
+  }
+
   // ---- scanline polygon fill ------------------------------------------------
 
   /** Fill closed polygons (device space) with even-odd or nonzero winding. */
   def fillPolygons(bmp: Bitmap, polys: Vector[Array[(Double, Double)]],
-                   evenOdd: Boolean, argb: Int, clip: Clip = None): Unit = {
+                   evenOdd: Boolean, argb: Int, clip: Clip = None,
+                   alpha: Double = 1.0, blend: Int = BlendNormal): Unit = {
     var minY = Double.MaxValue
     var maxY = Double.MinValue
     polys.foreach(_.foreach { case (_, y) =>
@@ -583,7 +675,7 @@ object Rasterizer {
         if (evenOdd) {
           var i = 0
           while (i + 1 < sorted.length) {
-            fillSpan(bmp, sorted(i)._1, sorted(i + 1)._1, y, argb, clip)
+            fillSpan(bmp, sorted(i)._1, sorted(i + 1)._1, y, argb, clip, alpha, blend)
             i += 2
           }
         } else {
@@ -592,7 +684,7 @@ object Rasterizer {
           var i = 0
           while (i + 1 < sorted.length) {
             wind += sorted(i)._2
-            if (wind != 0) fillSpan(bmp, sorted(i)._1, sorted(i + 1)._1, y, argb, clip)
+            if (wind != 0) fillSpan(bmp, sorted(i)._1, sorted(i + 1)._1, y, argb, clip, alpha, blend)
             i += 1
           }
         }
@@ -602,16 +694,20 @@ object Rasterizer {
   }
 
   @inline private def fillSpan(bmp: Bitmap, xa: Double, xb: Double, y: Int, argb: Int,
-                               clip: Clip): Unit = {
+                               clip: Clip, alpha: Double = 1.0, blend: Int = BlendNormal): Unit = {
     var x = math.max(0, math.round(xa).toInt)
     var xe = math.min(bmp.width - 1, math.round(xb).toInt - 1)
     clip.foreach { case (cx0, _, cx1, _) => x = math.max(x, cx0); xe = math.min(xe, cx1) }
-    while (x <= xe) { bmp.set(x, y, argb); x += 1 }
+    if (alpha >= 1.0 && blend == BlendNormal) {
+      while (x <= xe) { bmp.set(x, y, argb); x += 1 }
+    } else if (alpha > 0.0) {
+      while (x <= xe) { composePixel(bmp, x, y, argb, alpha, blend); x += 1 }
+    }
   }
 
   /** Stroke a polyline as per-segment width-quads (round joins skipped). */
   def strokePolyline(bmp: Bitmap, pts: Array[(Double, Double)], width: Double, argb: Int,
-                     clip: Clip = None): Unit = {
+                     clip: Clip = None, alpha: Double = 1.0, blend: Int = BlendNormal): Unit = {
     val hw = width / 2
     var i = 0
     while (i + 1 < pts.length) {
@@ -623,7 +719,7 @@ object Rasterizer {
         val ny = (bx - ax) / len * hw
         fillPolygons(bmp, Vector(Array(
           (ax + nx, ay + ny), (bx + nx, by + ny), (bx - nx, by - ny), (ax - nx, ay - ny))),
-          evenOdd = false, argb, clip)
+          evenOdd = false, argb, clip, alpha, blend)
       }
       i += 1
     }
@@ -875,7 +971,12 @@ object Rasterizer {
 
   // ---- image decode + blit ----------------------------------------------------
 
-  final case class ImagePixels(w: Int, h: Int, argb: Array[Int])
+  /** Decoded image: ARGB pixels; `mask` non-null marks a 1-bpp stencil
+    * (§8.9.6.2 ImageMask — argb is unused, mask(i)=1 means "paint the fill
+    * color here", 0 means "leave the backdrop"); `alpha` non-null carries
+    * per-pixel /SMask alpha 0-255. */
+  final case class ImagePixels(w: Int, h: Int, argb: Array[Int],
+                               mask: Array[Byte] = null, alpha: Array[Byte] = null)
 
   /** Decode an image XObject to ARGB pixels where the codec allows. */
   def decodeImagePixels(doc: PdfDocument, s: PdfStream): Option[ImagePixels] = {
@@ -886,14 +987,48 @@ object Rasterizer {
     val w = int("Width", 0)
     val h = int("Height", 0)
     if (w <= 0 || h <= 0) return None
-    val bpc = int("BitsPerComponent", 8)
+    val isMask = doc.resolve(xd("ImageMask")) match { case PdfBool(b) => b; case _ => false }
+    val bpc = if (isMask) 1 else int("BitsPerComponent", 8)
     val cs = doc.resolve(xd("ColorSpace")) match {
       case PdfName(n) => n
       case PdfArray(items) if items.nonEmpty => doc.resolve(items(0)) match { case PdfName(n) => n; case _ => "" }
       case _ => "DeviceGray"
     }
     val data = doc.streamData(s)
-    Filters.terminalFilter(xd, doc.resolve).map(_._1) match {
+    if (isMask) {
+      // stencil mask: sample 0 paints with default Decode [0 1]; [1 0] flips
+      val paintWhenOne = doc.resolve(xd("Decode")) match {
+        case PdfArray(items) if items.nonEmpty =>
+          doc.resolve(items(0)) match { case PdfNumber(v) => v >= 0.5; case _ => false }
+        case _ => false
+      }
+      val rowBytes = (w + 7) / 8
+      val bits: Option[Array[Byte]] = Filters.terminalFilter(xd, doc.resolve).map(_._1) match {
+        case Some("CCITTFaxDecode") | Some("CCF") =>
+          try {
+            val parms = Filters.terminalFilter(xd, doc.resolve).map(_._2).getOrElse(PdfDict.empty)
+            Some(Ccitt.decodeFilter(data, parms, doc.resolve))
+          } catch { case _: Exception => None }
+        case None | Some("FlateDecode") | Some("LZWDecode") if data.length >= rowBytes * h =>
+          Some(data)
+        case _ => None
+      }
+      return bits.map { bs =>
+        val m = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val bit = (bs(y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+            m(y * w + x) = if ((bit == 1) == paintWhenOne) 1 else 0
+            x += 1
+          }
+          y += 1
+        }
+        ImagePixels(w, h, null, mask = m)
+      }
+    }
+    val base = Filters.terminalFilter(xd, doc.resolve).map(_._1) match {
       case Some("DCTDecode") | Some("DCT") =>
         try {
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
@@ -935,6 +1070,32 @@ object Rasterizer {
           Some(onebitToArgb(data, w, h, oneIsBlack = false)) // DeviceGray: 0 = black
         } else None
     }
+    // /SMask: an 8-bpc gray image whose samples are per-pixel alpha
+    // (§11.6.5.2); nearest-neighbor resampled when dims differ.
+    base.map { px =>
+      doc.resolve(xd("SMask")) match {
+        case sm @ PdfStream(_, _) =>
+          decodeImagePixels(doc, sm) match {
+            case Some(mp) if mp.argb != null =>
+              val a = new Array[Byte](px.w * px.h)
+              var y = 0
+              while (y < px.h) {
+                val sy = math.min(mp.h - 1, y * mp.h / px.h)
+                var x = 0
+                while (x < px.w) {
+                  val sx = math.min(mp.w - 1, x * mp.w / px.w)
+                  // smask decoded as gray ARGB — any channel is the sample
+                  a(y * px.w + x) = (mp.argb(sy * mp.w + sx) & 0xff).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              px.copy(alpha = a)
+            case _ => px
+          }
+        case _ => px
+      }
+    }
   }
 
   private def onebitToArgb(bits: Array[Byte], w: Int, h: Int, oneIsBlack: Boolean): ImagePixels = {
@@ -954,10 +1115,12 @@ object Rasterizer {
     ImagePixels(w, h, out)
   }
 
-  /** Draw ARGB pixels through `ctm` (unit square → device), inverse-mapped. */
+  /** Draw decoded pixels through `ctm` (unit square → device), inverse-
+    * mapped. Stencil masks paint `fillForMask` only where the mask bit is
+    * set; /SMask alpha and the constant fill alpha composite src-over. */
   def blitImage(bmp: Bitmap, ctm: Mat, px: ImagePixels, fillForMask: Int,
-                clip: Clip = None): Unit = {
-    val _ = fillForMask
+                clip: Clip = None, constAlpha: Double = 1.0,
+                blend: Int = BlendNormal): Unit = {
     val bounds = ctm.onRect(Rect(0, 0, 1, 1))
     var x0 = math.max(0, math.floor(math.min(bounds.left, bounds.right)).toInt)
     var x1 = math.min(bmp.width - 1, math.ceil(math.max(bounds.left, bounds.right)).toInt)
@@ -977,7 +1140,14 @@ object Rasterizer {
             if (u >= 0 && u < 1 && v >= 0 && v < 1) {
               val sx = math.min(px.w - 1, (u * px.w).toInt)
               val sy = math.min(px.h - 1, ((1 - v) * px.h).toInt) // image rows top-down
-              bmp.set(x, y, px.argb(sy * px.w + sx))
+              val i = sy * px.w + sx
+              if (px.mask != null) {
+                // stencil: painted bits take the fill color, others skip
+                if (px.mask(i) == 1) composePixel(bmp, x, y, fillForMask, constAlpha, blend)
+              } else {
+                val a = if (px.alpha != null) (px.alpha(i) & 0xff) / 255.0 * constAlpha else constAlpha
+                composePixel(bmp, x, y, px.argb(i), a, blend)
+              }
             }
             x += 1
           }

@@ -124,7 +124,7 @@ object Dedup {
     * brute-force oracle. Output: (a, b, inter_cnt, union_cnt) with a < b,
     * inter/union ≥ threshold. */
   def minhashLsh(corpus: DataFrame, k: Int = 64, bands: Int = 16,
-                 threshold: Double = 0.7): DataFrame = {
+                 threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val rowsPerBand = k / bands
@@ -150,11 +150,23 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidate generation carries ids only — the band-bucket self-join never
-    // shuffles shingle payloads (the 10^12-doc shape: bucket sizes bound the
-    // quadratic term; salt-cap oversized buckets upstream at real scale)
+    // shuffles shingle payloads (16-byte rows). Degenerate buckets (one
+    // boilerplate band value shared by millions of docs at web scale) would
+    // make this self-join quadratic in a single shuffle partition, so buckets
+    // larger than `maxBucket` are sub-split by doc-id hash — the same salt-cap
+    // as [[simhashPairs]]/[[jaccardBlocked]]: intact pairs are kept within
+    // sub-blocks; cross-sub-block pairs of OVERSIZED buckets are sacrificed
+    // (boilerplate-dominated in practice, and each pair has `bands` chances
+    // to land in an under-cap bucket). Singleton buckets can't pair — drop
+    // early. Under the cap (the oracle corpus) candidates are exhaustive.
     val ids = prepared.select(col("doc_id"), explode(col("bks")).as("bk"))
-    val cand = ids.select(col("bk"), col("doc_id").as("a"))
-      .join(ids.select(col("bk"), col("doc_id").as("b")), Seq("bk"))
+    val sizes = ids.groupBy(col("bk")).agg(count(lit(1)).as("bk_n"))
+      .where(col("bk_n") > 1)
+    val salted = ids.join(sizes, Seq("bk"))
+      .withColumn("sub",
+        pmod(xxhash64(col("doc_id")), greatest(ceil(col("bk_n") / maxBucket), lit(1))))
+    val cand = salted.select(col("bk"), col("sub"), col("doc_id").as("a"))
+      .join(salted.select(col("bk"), col("sub"), col("doc_id").as("b")), Seq("bk", "sub"))
       .where(col("a") < col("b"))
       .select("a", "b").dropDuplicates("a", "b")
 
@@ -256,13 +268,16 @@ object Dedup {
   /** Connected-component dedup clusters over MinHash near-dup pairs: every
     * document that participates in at least one pair gets its component's
     * minimum doc_id as `cluster_id` (the canonical representative to keep).
-    * Iterative min-label propagation over the undirected pair graph —
-    * `maxIter` rounds bound the walk (near-dup components are shallow:
-    * replicas chain through shared content, diameters of 1-3). At 10^12-doc
-    * scale the same loop runs with large-star/small-star contraction
-    * (Kiveris et al.) instead of fixed rounds; the shuffle keys and the
-    * per-round join shape are identical. */
-  def clusters(corpus: DataFrame, threshold: Double = 0.7, maxIter: Int = 8): DataFrame = {
+    * Iterative min-label propagation over the undirected pair graph, run to
+    * CONVERGENCE: each round counts moved labels and the loop exits as soon
+    * as none moved, so short-diameter corpora pay only diameter+1 rounds and
+    * long chains (diameter > the old fixed cap of 8) still resolve to one
+    * component. `maxIter` is a runaway bound only — hitting it without
+    * convergence throws rather than silently mislabeling. Label propagation
+    * converges in O(diameter) rounds; doubling via pointer-jumping (label the
+    * label) would give O(log d) at 10^12-doc scale with the same per-round
+    * join shape. */
+  def clusters(corpus: DataFrame, threshold: Double = 0.7, maxIter: Int = 64): DataFrame = {
     val pairs = minhashLsh(corpus, threshold = threshold).select(col("a"), col("b"))
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
@@ -273,17 +288,26 @@ object Dedup {
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
     var i = 0
-    while (i < maxIter) {
+    var converged = false
+    while (i < maxIter && !converged) {
       val neigh = edges
         .join(labels.select(col("doc_id").as("nb"), col("cluster_id").as("nl")), col("b") === col("nb"))
         .groupBy(col("a")).agg(min(col("nl")).as("min_nl"))
-      labels = labels
+      val next = labels
         .join(neigh, labels("doc_id") === neigh("a"), "left")
         .select(labels("doc_id"),
-          least(col("cluster_id"), coalesce(col("min_nl"), col("cluster_id"))).as("cluster_id"))
+          least(col("cluster_id"), coalesce(col("min_nl"), col("cluster_id"))).as("cluster_id"),
+          (col("min_nl") < col("cluster_id")).as("moved"))
         .localCheckpoint(true)
+      // one extra action per round; the moved-count scan reads the already
+      // checkpointed round result, not the join lineage
+      converged = next.where(col("moved")).limit(1).isEmpty
+      labels = next.drop("moved")
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.clusters: no convergence after $maxIter rounds — component diameter exceeds cap")
     labels
   }
 

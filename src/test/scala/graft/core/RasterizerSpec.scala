@@ -311,4 +311,104 @@ class RasterizerSpec extends AnyFunSuite {
       assert(ink > 0.001 && ink < 0.9, s"$f ink=$ink")
     }
   }
+
+  // ---- transparency / pattern-space additions -------------------------------
+
+  /** One page with extra resource entries and extra indirect objects
+    * (numbered from 4). */
+  private def pageWith(content: String, resources: String,
+                       extraObjs: Vector[Array[Byte]]): Array[Byte] = {
+    val cBytes = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val contentsRef = 4 + extraObjs.length
+    SynthPdf.build(Vector(
+      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      s"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Resources<<$resources>>/Contents $contentsRef 0 R>>".getBytes,
+    ) ++ extraObjs :+
+      ((s"<</Length ${cBytes.length}>>\nstream\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        ++ cBytes ++ "\nendstream".getBytes): Array[Byte]))
+  }
+
+  test("ImageMask stencil: painted bits take the fill color, clear bits skip") {
+    // 8×8 1bpp mask, alternating rows: 0x00 = samples 0 (PAINT with default
+    // Decode [0 1]), 0xFF = samples 1 (transparent)
+    val bits: Array[Byte] = Array.tabulate(8)(r => if (r % 2 == 0) 0x00.toByte else 0xFF.toByte)
+    val maskObj = ("<</Type/XObject/Subtype/Image/Width 8/Height 8/ImageMask true/Length 8>>\nstream\n".getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1) ++ bits ++ "\nendstream".getBytes): Array[Byte]
+    val content = "0 1 0 rg 100 600 64 64 re f " + // green backdrop
+      "1 0 0 rg q 64 0 0 64 100 600 cm /M1 Do Q"   // red through the stencil
+    val doc = PdfDocument.load(pageWith(content, "/XObject<</M1 4 0 R>>", Vector(maskObj))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    // device y = 792 - 664 .. 792 - 600; image row 0 is the TOP row (y≈128)
+    val rowPaint = bmp.get(132, 792 - 660)  // a painted row → red
+    val rowSkip = bmp.get(132, 792 - 652)   // a skipped row → backdrop green
+    assert(rowPaint == 0xFFFF0000, f"paint=$rowPaint%08x")
+    assert(rowSkip == 0xFF00FF00, f"skip=$rowSkip%08x")
+  }
+
+  test("SMask: per-pixel alpha composites the image over the backdrop") {
+    // base: 4×4 solid red RGB (raw, no filter); smask: left half 0, right 255
+    val base = Array.fill(4 * 4)(Array[Byte](255.toByte, 0, 0)).flatten
+    val sm = Array.tabulate(4 * 4)(i => if (i % 4 < 2) 0.toByte else 255.toByte)
+    val smObj = (s"<</Type/XObject/Subtype/Image/Width 4/Height 4/BitsPerComponent 8/ColorSpace/DeviceGray/Length ${sm.length}>>\nstream\n".getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1) ++ sm ++ "\nendstream".getBytes): Array[Byte]
+    val imgObj = (s"<</Type/XObject/Subtype/Image/Width 4/Height 4/BitsPerComponent 8/ColorSpace/DeviceRGB/SMask 5 0 R/Length ${base.length}>>\nstream\n".getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1) ++ base ++ "\nendstream".getBytes): Array[Byte]
+    val content = "q 64 0 0 64 100 600 cm /I1 Do Q"
+    val doc = PdfDocument.load(pageWith(content, "/XObject<</I1 4 0 R>>",
+      Vector(imgObj, smObj))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    assert(bmp.get(110, 792 - 630) == 0xFFFFFFFF, "transparent half must show white backdrop")
+    assert(bmp.get(150, 792 - 630) == 0xFFFF0000, "opaque half must be red")
+  }
+
+  test("ExtGState ca: half-transparent red over white = pink") {
+    val gsObj = "<</Type/ExtGState/ca 0.5>>".getBytes
+    val content = "/G1 gs 1 0 0 rg 100 600 50 30 re f"
+    val doc = PdfDocument.load(pageWith(content, "/ExtGState<</G1 4 0 R>>", Vector(gsObj))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    val p = bmp.get(125, 175)
+    assert(((p >> 16) & 0xff) == 255 && math.abs(((p >> 8) & 0xff) - 128) <= 1,
+      f"expected ~FFFF8080, got $p%08x")
+  }
+
+  test("blend Multiply: red over blue = black; Screen: red over blue = magenta") {
+    val gsM = "<</Type/ExtGState/BM/Multiply>>".getBytes
+    val gsS = "<</Type/ExtGState/BM/Screen>>".getBytes
+    val content = "0 0 1 rg 100 600 100 30 re f " +
+      "/GM gs 1 0 0 rg 100 600 50 30 re f " +
+      "/GS gs 1 0 0 rg 150 600 50 30 re f"
+    val doc = PdfDocument.load(pageWith(content,
+      "/ExtGState<</GM 4 0 R/GS 5 0 R>>", Vector(gsM, gsS))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    assert(bmp.get(125, 175) == 0xFF000000, f"multiply=${bmp.get(125, 175)}%08x")
+    assert(bmp.get(175, 175) == 0xFFFF00FF, f"screen=${bmp.get(175, 175)}%08x")
+  }
+
+  test("pattern space anchors to the page, not the paint-time CTM") {
+    val pat = ("<</PatternType 2/Shading<</ShadingType 2/ColorSpace/DeviceRGB" +
+      "/Coords[0 0 612 0]/Extend[true true]" +
+      "/Function<</FunctionType 2/C0[0 0 0]/C1[1 1 1]/N 1>>>>>>").getBytes
+    def renderWith(content: String): render.Bitmap = {
+      val doc = PdfDocument.load(pageWith(content, "/Pattern<</P1 4 0 R>>", Vector(pat))).toOption.get
+      Rasterizer.render(doc.page(0))
+    }
+    val plain = renderWith("/Pattern cs /P1 scn 0 0 612 792 re f")
+    val shifted = renderWith("q 1 0 0 1 300 0 cm /Pattern cs /P1 scn -300 0 612 792 re f Q")
+    // same device pixel → same pattern color even though the CTM differed
+    assert(plain.get(100, 400) == shifted.get(100, 400),
+      f"plain=${plain.get(100, 400)}%08x shifted=${shifted.get(100, 400)}%08x")
+    // and the gradient is page-anchored: darker on the left than the right
+    assert((plain.get(50, 400) & 0xff) < (plain.get(550, 400) & 0xff))
+  }
+
+  test("rg after scn clears the stale pattern (§8.6.8)") {
+    val pat = ("<</PatternType 2/Shading<</ShadingType 2/ColorSpace/DeviceRGB" +
+      "/Coords[0 0 612 0]/Extend[true true]" +
+      "/Function<</FunctionType 2/C0[0 0 0]/C1[1 1 1]/N 1>>>>>>").getBytes
+    val content = "/Pattern cs /P1 scn 1 0 0 rg 100 600 50 30 re f"
+    val doc = PdfDocument.load(pageWith(content, "/Pattern<</P1 4 0 R>>", Vector(pat))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    assert(bmp.get(125, 175) == 0xFFFF0000, f"got ${bmp.get(125, 175)}%08x — stale pattern painted")
+  }
 }
