@@ -222,7 +222,9 @@ object OracleSql {
       """SELECT * FROM (VALUES
         |  ('ccitt_g4', 'pix', CAST(115 AS BIGINT), CAST(48 AS BIGINT), CAST(720 AS BIGINT), ''),
         |  ('jpeg_passthrough', 'jpg', CAST(120 AS BIGINT), CAST(120 AS BIGINT), CAST(6167 AS BIGINT),
-        |   '79de823617c0b2b7e612641f17ac2638')
+        |   '79de823617c0b2b7e612641f17ac2638'),
+        |  ('indexed_png', 'png', CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(64 AS BIGINT),
+        |   '0483e66c245bc416b5aa9d13f7564845')
         |) AS t(case_id, format, width, height, n_bytes, md5)""".stripMargin,
 
     "pdf_page_labels" ->
@@ -276,6 +278,31 @@ object OracleSql {
         |  (3, 2, 'Page' || chr(10) || '3'),
         |  (4, 1, 'Page' || chr(10) || '2')
         |) AS t(new_idx, src_page, text)""".stripMargin,
+
+    // save → reload round trip: page texts byte-identical for every fixture
+    "pdf_save_roundtrip" ->
+      """SELECT fixture, CAST(n_pages AS BIGINT) AS n_pages, text_identical,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (VALUES
+        |  ('text.pdf', 2, TRUE, 541),
+        |  ('multipage.pdf', 3, TRUE, 21),
+        |  ('toc.pdf', 2, TRUE, 181),
+        |  ('render.pdf', 1, TRUE, 33),
+        |  ('images.pdf', 1, TRUE, 6),
+        |  ('forms.pdf', 1, TRUE, 9),
+        |  ('attachments.pdf', 1, TRUE, 4)
+        |) AS t(fixture, n_pages, text_identical, n_chars)""".stripMargin,
+
+    // arrange on a rewritten file: order 2,0,0,1 of multipage.pdf, md5 of
+    // each reloaded page text pinned to the source pages
+    "pdf_arrange_rewrite" ->
+      """SELECT CAST(new_idx AS BIGINT) AS new_idx, text_md5, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (VALUES
+        |  (0, 'c36dbffd754d6ffa52f302076437d810', 7),
+        |  (1, 'afd4efc22d3759be831620f2ebdcd7ae', 7),
+        |  (2, 'afd4efc22d3759be831620f2ebdcd7ae', 7),
+        |  (3, '6002ec8188d888d1c1d45cfeadbebc9a', 7)
+        |) AS t(new_idx, text_md5, n_chars)""".stripMargin,
 
     "pdf_payload_stats" ->
       """SELECT url, CAST(n_bytes AS BIGINT) AS n_bytes, sha256, magic,

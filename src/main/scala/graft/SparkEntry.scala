@@ -284,19 +284,49 @@ object SparkEntry {
           img,
           s"<</Length ${content.length}>>\nstream\n$content\nendstream".getBytes))
       }
+      // decode-reencode branch (pageobjects.py:543-659 fallback): a 4×4
+      // Indexed-palette image (bpc=2, rows = indices 0,1,2,3) must come
+      // back as PNG; correctness is pinned by the md5 of the RE-DECODED
+      // pixels (encoder-independent), with n_bytes = w*h*4 decoded bytes
+      val idxPdf = {
+        val samples = Array.fill(4)(0x1B.toByte) // 00 01 10 11 per row
+        val imgHdr = "<</Type/XObject/Subtype/Image/Width 4/Height 4/BitsPerComponent 2" +
+          "/ColorSpace[/Indexed/DeviceRGB 3 <FF000000FF000000FFFFFFFF>]/Length 4>>\nstream\n"
+        val img = imgHdr.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+          samples ++ "\nendstream".getBytes
+        val content = "q 4 0 0 4 0 0 cm /Im1 Do Q"
+        graft.core.SynthPdf.build(Vector(
+          "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+          "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+          "<</Type/Page/Parent 2 0 R/MediaBox[0 0 4 4]/Resources<</XObject<</Im1 4 0 R>>>>/Contents 5 0 R>>".getBytes,
+          img,
+          s"<</Length ${content.length}>>\nstream\n$content\nendstream".getBytes))
+      }
       val rows = Seq(
         ("ccitt_g4", PagesTable.fixture("images.pdf")),
-        ("jpeg_passthrough", jpgPdf))
+        ("jpeg_passthrough", jpgPdf),
+        ("indexed_png", idxPdf))
       s.createDataset(rows).map { case (id, bytes) =>
         val doc = graft.core.PdfDocument.load(bytes).toOption.get
         val img = graft.core.ImageExtract.pageImages(doc.page(0)).head
-        // md5 only where an INDEPENDENT golden exists (the source jpeg);
-        // CCITT pixel identity is covered by the round-trip specs
-        val md5 = if (id == "jpeg_passthrough")
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(img.data).map(b => f"$b%02x").mkString
-        else ""
-        (id, img.format, img.width.toLong, img.height.toLong, img.data.length.toLong, md5)
+        def hex(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+          .digest(b).map(x => f"$x%02x").mkString
+        // md5 semantics per case: passthrough → payload bytes (independent
+        // golden = the source jpeg); reencode → re-decoded ARGB pixel bytes
+        // (independent of the PNG encoder); CCITT pixel identity is covered
+        // by the round-trip specs
+        val (nBytes, md5) = id match {
+          case "jpeg_passthrough" => (img.data.length.toLong, hex(img.data))
+          case "indexed_png" =>
+            val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img.data))
+            val px = new Array[Int](bi.getWidth * bi.getHeight)
+            bi.getRGB(0, 0, bi.getWidth, bi.getHeight, px, 0, bi.getWidth)
+            val bb = java.nio.ByteBuffer.allocate(px.length * 4)
+            px.foreach(bb.putInt)
+            (px.length * 4L, hex(bb.array()))
+          case _ => (img.data.length.toLong, "")
+        }
+        (id, img.format, img.width.toLong, img.height.toLong, nBytes, md5)
       }.toDF("case_id", "format", "width", "height", "n_bytes", "md5")
     }),
 
@@ -341,6 +371,41 @@ object SparkEntry {
         val perPage = d.pages.map(p => p.textPage.text.replace("\r\n", "\n"))
         idxs.zipWithIndex.map { case (src, newIdx) => (newIdx.toLong, src.toLong, perPage(src)) }
       }.toDF("new_idx", "src_page", "text")
+    }),
+
+    "pdf_save_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      // save/SaveAsCopy analog (document.py:247-275): serialize the live
+      // object graph, re-load the copy through our own parser, and pin that
+      // every page's text survives byte-identically — all inside tasks
+      ExtractPipeline.mapDocs(PagesTable.ofFixtures(s, Seq(
+        "text.pdf", "multipage.pdf", "toc.pdf", "render.pdf",
+        "images.pdf", "forms.pdf", "attachments.pdf"))) { (url, d) =>
+        val orig = d.pages.map(_.textPage.text)
+        val saved = graft.core.Extract.extractText(graft.core.PdfWriter.write(d))
+        Iterator.single((url.stripPrefix("fixture://"),
+          d.pageCount.toLong,
+          saved.ok && saved.pages.map(_.text) == orig,
+          orig.map(_.length).sum.toLong))
+      }.toDF("fixture", "n_pages", "text_identical", "n_chars")
+    }),
+
+    "pdf_arrange_rewrite" -> ((s, _) => {
+      import s.implicits._
+      // arrange verified on a REWRITTEN file: writePages builds a new
+      // catalog + flat page tree (duplicates allowed), the copy re-loads
+      // and each page's text md5 is pinned against the source order
+      ExtractPipeline.mapDocs(PagesTable.ofFixtures(s, Seq("multipage.pdf"))) { (_, d) =>
+        val order = Seq(2, 0, 0, 1)
+        val out = graft.core.PdfWriter.writePages(order.map(i => (d, i)))
+        val re = graft.core.Extract.extractText(out)
+        re.pages.map { p =>
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(p.text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map(b => f"$b%02x").mkString
+          (p.pageIndex.toLong, md5, p.nChars.toLong)
+        }
+      }.toDF("new_idx", "text_md5", "n_chars")
     }),
 
     "pdf_payload_stats" -> ((s, _) => {

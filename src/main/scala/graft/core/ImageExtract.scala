@@ -3,17 +3,38 @@ package graft.core
 /** Embedded-image byte extraction with the reference's "smart" decision tree
   * (pageobjects.py:543-659): DCT/JPX payloads pass through byte-identically
   * after applying any SIMPLE prefilters (tested byte-identical round trip,
-  * tests/test_cli.py:108-119); everything else is returned as the decoded
-  * (or raw codec) bytes with format "raw" — the re-encode branch of the
-  * reference rasterizes via PDFium, which is out of the extraction scope. */
+  * tests/test_cli.py:108-119); CCITT decodes to packed 1bpp rows; everything
+  * else takes the decode-reencode branch — pixels decoded through the
+  * rasterizer's image path (Flate/LZW gray/RGB/1bpp, Indexed palettes,
+  * SMask alpha) and re-encoded as PNG, the same fallback the reference
+  * implements by rendering the object through PDFium. Only undecodable
+  * codecs (JBIG2/JPX raw payloads aside, which pass through) return "raw". */
 object ImageExtract {
 
   final case class ExtractedImage(
       name: String,
-      format: String, // jpg | jp2 | raw
+      format: String, // jpg | jp2 | pix | png | raw
       data: Array[Byte],
       width: Int,
       height: Int)
+
+  /** Decode-reencode branch: rasterizer-decoded ARGB pixels → PNG bytes. */
+  private def reencodePng(doc: PdfDocument, s: PdfStream): Option[(String, Array[Byte])] =
+    try {
+      graft.core.render.Rasterizer.decodeImagePixels(doc, s).collect {
+        case px if px.argb != null =>
+          val img = new java.awt.image.BufferedImage(
+            px.w, px.h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          val argb =
+            if (px.alpha == null) px.argb
+            else Array.tabulate(px.argb.length)(i =>
+              (px.argb(i) & 0x00FFFFFF) | ((px.alpha(i) & 0xff) << 24))
+          img.setRGB(0, 0, px.w, px.h, argb, 0, px.w)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          ("png", out.toByteArray)
+      }
+    } catch { case _: Exception => None }
 
   def pageImages(page: PdfPage, maxDepth: Int = 2): Vector[ExtractedImage] = {
     val doc = page.doc
@@ -42,7 +63,8 @@ object ImageExtract {
                         val parms = Filters.terminalFilter(xd, doc.resolve).map(_._2).getOrElse(PdfDict.empty)
                         try ("pix", Ccitt.decodeFilter(codecData, parms, doc.resolve))
                         catch { case _: Exception => ("raw", codecData) }
-                      case _ => ("raw", codecData)
+                      case _ =>
+                        reencodePng(doc, s).getOrElse(("raw", codecData))
                     }
                     out += ExtractedImage(name, format, data, w, h)
                   case PdfName("Form") =>

@@ -52,6 +52,16 @@ final class PdfPage private[core] (
 
   def resources: PdfDict = attr("Resources") match { case d: PdfDict => d; case _ => PdfDict.empty }
 
+  /** The page dict with inheritable attributes (§7.7.3.4) materialized —
+    * what a flat rebuilt page tree must carry when intermediate /Pages
+    * nodes (which held the inherited values) are dropped. */
+  def effectiveDict: PdfDict = {
+    val inheritable = Seq("Resources", "MediaBox", "CropBox", "Rotate")
+    val pulled = inheritable.flatMap(k =>
+      if (dict.contains(k)) None else inherited.get(k).map(k -> _))
+    PdfDict(dict.entries ++ pulled)
+  }
+
   /** Concatenated decoded content streams (a page may split content into an
     * array of streams — they form one token stream). */
   def contentBytes: Array[Byte] = doc.resolve(dict("Contents")) match {

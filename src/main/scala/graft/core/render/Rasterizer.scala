@@ -319,12 +319,30 @@ object Rasterizer {
                 if (den <= 0) Some(0.0)
                 else Some(((ux - coords(0)) * dx + (uy - coords(1)) * dy) / den)
               case 3 if coords.length >= 6 =>
-                // radial approximation: fraction along the center line by
-                // distance from the start circle, normalized by Δr + |Δc|
-                val d0 = math.hypot(ux - coords(0), uy - coords(1)) - coords(2)
-                val span = math.hypot(coords(3) - coords(0), coords(4) - coords(1)) +
-                  (coords(5) - coords(2))
-                if (math.abs(span) < 1e-9) Some(0.0) else Some(d0 / span)
+                // exact radial (§8.7.4.5.4): the point lies on the
+                // interpolated circle c(s)=c0+s·Δc, r(s)=r0+s·Δr; solve
+                // |p−c(s)|² = r(s)² for the LARGEST s with r(s) ≥ 0
+                val dcx = coords(3) - coords(0); val dcy = coords(4) - coords(1)
+                val dr = coords(5) - coords(2)
+                val pdx = ux - coords(0); val pdy = uy - coords(1)
+                val a = dcx * dcx + dcy * dcy - dr * dr
+                val b = -2 * (pdx * dcx + pdy * dcy + coords(2) * dr)
+                val c0 = pdx * pdx + pdy * pdy - coords(2) * coords(2)
+                def rOk(s: Double) = coords(2) + s * dr >= 0
+                if (math.abs(a) < 1e-12) {
+                  if (math.abs(b) < 1e-12) None
+                  else { val s = -c0 / b; if (rOk(s)) Some(s) else None }
+                } else {
+                  val disc = b * b - 4 * a * c0
+                  if (disc < 0) None
+                  else {
+                    val sq = math.sqrt(disc)
+                    val s1 = (-b + sq) / (2 * a)
+                    val s2 = (-b - sq) / (2 * a)
+                    val hi = math.max(s1, s2); val lo = math.min(s1, s2)
+                    if (rOk(hi)) Some(hi) else if (rOk(lo)) Some(lo) else None
+                  }
+                }
               case _ => Some(0.5)
             }
             tRaw.foreach { t0 =>
@@ -1049,6 +1067,34 @@ object Rasterizer {
           Some(onebitToArgb(bits, w, h, oneIsBlack))
         } catch { case _: Exception => None }
       case Some("JPXDecode") | Some("JBIG2Decode") => None // codecs not carried
+      case _ if cs == "Indexed" || cs == "I" =>
+        // [/Indexed base hival lookup] — palette lookup per sample (§8.6.6.3)
+        indexedPalette(doc, xd).flatMap { pal =>
+          val out = new Array[Int](w * h)
+          val rowBits = w * bpc
+          val rowBytes = (rowBits + 7) / 8
+          if (data.length < rowBytes * h || bpc > 8) None
+          else {
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val bitPos = y * rowBytes * 8 + x * bpc
+                var v = 0
+                var b = 0
+                while (b < bpc) {
+                  val p = bitPos + b
+                  v = (v << 1) | ((data(p >> 3) >> (7 - (p & 7))) & 1)
+                  b += 1
+                }
+                out(y * w + x) = pal(math.min(pal.length - 1, v))
+                x += 1
+              }
+              y += 1
+            }
+            Some(ImagePixels(w, h, out))
+          }
+        }
       case _ => // fully decoded buffer (Flate/LZW/raw)
         val out = new Array[Int](w * h)
         if (bpc == 8 && cs == "DeviceRGB" && data.length >= w * h * 3) {
@@ -1095,6 +1141,42 @@ object Rasterizer {
           }
         case _ => px
       }
+    }
+  }
+
+  /** ARGB palette of an [/Indexed base hival lookup] image colorspace; the
+    * lookup may be a literal string or a stream. Base DeviceRGB (3 comps)
+    * and DeviceGray (1 comp) carried. */
+  private def indexedPalette(doc: PdfDocument, xd: PdfDict): Option[Array[Int]] = {
+    doc.resolve(xd("ColorSpace")) match {
+      case PdfArray(items) if items.length >= 4 =>
+        val baseComps = doc.resolve(items(1)) match {
+          case PdfName("DeviceGray") => 1
+          case PdfName("DeviceCMYK") => 4
+          case _ => 3
+        }
+        val hival = doc.resolve(items(2)) match { case PdfNumber(v) => v.toInt; case _ => 0 }
+        val lookup: Array[Byte] = doc.resolve(items(3)) match {
+          case PdfString(bytes) => bytes
+          case s: PdfStream => doc.streamData(s)
+          case _ => Array.emptyByteArray
+        }
+        if (hival < 0 || lookup.isEmpty) None
+        else Some(Array.tabulate(hival + 1) { i =>
+          def ch(c: Int): Int = {
+            val p = i * baseComps + c
+            if (p < lookup.length) lookup(p) & 0xff else 0
+          }
+          baseComps match {
+            case 1 => 0xFF000000 | (ch(0) << 16) | (ch(0) << 8) | ch(0)
+            case 4 =>
+              val k = ch(3)
+              def conv(v: Int) = (255 - v) * (255 - k) / 255
+              0xFF000000 | (conv(ch(0)) << 16) | (conv(ch(1)) << 8) | conv(ch(2))
+            case _ => 0xFF000000 | (ch(0) << 16) | (ch(1) << 8) | ch(2)
+          }
+        })
+      case _ => None
     }
   }
 

@@ -402,6 +402,20 @@ class RasterizerSpec extends AnyFunSuite {
     assert((plain.get(50, 400) & 0xff) < (plain.get(550, 400) & 0xff))
   }
 
+  test("radial shading: exact quadratic — concentric gradient by distance") {
+    val res = "/Shading<</S1<</ShadingType 3/ColorSpace/DeviceRGB" +
+      "/Coords[306 396 0 306 396 200]" +
+      "/Function<</FunctionType 2/C0[0 0 0]/C1[1 1 1]/N 1>>>>>>"
+    val doc = PdfDocument.load(pageWith("q 0 0 612 792 re W n /S1 sh Q", res, Vector.empty)).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    val cy = 792 - 396
+    def gray(x: Int) = bmp.get(x, cy) & 0xff
+    assert(gray(306) <= 2, s"center=${gray(306)}")                 // t≈0 → black
+    assert(math.abs(gray(306 + 100) - 128) <= 3, s"mid=${gray(406)}") // t≈0.5
+    assert(math.abs(gray(306 + 180) - 230) <= 4)                   // t≈0.9
+    assert(bmp.get(306 + 250, cy) == 0xFFFFFFFF, "outside r1 unpainted without Extend")
+  }
+
   test("rg after scn clears the stale pattern (§8.6.8)") {
     val pat = ("<</PatternType 2/Shading<</ShadingType 2/ColorSpace/DeviceRGB" +
       "/Coords[0 0 612 0]/Extend[true true]" +
