@@ -29,8 +29,10 @@ import graft.core._
   */
 object Rasterizer {
 
-  /** Render a page at `scale` pixels per PDF unit onto a white background. */
-  def render(page: PdfPage, scale: Double = 1.0): Bitmap = {
+  /** Render a page at `scale` pixels per PDF unit onto a white background.
+    * `drawAnnots` paints annotation /AP /N appearance streams on top — the
+    * `draw_forms` analog (reference page.py:490-491 FPDF_FFLDraw). */
+  def render(page: PdfPage, scale: Double = 1.0, drawAnnots: Boolean = true): Bitmap = {
     val bbox = page.bbox
     val w = math.max(1, math.ceil(bbox.width * scale).toInt)
     val h = math.max(1, math.ceil(bbox.height * scale).toInt)
@@ -96,13 +98,111 @@ object Rasterizer {
         }
       }
     }
+    if (drawAnnots) renderAnnotations(page, dev, bmp)
     bmp
+  }
+
+  /** Paint each visible annotation's normal appearance stream (§12.5.5):
+    * the /AP /N form's /BBox (through its /Matrix) is mapped onto the
+    * annotation /Rect, then the form content renders like any XObject. */
+  private def renderAnnotations(page: PdfPage, dev: Mat, bmp: Bitmap): Unit = {
+    val doc = page.doc
+    page.annotations.foreach { a =>
+      try {
+        val flags = doc.resolve(a("F")) match { case PdfNumber(v) => v.toInt; case _ => 0 }
+        val hidden = (flags & 0x2) != 0 || (flags & 0x20) != 0 // Hidden | NoView
+        if (!hidden) {
+          val rect = doc.resolve(a("Rect")) match {
+            case PdfArray(items) if items.length == 4 =>
+              val v = items.map(doc.resolve).collect { case PdfNumber(n) => n }
+              if (v.length == 4)
+                Some(Rect(math.min(v(0), v(2)), math.min(v(1), v(3)),
+                  math.max(v(0), v(2)), math.max(v(1), v(3))))
+              else None
+            case _ => None
+          }
+          val nAppearance: Option[PdfStream] = doc.resolve(a("AP")) match {
+            case ap: PdfDict => doc.resolve(ap("N")) match {
+              case s: PdfStream => Some(s)
+              case states: PdfDict => // state dict: pick /AS, else first entry
+                val as = doc.resolve(a("AS")) match { case PdfName(n) => Some(n); case _ => None }
+                as.flatMap(n => Some(doc.resolve(states(n)))).orElse(
+                  states.entries.toSeq.sortBy(_._1).headOption.map(e => doc.resolve(e._2)))
+                  .collect { case s: PdfStream => s }
+              case _ => None
+            }
+            case _ => None
+          }
+          for (r <- rect; form <- nAppearance if r.width > 0 && r.height > 0) {
+            val fd = form.dict
+            def matOf(o: PdfObject): Mat = doc.resolve(o) match {
+              case PdfArray(items) if items.length == 6 =>
+                val v = items.map(doc.resolve).collect { case PdfNumber(n) => n }
+                if (v.length == 6) Mat(v(0), v(1), v(2), v(3), v(4), v(5)) else Mat.identity
+              case _ => Mat.identity
+            }
+            val formMat = matOf(fd("Matrix"))
+            val fbox = doc.resolve(fd("BBox")) match {
+              case PdfArray(items) if items.length == 4 =>
+                val v = items.map(doc.resolve).collect { case PdfNumber(n) => n }
+                if (v.length == 4) Rect(math.min(v(0), v(2)), math.min(v(1), v(3)),
+                  math.max(v(0), v(2)), math.max(v(1), v(3))) else r
+              case _ => r
+            }
+            val tbox = formMat.onRect(fbox) // transformed appearance box
+            if (tbox.width > 1e-9 && tbox.height > 1e-9) {
+              // A: scale/translate transformed bbox onto the annot rect
+              val sx = r.width / tbox.width
+              val sy = r.height / tbox.height
+              val aMat = Mat(sx, 0, 0, sy, r.left - tbox.left * sx, r.bottom - tbox.bottom * sy)
+              val res = doc.resolve(fd("Resources")) match { case d: PdfDict => d; case _ => page.resources }
+              walk(doc, doc.streamData(form), res, formMat.multiply(aMat).multiply(dev), bmp, 1)
+            }
+          }
+        }
+      } catch { case _: Exception => () }
+    }
   }
 
   // ---- content walk (paths, colors, images, forms) -------------------------
 
-  /** Device-space clip rect (x0,y0,x1,y1 inclusive), None = unclipped. */
-  type Clip = Option[(Int, Int, Int, Int)]
+  /** Device-space clip region: inclusive bbox plus an optional per-pixel
+    * mask (full-bitmap stride) for SHAPED clips — exact for `re W n` via the
+    * rect-only fast path, exact for arbitrary paths via the mask. */
+  final class ClipRegion(val x0: Int, val y0: Int, val x1: Int, val y1: Int,
+                         val mask: Array[Byte], val maskW: Int) {
+    @inline def allows(x: Int, y: Int): Boolean =
+      x >= x0 && x <= x1 && y >= y0 && y <= y1 &&
+        (mask == null || mask(y * maskW + x) != 0)
+    /** Intersect with a rect (no new mask). */
+    def intersectRect(rx0: Int, ry0: Int, rx1: Int, ry1: Int): ClipRegion =
+      new ClipRegion(math.max(x0, rx0), math.max(y0, ry0),
+        math.min(x1, rx1), math.min(y1, ry1), mask, maskW)
+    /** Intersect with another region (AND of masks where both have one). */
+    def intersect(o: ClipRegion): ClipRegion = {
+      val m =
+        if (mask == null) o.mask
+        else if (o.mask == null) mask
+        else {
+          val out = new Array[Byte](mask.length)
+          var i = 0
+          while (i < out.length) {
+            out(i) = (if (mask(i) != 0 && o.mask(i) != 0) 1 else 0).toByte
+            i += 1
+          }
+          out
+        }
+      new ClipRegion(math.max(x0, o.x0), math.max(y0, o.y0),
+        math.min(x1, o.x1), math.min(y1, o.y1), m, math.max(maskW, o.maskW))
+    }
+  }
+  object ClipRegion {
+    def rect(x0: Int, y0: Int, x1: Int, y1: Int): ClipRegion =
+      new ClipRegion(x0, y0, x1, y1, null, 0)
+  }
+
+  /** None = unclipped. */
+  type Clip = Option[ClipRegion]
 
   /** Blend-mode ids (§11.3.5 separable modes carried; others → Normal). */
   final val BlendNormal = 0
@@ -196,6 +296,17 @@ object Rasterizer {
       cx = x3; cy = y3
     }
     var pendingClip = false
+    var pendingClipEvenOdd = false
+    /** Is the current path one axis-aligned rectangle? (the `re W n` idiom —
+      * rect-only clip, no mask allocation) */
+    def pathIsAxisRect: Boolean = {
+      if (subpaths.length != 1) return false
+      val p = subpaths.head
+      if (p.length < 4 || p.length > 5) return false
+      val xs = p.map(_._1).distinct
+      val ys = p.map(_._2).distinct
+      xs.length == 2 && ys.length == 2
+    }
     def applyPendingClip(): Unit = {
       if (pendingClip) {
         pendingClip = false
@@ -208,12 +319,21 @@ object Rasterizer {
             if (py < minY) minY = py
             if (py > maxY) maxY = py
           })
-          val nc = (math.floor(minX).toInt, math.floor(minY).toInt,
-            math.ceil(maxX).toInt, math.ceil(maxY).toInt)
+          val bx0 = math.floor(minX).toInt; val by0 = math.floor(minY).toInt
+          val bx1 = math.ceil(maxX).toInt; val by1 = math.ceil(maxY).toInt
+          val region =
+            if (pathIsAxisRect) ClipRegion.rect(bx0, by0, bx1, by1)
+            else {
+              // shaped clip: rasterize the path into a device-space mask
+              val m = new Array[Byte](bmp.width * bmp.height)
+              fillPolygonsInto(m, bmp.width, bmp.height,
+                subpaths.map(_.toArray).toVector.filter(_.length >= 2), pendingClipEvenOdd)
+              new ClipRegion(math.max(0, bx0), math.max(0, by0),
+                math.min(bmp.width - 1, bx1), math.min(bmp.height - 1, by1), m, bmp.width)
+            }
           gs.clip = Some(gs.clip match {
-            case Some((a, b, c, d)) =>
-              (math.max(a, nc._1), math.max(b, nc._2), math.min(c, nc._3), math.min(d, nc._4))
-            case None => nc
+            case Some(c) => c.intersect(region)
+            case None => region
           })
         }
       }
@@ -234,12 +354,23 @@ object Rasterizer {
               if (py < minY) minY = py
               if (py > maxY) maxY = py
             })
-            val pathClip = (math.floor(minX).toInt, math.floor(minY).toInt,
-              math.ceil(maxX).toInt, math.ceil(maxY).toInt)
+            // clip the pattern paint to the path itself (exact: a shaped
+            // mask unless the path is one axis-aligned rect)
+            val pathClip = {
+              val bx0 = math.floor(minX).toInt; val by0 = math.floor(minY).toInt
+              val bx1 = math.ceil(maxX).toInt; val by1 = math.ceil(maxY).toInt
+              val isRect = polys.length == 1 && polys.head.length <= 5 &&
+                polys.head.map(_._1).distinct.length == 2 && polys.head.map(_._2).distinct.length == 2
+              if (isRect) ClipRegion.rect(bx0, by0, bx1, by1)
+              else {
+                val m = new Array[Byte](bmp.width * bmp.height)
+                fillPolygonsInto(m, bmp.width, bmp.height, polys, evenOdd)
+                new ClipRegion(math.max(0, bx0), math.max(0, by0),
+                  math.min(bmp.width - 1, bx1), math.min(bmp.height - 1, by1), m, bmp.width)
+              }
+            }
             val merged = gs.clip match {
-              case Some((a, b2, c, d2)) =>
-                (math.max(a, pathClip._1), math.max(b2, pathClip._2),
-                  math.min(c, pathClip._3), math.min(d2, pathClip._4))
+              case Some(c) => c.intersect(pathClip)
               case None => pathClip
             }
             val saved = gs.clip
@@ -305,12 +436,14 @@ object Rasterizer {
           case _ => 0xFF808080
         }
       }
-      val (cx0, cy0, cx1, cy1) = gs.clip.getOrElse((0, 0, bmp.width - 1, bmp.height - 1))
+      val cr = gs.clip.getOrElse(ClipRegion.rect(0, 0, bmp.width - 1, bmp.height - 1))
       shCtm.invert.foreach { inv =>
-        var y = math.max(0, cy0)
-        while (y <= math.min(bmp.height - 1, cy1)) {
-          var x = math.max(0, cx0)
-          while (x <= math.min(bmp.width - 1, cx1)) {
+        var y = math.max(0, cr.y0)
+        while (y <= math.min(bmp.height - 1, cr.y1)) {
+          var x = math.max(0, cr.x0)
+          while (x <= math.min(bmp.width - 1, cr.x1)) {
+            if (!cr.allows(x, y)) { x += 1 }
+            else {
             val (ux, uy) = inv.onPoint(x + 0.5, y + 0.5)
             val tRaw: Option[Double] = shType match {
               case 2 if coords.length >= 4 =>
@@ -355,6 +488,7 @@ object Rasterizer {
               if (!t.isNaN) composePixel(bmp, x, y, colorAt(t), gs.fillAlpha, gs.blend)
             }
             x += 1
+            }
           }
           y += 1
         }
@@ -365,7 +499,7 @@ object Rasterizer {
       * repeatedly at XStep/YStep offsets covering the clip region. `base`
       * is patternMatrix ∘ stream-default-CTM captured at scn time (§8.7.3.1
       * — pattern space is anchored to the page, not the paint-time CTM). */
-    def paintTilingPattern(tile: PdfStream, base: Mat, clip: (Int, Int, Int, Int)): Unit = {
+    def paintTilingPattern(tile: PdfStream, base: Mat, clip: ClipRegion): Unit = {
       val td = tile.dict
       def numOf(key: String, dflt: Double): Double = doc.resolve(td(key)) match {
         case PdfNumber(v) => v; case _ => dflt
@@ -378,11 +512,11 @@ object Rasterizer {
       // cover the clip rect in pattern steps (device extent / device step)
       val stepDevX = math.max(1.0, math.abs(xStep * math.hypot(base.a, base.b)))
       val stepDevY = math.max(1.0, math.abs(yStep * math.hypot(base.c, base.d)))
-      val nx = math.min(64, ((clip._3 - clip._1) / stepDevX).toInt + 2)
-      val ny = math.min(64, ((clip._4 - clip._2) / stepDevY).toInt + 2)
+      val nx = math.min(64, ((clip.x1 - clip.x0) / stepDevX).toInt + 2)
+      val ny = math.min(64, ((clip.y1 - clip.y0) / stepDevY).toInt + 2)
       // anchor the grid at the pattern origin nearest the clip corner
       val inv = base.invert.getOrElse(return)
-      val (u0, v0) = inv.onPoint(clip._1.toDouble, clip._4.toDouble) // bottom-left in pattern space (device y-down)
+      val (u0, v0) = inv.onPoint(clip.x0.toDouble, clip.y1.toDouble) // bottom-left in pattern space (device y-down)
       val i0 = math.floor(u0 / xStep).toInt - 1
       val j0 = math.floor(v0 / yStep).toInt - 1
       var j = 0
@@ -399,7 +533,7 @@ object Rasterizer {
       }
     }
     def walkCell(cellBytes: Array[Byte], patRes: PdfDict, cellCtm: Mat,
-                 clip: (Int, Int, Int, Int)): Unit =
+                 clip: ClipRegion): Unit =
       walk(doc, cellBytes, patRes, cellCtm, bmp, level + 1, initClip = Some(clip))
 
     def doXObject(tag: String): Unit = doc.resolve(resources("XObject")) match {
@@ -606,7 +740,9 @@ object Rasterizer {
               paint(fill = false, stroke = true, evenOdd = false)
             case "S" => paint(fill = false, stroke = true, evenOdd = false)
             case "n" => clearPath()
-            case "W" | "W*" => pendingClip = true // rect-bbox clip, applied at the paint op
+            case "W" | "W*" => // clip (rect fast path or shaped mask), applied at the paint op
+              pendingClip = true
+              pendingClipEvenOdd = op == "W*"
             case "Do" => operands.lastOption match {
               case Some(PdfName(tag)) => doXObject(tag)
               case _ => ()
@@ -658,21 +794,12 @@ object Rasterizer {
 
   // ---- scanline polygon fill ------------------------------------------------
 
-  /** Fill closed polygons (device space) with even-odd or nonzero winding. */
-  def fillPolygons(bmp: Bitmap, polys: Vector[Array[(Double, Double)]],
-                   evenOdd: Boolean, argb: Int, clip: Clip = None,
-                   alpha: Double = 1.0, blend: Int = BlendNormal): Unit = {
-    var minY = Double.MaxValue
-    var maxY = Double.MinValue
-    polys.foreach(_.foreach { case (_, y) =>
-      if (y < minY) minY = y
-      if (y > maxY) maxY = y
-    })
-    var y0 = math.max(0, math.floor(minY).toInt)
-    var y1 = math.min(bmp.height - 1, math.ceil(maxY).toInt)
-    clip.foreach { case (_, cy0, _, cy1) => y0 = math.max(y0, cy0); y1 = math.min(y1, cy1) }
-    var y = y0
-    while (y <= y1) {
+  /** Scanline core: emit raw (xa, xb, y) spans of the polygon set under
+    * even-odd or nonzero winding, rows yLo..yHi inclusive. */
+  private def scanPolygons(polys: Vector[Array[(Double, Double)]], evenOdd: Boolean,
+                           yLo: Int, yHi: Int)(emit: (Double, Double, Int) => Unit): Unit = {
+    var y = yLo
+    while (y <= yHi) {
       val yc = y + 0.5
       // crossings: (x, direction)
       val xs = mutable.ArrayBuffer[(Double, Int)]()
@@ -693,7 +820,7 @@ object Rasterizer {
         if (evenOdd) {
           var i = 0
           while (i + 1 < sorted.length) {
-            fillSpan(bmp, sorted(i)._1, sorted(i + 1)._1, y, argb, clip, alpha, blend)
+            emit(sorted(i)._1, sorted(i + 1)._1, y)
             i += 2
           }
         } else {
@@ -702,7 +829,7 @@ object Rasterizer {
           var i = 0
           while (i + 1 < sorted.length) {
             wind += sorted(i)._2
-            if (wind != 0) fillSpan(bmp, sorted(i)._1, sorted(i + 1)._1, y, argb, clip, alpha, blend)
+            if (wind != 0) emit(sorted(i)._1, sorted(i + 1)._1, y)
             i += 1
           }
         }
@@ -711,15 +838,60 @@ object Rasterizer {
     }
   }
 
+  private def polysYRange(polys: Vector[Array[(Double, Double)]], hMax: Int,
+                          clip: Clip): (Int, Int) = {
+    var minY = Double.MaxValue
+    var maxY = Double.MinValue
+    polys.foreach(_.foreach { case (_, y) =>
+      if (y < minY) minY = y
+      if (y > maxY) maxY = y
+    })
+    var y0 = math.max(0, math.floor(minY).toInt)
+    var y1 = math.min(hMax - 1, math.ceil(maxY).toInt)
+    clip.foreach { c => y0 = math.max(y0, c.y0); y1 = math.min(y1, c.y1) }
+    (y0, y1)
+  }
+
+  /** Fill closed polygons (device space) with even-odd or nonzero winding. */
+  def fillPolygons(bmp: Bitmap, polys: Vector[Array[(Double, Double)]],
+                   evenOdd: Boolean, argb: Int, clip: Clip = None,
+                   alpha: Double = 1.0, blend: Int = BlendNormal): Unit = {
+    val (y0, y1) = polysYRange(polys, bmp.height, clip)
+    scanPolygons(polys, evenOdd, y0, y1) { (xa, xb, y) =>
+      fillSpan(bmp, xa, xb, y, argb, clip, alpha, blend)
+    }
+  }
+
+  /** Rasterize polygons into a 0/1 byte mask (shaped-clip construction). */
+  private def fillPolygonsInto(m: Array[Byte], w: Int, h: Int,
+                               polys: Vector[Array[(Double, Double)]],
+                               evenOdd: Boolean): Unit = {
+    val (y0, y1) = polysYRange(polys, h, None)
+    scanPolygons(polys, evenOdd, y0, y1) { (xa, xb, y) =>
+      var x = math.max(0, math.round(xa).toInt)
+      val xe = math.min(w - 1, math.round(xb).toInt - 1)
+      while (x <= xe) { m(y * w + x) = 1; x += 1 }
+    }
+  }
+
   @inline private def fillSpan(bmp: Bitmap, xa: Double, xb: Double, y: Int, argb: Int,
                                clip: Clip, alpha: Double = 1.0, blend: Int = BlendNormal): Unit = {
     var x = math.max(0, math.round(xa).toInt)
     var xe = math.min(bmp.width - 1, math.round(xb).toInt - 1)
-    clip.foreach { case (cx0, _, cx1, _) => x = math.max(x, cx0); xe = math.min(xe, cx1) }
+    var mask: Array[Byte] = null
+    var maskW = 0
+    clip.foreach { c =>
+      x = math.max(x, c.x0); xe = math.min(xe, c.x1)
+      mask = c.mask; maskW = c.maskW
+    }
     if (alpha >= 1.0 && blend == BlendNormal) {
-      while (x <= xe) { bmp.set(x, y, argb); x += 1 }
+      if (mask == null) { while (x <= xe) { bmp.set(x, y, argb); x += 1 } }
+      else { while (x <= xe) { if (mask(y * maskW + x) != 0) bmp.set(x, y, argb); x += 1 } }
     } else if (alpha > 0.0) {
-      while (x <= xe) { composePixel(bmp, x, y, argb, alpha, blend); x += 1 }
+      while (x <= xe) {
+        if (mask == null || mask(y * maskW + x) != 0) composePixel(bmp, x, y, argb, alpha, blend)
+        x += 1
+      }
     }
   }
 
@@ -1208,10 +1380,11 @@ object Rasterizer {
     var x1 = math.min(bmp.width - 1, math.ceil(math.max(bounds.left, bounds.right)).toInt)
     var y0 = math.max(0, math.floor(math.min(bounds.bottom, bounds.top)).toInt)
     var y1 = math.min(bmp.height - 1, math.ceil(math.max(bounds.bottom, bounds.top)).toInt)
-    clip.foreach { case (cx0, cy0, cx1, cy1) =>
-      x0 = math.max(x0, cx0); x1 = math.min(x1, cx1)
-      y0 = math.max(y0, cy0); y1 = math.min(y1, cy1)
+    clip.foreach { c =>
+      x0 = math.max(x0, c.x0); x1 = math.min(x1, c.x1)
+      y0 = math.max(y0, c.y0); y1 = math.min(y1, c.y1)
     }
+    val cmask = clip.map(c => (c.mask, c.maskW)).filter(_._1 != null)
     ctm.invert match {
       case Some(inv) =>
         var y = y0
@@ -1219,7 +1392,8 @@ object Rasterizer {
           var x = x0
           while (x <= x1) {
             val (u, v) = inv.onPoint(x + 0.5, y + 0.5)
-            if (u >= 0 && u < 1 && v >= 0 && v < 1) {
+            if ((u >= 0 && u < 1 && v >= 0 && v < 1) &&
+                cmask.forall { case (m, mw) => m(y * mw + x) != 0 }) {
               val sx = math.min(px.w - 1, (u * px.w).toInt)
               val sy = math.min(px.h - 1, ((1 - v) * px.h).toInt) // image rows top-down
               val i = sy * px.w + sx

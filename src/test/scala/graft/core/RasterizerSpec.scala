@@ -416,6 +416,61 @@ class RasterizerSpec extends AnyFunSuite {
     assert(bmp.get(306 + 250, cy) == 0xFFFFFFFF, "outside r1 unpainted without Extend")
   }
 
+  test("annotation appearance streams draw into the /Rect (draw_forms analog)") {
+    // widget at Rect [100 600 200 650]; AP /N form (BBox 0 0 10 5) fills its
+    // whole box red → the render must show red across the mapped rect
+    val apContent = "1 0 0 rg 0 0 10 5 re f"
+    val apObj = (s"<</Type/XObject/Subtype/Form/BBox[0 0 10 5]/Length ${apContent.length}>>\nstream\n$apContent\nendstream").getBytes
+    val pageObj = ("<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]" +
+      "/Annots[5 0 R]/Contents 6 0 R>>").getBytes
+    val annotObj = "<</Type/Annot/Subtype/Widget/Rect[100 600 200 650]/AP<</N 4 0 R>>/F 4>>".getBytes
+    val content = "0 1 0 rg 300 300 10 10 re f"
+    val pdf = SynthPdf.build(Vector(
+      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      pageObj, apObj, annotObj,
+      s"<</Length ${content.length}>>\nstream\n$content\nendstream".getBytes))
+    val doc = PdfDocument.load(pdf).toOption.get
+    val on = Rasterizer.render(doc.page(0))
+    val off = Rasterizer.render(doc.page(0), drawAnnots = false)
+    assert(on.get(150, 792 - 625) == 0xFFFF0000, f"annot ap=${on.get(150, 792 - 625)}%08x")
+    assert(off.get(150, 792 - 625) == 0xFFFFFFFF)
+    assert(on.get(305, 792 - 305) == 0xFF00FF00, "page content still renders")
+  }
+
+  test("hidden annotations (/F Hidden) are skipped") {
+    val apContent = "1 0 0 rg 0 0 10 5 re f"
+    val apObj = (s"<</Type/XObject/Subtype/Form/BBox[0 0 10 5]/Length ${apContent.length}>>\nstream\n$apContent\nendstream").getBytes
+    val pageObj = "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Annots[5 0 R]/Contents 6 0 R>>".getBytes
+    val annotObj = "<</Type/Annot/Subtype/Widget/Rect[100 600 200 650]/AP<</N 4 0 R>>/F 2>>".getBytes
+    val pdf = SynthPdf.build(Vector(
+      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      pageObj, apObj, annotObj,
+      "<</Length 0>>\nstream\n\nendstream".getBytes))
+    val doc = PdfDocument.load(pdf).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    assert(bmp.get(150, 792 - 625) == 0xFFFFFFFF)
+  }
+
+  test("shaped clip: a triangular W n clip masks the fill to the triangle") {
+    // triangle clip, then a full-page red fill: only triangle interior painted
+    val bmp = renderOf("300 100 m 400 100 l 350 200 l h W n 1 0 0 rg 0 0 612 792 re f")
+    assert(bmp.get(350, 792 - 120) == 0xFFFF0000, "inside triangle")
+    assert(bmp.get(305, 792 - 190) == 0xFFFFFFFF, "inside bbox but outside triangle")
+    assert(bmp.get(100, 400) == 0xFFFFFFFF, "far outside")
+  }
+
+  test("shaped clip intersects an earlier rect clip") {
+    // rect clip x∈[300,360], then triangle clip; fill paints only the overlap
+    val bmp = renderOf(
+      "300 100 60 100 re W n " +
+      "300 100 m 400 100 l 350 200 l h W n 1 0 0 rg 0 0 612 792 re f")
+    assert(bmp.get(320, 792 - 110) == 0xFFFF0000, "in rect ∩ triangle")
+    assert(bmp.get(380, 792 - 110) == 0xFFFFFFFF, "in triangle, outside rect")
+    assert(bmp.get(310, 792 - 190) == 0xFFFFFFFF, "in rect, outside triangle")
+  }
+
   test("rg after scn clears the stale pattern (§8.6.8)") {
     val pat = ("<</PatternType 2/Shading<</ShadingType 2/ColorSpace/DeviceRGB" +
       "/Coords[0 0 612 0]/Extend[true true]" +
