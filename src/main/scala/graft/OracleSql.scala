@@ -375,16 +375,19 @@ object OracleSql {
         |  ('fixture://text.pdf', 438, 58, 549, 367, 561)
         |) AS t(url, n_chars, l, b, r, t) ORDER BY b DESC""".stripMargin,
 
+    // field /V values and /Ff flags from the fixture's field dicts
+    // (2097152 = bit 22 MultiSelect, 1 = ReadOnly)
     "pdf_form_fields" ->
-      """SELECT CAST(ord AS BIGINT) AS ord, name, field_type, form_type FROM (VALUES
-        |  (0, 'Listbox_SingleSelect', 'Ch', 'AcroForm'),
-        |  (1, 'Listbox_MultiSelect', 'Ch', 'AcroForm'),
-        |  (2, 'Listbox_ReadOnly', 'Ch', 'AcroForm'),
-        |  (3, 'Listbox_MultiSelectMultipleIndices', 'Ch', 'AcroForm'),
-        |  (4, 'Listbox_MultiSelectMultipleValues', 'Ch', 'AcroForm'),
-        |  (5, 'Listbox_MultiSelectMultipleMismatch', 'Ch', 'AcroForm'),
-        |  (6, 'Listbox_SingleSelectLastSelected', 'Ch', 'AcroForm')
-        |) AS t(ord, name, field_type, form_type)""".stripMargin,
+      """SELECT CAST(ord AS BIGINT) AS ord, name, field_type, value,
+        |  CAST(flags AS BIGINT) AS flags, form_type FROM (VALUES
+        |  (0, 'Listbox_SingleSelect', 'Ch', '', 0, 'AcroForm'),
+        |  (1, 'Listbox_MultiSelect', 'Ch', 'Banana', 2097152, 'AcroForm'),
+        |  (2, 'Listbox_ReadOnly', 'Ch', '', 1, 'AcroForm'),
+        |  (3, 'Listbox_MultiSelectMultipleIndices', 'Ch', '', 2097152, 'AcroForm'),
+        |  (4, 'Listbox_MultiSelectMultipleValues', 'Ch', 'Epsilon,Gamma', 2097152, 'AcroForm'),
+        |  (5, 'Listbox_MultiSelectMultipleMismatch', 'Ch', 'Alligator,Cougar', 2097152, 'AcroForm'),
+        |  (6, 'Listbox_SingleSelectLastSelected', 'Ch', 'Saskatchewan', 0, 'AcroForm')
+        |) AS t(ord, name, field_type, value, flags, form_type)""".stripMargin,
 
     "pdf_annotations" ->
       """SELECT CAST(page AS BIGINT) AS page, CAST(ord AS BIGINT) AS ord, subtype,

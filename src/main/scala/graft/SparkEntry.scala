@@ -467,7 +467,8 @@ object SparkEntry {
         PagesTable.ofFixtures(s, Seq("forms.pdf")), parts = Set(DocParts.Meta, DocParts.Forms))
         .select(col("form_type"), explode(col("form_fields")).as("ff"))
         .select(col("ff.ord").cast("long").as("ord"), col("ff.name"),
-          col("ff.field_type").as("field_type"), col("form_type"))
+          col("ff.field_type").as("field_type"), col("ff.value").as("value"),
+          col("ff.flags").as("flags"), col("form_type"))
     }),
 
     "pdf_annotations" -> ((s, _) => {

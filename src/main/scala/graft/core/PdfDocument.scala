@@ -471,25 +471,45 @@ final class PdfDocument private (
   /** AcroForm field tree flattened to (qualified name, field type) —
     * reference formenv surface (document.py:598-632; fixture forms.pdf has
     * 7 choice fields). */
-  def formFields: Vector[(String, String)] = {
-    val out = Vector.newBuilder[(String, String)]
-    def walk(node: PdfObject, prefix: String, inheritedFt: String, depth: Int): Unit = {
+  def formFields: Vector[(String, String)] =
+    formFieldsDetailed.map(f => (f.name, f.fieldType))
+
+  /** One terminal AcroForm field: qualified name, /FT, current /V rendered
+    * as text (names and strings; arrays joined with ','), and /Ff flag bits
+    * — the form-env field-state surface (document.py:598-632 formenv;
+    * PDFium FPDFAnnot_GetFormField* family). Values and flags inherit down
+    * the field tree like /FT does (§12.7.3.1). */
+  final case class FormField(name: String, fieldType: String, value: String, flags: Long)
+
+  def formFieldsDetailed: Vector[FormField] = {
+    val out = Vector.newBuilder[FormField]
+    def valText(v: PdfObject): String = resolve(v) match {
+      case s: PdfString => s.asText
+      case PdfName(n) => n
+      case PdfNumber(n) => if (n == n.toLong.toDouble) n.toLong.toString else n.toString
+      case PdfArray(items) => items.map(valText).mkString(",")
+      case _ => ""
+    }
+    def walk(node: PdfObject, prefix: String, inheritedFt: String,
+             inheritedV: String, inheritedFf: Long, depth: Int): Unit = {
       if (depth > 16) return
       resolve(node) match {
         case d: PdfDict =>
           val t = get(d, "T") match { case s: PdfString => s.asText; case _ => "" }
           val ft = get(d, "FT") match { case PdfName(n) => n; case _ => inheritedFt }
+          val v = if (d.contains("V")) valText(d("V")) else inheritedV
+          val ff = get(d, "Ff") match { case PdfNumber(n) => n.toLong; case _ => inheritedFf }
           val qualified = if (prefix.isEmpty) t else if (t.isEmpty) prefix else s"$prefix.$t"
           get(d, "Kids") match {
-            case PdfArray(kids) => kids.foreach(walk(_, qualified, ft, depth + 1))
-            case _ => if (t.nonEmpty || ft.nonEmpty) out += ((qualified, ft))
+            case PdfArray(kids) => kids.foreach(walk(_, qualified, ft, v, ff, depth + 1))
+            case _ => if (t.nonEmpty || ft.nonEmpty) out += FormField(qualified, ft, v, ff)
           }
         case _ => ()
       }
     }
     get(catalog, "AcroForm") match {
       case af: PdfDict => get(af, "Fields") match {
-        case PdfArray(fields) => fields.foreach(walk(_, "", "", 0))
+        case PdfArray(fields) => fields.foreach(walk(_, "", "", "", 0L, 0))
         case _ => ()
       }
       case _ => ()
@@ -497,10 +517,16 @@ final class PdfDocument private (
     out.result()
   }
 
+  /** Form type following PDFium's FORMTYPE_* classification (reference
+    * document.py get_formtype): XFA present → dynamic ("XFAFull") when the
+    * catalog flags /NeedsRendering, static foreground ("XFAForeground")
+    * otherwise; plain "AcroForm" without /XFA; "None" without /AcroForm. */
   def formType: String = get(catalog, "AcroForm") match {
     case d: PdfDict =>
-      val xfa = d.contains("XFA")
-      if (xfa) "XFA" else "AcroForm"
+      if (d.contains("XFA")) {
+        val dynamic = get(catalog, "NeedsRendering") == PdfBool(true)
+        if (dynamic) "XFAFull" else "XFAForeground"
+      } else "AcroForm"
     case _ => "None"
   }
 

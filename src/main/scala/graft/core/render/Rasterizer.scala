@@ -230,8 +230,10 @@ object Rasterizer {
     var blend: Int = BlendNormal  // /BM from ExtGState
     // Left=tiling (1), Right=shading (2); the Mat is patternMatrix ∘
     // streamBaseCtm captured at scn time — §8.7.3.1 pattern space is the
-    // content stream's DEFAULT space, not the CTM at paint time.
-    var fillPattern: Option[(Either[PdfStream, PdfDict], Mat)] = None
+    // content stream's DEFAULT space, not the CTM at paint time. The Int is
+    // the scn-supplied color for UNCOLORED (PaintType 2) tiling patterns,
+    // -1 for colored patterns.
+    var fillPattern: Option[(Either[PdfStream, PdfDict], Mat, Int)] = None
     def copy(): RState = {
       val s = new RState(ctm)
       s.fill = fill; s.stroke = stroke; s.lineWidth = lineWidth; s.clip = clip
@@ -250,13 +252,16 @@ object Rasterizer {
 
   private def walk(doc: PdfDocument, content: Array[Byte], resources: PdfDict,
                    baseCtm: Mat, bmp: Bitmap, level: Int,
-                   initClip: Clip = None): Unit = {
+                   initClip: Clip = None, forcedColor: Option[Int] = None): Unit = {
     if (level > 8) return
     val lx = new Lexer(content)
     val operands = mutable.ArrayBuffer[PdfObject]()
     val stack = mutable.Stack[RState]()
     var gs = new RState(baseCtm)
     gs.clip = initClip
+    forcedColor.foreach { c => gs.fill = c; gs.stroke = c }
+    // uncolored-pattern cells lock the color: their color operators no-op
+    val colorLocked = forcedColor.isDefined
 
     // current path: subpaths of device-space points
     val subpaths = mutable.ArrayBuffer[mutable.ArrayBuffer[(Double, Double)]]()
@@ -376,8 +381,8 @@ object Rasterizer {
             val saved = gs.clip
             gs.clip = Some(merged)
             try pattern match {
-              case (Right(shDict), patCtm) => paintShadingDict(shDict, patCtm)
-              case (Left(tile), patCtm) => paintTilingPattern(tile, patCtm, merged)
+              case (Right(shDict), patCtm, _) => paintShadingDict(shDict, patCtm)
+              case (Left(tile), patCtm, uncolored) => paintTilingPattern(tile, patCtm, merged, uncolored)
             } catch { case _: Exception => () }
             gs.clip = saved
           case None => fillPolygons(bmp, polys, evenOdd, gs.fill, gs.clip, gs.fillAlpha, gs.blend)
@@ -499,7 +504,8 @@ object Rasterizer {
       * repeatedly at XStep/YStep offsets covering the clip region. `base`
       * is patternMatrix ∘ stream-default-CTM captured at scn time (§8.7.3.1
       * — pattern space is anchored to the page, not the paint-time CTM). */
-    def paintTilingPattern(tile: PdfStream, base: Mat, clip: ClipRegion): Unit = {
+    def paintTilingPattern(tile: PdfStream, base: Mat, clip: ClipRegion,
+                           uncolored: Int = -1): Unit = {
       val td = tile.dict
       def numOf(key: String, dflt: Double): Double = doc.resolve(td(key)) match {
         case PdfNumber(v) => v; case _ => dflt
@@ -525,7 +531,7 @@ object Rasterizer {
         while (i <= nx) {
           val cellCtm = Mat.identity.translate((i0 + i) * xStep, (j0 + j) * yStep).multiply(base)
           val savedClip = gs.clip
-          walkCell(cellBytes, patRes, cellCtm, clip)
+          walkCell(cellBytes, patRes, cellCtm, clip, uncolored)
           gs.clip = savedClip
           i += 1
         }
@@ -533,8 +539,11 @@ object Rasterizer {
       }
     }
     def walkCell(cellBytes: Array[Byte], patRes: PdfDict, cellCtm: Mat,
-                 clip: ClipRegion): Unit =
-      walk(doc, cellBytes, patRes, cellCtm, bmp, level + 1, initClip = Some(clip))
+                 clip: ClipRegion, uncolored: Int = -1): Unit =
+      // PaintType 2 (uncolored): every mark paints in the scn-supplied
+      // color; the cell's own color operators are ignored (§8.7.3.3)
+      walk(doc, cellBytes, patRes, cellCtm, bmp, level + 1, initClip = Some(clip),
+        forcedColor = if (uncolored != -1) Some(uncolored) else None)
 
     def doXObject(tag: String): Unit = doc.resolve(resources("XObject")) match {
       case xobjs: PdfDict => doc.resolve(xobjs(tag)) match {
@@ -640,13 +649,14 @@ object Rasterizer {
             case "w" => gs.lineWidth = nums(1)(0)
             // §8.6.8: selecting a device color space REPLACES the pattern
             // color source — a stale pattern must not survive g/rg/k/cs
-            case "g" => val v = nums(1); gs.fill = rgb(v(0), v(0), v(0)); gs.fillPattern = None
-            case "G" => val v = nums(1); gs.stroke = rgb(v(0), v(0), v(0))
-            case "rg" => val v = nums(3); gs.fill = rgb(v(0), v(1), v(2)); gs.fillPattern = None
-            case "RG" => val v = nums(3); gs.stroke = rgb(v(0), v(1), v(2))
-            case "k" => val v = nums(4); gs.fill = cmyk(v(0), v(1), v(2), v(3)); gs.fillPattern = None
-            case "K" => val v = nums(4); gs.stroke = cmyk(v(0), v(1), v(2), v(3))
+            case "g" => if (!colorLocked) { val v = nums(1); gs.fill = rgb(v(0), v(0), v(0)); gs.fillPattern = None }
+            case "G" => if (!colorLocked) { val v = nums(1); gs.stroke = rgb(v(0), v(0), v(0)) }
+            case "rg" => if (!colorLocked) { val v = nums(3); gs.fill = rgb(v(0), v(1), v(2)); gs.fillPattern = None }
+            case "RG" => if (!colorLocked) { val v = nums(3); gs.stroke = rgb(v(0), v(1), v(2)) }
+            case "k" => if (!colorLocked) { val v = nums(4); gs.fill = cmyk(v(0), v(1), v(2), v(3)); gs.fillPattern = None }
+            case "K" => if (!colorLocked) { val v = nums(4); gs.stroke = cmyk(v(0), v(1), v(2), v(3)) }
             case "cs" => operands.lastOption match {
+              case _ if colorLocked => ()
               case Some(PdfName("Pattern")) => () // pattern selected by the following scn
               case _ => gs.fillPattern = None
             }
@@ -670,12 +680,12 @@ object Rasterizer {
               }
               case _ => ()
             }
-            case "sc" | "scn" =>
+            case "sc" | "scn" if !colorLocked =>
               // numeric operands: infer the family from the count (1=gray,
               // 3=rgb, 4=cmyk). A trailing pattern NAME selects a pattern
-              // from /Pattern resources: shading patterns (PatternType 2)
-              // fill through the shading machinery at paint time; tiling
-              // patterns fall back to mid gray.
+              // from /Pattern resources: shading patterns fill through the
+              // shading machinery at paint time; tiling patterns walk their
+              // cell at paint time (uncolored cells take the scn color).
               gs.fillPattern = None
               operands.lastOption match {
                 case Some(PdfName(pname)) =>
@@ -690,12 +700,24 @@ object Rasterizer {
                       case pd: PdfDict if doc.resolve(pd("PatternType")) == PdfNumber(2) =>
                         val patCtm = matOf(pd("Matrix")).multiply(baseCtm)
                         doc.resolve(pd("Shading")) match {
-                          case shDict: PdfDict => gs.fillPattern = Some((Right(shDict), patCtm))
-                          case PdfStream(shDict, _) => gs.fillPattern = Some((Right(shDict), patCtm))
+                          case shDict: PdfDict => gs.fillPattern = Some((Right(shDict), patCtm, -1))
+                          case PdfStream(shDict, _) => gs.fillPattern = Some((Right(shDict), patCtm, -1))
                           case _ => ()
                         }
                       case tile @ PdfStream(td, _) if doc.resolve(td("PatternType")) == PdfNumber(1) =>
-                        gs.fillPattern = Some((Left(tile), matOf(td("Matrix")).multiply(baseCtm)))
+                        // PaintType 2 = uncolored: the comps before the
+                        // pattern name are the pattern color (§8.7.3.3)
+                        val uncolored =
+                          if (doc.resolve(td("PaintType")) == PdfNumber(2)) {
+                            val ns = operands.collect { case PdfNumber(v) => v }
+                            ns.length match {
+                              case 1 => rgb(ns(0), ns(0), ns(0))
+                              case 3 => rgb(ns(0), ns(1), ns(2))
+                              case 4 => cmyk(ns(0), ns(1), ns(2), ns(3))
+                              case _ => 0xFF000000
+                            }
+                          } else -1
+                        gs.fillPattern = Some((Left(tile), matOf(td("Matrix")).multiply(baseCtm), uncolored))
                       case _ => ()
                     }
                     case _ => ()
@@ -710,7 +732,7 @@ object Rasterizer {
                     case _ => rgb(0.5, 0.5, 0.5)
                   }
               }
-            case "SC" | "SCN" =>
+            case "SC" | "SCN" if !colorLocked =>
               val ns = operands.collect { case PdfNumber(v) => v }
               gs.stroke = ns.length match {
                 case 1 => rgb(ns(0), ns(0), ns(0))

@@ -40,7 +40,8 @@ final case class AnnotationRow(
 final case class AttachmentRow(
     ord: Int, name: String, n_bytes: Long, params: Map[String, String])
 
-final case class FormFieldRow(ord: Int, name: String, field_type: String)
+final case class FormFieldRow(ord: Int, name: String, field_type: String,
+                              value: String, flags: Long)
 
 final case class FontRow(
     page: Int, font: String, family: String, embedded: Boolean, weight: Int)
@@ -147,7 +148,8 @@ private[spark] object DocTable {
         }
       },
       form_fields = when(DocParts.Forms) {
-        doc.formFields.zipWithIndex.map { case ((name, ft), i) => FormFieldRow(i, name, ft) }
+        doc.formFieldsDetailed.zipWithIndex.map { case (f, i) =>
+          FormFieldRow(i, f.name, f.fieldType, f.value, f.flags) }
       },
       fonts = when(DocParts.Fonts) {
         doc.pages.zipWithIndex.flatMap { case (p, pi) =>

@@ -122,6 +122,27 @@ class DocumentSpec extends AnyFunSuite {
     assert(p.width == 300.0 && p.height == 600.0)
   }
 
+  test("form field values and flags (forms.pdf /V and /Ff)") {
+    val d = load("forms.pdf")
+    val byName = d.formFieldsDetailed.map(f => f.name -> f).toMap
+    assert(byName("Listbox_MultiSelect").value == "Banana")
+    assert(byName("Listbox_MultiSelect").flags == 2097152L) // bit 22 MultiSelect
+    assert(byName("Listbox_ReadOnly").flags == 1L)
+    assert(byName("Listbox_MultiSelectMultipleValues").value == "Epsilon,Gamma")
+  }
+
+  test("XFA form types: dynamic (NeedsRendering) vs static foreground") {
+    def pdfWith(catalogExtra: String): Array[Byte] = SynthPdf.build(Vector(
+      s"<</Type/Catalog/Pages 2 0 R/AcroForm<</XFA 4 0 R/Fields[]>>$catalogExtra>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      "<</Type/Page/Parent 2 0 R/MediaBox[0 0 100 100]>>".getBytes,
+      "<</Length 0>>\nstream\n\nendstream".getBytes))
+    val staticXfa = PdfDocument.load(pdfWith("")).toOption.get
+    assert(staticXfa.formType == "XFAForeground")
+    val dynamicXfa = PdfDocument.load(pdfWith("/NeedsRendering true")).toOption.get
+    assert(dynamicXfa.formType == "XFAFull")
+  }
+
   test("box_fallback.pdf: mediabox fallback (0,0,612,792) (test_page.py:34-37)") {
     val p = load("box_fallback.pdf").page(0)
     assert(p.mediaBox == Rect(0, 0, 612, 792))

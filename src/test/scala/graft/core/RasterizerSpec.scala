@@ -471,6 +471,22 @@ class RasterizerSpec extends AnyFunSuite {
     assert(bmp.get(310, 792 - 190) == 0xFFFFFFFF, "in rect, outside triangle")
   }
 
+  test("uncolored tiling pattern (PaintType 2): cells paint the scn color") {
+    // 20×20 cell fills its lower-left 10×10 square; cell content tries to
+    // set red, which an uncolored pattern must IGNORE (§8.7.3.3)
+    val cell = "1 0 0 rg 0 0 10 10 re f"
+    val pat = (s"<</PatternType 1/PaintType 2/TilingType 1/BBox[0 0 20 20]" +
+      s"/XStep 20/YStep 20/Resources<<>>/Length ${cell.length}>>\nstream\n$cell\nendstream").getBytes
+    val content = "/Pattern cs 0 0 1 /P1 scn 100 600 40 40 re f"
+    val doc = PdfDocument.load(pageWith(content, "/Pattern<</P1 4 0 R>>", Vector(pat))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    // pattern anchored at page origin → cell squares at [100,110)x[600,610)
+    val inCell = bmp.get(105, 792 - 605)
+    val offCell = bmp.get(115, 792 - 605)
+    assert(inCell == 0xFF0000FF, f"in-cell=$inCell%08x (must be scn blue, not cell red)")
+    assert(offCell == 0xFFFFFFFF, f"off-cell=$offCell%08x")
+  }
+
   test("rg after scn clears the stale pattern (§8.6.8)") {
     val pat = ("<</PatternType 2/Shading<</ShadingType 2/ColorSpace/DeviceRGB" +
       "/Coords[0 0 612 0]/Extend[true true]" +
