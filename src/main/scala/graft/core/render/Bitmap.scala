@@ -41,17 +41,54 @@ final class Bitmap(val width: Int, val height: Int, background: Int = 0xFFFFFFFF
   }
 
   /** Raw bytes in BGRA order (PDFium's native byte layout). */
-  def toBgra: Array[Byte] = {
-    val out = new Array[Byte](buf.length * 4)
-    var i = 0
-    while (i < buf.length) {
-      val p = buf(i)
-      out(i * 4) = (p & 0xff).toByte
-      out(i * 4 + 1) = ((p >> 8) & 0xff).toByte
-      out(i * 4 + 2) = ((p >> 16) & 0xff).toByte
-      out(i * 4 + 3) = ((p >>> 24) & 0xff).toByte
-      i += 1
-    }
-    out
+  def toBgra: Array[Byte] = toBytes("BGRA")
+
+  /** Raw pixel bytes in one of the reference's bitmap formats
+    * (bitmap.py:36-67 FPDFBitmap_Gray/BGR/BGRx/BGRA, with the
+    * `rev_byteorder` variants RGB/RGBx/RGBA). Gray is the ITU-R BT.601
+    * luma of the opaque composite. Row-major, top-down, no row padding
+    * (stride = width × bytes-per-pixel). */
+  def toBytes(format: String): Array[Byte] = format match {
+    case "BGRA" | "BGRx" | "RGBA" | "RGBx" =>
+      val rev = format.startsWith("RGB")
+      val opaque = format.endsWith("x")
+      val out = new Array[Byte](buf.length * 4)
+      var i = 0
+      while (i < buf.length) {
+        val p = buf(i)
+        val r = ((p >> 16) & 0xff).toByte; val g = ((p >> 8) & 0xff).toByte
+        val b = (p & 0xff).toByte
+        out(i * 4) = if (rev) r else b
+        out(i * 4 + 1) = g
+        out(i * 4 + 2) = if (rev) b else r
+        out(i * 4 + 3) = if (opaque) 0xff.toByte else ((p >>> 24) & 0xff).toByte
+        i += 1
+      }
+      out
+    case "BGR" | "RGB" =>
+      val rev = format == "RGB"
+      val out = new Array[Byte](buf.length * 3)
+      var i = 0
+      while (i < buf.length) {
+        val p = buf(i)
+        val r = ((p >> 16) & 0xff).toByte; val g = ((p >> 8) & 0xff).toByte
+        val b = (p & 0xff).toByte
+        out(i * 3) = if (rev) r else b
+        out(i * 3 + 1) = g
+        out(i * 3 + 2) = if (rev) b else r
+        i += 1
+      }
+      out
+    case "Gray" | "L" =>
+      val out = new Array[Byte](buf.length)
+      var i = 0
+      while (i < buf.length) {
+        val p = buf(i)
+        // BT.601 integer luma: (77R + 150G + 29B) >> 8
+        out(i) = ((77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) + 29 * (p & 0xff)) >> 8).toByte
+        i += 1
+      }
+      out
+    case other => throw new IllegalArgumentException(s"unknown bitmap format: $other")
   }
 }

@@ -22,23 +22,46 @@ import graft.core._
   *  - shadings: axial (type 2) exact, radial (type 3) approximated along
   *    the center line, with all four PDF function types evaluated;
   *  - transparency: ImageMask stencils, /SMask per-pixel alpha, ExtGState
-  *    constant alpha (/ca /CA) and separable blend modes (Multiply/Screen/
-  *    Darken/Lighten/Difference), composited src-over onto the backdrop;
-  *  - not modeled: transparency groups (isolated/knockout semantics),
-  *    non-separable blend modes, ExtGState soft masks (/SMask in gs).
+  *    constant alpha (/ca /CA), all 12 separable blend modes plus the four
+  *    non-separable ones (§11.3.5), and ExtGState soft masks (/SMask in gs,
+  *    luminosity render of the /G group), composited src-over onto the
+  *    backdrop;
+  *  - not modeled: transparency groups' isolated/knockout semantics
+  *    (groups are flattened onto the page backdrop).
   */
 object Rasterizer {
 
-  /** Render a page at `scale` pixels per PDF unit onto a white background.
-    * `drawAnnots` paints annotation /AP /N appearance streams on top — the
-    * `draw_forms` analog (reference page.py:490-491 FPDF_FFLDraw). */
-  def render(page: PdfPage, scale: Double = 1.0, drawAnnots: Boolean = true): Bitmap = {
-    val bbox = page.bbox
-    val w = math.max(1, math.ceil(bbox.width * scale).toInt)
-    val h = math.max(1, math.ceil(bbox.height * scale).toInt)
-    val bmp = new Bitmap(w, h)
-    // page space (y-up) → bitmap space (y-down)
-    val dev = Mat(scale, 0, 0, -scale, -bbox.left * scale, bbox.top * scale)
+  /** Render a page at `scale` pixels per PDF unit. Mirrors the reference's
+    * render surface (page.py:354-494): `rotation` ∈ {0,90,180,270} rotates
+    * the OUTPUT image clockwise; `crop` = (left, bottom, right, top) PDF
+    * units cut from each side before rotation; `fillColor` is the backdrop
+    * ARGB (fill_color analog); `drawAnnots` paints annotation /AP /N
+    * appearance streams on top — the `draw_forms` analog (page.py:490-491
+    * FPDF_FFLDraw). */
+  def render(page: PdfPage, scale: Double = 1.0, drawAnnots: Boolean = true,
+             rotation: Int = 0,
+             crop: (Double, Double, Double, Double) = (0, 0, 0, 0),
+             fillColor: Int = 0xFFFFFFFF): Bitmap = {
+    require(rotation == 0 || rotation == 90 || rotation == 180 || rotation == 270,
+      s"rotation must be 0/90/180/270, got $rotation")
+    val full = page.bbox
+    val bbox = Rect(full.left + crop._1, full.bottom + crop._2,
+      full.right - crop._3, full.top - crop._4)
+    require(bbox.width > 0 && bbox.height > 0, "crop leaves an empty page box")
+    val w0 = math.max(1, math.ceil(bbox.width * scale).toInt)
+    val h0 = math.max(1, math.ceil(bbox.height * scale).toInt)
+    val (w, h) = if (rotation == 90 || rotation == 270) (h0, w0) else (w0, h0)
+    val bmp = new Bitmap(w, h, fillColor)
+    // page space (y-up) → unrotated bitmap space (y-down), then a device-
+    // space quarter-turn: 90° cw maps (x,y) → (h0−y, x), 180° → (w0−x, h0−y),
+    // 270° → (y, w0−x).
+    val dev0 = Mat(scale, 0, 0, -scale, -bbox.left * scale, bbox.top * scale)
+    val dev = rotation match {
+      case 90 => dev0.multiply(Mat(0, 1, -1, 0, h0, 0))
+      case 180 => dev0.multiply(Mat(-1, 0, 0, -1, w0, h0))
+      case 270 => dev0.multiply(Mat(0, -1, 1, 0, 0, w0))
+      case _ => dev0
+    }
     // malformed content must yield a partial render, never a crash — this
     // runs inside tasks over untrusted web payloads
     try walk(page.doc, page.contentBytes, page.resources, dev, bmp, 0)
@@ -204,19 +227,41 @@ object Rasterizer {
   /** None = unclipped. */
   type Clip = Option[ClipRegion]
 
-  /** Blend-mode ids (§11.3.5 separable modes carried; others → Normal). */
+  /** Blend-mode ids: §11.3.5.2 separable modes plus the §11.3.5.3
+    * non-separable four (Hue/Saturation/Color/Luminosity); unknown names
+    * fall back to Normal per §11.3.5 ("application should use Normal"). */
   final val BlendNormal = 0
   final val BlendMultiply = 1
   final val BlendScreen = 2
   final val BlendDarken = 3
   final val BlendLighten = 4
   final val BlendDifference = 5
+  final val BlendExclusion = 6
+  final val BlendOverlay = 7
+  final val BlendHardLight = 8
+  final val BlendSoftLight = 9
+  final val BlendColorDodge = 10
+  final val BlendColorBurn = 11
+  final val BlendHue = 12
+  final val BlendSaturation = 13
+  final val BlendColor = 14
+  final val BlendLuminosity = 15
   private def blendId(name: String): Int = name match {
     case "Multiply" => BlendMultiply
     case "Screen" => BlendScreen
     case "Darken" => BlendDarken
     case "Lighten" => BlendLighten
     case "Difference" => BlendDifference
+    case "Exclusion" => BlendExclusion
+    case "Overlay" => BlendOverlay
+    case "HardLight" => BlendHardLight
+    case "SoftLight" => BlendSoftLight
+    case "ColorDodge" => BlendColorDodge
+    case "ColorBurn" => BlendColorBurn
+    case "Hue" => BlendHue
+    case "Saturation" => BlendSaturation
+    case "Color" => BlendColor
+    case "Luminosity" => BlendLuminosity
     case _ => BlendNormal
   }
 
@@ -228,6 +273,10 @@ object Rasterizer {
     var fillAlpha: Double = 1.0   // /ca from ExtGState
     var strokeAlpha: Double = 1.0 // /CA from ExtGState
     var blend: Int = BlendNormal  // /BM from ExtGState
+    // /SMask from ExtGState (§11.6.5.2): a device-space per-pixel alpha map
+    // (bmp-sized, row-major, 0..1) built by rendering the mask group's /G
+    // at gs-time; null = no soft mask (/SMask /None).
+    var softMask: Array[Float] = null
     // Left=tiling (1), Right=shading (2); the Mat is patternMatrix ∘
     // streamBaseCtm captured at scn time — §8.7.3.1 pattern space is the
     // content stream's DEFAULT space, not the CTM at paint time. The Int is
@@ -238,7 +287,7 @@ object Rasterizer {
       val s = new RState(ctm)
       s.fill = fill; s.stroke = stroke; s.lineWidth = lineWidth; s.clip = clip
       s.fillAlpha = fillAlpha; s.strokeAlpha = strokeAlpha; s.blend = blend
-      s.fillPattern = fillPattern
+      s.fillPattern = fillPattern; s.softMask = softMask
       s
     }
   }
@@ -385,11 +434,11 @@ object Rasterizer {
               case (Left(tile), patCtm, uncolored) => paintTilingPattern(tile, patCtm, merged, uncolored)
             } catch { case _: Exception => () }
             gs.clip = saved
-          case None => fillPolygons(bmp, polys, evenOdd, gs.fill, gs.clip, gs.fillAlpha, gs.blend)
+          case None => fillPolygons(bmp, polys, evenOdd, gs.fill, gs.clip, gs.fillAlpha, gs.blend, gs.softMask)
         }
         if (stroke && polys.nonEmpty) {
           val wDev = math.max(gs.lineWidth * math.hypot(gs.ctm.a, gs.ctm.b), 0.7)
-          polys.foreach(p => strokePolyline(bmp, p, wDev, gs.stroke, gs.clip, gs.strokeAlpha, gs.blend))
+          polys.foreach(p => strokePolyline(bmp, p, wDev, gs.stroke, gs.clip, gs.strokeAlpha, gs.blend, gs.softMask))
         }
       }
       clearPath()
@@ -490,7 +539,7 @@ object Rasterizer {
                 else if (t0 < 0 && extend._1) 0.0
                 else if (t0 > 1 && extend._2) 1.0
                 else Double.NaN
-              if (!t.isNaN) composePixel(bmp, x, y, colorAt(t), gs.fillAlpha, gs.blend)
+              if (!t.isNaN) composePixel(bmp, x, y, colorAt(t), gs.fillAlpha, gs.blend, gs.softMask)
             }
             x += 1
             }
@@ -545,12 +594,54 @@ object Rasterizer {
       walk(doc, cellBytes, patRes, cellCtm, bmp, level + 1, initClip = Some(clip),
         forcedColor = if (uncolored != -1) Some(uncolored) else None)
 
+    /** Map a /BBox array through `m` into a device-space rectangular clip. */
+    def bboxClip(o: PdfObject, m: Mat): Clip = doc.resolve(o) match {
+      case PdfArray(items) if items.length == 4 =>
+        val v = items.map(doc.resolve).collect { case PdfNumber(n) => n }
+        if (v.length == 4) {
+          val r = m.onRect(Rect(math.min(v(0), v(2)), math.min(v(1), v(3)),
+            math.max(v(0), v(2)), math.max(v(1), v(3))))
+          Some(ClipRegion.rect(math.floor(r.left).toInt, math.floor(r.bottom).toInt,
+            math.ceil(r.right).toInt, math.ceil(r.top).toInt))
+        } else None
+      case _ => None
+    }
+
+    /** §11.6.5.2 ExtGState soft mask: render the mask group /G with the CTM
+      * in effect at gs-time into an offscreen page-sized bitmap (black
+      * backdrop), clipped to the group's /BBox, and read each device pixel's
+      * luminosity as the mask alpha. /S /Alpha is approximated by the same
+      * luminosity-over-black read (the rasterizer keeps no alpha channel —
+      * header notes transparency groups are flattened). /TR is ignored. */
+    def buildSoftMask(sm: PdfDict): Array[Float] = {
+      val g = doc.resolve(sm("G")) match { case s: PdfStream => s; case _ => return null }
+      val gRes = doc.resolve(g.dict("Resources")) match { case d: PdfDict => d; case _ => resources }
+      val gMat = doc.resolve(g.dict("Matrix")) match {
+        case PdfArray(items) if items.length == 6 =>
+          val v = items.map(doc.resolve).collect { case PdfNumber(n) => n }
+          if (v.length == 6) Mat(v(0), v(1), v(2), v(3), v(4), v(5)) else Mat.identity
+        case _ => Mat.identity
+      }
+      val off = new Bitmap(bmp.width, bmp.height, 0xFF000000)
+      val ctm2 = gMat.multiply(gs.ctm)
+      walk(doc, doc.streamData(g), gRes, ctm2, off, level + 1,
+        initClip = bboxClip(g.dict("BBox"), ctm2))
+      val out = new Array[Float](off.buf.length)
+      var i = 0
+      while (i < out.length) {
+        val p = off.buf(i)
+        out(i) = (0.3f * ((p >> 16) & 0xff) + 0.59f * ((p >> 8) & 0xff) + 0.11f * (p & 0xff)) / 255f
+        i += 1
+      }
+      out
+    }
+
     def doXObject(tag: String): Unit = doc.resolve(resources("XObject")) match {
       case xobjs: PdfDict => doc.resolve(xobjs(tag)) match {
         case s @ PdfStream(xd, _) => doc.resolve(xd("Subtype")) match {
           case PdfName("Image") =>
             decodeImagePixels(doc, s).foreach(px =>
-              blitImage(bmp, gs.ctm, px, gs.fill, gs.clip, gs.fillAlpha, gs.blend))
+              blitImage(bmp, gs.ctm, px, gs.fill, gs.clip, gs.fillAlpha, gs.blend, gs.softMask))
           case PdfName("Form") =>
             val formRes = doc.resolve(xd("Resources")) match { case d: PdfDict => d; case _ => resources }
             val formMat = doc.resolve(xd("Matrix")) match {
@@ -559,7 +650,14 @@ object Rasterizer {
                 if (v.length == 6) Mat(v(0), v(1), v(2), v(3), v(4), v(5)) else Mat.identity
               case _ => Mat.identity
             }
-            walk(doc, doc.streamData(s), formRes, formMat.multiply(gs.ctm), bmp, level + 1)
+            // §8.10.2: the form's /BBox clips its content; the caller's clip
+            // carries through (both were previously dropped here).
+            val formCtm = formMat.multiply(gs.ctm)
+            val formClip = (gs.clip, bboxClip(xd("BBox"), formCtm)) match {
+              case (Some(a), Some(b)) => Some(a.intersect(b))
+              case (a, b) => a.orElse(b)
+            }
+            walk(doc, doc.streamData(s), formRes, formCtm, bmp, level + 1, initClip = formClip)
           case _ => ()
         }
         case _ => ()
@@ -621,7 +719,7 @@ object Rasterizer {
             }
             val s = PdfStream(PdfDict(normalized), raw)
             try decodeImagePixels(doc, s).foreach(px =>
-              blitImage(bmp, gs.ctm, px, gs.fill, gs.clip, gs.fillAlpha, gs.blend))
+              blitImage(bmp, gs.ctm, px, gs.fill, gs.clip, gs.fillAlpha, gs.blend, gs.softMask))
             catch { case _: Exception => () }
           } else if (t.isEmpty) lx.parseObject()
         }
@@ -672,6 +770,12 @@ object Rasterizer {
                       case PdfName(bm) => gs.blend = blendId(bm)
                       case PdfArray(items) if items.nonEmpty =>
                         doc.resolve(items(0)) match { case PdfName(bm) => gs.blend = blendId(bm); case _ => () }
+                      case _ => ()
+                    }
+                    doc.resolve(gd("SMask")) match {
+                      case PdfName("None") => gs.softMask = null
+                      case sm: PdfDict =>
+                        gs.softMask = try buildSoftMask(sm) catch { case _: Exception => null }
                       case _ => ()
                     }
                   case _ => ()
@@ -785,25 +889,49 @@ object Rasterizer {
   // ---- compositing ----------------------------------------------------------
 
   /** src-over composite of `src` onto the bitmap pixel at (x,y), with
-    * constant alpha and a separable blend mode (§11.3.5). alpha=1 + Normal
-    * short-circuits to a plain store — the hot path stays branch-cheap. */
+    * constant alpha, an optional soft-mask alpha map (§11.6.5.2, bmp-sized)
+    * and a blend mode (§11.3.5). alpha=1 + Normal + no mask short-circuits
+    * to a plain store — the hot path stays branch-cheap. */
   @inline def composePixel(bmp: Bitmap, x: Int, y: Int, src: Int,
-                           alpha: Double, blend: Int): Unit = {
-    if (alpha >= 1.0 && blend == BlendNormal) bmp.set(x, y, src)
+                           alpha: Double, blend: Int,
+                           smask: Array[Float] = null): Unit = {
+    if (alpha >= 1.0 && blend == BlendNormal && smask == null) bmp.set(x, y, src)
     else if (alpha > 0.0 && bmp.inBounds(x, y)) {
-      val dst = bmp.get(x, y)
-      bmp.set(x, y, composeArgb(dst, src, alpha, blend))
+      val a = if (smask == null) alpha else alpha * smask(y * bmp.width + x)
+      if (a > 0.0) {
+        val dst = bmp.get(x, y)
+        bmp.set(x, y, composeArgb(dst, src, a, blend))
+      }
     }
   }
 
   /** Blend `src` over `dst` (both opaque ARGB) at constant `alpha`. */
   def composeArgb(dst: Int, src: Int, alpha: Double, blend: Int): Int = {
+    if (blend >= BlendHue) return composeNonSeparable(dst, src, alpha, blend)
     @inline def bl(sb: Int, db: Int): Int = blend match {
       case BlendMultiply => sb * db / 255
       case BlendScreen => 255 - (255 - sb) * (255 - db) / 255
       case BlendDarken => math.min(sb, db)
       case BlendLighten => math.max(sb, db)
       case BlendDifference => math.abs(sb - db)
+      case BlendExclusion => sb + db - 2 * sb * db / 255
+      case BlendOverlay => // HardLight(db, sb)
+        if (db <= 127) 2 * sb * db / 255 else 255 - 2 * (255 - sb) * (255 - db) / 255
+      case BlendHardLight =>
+        if (sb <= 127) 2 * sb * db / 255 else 255 - 2 * (255 - sb) * (255 - db) / 255
+      case BlendSoftLight => // §11.3.5.2 B(cb,cs) with D(x)
+        val cs = sb / 255.0; val cb = db / 255.0
+        val r =
+          if (cs <= 0.5) cb - (1 - 2 * cs) * cb * (1 - cb)
+          else {
+            val d = if (cb <= 0.25) ((16 * cb - 12) * cb + 4) * cb else math.sqrt(cb)
+            cb + (2 * cs - 1) * (d - cb)
+          }
+        math.round(r * 255).toInt
+      case BlendColorDodge =>
+        if (db == 0) 0 else if (sb == 255) 255 else math.min(255, db * 255 / (255 - sb))
+      case BlendColorBurn =>
+        if (db == 255) 255 else if (sb == 0) 0 else 255 - math.min(255, (255 - db) * 255 / sb)
       case _ => sb
     }
     @inline def mix(shift: Int): Int = {
@@ -812,6 +940,47 @@ object Rasterizer {
       math.max(0, math.min(255, math.round(db + alpha * (b - db)).toInt))
     }
     0xFF000000 | (mix(16) << 16) | (mix(8) << 8) | mix(0)
+  }
+
+  /** §11.3.5.3 non-separable blends: Hue/Saturation/Color/Luminosity via
+    * the spec's SetLum/SetSat auxiliary functions over the [0,1] RGB cube. */
+  private def composeNonSeparable(dst: Int, src: Int, alpha: Double, blend: Int): Int = {
+    @inline def ch(p: Int, s: Int): Double = ((p >> s) & 0xff) / 255.0
+    val (sr, sg, sb) = (ch(src, 16), ch(src, 8), ch(src, 0))
+    val (dr, dg, db) = (ch(dst, 16), ch(dst, 8), ch(dst, 0))
+    def lum(r: Double, g: Double, b: Double) = 0.3 * r + 0.59 * g + 0.11 * b
+    def clipColor(r: Double, g: Double, b: Double): (Double, Double, Double) = {
+      val l = lum(r, g, b)
+      val n = math.min(r, math.min(g, b)); val x = math.max(r, math.max(g, b))
+      var (cr, cg, cb) = (r, g, b)
+      if (n < 0) { cr = l + (cr - l) * l / (l - n); cg = l + (cg - l) * l / (l - n); cb = l + (cb - l) * l / (l - n) }
+      if (x > 1) { cr = l + (cr - l) * (1 - l) / (x - l); cg = l + (cg - l) * (1 - l) / (x - l); cb = l + (cb - l) * (1 - l) / (x - l) }
+      (cr, cg, cb)
+    }
+    def setLum(r: Double, g: Double, b: Double, l: Double) = {
+      val d = l - lum(r, g, b); clipColor(r + d, g + d, b + d)
+    }
+    def sat(r: Double, g: Double, b: Double) =
+      math.max(r, math.max(g, b)) - math.min(r, math.min(g, b))
+    def setSat(r: Double, g: Double, b: Double, s: Double): (Double, Double, Double) = {
+      // scale the mid channel between min and max; min→0, max→s
+      val mx = math.max(r, math.max(g, b)); val mn = math.min(r, math.min(g, b))
+      def remap(c: Double) = if (mx > mn) (c - mn) / (mx - mn) * s else 0.0
+      (remap(r), remap(g), remap(b))
+    }
+    val (br, bg, bb) = blend match {
+      case BlendHue =>
+        val (r1, g1, b1) = setSat(sr, sg, sb, sat(dr, dg, db))
+        setLum(r1, g1, b1, lum(dr, dg, db))
+      case BlendSaturation =>
+        val (r1, g1, b1) = setSat(dr, dg, db, sat(sr, sg, sb))
+        setLum(r1, g1, b1, lum(dr, dg, db))
+      case BlendColor => setLum(sr, sg, sb, lum(dr, dg, db))
+      case _ => setLum(dr, dg, db, lum(sr, sg, sb)) // Luminosity
+    }
+    @inline def mix(d: Double, b: Double): Int =
+      math.max(0, math.min(255, math.round((d + alpha * (b - d)) * 255).toInt))
+    0xFF000000 | (mix(dr, br) << 16) | (mix(dg, bg) << 8) | mix(db, bb)
   }
 
   // ---- scanline polygon fill ------------------------------------------------
@@ -877,10 +1046,11 @@ object Rasterizer {
   /** Fill closed polygons (device space) with even-odd or nonzero winding. */
   def fillPolygons(bmp: Bitmap, polys: Vector[Array[(Double, Double)]],
                    evenOdd: Boolean, argb: Int, clip: Clip = None,
-                   alpha: Double = 1.0, blend: Int = BlendNormal): Unit = {
+                   alpha: Double = 1.0, blend: Int = BlendNormal,
+                   smask: Array[Float] = null): Unit = {
     val (y0, y1) = polysYRange(polys, bmp.height, clip)
     scanPolygons(polys, evenOdd, y0, y1) { (xa, xb, y) =>
-      fillSpan(bmp, xa, xb, y, argb, clip, alpha, blend)
+      fillSpan(bmp, xa, xb, y, argb, clip, alpha, blend, smask)
     }
   }
 
@@ -897,7 +1067,8 @@ object Rasterizer {
   }
 
   @inline private def fillSpan(bmp: Bitmap, xa: Double, xb: Double, y: Int, argb: Int,
-                               clip: Clip, alpha: Double = 1.0, blend: Int = BlendNormal): Unit = {
+                               clip: Clip, alpha: Double = 1.0, blend: Int = BlendNormal,
+                               smask: Array[Float] = null): Unit = {
     var x = math.max(0, math.round(xa).toInt)
     var xe = math.min(bmp.width - 1, math.round(xb).toInt - 1)
     var mask: Array[Byte] = null
@@ -906,12 +1077,12 @@ object Rasterizer {
       x = math.max(x, c.x0); xe = math.min(xe, c.x1)
       mask = c.mask; maskW = c.maskW
     }
-    if (alpha >= 1.0 && blend == BlendNormal) {
+    if (alpha >= 1.0 && blend == BlendNormal && smask == null) {
       if (mask == null) { while (x <= xe) { bmp.set(x, y, argb); x += 1 } }
       else { while (x <= xe) { if (mask(y * maskW + x) != 0) bmp.set(x, y, argb); x += 1 } }
     } else if (alpha > 0.0) {
       while (x <= xe) {
-        if (mask == null || mask(y * maskW + x) != 0) composePixel(bmp, x, y, argb, alpha, blend)
+        if (mask == null || mask(y * maskW + x) != 0) composePixel(bmp, x, y, argb, alpha, blend, smask)
         x += 1
       }
     }
@@ -919,7 +1090,8 @@ object Rasterizer {
 
   /** Stroke a polyline as per-segment width-quads (round joins skipped). */
   def strokePolyline(bmp: Bitmap, pts: Array[(Double, Double)], width: Double, argb: Int,
-                     clip: Clip = None, alpha: Double = 1.0, blend: Int = BlendNormal): Unit = {
+                     clip: Clip = None, alpha: Double = 1.0, blend: Int = BlendNormal,
+                     smask: Array[Float] = null): Unit = {
     val hw = width / 2
     var i = 0
     while (i + 1 < pts.length) {
@@ -931,7 +1103,7 @@ object Rasterizer {
         val ny = (bx - ax) / len * hw
         fillPolygons(bmp, Vector(Array(
           (ax + nx, ay + ny), (bx + nx, by + ny), (bx - nx, by - ny), (ax - nx, ay - ny))),
-          evenOdd = false, argb, clip, alpha, blend)
+          evenOdd = false, argb, clip, alpha, blend, smask)
       }
       i += 1
     }
@@ -1396,7 +1568,7 @@ object Rasterizer {
     * set; /SMask alpha and the constant fill alpha composite src-over. */
   def blitImage(bmp: Bitmap, ctm: Mat, px: ImagePixels, fillForMask: Int,
                 clip: Clip = None, constAlpha: Double = 1.0,
-                blend: Int = BlendNormal): Unit = {
+                blend: Int = BlendNormal, smask: Array[Float] = null): Unit = {
     val bounds = ctm.onRect(Rect(0, 0, 1, 1))
     var x0 = math.max(0, math.floor(math.min(bounds.left, bounds.right)).toInt)
     var x1 = math.min(bmp.width - 1, math.ceil(math.max(bounds.left, bounds.right)).toInt)
@@ -1421,10 +1593,10 @@ object Rasterizer {
               val i = sy * px.w + sx
               if (px.mask != null) {
                 // stencil: painted bits take the fill color, others skip
-                if (px.mask(i) == 1) composePixel(bmp, x, y, fillForMask, constAlpha, blend)
+                if (px.mask(i) == 1) composePixel(bmp, x, y, fillForMask, constAlpha, blend, smask)
               } else {
                 val a = if (px.alpha != null) (px.alpha(i) & 0xff) / 255.0 * constAlpha else constAlpha
-                composePixel(bmp, x, y, px.argb(i), a, blend)
+                composePixel(bmp, x, y, px.argb(i), a, blend, smask)
               }
             }
             x += 1

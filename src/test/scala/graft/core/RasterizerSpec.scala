@@ -487,6 +487,116 @@ class RasterizerSpec extends AnyFunSuite {
     assert(offCell == 0xFFFFFFFF, f"off-cell=$offCell%08x")
   }
 
+  // ---- round-3 additions: soft masks, non-separable blends, render opts ----
+
+  test("ExtGState /SMask (luminosity): paint shows only where the group is lit") {
+    // mask group: white fill over the LEFT half of the page (lum 1 there,
+    // black backdrop lum 0 elsewhere); then a full-page red fill through it
+    val group = "1 1 1 rg 0 0 306 792 re f"
+    val groupObj = (s"<</Type/XObject/Subtype/Form/BBox[0 0 612 792]/Length ${group.length}>>\nstream\n$group\nendstream").getBytes
+    val gsObj = "<</Type/ExtGState/SMask<</S/Luminosity/G 5 0 R>>>>".getBytes
+    val content = "/G1 gs 1 0 0 rg 0 0 612 792 re f"
+    val doc = PdfDocument.load(pageWith(content, "/ExtGState<</G1 4 0 R>>",
+      Vector(gsObj, groupObj))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    assert(bmp.get(100, 400) == 0xFFFF0000, f"masked-in=${bmp.get(100, 400)}%08x")
+    assert(bmp.get(500, 400) == 0xFFFFFFFF, f"masked-out=${bmp.get(500, 400)}%08x")
+  }
+
+  test("ExtGState /SMask /None clears an active soft mask") {
+    val group = "1 1 1 rg 0 0 306 792 re f"
+    val groupObj = (s"<</Type/XObject/Subtype/Form/BBox[0 0 612 792]/Length ${group.length}>>\nstream\n$group\nendstream").getBytes
+    val gsOn = "<</Type/ExtGState/SMask<</S/Luminosity/G 6 0 R>>>>".getBytes
+    val gsOff = "<</Type/ExtGState/SMask/None>>".getBytes
+    val content = "/G1 gs /G0 gs 1 0 0 rg 0 0 612 792 re f"
+    val doc = PdfDocument.load(pageWith(content, "/ExtGState<</G1 4 0 R/G0 5 0 R>>",
+      Vector(gsOn, gsOff, groupObj))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    assert(bmp.get(500, 400) == 0xFFFF0000, "after /SMask /None the fill is unmasked")
+  }
+
+  test("non-separable blends: Hue/Color/Luminosity per §11.3.5.3") {
+    // gray src in Hue mode over red dst → gray at the dst's luminosity (0.3)
+    val hue = Rasterizer.composeArgb(0xFFFF0000, 0xFF808080, 1.0, Rasterizer.BlendHue)
+    val hr = (hue >> 16) & 0xff; val hg = (hue >> 8) & 0xff; val hb = hue & 0xff
+    assert(hr == hg && hg == hb && math.abs(hr - 77) <= 1, f"hue=$hue%08x")
+    // white src in Luminosity mode over red dst → white (lum 1 forced)
+    val lum = Rasterizer.composeArgb(0xFFFF0000, 0xFFFFFFFF, 1.0, Rasterizer.BlendLuminosity)
+    assert(lum == 0xFFFFFFFF, f"lum=$lum%08x")
+    // blue src in Color mode over red dst → blue-dominant with dst's luminosity
+    val col = Rasterizer.composeArgb(0xFFFF0000, 0xFF0000FF, 1.0, Rasterizer.BlendColor)
+    val cr = (col >> 16) & 0xff; val cg = (col >> 8) & 0xff; val cb = col & 0xff
+    assert(cb > cr && cr == cg, f"color=$col%08x")
+    val cLum = 0.3 * cr + 0.59 * cg + 0.11 * cb
+    assert(math.abs(cLum - 76.5) <= 2.0, s"color-mode luminosity=$cLum (want ~76.5)")
+  }
+
+  test("separable blends round 3: Overlay doubles contrast, ColorDodge brightens") {
+    // Overlay of mid-gray src over dark dst stays dark-ish; over light dst light
+    val dark = Rasterizer.composeArgb(0xFF404040, 0xFF808080, 1.0, Rasterizer.BlendOverlay)
+    val light = Rasterizer.composeArgb(0xFFC0C0C0, 0xFF808080, 1.0, Rasterizer.BlendOverlay)
+    assert((dark & 0xff) < 0x80 && (light & 0xff) > 0x80, f"dark=$dark%08x light=$light%08x")
+    val dodge = Rasterizer.composeArgb(0xFF808080, 0xFF808080, 1.0, Rasterizer.BlendColorDodge)
+    assert((dodge & 0xff) == 0xff, f"dodge=$dodge%08x") // 0.5/(1-0.5) ≥ 1 → white
+  }
+
+  test("form XObject /BBox clips its content; outer clip carries into the form") {
+    val form = "0 0 1 rg 0 0 200 200 re f"
+    val formObj = (s"<</Type/XObject/Subtype/Form/BBox[0 0 50 50]/Length ${form.length}>>\nstream\n$form\nendstream").getBytes
+    val doc = PdfDocument.load(pageWith("/Fm Do", "/XObject<</Fm 4 0 R>>",
+      Vector(formObj))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    assert(bmp.get(25, 792 - 25) == 0xFF0000FF, "inside BBox painted")
+    assert(bmp.get(75, 792 - 25) == 0xFFFFFFFF, "outside BBox clipped")
+    // an outer W n clip must also cut the form's content
+    val doc2 = PdfDocument.load(pageWith("q 0 0 25 792 re W n /Fm Do Q",
+      "/XObject<</Fm 4 0 R>>", Vector(formObj))).toOption.get
+    val bmp2 = Rasterizer.render(doc2.page(0))
+    assert(bmp2.get(10, 792 - 25) == 0xFF0000FF, "inside outer clip")
+    assert(bmp2.get(40, 792 - 25) == 0xFFFFFFFF, "outside outer clip, inside BBox")
+  }
+
+  test("render rotation: 90/180/270 remap the probe pixel; dims swap") {
+    val content = "1 0 0 rg 100 600 50 30 re f" // interior device px (125,175)
+    val doc = PdfDocument.load(SynthPdf.onePage(content)).toOption.get
+    val r90 = Rasterizer.render(doc.page(0), rotation = 90)
+    assert(r90.width == 792 && r90.height == 612)
+    assert(r90.get(792 - 176, 125) == 0xFFFF0000, f"r90=${r90.get(792 - 176, 125)}%08x")
+    val r180 = Rasterizer.render(doc.page(0), rotation = 180)
+    assert(r180.width == 612 && r180.height == 792)
+    assert(r180.get(612 - 126, 792 - 176) == 0xFFFF0000)
+    val r270 = Rasterizer.render(doc.page(0), rotation = 270)
+    assert(r270.width == 792 && r270.height == 612)
+    assert(r270.get(175, 612 - 126) == 0xFFFF0000)
+  }
+
+  test("render crop and fill_color") {
+    val content = "1 0 0 rg 100 600 50 30 re f"
+    val doc = PdfDocument.load(SynthPdf.onePage(content)).toOption.get
+    // crop exactly to the rect: (left, bottom, right, top) cuts per side
+    val cropped = Rasterizer.render(doc.page(0), crop = (100, 600, 612 - 150, 792 - 630))
+    assert(cropped.width == 50 && cropped.height == 30)
+    assert(cropped.get(25, 15) == 0xFFFF0000)
+    // custom backdrop color shows through unpainted pixels
+    val green = Rasterizer.render(doc.page(0), fillColor = 0xFF00FF00)
+    assert(green.get(5, 5) == 0xFF00FF00)
+    assert(green.get(125, 175) == 0xFFFF0000)
+  }
+
+  test("bitmap formats: BGRA/RGB/Gray byte layouts (bitmap.py analog)") {
+    val bmp = new render.Bitmap(2, 1)
+    bmp.set(0, 0, 0xFF112233); bmp.set(1, 0, 0xFFFFFFFF)
+    val bgra = bmp.toBytes("BGRA")
+    assert(bgra.take(4).toSeq == Seq(0x33.toByte, 0x22.toByte, 0x11.toByte, 0xFF.toByte))
+    val rgb = bmp.toBytes("RGB")
+    assert(rgb.take(3).toSeq == Seq(0x11.toByte, 0x22.toByte, 0x33.toByte))
+    val gray = bmp.toBytes("Gray")
+    assert((gray(1) & 0xff) == 0xff) // white stays white
+    val l0 = gray(0) & 0xff          // BT.601 luma of 112233
+    assert(math.abs(l0 - ((77 * 0x11 + 150 * 0x22 + 29 * 0x33) >> 8)) == 0)
+    intercept[IllegalArgumentException] { bmp.toBytes("CMYK") }
+  }
+
   test("rg after scn clears the stale pattern (§8.6.8)") {
     val pat = ("<</PatternType 2/Shading<</ShadingType 2/ColorSpace/DeviceRGB" +
       "/Coords[0 0 612 0]/Extend[true true]" +
