@@ -279,6 +279,18 @@ object OracleSql {
         |  (4, 1, 'Page' || chr(10) || '2')
         |) AS t(new_idx, src_page, text)""".stripMargin,
 
+    // imgtopdf: JPEG passes through byte-identical behind DCTDecode (dims
+    // from its SOF: 120×120); PNG decodes to a Flate RGB page (re-extracted
+    // as a re-encoded png, so not byte-identical by design)
+    "pdf_imgtopdf" ->
+      """SELECT img, CAST(page_w AS BIGINT) AS page_w, CAST(page_h AS BIGINT) AS page_h,
+        |  CAST(n_pages AS BIGINT) AS n_pages, format_out, byte_identical
+        |FROM (VALUES
+        |  ('mona_lisa.jpg', 120, 120, 1, 'jpg', TRUE),
+        |  ('synthetic.png', 4, 2, 1, 'png', FALSE)
+        |) AS t(img, page_w, page_h, n_pages, format_out, byte_identical)
+        |ORDER BY img""".stripMargin,
+
     // save → reload round trip: page texts byte-identical for every fixture
     "pdf_save_roundtrip" ->
       """SELECT fixture, CAST(n_pages AS BIGINT) AS n_pages, text_identical,

@@ -408,6 +408,35 @@ object SparkEntry {
       }.toDF("new_idx", "text_md5", "n_chars")
     }),
 
+    "pdf_imgtopdf" -> ((s, _) => {
+      import s.implicits._
+      // imgtopdf (reference src/pypdfium2_cli/imgtopdf.py:29-62): wrap
+      // source images into a new one-page-per-image PDF inside tasks,
+      // re-open through our own parser and pin page geometry + payload
+      // identity. JPEG rides behind /DCTDecode byte-identical (load_jpeg
+      // path); PNG decodes to a Flate RGB bitmap (set_bitmap path).
+      val jpeg = PagesTable.fixture("mona_lisa.jpg")
+      val png = {
+        val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 2; x <- 0 until 4) img.setRGB(x, y, if (x < 2) 0xFF0000 else 0x0000FF)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        out.toByteArray
+      }
+      s.createDataset(Seq(("mona_lisa.jpg", jpeg), ("synthetic.png", png)))
+        .repartition(2)
+        .map { case (name, bytes) =>
+          val pdf = graft.core.PdfWriter.imagesToPdf(Seq(bytes))
+          val doc = graft.core.PdfDocument.load(pdf).toOption.get
+          val img = graft.core.ImageExtract.pageImages(doc.page(0)).head
+          val bbox = doc.page(0).bbox
+          (name, bbox.width.toLong, bbox.height.toLong, doc.pageCount.toLong,
+            img.format, java.util.Arrays.equals(img.data, bytes))
+        }
+        .toDF("img", "page_w", "page_h", "n_pages", "format_out", "byte_identical")
+        .orderBy("img")
+    }),
+
     "pdf_payload_stats" -> ((s, _) => {
       // multimodal binary-column plumbing: magic, hash, JPEG header decode
       val pages = PagesTable.ofFixtures(s, Seq("text.pdf", "multipage.pdf", "mona_lisa.jpg", "empty.pdf"))

@@ -11,6 +11,17 @@ object Filters {
 
   final case class FilterException(msg: String) extends RuntimeException(msg)
 
+  /** zlib-deflate (writer-side encoder for FlateDecode payloads). */
+  def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length / 2))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
   /** Apply the full filter chain of a stream dict to its raw bytes.
     * DCTDecode/JPXDecode/CCITTFaxDecode/JBIG2Decode terminate the chain with
     * the remaining bytes returned as-is (image codecs are sink-side concerns).

@@ -54,6 +54,93 @@ object PdfWriter {
     w.assemble(PdfRef(-1 - catalogSlot, 0), None)
   }
 
+  /** imgtopdf analog (reference src/pypdfium2_cli/imgtopdf.py:29-62 +
+    * _helpers/pageobjects.py PdfImage.load_jpeg/set_bitmap): wrap images
+    * into a fresh PDF — one page per image, page size = pixel size in
+    * points, content `w 0 0 h 0 0 cm /Img Do` (the reference's
+    * set_matrix(scale(w,h))). JPEG payloads embed byte-identical behind
+    * /DCTDecode (load_jpeg path); PNG/GIF/BMP are decoded via javax.imageio
+    * and embedded as Flate raw RGB (the set_bitmap path). */
+  def imagesToPdf(images: Seq[Array[Byte]]): Array[Byte] = {
+    require(images.nonEmpty, "imagesToPdf needs at least one image")
+    val w = new Writer
+    val pagesSlot = w.reserveSynthetic()
+    val kidSlots = images.map { bytes =>
+      val (stream, wpx, hpx) = encodeImageXObject(bytes)
+      val imgSlot = w.internSynthetic(null, stream)
+      val content = s"q $wpx 0 0 $hpx 0 0 cm /Img Do Q"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val cSlot = w.internSynthetic(null, PdfStream(PdfDict(Map.empty), content))
+      w.internSynthetic(null, PdfDict(Map(
+        "Type" -> PdfName("Page"),
+        "Parent" -> PdfRef(-1 - pagesSlot, 0),
+        "MediaBox" -> PdfArray(Vector(PdfNumber(0), PdfNumber(0), PdfNumber(wpx), PdfNumber(hpx))),
+        "Resources" -> PdfDict(Map("XObject" -> PdfDict(Map("Img" -> PdfRef(-1 - imgSlot, 0))))),
+        "Contents" -> PdfRef(-1 - cSlot, 0))))
+    }
+    w.fillSynthetic(pagesSlot, null, PdfDict(Map(
+      "Type" -> PdfName("Pages"),
+      "Kids" -> PdfArray(kidSlots.map(s => PdfRef(-1 - s, 0)).toVector),
+      "Count" -> PdfNumber(images.length))))
+    val catalogSlot = w.internSynthetic(null, PdfDict(Map(
+      "Type" -> PdfName("Catalog"),
+      "Pages" -> PdfRef(-1 - pagesSlot, 0))))
+    w.assemble(PdfRef(-1 - catalogSlot, 0), None)
+  }
+
+  /** Image bytes → (image XObject stream, width px, height px). */
+  private def encodeImageXObject(bytes: Array[Byte]): (PdfStream, Int, Int) = {
+    val isJpeg = bytes.length >= 3 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff
+    if (isJpeg) {
+      // SOFn frame header: dims + component count (1 gray, 3 YCbCr, 4 CMYK)
+      var i = 2
+      var dims: (Int, Int, Int) = null
+      while (dims == null && i + 9 < bytes.length) {
+        if ((bytes(i) & 0xff) != 0xff) throw new IllegalArgumentException("bad JPEG marker stream")
+        val marker = bytes(i + 1) & 0xff
+        val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          dims = (((bytes(i + 7) & 0xff) << 8) | (bytes(i + 8) & 0xff),
+                  ((bytes(i + 5) & 0xff) << 8) | (bytes(i + 6) & 0xff),
+                  bytes(i + 9) & 0xff)
+        i += 2 + len
+      }
+      if (dims == null) throw new IllegalArgumentException("JPEG without SOF marker")
+      val cs = dims._3 match {
+        case 1 => "DeviceGray"; case 4 => "DeviceCMYK"; case _ => "DeviceRGB"
+      }
+      (PdfStream(PdfDict(Map(
+        "Type" -> PdfName("XObject"), "Subtype" -> PdfName("Image"),
+        "Width" -> PdfNumber(dims._1), "Height" -> PdfNumber(dims._2),
+        "BitsPerComponent" -> PdfNumber(8), "ColorSpace" -> PdfName(cs),
+        "Filter" -> PdfName("DCTDecode"))), bytes), dims._1, dims._2)
+    } else {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) throw new IllegalArgumentException("unsupported image format")
+      val (wpx, hpx) = (img.getWidth, img.getHeight)
+      val rgb = new Array[Byte](wpx * hpx * 3)
+      var y = 0
+      while (y < hpx) {
+        var x = 0
+        while (x < wpx) {
+          val p = img.getRGB(x, y)
+          val o = (y * wpx + x) * 3
+          rgb(o) = ((p >> 16) & 0xff).toByte
+          rgb(o + 1) = ((p >> 8) & 0xff).toByte
+          rgb(o + 2) = (p & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (PdfStream(PdfDict(Map(
+        "Type" -> PdfName("XObject"), "Subtype" -> PdfName("Image"),
+        "Width" -> PdfNumber(wpx), "Height" -> PdfNumber(hpx),
+        "BitsPerComponent" -> PdfNumber(8), "ColorSpace" -> PdfName("DeviceRGB"),
+        "Filter" -> PdfName("FlateDecode"))), Filters.deflate(rgb)), wpx, hpx)
+    }
+  }
+
   // -------------------------------------------------------------------------
 
   /** Accumulates objects for one output file. Object ids during accumulation

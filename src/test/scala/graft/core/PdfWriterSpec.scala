@@ -63,6 +63,49 @@ class PdfWriterSpec extends AnyFunSuite {
     assert(texts(out) == Vector(ta(0), tb(0), ta(0)))
   }
 
+  test("imgtopdf: JPEG embeds byte-identical and round-trips through extraction") {
+    val jpeg = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/resources/mona_lisa.jpg"))
+    val pdf = PdfWriter.imagesToPdf(Seq(jpeg))
+    val doc = PdfDocument.load(pdf).toOption.get
+    assert(doc.pageCount == 1)
+    val imgs = ImageExtract.pageImages(doc.page(0))
+    assert(imgs.length == 1 && imgs.head.format == "jpg")
+    assert(java.util.Arrays.equals(imgs.head.data, jpeg), "JPEG must pass through byte-identical")
+    // page box = pixel size (1 px = 1 pt, reference imgtopdf page sizing)
+    val bbox = doc.page(0).bbox
+    assert(bbox.width == imgs.head.width && bbox.height == imgs.head.height)
+    // and the page renders with the image's ink covering the full box
+    val bmp = graft.core.render.Rasterizer.render(doc.page(0), scale = 0.25)
+    assert(bmp.inkFraction > 0.9, s"ink=${bmp.inkFraction}")
+  }
+
+  test("imgtopdf: PNG input decodes to a Flate RGB image page (set_bitmap path)") {
+    // deterministic 4×2 PNG: left half red, right half blue
+    val src = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4) src.setRGB(x, y, if (x < 2) 0xFF0000 else 0x0000FF)
+    val pngOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", pngOut)
+    val pdf = PdfWriter.imagesToPdf(Seq(pngOut.toByteArray))
+    val doc = PdfDocument.load(pdf).toOption.get
+    assert(doc.pageCount == 1 && doc.page(0).bbox.width == 4 && doc.page(0).bbox.height == 2)
+    val bmp = graft.core.render.Rasterizer.render(doc.page(0), scale = 8)
+    assert(bmp.get(8, 8) == 0xFFFF0000, f"left=${bmp.get(8, 8)}%08x")
+    assert(bmp.get(24, 8) == 0xFF0000FF, f"right=${bmp.get(24, 8)}%08x")
+  }
+
+  test("imgtopdf: multiple images become one page each, in order") {
+    val jpeg = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/resources/mona_lisa.jpg"))
+    val img = new java.awt.image.BufferedImage(3, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val pngOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngOut)
+    val pdf = PdfWriter.imagesToPdf(Seq(jpeg, pngOut.toByteArray))
+    val doc = PdfDocument.load(pdf).toOption.get
+    assert(doc.pageCount == 2)
+    assert(doc.page(1).bbox.width == 3 && doc.page(1).bbox.height == 5)
+  }
+
   test("writer output is deterministic (byte-identical across runs)") {
     val doc1 = PdfDocument.load(fixture("text.pdf")).toOption.get
     val doc2 = PdfDocument.load(fixture("text.pdf")).toOption.get
