@@ -188,13 +188,30 @@ object Bench {
       spark.sql("SELECT 1").collect()
     } catch { case _: Throwable => () }
 
+    // Per-query timing uses the same contention-filtering estimator as the
+    // scaling phase: each query runs `queryReps` times (sequentially, whole
+    // suite per sweep so a noisy window can't sink one query's every rep)
+    // and reports the BEST rep — standalone re-measurement of this suite
+    // shows identical queries swinging 5× between adjacent runs on this
+    // oversubscribed host, so single-shot numbers are not comparable
+    // round-over-round.
     final case class QR(sec: Double, rows: Long, ok: Boolean)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val (rows, ok) =
-        try (fn(spark, sfDir).count(), true)
-        catch { case _: Throwable => (-1L, false) }
-      name -> QR((System.nanoTime() - t0) / 1e9, rows, ok)
+    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
+    val sweeps = (1 to queryReps).map { _ =>
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val (rows, ok) =
+          try (fn(spark, sfDir).count(), true)
+          catch { case _: Throwable => (-1L, false) }
+        name -> QR((System.nanoTime() - t0) / 1e9, rows, ok)
+      }
+    }
+    val results = sweeps.transpose.map { reps =>
+      val name = reps.head._1
+      // a query must succeed in EVERY sweep to count as ok
+      val ok = reps.forall(_._2.ok)
+      val best = reps.map(_._2).minBy(_.sec)
+      name -> QR(best.sec, best.rows, ok)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${v.sec}%.3f" }
       .mkString("{", ",", "}")
@@ -205,7 +222,7 @@ object Bench {
 
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-        s""","query_rows":$qrows,"queries_failed":$failed""" +
+        s""","query_rows":$qrows,"queries_failed":$failed,"query_reps":$queryReps""" +
         f""","extract_docs":$nDocs,"extract_pages":$p4N,"extract_chars":$c4N""" +
         s""","scaling_levels":"local[$levelN]->local[$level4N]","scaling_reps":$rep""" +
         s""","scaling_quiet_pairs":${quietPairs.length}""" +

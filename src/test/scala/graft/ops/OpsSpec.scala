@@ -105,6 +105,34 @@ class OpsSpec extends AnyFunSuite {
     assert(labels(5L) == 5L && labels(6L) == 5L) // identical pair → component
   }
 
+  test("connected components: long chain resolves in O(log n) star rounds") {
+    import spark.implicits._
+    // a path graph 0-1-2-…-99 (diameter 99): label propagation needs ~100
+    // rounds; alternating star must fix-point well inside maxIter=32
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(chain, maxIter = 32)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 100)
+    assert(labels.values.forall(_ == 0L), s"all chain nodes → root 0, got ${labels.filter(_._2 != 0L)}")
+    // two components + a self-loop-ish duplicate edge
+    val two = Seq((10L, 11L), (11L, 12L), (20L, 21L), (21L, 20L)).toDF("a", "b")
+    val l2 = Dedup.connectedComponents(two).as[(Long, Long)].collect().toMap
+    assert(l2 == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("clusters: star algorithm agrees with label propagation") {
+    import spark.implicits._
+    val base = Seq.tabulate(60)(i => s"tok$i").mkString(" ")
+    val near1 = base.split(" ", -1).dropRight(2).mkString(" ")
+    val near2 = base.split(" ", -1).dropRight(4).mkString(" ")
+    val other = Seq.tabulate(60)(i => s"oth$i").mkString(" ")
+    val docs = Seq((7L, base), (3L, near1), (9L, near2), (5L, other), (6L, other))
+      .toDF("doc_id", "text")
+    val star = Dedup.clusters(docs).as[(Long, Long)].collect().toMap
+    val prop = Dedup.clustersLabelProp(docs).as[(Long, Long)].collect().toMap
+    assert(star == prop, s"star=$star prop=$prop")
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
