@@ -56,7 +56,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "300000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt // minimum pairs; adaptive up to MAX_REPS
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt // quiet pairs to collect; adaptive up to MAX_REPS
     val levelN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4").toInt
     val level4N = levelN * 4
 
@@ -111,17 +111,19 @@ object Bench {
     // loop stopped as soon as best-of efficiency cleared the bar — a
     // result-conditioned rule that rejected deflating noise but accepted
     // inflating noise; it recorded a physically meaningless 1.353 once).
-    // Here: each pair is bracketed by host-noise probes (1-thread vs
-    // 4N-thread fixed scalar loop); a pair is QUIET iff noise ≤ 1.2 on both
-    // sides. Pairs run until `reps` quiet pairs are collected (or the hard
+    // Here: each pair carries THREE host-noise probes — before the N leg,
+    // between the legs, after the 4N leg (a burst that starts and ends
+    // inside one leg slips past two-sided brackets; a recorded quiet pair
+    // at 0.628 motivated the mid-probe); a pair is QUIET iff all three are
+    // ≤ 1.2. Pairs run until `reps` quiet pairs are collected (or the hard
     // cap), regardless of what efficiency they show. The headline efficiency
     // is the MEDIAN over quiet-pair efficiencies — an estimator that never
     // looks at the value while sampling. A median > 1.05 is physically
     // impossible on this workload and is flagged + clamped, never trusted.
-    val maxReps = math.max(reps, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "10").toInt)
+    val maxReps = math.max(reps, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "12").toInt)
     final case class Pair(n: (Double, Long, Long, Long), f: (Double, Long, Long, Long),
-                          noiseBefore: Double, noiseAfter: Double) {
-      def quiet: Boolean = noiseBefore <= 1.2 && noiseAfter <= 1.2
+                          noiseBefore: Double, noiseMid: Double, noiseAfter: Double) {
+      def quiet: Boolean = noiseBefore <= 1.2 && noiseMid <= 1.2 && noiseAfter <= 1.2
       def eff: Double = ((f._2 / f._1) / (n._2 / n._1)) / 4.0
     }
     val pairs = scala.collection.mutable.ArrayBuffer[Pair]()
@@ -129,9 +131,10 @@ object Bench {
     while (rep < maxReps && pairs.count(_.quiet) < reps) {
       val nb = hostNoise()
       val rN = measureOnce(levelN)
+      val nm = hostNoise()
       val r4N = measureOnce(level4N)
       val na = hostNoise()
-      pairs += Pair(rN, r4N, nb, na)
+      pairs += Pair(rN, r4N, nb, nm, na)
       rep += 1
     }
     val noiseBefore = pairs.head.noiseBefore
@@ -227,7 +230,7 @@ object Bench {
         s""","scaling_levels":"local[$levelN]->local[$level4N]","scaling_reps":$rep""" +
         s""","scaling_quiet_pairs":${quietPairs.length}""" +
         s""","pair_effs":${scored.map(p => f"${p.eff}%.3f").mkString("[", ",", "]")}""" +
-        s""","pair_noise":${pairs.map(p => f"[${p.noiseBefore}%.2f,${p.noiseAfter}%.2f]").mkString("[", ",", "]")}""" +
+        s""","pair_noise":${pairs.map(p => f"[${p.noiseBefore}%.2f,${p.noiseMid}%.2f,${p.noiseAfter}%.2f]").mkString("[", ",", "]")}""" +
         f""","host_noise_before":$noiseBefore%.2f,"host_noise_after":$noiseAfter%.2f""" +
         f""","extract_sec_n":$tN%.3f,"extract_sec_4n":$t4N%.3f""" +
         f""","extract_docs_per_sec_n":$thrN%.1f,"extract_docs_per_sec_4n":$thr4N%.1f""" +

@@ -491,6 +491,27 @@ object OracleSql {
          |ORDER BY a, b""".stripMargin,
 
     // ---- similarity --------------------------------------------------------
+    // embedding-cosine near-dup pairs: brute-force oracle over base ∪
+    // ×1.1-scaled replicas (float-rounded exactly like the Spark side);
+    // the LSH-banded implementation has recall 1.0 for scale-duplicates by
+    // construction, so the value sets match exactly
+    "dedup_embedding" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |rep AS (SELECT vec_id + 100000 AS vec_id,
+        |          list_transform(embedding, x -> CAST(x * CAST(1.1 AS FLOAT) AS FLOAT)) AS embedding
+        |        FROM base WHERE vec_id % 10 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM rep),
+        |pairs AS (
+        |  SELECT l.vec_id AS a, r.vec_id AS b, l.embedding AS qe, r.embedding AS ce
+        |  FROM corpus l JOIN corpus r ON l.vec_id < r.vec_id),
+        |scored AS (
+        |  SELECT a, b,
+        |    list_aggregate(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(range(1, len(ce)+1), i -> CAST(ce[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE)), 'sum'))) AS sim
+        |  FROM pairs)
+        |SELECT a, b, ROUND(sim, 2) AS cos FROM scored WHERE sim >= 0.95 ORDER BY a, b""".stripMargin,
+
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),

@@ -644,6 +644,20 @@ object SparkEntry {
     }),
 
     // ---- similarity search ----------------------------------------------
+    "dedup_embedding" -> ((s, dir) => {
+      // embedding-cosine near-dup pairs (the fourth dedup modality): base
+      // vectors ∪ deterministic ×1.1-scaled replicas (id+100000, every 10th
+      // vector — scaling preserves cosine AND every sign-LSH bit, so the
+      // planted pairs are found with recall 1.0 by construction and the
+      // DuckDB brute-force oracle matches value-for-value)
+      val vecs = docs(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val replicas = vecs.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.1f)).cast("array<float>").as("embedding"))
+      Similarity.embeddingNearDupPairs(vecs.unionByName(replicas), threshold = 0.95)
+        .orderBy("a", "b")
+    }),
+
     "ann_cosine_topk" -> ((s, dir) => {
       Similarity.bruteForceTopK(docs(s, dir, "embeddings"), nQueries = 20, k = 3)
         .orderBy("vec_id", "rank")

@@ -92,3 +92,15 @@ final class Bitmap(val width: Int, val height: Int, background: Int = 0xFFFFFFFF
     case other => throw new IllegalArgumentException(s"unknown bitmap format: $other")
   }
 }
+
+object Bitmap {
+  /** color_tohex analog (reference src/pypdfium2/internal/utils.py:9-24,
+    * tested tests/test_misc.py:14-32): pack an (r,g,b,a) color into the
+    * 32-bit int PDFium takes — A:R:G:B normally, A:B:G:R under
+    * rev_byteorder (matching the reference's undocumented swap). */
+  def colorToHex(r: Int, g: Int, b: Int, a: Int, revByteorder: Boolean = false): Int = {
+    require(Seq(r, g, b, a).forall(c => c >= 0 && c <= 255), "Color value exceeds boundaries.")
+    if (revByteorder) (a << 24) | (b << 16) | (g << 8) | r
+    else (a << 24) | (r << 16) | (g << 8) | b
+  }
+}

@@ -306,31 +306,6 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
 
-    def largeStar(e: DataFrame): DataFrame = {
-      // symmetric view; m(x) = min over Γ(x) ∪ {x}
-      val sym = e.select(col("u").as("x"), col("v").as("y"))
-        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
-      val mins = sym.groupBy(col("x"))
-        .agg(min(col("y")).as("mn"))
-        .select(col("x"), least(col("x"), col("mn")).as("m"))
-      sym.where(col("y") > col("x"))
-        .join(mins, "x")
-        .select(col("y").as("u"), col("m").as("v"))
-        .where(col("u") =!= col("v"))
-        .distinct()
-    }
-
-    def smallStar(e: DataFrame): DataFrame = {
-      // all v < u here, so m(u) = min(N(u)); connect each non-min neighbor
-      // and u itself to m
-      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-      e.join(mins, "u")
-        .where(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(mins.select(col("u"), col("m").as("v")))
-        .distinct()
-    }
-
     def signature(e: DataFrame): (Long, Long) = {
       // order-independent set signature: count + xor of row hashes (xor is
       // overflow-free under ANSI mode, unlike sum)
@@ -343,7 +318,7 @@ object Dedup {
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = ccSmallStar(ccLargeStar(edges)).localCheckpoint(true)
       val nextSig = signature(next)
       converged = nextSig == sig
       edges = next
@@ -356,6 +331,34 @@ object Dedup {
     // fixed point = min-rooted stars: every non-root points at its root
     edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+  }
+
+  /** One large-star round (edges stored larger→smaller as (u,v)): every
+    * node connects its LARGER neighbors to its neighborhood minimum.
+    * Package-visible for the plan audit (PLANS.md). */
+  private[graft] def ccLargeStar(e: DataFrame): DataFrame = {
+    // symmetric view; m(x) = min over Γ(x) ∪ {x}
+    val sym = e.select(col("u").as("x"), col("v").as("y"))
+      .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+    val mins = sym.groupBy(col("x"))
+      .agg(min(col("y")).as("mn"))
+      .select(col("x"), least(col("x"), col("mn")).as("m"))
+    sym.where(col("y") > col("x"))
+      .join(mins, "x")
+      .select(col("y").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star round: all v < u here, so m(u) = min(N(u)); connects
+    * each non-min smaller neighbor and u itself to m. */
+  private[graft] def ccSmallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    e.join(mins, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionByName(mins.select(col("u"), col("m").as("v")))
+      .distinct()
   }
 
   /** Min-label propagation variant of [[clusters]] — O(diameter) rounds,

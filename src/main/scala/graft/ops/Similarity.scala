@@ -178,4 +178,51 @@ object Similarity {
       .withColumn("sim", cosineCol)
     topKPerQuery(cand, k)
   }
+
+  /** Embedding-space near-duplicate pairs: every (a < b) with cosine ≥
+    * `threshold`, for embedding-cosine dedup of training corpora.
+    * Candidates come from `bands` independent sign-LSH bands (disjoint
+    * hyperplane ranges of one 64-bit signature, so bands·bits ≤ 64); a pair
+    * is a candidate iff it shares ≥1 band bucket, then verified with the
+    * exact codegen'd cosine. Positive scaling preserves every projection
+    * sign, so scale-duplicates collide in ALL bands — recall 1.0 by
+    * construction for them; general near-dups follow the standard
+    * per-band (1−θ/π)^bits, overall 1−(1−p)^bands. The same web-scale
+    * shape as [[graft.ops.Dedup.minhashLsh]]: the band-bucket self-join
+    * carries (bucket, vec_id) rows only (embeddings join back for the
+    * verify), singleton buckets drop early, and oversized buckets are
+    * salt-capped by id hash. */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
+                            bands: Int = 4, bits: Int = 16,
+                            maxBucket: Int = 10000): DataFrame = {
+    require(bands * bits <= 64, "bands*bits must fit one 64-bit signature")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val mask = (1L << bits) - 1
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, e) =>
+        val sig = hyperplaneSig(e, bands * bits)
+        val keys = Array.tabulate(bands)(b => (b.toLong << 58) | ((sig >>> (b * bits)) & mask))
+        (id, e, keys)
+      }
+      .toDF("vec_id", "emb", "bks")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = vecs.select(col("vec_id"), explode(col("bks")).as("bk"))
+    val sizes = ids.groupBy(col("bk")).agg(count(lit(1)).as("bk_n"))
+      .where(col("bk_n") > 1)
+    val salted = ids.join(sizes, Seq("bk"))
+      .withColumn("sub",
+        pmod(xxhash64(col("vec_id")), greatest(ceil(col("bk_n") / maxBucket), lit(1))))
+    val cand = salted.select(col("bk"), col("sub"), col("vec_id").as("a"))
+      .join(salted.select(col("bk"), col("sub"), col("vec_id").as("b")), Seq("bk", "sub"))
+      .where(col("a") < col("b"))
+      .select("a", "b").dropDuplicates("a", "b")
+    cand
+      .join(vecs.select(col("vec_id").as("a"), col("emb").as("qe")), Seq("a"))
+      .join(vecs.select(col("vec_id").as("b"), col("emb").as("ce")), Seq("b"))
+      .withColumn("sim", cosineCol)
+      .where(col("sim") >= threshold)
+      .select(col("a"), col("b"), round(col("sim"), 2).as("cos"))
+  }
 }

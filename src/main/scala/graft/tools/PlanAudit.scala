@@ -33,6 +33,14 @@ object PlanAudit {
     show("dedup_minhash_lsh (band-bucket join, id-only candidates)") {
       graft.SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
     }
+    show("ann_cosine_topk (bounded-heap partial top-k aggregation)") {
+      graft.SparkEntry.queries("ann_cosine_topk")(spark, sfDir)
+    }
+    show("connectedComponents one star round (large-star then small-star)") {
+      import spark.implicits._
+      val edges = (0L until 64L).map(i => (i + 1, i)).toDF("u", "v")
+      graft.ops.Dedup.ccSmallStar(graft.ops.Dedup.ccLargeStar(edges))
+    }
     show("parquet pushdown probe (filter+projection reach the scan)") {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .where(org.apache.spark.sql.functions.col("l_orderkey") < 100)

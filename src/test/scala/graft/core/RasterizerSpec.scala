@@ -583,6 +583,12 @@ class RasterizerSpec extends AnyFunSuite {
     assert(green.get(125, 175) == 0xFFFF0000)
   }
 
+  test("color_tohex: reference test_misc.py:14-32 values") {
+    assert(render.Bitmap.colorToHex(170, 187, 204, 221) == 0xDDAABBCC)
+    assert(render.Bitmap.colorToHex(170, 187, 204, 221, revByteorder = true) == 0xDDCCBBAA)
+    intercept[IllegalArgumentException] { render.Bitmap.colorToHex(256, 0, 0, 0) }
+  }
+
   test("bitmap formats: BGRA/RGB/Gray byte layouts (bitmap.py analog)") {
     val bmp = new render.Bitmap(2, 1)
     bmp.set(0, 0, 0xFF112233); bmp.set(1, 0, 0xFFFFFFFF)

@@ -141,6 +141,17 @@ class OpsSpec extends AnyFunSuite {
     assert(groups(0).getAs[Long]("cnt") == 2 && groups(0).getAs[Long]("keeper") == 1)
   }
 
+  test("embedding near-dup pairs: scaled replicas found, unrelated vectors excluded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = Seq.tabulate(20)(i => (i.toLong, Seq.fill(32)(rnd.nextGaussian().toFloat)))
+    val reps = Seq(0L, 10L).map(i => (i + 100000L, base(i.toInt)._2.map(x => x * 1.1f)))
+    val df = (base ++ reps).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(df, threshold = 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set((0L, 100000L, 1.0), (10L, 100010L, 1.0)), s"got $pairs")
+  }
+
   test("brute-force ANN matches hand-computed cosine ordering") {
     import spark.implicits._
     val vecs = Seq(
