@@ -55,7 +55,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "300000").toLong
+    // 600 k docs: the 4N leg runs ~15 s — long enough to average over the
+    // host's sub-10 s contention bursts that a 7 s leg samples whole
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "600000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt // quiet pairs to collect; adaptive up to MAX_REPS
     val levelN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "4").toInt
     val level4N = levelN * 4
@@ -148,6 +150,19 @@ object Bench {
       else (effs(effs.length / 2 - 1) + effs(effs.length / 2)) / 2.0
     val effFlagged = effMedian > 1.05 || quietPairs.isEmpty
     val eff = math.min(effMedian, 1.0)
+    // rate-median variant (secondary): median per-level docs/sec across the
+    // quiet pairs, then the ratio — robust to one distorted leg (which a
+    // pooled/mean rate is not), and still never consults the efficiency
+    // while sampling
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val effRateMedian = {
+      val rN = median(scored.map(p => p.n._2.toDouble / p.n._1).toSeq)
+      val r4N = median(scored.map(p => p.f._2.toDouble / p.f._1).toSeq)
+      (r4N / rN) / 4.0
+    }
 
     // throughput numbers: best rep per level among scored pairs (absolute
     // docs/sec headline; the efficiency above does NOT use these)
@@ -235,7 +250,7 @@ object Bench {
         f""","extract_sec_n":$tN%.3f,"extract_sec_4n":$t4N%.3f""" +
         f""","extract_docs_per_sec_n":$thrN%.1f,"extract_docs_per_sec_4n":$thr4N%.1f""" +
         f""","html_docs_per_sec":$htmlThr%.1f,"render_docs_per_sec":$renderThr%.1f""" +
-        f""","scaling_efficiency_raw":$effMedian%.3f,"scaling_flagged":$effFlagged""" +
+        f""","scaling_efficiency_raw":$effMedian%.3f,"scaling_efficiency_ratemedian":$effRateMedian%.3f,"scaling_flagged":$effFlagged""" +
         f""","scaling_efficiency":$eff%.3f}"""
     println(json)
     // fallback artifact in case stdout is captured through a log wrapper

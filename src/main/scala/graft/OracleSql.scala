@@ -512,6 +512,23 @@ object OracleSql {
         |  FROM pairs)
         |SELECT a, b, ROUND(sim, 2) AS cos FROM scored WHERE sim >= 0.95 ORDER BY a, b""".stripMargin,
 
+    // IVF-Flat at nprobe = nlist is an exhaustive scan — provably equal to
+    // brute force, so the brute-force SQL pins the whole IVF machinery
+    // (k-means quantizer, list assignment, probe ordering, exact re-rank)
+    "ann_ivf_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+        |scored AS (
+        |  SELECT qid, cid,
+        |    list_aggregate(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(range(1, len(ce)+1), i -> CAST(ce[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE)), 'sum'))) AS sim
+        |  FROM c CROSS JOIN q WHERE qid <> cid),
+        |ranked AS (SELECT qid, cid, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank FROM scored)
+        |SELECT qid AS vec_id, CAST(rank AS BIGINT) AS rank, cid AS neighbor_id, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),

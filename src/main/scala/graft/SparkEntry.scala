@@ -663,6 +663,14 @@ object SparkEntry {
         .orderBy("vec_id", "rank")
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      // IVF-Flat; nprobe = nlist here → exhaustive (value-level oracle);
+      // nprobe ≪ nlist is the scale path, recall-measured in RecallSpec
+      Similarity.ivfTopK(docs(s, dir, "embeddings"), nQueries = 20, k = 3,
+        nlist = 16, nprobe = 16)
+        .orderBy("vec_id", "rank")
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       // scale path: LSH-bucketed; recall<1 by design → rows-only check
       Similarity.lshTopK(docs(s, dir, "embeddings"), nQueries = 20, k = 3)

@@ -179,6 +179,81 @@ object Similarity {
     topKPerQuery(cand, k)
   }
 
+  /** IVF-Flat ANN (the classic inverted-file index): a deterministic
+    * k-means coarse quantizer (init = the `nlist` lowest vec_ids, `iters`
+    * Lloyd rounds) partitions the corpus into inverted lists by nearest
+    * centroid; each query scans its `nprobe` nearest lists and re-ranks
+    * candidates by exact cosine through the same bounded-heap top-k as the
+    * other ANN paths. With nprobe = nlist the scan is exhaustive and the
+    * result provably equals brute force (that setting is the oracle query);
+    * nprobe ≪ nlist is the scale path (recall measured in RecallSpec).
+    *
+    * Scale notes: centroids are tiny (nlist × dim doubles) and live on the
+    * driver/broadcast; assignment is one narrow typed pass per Lloyd round
+    * plus a (cid, pos)-keyed avg aggregate whose output is nlist×dim rows —
+    * at 10^12 corpus rows each round is one shuffle of dim-sized partial
+    * sums, never embeddings. Queries explode to (qid, probe-cid) pairs and
+    * broadcast against the list-assigned corpus. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int, nlist: Int = 16,
+              nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic init: the nlist lowest ids (stable across runs/engines)
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy(col("vec_id")).limit(nlist).collect()
+      .map(_._2.map(_.toDouble).toArray)
+    def nearest(e: Seq[Float], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val cc = cs(c)
+        while (i < cc.length) { val t = e(i) - cc(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val cs = centroids
+      // per-dimension partial sums: (cid, pos) keyed avg — nlist×dim output
+      val next = corpus
+        .map { case (_, e) => (nearest(e, cs), e.map(_.toDouble)) }
+        .toDF("cid", "e")
+        .select(col("cid"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+        .collect()
+      val upd = centroids.map(_.clone())
+      next.foreach(r => upd(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = upd
+      it += 1
+    }
+    val cs = centroids
+    val lists = corpus.map { case (id, e) => (nearest(e, cs), id, e) }
+      .toDF("cid", "vid", "ce")
+    val queries = corpus.filter(_._1 < nQueries)
+      .flatMap { case (id, e) =>
+        // nprobe nearest centroids, nearest first
+        val order = cs.indices.sortBy { c =>
+          var d = 0.0; var i = 0
+          while (i < cs(c).length) { val t = e(i) - cs(c)(i); d += t * t; i += 1 }
+          d
+        }
+        order.take(nprobe).iterator.map(c => (c, id, e))
+      }
+      .toDF("cid", "qid", "qe")
+    val cand = lists.join(broadcast(queries), Seq("cid"))
+      .where(col("qid") =!= col("vid"))
+      .drop("cid") // the centroid id; the candidate id takes its name below
+      .withColumnRenamed("vid", "cid")
+      .withColumn("sim", cosineCol)
+    topKPerQuery(cand, k)
+  }
+
   /** Embedding-space near-duplicate pairs: every (a < b) with cosine ≥
     * `threshold`, for embedding-cosine dedup of training corpora.
     * Candidates come from `bands` independent sign-LSH bands (disjoint

@@ -191,6 +191,20 @@ class DocumentSpec extends AnyFunSuite {
     assert(quads.length == 4 && quads(0) == ((img.bounds.left, img.bounds.bottom)))
   }
 
+  test("image nested in a form XObject is found with its container level " +
+       "(test_pageobjects.py:268-282)") {
+    val p = load("form_object_with_image.pdf").page(0)
+    val imgs = p.objects(Set("image"))
+    // the reference asserts exactly one image whose container is a FORM
+    assert(imgs.length == 1, s"got ${imgs.length} images")
+    assert(imgs.head.level >= 1, "image must be nested inside the form (level ≥ 1)")
+    assert(p.objects(Set("form")).nonEmpty, "the form container itself enumerates")
+    // smart extraction reaches through the form
+    val extracted = ImageExtract.pageImages(p)
+    assert(extracted.length == 1)
+    assert(extracted.head.width == imgs.head.imgWidth && extracted.head.height == imgs.head.imgHeight)
+  }
+
   test("multipage boxes match pdfinfo golden (4dp)") {
     val d = load("multipage.pdf")
     def r4(v: Double) = math.round(v * 10000) / 10000.0

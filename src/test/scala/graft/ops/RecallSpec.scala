@@ -27,6 +27,34 @@ class RecallSpec extends AnyFunSuite {
     assert(hits >= 32, s"hits=$hits")
   }
 
+  test("IVF exhaustive (nprobe = nlist) equals brute force exactly") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ivf = Similarity.ivfTopK(emb, nQueries = 10, k = 3, nlist = 8, nprobe = 8)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 10, k = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(ivf.toSeq == bf.toSeq)
+  }
+
+  test("IVF scale path (nprobe ≪ nlist) finds planted near-duplicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val planted = base.take(40).map { case (id, e) =>
+      (id + 10000L, e.zipWithIndex.map { case (v, k) => v + (if (k % 7 == 0) 0.01f else 0f) })
+    }
+    val all = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    // a near-identical pair lands in the same inverted list unless it
+    // straddles a Voronoi boundary; nprobe=3 covers the straddle cases
+    val top1 = Similarity.ivfTopK(all, nQueries = 40, k = 1, nlist = 8, nprobe = 3)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = (0 until 40).count(i => top1.get(i.toLong).contains(i + 10000L))
+    info(s"IVF planted-near-dup recall@1 = ${hits / 40.0} ($hits/40)")
+    assert(hits >= 32, s"hits=$hits")
+  }
+
   test("LSH candidates are a strict subset of the corpus (sanity)") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
