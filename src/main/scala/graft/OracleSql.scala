@@ -316,6 +316,21 @@ object OracleSql {
         |  (3, '6002ec8188d888d1c1d45cfeadbebc9a', 7)
         |) AS t(new_idx, text_md5, n_chars)""".stripMargin,
 
+    // A/V typed metadata over deterministic payloads — durations: WAV
+    // 3200 B / 32 kB/s = 100 ms; MP4 mvhd 2500/1000 ts; MP3 CBR
+    // (1000-10)*8/128 = 61 ms
+    "av_payload_stats" ->
+      """SELECT url, magic, container_ok, CAST(channels AS INT) AS channels,
+        |  CAST(sample_rate AS INT) AS sample_rate, CAST(bits AS INT) AS bits,
+        |  CAST(duration_ms AS BIGINT) AS duration_ms, brand
+        |FROM (VALUES
+        |  ('av://clip.mp3', 'mp3', TRUE, 2, 44100, -1, 61, ''),
+        |  ('av://clip.mp4', 'mp4', TRUE, -1, -1, -1, 2500, 'isom'),
+        |  ('av://clip.wav', 'wav', TRUE, 2, 8000, 16, 100, ''),
+        |  ('av://junk.bin', 'bin', FALSE, -1, -1, -1, -1, '')
+        |) AS t(url, magic, container_ok, channels, sample_rate, bits, duration_ms, brand)
+        |ORDER BY url""".stripMargin,
+
     "pdf_payload_stats" ->
       """SELECT url, CAST(n_bytes AS BIGINT) AS n_bytes, sha256, magic,
         |  CAST(img_w AS BIGINT) AS img_w, CAST(img_h AS BIGINT) AS img_h

@@ -437,6 +437,23 @@ object SparkEntry {
         .orderBy("img")
     }),
 
+    "av_payload_stats" -> ((s, _) => {
+      import s.implicits._
+      // audio/video multimodal columns: typed container metadata from REAL
+      // header parses (WAV RIFF chunks, MP4 ftyp/mvhd, MP3 frame header)
+      // over deterministic payloads; the sample decode stays stubbed
+      // (Multimodal header note) — fields pinned by construction
+      import graft.ops.Multimodal.SynthAv
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val rows = Seq(
+        graft.spark.PageRow("av://clip.wav", ts, SynthAv.wavBytes(3200), null, null),
+        graft.spark.PageRow("av://clip.mp4", ts, SynthAv.mp4Bytes(2500), null, null),
+        graft.spark.PageRow("av://clip.mp3", ts, SynthAv.mp3Bytes(1000), null, null),
+        graft.spark.PageRow("av://junk.bin", ts, Array.tabulate[Byte](64)(i => (i * 37).toByte), null, null))
+      graft.ops.Multimodal.avPayloadMeta(s.createDataset(rows).repartition(2))
+        .toDF().orderBy("url")
+    }),
+
     "pdf_payload_stats" -> ((s, _) => {
       // multimodal binary-column plumbing: magic, hash, JPEG header decode
       val pages = PagesTable.ofFixtures(s, Seq("text.pdf", "multipage.pdf", "mona_lisa.jpg", "empty.pdf"))

@@ -78,6 +78,178 @@ object Multimodal {
     }
   }
 
+  /** Typed audio/video metadata — the multimodal-column contract for
+    * non-image payloads: the sample/frame DECODE stays stubbed (no codecs
+    * in the container), but the container headers are parsed for real.
+    * `duration_ms` is exact for WAV (data bytes / byte rate) and MP4
+    * (mvhd duration/timescale); for MP3 it is the CBR estimate from the
+    * first frame header. Unparseable payloads → magic + -1 fields. */
+  final case class AvMeta(
+      url: String,
+      magic: String,       // wav | mp3 | mp4 | webm | ogg | flac | bin …
+      container_ok: Boolean,
+      channels: Int,       // -1 when the container doesn't carry it
+      sample_rate: Int,
+      bits: Int,
+      duration_ms: Long,
+      brand: String)       // mp4 ftyp major brand; "" elsewhere
+
+  /** Audio/video container magics, extending [[detectMagic]]. */
+  def detectAvMagic(b: Array[Byte]): String = {
+    def ascii(off: Int, n: Int) =
+      if (b.length >= off + n) new String(b, off, n, java.nio.charset.StandardCharsets.ISO_8859_1) else ""
+    if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") "wav"
+    else if (ascii(0, 3) == "ID3") "mp3"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) "mp3"
+    else if (ascii(4, 4) == "ftyp") "mp4"
+    else if (b.length >= 4 && (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+             (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3) "webm"
+    else if (ascii(0, 4) == "OggS") "ogg"
+    else if (ascii(0, 4) == "fLaC") "flac"
+    else detectMagic(b)
+  }
+
+  private def le16(b: Array[Byte], i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  /** WAV: walk RIFF chunks for fmt (channels/rate/bits) and data (size). */
+  def wavMeta(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b.length < 12) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Long)] = None
+    var channels = -1; var rate = -1; var bits = -1; var byteRate = 0L; var dataLen = -1L
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val len = le32(b, i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        channels = le16(b, i + 10); rate = le32(b, i + 12).toInt
+        byteRate = le32(b, i + 16); bits = le16(b, i + 22)
+      } else if (id == "data") dataLen = len
+      // malformed/huge chunk length: stop walking (web payloads are hostile)
+      if (len < 0 || len > b.length) i = b.length
+      else i += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (channels > 0 && rate > 0 && dataLen >= 0 && byteRate > 0)
+      fmt = Some((channels, rate, bits, dataLen * 1000 / byteRate))
+    fmt
+  }
+
+  /** MP4: top-level box walk for ftyp (brand) and moov/mvhd
+    * (timescale + duration → ms). Version-0 mvhd (the common case). */
+  def mp4Meta(b: Array[Byte]): Option[(String, Long)] = {
+    var brand = ""
+    var durMs = -1L
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var i = start
+      while (i + 8 <= end && depth < 4) {
+        val size = be32(b, i.toInt)
+        val typ = new String(b, i.toInt + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        if (size < 8) return
+        val boxEnd = math.min(end, i + size)
+        typ match {
+          case "ftyp" if i + 12 <= end =>
+            brand = new String(b, i.toInt + 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+          case "moov" => walk(i + 8, boxEnd, depth + 1)
+          case "mvhd" if i + 28 <= end =>
+            val version = b(i.toInt + 8) & 0xff
+            if (version == 0) {
+              val timescale = be32(b, i.toInt + 20)
+              val duration = be32(b, i.toInt + 24)
+              if (timescale > 0) durMs = duration * 1000 / timescale
+            }
+          case _ => ()
+        }
+        i = boxEnd
+      }
+    }
+    if (b.length < 12) None
+    else { walk(0, b.length, 0); if (brand.nonEmpty) Some((brand, durMs)) else None }
+  }
+
+  private val Mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** MP3: skip an ID3v2 tag (syncsafe size), parse the first MPEG1-Layer3
+    * frame header → (channels, sample rate, CBR duration estimate). */
+  def mp3Meta(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    var i = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+      i = 10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) | ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+    if (i + 4 > b.length) return None
+    val h = be32(b, i)
+    // MPEG1 Layer3: sync ++ version 11 ++ layer 01
+    if ((h & 0xffe00000L) != 0xffe00000L || ((h >> 19) & 3) != 3 || ((h >> 17) & 3) != 1) return None
+    val bitrateIdx = ((h >> 12) & 0xf).toInt
+    val rateIdx = ((h >> 10) & 3).toInt
+    if (bitrateIdx == 0 || bitrateIdx == 15 || rateIdx == 3) return None
+    val mode = ((h >> 6) & 3).toInt
+    val channels = if (mode == 3) 1 else 2
+    val kbps = Mp3Bitrates(bitrateIdx)
+    val durMs = (b.length - i).toLong * 8 / kbps // CBR estimate
+    Some((channels, Mp3Rates(rateIdx), durMs))
+  }
+
+  /** Typed A/V metadata over the binary column — same init-once typed
+    * mapPartitions shape as [[payloadStats]]; no shuffle. */
+  def avPayloadMeta(pages: Dataset[PageRow]): Dataset[AvMeta] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.map { r =>
+      val b = if (r.html == null) Array.emptyByteArray else r.html
+      val magic = detectAvMagic(b)
+      try magic match {
+        case "wav" => wavMeta(b) match {
+          case Some((ch, sr, bits, dur)) => AvMeta(r.url, magic, true, ch, sr, bits, dur, "")
+          case None => AvMeta(r.url, magic, false, -1, -1, -1, -1L, "")
+        }
+        case "mp4" => mp4Meta(b) match {
+          case Some((brand, dur)) => AvMeta(r.url, magic, true, -1, -1, -1, dur, brand)
+          case None => AvMeta(r.url, magic, false, -1, -1, -1, -1L, "")
+        }
+        case "mp3" => mp3Meta(b) match {
+          case Some((ch, sr, dur)) => AvMeta(r.url, magic, true, ch, sr, -1, dur, "")
+          case None => AvMeta(r.url, magic, false, -1, -1, -1, -1L, "")
+        }
+        case m => AvMeta(r.url, m, false, -1, -1, -1, -1L, "")
+      } catch { case _: Exception => AvMeta(r.url, magic, false, -1, -1, -1, -1L, "") }
+    }
+  }
+
+  /** Deterministic A/V payload builders (SynthPdf's audio/video sibling):
+    * used by specs and by the `av_payload_stats` oracle query — fields are
+    * pinned by construction. */
+  object SynthAv {
+    private def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def le32(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def be32(v: Int) = le32(v).reverse
+    private def s(t: String) = t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+    /** 2ch/8kHz/16-bit PCM with `dataLen` data bytes (duration = dataLen/32 ms). */
+    def wavBytes(dataLen: Int): Array[Byte] =
+      s("RIFF") ++ le32(36 + dataLen) ++ s("WAVE") ++
+        s("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(8000) ++
+        le32(8000 * 2 * 2) ++ le16(4) ++ le16(16) ++
+        s("data") ++ le32(dataLen) ++ Array.fill[Byte](dataLen)(0)
+
+    /** isom MP4 with mvhd timescale 1000, duration `durTs` (= durTs ms). */
+    def mp4Bytes(durTs: Int): Array[Byte] = {
+      val mvhd = be32(108) ++ s("mvhd") ++ Array[Byte](0, 0, 0, 0) ++
+        be32(0) ++ be32(0) ++ be32(1000) ++ be32(durTs) ++ Array.fill[Byte](108 - 28)(0)
+      val moov = be32(8 + mvhd.length) ++ s("moov") ++ mvhd
+      be32(16) ++ s("ftyp") ++ s("isom") ++ be32(0) ++ moov
+    }
+
+    /** ID3v2 (empty) + one MPEG1-Layer3 128kbps/44100 stereo frame header,
+      * padded to `total` bytes (CBR duration = (total-10)*8/128 ms). */
+    def mp3Bytes(total: Int): Array[Byte] =
+      (s("ID3") ++ Array[Byte](3, 0, 0, 0, 0, 0, 0) ++
+        Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00)).padTo(total, 0.toByte)
+  }
+
   /** PNG dimensions from the IHDR chunk (bytes 16..23 after the signature). */
   def pngDims(b: Array[Byte]): Option[(Int, Int)] = {
     if (b.length < 24) return None
