@@ -27,7 +27,9 @@ import graft.core._
   *    luminosity render of the /G group), composited src-over onto the
   *    backdrop;
   *  - not modeled: transparency groups' isolated/knockout semantics
-  *    (groups are flattened onto the page backdrop).
+  *    (groups are flattened onto the page backdrop), and the text overlay
+  *    pass paints outside the soft-mask/blend state (glyphs composite
+  *    src-over in the show-time fill color).
   */
 object Rasterizer {
 

@@ -14,9 +14,12 @@ class BucketedJoinSpec extends AnyFunSuite {
 
   test("bucketed tables join with no Exchange; unbucketed join shuffles") {
     // managed tables land in the default warehouse; DROP TABLE in the
-    // finally block removes their files
+    // finally block removes their files.
+    // newSession(): isolated SQLConf (suites run in parallel on the shared
+    // SparkContext — mutating the shared session's conf would race them).
     // AQE rewrites small joins to broadcast, hiding the co-location
     // property under test; pin sort-merge for the plan assertion.
+    val spark = this.spark.newSession()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -48,10 +51,10 @@ class BucketedJoinSpec extends AnyFunSuite {
       val p = plain.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
       assert(b == p)
     } finally {
+      // the conf overrides die with this isolated session; only the
+      // (catalog-global) tables need cleanup
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
 }
