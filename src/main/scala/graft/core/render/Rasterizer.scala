@@ -26,10 +26,13 @@ import graft.core._
   *    non-separable ones (§11.3.5), and ExtGState soft masks (/SMask in gs,
   *    luminosity render of the /G group), composited src-over onto the
   *    backdrop;
-  *  - not modeled: transparency groups' isolated/knockout semantics
-  *    (groups are flattened onto the page backdrop), and the text overlay
-  *    pass paints outside the soft-mask/blend state (glyphs composite
-  *    src-over in the show-time fill color).
+  *  - transparency groups: a /Group /Transparency form under group-level
+  *    alpha/blend/soft-mask is flattened against the backdrop first and
+  *    composited ONCE (§11.4.7 non-isolated semantics — overlaps inside
+  *    the group don't double-darken);
+  *  - not modeled: isolated/knockout group distinctions, and the text
+  *    overlay pass paints outside the soft-mask/blend state (glyphs
+  *    composite src-over in the show-time fill color).
   */
 object Rasterizer {
 
@@ -659,7 +662,41 @@ object Rasterizer {
               case (Some(a), Some(b)) => Some(a.intersect(b))
               case (a, b) => a.orElse(b)
             }
-            walk(doc, doc.streamData(s), formRes, formCtm, bmp, level + 1, initClip = formClip)
+            val isTransparencyGroup = doc.resolve(xd("Group")) match {
+              case g: PdfDict => doc.resolve(g("S")) == PdfName("Transparency")
+              case _ => false
+            }
+            if (isTransparencyGroup &&
+                (gs.fillAlpha < 1.0 || gs.blend != BlendNormal || gs.softMask != null)) {
+              // §11.4.7 group compositing (non-isolated, non-knockout): the
+              // group is flattened against the backdrop FIRST, then composited
+              // once with the group-level alpha/blend/soft mask — per-object
+              // compositing would double-darken overlaps inside the group.
+              // Walk a backdrop copy with neutral alpha state, then mix:
+              // C = (1−α)·B + α·blend(B, flatten(B, group)).
+              val off = new Bitmap(bmp.width, bmp.height, 0)
+              System.arraycopy(bmp.buf, 0, off.buf, 0, bmp.buf.length)
+              walk(doc, doc.streamData(s), formRes, formCtm, off, level + 1, initClip = formClip)
+              val cr = formClip.getOrElse(ClipRegion.rect(0, 0, bmp.width - 1, bmp.height - 1))
+              var y = math.max(0, cr.y0)
+              while (y <= math.min(bmp.height - 1, cr.y1)) {
+                var x = math.max(0, cr.x0)
+                while (x <= math.min(bmp.width - 1, cr.x1)) {
+                  val i = y * bmp.width + x
+                  // untouched pixel ⇒ the group did not cover it (a group
+                  // mark that exactly reproduces the backdrop is skipped
+                  // too — indistinguishable in the opaque model, harmless)
+                  if (off.buf(i) != bmp.buf(i) && cr.allows(x, y)) {
+                    val a = if (gs.softMask == null) gs.fillAlpha
+                            else gs.fillAlpha * gs.softMask(i)
+                    if (a > 0) bmp.buf(i) = composeArgb(bmp.buf(i), off.buf(i), a, gs.blend)
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+            } else
+              walk(doc, doc.streamData(s), formRes, formCtm, bmp, level + 1, initClip = formClip)
           case _ => ()
         }
         case _ => ()

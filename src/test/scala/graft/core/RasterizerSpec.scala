@@ -515,6 +515,25 @@ class RasterizerSpec extends AnyFunSuite {
     assert(bmp.get(500, 400) == 0xFFFF0000, "after /SMask /None the fill is unmasked")
   }
 
+  test("transparency group: overlapping marks flatten before the group alpha") {
+    // two overlapping red rects inside a /Group /Transparency form, drawn
+    // under /ca 0.5: group semantics give a UNIFORM pink (flatten first,
+    // one composite); per-object compositing would double-darken overlap
+    val form = "1 0 0 rg 100 600 100 50 re f 150 600 100 50 re f"
+    val formObj = (s"<</Type/XObject/Subtype/Form/BBox[0 0 612 792]" +
+      s"/Group<</S/Transparency/CS/DeviceRGB>>/Length ${form.length}>>\nstream\n$form\nendstream").getBytes
+    val gsObj = "<</Type/ExtGState/ca 0.5>>".getBytes
+    val doc = PdfDocument.load(pageWith("/G1 gs /Fm Do",
+      "/ExtGState<</G1 4 0 R>>/XObject<</Fm 5 0 R>>", Vector(gsObj, formObj))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    val only = bmp.get(120, 792 - 625)      // covered by first rect only
+    val overlap = bmp.get(175, 792 - 625)   // covered by both
+    assert(only == overlap, f"only=$only%08x overlap=$overlap%08x — overlap double-composited")
+    assert(((only >> 16) & 0xff) == 255 && math.abs(((only >> 8) & 0xff) - 128) <= 1,
+      f"expected ~FFFF8080, got $only%08x")
+    assert(bmp.get(90, 792 - 625) == 0xFFFFFFFF, "outside the group untouched")
+  }
+
   test("non-separable blends: Hue/Color/Luminosity per §11.3.5.3") {
     // gray src in Hue mode over red dst → gray at the dst's luminosity (0.3)
     val hue = Rasterizer.composeArgb(0xFFFF0000, 0xFF808080, 1.0, Rasterizer.BlendHue)
