@@ -148,7 +148,9 @@ object Bench {
     val effMedian =
       if (effs.length % 2 == 1) effs(effs.length / 2)
       else (effs(effs.length / 2 - 1) + effs(effs.length / 2)) / 2.0
-    val effFlagged = effMedian > 1.05 || quietPairs.isEmpty
+    // under-target quiet-pair count = the window never settled; the median
+    // over so few pairs is not certifiable either way → flagged
+    val effFlagged = effMedian > 1.05 || quietPairs.length < reps
     val eff = math.min(effMedian, 1.0)
     // rate-median variant (secondary): median per-level docs/sec across the
     // quiet pairs, then the ratio — robust to one distorted leg (which a

@@ -55,6 +55,22 @@ class RecallSpec extends AnyFunSuite {
     assert(hits >= 32, s"hits=$hits")
   }
 
+  test("embedding near-dup pairs: perturbed (not just scaled) replicas recalled") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val planted = base.take(40).map { case (id, e) =>
+      (id + 10000L, e.zipWithIndex.map { case (v, k) => v + (if (k % 7 == 0) 0.01f else 0f) })
+    }
+    val all = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val found = Similarity.embeddingNearDupPairs(all, threshold = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val hits = (0 until 40).count(i => found.contains((i.toLong, i + 10000L)))
+    info(s"perturbed near-dup pair recall = ${hits / 40.0} ($hits/40)")
+    assert(hits >= 32, s"hits=$hits")
+  }
+
   test("LSH candidates are a strict subset of the corpus (sanity)") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
