@@ -25,6 +25,21 @@ class RecoverySpec extends AnyFunSuite {
     assertRecovered(mangled.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), "garbage startxref")
   }
 
+  test("writer over a RECOVERED document: save never throws, copy re-extracts") {
+    // web-scale save path: a reconstructed (linear-scanned) document must
+    // serialize to a clean classic-xref copy that round-trips
+    val s = new String(clean, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val idx = s.lastIndexOf("startxref")
+    val mangled = (s.substring(0, idx) + "startxref\n999999999\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val doc = PdfDocument.load(mangled).toOption.get
+    val saved = PdfWriter.write(doc)
+    assertRecovered(saved, "saved copy of recovered doc")
+    // and the copy now parses through the NORMAL xref path (no recovery)
+    val re = PdfDocument.load(saved).toOption.get
+    assert(re.pageCount == 2)
+  }
+
   test("leading junk shifts all offsets → reconstruction") {
     val junk = "<!-- proxy noise -->\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     val shifted = junk ++ clean
