@@ -37,12 +37,14 @@ import graft.core._
 object Rasterizer {
 
   /** Render a page at `scale` pixels per PDF unit. Mirrors the reference's
-    * render surface (page.py:354-494): `rotation` ∈ {0,90,180,270} rotates
-    * the OUTPUT image clockwise; `crop` = (left, bottom, right, top) PDF
-    * units cut from each side before rotation; `fillColor` is the backdrop
-    * ARGB (fill_color analog); `drawAnnots` paints annotation /AP /N
-    * appearance streams on top — the `draw_forms` analog (page.py:490-491
-    * FPDF_FFLDraw). */
+    * render surface exactly (page.py:454-479): `rotation` ∈ {0,90,180,270}
+    * rotates the OUTPUT image clockwise; `crop` = (left, bottom, right,
+    * top) PDF units, each ceil-scaled to pixels and cut from the
+    * corresponding side of the ROTATED image (FPDF_RenderPageBitmap is
+    * positioned at (−crop_left, −crop_top) of the rotated full-page
+    * render); `fillColor` is the backdrop ARGB (fill_color analog);
+    * `drawAnnots` paints annotation /AP /N appearance streams on top — the
+    * `draw_forms` analog (page.py:490-491 FPDF_FFLDraw). */
   def render(page: PdfPage, scale: Double = 1.0, drawAnnots: Boolean = true,
              rotation: Int = 0,
              crop: (Double, Double, Double, Double) = (0, 0, 0, 0),
@@ -50,23 +52,28 @@ object Rasterizer {
     require(rotation == 0 || rotation == 90 || rotation == 180 || rotation == 270,
       s"rotation must be 0/90/180/270, got $rotation")
     val full = page.bbox
-    val bbox = Rect(full.left + crop._1, full.bottom + crop._2,
-      full.right - crop._3, full.top - crop._4)
-    require(bbox.width > 0 && bbox.height > 0, "crop leaves an empty page box")
-    val w0 = math.max(1, math.ceil(bbox.width * scale).toInt)
-    val h0 = math.max(1, math.ceil(bbox.height * scale).toInt)
-    val (w, h) = if (rotation == 90 || rotation == 270) (h0, w0) else (w0, h0)
+    val w0 = math.max(1, math.ceil(full.width * scale).toInt)
+    val h0 = math.max(1, math.ceil(full.height * scale).toInt)
+    // rotated full-page size, then crop pixels off each image side
+    val (sw, sh) = if (rotation == 90 || rotation == 270) (h0, w0) else (w0, h0)
+    val cl = math.ceil(crop._1 * scale).toInt
+    val cb = math.ceil(crop._2 * scale).toInt
+    val cr = math.ceil(crop._3 * scale).toInt
+    val ct = math.ceil(crop._4 * scale).toInt
+    val w = sw - cl - cr
+    val h = sh - cb - ct
+    require(w >= 1 && h >= 1, "Crop exceeds page dimensions")
     val bmp = new Bitmap(w, h, fillColor)
     // page space (y-up) → unrotated bitmap space (y-down), then a device-
-    // space quarter-turn: 90° cw maps (x,y) → (h0−y, x), 180° → (w0−x, h0−y),
-    // 270° → (y, w0−x).
-    val dev0 = Mat(scale, 0, 0, -scale, -bbox.left * scale, bbox.top * scale)
-    val dev = rotation match {
+    // space quarter-turn (90° cw maps (x,y) → (h0−y, x), 180° → (w0−x,
+    // h0−y), 270° → (y, w0−x)), then the (−left, −top) crop offset.
+    val dev0 = Mat(scale, 0, 0, -scale, -full.left * scale, full.top * scale)
+    val dev = (rotation match {
       case 90 => dev0.multiply(Mat(0, 1, -1, 0, h0, 0))
       case 180 => dev0.multiply(Mat(-1, 0, 0, -1, w0, h0))
       case 270 => dev0.multiply(Mat(0, -1, 1, 0, 0, w0))
       case _ => dev0
-    }
+    }).multiply(Mat.identity.translate(-cl, -ct))
     // malformed content must yield a partial render, never a crash — this
     // runs inside tasks over untrusted web payloads
     try walk(page.doc, page.contentBytes, page.resources, dev, bmp, 0)

@@ -487,6 +487,50 @@ class RasterizerSpec extends AnyFunSuite {
     assert(offCell == 0xFFFFFFFF, f"off-cell=$offCell%08x")
   }
 
+  test("render transform matrix: crop×scale×rotation combos " +
+       "(test_rendering.py:39-91 port, ExpRenderPixels conftest.py:52-57)") {
+    val doc = PdfDocument.load(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/resources/render.pdf"))).toOption.get
+    val page = doc.page(0)
+    val pw = page.bbox.width; val ph = page.bbox.height
+    // reference expected pixels at scale 1 in image coords (top-left origin)
+    val exp = Seq(
+      ((0, 0), (255, 255, 255)),
+      ((150, 180), (129, 212, 26)),
+      ((150, 390), (42, 96, 153)),
+      ((150, 570), (128, 0, 128)))
+    val combos = Seq( // (crop l,b,r,t), scale, rotation — the reference's 11 rows
+      ((0.0, 0.0, 0.0, 0.0), 0.25, 0), ((0.0, 0.0, 0.0, 0.0), 0.5, 90),
+      ((0.0, 0.0, 0.0, 0.0), 0.75, 180), ((0.0, 0.0, 0.0, 0.0), 1.0, 270),
+      ((100.0, 0.0, 0.0, 0.0), 0.5, 0), ((0.0, 100.0, 0.0, 0.0), 0.5, 0),
+      ((0.0, 0.0, 100.0, 0.0), 0.5, 0), ((0.0, 0.0, 0.0, 100.0), 0.5, 0),
+      ((0.0, 100.0, 0.0, 0.0), 0.5, 90), ((0.0, 0.0, 100.0, 0.0), 0.5, 180),
+      ((0.0, 0.0, 0.0, 100.0), 0.5, 270))
+    combos.foreach { case ((l, b, r, t), scale, rot) =>
+      val bmp = Rasterizer.render(page, scale = scale, rotation = rot, crop = (l, b, r, t))
+      val (cl, cb, cr, ct) = (math.ceil(l * scale).toInt, math.ceil(b * scale).toInt,
+        math.ceil(r * scale).toInt, math.ceil(t * scale).toInt)
+      var w = math.ceil(pw * scale).toInt; var h = math.ceil(ph * scale).toInt
+      if (rot == 90 || rot == 270) { val tmp = w; w = h; h = tmp }
+      val cw = w - cl - cr; val ch = h - cb - ct
+      assert(bmp.width == cw && bmp.height == ch,
+        s"dims ${bmp.width}x${bmp.height} != ${cw}x$ch at scale=$scale rot=$rot crop=($l,$b,$r,$t)")
+      exp.foreach { case ((ex, ey), (er, eg, eb)) =>
+        var x = math.round(ex * scale).toInt; var y = math.round(ey * scale).toInt
+        if (rot == 90 || rot == 270) { val tmp = x; x = y; y = tmp }
+        if (rot == 90 || rot == 180) x = w - 1 - x
+        if (rot == 180 || rot == 270) y = h - 1 - y
+        x -= cl; y -= ct
+        if (0 <= x && x < cw && 0 <= y && y < ch) {
+          val p = bmp.get(x, y)
+          val (pr, pg, pb) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+          assert(math.abs(pr - er) <= 2 && math.abs(pg - eg) <= 2 && math.abs(pb - eb) <= 2,
+            f"pixel ($x,$y) = $p%08x, want ($er,$eg,$eb) at scale=$scale rot=$rot crop=($l,$b,$r,$t)")
+        }
+      }
+    }
+  }
+
   // ---- round-3 additions: soft masks, non-separable blends, render opts ----
 
   test("ExtGState /SMask (luminosity): paint shows only where the group is lit") {
