@@ -531,6 +531,38 @@ class RasterizerSpec extends AnyFunSuite {
     }
   }
 
+  test("render output formats on render.pdf: BGRx pixels, Gray dims, fill colors " +
+       "(test_rendering.py:97-171 port)") {
+    val doc = PdfDocument.load(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/resources/render.pdf"))).toOption.get
+    val page = doc.page(0)
+    // BGRx byte layout at the reference's expected pixels (x byte = 255)
+    val bmp = Rasterizer.render(page)
+    val bgrx = bmp.toBytes("BGRx")
+    Seq(((0, 0), (255, 255, 255)), ((150, 180), (129, 212, 26)),
+        ((150, 390), (42, 96, 153)), ((150, 570), (128, 0, 128))).foreach {
+      case ((x, y), (er, eg, eb)) =>
+        val o = (y * bmp.width + x) * 4
+        val (b, g, r, xx) = (bgrx(o) & 0xff, bgrx(o + 1) & 0xff, bgrx(o + 2) & 0xff, bgrx(o + 3) & 0xff)
+        assert(math.abs(r - er) <= 2 && math.abs(g - eg) <= 2 && math.abs(b - eb) <= 2 && xx == 255,
+          s"($x,$y): got ($r,$g,$b,$xx), want ($er,$eg,$eb,255)")
+    }
+    // grayscale at scale 0.5: reference pins size (298, 421), mode L
+    val half = Rasterizer.render(page, scale = 0.5)
+    assert(half.width == 298 && half.height == 421)
+    val gray = half.toBytes("Gray")
+    assert(gray.length == 298 * 421)
+    assert((gray(0) & 0xff) == 255) // white background → luma 255
+    // fill_color matrix: the (0,0) background pixel equals the fill color
+    Seq((60, 70, 80), (0, 255, 255), (255, 0, 255), (255, 255, 0)).foreach {
+      case (r, g, b) =>
+        val f = Rasterizer.render(page, scale = 0.5,
+          fillColor = render.Bitmap.colorToHex(r, g, b, 255))
+        assert(f.get(0, 0) == (0xFF000000 | (r << 16) | (g << 8) | b),
+          f"fill ($r,$g,$b): got ${f.get(0, 0)}%08x")
+    }
+  }
+
   // ---- round-3 additions: soft masks, non-separable blends, render opts ----
 
   test("ExtGState /SMask (luminosity): paint shows only where the group is lit") {
