@@ -505,11 +505,38 @@ object OracleSql {
          |WHERE len(list_intersect(a.s, b.s)) >= len(list_distinct(list_concat(a.s, b.s))) * 0.5
          |ORDER BY a, b""".stripMargin,
 
+    // SimHash brute force: rebuild every 64-bit fingerprint in SQL
+    // (md5_number_upper = little-endian first-8-bytes of md5 — the exact
+    // bit pattern graft.ops.Dedup.shingleHashMd5 produces), then pair all
+    // docs with hamming ≤ 3. The banded Spark pipeline guarantees recall
+    // for hamming ≤ 3 (Manku 3-of-6 block combinations), so its output
+    // must equal this exhaustive pair set value-for-value.
+    "dedup_simhash" ->
+      s"""WITH $corpusCte, $shinglesCte,
+         |u AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),
+         |hv AS (SELECT doc_id, md5_number_upper(g) AS h FROM u),
+         |bits AS (
+         |  SELECT doc_id, b.bit AS bit,
+         |    SUM(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+         |  FROM hv CROSS JOIN (SELECT CAST(range AS INT) AS bit FROM range(0,64)) b
+         |  GROUP BY 1, 2),
+         |fp AS (
+         |  SELECT doc_id,
+         |    bit_or(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << bit) ELSE CAST(0 AS UBIGINT) END) AS fp
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS a, b.doc_id AS b, CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         |ORDER BY a, b""".stripMargin,
+
     // ---- similarity --------------------------------------------------------
     // embedding-cosine near-dup pairs: brute-force oracle over base ∪
-    // ×1.1-scaled replicas (float-rounded exactly like the Spark side);
-    // the LSH-banded implementation has recall 1.0 for scale-duplicates by
-    // construction, so the value sets match exactly
+    // ×1.1-scaled replicas (float-rounded exactly like the Spark side),
+    // restricted to the PLANTED pairs (b = a+100000) on both sides — those
+    // have LSH recall 1.0 by construction (positive scaling preserves every
+    // projection sign), so the equality is robust to fixture regeneration;
+    // an accidental base↔base near-pair would only be found by banded LSH
+    // with ~56% probability and must not enter the comparison
     "dedup_embedding" ->
       """WITH base AS (SELECT vec_id, embedding FROM embeddings),
         |rep AS (SELECT vec_id + 100000 AS vec_id,
@@ -525,7 +552,8 @@ object OracleSql {
         |    / (sqrt(list_aggregate(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)), 'sum'))
         |     * sqrt(list_aggregate(list_transform(range(1, len(ce)+1), i -> CAST(ce[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE)), 'sum'))) AS sim
         |  FROM pairs)
-        |SELECT a, b, ROUND(sim, 2) AS cos FROM scored WHERE sim >= 0.95 ORDER BY a, b""".stripMargin,
+        |SELECT a, b, ROUND(sim, 2) AS cos FROM scored
+        |WHERE sim >= 0.95 AND b = a + 100000 ORDER BY a, b""".stripMargin,
 
     // IVF-Flat at nprobe = nlist is an exhaustive scan — provably equal to
     // brute force, so the brute-force SQL pins the whole IVF machinery
@@ -543,6 +571,16 @@ object OracleSql {
         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank FROM scored)
         |SELECT qid AS vec_id, CAST(rank AS BIGINT) AS rank, cid AS neighbor_id, round(sim, 4) AS sim
         |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // recall-floor gate for the approximate path: the Spark side computes
+    // per-query hits of LSH top-k against exact brute-force top-k and
+    // reports whether each query cleared the floor; the oracle pins the
+    // engine-independent contract "every query clears the floor". A recall
+    // regression (probe budget, signature, margin ordering) flips rows to
+    // false → hash mismatch.
+    "ann_lsh_topk" ->
+      """SELECT vec_id, CAST(3 AS BIGINT) AS k, TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),

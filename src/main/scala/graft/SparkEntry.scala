@@ -655,7 +655,9 @@ object SparkEntry {
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      // no SQL oracle (bit-level sketch); rows-only check + ScalaTest coverage
+      // full value-level oracle: DuckDB rebuilds the md5-based fingerprints
+      // and brute-forces all hamming ≤ 3 pairs; banding guarantees recall
+      // for hamming ≤ 3 so the sets must match exactly
       Dedup.simhashPairs(Dedup.corpusWithReplicas(docs(s, dir, "documents").select(col("doc_id"), col("text"))))
         .orderBy("a", "b")
     }),
@@ -671,7 +673,14 @@ object SparkEntry {
       val replicas = vecs.where(col("vec_id") % 10 === 0)
         .select((col("vec_id") + lit(100000L)).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.1f)).cast("array<float>").as("embedding"))
+      // oracle compares the PLANTED pairs only (b = a+100000): those have
+      // recall 1.0 by construction (scaling preserves every LSH sign), so
+      // the check is robust to fixture regeneration — an accidental
+      // base↔base 0.95-cosine pair would otherwise be found by the
+      // brute-force oracle but only probabilistically by banded LSH
+      // (ADVICE r3 #5)
       Similarity.embeddingNearDupPairs(vecs.unionByName(replicas), threshold = 0.95)
+        .where(col("b") === col("a") + 100000L)
         .orderBy("a", "b")
     }),
 
@@ -689,9 +698,13 @@ object SparkEntry {
     }),
 
     "ann_lsh_topk" -> ((s, dir) => {
-      // scale path: LSH-bucketed; recall<1 by design → rows-only check
-      Similarity.lshTopK(docs(s, dir, "embeddings"), nQueries = 20, k = 3)
-        .orderBy("vec_id", "rank")
+      // scale path: LSH-bucketed multi-probe, recall<1 by design on natural
+      // data — so the value-level gate is recovery of PLANTED ground truth
+      // (a ×1.1-scaled replica per query: cosine 1.0, same LSH bucket by
+      // sign-preservation, so the true top-1 MUST be found); the DuckDB
+      // oracle pins all-true. Natural-data recall is measured in RecallSpec.
+      Similarity.lshPlantedRecall(docs(s, dir, "embeddings"), nQueries = 20, k = 3)
+        .orderBy("vec_id")
     }),
 
     // ---- text analysis ----------------------------------------------------

@@ -93,18 +93,32 @@ object PdfWriter {
     val isJpeg = bytes.length >= 3 &&
       (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff
     if (isJpeg) {
-      // SOFn frame header: dims + component count (1 gray, 3 YCbCr, 4 CMYK)
+      // SOFn frame header: dims + component count (1 gray, 3 YCbCr, 4 CMYK).
+      // Marker walk per ITU T.81 §B.1.1: any number of 0xFF fill bytes may
+      // precede a marker code, and standalone markers (TEM, RSTn) carry no
+      // length segment — both occur in valid JPEGs (ADVICE r3 #3).
       var i = 2
       var dims: (Int, Int, Int) = null
-      while (dims == null && i + 9 < bytes.length) {
+      while (dims == null && i + 1 < bytes.length) {
         if ((bytes(i) & 0xff) != 0xff) throw new IllegalArgumentException("bad JPEG marker stream")
+        // skip 0xFF fill bytes: the marker code is the first non-FF byte
+        while (i + 1 < bytes.length && (bytes(i + 1) & 0xff) == 0xff) i += 1
+        if (i + 1 >= bytes.length) throw new IllegalArgumentException("truncated JPEG marker stream")
         val marker = bytes(i + 1) & 0xff
-        val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
-        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
-          dims = (((bytes(i + 7) & 0xff) << 8) | (bytes(i + 8) & 0xff),
-                  ((bytes(i + 5) & 0xff) << 8) | (bytes(i + 6) & 0xff),
-                  bytes(i + 9) & 0xff)
-        i += 2 + len
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
+          // standalone marker (TEM/RSTn/SOI/EOI): no length field
+          i += 2
+        } else {
+          if (i + 3 >= bytes.length) throw new IllegalArgumentException("truncated JPEG segment")
+          val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+          if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            if (i + 9 >= bytes.length) throw new IllegalArgumentException("truncated SOF segment")
+            dims = (((bytes(i + 7) & 0xff) << 8) | (bytes(i + 8) & 0xff),
+                    ((bytes(i + 5) & 0xff) << 8) | (bytes(i + 6) & 0xff),
+                    bytes(i + 9) & 0xff)
+          }
+          i += 2 + len
+        }
       }
       if (dims == null) throw new IllegalArgumentException("JPEG without SOF marker")
       val cs = dims._3 match {

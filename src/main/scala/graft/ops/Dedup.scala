@@ -104,6 +104,24 @@ object Dedup {
     (scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
       (scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL)
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** MD5-based 64-bit shingle hash: first 8 MD5 bytes, little-endian — the
+    * exact bit pattern DuckDB's `md5_number_upper(s)` returns (verified
+    * against DuckDB 1.0), so SimHash fingerprints built from it are
+    * recomputable in plain SQL and the banded pipeline gets a value-level
+    * brute-force oracle. Marginally slower than [[shingleHash]]; used only
+    * where oracle replicability matters (SimHash). */
+  def shingleHashMd5(s: String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+  }
+
   /** splitmix64 avalanche — a deterministic, well-mixing permutation proxy. */
   @inline private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -174,7 +192,7 @@ object Dedup {
     // primitive sorted-merge per pair (typed map — no per-pair hash sets)
     val pa = prepared.select(col("doc_id").as("a"), col("hs").as("ha"))
     val pb = prepared.select(col("doc_id").as("b"), col("hs").as("hb"))
-    cand.join(pa, Seq("a")).join(pb, Seq("b"))
+    val out = cand.join(pa, Seq("a")).join(pb, Seq("b"))
       .select(col("a"), col("b"), col("ha"), col("hb"))
       .as[(Long, Long, Array[Long], Array[Long])]
       .flatMap { case (a, b, ha, hb) =>
@@ -183,6 +201,11 @@ object Dedup {
         if (inter >= union * threshold) Some((a, b, inter.toLong, union.toLong)) else None
       }
       .toDF("a", "b", "inter_cnt", "union_cnt")
+      // eager materialization (threshold-pruned pair set) releases the
+      // shingle cache instead of letting repeated calls accumulate blocks
+      .localCheckpoint(true)
+    prepared.unpersist(false)
+    out
   }
 
   /** MinHash over pre-hashed shingles. */
@@ -237,7 +260,7 @@ object Dedup {
         pmod(xxhash64(col("doc_id")), greatest(ceil(col("blk_n") / maxBlock), lit(1))))
     val l = salted.select(col("blk"), col("sub"), col("doc_id").as("a"), col("hs").as("ha"))
     val r = salted.select(col("blk"), col("sub"), col("doc_id").as("b"), col("hs").as("hb"))
-    l.join(r, Seq("blk", "sub")).where(col("a") < col("b"))
+    val out = l.join(r, Seq("blk", "sub")).where(col("a") < col("b"))
       .select(col("a"), col("b"), col("ha"), col("hb"))
       .as[(Long, Long, Array[Long], Array[Long])]
       .flatMap { case (a, b, ha, hb) =>
@@ -246,13 +269,19 @@ object Dedup {
         if (inter >= union * threshold) Some((a, b, inter.toLong, union.toLong)) else None
       }
       .toDF("a", "b", "inter_cnt", "union_cnt")
+      .localCheckpoint(true)
+    withSh.unpersist(false)
+    out
   }
 
-  /** 64-bit SimHash over word 3-gram shingles. Deterministic. */
-  def simhash64(shingles: Seq[String]): Long = {
+  /** 64-bit SimHash over word 3-gram shingles. Deterministic. `hash` picks
+    * the per-shingle hash: [[shingleHash]] (fast murmur, default) or
+    * [[shingleHashMd5]] (SQL-replicable — what [[simhashPairs]] uses so the
+    * DuckDB oracle can rebuild identical fingerprints). */
+  def simhash64(shingles: Seq[String], hash: String => Long = shingleHash): Long = {
     val acc = new Array[Int](64)
     shingles.foreach { s =>
-      val h = shingleHash(s)
+      val h = hash(s)
       var bit = 0
       while (bit < 64) {
         if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
@@ -396,6 +425,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"Dedup.clustersLabelProp: no convergence after $maxIter rounds — component diameter exceeds cap")
+    edges.unpersist(false)
     labels
   }
 
@@ -437,7 +467,9 @@ object Dedup {
     * larger than `maxBucket` (mass-identical boilerplate at web scale) are
     * sub-split by doc-id hash — the same bounded-candidates cap as
     * [[jaccardBlocked]]; sub-capped buckets keep intact pairs only within
-    * sub-blocks. */
+    * sub-blocks. Fingerprints use [[shingleHashMd5]] so the DuckDB oracle
+    * rebuilds them bit-identically (brute-force hamming ≤ maxHamming) —
+    * the banding's guaranteed-recall claim is value-checked, not argued. */
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 3,
                    maxBucket: Int = 10000): DataFrame = {
     val spark = corpus.sparkSession
@@ -447,7 +479,7 @@ object Dedup {
       .map { case (id, text) => (id, shingleStrings(text)) }
       .filter(_._2.nonEmpty)
       .flatMap { case (id, sh) =>
-        val fp = simhash64(sh)
+        val fp = simhash64(sh, shingleHashMd5)
         simhashBandKeys(fp).iterator.map(bk => (id, fp, bk))
       }
       .toDF("doc_id", "fp", "bk")
@@ -461,10 +493,13 @@ object Dedup {
         pmod(xxhash64(col("doc_id")), greatest(ceil(col("bk_n") / maxBucket), lit(1))))
     val l = salted.select(col("bk"), col("sub"), col("doc_id").as("a"), col("fp").as("fpa"))
     val r = salted.select(col("bk"), col("sub"), col("doc_id").as("b"), col("fp").as("fpb"))
-    l.join(r, Seq("bk", "sub")).where(col("a") < col("b"))
+    val out = l.join(r, Seq("bk", "sub")).where(col("a") < col("b"))
       .dropDuplicates("a", "b")
       .withColumn("hamming", bit_count(col("fpa").bitwiseXOR(col("fpb"))))
       .where(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+      .localCheckpoint(true)
+    banded.unpersist(false)
+    out
   }
 }

@@ -69,9 +69,12 @@ class OpsSpec extends AnyFunSuite {
 
   test("simhash pipeline pairs near-identical docs; far docs excluded") {
     import spark.implicits._
-    val base = Seq.tabulate(80)(i => s"w$i").mkString(" ")
+    // 500 tokens → dropping the last word removes 3 of 498 shingles; the
+    // md5-based fingerprints differ by hamming 1 (deterministic), far docs
+    // by ~29 — comfortably either side of the ≤3 pairing bar
+    val base = Seq.tabulate(500)(i => s"w$i").mkString(" ")
     val near = base.split(" ", -1).dropRight(1).mkString(" ")
-    val far = Seq.tabulate(80)(i => s"z$i").mkString(" ")
+    val far = Seq.tabulate(500)(i => s"z$i").mkString(" ")
     val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
     val pairs = Dedup.simhashPairs(docs).select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
