@@ -42,6 +42,28 @@ object SynthPdf {
         ++ cBytes ++ "\nendstream".getBytes): Array[Byte]))
   }
 
+  /** N-page classic-xref PDF (one text line per page) — the size-skew
+    * "monster document" generator for the skew-stress bench (a 5000-page
+    * doc among 1-pagers). Object layout: 1 catalog, 2 pages node,
+    * 3+2i page i, 4+2i its content, last = shared font. */
+  def multiPage(nPages: Int): Array[Byte] = {
+    val fontRef = 3 + 2 * nPages
+    val objs = Vector.newBuilder[Array[Byte]]
+    objs += "<</Type/Catalog/Pages 2 0 R>>".getBytes
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    objs += s"<</Type/Pages/Kids[$kids]/Count $nPages>>".getBytes
+    var i = 0
+    while (i < nPages) {
+      objs += (s"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]" +
+        s"/Resources<</Font<</F1 $fontRef 0 R>>>>/Contents ${4 + 2 * i} 0 R>>").getBytes
+      val content = s"BT /F1 12 Tf 72 720 Td (Page ${i + 1} of $nPages) Tj ET"
+      objs += (s"<</Length ${content.length}>>\nstream\n$content\nendstream").getBytes
+      i += 1
+    }
+    objs += "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>".getBytes
+    build(objs.result())
+  }
+
   /** Type0 font dict with a predefined encoding CMap and no ToUnicode. */
   def type0FontDict(baseFont: String, encoding: String, registry: String,
                     ordering: String, dw: Int = 1000): String =

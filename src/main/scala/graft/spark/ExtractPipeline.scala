@@ -73,6 +73,35 @@ object ExtractPipeline {
     mapParse(pages.repartition(parts, xxhash64(col("url"), lit(salt))), password)
   }
 
+  /** Size-routed extraction — the skew answer that doesn't pay for the
+    * common case: rows with payloads ≤ `heavyBytes` are parsed narrow
+    * (shuffle-free, where the scan produced them); only the heavy tail is
+    * salted-repartitioned so monster documents spread one-per-task instead
+    * of gating whichever input partition they clustered in. The shuffle
+    * then carries only the rare big payloads (BenchSkew: 32 monsters ≈
+    * 200 MB) instead of the whole corpus — full-corpus salting measurably
+    * LOSES wall time at realistic mixes because shipping every payload
+    * costs more than the straggler it removes (the reference's own
+    * parallel-processing lesson, changelog.md:447-453). Input is scanned
+    * twice (once per branch) but the filter is a cheap length check
+    * against a column the branch reads anyway, and each row is PARSED
+    * exactly once. */
+  def extractSizeRouted(pages: Dataset[PageRow], password: String = "",
+                        heavyBytes: Int = 1 << 20, numPartitions: Int = 0): Dataset[ExtractedDoc] = {
+    val spark = pages.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    import spark.implicits._
+    val small = pages.where(length(col("html")) <= heavyBytes)
+    val heavy = pages.where(length(col("html")) > heavyBytes)
+      .repartition(parts, xxhash64(col("url")))
+    // the two branches run as different stages whose task ids both start at
+    // 0 — offset the heavy branch so partition_id stays a distinct lineage
+    // key in the metrics table (per-task stats must not merge two tasks)
+    mapParse(small, password).unionByName(
+      mapParse(heavy, password).map(d => d.copy(partition_id = d.partition_id + 1000000)))
+  }
+
   private def mapParse(pages: Dataset[PageRow], password: String): Dataset[ExtractedDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._

@@ -37,6 +37,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("size-routed extraction: identical results, heavy rows routed to shuffled branch") {
+    import spark.implicits._
+    val pages = PagesTable.synthesize(spark, 60, 4) // includes 233 KB multipage.pdf heavies
+    val a = ExtractPipeline.extract(pages).select("url", "n_chars").as[(String, Long)].collect().toMap
+    val routed = ExtractPipeline.extractSizeRouted(pages, heavyBytes = 100 << 10)
+    val b = routed.select("url", "n_chars").as[(String, Long)].collect().toMap
+    assert(a == b)
+    // every heavy doc (multipage.pdf rows) reports the offset lineage id of
+    // the shuffled branch; every small doc stays in the narrow branch
+    val branchByUrl = routed.select("url", "partition_id").as[(String, Int)].collect()
+    assert(branchByUrl.forall { case (url, pid) =>
+      if (url.startsWith("fixture://multipage.pdf")) pid >= 1000000 else pid < 1000000
+    })
+  }
+
   test("metrics table: one row per partition, totals add up") {
     val pages = PagesTable.synthesize(spark, 96, 6)
     val ext = ExtractPipeline.extract(pages)
