@@ -442,6 +442,34 @@ object OracleSql {
         |  ('fixture://text.pdf', 2, 541, '')
         |) AS t(url, n_pages, n_chars, err_code) ORDER BY url""".stripMargin,
 
+    // mutation round trip: the box/rotation values are the EDIT ITSELF read
+    // back through the getters (semantics-pinned, not implementation-
+    // pinned); texts_match asserts the post-edit page sequence carries the
+    // expected original texts; attachment names are the post-edit list in
+    // name-tree (sorted) order
+    "pdf_edit_roundtrip" ->
+      """SELECT fixture, CAST(n_pages AS BIGINT) AS n_pages, CAST(rot0 AS BIGINT) AS rot0,
+        |  mediabox0, cropbox0, texts_match, att_names
+        |FROM (VALUES
+        |  ('attachments.pdf', 1, 0, '0 0 612 792', '0 0 612 792', TRUE, 'attached.pdf,zz.bin'),
+        |  ('multipage.pdf', 3, 90, '0 0 300 400', '10 10 290 390', TRUE, 'note.txt')
+        |) AS t(fixture, n_pages, rot0, mediabox0, cropbox0, texts_match, att_names)
+        |ORDER BY fixture""".stripMargin,
+
+    // flatten: the synthetic fixture's AP text is invisible before and
+    // present after baking (the semantic contract of FPDFPage_Flatten);
+    // annotation lists empty out; forms.pdf (7 widget annots) survives the
+    // rewrite with body text intact
+    "pdf_flatten" ->
+      """SELECT url, reload_ok, CAST(n_annots_before AS BIGINT) AS n_annots_before,
+        |  CAST(n_annots_after AS BIGINT) AS n_annots_after,
+        |  ap_text_before, ap_text_after, body_preserved
+        |FROM (VALUES
+        |  ('fixture://forms.pdf', TRUE, 7, 0, FALSE, FALSE, TRUE),
+        |  ('synth://annot.pdf', TRUE, 1, 0, FALSE, TRUE, TRUE)
+        |) AS t(url, reload_ok, n_annots_before, n_annots_after, ap_text_before, ap_text_after, body_preserved)
+        |ORDER BY url""".stripMargin,
+
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)

@@ -390,6 +390,72 @@ object SparkEntry {
       }.toDF("fixture", "n_pages", "text_identical", "n_chars")
     }),
 
+    "pdf_edit_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      // mutation surface (page.py:88-174 set_*box/set_rotation; document.py
+      // 412-443 new_page/del_page, 359-389 new_/del_attachment): apply a
+      // deterministic edit batch, save via writeEdited, re-load through our
+      // own parser and report everything via the ordinary getters
+      ExtractPipeline.mapDocs(PagesTable.ofFixtures(s,
+        Seq("multipage.pdf", "attachments.pdf"))) { (url, d) =>
+        import graft.core._
+        val fixture = url.stripPrefix("fixture://")
+        val (spec, expectedTexts) =
+          if (fixture == "multipage.pdf") (
+            EditSpec(
+              pageEdits = Map(0 -> PageEditSpec(
+                mediaBox = Some(Rect(0, 0, 300, 400)),
+                cropBox = Some(Rect(10, 10, 290, 390)),
+                rotation = Some(90))),
+              deletePages = Set(1),
+              newPages = Seq((2, 200.0, 100.0)), // blank 200x100 appended
+              newAttachments = Seq(("note.txt", "hello".getBytes("UTF-8")))),
+            // pages 0,2 kept + blank at pos 2
+            Vector(d.page(0).textPage.text, d.page(2).textPage.text, ""))
+          else (
+            EditSpec(
+              delAttachments = Set("1.txt"),
+              newAttachments = Seq(("zz.bin", Array[Byte](1, 2, 3)))),
+            d.pages.map(_.textPage.text))
+        val re = PdfDocument.load(PdfWriter.writeEdited(d, spec)).toOption.get
+        def fmt(r: Rect) = s"${r.left.toInt} ${r.bottom.toInt} ${r.right.toInt} ${r.top.toInt}"
+        val p0 = re.page(0)
+        Iterator.single((
+          fixture,
+          re.pageCount.toLong,
+          p0.rotation.toLong,
+          fmt(p0.mediaBox),
+          fmt(p0.cropBox),
+          re.pages.map(_.textPage.text) == expectedTexts,
+          re.attachments.map(_.name).mkString(",")))
+      }.toDF("fixture", "n_pages", "rot0", "mediabox0", "cropbox0", "texts_match", "att_names")
+        .orderBy("fixture")
+    }),
+
+    "pdf_flatten" -> ((s, _) => {
+      import s.implicits._
+      // flatten analog (page.py:328-351): annotation appearance streams are
+      // invisible to text extraction until writeFlattened bakes them into
+      // page content; the synthetic fixture proves the AP text appears
+      // exactly after flattening, forms.pdf proves the real-file round trip
+      val fixtures: Seq[(String, Array[Byte])] = Seq(
+        ("synth://annot.pdf", graft.core.SynthPdf.annotPdf()),
+        ("fixture://forms.pdf", PagesTable.fixture("forms.pdf")))
+      fixtures.toDS().map { case (url, bytes) =>
+        val d = graft.core.PdfDocument.load(bytes).toOption.get
+        val before = d.pages.map(_.textPage.text.replace("\r\n", "\n")).mkString("|")
+        val nAnnB = d.pages.map(_.annotations.size).sum
+        val rd = graft.core.PdfDocument.load(graft.core.PdfWriter.writeFlattened(d)).toOption
+        val after = rd.map(_.pages.map(_.textPage.text.replace("\r\n", "\n")).mkString("|")).getOrElse("")
+        val nAnnA = rd.map(_.pages.map(_.annotations.size).sum).getOrElse(-1)
+        (url, rd.nonEmpty, nAnnB.toLong, nAnnA.toLong,
+          before.contains("FLATTENED"), after.contains("FLATTENED"),
+          after.contains(before.takeWhile(_ != '|')))
+      }.toDF("url", "reload_ok", "n_annots_before", "n_annots_after",
+        "ap_text_before", "ap_text_after", "body_preserved")
+        .orderBy("url")
+    }),
+
     "pdf_arrange_rewrite" -> ((s, _) => {
       import s.implicits._
       // arrange verified on a REWRITTEN file: writePages builds a new

@@ -17,6 +17,27 @@ import scala.collection.mutable
   * selections — duplicates and cross-document imports allowed — with
   * inheritable attributes materialized onto each copied page dict.
   */
+/** Per-page mutations (reference page.py set_mediabox/…/set_artbox:117-174,
+  * set_rotation:88-93). Boxes in PDF canvas points; rotation ∈ {0,90,180,270}. */
+final case class PageEditSpec(
+    mediaBox: Option[Rect] = None,
+    cropBox: Option[Rect] = None,
+    bleedBox: Option[Rect] = None,
+    trimBox: Option[Rect] = None,
+    artBox: Option[Rect] = None,
+    rotation: Option[Int] = None)
+
+/** Document-level edit batch (reference document.py new_page/del_page:
+  * 412-443, new_attachment/del_attachment:359-389). `newPages` positions
+  * index into the post-delete page sequence; `delAttachments` matches by
+  * embedded-file name. */
+final case class EditSpec(
+    pageEdits: Map[Int, PageEditSpec] = Map.empty,
+    deletePages: Set[Int] = Set.empty,
+    newPages: Seq[(Int, Double, Double)] = Nil, // (insert pos, width pt, height pt)
+    delAttachments: Set[String] = Set.empty,
+    newAttachments: Seq[(String, Array[Byte])] = Nil)
+
 object PdfWriter {
 
   /** Full-document copy: everything reachable from the trailer. */
@@ -52,6 +73,180 @@ object PdfWriter {
       "Type" -> PdfName("Catalog"),
       "Pages" -> PdfRef(-1 - pagesSlot, 0))))
     w.assemble(PdfRef(-1 - catalogSlot, 0), None)
+  }
+
+  /** Apply an [[EditSpec]] and serialize: the mutation surface of the
+    * reference (box/rotation setters, new_page/del_page,
+    * new_attachment/del_attachment) expressed as edit-on-save over the
+    * immutable parsed document — page dicts are copied with overrides into
+    * a flat rebuilt tree (like [[writePages]]), the embedded-files name
+    * tree is rebuilt from the post-edit attachment list, and everything
+    * else reachable from the source catalog (outlines, AcroForm, info) is
+    * carried over object-identically. */
+  def writeEdited(doc: PdfDocument, spec: EditSpec): Array[Byte] = {
+    val w = new Writer
+    val pagesSlot = w.reserveSynthetic()
+    def boxArr(r: Rect) = PdfArray(Vector(
+      PdfNumber(r.left), PdfNumber(r.bottom), PdfNumber(r.right), PdfNumber(r.top)))
+    val kept = (0 until doc.pageCount).filterNot(spec.deletePages)
+    val keptBodies: Vector[(PdfDocument, PdfDict)] = kept.map { idx =>
+      val ed = spec.pageEdits.getOrElse(idx, PageEditSpec())
+      var entries = doc.page(idx).effectiveDict.entries
+      ed.mediaBox.foreach(r => entries += ("MediaBox" -> boxArr(r)))
+      ed.cropBox.foreach(r => entries += ("CropBox" -> boxArr(r)))
+      ed.bleedBox.foreach(r => entries += ("BleedBox" -> boxArr(r)))
+      ed.trimBox.foreach(r => entries += ("TrimBox" -> boxArr(r)))
+      ed.artBox.foreach(r => entries += ("ArtBox" -> boxArr(r)))
+      ed.rotation.foreach { rot =>
+        require(rot == 0 || rot == 90 || rot == 180 || rot == 270,
+          s"rotation must be 0/90/180/270, got $rot") // page.py:90-91
+        entries += ("Rotate" -> PdfNumber(rot))
+      }
+      entries += ("Parent" -> PdfRef(-1 - pagesSlot, 0))
+      (doc, PdfDict(entries))
+    }.toVector
+    val withNew = spec.newPages.foldLeft(keptBodies) { case (acc, (pos, wpt, hpt)) =>
+      // blank page, reference new_page semantics: just a MediaBox, no content
+      val blank = (null: PdfDocument, PdfDict(Map(
+        "Type" -> PdfName("Page"),
+        "MediaBox" -> boxArr(Rect(0, 0, wpt, hpt)),
+        "Parent" -> PdfRef(-1 - pagesSlot, 0))))
+      val p = math.min(math.max(0, pos), acc.length)
+      (acc.take(p) :+ blank) ++ acc.drop(p)
+    }
+    val kidSlots = withNew.map { case (d, body) => w.internSynthetic(d, body) }
+    w.fillSynthetic(pagesSlot, null, PdfDict(Map(
+      "Type" -> PdfName("Pages"),
+      "Kids" -> PdfArray(kidSlots.map(s => PdfRef(-1 - s, 0)).toVector),
+      "Count" -> PdfNumber(withNew.length))))
+    // post-edit attachment list → flat /Names/EmbeddedFiles tree (name-tree
+    // keys must be sorted, §7.9.6); payloads embed uncompressed
+    val allAtt = doc.attachments.filterNot(a => spec.delAttachments(a.name))
+      .map(a => (a.name, a.data)) ++ spec.newAttachments
+    val namesEntry: Option[(String, PdfObject)] =
+      if (allAtt.isEmpty) None
+      else {
+        val pairs = allAtt.sortBy(_._1).flatMap { case (name, data) =>
+          val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val ef = w.internSynthetic(null,
+            PdfStream(PdfDict(Map("Type" -> PdfName("EmbeddedFile"))), data))
+          val fs = w.internSynthetic(null, PdfDict(Map(
+            "Type" -> PdfName("Filespec"),
+            "F" -> PdfString(nameBytes), "UF" -> PdfString(nameBytes),
+            "EF" -> PdfDict(Map("F" -> PdfRef(-1 - ef, 0))))))
+          Vector(PdfString(nameBytes), PdfRef(-1 - fs, 0))
+        }
+        Some("Names" -> PdfDict(Map("EmbeddedFiles" ->
+          PdfDict(Map("Names" -> PdfArray(pairs.toVector))))))
+      }
+    val catEntries = (doc.catalog.entries - "Pages" - "Names") ++ Map(
+      "Type" -> PdfName("Catalog"),
+      "Pages" -> PdfRef(-1 - pagesSlot, 0)) ++ namesEntry
+    val catalogSlot = w.internSynthetic(doc, PdfDict(catEntries))
+    val infoRef = doc.trailer.get("Info").collect {
+      case r: PdfRef => PdfRef(-1 - w.internOld(doc, r.num), 0)
+    }
+    w.assemble(PdfRef(-1 - catalogSlot, 0), infoRef)
+  }
+
+  /** Form/annotation flattening (reference page.py:328-351 flatten →
+    * FPDFPage_Flatten): bake every visible annotation's normal appearance
+    * stream into the page content as a Form-XObject invocation (PDF 32000
+    * §12.5.5 appearance-to-Rect mapping: AP /Matrix applied to /BBox, the
+    * resulting bounds scaled+translated onto the annotation /Rect), then
+    * drop /Annots. Original page content is wrapped in q…Q so a dangling
+    * graphics state can't leak into the appended marks. Hidden annotations
+    * (flag bit 2) are skipped. Returns the full rewritten document. */
+  def writeFlattened(doc: PdfDocument): Array[Byte] = {
+    val w = new Writer
+    val pagesSlot = w.reserveSynthetic()
+    val kidSlots = (0 until doc.pageCount).map { idx =>
+      val pg = doc.page(idx)
+      val ops = new StringBuilder
+      val newXObjs = Vector.newBuilder[(String, PdfStream)]
+      var n = 0
+      pg.annotations.foreach { a =>
+        val flags = doc.resolve(a("F")) match { case PdfNumber(v) => v.toLong; case _ => 0L }
+        val hidden = (flags & 2L) != 0L
+        val apStream: Option[PdfStream] =
+          if (hidden) None
+          else doc.resolve(a("AP")) match {
+            case apd: PdfDict => doc.resolve(apd("N")) match {
+              case s: PdfStream => Some(s)
+              case states: PdfDict => // appearance states: /AS picks, else first
+                val as = doc.resolve(a("AS")) match { case PdfName(nm) => Some(nm); case _ => None }
+                as.flatMap(states.entries.get).orElse(states.entries.values.headOption)
+                  .map(doc.resolve).collect { case s: PdfStream => s }
+              case _ => None
+            }
+            case _ => None
+          }
+        val rect = doc.resolve(a("Rect")) match {
+          case PdfArray(items) if items.length == 4 =>
+            val v = items.map(doc.resolve).map { case PdfNumber(x) => x; case _ => 0.0 }
+            Some(Rect(math.min(v(0), v(2)), math.min(v(1), v(3)),
+              math.max(v(0), v(2)), math.max(v(1), v(3))))
+          case _ => None
+        }
+        (apStream, rect) match {
+          case (Some(stream), Some(r)) if !r.isEmpty =>
+            val bbox = doc.resolve(stream.dict("BBox")) match {
+              case PdfArray(items) if items.length == 4 =>
+                val v = items.map(doc.resolve).map { case PdfNumber(x) => x; case _ => 0.0 }
+                Rect(math.min(v(0), v(2)), math.min(v(1), v(3)),
+                  math.max(v(0), v(2)), math.max(v(1), v(3)))
+              case _ => Rect(0, 0, 1, 1)
+            }
+            val mat = doc.resolve(stream.dict("Matrix")) match {
+              case PdfArray(items) if items.length == 6 =>
+                val v = items.map(doc.resolve).map { case PdfNumber(x) => x; case _ => 0.0 }
+                Mat(v(0), v(1), v(2), v(3), v(4), v(5))
+              case _ => Mat.identity
+            }
+            val tb = mat.onRect(bbox)
+            if (!tb.isEmpty) {
+              val sx = r.width / tb.width; val sy = r.height / tb.height
+              val tx = r.left - tb.left * sx; val ty = r.bottom - tb.bottom * sy
+              val nm = s"GFa$n"
+              ops.append(f"q $sx%.6f 0 0 $sy%.6f $tx%.6f $ty%.6f cm /$nm Do Q\n")
+              newXObjs += (nm -> stream)
+              n += 1
+            }
+          case _ => ()
+        }
+      }
+      val orig = pg.contentBytes
+      val opsBytes = ops.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val content = new java.io.ByteArrayOutputStream(orig.length + opsBytes.length + 8)
+      content.write('q'); content.write('\n')
+      content.write(orig, 0, orig.length)
+      content.write('\n'); content.write('Q'); content.write('\n')
+      content.write(opsBytes, 0, opsBytes.length)
+      val cSlot = w.internSynthetic(doc, PdfStream(PdfDict(Map.empty), content.toByteArray))
+      val res = pg.resources
+      val oldX = doc.resolve(res("XObject")) match { case d: PdfDict => d; case _ => PdfDict.empty }
+      val mergedX = PdfDict(oldX.entries ++ newXObjs.result().map { case (nm, s) =>
+        nm -> (PdfRef(-1 - w.internSynthetic(doc, s), 0): PdfObject)
+      })
+      val mergedRes = PdfDict(res.entries + ("XObject" -> mergedX))
+      val body = PdfDict(pg.effectiveDict.entries - "Annots" ++ Map(
+        "Contents" -> PdfRef(-1 - cSlot, 0),
+        "Resources" -> mergedRes,
+        "Parent" -> PdfRef(-1 - pagesSlot, 0)))
+      w.internSynthetic(doc, body)
+    }
+    w.fillSynthetic(pagesSlot, null, PdfDict(Map(
+      "Type" -> PdfName("Pages"),
+      "Kids" -> PdfArray(kidSlots.map(s => PdfRef(-1 - s, 0)).toVector),
+      "Count" -> PdfNumber(kidSlots.length))))
+    val catalogSlot = w.internSynthetic(doc, PdfDict(
+      (doc.catalog.entries - "Pages") ++ Map(
+        "Type" -> PdfName("Catalog"),
+        "Pages" -> PdfRef(-1 - pagesSlot, 0))))
+    val infoRef = doc.trailer.get("Info").collect {
+      case r: PdfRef => PdfRef(-1 - w.internOld(doc, r.num), 0)
+    }
+    w.assemble(PdfRef(-1 - catalogSlot, 0), infoRef)
   }
 
   /** imgtopdf analog (reference src/pypdfium2_cli/imgtopdf.py:29-62 +

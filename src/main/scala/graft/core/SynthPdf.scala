@@ -64,6 +64,25 @@ object SynthPdf {
     build(objs.result())
   }
 
+  /** One-page PDF with a FreeText annotation carrying a normal appearance
+    * stream (Form XObject with its own text) — the flatten fixture: the AP
+    * text is invisible to content-stream extraction until
+    * [[PdfWriter.writeFlattened]] bakes it into the page. */
+  def annotPdf(bodyText: String = "body text", apText: String = "FLATTENED"): Array[Byte] = {
+    val content = s"BT /F1 12 Tf 72 720 Td ($bodyText) Tj ET"
+    val ap = s"BT /F1 24 Tf 4 10 Td ($apText) Tj ET"
+    build(Vector(
+      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      ("<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]" +
+        "/Resources<</Font<</F1 4 0 R>>>>/Contents 5 0 R/Annots[6 0 R]>>").getBytes,
+      "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>".getBytes,
+      (s"<</Length ${content.length}>>\nstream\n$content\nendstream").getBytes,
+      "<</Type/Annot/Subtype/FreeText/Rect[100 600 300 640]/F 4/AP<</N 7 0 R>>>>".getBytes,
+      (s"<</Type/XObject/Subtype/Form/BBox[0 0 200 40]" +
+        s"/Resources<</Font<</F1 4 0 R>>>>/Length ${ap.length}>>\nstream\n$ap\nendstream").getBytes))
+  }
+
   /** Type0 font dict with a predefined encoding CMap and no ToUnicode. */
   def type0FontDict(baseFont: String, encoding: String, registry: String,
                     ordering: String, dw: Int = 1000): String =

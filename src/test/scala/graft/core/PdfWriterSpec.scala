@@ -111,4 +111,72 @@ class PdfWriterSpec extends AnyFunSuite {
     val doc2 = PdfDocument.load(fixture("text.pdf")).toOption.get
     assert(java.util.Arrays.equals(PdfWriter.write(doc1), PdfWriter.write(doc2)))
   }
+
+  test("writeEdited: boxes, rotation, page delete/insert, attachments all round-trip") {
+    val doc = PdfDocument.load(fixture("multipage.pdf")).toOption.get
+    val origTexts = doc.pages.map(_.textPage.text)
+    val spec = EditSpec(
+      pageEdits = Map(0 -> PageEditSpec(
+        mediaBox = Some(Rect(0, 0, 300, 400)),
+        cropBox = Some(Rect(10, 10, 290, 390)),
+        trimBox = Some(Rect(20, 20, 280, 380)),
+        rotation = Some(270))),
+      deletePages = Set(1),
+      newPages = Seq((0, 150.0, 250.0)), // blank prepended
+      delAttachments = Set.empty,
+      newAttachments = Seq(("b.txt", "bee".getBytes), ("a.txt", "ay".getBytes)))
+    val re = PdfDocument.load(PdfWriter.writeEdited(doc, spec)).toOption.get
+    assert(re.pageCount == 3) // 3 - 1 deleted + 1 blank
+    // blank page first, then edited page 0, then original page 2
+    assert(re.page(0).bbox.width == 150 && re.page(0).bbox.height == 250)
+    assert(re.page(0).textPage.text == "")
+    assert(re.page(1).mediaBox == Rect(0, 0, 300, 400))
+    assert(re.page(1).cropBox == Rect(10, 10, 290, 390))
+    assert(re.page(1).trimBox == Rect(20, 20, 280, 380))
+    assert(re.page(1).rotation == 270)
+    assert(re.page(1).textPage.text == origTexts(0))
+    assert(re.page(2).textPage.text == origTexts(2))
+    // name tree sorted; payloads round-trip
+    assert(re.attachments.map(_.name) == Vector("a.txt", "b.txt"))
+    assert(new String(re.attachments(1).data) == "bee")
+  }
+
+  test("writeEdited: del_attachment removes by name, rest preserved byte-identical") {
+    val doc = PdfDocument.load(fixture("attachments.pdf")).toOption.get
+    val orig = doc.attachments
+    assert(orig.map(_.name) == Vector("1.txt", "attached.pdf"))
+    val re = PdfDocument.load(PdfWriter.writeEdited(doc,
+      EditSpec(delAttachments = Set("1.txt")))).toOption.get
+    assert(re.attachments.map(_.name) == Vector("attached.pdf"))
+    assert(java.util.Arrays.equals(re.attachments(0).data, orig(1).data))
+  }
+
+  test("writeEdited rejects a non-quadrant rotation") {
+    val doc = PdfDocument.load(fixture("multipage.pdf")).toOption.get
+    intercept[IllegalArgumentException] {
+      PdfWriter.writeEdited(doc,
+        EditSpec(pageEdits = Map(0 -> PageEditSpec(rotation = Some(45)))))
+    }
+  }
+
+  test("writeFlattened bakes annotation appearance text into page content") {
+    val doc = PdfDocument.load(SynthPdf.annotPdf("hello body", "BAKED")).toOption.get
+    assert(!doc.page(0).textPage.text.contains("BAKED"))
+    assert(doc.page(0).annotations.length == 1)
+    val re = PdfDocument.load(PdfWriter.writeFlattened(doc)).toOption.get
+    val t = re.page(0).textPage.text
+    assert(t.contains("hello body") && t.contains("BAKED"), s"got: $t")
+    assert(re.page(0).annotations.isEmpty)
+  }
+
+  test("writeFlattened on a real form file: annots gone, body text intact") {
+    val doc = PdfDocument.load(fixture("forms.pdf")).toOption.get
+    val before = doc.pages.map(_.textPage.text)
+    val re = PdfDocument.load(PdfWriter.writeFlattened(doc)).toOption.get
+    assert(re.pages.map(_.annotations.size).sum == 0)
+    // flattened content starts with the wrapped original — body text intact
+    before.zip(re.pages.map(_.textPage.text)).foreach { case (b, a) =>
+      assert(a.startsWith(b) || b.isEmpty, s"body lost: before=$b after=$a")
+    }
+  }
 }
