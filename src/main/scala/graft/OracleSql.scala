@@ -218,13 +218,22 @@ object OracleSql {
     // (pageobjects_images.txt: 115×48 @1bpp → 48 rows × 15 bytes); jpeg md5
     // pinned to the source fixture file (byte-identical passthrough,
     // tests/test_cli.py:108-119)
+    // jbig2_generic md5 = md5 of the PACKED SOURCE bitmap
+    // (SynthPdf.strokeBitmap 64×48, 0=black polarity) — codec-independent:
+    // the MQ/generic-region decode must reproduce the source exactly.
+    // jpx dims come from the codestream SIZ header (core/Jpx), payload md5
+    // is the byte-identical passthrough of the synthesized JP2.
     "pdf_image_pixels" ->
       """SELECT * FROM (VALUES
         |  ('ccitt_g4', 'pix', CAST(115 AS BIGINT), CAST(48 AS BIGINT), CAST(720 AS BIGINT), ''),
         |  ('jpeg_passthrough', 'jpg', CAST(120 AS BIGINT), CAST(120 AS BIGINT), CAST(6167 AS BIGINT),
         |   '79de823617c0b2b7e612641f17ac2638'),
         |  ('indexed_png', 'png', CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(64 AS BIGINT),
-        |   '0483e66c245bc416b5aa9d13f7564845')
+        |   '0483e66c245bc416b5aa9d13f7564845'),
+        |  ('jbig2_generic', 'pix', CAST(64 AS BIGINT), CAST(48 AS BIGINT), CAST(384 AS BIGINT),
+        |   'c68d7eac9b96a39de63969b18ea8a9e3'),
+        |  ('jpx_passthrough', 'jp2', CAST(640 AS BIGINT), CAST(480 AS BIGINT), CAST(121 AS BIGINT),
+        |   '831664da2bb1607d8cffb9ba378d55b1')
         |) AS t(case_id, format, width, height, n_bytes, md5)""".stripMargin,
 
     "pdf_page_labels" ->

@@ -305,7 +305,13 @@ object SparkEntry {
       val rows = Seq(
         ("ccitt_g4", PagesTable.fixture("images.pdf")),
         ("jpeg_passthrough", jpgPdf),
-        ("indexed_png", idxPdf))
+        ("indexed_png", idxPdf),
+        // JBIG2 generic region (MQ-coded) decodes to 1bpp pixels whose md5
+        // equals the md5 of the PACKED SOURCE bitmap (codec-independent
+        // golden); JPX stays payload passthrough with dims parsed from the
+        // codestream header (core/Jpx)
+        ("jbig2_generic", graft.core.SynthPdf.jbig2Pdf(64, 48)),
+        ("jpx_passthrough", graft.core.SynthPdf.jpxPdf(640, 480)))
       s.createDataset(rows).map { case (id, bytes) =>
         val doc = graft.core.PdfDocument.load(bytes).toOption.get
         val img = graft.core.ImageExtract.pageImages(doc.page(0)).head
@@ -315,18 +321,22 @@ object SparkEntry {
         // golden = the source jpeg); reencode → re-decoded ARGB pixel bytes
         // (independent of the PNG encoder); CCITT pixel identity is covered
         // by the round-trip specs
-        val (nBytes, md5) = id match {
-          case "jpeg_passthrough" => (img.data.length.toLong, hex(img.data))
+        val (w, h, nBytes, md5) = id match {
+          case "jpeg_passthrough" => (img.width.toLong, img.height.toLong, img.data.length.toLong, hex(img.data))
           case "indexed_png" =>
             val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img.data))
             val px = new Array[Int](bi.getWidth * bi.getHeight)
             bi.getRGB(0, 0, bi.getWidth, bi.getHeight, px, 0, bi.getWidth)
             val bb = java.nio.ByteBuffer.allocate(px.length * 4)
             px.foreach(bb.putInt)
-            (px.length * 4L, hex(bb.array()))
-          case _ => (img.data.length.toLong, "")
+            (img.width.toLong, img.height.toLong, px.length * 4L, hex(bb.array()))
+          case "jbig2_generic" => (img.width.toLong, img.height.toLong, img.data.length.toLong, hex(img.data))
+          case "jpx_passthrough" =>
+            val info = graft.core.Jpx.parseHeader(img.data).get
+            (info.width.toLong, info.height.toLong, img.data.length.toLong, hex(img.data))
+          case _ => (img.width.toLong, img.height.toLong, img.data.length.toLong, "")
         }
-        (id, img.format, img.width.toLong, img.height.toLong, nBytes, md5)
+        (id, img.format, w, h, nBytes, md5)
       }.toDF("case_id", "format", "width", "height", "n_bytes", "md5")
     }),
 

@@ -63,6 +63,17 @@ object ImageExtract {
                         val parms = Filters.terminalFilter(xd, doc.resolve).map(_._2).getOrElse(PdfDict.empty)
                         try ("pix", Ccitt.decodeFilter(codecData, parms, doc.resolve))
                         catch { case _: Exception => ("raw", codecData) }
+                      case Some("JBIG2Decode") =>
+                        // generic-region JBIG2 → packed 1bpp rows (0=black,
+                        // PDF polarity); symbol/text-coded streams throw →
+                        // raw passthrough like the reference's fallback
+                        val parms = Filters.terminalFilter(xd, doc.resolve).map(_._2).getOrElse(PdfDict.empty)
+                        val globals = doc.resolve(parms("JBIG2Globals")) match {
+                          case g: PdfStream => Some(doc.streamData(g))
+                          case _ => None
+                        }
+                        try ("pix", Jbig2.decodeFilter(codecData, globals, w, h))
+                        catch { case _: Exception => ("raw", codecData) }
                       case _ =>
                         reencodePng(doc, s).getOrElse(("raw", codecData))
                     }

@@ -83,6 +83,48 @@ object SynthPdf {
         s"/Resources<</Font<</F1 4 0 R>>>>/Length ${ap.length}>>\nstream\n$ap\nendstream").getBytes))
   }
 
+  /** Deterministic text-like 1=black byte bitmap (sparse strokes) — the
+    * JBIG2 fixture pattern; exposed so oracles can recompute the expected
+    * decoded bytes independently of the codec. */
+  def strokeBitmap(w: Int, h: Int): Array[Byte] = {
+    val bm = new Array[Byte](w * h)
+    var y = 8
+    while (y < h - 8) { var x = 4; while (x < w - 4) { bm(y * w + x) = 1; x += 1 }; y += 12 }
+    var x = 10
+    while (x < w - 10) { var yy = 4; while (yy < h - 4) { bm(yy * w + x) = 1; yy += 1 }; x += 16 }
+    bm
+  }
+
+  /** One-page PDF whose sole image is JBIG2-coded (generic region, MQ). */
+  def jbig2Pdf(w: Int = 64, h: Int = 48): Array[Byte] = {
+    val emb = Jbig2.encodeEmbedded(strokeBitmap(w, h), w, h)
+    imageOnlyPdf(w, h,
+      s"<</Type/XObject/Subtype/Image/Width $w/Height $h/BitsPerComponent 1" +
+        s"/ColorSpace/DeviceGray/Filter/JBIG2Decode/Length ${emb.length}>>\nstream\n", emb)
+  }
+
+  /** One-page PDF whose sole image is a JPX payload (header-only fixture —
+    * codestream carries SOC+SIZ, enough for dimension parsing). */
+  def jpxPdf(w: Int = 640, h: Int = 480): Array[Byte] = {
+    val jp2 = Jpx.synthHeaderOnly(w, h)
+    imageOnlyPdf(w, h,
+      s"<</Type/XObject/Subtype/Image/Width $w/Height $h/BitsPerComponent 8" +
+        s"/ColorSpace/DeviceRGB/Filter/JPXDecode/Length ${jp2.length}>>\nstream\n", jp2)
+  }
+
+  private def imageOnlyPdf(w: Int, h: Int, imgHdr: String, payload: Array[Byte]): Array[Byte] = {
+    val img = imgHdr.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+      payload ++ "\nendstream".getBytes
+    val content = s"q $w 0 0 $h 0 0 cm /Im1 Do Q"
+    build(Vector(
+      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      (s"<</Type/Page/Parent 2 0 R/MediaBox[0 0 $w $h]" +
+        "/Resources<</XObject<</Im1 4 0 R>>>>/Contents 5 0 R>>").getBytes,
+      img,
+      s"<</Length ${content.length}>>\nstream\n$content\nendstream".getBytes))
+  }
+
   /** Type0 font dict with a predefined encoding CMap and no ToUnicode. */
   def type0FontDict(baseFont: String, encoding: String, registry: String,
                     ordering: String, dw: Int = 1000): String =

@@ -1439,6 +1439,15 @@ object Rasterizer {
             val parms = Filters.terminalFilter(xd, doc.resolve).map(_._2).getOrElse(PdfDict.empty)
             Some(Ccitt.decodeFilter(data, parms, doc.resolve))
           } catch { case _: Exception => None }
+        case Some("JBIG2Decode") =>
+          try {
+            val parms = Filters.terminalFilter(xd, doc.resolve).map(_._2).getOrElse(PdfDict.empty)
+            val globals = doc.resolve(parms("JBIG2Globals")) match {
+              case g: PdfStream => Some(doc.streamData(g))
+              case _ => None
+            }
+            Some(Jbig2.decodeFilter(data, globals, w, h))
+          } catch { case _: Exception => None }
         case None | Some("FlateDecode") | Some("LZWDecode") if data.length >= rowBytes * h =>
           Some(data)
         case _ => None
@@ -1478,7 +1487,22 @@ object Rasterizer {
           }
           Some(onebitToArgb(bits, w, h, oneIsBlack))
         } catch { case _: Exception => None }
-      case Some("JPXDecode") | Some("JBIG2Decode") => None // codecs not carried
+      case Some("JBIG2Decode") =>
+        // generic-region JBIG2 decode; filter output is 0=black (PDF
+        // polarity), same as the CCITT default
+        try {
+          val parms = Filters.terminalFilter(xd, doc.resolve).map(_._2).getOrElse(PdfDict.empty)
+          val globals = doc.resolve(parms("JBIG2Globals")) match {
+            case g: PdfStream => Some(doc.streamData(g))
+            case _ => None
+          }
+          Some(onebitToArgb(Jbig2.decodeFilter(data, globals, w, h), w, h, oneIsBlack = false))
+        } catch { case _: Exception => None }
+      case Some("JPXDecode") =>
+        // JPX pixels aren't decoded (header-only support, see core/Jpx) —
+        // rasterize a mid-gray placeholder at the true geometry so scanned
+        // pages carry their image footprint instead of rendering blank
+        Some(ImagePixels(w, h, Array.fill(w * h)(0xFF808080)))
       case _ if cs == "Indexed" || cs == "I" =>
         // [/Indexed base hival lookup] — palette lookup per sample (§8.6.6.3)
         indexedPalette(doc, xd).flatMap { pal =>
