@@ -217,6 +217,11 @@ object Bench {
     // round-over-round.
     final case class QR(sec: Double, rows: Long, ok: Boolean)
     val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
+    // fixed-work probes bracketing the sweeps: the best (least contended)
+    // probe is this window's time unit, so round-over-round comparisons
+    // divide out the co-tenant regime (r3 saw untouched queries swing 2-5×
+    // between rounds purely from host load — raw seconds don't compare)
+    val probeBefore = spinSeconds(1)
     val sweeps = (1 to queryReps).map { _ =>
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -226,6 +231,8 @@ object Bench {
         name -> QR((System.nanoTime() - t0) / 1e9, rows, ok)
       }
     }
+    val probeAfter = spinSeconds(1)
+    val probeSec = math.min(probeBefore, probeAfter)
     val results = sweeps.transpose.map { reps =>
       val name = reps.head._1
       // a query must succeed in EVERY sweep to count as ok; the reported
@@ -237,6 +244,30 @@ object Bench {
       val best = (if (okReps.nonEmpty) okReps else reps.map(_._2)).minBy(_.sec)
       name -> QR(best.sec, best.rows, ok)
     }
+    // normalized per-query times (probe units) + regression list vs the
+    // newest BENCH_r*.json in cwd that carries queries_normalized
+    val normalized = results.map { case (k, v) => k -> v.sec / probeSec }
+    val prevFile = Option(new java.io.File(".").listFiles())
+      .map(_.filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName))
+      .flatMap(_.lastOption)
+    val prevNorm: Map[String, Double] = prevFile.flatMap { f =>
+      val txt = try new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        catch { case _: Throwable => "" }
+      """"queries_normalized":\{([^}]*)\}""".r.findFirstMatchIn(txt).map {
+        _.group(1).split(",").toSeq.flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) =>
+              try Some(k.replace("\"", "") -> v.toDouble)
+              catch { case _: Throwable => None }
+            case _ => None
+          }
+        }.toMap
+      }
+    }.getOrElse(Map.empty)
+    val regressions = normalized.collect {
+      case (k, v) if prevNorm.get(k).exists(p => v > p * 1.5) => k
+    }.toSeq.sorted
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${v.sec}%.3f" }
       .mkString("{", ",", "}")
     val qrows = results.map { case (k, v) => "\"" + k + "\":" + v.rows }
@@ -247,6 +278,10 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         s""","query_rows":$qrows,"queries_failed":$failed,"query_reps":$queryReps""" +
+        f""","probe_sec":$probeSec%.3f""" +
+        s""","queries_normalized":${normalized.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")}""" +
+        s""","bench_prev":${prevFile.map(f => "\"" + f.getName + "\"").getOrElse("null")}""" +
+        s""","query_regressions":${regressions.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
         f""","extract_docs":$nDocs,"extract_pages":$p4N,"extract_chars":$c4N""" +
         s""","scaling_levels":"local[$levelN]->local[$level4N]","scaling_reps":$rep""" +
         s""","scaling_quiet_pairs":${quietPairs.length}""" +

@@ -32,7 +32,9 @@ final case class RawTextObject(
     base: Mat = Mat.identity,        // text space (pre-font-size) -> page space
     hscale: Double = 1.0,
     rise: Double = 0.0,
-    fillArgb: Int = 0xFF000000) {    // nonstroking color at show time
+    fillArgb: Int = 0xFF000000,      // nonstroking color at show time
+    fillAlpha: Double = 1.0,         // ExtGState /ca at show time
+    blendName: String = "Normal") {  // ExtGState /BM at show time
 
   /** Coordinate of a device point along the baseline direction. */
   @inline def par(x: Double, y: Double): Double = x * dirX + y * dirY
@@ -76,7 +78,13 @@ object ContentInterpreter {
 
   private final class GState(var ctm: Mat) {
     var fillArgb: Int = 0xFF000000 // current nonstroking color (for text objects)
-    def copy(): GState = { val g = new GState(ctm); g.fillArgb = fillArgb; g }
+    var fillAlpha: Double = 1.0    // ExtGState /ca at show time
+    var blendName: String = "Normal" // ExtGState /BM at show time
+    def copy(): GState = {
+      val g = new GState(ctm)
+      g.fillArgb = fillArgb; g.fillAlpha = fillAlpha; g.blendName = blendName
+      g
+    }
   }
 
   private final class TState {
@@ -235,7 +243,7 @@ object ContentInterpreter {
           // baseline direction: image of the text-space x axis
           val (dx, dy) = if (scaleAB > 1e-12) (base.a / scaleAB, base.b / scaleAB) else (1.0, 0.0)
           val obj = RawTextObject(built, kerns.toMap, font, fs, effSize, objOrigin._2, objOrigin._1, dx, dy,
-            base, ts.hscale, ts.rise, gs.fillArgb)
+            base, ts.hscale, ts.rise, gs.fillArgb, gs.fillAlpha, gs.blendName)
           textObjs += obj
           objs += PageObjectInfo("text", obj.bbox.getOrElse(Rect(objOrigin._1, objOrigin._2, objOrigin._1, objOrigin._2)),
             level, built.map(_.unicode).mkString, font.baseNameNoSubset, ts.fontSize,
@@ -468,6 +476,31 @@ object ContentInterpreter {
                   case 3 => packRgb(ns(0), ns(1), ns(2))
                   case 4 => packRgb((1 - ns(0)) * (1 - ns(3)), (1 - ns(1)) * (1 - ns(3)), (1 - ns(2)) * (1 - ns(3)))
                   case _ => gs.fillArgb
+                }
+              case "gs" =>
+                // ExtGState: track /ca and /BM so show-time text objects
+                // carry the alpha/blend the rasterizer overlay must honor
+                operands.lastOption.collect { case PdfName(n) => n }.foreach { n =>
+                  doc.resolve(resources("ExtGState")) match {
+                    case egs: PdfDict => doc.resolve(egs(n)) match {
+                      case gd: PdfDict =>
+                        doc.resolve(gd("ca")) match {
+                          case PdfNumber(v) => gs.fillAlpha = math.max(0, math.min(1, v))
+                          case _ => ()
+                        }
+                        doc.resolve(gd("BM")) match {
+                          case PdfName(bm) => gs.blendName = bm
+                          case PdfArray(items) if items.nonEmpty =>
+                            doc.resolve(items(0)) match {
+                              case PdfName(bm) => gs.blendName = bm
+                              case _ => ()
+                            }
+                          case _ => ()
+                        }
+                      case _ => ()
+                    }
+                    case _ => ()
+                  }
                 }
               case _ => () // stroke color ops, marked content, etc.
             }

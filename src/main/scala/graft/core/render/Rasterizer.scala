@@ -27,12 +27,19 @@ import graft.core._
   *    luminosity render of the /G group), composited src-over onto the
   *    backdrop;
   *  - transparency groups: a /Group /Transparency form under group-level
-  *    alpha/blend/soft-mask is flattened against the backdrop first and
-  *    composited ONCE (§11.4.7 non-isolated semantics — overlaps inside
-  *    the group don't double-darken);
-  *  - not modeled: isolated/knockout group distinctions, and the text
-  *    overlay pass paints outside the soft-mask/blend state (glyphs
-  *    composite src-over in the show-time fill color).
+  *    alpha/blend/soft-mask is flattened first and composited ONCE
+  *    (§11.4.7 — overlaps inside the group don't double-darken); coverage
+  *    is tracked by dual walks over two backdrops, so marks equal to the
+  *    backdrop still composite under non-Normal blends; /I isolated groups
+  *    flatten against a white scratch (the opaque-model stand-in for the
+  *    transparent initial backdrop — exact for Normal/Multiply/Darken
+  *    content); the text overlay honors show-time /ca and /BM;
+  *  - not modeled: /K knockout groups (in the opaque full-alpha model later
+  *    marks already replace earlier ones — the distinction only surfaces
+  *    for stacked semi-transparent in-group marks), pixel-map soft masks on
+  *    the text overlay, and backdrop-dependent in-group marks inside
+  *    ISOLATED groups under Screen/Lighten-family blends (white-scratch
+  *    approximation).
   */
 object Rasterizer {
 
@@ -108,6 +115,11 @@ object Rasterizer {
         val contours =
           if (t3Drawn) Vector.empty
           else obj.font.glyphOutline(rc.code) // TrueType glyf / Type1 / CFF charstrings
+        // show-time ExtGState: glyphs composite under the /ca alpha and
+        // /BM blend the interpreter stamped on the text object (pixel-map
+        // soft masks remain main-walk-only; see header)
+        val tAlpha = obj.fillAlpha
+        val tBlend = blendId(obj.blendName)
         if (contours.nonEmpty) {
           val polys = contours.map { c =>
             val pts = new Array[(Double, Double)](c.length / 2)
@@ -119,7 +131,8 @@ object Rasterizer {
             }
             pts
           }
-          fillPolygons(bmp, polys, evenOdd = false, obj.fillArgb)
+          fillPolygons(bmp, polys, evenOdd = false, obj.fillArgb,
+            alpha = tAlpha, blend = tBlend)
         } else if (!t3Drawn) rc.tight.foreach { b =>
           if (b.width > 0 && b.height > 0) {
             val p1 = dev.onPoint(b.left, b.bottom)
@@ -128,7 +141,19 @@ object Rasterizer {
             val y0 = math.floor(math.min(p1._2, p2._2)).toInt
             val x1 = math.ceil(math.max(p1._1, p2._1)).toInt
             val y1 = math.ceil(math.max(p1._2, p2._2)).toInt
-            bmp.fillRect(x0, y0, x1 - x0, y1 - y0, obj.fillArgb)
+            if (tAlpha >= 1.0 && tBlend == BlendNormal)
+              bmp.fillRect(x0, y0, x1 - x0, y1 - y0, obj.fillArgb)
+            else {
+              var yy = y0
+              while (yy < y1) {
+                var xx = x0
+                while (xx < x1) {
+                  composePixel(bmp, xx, yy, obj.fillArgb, tAlpha, tBlend)
+                  xx += 1
+                }
+                yy += 1
+              }
+            }
           }
         }
       }
@@ -669,31 +694,57 @@ object Rasterizer {
               case (Some(a), Some(b)) => Some(a.intersect(b))
               case (a, b) => a.orElse(b)
             }
-            val isTransparencyGroup = doc.resolve(xd("Group")) match {
-              case g: PdfDict => doc.resolve(g("S")) == PdfName("Transparency")
-              case _ => false
+            val groupDict = doc.resolve(xd("Group")) match {
+              case g: PdfDict if doc.resolve(g("S")) == PdfName("Transparency") => Some(g)
+              case _ => None
             }
-            if (isTransparencyGroup &&
+            if (groupDict.isDefined &&
                 (gs.fillAlpha < 1.0 || gs.blend != BlendNormal || gs.softMask != null)) {
-              // §11.4.7 group compositing (non-isolated, non-knockout): the
-              // group is flattened against the backdrop FIRST, then composited
-              // once with the group-level alpha/blend/soft mask — per-object
-              // compositing would double-darken overlaps inside the group.
-              // Walk a backdrop copy with neutral alpha state, then mix:
-              // C = (1−α)·B + α·blend(B, flatten(B, group)).
+              // §11.4.7 group compositing: the group is flattened FIRST,
+              // then composited once with the group-level alpha/blend/soft
+              // mask — per-object compositing would double-darken overlaps
+              // inside the group. Backdrop choice by /I (isolated):
+              //  - non-isolated: flatten against the page backdrop, so
+              //    in-group blend modes see the page underneath;
+              //  - isolated: flatten against a WHITE scratch — the opaque-
+              //    model stand-in for the spec's transparent initial
+              //    backdrop (exact for Normal/Multiply/Darken content, the
+              //    overwhelming isolated-group reality; approximate
+              //    otherwise).
+              // Coverage is tracked by DUAL walks over two different
+              // backdrops (the real one and its RGB inverse): a pixel both
+              // walks leave at its own backdrop value was never marked. The
+              // former single-walk inequality test misclassified marks that
+              // happened to equal the backdrop — which under Difference/
+              // Multiply must still change the result (ADVICE r3 #2).
+              val isolated = doc.resolve(groupDict.get("I")) match {
+                case PdfBool(b) => b; case _ => false
+              }
+              val n = bmp.buf.length
+              val base1 = new Array[Int](n)
+              val base2 = new Array[Int](n)
+              if (isolated) {
+                java.util.Arrays.fill(base1, 0xFFFFFFFF)
+                java.util.Arrays.fill(base2, 0xFF000000)
+              } else {
+                System.arraycopy(bmp.buf, 0, base1, 0, n)
+                var i = 0
+                while (i < n) { base2(i) = base1(i) ^ 0x00FFFFFF; i += 1 }
+              }
               val off = new Bitmap(bmp.width, bmp.height, 0)
-              System.arraycopy(bmp.buf, 0, off.buf, 0, bmp.buf.length)
+              System.arraycopy(base1, 0, off.buf, 0, n)
               walk(doc, doc.streamData(s), formRes, formCtm, off, level + 1, initClip = formClip)
+              val off2 = new Bitmap(bmp.width, bmp.height, 0)
+              System.arraycopy(base2, 0, off2.buf, 0, n)
+              walk(doc, doc.streamData(s), formRes, formCtm, off2, level + 1, initClip = formClip)
               val cr = formClip.getOrElse(ClipRegion.rect(0, 0, bmp.width - 1, bmp.height - 1))
               var y = math.max(0, cr.y0)
               while (y <= math.min(bmp.height - 1, cr.y1)) {
                 var x = math.max(0, cr.x0)
                 while (x <= math.min(bmp.width - 1, cr.x1)) {
                   val i = y * bmp.width + x
-                  // untouched pixel ⇒ the group did not cover it (a group
-                  // mark that exactly reproduces the backdrop is skipped
-                  // too — indistinguishable in the opaque model, harmless)
-                  if (off.buf(i) != bmp.buf(i) && cr.allows(x, y)) {
+                  val covered = off.buf(i) != base1(i) || off2.buf(i) != base2(i)
+                  if (covered && cr.allows(x, y)) {
                     val a = if (gs.softMask == null) gs.fillAlpha
                             else gs.fillAlpha * gs.softMask(i)
                     if (a > 0) bmp.buf(i) = composeArgb(bmp.buf(i), off.buf(i), a, gs.blend)

@@ -610,6 +610,67 @@ class RasterizerSpec extends AnyFunSuite {
     assert(bmp.get(90, 792 - 625) == 0xFFFFFFFF, "outside the group untouched")
   }
 
+  test("group mark equal to the backdrop still composites under Difference (coverage, not inequality)") {
+    // page painted solid red; a transparency group paints the SAME red over
+    // it, composited with group-level /BM /Difference at full alpha.
+    // Difference(red, red) = black — the r3 single-walk coverage test
+    // (off != backdrop) skipped such pixels and left them red.
+    val form = "1 0 0 rg 100 600 200 100 re f"
+    val formObj = (s"<</Type/XObject/Subtype/Form/BBox[0 0 612 792]" +
+      s"/Group<</S/Transparency/CS/DeviceRGB>>/Length ${form.length}>>\nstream\n$form\nendstream").getBytes
+    val gsObj = "<</Type/ExtGState/BM/Difference>>".getBytes
+    val doc = PdfDocument.load(pageWith("1 0 0 rg 0 0 612 792 re f /G1 gs /Fm Do",
+      "/ExtGState<</G1 4 0 R>>/XObject<</Fm 5 0 R>>", Vector(gsObj, formObj))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    assert(bmp.get(150, 792 - 650) == 0xFF000000,
+      f"Difference of equal colors must be black, got ${bmp.get(150, 792 - 650)}%08x")
+    assert(bmp.get(90, 792 - 650) == 0xFFFF0000, "outside the group: red backdrop untouched")
+  }
+
+  test("isolated group: in-group Multiply ignores the page backdrop; non-isolated sees it") {
+    // dark blue page; a group fills red with in-group Multiply.
+    // Non-isolated: Multiply(blue, red) = black. Isolated (/I true): the
+    // initial group backdrop is transparent — red survives, and the group
+    // composites red over the page.
+    val form = "/Gm gs 1 0 0 rg 100 600 200 100 re f"
+    def pdfWith(iso: String) = {
+      val formObj = (s"<</Type/XObject/Subtype/Form/BBox[0 0 612 792]" +
+        s"/Group<</S/Transparency/CS/DeviceRGB$iso>>" +
+        s"/Resources<</ExtGState<</Gm 6 0 R>>>>/Length ${form.length}>>\nstream\n$form\nendstream").getBytes
+      val gsObj = "<</Type/ExtGState/ca 0.999>>".getBytes // force the group path
+      val gmObj = "<</Type/ExtGState/BM/Multiply>>".getBytes
+      pageWith("0 0 1 rg 0 0 612 792 re f /G1 gs /Fm Do",
+        "/ExtGState<</G1 4 0 R>>/XObject<</Fm 5 0 R>>", Vector(gsObj, formObj, gmObj))
+    }
+    val nonIso = Rasterizer.render(
+      PdfDocument.load(pdfWith("")).toOption.get.page(0)).get(150, 792 - 650)
+    val iso = Rasterizer.render(
+      PdfDocument.load(pdfWith("/I true")).toOption.get.page(0)).get(150, 792 - 650)
+    assert(((nonIso >> 16) & 0xff) <= 1 && (nonIso & 0xff) <= 1,
+      f"non-isolated Multiply(blue,red) should be ~black, got $nonIso%08x")
+    assert(((iso >> 16) & 0xff) >= 253 && (iso & 0xff) <= 2,
+      f"isolated Multiply sees no page backdrop → red, got $iso%08x")
+  }
+
+  test("text honors show-time /ca: glyphs at half alpha are gray, not black") {
+    val gsObj = "<</Type/ExtGState/ca 0.5>>".getBytes
+    val doc = PdfDocument.load(pageWith(
+      "/G1 gs BT /F1 48 Tf 100 600 Td (III) Tj ET",
+      "/ExtGState<</G1 4 0 R>>/Font<</F1 5 0 R>>",
+      Vector(gsObj, "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>".getBytes))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    // darkest glyph pixel in the text band: half-alpha black over white ≈ 0x80
+    var darkest = 255
+    for (y <- 792 - 650 until 792 - 595; x <- 95 until 180) {
+      val v = bmp.get(x, y) & 0xff
+      if (v < darkest) darkest = v
+    }
+    assert(darkest < 200, "no glyph ink found in the probe band")
+    // half-alpha black over white = 128; adjacent glyph-box edges may
+    // overlap pairwise (128 → 64) — src-over (the r3 behavior) would be 0
+    assert(darkest >= 55, s"glyphs ignored /ca 0.5: darkest=$darkest (src-over black would be ~0)")
+  }
+
   test("non-separable blends: Hue/Color/Luminosity per §11.3.5.3") {
     // gray src in Hue mode over red dst → gray at the dst's luminosity (0.3)
     val hue = Rasterizer.composeArgb(0xFFFF0000, 0xFF808080, 1.0, Rasterizer.BlendHue)
