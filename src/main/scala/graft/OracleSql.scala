@@ -465,6 +465,25 @@ object OracleSql {
         |) AS t(fixture, n_pages, rot0, mediabox0, cropbox0, texts_match, att_names)
         |ORDER BY fixture""".stripMargin,
 
+    // N-up imposition: semantics-pinned — 3 source pages at 2×2 = one
+    // sheet, every page's text present, sheet box = source box
+    "pdf_nup" ->
+      """SELECT 'multipage.pdf' AS fixture, CAST(1 AS BIGINT) AS n_sheets,
+        |  TRUE AS all_pages_present, TRUE AS sheet_box_matches""".stripMargin,
+
+    // field-value writing: the two written values read back; others keep
+    // their original /V (fixture values pinned in pdf_form_fields)
+    "pdf_form_fill" ->
+      """SELECT CAST(ord AS BIGINT) AS ord, name, value FROM (VALUES
+        |  (0, 'Listbox_SingleSelect', 'Chosen'),
+        |  (1, 'Listbox_MultiSelect', 'Banana'),
+        |  (2, 'Listbox_ReadOnly', 'Locked'),
+        |  (3, 'Listbox_MultiSelectMultipleIndices', ''),
+        |  (4, 'Listbox_MultiSelectMultipleValues', 'Epsilon,Gamma'),
+        |  (5, 'Listbox_MultiSelectMultipleMismatch', 'Alligator,Cougar'),
+        |  (6, 'Listbox_SingleSelectLastSelected', 'Saskatchewan')
+        |) AS t(ord, name, value) ORDER BY ord""".stripMargin,
+
     // flatten: the synthetic fixture's AP text is invisible before and
     // present after baking (the semantic contract of FPDFPage_Flatten);
     // annotation lists empty out; forms.pdf (7 widget annots) survives the

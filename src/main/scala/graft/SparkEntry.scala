@@ -442,6 +442,37 @@ object SparkEntry {
         .orderBy("fixture")
     }),
 
+    "pdf_nup" -> ((s, _) => {
+      import s.implicits._
+      // page_as_xobject + N-up imposition (document.py:500-517): all three
+      // source pages land as form XObjects on one 2x2 sheet; the sheet
+      // re-loads through our parser and carries every page's text
+      ExtractPipeline.mapDocs(PagesTable.ofFixtures(s, Seq("multipage.pdf"))) { (url, d) =>
+        val re = graft.core.PdfDocument.load(
+          graft.core.PdfWriter.writeNUp((0 until d.pageCount).map(i => (d, i)), 2, 2)).toOption.get
+        val t = re.page(0).textPage.text
+        val all = d.pages.indices.forall(i => t.contains((i + 1).toString))
+        Iterator.single((url.stripPrefix("fixture://"), re.pageCount.toLong,
+          all, re.page(0).mediaBox == d.page(0).mediaBox))
+      }.toDF("fixture", "n_sheets", "all_pages_present", "sheet_box_matches")
+    }),
+
+    "pdf_form_fill" -> ((s, _) => {
+      import s.implicits._
+      // form field-value writing (document.py:159-205 interactive-forms
+      // static slice): set /V on two fields, save with NeedAppearances,
+      // re-load and read every field back through the ordinary getters
+      ExtractPipeline.mapDocs(PagesTable.ofFixtures(s, Seq("forms.pdf"))) { (_, d) =>
+        val out = graft.core.PdfWriter.writeFieldValues(d, Map(
+          "Listbox_SingleSelect" -> "Chosen",
+          "Listbox_ReadOnly" -> "Locked"))
+        val re = graft.core.PdfDocument.load(out).toOption.get
+        re.formFieldsDetailed.zipWithIndex.map { case (f, i) =>
+          (i.toLong, f.name, f.value)
+        }
+      }.toDF("ord", "name", "value").orderBy("ord")
+    }),
+
     "pdf_flatten" -> ((s, _) => {
       import s.implicits._
       // flatten analog (page.py:328-351): annotation appearance streams are

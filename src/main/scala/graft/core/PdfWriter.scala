@@ -149,6 +149,137 @@ object PdfWriter {
     w.assemble(PdfRef(-1 - catalogSlot, 0), infoRef)
   }
 
+  /** A source page as a Form XObject (reference document.py:500-517
+    * page_as_xobject → FPDF_NewXObjectFromPage): BBox = the page's media
+    * box, content = the page's concatenated content streams, resources
+    * carried over. Returns the synthetic stream; `intern` it into a Writer
+    * to reference it from another document's content. */
+  def pageAsXObject(doc: PdfDocument, pageIdx: Int): PdfStream = {
+    val pg = doc.page(pageIdx)
+    val mb = pg.mediaBox
+    PdfStream(PdfDict(Map(
+      "Type" -> PdfName("XObject"),
+      "Subtype" -> PdfName("Form"),
+      "BBox" -> PdfArray(Vector(PdfNumber(mb.left), PdfNumber(mb.bottom),
+        PdfNumber(mb.right), PdfNumber(mb.top))),
+      "Resources" -> pg.resources)), pg.contentBytes)
+  }
+
+  /** N-up imposition over [[pageAsXObject]] (the reference's stated use
+    * case for page_as_xobject): lay the selected source pages onto sheets
+    * of `cols`×`rowsPerSheet` cells, each page scaled uniformly into its
+    * cell. Sheets use the first source page's media box. */
+  def writeNUp(selection: Seq[(PdfDocument, Int)], cols: Int, rowsPerSheet: Int): Array[Byte] = {
+    require(selection.nonEmpty && cols > 0 && rowsPerSheet > 0)
+    val w = new Writer
+    val pagesSlot = w.reserveSynthetic()
+    val sheetBox = selection.head._1.page(selection.head._2).mediaBox
+    val cellW = sheetBox.width / cols
+    val cellH = sheetBox.height / rowsPerSheet
+    val perSheet = cols * rowsPerSheet
+    val kidSlots = selection.grouped(perSheet).map { sheet =>
+      val ops = new StringBuilder
+      val xobjs = sheet.zipWithIndex.map { case ((doc, idx), cell) =>
+        val nm = s"P$cell"
+        val slot = w.internSynthetic(doc, pageAsXObject(doc, idx))
+        val mb = doc.page(idx).mediaBox
+        val s = math.min(cellW / math.max(1e-9, mb.width), cellH / math.max(1e-9, mb.height))
+        val col = cell % cols
+        val row = cell / cols // row 0 at the TOP of the sheet
+        val tx = sheetBox.left + col * cellW - mb.left * s +
+          (cellW - mb.width * s) / 2
+        val ty = sheetBox.top - (row + 1) * cellH - mb.bottom * s +
+          (cellH - mb.height * s) / 2
+        ops.append(f"q $s%.6f 0 0 $s%.6f $tx%.6f $ty%.6f cm /$nm Do Q\n")
+        nm -> (PdfRef(-1 - slot, 0): PdfObject)
+      }
+      val content = ops.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val cSlot = w.internSynthetic(null, PdfStream(PdfDict(Map.empty), content))
+      w.internSynthetic(null, PdfDict(Map(
+        "Type" -> PdfName("Page"),
+        "Parent" -> PdfRef(-1 - pagesSlot, 0),
+        "MediaBox" -> PdfArray(Vector(PdfNumber(sheetBox.left), PdfNumber(sheetBox.bottom),
+          PdfNumber(sheetBox.right), PdfNumber(sheetBox.top))),
+        "Resources" -> PdfDict(Map("XObject" -> PdfDict(xobjs.toMap))),
+        "Contents" -> PdfRef(-1 - cSlot, 0))))
+    }.toVector
+    w.fillSynthetic(pagesSlot, null, PdfDict(Map(
+      "Type" -> PdfName("Pages"),
+      "Kids" -> PdfArray(kidSlots.map(s => PdfRef(-1 - s, 0))),
+      "Count" -> PdfNumber(kidSlots.length))))
+    val catalogSlot = w.internSynthetic(null, PdfDict(Map(
+      "Type" -> PdfName("Catalog"),
+      "Pages" -> PdfRef(-1 - pagesSlot, 0))))
+    w.assemble(PdfRef(-1 - catalogSlot, 0), None)
+  }
+
+  /** Form field-value writing (the static-API slice of the reference's
+    * interactive-forms env, document.py:159-205 + annotation field access):
+    * set /V on every terminal field whose fully-qualified name matches,
+    * drop stale appearance streams and set /NeedAppearances so conforming
+    * viewers regenerate them. Returns the rewritten document bytes. */
+  def writeFieldValues(doc: PdfDocument, values: Map[String, String]): Array[Byte] = {
+    if (values.isEmpty) return write(doc)
+    // walk the AcroForm tree exactly like formFieldsDetailed to find the
+    // OBJECT NUMBERS of matching terminal fields, then serialize with those
+    // objects overridden
+    val overrides = scala.collection.mutable.Map[Int, PdfDict]()
+    def walk(node: PdfObject, prefix: String): Unit = doc.resolve(node) match {
+      case d: PdfDict =>
+        val name = doc.resolve(d("T")) match {
+          case s: PdfString => if (prefix.isEmpty) s.asText else prefix + "." + s.asText
+          case _ => prefix
+        }
+        doc.resolve(d("Kids")) match {
+          case PdfArray(kids) if kids.nonEmpty => kids.foreach(walk(_, name))
+          case _ =>
+            values.get(name).foreach { v =>
+              node match {
+                case PdfRef(num, _) =>
+                  val entries = d.entries +
+                    ("V" -> PdfString(v.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))) -
+                    "AP" // stale appearance; NeedAppearances covers regeneration
+                  overrides(num) = PdfDict(entries)
+                case _ => ()
+              }
+            }
+        }
+      case _ => ()
+    }
+    doc.resolve(doc.catalog("AcroForm")) match {
+      case af: PdfDict => doc.resolve(af("Fields")) match {
+        case PdfArray(fields) => fields.foreach(walk(_, ""))
+        case _ => ()
+      }
+      case _ => ()
+    }
+    // AcroForm itself needs NeedAppearances true; it may be a ref or inline
+    val acroRef = doc.catalog.entries.get("AcroForm")
+    acroRef match {
+      case Some(PdfRef(num, _)) =>
+        doc.getObject(num) match {
+          case af: PdfDict =>
+            overrides(num) = PdfDict(af.entries + ("NeedAppearances" -> PdfBool(true)))
+          case _ => ()
+        }
+      case _ => ()
+    }
+    writeWithOverrides(doc, overrides.toMap)
+  }
+
+  /** Full-document copy with specific old objects replaced by new bodies. */
+  private def writeWithOverrides(doc: PdfDocument, overrides: Map[Int, PdfObject]): Array[Byte] = {
+    val w = new Writer(overrides)
+    val rootRef: PdfObject = doc.trailer("Root") match {
+      case r: PdfRef => PdfRef(-1 - w.internOld(doc, r.num), 0)
+      case _ => PdfRef(-1 - w.internSynthetic(doc, doc.catalog), 0)
+    }
+    val infoRef: Option[PdfObject] = doc.trailer.get("Info").collect {
+      case r: PdfRef => PdfRef(-1 - w.internOld(doc, r.num), 0)
+    }
+    w.assemble(rootRef, infoRef)
+  }
+
   /** Form/annotation flattening (reference page.py:328-351 flatten →
     * FPDFPage_Flatten): bake every visible annotation's normal appearance
     * stream into the page content as a Form-XObject invocation (PDF 32000
@@ -356,7 +487,7 @@ object PdfWriter {
     * are SLOTS (0-based); a PdfRef with num = -1-slot marks an internal
     * reference, rewritten to `slot+1 0 R` at assembly. Old-document refs are
     * interned per (doc, oldNum) so shared objects dedupe. */
-  private final class Writer {
+  private final class Writer(overrides: Map[Int, PdfObject] = Map.empty) {
     private val slots = mutable.ArrayBuffer[(PdfDocument, PdfObject)]() // may hold null placeholders
     private val oldKey = mutable.HashMap[(PdfDocument, Int), Int]()
 
@@ -366,11 +497,12 @@ object PdfWriter {
     def internSynthetic(doc: PdfDocument, obj: PdfObject): Int = {
       slots += ((doc, obj)); slots.length - 1
     }
-    /** Intern an existing object of `doc` by its old number. */
+    /** Intern an existing object of `doc` by its old number; `overrides`
+      * substitute edited bodies (field-value writing) at serialization. */
     def internOld(doc: PdfDocument, num: Int): Int =
       oldKey.getOrElseUpdate((doc, num), {
         val slot = reserveSynthetic()
-        slots(slot) = (doc, doc.getObject(num))
+        slots(slot) = (doc, overrides.getOrElse(num, doc.getObject(num)))
         slot
       })
 

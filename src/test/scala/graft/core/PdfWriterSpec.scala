@@ -159,6 +159,35 @@ class PdfWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("writeNUp: 2x2 imposition puts all three source pages on one sheet") {
+    val doc = PdfDocument.load(fixture("multipage.pdf")).toOption.get
+    val out = PdfWriter.writeNUp((0 until 3).map(i => (doc, i)), cols = 2, rowsPerSheet = 2)
+    val re = PdfDocument.load(out).toOption.get
+    assert(re.pageCount == 1)
+    val t = re.page(0).textPage.text
+    Seq("Page", "1", "2", "3").foreach(s => assert(t.contains(s), s"missing $s in: $t"))
+    assert(re.page(0).mediaBox == doc.page(0).mediaBox)
+  }
+
+  test("writeNUp: 5 pages at 2x2 spill onto a second sheet") {
+    val doc = PdfDocument.load(fixture("multipage.pdf")).toOption.get
+    val sel = Seq((doc, 0), (doc, 1), (doc, 2), (doc, 0), (doc, 1))
+    val re = PdfDocument.load(PdfWriter.writeNUp(sel, 2, 2)).toOption.get
+    assert(re.pageCount == 2)
+    assert(re.page(1).textPage.text.contains("2")) // 5th cell = source page idx 1
+  }
+
+  test("writeFieldValues: /V lands on the matching terminal field, others untouched") {
+    val doc = PdfDocument.load(fixture("forms.pdf")).toOption.get
+    val out = PdfWriter.writeFieldValues(doc,
+      Map("Listbox_SingleSelect" -> "Chosen"))
+    val re = PdfDocument.load(out).toOption.get
+    val fields = re.formFieldsDetailed.map(f => f.name -> f.value).toMap
+    assert(fields("Listbox_SingleSelect") == "Chosen")
+    assert(fields("Listbox_MultiSelect") == "Banana") // untouched
+    assert(re.pageCount == doc.pageCount)
+  }
+
   test("writeFlattened bakes annotation appearance text into page content") {
     val doc = PdfDocument.load(SynthPdf.annotPdf("hello body", "BAKED")).toOption.get
     assert(!doc.page(0).textPage.text.contains("BAKED"))
