@@ -465,6 +465,16 @@ object OracleSql {
         |) AS t(fixture, n_pages, rot0, mediabox0, cropbox0, texts_match, att_names)
         |ORDER BY fixture""".stripMargin,
 
+    // rendered image objects: three placements of images.pdf's image at
+    // three different transform sizes; md5 = re-decoded pixels
+    "pdf_image_render" ->
+      """SELECT name, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height, pixels_md5
+        |FROM (VALUES
+        |  ('Im7', 115, 48, '681e8dc76147fc1c9e23a3ac86c45bab'),
+        |  ('Im7', 217, 91, 'a750f5499791cc00918a92720a8e20f8'),
+        |  ('Im7', 374, 156, '0f274c06a1e9ff9b014be57843e850e6')
+        |) AS t(name, width, height, pixels_md5) ORDER BY name""".stripMargin,
+
     // N-up imposition: semantics-pinned — 3 source pages at 2×2 = one
     // sheet, every page's text present, sheet box = source box
     "pdf_nup" ->

@@ -442,6 +442,26 @@ object SparkEntry {
         .orderBy("fixture")
     }),
 
+    "pdf_image_render" -> ((s, _) => {
+      import s.implicits._
+      // get_bitmap(render=True) analog (pageobjects.py:433-498): every
+      // image object of images.pdf rendered through its placement
+      // transform; correctness pinned by the md5 of the RE-DECODED pixels
+      // (PNG-encoder-independent), like the indexed_png case
+      ExtractPipeline.mapDocs(PagesTable.ofFixtures(s, Seq("images.pdf"))) { (_, d) =>
+        graft.core.ImageExtract.renderedPageImages(d.page(0)).map { img =>
+          val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img.data))
+          val px = new Array[Int](bi.getWidth * bi.getHeight)
+          bi.getRGB(0, 0, bi.getWidth, bi.getHeight, px, 0, bi.getWidth)
+          val bb = java.nio.ByteBuffer.allocate(px.length * 4)
+          px.foreach(bb.putInt)
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(bb.array()).map(x => f"$x%02x").mkString
+          (img.name, img.width.toLong, img.height.toLong, md5)
+        }
+      }.toDF("name", "width", "height", "pixels_md5").orderBy("name")
+    }),
+
     "pdf_nup" -> ((s, _) => {
       import s.implicits._
       // page_as_xobject + N-up imposition (document.py:500-517): all three

@@ -61,7 +61,9 @@ final case class PageObjectInfo(
     imgColorspace: String,
     imgFilters: Vector[String],
     raw: Option[RawTextObject],
-    mcid: Int = -1)                  // marked-content id (BDC /MCID), -1 if none
+    mcid: Int = -1,                  // marked-content id (BDC /MCID), -1 if none
+    imgCtm: Option[Mat] = None,      // image objects: unit-square → page-space CTM at draw
+    xobjName: String = "")           // image objects: the /XObject resource tag
 
 /** Content-stream interpreter: tokenizes and executes the operator stream
   * (PDF 32000-1 §8-9), maintaining the q/Q CTM stack and the full text state
@@ -278,7 +280,8 @@ object ContentInterpreter {
                     Rect(xs.min.toDouble, ys.min.toDouble, xs.max.toDouble, ys.max.toDouble)
                   }
                   objs += PageObjectInfo("image", bounds, level,
-                    "", "", 0, w, h, bpc, cs, filters, None, curMcid)
+                    "", "", 0, w, h, bpc, cs, filters, None, curMcid,
+                    imgCtm = Some(gs.ctm), xobjName = tag)
                 case PdfName("Form") =>
                   val formRes = doc.resolve(xd("Resources")) match { case d: PdfDict => d; case _ => resources }
                   val formMat = doc.resolve(xd("Matrix")) match {

@@ -36,6 +36,50 @@ object ImageExtract {
       }
     } catch { case _: Exception => None }
 
+  /** get_bitmap(render=True) analog (pageobjects.py:433-498 →
+    * FPDFImageObj_GetRenderedBitmap): each image object rendered through
+    * its page-space transform — scale/flip/rotation and soft masks applied
+    * — at the transform's device size (×`scale`), re-encoded as PNG over a
+    * white backdrop. Use when the raw payload isn't what the user wants
+    * (e.g. a rotated/flipped placement or SMask'd composite). */
+  def renderedPageImages(page: PdfPage, scale: Double = 1.0,
+                         maxDim: Int = 4096): Vector[ExtractedImage] = {
+    val doc = page.doc
+    val infos = try ContentInterpreter.run(page).objects
+      catch { case _: Exception => Vector.empty }
+    infos.collect {
+      case o if o.objType == "image" && o.imgCtm.isDefined =>
+        val ctm = o.imgCtm.get
+        val b = ctm.onRect(Rect(0, 0, 1, 1))
+        val w = math.min(maxDim, math.max(1, math.ceil(b.width * scale).toInt))
+        val h = math.min(maxDim, math.max(1, math.ceil(b.height * scale).toInt))
+        val sx = w / math.max(1e-9, b.width)
+        val sy = h / math.max(1e-9, b.height)
+        // page space → device: y flips, bounds map onto [0,w]×[0,h]
+        val dev = Mat(sx, 0, 0, -sy, -b.left * sx, b.top * sy)
+        val bmp = new graft.core.render.Bitmap(w, h)
+        val rendered = doc.resolve(page.resources("XObject")) match {
+          case xobjs: PdfDict => doc.resolve(xobjs(o.xobjName)) match {
+            case s: PdfStream =>
+              graft.core.render.Rasterizer.decodeImagePixels(doc, s).map { px =>
+                graft.core.render.Rasterizer.blitImage(bmp, ctm.multiply(dev), px, 0xFF000000)
+                true
+              }.getOrElse(false)
+            case _ => false
+          }
+          case _ => false
+        }
+        if (!rendered) None
+        else {
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          img.setRGB(0, 0, w, h, bmp.buf, 0, w)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          Some(ExtractedImage(o.xobjName, "png", out.toByteArray, w, h))
+        }
+    }.flatten
+  }
+
   def pageImages(page: PdfPage, maxDepth: Int = 2): Vector[ExtractedImage] = {
     val doc = page.doc
     val out = Vector.newBuilder[ExtractedImage]

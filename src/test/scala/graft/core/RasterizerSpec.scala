@@ -671,6 +671,31 @@ class RasterizerSpec extends AnyFunSuite {
     assert(darkest >= 55, s"glyphs ignored /ca 0.5: darkest=$darkest (src-over black would be ~0)")
   }
 
+  test("renderedPageImages applies the placement transform: flip inverts row order") {
+    // 1×2 gray image (black over white): upright placement puts image row 0
+    // (black) at the TOP; a negative-d flip placement puts it at the BOTTOM
+    def pdf(cm: String) = {
+      val samples = Array[Byte](0x00, 0xFF.toByte) // row0 black, row1 white
+      val imgHdr = "<</Type/XObject/Subtype/Image/Width 1/Height 2/BitsPerComponent 8" +
+        "/ColorSpace/DeviceGray/Length 2>>\nstream\n"
+      pageWith(s"q $cm cm /Im1 Do Q", "/XObject<</Im1 4 0 R>>",
+        Vector(imgHdr.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+          samples ++ "\nendstream".getBytes))
+    }
+    def rowColors(bytes: Array[Byte]): (Int, Int) = {
+      val doc = PdfDocument.load(bytes).toOption.get
+      val imgs = graft.core.ImageExtract.renderedPageImages(doc.page(0))
+      assert(imgs.length == 1 && imgs.head.width == 8 && imgs.head.height == 16,
+        s"got ${imgs.map(i => (i.width, i.height))}")
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(imgs.head.data))
+      (bi.getRGB(4, 2) & 0xff, bi.getRGB(4, 13) & 0xff)
+    }
+    val (upTop, upBot) = rowColors(pdf("8 0 0 16 100 600"))
+    assert(upTop < 64 && upBot > 192, s"upright: top=$upTop bottom=$upBot")
+    val (flTop, flBot) = rowColors(pdf("8 0 0 -16 100 616"))
+    assert(flTop > 192 && flBot < 64, s"flipped: top=$flTop bottom=$flBot")
+  }
+
   test("non-separable blends: Hue/Color/Luminosity per §11.3.5.3") {
     // gray src in Hue mode over red dst → gray at the dst's luminosity (0.3)
     val hue = Rasterizer.composeArgb(0xFFFF0000, 0xFF808080, 1.0, Rasterizer.BlendHue)
