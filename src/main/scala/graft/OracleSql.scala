@@ -713,6 +713,21 @@ object OracleSql {
       s"SELECT doc_id,\n  $cols\nFROM documents ORDER BY doc_id"
     },
 
+    // benchmark decontamination: exact word-8-gram overlap vs the every-25th
+    // document benchmark set (mirrors TextStats.decontaminate; benchmark
+    // docs are contaminated by construction, others only via real overlap)
+    "text_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |dg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-6),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]))) AS g
+        |  FROM toks WHERE len(t) >= 8),
+        |bg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 25 = 0),
+        |hits AS (SELECT dg.doc_id, count(*) AS n_hits FROM dg JOIN bg USING (g) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin

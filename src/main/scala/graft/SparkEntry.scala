@@ -853,6 +853,15 @@ object SparkEntry {
 
     "text_gopher_rules" -> ((s, dir) => {
       TextStats.gopherRules(docs(s, dir, "documents")).orderBy("doc_id")
+    }),
+
+    "text_decontaminate" -> ((s, dir) => {
+      // benchmark set = every 25th document; those docs are contaminated by
+      // construction (their own grams), others only via genuine 8-gram
+      // overlap — engine-portable gram strings, broadcast semi-join shape
+      val d = docs(s, dir, "documents").select(col("doc_id"), col("text"))
+      TextStats.decontaminate(d, d.where(col("doc_id") % 25 === 0), n = 8)
+        .orderBy("doc_id")
     })
   )
 

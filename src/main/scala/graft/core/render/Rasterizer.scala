@@ -19,8 +19,10 @@ import graft.core._
   *    nonstroking color; glyph-box fills for unembedded fonts;
   *  - clipping: rectangular (clip-path BBOX intersection — exact for the
   *    ubiquitous `re W n` idiom, conservative for shaped clips);
-  *  - shadings: axial (type 2) exact, radial (type 3) approximated along
-  *    the center line, with all four PDF function types evaluated;
+  *  - shadings: axial (type 2) and radial (type 3) exact, free-form and
+  *    lattice-form Gouraud triangle meshes (types 4/5) with barycentric
+  *    interpolation, all four PDF function types evaluated; Coons/tensor
+  *    patches (6/7) fall back to the midpoint color;
   *  - transparency: ImageMask stencils, /SMask per-pixel alpha, ExtGState
   *    constant alpha (/ca /CA), all 12 separable blend modes plus the four
   *    non-separable ones (§11.3.5), and ExtGState soft masks (/SMask in gs,
@@ -319,7 +321,7 @@ object Rasterizer {
     // content stream's DEFAULT space, not the CTM at paint time. The Int is
     // the scn-supplied color for UNCOLORED (PaintType 2) tiling patterns,
     // -1 for colored patterns.
-    var fillPattern: Option[(Either[PdfStream, PdfDict], Mat, Int)] = None
+    var fillPattern: Option[(Either[PdfStream, (PdfDict, Option[Array[Byte]])], Mat, Int)] = None
     def copy(): RState = {
       val s = new RState(ctm)
       s.fill = fill; s.stroke = stroke; s.lineWidth = lineWidth; s.clip = clip
@@ -467,7 +469,7 @@ object Rasterizer {
             val saved = gs.clip
             gs.clip = Some(merged)
             try pattern match {
-              case (Right(shDict), patCtm, _) => paintShadingDict(shDict, patCtm)
+              case (Right((shDict, md)), patCtm, _) => paintShadingDict(shDict, patCtm, md)
               case (Left(tile), patCtm, uncolored) => paintTilingPattern(tile, patCtm, merged, uncolored)
             } catch { case _: Exception => () }
             gs.clip = saved
@@ -488,7 +490,7 @@ object Rasterizer {
     def drawShading(name: String): Unit = doc.resolve(resources("Shading")) match {
       case shd: PdfDict => doc.resolve(shd(name)) match {
         case d: PdfDict => paintShadingDict(d, gs.ctm)
-        case PdfStream(sd, _) => paintShadingDict(sd, gs.ctm)
+        case s @ PdfStream(sd, _) => paintShadingDict(sd, gs.ctm, Some(doc.streamData(s)))
         case _ => ()
       }
       case _ => ()
@@ -496,8 +498,9 @@ object Rasterizer {
 
     /** Paint a shading dict across the current clip; `shCtm` maps shading
       * space → device (gs.ctm for `sh`, the captured pattern matrix for
-      * pattern fills). */
-    def paintShadingDict(sd: PdfDict, shCtm: Mat): Unit = {
+      * pattern fills). `meshData` carries the decoded stream payload for
+      * mesh shadings (types 4/5 — Gouraud triangles). */
+    def paintShadingDict(sd: PdfDict, shCtm: Mat, meshData: Option[Array[Byte]] = None): Unit = {
       def numsOf(o: PdfObject): Array[Double] = doc.resolve(o) match {
         case PdfArray(items) => items.map(doc.resolve).collect { case PdfNumber(v) => v }.toArray
         case _ => Array.emptyDoubleArray
@@ -516,6 +519,7 @@ object Rasterizer {
         case PdfName("DeviceCMYK") => 4
         case _ => 3
       }
+      val fnDefined = sd.entries.contains("Function")
       val fn = evalFunction(doc, sd("Function"))
       def colorAt(t: Double): Int = {
         val c = fn(domain(0) + t * (domain(1) - domain(0)))
@@ -528,6 +532,129 @@ object Rasterizer {
         }
       }
       val cr = gs.clip.getOrElse(ClipRegion.rect(0, 0, bmp.width - 1, bmp.height - 1))
+      // mesh shadings (§8.7.4.5.5/6): free-form (4) and lattice-form (5)
+      // Gouraud triangles — vertex records unpacked per BitsPerFlag/
+      // BitsPerCoordinate/BitsPerComponent with the /Decode ranges, device
+      // triangles filled by barycentric interpolation (of the parametric t
+      // when /Function is present, of color components otherwise).
+      // Types 6/7 (Coons/tensor) keep the midpoint-color fallback below.
+      if ((shType == 4 || shType == 5) && meshData.isDefined) {
+        val data = meshData.get
+        def intOf(key: String, dflt: Int): Int = doc.resolve(sd(key)) match {
+          case PdfNumber(v) => v.toInt; case _ => dflt
+        }
+        val bpCoord = intOf("BitsPerCoordinate", 16)
+        val bpComp = intOf("BitsPerComponent", 8)
+        val bpFlag = intOf("BitsPerFlag", 8)
+        val decode = numsOf(sd("Decode"))
+        val nComp = if (fnDefined) 1 else csComponents
+        if (decode.length >= 4 + 2 * nComp) {
+          var bitPos = 0L
+          def bits(n: Int): Long = {
+            var v = 0L; var k = 0
+            while (k < n) {
+              val byteIdx = (bitPos >> 3).toInt
+              if (byteIdx >= data.length) return v << (n - k)
+              val bit = (data(byteIdx) >> (7 - (bitPos & 7).toInt)) & 1
+              v = (v << 1) | bit
+              bitPos += 1; k += 1
+            }
+            v
+          }
+          def hasBits(n: Int): Boolean = bitPos + n <= data.length.toLong * 8
+          @inline def dec(raw: Long, nb: Int, lo: Double, hi: Double): Double = {
+            val max = if (nb >= 63) Long.MaxValue.toDouble else ((1L << nb) - 1).toDouble
+            lo + (raw.toDouble / max) * (hi - lo)
+          }
+          final case class MVert(x: Double, y: Double, c: Array[Double])
+          def readVert(): MVert = {
+            val x = dec(bits(bpCoord), bpCoord, decode(0), decode(1))
+            val y = dec(bits(bpCoord), bpCoord, decode(2), decode(3))
+            val c = Array.tabulate(nComp)(k =>
+              dec(bits(bpComp), bpComp, decode(4 + 2 * k), decode(5 + 2 * k)))
+            MVert(x, y, c)
+          }
+          def vertColor(c: Array[Double]): Int =
+            if (fnDefined) colorAt((c(0) - domain(0)) / math.max(1e-12, domain(1) - domain(0)))
+            else csComponents match {
+              case 1 => rgb(c(0), c(0), c(0))
+              case 4 => cmyk(c(0), c(1), c(2), c(3))
+              case _ => rgb(c(0), c(1), c(2))
+            }
+          def paintTri(v0: MVert, v1: MVert, v2: MVert): Unit = {
+            val p0 = shCtm.onPoint(v0.x, v0.y); val p1 = shCtm.onPoint(v1.x, v1.y)
+            val p2 = shCtm.onPoint(v2.x, v2.y)
+            val den = (p1._2 - p2._2) * (p0._1 - p2._1) + (p2._1 - p1._1) * (p0._2 - p2._2)
+            if (math.abs(den) < 1e-12) return
+            val x0 = math.max(math.max(0, cr.x0), math.floor(math.min(p0._1, math.min(p1._1, p2._1))).toInt)
+            val x1 = math.min(math.min(bmp.width - 1, cr.x1), math.ceil(math.max(p0._1, math.max(p1._1, p2._1))).toInt)
+            val y0 = math.max(math.max(0, cr.y0), math.floor(math.min(p0._2, math.min(p1._2, p2._2))).toInt)
+            val y1 = math.min(math.min(bmp.height - 1, cr.y1), math.ceil(math.max(p0._2, math.max(p1._2, p2._2))).toInt)
+            val (c0, c1, c2) = (vertColor(v0.c), vertColor(v1.c), vertColor(v2.c))
+            var py = y0
+            while (py <= y1) {
+              var px = x0
+              while (px <= x1) {
+                if (cr.allows(px, py)) {
+                  val fx = px + 0.5; val fy = py + 0.5
+                  val l0 = ((p1._2 - p2._2) * (fx - p2._1) + (p2._1 - p1._1) * (fy - p2._2)) / den
+                  val l1 = ((p2._2 - p0._2) * (fx - p2._1) + (p0._1 - p2._1) * (fy - p2._2)) / den
+                  val l2 = 1.0 - l0 - l1
+                  if (l0 >= -1e-6 && l1 >= -1e-6 && l2 >= -1e-6) {
+                    @inline def ch(sh: Int): Int = {
+                      val v = l0 * ((c0 >> sh) & 0xff) + l1 * ((c1 >> sh) & 0xff) + l2 * ((c2 >> sh) & 0xff)
+                      math.max(0, math.min(255, math.round(v).toInt))
+                    }
+                    val col = 0xFF000000 | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+                    composePixel(bmp, px, py, col, gs.fillAlpha, gs.blend, gs.softMask)
+                  }
+                }
+                px += 1
+              }
+              py += 1
+            }
+          }
+          if (shType == 4) {
+            val vertBits = bpFlag + 2 * bpCoord + nComp * bpComp
+            var va: MVert = null; var vb: MVert = null; var vc: MVert = null
+            while (hasBits(vertBits)) {
+              val flag = bits(bpFlag).toInt
+              val v = readVert()
+              flag match {
+                case 0 =>
+                  if (va == null) { va = v }
+                  else if (vb == null) { vb = v }
+                  else if (vc == null) { vc = v; paintTri(va, vb, vc) }
+                  else { va = v; vb = null; vc = null } // new triangle start
+                case 1 => if (vc != null) { va = vb; vb = vc; vc = v; paintTri(va, vb, vc) }
+                case 2 => if (vc != null) { vb = vc; vc = v; paintTri(va, vb, vc) }
+                case _ => ()
+              }
+            }
+          } else { // type 5 lattice
+            val perRow = intOf("VerticesPerRow", 2)
+            if (perRow >= 2) {
+              val vertBits = 2 * bpCoord + nComp * bpComp
+              var prev: Array[MVert] = null
+              var more = true
+              while (more && hasBits(vertBits.toLong.toInt * perRow)) {
+                val row = Array.fill(perRow)(readVert())
+                if (prev != null) {
+                  var i = 0
+                  while (i + 1 < perRow) {
+                    paintTri(prev(i), prev(i + 1), row(i))
+                    paintTri(prev(i + 1), row(i + 1), row(i))
+                    i += 1
+                  }
+                }
+                prev = row
+                more = hasBits(vertBits * perRow)
+              }
+            }
+          }
+          return
+        }
+      }
       shCtm.invert.foreach { inv =>
         var y = math.max(0, cr.y0)
         while (y <= math.min(bmp.height - 1, cr.y1)) {
@@ -901,8 +1028,9 @@ object Rasterizer {
                       case pd: PdfDict if doc.resolve(pd("PatternType")) == PdfNumber(2) =>
                         val patCtm = matOf(pd("Matrix")).multiply(baseCtm)
                         doc.resolve(pd("Shading")) match {
-                          case shDict: PdfDict => gs.fillPattern = Some((Right(shDict), patCtm, -1))
-                          case PdfStream(shDict, _) => gs.fillPattern = Some((Right(shDict), patCtm, -1))
+                          case shDict: PdfDict => gs.fillPattern = Some((Right((shDict, None)), patCtm, -1))
+                          case sstr @ PdfStream(shDict, _) =>
+                            gs.fillPattern = Some((Right((shDict, Some(doc.streamData(sstr)))), patCtm, -1))
                           case _ => ()
                         }
                       case tile @ PdfStream(td, _) if doc.resolve(td("PatternType")) == PdfNumber(1) =>

@@ -55,14 +55,21 @@ object Dedup {
   /** Distinct word-3-gram shingles of a text, single pass (Scala side).
     * split(" ", -1) keeps trailing empty tokens — matching Catalyst split
     * and DuckDB string_split exactly (replica texts can end mid-space). */
-  def shingleStrings(text: String): Array[String] = {
+  def shingleStrings(text: String): Array[String] = ngramStrings(text, 3)
+
+  /** Distinct word n-grams, single pass; same tokenization contract as
+    * [[shingleStrings]] (engine-portable). */
+  def ngramStrings(text: String, n: Int): Array[String] = {
     val toks = text.split(" ", -1)
-    if (toks.length < 3) Array.empty[String]
+    if (toks.length < n) Array.empty[String]
     else {
       val seen = new java.util.LinkedHashSet[String]()
       var i = 0
-      while (i + 2 < toks.length) {
-        seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      while (i + n - 1 < toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        seen.add(sb.toString)
         i += 1
       }
       seen.toArray(new Array[String](seen.size))

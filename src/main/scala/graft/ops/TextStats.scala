@@ -104,6 +104,33 @@ object TextStats {
 
   /** Document fingerprint: md5 of case-folded, punctuation-stripped,
     * space-normalized text — the cheap exact-dedup key for web corpora. */
+  /** Benchmark decontamination — the training-data pipeline staple: flag
+    * every corpus document sharing at least one word n-gram with an
+    * evaluation/benchmark set (the n-gram–overlap rule of GPT-3 appendix C
+    * / Gopher §A.3-style decontamination). The benchmark side is SMALL by
+    * nature, so its distinct gram set broadcasts and the corpus side stays
+    * a narrow scan + broadcast semi-join — at 10^12 rows the only shuffle
+    * is the per-doc hit count aggregation (doc_id-keyed, map-side
+    * combined). Gram strings (not hashes) keep the semantics bit-portable
+    * to the DuckDB oracle; a production run at web scale would hash grams
+    * to 8 bytes on both sides (same join shape). */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bGrams = benchmark.select(col("text")).as[String]
+      .flatMap(t => graft.ops.Dedup.ngramStrings(t, n))
+      .distinct().toDF("g")
+    val dGrams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) => graft.ops.Dedup.ngramStrings(t, n).map(g => (id, g)) }
+      .toDF("doc_id", "g")
+    val hits = dGrams.join(broadcast(bGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

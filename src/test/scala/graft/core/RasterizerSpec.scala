@@ -696,6 +696,59 @@ class RasterizerSpec extends AnyFunSuite {
     assert(flTop > 192 && flBot < 64, s"flipped: top=$flTop bottom=$flBot")
   }
 
+  test("type-4 mesh shading: Gouraud triangle with RGB corners") {
+    // one triangle, byte-friendly packing: flag 8 bits, coords 16 bits,
+    // components 8 bits; Decode maps coords onto [0,612]×[0,792]
+    def vert(flag: Int, x: Int, y: Int, r: Int, g: Int, b: Int): Array[Byte] =
+      Array(flag.toByte, (x >> 8).toByte, x.toByte, (y >> 8).toByte, y.toByte,
+        r.toByte, g.toByte, b.toByte)
+    def c16(v: Double): Int = math.round(v / 612.0 * 65535).toInt // x in [0,612]
+    def c16y(v: Double): Int = math.round(v / 792.0 * 65535).toInt
+    val mesh = vert(0, c16(100), c16y(600), 255, 0, 0) ++
+      vert(0, c16(300), c16y(600), 0, 255, 0) ++
+      vert(0, c16(200), c16y(760), 0, 0, 255)
+    val shObj = (s"<</ShadingType 4/ColorSpace/DeviceRGB/BitsPerCoordinate 16" +
+      s"/BitsPerComponent 8/BitsPerFlag 8/Decode[0 612 0 792 0 1 0 1 0 1]" +
+      s"/Length ${mesh.length}>>\nstream\n").getBytes(
+        java.nio.charset.StandardCharsets.ISO_8859_1) ++ mesh ++ "\nendstream".getBytes
+    val doc = PdfDocument.load(pageWith("/Sh1 sh", "/Shading<</Sh1 4 0 R>>",
+      Vector(shObj))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    // near each corner: its color dominates; at the centroid all three mix
+    def px(x: Int, yPdf: Int) = bmp.get(x, 792 - yPdf)
+    val nearR = px(110, 605); val nearG = px(290, 605); val nearB = px(200, 750)
+    assert(((nearR >> 16) & 0xff) > 200 && ((nearR >> 8) & 0xff) < 80, f"red corner $nearR%08x")
+    assert(((nearG >> 8) & 0xff) > 200 && ((nearG >> 16) & 0xff) < 80, f"green corner $nearG%08x")
+    assert((nearB & 0xff) > 200 && ((nearB >> 16) & 0xff) < 80, f"blue corner $nearB%08x")
+    val mid = px(200, 655) // near centroid (200, 653)
+    Seq((mid >> 16) & 0xff, (mid >> 8) & 0xff, mid & 0xff).foreach(c =>
+      assert(c > 40 && c < 160, f"centroid should mix all three, got $mid%08x"))
+    assert(px(105, 755) == 0xFFFFFFFF, "outside the triangle stays white")
+  }
+
+  test("type-5 lattice mesh: 2x2 grid interpolates between rows") {
+    def vert(x: Int, y: Int, r: Int, g: Int, b: Int): Array[Byte] =
+      Array((x >> 8).toByte, x.toByte, (y >> 8).toByte, y.toByte,
+        r.toByte, g.toByte, b.toByte)
+    def c16(v: Double): Int = math.round(v / 612.0 * 65535).toInt
+    def c16y(v: Double): Int = math.round(v / 792.0 * 65535).toInt
+    // row 0 (bottom, black), row 1 (top, white): vertical gradient
+    val mesh = vert(c16(100), c16y(500), 0, 0, 0) ++ vert(c16(300), c16y(500), 0, 0, 0) ++
+      vert(c16(100), c16y(700), 255, 255, 255) ++ vert(c16(300), c16y(700), 255, 255, 255)
+    val shObj = (s"<</ShadingType 5/ColorSpace/DeviceRGB/BitsPerCoordinate 16" +
+      s"/BitsPerComponent 8/VerticesPerRow 2/Decode[0 612 0 792 0 1 0 1 0 1]" +
+      s"/Length ${mesh.length}>>\nstream\n").getBytes(
+        java.nio.charset.StandardCharsets.ISO_8859_1) ++ mesh ++ "\nendstream".getBytes
+    val doc = PdfDocument.load(pageWith("/Sh1 sh", "/Shading<</Sh1 4 0 R>>",
+      Vector(shObj))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    def gray(yPdf: Int) = bmp.get(200, 792 - yPdf) & 0xff
+    assert(gray(510) < 30, s"bottom ~black, got ${gray(510)}")
+    assert(gray(690) > 225, s"top ~white, got ${gray(690)}")
+    val mid = gray(600)
+    assert(mid > 100 && mid < 160, s"middle ~50% gray, got $mid")
+  }
+
   test("non-separable blends: Hue/Color/Luminosity per §11.3.5.3") {
     // gray src in Hue mode over red dst → gray at the dst's luminosity (0.3)
     val hue = Rasterizer.composeArgb(0xFFFF0000, 0xFF808080, 1.0, Rasterizer.BlendHue)

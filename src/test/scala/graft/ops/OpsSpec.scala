@@ -80,6 +80,21 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("decontaminate flags docs sharing an n-gram with the benchmark, counts hits") {
+    import spark.implicits._
+    val shared = Seq.tabulate(10)(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, "clean " + Seq.tabulate(12)(i => s"c$i").mkString(" ")),
+      (2L, "prefix " + shared + " suffix"), // contains benchmark grams
+      (3L, shared)).toDF("doc_id", "text") // identical to benchmark text
+    val bench = Seq(Tuple1(shared)).toDF("text")
+    val out = graft.ops.TextStats.decontaminate(docs, bench, n = 8)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._3)).toSeq == Seq((1L, false), (2L, true), (3L, true)))
+    assert(out(2)._2 == 3L) // 10 tokens → 3 distinct 8-grams, all hit
+    assert(out(1)._2 == 3L) // embedded: same 3 grams survive the affixes
+  }
+
   test("jaccard block cap bounds candidate pairs on a single-token-skewed corpus") {
     import spark.implicits._
     // 120 IDENTICAL docs (one "the …" block): every candidate survives
