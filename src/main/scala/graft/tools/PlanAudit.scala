@@ -46,6 +46,13 @@ object PlanAudit {
         .where(org.apache.spark.sql.functions.col("l_orderkey") < 100)
         .select("l_orderkey", "l_quantity")
     }
+    show("extractSizeRouted (narrow smalls + salted heavy tail)") {
+      graft.spark.ExtractPipeline.extractSizeRouted(
+        graft.spark.PagesTable.synthesize(spark, 1000, 8)).toDF()
+    }
+    show("text_decontaminate (benchmark grams broadcast, corpus narrow)") {
+      graft.SparkEntry.queries("text_decontaminate")(spark, sfDir)
+    }
     spark.stop()
   }
 }
