@@ -25,7 +25,15 @@ final case class PageEditSpec(
     bleedBox: Option[Rect] = None,
     trimBox: Option[Rect] = None,
     artBox: Option[Rect] = None,
-    rotation: Option[Int] = None)
+    rotation: Option[Int] = None,
+    /** Content ops appended after the original stream (insert_obj /
+      * gen_content analog, page.py:204-272) — e.g. a rect fill or a text
+      * show; the original content is q…Q-wrapped so its state can't leak. */
+    appendContent: Option[String] = None,
+    /** A matrix PREPENDED as a `cm` around the original content —
+      * PdfObject.set_matrix/transform at page granularity
+      * (pageobjects.py:144-174). */
+    transform: Option[Mat] = None)
 
 /** Document-level edit batch (reference document.py new_page/del_page:
   * 412-443, new_attachment/del_attachment:359-389). `newPages` positions
@@ -101,6 +109,22 @@ object PdfWriter {
         require(rot == 0 || rot == 90 || rot == 180 || rot == 270,
           s"rotation must be 0/90/180/270, got $rot") // page.py:90-91
         entries += ("Rotate" -> PdfNumber(rot))
+      }
+      if (ed.appendContent.isDefined || ed.transform.isDefined) {
+        // rebuild the content stream: [cm] q <orig> Q [appended]
+        val pg = doc.page(idx)
+        val orig = pg.contentBytes
+        val pre = ed.transform.map(m =>
+          f"${m.a}%.6f ${m.b}%.6f ${m.c}%.6f ${m.d}%.6f ${m.e}%.6f ${m.f}%.6f cm\n").getOrElse("")
+        val post = ed.appendContent.map("\n" + _ + "\n").getOrElse("")
+        val content = new java.io.ByteArrayOutputStream(orig.length + 64)
+        content.write(pre.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        content.write('q'); content.write('\n')
+        content.write(orig, 0, orig.length)
+        content.write('\n'); content.write('Q')
+        content.write(post.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        val cSlot = w.internSynthetic(doc, PdfStream(PdfDict(Map.empty), content.toByteArray))
+        entries += ("Contents" -> PdfRef(-1 - cSlot, 0))
       }
       entries += ("Parent" -> PdfRef(-1 - pagesSlot, 0))
       (doc, PdfDict(entries))

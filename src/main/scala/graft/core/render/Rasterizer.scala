@@ -21,8 +21,9 @@ import graft.core._
   *    ubiquitous `re W n` idiom, conservative for shaped clips);
   *  - shadings: axial (type 2) and radial (type 3) exact, free-form and
   *    lattice-form Gouraud triangle meshes (types 4/5) with barycentric
-  *    interpolation, all four PDF function types evaluated; Coons/tensor
-  *    patches (6/7) fall back to the midpoint color;
+  *    interpolation, Coons/tensor patches (6/7) as bicubic tensor surfaces
+  *    (spec interior-point construction for Coons, edge-reuse flags,
+  *    8×8 parameter-grid subdivision), all four PDF function types;
   *  - transparency: ImageMask stencils, /SMask per-pixel alpha, ExtGState
   *    constant alpha (/ca /CA), all 12 separable blend modes plus the four
   *    non-separable ones (§11.3.5), and ExtGState soft masks (/SMask in gs,
@@ -538,7 +539,7 @@ object Rasterizer {
       // triangles filled by barycentric interpolation (of the parametric t
       // when /Function is present, of color components otherwise).
       // Types 6/7 (Coons/tensor) keep the midpoint-color fallback below.
-      if ((shType == 4 || shType == 5) && meshData.isDefined) {
+      if (shType >= 4 && shType <= 7 && meshData.isDefined) {
         val data = meshData.get
         def intOf(key: String, dflt: Int): Int = doc.resolve(sd(key)) match {
           case PdfNumber(v) => v.toInt; case _ => dflt
@@ -631,7 +632,7 @@ object Rasterizer {
                 case _ => ()
               }
             }
-          } else { // type 5 lattice
+          } else if (shType == 5) { // lattice
             val perRow = intOf("VerticesPerRow", 2)
             if (perRow >= 2) {
               val vertBits = 2 * bpCoord + nComp * bpComp
@@ -649,6 +650,118 @@ object Rasterizer {
                 }
                 prev = row
                 more = hasBits(vertBits * perRow)
+              }
+            }
+          } else { // types 6/7: Coons / tensor patches (§8.7.4.5.7/8)
+            // evaluate each patch as a bicubic tensor surface (Coons
+            // patches get the spec's interior-point construction) on an
+            // 8×8 parameter grid and Gouraud the cells; edge-reuse flags
+            // 1/2/3 take the previous patch's edge points and colors
+            def readPt(): (Double, Double) = (
+              dec(bits(bpCoord), bpCoord, decode(0), decode(1)),
+              dec(bits(bpCoord), bpCoord, decode(2), decode(3)))
+            def readColor(): Array[Double] = Array.tabulate(nComp)(k =>
+              dec(bits(bpComp), bpComp, decode(4 + 2 * k), decode(5 + 2 * k)))
+            val nPts = if (shType == 6) 12 else 16
+            // prev state: 4×4 grid (row-major) + 4 corner color arrays
+            var prevG: Array[(Double, Double)] = null
+            var prevC: Array[Array[Double]] = null
+            val patchBitsNew = 2 * bpCoord * nPts + 4 * nComp * bpComp
+            var go = true
+            while (go && hasBits(bpFlag)) {
+              val flag = bits(bpFlag).toInt
+              val needBits = if (flag == 0) patchBitsNew
+                else 2 * bpCoord * (nPts - 4) + 2 * nComp * bpComp
+              if (!hasBits(needBits) || (flag != 0 && prevG == null)) go = false
+              else {
+                // boundary b(0..11) in spec order p00 p01 p02 p03 p13 p23
+                // p33 p32 p31 p30 p20 p10; interior i(0..3) = p11 p12 p22 p21
+                val b = new Array[(Double, Double)](12)
+                val cs = new Array[Array[Double]](4)
+                @inline def g(r: Int, c: Int) = prevG(r * 4 + c)
+                var readFrom = 0
+                if (flag == 0) { var k = 0; while (k < 4) { b(k) = readPt(); k += 1 }; readFrom = 4 }
+                else {
+                  val (edge, cA, cB) = flag match {
+                    case 1 => (Array(g(0, 3), g(1, 3), g(2, 3), g(3, 3)), prevC(1), prevC(2))
+                    case 2 => (Array(g(3, 3), g(3, 2), g(3, 1), g(3, 0)), prevC(2), prevC(3))
+                    case _ => (Array(g(3, 0), g(2, 0), g(1, 0), g(0, 0)), prevC(3), prevC(0))
+                  }
+                  var k = 0; while (k < 4) { b(k) = edge(k); k += 1 }
+                  cs(0) = cA; cs(1) = cB
+                  readFrom = 4
+                }
+                var k = readFrom
+                while (k < 12) { b(k) = readPt(); k += 1 }
+                val interior: Array[(Double, Double)] =
+                  if (shType == 7) Array.fill(4)(readPt()) else null
+                if (flag == 0) { var c = 0; while (c < 4) { cs(c) = readColor(); c += 1 } }
+                else { cs(2) = readColor(); cs(3) = readColor() }
+                // assemble the 4×4 grid
+                val P = new Array[(Double, Double)](16)
+                P(0) = b(0); P(1) = b(1); P(2) = b(2); P(3) = b(3)
+                P(7) = b(4); P(11) = b(5); P(15) = b(6)
+                P(14) = b(7); P(13) = b(8); P(12) = b(9)
+                P(8) = b(10); P(4) = b(11)
+                if (interior != null) {
+                  P(5) = interior(0); P(6) = interior(1); P(10) = interior(2); P(9) = interior(3)
+                } else {
+                  // Coons interior points (§8.7.4.5.7)
+                  @inline def mix(f: Array[Double]): (Double, Double) = {
+                    var x = 0.0; var y = 0.0; var i = 0
+                    while (i < 12) { x += f(i) * b(i)._1; y += f(i) * b(i)._2; i += 1 }
+                    (x / 9, y / 9)
+                  }
+                  //            p00 p01 p02 p03 p13 p23 p33 p32 p31 p30 p20 p10
+                  P(5) = mix(Array(-4, 6, 0, -2, 3, 0, -1, 0, 3, -2, 0, 6)) // p11
+                  P(6) = mix(Array(-2, 0, 6, -4, 6, 0, -2, 3, 0, -1, 0, 3)) // p12
+                  P(9) = mix(Array(-2, 3, 0, -1, 0, 3, -2, 0, 6, -4, 6, 0)) // p21
+                  P(10) = mix(Array(-1, 0, 3, -2, 0, 6, -4, 6, 0, -2, 3, 0)) // p22
+                }
+                // subdivide: S(u,v) = ΣΣ Bu(i)Bv(j)·P(i*4+j); rows = u
+                val N = 8
+                @inline def bern(t: Double): Array[Double] = {
+                  val m = 1 - t
+                  Array(m * m * m, 3 * t * m * m, 3 * t * t * m, t * t * t)
+                }
+                def surf(u: Double, v: Double): (Double, Double) = {
+                  val bu = bern(u); val bv = bern(v)
+                  var x = 0.0; var y = 0.0
+                  var i = 0
+                  while (i < 4) {
+                    var j = 0
+                    while (j < 4) {
+                      val wgt = bu(i) * bv(j)
+                      x += wgt * P(i * 4 + j)._1; y += wgt * P(i * 4 + j)._2
+                      j += 1
+                    }
+                    i += 1
+                  }
+                  (x, y)
+                }
+                def colAt(u: Double, v: Double): Array[Double] = Array.tabulate(nComp) { k =>
+                  (1 - u) * (1 - v) * cs(0)(k) + (1 - u) * v * cs(1)(k) +
+                    u * v * cs(2)(k) + u * (1 - v) * cs(3)(k)
+                }
+                var i = 0
+                while (i < N) {
+                  var j = 0
+                  while (j < N) {
+                    val (u0, u1) = (i.toDouble / N, (i + 1.0) / N)
+                    val (v0, v1) = (j.toDouble / N, (j + 1.0) / N)
+                    val q00 = surf(u0, v0); val q01 = surf(u0, v1)
+                    val q10 = surf(u1, v0); val q11 = surf(u1, v1)
+                    val m00 = MVert(q00._1, q00._2, colAt(u0, v0))
+                    val m01 = MVert(q01._1, q01._2, colAt(u0, v1))
+                    val m10 = MVert(q10._1, q10._2, colAt(u1, v0))
+                    val m11 = MVert(q11._1, q11._2, colAt(u1, v1))
+                    paintTri(m00, m01, m10)
+                    paintTri(m01, m11, m10)
+                    j += 1
+                  }
+                  i += 1
+                }
+                prevG = P; prevC = cs
               }
             }
           }

@@ -151,6 +151,24 @@ class PdfWriterSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(re.attachments(0).data, orig(1).data))
   }
 
+  test("writeEdited: appendContent inserts new text; transform scales the page content") {
+    val doc = PdfDocument.load(fixture("multipage.pdf")).toOption.get
+    // insert_obj / gen_content analog: new text object appended
+    val re = PdfDocument.load(PdfWriter.writeEdited(doc, EditSpec(
+      pageEdits = Map(0 -> PageEditSpec(
+        appendContent = Some("BT /F1 24 Tf 72 100 Td (INSERTED) Tj ET")))))).toOption.get
+    val t = re.page(0).textPage.text
+    assert(t.contains("INSERTED") && t.contains("Page"), s"got: $t")
+    // set_matrix analog: scale 0.5 halves every charbox dimension
+    val origBox = doc.page(0).textPage.rects().head
+    val re2 = PdfDocument.load(PdfWriter.writeEdited(doc, EditSpec(
+      pageEdits = Map(0 -> PageEditSpec(
+        transform = Some(Mat(0.5, 0, 0, 0.5, 0, 0))))))).toOption.get
+    val newBox = re2.page(0).textPage.rects().head
+    assert(math.abs(newBox.width - origBox.width / 2) < 0.5,
+      s"width ${origBox.width} → ${newBox.width}, expected half")
+  }
+
   test("writeEdited rejects a non-quadrant rotation") {
     val doc = PdfDocument.load(fixture("multipage.pdf")).toOption.get
     intercept[IllegalArgumentException] {

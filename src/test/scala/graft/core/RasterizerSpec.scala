@@ -726,6 +726,50 @@ class RasterizerSpec extends AnyFunSuite {
     assert(px(105, 755) == 0xFFFFFFFF, "outside the triangle stays white")
   }
 
+  test("type-6 Coons patch: square patch interpolates its four corner colors") {
+    // one flag-0 patch whose boundary Béziers are straight lines — the
+    // square [100,300]×[500,700]; corners (in boundary order p00 p03 p33
+    // p30) colored R G B W
+    def c16(v: Double): Int = math.round(v / 612.0 * 65535).toInt
+    def c16y(v: Double): Int = math.round(v / 792.0 * 65535).toInt
+    def pt(x: Double, y: Double): Array[Byte] = {
+      val xi = c16(x); val yi = c16y(y)
+      Array((xi >> 8).toByte, xi.toByte, (yi >> 8).toByte, yi.toByte)
+    }
+    def lerp(a: Double, b: Double, t: Double) = a + (b - a) * t
+    // boundary order: p00 p01 p02 p03 | p13 p23 | p33 p32 p31 | p30 | p20 p10
+    // p00=(100,500) p03=(100,700) p33=(300,700) p30=(300,500); edges straight
+    val b = Array(
+      (100.0, 500.0), (100.0, lerp(500, 700, 1.0 / 3)), (100.0, lerp(500, 700, 2.0 / 3)), (100.0, 700.0),
+      (lerp(100, 300, 1.0 / 3), 700.0), (lerp(100, 300, 2.0 / 3), 700.0),
+      (300.0, 700.0), (300.0, lerp(500, 700, 2.0 / 3)), (300.0, lerp(500, 700, 1.0 / 3)),
+      (300.0, 500.0), (lerp(100, 300, 2.0 / 3), 500.0), (lerp(100, 300, 1.0 / 3), 500.0))
+    val colors = Array[Byte](
+      255.toByte, 0, 0, /* c0 at p00: red */
+      0, 255.toByte, 0, /* c1 at p03: green */
+      0, 0, 255.toByte, /* c2 at p33: blue */
+      255.toByte, 255.toByte, 255.toByte /* c3 at p30: white */ )
+    val mesh = Array[Byte](0) ++ b.flatMap { case (x, y) => pt(x, y) } ++ colors
+    val shObj = (s"<</ShadingType 6/ColorSpace/DeviceRGB/BitsPerCoordinate 16" +
+      s"/BitsPerComponent 8/BitsPerFlag 8/Decode[0 612 0 792 0 1 0 1 0 1]" +
+      s"/Length ${mesh.length}>>\nstream\n").getBytes(
+        java.nio.charset.StandardCharsets.ISO_8859_1) ++ mesh ++ "\nendstream".getBytes
+    val doc = PdfDocument.load(pageWith("/Sh1 sh", "/Shading<</Sh1 4 0 R>>",
+      Vector(shObj))).toOption.get
+    val bmp = Rasterizer.render(doc.page(0))
+    def px(x: Int, yPdf: Int) = bmp.get(x, 792 - yPdf)
+    val nearR = px(105, 505); val nearG = px(105, 695)
+    val nearB = px(295, 695); val nearW = px(295, 505)
+    assert(((nearR >> 16) & 0xff) > 200 && ((nearR >> 8) & 0xff) < 80, f"p00 red: $nearR%08x")
+    assert(((nearG >> 8) & 0xff) > 200 && ((nearG >> 16) & 0xff) < 80, f"p03 green: $nearG%08x")
+    assert((nearB & 0xff) > 200 && ((nearB >> 16) & 0xff) < 80, f"p33 blue: $nearB%08x")
+    assert(((nearW >> 16) & 0xff) > 200 && ((nearW >> 8) & 0xff) > 200, f"p30 white: $nearW%08x")
+    val mid = px(200, 600) // bilinear mix of all four
+    Seq((mid >> 16) & 0xff, (mid >> 8) & 0xff, mid & 0xff).foreach(c =>
+      assert(c > 60 && c < 200, f"center mixes all corners, got $mid%08x"))
+    assert(px(90, 600) == 0xFFFFFFFF, "outside the patch untouched")
+  }
+
   test("type-5 lattice mesh: 2x2 grid interpolates between rows") {
     def vert(x: Int, y: Int, r: Int, g: Int, b: Int): Array[Byte] =
       Array((x >> 8).toByte, x.toByte, (y >> 8).toByte, y.toByte,
