@@ -311,6 +311,7 @@ object SparkEntry {
         // golden); JPX stays payload passthrough with dims parsed from the
         // codestream header (core/Jpx)
         ("jbig2_generic", graft.core.SynthPdf.jbig2Pdf(64, 48)),
+        ("jbig2_symbols", graft.core.SynthPdf.jbig2TextPdf(64, 48)),
         ("jpx_passthrough", graft.core.SynthPdf.jpxPdf(640, 480)))
       s.createDataset(rows).map { case (id, bytes) =>
         val doc = graft.core.PdfDocument.load(bytes).toOption.get
@@ -330,7 +331,8 @@ object SparkEntry {
             val bb = java.nio.ByteBuffer.allocate(px.length * 4)
             px.foreach(bb.putInt)
             (img.width.toLong, img.height.toLong, px.length * 4L, hex(bb.array()))
-          case "jbig2_generic" => (img.width.toLong, img.height.toLong, img.data.length.toLong, hex(img.data))
+          case "jbig2_generic" | "jbig2_symbols" =>
+            (img.width.toLong, img.height.toLong, img.data.length.toLong, hex(img.data))
           case "jpx_passthrough" =>
             val info = graft.core.Jpx.parseHeader(img.data).get
             (info.width.toLong, info.height.toLong, img.data.length.toLong, hex(img.data))

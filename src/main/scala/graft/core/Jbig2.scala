@@ -5,13 +5,16 @@ package graft.core
   * segments without file header, optionally preceded by a /JBIG2Globals
   * segment stream.
   *
-  * Scope (documented, honest): pages composed of immediate GENERIC regions —
+  * Scope (documented, honest): pages composed of GENERIC regions —
   * arithmetic-coded (MQ coder, templates 0-3, TPGDON, custom AT pixels) or
-  * MMR-coded (delegated to the in-repo T.6 decoder, [[Ccitt]]) — the shape
-  * simple scanners and `jbig2enc -generic` produce. Symbol-dictionary/text/
-  * halftone/refinement segments are NOT decoded; encountering one throws and
-  * the caller falls back to raw passthrough (reference behavior for
-  * undecodable payloads, pageobjects.py:598-630).
+  * MMR-coded (delegated to the in-repo T.6 decoder, [[Ccitt]]) — plus the
+  * SYMBOL-CODED shape real scanners/encoders (jbig2enc) produce: arithmetic
+  * symbol dictionaries (height classes, shared generic contexts, export
+  * runs, cross-dictionary inputs) and text regions (strips, REFCORNER,
+  * transposed, DS offset, all four compose ops) via the Annex A arithmetic
+  * integer + IAID decoders. NOT decoded (throw → raw passthrough, the
+  * reference's behavior for undecodable payloads, pageobjects.py:598-630):
+  * Huffman-coded variants, refinement/aggregate coding, halftone regions.
   *
   * The MQ coder follows the T.88 Annex E flowcharts in their standard
   * software form (the same structure as the public jbig2dec/pdf.js/openjpeg
@@ -217,11 +220,14 @@ object Jbig2 {
     }
   }
 
-  /** Decode an arithmetic generic region into a w×h byte bitmap (1=black). */
+  /** Decode an arithmetic generic region into a w×h byte bitmap (1=black).
+    * `cx0` shares generic contexts across calls (a symbol dictionary keeps
+    * ONE context set across all its symbols, §6.5.8.2.1). */
   def decodeGenericArith(mq: MQDecoder, w: Int, h: Int, template: Int,
-                         at: Array[(Int, Int)], tpgdon: Boolean): Array[Byte] = {
+                         at: Array[(Int, Int)], tpgdon: Boolean,
+                         cx0: Array[Short] = null): Array[Byte] = {
     val bm = new Array[Byte](w * h)
-    val cx = new Array[Short](1 << 16)
+    val cx = if (cx0 != null) cx0 else new Array[Short](1 << 16)
     var ltp = false
     var y = 0
     while (y < h) {
@@ -246,7 +252,15 @@ object Jbig2 {
     * fixture/spec support, no TPGDON. */
   def encodeGenericArith(bm: Array[Byte], w: Int, h: Int, template: Int = 0): Array[Byte] = {
     val enc = new MQEncoder
-    val cx = new Array[Short](1 << 16)
+    encodeGenericInto(enc, new Array[Short](1 << 16), bm, w, h, template)
+    enc.flush()
+  }
+
+  /** Generic-region encode into an existing encoder/context set (symbol
+    * dictionaries encode all symbols through one MQ stream + one context
+    * set). */
+  def encodeGenericInto(enc: MQEncoder, cx: Array[Short], bm: Array[Byte],
+                        w: Int, h: Int, template: Int = 0): Unit = {
     val at = nominalAt(template)
     var y = 0
     while (y < h) {
@@ -257,13 +271,84 @@ object Jbig2 {
       }
       y += 1
     }
-    enc.flush()
+  }
+
+  // ---- arithmetic integer decoding (T.88 Annex A) --------------------------
+
+  /** OOB sentinel for [[decodeInt]]. */
+  val OOB: Int = Int.MinValue
+
+  /** A.2 arithmetic integer decoding: `cx` is a 512-entry context set
+    * (one per IAxx decoder); returns the value or [[OOB]]. */
+  def decodeInt(mq: MQDecoder, cx: Array[Short]): Int = {
+    var prev = 1
+    @inline def bit(): Int = {
+      val b = mq.readBit(cx, prev)
+      prev = if (prev < 256) (prev << 1) | b else ((((prev << 1) | b) & 511) | 256)
+      b
+    }
+    @inline def readBits(n: Int): Int = {
+      var v = 0; var k = 0
+      while (k < n) { v = (v << 1) | bit(); k += 1 }
+      v
+    }
+    val s = bit()
+    val v =
+      if (bit() == 0) readBits(2)
+      else if (bit() == 0) readBits(4) + 4
+      else if (bit() == 0) readBits(6) + 20
+      else if (bit() == 0) readBits(8) + 84
+      else if (bit() == 0) readBits(12) + 340
+      else readBits(32) + 4436
+    if (s == 1 && v == 0) OOB else if (s == 1) -v else v
+  }
+
+  /** A.2 dual: encode an int (or [[OOB]]) — fixture/spec support. */
+  def encodeInt(enc: MQEncoder, cx: Array[Short], value: Int): Unit = {
+    var prev = 1
+    @inline def bit(b: Int): Unit = {
+      enc.encodeBit(cx, prev, b)
+      prev = if (prev < 256) (prev << 1) | b else ((((prev << 1) | b) & 511) | 256)
+    }
+    @inline def writeBits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { bit((v >> k) & 1); k -= 1 }
+    }
+    val (s, v) =
+      if (value == OOB) (1, 0) else if (value < 0) (1, -value) else (0, value)
+    bit(s)
+    if (v < 4) { bit(0); writeBits(v, 2) }
+    else if (v < 20) { bit(1); bit(0); writeBits(v - 4, 4) }
+    else if (v < 84) { bit(1); bit(1); bit(0); writeBits(v - 20, 6) }
+    else if (v < 340) { bit(1); bit(1); bit(1); bit(0); writeBits(v - 84, 8) }
+    else if (v < 4436) { bit(1); bit(1); bit(1); bit(1); bit(0); writeBits(v - 340, 12) }
+    else { bit(1); bit(1); bit(1); bit(1); bit(1); writeBits(v - 4436, 32) }
+  }
+
+  /** A.3 IAID decoding: `symCodeLen` tree bits; cx sized 1 << (len+1). */
+  def decodeIaid(mq: MQDecoder, cx: Array[Short], symCodeLen: Int): Int = {
+    var prev = 1
+    var k = 0
+    while (k < symCodeLen) { prev = (prev << 1) | mq.readBit(cx, prev); k += 1 }
+    prev - (1 << symCodeLen)
+  }
+
+  /** A.3 dual: encode a symbol id. */
+  def encodeIaid(enc: MQEncoder, cx: Array[Short], symCodeLen: Int, id: Int): Unit = {
+    var prev = 1
+    var k = symCodeLen - 1
+    while (k >= 0) {
+      val b = (id >> k) & 1
+      enc.encodeBit(cx, prev, b)
+      prev = (prev << 1) | b
+      k -= 1
+    }
   }
 
   // ---- embedded segment stream (T.88 annex + PDF §7.4.7) -------------------
 
   private final case class Segment(num: Long, segType: Int, page: Long,
-                                   data: Array[Byte])
+                                   refs: Vector[Long], data: Array[Byte])
 
   private def parseSegments(data: Array[Byte]): Vector[Segment] = {
     val out = Vector.newBuilder[Segment]
@@ -285,16 +370,210 @@ object Jbig2 {
           cnt
         } else rts >> 5
       val refSize = if (num <= 256) 1 else if (num <= 65536) 2 else 4
-      i += refCount * refSize
+      val refs = Vector.fill(refCount) {
+        refSize match {
+          case 1 => u8().toLong
+          case 2 => u16().toLong
+          case _ => u32()
+        }
+      }
       val page = if (pageAssoc4) u32() else u8().toLong
       val len = u32()
       if (len == 0xffffffffL)
         throw new IllegalArgumentException("JBIG2: unknown segment length unsupported")
-      val seg = Segment(num, segType, page, java.util.Arrays.copyOfRange(data, i, i + len.toInt))
+      val seg = Segment(num, segType, page, refs, java.util.Arrays.copyOfRange(data, i, i + len.toInt))
       i += len.toInt
       out += seg
     }
     out.result()
+  }
+
+  /** A symbol bitmap: (width, height, byte bitmap 1=black). */
+  type Sym = (Int, Int, Array[Byte])
+
+  /** §6.5 symbol dictionary (arithmetic, non-refinement — the common
+    * scanner/encoder shape; SDHUFF/SDREFAGG throw → raw fallback).
+    * Returns the EXPORTED symbols (input symbols from referred dicts
+    * participate in the export runs). */
+  private def decodeSymbolDict(data: Array[Byte], inputSyms: Vector[Sym]): Vector[Sym] = {
+    var i = 0
+    def u16(): Int = { val v = ((data(i) & 0xff) << 8) | (data(i + 1) & 0xff); i += 2; v }
+    def u32(): Long = { (u16().toLong << 16) | u16() }
+    val flags = u16()
+    val sdHuff = (flags & 1) != 0
+    val sdRefAgg = (flags & 2) != 0
+    val template = (flags >> 10) & 3
+    if (sdHuff) throw new IllegalArgumentException("JBIG2: Huffman symbol dict unsupported")
+    if (sdRefAgg) throw new IllegalArgumentException("JBIG2: refinement/aggregate symbol dict unsupported")
+    val nAt = if (template == 0) 4 else 1
+    val at = Array.fill(nAt) { val ax = data(i).toInt; val ay = data(i + 1).toInt; i += 2; (ax, ay) }
+    val numEx = u32().toInt
+    val numNew = u32().toInt
+    if (numNew > (1 << 20) || numEx > (1 << 20))
+      throw new IllegalArgumentException("JBIG2: implausible symbol counts")
+    val mq = new MQDecoder(data, i, data.length)
+    val cxIadh = new Array[Short](512)
+    val cxIadw = new Array[Short](512)
+    val cxIaex = new Array[Short](512)
+    val gcx = new Array[Short](1 << 16)
+    val newSyms = Vector.newBuilder[Sym]
+    var made = 0
+    var hcHeight = 0
+    while (made < numNew) {
+      val dh = decodeInt(mq, cxIadh)
+      if (dh == OOB) throw new IllegalArgumentException("JBIG2: OOB height class delta")
+      hcHeight += dh
+      var symWidth = 0
+      var classDone = false
+      while (!classDone) {
+        // OOB always terminates a height class (§6.5.5 step 4c) — even when
+        // the symbol budget is already met, it must be CONSUMED or the
+        // export-run decode reads from a shifted stream position
+        val dw = decodeInt(mq, cxIadw)
+        if (dw == OOB) classDone = true
+        else {
+          if (made >= numNew)
+            throw new IllegalArgumentException("JBIG2: more symbols than SDNUMNEWSYMS")
+          symWidth += dw
+          if (symWidth <= 0 || hcHeight <= 0 || symWidth > (1 << 14) || hcHeight > (1 << 14))
+            throw new IllegalArgumentException("JBIG2: implausible symbol size")
+          newSyms += ((symWidth, hcHeight,
+            decodeGenericArith(mq, symWidth, hcHeight, template, at, tpgdon = false, gcx)))
+          made += 1
+        }
+      }
+    }
+    // §6.5.10 export runs over input ∪ new symbols
+    val all = inputSyms ++ newSyms.result()
+    val exported = Vector.newBuilder[Sym]
+    var idx = 0
+    var exFlag = false
+    var got = 0
+    while (idx < all.length && got < numEx) {
+      val run = decodeInt(mq, cxIaex)
+      if (run == OOB || run < 0) throw new IllegalArgumentException("JBIG2: bad export run")
+      if (exFlag) {
+        val take = math.min(run, all.length - idx)
+        exported ++= all.slice(idx, idx + take)
+        got += take
+      }
+      idx += run
+      exFlag = !exFlag
+    }
+    exported.result()
+  }
+
+  /** §6.4 text region (arithmetic, non-refinement). Returns
+    * (x, y, w, h, combOp, composed region bitmap 1=black). */
+  private def decodeTextRegion(data: Array[Byte], syms: Vector[Sym]):
+      (Int, Int, Int, Int, Int, Array[Byte]) = {
+    var i = 0
+    def u8(): Int = { val v = data(i) & 0xff; i += 1; v }
+    def u16(): Int = { (u8() << 8) | u8() }
+    def u32(): Long = { (u16().toLong << 16) | u16() }
+    val rw = u32().toInt; val rh = u32().toInt
+    val rx = u32().toInt; val ry = u32().toInt
+    val extComb = u8() & 0x7
+    val t = u16()
+    val sbHuff = (t & 1) != 0
+    val refine = (t & 2) != 0
+    val sbStrips = 1 << ((t >> 2) & 3)
+    val refCorner = (t >> 4) & 3 // 0 BL, 1 TL, 2 BR, 3 TR
+    val transposed = ((t >> 6) & 1) != 0
+    val sbCombOp = (t >> 7) & 3
+    val defPixel = (t >> 9) & 1
+    val dsOffsetRaw = (t >> 10) & 0x1f
+    val dsOffset = if (dsOffsetRaw > 15) dsOffsetRaw - 32 else dsOffsetRaw // signed 5-bit
+    if (sbHuff) throw new IllegalArgumentException("JBIG2: Huffman text region unsupported")
+    if (refine) throw new IllegalArgumentException("JBIG2: refinement text region unsupported")
+    val numInstances = u32().toInt
+    if (rw <= 0 || rh <= 0 || rw.toLong * rh > (1L << 28) || numInstances > (1 << 22))
+      throw new IllegalArgumentException("JBIG2: implausible text region")
+    val numSyms = math.max(1, syms.length)
+    var symCodeLen = 0
+    while ((1 << symCodeLen) < numSyms) symCodeLen += 1
+    symCodeLen = math.max(1, symCodeLen)
+    val mq = new MQDecoder(data, i, data.length)
+    val cxIadt = new Array[Short](512)
+    val cxIafs = new Array[Short](512)
+    val cxIads = new Array[Short](512)
+    val cxIait = new Array[Short](512)
+    val cxIaid = new Array[Short](1 << (symCodeLen + 1))
+    val bm = new Array[Byte](rw * rh)
+    if (defPixel == 1) java.util.Arrays.fill(bm, 1.toByte)
+    @inline def compose(x0: Int, y0: Int, s: Sym): Unit = {
+      val (sw, sh, sb) = s
+      var yy = 0
+      while (yy < sh) {
+        val py = y0 + yy
+        if (py >= 0 && py < rh) {
+          var xx = 0
+          while (xx < sw) {
+            val px = x0 + xx
+            if (px >= 0 && px < rw) {
+              val v = sb(yy * sw + xx)
+              val o = py * rw + px
+              bm(o) = (sbCombOp match {
+                case 0 => bm(o) | v
+                case 1 => bm(o) & v
+                case 2 => bm(o) ^ v
+                case _ => (bm(o) ^ v) ^ 1
+              }).toByte
+            }
+            xx += 1
+          }
+        }
+        yy += 1
+      }
+    }
+    var stripT = {
+      val v = decodeInt(mq, cxIadt)
+      if (v == OOB) throw new IllegalArgumentException("JBIG2: OOB initial DT")
+      -v * sbStrips
+    }
+    var firstS = 0
+    var inst = 0
+    while (inst < numInstances) {
+      val dt = decodeInt(mq, cxIadt)
+      if (dt == OOB) throw new IllegalArgumentException("JBIG2: OOB strip DT")
+      stripT += dt * sbStrips
+      var curS = 0
+      var first = true
+      var stripDone = false
+      while (!stripDone && inst < numInstances) {
+        if (first) {
+          val dfs = decodeInt(mq, cxIafs)
+          if (dfs == OOB) throw new IllegalArgumentException("JBIG2: OOB first S")
+          firstS += dfs
+          curS = firstS
+          first = false
+        } else {
+          val ids = decodeInt(mq, cxIads)
+          if (ids == OOB) stripDone = true
+          else curS += ids + dsOffset
+        }
+        if (!stripDone) {
+          val curT = if (sbStrips == 1) 0 else decodeInt(mq, cxIait)
+          val ti = stripT + curT
+          val id = decodeIaid(mq, cxIaid, symCodeLen)
+          if (id < 0 || id >= syms.length)
+            throw new IllegalArgumentException(s"JBIG2: symbol id $id of ${syms.length}")
+          val s = syms(id)
+          if (!transposed) {
+            // LEFT/RIGHT corners net the same x0; TOP vs BOTTOM sets y0
+            val y0 = if (refCorner == 1 || refCorner == 3) ti else ti - s._2 + 1
+            compose(curS, y0, s)
+            curS += s._1 - 1
+          } else {
+            val x0 = if (refCorner == 0 || refCorner == 1) ti else ti - s._1 + 1
+            compose(x0, curS, s)
+            curS += s._2 - 1
+          }
+          inst += 1
+        }
+      }
+    }
+    (rx, ry, rw, rh, extComb, bm)
   }
 
   /** Decode the embedded JBIG2 stream (+ optional globals) to a byte bitmap
@@ -306,6 +585,33 @@ object Jbig2 {
     val segs = globals.map(parseSegments).getOrElse(Vector.empty) ++ parseSegments(embedded)
     val page = new Array[Byte](imgW * imgH)
     var defaultPixel = 0
+    val symbolsBySeg = scala.collection.mutable.Map[Long, Vector[Sym]]()
+    def composeOntoPage(rx: Int, ry: Int, rw: Int, rh: Int, combOp: Int,
+                        bm: Array[Byte]): Unit = {
+      var y = 0
+      while (y < rh) {
+        val py = ry + y
+        if (py >= 0 && py < imgH) {
+          var x = 0
+          while (x < rw) {
+            val px = rx + x
+            if (px >= 0 && px < imgW) {
+              val v = bm(y * rw + x)
+              val o = py * imgW + px
+              page(o) = (combOp match {
+                case 0 => page(o) | v // OR
+                case 1 => page(o) & v // AND
+                case 2 => page(o) ^ v // XOR
+                case 3 => (page(o) ^ v) ^ 1 // XNOR
+                case _ => v // REPLACE
+              }).toByte
+            }
+            x += 1
+          }
+        }
+        y += 1
+      }
+    }
     segs.foreach { seg =>
       seg.segType match {
         case 48 => // page info: use default pixel value (flags bit 2)
@@ -358,33 +664,17 @@ object Jbig2 {
               val mq = new MQDecoder(d, i, d.length)
               decodeGenericArith(mq, rw, rh, template, at, tpgdon)
             }
-          // compose onto the page (region bounds clipped to image bounds)
-          var y = 0
-          while (y < rh) {
-            val py = ry + y
-            if (py >= 0 && py < imgH) {
-              var x = 0
-              while (x < rw) {
-                val px = rx + x
-                if (px >= 0 && px < imgW) {
-                  val v = bm(y * rw + x)
-                  val o = py * imgW + px
-                  page(o) = (combOp match {
-                    case 0 => page(o) | v // OR
-                    case 1 => page(o) & v // AND
-                    case 2 => page(o) ^ v // XOR
-                    case 3 => (page(o) ^ v) ^ 1 // XNOR
-                    case _ => v // REPLACE
-                  }).toByte
-                }
-                x += 1
-              }
-            }
-            y += 1
-          }
-        case 0 | 4 | 5 | 6 | 7 | 16 | 20 | 22 | 23 | 40 | 41 | 42 | 43 =>
+          composeOntoPage(rx, ry, rw, rh, combOp, bm)
+        case 0 => // symbol dictionary: input symbols from referred dicts
+          val inputs = seg.refs.flatMap(r => symbolsBySeg.getOrElse(r, Vector.empty))
+          symbolsBySeg(seg.num) = decodeSymbolDict(seg.data, inputs)
+        case 4 | 6 | 7 => // text region (intermediate | immediate | lossless)
+          val syms = seg.refs.flatMap(r => symbolsBySeg.getOrElse(r, Vector.empty))
+          val (rx, ry, rw, rh, combOp, bm) = decodeTextRegion(seg.data, syms)
+          composeOntoPage(rx, ry, rw, rh, combOp, bm)
+        case 16 | 20 | 22 | 23 | 40 | 41 | 42 | 43 =>
           throw new IllegalArgumentException(
-            s"JBIG2: segment type ${seg.segType} (symbol/text/halftone/refinement) not supported")
+            s"JBIG2: segment type ${seg.segType} (halftone/refinement) not supported")
         case _ => () // page default window, end-of-page/file, extensions: skip
       }
     }
@@ -410,6 +700,108 @@ object Jbig2 {
       y += 1
     }
     out
+  }
+
+  /** Fixture encoder for the symbol-coded shape: a symbol dictionary
+    * (one MQ stream: IADH/IADW deltas + per-symbol generic bitmaps sharing
+    * one context set + IAEX export runs) and an immediate text region
+    * placing symbols by id at (x, y) with REFCORNER=TOPLEFT, SBSTRIPS=1.
+    * All symbols must share one height (single height class). Produces the
+    * embedded-stream bytes (page info + symbol dict + text region + EOP). */
+  def encodeEmbeddedText(syms: Vector[Sym], placements: Seq[(Int, Int, Int)],
+                         pageW: Int, pageH: Int): Array[Byte] = {
+    require(syms.nonEmpty && syms.forall(_._2 == syms.head._2),
+      "fixture encoder: one height class")
+    // ---- symbol dictionary payload ----
+    val sdBody = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): Unit = out.write(v & 0xff)
+      def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+      def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+      u16(0) // flags: arith, no refagg, template 0
+      nominalAt(0).foreach { case (ax, ay) => u8(ax); u8(ay) }
+      u32(syms.length.toLong) // SDNUMEXSYMS
+      u32(syms.length.toLong) // SDNUMNEWSYMS
+      val enc = new MQEncoder
+      val cxIadh = new Array[Short](512)
+      val cxIadw = new Array[Short](512)
+      val cxIaex = new Array[Short](512)
+      val gcx = new Array[Short](1 << 16)
+      encodeInt(enc, cxIadh, syms.head._2) // one height class from 0
+      var prevW = 0
+      syms.foreach { case (w, h, bm) =>
+        encodeInt(enc, cxIadw, w - prevW)
+        prevW = w
+        encodeGenericInto(enc, gcx, bm, w, h, template = 0)
+      }
+      encodeInt(enc, cxIadw, OOB)
+      encodeInt(enc, cxIaex, 0) // skip run
+      encodeInt(enc, cxIaex, syms.length) // export all
+      out.write(enc.flush())
+      out.toByteArray
+    }
+    // ---- text region payload ----
+    val trBody = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): Unit = out.write(v & 0xff)
+      def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+      def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+      u32(pageW.toLong); u32(pageH.toLong); u32(0); u32(0); u8(0) // region info, OR
+      u16(1 << 4) // flags: REFCORNER=TOPLEFT, SBSTRIPS=1, everything else 0
+      u32(placements.length.toLong)
+      var symCodeLen = 0
+      while ((1 << symCodeLen) < math.max(1, syms.length)) symCodeLen += 1
+      symCodeLen = math.max(1, symCodeLen)
+      val enc = new MQEncoder
+      val cxIadt = new Array[Short](512)
+      val cxIafs = new Array[Short](512)
+      val cxIads = new Array[Short](512)
+      val cxIaid = new Array[Short](1 << (symCodeLen + 1))
+      encodeInt(enc, cxIadt, 0) // STRIPT starts at 0
+      // one strip per distinct T, ascending; decoder: TOPLEFT → y0 = T
+      val strips = placements.groupBy(_._3).toSeq.sortBy(_._1)
+      var stripT = 0
+      var firstS = 0
+      strips.foreach { case (ty, ps) =>
+        encodeInt(enc, cxIadt, ty - stripT)
+        stripT = ty
+        val sorted = ps.sortBy(_._2)
+        var curS = 0
+        sorted.zipWithIndex.foreach { case ((id, x, _), k) =>
+          if (k == 0) {
+            encodeInt(enc, cxIafs, x - firstS)
+            firstS = x
+            curS = x
+          } else {
+            encodeInt(enc, cxIads, x - curS) // IDS (dsOffset = 0)
+            curS = x
+          }
+          encodeIaid(enc, cxIaid, symCodeLen, id)
+          curS += syms(id)._1 - 1
+        }
+        encodeInt(enc, cxIads, OOB) // end of strip
+      }
+      out.write(enc.flush())
+      out.toByteArray
+    }
+    // ---- segment stream ----
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+    def header(num: Long, segType: Int, refs: Seq[Long], dataLen: Int): Unit = {
+      u32(num); u8(segType)
+      u8(refs.length << 5)
+      refs.foreach(r => u8(r.toInt)) // seg nums ≤ 256 → 1 byte each
+      u8(1) // page 1
+      u32(dataLen.toLong)
+    }
+    header(0, 48, Nil, 19)
+    u32(pageW.toLong); u32(pageH.toLong); u32(0); u32(0); u8(0); u16(0)
+    header(1, 0, Nil, sdBody.length); out.write(sdBody)
+    header(2, 6, Seq(1L), trBody.length); out.write(trBody)
+    header(3, 49, Nil, 0)
+    out.toByteArray
   }
 
   /** Build the embedded-stream bytes for a single generic-region page —

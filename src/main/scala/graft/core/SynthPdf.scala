@@ -103,6 +103,31 @@ object SynthPdf {
         s"/ColorSpace/DeviceGray/Filter/JBIG2Decode/Length ${emb.length}>>\nstream\n", emb)
   }
 
+  /** Symbol-coded JBIG2 fixture (symbol dictionary + text region — the
+    * shape jbig2enc/scanners emit): two deterministic glyph bitmaps placed
+    * three times. Exposed pieces let oracles recompute the expected page. */
+  def jbig2TextSymbols: Vector[Jbig2.Sym] = {
+    val w = 12; val h = 10
+    val box = new Array[Byte](w * h)
+    var x = 0
+    while (x < w) { box(x) = 1; box((h - 1) * w + x) = 1; x += 1 }
+    var y = 0
+    while (y < h) { box(y * w) = 1; box(y * w + w - 1) = 1; y += 1 }
+    val cross = new Array[Byte](w * h)
+    x = 0; while (x < w) { cross((h / 2) * w + x) = 1; x += 1 }
+    y = 0; while (y < h) { cross(y * w + w / 2) = 1; y += 1 }
+    Vector((w, h, box), (w, h, cross))
+  }
+  val jbig2TextPlacements: Seq[(Int, Int, Int)] = Seq((0, 4, 3), (1, 30, 3), (0, 10, 25))
+
+  /** One-page PDF whose sole image is a symbol-coded JBIG2 stream. */
+  def jbig2TextPdf(w: Int = 64, h: Int = 48): Array[Byte] = {
+    val emb = Jbig2.encodeEmbeddedText(jbig2TextSymbols, jbig2TextPlacements, w, h)
+    imageOnlyPdf(w, h,
+      s"<</Type/XObject/Subtype/Image/Width $w/Height $h/BitsPerComponent 1" +
+        s"/ColorSpace/DeviceGray/Filter/JBIG2Decode/Length ${emb.length}>>\nstream\n", emb)
+  }
+
   /** One-page PDF whose sole image is a JPX payload (header-only fixture —
     * codestream carries SOC+SIZ, enough for dimension parsing). */
   def jpxPdf(w: Int = 640, h: Int = 480): Array[Byte] = {

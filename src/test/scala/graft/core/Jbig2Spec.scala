@@ -82,13 +82,82 @@ class Jbig2Spec extends AnyFunSuite {
     assert(bm(8 * w + 4) == 1 && x0y8 == 0, "black must pack as 0")
   }
 
-  test("symbol/text segments are rejected, not silently mangled") {
-    // embedded stream with a text-region segment type (4)
-    val out = new java.io.ByteArrayOutputStream()
-    def u8(v: Int) = out.write(v & 0xff)
-    def u32(v: Long) = { u8((v >> 24).toInt); u8((v >> 16).toInt); u8((v >> 8).toInt); u8(v.toInt) }
-    u32(0); u8(4); u8(0); u8(1); u32(2); u8(0); u8(0)
-    intercept[IllegalArgumentException] { Jbig2.decode(out.toByteArray, None, 8, 8) }
+  test("halftone segments are rejected; truncated text regions throw, never mangle") {
+    def seg(segType: Int, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u8(v: Int) = out.write(v & 0xff)
+      def u32(v: Long) = { u8((v >> 24).toInt); u8((v >> 16).toInt); u8((v >> 8).toInt); u8(v.toInt) }
+      u32(0); u8(segType); u8(0); u8(1); u32(payload.length.toLong)
+      out.write(payload); out.toByteArray
+    }
+    intercept[IllegalArgumentException] {
+      Jbig2.decode(seg(22, Array[Byte](0, 0)), None, 8, 8) // halftone region
+    }
+    intercept[Exception] {
+      Jbig2.decode(seg(6, Array[Byte](0, 0)), None, 8, 8) // truncated text region
+    }
+  }
+
+  test("arithmetic integer coder round trip: all value classes, negatives, OOB") {
+    val values = Seq(0, 1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436, 100000,
+      -1, -4, -20, -84, -340, -4436, -99999, Jbig2.OOB, 7, -7, 0, Jbig2.OOB, 42)
+    val enc = new Jbig2.MQEncoder
+    val cxe = new Array[Short](512)
+    values.foreach(v => Jbig2.encodeInt(enc, cxe, v))
+    val data = enc.flush()
+    val dec = new Jbig2.MQDecoder(data, 0, data.length)
+    val cxd = new Array[Short](512)
+    values.zipWithIndex.foreach { case (v, i) =>
+      assert(Jbig2.decodeInt(dec, cxd) == v, s"value $i ($v) differs")
+    }
+  }
+
+  test("IAID coder round trip") {
+    val ids = Seq(0, 1, 2, 3, 7, 5, 0, 6)
+    val enc = new Jbig2.MQEncoder
+    val cxe = new Array[Short](1 << 4)
+    ids.foreach(id => Jbig2.encodeIaid(enc, cxe, 3, id))
+    val data = enc.flush()
+    val dec = new Jbig2.MQDecoder(data, 0, data.length)
+    val cxd = new Array[Short](1 << 4)
+    ids.foreach(id => assert(Jbig2.decodeIaid(dec, cxd, 3) == id))
+  }
+
+  test("symbol dictionary + text region: symbols decode and place exactly") {
+    // two 12×10 glyph-ish symbols: a solid-bordered box and a cross
+    val w = 12; val h = 10
+    val box = new Array[Byte](w * h)
+    for (x <- 0 until w) { box(x) = 1; box((h - 1) * w + x) = 1 }
+    for (y <- 0 until h) { box(y * w) = 1; box(y * w + w - 1) = 1 }
+    val cross = new Array[Byte](w * h)
+    for (x <- 0 until w) cross((h / 2) * w + x) = 1
+    for (y <- 0 until h) cross(y * w + w / 2) = 1
+    val syms = Vector((w, h, box), (w, h, cross))
+    // place: box at (4,3), cross at (30,3) same strip, box at (10,25)
+    val placements = Seq((0, 4, 3), (1, 30, 3), (0, 10, 25))
+    val pw = 64; val ph = 48
+    val emb = Jbig2.encodeEmbeddedText(syms, placements, pw, ph)
+    val got = Jbig2.decode(emb, None, pw, ph)
+    // reference composition computed directly
+    val exp = new Array[Byte](pw * ph)
+    placements.foreach { case (id, x0, y0) =>
+      val (sw, sh, sb) = syms(id)
+      for (yy <- 0 until sh; xx <- 0 until sw if sb(yy * sw + xx) == 1)
+        exp((y0 + yy) * pw + (x0 + xx)) = 1
+    }
+    assert(java.util.Arrays.equals(got, exp))
+  }
+
+  test("symbol stream via PDF filter: decodes through the image path") {
+    val w = 12; val h = 10
+    val bar = new Array[Byte](w * h)
+    for (y <- 2 until 8; x <- 2 until 10) bar(y * w + x) = 1
+    val emb = Jbig2.encodeEmbeddedText(Vector((w, h, bar)), Seq((0, 6, 6)), 32, 24)
+    val packed = Jbig2.decodeFilter(emb, None, 32, 24)
+    // (8,8) inside the placed bar → black → bit 0; (0,0) white → 1
+    val stride = 4
+    assert(((packed(8 * stride + 1) >> (7 - 0)) & 1) == 0) // x=8 → byte 1 bit 0
+    assert(((packed(0) >> 7) & 1) == 1)
   }
 
   test("JPX header: raw codestream and JP2 container both yield dims") {
