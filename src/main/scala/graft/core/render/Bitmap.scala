@@ -8,8 +8,16 @@ final class Bitmap(val width: Int, val height: Int, background: Int = 0xFFFFFFFF
   require(width > 0 && height > 0, s"bad bitmap dims ${width}x$height")
   val buf: Array[Int] = Array.fill(width * height)(background)
 
+  /** Knockout-group backdrop (§11.4.7 /K): when set, READS (what a
+    * compositing op blends against) come from this frozen initial backdrop
+    * while WRITES accumulate into `buf` — so every mark inside the group
+    * composites against the group's initial backdrop and later marks
+    * replace, not stack on, earlier overlapping ones. Null = normal. */
+  var knockoutBase: Array[Int] = null
+
   @inline def inBounds(x: Int, y: Int): Boolean = x >= 0 && x < width && y >= 0 && y < height
-  @inline def get(x: Int, y: Int): Int = buf(y * width + x)
+  @inline def get(x: Int, y: Int): Int =
+    if (knockoutBase != null) knockoutBase(y * width + x) else buf(y * width + x)
   @inline def set(x: Int, y: Int, argb: Int): Unit =
     if (inBounds(x, y)) buf(y * width + x) = argb
 

@@ -37,12 +37,12 @@ import graft.core._
   *    flatten against a white scratch (the opaque-model stand-in for the
   *    transparent initial backdrop — exact for Normal/Multiply/Darken
   *    content); the text overlay honors show-time /ca and /BM;
-  *  - not modeled: /K knockout groups (in the opaque full-alpha model later
-  *    marks already replace earlier ones — the distinction only surfaces
-  *    for stacked semi-transparent in-group marks), pixel-map soft masks on
-  *    the text overlay, and backdrop-dependent in-group marks inside
-  *    ISOLATED groups under Screen/Lighten-family blends (white-scratch
-  *    approximation).
+  *    /K knockout groups freeze the in-group read backdrop (marks
+  *    composite against the group's initial backdrop; later marks replace,
+  *    not stack);
+  *  - not modeled: pixel-map soft masks on the text overlay, and
+  *    backdrop-dependent in-group marks inside ISOLATED groups under
+  *    Screen/Lighten-family blends (white-scratch approximation).
   */
 object Rasterizer {
 
@@ -960,6 +960,9 @@ object Rasterizer {
               val isolated = doc.resolve(groupDict.get("I")) match {
                 case PdfBool(b) => b; case _ => false
               }
+              val knockout = doc.resolve(groupDict.get("K")) match {
+                case PdfBool(b) => b; case _ => false
+              }
               val n = bmp.buf.length
               val base1 = new Array[Int](n)
               val base2 = new Array[Int](n)
@@ -973,9 +976,14 @@ object Rasterizer {
               }
               val off = new Bitmap(bmp.width, bmp.height, 0)
               System.arraycopy(base1, 0, off.buf, 0, n)
+              // /K knockout: every in-group mark composites against the
+              // group's INITIAL backdrop (reads frozen, writes accumulate)
+              // — stacked semi-transparent marks replace instead of darken
+              if (knockout) off.knockoutBase = base1
               walk(doc, doc.streamData(s), formRes, formCtm, off, level + 1, initClip = formClip)
               val off2 = new Bitmap(bmp.width, bmp.height, 0)
               System.arraycopy(base2, 0, off2.buf, 0, n)
+              if (knockout) off2.knockoutBase = base2
               walk(doc, doc.streamData(s), formRes, formCtm, off2, level + 1, initClip = formClip)
               val cr = formClip.getOrElse(ClipRegion.rect(0, 0, bmp.width - 1, bmp.height - 1))
               var y = math.max(0, cr.y0)

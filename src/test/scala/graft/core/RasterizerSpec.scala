@@ -652,6 +652,29 @@ class RasterizerSpec extends AnyFunSuite {
       f"isolated Multiply sees no page backdrop → red, got $iso%08x")
   }
 
+  test("knockout group: overlapping half-alpha marks replace; non-knockout stacks") {
+    // two overlapping 50%-alpha black rects INSIDE a transparency group over
+    // white. Non-knockout: the overlap composites twice (0.25 → ~64);
+    // knockout (/K true): the second mark composites against the group's
+    // INITIAL backdrop — overlap stays 50% gray (~128), same as either rect.
+    val form = "/Ga gs 0 0 0 rg 100 600 100 50 re f 150 600 100 50 re f"
+    def pdf(k: String) = {
+      val formObj = (s"<</Type/XObject/Subtype/Form/BBox[0 0 612 792]" +
+        s"/Group<</S/Transparency/CS/DeviceRGB$k>>" +
+        s"/Resources<</ExtGState<</Ga 6 0 R>>>>/Length ${form.length}>>\nstream\n$form\nendstream").getBytes
+      val gsObj = "<</Type/ExtGState/ca 0.999>>".getBytes // force the group path
+      val gaObj = "<</Type/ExtGState/ca 0.5>>".getBytes
+      pageWith("/G1 gs /Fm Do",
+        "/ExtGState<</G1 4 0 R>>/XObject<</Fm 5 0 R>>", Vector(gsObj, formObj, gaObj))
+    }
+    def overlapGray(bytes: Array[Byte]) =
+      Rasterizer.render(PdfDocument.load(bytes).toOption.get.page(0)).get(175, 792 - 625) & 0xff
+    val stacked = overlapGray(pdf(""))
+    val ko = overlapGray(pdf("/K true"))
+    assert(stacked < 80, s"non-knockout overlap double-composites: $stacked")
+    assert(ko > 110 && ko < 145, s"knockout overlap stays single-composite gray: $ko")
+  }
+
   test("text honors show-time /ca: glyphs at half alpha are gray, not black") {
     val gsObj = "<</Type/ExtGState/ca 0.5>>".getBytes
     val doc = PdfDocument.load(pageWith(
