@@ -16,6 +16,41 @@ object EventStreams {
   final case class Session(user_id: Long, n_events: Long, first_ts: java.sql.Timestamp,
                            last_ts: java.sql.Timestamp, total_value: Double)
 
+  /** Streaming exact dedup over a document stream: first-seen rows pass,
+    * later duplicates (by content hash) drop — the ingest-time companion
+    * to the batch [[graft.ops.Dedup.exact]]. Emits (h, url, first_seen)
+    * for each NEW hash per micro-batch via mapGroupsWithState.
+    *
+    * State TTL: pass `ttl = Some("24 hours")` to age seen-hashes out via
+    * processing-time timeouts (a crawl re-fetches the same bytes for days;
+    * unbounded state grows with the corpus at 10^12 rows). With a TTL the
+    * engine schedules timeout-check batches on its own clock, so drain-
+    * style tests (`processAllAvailable`) should use `ttl = None`. */
+  final case class SeenDoc(h: String, url: String, first_seen: java.sql.Timestamp)
+  def streamingExactDedup(docs: Dataset[PageRow],
+                          ttl: Option[String] = None): Dataset[SeenDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val timeoutKind =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    docs
+      .select(col("url"), col("warc_ts"), md5(col("html")).as("h"))
+      .as[(String, java.sql.Timestamp, String)]
+      .groupByKey(_._3)
+      .mapGroupsWithState[Long, Option[SeenDoc]](timeoutKind) {
+        case (h, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); None }
+          else if (state.exists) { ttl.foreach(state.setTimeoutDuration); None } // duplicate
+          else {
+            state.update(1L)
+            ttl.foreach(state.setTimeoutDuration)
+            val first = rows.minBy(_._2.getTime)
+            Some(SeenDoc(h, first._1, first._2))
+          }
+      }
+      .flatMap(_.iterator)
+  }
+
   /** Tumbling 1-hour windows per event type with a 2-hour watermark. */
   def windowedCounts(spark: SparkSession, eventsDir: String, outDir: String,
                      checkpointDir: String): Unit = {

@@ -46,4 +46,35 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
     assert(batch.nonEmpty)
   }
+
+  test("streaming exact dedup: first-seen rows pass, later duplicates drop across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def row(url: String, t: Long, payload: String) =
+      PageRow(url, new java.sql.Timestamp(t), payload.getBytes("UTF-8"), null, "la")
+    val source = MemoryStream[PageRow]
+    val tmp = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val q = EventStreams.streamingExactDedup(source.toDS())
+      .writeStream.format("memory").queryName("sdedup_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .outputMode("update")
+      .start()
+    try {
+      // batch 1: A twice (in-batch dup), B once
+      source.addData(row("u/a1", 1000, "payload-A"), row("u/a2", 2000, "payload-A"),
+        row("u/b", 1500, "payload-B"))
+      q.processAllAvailable()
+      val b1 = spark.table("sdedup_out").as[EventStreams.SeenDoc].collect()
+      assert(b1.length == 2, s"batch1: ${b1.toSeq}")
+      // in-batch dup resolves to the EARLIEST timestamp
+      assert(b1.find(_.url.startsWith("u/a")).get.url == "u/a1")
+      // batch 2: A again (cross-batch dup, dropped) + C (new)
+      source.addData(row("u/a3", 3000, "payload-A"), row("u/c", 3500, "payload-C"))
+      q.processAllAvailable()
+      val all = spark.table("sdedup_out").as[EventStreams.SeenDoc].collect()
+      assert(all.length == 3, s"after batch2: ${all.toSeq}")
+      assert(all.map(_.url).toSet == Set("u/a1", "u/b", "u/c"))
+    } finally q.stop()
+  }
 }
