@@ -239,15 +239,43 @@ object PdfWriter {
 
   /** Form field-value writing (the static-API slice of the reference's
     * interactive-forms env, document.py:159-205 + annotation field access):
-    * set /V on every terminal field whose fully-qualified name matches,
-    * drop stale appearance streams and set /NeedAppearances so conforming
-    * viewers regenerate them. Returns the rewritten document bytes. */
+    * set /V on every terminal field whose fully-qualified name matches AND
+    * generate a fresh normal appearance stream rendering the value (the
+    * PDFium behavior this API would trigger) — so fill → [[writeFlattened]]
+    * → extract shows the written values, the filled-form archival flow.
+    * /NeedAppearances is also set for viewers that prefer to regenerate.
+    * Returns the rewritten document bytes. */
   def writeFieldValues(doc: PdfDocument, values: Map[String, String]): Array[Byte] = {
     if (values.isEmpty) return write(doc)
+    val overrides = scala.collection.mutable.Map[Int, PdfObject]()
+    val w = new Writer(overrides)
+    // one shared Helvetica for all generated appearances
+    lazy val helvSlot = w.internSynthetic(null,
+      PdfDict(Map("Type" -> PdfName("Font"), "Subtype" -> PdfName("Type1"),
+        "BaseFont" -> PdfName("Helvetica"))))
+    def apFor(d: PdfDict, v: String): Option[(String, PdfObject)] = {
+      // merged field+widget dicts carry /Rect — size the AP form to it
+      doc.resolve(d("Rect")) match {
+        case PdfArray(items) if items.length == 4 =>
+          val n = items.map(doc.resolve).map { case PdfNumber(x) => x; case _ => 0.0 }
+          val bw = math.abs(n(2) - n(0)); val bh = math.abs(n(3) - n(1))
+          val esc = v.flatMap {
+            case '(' => "\\("; case ')' => "\\)"; case '\\' => "\\\\"; case c => c.toString
+          }
+          val fs = math.max(6.0, math.min(12.0, bh - 4))
+          val content = f"/Tx BMC q BT /Helv $fs%.1f Tf 2 ${math.max(2.0, (bh - fs) / 2)}%.1f Td ($esc) Tj ET Q EMC"
+          val ap = PdfStream(PdfDict(Map(
+            "Type" -> PdfName("XObject"), "Subtype" -> PdfName("Form"),
+            "BBox" -> PdfArray(Vector(PdfNumber(0), PdfNumber(0), PdfNumber(bw), PdfNumber(bh))),
+            "Resources" -> PdfDict(Map("Font" -> PdfDict(Map(
+              "Helv" -> PdfRef(-1 - helvSlot, 0))))))),
+            content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+          Some("AP" -> PdfDict(Map("N" -> PdfRef(-1 - w.internSynthetic(null, ap), 0))))
+        case _ => None
+      }
+    }
     // walk the AcroForm tree exactly like formFieldsDetailed to find the
-    // OBJECT NUMBERS of matching terminal fields, then serialize with those
-    // objects overridden
-    val overrides = scala.collection.mutable.Map[Int, PdfDict]()
+    // OBJECT NUMBERS of matching terminal fields
     def walk(node: PdfObject, prefix: String): Unit = doc.resolve(node) match {
       case d: PdfDict =>
         val name = doc.resolve(d("T")) match {
@@ -262,8 +290,8 @@ object PdfWriter {
                 case PdfRef(num, _) =>
                   val entries = d.entries +
                     ("V" -> PdfString(v.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))) -
-                    "AP" // stale appearance; NeedAppearances covers regeneration
-                  overrides(num) = PdfDict(entries)
+                    "AP"
+                  overrides(num) = PdfDict(entries ++ apFor(d, v))
                 case _ => ()
               }
             }
@@ -277,9 +305,8 @@ object PdfWriter {
       }
       case _ => ()
     }
-    // AcroForm itself needs NeedAppearances true; it may be a ref or inline
-    val acroRef = doc.catalog.entries.get("AcroForm")
-    acroRef match {
+    // AcroForm itself gets NeedAppearances true; it may be a ref or inline
+    doc.catalog.entries.get("AcroForm") match {
       case Some(PdfRef(num, _)) =>
         doc.getObject(num) match {
           case af: PdfDict =>
@@ -288,12 +315,6 @@ object PdfWriter {
         }
       case _ => ()
     }
-    writeWithOverrides(doc, overrides.toMap)
-  }
-
-  /** Full-document copy with specific old objects replaced by new bodies. */
-  private def writeWithOverrides(doc: PdfDocument, overrides: Map[Int, PdfObject]): Array[Byte] = {
-    val w = new Writer(overrides)
     val rootRef: PdfObject = doc.trailer("Root") match {
       case r: PdfRef => PdfRef(-1 - w.internOld(doc, r.num), 0)
       case _ => PdfRef(-1 - w.internSynthetic(doc, doc.catalog), 0)
@@ -511,7 +532,8 @@ object PdfWriter {
     * are SLOTS (0-based); a PdfRef with num = -1-slot marks an internal
     * reference, rewritten to `slot+1 0 R` at assembly. Old-document refs are
     * interned per (doc, oldNum) so shared objects dedupe. */
-  private final class Writer(overrides: Map[Int, PdfObject] = Map.empty) {
+  private final class Writer(
+      overrides: scala.collection.Map[Int, PdfObject] = Map.empty[Int, PdfObject]) {
     private val slots = mutable.ArrayBuffer[(PdfDocument, PdfObject)]() // may hold null placeholders
     private val oldKey = mutable.HashMap[(PdfDocument, Int), Int]()
 

@@ -206,6 +206,19 @@ class PdfWriterSpec extends AnyFunSuite {
     assert(re.pageCount == doc.pageCount)
   }
 
+  test("fill then flatten: written field values survive into extracted page text") {
+    // the filled-form archival flow: writeFieldValues generates appearance
+    // streams, writeFlattened bakes them into content, extraction sees them
+    val doc = PdfDocument.load(fixture("forms.pdf")).toOption.get
+    val filled = PdfDocument.load(PdfWriter.writeFieldValues(doc,
+      Map("Listbox_SingleSelect" -> "ChosenValue"))).toOption.get
+    assert(!doc.pages.map(_.textPage.text).mkString.contains("ChosenValue"))
+    val flat = PdfDocument.load(PdfWriter.writeFlattened(filled)).toOption.get
+    val t = flat.pages.map(_.textPage.text).mkString("|")
+    assert(t.contains("ChosenValue"), s"flattened text: $t")
+    assert(flat.pages.map(_.annotations.size).sum == 0)
+  }
+
   test("writeFlattened bakes annotation appearance text into page content") {
     val doc = PdfDocument.load(SynthPdf.annotPdf("hello body", "BAKED")).toOption.get
     assert(!doc.page(0).textPage.text.contains("BAKED"))
