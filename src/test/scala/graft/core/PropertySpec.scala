@@ -143,4 +143,83 @@ class PropertySpec extends AnyFunSuite {
       assert(back.toVector == nums.toVector)
     }
   }
+
+  test("JBIG2 generic region: random bitmaps round-trip at every template") {
+    cases(24) { rnd =>
+      val w = 8 + rnd.nextInt(40)
+      val h = 8 + rnd.nextInt(30)
+      val density = rnd.nextDouble()
+      val bm = Array.fill[Byte](w * h)(if (rnd.nextDouble() < density) 1 else 0)
+      (w, h, bm, rnd.nextInt(4))
+    } { case (w, h, bm, tmpl) =>
+      val data = Jbig2.encodeGenericArith(bm, w, h, tmpl)
+      val dec = Jbig2.decodeGenericArith(
+        new Jbig2.MQDecoder(data, 0, data.length), w, h, tmpl,
+        Jbig2.nominalAt(tmpl), tpgdon = false)
+      assert(java.util.Arrays.equals(dec, bm), s"template $tmpl ${w}x$h")
+    }
+  }
+
+  test("JBIG2 arithmetic integers: random values round-trip in one stream") {
+    cases(20) { rnd =>
+      Vector.fill(200) {
+        if (rnd.nextInt(20) == 0) Jbig2.OOB
+        else {
+          val mag = rnd.nextInt(6) match {
+            case 0 => rnd.nextInt(4)
+            case 1 => 4 + rnd.nextInt(16)
+            case 2 => 20 + rnd.nextInt(64)
+            case 3 => 84 + rnd.nextInt(256)
+            case 4 => 340 + rnd.nextInt(4096)
+            case _ => 4436 + rnd.nextInt(1 << 20)
+          }
+          if (rnd.nextBoolean() && mag != 0) -mag else mag
+        }
+      }
+    } { values =>
+      val enc = new Jbig2.MQEncoder
+      val cxe = new Array[Short](512)
+      values.foreach(v => Jbig2.encodeInt(enc, cxe, v))
+      val data = enc.flush()
+      val dec = new Jbig2.MQDecoder(data, 0, data.length)
+      val cxd = new Array[Short](512)
+      values.zipWithIndex.foreach { case (v, i) =>
+        assert(Jbig2.decodeInt(dec, cxd) == v, s"value $i ($v)")
+      }
+    }
+  }
+
+  test("JBIG2 symbol+text streams: random symbol sets and placements round-trip") {
+    cases(10) { rnd =>
+      val h = 6 + rnd.nextInt(8)
+      val nSyms = 1 + rnd.nextInt(4)
+      val syms = Vector.fill(nSyms) {
+        val w = 4 + rnd.nextInt(10)
+        (w, h, Array.fill[Byte](w * h)(if (rnd.nextBoolean()) 1 else 0))
+      }
+      val pw = 80; val ph = 60
+      val placements = (0 until 1 + rnd.nextInt(6)).map { _ =>
+        val id = rnd.nextInt(nSyms)
+        (id, rnd.nextInt(pw - syms(id)._1), rnd.nextInt(ph - h))
+      }
+      (syms, placements, pw, ph)
+    } { case (syms, placements, pw, ph) =>
+      val emb = Jbig2.encodeEmbeddedText(syms, placements, pw, ph)
+      val got = Jbig2.decode(emb, None, pw, ph)
+      val exp = new Array[Byte](pw * ph)
+      placements.foreach { case (id, x0, y0) =>
+        val (sw, sh, sb) = syms(id)
+        var yy = 0
+        while (yy < sh) {
+          var xx = 0
+          while (xx < sw) {
+            if (sb(yy * sw + xx) == 1) exp((y0 + yy) * pw + (x0 + xx)) = 1
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+      assert(java.util.Arrays.equals(got, exp))
+    }
+  }
 }
