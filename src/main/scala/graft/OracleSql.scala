@@ -11,8 +11,10 @@ package graft
   *
   * Relational / dedup / ann / text_* oracles are equivalent SQL over the
   * same parquet tables (bare table names; the driver attaches sfDir).
-  * Queries with no SQL-expressible oracle (bit-level sketches, LSH with
-  * designed recall<1) are omitted → driver's rows-only check.
+  * EVERY query has an oracle (round 4): bit-level sketches rebuild their
+  * fingerprints in SQL (simhash via md5_number_upper), and the
+  * designed-recall<1 LSH path is gated on planted ground truth the oracle
+  * can pin (all-true recall floor) — no rows-only checks remain.
   */
 object OracleSql {
 
