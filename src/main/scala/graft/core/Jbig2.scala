@@ -366,6 +366,10 @@ object Jbig2 {
         if ((rts >> 5) == 7) {
           i -= 1
           val cnt = (u32() & 0x1fffffffL).toInt
+          // a referred-to count the remaining payload cannot possibly hold
+          // is a mutated header — fail fast, don't allocate on it
+          if (cnt < 0 || cnt > (data.length - i))
+            throw new IllegalArgumentException("JBIG2: implausible referred-to count")
           i += (cnt + 8) / 8 // retain bits
           cnt
         } else rts >> 5
@@ -381,6 +385,10 @@ object Jbig2 {
       val len = u32()
       if (len == 0xffffffffL)
         throw new IllegalArgumentException("JBIG2: unknown segment length unsupported")
+      // validate BEFORE copyOfRange: a mutated 4-byte length would otherwise
+      // allocate gigabytes (fuzz-discovered task-CPU/heap burn)
+      if (len < 0 || i + len > data.length)
+        throw new IllegalArgumentException("JBIG2: segment length exceeds stream")
       val seg = Segment(num, segType, page, refs, java.util.Arrays.copyOfRange(data, i, i + len.toInt))
       i += len.toInt
       out += seg
@@ -391,11 +399,24 @@ object Jbig2 {
   /** A symbol bitmap: (width, height, byte bitmap 1=black). */
   type Sym = (Int, Int, Array[Byte])
 
+  /** Decode-work budget (adversarial-payload guard): total pixels any one
+    * embedded stream may decode, derived from the declared image size — a
+    * mutated header that declares giant regions/symbols must fail fast,
+    * not burn minutes of task CPU (fuzz-discovered). */
+  private final class PixelBudget(var remaining: Long) {
+    def charge(w: Long, h: Long): Unit = {
+      remaining -= w * h
+      if (w <= 0 || h <= 0 || remaining < 0)
+        throw new IllegalArgumentException("JBIG2: decode budget exceeded")
+    }
+  }
+
   /** §6.5 symbol dictionary (arithmetic, non-refinement — the common
     * scanner/encoder shape; SDHUFF/SDREFAGG throw → raw fallback).
     * Returns the EXPORTED symbols (input symbols from referred dicts
     * participate in the export runs). */
-  private def decodeSymbolDict(data: Array[Byte], inputSyms: Vector[Sym]): Vector[Sym] = {
+  private def decodeSymbolDict(data: Array[Byte], inputSyms: Vector[Sym],
+                               budget: PixelBudget): Vector[Sym] = {
     var i = 0
     def u16(): Int = { val v = ((data(i) & 0xff) << 8) | (data(i + 1) & 0xff); i += 2; v }
     def u32(): Long = { (u16().toLong << 16) | u16() }
@@ -409,7 +430,10 @@ object Jbig2 {
     val at = Array.fill(nAt) { val ax = data(i).toInt; val ay = data(i + 1).toInt; i += 2; (ax, ay) }
     val numEx = u32().toInt
     val numNew = u32().toInt
-    if (numNew > (1 << 20) || numEx > (1 << 20))
+    // adversarial-payload guards: counts bounded by what the remaining
+    // payload could possibly encode (≥1 bit per symbol)
+    if (numNew < 0 || numEx < 0 || numNew > (1 << 20) || numEx > (1 << 20) ||
+        numNew.toLong > (data.length - i).toLong * 8 + 64)
       throw new IllegalArgumentException("JBIG2: implausible symbol counts")
     val mq = new MQDecoder(data, i, data.length)
     val cxIadh = new Array[Short](512)
@@ -437,6 +461,7 @@ object Jbig2 {
           symWidth += dw
           if (symWidth <= 0 || hcHeight <= 0 || symWidth > (1 << 14) || hcHeight > (1 << 14))
             throw new IllegalArgumentException("JBIG2: implausible symbol size")
+          budget.charge(symWidth, hcHeight)
           newSyms += ((symWidth, hcHeight,
             decodeGenericArith(mq, symWidth, hcHeight, template, at, tpgdon = false, gcx)))
           made += 1
@@ -465,7 +490,8 @@ object Jbig2 {
 
   /** §6.4 text region (arithmetic, non-refinement). Returns
     * (x, y, w, h, combOp, composed region bitmap 1=black). */
-  private def decodeTextRegion(data: Array[Byte], syms: Vector[Sym]):
+  private def decodeTextRegion(data: Array[Byte], syms: Vector[Sym],
+                               budget: PixelBudget):
       (Int, Int, Int, Int, Int, Array[Byte]) = {
     var i = 0
     def u8(): Int = { val v = data(i) & 0xff; i += 1; v }
@@ -487,8 +513,13 @@ object Jbig2 {
     if (sbHuff) throw new IllegalArgumentException("JBIG2: Huffman text region unsupported")
     if (refine) throw new IllegalArgumentException("JBIG2: refinement text region unsupported")
     val numInstances = u32().toInt
-    if (rw <= 0 || rh <= 0 || rw.toLong * rh > (1L << 28) || numInstances > (1 << 22))
+    // adversarial-payload guards: instances bounded by region area and by
+    // what the remaining payload could possibly encode (≥1 bit each)
+    if (rw <= 0 || rh <= 0 || rw.toLong * rh > (1L << 28) ||
+        numInstances < 0 || numInstances > rw.toLong * rh ||
+        numInstances.toLong > (data.length - i).toLong * 8 + 64)
       throw new IllegalArgumentException("JBIG2: implausible text region")
+    budget.charge(rw.toLong, rh.toLong)
     val numSyms = math.max(1, syms.length)
     var symCodeLen = 0
     while ((1 << symCodeLen) < numSyms) symCodeLen += 1
@@ -585,6 +616,7 @@ object Jbig2 {
     val segs = globals.map(parseSegments).getOrElse(Vector.empty) ++ parseSegments(embedded)
     val page = new Array[Byte](imgW * imgH)
     var defaultPixel = 0
+    val budget = new PixelBudget(math.max(16L * imgW * imgH, 1L << 22))
     val symbolsBySeg = scala.collection.mutable.Map[Long, Vector[Sym]]()
     def composeOntoPage(rx: Int, ry: Int, rw: Int, rh: Int, combOp: Int,
                         bm: Array[Byte]): Unit = {
@@ -629,6 +661,7 @@ object Jbig2 {
             i += 4; v
           }
           val rw = u32().toInt; val rh = u32().toInt
+          budget.charge(rw.toLong, rh.toLong)
           val rx = u32().toInt; val ry = u32().toInt
           val combOp = d(i) & 0x7; i += 1
           val gFlags = d(i) & 0xff; i += 1
@@ -667,10 +700,10 @@ object Jbig2 {
           composeOntoPage(rx, ry, rw, rh, combOp, bm)
         case 0 => // symbol dictionary: input symbols from referred dicts
           val inputs = seg.refs.flatMap(r => symbolsBySeg.getOrElse(r, Vector.empty))
-          symbolsBySeg(seg.num) = decodeSymbolDict(seg.data, inputs)
+          symbolsBySeg(seg.num) = decodeSymbolDict(seg.data, inputs, budget)
         case 4 | 6 | 7 => // text region (intermediate | immediate | lossless)
           val syms = seg.refs.flatMap(r => symbolsBySeg.getOrElse(r, Vector.empty))
-          val (rx, ry, rw, rh, combOp, bm) = decodeTextRegion(seg.data, syms)
+          val (rx, ry, rw, rh, combOp, bm) = decodeTextRegion(seg.data, syms, budget)
           composeOntoPage(rx, ry, rw, rh, combOp, bm)
         case 16 | 20 | 22 | 23 | 40 | 41 | 42 | 43 =>
           throw new IllegalArgumentException(

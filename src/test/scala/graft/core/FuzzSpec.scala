@@ -104,4 +104,22 @@ class FuzzSpec extends AnyFunSuite {
       assert(r.ok)
     }
   }
+
+  test("jbig2 fuzz: random and mutated streams error cleanly, bounded time") {
+    val rnd = new scala.util.Random(1337)
+    val valid = Jbig2.encodeEmbeddedText(
+      Vector((8, 6, Array.fill[Byte](48)(1))), Seq((0, 2, 2)), 32, 24)
+    val t0 = System.nanoTime()
+    (0 until 150).foreach { i =>
+      val payload =
+        if (i % 3 == 0) { val b = new Array[Byte](1 + rnd.nextInt(300)); rnd.nextBytes(b); b }
+        else mutate(valid, rnd)
+      try {
+        val out = Jbig2.decode(payload, None, 32, 24)
+        assert(out.length == 32 * 24) // if it decodes, shape is bounded
+      } catch { case _: Exception => () } // clean error path
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 30, s"jbig2 fuzz too slow: $sec s")
+  }
 }
