@@ -52,6 +52,30 @@ object Bench {
     (sec, row.getLong(0), row.getLong(1), row.getLong(2))
   }
 
+  /** Pull `queries_normalized` out of a prior bench artifact, whether it is
+    * the raw JSON line Bench prints (BENCH_LOCAL.json) or the driver's
+    * round wrapper whose "tail" field escapes every quote as `\"`. Returns
+    * empty when the artifact's `"sf"` doesn't match `sfDir` (different scale
+    * factors aren't comparable even probe-normalized) or when the map was
+    * truncated out of the captured tail. Pure, so BenchPrevSpec can pin it
+    * against the real BENCH_r04.json / BENCH_LOCAL.json committed in-repo.
+    */
+  def extractPrevNormalized(rawText: String, sfDir: String): Map[String, Double] = {
+    val txt = rawText.replace("\\\"", "\"")
+    val sfOk = s""""sf":"$sfDir"""".r.findFirstIn(txt).isDefined
+    if (!sfOk) Map.empty
+    else """"queries_normalized":\{([^}]*)\}""".r.findFirstMatchIn(txt).map {
+      _.group(1).split(",").toSeq.flatMap { kv =>
+        kv.split(":") match {
+          case Array(k, v) =>
+            try Some(k.replace("\"", "") -> v.toDouble)
+            catch { case _: Throwable => None }
+          case _ => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -244,26 +268,26 @@ object Bench {
       val best = (if (okReps.nonEmpty) okReps else reps.map(_._2)).minBy(_.sec)
       name -> QR(best.sec, best.rows, ok)
     }
-    // normalized per-query times (probe units) + regression list vs the
-    // newest BENCH_r*.json in cwd that carries queries_normalized
+    // normalized per-query times (probe units) + regression list vs the most
+    // recent prior artifact that actually carries a comparable
+    // queries_normalized map. Candidates: BENCH_LOCAL.json (the full JSON
+    // line this main wrote last run — read BEFORE we overwrite it below) and
+    // the driver's BENCH_r*.json wrappers, whose "tail" field holds the LAST
+    // 2000 chars of stdout with quotes ESCAPED — so they must be unescaped
+    // first and may be front-truncated past queries_normalized entirely
+    // (BENCH_r04.json is; ADVICE r4 #1). extractPrevNormalized handles both
+    // shapes and gates on the sf matching, so a local sf0.01 run never
+    // "regresses" against a driver sf0.1 artifact.
     val normalized = results.map { case (k, v) => k -> v.sec / probeSec }
-    val prevFile = Option(new java.io.File(".").listFiles())
-      .map(_.filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName))
-      .flatMap(_.lastOption)
-    val prevNorm: Map[String, Double] = prevFile.flatMap { f =>
+    val candidates = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName == "BENCH_LOCAL.json" || f.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(-_.lastModified())
+    val (prevFile, prevNorm) = candidates.iterator.map { f =>
       val txt = try new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         catch { case _: Throwable => "" }
-      """"queries_normalized":\{([^}]*)\}""".r.findFirstMatchIn(txt).map {
-        _.group(1).split(",").toSeq.flatMap { kv =>
-          kv.split(":") match {
-            case Array(k, v) =>
-              try Some(k.replace("\"", "") -> v.toDouble)
-              catch { case _: Throwable => None }
-            case _ => None
-          }
-        }.toMap
-      }
-    }.getOrElse(Map.empty)
+      f -> extractPrevNormalized(txt, sfDir)
+    }.collectFirst { case (f, m) if m.nonEmpty => (Some(f), m) }
+      .getOrElse((None, Map.empty[String, Double]))
     val regressions = normalized.collect {
       case (k, v) if prevNorm.get(k).exists(p => v > p * 1.5) => k
     }.toSeq.sorted

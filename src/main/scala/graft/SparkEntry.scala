@@ -662,13 +662,18 @@ object SparkEntry {
 
     "pdf_sql_native" -> ((s, _) => {
       // native Catalyst Expression surface (codegen'd, no ScalaUDF
-      // boundary) — same pinned results as the UDF surface
+      // boundary) — same pinned results as the UDF surface. Uses the FUSED
+      // pdf_stats_native struct: the two projected columns read one
+      // struct, so each payload parses ONCE (the per-column
+      // pdf_page_count_native + pdf_char_count_native shape parsed every
+      // payload twice — VERDICT r4 "What's wrong #2"; at 100 TB the parse
+      // is the dominant cost of this query shape).
       graft.functions.NativeRegistry.register(s)
       PagesTable.ofFixtures(s, Seq("text.pdf", "multipage.pdf", "empty.pdf"))
         .toDF().createOrReplaceTempView("pages_nv")
-      s.sql("""SELECT url, CAST(pdf_page_count_native(html) AS BIGINT) AS n_pages,
-               |  pdf_char_count_native(html) AS n_chars
-               |FROM pages_nv ORDER BY url""".stripMargin)
+      s.sql("""SELECT url, CAST(s.n_pages AS BIGINT) AS n_pages, s.n_chars AS n_chars
+               |FROM (SELECT url, pdf_stats_native(html) AS s FROM pages_nv)
+               |ORDER BY url""".stripMargin)
     }),
 
     "pdf_sql_surface" -> ((s, _) => {
@@ -808,8 +813,20 @@ object SparkEntry {
       // base↔base 0.95-cosine pair would otherwise be found by the
       // brute-force oracle but only probabilistically by banded LSH
       // (ADVICE r3 #5)
-      Similarity.embeddingNearDupPairs(vecs.unionByName(replicas), threshold = 0.95)
-        .where(col("b") === col("a") + 100000L)
+      val corpus = vecs.unionByName(replicas)
+      val pairs = Similarity.embeddingNearDupPairs(corpus, threshold = 0.95)
+      // PRECISION gate (ADVICE r4: the planted-pair filter above made the
+      // oracle recall-only): independently re-score every emitted pair —
+      // planted or not — from the raw embeddings; any pair below the
+      // threshold fails the whole query, so a mis-applied threshold after
+      // the banded join can't hide behind the planted filter.
+      val rescored = pairs
+        .join(corpus.select(col("vec_id").as("a"), col("embedding").as("qe")), Seq("a"))
+        .join(corpus.select(col("vec_id").as("b"), col("embedding").as("ce")), Seq("b"))
+        .withColumn("sim2", Similarity.cosineCol)
+      val nBelow = rescored.where(col("sim2") < 0.95 - 1e-9).count()
+      require(nBelow == 0, s"dedup_embedding precision gate: $nBelow emitted pairs below threshold")
+      pairs.where(col("b") === col("a") + 100000L)
         .orderBy("a", "b")
     }),
 

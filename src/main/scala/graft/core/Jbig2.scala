@@ -12,9 +12,18 @@ package graft.core
   * symbol dictionaries (height classes, shared generic contexts, export
   * runs, cross-dictionary inputs) and text regions (strips, REFCORNER,
   * transposed, DS offset, all four compose ops) via the Annex A arithmetic
-  * integer + IAID decoders. NOT decoded (throw → raw passthrough, the
-  * reference's behavior for undecodable payloads, pageobjects.py:598-630):
-  * Huffman-coded variants, refinement/aggregate coding, halftone regions.
+  * integer + IAID decoders, and the HUFFMAN-coded variants old scanners
+  * emit: Annex B standard tables B.1-B.15, custom table segments (type 53),
+  * Huffman symbol dictionaries (collective bitmap, MMR or uncompressed) and
+  * Huffman text regions (runcode-assigned symbol ID codes). NOT decoded
+  * (throw → raw passthrough, the reference's behavior for undecodable
+  * payloads, pageobjects.py:598-630): refinement/aggregate coding, halftone
+  * regions. INTERMEDIATE regions (types 36/4) are refinement inputs per
+  * T.88 §8.2 and are skipped, not painted. Residual risk (ADVICE r4,
+  * acknowledged): no externally-generated JBIG2 stream exists in this
+  * offline sandbox's corpus, so validation is round-trip against the
+  * in-repo encoders plus the advisor's cross-check of context order, Qe
+  * table, byteIn and REFCORNER placement against pdf.js/jbig2dec semantics.
   *
   * The MQ coder follows the T.88 Annex E flowcharts in their standard
   * software form (the same structure as the public jbig2dec/pdf.js/openjpeg
@@ -611,12 +620,25 @@ object Jbig2 {
     * (1=black) of the page. `imgW`/`imgH` are the PDF /Width / /Height —
     * authoritative for the output size (T.88 page info may carry 0xffffffff
     * height for striped pages). */
+  /** Absolute page-pixel cap, independent of attacker-declared /Width and
+    * /Height: 2^27 px ≈ 134 Mpx covers A0 at 600 dpi with 2× headroom; a
+    * crafted 30000×60000 header is rejected BEFORE the page array is
+    * allocated (ADVICE r4: the old order allocated ~1.8 GB first, and
+    * imgW*imgH Int overflow threw NegativeArraySizeException). */
+  private[core] val MaxPagePixels: Long = 1L << 27
+
   def decode(embedded: Array[Byte], globals: Option[Array[Byte]],
              imgW: Int, imgH: Int): Array[Byte] = {
+    val pagePixels = imgW.toLong * imgH.toLong
+    if (imgW <= 0 || imgH <= 0 || pagePixels > MaxPagePixels)
+      throw new IllegalArgumentException(
+        s"JBIG2: page ${imgW}x$imgH exceeds pixel cap $MaxPagePixels")
     val segs = globals.map(parseSegments).getOrElse(Vector.empty) ++ parseSegments(embedded)
     val page = new Array[Byte](imgW * imgH)
     var defaultPixel = 0
-    val budget = new PixelBudget(math.max(16L * imgW * imgH, 1L << 22))
+    // work budget also absolute-capped so declared dims can't inflate it
+    val budget = new PixelBudget(
+      math.min(math.max(16L * pagePixels, 1L << 22), 16L * MaxPagePixels))
     val symbolsBySeg = scala.collection.mutable.Map[Long, Vector[Sym]]()
     def composeOntoPage(rx: Int, ry: Int, rw: Int, rh: Int, combOp: Int,
                         bm: Array[Byte]): Unit = {
@@ -652,7 +674,13 @@ object Jbig2 {
             defaultPixel = (flags >> 2) & 1
             if (defaultPixel == 1) java.util.Arrays.fill(page, 1.toByte)
           }
-        case 36 | 38 | 39 => // generic region (intermediate or immediate)
+        case 36 | 4 => // INTERMEDIATE generic/text region: per T.88 §8.2 these
+          // are inputs to later (refinement) segments, never painted onto the
+          // page directly. We don't decode refinement segments (documented
+          // throw below), so nothing can consume them — skip instead of
+          // mis-composing auxiliary bitmaps into the page (ADVICE r4).
+          ()
+        case 38 | 39 => // immediate generic region (+ lossless variant)
           val d = seg.data
           var i = 0
           def u32(): Long = {
@@ -701,7 +729,7 @@ object Jbig2 {
         case 0 => // symbol dictionary: input symbols from referred dicts
           val inputs = seg.refs.flatMap(r => symbolsBySeg.getOrElse(r, Vector.empty))
           symbolsBySeg(seg.num) = decodeSymbolDict(seg.data, inputs, budget)
-        case 4 | 6 | 7 => // text region (intermediate | immediate | lossless)
+        case 6 | 7 => // immediate text region (+ lossless variant)
           val syms = seg.refs.flatMap(r => symbolsBySeg.getOrElse(r, Vector.empty))
           val (rx, ry, rw, rh, combOp, bm) = decodeTextRegion(seg.data, syms, budget)
           composeOntoPage(rx, ry, rw, rh, combOp, bm)

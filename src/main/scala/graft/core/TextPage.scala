@@ -194,14 +194,18 @@ final class TextPage private (
     if (best >= 0) Some(best) else None
   }
 
-  /** search (textpage.py:255-334): all occurrences as (charIndex, length). */
-  def search(needle: String, matchCase: Boolean = false, matchWholeWord: Boolean = false,
-             consecutive: Boolean = false): Vector[(Int, Int)] = {
+  /** search (textpage.py:255-334): all occurrences as (charIndex, length).
+    * `index` is the char index to start searching from (the reference's
+    * `search(text, index=0, …)` / FPDFText_FindStart start index); matches
+    * beginning before it are not reported. */
+  def search(needle: String, index: Int = 0, matchCase: Boolean = false,
+             matchWholeWord: Boolean = false, consecutive: Boolean = false): Vector[(Int, Int)] = {
     require(needle.nonEmpty, "Text length must be greater than 0.")
+    require(index >= 0, "Start index must not be negative.")
     val hay = if (matchCase) text else text.toLowerCase
     val pat = if (matchCase) needle else needle.toLowerCase
     val out = Vector.newBuilder[(Int, Int)]
-    var from = 0
+    var from = index
     while (from <= hay.length - pat.length) {
       val at = hay.indexOf(pat, from)
       if (at < 0) from = hay.length + 1

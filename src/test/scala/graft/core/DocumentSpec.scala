@@ -178,6 +178,19 @@ class DocumentSpec extends AnyFunSuite {
     assert(tp.search("laborum", matchWholeWord = true).length == 1)
   }
 
+  test("search start index (textpage.py:255 search(text, index=0, ...))") {
+    val tp = load("text.pdf").page(0).textPage
+    val all = tp.search("labor")
+    assert(all.length >= 2)
+    // starting AT the second hit skips the first but keeps the rest
+    assert(tp.search("labor", index = all(1)._1) == all.drop(1))
+    // starting one past it drops it too
+    assert(tp.search("labor", index = all(1)._1 + 1) == all.drop(2))
+    // past the end: no matches; negative start rejected like empty needle
+    assert(tp.search("labor", index = tp.text.length).isEmpty)
+    assertThrows[IllegalArgumentException](tp.search("labor", index = -1))
+  }
+
   test("objects enumeration with type filter (page.py:274-325)") {
     val p = load("images.pdf").page(0)
     assert(p.objects().length == 4)

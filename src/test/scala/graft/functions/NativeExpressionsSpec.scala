@@ -44,6 +44,36 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("pdf_stats_native: fused struct matches per-column natives and parses ONCE per row") {
+    NativeRegistry.register(spark)
+    PagesTable.ofFixtures(spark, Seq("text.pdf", "multipage.pdf", "empty.pdf"))
+      .toDF().createOrReplaceTempView("pages_stats_v")
+    NativeFns.statsCalls.set(0)
+    // no ORDER BY here: range partitioning SAMPLES the child plan (a whole
+    // extra execution) which would double the count without being a
+    // per-row double parse; sort driver-side instead
+    val rows = spark.sql(
+      """SELECT url, s.n_pages AS n_pages, s.n_chars AS n_chars, s.err AS err
+        |FROM (SELECT url, pdf_stats_native(html) AS s FROM pages_stats_v)""".stripMargin)
+      .collect().sortBy(_.getAs[String]("url"))
+    assert(rows.length == 3)
+    // one parse per row despite two+ projected stat columns (the old
+    // per-column shape parsed each payload once PER COLUMN — r4 wrong #2)
+    assert(NativeFns.statsCalls.get() == 3, s"parses=${NativeFns.statsCalls.get()}")
+    val perCol = spark.sql(
+      """SELECT url, pdf_page_count_native(html) AS n_pages, pdf_char_count_native(html) AS n_chars
+        |FROM pages_stats_v ORDER BY url""".stripMargin).collect()
+    rows.zip(perCol).foreach { case (a, b) =>
+      assert(a.getAs[Int]("n_pages") == b.getAs[Int]("n_pages"))
+      assert(a.getAs[Long]("n_chars") == b.getAs[Long]("n_chars"))
+      assert(a.getAs[String]("err") == "")
+    }
+    // corrupt payload → err code populated, sentinel counts
+    val bad = spark.sql("SELECT pdf_stats_native(CAST('junk' AS BINARY)) AS s").collect()(0)
+      .getStruct(0)
+    assert(bad.getInt(0) == -1 && bad.getLong(1) == -1L && bad.getString(2).nonEmpty)
+  }
+
   test("type mismatch is rejected at analysis time") {
     NativeRegistry.register(spark)
     val e = intercept[Exception] {

@@ -44,12 +44,18 @@ class PipelineSpec extends AnyFunSuite {
     val routed = ExtractPipeline.extractSizeRouted(pages, heavyBytes = 100 << 10)
     val b = routed.select("url", "n_chars").as[(String, Long)].collect().toMap
     assert(a == b)
-    // every heavy doc (multipage.pdf rows) reports the offset lineage id of
-    // the shuffled branch; every small doc stays in the narrow branch
-    val branchByUrl = routed.select("url", "partition_id").as[(String, Int)].collect()
-    assert(branchByUrl.forall { case (url, pid) =>
-      if (url.startsWith("fixture://multipage.pdf")) pid >= 1000000 else pid < 1000000
+    // the branch column is the lineage disambiguator (collision-proof at
+    // any partition count — ADVICE r4): heavy docs report "salted", small
+    // docs "narrow", and the (branch, partition_id) pairs never merge two
+    // tasks because union-stage task ids are disjoint across branches
+    val rows = routed.select("url", "branch", "partition_id").as[(String, String, Int)].collect()
+    assert(rows.forall { case (url, branch, _) =>
+      branch == (if (url.startsWith("fixture://multipage.pdf")) "salted" else "narrow")
     })
+    val heavyIds = rows.collect { case (_, "salted", pid) => pid }.toSet
+    val lightIds = rows.collect { case (_, "narrow", pid) => pid }.toSet
+    assert(heavyIds.nonEmpty && lightIds.nonEmpty)
+    assert(heavyIds.size <= spark.sessionState.conf.numShufflePartitions)
   }
 
   test("metrics table: one row per partition, totals add up") {
