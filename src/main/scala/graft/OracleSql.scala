@@ -236,6 +236,8 @@ object OracleSql {
         |   'c68d7eac9b96a39de63969b18ea8a9e3'),
         |  ('jbig2_symbols', 'pix', CAST(64 AS BIGINT), CAST(48 AS BIGINT), CAST(384 AS BIGINT),
         |   '29106e1d916fd543eedfdf67220db3ef'),
+        |  ('jbig2_huffman', 'pix', CAST(64 AS BIGINT), CAST(48 AS BIGINT), CAST(384 AS BIGINT),
+        |   '29106e1d916fd543eedfdf67220db3ef'),
         |  ('jpx_passthrough', 'jp2', CAST(640 AS BIGINT), CAST(480 AS BIGINT), CAST(121 AS BIGINT),
         |   '831664da2bb1607d8cffb9ba378d55b1')
         |) AS t(case_id, format, width, height, n_bytes, md5)""".stripMargin,

@@ -312,6 +312,9 @@ object SparkEntry {
         // codestream header (core/Jpx)
         ("jbig2_generic", graft.core.SynthPdf.jbig2Pdf(64, 48)),
         ("jbig2_symbols", graft.core.SynthPdf.jbig2TextPdf(64, 48)),
+        // Huffman coding of the SAME symbols/placements as jbig2_symbols →
+        // its md5 must equal jbig2_symbols' (coding-independent golden)
+        ("jbig2_huffman", graft.core.SynthPdf.jbig2HuffmanPdf(64, 48)),
         ("jpx_passthrough", graft.core.SynthPdf.jpxPdf(640, 480)))
       s.createDataset(rows).map { case (id, bytes) =>
         val doc = graft.core.PdfDocument.load(bytes).toOption.get
@@ -331,7 +334,7 @@ object SparkEntry {
             val bb = java.nio.ByteBuffer.allocate(px.length * 4)
             px.foreach(bb.putInt)
             (img.width.toLong, img.height.toLong, px.length * 4L, hex(bb.array()))
-          case "jbig2_generic" | "jbig2_symbols" =>
+          case "jbig2_generic" | "jbig2_symbols" | "jbig2_huffman" =>
             (img.width.toLong, img.height.toLong, img.data.length.toLong, hex(img.data))
           case "jpx_passthrough" =>
             val info = graft.core.Jpx.parseHeader(img.data).get

@@ -420,11 +420,15 @@ object Jbig2 {
     }
   }
 
-  /** §6.5 symbol dictionary (arithmetic, non-refinement — the common
-    * scanner/encoder shape; SDHUFF/SDREFAGG throw → raw fallback).
-    * Returns the EXPORTED symbols (input symbols from referred dicts
-    * participate in the export runs). */
+  /** §6.5 symbol dictionary — arithmetic (the common scanner/encoder
+    * shape) or Huffman (SDHUFF=1, the pre-2005 scanner shape: per-height-
+    * class collective bitmaps, MMR or uncompressed, widths/heights via
+    * Annex B tables). SDREFAGG throws → raw fallback. Returns the EXPORTED
+    * symbols (input symbols from referred dicts participate in the export
+    * runs). `customTables` are the referred type-53 table segments in
+    * stream order, consumed DH → DW → BMSIZE → AGGINST per §7.4.3.1.1. */
   private def decodeSymbolDict(data: Array[Byte], inputSyms: Vector[Sym],
+                               customTables: Vector[Jbig2Huffman.Table],
                                budget: PixelBudget): Vector[Sym] = {
     var i = 0
     def u16(): Int = { val v = ((data(i) & 0xff) << 8) | (data(i + 1) & 0xff); i += 2; v }
@@ -433,8 +437,13 @@ object Jbig2 {
     val sdHuff = (flags & 1) != 0
     val sdRefAgg = (flags & 2) != 0
     val template = (flags >> 10) & 3
-    if (sdHuff) throw new IllegalArgumentException("JBIG2: Huffman symbol dict unsupported")
     if (sdRefAgg) throw new IllegalArgumentException("JBIG2: refinement/aggregate symbol dict unsupported")
+    if (sdHuff) {
+      val numEx = u32().toInt // no AT pixels when SDHUFF=1
+      val numNew = u32().toInt
+      return decodeSymbolDictHuffman(data, i, flags, numEx, numNew, inputSyms,
+        customTables, budget)
+    }
     val nAt = if (template == 0) 4 else 1
     val at = Array.fill(nAt) { val ax = data(i).toInt; val ay = data(i + 1).toInt; i += 2; (ax, ay) }
     val numEx = u32().toInt
@@ -497,9 +506,158 @@ object Jbig2 {
     exported.result()
   }
 
+  /** §6.5 with SDHUFF=1 (§6.5.9): per height class, widths are Huffman-
+    * coded deltas and the symbols arrive as ONE collective bitmap — either
+    * MMR-coded (BMSIZE > 0, delegated to [[Ccitt]]) or raw uncompressed
+    * rows (BMSIZE = 0) — split by the accumulated widths. Export runs use
+    * Table B.1 (§6.5.10). `i0` points just past SDNUMNEWSYMS. */
+  private def decodeSymbolDictHuffman(data: Array[Byte], i0: Int, flags: Int,
+                                      numEx: Int, numNew: Int, inputSyms: Vector[Sym],
+                                      customTables: Vector[Jbig2Huffman.Table],
+                                      budget: PixelBudget): Vector[Sym] = {
+    import Jbig2Huffman.{standard, BitReader, Table}
+    if (numNew < 0 || numEx < 0 || numNew > (1 << 20) || numEx > (1 << 20) ||
+        numNew.toLong > (data.length - i0).toLong * 8 + 64)
+      throw new IllegalArgumentException("JBIG2: implausible symbol counts")
+    var ci = 0
+    def nextCustom(): Table = {
+      if (ci >= customTables.length)
+        throw new IllegalArgumentException("JBIG2: missing custom Huffman table")
+      val t = customTables(ci); ci += 1; t
+    }
+    def pick(sel: Int, std0: Int, std1: Int): Table = sel match {
+      case 0 => standard(std0)
+      case 1 => standard(std1)
+      case 3 => nextCustom()
+      case _ => throw new IllegalArgumentException("JBIG2: reserved table selector")
+    }
+    val tDH = pick((flags >> 2) & 3, 4, 5)
+    val tDW = pick((flags >> 4) & 3, 2, 3)
+    val tBM = if (((flags >> 6) & 1) == 0) standard(1) else nextCustom()
+    if (((flags >> 7) & 1) == 1) nextCustom() // AGGINST table: consumed for ordering
+    val r = new BitReader(data, i0, data.length)
+    val newSyms = Vector.newBuilder[Sym]
+    var made = 0
+    var hcHeight = 0
+    while (made < numNew) {
+      val dh = tDH.decode(r)
+      if (dh == OOB) throw new IllegalArgumentException("JBIG2: OOB height class delta")
+      hcHeight += dh
+      if (hcHeight <= 0 || hcHeight > (1 << 14))
+        throw new IllegalArgumentException("JBIG2: implausible height class")
+      val widths = Vector.newBuilder[Int]
+      var nW = 0
+      var symWidth = 0
+      var totWidth = 0L
+      var classDone = false
+      while (!classDone) {
+        val dw = tDW.decode(r)
+        if (dw == OOB) classDone = true
+        else {
+          if (made + nW >= numNew)
+            throw new IllegalArgumentException("JBIG2: more symbols than SDNUMNEWSYMS")
+          symWidth += dw
+          if (symWidth <= 0 || symWidth > (1 << 14))
+            throw new IllegalArgumentException("JBIG2: implausible symbol size")
+          budget.charge(symWidth, hcHeight)
+          widths += symWidth
+          totWidth += symWidth
+          nW += 1
+        }
+      }
+      val ws = widths.result()
+      // §6.5.9: BMSIZE then the byte-aligned collective bitmap of the class
+      val bmSize = tBM.decode(r)
+      if (bmSize == OOB || bmSize < 0)
+        throw new IllegalArgumentException("JBIG2: bad collective bitmap size")
+      r.byteAlign()
+      val tw = totWidth.toInt
+      val collective: Array[Byte] =
+        if (ws.isEmpty) Array.emptyByteArray
+        else if (bmSize == 0) { // uncompressed rows, MSB-first, 1=black
+          val stride = (tw + 7) / 8
+          val need = stride * hcHeight
+          if (r.remaining < need)
+            throw new IllegalArgumentException("JBIG2: truncated collective bitmap")
+          val base = r.bytePos
+          val out = new Array[Byte](tw * hcHeight)
+          var y = 0
+          while (y < hcHeight) {
+            var x = 0
+            while (x < tw) {
+              out(y * tw + x) = ((data(base + y * stride + (x >> 3)) >> (7 - (x & 7))) & 1).toByte
+              x += 1
+            }
+            y += 1
+          }
+          r.skipBytes(need)
+          out
+        } else { // MMR-coded (T.6, no EOL)
+          if (r.remaining < bmSize)
+            throw new IllegalArgumentException("JBIG2: truncated collective bitmap")
+          val base = r.bytePos
+          val packed = Ccitt.decode(
+            java.util.Arrays.copyOfRange(data, base, base + bmSize), tw, hcHeight, -1,
+            blackIs1 = true, encodedByteAlign = false)
+          r.skipBytes(bmSize)
+          val stride = (tw + 7) / 8
+          val out = new Array[Byte](tw * hcHeight)
+          var y = 0
+          while (y < hcHeight) {
+            var x = 0
+            while (x < tw) {
+              out(y * tw + x) = ((packed(y * stride + (x >> 3)) >> (7 - (x & 7))) & 1).toByte
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+      // split the collective bitmap into the class's symbols by width
+      var x0 = 0
+      ws.foreach { w =>
+        val bm = new Array[Byte](w * hcHeight)
+        var y = 0
+        while (y < hcHeight) {
+          System.arraycopy(collective, y * tw + x0, bm, y * w, w)
+          y += 1
+        }
+        newSyms += ((w, hcHeight, bm))
+        x0 += w
+        made += 1
+      }
+    }
+    // §6.5.10 export runs (Table B.1 when SDHUFF) over input ∪ new symbols
+    val tEx = standard(1)
+    val all = inputSyms ++ newSyms.result()
+    val exported = Vector.newBuilder[Sym]
+    var idx = 0
+    var exFlag = false
+    var got = 0
+    while (idx < all.length && got < numEx) {
+      val run = tEx.decode(r)
+      if (run == OOB || run < 0) throw new IllegalArgumentException("JBIG2: bad export run")
+      if (exFlag) {
+        val take = math.min(run, all.length - idx)
+        exported ++= all.slice(idx, idx + take)
+        got += take
+      }
+      idx += run
+      exFlag = !exFlag
+    }
+    exported.result()
+  }
+
   /** §6.4 text region (arithmetic, non-refinement). Returns
     * (x, y, w, h, combOp, composed region bitmap 1=black). */
+  /** §6.4 text region — arithmetic or Huffman (SBHUFF=1), non-refinement.
+    * The placement loop is shared; only the five integer sources differ
+    * (MQ IAxx decoders vs Annex B tables + the §6.4.5.1 runcode-assigned
+    * symbol ID code). `customTables` are the referred type-53 segments,
+    * consumed FS → DS → DT per §7.4.4.1. Returns
+    * (x, y, w, h, combOp, composed region bitmap 1=black). */
   private def decodeTextRegion(data: Array[Byte], syms: Vector[Sym],
+                               customTables: Vector[Jbig2Huffman.Table],
                                budget: PixelBudget):
       (Int, Int, Int, Int, Int, Array[Byte]) = {
     var i = 0
@@ -512,15 +670,16 @@ object Jbig2 {
     val t = u16()
     val sbHuff = (t & 1) != 0
     val refine = (t & 2) != 0
-    val sbStrips = 1 << ((t >> 2) & 3)
+    val log2Strips = (t >> 2) & 3
+    val sbStrips = 1 << log2Strips
     val refCorner = (t >> 4) & 3 // 0 BL, 1 TL, 2 BR, 3 TR
     val transposed = ((t >> 6) & 1) != 0
     val sbCombOp = (t >> 7) & 3
     val defPixel = (t >> 9) & 1
     val dsOffsetRaw = (t >> 10) & 0x1f
     val dsOffset = if (dsOffsetRaw > 15) dsOffsetRaw - 32 else dsOffsetRaw // signed 5-bit
-    if (sbHuff) throw new IllegalArgumentException("JBIG2: Huffman text region unsupported")
     if (refine) throw new IllegalArgumentException("JBIG2: refinement text region unsupported")
+    val huffFlags = if (sbHuff) u16() else 0
     val numInstances = u32().toInt
     // adversarial-payload guards: instances bounded by region area and by
     // what the remaining payload could possibly encode (≥1 bit each)
@@ -533,12 +692,111 @@ object Jbig2 {
     var symCodeLen = 0
     while ((1 << symCodeLen) < numSyms) symCodeLen += 1
     symCodeLen = math.max(1, symCodeLen)
-    val mq = new MQDecoder(data, i, data.length)
-    val cxIadt = new Array[Short](512)
-    val cxIafs = new Array[Short](512)
-    val cxIads = new Array[Short](512)
-    val cxIait = new Array[Short](512)
-    val cxIaid = new Array[Short](1 << (symCodeLen + 1))
+
+    // ---- the five integer sources (arith vs Huffman) ---------------------
+    var dtF: () => Int = null // strip delta T (OOB = malformed)
+    var dfsF: () => Int = null // first-symbol S delta
+    var idsF: () => Int = null // intra-strip S delta; OOB = end of strip
+    var curTF: () => Int = null // per-symbol T offset within the strip
+    var idF: () => Int = null // symbol id
+    if (sbHuff) {
+      import Jbig2Huffman.{assignCanonical, standard, BitReader, Table}
+      var ci = 0
+      def nextCustom(): Table = {
+        if (ci >= customTables.length)
+          throw new IllegalArgumentException("JBIG2: missing custom Huffman table")
+        val tb = customTables(ci); ci += 1; tb
+      }
+      def pick(sel: Int, std: Int*): Table =
+        if (sel == 3) nextCustom()
+        else if (sel < std.length) standard(std(sel))
+        else throw new IllegalArgumentException("JBIG2: reserved table selector")
+      val tFS = pick(huffFlags & 3, 6, 7)
+      val tDS = pick((huffFlags >> 2) & 3, 8, 9, 10)
+      val tDT = pick((huffFlags >> 4) & 3, 11, 12, 13)
+      // refinement table selectors (RDW/RDH/RDX/RDY/RSIZE) would follow;
+      // refine is rejected above so valid streams leave them 0
+      val r = new BitReader(data, i, data.length)
+      // §6.4.5.1: symbol ID code, lengths run-coded over 35 runcodes
+      val runLens = Array.fill(35)(r.bits(4).toInt)
+      val runMap = assignCanonical(scala.collection.immutable.ArraySeq.unsafeWrapArray(runLens))
+      val runMax = runLens.max
+      def decodeRun(): Int = {
+        var code = 0; var len = 0
+        while (len < runMax) {
+          code = (code << 1) | r.bit(); len += 1
+          runMap.get((len, code)) match {
+            case Some(rc) => return rc
+            case None => ()
+          }
+        }
+        throw new IllegalArgumentException("JBIG2: invalid symbol runcode prefix")
+      }
+      val symLens = new Array[Int](syms.length)
+      var k = 0
+      while (k < syms.length) {
+        val rc = decodeRun()
+        if (rc < 32) { symLens(k) = rc; k += 1 }
+        else {
+          val (rep, fill) = rc match {
+            case 32 =>
+              if (k == 0) throw new IllegalArgumentException("JBIG2: runcode 32 with no previous")
+              (r.bits(2).toInt + 3, symLens(k - 1))
+            case 33 => (r.bits(3).toInt + 3, 0)
+            case _ => (r.bits(7).toInt + 11, 0)
+          }
+          if (k + rep > syms.length)
+            throw new IllegalArgumentException("JBIG2: symbol code-length run overflow")
+          var j = 0
+          while (j < rep) { symLens(k) = fill; k += 1; j += 1 }
+        }
+      }
+      val symMap = assignCanonical(scala.collection.immutable.ArraySeq.unsafeWrapArray(symLens))
+      val symMax = if (syms.isEmpty) 0 else symLens.max
+      r.byteAlign()
+      def dec(tb: Table): Int = tb.decode(r)
+      dtF = () => {
+        val v = dec(tDT); if (v == OOB) throw new IllegalArgumentException("JBIG2: OOB DT"); v
+      }
+      dfsF = () => {
+        val v = dec(tFS); if (v == OOB) throw new IllegalArgumentException("JBIG2: OOB first S"); v
+      }
+      idsF = () => dec(tDS)
+      curTF = () => if (sbStrips == 1) 0 else r.bits(log2Strips).toInt
+      idF = () => {
+        var code = 0; var len = 0; var res = -1
+        while (res < 0 && len < symMax) {
+          code = (code << 1) | r.bit(); len += 1
+          symMap.get((len, code)) match {
+            case Some(id) => res = id
+            case None => ()
+          }
+        }
+        if (res < 0) throw new IllegalArgumentException("JBIG2: invalid symbol id prefix")
+        res
+      }
+    } else {
+      val mq = new MQDecoder(data, i, data.length)
+      val cxIadt = new Array[Short](512)
+      val cxIafs = new Array[Short](512)
+      val cxIads = new Array[Short](512)
+      val cxIait = new Array[Short](512)
+      val cxIaid = new Array[Short](1 << (symCodeLen + 1))
+      dtF = () => {
+        val v = decodeInt(mq, cxIadt)
+        if (v == OOB) throw new IllegalArgumentException("JBIG2: OOB DT")
+        v
+      }
+      dfsF = () => {
+        val v = decodeInt(mq, cxIafs)
+        if (v == OOB) throw new IllegalArgumentException("JBIG2: OOB first S")
+        v
+      }
+      idsF = () => decodeInt(mq, cxIads)
+      curTF = () => if (sbStrips == 1) 0 else decodeInt(mq, cxIait)
+      idF = () => decodeIaid(mq, cxIaid, symCodeLen)
+    }
+
     val bm = new Array[Byte](rw * rh)
     if (defPixel == 1) java.util.Arrays.fill(bm, 1.toByte)
     @inline def compose(x0: Int, y0: Int, s: Sym): Unit = {
@@ -566,36 +824,29 @@ object Jbig2 {
         yy += 1
       }
     }
-    var stripT = {
-      val v = decodeInt(mq, cxIadt)
-      if (v == OOB) throw new IllegalArgumentException("JBIG2: OOB initial DT")
-      -v * sbStrips
-    }
+    // ---- shared placement loop (§6.4.5 steps 3c-3d) ----------------------
+    var stripT = -dtF() * sbStrips
     var firstS = 0
     var inst = 0
     while (inst < numInstances) {
-      val dt = decodeInt(mq, cxIadt)
-      if (dt == OOB) throw new IllegalArgumentException("JBIG2: OOB strip DT")
-      stripT += dt * sbStrips
+      stripT += dtF() * sbStrips
       var curS = 0
       var first = true
       var stripDone = false
       while (!stripDone && inst < numInstances) {
         if (first) {
-          val dfs = decodeInt(mq, cxIafs)
-          if (dfs == OOB) throw new IllegalArgumentException("JBIG2: OOB first S")
-          firstS += dfs
+          firstS += dfsF()
           curS = firstS
           first = false
         } else {
-          val ids = decodeInt(mq, cxIads)
+          val ids = idsF()
           if (ids == OOB) stripDone = true
           else curS += ids + dsOffset
         }
         if (!stripDone) {
-          val curT = if (sbStrips == 1) 0 else decodeInt(mq, cxIait)
+          val curT = curTF()
           val ti = stripT + curT
-          val id = decodeIaid(mq, cxIaid, symCodeLen)
+          val id = idF()
           if (id < 0 || id >= syms.length)
             throw new IllegalArgumentException(s"JBIG2: symbol id $id of ${syms.length}")
           val s = syms(id)
@@ -616,10 +867,6 @@ object Jbig2 {
     (rx, ry, rw, rh, extComb, bm)
   }
 
-  /** Decode the embedded JBIG2 stream (+ optional globals) to a byte bitmap
-    * (1=black) of the page. `imgW`/`imgH` are the PDF /Width / /Height —
-    * authoritative for the output size (T.88 page info may carry 0xffffffff
-    * height for striped pages). */
   /** Absolute page-pixel cap, independent of attacker-declared /Width and
     * /Height: 2^27 px ≈ 134 Mpx covers A0 at 600 dpi with 2× headroom; a
     * crafted 30000×60000 header is rejected BEFORE the page array is
@@ -627,6 +874,10 @@ object Jbig2 {
     * imgW*imgH Int overflow threw NegativeArraySizeException). */
   private[core] val MaxPagePixels: Long = 1L << 27
 
+  /** Decode the embedded JBIG2 stream (+ optional globals) to a byte bitmap
+    * (1=black) of the page. `imgW`/`imgH` are the PDF /Width / /Height —
+    * authoritative for the output size (T.88 page info may carry 0xffffffff
+    * height for striped pages). */
   def decode(embedded: Array[Byte], globals: Option[Array[Byte]],
              imgW: Int, imgH: Int): Array[Byte] = {
     val pagePixels = imgW.toLong * imgH.toLong
@@ -640,6 +891,7 @@ object Jbig2 {
     val budget = new PixelBudget(
       math.min(math.max(16L * pagePixels, 1L << 22), 16L * MaxPagePixels))
     val symbolsBySeg = scala.collection.mutable.Map[Long, Vector[Sym]]()
+    val tablesBySeg = scala.collection.mutable.Map[Long, Jbig2Huffman.Table]()
     def composeOntoPage(rx: Int, ry: Int, rw: Int, rh: Int, combOp: Int,
                         bm: Array[Byte]): Unit = {
       var y = 0
@@ -726,12 +978,16 @@ object Jbig2 {
               decodeGenericArith(mq, rw, rh, template, at, tpgdon)
             }
           composeOntoPage(rx, ry, rw, rh, combOp, bm)
-        case 0 => // symbol dictionary: input symbols from referred dicts
+        case 53 => // custom Huffman table (§B.2); consumed by referring segments
+          tablesBySeg(seg.num) = Jbig2Huffman.parseTableSegment(seg.data)
+        case 0 => // symbol dictionary: input symbols + custom tables from referred segs
           val inputs = seg.refs.flatMap(r => symbolsBySeg.getOrElse(r, Vector.empty))
-          symbolsBySeg(seg.num) = decodeSymbolDict(seg.data, inputs, budget)
+          val tabs = seg.refs.flatMap(tablesBySeg.get)
+          symbolsBySeg(seg.num) = decodeSymbolDict(seg.data, inputs, tabs, budget)
         case 6 | 7 => // immediate text region (+ lossless variant)
           val syms = seg.refs.flatMap(r => symbolsBySeg.getOrElse(r, Vector.empty))
-          val (rx, ry, rw, rh, combOp, bm) = decodeTextRegion(seg.data, syms, budget)
+          val tabs = seg.refs.flatMap(tablesBySeg.get)
+          val (rx, ry, rw, rh, combOp, bm) = decodeTextRegion(seg.data, syms, tabs, budget)
           composeOntoPage(rx, ry, rw, rh, combOp, bm)
         case 16 | 20 | 22 | 23 | 40 | 41 | 42 | 43 =>
           throw new IllegalArgumentException(
@@ -862,6 +1118,160 @@ object Jbig2 {
     header(1, 0, Nil, sdBody.length); out.write(sdBody)
     header(2, 6, Seq(1L), trBody.length); out.write(trBody)
     header(3, 49, Nil, 0)
+    out.toByteArray
+  }
+
+  /** Fixture encoder for the HUFFMAN-coded symbol+text shape (§6.5.9 /
+    * §6.4.5 with SDHUFF=SBHUFF=1): symbol dict with one height class whose
+    * widths ride standard tables (DH=B.4 or an equivalent CUSTOM type-53
+    * table when `customDH`, DW=B.2, BMSIZE=B.1) and an uncompressed
+    * collective bitmap; text region with FS=B.6, DS=B.8, DT=B.11,
+    * runcode-assigned symbol ID codes, REFCORNER=TOPLEFT, SBSTRIPS=1.
+    * Same contract as [[encodeEmbeddedText]] so specs can assert the two
+    * codings decode to the identical page. */
+  def encodeEmbeddedTextHuffman(syms: Vector[Sym], placements: Seq[(Int, Int, Int)],
+                                pageW: Int, pageH: Int, customDH: Boolean = false,
+                                mmrCollective: Boolean = false): Array[Byte] = {
+    import Jbig2Huffman.{assignCanonical, standard, BitWriter}
+    require(syms.nonEmpty && syms.forall(_._2 == syms.head._2),
+      "fixture encoder: one height class")
+    val height = syms.head._2
+    val tDH = standard(4) // value range 1.. — heights start at 0, DH = height ≥ 1
+    val tDW = standard(3) // B.3: width deltas go negative when widths shrink
+    val tBM = standard(1)
+    val tEx = standard(1)
+    val tFS = standard(6)
+    val tDS = standard(8)
+    val tDT = standard(11) // value range 1.. — see the +1 initial-DT trick below
+    // ---- symbol dictionary payload (SDHUFF=1) ----
+    val sdBody = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): Unit = out.write(v & 0xff)
+      def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+      def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+      // flags: SDHUFF=1; SDHUFFDH sel: 0 = B.4 / 3 = custom; DW sel 1 = B.3
+      u16(1 | (if (customDH) 3 << 2 else 0) | (1 << 4))
+      u32(syms.length.toLong) // SDNUMEXSYMS
+      u32(syms.length.toLong) // SDNUMNEWSYMS
+      val w = new BitWriter
+      tDH.encode(w, height) // one height class from 0
+      var prevW = 0
+      syms.foreach { case (sw, _, _) => tDW.encode(w, sw - prevW); prevW = sw }
+      tDW.encodeOob(w)
+      val totW = syms.map(_._1).sum
+      val coll = new Array[Byte](totW * height) // byte bitmap, 1=black
+      var x0 = 0
+      syms.foreach { case (sw, _, sb) =>
+        var y = 0
+        while (y < height) {
+          System.arraycopy(sb, y * sw, coll, y * totW + x0, sw)
+          y += 1
+        }
+        x0 += sw
+      }
+      if (mmrCollective) { // BMSIZE > 0 → T.6-coded collective bitmap
+        val mmr = MmrEncode.encode(coll, totW, height)
+        tBM.encode(w, mmr.length)
+        w.writeBytes(mmr)
+      } else { // BMSIZE = 0 → uncompressed, rows byte-padded
+        tBM.encode(w, 0)
+        val stride = (totW + 7) / 8
+        val rows = new Array[Byte](stride * height)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < totW) {
+            if (coll(y * totW + x) != 0)
+              rows(y * stride + (x >> 3)) = (rows(y * stride + (x >> 3)) | (0x80 >> (x & 7))).toByte
+            x += 1
+          }
+          y += 1
+        }
+        w.writeBytes(rows)
+      }
+      tEx.encode(w, 0) // skip run
+      tEx.encode(w, syms.length) // export all
+      out.write(w.toBytes)
+      out.toByteArray
+    }
+    // ---- text region payload (SBHUFF=1) ----
+    val trBody = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): Unit = out.write(v & 0xff)
+      def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+      def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+      u32(pageW.toLong); u32(pageH.toLong); u32(0); u32(0); u8(0) // region info, OR
+      u16(1 | (1 << 4)) // flags: SBHUFF=1, REFCORNER=TOPLEFT, SBSTRIPS=1
+      u16(0) // Huffman flags: FS=B.6, DS=B.8, DT=B.11
+      u32(placements.length.toLong)
+      val w = new BitWriter
+      // §6.4.5.1 symbol ID codes: one runcode L for every symbol
+      var l = 0
+      while ((1 << l) < syms.length) l += 1
+      l = math.max(1, l)
+      val runLens = Array.tabulate(35)(rc => if (rc == l) 1 else 0)
+      runLens.foreach(len => w.bits(len.toLong, 4))
+      val runCode = 0 // only runcode in play → canonical code "0" (1 bit)
+      syms.indices.foreach(_ => w.bits(runCode.toLong, 1))
+      val symCodes = assignCanonical(Vector.fill(syms.length)(l))
+        .map { case ((_, code), idx) => idx -> code }
+      w.byteAlign()
+      // placements: B.11 (DT) encodes values ≥ 1 only, so the initial
+      // STRIPT is written as 1 (negated by the decoder) and the first
+      // strip's delta is ty+1
+      w.bits(0L, 0) // no-op, keeps structure explicit
+      tDT.encode(w, 1)
+      val strips = placements.groupBy(_._3).toSeq.sortBy(_._1)
+      var stripT = -1
+      var firstS = 0
+      strips.foreach { case (ty, ps) =>
+        tDT.encode(w, ty - stripT)
+        stripT = ty
+        val sorted = ps.sortBy(_._2)
+        var curS = 0
+        sorted.zipWithIndex.foreach { case ((id, x, _), k) =>
+          if (k == 0) {
+            tFS.encode(w, x - firstS)
+            firstS = x
+            curS = x
+          } else {
+            tDS.encode(w, x - curS) // IDS (dsOffset = 0)
+            curS = x
+          }
+          w.bits(symCodes(id).toLong, l)
+          curS += syms(id)._1 - 1
+        }
+        tDS.encodeOob(w) // end of strip
+      }
+      out.write(w.toBytes)
+      out.toByteArray
+    }
+    // ---- segment stream ----
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+    def header(num: Long, segType: Int, refs: Seq[Long], dataLen: Int): Unit = {
+      u32(num); u8(segType)
+      u8(refs.length << 5)
+      refs.foreach(r => u8(r.toInt))
+      u8(1) // page 1
+      u32(dataLen.toLong)
+    }
+    header(0, 48, Nil, 19)
+    u32(pageW.toLong); u32(pageH.toLong); u32(0); u32(0); u8(0); u16(0)
+    val sdRefs =
+      if (customDH) {
+        // custom table segment equal to B.4: lines (1,0)@1 (2,0)@2 (3,0)@3
+        // (4,3)@4 (5,6)@12, upper pref 5 @76, no lower, no OOB
+        val tBody = Jbig2Huffman.encodeTableSegment(1, 76,
+          Seq((1, 0), (2, 0), (3, 0), (4, 3), (5, 6)), lowerPref = 0, upperPref = 5, oobPref = 0)
+        header(1, 53, Nil, tBody.length); out.write(tBody)
+        Seq(1L)
+      } else Nil
+    header(2, 0, sdRefs, sdBody.length); out.write(sdBody)
+    header(3, 6, Seq(2L), trBody.length); out.write(trBody)
+    header(4, 49, Nil, 0)
     out.toByteArray
   }
 

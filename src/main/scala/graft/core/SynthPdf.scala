@@ -128,6 +128,18 @@ object SynthPdf {
         s"/ColorSpace/DeviceGray/Filter/JBIG2Decode/Length ${emb.length}>>\nstream\n", emb)
   }
 
+  /** One-page PDF whose sole image is a HUFFMAN-coded JBIG2 stream (T.88
+    * Annex B tables, MMR collective bitmap) — same symbols/placements as
+    * [[jbig2TextPdf]], so the decoded page and its packed-bitmap md5 must
+    * be identical across the arithmetic and Huffman codings. */
+  def jbig2HuffmanPdf(w: Int = 64, h: Int = 48): Array[Byte] = {
+    val emb = Jbig2.encodeEmbeddedTextHuffman(jbig2TextSymbols, jbig2TextPlacements, w, h,
+      mmrCollective = true)
+    imageOnlyPdf(w, h,
+      s"<</Type/XObject/Subtype/Image/Width $w/Height $h/BitsPerComponent 1" +
+        s"/ColorSpace/DeviceGray/Filter/JBIG2Decode/Length ${emb.length}>>\nstream\n", emb)
+  }
+
   /** One-page PDF whose sole image is a JPX payload (header-only fixture —
     * codestream carries SOC+SIZ, enough for dimension parsing). */
   def jpxPdf(w: Int = 640, h: Int = 480): Array[Byte] = {

@@ -122,4 +122,24 @@ class FuzzSpec extends AnyFunSuite {
     val sec = (System.nanoTime() - t0) / 1e9
     assert(sec < 30, s"jbig2 fuzz too slow: $sec s")
   }
+
+  test("jbig2 HUFFMAN fuzz: mutated Annex-B streams error cleanly, bounded time") {
+    val rnd = new scala.util.Random(7331)
+    val syms = Vector[Jbig2.Sym]((8, 6, Array.fill[Byte](48)(1)), (5, 6, Array.fill[Byte](30)(1)))
+    val plain = Jbig2.encodeEmbeddedTextHuffman(syms, Seq((0, 2, 2), (1, 14, 2)), 32, 24)
+    val mmr = Jbig2.encodeEmbeddedTextHuffman(syms, Seq((0, 2, 2), (1, 14, 2)), 32, 24,
+      mmrCollective = true)
+    val t0 = System.nanoTime()
+    (0 until 150).foreach { i =>
+      val payload =
+        if (i % 5 == 0) { val b = new Array[Byte](1 + rnd.nextInt(300)); rnd.nextBytes(b); b }
+        else mutate(if (i % 2 == 0) plain else mmr, rnd)
+      try {
+        val out = Jbig2.decode(payload, None, 32, 24)
+        assert(out.length == 32 * 24)
+      } catch { case _: Exception => () } // clean error path
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 30, s"jbig2 huffman fuzz too slow: $sec s")
+  }
 }
