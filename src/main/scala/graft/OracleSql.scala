@@ -239,7 +239,9 @@ object OracleSql {
         |  ('jbig2_huffman', 'pix', CAST(64 AS BIGINT), CAST(48 AS BIGINT), CAST(384 AS BIGINT),
         |   '29106e1d916fd543eedfdf67220db3ef'),
         |  ('jpx_passthrough', 'jp2', CAST(640 AS BIGINT), CAST(480 AS BIGINT), CAST(121 AS BIGINT),
-        |   '831664da2bb1607d8cffb9ba378d55b1')
+        |   '831664da2bb1607d8cffb9ba378d55b1'),
+        |  ('jpx_decode', 'png', CAST(48 AS BIGINT), CAST(32 AS BIGINT), CAST(6144 AS BIGINT),
+        |   '5172987ea8e828787e8183e25c42e109')
         |) AS t(case_id, format, width, height, n_bytes, md5)""".stripMargin,
 
     "pdf_page_labels" ->

@@ -308,14 +308,18 @@ object SparkEntry {
         ("indexed_png", idxPdf),
         // JBIG2 generic region (MQ-coded) decodes to 1bpp pixels whose md5
         // equals the md5 of the PACKED SOURCE bitmap (codec-independent
-        // golden); JPX stays payload passthrough with dims parsed from the
-        // codestream header (core/Jpx)
+        // golden); header-only JPX stays payload passthrough (dims from
+        // core/Jpx) while real codestreams decode via core/JpxCodec
         ("jbig2_generic", graft.core.SynthPdf.jbig2Pdf(64, 48)),
         ("jbig2_symbols", graft.core.SynthPdf.jbig2TextPdf(64, 48)),
         // Huffman coding of the SAME symbols/placements as jbig2_symbols →
         // its md5 must equal jbig2_symbols' (coding-independent golden)
         ("jbig2_huffman", graft.core.SynthPdf.jbig2HuffmanPdf(64, 48)),
-        ("jpx_passthrough", graft.core.SynthPdf.jpxPdf(640, 480)))
+        ("jpx_passthrough", graft.core.SynthPdf.jpxPdf(640, 480)),
+        // REAL JPEG 2000 codestream (lossless 5/3 + RCT): decoded to PNG;
+        // md5 = md5 of the re-decoded ARGB pixels, which must equal the
+        // SOURCE pattern's ARGB (lossless ⇒ codec-independent golden)
+        ("jpx_decode", graft.core.SynthPdf.jpxDecodePdf(48, 32)))
       s.createDataset(rows).map { case (id, bytes) =>
         val doc = graft.core.PdfDocument.load(bytes).toOption.get
         val img = graft.core.ImageExtract.pageImages(doc.page(0)).head
@@ -339,6 +343,14 @@ object SparkEntry {
           case "jpx_passthrough" =>
             val info = graft.core.Jpx.parseHeader(img.data).get
             (info.width.toLong, info.height.toLong, img.data.length.toLong, hex(img.data))
+          case "jpx_decode" =>
+            // re-decoded ARGB md5, same protocol as indexed_png
+            val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img.data))
+            val px = new Array[Int](bi.getWidth * bi.getHeight)
+            bi.getRGB(0, 0, bi.getWidth, bi.getHeight, px, 0, bi.getWidth)
+            val bb = java.nio.ByteBuffer.allocate(px.length * 4)
+            px.foreach(bb.putInt)
+            (bi.getWidth.toLong, bi.getHeight.toLong, px.length * 4L, hex(bb.array()))
           case _ => (img.width.toLong, img.height.toLong, img.data.length.toLong, "")
         }
         (id, img.format, w, h, nBytes, md5)

@@ -36,6 +36,35 @@ object ImageExtract {
       }
     } catch { case _: Exception => None }
 
+  /** Decode a JPX payload and re-encode as PNG (throws on out-of-scope
+    * streams — caller falls back to passthrough). */
+  private def jpxToPng(payload: Array[Byte]): Array[Byte] = {
+    val dec = graft.core.JpxCodec.decode(payload)
+    val img = new java.awt.image.BufferedImage(
+      dec.width, dec.height, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val shift = math.max(0, dec.bpc - 8)
+    val argb = new Array[Int](dec.width * dec.height)
+    var i = 0
+    if (dec.components >= 3) {
+      val r = dec.samples(0); val g = dec.samples(1); val b = dec.samples(2)
+      while (i < argb.length) {
+        argb(i) = 0xFF000000 | ((r(i) >> shift) << 16) | ((g(i) >> shift) << 8) | (b(i) >> shift)
+        i += 1
+      }
+    } else {
+      val g = dec.samples(0)
+      while (i < argb.length) {
+        val v = g(i) >> shift
+        argb(i) = 0xFF000000 | (v << 16) | (v << 8) | v
+        i += 1
+      }
+    }
+    img.setRGB(0, 0, dec.width, dec.height, argb, 0, dec.width)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** get_bitmap(render=True) analog (pageobjects.py:433-498 →
     * FPDFImageObj_GetRenderedBitmap): each image object rendered through
     * its page-space transform — scale/flip/rotation and soft masks applied
@@ -100,7 +129,12 @@ object ImageExtract {
                     val codecData = doc.streamData(s)
                     val (format, data) = filters.lastOption match {
                       case Some("DCTDecode") | Some("DCT") => ("jpg", codecData)
-                      case Some("JPXDecode") => ("jp2", codecData)
+                      case Some("JPXDecode") =>
+                        // JPEG 2000 baseline decode → PNG (core/JpxCodec);
+                        // out-of-scope streams pass through byte-identical
+                        // (the reference's fallback, pageobjects.py:598-630)
+                        try ("png", jpxToPng(codecData))
+                        catch { case _: Exception => ("jp2", codecData) }
                       case Some("CCITTFaxDecode") | Some("CCF") =>
                         // smart-path decode branch (pageobjects.py:543-659):
                         // CCITT G3/G4 → packed 1bpp pixel rows

@@ -2,12 +2,11 @@ package graft.core
 
 /** JPEG-2000 (`JPXDecode`) HEADER parsing — dimensions, component count and
   * bit depth from either a raw codestream (SOC+SIZ, ITU-T T.800 §A.5.1) or a
-  * JP2 container (ISO base-media boxes down to `jp2c`). Pixel decoding of
-  * JPX is out of scope (the payload passes through byte-identical, the
-  * reference's own fallback shape for exotic codecs, pageobjects.py:598-630);
-  * the header surface lets the image-extraction and rendering paths report
-  * true geometry and rasterize a correctly-sized placeholder instead of
-  * nothing. */
+  * JP2 container (ISO base-media boxes down to `jp2c`). Pixel decoding
+  * lives in [[JpxCodec]] (baseline Part-1 path); this header surface stays
+  * the cheap geometry probe for reports and for payloads outside the
+  * decoder's scope, which pass through byte-identical (the reference's own
+  * fallback shape for exotic codecs, pageobjects.py:598-630). */
 object Jpx {
 
   final case class JpxInfo(width: Int, height: Int, components: Int, bpc: Int)

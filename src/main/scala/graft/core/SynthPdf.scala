@@ -140,6 +140,28 @@ object SynthPdf {
         s"/ColorSpace/DeviceGray/Filter/JBIG2Decode/Length ${emb.length}>>\nstream\n", emb)
   }
 
+  /** Deterministic RGB test pattern (gradients + checker) for the JPX
+    * decode fixture; the oracle pins the md5 of THIS pattern's ARGB bytes,
+    * so the check is codec-independent (lossless decode must restore it
+    * exactly). */
+  def jpxPattern(w: Int, h: Int): Array[Array[Int]] = Array(
+    Array.tabulate(w * h)(i => (i % w) * 255 / math.max(1, w - 1)),
+    Array.tabulate(w * h)(i => (i / w) * 255 / math.max(1, h - 1)),
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      if (((x / 8) + (y / 8)) % 2 == 0) 230 else 25
+    })
+
+  /** One-page PDF whose sole image is a REAL lossless JPEG 2000 codestream
+    * (RCT, 2 decomposition levels) — decoded to pixels by core/JpxCodec,
+    * unlike the header-only [[jpxPdf]] passthrough fixture. */
+  def jpxDecodePdf(w: Int = 48, h: Int = 32): Array[Byte] = {
+    val cs = JpxCodec.encodeLossless(jpxPattern(w, h), w, h, bpc = 8, levels = 2, useRct = true)
+    imageOnlyPdf(w, h,
+      s"<</Type/XObject/Subtype/Image/Width $w/Height $h/BitsPerComponent 8" +
+        s"/ColorSpace/DeviceRGB/Filter/JPXDecode/Length ${cs.length}>>\nstream\n", cs)
+  }
+
   /** One-page PDF whose sole image is a JPX payload (header-only fixture —
     * codestream carries SOC+SIZ, enough for dimension parsing). */
   def jpxPdf(w: Int = 640, h: Int = 480): Array[Byte] = {

@@ -1799,10 +1799,34 @@ object Rasterizer {
           Some(onebitToArgb(Jbig2.decodeFilter(data, globals, w, h), w, h, oneIsBlack = false))
         } catch { case _: Exception => None }
       case Some("JPXDecode") =>
-        // JPX pixels aren't decoded (header-only support, see core/Jpx) —
-        // rasterize a mid-gray placeholder at the true geometry so scanned
-        // pages carry their image footprint instead of rendering blank
-        Some(ImagePixels(w, h, Array.fill(w * h)(0xFF808080)))
+        // JPEG 2000 baseline decode (core/JpxCodec); streams outside the
+        // decoder's documented scope fall back to a mid-gray placeholder at
+        // the true geometry so scanned pages keep their image footprint
+        try {
+          val dec = JpxCodec.decode(data)
+          val dw = dec.width; val dh = dec.height
+          val n = math.min(dw * dh, w * h)
+          val argb = Array.fill(w * h)(0xFF808080)
+          val shift = math.max(0, dec.bpc - 8)
+          var i = 0
+          if (dec.components >= 3) {
+            val r = dec.samples(0); val g = dec.samples(1); val b = dec.samples(2)
+            while (i < n) {
+              argb(i) = 0xFF000000 | ((r(i) >> shift) << 16) | ((g(i) >> shift) << 8) | (b(i) >> shift)
+              i += 1
+            }
+          } else {
+            val g = dec.samples(0)
+            while (i < n) {
+              val v = g(i) >> shift
+              argb(i) = 0xFF000000 | (v << 16) | (v << 8) | v
+              i += 1
+            }
+          }
+          Some(ImagePixels(w, h, argb))
+        } catch {
+          case _: Exception => Some(ImagePixels(w, h, Array.fill(w * h)(0xFF808080)))
+        }
       case _ if cs == "Indexed" || cs == "I" =>
         // [/Indexed base hival lookup] — palette lookup per sample (§8.6.6.3)
         indexedPalette(doc, xd).flatMap { pal =>
