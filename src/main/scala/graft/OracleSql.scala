@@ -201,7 +201,10 @@ object OracleSql {
         |  ('ring_outer', 110, 342, 'FF0000FF'),
         |  ('ring_hole', 150, 342, 'FFFFFFFF'),
         |  ('tri_inside', 350, 672, 'FFFF00FF'),
-        |  ('tri_outside', 301, 602, 'FFFFFFFF')
+        |  ('tri_outside', 301, 602, 'FFFFFFFF'),
+        |  ('gray_red_inside', 125, 175, 'FF4C4C4C'),
+        |  ('scheme_red_inside', 125, 175, 'FF123456'),
+        |  ('scheme_background', 90, 175, 'FFFFFFFF')
         |) AS t(probe_id, x, y, argb)""".stripMargin,
 
     // page-image generation: dims = ceil(mediaBox) at scale 1 (595.3×841.9
@@ -472,6 +475,19 @@ object OracleSql {
         |  ('multipage.pdf', 3, 90, '0 0 300 400', '10 10 290 390', TRUE, 'note.txt')
         |) AS t(fixture, n_pages, rot0, mediabox0, cropbox0, texts_match, att_names)
         |ORDER BY fixture""".stripMargin,
+
+    // per-object mutation: the 'Images' heading removed (text_removed and
+    // the object table shrinks to the 3 images), image 1 re-placed to the
+    // exact set_matrix box (30,40)-(130,90), image 2 translated by
+    // (+15,-10) from its source placement, image 3 untouched
+    "pdf_object_edit" ->
+      """SELECT fixture, CAST(obj_idx AS BIGINT) AS obj_idx, obj_type, bounds, text_removed
+        |FROM (VALUES
+        |  ('images.pdf', 0, 'image', '30.0 40.0 130.0 90.0', TRUE),
+        |  ('images.pdf', 1, 'image', '62.65 642.24 177.6 690.24', TRUE),
+        |  ('images.pdf', 2, 'image', '203.55 204.09 577.2 360.04', TRUE)
+        |) AS t(fixture, obj_idx, obj_type, bounds, text_removed)
+        |ORDER BY obj_idx""".stripMargin,
 
     // rendered image objects: three placements of images.pdf's image at
     // three different transform sizes; md5 = re-decoded pixels

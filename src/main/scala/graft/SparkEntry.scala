@@ -243,10 +243,19 @@ object SparkEntry {
       // rows are not independent work units — re-parsing per probe was 6×)
       s.createDataset(Seq(0)).flatMap { _ =>
         val doc = graft.core.PdfDocument.load(pdf).toOption.get
-        val bmp = graft.core.render.Rasterizer.render(doc.page(0))
+        val R = graft.core.render.Rasterizer
+        val bmp = R.render(doc.page(0))
+        // render-flag variants (page.py:392-437): grayscale mode and a
+        // forced color scheme (accessibility rendering)
+        val gray = R.render(doc.page(0), grayscale = true)
+        val scheme = R.render(doc.page(0),
+          colorScheme = Some(R.ColorScheme(0xFF123456, 0xFF654321, 0xFF222222, 0xFF222222)))
         probes.iterator.map { case (id, x, y) =>
           (id, x.toLong, y.toLong, f"${bmp.get(x, y)}%08X")
-        }
+        } ++ Iterator(
+          ("gray_red_inside", 125L, 175L, f"${gray.get(125, 175)}%08X"),
+          ("scheme_red_inside", 125L, 175L, f"${scheme.get(125, 175)}%08X"),
+          ("scheme_background", 90L, 175L, f"${scheme.get(90, 175)}%08X"))
       }.toDF("probe_id", "x", "y", "argb")
     }),
 
@@ -457,6 +466,32 @@ object SparkEntry {
           re.attachments.map(_.name).mkString(",")))
       }.toDF("fixture", "n_pages", "rot0", "mediabox0", "cropbox0", "texts_match", "att_names")
         .orderBy("fixture")
+    }),
+
+    "pdf_object_edit" -> ((s, _) => {
+      import s.implicits._
+      // OBJECT-granular mutation (reference pageobjects.py:132-162
+      // set_matrix/transform; page.py:204-273 remove_obj + generate
+      // content): remove the text object, re-place one image with
+      // set_matrix, nudge another with transform; save, reload through the
+      // parser, report the post-edit object table + extraction state
+      ExtractPipeline.mapDocs(PagesTable.ofFixtures(s, Seq("images.pdf"))) { (_, d) =>
+        import graft.core._
+        val spec = EditSpec(pageEdits = Map(0 -> PageEditSpec(objectEdits = Seq(
+          ObjectEdit(0, remove = true), // the 'Images' heading text object
+          ObjectEdit(1, setMatrix = Some(Mat(100, 0, 0, 50, 30, 40))),
+          ObjectEdit(2, transform = Some(Mat(1, 0, 0, 1, 15, -10)))))))
+        val re = PdfDocument.load(PdfWriter.writeEdited(d, spec)).toOption.get
+        val p0 = re.page(0)
+        val textGone = p0.textPage.text.isEmpty
+        def r2(v: Double) = math.round(v * 100).toDouble / 100
+        p0.objects().zipWithIndex.iterator.map { case (o, i) =>
+          ("images.pdf", i.toLong, o.objType,
+            s"${r2(o.bounds.left)} ${r2(o.bounds.bottom)} ${r2(o.bounds.right)} ${r2(o.bounds.top)}",
+            textGone)
+        }
+      }.toDF("fixture", "obj_idx", "obj_type", "bounds", "text_removed")
+        .orderBy("obj_idx")
     }),
 
     "pdf_image_render" -> ((s, _) => {

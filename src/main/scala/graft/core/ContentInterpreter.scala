@@ -63,7 +63,17 @@ final case class PageObjectInfo(
     raw: Option[RawTextObject],
     mcid: Int = -1,                  // marked-content id (BDC /MCID), -1 if none
     imgCtm: Option[Mat] = None,      // image objects: unit-square → page-space CTM at draw
-    xobjName: String = "")           // image objects: the /XObject resource tag
+    xobjName: String = "",           // image objects: the /XObject resource tag
+    /** Byte span [start, end) in the page's concatenated content stream
+      * that paints EXACTLY this object — the rewrite anchor for per-object
+      * mutation (remove_obj/set_matrix/transform, pageobjects.py:132-162).
+      * Only level-0 objects with an isolable span carry one: images (the
+      * `/Tag Do`), single-show BT…ET text blocks, and path
+      * construction+paint runs. */
+    span: Option[(Int, Int)] = None,
+    /** CTM in effect at span start (spans exclude their surrounding
+      * cm/q state) — what a rewrite must invert to SET a device matrix. */
+    ctmAtSpan: Option[Mat] = None)
 
 /** Content-stream interpreter: tokenizes and executes the operator stream
   * (PDF 32000-1 §8-9), maintaining the q/Q CTM stack and the full text state
@@ -107,7 +117,9 @@ object ContentInterpreter {
     val doc = page.doc
     val fontCache = mutable.Map[String, PdfFontDecoder]()
     val textObjs = Vector.newBuilder[RawTextObject]
-    val objs = Vector.newBuilder[PageObjectInfo]
+    // ArrayBuffer (not a builder): span patching at ET/Do/paint needs to
+    // update the just-emitted object in place
+    val objs = mutable.ArrayBuffer[PageObjectInfo]()
 
     def fontFor(resources: PdfDict, tag: String): PdfFontDecoder = {
       val key = tag + "@" + System.identityHashCode(resources)
@@ -346,6 +358,15 @@ object ContentInterpreter {
         }
       }
 
+      // span tracking for per-object mutation (level 0 only): operand-run
+      // start, BT-block state, path-run start
+      var operandSeqStart = -1
+      var btStart = -1
+      var btObjIdx = -1
+      var btCtm: Mat = Mat.identity
+      var pathSpanStart = -1
+      var pathCtm: Mat = Mat.identity
+
       var running = true
       while (running && !lx.atEnd) {
         lx.skipWs()
@@ -353,9 +374,11 @@ object ContentInterpreter {
         else {
           val c = lx.peek
           if (c == '/' || c == '(' || c == '[' || c == '<' || c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+            if (operands.isEmpty) operandSeqStart = lx.pos
             operands += lx.parseObject()
             if (operands.length > 64) operands.remove(0, operands.length - 64)
           } else {
+            val opStart = lx.pos
             val op = lx.readToken()
             if (op.isEmpty) { lx.pos += 1 }
             else op match {
@@ -364,8 +387,17 @@ object ContentInterpreter {
               case "cm" =>
                 val v = nums(6)
                 gs.ctm = Mat(v(0), v(1), v(2), v(3), v(4), v(5)).multiply(gs.ctm)
-              case "BT" => ts.tm = Mat.identity; ts.tlm = Mat.identity
-              case "ET" => ()
+              case "BT" =>
+                ts.tm = Mat.identity; ts.tlm = Mat.identity
+                btStart = opStart; btObjIdx = objs.length; btCtm = gs.ctm
+              case "ET" =>
+                // single-show BT…ET at page level → the block IS the text
+                // object's rewrite span
+                if (level == 0 && btStart >= 0 && objs.length == btObjIdx + 1 &&
+                    objs(btObjIdx).objType == "text")
+                  objs(btObjIdx) = objs(btObjIdx).copy(
+                    span = Some((btStart, lx.pos)), ctmAtSpan = Some(btCtm))
+                btStart = -1
               case "Td" =>
                 val v = nums(2)
                 ts.tlm = Mat.identity.translate(v(0), v(1)).multiply(ts.tlm)
@@ -421,10 +453,17 @@ object ContentInterpreter {
                   case _ => ()
                 }
               case "Do" =>
+                val before = objs.length
                 operands.lastOption match {
                   case Some(PdfName(tag)) => doXObject(tag)
                   case _ => ()
                 }
+                // image Do at page level: span = "/Tag Do" (the local cm
+                // state stays outside, recorded via ctmAtSpan)
+                if (level == 0 && objs.length == before + 1 &&
+                    objs(before).objType == "image" && operandSeqStart >= 0)
+                  objs(before) = objs(before).copy(
+                    span = Some((operandSeqStart, lx.pos)), ctmAtSpan = Some(gs.ctm))
               case "BI" => skipInlineImage()
               case "BMC" => mcStack.push(-1)
               case "BDC" =>
@@ -448,17 +487,29 @@ object ContentInterpreter {
                 }
                 mcStack.push(mcid)
               case "EMC" => if (mcStack.nonEmpty) mcStack.pop()
-              case "m" => val v = nums(2); addPt(v(0), v(1))
-              case "l" => val v = nums(2); addPt(v(0), v(1))
-              case "c" => val v = nums(6); addPt(v(0), v(1)); addPt(v(2), v(3)); addPt(v(4), v(5))
-              case "v" => val v = nums(4); addPt(v(0), v(1)); addPt(v(2), v(3))
-              case "y" => val v = nums(4); addPt(v(0), v(1)); addPt(v(2), v(3))
-              case "re" =>
-                val v = nums(4)
-                addPt(v(0), v(1)); addPt(v(0) + v(2), v(1) + v(3))
+              case "m" | "l" | "c" | "v" | "y" | "re" =>
+                if (pathSpanStart < 0) {
+                  pathSpanStart = if (operandSeqStart >= 0) operandSeqStart else opStart
+                  pathCtm = gs.ctm
+                }
+                op match {
+                  case "m" | "l" => val v = nums(2); addPt(v(0), v(1))
+                  case "c" => val v = nums(6); addPt(v(0), v(1)); addPt(v(2), v(3)); addPt(v(4), v(5))
+                  case "v" | "y" => val v = nums(4); addPt(v(0), v(1)); addPt(v(2), v(3))
+                  case _ =>
+                    val v = nums(4)
+                    addPt(v(0), v(1)); addPt(v(0) + v(2), v(1) + v(3))
+                }
               case "h" => ()
-              case "n" => flushPath(painted = false)
-              case "f" | "F" | "f*" | "B" | "B*" | "b" | "b*" | "s" | "S" => flushPath(painted = true)
+              case "n" => flushPath(painted = false); pathSpanStart = -1
+              case "f" | "F" | "f*" | "B" | "B*" | "b" | "b*" | "s" | "S" =>
+                val before = objs.length
+                flushPath(painted = true)
+                // path run at page level: construction ops through paint op
+                if (level == 0 && objs.length == before + 1 && pathSpanStart >= 0)
+                  objs(before) = objs(before).copy(
+                    span = Some((pathSpanStart, lx.pos)), ctmAtSpan = Some(pathCtm))
+                pathSpanStart = -1
               case "W" | "W*" => () // clipping: keep path for the paint op that follows
               case "sh" =>
                 objs += PageObjectInfo("shading", gs.ctm.onRect(Rect(0, 0, 1, 1)), level,
@@ -514,7 +565,7 @@ object ContentInterpreter {
     }
 
     exec(page.contentBytes, page.resources, Mat.identity, 0)
-    Result(textObjs.result(), objs.result())
+    Result(textObjs.result(), objs.toVector)
   }
 
   /** get_objects analog with type filter + max depth (page.py:274-325). */

@@ -35,7 +35,10 @@ final class PdfFontDecoder(
     val type1: Option[Type1Font] = None,   // embedded /FontFile program
     val cff: Option[CffFont] = None,       // embedded /FontFile3 (Type1C/CID-CFF)
     val type3Procs: Map[String, PdfStream] = Map.empty, // Type3 CharProcs
-    val type3Resources: PdfDict = PdfDict.empty) {      // Type3 /Resources
+    val type3Resources: PdfDict = PdfDict.empty,        // Type3 /Resources
+    /** Platform face for unembedded non-Standard-14 fonts ([[SysFonts]]) —
+      * metrics/outlines fallback only; does NOT make the font "embedded". */
+    val substitute: Option[TrueTypeFont] = None) {
 
   /** Strip the 6-letter subset tag ("BAAAAA+Ubuntu" → "Ubuntu") like PDFium's
     * base-name helpers (reference test: tests/test_textpage.py:159-191). */
@@ -116,7 +119,16 @@ final class PdfFontDecoder(
         val u = unicode(code)
         if (u.nonEmpty) Standard14.width(baseNameNoSubset, u.charAt(0)).map(_ / 1000.0) else None
       }
+      .orElse(substitute.flatMap(st => subGlyphId(code).map(st.advance)))
       .getOrElse(defaultWidth / 1000.0)
+  }
+
+  /** Glyph id in the SUBSTITUTE face: pure unicode lookup (the platform
+    * face's cmap is unicode-keyed; the PDF's own code→glyph rules only
+    * apply to the embedded program it doesn't have). */
+  private def subGlyphId(code: Int): Option[Int] = substitute.flatMap { st =>
+    val u = unicode(code)
+    if (u.nonEmpty) st.cmapLookup(3, u.codePointAt(0)).filter(_ != 0) else None
   }
 
   /** CID for a charcode: identity for Identity-H/V, embedded-CMap lookup
@@ -150,7 +162,10 @@ final class PdfFontDecoder(
       case Some(t1) => glyphName(code).map(t1.emContours).getOrElse(Vector.empty)
       case None => cff match {
         case Some(c) => cffGid(code).map(c.emContours).getOrElse(Vector.empty)
-        case None => Vector.empty
+        case None => substitute match { // platform face for unembedded fonts
+          case Some(st) => subGlyphId(code).map(st.glyphContours).getOrElse(Vector.empty)
+          case None => Vector.empty
+        }
       }
     }
   }
@@ -184,9 +199,11 @@ final class PdfFontDecoder(
       case Some(tt) =>
         glyphId(code).flatMap(tt.glyphBBox)
       case None =>
-        // Type1/CFF program: exact charstring control box
+        // Type1/CFF program: exact charstring control box; else the
+        // substitute platform face's real glyph box (SysFonts)
         type1.flatMap(t1 => glyphName(code).flatMap(t1.emBBox))
-          .orElse(cff.flatMap(c => cffGid(code).flatMap(c.emBBox))) match {
+          .orElse(cff.flatMap(c => cffGid(code).flatMap(c.emBBox)))
+          .orElse(substitute.flatMap(st => subGlyphId(code).flatMap(st.glyphBBox))) match {
           case some @ Some(_) => return some
           case None => ()
         }
@@ -365,9 +382,20 @@ object PdfFontDecoder {
       case _ => Some(Mat(0.001, 0, 0, 0.001, 0, 0))
     } else None
 
+    // substitute-font metrics (sysfontinfo.py / default_fonts.py analog):
+    // unembedded NON-standard-14 fonts get a platform face so charboxes
+    // and rendering stop relying on synthetic boxes; Standard-14 names
+    // keep the AFM-width path (their goldens pin that behavior)
+    val substitute: Option[TrueTypeFont] =
+      if (!embedded && tt.isEmpty && t1.isEmpty && cffFont.isEmpty &&
+          subtype != "Type3" && !SysFonts.isStandard14Name(baseFont))
+        SysFonts.substituteFor(baseFont, num(descriptor("Flags"), 0).toInt)
+      else None
+
     new PdfFontDecoder(tag, subtype, baseFont, isType0, codeBytes, toUni, diffs.toMap,
       baseEnc, firstChar, widths, defaultW, cidW.toMap, tt, cid2gid,
-      ascent, descent, weight, embedded, fontMatrix, cmapEnc, t1, cffFont, t3Procs, t3Res)
+      ascent, descent, weight, embedded, fontMatrix, cmapEnc, t1, cffFont, t3Procs, t3Res,
+      substitute)
   }
 }
 

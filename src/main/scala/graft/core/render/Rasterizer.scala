@@ -55,12 +55,32 @@ object Rasterizer {
     * render); `fillColor` is the backdrop ARGB (fill_color analog);
     * `drawAnnots` paints annotation /AP /N appearance streams on top — the
     * `draw_forms` analog (page.py:490-491 FPDF_FFLDraw). */
+  /** Forced-color rendering (reference page.py:392-437 `color_scheme` →
+    * FPDF_COLORSCHEME): every path fills/strokes and every glyph paints in
+    * the given ARGB colors regardless of content-stream color operators —
+    * the accessibility/high-contrast mode. Combine with `fillToStroke`
+    * (FPDF_CONVERT_FILL_TO_STROKE) to render filled paths as outlines. */
+  final case class ColorScheme(pathFill: Int, pathStroke: Int,
+                               textFill: Int, textStroke: Int)
+  private final case class Opts(scheme: Option[ColorScheme], fillToStroke: Boolean)
+  /** Render options reach the deep paint sites via a thread-local rather
+    * than 8 more parameters on every recursive walk() call; rendering is
+    * single-threaded per invocation and the Rasterizer object is shared
+    * across Spark task threads, so a plain var would race. */
+  private val optsTL: ThreadLocal[Opts] =
+    ThreadLocal.withInitial(() => Opts(None, fillToStroke = false))
+
   def render(page: PdfPage, scale: Double = 1.0, drawAnnots: Boolean = true,
              rotation: Int = 0,
              crop: (Double, Double, Double, Double) = (0, 0, 0, 0),
-             fillColor: Int = 0xFFFFFFFF): Bitmap = {
+             fillColor: Int = 0xFFFFFFFF,
+             grayscale: Boolean = false,
+             colorScheme: Option[ColorScheme] = None,
+             fillToStroke: Boolean = false): Bitmap = {
     require(rotation == 0 || rotation == 90 || rotation == 180 || rotation == 270,
       s"rotation must be 0/90/180/270, got $rotation")
+    optsTL.remove() // defensive: clear any leak from a crashed prior render
+    optsTL.set(Opts(colorScheme, fillToStroke))
     val full = page.bbox
     val w0 = math.max(1, math.ceil(full.width * scale).toInt)
     val h0 = math.max(1, math.ceil(full.height * scale).toInt)
@@ -92,7 +112,9 @@ object Rasterizer {
     // show-time fill color; glyph-box fills for unembedded fonts.
     val text = try ContentInterpreter.run(page)
       catch { case _: Exception => ContentInterpreter.Result(Vector.empty, Vector.empty) }
+    val textFillForced: Option[Int] = colorScheme.map(_.textFill)
     text.textObjects.foreach { obj =>
+      val objFill = textFillForced.getOrElse(obj.fillArgb)
       val fs = obj.fontSize
       val fsh = fs * obj.hscale
       obj.chars.foreach { rc =>
@@ -134,7 +156,7 @@ object Rasterizer {
             }
             pts
           }
-          fillPolygons(bmp, polys, evenOdd = false, obj.fillArgb,
+          fillPolygons(bmp, polys, evenOdd = false, objFill,
             alpha = tAlpha, blend = tBlend)
         } else if (!t3Drawn) rc.tight.foreach { b =>
           if (b.width > 0 && b.height > 0) {
@@ -145,13 +167,13 @@ object Rasterizer {
             val x1 = math.ceil(math.max(p1._1, p2._1)).toInt
             val y1 = math.ceil(math.max(p1._2, p2._2)).toInt
             if (tAlpha >= 1.0 && tBlend == BlendNormal)
-              bmp.fillRect(x0, y0, x1 - x0, y1 - y0, obj.fillArgb)
+              bmp.fillRect(x0, y0, x1 - x0, y1 - y0, objFill)
             else {
               var yy = y0
               while (yy < y1) {
                 var xx = x0
                 while (xx < x1) {
-                  composePixel(bmp, xx, yy, obj.fillArgb, tAlpha, tBlend)
+                  composePixel(bmp, xx, yy, objFill, tAlpha, tBlend)
                   xx += 1
                 }
                 yy += 1
@@ -162,6 +184,17 @@ object Rasterizer {
       }
     }
     if (drawAnnots) renderAnnotations(page, dev, bmp)
+    optsTL.remove()
+    // grayscale mode (FPDF_GRAYSCALE): PDFium's luminance weights
+    if (grayscale) {
+      var i = 0
+      while (i < bmp.buf.length) {
+        val p = bmp.buf(i)
+        val g = (((p >> 16) & 0xff) * 30 + ((p >> 8) & 0xff) * 59 + (p & 0xff) * 11) / 100
+        bmp.buf(i) = (p & 0xFF000000) | (g << 16) | (g << 8) | g
+        i += 1
+      }
+    }
     bmp
   }
 
@@ -349,8 +382,11 @@ object Rasterizer {
     var gs = new RState(baseCtm)
     gs.clip = initClip
     forcedColor.foreach { c => gs.fill = c; gs.stroke = c }
-    // uncolored-pattern cells lock the color: their color operators no-op
-    val colorLocked = forcedColor.isDefined
+    val renderOpts = optsTL.get()
+    renderOpts.scheme.foreach { s => gs.fill = s.pathFill; gs.stroke = s.pathStroke }
+    // uncolored-pattern cells and forced color schemes lock the color:
+    // content color operators no-op
+    val colorLocked = forcedColor.isDefined || renderOpts.scheme.isDefined
 
     // current path: subpaths of device-space points
     val subpaths = mutable.ArrayBuffer[mutable.ArrayBuffer[(Double, Double)]]()
@@ -433,7 +469,10 @@ object Rasterizer {
       }
     }
     def clearPath(): Unit = { applyPendingClip(); subpaths.clear() }
-    def paint(fill: Boolean, stroke: Boolean, evenOdd: Boolean): Unit = {
+    def paint(fill0: Boolean, stroke0: Boolean, evenOdd: Boolean): Unit = {
+      // FPDF_CONVERT_FILL_TO_STROKE: filled paths render as outlines
+      val fill = fill0 && !renderOpts.fillToStroke
+      val stroke = stroke0 || (fill0 && renderOpts.fillToStroke)
       if (subpaths.nonEmpty) {
         val polys = subpaths.map(_.toArray).toVector.filter(_.length >= 2)
         if (fill && polys.nonEmpty) gs.fillPattern match {
@@ -1200,17 +1239,17 @@ object Rasterizer {
               moveTo(v(0), v(1)); lineTo(v(0) + v(2), v(1)); lineTo(v(0) + v(2), v(1) + v(3)); lineTo(v(0), v(1) + v(3))
               subpaths.last += subpaths.last.head // close
             case "h" => if (subpaths.nonEmpty && subpaths.last.nonEmpty) subpaths.last += subpaths.last.head
-            case "f" | "F" => paint(fill = true, stroke = false, evenOdd = false)
-            case "f*" => paint(fill = true, stroke = false, evenOdd = true)
-            case "B" => paint(fill = true, stroke = true, evenOdd = false)
-            case "B*" => paint(fill = true, stroke = true, evenOdd = true)
+            case "f" | "F" => paint(fill0 = true, stroke0 = false, evenOdd = false)
+            case "f*" => paint(fill0 = true, stroke0 = false, evenOdd = true)
+            case "B" => paint(fill0 = true, stroke0 = true, evenOdd = false)
+            case "B*" => paint(fill0 = true, stroke0 = true, evenOdd = true)
             case "b" | "b*" =>
               if (subpaths.nonEmpty && subpaths.last.nonEmpty) subpaths.last += subpaths.last.head
-              paint(fill = true, stroke = true, evenOdd = op == "b*")
+              paint(fill0 = true, stroke0 = true, evenOdd = op == "b*")
             case "s" =>
               if (subpaths.nonEmpty && subpaths.last.nonEmpty) subpaths.last += subpaths.last.head
-              paint(fill = false, stroke = true, evenOdd = false)
-            case "S" => paint(fill = false, stroke = true, evenOdd = false)
+              paint(fill0 = false, stroke0 = true, evenOdd = false)
+            case "S" => paint(fill0 = false, stroke0 = true, evenOdd = false)
             case "n" => clearPath()
             case "W" | "W*" => // clip (rect fast path or shaped mask), applied at the paint op
               pendingClip = true

@@ -169,6 +169,67 @@ class PdfWriterSpec extends AnyFunSuite {
       s"width ${origBox.width} → ${newBox.width}, expected half")
   }
 
+  test("writeEdited object edits: remove text, set_matrix and transform on images") {
+    val d = PdfDocument.load(fixture("images.pdf")).toOption.get
+    assert(d.page(0).objects().count(_.span.isDefined) == 4) // heading + 3 images
+    val spec = EditSpec(pageEdits = Map(0 -> PageEditSpec(objectEdits = Seq(
+      ObjectEdit(0, remove = true),
+      ObjectEdit(1, setMatrix = Some(Mat(100, 0, 0, 50, 30, 40))),
+      ObjectEdit(2, transform = Some(Mat(1, 0, 0, 1, 15, -10)))))))
+    val re = PdfDocument.load(PdfWriter.writeEdited(d, spec)).toOption.get
+    val p0 = re.page(0)
+    assert(p0.textPage.text.isEmpty) // heading removed from extraction
+    val objs = p0.objects()
+    assert(objs.length == 3 && objs.forall(_.objType == "image"))
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-4
+    // set_matrix: device box exactly the requested unit-square image
+    assert(close(objs(0).bounds.left, 30) && close(objs(0).bounds.bottom, 40) &&
+      close(objs(0).bounds.right, 130) && close(objs(0).bounds.top, 90))
+    // transform: translated by (+15, −10) from the source placement
+    val src = d.page(0).objects()(2).bounds
+    assert(close(objs(1).bounds.left, src.left + 15) && close(objs(1).bounds.bottom, src.bottom - 10))
+    // untouched third image identical
+    val src3 = d.page(0).objects()(3).bounds
+    assert(close(objs(2).bounds.left, src3.left) && close(objs(2).bounds.top, src3.top))
+  }
+
+  test("writeEdited object edits: path object removal and re-placement") {
+    // synthesize a page with two rects and a text line
+    val content = "q 1 0 0 RG 10 10 50 20 re f Q\nq 0 1 0 RG 100 100 30 30 re f Q\nBT /F1 12 Tf 20 200 Td (keep) Tj ET"
+    val pdf = SynthPdf.build(Vector(
+      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      ("<</Type/Page/Parent 2 0 R/MediaBox[0 0 300 300]/Resources<</Font<</F1 4 0 R>>>>" +
+        "/Contents 5 0 R>>").getBytes,
+      "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>".getBytes,
+      s"<</Length ${content.length}>>\nstream\n$content\nendstream".getBytes))
+    val d = PdfDocument.load(pdf).toOption.get
+    val objs = d.page(0).objects()
+    assert(objs.map(_.objType) == Vector("path", "path", "text"))
+    assert(objs.forall(_.span.isDefined))
+    val re = PdfDocument.load(PdfWriter.writeEdited(d, EditSpec(pageEdits = Map(0 ->
+      PageEditSpec(objectEdits = Seq(
+        ObjectEdit(0, remove = true),
+        ObjectEdit(1, transform = Some(Mat(2, 0, 0, 2, 0, 0))))))))).toOption.get
+    val after = re.page(0).objects()
+    assert(after.map(_.objType) == Vector("path", "text"))
+    // rect (100,100)-(130,130) scaled ×2 about the origin → (200,200)-(260,260)
+    assert(math.abs(after(0).bounds.left - 200) < 1e-6 && math.abs(after(0).bounds.right - 260) < 1e-6)
+    assert(re.page(0).textPage.text == "keep")
+  }
+
+  test("writeEdited object edits: invalid targets are rejected") {
+    val d = PdfDocument.load(fixture("images.pdf")).toOption.get
+    def edit(e: ObjectEdit) =
+      PdfWriter.writeEdited(d, EditSpec(pageEdits = Map(0 -> PageEditSpec(objectEdits = Seq(e)))))
+    assertThrows[IllegalArgumentException](edit(ObjectEdit(99, remove = true)))
+    assertThrows[IllegalArgumentException](edit(ObjectEdit(0))) // no-op edit
+    // overlapping edits on the same object rejected
+    assertThrows[IllegalArgumentException](PdfWriter.writeEdited(d, EditSpec(pageEdits = Map(0 ->
+      PageEditSpec(objectEdits = Seq(ObjectEdit(1, remove = true),
+        ObjectEdit(1, transform = Some(Mat.identity))))))))
+  }
+
   test("writeEdited rejects a non-quadrant rotation") {
     val doc = PdfDocument.load(fixture("multipage.pdf")).toOption.get
     intercept[IllegalArgumentException] {

@@ -20,6 +20,44 @@ class RasterizerSpec extends AnyFunSuite {
     assert(bmp.get(125, 140) == 0xFFFFFFFF) // above rect (device y < 162)
   }
 
+  test("grayscale mode: colors collapse to PDFium-weighted luminance") {
+    val doc = PdfDocument.load(SynthPdf.onePage(
+      "1 0 0 rg 100 600 50 30 re f 0 0 1 rg 300 600 50 30 re f")).toOption.get
+    val bmp = Rasterizer.render(doc.page(0), grayscale = true)
+    // red: 255*30/100 = 76; blue: 255*11/100 = 28; background stays white
+    assert(bmp.get(125, 175) == 0xFF4C4C4C, f"red=${bmp.get(125, 175)}%08x")
+    assert(bmp.get(325, 175) == 0xFF1C1C1C, f"blue=${bmp.get(325, 175)}%08x")
+    assert(bmp.get(90, 175) == 0xFFFFFFFF)
+  }
+
+  test("color scheme forces path fill/stroke and text fill colors") {
+    val scheme = Rasterizer.ColorScheme(
+      pathFill = 0xFF112233, pathStroke = 0xFF445566, textFill = 0xFF778899, textStroke = 0xFF778899)
+    val doc = PdfDocument.load(SynthPdf.onePage(
+      "1 0 0 rg 100 600 50 30 re f 0 1 0 RG 4 w 300 500 m 400 500 l S " +
+        "BT /F1 24 Tf 100 300 Td (Mx) Tj ET")).toOption.get
+    val bmp = Rasterizer.render(doc.page(0), colorScheme = Some(scheme))
+    assert(bmp.get(125, 175) == 0xFF112233, f"fill=${bmp.get(125, 175)}%08x") // content said red
+    assert(bmp.get(350, 292) == 0xFF445566, f"stroke=${bmp.get(350, 292)}%08x") // content said green
+    // text line: forced glyph color present, original black absent
+    val textRow = (0 until bmp.width).map(x => bmp.get(x, 792 - 308))
+    assert(textRow.contains(0xFF778899), "forced text color not painted")
+    assert(!textRow.contains(0xFF000000), "content text color leaked through scheme")
+  }
+
+  test("fill_to_stroke renders filled paths as outlines") {
+    val doc = PdfDocument.load(SynthPdf.onePage(
+      "1 0 0 rg 100 500 200 100 re f")).toOption.get
+    val bmp = Rasterizer.render(doc.page(0), fillToStroke = true)
+    // interior stays background …
+    assert(bmp.get(200, 792 - 550) == 0xFFFFFFFF, f"interior=${bmp.get(200, 792 - 550)}%08x")
+    // … while the boundary carries ink (scan the left edge column ±1px)
+    val edgeInk = (791 - 600 to 791 - 500).exists { y =>
+      (99 to 101).exists(x => bmp.get(x, y) != 0xFFFFFFFF)
+    }
+    assert(edgeInk, "no outline ink on the rect edge")
+  }
+
   test("even-odd ring: inner square stays white; nonzero fills it") {
     val ring = "0 0 1 rg 100 600 100 100 re 130 630 40 40 re "
     val eo = renderOf(ring + "f*")
