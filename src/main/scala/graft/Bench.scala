@@ -146,7 +146,10 @@ object Bench {
     // is the MEDIAN over quiet-pair efficiencies — an estimator that never
     // looks at the value while sampling. A median > 1.05 is physically
     // impossible on this workload and is flagged + clamped, never trusted.
-    val maxReps = math.max(reps, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "12").toInt)
+    // r4 recorded only 3/12 quiet pairs (flagged, under the 5-pair target)
+    // on a noisy host window — double the sampling budget so the target is
+    // reachable even when most windows are contended (VERDICT r4 task #2)
+    val maxReps = math.max(reps, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "24").toInt)
     final case class Pair(n: (Double, Long, Long, Long), f: (Double, Long, Long, Long),
                           noiseBefore: Double, noiseMid: Double, noiseAfter: Double) {
       def quiet: Boolean = noiseBefore <= 1.2 && noiseMid <= 1.2 && noiseAfter <= 1.2
@@ -231,6 +234,23 @@ object Bench {
       graft.functions.PdfFunctions.register(spark)
       spark.sql("SELECT 1").collect()
     } catch { case _: Throwable => () }
+    // fused-native-expression note (VERDICT r4 task #4): a two-stat select
+    // through pdf_stats_native parses each payload ONCE vs twice for the
+    // per-column expressions — measure the ratio on a small corpus
+    val nativeFusedSpeedup = try {
+      graft.functions.NativeRegistry.register(spark)
+      graft.spark.PagesTable.synthesize(spark, 4000, cpus)
+        .toDF().createOrReplaceTempView("bench_nv")
+      def time(q: String): Double = {
+        spark.sql(q).count() // warm
+        val t0 = System.nanoTime()
+        spark.sql(q).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val perCol = time("SELECT url, pdf_page_count_native(html) AS p, pdf_char_count_native(html) AS c FROM bench_nv")
+      val fused = time("SELECT url, s.n_pages AS p, s.n_chars AS c FROM (SELECT url, pdf_stats_native(html) AS s FROM bench_nv)")
+      perCol / fused
+    } catch { case _: Throwable => -1.0 }
 
     // Per-query timing uses the same contention-filtering estimator as the
     // scaling phase: each query runs `queryReps` times (sequentially, whole
@@ -315,6 +335,7 @@ object Bench {
         f""","extract_sec_n":$tN%.3f,"extract_sec_4n":$t4N%.3f""" +
         f""","extract_docs_per_sec_n":$thrN%.1f,"extract_docs_per_sec_4n":$thr4N%.1f""" +
         f""","html_docs_per_sec":$htmlThr%.1f,"render_docs_per_sec":$renderThr%.1f""" +
+        f""","native_fused_speedup":$nativeFusedSpeedup%.2f""" +
         f""","scaling_efficiency_raw":$effMedian%.3f,"scaling_efficiency_ratemedian":$effRateMedian%.3f,"scaling_flagged":$effFlagged""" +
         f""","scaling_efficiency":$eff%.3f}"""
     println(json)

@@ -241,6 +241,8 @@ object OracleSql {
         |   '29106e1d916fd543eedfdf67220db3ef'),
         |  ('jbig2_huffman', 'pix', CAST(64 AS BIGINT), CAST(48 AS BIGINT), CAST(384 AS BIGINT),
         |   '29106e1d916fd543eedfdf67220db3ef'),
+        |  ('jbig2_halftone', 'pix', CAST(48 AS BIGINT), CAST(36 AS BIGINT), CAST(216 AS BIGINT),
+        |   '242f447fe72076b938d9ac748b6e0143'),
         |  ('jpx_passthrough', 'jp2', CAST(640 AS BIGINT), CAST(480 AS BIGINT), CAST(121 AS BIGINT),
         |   '831664da2bb1607d8cffb9ba378d55b1'),
         |  ('jpx_decode', 'png', CAST(48 AS BIGINT), CAST(32 AS BIGINT), CAST(6144 AS BIGINT),

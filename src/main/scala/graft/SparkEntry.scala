@@ -324,6 +324,7 @@ object SparkEntry {
         // Huffman coding of the SAME symbols/placements as jbig2_symbols →
         // its md5 must equal jbig2_symbols' (coding-independent golden)
         ("jbig2_huffman", graft.core.SynthPdf.jbig2HuffmanPdf(64, 48)),
+        ("jbig2_halftone", graft.core.SynthPdf.jbig2HalftonePdf(48, 36)),
         ("jpx_passthrough", graft.core.SynthPdf.jpxPdf(640, 480)),
         // REAL JPEG 2000 codestream (lossless 5/3 + RCT): decoded to PNG;
         // md5 = md5 of the re-decoded ARGB pixels, which must equal the
@@ -347,7 +348,7 @@ object SparkEntry {
             val bb = java.nio.ByteBuffer.allocate(px.length * 4)
             px.foreach(bb.putInt)
             (img.width.toLong, img.height.toLong, px.length * 4L, hex(bb.array()))
-          case "jbig2_generic" | "jbig2_symbols" | "jbig2_huffman" =>
+          case "jbig2_generic" | "jbig2_symbols" | "jbig2_huffman" | "jbig2_halftone" =>
             (img.width.toLong, img.height.toLong, img.data.length.toLong, hex(img.data))
           case "jpx_passthrough" =>
             val info = graft.core.Jpx.parseHeader(img.data).get

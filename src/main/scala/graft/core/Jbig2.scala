@@ -15,11 +15,14 @@ package graft.core
   * integer + IAID decoders, and the HUFFMAN-coded variants old scanners
   * emit: Annex B standard tables B.1-B.15, custom table segments (type 53),
   * Huffman symbol dictionaries (collective bitmap, MMR or uncompressed) and
-  * Huffman text regions (runcode-assigned symbol ID codes). NOT decoded
-  * (throw → raw passthrough, the reference's behavior for undecodable
-  * payloads, pageobjects.py:598-630): refinement/aggregate coding, halftone
-  * regions. INTERMEDIATE regions (types 36/4) are refinement inputs per
-  * T.88 §8.2 and are skipped, not painted. Residual risk (ADVICE r4,
+  * Huffman text regions (runcode-assigned symbol ID codes); and HALFTONE
+  * pages (§6.6/§6.7: pattern dictionaries — arithmetic or MMR — plus
+  * arithmetic gray-coded halftone regions with rotated-grid placement).
+  * NOT decoded (throw → raw passthrough, the reference's behavior for
+  * undecodable payloads, pageobjects.py:598-630): refinement/aggregate
+  * coding, MMR-coded gray planes, HENABLESKIP. INTERMEDIATE regions
+  * (types 36/4/20) are refinement inputs per T.88 §8.2 and are skipped,
+  * not painted. Residual risk (ADVICE r4,
   * acknowledged): no externally-generated JBIG2 stream exists in this
   * offline sandbox's corpus, so validation is round-trip against the
   * in-repo encoders plus the advisor's cross-check of context order, Qe
@@ -269,8 +272,9 @@ object Jbig2 {
     * dictionaries encode all symbols through one MQ stream + one context
     * set). */
   def encodeGenericInto(enc: MQEncoder, cx: Array[Short], bm: Array[Byte],
-                        w: Int, h: Int, template: Int = 0): Unit = {
-    val at = nominalAt(template)
+                        w: Int, h: Int, template: Int = 0,
+                        at0: Array[(Int, Int)] = null): Unit = {
+    val at = if (at0 != null) at0 else nominalAt(template)
     var y = 0
     while (y < h) {
       var x = 0
@@ -650,6 +654,152 @@ object Jbig2 {
 
   /** §6.4 text region (arithmetic, non-refinement). Returns
     * (x, y, w, h, combOp, composed region bitmap 1=black). */
+  /** §6.7 pattern dictionary (segment type 16): ONE collective generic
+    * bitmap holding the GRAYMAX+1 patterns side by side (AT1 = (−HDPW, 0)
+    * makes each pattern's left neighbor the previous pattern), split by
+    * HDPW. Arithmetic or MMR. */
+  private def decodePatternDict(data: Array[Byte], budget: PixelBudget): Vector[Sym] = {
+    if (data.length < 7) throw new IllegalArgumentException("JBIG2: short pattern dict")
+    val flags = data(0) & 0xff
+    val mmr = (flags & 1) != 0
+    val template = (flags >> 1) & 3
+    val hdpw = data(1) & 0xff
+    val hdph = data(2) & 0xff
+    val grayMax = (((data(3) & 0xff) << 24) | ((data(4) & 0xff) << 16) |
+      ((data(5) & 0xff) << 8) | (data(6) & 0xff))
+    if (hdpw <= 0 || hdph <= 0 || grayMax < 0 || grayMax > (1 << 12))
+      throw new IllegalArgumentException("JBIG2: implausible pattern dict")
+    val collW = (grayMax + 1) * hdpw
+    budget.charge(collW.toLong, hdph.toLong)
+    val coll: Array[Byte] =
+      if (mmr) {
+        val packed = Ccitt.decode(java.util.Arrays.copyOfRange(data, 7, data.length),
+          collW, hdph, -1, blackIs1 = true, encodedByteAlign = false)
+        val stride = (collW + 7) / 8
+        val out = new Array[Byte](collW * hdph)
+        var y = 0
+        while (y < hdph) {
+          var x = 0
+          while (x < collW) {
+            out(y * collW + x) = ((packed(y * stride + (x >> 3)) >> (7 - (x & 7))) & 1).toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+      } else {
+        val at =
+          if (template == 0) Array((-hdpw, 0), (-3, -1), (2, -2), (-2, -2))
+          else Array((-hdpw, 0))
+        val mq = new MQDecoder(data, 7, data.length)
+        decodeGenericArith(mq, collW, hdph, template, at, tpgdon = false)
+      }
+    Vector.tabulate(grayMax + 1) { p =>
+      val bm = new Array[Byte](hdpw * hdph)
+      var y = 0
+      while (y < hdph) {
+        System.arraycopy(coll, y * collW + p * hdpw, bm, y * hdpw, hdpw)
+        y += 1
+      }
+      (hdpw, hdph, bm)
+    }
+  }
+
+  /** §6.6 halftone region (arithmetic gray coding, Annex C): bitplanes of
+    * the grayscale grid decode MSB-first through ONE shared generic
+    * context, gray-code combined (bit_j = plane_j XOR bit_{j+1}); each
+    * grid cell stamps its pattern at the 8.8 fixed-point grid position
+    * (x = HGX + mg·HRY + ng·HRX, y = HGY + mg·HRX − ng·HRY, both >> 8 —
+    * the jbig2dec/pdf.js reading of §6.6.5). MMR gray planes and
+    * HENABLESKIP throw → raw passthrough. Returns
+    * (x, y, w, h, extCombOp, region bitmap 1=black). */
+  private def decodeHalftoneRegion(data: Array[Byte], patterns: Vector[Sym],
+                                   budget: PixelBudget):
+      (Int, Int, Int, Int, Int, Array[Byte]) = {
+    var i = 0
+    def u8(): Int = { val v = data(i) & 0xff; i += 1; v }
+    def u16(): Int = { (u8() << 8) | u8() }
+    def u32(): Int = { (u16() << 16) | u16() }
+    val rw = u32(); val rh = u32()
+    val rx = u32(); val ry = u32()
+    val extComb = u8() & 0x7
+    val flags = u8()
+    val mmr = (flags & 1) != 0
+    val template = (flags >> 1) & 3
+    val enableSkip = (flags & 8) != 0
+    val combOp = (flags >> 4) & 7
+    val defPixel = (flags >> 7) & 1
+    if (mmr) throw new IllegalArgumentException("JBIG2: MMR halftone unsupported")
+    if (enableSkip) throw new IllegalArgumentException("JBIG2: halftone skip unsupported")
+    if (patterns.isEmpty) throw new IllegalArgumentException("JBIG2: halftone without patterns")
+    val hgw = u32(); val hgh = u32()
+    val hgx = u32(); val hgy = u32() // signed 1/256 grid offsets
+    val hrx = u16(); val hry = u16() // 8.8 fixed-point grid vector
+    if (rw <= 0 || rh <= 0 || rw.toLong * rh > (1L << 28) ||
+        hgw <= 0 || hgh <= 0 || hgw.toLong * hgh > (1L << 26))
+      throw new IllegalArgumentException("JBIG2: implausible halftone region")
+    budget.charge(rw.toLong, rh.toLong)
+    var bpp = 1
+    while ((1 << bpp) < patterns.length) bpp += 1
+    budget.charge(hgw.toLong * bpp, hgh.toLong)
+    val mq = new MQDecoder(data, i, data.length)
+    val cx = new Array[Short](1 << 16)
+    val gray = new Array[Int](hgw * hgh)
+    var j = bpp - 1
+    while (j >= 0) {
+      val plane = decodeGenericArith(mq, hgw, hgh, template, nominalAt(template),
+        tpgdon = false, cx)
+      var k = 0
+      while (k < gray.length) {
+        val prev = (gray(k) >> (j + 1)) & 1
+        gray(k) |= (plane(k) ^ prev) << j
+        k += 1
+      }
+      j -= 1
+    }
+    val bm = new Array[Byte](rw * rh)
+    if (defPixel == 1) java.util.Arrays.fill(bm, 1.toByte)
+    @inline def stamp(x0: Int, y0: Int, s: Sym): Unit = {
+      val (sw, sh, sb) = s
+      var yy = 0
+      while (yy < sh) {
+        val py = y0 + yy
+        if (py >= 0 && py < rh) {
+          var xx = 0
+          while (xx < sw) {
+            val px = x0 + xx
+            if (px >= 0 && px < rw) {
+              val v = sb(yy * sw + xx)
+              val o = py * rw + px
+              bm(o) = (combOp match {
+                case 0 => bm(o) | v
+                case 1 => bm(o) & v
+                case 2 => bm(o) ^ v
+                case 3 => (bm(o) ^ v) ^ 1
+                case _ => v
+              }).toByte
+            }
+            xx += 1
+          }
+        }
+        yy += 1
+      }
+    }
+    var mg = 0
+    while (mg < hgh) {
+      var ng = 0
+      while (ng < hgw) {
+        val v = math.min(patterns.length - 1, gray(mg * hgw + ng))
+        val x = (hgx + mg * hry + ng * hrx) >> 8
+        val y = (hgy + mg * hrx - ng * hry) >> 8
+        stamp(x, y, patterns(v))
+        ng += 1
+      }
+      mg += 1
+    }
+    (rx, ry, rw, rh, extComb, bm)
+  }
+
   /** §6.4 text region — arithmetic or Huffman (SBHUFF=1), non-refinement.
     * The placement loop is shared; only the five integer sources differ
     * (MQ IAxx decoders vs Annex B tables + the §6.4.5.1 runcode-assigned
@@ -892,6 +1042,7 @@ object Jbig2 {
       math.min(math.max(16L * pagePixels, 1L << 22), 16L * MaxPagePixels))
     val symbolsBySeg = scala.collection.mutable.Map[Long, Vector[Sym]]()
     val tablesBySeg = scala.collection.mutable.Map[Long, Jbig2Huffman.Table]()
+    val patternsBySeg = scala.collection.mutable.Map[Long, Vector[Sym]]()
     def composeOntoPage(rx: Int, ry: Int, rw: Int, rh: Int, combOp: Int,
                         bm: Array[Byte]): Unit = {
       var y = 0
@@ -926,7 +1077,7 @@ object Jbig2 {
             defaultPixel = (flags >> 2) & 1
             if (defaultPixel == 1) java.util.Arrays.fill(page, 1.toByte)
           }
-        case 36 | 4 => // INTERMEDIATE generic/text region: per T.88 §8.2 these
+        case 36 | 4 | 20 => // INTERMEDIATE generic/text/halftone region: per T.88 §8.2 these
           // are inputs to later (refinement) segments, never painted onto the
           // page directly. We don't decode refinement segments (documented
           // throw below), so nothing can consume them — skip instead of
@@ -989,9 +1140,15 @@ object Jbig2 {
           val tabs = seg.refs.flatMap(tablesBySeg.get)
           val (rx, ry, rw, rh, combOp, bm) = decodeTextRegion(seg.data, syms, tabs, budget)
           composeOntoPage(rx, ry, rw, rh, combOp, bm)
-        case 16 | 20 | 22 | 23 | 40 | 41 | 42 | 43 =>
+        case 16 => // pattern dictionary (§6.7)
+          patternsBySeg(seg.num) = decodePatternDict(seg.data, budget)
+        case 22 | 23 => // immediate halftone region (+ lossless variant)
+          val pats = seg.refs.flatMap(r => patternsBySeg.getOrElse(r, Vector.empty))
+          val (rx, ry, rw, rh, combOp, bm) = decodeHalftoneRegion(seg.data, pats, budget)
+          composeOntoPage(rx, ry, rw, rh, combOp, bm)
+        case 40 | 41 | 42 | 43 =>
           throw new IllegalArgumentException(
-            s"JBIG2: segment type ${seg.segType} (halftone/refinement) not supported")
+            s"JBIG2: segment type ${seg.segType} (refinement) not supported")
         case _ => () // page default window, end-of-page/file, extensions: skip
       }
     }
@@ -1272,6 +1429,90 @@ object Jbig2 {
     header(2, 0, sdRefs, sdBody.length); out.write(sdBody)
     header(3, 6, Seq(2L), trBody.length); out.write(trBody)
     header(4, 49, Nil, 0)
+    out.toByteArray
+  }
+
+  /** Fixture encoder for the HALFTONE shape (§6.6/§6.7): a pattern
+    * dictionary (collective bitmap, AT1 = (−HDPW,0)) plus an immediate
+    * lossless halftone region whose gray grid is `grays` (hgw×hgh values,
+    * 0 ≤ v < patterns.length), gray-coded bitplanes MSB-first through one
+    * shared context, axis-aligned grid (HRX = HDPW·256, HRY = 0). */
+  def encodeEmbeddedHalftone(patterns: Vector[Sym], grays: Array[Int],
+                             hgw: Int, hgh: Int,
+                             pageW: Int, pageH: Int): Array[Byte] = {
+    require(patterns.nonEmpty && grays.length == hgw * hgh)
+    val (hdpw, hdph, _) = patterns.head
+    require(patterns.forall(p => p._1 == hdpw && p._2 == hdph), "uniform pattern size")
+    // ---- pattern dictionary payload ----
+    val pdBody = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0) // flags: arith, template 0
+      out.write(hdpw); out.write(hdph)
+      val gm = patterns.length - 1
+      out.write(gm >> 24); out.write((gm >> 16) & 0xff); out.write((gm >> 8) & 0xff); out.write(gm & 0xff)
+      val collW = patterns.length * hdpw
+      val coll = new Array[Byte](collW * hdph)
+      patterns.zipWithIndex.foreach { case ((_, _, bm), p) =>
+        var y = 0
+        while (y < hdph) {
+          System.arraycopy(bm, y * hdpw, coll, y * collW + p * hdpw, hdpw)
+          y += 1
+        }
+      }
+      val enc = new MQEncoder
+      val cx = new Array[Short](1 << 16)
+      encodeGenericInto(enc, cx, coll, collW, hdph, 0,
+        Array((-hdpw, 0), (-3, -1), (2, -2), (-2, -2)))
+      out.write(enc.flush())
+      out.toByteArray
+    }
+    // ---- halftone region payload ----
+    val htBody = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): Unit = out.write(v & 0xff)
+      def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+      def u32(v: Int): Unit = { u16(v >> 16); u16(v) }
+      u32(pageW); u32(pageH); u32(0); u32(0); u8(0) // region info, OR
+      u8(0) // flags: arith, template 0, no skip, combOp OR, defPixel 0
+      u32(hgw); u32(hgh)
+      u32(0); u32(0) // HGX HGY
+      u16(hdpw << 8); u16(0) // HRX = pattern width in 8.8, HRY = 0
+      var bpp = 1
+      while ((1 << bpp) < patterns.length) bpp += 1
+      val enc = new MQEncoder
+      val cx = new Array[Short](1 << 16)
+      var j = bpp - 1
+      while (j >= 0) {
+        val plane = new Array[Byte](hgw * hgh)
+        var k = 0
+        while (k < grays.length) {
+          val g = grays(k) ^ (grays(k) >> 1) // gray code
+          plane(k) = ((g >> j) & 1).toByte
+          k += 1
+        }
+        encodeGenericInto(enc, cx, plane, hgw, hgh, 0)
+        j -= 1
+      }
+      out.write(enc.flush())
+      out.toByteArray
+    }
+    // ---- segment stream ----
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+    def header(num: Long, segType: Int, refs: Seq[Long], dataLen: Int): Unit = {
+      u32(num); u8(segType)
+      u8(refs.length << 5)
+      refs.foreach(r => u8(r.toInt))
+      u8(1) // page 1
+      u32(dataLen.toLong)
+    }
+    header(0, 48, Nil, 19)
+    u32(pageW.toLong); u32(pageH.toLong); u32(0); u32(0); u8(0); u16(0)
+    header(1, 16, Nil, pdBody.length); out.write(pdBody)
+    header(2, 23, Seq(1L), htBody.length); out.write(htBody)
+    header(3, 49, Nil, 0)
     out.toByteArray
   }
 

@@ -140,6 +140,28 @@ object SynthPdf {
         s"/ColorSpace/DeviceGray/Filter/JBIG2Decode/Length ${emb.length}>>\nstream\n", emb)
   }
 
+  /** One-page PDF whose sole image is a HALFTONE JBIG2 stream (pattern
+    * dictionary + gray-coded halftone region): 4 density patterns over an
+    * 8×6 gradient grid — the §6.6/§6.7 shape scanned-newspaper PDFs use. */
+  def jbig2HalftonePdf(w: Int = 48, h: Int = 36): Array[Byte] = {
+    val patterns = Vector.tabulate(4) { level =>
+      val pw = 6; val ph = 6
+      val bm = new Array[Byte](pw * ph)
+      var k = 0
+      while (k < bm.length) {
+        bm(k) = (if (level == 3) 1 else if (level > 0 && k % 4 < level) 1 else 0).toByte
+        k += 1
+      }
+      (pw, ph, bm)
+    }
+    val hgw = 8; val hgh = 6
+    val grays = Array.tabulate(hgw * hgh)(k => (k % hgw) * 4 / hgw)
+    val emb = Jbig2.encodeEmbeddedHalftone(patterns, grays, hgw, hgh, w, h)
+    imageOnlyPdf(w, h,
+      s"<</Type/XObject/Subtype/Image/Width $w/Height $h/BitsPerComponent 1" +
+        s"/ColorSpace/DeviceGray/Filter/JBIG2Decode/Length ${emb.length}>>\nstream\n", emb)
+  }
+
   /** Deterministic RGB test pattern (gradients + checker) for the JPX
     * decode fixture; the oracle pins the md5 of THIS pattern's ARGB bytes,
     * so the check is codec-independent (lossless decode must restore it

@@ -127,6 +127,27 @@ object Similarity {
   def hyperplaneSig(vec: Seq[Float], bits: Int): Long =
     hyperplaneSigMargins(vec, bits)._1
 
+  /** Deterministic GAUSSIAN hyperplane weight for (bit, dim): Box–Muller
+    * over two splitmix64 draws. Sign-LSH's collision probability
+    * P[same sign] = 1 − θ/π holds exactly only for rotation-invariant
+    * (Gaussian) projections — the earlier uniform[−1,1] weights made the
+    * per-band recall formula an approximation (VERDICT r4 wrong #4). */
+  private[ops] def gaussianWeight(b: Int, i: Int): Double = {
+    @inline def splitmix(seed: Long): Long = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val key = (b.toLong << 32) | (i.toLong & 0xffffffffL)
+    val u1raw = splitmix(key)
+    val u2raw = splitmix(u1raw ^ 0xD1B54A32D192ED03L)
+    // map to (0,1]: u1 must stay away from 0 for the log
+    val u1 = ((u1raw >>> 11).toDouble + 1.0) / (1L << 53).toDouble
+    val u2 = (u2raw >>> 11).toDouble / (1L << 53).toDouble
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+  }
+
   /** Signature plus the per-bit projection values. |projection| is the
     * query's distance to that hyperplane — the multi-probe ordering key. */
   def hyperplaneSigMargins(vec: Seq[Float], bits: Int): (Long, Array[Double]) = {
@@ -137,14 +158,7 @@ object Similarity {
       var acc = 0.0
       var i = 0
       while (i < vec.length) {
-        // deterministic pseudo-gaussian weight from (b, i)
-        val h = {
-          var z = (b.toLong << 32 | i.toLong) + 0x9E3779B97F4A7C15L
-          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-          z ^ (z >>> 31)
-        }
-        acc += vec(i) * (h.toDouble / Long.MaxValue.toDouble)
+        acc += vec(i) * gaussianWeight(b, i)
         i += 1
       }
       margins(b) = acc

@@ -82,7 +82,7 @@ class Jbig2Spec extends AnyFunSuite {
     assert(bm(8 * w + 4) == 1 && x0y8 == 0, "black must pack as 0")
   }
 
-  test("halftone segments are rejected; truncated text regions throw, never mangle") {
+  test("refinement segments are rejected; truncated regions throw, never mangle") {
     def seg(segType: Int, payload: Array[Byte]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       def u8(v: Int) = out.write(v & 0xff)
@@ -91,7 +91,10 @@ class Jbig2Spec extends AnyFunSuite {
       out.write(payload); out.toByteArray
     }
     intercept[IllegalArgumentException] {
-      Jbig2.decode(seg(22, Array[Byte](0, 0)), None, 8, 8) // halftone region
+      Jbig2.decode(seg(40, Array[Byte](0, 0)), None, 8, 8) // refinement region
+    }
+    intercept[Exception] {
+      Jbig2.decode(seg(22, Array[Byte](0, 0)), None, 8, 8) // truncated halftone region
     }
     intercept[Exception] {
       Jbig2.decode(seg(6, Array[Byte](0, 0)), None, 8, 8) // truncated text region
