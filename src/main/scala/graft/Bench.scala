@@ -93,11 +93,11 @@ object Bench {
     // N threads). Each rep creates a fresh session for its level, does a
     // small warm run (JIT is JVM-wide and persists; only scheduler paths
     // and the fixture broadcast need warming), then measures.
-    def measureOnce(level: Int): (Double, Long, Long, Long) = {
+    def measureOnce(level: Int, docs: Long = nDocs): (Double, Long, Long, Long) = {
       val s = session(level)
       try {
         runExtraction(s, 2000, level * 3) // warm scheduler + fixture broadcast
-        runExtraction(s, nDocs, level * 3)
+        runExtraction(s, docs, level * 3)
       } finally {
         s.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -127,8 +127,37 @@ object Bench {
       sN / s1 // ≈1 quiet, >1.3 noisy
     }
 
+    // Memory-BANDWIDTH probe: parallel streaming sum over a large buffer.
+    // The single-thread spin probe is register-bound and blind to co-tenant
+    // bandwidth pressure, which inflates every parallel Spark query
+    // uniformly while spin ratios read ~1.0 — this probe sees it.
+    def bwProbeSec(): Double = {
+      val threads = math.min(8, cpus)
+      val words = 8 << 20 // 64 MiB per thread
+      val arrays = Array.fill(threads)(new Array[Long](words))
+      arrays.foreach(a => java.util.Arrays.fill(a, 3L))
+      val t0 = System.nanoTime()
+      val ts = arrays.map { a =>
+        val th = new Thread(() => {
+          var s = 0L
+          var pass = 0
+          while (pass < 4) {
+            var i = 0
+            while (i < a.length) { s += a(i); i += 1 }
+            pass += 1
+          }
+          if (s == 42L) println("")
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
+
     // one-time JIT warm-up before any timed rep (small corpus, throwaway)
-    locally {
+    if (!skipScaling) locally {
       val s = session(level4N)
       try runExtraction(s, 20000, level4N * 3)
       finally { s.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession() }
@@ -157,13 +186,23 @@ object Bench {
     }
     val pairs = scala.collection.mutable.ArrayBuffer[Pair]()
     var rep = 0
-    while (rep < maxReps && pairs.count(_.quiet) < reps) {
+    while (!skipScaling && rep < maxReps && pairs.count(_.quiet) < reps) {
       val nb = hostNoise()
       val rN = measureOnce(levelN)
       val nm = hostNoise()
       val r4N = measureOnce(level4N)
       val na = hostNoise()
       pairs += Pair(rN, r4N, nb, nm, na)
+      rep += 1
+    }
+    if (pairs.isEmpty) {
+      // query-only mode (SPARK_GRAFT_SKIP_SCALING=1): one tiny pair keeps
+      // the artifact schema intact; its efficiency is NOT a scaling claim
+      val nb = hostNoise()
+      val rN = measureOnce(levelN, 20000)
+      val nm = hostNoise()
+      val r4N = measureOnce(level4N, 20000)
+      pairs += Pair(rN, r4N, nb, nm, hostNoise())
       rep += 1
     }
     val noiseBefore = pairs.head.noiseBefore
@@ -177,7 +216,7 @@ object Bench {
       else (effs(effs.length / 2 - 1) + effs(effs.length / 2)) / 2.0
     // under-target quiet-pair count = the window never settled; the median
     // over so few pairs is not certifiable either way → flagged
-    val effFlagged = effMedian > 1.05 || quietPairs.length < reps
+    val effFlagged = skipScaling || effMedian > 1.05 || quietPairs.length < reps
     val eff = math.min(effMedian, 1.0)
     // rate-median variant (secondary): median per-level docs/sec across the
     // quiet pairs, then the ratio — robust to one distorted leg (which a
@@ -266,6 +305,7 @@ object Bench {
     // divide out the co-tenant regime (r3 saw untouched queries swing 2-5×
     // between rounds purely from host load — raw seconds don't compare)
     val probeBefore = spinSeconds(1)
+    val bwBefore = bwProbeSec()
     val sweeps = (1 to queryReps).map { _ =>
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -276,7 +316,9 @@ object Bench {
       }
     }
     val probeAfter = spinSeconds(1)
+    val bwAfter = bwProbeSec()
     val probeSec = math.min(probeBefore, probeAfter)
+    val bwSec = math.min(bwBefore, bwAfter)
     val results = sweeps.transpose.map { reps =>
       val name = reps.head._1
       // a query must succeed in EVERY sweep to count as ok; the reported
@@ -322,7 +364,8 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         s""","query_rows":$qrows,"queries_failed":$failed,"query_reps":$queryReps""" +
-        f""","probe_sec":$probeSec%.3f""" +
+        f""","probe_sec":$probeSec%.3f,"bw_probe_sec":$bwSec%.3f""" +
+        s""","scaling_skipped":$skipScaling""" +
         s""","queries_normalized":${normalized.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")}""" +
         s""","bench_prev":${prevFile.map(f => "\"" + f.getName + "\"").getOrElse("null")}""" +
         s""","query_regressions":${regressions.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
@@ -339,8 +382,10 @@ object Bench {
         f""","scaling_efficiency_raw":$effMedian%.3f,"scaling_efficiency_ratemedian":$effRateMedian%.3f,"scaling_flagged":$effFlagged""" +
         f""","scaling_efficiency":$eff%.3f}"""
     println(json)
-    // fallback artifact in case stdout is captured through a log wrapper
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    // fallback artifact in case stdout is captured through a log wrapper;
+    // query-only runs must not overwrite the scaling artifact of record
+    val artifact = if (skipScaling) "BENCH_QUERYONLY.json" else "BENCH_LOCAL.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     spark.stop()

@@ -15,14 +15,19 @@ package graft.core
   * integer + IAID decoders, and the HUFFMAN-coded variants old scanners
   * emit: Annex B standard tables B.1-B.15, custom table segments (type 53),
   * Huffman symbol dictionaries (collective bitmap, MMR or uncompressed) and
-  * Huffman text regions (runcode-assigned symbol ID codes); and HALFTONE
+  * Huffman text regions (runcode-assigned symbol ID codes); HALFTONE
   * pages (§6.6/§6.7: pattern dictionaries — arithmetic or MMR — plus
-  * arithmetic gray-coded halftone regions with rotated-grid placement).
-  * NOT decoded (throw → raw passthrough, the reference's behavior for
-  * undecodable payloads, pageobjects.py:598-630): refinement/aggregate
-  * coding, MMR-coded gray planes, HENABLESKIP. INTERMEDIATE regions
-  * (types 36/4/20) are refinement inputs per T.88 §8.2 and are skipped,
-  * not painted. Residual risk (ADVICE r4,
+  * arithmetic gray-coded halftone regions with rotated-grid placement);
+  * and REFINEMENT coding (§6.3 generic refinement, templates 0/1 with
+  * TPGRON): immediate refinement regions over the page buffer, REFAGG
+  * symbol dictionaries (the 1-instance refine-an-existing-symbol case)
+  * and SBREFINE text regions (per-instance RI/RDW/RDH/RDX/RDY). NOT
+  * decoded (throw → raw passthrough, the reference's behavior for
+  * undecodable payloads, pageobjects.py:598-630): Huffman+refinement
+  * combinations, true aggregates (REFAGGNINST > 1), refinement over
+  * intermediate-region references, MMR-coded gray planes, HENABLESKIP.
+  * INTERMEDIATE regions (types 36/4/20/40) have no consumer here and are
+  * skipped, not painted. Residual risk (ADVICE r4,
   * acknowledged): no externally-generated JBIG2 stream exists in this
   * offline sandbox's corpus, so validation is round-trip against the
   * in-repo encoders plus the advisor's cross-check of context order, Qe
@@ -441,8 +446,10 @@ object Jbig2 {
     val sdHuff = (flags & 1) != 0
     val sdRefAgg = (flags & 2) != 0
     val template = (flags >> 10) & 3
-    if (sdRefAgg) throw new IllegalArgumentException("JBIG2: refinement/aggregate symbol dict unsupported")
+    val rtemplate = (flags >> 12) & 1
     if (sdHuff) {
+      if (sdRefAgg)
+        throw new IllegalArgumentException("JBIG2: Huffman refinement/aggregate dict unsupported")
       val numEx = u32().toInt // no AT pixels when SDHUFF=1
       val numNew = u32().toInt
       return decodeSymbolDictHuffman(data, i, flags, numEx, numNew, inputSyms,
@@ -450,6 +457,10 @@ object Jbig2 {
     }
     val nAt = if (template == 0) 4 else 1
     val at = Array.fill(nAt) { val ax = data(i).toInt; val ay = data(i + 1).toInt; i += 2; (ax, ay) }
+    val rAt: Array[(Int, Int)] =
+      if (sdRefAgg && rtemplate == 0)
+        Array.fill(2) { val ax = data(i).toInt; val ay = data(i + 1).toInt; i += 2; (ax, ay) }
+      else Array.empty
     val numEx = u32().toInt
     val numNew = u32().toInt
     // adversarial-payload guards: counts bounded by what the remaining
@@ -461,8 +472,16 @@ object Jbig2 {
     val cxIadh = new Array[Short](512)
     val cxIadw = new Array[Short](512)
     val cxIaex = new Array[Short](512)
+    val cxIaai = new Array[Short](512)
+    val cxIardx = new Array[Short](512)
+    val cxIardy = new Array[Short](512)
     val gcx = new Array[Short](1 << 16)
-    val newSyms = Vector.newBuilder[Sym]
+    val rcx = new Array[Short](1 << 13) // refinement contexts, shared per dict
+    var symCodeLen = 0
+    while ((1 << symCodeLen) < math.max(1, inputSyms.length + numNew)) symCodeLen += 1
+    symCodeLen = math.max(1, symCodeLen)
+    val cxIaidDict = new Array[Short](1 << (symCodeLen + 1))
+    val newSyms = scala.collection.mutable.ArrayBuffer[Sym]()
     var made = 0
     var hcHeight = 0
     while (made < numNew) {
@@ -484,14 +503,36 @@ object Jbig2 {
           if (symWidth <= 0 || hcHeight <= 0 || symWidth > (1 << 14) || hcHeight > (1 << 14))
             throw new IllegalArgumentException("JBIG2: implausible symbol size")
           budget.charge(symWidth, hcHeight)
-          newSyms += ((symWidth, hcHeight,
-            decodeGenericArith(mq, symWidth, hcHeight, template, at, tpgdon = false, gcx)))
+          val bm: Array[Byte] =
+            if (!sdRefAgg)
+              decodeGenericArith(mq, symWidth, hcHeight, template, at, tpgdon = false, gcx)
+            else {
+              // §6.5.8.2 refinement/aggregate: the 1-instance case (a new
+              // symbol refines an existing one) is what encoders emit;
+              // true text-region aggregates (ninst > 1) stay unsupported
+              val ninst = decodeInt(mq, cxIaai)
+              if (ninst != 1)
+                throw new IllegalArgumentException("JBIG2: aggregate symbol coding unsupported")
+              val id = decodeIaid(mq, cxIaidDict, symCodeLen)
+              val rdx = decodeInt(mq, cxIardx)
+              val rdy = decodeInt(mq, cxIardy)
+              if (rdx == OOB || rdy == OOB)
+                throw new IllegalArgumentException("JBIG2: OOB refinement offset")
+              val pool = inputSyms.length + newSyms.length
+              if (id < 0 || id >= pool)
+                throw new IllegalArgumentException(s"JBIG2: refinement symbol id $id of $pool")
+              val (rw0, rh0, rbm) =
+                if (id < inputSyms.length) inputSyms(id) else newSyms(id - inputSyms.length)
+              decodeRefinementArith(mq, symWidth, hcHeight, rtemplate, rAt,
+                tpgron = false, rbm, rw0, rh0, rdx, rdy, rcx)
+            }
+          newSyms += ((symWidth, hcHeight, bm))
           made += 1
         }
       }
     }
     // §6.5.10 export runs over input ∪ new symbols
-    val all = inputSyms ++ newSyms.result()
+    val all = inputSyms ++ newSyms
     val exported = Vector.newBuilder[Sym]
     var idx = 0
     var exFlag = false
@@ -654,6 +695,115 @@ object Jbig2 {
 
   /** §6.4 text region (arithmetic, non-refinement). Returns
     * (x, y, w, h, combOp, composed region bitmap 1=black). */
+  // ---- generic refinement region coding (T.88 §6.3) ------------------------
+
+  /** Refinement template pixel lists: coding-plane neighbors first, then
+    * reference-plane neighbors, MSB-first in this order (the
+    * pdf.js/jbig2dec context layout — the TPGRON special contexts 0x0020 /
+    * 0x0008 assume it). Template 0 additionally appends AT1 (coding) and
+    * AT2 (reference). */
+  private def refTemplates(template: Int, at: Array[(Int, Int)]):
+      (Array[(Int, Int)], Array[(Int, Int)]) =
+    if (template == 0)
+      (Array((0, -1), (1, -1), (-1, 0), if (at.length > 0) at(0) else (-1, -1)),
+       Array((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1),
+         if (at.length > 1) at(1) else (-1, -1)))
+    else
+      (Array((-1, -1), (0, -1), (1, -1), (-1, 0)),
+       Array((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)))
+
+  /** §6.3.5.6 decode a w×h bitmap as a refinement of `ref` (refW×refH);
+    * bitmap pixel (x, y) corresponds to reference pixel (x−dx, y−dy).
+    * `cx0` lets callers share contexts across instances (text regions,
+    * REFAGG dicts). */
+  def decodeRefinementArith(mq: MQDecoder, w: Int, h: Int, template: Int,
+                            at: Array[(Int, Int)], tpgron: Boolean,
+                            ref: Array[Byte], refW: Int, refH: Int,
+                            dx: Int, dy: Int,
+                            cx0: Array[Short] = null): Array[Byte] = {
+    val bm = new Array[Byte](w * h)
+    val cx = if (cx0 != null) cx0 else new Array[Short](1 << 13)
+    @inline def cur(x: Int, y: Int): Int =
+      if (x < 0 || x >= w || y < 0 || y >= h) 0 else bm(y * w + x)
+    @inline def rp(x: Int, y: Int): Int = {
+      val rx = x - dx; val ry = y - dy
+      if (rx < 0 || rx >= refW || ry < 0 || ry >= refH) 0 else ref(ry * refW + rx)
+    }
+    val (codingT, referT) = refTemplates(template, at)
+    val ltpCtx = if (template == 0) 0x0020 else 0x0008
+    var ltp = false
+    var y = 0
+    while (y < h) {
+      if (tpgron && mq.readBit(cx, ltpCtx) == 1) ltp = !ltp
+      var x = 0
+      while (x < w) {
+        var coded = true
+        if (ltp) {
+          // typical prediction: a homogeneous 3×3 reference neighborhood
+          // fixes the pixel without coding
+          var sum = 0
+          var ky = -1
+          while (ky <= 1) {
+            var kx = -1
+            while (kx <= 1) { sum += rp(x + kx, y + ky); kx += 1 }
+            ky += 1
+          }
+          if (sum == 0) { coded = false }
+          else if (sum == 9) { bm(y * w + x) = 1; coded = false }
+        }
+        if (coded) {
+          var ctx = 0
+          var k = 0
+          while (k < codingT.length) {
+            ctx = (ctx << 1) | cur(x + codingT(k)._1, y + codingT(k)._2); k += 1
+          }
+          k = 0
+          while (k < referT.length) {
+            ctx = (ctx << 1) | rp(x + referT(k)._1, y + referT(k)._2); k += 1
+          }
+          bm(y * w + x) = mq.readBit(cx, ctx).toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    bm
+  }
+
+  /** Encoder mirror of [[decodeRefinementArith]] (fixtures/specs; the
+    * coding-plane template references only already-coded pixels, so the
+    * final bitmap doubles as the decode-so-far state). */
+  def encodeRefinementInto(enc: MQEncoder, cx: Array[Short], bm: Array[Byte],
+                           w: Int, h: Int, template: Int, at: Array[(Int, Int)],
+                           ref: Array[Byte], refW: Int, refH: Int,
+                           dx: Int, dy: Int): Unit = {
+    @inline def cur(x: Int, y: Int): Int =
+      if (x < 0 || x >= w || y < 0 || y >= h) 0 else bm(y * w + x)
+    @inline def rp(x: Int, y: Int): Int = {
+      val rx = x - dx; val ry = y - dy
+      if (rx < 0 || rx >= refW || ry < 0 || ry >= refH) 0 else ref(ry * refW + rx)
+    }
+    val (codingT, referT) = refTemplates(template, at)
+    var y = 0
+    while (y < h) { // TPGRON off: no per-row LTP bit
+      var x = 0
+      while (x < w) {
+        var ctx = 0
+        var k = 0
+        while (k < codingT.length) {
+          ctx = (ctx << 1) | cur(x + codingT(k)._1, y + codingT(k)._2); k += 1
+        }
+        k = 0
+        while (k < referT.length) {
+          ctx = (ctx << 1) | rp(x + referT(k)._1, y + referT(k)._2); k += 1
+        }
+        enc.encodeBit(cx, ctx, bm(y * w + x))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
   /** §6.7 pattern dictionary (segment type 16): ONE collective generic
     * bitmap holding the GRAYMAX+1 patterns side by side (AT1 = (−HDPW, 0)
     * makes each pattern's left neighbor the previous pattern), split by
@@ -828,8 +978,14 @@ object Jbig2 {
     val defPixel = (t >> 9) & 1
     val dsOffsetRaw = (t >> 10) & 0x1f
     val dsOffset = if (dsOffsetRaw > 15) dsOffsetRaw - 32 else dsOffsetRaw // signed 5-bit
-    if (refine) throw new IllegalArgumentException("JBIG2: refinement text region unsupported")
+    val rtemplate = (t >> 15) & 1
+    if (refine && sbHuff)
+      throw new IllegalArgumentException("JBIG2: Huffman refinement text region unsupported")
     val huffFlags = if (sbHuff) u16() else 0
+    val rAt: Array[(Int, Int)] =
+      if (refine && rtemplate == 0)
+        Array.fill(2) { val ax = data(i).toInt; val ay = data(i + 1).toInt; i += 2; (ax, ay) }
+      else Array.empty
     val numInstances = u32().toInt
     // adversarial-payload guards: instances bounded by region area and by
     // what the remaining payload could possibly encode (≥1 bit each)
@@ -849,6 +1005,7 @@ object Jbig2 {
     var idsF: () => Int = null // intra-strip S delta; OOB = end of strip
     var curTF: () => Int = null // per-symbol T offset within the strip
     var idF: () => Int = null // symbol id
+    var refineF: Sym => Sym = identity // per-instance refinement (SBREFINE)
     if (sbHuff) {
       import Jbig2Huffman.{assignCanonical, standard, BitReader, Table}
       var ci = 0
@@ -945,6 +1102,40 @@ object Jbig2 {
       idsF = () => decodeInt(mq, cxIads)
       curTF = () => if (sbStrips == 1) 0 else decodeInt(mq, cxIait)
       idF = () => decodeIaid(mq, cxIaid, symCodeLen)
+      if (refine) {
+        // §6.4.11: RI per instance; nonzero → the placed bitmap is a
+        // refinement of the symbol with size deltas RDW/RDH and offset
+        // GRREFERENCEDX/DY = floor(RDW/2)+RDX / floor(RDH/2)+RDY
+        val cxIari = new Array[Short](512)
+        val cxIardw = new Array[Short](512)
+        val cxIardh = new Array[Short](512)
+        val cxIardx = new Array[Short](512)
+        val cxIardy = new Array[Short](512)
+        val rcx = new Array[Short](1 << 13)
+        refineF = (s: Sym) => {
+          val ri = decodeInt(mq, cxIari)
+          if (ri == OOB) throw new IllegalArgumentException("JBIG2: OOB RI")
+          if (ri == 0) s
+          else {
+            val rdw = decodeInt(mq, cxIardw)
+            val rdh = decodeInt(mq, cxIardh)
+            val rdx = decodeInt(mq, cxIardx)
+            val rdy = decodeInt(mq, cxIardy)
+            if (rdw == OOB || rdh == OOB || rdx == OOB || rdy == OOB)
+              throw new IllegalArgumentException("JBIG2: OOB refinement delta")
+            val (sw, sh, sb) = s
+            val w2 = sw + rdw
+            val h2 = sh + rdh
+            if (w2 <= 0 || h2 <= 0 || w2 > (1 << 14) || h2 > (1 << 14))
+              throw new IllegalArgumentException("JBIG2: implausible refined size")
+            budget.charge(w2.toLong, h2.toLong)
+            val dx = (rdw >> 1) + rdx
+            val dy = (rdh >> 1) + rdy
+            (w2, h2, decodeRefinementArith(mq, w2, h2, rtemplate, rAt,
+              tpgron = false, sb, sw, sh, dx, dy, rcx))
+          }
+        }
+      }
     }
 
     val bm = new Array[Byte](rw * rh)
@@ -999,7 +1190,7 @@ object Jbig2 {
           val id = idF()
           if (id < 0 || id >= syms.length)
             throw new IllegalArgumentException(s"JBIG2: symbol id $id of ${syms.length}")
-          val s = syms(id)
+          val s = refineF(syms(id))
           if (!transposed) {
             // LEFT/RIGHT corners net the same x0; TOP vs BOTTOM sets y0
             val y0 = if (refCorner == 1 || refCorner == 3) ti else ti - s._2 + 1
@@ -1146,9 +1337,52 @@ object Jbig2 {
           val pats = seg.refs.flatMap(r => patternsBySeg.getOrElse(r, Vector.empty))
           val (rx, ry, rw, rh, combOp, bm) = decodeHalftoneRegion(seg.data, pats, budget)
           composeOntoPage(rx, ry, rw, rh, combOp, bm)
-        case 40 | 41 | 42 | 43 =>
-          throw new IllegalArgumentException(
-            s"JBIG2: segment type ${seg.segType} (refinement) not supported")
+        case 42 | 43 => // immediate generic refinement region (+ lossless):
+          // with no intermediate-region reference, the reference is the
+          // PAGE buffer under the region box and the result replaces it
+          // per the region's external combination op (§7.4.7.2/§8.2)
+          val d = seg.data
+          var i = 0
+          def u32(): Int = {
+            val v = ((d(i) & 0xff) << 24) | ((d(i + 1) & 0xff) << 16) |
+              ((d(i + 2) & 0xff) << 8) | (d(i + 3) & 0xff)
+            i += 4; v
+          }
+          val rw = u32(); val rh = u32()
+          val rx = u32(); val ry = u32()
+          val combOp = d(i) & 0x7; i += 1
+          val rFlags = d(i) & 0xff; i += 1
+          val rtemplate = rFlags & 1
+          val tpgron = (rFlags & 2) != 0
+          val rAt: Array[(Int, Int)] =
+            if (rtemplate == 0)
+              Array.fill(2) { val ax = d(i).toInt; val ay = d(i + 1).toInt; i += 2; (ax, ay) }
+            else Array.empty
+          if (rw <= 0 || rh <= 0) throw new IllegalArgumentException("JBIG2: bad refinement region")
+          budget.charge(rw.toLong, rh.toLong)
+          val ref = new Array[Byte](rw * rh)
+          var y = 0
+          while (y < rh) {
+            val py = ry + y
+            if (py >= 0 && py < imgH) {
+              var x = 0
+              while (x < rw) {
+                val px = rx + x
+                if (px >= 0 && px < imgW) ref(y * rw + x) = page(py * imgW + px)
+                x += 1
+              }
+            }
+            y += 1
+          }
+          val mq = new MQDecoder(d, i, d.length)
+          val bm = decodeRefinementArith(mq, rw, rh, rtemplate, rAt, tpgron,
+            ref, rw, rh, 0, 0)
+          composeOntoPage(rx, ry, rw, rh, combOp, bm)
+        case 40 =>
+          // intermediate refinement region: input to a LATER refinement;
+          // nothing we decode consumes it — skip like the other
+          // intermediates (types 36/4/20)
+          ()
         case _ => () // page default window, end-of-page/file, extensions: skip
       }
     }
@@ -1429,6 +1663,197 @@ object Jbig2 {
     header(2, 0, sdRefs, sdBody.length); out.write(sdBody)
     header(3, 6, Seq(2L), trBody.length); out.write(trBody)
     header(4, 49, Nil, 0)
+    out.toByteArray
+  }
+
+  /** Fixture encoder for the REFINEMENT shapes: a symbol dictionary whose
+    * SECOND symbol is REFAGG-coded (§6.5.8.2, 1-instance refinement of the
+    * first symbol) and a text region with SBREFINE (§6.4.11) — every
+    * instance carries RI; refined instances grow by (rdw, rdh) and use an
+    * explicitly-given refined bitmap. `places`: (symId, x, y, refined) with
+    * refined = Some((bitmap sized (w+rdw)×(h+rdh), rdw, rdh)). Single
+    * height class, SBSTRIPS=1, REFCORNER=TOPLEFT, templates 0. */
+  def encodeEmbeddedRefined(sym0: Sym, refSym: Sym,
+                            places: Seq[(Int, Int, Int, Option[(Sym, Int, Int)])],
+                            pageW: Int, pageH: Int): Array[Byte] = {
+    require(sym0._2 == refSym._2, "one height class")
+    val rAtPairs: Array[(Int, Int)] = Array((-1, -1), (-1, -1))
+    val dictSyms = Vector(sym0, refSym)
+    // ---- dict A: plain, exports sym0 (REFAGG dicts refine INPUT symbols,
+    // so the base symbol must arrive from a referred dictionary) ----
+    val sdABody = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): Unit = out.write(v & 0xff)
+      def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+      def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+      u16(0) // flags: plain arithmetic
+      nominalAt(0).foreach { case (ax, ay) => u8(ax); u8(ay) }
+      u32(1L); u32(1L) // numEx, numNew
+      val enc = new MQEncoder
+      val cxIadh = new Array[Short](512)
+      val cxIadw = new Array[Short](512)
+      val cxIaex = new Array[Short](512)
+      val gcx = new Array[Short](1 << 16)
+      encodeInt(enc, cxIadh, sym0._2)
+      encodeInt(enc, cxIadw, sym0._1)
+      encodeGenericInto(enc, gcx, sym0._3, sym0._1, sym0._2, 0)
+      encodeInt(enc, cxIadw, OOB)
+      encodeInt(enc, cxIaex, 0)
+      encodeInt(enc, cxIaex, 1)
+      out.write(enc.flush())
+      out.toByteArray
+    }
+    // ---- dict B: SDREFAGG, input = sym0, new symbol 1 = refinement of it ----
+    val sdBBody = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): Unit = out.write(v & 0xff)
+      def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+      def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+      u16(2) // flags: SDREFAGG=1, template 0, rtemplate 0
+      nominalAt(0).foreach { case (ax, ay) => u8(ax); u8(ay) }
+      rAtPairs.foreach { case (ax, ay) => u8(ax); u8(ay) }
+      u32(1L) // SDNUMEXSYMS: only the refined symbol
+      u32(1L) // SDNUMNEWSYMS
+      val enc = new MQEncoder
+      val cxIadh = new Array[Short](512)
+      val cxIadw = new Array[Short](512)
+      val cxIaex = new Array[Short](512)
+      val cxIaai = new Array[Short](512)
+      val cxIardx = new Array[Short](512)
+      val cxIardy = new Array[Short](512)
+      val rcx = new Array[Short](1 << 13)
+      val cxIaid = new Array[Short](1 << 2) // symCodeLen 1 (1 input + 1 new)
+      encodeInt(enc, cxIadh, refSym._2)
+      encodeInt(enc, cxIadw, refSym._1)
+      encodeInt(enc, cxIaai, 1)
+      encodeIaid(enc, cxIaid, 1, 0) // refine input symbol 0
+      encodeInt(enc, cxIardx, 0)
+      encodeInt(enc, cxIardy, 0)
+      encodeRefinementInto(enc, rcx, refSym._3, refSym._1, refSym._2, 0, rAtPairs,
+        sym0._3, sym0._1, sym0._2, 0, 0)
+      encodeInt(enc, cxIadw, OOB)
+      encodeInt(enc, cxIaex, 1) // skip the input symbol
+      encodeInt(enc, cxIaex, 1) // export the refined one
+      out.write(enc.flush())
+      out.toByteArray
+    }
+    // ---- text region payload (SBREFINE) ----
+    val trBody = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): Unit = out.write(v & 0xff)
+      def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+      def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+      u32(pageW.toLong); u32(pageH.toLong); u32(0); u32(0); u8(0) // region info, OR
+      u16(2 | (1 << 4)) // SBREFINE=1, REFCORNER=TOPLEFT, SBSTRIPS=1, rtemplate 0
+      rAtPairs.foreach { case (ax, ay) => u8(ax); u8(ay) }
+      u32(places.length.toLong)
+      val enc = new MQEncoder
+      val cxIadt = new Array[Short](512)
+      val cxIafs = new Array[Short](512)
+      val cxIads = new Array[Short](512)
+      val cxIari = new Array[Short](512)
+      val cxIardw = new Array[Short](512)
+      val cxIardh = new Array[Short](512)
+      val cxIardx = new Array[Short](512)
+      val cxIardy = new Array[Short](512)
+      val rcx = new Array[Short](1 << 13)
+      val cxIaid = new Array[Short](1 << 2) // symCodeLen 1
+      encodeInt(enc, cxIadt, 0) // STRIPT starts at 0
+      val strips = places.groupBy(_._3).toSeq.sortBy(_._1)
+      var stripT = 0
+      var firstS = 0
+      strips.foreach { case (ty, ps) =>
+        encodeInt(enc, cxIadt, ty - stripT)
+        stripT = ty
+        val sorted = ps.sortBy(_._2)
+        var curS = 0
+        sorted.zipWithIndex.foreach { case ((id, x, _, refined), k) =>
+          if (k == 0) {
+            encodeInt(enc, cxIafs, x - firstS)
+            firstS = x
+            curS = x
+          } else {
+            encodeInt(enc, cxIads, x - curS)
+            curS = x
+          }
+          encodeIaid(enc, cxIaid, 1, id)
+          refined match {
+            case None =>
+              encodeInt(enc, cxIari, 0)
+              curS += dictSyms(id)._1 - 1
+            case Some(((w2, h2, rb), rdw, rdh)) =>
+              require(w2 == dictSyms(id)._1 + rdw && h2 == dictSyms(id)._2 + rdh)
+              encodeInt(enc, cxIari, 1)
+              encodeInt(enc, cxIardw, rdw)
+              encodeInt(enc, cxIardh, rdh)
+              encodeInt(enc, cxIardx, 0)
+              encodeInt(enc, cxIardy, 0)
+              val (sw, sh, sb) = dictSyms(id)
+              encodeRefinementInto(enc, rcx, rb, w2, h2, 0, rAtPairs,
+                sb, sw, sh, rdw >> 1, rdh >> 1)
+              curS += w2 - 1
+          }
+        }
+        encodeInt(enc, cxIads, OOB) // end of strip
+      }
+      out.write(enc.flush())
+      out.toByteArray
+    }
+    // ---- segment stream ----
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+    def header(num: Long, segType: Int, refs: Seq[Long], dataLen: Int): Unit = {
+      u32(num); u8(segType)
+      u8(refs.length << 5)
+      refs.foreach(r => u8(r.toInt))
+      u8(1) // page 1
+      u32(dataLen.toLong)
+    }
+    header(0, 48, Nil, 19)
+    u32(pageW.toLong); u32(pageH.toLong); u32(0); u32(0); u8(0); u16(0)
+    header(1, 0, Nil, sdABody.length); out.write(sdABody)
+    header(2, 0, Seq(1L), sdBBody.length); out.write(sdBBody)
+    header(3, 6, Seq(1L, 2L), trBody.length); out.write(trBody)
+    header(4, 49, Nil, 0)
+    out.toByteArray
+  }
+
+  /** Build the embedded-stream bytes for a page refined IN PLACE: a
+    * generic region paints `base`, then an immediate refinement region
+    * (type 42) refines the page buffer to `refined` (REPLACE combination).
+    * Exercises the page-reference refinement path. */
+  def encodeEmbeddedPageRefinement(base: Array[Byte], refined: Array[Byte],
+                                   w: Int, h: Int): Array[Byte] = {
+    val rAtPairs: Array[(Int, Int)] = Array((-1, -1), (-1, -1))
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+    def header(num: Long, segType: Int, dataLen: Int): Unit = {
+      u32(num); u8(segType); u8(0); u8(1); u32(dataLen.toLong)
+    }
+    header(0, 48, 19)
+    u32(w.toLong); u32(h.toLong); u32(0); u32(0); u8(0); u16(0)
+    val mqData = encodeGenericArith(base, w, h, template = 0)
+    val at = nominalAt(0)
+    header(1, 39, 17 + 1 + at.length * 2 + mqData.length)
+    u32(w.toLong); u32(h.toLong); u32(0); u32(0); u8(0) // region info, OR
+    u8(0) // generic flags
+    at.foreach { case (ax, ay) => u8(ax); u8(ay) }
+    out.write(mqData)
+    // refinement region over the page (REPLACE external op)
+    val rEnc = new MQEncoder
+    val rcx = new Array[Short](1 << 13)
+    Jbig2.encodeRefinementInto(rEnc, rcx, refined, w, h, 0, rAtPairs, base, w, h, 0, 0)
+    val rData = rEnc.flush()
+    header(2, 42, 17 + 1 + 4 + rData.length)
+    u32(w.toLong); u32(h.toLong); u32(0); u32(0); u8(4) // REPLACE
+    u8(0) // refinement flags: template 0, TPGRON 0
+    rAtPairs.foreach { case (ax, ay) => u8(ax); u8(ay) }
+    out.write(rData)
+    header(3, 49, 0)
     out.toByteArray
   }
 

@@ -82,7 +82,7 @@ class Jbig2Spec extends AnyFunSuite {
     assert(bm(8 * w + 4) == 1 && x0y8 == 0, "black must pack as 0")
   }
 
-  test("refinement segments are rejected; truncated regions throw, never mangle") {
+  test("intermediate segments skip silently; truncated regions throw, never mangle") {
     def seg(segType: Int, payload: Array[Byte]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       def u8(v: Int) = out.write(v & 0xff)
@@ -90,8 +90,11 @@ class Jbig2Spec extends AnyFunSuite {
       u32(0); u8(segType); u8(0); u8(1); u32(payload.length.toLong)
       out.write(payload); out.toByteArray
     }
-    intercept[IllegalArgumentException] {
-      Jbig2.decode(seg(40, Array[Byte](0, 0)), None, 8, 8) // refinement region
+    // intermediate refinement region (type 40): input to a later segment,
+    // skipped without painting — must NOT throw
+    assert(Jbig2.decode(seg(40, Array[Byte](0, 0)), None, 8, 8).forall(_ == 0))
+    intercept[Exception] {
+      Jbig2.decode(seg(42, Array[Byte](0, 0)), None, 8, 8) // truncated refinement region
     }
     intercept[Exception] {
       Jbig2.decode(seg(22, Array[Byte](0, 0)), None, 8, 8) // truncated halftone region
