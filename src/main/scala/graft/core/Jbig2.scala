@@ -25,7 +25,7 @@ package graft.core
   * decoded (throw → raw passthrough, the reference's behavior for
   * undecodable payloads, pageobjects.py:598-630): Huffman+refinement
   * combinations, true aggregates (REFAGGNINST > 1), refinement over
-  * intermediate-region references, MMR-coded gray planes, HENABLESKIP.
+  * intermediate-region references, HENABLESKIP.
   * INTERMEDIATE regions (types 36/4/20/40) have no consumer here and are
   * skipped, not painted. Residual risk (ADVICE r4,
   * acknowledged): no externally-generated JBIG2 stream exists in this
@@ -879,7 +879,6 @@ object Jbig2 {
     val enableSkip = (flags & 8) != 0
     val combOp = (flags >> 4) & 7
     val defPixel = (flags >> 7) & 1
-    if (mmr) throw new IllegalArgumentException("JBIG2: MMR halftone unsupported")
     if (enableSkip) throw new IllegalArgumentException("JBIG2: halftone skip unsupported")
     if (patterns.isEmpty) throw new IllegalArgumentException("JBIG2: halftone without patterns")
     val hgw = u32(); val hgh = u32()
@@ -892,20 +891,44 @@ object Jbig2 {
     var bpp = 1
     while ((1 << bpp) < patterns.length) bpp += 1
     budget.charge(hgw.toLong * bpp, hgh.toLong)
-    val mq = new MQDecoder(data, i, data.length)
-    val cx = new Array[Short](1 << 16)
     val gray = new Array[Int](hgw * hgh)
-    var j = bpp - 1
-    while (j >= 0) {
-      val plane = decodeGenericArith(mq, hgw, hgh, template, nominalAt(template),
-        tpgdon = false, cx)
-      var k = 0
-      while (k < gray.length) {
-        val prev = (gray(k) >> (j + 1)) & 1
-        gray(k) |= (plane(k) ^ prev) << j
-        k += 1
+    if (mmr) {
+      // Annex C with HMMR=1: the planes are one continuous T.6 stream with
+      // no per-plane reset — T.6 state is just the previous row, so this
+      // equals decoding ONE tall bitmap of height bpp×HGH, planes stacked
+      // MSB-first
+      val packed = Ccitt.decode(java.util.Arrays.copyOfRange(data, i, data.length),
+        hgw, hgh * bpp, -1, blackIs1 = true, encodedByteAlign = false)
+      val stride = (hgw + 7) / 8
+      var j = bpp - 1
+      var planeIdx = 0
+      while (j >= 0) {
+        var k = 0
+        while (k < gray.length) {
+          val y = k / hgw; val x = k % hgw
+          val bit = (packed((planeIdx * hgh + y) * stride + (x >> 3)) >> (7 - (x & 7))) & 1
+          val prev = (gray(k) >> (j + 1)) & 1
+          gray(k) |= (bit ^ prev) << j
+          k += 1
+        }
+        j -= 1
+        planeIdx += 1
       }
-      j -= 1
+    } else {
+      val mq = new MQDecoder(data, i, data.length)
+      val cx = new Array[Short](1 << 16)
+      var j = bpp - 1
+      while (j >= 0) {
+        val plane = decodeGenericArith(mq, hgw, hgh, template, nominalAt(template),
+          tpgdon = false, cx)
+        var k = 0
+        while (k < gray.length) {
+          val prev = (gray(k) >> (j + 1)) & 1
+          gray(k) |= (plane(k) ^ prev) << j
+          k += 1
+        }
+        j -= 1
+      }
     }
     val bm = new Array[Byte](rw * rh)
     if (defPixel == 1) java.util.Arrays.fill(bm, 1.toByte)
@@ -1864,7 +1887,8 @@ object Jbig2 {
     * shared context, axis-aligned grid (HRX = HDPW·256, HRY = 0). */
   def encodeEmbeddedHalftone(patterns: Vector[Sym], grays: Array[Int],
                              hgw: Int, hgh: Int,
-                             pageW: Int, pageH: Int): Array[Byte] = {
+                             pageW: Int, pageH: Int,
+                             mmrGray: Boolean = false): Array[Byte] = {
     require(patterns.nonEmpty && grays.length == hgw * hgh)
     val (hdpw, hdph, _) = patterns.head
     require(patterns.forall(p => p._1 == hdpw && p._2 == hdph), "uniform pattern size")
@@ -1898,27 +1922,45 @@ object Jbig2 {
       def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
       def u32(v: Int): Unit = { u16(v >> 16); u16(v) }
       u32(pageW); u32(pageH); u32(0); u32(0); u8(0) // region info, OR
-      u8(0) // flags: arith, template 0, no skip, combOp OR, defPixel 0
+      u8(if (mmrGray) 1 else 0) // flags: HMMR, template 0, no skip, OR, defPixel 0
       u32(hgw); u32(hgh)
       u32(0); u32(0) // HGX HGY
       u16(hdpw << 8); u16(0) // HRX = pattern width in 8.8, HRY = 0
       var bpp = 1
       while ((1 << bpp) < patterns.length) bpp += 1
-      val enc = new MQEncoder
-      val cx = new Array[Short](1 << 16)
-      var j = bpp - 1
-      while (j >= 0) {
-        val plane = new Array[Byte](hgw * hgh)
-        var k = 0
-        while (k < grays.length) {
-          val g = grays(k) ^ (grays(k) >> 1) // gray code
-          plane(k) = ((g >> j) & 1).toByte
-          k += 1
+      if (mmrGray) {
+        // one tall T.6 bitmap: planes stacked MSB-first (see the decoder)
+        val tall = new Array[Byte](hgw * hgh * bpp)
+        var j = bpp - 1
+        var planeIdx = 0
+        while (j >= 0) {
+          var k = 0
+          while (k < grays.length) {
+            val g = grays(k) ^ (grays(k) >> 1)
+            tall(planeIdx * hgw * hgh + k) = ((g >> j) & 1).toByte
+            k += 1
+          }
+          j -= 1
+          planeIdx += 1
         }
-        encodeGenericInto(enc, cx, plane, hgw, hgh, 0)
-        j -= 1
+        out.write(MmrEncode.encode(tall, hgw, hgh * bpp))
+      } else {
+        val enc = new MQEncoder
+        val cx = new Array[Short](1 << 16)
+        var j = bpp - 1
+        while (j >= 0) {
+          val plane = new Array[Byte](hgw * hgh)
+          var k = 0
+          while (k < grays.length) {
+            val g = grays(k) ^ (grays(k) >> 1) // gray code
+            plane(k) = ((g >> j) & 1).toByte
+            k += 1
+          }
+          encodeGenericInto(enc, cx, plane, hgw, hgh, 0)
+          j -= 1
+        }
+        out.write(enc.flush())
       }
-      out.write(enc.flush())
       out.toByteArray
     }
     // ---- segment stream ----

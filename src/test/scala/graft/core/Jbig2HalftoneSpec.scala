@@ -65,6 +65,19 @@ class Jbig2HalftoneSpec extends AnyFunSuite {
       expectedPage(three, grays3, hgw, hgh, 30, 30)))
   }
 
+  test("MMR-coded gray planes decode identically to the arithmetic coding") {
+    val patterns = densityPatterns()
+    val hgw = 8; val hgh = 6
+    val grays = Array.tabulate(hgw * hgh)(k => (k % hgw) * 4 / hgw)
+    val pw = hgw * 6; val ph = hgh * 6
+    val arith = Jbig2.decode(
+      Jbig2.encodeEmbeddedHalftone(patterns, grays, hgw, hgh, pw, ph), None, pw, ph)
+    val mmr = Jbig2.decode(
+      Jbig2.encodeEmbeddedHalftone(patterns, grays, hgw, hgh, pw, ph, mmrGray = true), None, pw, ph)
+    assert(java.util.Arrays.equals(arith, mmr))
+    assert(java.util.Arrays.equals(mmr, expectedPage(patterns, grays, hgw, hgh, pw, ph)))
+  }
+
   test("halftone through the PDF filter path") {
     val patterns = densityPatterns()
     val hgw = 4; val hgh = 4
