@@ -438,6 +438,20 @@ object OracleSql {
         |  (6, 'Listbox_SingleSelectLastSelected', 'Ch', 'Saskatchewan', 0, 'AcroForm')
         |) AS t(ord, name, field_type, value, flags, form_type)""".stripMargin,
 
+    // unsupported-feature inventory: names are the reference's literal
+    // UnsupportedInfoToStr strings (internal/consts.py:149-166); the
+    // synthesized fixture carries every detectable code, the Screen/IT/Img
+    // annot must NOT raise, forms.pdf (plain AcroForm) raises nothing
+    "pdf_unsupported" ->
+      """SELECT url, CAST(n_unsupported AS BIGINT) AS n_unsupported, features
+        |FROM (VALUES
+        |  ('fixture://attachments.pdf', 1, 'Attachment (incomplete support)'),
+        |  ('fixture://forms.pdf', 0, ''),
+        |  ('synthetic://unsp.pdf', 10,
+        |   'XFA form|Portable collection|Shared form (acrobat)|3D annotation|Movie annotation|Sound annotation|Screen media annotation|Screen rich media annotation|Attachment annotation|Signature annotation')
+        |) AS t(url, n_unsupported, features)
+        |ORDER BY url""".stripMargin,
+
     "pdf_annotations" ->
       """SELECT CAST(page AS BIGINT) AS page, CAST(ord AS BIGINT) AS ord, subtype,
         |  CAST(l AS DOUBLE) AS l, CAST(b AS DOUBLE) AS b, CAST(r AS DOUBLE) AS r, CAST(t AS DOUBLE) AS t, uri

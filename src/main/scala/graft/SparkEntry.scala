@@ -711,6 +711,28 @@ object SparkEntry {
         .toDF("page", "ord", "subtype", "l", "b", "r", "t", "uri")
     }),
 
+    "pdf_unsupported" -> ((s, _) => {
+      import s.implicits._
+      // PdfUnspHandler analog (reference unsupported.py:15; feature names
+      // internal/consts.py:149-166): where the reference installs a
+      // process-global callback, a distributed scan wants the same facts as
+      // a per-document column — "what can't we fully process" becomes a
+      // plain select over the carrier. Corpus: one positive and one
+      // negative reference fixture + a synthesized page carrying every
+      // detectable code (incl. the Screen /IT/Img negative sub-case).
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val rows = Seq(
+        PageRow("fixture://attachments.pdf", ts, PagesTable.fixture("attachments.pdf"), null, "la"),
+        PageRow("fixture://forms.pdf", ts, PagesTable.fixture("forms.pdf"), null, "la"),
+        PageRow("synthetic://unsp.pdf", ts, graft.spark.SynthFixtures.unsupportedPdf, null, "la"))
+      ExtractPipeline.extractDoc(s.createDataset(rows).repartition(2),
+          parts = Set(DocParts.Unsupported))
+        .select(col("url"),
+          size(col("unsupported")).cast("long").as("n_unsupported"),
+          concat_ws("|", col("unsupported")).as("features"))
+        .orderBy("url")
+    }),
+
     "pdf_sql_native" -> ((s, _) => {
       // native Catalyst Expression surface (codegen'd, no ScalaUDF
       // boundary) — same pinned results as the UDF surface. Uses the FUSED

@@ -539,6 +539,59 @@ final class PdfDocument private (
     case PdfName(n) => n
     case _ => "UseNone"
   }
+
+  /** Unsupported-feature inventory — the engine's analog of the reference's
+    * `PdfUnspHandler` callback surface (unsupported.py:15-70; feature names
+    * from internal/consts.py:149-166, PDFium's public FPDF_UNSP_* codes).
+    * Where PDFium raises a process-wide callback as it encounters each
+    * structure, a distributed scan wants the same facts as a per-document
+    * column, so a 100-TB corpus can inventory unsupported features with a
+    * plain explode+groupBy. Detected here: XFA forms, portable collections
+    * (catalog /Collection), embedded-files presence, shared-form XMP
+    * workflow tags (AcrobatAdhocWorkflow namespace, workflowType 0/1/2),
+    * and the unsupported annotation subtypes (3D, Movie, Sound, Screen
+    * with /IT != Img, RichMedia, FileAttachment, Sig widgets).
+    * "Security" is surfaced by the Spark carrier from the load error code
+    * instead (an undecryptable document never reaches this method), and
+    * shared-review detection is out of scope (PDFium ties it to its
+    * review-UI layer, not to document structure alone). */
+  def unsupportedFeatures: Seq[String] = {
+    val out = mutable.LinkedHashSet.empty[String]
+    get(catalog, "AcroForm") match {
+      case d: PdfDict if d.contains("XFA") => out += "XFA form"
+      case _ => ()
+    }
+    if (catalog.contains("Collection")) out += "Portable collection"
+    if (attachments.nonEmpty) out += "Attachment (incomplete support)"
+    get(catalog, "Metadata") match {
+      case s: PdfStream =>
+        val xml = new String(streamData(s), java.nio.charset.StandardCharsets.UTF_8)
+        if (xml.contains("http://ns.adobe.com/AcrobatAdhocWorkflow/1.0/"))
+          "workflowType>\\s*([012])".r.findFirstMatchIn(xml).map(_.group(1)).foreach {
+            case "0" => out += "Shared form (email)"
+            case "1" => out += "Shared form (acrobat)"
+            case _   => out += "Shared form (filesystem)"
+          }
+      case _ => ()
+    }
+    pages.foreach(_.annotations.foreach { a =>
+      val sub = get(a, "Subtype") match { case PdfName(n) => n; case _ => "" }
+      sub match {
+        case "3D"    => out += "3D annotation"
+        case "Movie" => out += "Movie annotation"
+        case "Sound" => out += "Sound annotation"
+        case "Screen" =>
+          val it = get(a, "IT") match { case PdfName(n) => n; case _ => "" }
+          if (it != "Img") out += "Screen media annotation"
+        case "RichMedia"      => out += "Screen rich media annotation"
+        case "FileAttachment" => out += "Attachment annotation"
+        case "Widget" =>
+          if (get(a, "FT") == PdfName("Sig")) out += "Signature annotation"
+        case _ => ()
+      }
+    })
+    out.toVector
+  }
 }
 
 final case class Bookmark(level: Int, title: String, count: Int, dest: Option[Dest],

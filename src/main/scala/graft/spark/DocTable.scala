@@ -65,7 +65,8 @@ final case class DocRow(
     attachments: Seq[AttachmentRow],
     form_fields: Seq[FormFieldRow],
     fonts: Seq[FontRow],
-    page_labels: Seq[String])
+    page_labels: Seq[String],
+    unsupported: Seq[String])
 
 /** Section names for [[ExtractPipeline.extractDoc]]'s parts selector. */
 object DocParts {
@@ -78,8 +79,10 @@ object DocParts {
   val Forms = "forms"
   val Fonts = "fonts" // forces font-dict resolution per page
   val Labels = "labels"
+  val Unsupported = "unsupported" // PdfUnspHandler analog (unsupported.py:15)
   val All: Set[String] =
-    Set(Meta, Toc, Boxes, Objects, Annotations, Attachments, Forms, Fonts, Labels)
+    Set(Meta, Toc, Boxes, Objects, Annotations, Attachments, Forms, Fonts, Labels,
+      Unsupported)
 }
 
 private[spark] object DocTable {
@@ -160,7 +163,8 @@ private[spark] object DocTable {
       },
       page_labels = when(DocParts.Labels) {
         (0 until doc.pageCount).map(doc.pageLabel)
-      })
+      },
+      unsupported = when(DocParts.Unsupported) { doc.unsupportedFeatures })
   }
 
   def error(url: String, code: String): DocRow =
@@ -168,5 +172,8 @@ private[spark] object DocTable {
       id_permanent = "", id_changing = "", tagged = false, page_mode = "",
       form_type = "", metadata = Map.empty, toc = Seq.empty, boxes = Seq.empty,
       objects = Seq.empty, annotations = Seq.empty, attachments = Seq.empty,
-      form_fields = Seq.empty, fonts = Seq.empty, page_labels = Seq.empty)
+      form_fields = Seq.empty, fonts = Seq.empty, page_labels = Seq.empty,
+      // PDFium raises FPDF_UNSP_DOC_SECURITY when the load itself fails on
+      // an unsupported security handler (distinct from a wrong password)
+      unsupported = if (code == graft.core.ErrCodes.Security) Seq("Security") else Seq.empty)
 }
