@@ -204,7 +204,9 @@ object OracleSql {
         |  ('tri_outside', 301, 602, 'FFFFFFFF'),
         |  ('gray_red_inside', 125, 175, 'FF4C4C4C'),
         |  ('scheme_red_inside', 125, 175, 'FF123456'),
-        |  ('scheme_background', 90, 175, 'FFFFFFFF')
+        |  ('scheme_background', 90, 175, 'FFFFFFFF'),
+        |  ('aa_half_edge', 100, 175, 'FFFF8080'),
+        |  ('aa_interior', 125, 175, 'FFFF0000')
         |) AS t(probe_id, x, y, argb)""".stripMargin,
 
     // page-image generation: dims = ceil(mediaBox) at scale 1 (595.3×841.9

@@ -245,17 +245,24 @@ object SparkEntry {
         val doc = graft.core.PdfDocument.load(pdf).toOption.get
         val R = graft.core.render.Rasterizer
         val bmp = R.render(doc.page(0))
-        // render-flag variants (page.py:392-437): grayscale mode and a
-        // forced color scheme (accessibility rendering)
+        // render-flag variants (page.py:392-437): grayscale mode, a forced
+        // color scheme (accessibility rendering), and anti-aliasing — a
+        // half-covered edge pixel (left edge at x=100.5) composites at
+        // exactly coverage 0.5 over white, while interiors are AA-invariant
         val gray = R.render(doc.page(0), grayscale = true)
         val scheme = R.render(doc.page(0),
           colorScheme = Some(R.ColorScheme(0xFF123456, 0xFF654321, 0xFF222222, 0xFF222222)))
+        val aaDoc = graft.core.PdfDocument.load(
+          graft.core.SynthPdf.onePage("1 0 0 rg 100.5 600 50 30 re f")).toOption.get
+        val aa = R.render(aaDoc.page(0), antiAlias = true)
         probes.iterator.map { case (id, x, y) =>
           (id, x.toLong, y.toLong, f"${bmp.get(x, y)}%08X")
         } ++ Iterator(
           ("gray_red_inside", 125L, 175L, f"${gray.get(125, 175)}%08X"),
           ("scheme_red_inside", 125L, 175L, f"${scheme.get(125, 175)}%08X"),
-          ("scheme_background", 90L, 175L, f"${scheme.get(90, 175)}%08X"))
+          ("scheme_background", 90L, 175L, f"${scheme.get(90, 175)}%08X"),
+          ("aa_half_edge", 100L, 175L, f"${aa.get(100, 175)}%08X"),
+          ("aa_interior", 125L, 175L, f"${aa.get(125, 175)}%08X"))
       }.toDF("probe_id", "x", "y", "argb")
     }),
 

@@ -62,7 +62,9 @@ object Rasterizer {
     * (FPDF_CONVERT_FILL_TO_STROKE) to render filled paths as outlines. */
   final case class ColorScheme(pathFill: Int, pathStroke: Int,
                                textFill: Int, textStroke: Int)
-  private final case class Opts(scheme: Option[ColorScheme], fillToStroke: Boolean)
+  private final case class Opts(scheme: Option[ColorScheme], fillToStroke: Boolean,
+                                aaPath: Boolean = false, aaText: Boolean = false,
+                                aaImage: Boolean = false)
   /** Render options reach the deep paint sites via a thread-local rather
     * than 8 more parameters on every recursive walk() call; rendering is
     * single-threaded per invocation and the Rasterizer object is shared
@@ -70,17 +72,39 @@ object Rasterizer {
   private val optsTL: ThreadLocal[Opts] =
     ThreadLocal.withInitial(() => Opts(None, fillToStroke = false))
 
+  /** Smoothing surface (reference page.py:392-410): `antiAlias` enables
+    * coverage-based anti-aliasing (4× vertical supersampling + fractional
+    * horizontal coverage for paths/glyphs, bilinear sampling for images);
+    * the three `noSmooth*` toggles are the FPDF_RENDER_NO_SMOOTH{TEXT,
+    * IMAGE,PATH} analogs and disable their channel individually.
+    * `optimizeMode` mirrors the reference's None/"lcd"/"print":
+    * "lcd" turns text AA on even without `antiAlias` (rendered as standard
+    * grayscale AA — subpixel RGB striping is a documented deviation), and
+    * "print" disables image smoothing (the halftone-for-print behavior
+    * behind FPDF_PRINTING is out of declared scope). Deviation from
+    * PDFium: this engine's DEFAULT is AA off (equivalent to all three
+    * no_smooth flags set), so existing pinned pixel oracles describe the
+    * aliased ground truth; pass `antiAlias = true` for PDFium's default
+    * look. */
   def render(page: PdfPage, scale: Double = 1.0, drawAnnots: Boolean = true,
              rotation: Int = 0,
              crop: (Double, Double, Double, Double) = (0, 0, 0, 0),
              fillColor: Int = 0xFFFFFFFF,
              grayscale: Boolean = false,
              colorScheme: Option[ColorScheme] = None,
-             fillToStroke: Boolean = false): Bitmap = {
+             fillToStroke: Boolean = false,
+             antiAlias: Boolean = false,
+             optimizeMode: Option[String] = None,
+             noSmoothText: Boolean = false,
+             noSmoothImage: Boolean = false,
+             noSmoothPath: Boolean = false): Bitmap = {
     require(rotation == 0 || rotation == 90 || rotation == 180 || rotation == 270,
       s"rotation must be 0/90/180/270, got $rotation")
     optsTL.remove() // defensive: clear any leak from a crashed prior render
-    optsTL.set(Opts(colorScheme, fillToStroke))
+    optsTL.set(Opts(colorScheme, fillToStroke,
+      aaPath = antiAlias && !noSmoothPath,
+      aaText = !noSmoothText && (antiAlias || optimizeMode.contains("lcd")),
+      aaImage = antiAlias && !noSmoothImage && !optimizeMode.contains("print")))
     val full = page.bbox
     val w0 = math.max(1, math.ceil(full.width * scale).toInt)
     val h0 = math.max(1, math.ceil(full.height * scale).toInt)
@@ -157,7 +181,7 @@ object Rasterizer {
             pts
           }
           fillPolygons(bmp, polys, evenOdd = false, objFill,
-            alpha = tAlpha, blend = tBlend)
+            alpha = tAlpha, blend = tBlend, aa = optsTL.get.aaText)
         } else if (!t3Drawn) rc.tight.foreach { b =>
           if (b.width > 0 && b.height > 0) {
             val p1 = dev.onPoint(b.left, b.bottom)
@@ -513,11 +537,13 @@ object Rasterizer {
               case (Left(tile), patCtm, uncolored) => paintTilingPattern(tile, patCtm, merged, uncolored)
             } catch { case _: Exception => () }
             gs.clip = saved
-          case None => fillPolygons(bmp, polys, evenOdd, gs.fill, gs.clip, gs.fillAlpha, gs.blend, gs.softMask)
+          case None => fillPolygons(bmp, polys, evenOdd, gs.fill, gs.clip, gs.fillAlpha,
+            gs.blend, gs.softMask, aa = optsTL.get.aaPath)
         }
         if (stroke && polys.nonEmpty) {
           val wDev = math.max(gs.lineWidth * math.hypot(gs.ctm.a, gs.ctm.b), 0.7)
-          polys.foreach(p => strokePolyline(bmp, p, wDev, gs.stroke, gs.clip, gs.strokeAlpha, gs.blend, gs.softMask))
+          polys.foreach(p => strokePolyline(bmp, p, wDev, gs.stroke, gs.clip, gs.strokeAlpha,
+            gs.blend, gs.softMask, aa = optsTL.get.aaPath))
         }
       }
       clearPath()
@@ -1428,14 +1454,94 @@ object Rasterizer {
     (y0, y1)
   }
 
-  /** Fill closed polygons (device space) with even-odd or nonzero winding. */
+  /** Fill closed polygons (device space) with even-odd or nonzero winding.
+    * `aa` routes through the coverage-based anti-aliased core. */
   def fillPolygons(bmp: Bitmap, polys: Vector[Array[(Double, Double)]],
                    evenOdd: Boolean, argb: Int, clip: Clip = None,
                    alpha: Double = 1.0, blend: Int = BlendNormal,
-                   smask: Array[Float] = null): Unit = {
+                   smask: Array[Float] = null, aa: Boolean = false): Unit = {
+    if (aa) { fillPolygonsAA(bmp, polys, evenOdd, argb, clip, alpha, blend, smask); return }
     val (y0, y1) = polysYRange(polys, bmp.height, clip)
     scanPolygons(polys, evenOdd, y0, y1) { (xa, xb, y) =>
       fillSpan(bmp, xa, xb, y, argb, clip, alpha, blend, smask)
+    }
+  }
+
+  /** Anti-aliased fill: 4 sub-scanlines per pixel row accumulate
+    * fractional horizontal coverage, then each pixel composites at
+    * alpha × coverage. Interior pixels (coverage 1) keep the exact same
+    * value as the aliased path; only partially-covered edge pixels
+    * differ — pinned interior probes are AA-invariant by construction. */
+  private def fillPolygonsAA(bmp: Bitmap, polys: Vector[Array[(Double, Double)]],
+                             evenOdd: Boolean, argb: Int, clip: Clip,
+                             alpha: Double, blend: Int,
+                             smask: Array[Float]): Unit = {
+    val S = 4
+    val (y0, y1) = polysYRange(polys, bmp.height, clip)
+    var cx0 = 0
+    var cx1 = bmp.width - 1
+    var mask: Array[Byte] = null
+    var maskW = 0
+    clip.foreach { c =>
+      cx0 = math.max(cx0, c.x0); cx1 = math.min(cx1, c.x1)
+      mask = c.mask; maskW = c.maskW
+    }
+    if (cx1 < cx0 || y1 < y0) return
+    val cov = new Array[Float](bmp.width)
+    val xs = mutable.ArrayBuffer[(Double, Int)]()
+    var y = y0
+    while (y <= y1) {
+      java.util.Arrays.fill(cov, 0f)
+      var s = 0
+      while (s < S) {
+        val yc = y + (s + 0.5) / S
+        xs.clear()
+        polys.foreach { p =>
+          var i = 0
+          while (i < p.length) {
+            val (ax, ay) = p(i)
+            val (bx, by) = p((i + 1) % p.length)
+            if ((ay <= yc && by > yc) || (by <= yc && ay > yc)) {
+              val t = (yc - ay) / (by - ay)
+              xs += ((ax + t * (bx - ax), if (by > ay) 1 else -1))
+            }
+            i += 1
+          }
+        }
+        if (xs.nonEmpty) {
+          val sorted = xs.sortBy(_._1)
+          @inline def addSpan(xa: Double, xb: Double): Unit = {
+            var i0 = math.max(cx0, math.floor(xa).toInt)
+            val i1 = math.min(cx1, math.ceil(xb).toInt - 1)
+            while (i0 <= i1) {
+              val c = math.min(i0 + 1.0, xb) - math.max(i0.toDouble, xa)
+              if (c > 0) cov(i0) += math.min(1.0, c).toFloat
+              i0 += 1
+            }
+          }
+          if (evenOdd) {
+            var i = 0
+            while (i + 1 < sorted.length) { addSpan(sorted(i)._1, sorted(i + 1)._1); i += 2 }
+          } else {
+            var wind = 0
+            var i = 0
+            while (i + 1 < sorted.length) {
+              wind += sorted(i)._2
+              if (wind != 0) addSpan(sorted(i)._1, sorted(i + 1)._1)
+              i += 1
+            }
+          }
+        }
+        s += 1
+      }
+      var x = cx0
+      while (x <= cx1) {
+        val c = cov(x) / S
+        if (c > 0.001f && (mask == null || mask(y * maskW + x) != 0))
+          composePixel(bmp, x, y, argb, alpha * math.min(1.0, c.toDouble), blend, smask)
+        x += 1
+      }
+      y += 1
     }
   }
 
@@ -1476,7 +1582,7 @@ object Rasterizer {
   /** Stroke a polyline as per-segment width-quads (round joins skipped). */
   def strokePolyline(bmp: Bitmap, pts: Array[(Double, Double)], width: Double, argb: Int,
                      clip: Clip = None, alpha: Double = 1.0, blend: Int = BlendNormal,
-                     smask: Array[Float] = null): Unit = {
+                     smask: Array[Float] = null, aa: Boolean = false): Unit = {
     val hw = width / 2
     var i = 0
     while (i + 1 < pts.length) {
@@ -1488,7 +1594,7 @@ object Rasterizer {
         val ny = (bx - ax) / len * hw
         fillPolygons(bmp, Vector(Array(
           (ax + nx, ay + ny), (bx + nx, by + ny), (bx - nx, by - ny), (ax - nx, ay - ny))),
-          evenOdd = false, argb, clip, alpha, blend, smask)
+          evenOdd = false, argb, clip, alpha, blend, smask, aa)
       }
       i += 1
     }
@@ -2012,6 +2118,11 @@ object Rasterizer {
       y0 = math.max(y0, c.y0); y1 = math.min(y1, c.y1)
     }
     val cmask = clip.map(c => (c.mask, c.maskW)).filter(_._1 != null)
+    // image smoothing (FPDF_RENDER_NO_SMOOTHIMAGE analog, inverted):
+    // bilinear source sampling of the resolved ARGB (+ alpha channel);
+    // stencil masks stay nearest-sampled — a 1-bit stencil has no
+    // in-between value to interpolate toward
+    val bilinear = optsTL.get.aaImage && px.mask == null
     ctm.invert match {
       case Some(inv) =>
         var y = y0
@@ -2027,6 +2138,32 @@ object Rasterizer {
               if (px.mask != null) {
                 // stencil: painted bits take the fill color, others skip
                 if (px.mask(i) == 1) composePixel(bmp, x, y, fillForMask, constAlpha, blend, smask)
+              } else if (bilinear) {
+                val fx = u * px.w - 0.5
+                val fy = (1 - v) * px.h - 0.5
+                val ix = math.floor(fx).toInt; val iy = math.floor(fy).toInt
+                val tx = fx - ix; val ty = fy - iy
+                @inline def cl(p: Int, lim: Int) = math.max(0, math.min(lim - 1, p))
+                val i00 = cl(iy, px.h) * px.w + cl(ix, px.w)
+                val i01 = cl(iy, px.h) * px.w + cl(ix + 1, px.w)
+                val i10 = cl(iy + 1, px.h) * px.w + cl(ix, px.w)
+                val i11 = cl(iy + 1, px.h) * px.w + cl(ix + 1, px.w)
+                @inline def lerp2(c00: Int, c01: Int, c10: Int, c11: Int): Int =
+                  math.round(((c00 * (1 - tx) + c01 * tx) * (1 - ty) +
+                    (c10 * (1 - tx) + c11 * tx) * ty)).toInt
+                @inline def ch(p: Int, sh: Int): Int = (p >> sh) & 0xff
+                val p00 = px.argb(i00); val p01 = px.argb(i01)
+                val p10 = px.argb(i10); val p11 = px.argb(i11)
+                val argb = 0xFF000000 |
+                  (lerp2(ch(p00, 16), ch(p01, 16), ch(p10, 16), ch(p11, 16)) << 16) |
+                  (lerp2(ch(p00, 8), ch(p01, 8), ch(p10, 8), ch(p11, 8)) << 8) |
+                  lerp2(ch(p00, 0), ch(p01, 0), ch(p10, 0), ch(p11, 0))
+                val a =
+                  if (px.alpha != null)
+                    lerp2(px.alpha(i00) & 0xff, px.alpha(i01) & 0xff,
+                      px.alpha(i10) & 0xff, px.alpha(i11) & 0xff) / 255.0 * constAlpha
+                  else constAlpha
+                composePixel(bmp, x, y, argb, a, blend, smask)
               } else {
                 val a = if (px.alpha != null) (px.alpha(i) & 0xff) / 255.0 * constAlpha else constAlpha
                 composePixel(bmp, x, y, px.argb(i), a, blend, smask)

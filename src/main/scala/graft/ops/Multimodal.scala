@@ -61,7 +61,7 @@ object Multimodal {
     * per-document work (skew guard — the 5000-page monster can't stall a
     * task indefinitely). */
   def renderPages(pages: Dataset[PageRow], scale: Double = 1.0,
-                  maxPages: Int = 32): Dataset[PageImage] = {
+                  maxPages: Int = 32, antiAlias: Boolean = false): Dataset[PageImage] = {
     val spark = pages.sparkSession
     import spark.implicits._
     pages.flatMap { r =>
@@ -70,7 +70,8 @@ object Multimodal {
         case Left(_) => Iterator.empty
         case Right(doc) =>
           (0 until math.min(doc.pageCount, maxPages)).iterator.map { i =>
-            val bmp = graft.core.render.Rasterizer.render(doc.page(i), scale)
+            val bmp = graft.core.render.Rasterizer.render(doc.page(i), scale,
+              antiAlias = antiAlias)
             val ink = math.round(bmp.inkFraction * 10000).toDouble / 100
             PageImage(r.url, i, bmp.width, bmp.height, ink, bmp.toPng)
           }
