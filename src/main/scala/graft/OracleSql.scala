@@ -772,6 +772,74 @@ object OracleSql {
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // PII corpus construction mirrors TextStats.corpusWithPii; patterns are
+    // the Java∩RE2 common dialect so match sets agree engine-for-engine.
+    "text_pii" ->
+      """WITH pii AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com soon' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST((doc_id * 7) % 250 AS VARCHAR) || '.44 today' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' now' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM pii ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE string_split(text, ' ') END AS t FROM documents),
+        |u AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |uc AS (SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2),
+        |ustats AS (SELECT doc_id, max(c) AS mu, sum(c) AS n,
+        |           sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM uc GROUP BY 1),
+        |bl AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b FROM toks),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bl GROUP BY 1, 2),
+        |bstats AS (SELECT doc_id, max(c) AS mb FROM bc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(mu * 1000.0 / n) END AS BIGINT) AS top_unigram_x1000,
+        |  CAST(CASE WHEN coalesce(n, 0) <= 1 THEN 0 ELSE floor(coalesce(mb, 0) * 1000.0 / (n - 1)) END AS BIGINT) AS top_bigram_x1000,
+        |  CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(dup * 1000.0 / n) END AS BIGINT) AS dup_token_x1000
+        |FROM documents d
+        |LEFT JOIN ustats USING (doc_id) LEFT JOIN bstats USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // paragraph chunking mirrors Dedup.corpusWithParagraphs (8-token chunks
+    // of the SAME token array, joined by \n); first-occurrence-wins ordered
+    // by (doc_id, idx) mirrors dedupParagraphs' min-struct keeper.
+    "dedup_paragraph" ->
+      s"""WITH $corpusCte,
+         |chunks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |pidx AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS idx, t FROM chunks),
+         |para AS (SELECT doc_id, idx, array_to_string(t[idx*8+1 : (idx+1)*8], ' ') AS p FROM pidx),
+         |marked AS (SELECT doc_id, idx, p,
+         |           row_number() OVER (PARTITION BY p ORDER BY doc_id, idx) AS rn FROM para)
+         |SELECT doc_id,
+         |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed,
+         |  md5(coalesce(string_agg(p, chr(10) ORDER BY idx) FILTER (WHERE rn = 1), '')) AS clean_md5
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // positional (non-distinct) 8-grams; shared = grams in >1 distinct doc
+    "dedup_substring" ->
+      s"""WITH $corpusCte,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |pg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+         |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7])) AS g
+         |  FROM toks WHERE len(t) >= 8),
+         |shared AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM pg GROUP BY 1) WHERE nd > 1),
+         |hits AS (SELECT doc_id, count(*) AS n_shared_pos FROM pg JOIN shared USING (g) GROUP BY 1),
+         |totals AS (SELECT doc_id, count(*) AS n_grams FROM pg GROUP BY 1)
+         |SELECT t.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(coalesce(n_shared_pos, 0) AS BIGINT) AS n_shared_pos,
+         |  CAST(floor(coalesce(n_shared_pos, 0) * 1000.0 / n_grams) AS BIGINT) AS shared_frac_x1000
+         |FROM totals t LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

@@ -961,6 +961,29 @@ object SparkEntry {
       val d = docs(s, dir, "documents").select(col("doc_id"), col("text"))
       TextStats.decontaminate(d, d.where(col("doc_id") % 25 === 0), n = 8)
         .orderBy("doc_id")
+    }),
+
+    "text_pii" -> ((s, dir) => {
+      TextStats.piiStats(TextStats.corpusWithPii(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("doc_id")
+    }),
+
+    "text_repetition" -> ((s, dir) => {
+      TextStats.repetition(docs(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_paragraph" -> ((s, dir) => {
+      Dedup.dedupParagraphs(Dedup.corpusWithParagraphs(Dedup.corpusWithReplicas(
+        docs(s, dir, "documents").select(col("doc_id"), col("text")))))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_substring" -> ((s, dir) => {
+      Dedup.repeatedSpans(Dedup.corpusWithReplicas(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("doc_id")
     })
   )
 

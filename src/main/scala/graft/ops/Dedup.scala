@@ -129,6 +129,18 @@ object Dedup {
     java.nio.ByteBuffer.wrap(d, 0, 8).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
   }
 
+  /** Lowercase MD5 hex of a UTF-8 string — identical to Spark's `md5()`
+    * and DuckDB's `md5()`, for Scala-side paragraph/fingerprint keys. */
+  def md5Hex(s: String): String = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) { sb.append(f"${d(i) & 0xff}%02x"); i += 1 }
+    sb.toString
+  }
+
   /** splitmix64 avalanche — a deterministic, well-mixing permutation proxy. */
   @inline private def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -507,6 +519,98 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
       .localCheckpoint(true)
     banded.unpersist(false)
+    out
+  }
+
+  /** Deterministic paragraph-bearing correctness corpus: rewrites each
+    * document as fixed 8-token word chunks joined by '\n' (the synthetic
+    * word streams carry no natural paragraph breaks). Reproduced verbatim
+    * in the oracle via DuckDB list slicing — both sides chunk the SAME
+    * token array, so paragraph boundaries agree byte-for-byte. */
+  def corpusWithParagraphs(docs: DataFrame, chunk: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        (id, t.split(" ", -1).grouped(chunk).map(_.mkString(" ")).mkString("\n"))
+      }
+      .toDF("doc_id", "text")
+  }
+
+  /** C4-style cross-corpus paragraph deduplication (Raffel et al. 2020
+    * §2.2 "three-sentence span" rule, at paragraph granularity): every
+    * paragraph instance except the globally FIRST occurrence — ordered by
+    * (doc_id, paragraph index) — is removed, and documents are reassembled
+    * from their surviving paragraphs.
+    *
+    * Scale shape: paragraphs are hashed where produced; the first-occurrence
+    * decision shuffles (hash, doc_id, idx) triples ONLY — never paragraph
+    * text (~24 B/paragraph at 10^12 docs). Removal lists come back as a
+    * per-doc array of dropped indices (bounded by paragraphs-per-doc) and
+    * the cleaned text is rebuilt map-side by re-splitting the original
+    * document — the corpus itself crosses no shuffle. */
+  def dedupParagraphs(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val paraIds = corpus.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        t.split("\n", -1).iterator.zipWithIndex.map { case (p, i) =>
+          (id, i.toLong, md5Hex(p))
+        }
+      }
+      .toDF("doc_id", "idx", "h")
+    val firsts = paraIds.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("keeper"))
+    val removed = paraIds.join(firsts, Seq("h"))
+      .where(col("doc_id") =!= col("keeper.doc_id") || col("idx") =!= col("keeper.idx"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("drop_idx"))
+    corpus.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), coalesce(col("drop_idx"), array()).as("drop_idx"))
+      .as[(Long, String, Seq[Long])]
+      .map { case (id, t, drop) =>
+        val dropSet = drop.toSet
+        val kept = t.split("\n", -1).iterator.zipWithIndex
+          .collect { case (p, i) if !dropSet.contains(i.toLong) => p }
+        (id, drop.size.toLong, md5Hex(kept.mkString("\n")))
+      }
+      .toDF("doc_id", "n_removed", "clean_md5")
+  }
+
+  /** Cross-document repeated-span detection — the signal behind exact
+    * substring deduplication (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): for each document, how many of its
+    * word n-gram positions are covered by an n-gram that also occurs in at
+    * least one OTHER document. Gram occurrence lists never materialize:
+    * grams aggregate to (gram, n_docs) pairs (map-side combined), the
+    * shared set semi-joins back against per-doc gram positions, and only
+    * (doc_id, count) pairs leave the final aggregation. At web scale grams
+    * would be 8-byte hashes on both sides of the same plan. */
+  def repeatedSpans(corpus: DataFrame, n: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // positional (non-distinct) grams: one row per gram start position
+    val posGrams = corpus.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = t.split(" ", -1)
+        (0 to toks.length - n).iterator.map(i => (id, toks.slice(i, i + n).mkString(" ")))
+      }
+      .toDF("doc_id", "g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = posGrams.dropDuplicates("doc_id", "g")
+      .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > 1)
+      .select(col("g"))
+    val sharedHits = posGrams.join(shared, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_pos"))
+    val totals = posGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val out = totals.join(sharedHits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared_pos"), lit(0L)).as("n_shared_pos"),
+        floor(coalesce(col("n_shared_pos"), lit(0L)).cast("double") * 1000.0 /
+          col("n_grams").cast("double")).cast("long").as("shared_frac_x1000"))
+      .localCheckpoint(true)
+    posGrams.unpersist(false)
     out
   }
 }

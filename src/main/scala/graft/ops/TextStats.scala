@@ -135,4 +135,76 @@ object TextStats {
     docs.select(
       col("doc_id"),
       md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""))).as("fp"))
+
+  /** PII patterns — kept to the Java∩RE2 common dialect (\b, \d, classes,
+    * bounded reps) so Spark's codegen'd regexp_count/regexp_replace and the
+    * DuckDB oracle agree match-for-match. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Deterministic PII-bearing correctness corpus: appends a synthetic
+    * email / IPv4 / phone span to documents on fixed doc_id residues —
+    * reproduced verbatim in the oracle SQL (concat + CAST arithmetic only),
+    * so detection counts and the redacted text are value-checkable. */
+  def corpusWithPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com soon"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 200).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 250).cast("string"), lit(".44 today"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" call 555-"), (col("doc_id") % 900 + 100).cast("string"),
+          lit("-"), (col("doc_id") % 9000 + 1000).cast("string"), lit(" now"))).otherwise(lit("")))
+      .as("text"))
+
+  /** PII detection + redaction — the training-data scrubbing staple.
+    * Per-row regexp scans (codegen'd, no shuffle, no UDF — the 100-TB shape
+    * is a narrow map over the corpus scan). Counts per category plus the
+    * md5 of the fully-redacted text (email→<EMAIL>, then IP→<IP>, then
+    * phone→<PHONE>, in that fixed order), which proves the replacement
+    * itself — not just the counts — matches the oracle byte-for-byte. */
+  def piiStats(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ipv4"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  /** Within-document repetition signals — the second half of the Gopher
+    * §A1.1 rule set (Rae et al. 2021: top-n-gram fraction, duplicate-line
+    * fraction), adapted to word-stream documents: the most-frequent unigram
+    * and bigram's share of the document, and the share of tokens belonging
+    * to any repeated unigram. One typed-map pass per row (two hash maps of
+    * the row's own tokens — O(tokens) memory, narrow plan, no shuffle);
+    * ×1000 floor-integer ratios keep the values engine-portable. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val toks = if (t.trim.isEmpty) Array.empty[String] else t.split(" ", -1)
+        val n = toks.length
+        val uni = new scala.collection.mutable.HashMap[String, Long]()
+        toks.foreach(w => uni.update(w, uni.getOrElse(w, 0L) + 1L))
+        val bi = new scala.collection.mutable.HashMap[String, Long]()
+        var i = 0
+        while (i + 1 < n) { val b = toks(i) + " " + toks(i + 1); bi.update(b, bi.getOrElse(b, 0L) + 1L); i += 1 }
+        val topUni = if (uni.isEmpty) 0L else uni.values.max
+        val topBi = if (bi.isEmpty) 0L else bi.values.max
+        val dupToks = uni.values.filter(_ > 1L).sum
+        def frac(num: Long, den: Long): Long =
+          if (den == 0L) 0L else math.floor(num.toDouble * 1000.0 / den.toDouble).toLong
+        (id, n.toLong, frac(topUni, n), frac(topBi, math.max(n - 1, 0)), frac(dupToks, n))
+      }
+      .toDF("doc_id", "n_tokens", "top_unigram_x1000", "top_bigram_x1000", "dup_token_x1000")
+  }
 }
