@@ -53,6 +53,15 @@ object PlanAudit {
     show("text_decontaminate (benchmark grams broadcast, corpus narrow)") {
       graft.SparkEntry.queries("text_decontaminate")(spark, sfDir)
     }
+    show("dedup_paragraph (ids-only first-occurrence shuffle, map-side rebuild)") {
+      graft.SparkEntry.queries("dedup_paragraph")(spark, sfDir)
+    }
+    show("dedup_substring (map-side-combined gram counts, semi-join back)") {
+      graft.SparkEntry.queries("dedup_substring")(spark, sfDir)
+    }
+    show("text_pii (narrow codegen'd regexp scan, no shuffle)") {
+      graft.SparkEntry.queries("text_pii")(spark, sfDir)
+    }
     spark.stop()
   }
 }
