@@ -840,6 +840,28 @@ object OracleSql {
          |SELECT t.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
          |  CAST(coalesce(n_shared_pos, 0) AS BIGINT) AS n_shared_pos,
          |  CAST(floor(coalesce(n_shared_pos, 0) * 1000.0 / n_grams) AS BIGINT) AS shared_frac_x1000
-         |FROM totals t LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM totals t LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // mirrors NativeFns.normalizeText: NFC, strip C0 controls (except
+    // \t\n\r) + DEL, collapse [ \t\n\r]+ runs to one space, trim. The
+    // planted spans (decomposed accents / BEL / precomposed e-acute) are
+    // rebuilt byte-for-byte via chr(); nfc_normalize is DuckDB's UAX#15
+    // NFC, identical to java.text.Normalizer on these inputs.
+    "text_normalize" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '  cafe' || chr(769) || '   deco' || chr(769) || 'r' ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0 THEN ' ctl' || chr(7) || 'chars' || chr(9) || 'tab' || chr(10) || 'line ' ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 0 THEN ' pre' || chr(233) || 'composed' ELSE '' END AS t0
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(t0),
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+        |      '[ \t\n\r]+', ' ', 'g')) AS t
+        |  FROM aug)
+        |SELECT doc_id, md5(t) AS norm_md5, CAST(length(t) AS BIGINT) AS n_chars_norm
+        |FROM norm ORDER BY doc_id""".stripMargin
   )
 }

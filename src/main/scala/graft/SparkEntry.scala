@@ -984,6 +984,24 @@ object SparkEntry {
       Dedup.repeatedSpans(Dedup.corpusWithReplicas(
         docs(s, dir, "documents").select(col("doc_id"), col("text"))))
         .orderBy("doc_id")
+    }),
+
+    "text_normalize" -> ((s, dir) => {
+      // unicode canonicalization via the native Catalyst Expression
+      // (text_normalize_native: NFC + control strip + whitespace collapse
+      // + trim — codegen'd, no UDF boundary). The corpus is augmented with
+      // deterministic decomposed-accent / control / precomposed spans on
+      // fixed residues, reproduced verbatim in the oracle via chr(...).
+      graft.functions.NativeRegistry.register(s)
+      docs(s, dir, "documents").select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit("  cafe\u0301   deco\u0301r")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(" ctl\u0007chars\ttab\nline ")).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit(" pre\u00e9composed")).otherwise(lit("")))
+        .as("text"))
+        .createOrReplaceTempView("docs_norm")
+      s.sql("""SELECT doc_id, md5(t) AS norm_md5, CAST(length(t) AS BIGINT) AS n_chars_norm
+               |FROM (SELECT doc_id, text_normalize_native(text) AS t FROM docs_norm)
+               |ORDER BY doc_id""".stripMargin)
     })
   )
 

@@ -25,6 +25,40 @@ object NativeFns {
   def simhash(s: String): Long =
     graft.ops.Dedup.simhash64(graft.ops.Dedup.shingleStrings(if (s == null) "" else s).toSeq)
 
+  /** Unicode text canonicalization — the standard web-corpus cleanup stage:
+    * NFC composition, control-character strip (C0 except \t\n\r, and DEL),
+    * whitespace-run collapse to a single space, trim. Exactly reproducible
+    * in DuckDB as nfc_normalize + two regexp_replace('g') + trim, which is
+    * what the `text_normalize` oracle does. */
+  def normalizeText(s0: String): String = {
+    val s = java.text.Normalizer.normalize(
+      if (s0 == null) "" else s0, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    var seen = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val isCtl = (c < 0x20 && c != '\t' && c != '\n' && c != '\r') || c == 0x7f
+      if (!isCtl) {
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pendingSpace = true
+        else {
+          if (pendingSpace && seen) sb.append(' ')
+          pendingSpace = false
+          seen = true
+          sb.append(c)
+        }
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** UTF8String adapter for codegen/eval (Catalyst's internal string rep). */
+  def normalizeTextU8(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      normalizeText(if (s == null) "" else s.toString))
+
   /** Fused per-document stats: ONE parse feeding every column (VERDICT r4
     * "What's wrong #2": `SELECT pdf_page_count_native(html),
     * pdf_char_count_native(html)` parsed each payload twice — at 100 TB the
@@ -115,6 +149,22 @@ object PdfStatsExpr {
     org.apache.spark.sql.types.StructField("err", StringType, nullable = false)))
 }
 
+/** text_normalize_native(text string) → string (NFC + control strip +
+  * whitespace collapse + trim — see NativeFns.normalizeText). */
+final case class TextNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    NativeFns.normalizeTextU8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeFns.normalizeTextU8($c)")
+  override protected def withNewChildInternal(newChild: Expression): TextNormalizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "text_normalize_native"
+}
+
 /** Session-extension entry point:
   * `spark-submit --conf spark.sql.extensions=graft.functions.GraftSparkExtensions`
   * injects the native functions into every session built on the cluster. */
@@ -140,7 +190,10 @@ object NativeRegistry {
       (args: Seq[Expression]) => SimhashExpr(args.head)),
     ("pdf_stats_native",
       new ExpressionInfo(classOf[PdfStatsExpr].getName, "pdf_stats_native"),
-      (args: Seq[Expression]) => PdfStatsExpr(args.head)))
+      (args: Seq[Expression]) => PdfStatsExpr(args.head)),
+    ("text_normalize_native",
+      new ExpressionInfo(classOf[TextNormalizeExpr].getName, "text_normalize_native"),
+      (args: Seq[Expression]) => TextNormalizeExpr(args.head)))
 
   /** In-session registration (same builders as the extension path) for
     * sessions created without `spark.sql.extensions`. */

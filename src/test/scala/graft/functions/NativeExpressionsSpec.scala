@@ -74,6 +74,25 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(bad.getInt(0) == -1 && bad.getLong(1) == -1L && bad.getString(2).nonEmpty)
   }
 
+  test("text_normalize_native: NFC + control strip + whitespace collapse + trim") {
+    NativeRegistry.register(spark)
+    // decomposed e + combining acute composes to U+00E9; BEL stripped
+    // without acting as whitespace; tab/newline runs collapse; trim ends
+    val got = spark.sql(
+      "SELECT text_normalize_native('  cafe\u0301  x\tb\n\nc ctl\u0007chars  ') AS t")
+      .collect()(0).getString(0)
+    assert(got == "caf\u00e9 x b c ctlchars", got.map(_.toInt).mkString(","))
+    // plan stays native (no ScalaUDF), null-safe
+    val df = spark.sql("SELECT text_normalize_native(CAST(NULL AS STRING))")
+    assert(df.queryExecution.executedPlan.toString.contains("text_normalize_native"))
+    assert(df.collect()(0).isNullAt(0))
+    // direct function parity + idempotence on already-normal text
+    assert(NativeFns.normalizeText("a  b") == "a b")
+    assert(NativeFns.normalizeText("a b") == "a b")
+    assert(NativeFns.normalizeText(" \t\n\u0007 ") == "")
+    assert(NativeFns.normalizeText(null) == "")
+  }
+
   test("type mismatch is rejected at analysis time") {
     NativeRegistry.register(spark)
     val e = intercept[Exception] {
