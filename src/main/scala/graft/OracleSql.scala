@@ -30,6 +30,70 @@ object OracleSql {
       |  UNION ALL
       |  SELECT doc_id + 200000 AS doc_id, text FROM base WHERE doc_id % 5 = 0)""".stripMargin
 
+  /** Messy-URL synthesis + canonicalization — mirrors
+    * graft.ops.UrlOps.withRawUrls / canonicalizeUrl / hostOf /
+    * registeredDomain rule for rule (case fold, default-port strip,
+    * empty path → '/', tracking-param drop + lexicographic param sort,
+    * fragment drop, pinned two-part public suffixes). */
+  private val urlCanonCte =
+    """syn AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 1 THEN 999 ELSE doc_id % 25 END AS site_id
+      |  FROM documents),
+      |syn2 AS (
+      |  SELECT doc_id, site_id,
+      |    CASE WHEN site_id % 4 = 0 THEN 'com' WHEN site_id % 4 = 1 THEN 'org'
+      |         WHEN site_id % 4 = 2 THEN 'net' ELSE 'co.uk' END AS tld
+      |  FROM syn),
+      |raw AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+      |    (CASE WHEN doc_id % 4 < 2 THEN 'WWW.Site' ELSE 'www.site' END) ||
+      |    site_id || '.' ||
+      |    (CASE WHEN doc_id % 8 < 4 THEN upper(tld) ELSE tld END) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN
+      |            (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+      |          WHEN doc_id % 6 = 3 THEN ':8080' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 10 = 9 THEN '' ELSE '/p/' || (doc_id % 10) END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '?b=2&utm_source=feed&a=1'
+      |          WHEN doc_id % 3 = 1 THEN '?z=' || (doc_id % 2) || '&a=1&fbclid=XYZ&b=2'
+      |          ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN '#sec' || (doc_id % 3) ELSE '' END) AS url
+      |  FROM syn2),
+      |parts AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
+      |    lower(regexp_extract(regexp_replace(url, '^[^:/?#]+://', ''), '^([^/?#]*)', 1)) AS hostport,
+      |    regexp_replace(regexp_replace(regexp_replace(url, '^[^:/?#]+://', ''), '^[^/?#]*', ''), '#.*$', '') AS nofrag
+      |  FROM raw),
+      |parts2 AS (
+      |  SELECT doc_id, url, scheme,
+      |    regexp_replace(hostport, ':[0-9]+$', '') AS host,
+      |    regexp_extract(hostport, '(:[0-9]+)$', 1) AS port,
+      |    regexp_extract(nofrag, '^([^?]*)', 1) AS path0,
+      |    CASE WHEN nofrag LIKE '%?%' THEN regexp_extract(nofrag, '[?](.*)$', 1) ELSE '' END AS query0
+      |  FROM parts),
+      |parts3 AS (
+      |  SELECT doc_id, url, scheme, host,
+      |    CASE WHEN (scheme = 'http' AND port = ':80') OR (scheme = 'https' AND port = ':443')
+      |         THEN '' ELSE port END AS kept_port,
+      |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+      |    list_sort(list_filter(string_split(query0, '&'), x -> x <> ''
+      |      AND NOT starts_with(x, 'utm_') AND NOT starts_with(x, 'fbclid=')
+      |      AND NOT starts_with(x, 'gclid=') AND NOT starts_with(x, 'ref=')
+      |      AND NOT starts_with(x, 'msclkid='))) AS kept
+      |  FROM parts2),
+      |canon AS (
+      |  SELECT doc_id, host,
+      |    scheme || '://' || host || kept_port || path ||
+      |      (CASE WHEN len(kept) = 0 THEN '' ELSE '?' || array_to_string(kept, '&') END) AS url_canon,
+      |    CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+      |         WHEN (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
+      |              IN ('co.uk', 'ac.uk', 'org.uk', 'com.au', 'co.jp')
+      |         THEN array_to_string(string_split(host, '.')[-3:], '.')
+      |         ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
+      |  FROM parts3)""".stripMargin
+
   /** Word 3-gram shingle list — mirrors graft.ops.Dedup.shingles3. */
   private val shinglesCte =
     """sh AS (
@@ -862,6 +926,24 @@ object OracleSql {
         |      '[ \t\n\r]+', ' ', 'g')) AS t
         |  FROM aug)
         |SELECT doc_id, md5(t) AS norm_md5, CAST(length(t) AS BIGINT) AS n_chars_norm
-        |FROM norm ORDER BY doc_id""".stripMargin
+        |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "url_normalize" ->
+      s"""WITH $urlCanonCte
+         |SELECT doc_id, url_canon, host, domain FROM canon ORDER BY doc_id""".stripMargin,
+
+    "url_dedup" ->
+      s"""WITH $urlCanonCte
+         |SELECT url_canon, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_dups
+         |FROM canon GROUP BY url_canon ORDER BY url_canon""".stripMargin,
+
+    "url_domain_stats" ->
+      s"""WITH $urlCanonCte
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+         |FROM canon JOIN documents USING (doc_id)
+         |GROUP BY domain ORDER BY domain""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.spark.{DocParts, ExtractPipeline, PageRow, PagesTable}
-import graft.ops.{Dedup, Similarity, TextStats}
+import graft.ops.{Dedup, Similarity, TextStats, UrlOps}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB oracle where SQL-expressible.
@@ -1002,6 +1002,36 @@ object SparkEntry {
       s.sql("""SELECT doc_id, md5(t) AS norm_md5, CAST(length(t) AS BIGINT) AS n_chars_norm
                |FROM (SELECT doc_id, text_normalize_native(text) AS t FROM docs_norm)
                |ORDER BY doc_id""".stripMargin)
+    }),
+
+    "url_normalize" -> ((s, dir) => {
+      // canonicalization + host + registered domain, all per-row native
+      // expressions (zero shuffle); the messy raw urls are planted
+      // deterministically from doc_id (the corpus has no url column) and
+      // the oracle rebuilds synthesis AND canonicalization in SQL
+      UrlOps.normalize(UrlOps.withRawUrls(
+        docs(s, dir, "documents").select(col("doc_id"))))
+        .select("doc_id", "url_canon", "host", "domain")
+        .orderBy("doc_id")
+    }),
+
+    "url_dedup" -> ((s, dir) => {
+      // first-occurrence-wins dedup on the CANONICAL url — raw-form noise
+      // (case, ports, param order, tracking params, fragments) must not
+      // defeat it; one hash shuffle on the canonical key
+      UrlOps.dedupByCanonical(UrlOps.normalize(UrlOps.withRawUrls(
+        docs(s, dir, "documents").select(col("doc_id")))))
+        .orderBy("url_canon")
+    }),
+
+    "url_domain_stats" -> ((s, dir) => {
+      // per-registered-domain rollup with a planted hot domain (~50% of
+      // rows): algebraic aggregates → map-side partial agg absorbs the
+      // skew, no salting needed
+      val d = docs(s, dir, "documents")
+      UrlOps.domainStats(
+        UrlOps.normalize(UrlOps.withRawUrls(d.select(col("doc_id")))), d)
+        .orderBy("domain")
     })
   )
 

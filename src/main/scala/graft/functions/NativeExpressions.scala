@@ -59,6 +59,18 @@ object NativeFns {
     org.apache.spark.unsafe.types.UTF8String.fromString(
       normalizeText(if (s == null) "" else s.toString))
 
+  /** URL canonicalization adapters (rules in graft.ops.UrlOps). */
+  def canonicalizeUrlU8(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.ops.UrlOps.canonicalizeUrl(if (s == null) "" else s.toString))
+  def urlHostU8(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.ops.UrlOps.hostOf(if (s == null) "" else s.toString))
+  def urlDomainU8(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.ops.UrlOps.registeredDomain(
+        graft.ops.UrlOps.hostOf(if (s == null) "" else s.toString)))
+
   /** Fused per-document stats: ONE parse feeding every column (VERDICT r4
     * "What's wrong #2": `SELECT pdf_page_count_native(html),
     * pdf_char_count_native(html)` parsed each payload twice — at 100 TB the
@@ -165,6 +177,54 @@ final case class TextNormalizeExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "text_normalize_native"
 }
 
+/** url_canonicalize_native(url string) → string — lowercased scheme/host,
+  * default ports stripped, tracking params dropped, params sorted,
+  * fragment dropped (rules: graft.ops.UrlOps.canonicalizeUrl). */
+final case class UrlCanonicalizeExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    NativeFns.canonicalizeUrlU8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeFns.canonicalizeUrlU8($c)")
+  override protected def withNewChildInternal(newChild: Expression): UrlCanonicalizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "url_canonicalize_native"
+}
+
+/** url_host_native(canonical_url string) → string */
+final case class UrlHostExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    NativeFns.urlHostU8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeFns.urlHostU8($c)")
+  override protected def withNewChildInternal(newChild: Expression): UrlHostExpr =
+    copy(child = newChild)
+  override def prettyName: String = "url_host_native"
+}
+
+/** url_domain_native(canonical_url string) → string (registered domain:
+  * last 2 labels, 3 over the pinned two-part public suffixes). */
+final case class UrlDomainExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    NativeFns.urlDomainU8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeFns.urlDomainU8($c)")
+  override protected def withNewChildInternal(newChild: Expression): UrlDomainExpr =
+    copy(child = newChild)
+  override def prettyName: String = "url_domain_native"
+}
+
 /** Session-extension entry point:
   * `spark-submit --conf spark.sql.extensions=graft.functions.GraftSparkExtensions`
   * injects the native functions into every session built on the cluster. */
@@ -193,7 +253,16 @@ object NativeRegistry {
       (args: Seq[Expression]) => PdfStatsExpr(args.head)),
     ("text_normalize_native",
       new ExpressionInfo(classOf[TextNormalizeExpr].getName, "text_normalize_native"),
-      (args: Seq[Expression]) => TextNormalizeExpr(args.head)))
+      (args: Seq[Expression]) => TextNormalizeExpr(args.head)),
+    ("url_canonicalize_native",
+      new ExpressionInfo(classOf[UrlCanonicalizeExpr].getName, "url_canonicalize_native"),
+      (args: Seq[Expression]) => UrlCanonicalizeExpr(args.head)),
+    ("url_host_native",
+      new ExpressionInfo(classOf[UrlHostExpr].getName, "url_host_native"),
+      (args: Seq[Expression]) => UrlHostExpr(args.head)),
+    ("url_domain_native",
+      new ExpressionInfo(classOf[UrlDomainExpr].getName, "url_domain_native"),
+      (args: Seq[Expression]) => UrlDomainExpr(args.head)))
 
   /** In-session registration (same builders as the extension path) for
     * sessions created without `spark.sql.extensions`. */

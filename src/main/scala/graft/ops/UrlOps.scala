@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL operators for a Common-Crawl-style corpus: canonicalization,
+  * registered-domain extraction, canonical-URL dedup, and per-domain
+  * aggregation. The north-rule input table is keyed by `url`, and every
+  * real web pipeline normalizes that key before any dedup or grouping —
+  * crawlers record the same page as `HTTP://WWW.Site.com:80/p?b=2&a=1#x`
+  * and `https://www.site.com/p?a=1&b=2` across fetches.
+  *
+  * Canonicalization rules (all exactly reproducible in DuckDB SQL, which is
+  * what the `url_normalize` oracle does):
+  *   1. scheme and host lowercased;
+  *   2. default ports stripped (`:80` for http, `:443` for https), other
+  *      ports kept;
+  *   3. empty path becomes `/`;
+  *   4. query params: empties and tracking params (`utm_*`, `fbclid`,
+  *      `gclid`, `ref`, `msclkid`) dropped, the rest sorted
+  *      lexicographically (ASCII byte order == UTF-16 order here) and
+  *      re-joined — param ORDER differences stop defeating dedup;
+  *   5. fragment dropped.
+  *
+  * Scale: canonicalization is a per-row codegen'd expression
+  * (`url_canonicalize_native`) — zero shuffle. Canonical dedup is one
+  * hash-shuffle on the canonical key. Per-domain aggregation relies on
+  * Spark's partial (map-side) aggregation: a hot domain holding half the
+  * corpus produces ONE partial row per task, not a skewed shuffle — no
+  * salting needed for algebraic aggregates.
+  */
+object UrlOps {
+
+  private val TrackingPrefixes =
+    Array("utm_", "fbclid=", "gclid=", "ref=", "msclkid=")
+
+  /** Pure canonicalization function (also the body of the native Catalyst
+    * expression `url_canonicalize_native` in functions.NativeExpressions).
+    * Input must be `scheme://...`; anything else is returned lowercased
+    * as-is (never throws — error rows stay rows). */
+  def canonicalizeUrl(raw0: String): String = {
+    val raw = if (raw0 == null) "" else raw0
+    val schemeEnd = raw.indexOf("://")
+    if (schemeEnd < 0) return raw.toLowerCase(java.util.Locale.ROOT)
+    val scheme = raw.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
+    val rest = raw.substring(schemeEnd + 3)
+    // host[:port] runs to the first of / ? #
+    var cut = rest.length
+    var i = 0
+    while (i < cut) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?' || c == '#') cut = i else i += 1
+    }
+    val hostPort = rest.substring(0, cut).toLowerCase(java.util.Locale.ROOT)
+    val tail = rest.substring(cut)
+    val (host, port) = hostPort.lastIndexOf(':') match {
+      case -1 => (hostPort, "")
+      case p  => (hostPort.substring(0, p), hostPort.substring(p))
+    }
+    val keptPort =
+      if ((scheme == "http" && port == ":80") || (scheme == "https" && port == ":443")) ""
+      else port
+    // split tail into path / query / fragment(dropped)
+    val hashAt = tail.indexOf('#')
+    val noFrag = if (hashAt < 0) tail else tail.substring(0, hashAt)
+    val qAt = noFrag.indexOf('?')
+    val path0 = if (qAt < 0) noFrag else noFrag.substring(0, qAt)
+    val path = if (path0.isEmpty) "/" else path0
+    val query = if (qAt < 0) "" else noFrag.substring(qAt + 1)
+    val kept = query.split("&", -1).filter { p =>
+      p.nonEmpty && !TrackingPrefixes.exists(p.startsWith)
+    }.sorted
+    val q = if (kept.isEmpty) "" else kept.mkString("?", "&", "")
+    scheme + "://" + host + keptPort + path + q
+  }
+
+  /** Host of an already-canonical URL (lowercased, port stripped for
+    * grouping purposes). */
+  def hostOf(canon0: String): String = {
+    val canon = if (canon0 == null) "" else canon0
+    val schemeEnd = canon.indexOf("://")
+    if (schemeEnd < 0) return ""
+    val rest = canon.substring(schemeEnd + 3)
+    var cut = rest.length
+    var i = 0
+    while (i < cut) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?' || c == '#' || c == ':') cut = i else i += 1
+    }
+    rest.substring(0, cut)
+  }
+
+  /** Two-label public suffixes the corpus can produce — a deliberately
+    * small, pinned subset of the public-suffix list so the oracle can
+    * mirror it as a SQL CASE (the full PSL is a data file, same logic). */
+  private val TwoPartSuffixes = Set("co.uk", "ac.uk", "org.uk", "com.au", "co.jp")
+
+  /** Registered domain: last 2 labels, or last 3 when the host ends in a
+    * known two-part public suffix (site999.co.uk → site999.co.uk, but
+    * www.site7.com → site7.com). */
+  def registeredDomain(host0: String): String = {
+    val host = if (host0 == null) "" else host0
+    val labels = host.split('.')
+    if (labels.length <= 2) host
+    else {
+      val lastTwo = labels(labels.length - 2) + "." + labels(labels.length - 1)
+      val n = if (TwoPartSuffixes.contains(lastTwo)) 3 else 2
+      labels.takeRight(n).mkString(".")
+    }
+  }
+
+  /** Deterministic messy-URL synthesis keyed on doc_id — the corpus has no
+    * url column, so tests and oracles plant one with case noise, default
+    * ports, unsorted + tracking query params, and fragments. Residue
+    * choices guarantee canonical collisions (different raw forms, same
+    * canonical URL) so `url_dedup` has real work. Mirrored verbatim in the
+    * DuckDB oracle. Built-ins only — fully codegen'd. */
+  def withRawUrls(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val siteId = when(d % 2 === 1, lit(999)).otherwise(d % 25).cast("int")
+    val tld = when(siteId % 4 === 0, "com").when(siteId % 4 === 1, "org")
+      .when(siteId % 4 === 2, "net").otherwise("co.uk")
+    val scheme = when(d % 3 === 0, "HTTP").otherwise("https")
+    val hostCore = concat(
+      when(d % 4 < 2, lit("WWW.Site")).otherwise(lit("www.site")),
+      siteId, lit("."),
+      when(d % 8 < 4, upper(tld)).otherwise(tld))
+    val port = when(d % 6 === 0, when(d % 3 === 0, ":80").otherwise(":443"))
+      .when(d % 6 === 3, lit(":8080")).otherwise(lit(""))
+    val path = when(d % 10 === 9, lit("")).otherwise(concat(lit("/p/"), d % 10))
+    val query = when(d % 3 === 0, lit("?b=2&utm_source=feed&a=1"))
+      .when(d % 3 === 1, concat(lit("?z="), d % 2, lit("&a=1&fbclid=XYZ&b=2")))
+      .otherwise(lit(""))
+    val frag = when(d % 5 === 0, concat(lit("#sec"), d % 3)).otherwise(lit(""))
+    docs.withColumn("url", concat(scheme, lit("://"), hostCore, port, path, query, frag))
+  }
+
+  /** doc_id → canonical url, host, registered domain. Uses the native
+    * expression so the whole projection stays inside whole-stage codegen. */
+  def normalize(docsWithUrl: DataFrame): DataFrame = {
+    val spark = docsWithUrl.sparkSession
+    graft.functions.NativeRegistry.register(spark)
+    docsWithUrl.createOrReplaceTempView("urls_raw_v")
+    spark.sql(
+      """SELECT doc_id, url,
+        |  url_canonicalize_native(url) AS url_canon,
+        |  url_host_native(url_canonicalize_native(url)) AS host,
+        |  url_domain_native(url_canonicalize_native(url)) AS domain
+        |FROM urls_raw_v""".stripMargin)
+  }
+
+  /** Canonical-URL dedup: first-occurrence (min doc_id) wins per canonical
+    * key — one hash shuffle on the canonical url, partial-agg combined. */
+  def dedupByCanonical(normalized: DataFrame): DataFrame =
+    normalized.groupBy(col("url_canon"))
+      .agg(min("doc_id").as("keeper_doc_id"),
+           count(lit(1)).as("n_dups"))
+
+  /** Per-registered-domain rollup. Algebraic aggregates only, so Spark's
+    * map-side partial aggregation absorbs the planted hot domain (~50% of
+    * rows on site999.co.uk): each task emits one partial row per domain,
+    * and the final shuffle carries |domains| rows per task regardless of
+    * skew. countDistinct(host) adds one Expand pass but stays bounded by
+    * the tiny host cardinality. */
+  def domainStats(normalized: DataFrame, docs: DataFrame): DataFrame =
+    normalized.join(docs.select("doc_id", "n_chars"), "doc_id")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_chars").as("sum_chars"),
+           countDistinct(col("host")).as("n_hosts"))
+}
