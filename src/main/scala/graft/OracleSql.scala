@@ -928,6 +928,43 @@ object OracleSql {
         |SELECT doc_id, md5(t) AS norm_md5, CAST(length(t) AS BIGINT) AS n_chars_norm
         |FROM norm ORDER BY doc_id""".stripMargin,
 
+    // mirrors Dedup.dedupAgainstSnapshot + freshBatch(split=250): the
+    // bloom prefilter is exact-invisible, so the oracle is the plain
+    // fingerprint semi-join the operator must be equivalent to
+    "dedup_snapshot" ->
+      """WITH snap AS (SELECT md5(text) AS fp FROM documents WHERE doc_id < 250),
+        |fresh AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250 AND doc_id < 1000
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id < 250 AND doc_id % 3 = 0)
+        |SELECT doc_id, (md5(text) IN (SELECT fp FROM snap)) AS in_snapshot
+        |FROM fresh ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextStats.lmScore (vocabSize=16): per-token surprisal is
+    // quantized once (floor(ln(total/c)*1000)), then everything downstream
+    // is integer arithmetic — engine-portable despite the ln (measured
+    // floor-boundary margins ≥1e-3 vs ~1e-13 cross-libm ulp)
+    "text_lm_score" ->
+      """WITH toksrc AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t FROM documents),
+        |u AS (SELECT doc_id, unnest(t) AS w FROM toksrc),
+        |c AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+        |tot AS (SELECT sum(c) AS total FROM c),
+        |vocab AS (SELECT w, CAST(floor(ln(CAST(total AS DOUBLE) / c) * 1000) AS BIGINT) AS lp
+        |          FROM c, tot ORDER BY c DESC, w LIMIT 16),
+        |j AS (SELECT u.doc_id, v.lp FROM u LEFT JOIN vocab v USING (w)),
+        |agg AS (SELECT doc_id, count(*) AS n_tokens,
+        |        count(*) FILTER (WHERE lp IS NULL) AS n_oov,
+        |        coalesce(sum(lp), 0) AS sum_lp FROM j GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+        |  CAST(CASE WHEN coalesce(n_tokens, 0) - coalesce(n_oov, 0) = 0 THEN 0
+        |       ELSE floor(sum_lp * 1.0 / (n_tokens - n_oov)) END AS BIGINT) AS lm_score_x1000,
+        |  CAST(CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
+        |       ELSE floor(n_oov * 1000.0 / n_tokens) END AS BIGINT) AS oov_x1000
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
     "url_normalize" ->
       s"""WITH $urlCanonCte
          |SELECT doc_id, url_canon, host, domain FROM canon ORDER BY doc_id""".stripMargin,

@@ -1004,6 +1004,26 @@ object SparkEntry {
                |ORDER BY doc_id""".stripMargin)
     }),
 
+    "dedup_snapshot" -> ((s, dir) => {
+      // incremental cross-crawl dedup: bloom-prefiltered, broadcast-
+      // confirmed exact membership of fresh fingerprints in an ingested
+      // snapshot (doc_id < 250). Exact semantics — the bloom is invisible
+      // in the result, so the oracle is a plain semi-join
+      val d = docs(s, dir, "documents")
+      Dedup.dedupAgainstSnapshot(
+        d.where(col("doc_id") < 250).select(col("doc_id"), col("text")),
+        Dedup.freshBatch(d.where(col("doc_id") < 1000), 250L),
+        expectedItems = 10000L)
+        .orderBy("doc_id")
+    }),
+
+    "text_lm_score" -> ((s, dir) => {
+      // CCNet-style corpus-LM quality score: unigram model fit on the
+      // corpus (one word-count shuffle), scoring as a literal-map
+      // codegen'd projection — zero joins/shuffles in the scoring pass
+      TextStats.lmScore(docs(s, dir, "documents")).orderBy("doc_id")
+    }),
+
     "url_normalize" -> ((s, dir) => {
       // canonicalization + host + registered domain, all per-row native
       // expressions (zero shuffle); the messy raw urls are planted

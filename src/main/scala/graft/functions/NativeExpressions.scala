@@ -225,6 +225,31 @@ final case class UrlDomainExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "url_domain_native"
 }
 
+/** bloom_probe_*(key string) → boolean — membership probe against a Bloom
+  * filter EMBEDDED IN THE PLAN (the structural form of Spark's
+  * InjectRuntimeFilter bloom: the filter bytes ride the serialized
+  * expression to every task; `addReferenceObj` keeps the probe inside
+  * whole-stage codegen). Deserialized lazily once per executor. */
+final case class BloomProbeExpr(child: Expression, bloomBytes: Array[Byte]) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  @transient private lazy val bf: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBytes))
+  def probe(s: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    bf.mightContainString(s.toString)
+  override def nullSafeEval(input: Any): Any =
+    probe(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbe", this, classOf[BloomProbeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomProbeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_probe"
+}
+
 /** Session-extension entry point:
   * `spark-submit --conf spark.sql.extensions=graft.functions.GraftSparkExtensions`
   * injects the native functions into every session built on the cluster. */
@@ -270,4 +295,11 @@ object NativeRegistry {
     entries.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+
+  /** Register a bloom-probe function bound to a CONCRETE serialized filter
+    * (the builder closure captures the bytes — the data-dependent analog
+    * of the static entries above; used by Dedup.dedupAgainstSnapshot). */
+  def registerBloomProbe(spark: SparkSession, name: String, bloomBytes: Array[Byte]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, (args: Seq[Expression]) => BloomProbeExpr(args.head, bloomBytes), "built-in")
 }

@@ -613,4 +613,56 @@ object Dedup {
     posGrams.unpersist(false)
     out
   }
+
+  /** Incremental (cross-crawl) exact dedup: flag fresh documents whose
+    * text fingerprint already exists in an ingested snapshot — the "have
+    * we crawled this page body before" gate every recurring web pipeline
+    * runs before spending downstream compute.
+    *
+    * Scale shape: the naive plan is a semi-join that SHUFFLES BOTH full
+    * tables on the fingerprint. Instead:
+    *  1. a Bloom filter over the snapshot fingerprints is built with one
+    *     distributed aggregate (`DataFrameStatFunctions.bloomFilter` —
+    *     result is O(bits), never O(rows));
+    *  2. the filter rides the plan as a reference object inside a native
+    *     codegen'd predicate (`BloomProbeExpr`) — the fresh side is
+    *     prefiltered in a NARROW scan. No false negatives: every true dup
+    *     survives; only dups + the fpp tail remain;
+    *  3. the exact confirm joins the (tiny) candidate set BROADCAST
+    *     against a narrow snapshot scan — the snapshot never shuffles.
+    * Net: two narrow scans + one broadcast, exact output semantics (the
+    * bloom is invisible in the result — the DuckDB oracle is a plain
+    * semi-join). Spark's InjectRuntimeFilter applies the same trick
+    * automatically only under size thresholds; here it is structural.
+    *
+    * Candidate-side assumption: dup rate ≪ 1 (recurring-crawl reality).
+    * If candidates outgrow the broadcast budget, flip step 3 to a
+    * shuffled semi-join — still only candidates × snapshot. */
+  def dedupAgainstSnapshot(snapshot: DataFrame, fresh: DataFrame,
+                           expectedItems: Long = 1000000L,
+                           fpp: Double = 0.01): DataFrame = {
+    val spark = snapshot.sparkSession
+    val snapFp = snapshot.select(md5(col("text")).as("fp"))
+    val bloom = snapFp.stat.bloomFilter("fp", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    graft.functions.NativeRegistry.registerBloomProbe(spark, "bloom_probe_snapshot", bos.toByteArray)
+    val freshFp = fresh.select(col("doc_id"), md5(col("text")).as("fp"))
+    val candidates = freshFp.where(expr("bloom_probe_snapshot(fp)"))
+    val confirmedFp = snapFp.join(broadcast(candidates.select("fp").distinct()), Seq("fp"), "left_semi")
+    val confirmed = candidates.join(broadcast(confirmedFp.distinct()), Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(true).as("hit"))
+    freshFp.select("doc_id")
+      .join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("in_snapshot"))
+  }
+
+  /** Deterministic fresh batch for the snapshot-dedup correctness query:
+    * everything at/after the split, plus exact replicas of every third
+    * snapshot doc (id+100000) — the planted cross-batch dups. Mirrored in
+    * the oracle SQL. */
+  def freshBatch(docs: DataFrame, split: Long): DataFrame =
+    docs.where(col("doc_id") >= split).select(col("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") < split && col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
 }

@@ -234,4 +234,31 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.detectMagic("<!doctype html><html>".getBytes) == "html")
     assert(Multimodal.detectMagic(Array[Byte](1, 2, 3)) == "bin")
   }
+
+  test("snapshot dedup: bloom-prefiltered membership is EXACT (no FP/FN in output)") {
+    import spark.implicits._
+    val snapshot = (0L until 100L).map(i => (i, s"snapshot body $i")).toDF("doc_id", "text")
+    // fresh: 50 new bodies + 20 exact replicas of snapshot bodies
+    val fresh = ((100L until 150L).map(i => (i, s"fresh body $i")) ++
+      (0L until 20L).map(i => (1000L + i, s"snapshot body $i"))).toDF("doc_id", "text")
+    val r = Dedup.dedupAgainstSnapshot(snapshot, fresh, expectedItems = 1000L)
+      .orderBy("doc_id").as[(Long, Boolean)].collect()
+    assert(r.length == 70)
+    // all genuinely-new bodies false (bloom false positives must be
+    // confirmed away), all replicas true (bloom has no false negatives)
+    assert(r.take(50).forall(!_._2))
+    assert(r.drop(50).forall(_._2))
+    // the probe is a native codegen'd predicate, not a UDF
+    graft.functions.NativeRegistry.registerBloomProbe(spark, "bloom_probe_t", {
+      val b = snapshot.select(md5(col("text")).as("fp")).stat.bloomFilter("fp", 1000L, 0.01)
+      val bos = new java.io.ByteArrayOutputStream(); b.writeTo(bos); bos.toByteArray
+    })
+    // repartition blocks ConvertToLocalRelation from pre-evaluating the
+    // projection at plan time — keeps the probe visible in the physical plan
+    val df = fresh.repartition(2).select(expr("bloom_probe_t(md5(text))").as("hit"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_probe") && !plan.contains("UDF"), plan.take(400))
+    // filter semantics directly: every snapshot body hits, most fresh don't
+    assert(df.filter(col("hit")).count() >= 20)
+  }
 }

@@ -116,4 +116,24 @@ class TextCleanSpec extends AnyFunSuite {
     assert(r(0)._2 == 9L && r(0)._3 == 2L)
     assert(r(1)._2 == 3L && r(1)._3 == 1L)
   }
+
+  test("lmScore: corpus-fit unigram surprisal + OOV rate, hand-checked") {
+    // corpus counts: a=4, b=2, c=2, d=2 → total 10. vocabSize=2 keeps a
+    // and (tie-break token asc) b: lp_a = floor(ln(10/4)*1000) = 916,
+    // lp_b = floor(ln(10/2)*1000) = 1609
+    val d = docsDF((1L, "a a b c"), (2L, "a a b d"), (3L, "c d"), (4L, ""))
+    val r = TextStats.lmScore(d, vocabSize = 2).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // doc 1: 4 toks, 1 oov(c), mean lp = floor((916+916+1609)/3) = 1147, oov 250
+    assert(r(0) == ((1L, 4L, 1L, 1147L, 250L)))
+    assert(r(1) == ((2L, 4L, 1L, 1147L, 250L)))
+    // doc 3: all oov → score 0, oov 1000
+    assert(r(2) == ((3L, 2L, 2L, 0L, 1000L)))
+    // empty doc: 0 tokens, all zero
+    assert(r(3) == ((4L, 0L, 0L, 0L, 0L)))
+    // scoring pass plan: literal-map projection, no join/shuffle, no UDF
+    val plan = TextStats.lmScore(d, vocabSize = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan.take(300))
+    assert(!plan.toLowerCase.contains("join"), plan.take(300))
+  }
 }
