@@ -62,6 +62,18 @@ object PlanAudit {
     show("text_pii (narrow codegen'd regexp scan, no shuffle)") {
       graft.SparkEntry.queries("text_pii")(spark, sfDir)
     }
+    show("url_normalize (three native expressions, pure narrow projection)") {
+      graft.SparkEntry.queries("url_normalize")(spark, sfDir)
+    }
+    show("dedup_snapshot (bloom probe in narrow scan, snapshot never shuffles)") {
+      graft.SparkEntry.queries("dedup_snapshot")(spark, sfDir)
+    }
+    show("text_lm_score (literal-map scoring pass: zero joins/shuffles)") {
+      // show the SCORING pass plan (the model fit is a separate word-count
+      // job that runs eagerly inside lmScore)
+      graft.ops.TextStats.lmScore(
+        spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text"))
+    }
     spark.stop()
   }
 }
