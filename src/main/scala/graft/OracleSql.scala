@@ -981,6 +981,50 @@ object OracleSql {
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
          |FROM canon JOIN documents USING (doc_id)
-         |GROUP BY domain ORDER BY domain""".stripMargin
+         |GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // mirrors Relational.asOfJoin via DuckDB's native ASOF JOIN — an
+    // independent implementation of the same semantics (greatest view ts
+    // ≤ click ts per user; ties impossible, (user_id, ts) is unique)
+    "events_asof" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, c.ts, v.view_id, v.view_ts,
+        |  date_diff('microsecond', v.view_ts, c.ts) AS gap_us
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.view_ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    // mirrors Relational.sessionize (30-min gap); value_cents quantized
+    // per row before summing — order-independent, engine-exact
+    "events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS start_ts, max(ts) AS end_ts,
+        |  CAST(sum(value_cents) AS BIGINT) AS value_cents,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // mirrors Sampling.stratifiedSample: md5_number_upper % 1000 is
+    // bit-identical to the Spark-side little-endian conv construction
+    "corpus_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST(md5_number_upper('sample:' || CAST(doc_id AS VARCHAR)) % 1000 AS INTEGER) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, bucket FROM b
+        |WHERE bucket < CASE WHEN source IN ('src0', 'src1') THEN 1000
+        |                    WHEN source IN ('src2', 'src3') THEN 500
+        |                    ELSE 100 END
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.spark.{DocParts, ExtractPipeline, PageRow, PagesTable}
-import graft.ops.{Dedup, Similarity, TextStats, UrlOps}
+import graft.ops.{Dedup, Relational, Sampling, Similarity, TextStats, UrlOps}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB oracle where SQL-expressible.
@@ -1052,6 +1052,44 @@ object SparkEntry {
       UrlOps.domainStats(
         UrlOps.normalize(UrlOps.withRawUrls(d.select(col("doc_id")))), d)
         .orderBy("domain")
+    }),
+
+    "events_asof" -> ((s, dir) => {
+      // as-of join (latest prior view per click, per user): merge-scan
+      // shape — tagged union + running last-non-null window, ONE shuffle
+      // on user_id, no range join, no per-key explosion. Oracle is
+      // DuckDB's native ASOF LEFT JOIN.
+      val e = docs(s, dir, "events")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("ts").as("view_ts"))
+      Relational.asOfJoin(clicks, views, "user_id", "ts",
+          Seq("view_id", "view_ts"), asOfPrefix = "")
+        .withColumn("gap_us",
+          timestamp_diff("MICROSECOND", col("view_ts"), col("ts")))
+        .select("event_id", "user_id", "ts", "view_id", "view_ts", "gap_us")
+        .orderBy("event_id")
+    }),
+
+    "events_sessionize" -> ((s, dir) => {
+      // 30-min-gap sessionization per user: lag → gap flag → running sum
+      // → per-session agg; value quantized to cents per row BEFORE the
+      // sum so totals are order-independent and engine-exact
+      Relational.sessionize(docs(s, dir, "events"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    "corpus_sample" -> ((s, dir) => {
+      // deterministic stratified mixture sampling: keep-all src0/src1,
+      // half of src2/src3, 10% elsewhere — a pure codegen'd hash-threshold
+      // filter on the scan (zero shuffle; md5Bucket ≡ DuckDB
+      // md5_number_upper % 1000, verified bit-identical)
+      Sampling.stratifiedSample(docs(s, dir, "documents"),
+          rates = Map("src0" -> 1000, "src1" -> 1000, "src2" -> 500, "src3" -> 500),
+          defaultPermille = 100)
+        .orderBy("doc_id")
     })
   )
 

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSessionFixture
+
+/** Hand-checked semantics for the as-of join, sessionization, and
+  * stratified sampling operators. */
+class RelationalSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOfJoin: greatest build time <= probe time per key; ties match; no-match is null") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // after v2 → matches v2
+      (2L, 10L, ts("2024-01-01 08:30:00")), // between v1 and v2 → v1
+      (3L, 10L, ts("2024-01-01 08:00:00")), // EXACTLY v1's ts → v1 (<= semantics)
+      (4L, 10L, ts("2024-01-01 07:59:59")), // before any view → null
+      (5L, 20L, ts("2024-01-01 12:00:00"))  // key with no views at all → null
+    ).toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (101L, 10L, ts("2024-01-01 08:00:00")),
+      (102L, 10L, ts("2024-01-01 09:00:00"))
+    ).toDF("view_id", "user_id", "ts")
+    val r = Relational.asOfJoin(probe, build, "user_id", "ts", Seq("view_id"), "")
+      .orderBy("event_id")
+      .select("event_id", "view_id").as[(Long, Option[Long])].collect()
+    assert(r.toSeq == Seq(1L -> Some(102L), 2L -> Some(101L), 3L -> Some(101L),
+      4L -> None, 5L -> None))
+  }
+
+  test("asOfJoin plan: one Exchange (the window), no join node at all") {
+    import spark.implicits._
+    val probe = (0L until 100L).map(i => (i, i % 5, ts(f"2024-01-01 10:${i % 60}%02d:00")))
+      .toDF("event_id", "user_id", "ts")
+    val build = (0L until 50L).map(i => (i + 1000L, i % 5, ts(f"2024-01-01 09:${i % 60}%02d:00")))
+      .toDF("view_id", "user_id", "ts")
+    val plan = Relational.asOfJoin(probe, build, "user_id", "ts", Seq("view_id"), "")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(600))
+    assert(plan.contains("Window"), plan.take(600))
+    // exactly one data Exchange: the hashpartitioning for the window
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(600))
+  }
+
+  test("sessionize: 30-min gaps split sessions; cents sum exactly; boundary gap stays") {
+    import spark.implicits._
+    val e = Seq(
+      // user 1: two sessions — the 31-min gap splits, the exactly-30-min gap does NOT
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.11, "{}"),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "click", 2.22, "{}"), // 30:00 gap → same session
+      (3L, ts("2024-01-01 11:01:00"), 1L, "purchase", 3.33, "{}"), // 31 min → new session
+      // user 2: one event
+      (4L, ts("2024-01-01 09:00:00"), 2L, "view", 10.01, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Relational.sessionize(e).orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events", "value_cents", "n_event_types")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq(
+      (1L, 1L, 2L, 333L, 2L),  // 111 + 222 cents, view+click
+      (1L, 2L, 1L, 333L, 1L),
+      (2L, 1L, 1L, 1001L, 1L)))
+  }
+
+  test("stratifiedSample: deterministic, honors per-stratum rates, zero shuffle") {
+    import spark.implicits._
+    val d = (0L until 2000L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val rates = Map("s0" -> 1000, "s1" -> 0, "s2" -> 500)
+    val sample = Sampling.stratifiedSample(d, rates, defaultPermille = 100)
+    val counts = sample.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts("s0") == 500L)            // keep-all stratum: every row
+    assert(!counts.contains("s1"))          // zero-rate stratum: nothing
+    assert(math.abs(counts("s2") - 250L) < 60, counts.toString) // ~half
+    assert(math.abs(counts.getOrElse("s3", 0L) - 50L) < 30, counts.toString) // default 10%
+    // determinism: same rows on re-run
+    val a = sample.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.stratifiedSample(d, rates, defaultPermille = 100)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // the filter is a pure narrow scan: no Exchange in the plan
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
+}
