@@ -68,6 +68,15 @@ object PlanAudit {
     show("dedup_snapshot (bloom probe in narrow scan, snapshot never shuffles)") {
       graft.SparkEntry.queries("dedup_snapshot")(spark, sfDir)
     }
+    show("events_asof (merge-scan as-of: one Exchange, no join node)") {
+      graft.SparkEntry.queries("events_asof")(spark, sfDir)
+    }
+    show("events_sessionize (one event shuffle + session-row partial agg)") {
+      graft.SparkEntry.queries("events_sessionize")(spark, sfDir)
+    }
+    show("corpus_sample (zero-shuffle hash-threshold filter on the scan)") {
+      graft.SparkEntry.queries("corpus_sample")(spark, sfDir)
+    }
     show("text_lm_score (literal-map scoring pass: zero joins/shuffles)") {
       // show the SCORING pass plan (the model fit is a separate word-count
       // job that runs eagerly inside lmScore)
