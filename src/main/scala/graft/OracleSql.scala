@@ -1014,6 +1014,54 @@ object OracleSql {
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // mirrors Assemble.chunk (32-token windows, stride 24): DuckDB 1-based
+    // inclusive list slicing toks[a:b] ≡ Spark slice(toks, a, 32)
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, nt,
+        |        CASE WHEN nt <= 32 THEN 1 ELSE 1 + CAST(floor((nt - 32 + 23) / 24.0) AS BIGINT) END AS nc FROM n),
+        |e AS (SELECT doc_id, toks, nt, unnest(range(nc)) AS ci FROM c)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  CAST(least(32, nt - ci*24) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(toks[ci*24 + 1 : ci*24 + 32], ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // mirrors Assemble.pack (256-token bins, 8 md5 shards); the shard key
+    // reproduces Spark's pmod(md5Bucket, 8) bit-identically
+    "corpus_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST((md5_number_upper('pack:' || CAST(doc_id AS VARCHAR)) % 1000) % 8 AS INTEGER) AS shard,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |f AS (SELECT * FROM t WHERE n_tokens > 0),
+        |o AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |        ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off FROM f),
+        |b AS (SELECT *, CAST(floor(start_off / 256.0) AS BIGINT) AS bin_id FROM o)
+        |SELECT shard, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // mirrors UrlOps.filterByRules over the canonical columns; first
+    // matching rule wins (domain > path > extension), '' = kept
+    "url_filter" ->
+      s"""WITH $urlCanonCte,
+         |p AS (
+         |  SELECT doc_id, url_canon, domain,
+         |    regexp_extract(regexp_replace(url_canon, '^[a-z]+://[^/]*', ''), '^([^?]*)', 1) AS path
+         |  FROM canon)
+         |SELECT doc_id, url_canon, domain,
+         |  CASE WHEN domain IN ('site999.co.uk', 'site4.com') THEN 'domain'
+         |       WHEN path LIKE '%/p/7%' THEN 'path'
+         |       WHEN path LIKE '%.jpg' OR path LIKE '%.png' THEN 'extension'
+         |       ELSE '' END AS rule,
+         |  (CASE WHEN domain IN ('site999.co.uk', 'site4.com') THEN 'domain'
+         |        WHEN path LIKE '%/p/7%' THEN 'path'
+         |        WHEN path LIKE '%.jpg' OR path LIKE '%.png' THEN 'extension'
+         |        ELSE '' END) <> '' AS blocked
+         |FROM p ORDER BY doc_id""".stripMargin,
+
     // mirrors Sampling.stratifiedSample: md5_number_upper % 1000 is
     // bit-identical to the Spark-side little-endian conv construction
     "corpus_sample" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.spark.{DocParts, ExtractPipeline, PageRow, PagesTable}
-import graft.ops.{Dedup, Relational, Sampling, Similarity, TextStats, UrlOps}
+import graft.ops.{Assemble, Dedup, Relational, Sampling, Similarity, TextStats, UrlOps}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB oracle where SQL-expressible.
@@ -1079,6 +1079,36 @@ object SparkEntry {
       // sum so totals are order-independent and engine-exact
       Relational.sessionize(docs(s, dir, "events"))
         .orderBy("user_id", "session_id")
+    }),
+
+    "text_chunk" -> ((s, dir) => {
+      // fixed-window LM chunking (32-token windows, stride 24): a pure
+      // narrow Generate(explode)+Project over the scan — zero shuffle,
+      // the token array sliced per chunk inside whole-stage codegen
+      Assemble.chunk(docs(s, dir, "documents"), window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    "corpus_pack" -> ((s, dir) => {
+      // sharded sequence packing (256-token bins, 8 md5 shards): ONE
+      // shuffle on the shard key; the (shard, bin) aggregate reuses that
+      // partitioning, and sharding keeps the prefix sum parallel — a
+      // global packing order would serialize on one partition
+      Assemble.pack(docs(s, dir, "documents"), seqLen = 256, nShards = 8)
+        .orderBy("shard", "bin_id")
+    }),
+
+    "url_filter" -> ((s, dir) => {
+      // crawl-hygiene blocklist (spam domain / tracking path / binary
+      // extension), first matching rule wins: literals in one codegen'd
+      // projection over the canonical columns — zero shuffle, zero joins
+      UrlOps.filterByRules(
+        UrlOps.normalize(UrlOps.withRawUrls(
+          docs(s, dir, "documents").select(col("doc_id")))),
+        blockedDomains = Seq("site999.co.uk", "site4.com"),
+        blockedPathParts = Seq("/p/7"),
+        blockedExtensions = Seq("jpg", "png"))
+        .orderBy("doc_id")
     }),
 
     "corpus_sample" -> ((s, dir) => {
