@@ -1014,6 +1014,16 @@ object OracleSql {
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // warc_ingest oracle: recomputes url/bytes/md5 per document WITHOUT
+    // touching WARC — the Spark side must round-trip every body through
+    // build → gzip-member/plain container → parse byte-exactly to match
+    "warc_ingest" ->
+      """SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  'response' AS rec_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS body_md5
+        |FROM documents ORDER BY url""".stripMargin,
+
     // mirrors Assemble.chunk (32-token windows, stride 24): DuckDB 1-based
     // inclusive list slicing toks[a:b] ≡ Spark slice(toks, a, 32)
     "text_chunk" ->

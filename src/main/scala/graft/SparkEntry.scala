@@ -1081,6 +1081,33 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    "warc_ingest" -> ((s, dir) => {
+      // WARC/1.0 container ingest (ISO 28500): documents are packed into
+      // deterministic containers (10 records each; even blob_ids use the
+      // Common-Crawl gzip-member form, odd ones plain concatenation),
+      // then split back by the narrow records() flatMap. The oracle
+      // recomputes url/byte-count/md5 per doc independently, so every
+      // body must survive build → (gzip) → parse byte-exactly.
+      import s.implicits._
+      val blobs = docs(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 10)
+        .mapGroups { (bid: Long, it: Iterator[(Long, String)]) =>
+          val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
+            graft.spark.Warc.buildRecord(s"https://example.com/doc/$id",
+              "2024-01-01T00:00:00Z",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          val payload =
+            if (bid % 2 == 0) recs.map(graft.spark.Warc.gzipMember).reduce(_ ++ _)
+            else recs.reduce(_ ++ _)
+          (bid, payload)
+        }.toDF("blob_id", "warc")
+      graft.spark.Warc.records(blobs).toDF()
+        .select("url", "rec_type", "n_bytes", "body_md5")
+        .orderBy("url")
+    }),
+
     "text_chunk" -> ((s, dir) => {
       // fixed-window LM chunking (32-token windows, stride 24): a pure
       // narrow Generate(explode)+Project over the scan — zero shuffle,
