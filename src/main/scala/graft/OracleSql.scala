@@ -1014,6 +1014,41 @@ object OracleSql {
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // mirrors Index.invertedIndex(maxDf=100): exact df for every term,
+    // postings only where df <= 100
+    "text_index" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, term FROM
+        |  (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS term
+        |   FROM documents)),
+        |d AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+        |p AS (SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |      FROM tok GROUP BY term)
+        |SELECT d.term, CAST(d.df AS BIGINT) AS df,
+        |  CASE WHEN d.df <= 100 THEN p.postings ELSE '' END AS postings
+        |FROM d JOIN p USING (term) ORDER BY d.term""".stripMargin,
+
+    // mirrors Graph.pageRankInt(iters=3) over Graph.synthEdges — integer
+    // arithmetic end to end (// is floor division), so sums are
+    // order-independent and the match is bit-exact
+    "domain_rank" ->
+      """WITH nodes AS (SELECT doc_id AS id FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT id AS src, (id*7+3) % n AS dst FROM nodes, nn
+        |  UNION ALL SELECT id, (id*13+11) % n FROM nodes, nn
+        |  UNION ALL SELECT id, (id*31+17) % n FROM nodes, nn),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |e AS (SELECT edges.src, edges.dst, deg.outdeg FROM edges JOIN deg USING (src)),
+        |s0 AS (SELECT id, CAST(1000000 AS BIGINT) AS score FROM nodes),
+        |c1 AS (SELECT e.dst, sum(s0.score // e.outdeg) AS c FROM e JOIN s0 ON s0.id = e.src GROUP BY e.dst),
+        |s1 AS (SELECT nodes.id, 150000 + (85 * COALESCE(c1.c, 0)) // 100 AS score FROM nodes LEFT JOIN c1 ON c1.dst = nodes.id),
+        |c2 AS (SELECT e.dst, sum(s1.score // e.outdeg) AS c FROM e JOIN s1 ON s1.id = e.src GROUP BY e.dst),
+        |s2 AS (SELECT nodes.id, 150000 + (85 * COALESCE(c2.c, 0)) // 100 AS score FROM nodes LEFT JOIN c2 ON c2.dst = nodes.id),
+        |c3 AS (SELECT e.dst, sum(s2.score // e.outdeg) AS c FROM e JOIN s2 ON s2.id = e.src GROUP BY e.dst),
+        |s3 AS (SELECT nodes.id, 150000 + (85 * COALESCE(c3.c, 0)) // 100 AS score FROM nodes LEFT JOIN c3 ON c3.dst = nodes.id)
+        |SELECT id AS doc_id, CAST(score AS BIGINT) AS score FROM s3 ORDER BY doc_id""".stripMargin,
+
     // warc_ingest oracle: recomputes url/bytes/md5 per document WITHOUT
     // touching WARC — the Spark side must round-trip every body through
     // build → gzip-member/plain container → parse byte-exactly to match

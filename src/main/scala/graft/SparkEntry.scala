@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.spark.{DocParts, ExtractPipeline, PageRow, PagesTable}
-import graft.ops.{Assemble, Dedup, Relational, Sampling, Similarity, TextStats, UrlOps}
+import graft.ops.{Assemble, Dedup, Graph, Index, Relational, Sampling, Similarity, TextStats, UrlOps}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB oracle where SQL-expressible.
@@ -1079,6 +1079,25 @@ object SparkEntry {
       // sum so totals are order-independent and engine-exact
       Relational.sessionize(docs(s, dir, "events"))
         .orderBy("user_id", "session_id")
+    }),
+
+    "text_index" -> ((s, dir) => {
+      // inverted index with source-capped postings: one ids-only shuffle,
+      // aggregation state bounded by maxDf per term (stopword postings
+      // are never materialized — exact df survives, postings drop)
+      Index.invertedIndex(docs(s, dir, "documents"), maxDf = 100)
+        .orderBy("term")
+    }),
+
+    "domain_rank" -> ((s, dir) => {
+      // integer PageRank (micro-unit scores, floor division throughout —
+      // bit-exact on any partitioning/engine) over deterministic synthetic
+      // out-links; 3 rounds, each one ids-only contrib shuffle
+      val d = docs(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = d.count()
+      Graph.pageRankInt(d, Graph.synthEdges(d, n), iters = 3)
+        .select(col("id").as("doc_id"), col("score"))
+        .orderBy("doc_id")
     }),
 
     "warc_ingest" -> ((s, dir) => {
