@@ -77,6 +77,26 @@ object PlanAudit {
     show("corpus_sample (zero-shuffle hash-threshold filter on the scan)") {
       graft.SparkEntry.queries("corpus_sample")(spark, sfDir)
     }
+    show("text_index (capped typed aggregator: ids-only shuffle, bounded state)") {
+      graft.SparkEntry.queries("text_index")(spark, sfDir)
+    }
+    show("domain_rank (integer PageRank: per-round contrib shuffle is (dst,long) pairs)") {
+      graft.SparkEntry.queries("domain_rank")(spark, sfDir)
+    }
+    show("warc_records (narrow flatMap blob split, zero Exchange)") {
+      import spark.implicits._
+      val blob = graft.spark.Warc.gzipMember(graft.spark.Warc.buildRecord(
+        "https://example.com/doc/1", "2024-01-01T00:00:00Z", "body".getBytes("UTF-8")))
+      graft.spark.Warc.records(Seq((0L, blob)).toDF("blob_id", "warc")).toDF()
+    }
+    show("text_chunk (narrow Generate, zero shuffle)") {
+      graft.ops.Assemble.chunk(
+        spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text"), 32, 24)
+    }
+    show("corpus_pack (one shard shuffle; bin agg reuses partitioning)") {
+      graft.ops.Assemble.pack(
+        spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text"), 256, 8)
+    }
     show("text_lm_score (literal-map scoring pass: zero joins/shuffles)") {
       // show the SCORING pass plan (the model fit is a separate word-count
       // job that runs eagerly inside lmScore)
