@@ -1014,6 +1014,17 @@ object OracleSql {
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // mirrors Profile.deciles: discrete lower decile = smallest v whose
+    // cumulative count reaches ceil(k*n/10); pure integer math
+    "corpus_profile" ->
+      """WITH hist AS (SELECT source, n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1, 2),
+        |c AS (SELECT *, sum(cnt) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(cnt) OVER (PARTITION BY source) AS total FROM hist),
+        |e AS (SELECT source, v, cnt, cum, total, unnest(range(1, 10)) AS k FROM c)
+        |SELECT source, CAST(k AS BIGINT) AS decile, CAST(v AS BIGINT) AS value
+        |FROM e WHERE cum >= (k*total+9)//10 AND cum - cnt < (k*total+9)//10
+        |ORDER BY source, decile""".stripMargin,
+
     // mirrors Index.invertedIndex(maxDf=100): exact df for every term,
     // postings only where df <= 100
     "text_index" ->

@@ -1081,6 +1081,15 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    "corpus_profile" -> ((s, dir) => {
+      // exact per-source length deciles via bounded-domain histogram —
+      // the only corpus-sized op is the map-side-combined (source, v)
+      // count; percentile_approx would be inexact, exact percentile
+      // would buffer O(corpus) in one aggregation state
+      graft.ops.Profile.deciles(docs(s, dir, "documents"))
+        .orderBy("source", "decile")
+    }),
+
     "text_index" -> ((s, dir) => {
       // inverted index with source-capped postings: one ids-only shuffle,
       // aggregation state bounded by maxDf per term (stopword postings
