@@ -474,6 +474,49 @@ object OracleSql {
          |) AS t(url, ok, n_pages, n_chars, text) ORDER BY url""".stripMargin
     },
 
+    // pinned goldens: base-tag override, dotted/root/protocol-relative
+    // resolution + canonicalization, nofollow/boilerplate flags
+    "html_links" ->
+      """SELECT url, href, dst, anchor, nofollow, boilerplate FROM (VALUES
+        |  ('https://a.example/blog/post1', '../about?x=1', 'https://a.example/about?x=1', 'About & Team', FALSE, FALSE),
+        |  ('https://a.example/blog/post1', '/promo', 'https://a.example/promo', 'Promo', TRUE, FALSE),
+        |  ('https://a.example/blog/post1', 'https://b.example/home#s', 'https://b.example/home', 'B home', FALSE, TRUE),
+        |  ('https://b.example/x/y/z', '//a.example/q?utm_source=s&b=1', 'https://a.example/q?b=1', 'Q', FALSE, FALSE),
+        |  ('https://b.example/x/y/z', 'p', 'https://b.example/base/p', 'P', FALSE, FALSE)
+        |) AS t(url, href, dst, anchor, nofollow, boilerplate) ORDER BY url, dst""".stripMargin,
+
+    // mirrors LinkGraph.synthCorpus arithmetic: page p (domain p%8) links
+    // absolutely to t0=(7p+1)%40 (params canonicalized to ?a=1&b=2) and
+    // relatively (root + dotted forms, both resolving into p's own domain)
+    // to t1=(7p+14)%40 and t2=(7p+27)%40 — regenerated here WITHOUT
+    // parsing HTML, so resolution must round-trip the formula exactly
+    "html_link_graph" ->
+      """WITH pages AS (SELECT CAST(range AS BIGINT) AS p FROM range(0, 40)),
+        |links AS (
+        |  SELECT 'site' || (p%8) || '.example' AS src_domain,
+        |         'site' || (((p*7+1)%40)%8) || '.example' AS dst_domain,
+        |         'https://site' || (((p*7+1)%40)%8) || '.example/a/p' || ((p*7+1)%40) || '?a=1&b=2' AS dst
+        |  FROM pages
+        |  UNION ALL
+        |  SELECT 'site' || (p%8) || '.example', 'site' || (p%8) || '.example',
+        |         'https://site' || (p%8) || '.example/a/p' || ((p*7+14)%40) FROM pages
+        |  UNION ALL
+        |  SELECT 'site' || (p%8) || '.example', 'site' || (p%8) || '.example',
+        |         'https://site' || (p%8) || '.example/a/p' || ((p*7+27)%40) FROM pages)
+        |SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links,
+        |       CAST(count(DISTINCT dst) AS BIGINT) AS n_unique_dst
+        |FROM links GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // pinned goldens: entity-decoded title, ws-squeezed description,
+    // canonical resolved against the page url, og:* capture, quote-style
+    // and attribute-order variance; missing head/null payload → empties
+    "html_metadata" ->
+      """SELECT url, title, lang, description, canonical, og_title, og_description FROM (VALUES
+        |  ('https://m.example/1', 'Café & Bar', 'en-US', 'A spaced description.', 'https://m.example/canon/page', 'OG "Title"', 'OG desc'),
+        |  ('https://m.example/2', 'Plain', '', '', '', '', ''),
+        |  ('https://m.example/3', '', '', '', '', '', '')
+        |) AS t(url, title, lang, description, canonical, og_title, og_description) ORDER BY url""".stripMargin,
+
     "pdf_spans" ->
       """SELECT url, CAST(n_chars AS BIGINT) AS n_chars, CAST(l AS BIGINT) AS l,
         |  CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r, CAST(t AS BIGINT) AS t

@@ -681,6 +681,55 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    "html_links" -> ((s, _) => {
+      import s.implicits._
+      // outlink harvesting: base-tag override, dotted/root/protocol-relative
+      // resolution, canonicalization, nofollow + boilerplate flags,
+      // non-navigational skips — pinned goldens over two crafted pages
+      val htmlA =
+        """<html><body><p>See <a href="../about?x=1">About &amp; Team</a> and <a rel="nofollow" href="/promo">Promo</a>.</p>
+          |<footer><a href="https://b.example/home#s">B home</a></footer></body></html>""".stripMargin
+      val htmlB =
+        """<html><head><base href="/base/"></head><body>
+          |<p><a href="p">P</a> <a href="//a.example/q?utm_source=s&amp;b=1">Q</a> <a href="#">top</a></p>
+          |</body></html>""".stripMargin
+      val rows = Seq(
+        PageRow("https://a.example/blog/post1", new java.sql.Timestamp(1704067200000L), htmlA.getBytes("UTF-8"), null, "en"),
+        PageRow("https://b.example/x/y/z", new java.sql.Timestamp(1704067201000L), htmlB.getBytes("UTF-8"), null, "en"))
+      graft.ops.LinkGraph.outlinks(s.createDataset(rows)).toDF()
+        .orderBy("url", "dst")
+    }),
+
+    "html_link_graph" -> ((s, _) => {
+      // domain-level edge list from raw HTML over the formula corpus: the
+      // oracle regenerates resolved edges from the same arithmetic without
+      // parsing HTML, so build → parse → resolve → canonicalize must
+      // round-trip exactly (n_unique_dst pins every byte of dst)
+      graft.ops.LinkGraph.domainEdges(
+        graft.ops.LinkGraph.outlinks(graft.ops.LinkGraph.synthCorpus(s, 40)))
+        .orderBy("src_domain", "dst_domain")
+    }),
+
+    "html_metadata" -> ((s, _) => {
+      import s.implicits._
+      // head-section metadata: title/lang/description, rel=canonical
+      // (resolved against the page url), OpenGraph title/description;
+      // entity decode + attribute-order/quote-style variance pinned
+      val m1 =
+        """<html lang="en-US"><head><TITLE>Caf&eacute; &amp; Bar</TITLE>
+          |<link href="../canon/page" rel="canonical">
+          |<meta name="description" content="A  spaced   description.">
+          |<meta property="og:title" content='OG &quot;Title&quot;'>
+          |<meta property="og:description" content="OG desc"></head>
+          |<body><p>x</p></body></html>""".stripMargin
+      val m2 = "<html><head><title>Plain</title></head><body><p>y</p></body></html>"
+      val rows = Seq(
+        PageRow("https://m.example/1", new java.sql.Timestamp(1704067200000L), m1.getBytes("UTF-8"), null, "en"),
+        PageRow("https://m.example/2", new java.sql.Timestamp(1704067201000L), m2.getBytes("UTF-8"), null, "en"),
+        PageRow("https://m.example/3", new java.sql.Timestamp(1704067202000L), null, null, "en"))
+      graft.ops.HtmlMeta.metadata(s.createDataset(rows)).toDF().orderBy("url")
+    }),
+
     "pdf_spans" -> ((s, _) => {
       // span/bbox structs per page (north-star output shape): line rects of
       // text.pdf page 0, rounded to ints — count and first rect are pinned

@@ -26,7 +26,10 @@ object HtmlExtract {
       title: String,
       lang: String,
       description: String,
-      blocks: Vector[Block]) {
+      blocks: Vector[Block],
+      canonical: String = "",   // <link rel="canonical" href=…> (raw href)
+      ogTitle: String = "",     // <meta property="og:title" content=…>
+      ogDescription: String = "") {
     /** Main content: blocks that survive the boilerplate filter, joined by
       * newlines. */
     def mainText(minBlockChars: Int = 25, maxLinkDensity: Double = 0.33): String =
@@ -130,6 +133,9 @@ object HtmlExtract {
     var boilerDepth = 0
     var headDepth = 0
     var linkDepth = 0
+    var canonical = ""
+    var ogTitle = ""
+    var ogDescription = ""
     val cur = new StringBuilder
     var curLink = 0
     var inTitle = false
@@ -187,7 +193,17 @@ object HtmlExtract {
                     val nm = attr(body, "name").map(_.toLowerCase)
                     if (nm.contains("description"))
                       description = attr(body, "content").map(v => normalizeWs(decodeEntities(v))).getOrElse(description)
+                    attr(body, "property").map(_.toLowerCase) match {
+                      case Some("og:title") =>
+                        ogTitle = attr(body, "content").map(v => normalizeWs(decodeEntities(v))).getOrElse(ogTitle)
+                      case Some("og:description") =>
+                        ogDescription = attr(body, "content").map(v => normalizeWs(decodeEntities(v))).getOrElse(ogDescription)
+                      case _ => ()
+                    }
                   }
+                  if (name == "link" && canonical.isEmpty &&
+                    attr(body, "rel").exists(_.toLowerCase.split("[\\s]+").contains("canonical")))
+                    canonical = attr(body, "href").map(decodeEntities).getOrElse("")
                   if (!rawTag.endsWith("/") && !name.startsWith("br") && name != "meta" &&
                     name != "img" && name != "input" && name != "link" && name != "hr")
                     tagStack.push(name)
@@ -219,10 +235,10 @@ object HtmlExtract {
       }
     }
     flushBlock()
-    HtmlDoc(title, lang, description, blocks.result())
+    HtmlDoc(title, lang, description, blocks.result(), canonical, ogTitle, ogDescription)
   }
 
-  private def attr(tagBody: String, name: String): Option[String] = {
+  private[html] def attr(tagBody: String, name: String): Option[String] = {
     val lower = tagBody.toLowerCase
     var from = 0
     while (true) {

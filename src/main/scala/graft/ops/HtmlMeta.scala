@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.Dataset
+import graft.core.html.HtmlExtract
+import graft.spark.PageRow
+
+/** Per-page HTML document metadata (title, lang, meta description,
+  * rel=canonical, OpenGraph title/description) as a narrow typed map —
+  * the head-section complement of main-content extraction. Canonical URLs
+  * are resolved against the page URL so they join the corpus' canonical
+  * key directly. */
+object HtmlMeta {
+
+  final case class MetaRow(
+      url: String,
+      title: String,
+      lang: String,
+      description: String,
+      canonical: String,
+      og_title: String,
+      og_description: String)
+
+  def metadata(pages: Dataset[PageRow]): Dataset[MetaRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.map { p =>
+      if (p.html == null) MetaRow(p.url, "", "", "", "", "", "")
+      else {
+        val doc = HtmlExtract.parse(p.html)
+        val canon =
+          if (doc.canonical.isEmpty) ""
+          else graft.core.html.HtmlLinks.resolve(p.url, doc.canonical)
+        MetaRow(p.url, doc.title, doc.lang, doc.description, canon,
+          doc.ogTitle, doc.ogDescription)
+      }
+    }
+  }
+}
