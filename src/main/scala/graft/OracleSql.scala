@@ -517,6 +517,29 @@ object OracleSql {
         |  ('https://m.example/3', '', '', '', '', '', '')
         |) AS t(url, title, lang, description, canonical, og_title, og_description) ORDER BY url""".stripMargin,
 
+    // mirrors Robots.synthRobots + evaluate: domain d disallows prefix
+    // /a/p{d}, re-allows the longer /a/p{9d+8}; winner = longest rule,
+    // Allow on ties, no match → allowed
+    "robots_filter" ->
+      """WITH pages AS (SELECT CAST(range AS BIGINT) AS p FROM range(0, 40)),
+        |doms AS (SELECT CAST(range AS BIGINT) AS d FROM range(0, 8)),
+        |urls AS (SELECT 'https://site' || (p%8) || '.example/a/p' || p AS url,
+        |                'site' || (p%8) || '.example' AS domain,
+        |                '/a/p' || p AS path FROM pages),
+        |rules AS (
+        |  SELECT 'site'||d||'.example' AS domain, FALSE AS rule_allow, '/private/' AS rule_path FROM doms
+        |  UNION ALL SELECT 'site'||d||'.example', FALSE, '/a/p'||d FROM doms
+        |  UNION ALL SELECT 'site'||d||'.example', TRUE, '/a/p'||(9*d+8) FROM doms),
+        |m AS (SELECT u.url, r.rule_allow, r.rule_path FROM urls u JOIN rules r
+        |      ON u.domain = r.domain AND starts_with(u.path, r.rule_path)),
+        |w AS (SELECT m.url AS wurl, rule_allow, rule_path,
+        |        row_number() OVER (PARTITION BY m.url
+        |          ORDER BY len(rule_path) DESC, rule_allow DESC, rule_path DESC) AS rn FROM m)
+        |SELECT u.url, coalesce(w.rule_allow, TRUE) AS allowed,
+        |  coalesce(CASE WHEN w.rule_allow THEN 'Allow:' ELSE 'Disallow:' END || w.rule_path, '') AS rule
+        |FROM urls u LEFT JOIN w ON u.url = w.wurl AND w.rn = 1
+        |ORDER BY u.url""".stripMargin,
+
     "pdf_spans" ->
       """SELECT url, CAST(n_chars AS BIGINT) AS n_chars, CAST(l AS BIGINT) AS l,
         |  CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r, CAST(t AS BIGINT) AS t

@@ -730,6 +730,15 @@ object SparkEntry {
       graft.ops.HtmlMeta.metadata(s.createDataset(rows)).toDF().orderBy("url")
     }),
 
+    "robots_filter" -> ((s, _) => {
+      // RFC 9309 crawl-politeness gate: per-domain rules broadcast, urls
+      // never reshuffled; longest-match precedence (Allow wins ties)
+      // exercised on real conflicts planted by the synth arithmetic
+      val urls = graft.ops.LinkGraph.synthCorpus(s, 40).toDF().select("url")
+      graft.ops.Robots.evaluate(graft.ops.Robots.synthRobots(s), urls, "graftbot")
+        .orderBy("url")
+    }),
+
     "pdf_spans" -> ((s, _) => {
       // span/bbox structs per page (north-star output shape): line rects of
       // text.pdf page 0, rounded to ints — count and first rect are pinned
