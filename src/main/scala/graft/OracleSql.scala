@@ -540,6 +540,50 @@ object OracleSql {
         |FROM urls u LEFT JOIN w ON u.url = w.wurl AND w.rn = 1
         |ORDER BY u.url""".stripMargin,
 
+    // mirrors Redirects.synthRedirects: 10 chains of length 5 plus a pure
+    // 3-cycle and a ρ-tail; the recursive walk follows the same edges with
+    // a hop cap only cyclic rows can reach (max real chain = 5 < 12)
+    "redirect_resolve" ->
+      """WITH RECURSIVE urls AS (
+        |  SELECT 'https://r.example/u' || CAST(range AS BIGINT) AS url FROM range(0, 60)
+        |  UNION ALL SELECT 'https://r.example/' || s FROM (VALUES ('c0'),('c1'),('c2'),('t0')) v(s)),
+        |edges AS (
+        |  SELECT 'https://r.example/u' || i AS src, 'https://r.example/u' || (i+1) AS dst
+        |  FROM (SELECT CAST(range AS BIGINT) AS i FROM range(0, 60)) WHERE i % 6 != 5
+        |  UNION ALL SELECT 'https://r.example/c0', 'https://r.example/c1'
+        |  UNION ALL SELECT 'https://r.example/c1', 'https://r.example/c2'
+        |  UNION ALL SELECT 'https://r.example/c2', 'https://r.example/c0'
+        |  UNION ALL SELECT 'https://r.example/t0', 'https://r.example/c1'),
+        |walk AS (
+        |  SELECT url AS src, url AS cur, 0 AS hops FROM urls
+        |  UNION ALL
+        |  SELECT w.src, e.dst, w.hops + 1 FROM walk w JOIN edges e ON w.cur = e.src
+        |  WHERE w.hops < 12),
+        |last AS (SELECT src, cur, hops,
+        |  row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rn FROM walk)
+        |SELECT src AS url,
+        |  CASE WHEN hops >= 12 THEN '' ELSE cur END AS final_url,
+        |  CAST(CASE WHEN hops >= 12 THEN -1 ELSE hops END AS BIGINT) AS hops,
+        |  CASE WHEN hops >= 12 THEN 'cycle' ELSE 'resolved' END AS status
+        |FROM last WHERE rn = 1 ORDER BY url""".stripMargin,
+
+    // mirrors AnchorText.synthHubCorpus + topAnchors: page p contributes
+    // ("hub anchor "||p%3) and ("page "||p||" pick") to hub p%10; count →
+    // rank (count desc, anchor asc) → rank ≤ 3; nav "Home" is boilerplate
+    "anchor_texts" ->
+      """WITH pages AS (SELECT CAST(range AS BIGINT) AS p FROM range(0, 60)),
+        |links AS (
+        |  SELECT 'https://hub.example/h' || (p % 10) AS dst, 'hub anchor ' || (p % 3) AS anchor FROM pages
+        |  UNION ALL
+        |  SELECT 'https://hub.example/h' || (p % 10), 'page ' || p || ' pick' FROM pages),
+        |counted AS (SELECT dst, anchor, COUNT(*) AS n_refs FROM links GROUP BY 1, 2),
+        |ranked AS (SELECT dst, anchor, n_refs,
+        |  row_number() OVER (PARTITION BY dst ORDER BY n_refs DESC, anchor ASC) AS rank,
+        |  COUNT(*) OVER (PARTITION BY dst) AS n_anchor_variants FROM counted)
+        |SELECT dst, anchor, CAST(n_refs AS BIGINT) AS n_refs, CAST(rank AS INTEGER) AS rank,
+        |  CAST(n_anchor_variants AS BIGINT) AS n_anchor_variants
+        |FROM ranked WHERE rank <= 3 ORDER BY dst, rank""".stripMargin,
+
     "pdf_spans" ->
       """SELECT url, CAST(n_chars AS BIGINT) AS n_chars, CAST(l AS BIGINT) AS l,
         |  CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r, CAST(t AS BIGINT) AS t

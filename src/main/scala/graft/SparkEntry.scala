@@ -739,6 +739,20 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    "redirect_resolve" -> ((s, _) => {
+      // 301-chain collapse by pointer doubling: O(log L) self-join rounds
+      // over the redirect mapping only; cycles/ρ-tails flagged not looped
+      val (urls, edges) = graft.ops.Redirects.synthRedirects(s)
+      graft.ops.Redirects.resolve(urls, edges).orderBy("url")
+    }),
+
+    "anchor_texts" -> ((s, _) => {
+      // per-target top-k anchors: algebraic count combines map-side, the
+      // rank window runs on counted rows only — never collect_list
+      val links = graft.ops.LinkGraph.outlinks(graft.ops.AnchorText.synthHubCorpus(s, 60))
+      graft.ops.AnchorText.topAnchors(links, 3).orderBy("dst", "rank")
+    }),
+
     "pdf_spans" -> ((s, _) => {
       // span/bbox structs per page (north-star output shape): line rects of
       // text.pdf page 0, rounded to ints — count and first rect are pinned
