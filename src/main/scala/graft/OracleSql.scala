@@ -584,6 +584,51 @@ object OracleSql {
         |  CAST(n_anchor_variants AS BIGINT) AS n_anchor_variants
         |FROM ranked WHERE rank <= 3 ORDER BY dst, rank""".stripMargin,
 
+    // mirrors HttpOps.synthResponses + parse: payloads are formula text
+    // ("line {i} of body;" for i < n), so every md5 is recomputed here from
+    // the same plaintext — pinning dechunk + gunzip/inflate end-to-end
+    "http_parse" ->
+      """WITH p AS (
+        |  SELECT md5((SELECT string_agg('line ' || i || ' of body;', '' ORDER BY i)
+        |              FROM (SELECT CAST(range AS BIGINT) AS i FROM range(0, 40)))) AS m40,
+        |         md5((SELECT string_agg('line ' || i || ' of body;', '' ORDER BY i)
+        |              FROM (SELECT CAST(range AS BIGINT) AS i FROM range(0, 7)))) AS m7)
+        |SELECT t.* FROM p, (VALUES
+        |  ('bad_chunk', FALSE, 'chunk: bad size', 0, '', '', '', FALSE, '', CAST(0 AS BIGINT), ''),
+        |  ('bad_gzip', FALSE, 'gzip: truncated or corrupt', 0, '', '', '', FALSE, '', 0, ''),
+        |  ('bad_no_terminator', FALSE, 'no header terminator', 0, '', '', '', FALSE, '', 0, ''),
+        |  ('chunked', TRUE, '', 200, 'text/plain', '', 'identity', TRUE, '', 630, (SELECT m40 FROM p)),
+        |  ('chunked_gzip', TRUE, '', 200, 'text/html', '', 'gzip', TRUE, '', 630, (SELECT m40 FROM p)),
+        |  ('clen_padded', TRUE, '', 200, 'text/html', '', 'identity', FALSE, '', 105, (SELECT m7 FROM p)),
+        |  ('deflate', TRUE, '', 200, 'application/json', '', 'deflate', FALSE, '', 105, (SELECT m7 FROM p)),
+        |  ('gzip', TRUE, '', 200, 'text/html', 'utf-8', 'gzip', FALSE, '', 630, (SELECT m40 FROM p)),
+        |  ('identity', TRUE, '', 200, 'text/html', 'utf-8', 'identity', FALSE, '', 630, (SELECT m40 FROM p)),
+        |  ('redirect', TRUE, '', 301, '', '', 'identity', FALSE, 'https://example.org/new', 0, '')
+        |) AS t(name, ok, err, status, mime, charset, encoding, chunked, location, n_bytes, payload_md5)
+        |ORDER BY name""".stripMargin,
+
+    // mirrors Sitemaps.synthSitemaps + entries: urlset leaves follow the
+    // formula arithmetic, index/entity/truncated rows pinned literally,
+    // the non-XML payload contributes zero rows
+    "sitemap_entries" ->
+      """WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 24)),
+        |u AS (SELECT
+        |  CASE WHEN i < 12 THEN 'https://site0.example/sitemap1.xml'
+        |       ELSE 'https://site0.example/sitemap2.xml.gz' END AS sitemap,
+        |  'url' AS kind,
+        |  'https://site0.example/a/p' || i AS loc,
+        |  '2024-01-' || lpad(CAST(1 + i % 28 AS VARCHAR), 2, '0') AS lastmod,
+        |  CASE i % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly' ELSE 'monthly' END AS changefreq,
+        |  '0.' || (i % 10) AS priority FROM ids),
+        |extra AS (SELECT * FROM (VALUES
+        |  ('https://site0.example/sitemap_index.xml', 'sitemap', 'https://site0.example/sitemap1.xml', '2024-02-01', '', ''),
+        |  ('https://site0.example/sitemap_index.xml', 'sitemap', 'https://site0.example/sitemap2.xml.gz', '2024-02-02', '', ''),
+        |  ('https://site0.example/entity.xml', 'url', 'https://site0.example/a?x=1&y=2', '', '', ''),
+        |  ('https://site0.example/truncated.xml', 'url', 'https://site0.example/ok', '', '', '')
+        |) t(sitemap, kind, loc, lastmod, changefreq, priority))
+        |SELECT * FROM (SELECT * FROM u UNION ALL SELECT * FROM extra)
+        |ORDER BY sitemap, kind, loc""".stripMargin,
+
     "pdf_spans" ->
       """SELECT url, CAST(n_chars AS BIGINT) AS n_chars, CAST(l AS BIGINT) AS l,
         |  CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r, CAST(t AS BIGINT) AS t

@@ -753,6 +753,20 @@ object SparkEntry {
       graft.ops.AnchorText.topAnchors(links, 3).orderBy("dst", "rank")
     }),
 
+    "http_parse" -> ((s, _) => {
+      // HTTP response decode between WARC and HTML: chunked + gzip/deflate
+      // bodies decoded in place (narrow map, budget-capped), payload md5
+      // recomputed by the oracle from the same formula plaintext
+      graft.ops.HttpOps.parse(graft.ops.HttpOps.synthResponses(s)).orderBy("name")
+    }),
+
+    "sitemap_entries" -> ((s, _) => {
+      // sitemaps.org ingest: urlset + sitemapindex, gzip-sniffed, leaves
+      // kept as written; narrow flatMap over the sitemap files
+      graft.ops.Sitemaps.entries(graft.ops.Sitemaps.synthSitemaps(s))
+        .orderBy("sitemap", "kind", "loc")
+    }),
+
     "pdf_spans" -> ((s, _) => {
       // span/bbox structs per page (north-star output shape): line rects of
       // text.pdf page 0, rounded to ints — count and first rect are pinned
