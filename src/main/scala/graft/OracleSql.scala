@@ -1193,6 +1193,50 @@ object OracleSql {
         |  CASE WHEN d.df <= 100 THEN p.postings ELSE '' END AS postings
         |FROM d JOIN p USING (term) ORDER BY d.term""".stripMargin,
 
+    // mirrors Retrieval.bm25TopK: same tokenization, same integer
+    // micro-unit arithmetic (// = floor div), same rational idf — scores
+    // are order-independent so the match is bit-exact
+    "text_bm25" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |           FROM documents),
+        |st AS (SELECT count(*) AS n, sum(len(t)) AS tdl FROM d),
+        |av AS (SELECT greatest(1, (tdl * 1000) // greatest(1, n)) AS avgdl_m FROM st),
+        |q AS (SELECT * FROM (VALUES
+        |  (0, 'table'), (0, 'scan'), (0, 'fast'),
+        |  (1, 'window'), (1, 'agg'), (1, 'group'),
+        |  (2, 'customer'), (2, 'query'), (2, 'join'),
+        |  (3, 'stream'), (3, 'batch'), (3, 'merge'),
+        |  (4, 'vector'), (4, 'hash'), (4, 'sort')) v(query_id, term)),
+        |tfq AS (SELECT doc_id, len(t) AS dl, term, count(*) AS tf
+        |        FROM (SELECT doc_id, t, unnest(t) AS term FROM d) u
+        |        WHERE term IN (SELECT term FROM q) GROUP BY doc_id, len(t), term),
+        |idf AS (SELECT term, (1000000 * (2 * ((SELECT n FROM st) - count(*)) + 1))
+        |               // (2 * count(*) + 1) AS idf_micro
+        |        FROM tfq GROUP BY term),
+        |contrib AS (SELECT q.query_id, f.doc_id,
+        |  (i.idf_micro * ((f.tf * (1200 + 1000) * 1000) //
+        |    (f.tf * 1000 + ((1200 * ((1000 - 750) +
+        |      ((750 * f.dl * 1000) // (SELECT avgdl_m FROM av)))) // 1000)))) // 1000 AS c
+        |  FROM tfq f JOIN idf i USING (term) JOIN q ON q.term = f.term),
+        |scored AS (SELECT query_id, doc_id, sum(c) AS score_micro FROM contrib GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id, score_micro,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank
+        |  FROM scored)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(score_micro AS BIGINT) AS score_micro, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors TextStats.repeatedNgrams(n=5, minDocs=2): in-row gram
+    // expansion (DuckDB list slice t[a:b] is 1-based inclusive = Spark
+    // slice(toks, a, n)), per-doc distinct, count+min aggregate
+    "text_repeated_ngrams" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |              FROM documents),
+        |g0 AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 4, 0))) AS i FROM toks),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS gram FROM g0)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM g GROUP BY gram HAVING count(*) >= 2 ORDER BY gram""".stripMargin,
+
     // mirrors Graph.pageRankInt(iters=3) over Graph.synthEdges — integer
     // arithmetic end to end (// is floor division), so sums are
     // order-independent and the match is bit-exact

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.spark.{DocParts, ExtractPipeline, PageRow, PagesTable}
-import graft.ops.{Assemble, Dedup, Graph, Index, Relational, Sampling, Similarity, TextStats, UrlOps}
+import graft.ops.{Assemble, Dedup, Graph, Index, Relational, Retrieval, Sampling, Similarity, TextStats, UrlOps}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB oracle where SQL-expressible.
@@ -1182,6 +1182,22 @@ object SparkEntry {
       // are never materialized — exact df survives, postings drop)
       Index.invertedIndex(docs(s, dir, "documents"), maxDf = 100)
         .orderBy("term")
+    }),
+
+    "text_bm25" -> ((s, dir) => {
+      // integer BM25-variant retrieval: in-row tf counting (no corpus
+      // shuffle), query-term df broadcast back, micro-unit floor-div
+      // scores identical on any partitioning — hence DuckDB-exact
+      Retrieval.bm25TopK(docs(s, dir, "documents"),
+          Retrieval.synthQueries(s), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "text_repeated_ngrams" -> ((s, dir) => {
+      // gram-side memorization-risk inventory: in-row gram expansion,
+      // algebraic (count, min) agg — hot grams combine map-side
+      TextStats.repeatedNgrams(docs(s, dir, "documents"), n = 5, minDocs = 2)
+        .orderBy("gram")
     }),
 
     "domain_rank" -> ((s, dir) => {

@@ -254,4 +254,29 @@ object TextStats {
       when(nTok > 0, floor(nOov.cast("double") * 1000.0 / nTok.cast("double")))
         .otherwise(0L).cast("long").as("oov_x1000"))
   }
+
+  /** Cross-document repeated n-grams — the memorization-risk signal
+    * (Lee et al. 2022's exact-substring dedup at n-gram granularity):
+    * token n-grams occurring in ≥ minDocs DISTINCT documents, with exact
+    * doc counts and the smallest containing doc id as the exemplar.
+    *
+    * Scale shape: gram expansion is IN-ROW (transform over the token
+    * array, array_distinct per doc so a doc contributes each gram once);
+    * the aggregate is algebraic (count + min) so hot grams combine
+    * map-side before the single gram-keyed Exchange — per-gram state is
+    * two longs, never a posting list. Complements decontaminate (external
+    * benchmark grams, broadcast semi-join) and Dedup.repeatedSpans (the
+    * per-DOC shared-position shares): this is the gram-side inventory —
+    * which spans repeat, how widely, and where to look first. */
+  def repeatedNgrams(docs: DataFrame, n: Int = 5, minDocs: Long = 2): DataFrame = {
+    val toks = filter(split(col("text"), " ", -1), t => length(t) > 0)
+    docs.select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+  }
 }
