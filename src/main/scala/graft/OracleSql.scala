@@ -1193,6 +1193,38 @@ object OracleSql {
         |  CASE WHEN d.df <= 100 THEN p.postings ELSE '' END AS postings
         |FROM d JOIN p USING (term) ORDER BY d.term""".stripMargin,
 
+    // mirrors Tables.synthTableCorpus + cells: outer table = header row +
+    // formula grid with one colspan-2 cell, inner nested table indexes as
+    // table 1; build → parse → normalize must round-trip the arithmetic
+    "html_tables" ->
+      """WITH pages AS (SELECT CAST(range AS BIGINT) AS p FROM range(0, 12)),
+        |cells AS (
+        |  SELECT p, 0 AS table_idx, 0 AS row_idx, 0 AS col_idx, TRUE AS header, 1 AS colspan, 'Name' AS text FROM pages
+        |  UNION ALL SELECT p, 0, 0, 1, TRUE, 1, 'Value & Unit' FROM pages
+        |  UNION ALL SELECT p, 0, 0, 2, TRUE, 1, 'Note' FROM pages
+        |  UNION ALL SELECT p, 0, 1, 0, FALSE, 1, 'cell ' || (p * 100) FROM pages
+        |  UNION ALL SELECT p, 0, 1, 1, FALSE, 2, 'wide ' || (p * 100 + 11) FROM pages
+        |  UNION ALL SELECT p, 0, 2, 0, FALSE, 1, 'cell ' || (p * 100 + 20) FROM pages
+        |  UNION ALL SELECT p, 0, 2, 1, FALSE, 1, 'cell ' || (p * 100 + 21) FROM pages
+        |  UNION ALL SELECT p, 0, 2, 2, FALSE, 1, 'cell ' || (p * 100 + 22) FROM pages
+        |  UNION ALL SELECT p, 1, 0, 0, FALSE, 1, 'inner ' || p || 'a' FROM pages
+        |  UNION ALL SELECT p, 1, 0, 1, FALSE, 1, 'inner ' || p || 'b' FROM pages)
+        |SELECT 'https://t.example/page' || p AS url, CAST(table_idx AS INTEGER) AS table_idx,
+        |  CAST(row_idx AS INTEGER) AS row_idx, CAST(col_idx AS INTEGER) AS col_idx,
+        |  header, CAST(colspan AS INTEGER) AS colspan, text
+        |FROM cells ORDER BY url, table_idx, row_idx, col_idx""".stripMargin,
+
+    // mirrors SnapshotDiff.synthSnapshots + diff: classification is fully
+    // determined by the construction arithmetic (overlap ∩ 7ℤ changed)
+    "crawl_diff" ->
+      """WITH n AS (SELECT count(*) AS c FROM documents)
+        |SELECT 'https://site' || (doc_id % 8) || '.example/a/p' || doc_id AS url,
+        |  CASE WHEN doc_id < 50 THEN 'removed'
+        |       WHEN doc_id >= (SELECT c FROM n) - 50 THEN 'added'
+        |       WHEN doc_id % 7 = 0 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM documents ORDER BY url""".stripMargin,
+
     // mirrors Retrieval.bm25TopK: same tokenization, same integer
     // micro-unit arithmetic (// = floor div), same rational idf — scores
     // are order-independent so the match is bit-exact

@@ -1184,6 +1184,20 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    "html_tables" -> ((s, _) => {
+      // web-table cells as structured rows: narrow flatMap, nested tables
+      // index separately, header/colspan surfaced, entities normalized
+      graft.ops.Tables.cells(graft.ops.Tables.synthTableCorpus(s, 12)).toDF()
+        .orderBy("url", "table_idx", "row_idx", "col_idx")
+    }),
+
+    "crawl_diff" -> ((s, dir) => {
+      // snapshot change feed: one full-outer join on (url, md5) pairs —
+      // payloads never shuffle; bucketed snapshots make it Exchange-free
+      val (a, b) = graft.ops.SnapshotDiff.synthSnapshots(docs(s, dir, "documents"))
+      graft.ops.SnapshotDiff.diff(a, b).orderBy("url")
+    }),
+
     "text_bm25" -> ((s, dir) => {
       // integer BM25-variant retrieval: in-row tf counting (no corpus
       // shuffle), query-term df broadcast back, micro-unit floor-div
