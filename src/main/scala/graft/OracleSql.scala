@@ -1193,6 +1193,43 @@ object OracleSql {
         |  CASE WHEN d.df <= 100 THEN p.postings ELSE '' END AS postings
         |FROM d JOIN p USING (term) ORDER BY d.term""".stripMargin,
 
+    // mirrors Frontier.nextFrontier over the crawled slice (pages 0..29)
+    // of the 40-page link corpus: resolved-edge arithmetic as in
+    // html_link_graph (absolute links canonicalize to ?a=1&b=2, relative
+    // links resolve into the SOURCE page's domain, Home links hit site
+    // roots), crawled set removed, robots longest-match gate with the
+    // extra site6 /a/p38 block, per-domain top-2 by (in-degree, url)
+    "crawl_frontier" ->
+      """WITH pages AS (SELECT CAST(range AS BIGINT) AS p FROM range(0, 30)),
+        |links AS (
+        |  SELECT p, 'https://site' || (((p*7+1)%40)%8) || '.example/a/p' || ((p*7+1)%40) || '?a=1&b=2' AS dst FROM pages
+        |  UNION ALL SELECT p, 'https://site' || (p%8) || '.example/a/p' || ((p*7+14)%40) FROM pages
+        |  UNION ALL SELECT p, 'https://site' || (p%8) || '.example/a/p' || ((p*7+27)%40) FROM pages
+        |  UNION ALL SELECT p, 'https://site' || (p%8) || '.example/' FROM pages),
+        |crawled AS (SELECT 'https://site' || (p%8) || '.example/a/p' || p AS url FROM pages),
+        |cand AS (SELECT dst AS url, count(DISTINCT p) AS n_refs FROM links GROUP BY dst),
+        |fresh AS (SELECT * FROM cand WHERE url NOT IN (SELECT url FROM crawled)),
+        |doms AS (SELECT CAST(range AS BIGINT) AS d FROM range(0, 8)),
+        |rules AS (
+        |  SELECT 'site' || d || '.example' AS domain, FALSE AS allow, '/private/' AS rpath FROM doms
+        |  UNION ALL SELECT 'site' || d || '.example', FALSE, '/a/p' || d FROM doms
+        |  UNION ALL SELECT 'site' || d || '.example', TRUE, '/a/p' || (9*d+8) FROM doms
+        |  UNION ALL SELECT 'site6.example', FALSE, '/a/p38'),
+        |parsed AS (SELECT url, n_refs,
+        |  regexp_replace(url, '^[a-z]+://[^/]*', '') AS path,
+        |  regexp_extract(url, '^[a-z]+://([^/]*)', 1) AS domain FROM fresh),
+        |m AS (SELECT u.url, r.allow, r.rpath FROM parsed u JOIN rules r
+        |      ON u.domain = r.domain AND starts_with(u.path, r.rpath)),
+        |w AS (SELECT url AS wurl, allow, row_number() OVER (PARTITION BY url
+        |        ORDER BY len(rpath) DESC, allow DESC, rpath DESC) AS rn FROM m),
+        |verdict AS (SELECT p.url, p.n_refs, p.domain, coalesce(w.allow, TRUE) AS allowed
+        |            FROM parsed p LEFT JOIN w ON p.url = w.wurl AND w.rn = 1),
+        |ranked AS (SELECT url, domain, n_refs,
+        |  row_number() OVER (PARTITION BY domain ORDER BY n_refs DESC, url ASC) AS rank
+        |  FROM verdict WHERE allowed)
+        |SELECT url, domain, CAST(n_refs AS BIGINT) AS n_refs, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 2 ORDER BY domain, rank""".stripMargin,
+
     // mirrors Tables.synthTableCorpus + cells: outer table = header row +
     // formula grid with one colspan-2 cell, inner nested table indexes as
     // table 1; build → parse → normalize must round-trip the arithmetic

@@ -1184,6 +1184,15 @@ object SparkEntry {
         .orderBy("term")
     }),
 
+    "crawl_frontier" -> ((s, _) => {
+      // the integration op: outlink harvest → in-degree dedup → anti-join
+      // crawled set → broadcast robots gate → per-domain politeness top-k
+      val pages = graft.ops.Frontier.synthCrawledPages(s)
+      graft.ops.Frontier.nextFrontier(pages, pages.toDF().select("url"),
+          graft.ops.Frontier.synthFrontierRobots(s), "graftbot", perDomain = 2)
+        .orderBy("domain", "rank")
+    }),
+
     "html_tables" -> ((s, _) => {
       // web-table cells as structured rows: narrow flatMap, nested tables
       // index separately, header/colspan surfaced, entities normalized
