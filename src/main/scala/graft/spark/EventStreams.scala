@@ -51,6 +51,44 @@ object EventStreams {
       .flatMap(_.iterator)
   }
 
+  /** Streaming change feed — the ingest-time companion to the batch
+    * [[graft.ops.SnapshotDiff.diff]]: each refetch of a url classifies
+    * against the last content hash seen for that url — `new` (first
+    * sighting), `changed` (hash moved), `unchanged` (same bytes again).
+    * Drives recrawl scheduling without waiting for a snapshot boundary.
+    *
+    * State per url is ONE md5 string (bounded by |distinct urls|, the
+    * same envelope as the batch diff's join key set); in-batch refetches
+    * of a url apply in warc_ts order so multi-fetch micro-batches
+    * classify deterministically. For crawls where urls age out, wire a
+    * processing-time TTL exactly as streamingExactDedup does. */
+  final case class FetchStatus(url: String, ts: java.sql.Timestamp, status: String)
+  def streamingChangeFeed(fetches: Dataset[PageRow]): Dataset[FetchStatus] = {
+    val spark = fetches.sparkSession
+    import spark.implicits._
+    fetches.groupByKey(_.url)
+      .flatMapGroupsWithState[String, FetchStatus](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (url, rows, state: GroupState[String]) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def hashOf(b: Array[Byte]): String = {
+            md.reset()
+            md.digest(if (b == null) Array.emptyByteArray else b)
+              .map(x => f"$x%02x").mkString
+          }
+          var last = state.getOption.orNull
+          val out = rows.toVector.sortBy(_.warc_ts.getTime).map { p =>
+            val h = hashOf(p.html)
+            val status =
+              if (last == null) "new" else if (h == last) "unchanged" else "changed"
+            last = h
+            FetchStatus(url, p.warc_ts, status)
+          }
+          if (last != null) state.update(last)
+          out.iterator
+      }
+  }
+
   /** Tumbling 1-hour windows per event type with a 2-hour watermark. */
   def windowedCounts(spark: SparkSession, eventsDir: String, outDir: String,
                      checkpointDir: String): Unit = {

@@ -77,4 +77,38 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(all.map(_.url).toSet == Set("u/a1", "u/b", "u/c"))
     } finally q.stop()
   }
+
+  test("streaming change feed: new/changed/unchanged across batches, in-batch ts order") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def row(url: String, t: Long, payload: String) =
+      PageRow(url, new java.sql.Timestamp(t), payload.getBytes("UTF-8"), null, "la")
+    val source = MemoryStream[PageRow]
+    val tmp = java.nio.file.Files.createTempDirectory("schange").toString
+    val q = EventStreams.streamingChangeFeed(source.toDS())
+      .writeStream.format("memory").queryName("schange_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: u1 fetched twice IN one batch (v1 then v2, out of arrival
+      // order), u2 once
+      source.addData(row("u1", 2000, "v2"), row("u1", 1000, "v1"), row("u2", 1500, "x"))
+      q.processAllAvailable()
+      val b1 = spark.table("schange_out").as[EventStreams.FetchStatus].collect()
+      assert(b1.map(f => (f.url, f.ts.getTime, f.status)).sortBy(x => (x._1, x._2)).toVector ==
+        Vector(("u1", 1000L, "new"), ("u1", 2000L, "changed"), ("u2", 1500L, "new")))
+      // batch 2: u1 refetched with batch-1's last bytes (unchanged), then
+      // changed again; u2 same bytes (unchanged); u3 new
+      source.addData(row("u1", 3000, "v2"), row("u1", 4000, "v3"),
+        row("u2", 3500, "x"), row("u3", 3600, "z"))
+      q.processAllAvailable()
+      val all = spark.table("schange_out").as[EventStreams.FetchStatus].collect()
+      val b2 = all.filter(_.ts.getTime >= 3000).map(f => (f.url, f.ts.getTime, f.status))
+        .sortBy(x => (x._1, x._2)).toVector
+      assert(b2 == Vector(("u1", 3000L, "unchanged"), ("u1", 4000L, "changed"),
+        ("u2", 3500L, "unchanged"), ("u3", 3600L, "new")))
+    } finally q.stop()
+  }
 }
