@@ -927,6 +927,65 @@ object OracleSql {
     "text_token_count" ->
       s"""SELECT doc_id, CAST($nTok AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id""",
 
+    // GPT-2-style pre-tokenizer pieces: same lookahead-free ASCII pattern
+    // source as TextStats.bpePiecePattern — java.util.regex and RE2 agree
+    // (both leftmost-first alternation, explicit ASCII classes, no \s).
+    "text_bpe_stats" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, length(text) AS n_chars, $nTok AS n_tokens,
+         |    list_transform(
+         |      regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+'),
+         |      x -> (length(x)+3)//4) AS subs
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(subs) AS BIGINT) AS n_pieces,
+         |  CAST(coalesce(list_sum(subs), 0) AS BIGINT) AS n_subwords,
+         |  CAST(CASE WHEN n_tokens > 0
+         |    THEN floor(CAST(coalesce(list_sum(subs),0) AS DOUBLE) * 1000.0 / CAST(n_tokens AS DOUBLE))
+         |    ELSE 0 END AS BIGINT) AS subwords_per_word_x1000,
+         |  CAST(CASE WHEN coalesce(list_sum(subs),0) > 0
+         |    THEN floor(CAST(n_chars AS DOUBLE) * 1000.0 / CAST(list_sum(subs) AS DOUBLE))
+         |    ELSE 0 END AS BIGINT) AS bytes_per_subword_x1000
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // water-filling mixture solver: capped set = greedy prefix in
+    // cap/weight order (see ops/Mixture.scala for the fixed-point proof);
+    // all solver arithmetic is int64 floor division, bit-exact both engines
+    "corpus_mixture" ->
+      s"""WITH per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum($nTok) AS BIGINT) AS avail_tokens,
+         |    CAST((CAST(substr(source, 4) AS INT) + 1) * 1000 AS BIGINT) AS weight_x1000
+         |  FROM documents GROUP BY source),
+         |caps AS (SELECT *, avail_tokens * 2000 // 1000 AS cap_tokens FROM per),
+         |st AS (
+         |  SELECT *,
+         |    coalesce(sum(cap_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_prev,
+         |    coalesce(sum(weight_x1000) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_prev,
+         |    sum(weight_x1000) OVER () AS w_all,
+         |    least(30000, sum(cap_tokens) OVER ()) AS t_total
+         |  FROM caps
+         |  WINDOW w AS (ORDER BY CAST(cap_tokens AS DOUBLE)/CAST(weight_x1000 AS DOUBLE) ASC, source ASC)),
+         |fl AS (
+         |  SELECT *, cap_tokens * (w_all - w_prev) < weight_x1000 * (t_total - c_prev) AS capped FROM st),
+         |kk AS (
+         |  SELECT *,
+         |    coalesce(sum(CASE WHEN capped THEN cap_tokens END) OVER (), 0) AS c_capped,
+         |    coalesce(sum(CASE WHEN capped THEN weight_x1000 END) OVER (), 0) AS w_capped
+         |  FROM fl),
+         |al AS (
+         |  SELECT *, CASE WHEN capped OR w_all = w_capped THEN cap_tokens
+         |    ELSE weight_x1000 * (t_total - c_capped) // (w_all - w_capped) END AS alloc_tokens
+         |  FROM kk)
+         |SELECT source, weight_x1000,
+         |  CAST(n_docs AS BIGINT) AS n_docs, avail_tokens,
+         |  CAST(cap_tokens AS BIGINT) AS cap_tokens,
+         |  CAST(capped AS INT) AS capped,
+         |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+         |  CAST(CASE WHEN avail_tokens > 0 THEN alloc_tokens * 1000 // avail_tokens ELSE 0 END AS BIGINT) AS epochs_x1000,
+         |  CAST(CASE WHEN t_total > 0 THEN alloc_tokens * 1000000 // t_total ELSE 0 END AS BIGINT) AS share_x1e6
+         |FROM al ORDER BY source""".stripMargin,
+
     "text_quality" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS n_chars,

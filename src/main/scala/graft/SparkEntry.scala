@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.spark.{DocParts, ExtractPipeline, PageRow, PagesTable}
-import graft.ops.{Assemble, Dedup, Graph, Index, Relational, Retrieval, Sampling, Similarity, TextStats, UrlOps}
+import graft.ops.{Assemble, Dedup, Graph, Index, Mixture, Relational, Retrieval, Sampling, Similarity, TextStats, UrlOps}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB oracle where SQL-expressible.
@@ -1047,6 +1047,25 @@ object SparkEntry {
       val d = docs(s, dir, "documents").select(col("doc_id"), col("text"))
       TextStats.decontaminate(d, d.where(col("doc_id") % 25 === 0), n = 8)
         .orderBy("doc_id")
+    }),
+
+    "text_bpe_stats" -> ((s, dir) => {
+      // GPT-2-style regex pre-tokenizer pieces + ceil(len/4) subword
+      // estimate — one codegen'd regexp_extract_all pass, narrow plan
+      TextStats.bpeTokenStats(docs(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy("doc_id")
+    }),
+
+    "corpus_mixture" -> ((s, dir) => {
+      // water-filling mixture allocation over per-source token totals:
+      // weight src<K> by K+1, cap at 2.0 epochs, 30k-token budget — at
+      // sf0.01 this yields a genuinely mixed capped/uncapped solution
+      Mixture.allocate(
+        docs(s, dir, "documents").select(col("source"), col("text")),
+        weightX1000 = (substring(col("source"), 4, 10).cast("int") + 1).cast("long") * 1000L,
+        budgetTokens = 30000L,
+        maxEpochsX1000 = 2000L)
+        .orderBy("source")
     }),
 
     "text_pii" -> ((s, dir) => {

@@ -279,4 +279,37 @@ object TextStats {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .where(col("n_docs") >= minDocs)
   }
+
+  /** GPT-2-style BPE pre-tokenization (Radford et al. 2019 §2.2), ASCII,
+    * lookahead-free so the SAME pattern source behaves identically under
+    * java.util.regex (Spark) and RE2 (DuckDB): both engines use
+    * leftmost-first alternation, and the classes are explicit ASCII sets
+    * (no \s, whose membership differs between the engines). Pieces are
+    * ` ?letters | ?digits | ?symbol-run | whitespace-run`. */
+  val bpePiecePattern: String =
+    " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+"
+
+  /** BPE-ish token statistics per document: regex pre-tokenizer piece count,
+    * a subword estimate (each piece contributes ceil(len/4) — the ~4
+    * bytes/token BPE rate of web English), subword fertility per whitespace
+    * word, and bytes per subword. The plan is a pure narrow scan — one
+    * codegen'd regexp_extract_all plus higher-order aggregate per row, no
+    * shuffle, no UDFs — so at 10^12 rows it runs at scan speed. All derived
+    * ratios are ×1000 floor integers (exact in binary64: products < 2^53),
+    * which is what makes the DuckDB oracle bit-exact. */
+  def bpeTokenStats(docs: DataFrame): DataFrame = {
+    val pieces = regexp_extract_all(col("text"), lit(bpePiecePattern), lit(0))
+    val sub = aggregate(pieces, lit(0L),
+      (a, p) => a + floor((length(p) + lit(3)).cast("double") / 4.0).cast("long"))
+    val nTokens = tokenCountCol(col("text"))
+    val nChars = length(col("text")).cast("long")
+    docs.select(
+      col("doc_id"),
+      size(pieces).cast("long").as("n_pieces"),
+      sub.as("n_subwords"),
+      when(nTokens > 0, floor(sub.cast("double") * 1000.0 / nTokens.cast("double")))
+        .otherwise(0L).cast("long").as("subwords_per_word_x1000"),
+      when(sub > 0, floor(nChars.cast("double") * 1000.0 / sub.cast("double")))
+        .otherwise(0L).cast("long").as("bytes_per_subword_x1000"))
+  }
 }
