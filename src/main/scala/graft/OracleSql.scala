@@ -927,6 +927,42 @@ object OracleSql {
     "text_token_count" ->
       s"""SELECT doc_id, CAST($nTok AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id""",
 
+    // batch-perceptron fit trace: labeled corpus regenerated (repeat(' zq',40)
+    // junk on every 5th doc), repetition features reproduced via the same
+    // CTE pipeline as text_repetition, then the K-round integer fit replayed
+    // as a recursive CTE — every weight and miscount must match bit-for-bit
+    "quality_perceptron" ->
+      s"""WITH RECURSIVE labeled AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || repeat(' zq', 200) ELSE text END AS text,
+         |    CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS y
+         |  FROM documents),
+         |toks AS (SELECT doc_id, y, CASE WHEN trim(text) = '' THEN [] ELSE string_split(text, ' ') END AS t FROM labeled),
+         |u AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |uc AS (SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2),
+         |ustats AS (SELECT doc_id, max(c) AS mu, sum(c) AS n,
+         |           sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM uc GROUP BY 1),
+         |feats AS (
+         |  SELECT t.doc_id, t.y,
+         |    CAST(least(coalesce(n, 0), 1000) AS BIGINT) AS x1,
+         |    CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(mu * 1000.0 / n) END AS BIGINT) AS x2,
+         |    CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(dup * 1000.0 / n) END AS BIGINT) AS x3,
+         |    CAST(1000 AS BIGINT) AS x4
+         |  FROM toks t LEFT JOIN ustats USING (doc_id)),
+         |fit(round, w1, w2, w3, w4) AS (
+         |  SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT round + 1,
+         |    w1 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x1 ELSE 0 END), 0) FROM feats),
+         |    w2 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x2 ELSE 0 END), 0) FROM feats),
+         |    w3 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x3 ELSE 0 END), 0) FROM feats),
+         |    w4 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x4 ELSE 0 END), 0) FROM feats)
+         |  FROM fit WHERE round < 6)
+         |SELECT CAST(round AS BIGINT) AS round, w1, w2, w3, w4,
+         |  CAST((SELECT count(*) FROM feats
+         |        WHERE y*(x1*f.w1 + x2*f.w2 + x3*f.w3 + x4*f.w4) <= 0) AS BIGINT) AS n_mis
+         |FROM fit f ORDER BY round""".stripMargin,
+
     // GPT-2-style pre-tokenizer pieces: same lookahead-free ASCII pattern
     // source as TextStats.bpePiecePattern — java.util.regex and RE2 agree
     // (both leftmost-first alternation, explicit ASCII classes, no \s).

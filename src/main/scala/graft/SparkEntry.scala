@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.spark.{DocParts, ExtractPipeline, PageRow, PagesTable}
-import graft.ops.{Assemble, Dedup, Graph, Index, Mixture, Relational, Retrieval, Sampling, Similarity, TextStats, UrlOps}
+import graft.ops.{Assemble, Classifier, Dedup, Graph, Index, Mixture, Relational, Retrieval, Sampling, Similarity, TextStats, UrlOps}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB oracle where SQL-expressible.
@@ -1066,6 +1066,15 @@ object SparkEntry {
         budgetTokens = 30000L,
         maxEpochsX1000 = 2000L)
         .orderBy("source")
+    }),
+
+    "quality_perceptron" -> ((s, dir) => {
+      // distributed integer perceptron fit: every 5th doc corrupted with
+      // repeated junk (y=-1); one map-side-combined aggregation per round,
+      // five int64s of driver traffic each — the fit TRACE is the result
+      Classifier.perceptronFit(Classifier.features(Classifier.corpusWithLabels(
+        docs(s, dir, "documents").select(col("doc_id"), col("text")))), rounds = 6)
+        .orderBy("round")
     }),
 
     "text_pii" -> ((s, dir) => {

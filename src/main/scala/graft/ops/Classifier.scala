@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed quality-classifier training — the step after hand-written
+  * quality RULES (gopherRules, lmScore): fit a linear model on labeled
+  * examples so the filter generalizes. The classic pipeline trains a
+  * fastText/LR model on "good vs junk" labels; the distributed fit below is
+  * the batch PERCEPTRON, chosen because its update rule is pure integer
+  * arithmetic — which makes an iterative, multi-round distributed ML fit
+  * bit-exactly reproducible in the DuckDB oracle (a recursive CTE), where
+  * float gradients would drift across engines.
+  *
+  * Fit shape (the MLlib pattern): each round is ONE aggregation over the
+  * corpus — sum of y·x over currently-misclassified rows (margin y·(w·x) ≤
+  * 0), map-side combined, so per-round driver traffic is exactly five
+  * int64s regardless of corpus size. Weights live on the driver (4 longs)
+  * and enter the next round's expression as literals — zero joins, zero
+  * broadcasts, K scans for K rounds. Features are cached across rounds
+  * (they are K-reused); at 10^12 rows the cache spills or the scan re-runs —
+  * either is correct.
+  *
+  * Integer bounds: |x_j| ≤ 1000, so |Δw_j| ≤ 1000·n_docs per round and
+  * |margin| ≤ 4·1000·|w|_max — int64-safe for any corpus below ~10^12 docs
+  * per fit round (shard or rescale beyond that). */
+object Classifier {
+
+  /** Labeled corpus for the oracle-checked fit: every 5th document is
+    * corrupted with a 200-token repeated-junk suffix (y = −1), the rest are
+    * clean (y = +1) — the repetition features then carry the signal. The
+    * suffix is `repeat(' zq', 200)` so DuckDB regenerates it verbatim. */
+  def corpusWithLabels(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(" zq" * 200)))
+        .otherwise(col("text")).as("text"),
+      when(col("doc_id") % 5 === 0, lit(-1L)).otherwise(lit(1L)).as("y"))
+
+  /** Integer features per labeled row, one typed-map pass (same per-row
+    * histogram fold as TextStats.repetition, carrying y through):
+    * x1 = min(n_tokens, 1000), x2 = top-unigram share ×1000,
+    * x3 = repeated-token share ×1000, x4 = 1000 (bias). */
+  def features(labeled: DataFrame): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    labeled.select(col("doc_id"), col("y"), col("text")).as[(Long, Long, String)]
+      .map { case (id, y, t) =>
+        val toks = if (t.trim.isEmpty) Array.empty[String] else t.split(" ", -1)
+        val n = toks.length
+        val uni = new scala.collection.mutable.HashMap[String, Long]()
+        toks.foreach(w => uni.update(w, uni.getOrElse(w, 0L) + 1L))
+        val topUni = if (uni.isEmpty) 0L else uni.values.max
+        val dupToks = uni.values.filter(_ > 1L).sum
+        def frac(num: Long, den: Long): Long =
+          if (den == 0L) 0L else math.floor(num.toDouble * 1000.0 / den.toDouble).toLong
+        (id, y, math.min(n, 1000).toLong, frac(topUni, n), frac(dupToks, n), 1000L)
+      }
+      .toDF("doc_id", "y", "x1", "x2", "x3", "x4")
+  }
+
+  /** Batch perceptron over (doc_id, y, x1..x4): returns the fit TRACE —
+    * one row per round r = 0..rounds with the weights entering that round
+    * and the misclassified count at those weights; rows r < rounds then
+    * apply the update w += Σ_misclassified y·x. Deterministic: the batch
+    * sum is order-independent integer addition. */
+  def perceptronFit(feats: DataFrame, rounds: Int = 6): DataFrame = {
+    val spark = feats.sparkSession
+    val f = feats.cache()
+    val w = Array(0L, 0L, 0L, 0L)
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+    for (r <- 0 to rounds) {
+      val margin = col("y") *
+        (col("x1") * w(0) + col("x2") * w(1) + col("x3") * w(2) + col("x4") * w(3))
+      val mis = margin <= 0
+      val row: Row = f.select(
+        coalesce(sum(when(mis, col("y") * col("x1")).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(mis, col("y") * col("x2")).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(mis, col("y") * col("x3")).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(mis, col("y") * col("x4")).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(mis, 1L).otherwise(0L)), lit(0L))).collect()(0)
+      trace += ((r.toLong, w(0), w(1), w(2), w(3), row.getLong(4)))
+      if (r < rounds) (0 to 3).foreach(j => w(j) += row.getLong(j))
+    }
+    f.unpersist()
+    import spark.implicits._
+    trace.toSeq.toDF("round", "w1", "w2", "w3", "w4", "n_mis")
+  }
+}
