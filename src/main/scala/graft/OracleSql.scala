@@ -104,6 +104,42 @@ object OracleSql {
   private val nTok =
     "(CASE WHEN length(trim(text))=0 THEN 0 ELSE length(text)-length(replace(text,' ',''))+1 END)"
 
+  /** Unrolled BPE merge loop: one (pair-count → argmax → replace) CTE
+    * triple per merge round. Words are delimiter-wrapped symbol strings
+    * ('low' → '|l||o||w|'), so SQL replace('|a||b|' → '|ab|') IS the greedy
+    * left-to-right non-overlapping merge pass — each token carries its own
+    * delimiters, so consecutive matches never share characters (the
+    * single-space encoding would). Fit is over ^[a-z]+$ word types only,
+    * mirroring Tokenizer.bpeFit. */
+  private def bpeFitSql(vocabCap: Int, nMerges: Int): String = {
+    val base =
+      s"""st0 AS MATERIALIZED (
+         |  SELECT word, cnt, regexp_replace(word, '(.)', '|\\1|', 'g') AS s FROM (
+         |    SELECT word, count(*) AS cnt FROM (
+         |      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |    WHERE regexp_matches(word, '^[a-z]+$$')
+         |    GROUP BY word ORDER BY cnt DESC, word LIMIT $vocabCap))""".stripMargin
+    // every st/mg CTE is referenced twice downstream; MATERIALIZED stops
+    // DuckDB inlining the chain (which would re-expand st0 exponentially)
+    val rounds = (1 to nMerges).map { k =>
+      val p = s"st${k - 1}"
+      s"""pc$k AS (
+         |  SELECT p['l'] AS a, p['r'] AS b, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, unnest(list_transform(range(1, len(t)), i -> {'l': t[i], 'r': t[i+1]})) AS p
+         |        FROM (SELECT cnt, string_split(trim(s, '|'), '||') AS t FROM $p)
+         |        WHERE len(t) >= 2)
+         |  GROUP BY 1, 2),
+         |mg$k AS MATERIALIZED (SELECT a, b, c FROM pc$k ORDER BY c DESC, a, b LIMIT 1),
+         |st$k AS MATERIALIZED (
+         |  SELECT word, cnt, replace(s, '|' || a || '||' || b || '|', '|' || a || b || '|') AS s
+         |  FROM $p, mg$k)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to nMerges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, c AS pair_count FROM mg$k"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $base,\n$rounds,\nfinal AS (\n$sel)\nSELECT * FROM final ORDER BY merge_rank"
+  }
+
   private def markerScore(words: Seq[String]): String =
     words.map(w =>
       s"floor(CAST(length(' '||text||' ') - length(replace(' '||text||' ',' $w ','')) AS DOUBLE)/${w.length + 2}.0)")
@@ -962,6 +998,10 @@ object OracleSql {
          |  CAST((SELECT count(*) FROM feats
          |        WHERE y*(x1*f.w1 + x2*f.w2 + x3*f.w3 + x4*f.w4) <= 0) AS BIGINT) AS n_mis
          |FROM fit f ORDER BY round""".stripMargin,
+
+    // BPE merge fit: the unrolled-CTE replay of the merge loop (see
+    // bpeFitSql) — every merge's rank, pair, and weighted count must match
+    "bpe_fit" -> bpeFitSql(vocabCap = 300, nMerges = 10),
 
     // GPT-2-style pre-tokenizer pieces: same lookahead-free ASCII pattern
     // source as TextStats.bpePiecePattern — java.util.regex and RE2 agree

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.spark.{DocParts, ExtractPipeline, PageRow, PagesTable}
-import graft.ops.{Assemble, Classifier, Dedup, Graph, Index, Mixture, Relational, Retrieval, Sampling, Similarity, TextStats, UrlOps}
+import graft.ops.{Assemble, Classifier, Dedup, Graph, Index, Mixture, Relational, Retrieval, Sampling, Similarity, TextStats, Tokenizer, UrlOps}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB oracle where SQL-expressible.
@@ -1066,6 +1066,16 @@ object SparkEntry {
         budgetTokens = 30000L,
         maxEpochsX1000 = 2000L)
         .orderBy("source")
+    }),
+
+    "bpe_fit" -> ((s, dir) => {
+      // distributed BPE vocabulary induction: corpus-side word histogram is
+      // the distributed pass (one word-count shuffle); the merge loop runs
+      // on the bounded top-300 histogram (O(V) driver state, as real
+      // tokenizer trainers do). Oracle replays all 10 merges exactly.
+      Tokenizer.bpeFit(docs(s, dir, "documents").select(col("text")),
+        vocabCap = 300, nMerges = 10)
+        .orderBy("merge_rank")
     }),
 
     "quality_perceptron" -> ((s, dir) => {
