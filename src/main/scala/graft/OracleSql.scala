@@ -959,6 +959,29 @@ object OracleSql {
         |SELECT qid AS vec_id, CAST(rank AS BIGINT) AS rank, cid AS neighbor_id, round(sim, 4) AS sim
         |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
+    // hard negatives = brute force with the duplicate ceiling: replicas
+    // (cosine 1.0) regenerated and EXCLUDED by sim < 0.98; ranking of the
+    // surviving neighbors must match the bounded-heap aggregate exactly
+    "ann_hard_negatives" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |rep AS (SELECT vec_id + 100000 AS vec_id,
+        |          list_transform(embedding, x -> CAST(x * CAST(1.1 AS FLOAT) AS FLOAT)) AS embedding
+        |        FROM base WHERE vec_id < 20),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM base WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM base
+        |      UNION ALL SELECT vec_id, embedding FROM rep),
+        |scored AS (
+        |  SELECT qid, cid,
+        |    list_aggregate(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(range(1, len(ce)+1), i -> CAST(ce[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE)), 'sum'))) AS sim
+        |  FROM c CROSS JOIN q WHERE qid <> cid),
+        |ranked AS (SELECT qid, cid, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+        |  FROM scored WHERE sim < 0.98)
+        |SELECT qid AS vec_id, CAST(rank AS BIGINT) AS rank, cid AS neighbor_id, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
     // ---- text analysis -----------------------------------------------------
     "text_token_count" ->
       s"""SELECT doc_id, CAST($nTok AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id""",

@@ -1068,6 +1068,14 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "ann_hard_negatives" -> ((s, dir) => {
+      // contrastive hard negatives: top-3 nearest NON-duplicates per anchor
+      // (planted ×1.1 replicas are cosine-1.0 duplicates — the 0.98 ceiling
+      // must exclude all 20 of them, checked by the oracle)
+      Similarity.hardNegatives(docs(s, dir, "embeddings"), nQueries = 20, k = 3)
+        .orderBy("vec_id", "rank")
+    }),
+
     "bpe_fit" -> ((s, dir) => {
       // distributed BPE vocabulary induction: corpus-side word histogram is
       // the distributed pass (one word-count shuffle); the merge loop runs

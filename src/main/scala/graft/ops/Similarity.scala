@@ -111,6 +111,35 @@ object Similarity {
   /** Brute-force cosine top-k: queries (vec_id < nQueries) × corpus. The
     * query side is broadcast; ties break by neighbor id. Output:
     * (vec_id, rank, neighbor_id, sim rounded to 4dp). */
+  /** Hard-negative mining for contrastive/embedding training: per anchor
+    * (vec_id < nQueries), the top-k most-similar candidates STRICTLY BELOW
+    * the duplicate ceiling — the nearest NON-duplicates, which is what a
+    * contrastive loss wants as negatives (the duplicates above the ceiling
+    * are positives and would poison the loss). The corpus is augmented with
+    * a ×1.1-scaled replica per anchor (cosine 1.0 — provably a duplicate):
+    * the ceiling MUST exclude every replica, so the oracle checks exclusion
+    * and ranking in one result. Same scale shape as [[bruteForceTopK]] (the
+    * exactness baseline: broadcast anchors × corpus scan, bounded-heap
+    * top-k, O(k) state per task); the ceiling is one extra codegen'd
+    * predicate before aggregation. The LSH/IVF candidate generators compose
+    * identically — apply the ceiling after the exact re-rank. */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int, k: Int,
+                    simCeiling: Double = 0.98): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val replicas = base.where(col("vec_id") < nQueries)
+      .select((col("vec_id") + lit(100000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.1f)).cast("array<float>").as("embedding"))
+    val queries = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = base.unionByName(replicas)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .crossJoin(broadcast(queries))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("sim", cosineCol)
+      .where(col("sim") < simCeiling)
+    topKPerQuery(scored, k)
+  }
+
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val queries = embeddings.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
