@@ -959,6 +959,21 @@ object OracleSql {
         |SELECT qid AS vec_id, CAST(rank AS BIGINT) AS rank, cid AS neighbor_id, round(sim, 4) AS sim
         |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
+    // frame-sample goldens: pinned by construction of the deterministic
+    // synthetic MP4s — offsets hand-verifiable from the box layout (clip_a
+    // chunk 2 starts after the 8-byte dead gap: 224+330+8=562), md5s are of
+    // the planted sample bytes (i·31+j·7 & 255)
+    "av_frame_sample" ->
+      """SELECT * FROM (VALUES
+        |  ('av://clip_a.mp4', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(224 AS BIGINT), CAST(100 AS BIGINT), '109febc79b8e9e79d686d0773cf44fa0'),
+        |  ('av://clip_a.mp4', 2, 200, 434, 120, '7ae392df421b1bb1ef74704aeb360fbd'),
+        |  ('av://clip_a.mp4', 4, 400, 692, 140, '71db50e851d838ca69b58ff692745e97'),
+        |  ('av://clip_b.mp4', 0, 0, 216, 40, '5a8c86a8b4869ca7a40e961991b95446'),
+        |  ('av://clip_b.mp4', 2, 200, 310, 60, 'c20ec14dc44f85c5bdb6136cfb96755e'),
+        |  ('av://clip_trunc.mp4', 0, 0, 216, 40, '5a8c86a8b4869ca7a40e961991b95446'))
+        |AS t(url, sample_idx, ts_ms, byte_off, n_bytes, sample_md5)
+        |ORDER BY url, sample_idx""".stripMargin,
+
     // hard negatives = brute force with the duplicate ceiling: replicas
     // (cosine 1.0) regenerated and EXCLUDED by sim < 0.98; ranking of the
     // surviving neighbors must match the bounded-heap aggregate exactly

@@ -641,6 +641,25 @@ object SparkEntry {
         .toDF().orderBy("url")
     }),
 
+    "av_frame_sample" -> ((s, _) => {
+      import s.implicits._
+      // VLM frame-sampling plumbing: every 2nd sample located via the REAL
+      // MP4 sample-table math (stts/stsz/stsc/stco, two chunks with a dead
+      // gap) and the addressed bytes md5'd; decode itself stays stubbed.
+      // A truncated clip drops out-of-bounds samples; junk yields no rows.
+      import graft.ops.Multimodal.SynthAv
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val full = SynthAv.mp4VideoBytes(Seq(40, 50, 60, 70))
+      val rows = Seq(
+        graft.spark.PageRow("av://clip_a.mp4", ts,
+          SynthAv.mp4VideoBytes(Seq(100, 110, 120, 130, 140, 150), chunkSplit = 3, gap = 8), null, null),
+        graft.spark.PageRow("av://clip_b.mp4", ts, full, null, null),
+        graft.spark.PageRow("av://clip_trunc.mp4", ts, full.dropRight(80), null, null),
+        graft.spark.PageRow("av://junk.bin", ts, Array.tabulate[Byte](64)(i => (i * 37).toByte), null, null))
+      graft.ops.Multimodal.frameSamples(s.createDataset(rows).repartition(2), every = 2)
+        .toDF().orderBy("url", "sample_idx")
+    }),
+
     "pdf_payload_stats" -> ((s, _) => {
       // multimodal binary-column plumbing: magic, hash, JPEG header decode
       val pages = PagesTable.ofFixtures(s, Seq("text.pdf", "multipage.pdf", "mona_lisa.jpg", "empty.pdf"))

@@ -249,6 +249,36 @@ object Multimodal {
     def mp3Bytes(total: Int): Array[Byte] =
       (s("ID3") ++ Array[Byte](3, 0, 0, 0, 0, 0, 0) ++
         Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00)).padTo(total, 0.toByte)
+
+    /** Video MP4 with a full sample table (mdhd/stts/stsz/stsc/stco):
+      * `sizes` samples at fixed `delta` ticks, laid out in TWO chunks split
+      * at `chunkSplit` with `gap` dead bytes between them inside mdat — so
+      * correct enumeration requires resolving stsc runs and per-chunk stco
+      * bases, not assuming contiguity. Sample i's byte j = (i·31+j·7)&255. */
+    def mp4VideoBytes(sizes: Seq[Int], timescale: Int = 600, delta: Int = 60,
+                      chunkSplit: Int = 2, gap: Int = 4): Array[Byte] = {
+      val n = sizes.length
+      def full(t: String, payload: Array[Byte]) = be32(8 + payload.length) ++ s(t) ++ payload
+      val vflags = Array[Byte](0, 0, 0, 0)
+      val mdhd = full("mdhd", vflags ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(n * delta))
+      val stts = full("stts", vflags ++ be32(1) ++ be32(n) ++ be32(delta))
+      val stsz = full("stsz", vflags ++ be32(0) ++ be32(n) ++ sizes.toArray.flatMap(be32))
+      val stsc = full("stsc", vflags ++ be32(2) ++
+        be32(1) ++ be32(chunkSplit) ++ be32(1) ++
+        be32(2) ++ be32(n - chunkSplit) ++ be32(1))
+      def moovWith(o1: Int, o2: Int) = {
+        val stco = full("stco", vflags ++ be32(2) ++ be32(o1) ++ be32(o2))
+        full("moov", full("trak", full("mdia", mdhd ++ full("minf", full("stbl", stts ++ stsz ++ stsc ++ stco)))))
+      }
+      val ftyp = be32(16) ++ s("ftyp") ++ s("isom") ++ be32(0)
+      val payloadStart = ftyp.length + moovWith(0, 0).length + 8
+      val o1 = payloadStart
+      val o2 = payloadStart + sizes.take(chunkSplit).sum + gap
+      def sample(i: Int) = Array.tabulate[Byte](sizes(i))(j => ((i * 31 + j * 7) & 0xff).toByte)
+      val mdatPayload = (0 until chunkSplit).toArray.flatMap(sample) ++
+        Array.fill[Byte](gap)(0) ++ (chunkSplit until n).toArray.flatMap(sample)
+      ftyp ++ moovWith(o1, o2) ++ full("mdat", mdatPayload)
+    }
   }
 
   /** PNG dimensions from the IHDR chunk (bytes 16..23 after the signature). */
@@ -257,6 +287,122 @@ object Multimodal {
     def be32(i: Int) = ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
     if (new String(b, 12, 4, java.nio.charset.StandardCharsets.ISO_8859_1) != "IHDR") None
     else Some((be32(16), be32(20)))
+  }
+
+  final case class Mp4Sample(idx: Int, tsMs: Long, off: Long, size: Long)
+
+  /** Parse the MP4 sample tables (ISO 14496-12 stbl: stts time-to-sample,
+    * stsz sizes, stsc sample-to-chunk, stco chunk offsets) and enumerate
+    * every sample's (index, decode timestamp ms, absolute byte offset,
+    * size). Handles the general multi-chunk layout: stsc runs are expanded
+    * per chunk, offsets accumulate within a chunk from its stco base — so
+    * non-contiguous chunks (padding between them) resolve correctly.
+    * Bounds-checked throughout; malformed tables → empty (never throws). */
+  def mp4Samples(b: Array[Byte]): Vector[Mp4Sample] = {
+    var timescale = 0L
+    var stts = Vector.empty[(Long, Long)]      // (count, delta)
+    var sizes = Vector.empty[Long]
+    var stsc = Vector.empty[(Long, Long)]      // (first_chunk, samples_per_chunk)
+    var stco = Vector.empty[Long]
+    def u32(i: Int): Long = be32(b, i)
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var i = start
+      while (i + 8 <= end && depth < 8) {
+        val size = u32(i.toInt)
+        if (size < 8 || i + size > end) return
+        val typ = new String(b, i.toInt + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val p = i.toInt + 8
+        val boxEnd = i + size
+        typ match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" => walk(i + 8, boxEnd, depth + 1)
+          case "mdhd" if p + 16 <= boxEnd =>
+            if ((b(p) & 0xff) == 0) timescale = u32(p + 12)
+          case "stts" if p + 8 <= boxEnd =>
+            val n = u32(p + 4).toInt
+            stts = (0 until n).takeWhile(k => p + 8 + k * 8 + 8 <= boxEnd)
+              .map(k => (u32(p + 8 + k * 8), u32(p + 12 + k * 8))).toVector
+          case "stsz" if p + 12 <= boxEnd =>
+            val fixed = u32(p + 4)
+            val n = u32(p + 8).toInt
+            sizes =
+              if (fixed > 0) Vector.fill(n)(fixed)
+              else (0 until n).takeWhile(k => p + 12 + k * 4 + 4 <= boxEnd)
+                .map(k => u32(p + 12 + k * 4)).toVector
+          case "stsc" if p + 8 <= boxEnd =>
+            val n = u32(p + 4).toInt
+            stsc = (0 until n).takeWhile(k => p + 8 + k * 12 + 12 <= boxEnd)
+              .map(k => (u32(p + 8 + k * 12), u32(p + 12 + k * 12))).toVector
+          case "stco" if p + 8 <= boxEnd =>
+            val n = u32(p + 4).toInt
+            stco = (0 until n).takeWhile(k => p + 8 + k * 4 + 4 <= boxEnd)
+              .map(k => u32(p + 8 + k * 4)).toVector
+          case _ => ()
+        }
+        i = boxEnd
+      }
+    }
+    if (b.length < 16) return Vector.empty
+    try walk(0, b.length, 0) catch { case _: Exception => return Vector.empty }
+    if (timescale <= 0 || sizes.isEmpty || stsc.isEmpty || stco.isEmpty) return Vector.empty
+    // expand stsc runs into per-chunk sample counts over the stco chunks
+    val perChunk = stco.indices.map { ci =>
+      val chunk1 = ci + 1L
+      stsc.takeWhile(_._1 <= chunk1).lastOption.map(_._2).getOrElse(0L)
+    }
+    // decode timestamps from stts deltas
+    val deltas = stts.flatMap { case (n, d) => Vector.fill(math.min(n, sizes.length.toLong).toInt)(d) }
+    val out = Vector.newBuilder[Mp4Sample]
+    var s = 0
+    var dts = 0L
+    var ci = 0
+    while (ci < stco.length && s < sizes.length) {
+      var within = 0L
+      var off = stco(ci)
+      while (within < perChunk(ci) && s < sizes.length) {
+        out += Mp4Sample(s, dts * 1000 / timescale, off, sizes(s))
+        off += sizes(s)
+        dts += (if (s < deltas.length) deltas(s) else 0L)
+        within += 1
+        s += 1
+      }
+      ci += 1
+    }
+    out.result()
+  }
+
+  final case class FrameSample(
+      url: String,
+      sample_idx: Long,
+      ts_ms: Long,
+      byte_off: Long,
+      n_bytes: Long,
+      sample_md5: String)
+
+  /** Frame-sampling plumbing for video payloads: every `every`-th sample's
+    * byte range is located via the REAL sample-table math and the slice
+    * hashed — the Spark side of a VLM frame-extraction pipeline (schema,
+    * narrow per-row shape, per-doc bounded output). The pixel DECODE of the
+    * slice is the honestly-stubbed step (no video codec in the container);
+    * the md5 proves the right bytes were addressed. Slices that fall
+    * outside the payload are dropped (truncated file), never thrown. */
+  def frameSamples(pages: Dataset[PageRow], every: Int = 3): Dataset[FrameSample] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val b = if (r.html == null) Array.emptyByteArray else r.html
+        if (detectAvMagic(b) != "mp4") Iterator.empty
+        else mp4Samples(b).iterator
+          .filter(s => s.idx % every == 0 && s.off + s.size <= b.length && s.size > 0)
+          .map { s =>
+            md.reset()
+            md.update(b, s.off.toInt, s.size.toInt)
+            FrameSample(r.url, s.idx.toLong, s.tsMs, s.off, s.size,
+              md.digest().map(x => f"$x%02x").mkString)
+          }
+      }
+    }
   }
 
   /** Typed metadata extraction over the binary column. Init-once pattern:
