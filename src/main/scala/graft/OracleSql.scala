@@ -1570,6 +1570,94 @@ object OracleSql {
         |WHERE bucket < CASE WHEN source IN ('src0', 'src1') THEN 1000
         |                    WHEN source IN ('src2', 'src3') THEN 500
         |                    ELSE 100 END
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Tokenizer.bpeEncode: the same pinned merge table (single
+    // source of truth — the replace chain is GENERATED from
+    // Tokenizer.PinnedMerges) applied as chained replace() over
+    // delimiter-wrapped words; token count = pipe count / 2
+    "bpe_encode" -> {
+      val chain = graft.ops.Tokenizer.PinnedMerges.foldLeft(
+        "regexp_replace(x, '(.)', '|\\1|', 'g')") { case (s, (a, b)) =>
+        s"replace($s, '|$a||$b|', '|$a$b|')"
+      }
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id, ws,
+         |    list_transform(ws, x -> CASE WHEN regexp_matches(x, '^[a-z]+$$')
+         |      THEN (length($chain) - length(replace($chain, '|', ''))) // 2
+         |      ELSE length(x) END) AS ts
+         |  FROM w)
+         |SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(ts), 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(list_sum(list_transform(range(1, len(ws) + 1), i ->
+         |    CASE WHEN regexp_matches(ws[i], '^[a-z]+$$') AND ts[i] < length(ws[i])
+         |         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_merged_words,
+         |  CAST(coalesce(list_sum(list_transform(ts, t -> t * t)), 0) AS BIGINT) AS sum_sq_tokens
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
+
+    // mirrors CdxIndex: capture synthesis, SURT key construction
+    // (host-reversed canonical url) and the algebraic rollup
+    "cdx_index" ->
+      s"""WITH $urlCanonCte,
+         |caps AS (
+         |  SELECT url_canon, doc_id * 100 + i * 7 AS warc_ts,
+         |    md5(url_canon || '#' || CAST(i // 2 AS BIGINT)) AS digest
+         |  FROM (SELECT doc_id, url_canon,
+         |          unnest(range(0, CAST(doc_id % 3 AS BIGINT) + 1)) AS i
+         |        FROM canon)),
+         |surted AS (
+         |  SELECT url_canon, warc_ts, digest,
+         |    array_to_string(list_reverse(string_split(
+         |        regexp_replace(hostport, ':[0-9]+$$', ''), '.')), ',')
+         |      || regexp_extract(hostport, '(:[0-9]+)$$', 1) || ')'
+         |      || substr(rest, length(hostport) + 1) AS surt
+         |  FROM (SELECT url_canon, warc_ts, digest,
+         |          regexp_replace(url_canon, '^[a-z][a-z0-9+.-]*://', '') AS rest,
+         |          regexp_extract(regexp_replace(url_canon, '^[a-z][a-z0-9+.-]*://', ''),
+         |            '^[^/]*', 0) AS hostport
+         |        FROM caps))
+         |SELECT surt, CAST(count(*) AS BIGINT) AS n_captures,
+         |  CAST(count(DISTINCT digest) AS BIGINT) AS n_digests,
+         |  CAST(min(warc_ts) AS BIGINT) AS first_ts,
+         |  CAST(max(warc_ts) AS BIGINT) AS latest_ts,
+         |  arg_max(digest, warc_ts) AS latest_digest
+         |FROM surted GROUP BY surt ORDER BY surt""".stripMargin,
+
+    // mirrors Recrawl: 4-snapshot history replay (version = floor step
+    // function of doc_id), lag-based change count, Laplace priority in
+    // micro-units, per-domain top-2 (denominator 2*n_obs = 8 is a power
+    // of two, so the floor is exact in both engines)
+    "recrawl_schedule" ->
+      s"""WITH $urlCanonCte,
+         |base AS (
+         |  SELECT url_canon, min(doc_id) AS d, min(domain) AS domain
+         |  FROM canon GROUP BY url_canon),
+         |hist AS (
+         |  SELECT url_canon, domain, k AS snap_k,
+         |    md5(url_canon || '#' || CAST((k * (1 + d % 5)) // 4 AS BIGINT)) AS content_md5
+         |  FROM (SELECT url_canon, domain, d, unnest(range(0, 4)) AS k FROM base)),
+         |chg AS (
+         |  SELECT url_canon, domain, content_md5,
+         |    lag(content_md5) OVER (PARTITION BY url_canon ORDER BY snap_k) AS prev
+         |  FROM hist),
+         |per AS (
+         |  SELECT url_canon, domain, CAST(count(*) AS BIGINT) AS n_obs,
+         |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> content_md5
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+         |  FROM chg GROUP BY url_canon, domain),
+         |rk AS (
+         |  SELECT domain, url_canon, n_obs, n_changes,
+         |    CAST((n_changes * 2 + 1) * 1000000 // (n_obs * 2) AS BIGINT) AS priority_micro,
+         |    CAST(row_number() OVER (PARTITION BY domain
+         |      ORDER BY (n_changes * 2 + 1) * 1000000 // (n_obs * 2) DESC, url_canon)
+         |      AS BIGINT) AS rnk
+         |  FROM per)
+         |SELECT domain, url_canon, n_obs, n_changes, priority_micro, rnk
+         |FROM rk WHERE rnk <= 2 ORDER BY domain, rnk""".stripMargin
   )
 }

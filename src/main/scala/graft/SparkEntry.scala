@@ -1365,6 +1365,37 @@ object SparkEntry {
           rates = Map("src0" -> 1000, "src1" -> 1000, "src2" -> 500, "src3" -> 500),
           defaultPermille = 100)
         .orderBy("doc_id")
+    }),
+
+    "bpe_encode" -> ((s, dir) => {
+      // tokenize-at-scale with a PUBLISHED merge table (fitting one is
+      // bpe_fit): pure codegen'd split→transform→aggregate per row, zero
+      // UDFs, zero shuffle; per-doc pins are token total + merged-word
+      // count + sum of squared per-word counts — the full distribution
+      graft.ops.Tokenizer.bpeEncode(
+        docs(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy("doc_id")
+    }),
+
+    "cdx_index" -> ((s, dir) => {
+      // SURT-keyed capture index (the Common-Crawl cdxj artifact): host-
+      // reversed keys make a domain's subtree one contiguous sort range;
+      // the rollup is all-algebraic (count/min/max/max_by) so hot urls
+      // combine map-side before the single Exchange
+      graft.ops.CdxIndex.build(graft.ops.CdxIndex.synthCaptures(
+        UrlOps.normalize(UrlOps.withRawUrls(
+          docs(s, dir, "documents").select(col("doc_id"))))))
+        .orderBy("surt")
+    }),
+
+    "recrawl_schedule" -> ((s, dir) => {
+      // change-rate refresh ordering (Cho & Garcia-Molina): per-url lag
+      // comparison over K snapshot rows → Laplace-smoothed integer
+      // priority → per-domain top-k; history rows carry url+md5 only
+      graft.ops.Recrawl.schedule(graft.ops.Recrawl.synthHistory(
+        UrlOps.normalize(UrlOps.withRawUrls(
+          docs(s, dir, "documents").select(col("doc_id"))))))
+        .orderBy("domain", "rnk")
     })
   )
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE vocabulary induction (Sennrich et al. 2016) — the
@@ -84,5 +84,56 @@ object Tokenizer {
     val hist = wordHistogram(docs, vocabCap).as[(String, Long)].collect().toSeq
     fitMerges(hist, nMerges)
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Rank-ordered merge table standing in for a PUBLISHED tokenizer's
+    * merges file — the tokenize-at-scale step encodes with a fixed,
+    * already-released vocabulary (fitting it is `bpeFit`). Chain-ordered
+    * (every multi-char lhs/rhs is produced by an earlier rank), so the
+    * single-pass rank-order application below equals iterative
+    * lowest-rank-first reapplication on any input. */
+  val PinnedMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"), ("an", "d"),
+    ("o", "n"), ("r", "e"), ("e", "s"), ("o", "r"), ("s", "t"), ("in", "g"))
+
+  /** Per-word token count under the pinned merges, as a pure Column over
+    * the delimiter-wrapped symbol string ('low' → '|l||o||w|'): one
+    * global replace() per merge IS a greedy non-overlapping left-to-right
+    * pass (identical to `applyMerge`), and the token count is just the
+    * delimiter count halved. Lowercase-alphabetic words are encoded;
+    * anything else is OOV and falls back to one token per char (the
+    * byte-level fallback every production BPE uses). */
+  private def wordTokens(w: Column, merges: Seq[(String, String)]): Column = {
+    val wrapped0 = regexp_replace(w, "(.)", "|$1|")
+    val merged = merges.foldLeft(wrapped0) { case (s, (a, b)) =>
+      replace(s, lit("|" + a + "||" + b + "|"), lit("|" + a + b + "|"))
+    }
+    val nTok = ((length(merged) - length(replace(merged, lit("|")))) / 2).cast("long")
+    when(w.rlike("^[a-z]+$"), nTok).otherwise(length(w).cast("long"))
+  }
+
+  /** Corpus-wide BPE ENCODING with a fixed merge table — what the token
+    * budget of a 10^12-row corpus is actually counted with once a
+    * tokenizer ships. Everything is codegen'd built-ins inside one narrow
+    * projection (split → transform → aggregate): zero UDFs, zero shuffle,
+    * scan-speed. Per doc it pins the full distribution, not just a total:
+    * token count, words that actually merged, and the sum of squared
+    * per-word counts — a segmentation bug cannot survive all three.
+    *
+    * Output: (doc_id, n_words, n_tokens, n_merged_words, sum_sq_tokens).
+    */
+  def bpeEncode(docs: DataFrame,
+                merges: Seq[(String, String)] = PinnedMerges): DataFrame = {
+    val words = filter(split(col("text"), " "), w => w =!= lit(""))
+    val d = docs.select(col("doc_id"), words.as("w"))
+      .withColumn("t", transform(col("w"), w => wordTokens(w, merges)))
+    val mergedFlags = zip_with(col("w"), col("t"), (w, t) =>
+      when(w.rlike("^[a-z]+$") && t < length(w).cast("long"), lit(1L)).otherwise(lit(0L)))
+    d.select(
+      col("doc_id"),
+      size(col("w")).cast("long").as("n_words"),
+      aggregate(col("t"), lit(0L), (acc, x) => acc + x).as("n_tokens"),
+      aggregate(mergedFlags, lit(0L), (acc, x) => acc + x).as("n_merged_words"),
+      aggregate(col("t"), lit(0L), (acc, x) => acc + x * x).as("sum_sq_tokens"))
   }
 }

