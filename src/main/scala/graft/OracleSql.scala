@@ -1628,6 +1628,76 @@ object OracleSql {
          |  arg_max(digest, warc_ts) AS latest_digest
          |FROM surted GROUP BY surt ORDER BY surt""".stripMargin,
 
+    // mirrors Sampling.prioritySample: md5_number_upper is bit-identical
+    // to the Spark little-endian construction; priority and threshold in
+    // int64 floor division
+    "sample_priority" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |    CAST(md5_number_upper('prio:' || CAST(doc_id AS VARCHAR)) % 1048576 AS BIGINT) AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id, weight, weight * 1048576 // (h + 1) AS priority FROM s),
+        |r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM p),
+        |t AS (SELECT priority AS threshold FROM r WHERE rn = 65)
+        |SELECT doc_id, weight, priority, threshold,
+        |  greatest(weight, threshold) AS est_weight
+        |FROM r, t WHERE rn <= 64 ORDER BY priority DESC, doc_id""".stripMargin,
+
+    // mirrors TextStats.winnow: k=8 char-gram hashes (md5_number_upper %
+    // 2^31 ≡ the Spark construction), w=4 window minima with RIGHTMOST
+    // tie-break, distinct selections, then count/xor/position-sum pins
+    "text_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 8 THEN
+        |      list_transform(range(1, length(text) - 8 + 2),
+        |        i -> CAST(md5_number_upper(substr(text, i, 8)) % 2147483648 AS BIGINT))
+        |    ELSE [] END AS gs
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, gs,
+        |    CASE WHEN len(gs) >= 4 THEN
+        |      list_distinct(list_transform(range(1, len(gs) - 4 + 2),
+        |        j -> CAST(list_max(list_transform(range(0, 4), t ->
+        |               CASE WHEN gs[j + t] = list_min(gs[j:j+3]) THEN j + t ELSE 0 END))
+        |             AS BIGINT) * 2147483648
+        |             + CAST(list_min(gs[j:j+3]) AS BIGINT)))
+        |    ELSE [] END AS sel
+        |  FROM g)
+        |SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+        |  CAST(len(sel) AS BIGINT) AS n_selected,
+        |  CAST(CASE WHEN len(sel) = 0 THEN 0
+        |       ELSE list_reduce(list_transform(sel, x -> x & 2147483647), (a, b) -> xor(a, b))
+        |       END AS BIGINT) AS xor_sig,
+        |  CAST(coalesce(list_sum(list_transform(sel, x -> x >> 31)), 0) AS BIGINT) AS sum_pos
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // mirrors Dedup.minhashLshCross: snapshot synthesis + brute-force
+    // cross-snapshot Jaccard (banded candidates are exhaustive under the
+    // bucket cap, so the LSH path must reproduce the brute force exactly)
+    "dedup_incremental_fuzzy" ->
+      s"""WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+         |newt AS (
+         |  SELECT doc_id + 300000 AS doc_id, substr(text, 1, length(text) - 12) AS text
+         |  FROM old WHERE length(text) > 60 AND doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 400000 AS doc_id, 'fresh ' || reverse(text) AS text
+         |  FROM old WHERE doc_id % 3 = 1),
+         |sho AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+         |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+         |  FROM old),
+         |shn AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+         |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+         |  FROM newt)
+         |SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         |  CAST(len(list_intersect(n.s, o.s)) AS BIGINT) AS inter_cnt,
+         |  CAST(len(list_distinct(list_concat(n.s, o.s))) AS BIGINT) AS union_cnt
+         |FROM shn n JOIN sho o ON len(n.s) > 0 AND len(o.s) > 0
+         |  AND len(list_intersect(n.s, o.s)) >= len(list_distinct(list_concat(n.s, o.s))) * 0.7
+         |ORDER BY new_id, old_id""".stripMargin,
+
     // mirrors Recrawl: 4-snapshot history replay (version = floor step
     // function of doc_id), lag-based change count, Laplace priority in
     // micro-units, per-domain top-2 (denominator 2*n_obs = 8 is a power

@@ -1388,6 +1388,36 @@ object SparkEntry {
         .orderBy("surt")
     }),
 
+    "sample_priority" -> ((s, dir) => {
+      // Duffield–Lund–Thorup priority sampling: weighted (by length)
+      // without-replacement top-k with the unbiased max(w, τ) estimator;
+      // scoring is a codegen'd projection, top-(k+1) is TakeOrdered, the
+      // threshold re-attaches as a 1-row broadcast
+      Sampling.prioritySample(
+        docs(s, dir, "documents").select(col("doc_id"), col("n_chars")), k = 64)
+        .orderBy(col("priority").desc, col("doc_id"))
+    }),
+
+    "text_winnow" -> ((s, dir) => {
+      // winnowing (MOSS) positional fingerprints: per-row k-gram hash +
+      // window-min selection (rightmost tie-break), all higher-order
+      // built-ins, narrow plan; pins count/xor/position-sum of the
+      // selected set per doc
+      TextStats.winnow(docs(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_incremental_fuzzy" -> ((s, dir) => {
+      // recrawl-ingest near-dup gate: MinHash+LSH band join BETWEEN
+      // snapshots (ids-only candidates, exact Jaccard verify); near-dups
+      // planted by tail-trimming, fresh docs by char reversal
+      val old = docs(s, dir, "documents").where(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      Dedup.minhashLshCross(old, Dedup.synthNewSnapshot(
+          docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("new_id", "old_id")
+    }),
+
     "recrawl_schedule" -> ((s, dir) => {
       // change-rate refresh ordering (Cho & Garcia-Molina): per-url lag
       // comparison over K snapshot rows → Laplace-smoothed integer

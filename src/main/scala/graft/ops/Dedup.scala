@@ -160,15 +160,15 @@ object Dedup {
     * reported as integer (inter, union) counts — exactly comparable with a
     * brute-force oracle. Output: (a, b, inter_cnt, union_cnt) with a < b,
     * inter/union ≥ threshold. */
-  def minhashLsh(corpus: DataFrame, k: Int = 64, bands: Int = 16,
-                 threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
+  /** One pass per doc: 64-bit shingle hashes (8B each — shuffles stay
+    * small; a 64-bit collision inside one pair's union is ~1e-16, far
+    * below the correctness bar) + banded signature keys.
+    * Output: (doc_id, hs: array<long> sorted-distinct, bks: array<long>). */
+  private def minhashPrepare(corpus: DataFrame, k: Int, bands: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val rowsPerBand = k / bands
-    // One pass per doc: 64-bit shingle hashes (8B each — shuffles stay small;
-    // a 64-bit collision inside one pair's union is ~1e-16, far below the
-    // correctness bar) + banded signature keys.
-    val prepared = corpus
+    corpus
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -184,6 +184,13 @@ object Dedup {
       }
       .filter(_._2.nonEmpty)
       .toDF("doc_id", "hs", "bks")
+  }
+
+  def minhashLsh(corpus: DataFrame, k: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val prepared = minhashPrepare(corpus, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidate generation carries ids only — the band-bucket self-join never
@@ -224,6 +231,80 @@ object Dedup {
       // shingle cache instead of letting repeated calls accumulate blocks
       .localCheckpoint(true)
     prepared.unpersist(false)
+    out
+  }
+
+  /** Deterministic SECOND crawl snapshot for incremental fuzzy dedup:
+    * near-duplicates of every third old doc (tail-trimmed — the
+    * recrawled-with-footer-drift case) plus genuinely fresh docs
+    * (char-reversed text shares no word shingle with any old doc).
+    * Mirrored verbatim in the DuckDB oracle. */
+  def synthNewSnapshot(docs0: DataFrame): DataFrame = {
+    val docs = docs0.where(col("doc_id") < 1000)
+    val near = docs
+      .where(length(col("text")) > 60 && col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        expr("substr(text, 1, length(text) - 12)").as("text"))
+    val fresh = docs.where(col("doc_id") % 3 === 1)
+      .select((col("doc_id") + 400000L).as("doc_id"),
+        concat(lit("fresh "), reverse(col("text"))).as("text"))
+    near.unionByName(fresh)
+  }
+
+  /** Incremental fuzzy dedup: which NEW-snapshot docs are near-duplicates
+    * of the EXISTING corpus — the recrawl-ingest gate (exact incremental
+    * dedup catches byte-identical refetches; this catches boilerplate /
+    * footer drift). MinHash+LSH across two tables: band keys computed per
+    * side in one typed pass, candidates from an ids-only band-bucket
+    * JOIN between sides (never a self-join, never all-pairs), exact
+    * shingle-Jaccard verification on candidates.
+    *
+    * Scale shape mirrors [[minhashLsh]]: candidate rows are 16 B
+    * (bk, id); buckets larger than `maxBucket` on the corpus side are
+    * sub-split by doc-id hash ON BOTH SIDES (cross-sub pairs of oversized
+    * boilerplate buckets are sacrificed — each true pair still has
+    * `bands` independent chances to collide under the cap); verification
+    * joins the hashed-shingle arrays back per side and runs a primitive
+    * sorted-merge per pair. Under the cap (the oracle corpus) candidates
+    * are exhaustive.
+    *
+    * Output: (new_id, old_id, inter_cnt, union_cnt), Jaccard ≥ threshold. */
+  def minhashLshCross(oldCorpus: DataFrame, newCorpus: DataFrame,
+                      k: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.7, maxBucket: Int = 10000): DataFrame = {
+    val spark = oldCorpus.sparkSession
+    import spark.implicits._
+    val po = minhashPrepare(oldCorpus, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pn = minhashPrepare(newCorpus, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idsO = po.select(col("doc_id").as("old_id"), explode(col("bks")).as("bk"))
+    val idsN = pn.select(col("doc_id").as("new_id"), explode(col("bks")).as("bk"))
+    // bucket sizes on the corpus side bound the per-bucket join width;
+    // the inner size-join also prunes new-side buckets with no old match
+    val sizes = idsO.groupBy(col("bk")).agg(count(lit(1)).as("bk_n"))
+    val nsub = greatest(ceil(col("bk_n") / maxBucket), lit(1))
+    val saltedO = idsO.join(sizes, Seq("bk"))
+      .withColumn("sub", pmod(xxhash64(col("old_id")), nsub))
+    val saltedN = idsN.join(sizes, Seq("bk"))
+      .withColumn("sub", pmod(xxhash64(col("new_id")), nsub))
+    val cand = saltedO.select(col("bk"), col("sub"), col("old_id"))
+      .join(saltedN.select(col("bk"), col("sub"), col("new_id")), Seq("bk", "sub"))
+      .select("new_id", "old_id").dropDuplicates("new_id", "old_id")
+    val out = cand
+      .join(po.select(col("doc_id").as("old_id"), col("hs").as("ho")), Seq("old_id"))
+      .join(pn.select(col("doc_id").as("new_id"), col("hs").as("hn")), Seq("new_id"))
+      .select(col("new_id"), col("old_id"), col("hn"), col("ho"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .flatMap { case (n, o, hn, ho) =>
+        val inter = sortedIntersectCount(hn, ho)
+        val union = hn.length + ho.length - inter
+        if (inter >= union * threshold) Some((n, o, inter.toLong, union.toLong)) else None
+      }
+      .toDF("new_id", "old_id", "inter_cnt", "union_cnt")
+      .localCheckpoint(true)
+    po.unpersist(false)
+    pn.unpersist(false)
     out
   }
 

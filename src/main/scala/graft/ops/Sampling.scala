@@ -19,10 +19,49 @@ object Sampling {
     * DuckDB's `md5_number_upper(s) % 1000`, built from codegen'd builtins:
     * the hex pairs are reversed into the little-endian hex string, conv'd
     * base 16→10 (unsigned), compared in decimal (2^64 needs 20 digits). */
-  def md5Bucket(s: Column): Column = {
+  def md5Bucket(s: Column): Column = md5Mod(s, 1000L).cast("int")
+
+  /** Generalized form: little-endian uint64 of the first 8 md5 bytes mod
+    * `m` — exactly DuckDB's `md5_number_upper(s) % m` — as a long. */
+  def md5Mod(s: Column, m: Long): Column = {
     val h = md5(s)
     val le = concat((7 to 0 by -1).map(i => substring(h, 1 + 2 * i, 2)): _*)
-    pmod(conv(le, 16, 10).cast(DecimalType(20, 0)), lit(1000)).cast("int")
+    pmod(conv(le, 16, 10).cast(DecimalType(20, 0)), lit(m)).cast("long")
+  }
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a weighted
+    * WITHOUT-replacement sample of k documents with unbiased subset-sum
+    * estimators — the principled way to downsample a corpus when weights
+    * (here document length) vary by orders of magnitude and a fixed-rate
+    * hash filter would either drown in boilerplate or miss the heavy
+    * tail. Priority q_i = w_i * 2^20 / (h_i + 1) floor-divided in int64
+    * (h_i a 20-bit deterministic hash — the fixed-precision form of
+    * w_i/u_i); the k highest priorities are the sample and the (k+1)-th
+    * is the threshold τ; est_weight = max(w_i, τ) is the DLT unbiased
+    * estimator of each sampled row's contribution to any subset sum.
+    *
+    * Scale shape: the scoring is a pure codegen'd projection on the scan;
+    * the top-(k+1) is TakeOrderedAndProject (per-partition bounded heaps,
+    * k+1 rows to the driver-side merge — never a full sort); the
+    * threshold re-attaches as a 1-row broadcast. The only window runs
+    * over the k+1 survivors. Requires corpus size > k. */
+  def prioritySample(docs: DataFrame, k: Int): DataFrame = {
+    val M = 1048576L // 2^20 hash domain — keeps w*M far inside int64
+    val scored = docs
+      .select(col("doc_id"), col("n_chars").cast("long").as("weight"))
+      .withColumn("h", md5Mod(concat(lit("prio:"), col("doc_id").cast("string")), M))
+      .withColumn("priority", expr(s"weight * CAST($M AS BIGINT) div (h + 1)"))
+    val topk1 = scored
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k + 1)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("priority").desc, col("doc_id"))))
+    val thr = topk1.where(col("rn") === k + 1).select(col("priority").as("threshold"))
+    topk1.where(col("rn") <= k)
+      .crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("weight"), col("priority"), col("threshold"),
+        greatest(col("weight"), col("threshold")).as("est_weight"))
   }
 
   /** Keep each document iff its salted hash bucket falls under its

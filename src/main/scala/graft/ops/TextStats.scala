@@ -312,4 +312,54 @@ object TextStats {
       when(sub > 0, floor(nChars.cast("double") * 1000.0 / sub.cast("double")))
         .otherwise(0L).cast("long").as("bytes_per_subword_x1000"))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): hash every char k-gram, slide a w-window over
+    * the hash sequence, select each window's MINIMUM (rightmost on ties),
+    * dedupe selections. Guarantees every shared substring of length
+    * ≥ k+w-1 contributes a shared fingerprint — the POSITIONAL
+    * complement of MinHash/SimHash here: those detect whole-document
+    * near-duplication; winnowing localizes which spans match (plagiarism
+    * / quote / license-block detection in a training corpus).
+    *
+    * Entirely per-row higher-order built-ins (substr → md5 hash →
+    * window-min): narrow plan, zero shuffle, zero UDFs. The k-gram hash
+    * is the md5 little-endian construction mod 2^31 — bit-identical to
+    * DuckDB's `md5_number_upper % 2^31`, so the oracle replays selection
+    * exactly. Output pins the selection set per doc (count, xor of
+    * selected hashes, sum of selected positions) rather than exploding
+    * fingerprint rows — at 10^12 docs the fingerprint INDEX would be
+    * built by a downstream groupBy(h) on the exploded set; the pins here
+    * verify the selection algorithm itself. */
+  def winnow(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val M = 2147483648L // 2^31
+    val text = col("text")
+    val n = length(text)
+    val grams = when(n >= k,
+        transform(sequence(lit(1), n - (k - 1)),
+          i => Sampling.md5Mod(text.substr(i, lit(k)), M)))
+      .otherwise(array().cast("array<bigint>"))
+    val d = docs.select(col("doc_id"), grams.as("gs"))
+    val g = size(col("gs"))
+    // a selection is the (position, hash) pair packed into one int64
+    // (pos * 2^31 + hash) — hash < 2^31 by construction, so the packing
+    // is lossless and the distinct runs over plain longs on both engines
+    val sel = when(g >= w,
+        array_distinct(transform(sequence(lit(1), g - (w - 1)), j => {
+          val win = slice(col("gs"), j, lit(w))
+          val m = array_min(win)
+          // rightmost index of the window minimum: later matches overwrite
+          val rel = aggregate(sequence(lit(1), lit(w)), lit(0),
+            (acc, t) => when(element_at(win, t) === m, t).otherwise(acc))
+          (j + rel - 1).cast("long") * lit(M) + m
+        })))
+      .otherwise(array().cast("array<bigint>"))
+    d.withColumn("sel", sel).select(
+      col("doc_id"),
+      size(col("gs")).cast("long").as("n_grams"),
+      size(col("sel")).cast("long").as("n_selected"),
+      aggregate(col("sel"), lit(0L),
+        (a, x) => a.bitwiseXOR(x.bitwiseAND(lit(M - 1)))).as("xor_sig"),
+      aggregate(col("sel"), lit(0L), (a, x) => a + shiftright(x, 31)).as("sum_pos"))
+  }
 }
