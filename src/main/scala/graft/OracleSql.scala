@@ -1628,6 +1628,80 @@ object OracleSql {
          |  arg_max(digest, warc_ts) AS latest_digest
          |FROM surted GROUP BY surt ORDER BY surt""".stripMargin,
 
+    // mirrors Graph.trustRankInt: the domain_rank unrolled chain with
+    // initial mass and teleport restricted to the seed set (id%17=0)
+    "domain_trustrank" ->
+      """WITH nodes AS (SELECT doc_id AS id, doc_id % 17 = 0 AS is_seed FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT id AS src, (id*7+3) % n AS dst FROM nodes, nn
+        |  UNION ALL SELECT id, (id*13+11) % n FROM nodes, nn
+        |  UNION ALL SELECT id, (id*31+17) % n FROM nodes, nn),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |e AS (SELECT edges.src, edges.dst, deg.outdeg FROM edges JOIN deg USING (src)),
+        |s0 AS (SELECT id, CAST(CASE WHEN is_seed THEN 1000000 ELSE 0 END AS BIGINT) AS score FROM nodes),
+        |c1 AS (SELECT e.dst, sum(s0.score // e.outdeg) AS c FROM e JOIN s0 ON s0.id = e.src GROUP BY e.dst),
+        |s1 AS (SELECT nodes.id, CASE WHEN nodes.is_seed THEN 150000 ELSE 0 END + (85 * COALESCE(c1.c, 0)) // 100 AS score FROM nodes LEFT JOIN c1 ON c1.dst = nodes.id),
+        |c2 AS (SELECT e.dst, sum(s1.score // e.outdeg) AS c FROM e JOIN s1 ON s1.id = e.src GROUP BY e.dst),
+        |s2 AS (SELECT nodes.id, CASE WHEN nodes.is_seed THEN 150000 ELSE 0 END + (85 * COALESCE(c2.c, 0)) // 100 AS score FROM nodes LEFT JOIN c2 ON c2.dst = nodes.id),
+        |c3 AS (SELECT e.dst, sum(s2.score // e.outdeg) AS c FROM e JOIN s2 ON s2.id = e.src GROUP BY e.dst),
+        |s3 AS (SELECT nodes.id, CASE WHEN nodes.is_seed THEN 150000 ELSE 0 END + (85 * COALESCE(c3.c, 0)) // 100 AS score FROM nodes LEFT JOIN c3 ON c3.dst = nodes.id)
+        |SELECT s3.id AS doc_id, nodes.is_seed, CAST(s3.score AS BIGINT) AS score
+        |FROM s3 JOIN nodes ON nodes.id = s3.id ORDER BY doc_id""".stripMargin,
+
+    // mirrors Quantize.pqEncode: milli-unit integer squared-L2 against
+    // the closed-form codebook, packed (dist*16 + j) argmin
+    "embedding_pq" ->
+      """WITH sub AS (SELECT unnest(range(0, 4)) AS s),
+        |p AS (
+        |  SELECT vec_id, sub.s AS sub,
+        |    list_min(list_transform(range(0, 16), j ->
+        |      CAST(list_sum(list_transform(
+        |        list_transform(range(0, 16), tt ->
+        |          CAST(floor(CAST(embedding[sub.s*16 + tt + 1] AS DOUBLE) * 1000) AS BIGINT)
+        |          - ((j*31 + (sub.s*16 + tt)*17) % 2001 - 1000)),
+        |        d -> d * d)) AS BIGINT) * 16 + j))
+        |    AS packed
+        |  FROM embeddings, sub)
+        |SELECT vec_id, CAST(sub AS BIGINT) AS sub,
+        |  CAST(packed % 16 AS BIGINT) AS code,
+        |  CAST(packed // 16 AS BIGINT) AS err
+        |FROM p ORDER BY vec_id, sub""".stripMargin,
+
+    // mirrors Recrawl.fetchPlan: the recrawl ranking chain (no top-k cut)
+    // × Crawl-delay formula (the parse of the synthesized robots equals
+    // the formula by construction) × md5 queue hash
+    "fetch_plan" ->
+      s"""WITH $urlCanonCte,
+         |base AS (
+         |  SELECT url_canon, min(doc_id) AS d, min(domain) AS domain
+         |  FROM canon GROUP BY url_canon),
+         |hist AS (
+         |  SELECT url_canon, domain, k AS snap_k,
+         |    md5(url_canon || '#' || CAST((k * (1 + d % 5)) // 4 AS BIGINT)) AS content_md5
+         |  FROM (SELECT url_canon, domain, d, unnest(range(0, 4)) AS k FROM base)),
+         |chg AS (
+         |  SELECT url_canon, domain, content_md5,
+         |    lag(content_md5) OVER (PARTITION BY url_canon ORDER BY snap_k) AS prev
+         |  FROM hist),
+         |per AS (
+         |  SELECT url_canon, domain, CAST(count(*) AS BIGINT) AS n_obs,
+         |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> content_md5
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+         |  FROM chg GROUP BY url_canon, domain),
+         |rk AS (
+         |  SELECT domain, url_canon,
+         |    CAST(row_number() OVER (PARTITION BY domain
+         |      ORDER BY (n_changes * 2 + 1) * 1000000 // (n_obs * 2) DESC, url_canon)
+         |      AS BIGINT) AS rnk
+         |  FROM per)
+         |SELECT CAST(md5_number_upper(domain) % 8 AS BIGINT) AS queue,
+         |  domain, url_canon, rnk,
+         |  CAST(length(domain) % 5 + 1 AS BIGINT) AS delay_s,
+         |  CAST((rnk - 1) * (length(domain) % 5 + 1) * 1000 AS BIGINT) AS fetch_offset_ms
+         |FROM rk ORDER BY queue, domain, rnk""".stripMargin,
+
     // mirrors Sampling.prioritySample: md5_number_upper is bit-identical
     // to the Spark little-endian construction; priority and threshold in
     // int64 floor division

@@ -1388,6 +1388,43 @@ object SparkEntry {
         .orderBy("surt")
     }),
 
+    "domain_trustrank" -> ((s, dir) => {
+      // integer TrustRank: teleport restricted to trusted seeds
+      // (doc_id%17==0); spam nodes score ~0 while raw PageRank ranks
+      // them — the spam-mass curation signal; same 16-byte contrib
+      // shuffles as domain_rank
+      val d = docs(s, dir, "documents")
+        .select(col("doc_id").as("id"), (col("doc_id") % 17 === 0).as("is_seed"))
+      val n = d.count()
+      graft.ops.Graph.trustRankInt(d, graft.ops.Graph.synthEdges(d, n), iters = 3)
+        .select(col("id").as("doc_id"), col("is_seed"), col("score"))
+        .orderBy("doc_id")
+    }),
+
+    "embedding_pq" -> ((s, dir) => {
+      // product-quantization encode with a fixed codebook: milli-unit
+      // integer L2, packed (dist, code) argmin — one narrow higher-order
+      // projection, zero shuffle, bit-reproducible
+      graft.ops.Quantize.pqEncode(
+        docs(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+        .orderBy("vec_id", "sub")
+    }),
+
+    "fetch_plan" -> ((s, dir) => {
+      // politeness fetch planner: recrawl ranking × parsed robots
+      // Crawl-delay → worker queue (domain affinity) + delay-spaced
+      // offsets; delays broadcast, schedule rows are frontier-sized
+      val norm = UrlOps.normalize(UrlOps.withRawUrls(
+        docs(s, dir, "documents").select(col("doc_id"))))
+      val sched = graft.ops.Recrawl.schedule(
+        graft.ops.Recrawl.synthHistory(norm), topK = Int.MaxValue)
+      val delays = graft.ops.Recrawl.parseDelays(
+        graft.ops.Recrawl.synthRobotsDelay(norm.select(col("domain")).distinct()),
+        agent = "graftbot")
+      graft.ops.Recrawl.fetchPlan(sched, delays, workers = 8)
+        .orderBy("queue", "domain", "rnk")
+    }),
+
     "sample_priority" -> ((s, dir) => {
       // Duffield–Lund–Thorup priority sampling: weighted (by length)
       // without-replacement top-k with the unbiased max(w, τ) estimator;

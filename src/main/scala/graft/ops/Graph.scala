@@ -54,4 +54,35 @@ object Graph {
     }
     scores
   }
+
+  /** Integer TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
+    * PageRank with initial mass AND teleport restricted to a trusted seed
+    * set — trust flows out along links, so spam farms that rank high on
+    * raw PageRank score near zero here (low trust × high rank = the
+    * classic spam-mass signal for corpus curation). Same micro-unit
+    * integer arithmetic as [[pageRankInt]] — bit-exact on any
+    * partitioning or engine — and the same per-round shape: one
+    * sort-merge join on src plus one partial-aggregated (dst, contrib)
+    * shuffle of 16-byte rows; the seed flag rides the node table.
+    *
+    * Input nodes: (id, is_seed). Output: (id, is_seed, score). */
+  def trustRankInt(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(deg, "src")
+    val ids = nodes.select(col("id"), col("is_seed"))
+    var scores = ids.select(col("id"),
+      when(col("is_seed"), lit(1000000L)).otherwise(lit(0L)).as("score"))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(scores, e("src") === scores("id"))
+        .select(col("dst"),
+          floor(col("score").cast("double") / col("outdeg")).as("contrib"))
+        .groupBy("dst").agg(sum(col("contrib")).as("c"))
+      scores = ids.join(contribs, ids("id") === contribs("dst"), "left")
+        .select(col("id"),
+          (when(col("is_seed"), lit(150000L)).otherwise(lit(0L)) +
+            floor(coalesce(col("c"), lit(0L)).cast("double") * 85 / 100)
+              .cast("long")).as("score"))
+    }
+    ids.join(scores, Seq("id")).select(col("id"), col("is_seed"), col("score"))
+  }
 }

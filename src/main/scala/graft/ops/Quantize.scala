@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the
+  * embedding-compression step every planet-scale vector store ships:
+  * a D-dim vector becomes m small codes (here 4 × 4 bits), a 128×
+  * compression that makes a 10^12-row embedding table fit a serving
+  * tier, with asymmetric distances computed against the codebook.
+  *
+  * This is the ENCODE step with a FIXED published codebook (fitting one
+  * is a per-subspace k-means — the IVF op here is the same fit shape;
+  * serving pipelines ship the codebook as an artifact). Everything is
+  * integer-exact: embedding components and centroid values both live in
+  * milli-units (floor(x·1000) int64), so squared-L2 distances are
+  * integer sums and the encoding is bit-reproducible on any engine or
+  * partitioning — the same determinism discipline as integer PageRank /
+  * BM25 here. The (dist, code) argmin packs into one int64
+  * (dist·ks + j): min over longs IS lexicographic (dist, then lowest
+  * code) — deterministic ties.
+  *
+  * Scale shape: one narrow per-row projection of higher-order built-ins
+  * over the embedding array — zero UDFs, zero shuffle; the codebook is a
+  * closed-form literal inside the expression (a fitted one would
+  * broadcast). Output explodes to (vec_id, sub, code, err) rows — the
+  * layout a code-table sink or an ADC scorer consumes.
+  */
+object Quantize {
+
+  /** Codebook formula: cval(j, t) = ((j·31 + t·17) mod 2001) − 1000 for
+    * centroid j at GLOBAL dim t — spans the same milli-unit range as
+    * unit-norm embedding components. Mirrored verbatim in the oracle. */
+  def pqEncode(embeddings: DataFrame, dim: Int = 64, m: Int = 4,
+               ks: Int = 16): DataFrame = {
+    require(dim % m == 0, "dim must split evenly into m subspaces")
+    require(ks == 16, "ks fixed at 16: the packed argmin decodes by >> 4")
+    val d0 = dim / m
+    val subs = transform(sequence(lit(0), lit(m - 1)), s => {
+      val packed = array_min(transform(sequence(lit(0), lit(ks - 1)), j => {
+        val dist = aggregate(
+          sequence(s * lit(d0), s * lit(d0) + lit(d0 - 1)), lit(0L),
+          (acc, t) => {
+            val q = floor(element_at(col("embedding"), t + 1).cast("double") * 1000)
+              .cast("long")
+            val cv = (pmod(j * 31 + t * 17, lit(2001)) - 1000).cast("long")
+            acc + (q - cv) * (q - cv)
+          })
+        dist * ks + j.cast("long")
+      }))
+      struct(s.cast("long").as("sub"),
+        pmod(packed, lit(ks.toLong)).as("code"),
+        shiftright(packed, 4).as("err"))
+    })
+    embeddings.select(col("vec_id"), explode(subs).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"),
+        col("e.code").as("code"), col("e.err").as("err"))
+  }
+}

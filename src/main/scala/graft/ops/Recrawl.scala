@@ -63,4 +63,40 @@ object Recrawl {
       .where(col("rnk") <= topK)
       .select("domain", "url_canon", "n_obs", "n_changes", "priority_micro", "rnk")
   }
+
+  /** Deterministic per-domain robots.txt with a Crawl-delay directive
+    * (delay = 1 + len(domain) mod 5 seconds) — the politeness input the
+    * fetch planner consumes. Mirrored in the DuckDB oracle (the parse of
+    * a synthesized text equals the formula by construction, so the
+    * oracle pins parse + plan end-to-end). */
+  def synthRobotsDelay(domains: DataFrame): DataFrame =
+    domains.select(col("domain"),
+      concat(lit("User-agent: *\nCrawl-delay: "),
+        (length(col("domain")) % 5 + 1).cast("string")).as("robots_txt"))
+
+  /** Parse each domain's Crawl-delay for `agent` (RFC 9309 group
+    * selection; default 1 s when absent). Robots files are per-domain —
+    * a tiny table — so this typed pass is frontier-sized, never
+    * corpus-sized. */
+  def parseDelays(robots: DataFrame, agent: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col("domain"), col("robots_txt")).as[(String, String)]
+      .map { case (d, txt) => (d, Robots.crawlDelayFor(txt, agent).getOrElse(1L)) }
+      .toDF("domain", "delay_s")
+  }
+
+  /** The fetch plan: recrawl-ranked urls → worker queues with
+    * politeness-spaced fetch offsets. Queue = hash(domain) mod workers
+    * (domain affinity keeps one domain's connections on one worker);
+    * offset = (rank−1) · crawl-delay — the domain's pages fetch
+    * delay-spaced in priority order. Delays join as a BROADCAST (one row
+    * per domain); the only corpus-sized state is the already-ranked
+    * schedule rows. */
+  def fetchPlan(sched: DataFrame, delays: DataFrame, workers: Int): DataFrame =
+    sched.join(broadcast(delays), Seq("domain"))
+      .select(
+        Sampling.md5Mod(col("domain"), workers).as("queue"),
+        col("domain"), col("url_canon"), col("rnk"), col("delay_s"),
+        ((col("rnk") - 1) * col("delay_s") * 1000).as("fetch_offset_ms"))
 }

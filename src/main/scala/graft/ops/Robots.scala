@@ -26,21 +26,23 @@ object Robots {
 
   final case class Rule(allow: Boolean, path: String)
 
-  /** Parse robots.txt and return the rule block for `agent` (RFC 9309
-    * group selection: longest matching User-agent name, `*` fallback). */
-  def rulesFor(robotsTxt: String, agent: String): Vector[Rule] = {
-    if (robotsTxt == null) return Vector.empty
-    val agentLower = agent.toLowerCase(java.util.Locale.ROOT)
-    // groups: (agent names, rules)
-    val groups = scala.collection.mutable.ArrayBuffer[(Vector[String], Vector[Rule])]()
+  /** One parsed group: agent names, rules, and the group's Crawl-delay
+    * (seconds) — the de-facto politeness directive outside RFC 9309 that
+    * major crawlers still honor. */
+  private final case class Group(agents: Vector[String], rules: Vector[Rule],
+                                 delay: Option[Long])
+
+  private def parseGroups(robotsTxt: String): Vector[Group] = {
+    val groups = scala.collection.mutable.ArrayBuffer[Group]()
     var curAgents = Vector.newBuilder[String]
     var curRules = Vector.newBuilder[Rule]
+    var curDelay: Option[Long] = None
     var agentsOpen = false // consecutive User-agent lines accumulate
-    var any = false
     def flush(): Unit = {
       val a = curAgents.result()
-      if (a.nonEmpty) groups += ((a, curRules.result()))
+      if (a.nonEmpty) groups += Group(a, curRules.result(), curDelay)
       curAgents = Vector.newBuilder[String]; curRules = Vector.newBuilder[Rule]
+      curDelay = None
     }
     robotsTxt.linesIterator.foreach { line0 =>
       val line = { val h = line0.indexOf('#'); if (h >= 0) line0.substring(0, h) else line0 }.trim
@@ -51,25 +53,44 @@ object Robots {
         key match {
           case "user-agent" =>
             if (!agentsOpen) flush()
-            agentsOpen = true; any = true
+            agentsOpen = true
             curAgents += value.toLowerCase(java.util.Locale.ROOT)
           case "allow" | "disallow" =>
             agentsOpen = false
             // empty Disallow = allow-all sentinel: record nothing
             if (value.nonEmpty) curRules += Rule(key == "allow", value)
-          case _ => agentsOpen = false // crawl-delay, sitemap, unknown
+          case "crawl-delay" =>
+            agentsOpen = false
+            curDelay = value.toLongOption.filter(_ >= 0).orElse(curDelay)
+          case _ => agentsOpen = false // sitemap, unknown
         }
       }
     }
     flush()
-    if (!any) return Vector.empty
-    // best group: longest agent token that prefixes the product agent
-    val named = groups.flatMap { case (agents, rules) =>
-      agents.filter(a => a != "*" && agentLower.startsWith(a)).map(a => (a.length, rules))
+    groups.toVector
+  }
+
+  /** RFC 9309 group selection: longest matching User-agent name, `*`
+    * fallback. */
+  private def selectGroup(groups: Vector[Group], agent: String): Option[Group] = {
+    val agentLower = agent.toLowerCase(java.util.Locale.ROOT)
+    val named = groups.flatMap { g =>
+      g.agents.filter(a => a != "*" && agentLower.startsWith(a)).map(a => (a.length, g))
     }
-    if (named.nonEmpty) named.maxBy(_._1)._2
-    else groups.collectFirst { case (agents, rules) if agents.contains("*") => rules }
-      .getOrElse(Vector.empty)
+    if (named.nonEmpty) Some(named.maxBy(_._1)._2)
+    else groups.find(_.agents.contains("*"))
+  }
+
+  /** Parse robots.txt and return the rule block for `agent`. */
+  def rulesFor(robotsTxt: String, agent: String): Vector[Rule] = {
+    if (robotsTxt == null) return Vector.empty
+    selectGroup(parseGroups(robotsTxt), agent).map(_.rules).getOrElse(Vector.empty)
+  }
+
+  /** The selected group's Crawl-delay in seconds, if present. */
+  def crawlDelayFor(robotsTxt: String, agent: String): Option[Long] = {
+    if (robotsTxt == null) return None
+    selectGroup(parseGroups(robotsTxt), agent).flatMap(_.delay)
   }
 
   /** RFC 9309 path match: `*` = any run, `$` = end anchor, else prefix. */

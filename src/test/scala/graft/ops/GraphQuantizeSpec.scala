@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSessionFixture
+
+/** Integer TrustRank (Graph.trustRankInt), PQ encoding (Quantize.pqEncode)
+  * and the politeness fetch planner (Recrawl fetch-plan trio). */
+class GraphQuantizeSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("trustRankInt: hand-computed two-round trajectory, spam scores zero") {
+    // ring 0→1→2→0 plus spam node 3→0; only node 0 is a trusted seed
+    val nodes = Seq((0L, true), (1L, false), (2L, false), (3L, false))
+      .toDF("id", "is_seed")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val r2 = Graph.trustRankInt(nodes, edges, iters = 2)
+      .orderBy("id").as[(Long, Boolean, Long)].collect().toSeq
+    // s1 = [150000, 850000, 0, 0]; s2 = [150000+.85*850000? no: contribs
+    // into 0 come from 2 (score 0) and 3 (score 0) → s2(0)=150000;
+    // s2(1)=floor(.85*150000)=127500; s2(2)=floor(.85*850000)=722500; s2(3)=0
+    assert(r2 == Seq(
+      (0L, true, 150000L), (1L, false, 127500L),
+      (2L, false, 722500L), (3L, false, 0L)))
+    // trust never reaches the spam node (no in-links from trusted side)
+    val r5 = Graph.trustRankInt(nodes, edges, iters = 5)
+      .where(col("id") === 3).select("score").as[Long].head()
+    assert(r5 == 0L)
+  }
+
+  /** Reference PQ encode: same formula in plain Scala. */
+  private def pqRef(emb: Seq[Float], dim: Int, m: Int): Seq[(Long, Long, Long)] = {
+    val d0 = dim / m
+    (0 until m).map { s =>
+      val packed = (0 until 16).map { j =>
+        val dist = (s * d0 until (s + 1) * d0).map { t =>
+          val q = math.floor(emb(t).toDouble * 1000).toLong
+          val cv = ((j * 31 + t * 17) % 2001) - 1000L
+          (q - cv) * (q - cv)
+        }.sum
+        dist * 16 + j
+      }.min
+      (s.toLong, packed % 16, packed >> 4)
+    }
+  }
+
+  test("pqEncode matches the reference fold on varied vectors") {
+    val vecs = Seq(
+      (1L, Array.tabulate(64)(t => math.sin(t * 0.7).toFloat)),
+      (2L, Array.fill(64)(0.0f)),
+      (3L, Array.tabulate(64)(t => (if (t % 2 == 0) 1.0f else -1.0f))),
+      (4L, Array.tabulate(64)(t => (t - 32) / 33.0f)))
+    val got = Quantize.pqEncode(vecs.toDF("vec_id", "embedding"))
+      .orderBy("vec_id", "sub").as[(Long, Long, Long, Long)].collect().toSeq
+    val expect = vecs.flatMap { case (id, e) =>
+      pqRef(e.toSeq, 64, 4).map { case (s, c, err) => (id, s, c, err) }
+    }
+    assert(got == expect)
+  }
+
+  test("crawlDelayFor: group selection, overwrite, invalid values") {
+    val txt =
+      """User-agent: *
+        |Crawl-delay: 5
+        |Disallow: /tmp
+        |
+        |User-agent: graftbot
+        |Crawl-delay: banana
+        |Crawl-delay: 2
+        |Allow: /
+        |""".stripMargin
+    assert(Robots.crawlDelayFor(txt, "graftbot/1.0") == Some(2L))
+    assert(Robots.crawlDelayFor(txt, "otherbot") == Some(5L))
+    assert(Robots.crawlDelayFor("User-agent: *\nDisallow: /x", "any").isEmpty)
+    assert(Robots.crawlDelayFor("User-agent: *\nCrawl-delay: -3", "any").isEmpty)
+    // rulesFor unchanged by the delay-aware refactor
+    assert(Robots.rulesFor(txt, "graftbot") == Vector(Robots.Rule(true, "/")))
+    assert(Robots.rulesFor(txt, "nobody") == Vector(Robots.Rule(false, "/tmp")))
+  }
+
+  test("fetchPlan: delay-spaced offsets per domain, broadcast delays") {
+    val sched = Seq(
+      ("a.com", "https://a.com/1", 1L), ("a.com", "https://a.com/2", 2L),
+      ("b.org", "https://b.org/1", 1L))
+      .toDF("domain", "url_canon", "rnk")
+    val delays = Seq(("a.com", 3L), ("b.org", 1L)).toDF("domain", "delay_s")
+    val out = Recrawl.fetchPlan(sched, delays, workers = 8)
+      .orderBy("domain", "rnk")
+      .select("domain", "rnk", "delay_s", "fetch_offset_ms")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a.com", 1L, 3L, 0L), ("a.com", 2L, 3L, 3000L), ("b.org", 1L, 1L, 0L)))
+    // queue is stable per domain and within worker range
+    val qs = Recrawl.fetchPlan(sched, delays, workers = 8)
+      .select("domain", "queue").distinct().as[(String, Long)].collect().toMap
+    assert(qs.size == 2 && qs.values.forall(q => q >= 0 && q < 8))
+  }
+}
