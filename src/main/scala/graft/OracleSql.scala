@@ -1628,6 +1628,88 @@ object OracleSql {
          |  arg_max(digest, warc_ts) AS latest_digest
          |FROM surted GROUP BY surt ORDER BY surt""".stripMargin,
 
+    // mirrors TextStats.corpusGate: gopher keep + repetition caps with
+    // first-failing-reason precedence
+    "corpus_gate" -> {
+      val meanLen = s"""CAST(CASE WHEN $nTok > 0
+         |    THEN floor(CAST((length(text) - (length(text)-length(replace(text,' ','')))) AS DOUBLE) * 1000.0
+         |      / CAST($nTok AS DOUBLE))
+         |    ELSE 0 END AS BIGINT)""".stripMargin
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(w => s"(CASE WHEN ' '||text||' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH gop AS (
+         |  SELECT doc_id,
+         |    ($nTok >= 50 AND $nTok <= 100000
+         |     AND $meanLen >= 3000 AND $meanLen <= 10000
+         |     AND (length(text)-length(replace(text,'#','')))*10 <= $nTok
+         |     AND ($stops) >= 2) AS gopher_keep
+         |  FROM documents),
+         |toks AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE string_split(text, ' ') END AS t FROM documents),
+         |u AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |uc AS (SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2),
+         |ustats AS (SELECT doc_id, max(c) AS mu, sum(c) AS n,
+         |           sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM uc GROUP BY 1),
+         |rep AS (
+         |  SELECT d.doc_id,
+         |    CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(mu * 1000.0 / n) END AS BIGINT) AS top_unigram_x1000,
+         |    CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(dup * 1000.0 / n) END AS BIGINT) AS dup_token_x1000
+         |  FROM documents d LEFT JOIN ustats USING (doc_id)),
+         |gate AS (
+         |  SELECT gop.doc_id, gopher_keep, top_unigram_x1000, dup_token_x1000,
+         |    CASE WHEN NOT gopher_keep THEN 'gopher'
+         |         WHEN top_unigram_x1000 > 200 THEN 'top_unigram'
+         |         WHEN dup_token_x1000 > 500 THEN 'dup_tokens'
+         |         ELSE 'keep' END AS reason
+         |  FROM gop JOIN rep USING (doc_id))
+         |SELECT doc_id, gopher_keep, top_unigram_x1000, dup_token_x1000,
+         |  reason, reason = 'keep' AS keep
+         |FROM gate ORDER BY doc_id""".stripMargin
+    },
+
+    // mirrors Warc.wetExport: byte-exact WET conversion-record framing
+    // (Content-Length counts UTF-8 octets), whole record pinned by md5
+    "wet_export" ->
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |    'WARC/1.0' || chr(13)||chr(10) ||
+        |    'WARC-Type: conversion' || chr(13)||chr(10) ||
+        |    'WARC-Target-URI: https://example.com/doc/' || CAST(doc_id AS VARCHAR) || chr(13)||chr(10) ||
+        |    'Content-Length: ' || CAST(octet_length(encode(text)) AS VARCHAR) || chr(13)||chr(10) ||
+        |    chr(13)||chr(10) || text || chr(13)||chr(10) || chr(13)||chr(10) AS rec
+        |  FROM documents)
+        |SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(rec)) AS BIGINT) AS rec_len,
+        |  md5(rec) AS rec_md5
+        |FROM r ORDER BY url""".stripMargin,
+
+    // mirrors Quantize.adcTopK: PQ codes replayed per vector, asymmetric
+    // integer distances, row_number top-5 (dist asc, cid asc = the
+    // bounded-heap tie-break)
+    "ann_pq_adc" ->
+      """WITH codes AS (
+        |  SELECT vec_id, list_transform(range(0, 4), s ->
+        |    (list_min(list_transform(range(0, 16), j ->
+        |      CAST(list_sum(list_transform(list_transform(range(0, 16), tt ->
+        |        CAST(floor(CAST(embedding[s*16 + tt + 1] AS DOUBLE) * 1000) AS BIGINT)
+        |        - ((j*31 + (s*16 + tt)*17) % 2001 - 1000)), d -> d*d)) AS BIGINT) * 16 + j))
+        |     % 16)) AS cs
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.qid, c.vec_id AS cid,
+        |    CAST(list_sum(list_transform(range(0, 4), s ->
+        |      list_sum(list_transform(list_transform(range(0, 16), tt ->
+        |        CAST(floor(CAST(qe[s*16 + tt + 1] AS DOUBLE) * 1000) AS BIGINT)
+        |        - ((cs[s+1]*31 + (s*16 + tt)*17) % 2001 - 1000)), d -> d*d)))) AS BIGINT) AS dist
+        |  FROM codes c, q WHERE c.vec_id <> q.qid),
+        |rk AS (SELECT qid AS vec_id, cid AS neighbor_id, dist,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT vec_id, rank, neighbor_id, dist FROM rk WHERE rank <= 5
+        |ORDER BY vec_id, rank""".stripMargin,
+
     // mirrors Graph.trustRankInt: the domain_rank unrolled chain with
     // initial mass and teleport restricted to the seed set (id%17=0)
     "domain_trustrank" ->

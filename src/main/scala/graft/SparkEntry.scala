@@ -1388,6 +1388,32 @@ object SparkEntry {
         .orderBy("surt")
     }),
 
+    "corpus_gate" -> ((s, dir) => {
+      // the assembled keep/drop decision with auditable reason codes
+      // (first failing signal wins): gopher structural rules + repetition
+      // caps, one doc_id sort-merge join, codegen'd CASE
+      TextStats.corpusGate(docs(s, dir, "documents")).orderBy("doc_id")
+    }),
+
+    "wet_export" -> ((s, dir) => {
+      // WET conversion-record export (the CC *.wet derivative): byte-exact
+      // WARC/1.0 framing from codegen'd string built-ins; md5 pins the
+      // whole record, so a one-byte framing error fails
+      graft.spark.Warc.wetExport(
+        docs(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy("url")
+    }),
+
+    "ann_pq_adc" -> ((s, dir) => {
+      // PQ serve path: asymmetric-distance top-k over 4×4-bit codes —
+      // broadcast queries × codes scan, integer milli-unit distances,
+      // bounded-heap top-k (O(k) task state)
+      graft.ops.Quantize.adcTopK(
+        docs(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        nQueries = 20, k = 5)
+        .orderBy("vec_id", "rank")
+    }),
+
     "domain_trustrank" -> ((s, dir) => {
       // integer TrustRank: teleport restricted to trusted seeds
       // (doc_id%17==0); spam nodes score ~0 while raw PageRank ranks

@@ -56,4 +56,65 @@ object Quantize {
       .select(col("vec_id"), col("e.sub").as("sub"),
         col("e.code").as("code"), col("e.err").as("err"))
   }
+
+  /** Codes as one array<long> per vector (the serving-table layout: m
+    * codes per row instead of m rows). Same argmin as [[pqEncode]]. */
+  def pqCodes(embeddings: DataFrame, dim: Int = 64, m: Int = 4,
+              ks: Int = 16): DataFrame = {
+    require(dim % m == 0 && ks == 16)
+    val d0 = dim / m
+    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+      val packed = array_min(transform(sequence(lit(0), lit(ks - 1)), j => {
+        val dist = aggregate(
+          sequence(s * lit(d0), s * lit(d0) + lit(d0 - 1)), lit(0L),
+          (acc, t) => {
+            val q = floor(element_at(col("embedding"), t + 1).cast("double") * 1000)
+              .cast("long")
+            val cv = (pmod(j * 31 + t * 17, lit(2001)) - 1000).cast("long")
+            acc + (q - cv) * (q - cv)
+          })
+        dist * ks + j.cast("long")
+      }))
+      pmod(packed, lit(ks.toLong))
+    })
+    embeddings.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** Asymmetric-distance top-k over PQ codes (the SERVE side of product
+    * quantization): each query scores a code row as Σ_s ‖q_s − c(code_s)‖²
+    * — the query stays full-precision, the corpus is 4 codes — and takes
+    * the k nearest. Milli-unit integer distances end-to-end, so ranking
+    * is bit-reproducible.
+    *
+    * Scale shape: queries BROADCAST against the codes scan (ADC is by
+    * design a linear scan over compressed codes; compose with the IVF
+    * router here to prune to nprobe cells first); per-candidate work is
+    * m·d0 integer ops in one codegen'd higher-order expression; the
+    * top-k is the bounded-heap partial aggregate (O(k) state per task,
+    * k rows per query per task on the wire — never a corpus-sized
+    * window). Output: (vec_id, rank, neighbor_id, dist). */
+  def adcTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+              dim: Int = 64, m: Int = 4): DataFrame = {
+    val d0 = dim / m
+    val codes = pqCodes(embeddings, dim, m)
+    val queries = embeddings.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val dist = aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, s) =>
+      acc + aggregate(
+        sequence(s * lit(d0), s * lit(d0) + lit(d0 - 1)), lit(0L),
+        (a2, t) => {
+          val q = floor(element_at(col("qe"), t + 1).cast("double") * 1000).cast("long")
+          val j = element_at(col("codes"), s + 1)
+          val cv = (pmod(j * 31 + t * 17, lit(2001)) - 1000).cast("long")
+          a2 + (q - cv) * (q - cv)
+        }))
+    val scored = codes.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("qid")) // self is trivially nearest
+      .select(col("qid"), col("vec_id").as("cid"),
+        // negate: the shared bounded-heap aggregate ranks sim DESC
+        (-dist).cast("double").as("sim"))
+    Similarity.topKPerQuery(scored, k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"),
+        (-col("sim")).cast("long").as("dist"))
+  }
 }

@@ -88,7 +88,7 @@ object Similarity {
 
   /** Scored candidates (qid, cid, sim) → (vec_id, rank, neighbor_id, sim 4dp)
     * via the partial top-k aggregate; ranks 1..k ordered (sim desc, cid asc). */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[ops] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k))
     scored.groupBy(col("qid"))
       .agg(topk(col("sim"), col("cid")).as("hits"))

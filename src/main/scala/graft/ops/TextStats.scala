@@ -313,6 +313,32 @@ object TextStats {
         .otherwise(0L).cast("long").as("bytes_per_subword_x1000"))
   }
 
+  /** The assembled quality GATE — the keep/drop decision a corpus
+    * pipeline actually executes after computing its signals: Gopher-style
+    * structural rules plus repetition caps, first-failing-reason-wins so
+    * every dropped doc carries an auditable reason code (the reason
+    * distribution is the dashboard every data team watches). Signals
+    * compute in their own passes (a column projection and a typed
+    * repetition map); the gate itself is one doc_id-keyed sort-merge join
+    * plus a codegen'd CASE — at 10^12 rows the join is the only
+    * shuffle, and co-partitioned/bucketed signal tables make it
+    * Exchange-free (the BucketedJoinSpec shape). */
+  def corpusGate(docs: DataFrame,
+                 maxTopUnigramX1000: Long = 200,
+                 maxDupTokenX1000: Long = 500): DataFrame = {
+    val g = gopherRules(docs).select(col("doc_id"), col("keep").as("gopher_keep"))
+    val r = repetition(docs)
+      .select(col("doc_id"), col("top_unigram_x1000"), col("dup_token_x1000"))
+    val reason = when(!col("gopher_keep"), "gopher")
+      .when(col("top_unigram_x1000") > maxTopUnigramX1000, "top_unigram")
+      .when(col("dup_token_x1000") > maxDupTokenX1000, "dup_tokens")
+      .otherwise("keep")
+    g.join(r, Seq("doc_id"))
+      .select(col("doc_id"), col("gopher_keep"),
+        col("top_unigram_x1000"), col("dup_token_x1000"),
+        reason.as("reason"), (reason === "keep").as("keep"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
     * the MOSS algorithm): hash every char k-gram, slide a w-window over
     * the hash sequence, select each window's MINIMUM (rightmost on ties),

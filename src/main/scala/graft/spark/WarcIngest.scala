@@ -180,4 +180,27 @@ object Warc {
     gz.write(plain); gz.close()
     bos.toByteArray
   }
+
+  /** WET export — the conversion-record derivative Common Crawl publishes
+    * next to every WARC (*.warc.wet.gz): the extracted plain text of each
+    * page wrapped in a minimal WARC/1.0 `conversion` record. This is the
+    * EXPORT side of the ingest above: a pipeline that reads WARCs and
+    * writes WETs round-trips the format both ways. Record construction is
+    * pure codegen'd string built-ins (byte-exact framing: Content-Length
+    * counts UTF-8 OCTETS, not chars), one narrow projection, zero
+    * shuffle; a shard writer concatenates `rec` values per partition.
+    * Output pins the full record bytes by md5 — a one-byte framing error
+    * cannot pass. */
+  def wetExport(docs: DataFrame): DataFrame = {
+    val url = concat(lit("https://example.com/doc/"), col("doc_id").cast("string"))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "), url,
+      lit("\r\nContent-Length: "), octet_length(col("text")).cast("string"),
+      lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"))
+    docs.select(
+      url.as("url"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      octet_length(rec).cast("long").as("rec_len"),
+      md5(rec).as("rec_md5"))
+  }
 }

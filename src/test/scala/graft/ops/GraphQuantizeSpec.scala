@@ -60,6 +60,60 @@ class GraphQuantizeSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("adcTopK matches a reference ADC scan (codes → asymmetric distances → top-k)") {
+    val vecs = (0L until 30L).map(id =>
+      (id, Array.tabulate(64)(t => math.sin(id * 1.3 + t * 0.41).toFloat)))
+    val got = Quantize.adcTopK(vecs.toDF("vec_id", "embedding"), nQueries = 3, k = 4)
+      .orderBy("vec_id", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    // reference: encode every vector with pqRef, score every (query, vec)
+    val codes = vecs.map { case (id, e) => id -> pqRef(e.toSeq, 64, 4).map(_._2) }.toMap
+    def adc(qe: Array[Float], cs: Seq[Long]): Long =
+      (0 until 4).map { s =>
+        (s * 16 until (s + 1) * 16).map { t =>
+          val q = math.floor(qe(t).toDouble * 1000).toLong
+          val cv = ((cs(s) * 31 + t * 17) % 2001) - 1000L
+          (q - cv) * (q - cv)
+        }.sum
+      }.sum
+    val expect = (0L until 3L).flatMap { qid =>
+      val qe = vecs(qid.toInt)._2
+      vecs.filter(_._1 != qid)
+        .map { case (cid, _) => (cid, adc(qe, codes(cid))) }
+        .sortBy { case (cid, d) => (d, cid) }.take(4).zipWithIndex
+        .map { case ((cid, d), r) => (qid, (r + 1).toLong, cid, d) }
+    }
+    assert(got == expect)
+  }
+
+  test("corpusGate: first-failing reason precedence") {
+    val good = (1 to 60).map(i => s"tok$i").mkString(" ") +
+      " the and of that have with be to"
+    val repeated = (("spam " * 80) + "the and of that have with be to " +
+      (1 to 20).map(i => s"w$i").mkString(" ")).trim
+    val short = "the and of"
+    val docs = Seq((1L, good), (2L, repeated), (3L, short)).toDF("doc_id", "text")
+    val out = TextStats.corpusGate(docs).orderBy("doc_id")
+      .select("doc_id", "reason", "keep").as[(Long, String, Boolean)].collect().toSeq
+    assert(out(0) == ((1L, "keep", true)))
+    assert(out(1)._2 == "top_unigram" && !out(1)._3) // repetition cap fires
+    assert(out(2) == ((3L, "gopher", false)))        // too short → gopher first
+  }
+
+  test("wetExport: byte-exact WET conversion record (md5 pinned via reference build)") {
+    val docs = Seq((7L, "Hello, WET world."), (8L, "")).toDF("doc_id", "text")
+    val got = graft.spark.Warc.wetExport(docs).orderBy("url")
+      .as[(String, Long, Long, String)].collect().toSeq
+    val expect = Seq(7L -> "Hello, WET world.", 8L -> "").map { case (id, text) =>
+      val url = s"https://example.com/doc/$id"
+      val rec = s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Length: ${text.getBytes("UTF-8").length}\r\n\r\n$text\r\n\r\n"
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(rec.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      (url, text.getBytes("UTF-8").length.toLong, rec.getBytes("UTF-8").length.toLong, md5)
+    }.sortBy(_._1)
+    assert(got == expect)
+  }
+
   test("crawlDelayFor: group selection, overwrite, invalid values") {
     val txt =
       """User-agent: *
