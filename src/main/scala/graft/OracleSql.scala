@@ -1628,6 +1628,66 @@ object OracleSql {
          |  arg_max(digest, warc_ts) AS latest_digest
          |FROM surted GROUP BY surt ORDER BY surt""".stripMargin,
 
+    // mirrors TextStats.winnowPairs over the replica-planted corpus: the
+    // winnow selection replay (same as text_winnow) inverted and
+    // self-joined on fingerprint hash
+    "dedup_winnow_pairs" ->
+      s"""WITH $corpusCte,
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) >= 8 THEN
+         |      list_transform(range(1, length(text) - 8 + 2),
+         |        i -> CAST(md5_number_upper(substr(text, i, 8)) % 2147483648 AS BIGINT))
+         |    ELSE [] END AS gs
+         |  FROM corpus),
+         |s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(gs) >= 4 THEN
+         |      list_distinct(list_transform(range(1, len(gs) - 4 + 2), j -> list_min(gs[j:j+3])))
+         |    ELSE [] END AS hs
+         |  FROM g),
+         |fp0 AS (SELECT doc_id, unnest(hs) AS h FROM s),
+         |df AS (SELECT h FROM fp0 GROUP BY h HAVING count(*) > 1 AND count(*) <= 50),
+         |fp AS (SELECT fp0.doc_id, fp0.h FROM fp0 JOIN df USING (h))
+         |SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 20 ORDER BY a, b""".stripMargin,
+
+    // mirrors Graph.hitsInt (iters=2): unrolled auth/hub rounds with the
+    // greatest(max, 1) normalization scalar cross-joined per half-round
+    "graph_hits" ->
+      """WITH nodes AS (SELECT doc_id AS id FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT id AS src, (id*7+3) % n AS dst FROM nodes, nn
+        |  UNION ALL SELECT id, (id*13+11) % n FROM nodes, nn
+        |  UNION ALL SELECT id, (id*31+17) % n FROM nodes, nn),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+        |a1r AS (SELECT nodes.id, COALESCE(x.s, 0) AS s FROM nodes LEFT JOIN
+        |  (SELECT e.dst, sum(h0.hub) AS s FROM edges e JOIN h0 ON h0.id = e.src GROUP BY e.dst) x
+        |  ON x.dst = nodes.id),
+        |a1m AS (SELECT greatest(max(s), 1) AS m FROM a1r),
+        |a1 AS (SELECT id, s * 1000000 // m AS auth FROM a1r, a1m),
+        |h1r AS (SELECT nodes.id, COALESCE(x.s, 0) AS s FROM nodes LEFT JOIN
+        |  (SELECT e.src, sum(a1.auth) AS s FROM edges e JOIN a1 ON a1.id = e.dst GROUP BY e.src) x
+        |  ON x.src = nodes.id),
+        |h1m AS (SELECT greatest(max(s), 1) AS m FROM h1r),
+        |h1 AS (SELECT id, s * 1000000 // m AS hub FROM h1r, h1m),
+        |a2r AS (SELECT nodes.id, COALESCE(x.s, 0) AS s FROM nodes LEFT JOIN
+        |  (SELECT e.dst, sum(h1.hub) AS s FROM edges e JOIN h1 ON h1.id = e.src GROUP BY e.dst) x
+        |  ON x.dst = nodes.id),
+        |a2m AS (SELECT greatest(max(s), 1) AS m FROM a2r),
+        |a2 AS (SELECT id, s * 1000000 // m AS auth FROM a2r, a2m),
+        |h2r AS (SELECT nodes.id, COALESCE(x.s, 0) AS s FROM nodes LEFT JOIN
+        |  (SELECT e.src, sum(a2.auth) AS s FROM edges e JOIN a2 ON a2.id = e.dst GROUP BY e.src) x
+        |  ON x.src = nodes.id),
+        |h2m AS (SELECT greatest(max(s), 1) AS m FROM h2r),
+        |h2 AS (SELECT id, s * 1000000 // m AS hub FROM h2r, h2m)
+        |SELECT nodes.id AS doc_id, CAST(h2.hub AS BIGINT) AS hub, CAST(a2.auth AS BIGINT) AS auth
+        |FROM nodes JOIN h2 ON h2.id = nodes.id JOIN a2 ON a2.id = nodes.id
+        |ORDER BY doc_id""".stripMargin,
+
     // mirrors TextStats.corpusGate: gopher keep + repetition caps with
     // first-failing-reason precedence
     "corpus_gate" -> {

@@ -1388,6 +1388,28 @@ object SparkEntry {
         .orderBy("surt")
     }),
 
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      // the distributed MOSS join: inverted winnow fingerprints → pairs
+      // sharing >= 20 spans; 16-byte fingerprint rows, salt-capped hot
+      // buckets, algebraic per-pair count; corpus carries planted
+      // near/exact dups so span reuse is real
+      TextStats.winnowPairs(
+        Dedup.corpusWithReplicas(docs(s, dir, "documents")
+          .select(col("doc_id"), col("text"))), minShared = 20)
+        .orderBy("a", "b")
+    }),
+
+    "graph_hits" -> ((s, dir) => {
+      // integer HITS hubs/authorities (max-normalized micro-units —
+      // bit-exact, unlike L2 HITS): two 16-byte score shuffles per round,
+      // one scalar to the driver per half-round
+      val d = docs(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = d.count()
+      graft.ops.Graph.hitsInt(d, graft.ops.Graph.synthEdges(d, n), iters = 2)
+        .select(col("id").as("doc_id"), col("hub"), col("auth"))
+        .orderBy("doc_id")
+    }),
+
     "corpus_gate" -> ((s, dir) => {
       // the assembled keep/drop decision with auditable reason codes
       // (first failing signal wins): gopher structural rules + repetition

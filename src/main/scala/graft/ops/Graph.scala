@@ -85,4 +85,49 @@ object Graph {
     }
     ids.join(scores, Seq("id")).select(col("id"), col("is_seed"), col("score"))
   }
+
+  /** Integer HITS (Kleinberg, JACM 1999): hubs point at good authorities,
+    * authorities are pointed at by good hubs — the directional complement
+    * of PageRank for link-graph curation (hub score finds index/portal
+    * pages; authority score finds canonical content pages). Per round:
+    * auth = Σ in-neighbor hubs, hub = Σ out-neighbor NEW auths, each
+    * max-normalized to micro-units with integer floor division — so the
+    * trajectory is bit-exact on any partitioning/engine (the float L2
+    * normalization of textbook HITS cannot be oracled; max-normalization
+    * preserves the ranking fixed point). Valid while n·10¹² < 2⁶³
+    * (n < 9·10⁶ nodes); beyond that the scale-down shifts first.
+    *
+    * Scale shape per round: one sort-merge join + one partial-aggregated
+    * 16-byte (node, score) shuffle per direction; the normalization max
+    * is ONE scalar to the driver per half-round (the same O(1) driver
+    * traffic as the perceptron fit). Score tables are
+    * localCheckpoint-truncated so the collect does not replay lineage. */
+  def hitsInt(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val ids = nodes.select(col("id"))
+    var hubs = ids.select(col("id"), lit(1000000L).as("hub"))
+    var auths = ids.select(col("id"), lit(1000000L).as("auth"))
+    for (_ <- 1 to iters) {
+      val aRaw = ids.join(
+          edges.join(hubs, edges("src") === hubs("id"))
+            .groupBy(col("dst")).agg(sum(col("hub")).as("s")),
+          ids("id") === col("dst"), "left")
+        .select(ids("id"), coalesce(col("s"), lit(0L)).as("s"))
+        .localCheckpoint(true)
+      val aMax = math.max(aRaw.agg(max(col("s"))).collect()(0).getLong(0), 1L)
+      auths = aRaw.select(col("id"),
+        expr(s"s * 1000000 div CAST($aMax AS BIGINT)").as("auth"))
+        .localCheckpoint(true)
+      val hRaw = ids.join(
+          edges.join(auths, edges("dst") === auths("id"))
+            .groupBy(col("src")).agg(sum(col("auth")).as("s")),
+          ids("id") === col("src"), "left")
+        .select(ids("id"), coalesce(col("s"), lit(0L)).as("s"))
+        .localCheckpoint(true)
+      val hMax = math.max(hRaw.agg(max(col("s"))).collect()(0).getLong(0), 1L)
+      hubs = hRaw.select(col("id"),
+        expr(s"s * 1000000 div CAST($hMax AS BIGINT)").as("hub"))
+        .localCheckpoint(true)
+    }
+    hubs.join(auths, Seq("id")).select(col("id"), col("hub"), col("auth"))
+  }
 }

@@ -357,35 +357,103 @@ object TextStats {
     * fingerprint rows — at 10^12 docs the fingerprint INDEX would be
     * built by a downstream groupBy(h) on the exploded set; the pins here
     * verify the selection algorithm itself. */
+  /** Winnow selection core: k-gram hashes (md5 little-endian u64 mod 2³¹
+    * — bit-identical to DuckDB's `md5_number_upper % 2^31`) and
+    * rightmost-min window selection, ONE md5 per gram in a tight typed
+    * loop. Deliberately NOT a Catalyst higher-order expression: a lambda
+    * that windows over a computed gram array re-evaluates the whole
+    * array per window after projection collapse (the `shingles3` pitfall
+    * above) — O(G²) md5 calls per row. Returns (n_grams, packed
+    * selections) with each selection packed pos·2³¹ + hash (hash < 2³¹,
+    * lossless), first-occurrence deduped. */
+  private[ops] def winnowSelect(text: String, k: Int, w: Int): (Int, Array[Long]) = {
+    val M = 2147483648L
+    if (text == null || text.length < k) return (0, Array.emptyLongArray)
+    val g = new Array[Long](text.length - k + 1)
+    var i = 0
+    while (i < g.length) {
+      g(i) = java.lang.Long.remainderUnsigned(
+        Dedup.shingleHashMd5(text.substring(i, i + k)), M)
+      i += 1
+    }
+    if (g.length < w) return (g.length, Array.emptyLongArray)
+    val sel = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j + w <= g.length) {
+      var m = g(j); var rel = 0
+      var t = 1
+      // <= keeps the LAST index attaining the minimum: rightmost tie-break
+      while (t < w) { if (g(j + t) <= m) { m = g(j + t); rel = t }; t += 1 }
+      sel.add((j + rel + 1).toLong * M + m) // 1-based gram position
+      j += 1
+    }
+    val arr = new Array[Long](sel.size)
+    val it = sel.iterator(); var x = 0
+    while (it.hasNext) { arr(x) = it.next(); x += 1 }
+    (g.length, arr)
+  }
+
   def winnow(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
-    val M = 2147483648L // 2^31
-    val text = col("text")
-    val n = length(text)
-    val grams = when(n >= k,
-        transform(sequence(lit(1), n - (k - 1)),
-          i => Sampling.md5Mod(text.substr(i, lit(k)), M)))
-      .otherwise(array().cast("array<bigint>"))
-    val d = docs.select(col("doc_id"), grams.as("gs"))
-    val g = size(col("gs"))
-    // a selection is the (position, hash) pair packed into one int64
-    // (pos * 2^31 + hash) — hash < 2^31 by construction, so the packing
-    // is lossless and the distinct runs over plain longs on both engines
-    val sel = when(g >= w,
-        array_distinct(transform(sequence(lit(1), g - (w - 1)), j => {
-          val win = slice(col("gs"), j, lit(w))
-          val m = array_min(win)
-          // rightmost index of the window minimum: later matches overwrite
-          val rel = aggregate(sequence(lit(1), lit(w)), lit(0),
-            (acc, t) => when(element_at(win, t) === m, t).otherwise(acc))
-          (j + rel - 1).cast("long") * lit(M) + m
-        })))
-      .otherwise(array().cast("array<bigint>"))
-    d.withColumn("sel", sel).select(
-      col("doc_id"),
-      size(col("gs")).cast("long").as("n_grams"),
-      size(col("sel")).cast("long").as("n_selected"),
-      aggregate(col("sel"), lit(0L),
-        (a, x) => a.bitwiseXOR(x.bitwiseAND(lit(M - 1)))).as("xor_sig"),
-      aggregate(col("sel"), lit(0L), (a, x) => a + shiftright(x, 31)).as("sum_pos"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val M = 2147483648L
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val (ng, sel) = winnowSelect(text, k, w)
+        var xor = 0L; var sumPos = 0L
+        sel.foreach { p => xor ^= (p & (M - 1)); sumPos += (p >>> 31) }
+        (id, ng.toLong, sel.length.toLong, xor, sumPos)
+      }
+      .toDF("doc_id", "n_grams", "n_selected", "xor_sig", "sum_pos")
+  }
+
+  /** The DISTINCT winnow fingerprint hashes per doc (positions dropped) —
+    * the per-doc half of the cross-doc shared-span join. Same selection
+    * as [[winnow]]. */
+  def winnowHashes(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val M = 2147483648L
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val sel = winnowSelect(text, k, w)._2
+        val hs = new java.util.LinkedHashSet[java.lang.Long]()
+        sel.foreach(p => hs.add(p & (M - 1)))
+        val arr = new Array[Long](hs.size)
+        val it = hs.iterator(); var x = 0
+        while (it.hasNext) { arr(x) = it.next(); x += 1 }
+        (id, arr)
+      }
+      .toDF("doc_id", "hs")
+  }
+
+  /** Cross-doc shared-span pairs — the distributed MOSS join: invert the
+    * winnow fingerprints, pair docs inside each fingerprint bucket, count
+    * distinct shared fingerprints per pair, keep pairs sharing at least
+    * `minShared`. Every shared substring of length ≥ k+w−1 lands a
+    * shared fingerprint, so heavy quote / license-block / template reuse
+    * shows up even when whole-doc similarity is low — the span-level
+    * complement of MinHash.
+    *
+    * Scale shape: fingerprint rows are two longs, and fingerprints in
+    * more than `maxDf` documents are DROPPED before pairing — the
+    * standard MOSS move, and the load-bearing one: an over-common span
+    * ("the and of…", site chrome, license boilerplate) carries no
+    * match signal but would pair quadratically (one fingerprint in 10⁶
+    * docs = 5·10¹¹ pairs). The df filter is one algebraic count; what
+    * survives pairs in buckets of ≤ maxDf docs, and the per-pair count
+    * is map-side combined. The oracle applies the identical df cut, so
+    * the join is exhaustive over retained fingerprints. */
+  def winnowPairs(docs: DataFrame, minShared: Long = 10,
+                  maxDf: Long = 50): DataFrame = {
+    val fp = winnowHashes(docs).select(col("doc_id"), explode(col("hs")).as("h"))
+    val sizes = fp.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1 && col("n") <= maxDf)
+    val kept = fp.join(sizes, Seq("h"))
+    kept.select(col("h"), col("doc_id").as("a"))
+      .join(kept.select(col("h"), col("doc_id").as("b")), Seq("h"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
   }
 }

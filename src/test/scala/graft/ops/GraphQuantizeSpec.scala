@@ -30,6 +30,31 @@ class GraphQuantizeSpec extends AnyFunSuite {
     assert(r5 == 0L)
   }
 
+  test("hitsInt: hand-computed one-round hubs/authorities with max normalization") {
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val edges = Seq((0L, 1L), (0L, 2L), (3L, 1L)).toDF("src", "dst")
+    val out = Graph.hitsInt(nodes, edges, iters = 1)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    // a1 raw: n1=2e6, n2=1e6 → max-norm: n1=1e6, n2=5e5
+    // h1 raw: n0=auth1+auth2=1.5e6, n3=auth1=1e6 → n0=1e6, n3=666666
+    assert(out == Seq(
+      (0L, 1000000L, 0L), (1L, 0L, 1000000L),
+      (2L, 0L, 500000L), (3L, 666666L, 0L)))
+  }
+
+  test("winnowPairs: shared spans pair up, unrelated docs don't") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, shared + " with tail one"),
+      (2L, "lead text then " + shared),
+      (3L, "zq xv qp wk jn bb cc dd ee ff gg hh ii jj kk ll mm nn oo"))
+      .toDF("doc_id", "text")
+    val out = TextStats.winnowPairs(docs, minShared = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(out.head._3 >= 3L)
+  }
+
   /** Reference PQ encode: same formula in plain Scala. */
   private def pqRef(emb: Seq[Float], dim: Int, m: Int): Seq[(Long, Long, Long)] = {
     val d0 = dim / m
