@@ -1628,6 +1628,55 @@ object OracleSql {
          |  arg_max(digest, warc_ts) AS latest_digest
          |FROM surted GROUP BY surt ORDER BY surt""".stripMargin,
 
+    // mirrors Dedup.substringSpans: positional 40-gram duplication →
+    // gaps-and-islands span merge (md5_number_upper groups identically
+    // to the Spark-side signed md5-LE hash — same bijection of bits)
+    "dedup_substring_spans" ->
+      s"""WITH $corpusCte,
+         |pg AS (SELECT doc_id, i AS pos, md5_number_upper(substr(text, i, 40)) AS h
+         |       FROM (SELECT doc_id, text, unnest(range(1, length(text) - 40 + 2)) AS i FROM corpus)),
+         |sh AS (SELECT h FROM pg GROUP BY h HAVING count(*) > 1),
+         |hits AS (SELECT doc_id, pos FROM pg JOIN sh USING (h)),
+         |lagd AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits),
+         |isl AS (SELECT doc_id, pos,
+         |  sum(CASE WHEN prev IS NULL OR pos - prev > 40 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM lagd)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 39 AS BIGINT) AS span_end, CAST(count(*) AS BIGINT) AS n_pos
+         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    // mirrors Dedup.substringRewrite: cut the merged spans via ordered
+    // segment reassembly; kept_md5 pins the surgery byte-exactly
+    "dedup_substring_rewrite" ->
+      s"""WITH $corpusCte,
+         |pg AS (SELECT doc_id, i AS pos, md5_number_upper(substr(text, i, 40)) AS h
+         |       FROM (SELECT doc_id, text, unnest(range(1, length(text) - 40 + 2)) AS i FROM corpus)),
+         |sh AS (SELECT h FROM pg GROUP BY h HAVING count(*) > 1),
+         |hits AS (SELECT doc_id, pos FROM pg JOIN sh USING (h)),
+         |lagd AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits),
+         |isl AS (SELECT doc_id, pos,
+         |  sum(CASE WHEN prev IS NULL OR pos - prev > 40 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM lagd),
+         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 39 AS e FROM isl GROUP BY doc_id, island),
+         |segd AS (SELECT doc_id, s, e, lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS pe FROM sp),
+         |pieces AS (
+         |  SELECT doc_id, coalesce(pe + 1, 1) AS b, s - 1 AS t FROM segd
+         |  UNION ALL
+         |  SELECT sp.doc_id, max(sp.e) + 1 AS b, max(length(c.text)) AS t
+         |  FROM sp JOIN corpus c USING (doc_id) GROUP BY sp.doc_id),
+         |kt AS (
+         |  SELECT p.doc_id,
+         |    string_agg(CASE WHEN p.t >= p.b THEN substr(c.text, CAST(p.b AS BIGINT), CAST(p.t - p.b + 1 AS BIGINT)) ELSE '' END, '' ORDER BY p.b) AS kept
+         |  FROM pieces p JOIN corpus c USING (doc_id) GROUP BY p.doc_id),
+         |st AS (SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS removed FROM sp GROUP BY doc_id)
+         |SELECT c.doc_id,
+         |  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(st.removed, 0) AS BIGINT) AS removed_chars,
+         |  CAST(length(coalesce(kt.kept, c.text)) AS BIGINT) AS kept_len,
+         |  md5(coalesce(kt.kept, c.text)) AS kept_md5
+         |FROM corpus c LEFT JOIN kt USING (doc_id) LEFT JOIN st USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     // mirrors TextStats.winnowPairs over the replica-planted corpus: the
     // winnow selection replay (same as text_winnow) inverted and
     // self-joined on fingerprint hash

@@ -1388,6 +1388,25 @@ object SparkEntry {
         .orderBy("surt")
     }),
 
+    "dedup_substring_spans" -> ((s, dir) => {
+      // Lee et al. exact-substring dedup, detection half: positional
+      // L-gram hashes → duplicated-gram count → per-doc gaps-and-islands
+      // merge into maximal character spans
+      graft.ops.Dedup.substringSpans(
+        Dedup.corpusWithReplicas(docs(s, dir, "documents")
+          .select(col("doc_id"), col("text"))), L = 40)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    "dedup_substring_rewrite" -> ((s, dir) => {
+      // ...and the application half: cut the spans, pin the cleaned text
+      // byte-exactly by md5
+      graft.ops.Dedup.substringRewrite(
+        Dedup.corpusWithReplicas(docs(s, dir, "documents")
+          .select(col("doc_id"), col("text"))), L = 40)
+        .orderBy("doc_id")
+    }),
+
     "dedup_winnow_pairs" -> ((s, dir) => {
       // the distributed MOSS join: inverted winnow fingerprints → pairs
       // sharing >= 20 spans; 16-byte fingerprint rows, salt-capped hot

@@ -695,6 +695,84 @@ object Dedup {
     out
   }
 
+  /** Exact-substring duplicate SPANS at character granularity — the
+    * detection half of Lee et al. 2022's suffix-array dedup, re-expressed
+    * shuffle-friendly: a character position lies in a duplicated
+    * substring of length ≥ L iff some L-gram covering it occurs more
+    * than once in the corpus (within- or cross-document, as in the
+    * paper). Positional L-grams hash where produced (8-byte hashes, one
+    * row per position); duplicated grams survive one algebraic count;
+    * hit positions merge into maximal spans per doc via a gaps-and-
+    * islands window (per-DOC window over that doc's hit rows — bounded,
+    * never corpus-wide). Output: (doc_id, span_start, span_end, n_pos),
+    * 1-based inclusive character intervals. */
+  def substringSpans(corpus: DataFrame, L: Int = 40): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val posGrams = corpus.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        (0 to t.length - L).iterator.map(i =>
+          (id, (i + 1).toLong, shingleHashMd5(t.substring(i, i + L))))
+      }
+      .toDF("doc_id", "pos", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = posGrams.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).select(col("h"))
+    val hits = posGrams.join(shared, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = hits
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      // uniform L-length intervals: a new island starts when the gap to
+      // the previous hit exceeds L (adjacent spans merge)
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > L, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+    val out = isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (L - 1)).as("span_end"),
+        count(lit(1)).as("n_pos"))
+      .select("doc_id", "span_start", "span_end", "n_pos")
+      .localCheckpoint(true)
+    posGrams.unpersist(false)
+    out
+  }
+
+  /** The application half: CUT the duplicated spans out of each document
+    * and emit the cleaned text's stats + md5 — what Lee et al. actually
+    * do to the corpus (they drop one side of every duplicate span).
+    * Spans per doc are bounded by len/L, so the per-doc collect_list is
+    * a few dozen structs, never unbounded; the cut is one typed pass.
+    * kept_md5 pins the surgery byte-exactly. */
+  def substringRewrite(corpus: DataFrame, L: Int = 40): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val spans = substringSpans(corpus, L)
+      .select(col("doc_id"),
+        (col("span_start") * 4294967296L + col("span_end")).as("se"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("se"))).as("spans"))
+    corpus.select(col("doc_id"), col("text"))
+      .join(spans, Seq("doc_id"), "left")
+      .as[(Long, String, Option[Seq[Long]])]
+      .map { case (id, text, spansOpt) =>
+        val sp = spansOpt.getOrElse(Seq.empty)
+          .map(p => ((p >>> 32).toInt, (p & 0xffffffffL).toInt))
+        val sb = new java.lang.StringBuilder()
+        var cur = 1
+        sp.foreach { case (s, e) =>
+          if (s > cur) sb.append(text.substring(cur - 1, s - 1))
+          cur = e + 1
+        }
+        if (cur <= text.length) sb.append(text.substring(cur - 1))
+        val kept = sb.toString
+        (id, sp.size.toLong, sp.map { case (s, e) => (e - s + 1).toLong }.sum,
+          kept.length.toLong, md5Hex(kept))
+      }
+      .toDF("doc_id", "n_spans", "removed_chars", "kept_len", "kept_md5")
+  }
+
   /** Incremental (cross-crawl) exact dedup: flag fresh documents whose
     * text fingerprint already exists in an ingested snapshot — the "have
     * we crawled this page body before" gate every recurring web pipeline
