@@ -1628,6 +1628,43 @@ object OracleSql {
          |  arg_max(digest, warc_ts) AS latest_digest
          |FROM surted GROUP BY surt ORDER BY surt""".stripMargin,
 
+    // mirrors Relational.funnel: chained per-user earliest-completion
+    // min-aggregates; permille conversion floors identically (// vs
+    // floor(double) exact at these magnitudes)
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        |per AS (
+        |  SELECT 1 AS stage, 'view' AS event_type, count(*) AS n FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT CAST(stage AS BIGINT) AS stage, event_type, CAST(n AS BIGINT) AS n_users,
+        |  CAST(n * 1000 // greatest(first_value(n) OVER (ORDER BY stage), 1) AS BIGINT) AS conv_x1000
+        |FROM per ORDER BY stage""".stripMargin,
+
+    // mirrors Relational.retention: first-event day cohorts × day offsets
+    "events_retention" ->
+      """WITH f AS (SELECT user_id, min(ts) AS ft FROM events GROUP BY 1)
+        |SELECT CAST(date_trunc('day', ft) AS DATE) AS cohort_day,
+        |  CAST(date_diff('day', CAST(date_trunc('day', ft) AS DATE),
+        |                 CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // mirrors Robots.discoverSitemaps over the synthesized per-domain
+    // robots (the parse of the synthesized text equals the formula)
+    "robots_sitemap_discovery" ->
+      s"""WITH $urlCanonCte,
+         |doms AS (SELECT DISTINCT domain FROM canon)
+         |SELECT domain, CAST(i AS BIGINT) AS sm_idx,
+         |  'https://' || domain || '/sitemap' || CAST(i AS VARCHAR) || '.xml.gz' AS sitemap_url
+         |FROM (SELECT domain, unnest(range(0, 1 + length(domain) % 2)) AS i FROM doms)
+         |ORDER BY domain, sm_idx""".stripMargin,
+
     // mirrors Dedup.substringSpans: positional 40-gram duplication →
     // gaps-and-islands span merge (md5_number_upper groups identically
     // to the Spark-side signed md5-LE hash — same bijection of bits)

@@ -1388,6 +1388,36 @@ object SparkEntry {
         .orderBy("surt")
     }),
 
+    "events_funnel" -> ((s, dir) => {
+      // ordered funnel (view→click→purchase), earliest-completion
+      // semantics: K user-keyed min-aggregates + shrinking joins on the
+      // same key, conversion in integer permille
+      graft.ops.Relational.funnel(docs(s, dir, "events")).orderBy("stage")
+    }),
+
+    "events_retention" -> ((s, dir) => {
+      // cohort retention matrix: first-event day × day offset × distinct
+      // users; one user-keyed min-agg + join-back + algebraic distinct
+      graft.ops.Relational.retention(docs(s, dir, "events"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    "robots_sitemap_discovery" -> ((s, dir) => {
+      // sitemaps.org discovery channel: Sitemap: directives are GLOBAL
+      // (cross-group), harvested per domain by the group-structured
+      // robots parser; synthesized robots plant 1 + len(domain)%2 lines
+      val norm = UrlOps.normalize(UrlOps.withRawUrls(
+        docs(s, dir, "documents").select(col("doc_id"))))
+      val robots = norm.select(col("domain")).distinct()
+        .select(col("domain"), concat(
+          lit("User-agent: *\nDisallow: /private\nSitemap: https://"),
+          col("domain"), lit("/sitemap0.xml.gz"),
+          when(length(col("domain")) % 2 === 1,
+            concat(lit("\nSitemap: https://"), col("domain"), lit("/sitemap1.xml.gz")))
+            .otherwise(lit(""))).as("robots_txt"))
+      graft.ops.Robots.discoverSitemaps(robots).orderBy("domain", "sm_idx")
+    }),
+
     "dedup_substring_spans" -> ((s, dir) => {
       // Lee et al. exact-substring dedup, detection half: positional
       // L-gram hashes → duplicated-gram count → per-doc gaps-and-islands

@@ -83,4 +83,53 @@ object Relational {
         sum(col("value_cents")).as("value_cents"),
         countDistinct(col("event_type")).as("n_event_types"))
   }
+
+  /** Ordered-funnel completion (earliest-completion semantics): a user is
+    * at stage k iff an event of stage k exists STRICTLY AFTER their
+    * earliest completion of stage k−1 — the standard product-analytics
+    * funnel, computed as a chain of per-user min-aggregates: each step is
+    * one groupBy(user) plus one user-keyed join against the (user-sized,
+    * always shrinking) survivor table, so all K steps hash on the same
+    * key and AQE/co-partitioning collapses the Exchanges. No per-user
+    * event lists ever materialize. Output: one row per stage with user
+    * counts and conversion vs stage 1 in integer permille. */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    var cur = events.where(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val survivors = scala.collection.mutable.ArrayBuffer[(String, DataFrame)](
+      (stages.head, cur))
+    for (stage <- stages.tail) {
+      cur = events.where(col("event_type") === stage)
+        .join(cur, Seq("user_id"))
+        .where(col("ts") > col("t"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      survivors += ((stage, cur))
+    }
+    val per = survivors.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("stage"), lit(name).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+    // conversion vs stage 1: the window runs over K rows (K = stage count)
+    val first = first_value(col("n_users")).over(Window.orderBy(col("stage")))
+    per.withColumn("conv_x1000",
+        floor(col("n_users") * 1000 / greatest(first, lit(1L))).cast("long"))
+      .select("stage", "event_type", "n_users", "conv_x1000")
+  }
+
+  /** Cohort retention: users bucketed by the DAY of their first event;
+    * each (cohort_day, day_offset) cell counts distinct users active that
+    * many days after joining — the curve every growth dashboard plots.
+    * One user-keyed min-aggregate, one user-keyed join back (the
+    * first-event table is user-sized), one algebraic distinct count. */
+  def retention(events: DataFrame): DataFrame = {
+    val first = events.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    events.join(first, Seq("user_id"))
+      .select(to_date(col("first_ts")).as("cohort_day"),
+        datediff(to_date(col("ts")), to_date(col("first_ts"))).cast("long").as("day_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }

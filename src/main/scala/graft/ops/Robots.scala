@@ -93,6 +93,37 @@ object Robots {
     selectGroup(parseGroups(robotsTxt), agent).flatMap(_.delay)
   }
 
+  /** All Sitemap: directives, in file order. Per sitemaps.org these are
+    * GLOBAL (not group-scoped), so they collect independently of agent
+    * selection. */
+  def sitemapsFor(robotsTxt: String): Vector[String] = {
+    if (robotsTxt == null) return Vector.empty
+    val out = Vector.newBuilder[String]
+    robotsTxt.linesIterator.foreach { line0 =>
+      val line = { val h = line0.indexOf('#'); if (h >= 0) line0.substring(0, h) else line0 }.trim
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+          line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.result()
+  }
+
+  /** Sitemap discovery over a per-domain robots table — the channel that
+    * seeds the sitemap-ingest op. Narrow typed flatMap (robots files are
+    * per-domain, a tiny table). Output: (domain, sm_idx, sitemap_url). */
+  def discoverSitemaps(robots: DataFrame): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col("domain"), col("robots_txt")).as[(String, String)]
+      .flatMap { case (d, txt) =>
+        sitemapsFor(txt).zipWithIndex.map { case (u, i) => (d, i.toLong, u) }
+      }
+      .toDF("domain", "sm_idx", "sitemap_url")
+  }
+
   /** RFC 9309 path match: `*` = any run, `$` = end anchor, else prefix. */
   def pathMatches(rulePath: String, path: String): Boolean = {
     val anchored = rulePath.endsWith("$")

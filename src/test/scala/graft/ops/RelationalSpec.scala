@@ -84,4 +84,58 @@ class RelationalSpec extends AnyFunSuite {
     val plan = sample.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(400))
   }
+
+  test("funnel: earliest-completion ordering, permille conversion") {
+    import spark.implicits._
+    // u1 completes all; u2 has click BEFORE its first view -> stage 1 only;
+    // u3's purchase precedes its first-after-view click -> stage 2 only
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 00:00:01")),
+      (1L, "click", ts("2024-01-01 00:00:02")),
+      (1L, "purchase", ts("2024-01-01 00:00:03")),
+      (2L, "click", ts("2024-01-01 00:00:01")),
+      (2L, "view", ts("2024-01-01 00:00:02")),
+      (3L, "view", ts("2024-01-01 00:00:01")),
+      (3L, "purchase", ts("2024-01-01 00:00:04")),
+      (3L, "click", ts("2024-01-01 00:00:05")),
+      (3L, "view", ts("2024-01-01 00:00:06"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Relational.funnel(ev).orderBy("stage")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "view", 3L, 1000L),
+      (2L, "click", 2L, 666L),
+      (3L, "purchase", 1L, 333L)))
+  }
+
+  test("retention: cohort day x offset distinct users") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-01 17:00:00")),
+      (1L, ts("2024-01-03 09:00:00")),
+      (2L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-02 10:00:00")),
+      (3L, ts("2024-01-02 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Relational.retention(ev).orderBy("cohort_day", "day_offset")
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+      .map { case (d, o, n) => (d.toString, o, n) }
+    assert(out == Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L)))
+  }
+
+  test("sitemapsFor: global cross-group collection, comments stripped") {
+    val txt =
+      """# header comment
+        |Sitemap: https://a.com/s1.xml
+        |User-agent: x
+        |Disallow: /p
+        |Sitemap: https://a.com/s2.xml.gz # trailing
+        |sitemap: https://a.com/s3.xml
+        |Sitemap:
+        |""".stripMargin
+    assert(Robots.sitemapsFor(txt) == Vector(
+      "https://a.com/s1.xml", "https://a.com/s2.xml.gz", "https://a.com/s3.xml"))
+    assert(Robots.sitemapsFor(null) == Vector.empty)
+  }
 }
