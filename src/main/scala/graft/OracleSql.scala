@@ -1628,6 +1628,95 @@ object OracleSql {
          |  arg_max(digest, warc_ts) AS latest_digest
          |FROM surted GROUP BY surt ORDER BY surt""".stripMargin,
 
+    // mirrors Exif.exifStats: the parser must invert the deterministic
+    // synthesis, so the oracle replays the synthesis FORMULAS
+    "image_exif" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+        |  CAST(1 + doc_id % 8 AS INT) AS orientation,
+        |  'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        |  'M' || CAST(doc_id % 3 AS VARCHAR) AS model,
+        |  CAST(640 + (doc_id % 4) * 160 AS BIGINT) AS exif_x,
+        |  CAST(480 + (doc_id % 3) * 120 AS BIGINT) AS exif_y,
+        |  '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' 12:00:00' AS date_time
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors Relational.errorAnomaly: minute rollup + scalar baseline
+    "events_error_anomaly" ->
+      """WITH pm AS (
+        |  SELECT date_trunc('minute', ts) AS minute,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n_errors) AS te, sum(n_events) AS tn FROM pm),
+        |sel AS (
+        |  SELECT minute, n_events, n_errors,
+        |    n_errors * 1000 // n_events AS err_permille,
+        |    te * 1000 // greatest(tn, 1) AS base_permille
+        |  FROM pm, t)
+        |SELECT minute, n_events, n_errors,
+        |  CAST(err_permille AS BIGINT) AS err_permille,
+        |  CAST(base_permille AS BIGINT) AS base_permille,
+        |  err_permille * 1000 > base_permille * 2000 AS is_anomaly
+        |FROM sel ORDER BY minute""".stripMargin,
+
+    // mirrors Relational.attribution via DuckDB's native ASOF JOIN — an
+    // independent implementation of the same last-touch semantics
+    "events_attribution" ->
+      """WITH c AS (SELECT user_id, ts,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS campaign
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT coalesce(c.campaign, -1) AS campaign,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(p.value_cents) AS BIGINT) AS revenue_cents
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // mirrors Quantize.ivfAdcTopK: published coarse router (j*53+t*29
+    // formula) + PQ codes + ADC over probed cells only
+    "ann_ivf_adc" ->
+      """WITH codes AS (
+        |  SELECT vec_id, list_transform(range(0, 4), s ->
+        |    (list_min(list_transform(range(0, 16), j ->
+        |      CAST(list_sum(list_transform(list_transform(range(0, 16), tt ->
+        |        CAST(floor(CAST(embedding[s*16 + tt + 1] AS DOUBLE) * 1000) AS BIGINT)
+        |        - ((j*31 + (s*16 + tt)*17) % 2001 - 1000)), d -> d*d)) AS BIGINT) * 16 + j))
+        |     % 16)) AS cs
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT vec_id,
+        |    (list_min(list_transform(range(0, 16), j ->
+        |      CAST(list_sum(list_transform(list_transform(range(0, 64), t ->
+        |        CAST(floor(CAST(embedding[t + 1] AS DOUBLE) * 1000) AS BIGINT)
+        |        - ((j*53 + t*29) % 2001 - 1000)), d -> d*d)) AS BIGINT) * 16 + j))
+        |     % 16) AS cell
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS qid, embedding AS qe,
+        |    unnest(list_transform(
+        |      (list_sort(list_transform(range(0, 16), j ->
+        |        CAST(list_sum(list_transform(list_transform(range(0, 64), t ->
+        |          CAST(floor(CAST(embedding[t + 1] AS DOUBLE) * 1000) AS BIGINT)
+        |          - ((j*53 + t*29) % 2001 - 1000)), d -> d*d)) AS BIGINT) * 16 + j)))[1:4],
+        |      p -> p % 16)) AS cell
+        |  FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.qid, cl.vec_id AS cid,
+        |    CAST(list_sum(list_transform(range(0, 4), s ->
+        |      list_sum(list_transform(list_transform(range(0, 16), tt ->
+        |        CAST(floor(CAST(qe[s*16 + tt + 1] AS DOUBLE) * 1000) AS BIGINT)
+        |        - ((c0.cs[s+1]*31 + (s*16 + tt)*17) % 2001 - 1000)), d -> d*d)))) AS BIGINT) AS dist
+        |  FROM q JOIN cells cl ON cl.cell = q.cell
+        |       JOIN codes c0 ON c0.vec_id = cl.vec_id
+        |  WHERE cl.vec_id <> q.qid),
+        |rk AS (SELECT qid AS vec_id, cid AS neighbor_id, dist,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT vec_id, rank, neighbor_id, dist FROM rk WHERE rank <= 5
+        |ORDER BY vec_id, rank""".stripMargin,
+
     // mirrors Relational.funnel: chained per-user earliest-completion
     // min-aggregates; permille conversion floors identically (// vs
     // floor(double) exact at these magnitudes)

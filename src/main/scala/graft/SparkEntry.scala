@@ -1388,6 +1388,39 @@ object SparkEntry {
         .orderBy("surt")
     }),
 
+    "image_exif" -> ((s, dir) => {
+      // EXIF/TIFF-IFD extraction (orientation / device / capture time /
+      // pixel dims) — a real dual-endian IFD walker inverting the
+      // deterministic synthesis; narrow per-row parse, zero shuffle
+      graft.ops.Exif.exifStats(docs(s, dir, "documents").select(col("doc_id")))
+        .orderBy("doc_id")
+    }),
+
+    "events_error_anomaly" -> ((s, dir) => {
+      // per-minute error-burst detection vs corpus baseline, integer
+      // permille; one minute-keyed algebraic rollup + a 1-row broadcast
+      graft.ops.Relational.errorAnomaly(docs(s, dir, "events"))
+        .orderBy("minute")
+    }),
+
+    "events_attribution" -> ((s, dir) => {
+      // last-touch revenue attribution: purchases as-of joined to the
+      // latest preceding click (reused merge-scan as-of), campaign parsed
+      // from JSON props (codegen'd path), integer-cents rollup
+      graft.ops.Relational.attribution(docs(s, dir, "events"))
+        .orderBy("campaign")
+    }),
+
+    "ann_ivf_adc" -> ((s, dir) => {
+      // the composed serve path: published coarse router prunes to
+      // nprobe/nlist of the corpus, PQ asymmetric distances rank the
+      // surviving code rows — candidates carry ids+codes only
+      graft.ops.Quantize.ivfAdcTopK(
+        docs(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        nQueries = 20, k = 5)
+        .orderBy("vec_id", "rank")
+    }),
+
     "events_funnel" -> ((s, dir) => {
       // ordered funnel (view→click→purchase), earliest-completion
       // semantics: K user-keyed min-aggregates + shrinking joins on the

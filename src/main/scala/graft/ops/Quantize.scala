@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the
@@ -113,6 +113,71 @@ object Quantize {
       .select(col("qid"), col("vec_id").as("cid"),
         // negate: the shared bounded-heap aggregate ranks sim DESC
         (-dist).cast("double").as("sim"))
+    Similarity.topKPerQuery(scored, k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"),
+        (-col("sim")).cast("long").as("dist"))
+  }
+
+  /** Coarse-router cell of a vector: argmin over `nlist` published
+    * centroids C(j,t) = ((j·53 + t·29) mod 2001) − 1000 by milli-unit
+    * integer squared-L2 — the same published-codebook discipline as the
+    * PQ codebook, over the FULL dimension. Packed argmin (dist·nlist+j),
+    * deterministic ties. */
+  private def cellOf(emb: Column, dim: Int, nlist: Int): Column =
+    pmod(array_min(transform(sequence(lit(0), lit(nlist - 1)), j => {
+      val dist = aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
+        (acc, t) => {
+          val q = floor(element_at(emb, t + 1).cast("double") * 1000).cast("long")
+          val cv = (pmod(j * 53 + t * 29, lit(2001)) - 1000).cast("long")
+          acc + (q - cv) * (q - cv)
+        })
+      dist * nlist + j.cast("long")
+    })), lit(nlist.toLong))
+
+  /** IVF + ADC — the composed 10^12-row serve pipeline: a coarse router
+    * prunes the scan to each query's `nprobe` nearest cells, and PQ
+    * asymmetric distances rank only those cells' code rows. This is the
+    * shape [[adcTopK]]'s doc promises at scale: the ADC linear scan,
+    * bounded to nprobe/nlist of the corpus. Both router and codebook are
+    * fixed published artifacts (integer milli-units), so the whole path
+    * — routing, probing, scoring, ranking — replays exactly in the
+    * oracle. Candidates shuffle ids+codes only; top-k is the shared
+    * bounded-heap aggregate. Recall < 1 by design (a probed-out true
+    * neighbor is the IVF trade); the oracle replays the SAME algorithm,
+    * so exactness is unaffected. */
+  def ivfAdcTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                 dim: Int = 64, m: Int = 4, nlist: Int = 16,
+                 nprobe: Int = 4): DataFrame = {
+    val d0 = dim / m
+    val corpus = pqCodes(embeddings, dim, m)
+      .join(embeddings.select(col("vec_id"),
+        cellOf(col("embedding"), dim, nlist).as("cell")), Seq("vec_id"))
+    val queries = embeddings.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        // nprobe nearest cells: sort the packed (dist, j) array, decode
+        explode(transform(
+          slice(array_sort(transform(sequence(lit(0), lit(nlist - 1)), j => {
+            val dist = aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
+              (acc, t) => {
+                val q = floor(element_at(col("embedding"), t + 1).cast("double") * 1000).cast("long")
+                val cv = (pmod(j * 53 + t * 29, lit(2001)) - 1000).cast("long")
+                acc + (q - cv) * (q - cv)
+              })
+            dist * nlist + j.cast("long")
+          })), 1, nprobe),
+          p => pmod(p, lit(nlist.toLong)))).as("cell"))
+    val dist = aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, s) =>
+      acc + aggregate(
+        sequence(s * lit(d0), s * lit(d0) + lit(d0 - 1)), lit(0L),
+        (a2, t) => {
+          val q = floor(element_at(col("qe"), t + 1).cast("double") * 1000).cast("long")
+          val j = element_at(col("codes"), s + 1)
+          val cv = (pmod(j * 31 + t * 17, lit(2001)) - 1000).cast("long")
+          a2 + (q - cv) * (q - cv)
+        }))
+    val scored = corpus.join(broadcast(queries), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), (-dist).cast("double").as("sim"))
     Similarity.topKPerQuery(scored, k)
       .select(col("vec_id"), col("rank"), col("neighbor_id"),
         (-col("sim")).cast("long").as("dist"))

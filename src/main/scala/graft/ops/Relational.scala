@@ -118,6 +118,52 @@ object Relational {
       .select("stage", "event_type", "n_users", "conv_x1000")
   }
 
+  /** Last-touch revenue attribution: each purchase attributes its revenue
+    * to the campaign of the most recent PRECEDING click by the same user
+    * (≤ semantics — the as-of join above, reused verbatim), campaign
+    * parsed from the click's JSON props with the codegen'd
+    * get_json_object path (no UDF). Revenue quantizes to integer cents
+    * per row before summing, so campaign totals are order-independent
+    * and engine-exact; purchases with no preceding click land in
+    * campaign −1 (unattributed). One as-of Exchange on user plus one
+    * partial-aggregated campaign rollup. */
+  def attribution(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        get_json_object(col("props"), "$.k").cast("long").as("campaign"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("value_cents"))
+    asOfJoin(purchases, clicks, "user_id", "ts", Seq("campaign"), "")
+      .select(coalesce(col("campaign"), lit(-1L)).as("campaign"), col("value_cents"))
+      .groupBy(col("campaign"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("value_cents")).as("revenue_cents"))
+  }
+
+  /** Error-burst anomaly flags: per-minute error permille compared
+    * against the corpus baseline rate — a minute is anomalous when its
+    * rate exceeds `factorX1000`/1000 × baseline. Integer permille floor
+    * division throughout (order-independent, engine-exact); the baseline
+    * is ONE scalar pair re-attached as a broadcast, and the per-minute
+    * rollup is algebraic (map-side combined), so the whole op is one
+    * shuffle of minute-keyed partial counts. */
+  def errorAnomaly(events: DataFrame, factorX1000: Long = 2000): DataFrame = {
+    val perMin = events
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+    val totals = perMin.agg(sum(col("n_errors")).as("te"), sum(col("n_events")).as("tn"))
+    perMin.crossJoin(broadcast(totals))
+      .withColumn("err_permille",
+        floor(col("n_errors") * 1000 / col("n_events")).cast("long"))
+      .withColumn("base_permille",
+        floor(col("te") * 1000 / greatest(col("tn"), lit(1L))).cast("long"))
+      .withColumn("is_anomaly",
+        col("err_permille") * 1000 > col("base_permille") * factorX1000)
+      .select("minute", "n_events", "n_errors", "err_permille",
+        "base_permille", "is_anomaly")
+  }
+
   /** Cohort retention: users bucketed by the DAY of their first event;
     * each (cohort_day, day_offset) cell counts distinct users active that
     * many days after joining — the curve every growth dashboard plots.

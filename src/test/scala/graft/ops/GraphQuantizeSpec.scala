@@ -176,4 +176,39 @@ class GraphQuantizeSpec extends AnyFunSuite {
       .select("domain", "queue").distinct().as[(String, Long)].collect().toMap
     assert(qs.size == 2 && qs.values.forall(q => q >= 0 && q < 8))
   }
+
+  test("ivfAdcTopK matches a reference router+ADC scan") {
+    val vecs = (0L until 40L).map(id =>
+      (id, Array.tabulate(64)(t => math.cos(id * 0.9 + t * 0.33).toFloat)))
+    val got = Quantize.ivfAdcTopK(vecs.toDF("vec_id", "embedding"), nQueries = 3, k = 4)
+      .orderBy("vec_id", "rank").as[(Long, Long, Long, Long)].collect().toSeq
+    def cellDist(e: Array[Float], j: Int): Long =
+      (0 until 64).map { t =>
+        val q = math.floor(e(t).toDouble * 1000).toLong
+        val cv = ((j * 53 + t * 29) % 2001) - 1000L
+        (q - cv) * (q - cv)
+      }.sum
+    val cells = vecs.map { case (id, e) =>
+      id -> (0 until 16).map(j => cellDist(e, j) * 16 + j).min % 16
+    }.toMap
+    val codes = vecs.map { case (id, e) => id -> pqRef(e.toSeq, 64, 4).map(_._2) }.toMap
+    def adc(qe: Array[Float], cs: Seq[Long]): Long =
+      (0 until 4).map { s =>
+        (s * 16 until (s + 1) * 16).map { t =>
+          val q = math.floor(qe(t).toDouble * 1000).toLong
+          val cv = ((cs(s) * 31 + t * 17) % 2001) - 1000L
+          (q - cv) * (q - cv)
+        }.sum
+      }.sum
+    val expect = (0L until 3L).flatMap { qid =>
+      val qe = vecs(qid.toInt)._2
+      val probes = (0 until 16).map(j => cellDist(qe, j) * 16 + j).sorted.take(4)
+        .map(_ % 16).toSet
+      vecs.filter { case (cid, _) => cid != qid && probes.contains(cells(cid)) }
+        .map { case (cid, _) => (cid, adc(qe, codes(cid))) }
+        .sortBy { case (cid, d) => (d, cid) }.take(4).zipWithIndex
+        .map { case ((cid, d), r) => (qid, (r + 1).toLong, cid, d) }
+    }
+    assert(got == expect)
+  }
 }

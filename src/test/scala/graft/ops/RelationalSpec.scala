@@ -138,4 +138,34 @@ class RelationalSpec extends AnyFunSuite {
       "https://a.com/s1.xml", "https://a.com/s2.xml.gz", "https://a.com/s3.xml"))
     assert(Robots.sitemapsFor(null) == Vector.empty)
   }
+
+  test("attribution: last-touch campaign from JSON props, integer cents, unattributed bucket") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "click", ts("2024-01-01 00:00:01"), 0.0, """{"k": 5}"""),
+      (2L, 10L, "purchase", ts("2024-01-01 00:00:02"), 10.00, """{"k": 0}"""),
+      (3L, 10L, "click", ts("2024-01-01 00:00:03"), 0.0, """{"k": 7}"""),
+      (4L, 10L, "purchase", ts("2024-01-01 00:00:04"), 2.50, """{"k": 0}"""),
+      (5L, 20L, "purchase", ts("2024-01-01 00:00:01"), 1.00, """{"k": 0}""")
+    ).toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val out = Relational.attribution(ev).orderBy("campaign")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((-1L, 1L, 100L), (5L, 1L, 1000L), (7L, 1L, 250L)))
+  }
+
+  test("errorAnomaly: bursty minute flagged vs integer baseline") {
+    import spark.implicits._
+    // minute 0: 1/10 errors; minute 1: 8/10; minute 2: 0/10
+    val ev = (0 until 10).map(i => (ts(f"2024-01-01 00:00:${i * 5}%02d"), if (i == 0) "error" else "view")) ++
+      (0 until 10).map(i => (ts(f"2024-01-01 00:01:${i * 5}%02d"), if (i < 8) "error" else "view")) ++
+      (0 until 10).map(i => (ts(f"2024-01-01 00:02:${i * 5}%02d"), "view"))
+    val out = Relational.errorAnomaly(ev.toDF("ts", "event_type")).orderBy("minute")
+      .select("n_events", "n_errors", "err_permille", "base_permille", "is_anomaly")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    // baseline: 9/30 = 300 permille; threshold 2x -> 600
+    assert(out == Seq(
+      (10L, 1L, 100L, 300L, false),
+      (10L, 8L, 800L, 300L, true),
+      (10L, 0L, 0L, 300L, false)))
+  }
 }
