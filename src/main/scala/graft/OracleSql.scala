@@ -1628,6 +1628,33 @@ object OracleSql {
          |  arg_max(digest, warc_ts) AS latest_digest
          |FROM surted GROUP BY surt ORDER BY surt""".stripMargin,
 
+    // mirrors Feeds: the parser must invert the feed synthesis (entity
+    // decode, gzip, RSS vs Atom link forms), so the oracle replays the
+    // synthesis formulas
+    "feed_entries" ->
+      s"""WITH $urlCanonCte,
+         |doms AS (SELECT DISTINCT domain FROM canon),
+         |e AS (SELECT domain, unnest(range(0, 2 + length(domain) % 3)) AS i FROM doms)
+         |SELECT 'https://' || domain || '/feed.xml' AS feed_url,
+         |  CASE WHEN length(domain) % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt,
+         |  CAST(i AS BIGINT) AS idx,
+         |  'https://' || domain || '/post/' || CAST(i AS VARCHAR) AS link,
+         |  'Post ' || CAST(i AS VARCHAR) || ' & more' AS title,
+         |  '2024-01-0' || CAST(i + 1 AS VARCHAR) AS published
+         |FROM e ORDER BY feed_url, idx""".stripMargin,
+
+    // mirrors HtmlFeatures.routing: formula replay — the scanner must
+    // skip script-body decoys and comments to hit these counts
+    "html_features" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 4 AS BIGINT) AS n_script,
+        |  CAST(doc_id % 3 AS BIGINT) AS n_iframe,
+        |  CAST(doc_id % 2 AS BIGINT) AS n_form,
+        |  CAST(1 + doc_id % 5 AS BIGINT) AS n_p,
+        |  CAST(doc_id % 6 AS BIGINT) AS n_a,
+        |  (doc_id % 4 >= 2 AND 1 + doc_id % 5 <= 2) AS spa_like
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // mirrors Exif.exifStats: the parser must invert the deterministic
     // synthesis, so the oracle replays the synthesis FORMULAS
     "image_exif" ->

@@ -1388,6 +1388,25 @@ object SparkEntry {
         .orderBy("surt")
     }),
 
+    "feed_entries" -> ((s, dir) => {
+      // RSS/Atom ingest (the freshness-discovery channel next to
+      // sitemaps): one-pass tag scan, format auto-detect, gzip sniff,
+      // entity decode; narrow flatMap over per-site feed payloads
+      val norm = UrlOps.normalize(UrlOps.withRawUrls(
+        docs(s, dir, "documents").select(col("doc_id"))))
+      graft.ops.Feeds.entries(graft.ops.Feeds.synthFeeds(
+        norm.select(col("domain")).distinct()))
+        .orderBy("feed_url", "idx")
+    }),
+
+    "html_features" -> ((s, dir) => {
+      // render-worthiness routing: real tag scanner (script-body decoys
+      // must NOT count — a regex counter fails this oracle) + SPA flag
+      graft.ops.HtmlFeatures.routing(
+        docs(s, dir, "documents").select(col("doc_id")))
+        .orderBy("doc_id")
+    }),
+
     "image_exif" -> ((s, dir) => {
       // EXIF/TIFF-IFD extraction (orientation / device / capture time /
       // pixel dims) — a real dual-endian IFD walker inverting the
