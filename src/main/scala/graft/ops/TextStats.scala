@@ -446,14 +446,22 @@ object TextStats {
     * the join is exhaustive over retained fingerprints. */
   def winnowPairs(docs: DataFrame, minShared: Long = 10,
                   maxDf: Long = 50): DataFrame = {
+    // fingerprints are consumed three times (df count + both join sides):
+    // persist so the per-doc selection runs once, release after the
+    // (tiny, threshold-pruned) pair set materializes — the minhashLsh
+    // cache discipline
     val fp = winnowHashes(docs).select(col("doc_id"), explode(col("hs")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = fp.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .where(col("n") > 1 && col("n") <= maxDf)
     val kept = fp.join(sizes, Seq("h"))
-    kept.select(col("h"), col("doc_id").as("a"))
+    val out = kept.select(col("h"), col("doc_id").as("a"))
       .join(kept.select(col("h"), col("doc_id").as("b")), Seq("h"))
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+      .localCheckpoint(true)
+    fp.unpersist(false)
+    out
   }
 }
