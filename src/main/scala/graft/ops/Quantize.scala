@@ -57,18 +57,16 @@ object Quantize {
         col("e.code").as("code"), col("e.err").as("err"))
   }
 
-  /** Codes as one array<long> per vector (the serving-table layout: m
-    * codes per row instead of m rows). Same argmin as [[pqEncode]]. */
-  def pqCodes(embeddings: DataFrame, dim: Int = 64, m: Int = 4,
-              ks: Int = 16): DataFrame = {
-    require(dim % m == 0 && ks == 16)
+  /** Codes array column (m entries) for an embedding column — the
+    * serving-table layout. Same argmin as [[pqEncode]]. */
+  private def codesCol(emb: Column, dim: Int, m: Int, ks: Int): Column = {
     val d0 = dim / m
-    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+    transform(sequence(lit(0), lit(m - 1)), s => {
       val packed = array_min(transform(sequence(lit(0), lit(ks - 1)), j => {
         val dist = aggregate(
           sequence(s * lit(d0), s * lit(d0) + lit(d0 - 1)), lit(0L),
           (acc, t) => {
-            val q = floor(element_at(col("embedding"), t + 1).cast("double") * 1000)
+            val q = floor(element_at(emb, t + 1).cast("double") * 1000)
               .cast("long")
             val cv = (pmod(j * 31 + t * 17, lit(2001)) - 1000).cast("long")
             acc + (q - cv) * (q - cv)
@@ -77,7 +75,15 @@ object Quantize {
       }))
       pmod(packed, lit(ks.toLong))
     })
-    embeddings.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** Codes as one array<long> per vector (the serving-table layout: m
+    * codes per row instead of m rows). Same argmin as [[pqEncode]]. */
+  def pqCodes(embeddings: DataFrame, dim: Int = 64, m: Int = 4,
+              ks: Int = 16): DataFrame = {
+    require(dim % m == 0 && ks == 16)
+    embeddings.select(col("vec_id"),
+      codesCol(col("embedding"), dim, m, ks).as("codes"))
   }
 
   /** Asymmetric-distance top-k over PQ codes (the SERVE side of product
@@ -149,9 +155,11 @@ object Quantize {
                  dim: Int = 64, m: Int = 4, nlist: Int = 16,
                  nprobe: Int = 4): DataFrame = {
     val d0 = dim / m
-    val corpus = pqCodes(embeddings, dim, m)
-      .join(embeddings.select(col("vec_id"),
-        cellOf(col("embedding"), dim, nlist).as("cell")), Seq("vec_id"))
+    // codes and routing cell in ONE narrow projection — no second
+    // embedding scan, no vec_id self-join
+    val corpus = embeddings.select(col("vec_id"),
+      codesCol(col("embedding"), dim, m, ks = 16).as("codes"),
+      cellOf(col("embedding"), dim, nlist).as("cell"))
     val queries = embeddings.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         // nprobe nearest cells: sort the packed (dist, j) array, decode
