@@ -2146,6 +2146,67 @@ object OracleSql {
          |      AS BIGINT) AS rnk
          |  FROM per)
          |SELECT domain, url_canon, n_obs, n_changes, priority_micro, rnk
-         |FROM rk WHERE rnk <= 2 ORDER BY domain, rnk""".stripMargin
+         |FROM rk WHERE rnk <= 2 ORDER BY domain, rnk""".stripMargin,
+
+    // mirrors Sketches.kmvDistinct (k=8, domain 2^40): distinct md5-derived
+    // hashes per domain, kth order statistic, integer estimator
+    // (k−1)·2^40 // kth — bit-exact replay of the sketch
+    "sketch_kmv" ->
+      s"""WITH $urlCanonCte,
+         |hv AS (SELECT DISTINCT domain,
+         |  CAST(md5_number_upper(url_canon) % 1099511627776 AS BIGINT) AS h FROM canon),
+         |ex AS (SELECT domain, count(DISTINCT url_canon) AS n_exact FROM canon GROUP BY domain),
+         |r AS (SELECT domain, h, row_number() OVER (PARTITION BY domain ORDER BY h) AS rn,
+         |      count(*) OVER (PARTITION BY domain) AS nh FROM hv),
+         |sk AS (SELECT domain, max(CASE WHEN rn <= 8 THEN h END) AS kth_min,
+         |       least(max(nh), 8) AS n_sketch, max(nh) AS nh FROM r GROUP BY domain)
+         |SELECT ex.domain, CAST(ex.n_exact AS BIGINT) AS n_exact,
+         |  CAST(sk.n_sketch AS BIGINT) AS n_sketch,
+         |  CAST(sk.kth_min AS BIGINT) AS kth_min,
+         |  CAST(CASE WHEN sk.nh < 8 THEN sk.nh
+         |       ELSE 7 * 1099511627776 // sk.kth_min END AS BIGINT) AS est_distinct
+         |FROM ex JOIN sk USING (domain) ORDER BY domain""".stripMargin,
+
+    // mirrors Sketches.heavyHitters (k=16): the output is EXACT counts of
+    // values with freq > n/k — the Misra-Gries pass only proposes
+    // candidates, so plain SQL HAVING is the full oracle
+    "heavy_hitters" ->
+      s"""WITH $urlCanonCte,
+         |n AS (SELECT count(*) AS total FROM canon)
+         |SELECT domain AS v, CAST(count(*) AS BIGINT) AS cnt
+         |FROM canon, n GROUP BY domain, n.total
+         |HAVING count(*) * 16 > n.total ORDER BY v""".stripMargin,
+
+    // mirrors Graph.hopDistance (seeds doc_id%97==0, 6 hops): bounded-depth
+    // recursive walk, min distance per node, unreached → -1
+    "graph_hop_distance" ->
+      """WITH RECURSIVE nodes AS (SELECT doc_id AS id, doc_id % 97 = 0 AS is_seed FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT id AS src, (id*7+3) % n AS dst FROM nodes, nn
+        |  UNION ALL SELECT id, (id*13+11) % n FROM nodes, nn
+        |  UNION ALL SELECT id, (id*31+17) % n FROM nodes, nn),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |walk AS (
+        |  SELECT id, 0 AS d FROM nodes WHERE is_seed
+        |  UNION ALL
+        |  SELECT e.dst AS id, w.d + 1 AS d FROM walk w JOIN edges e ON e.src = w.id
+        |  WHERE w.d < 6)
+        |SELECT n2.id AS doc_id, CAST(coalesce(min(w.d), -1) AS BIGINT) AS dist
+        |FROM nodes n2 LEFT JOIN walk w ON w.id = n2.id
+        |GROUP BY n2.id ORDER BY doc_id""".stripMargin,
+
+    // mirrors Sampling.splitHoldout: domain-keyed 90/5/5 split — counts
+    // roll up from the same md5 bucket formula
+    "split_holdout" ->
+      s"""WITH $urlCanonCte,
+         |b AS (SELECT doc_id, domain,
+         |  CAST(md5_number_upper('split:' || domain) % 100 AS BIGINT) AS bb FROM canon),
+         |s AS (SELECT doc_id, domain,
+         |  CASE WHEN bb < 90 THEN 'train' WHEN bb < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM b)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT domain) AS BIGINT) AS n_domains
+         |FROM s GROUP BY split ORDER BY split""".stripMargin
   )
 }

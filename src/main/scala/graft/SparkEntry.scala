@@ -1612,6 +1612,51 @@ object SparkEntry {
         UrlOps.normalize(UrlOps.withRawUrls(
           docs(s, dir, "documents").select(col("doc_id"))))))
         .orderBy("domain", "rnk")
+    }),
+
+    "sketch_kmv" -> ((s, dir) => {
+      // per-domain distinct-URL KMV sketch: O(k)-state typed Aggregator
+      // combined map-side (≤ k longs per task per domain cross the wire
+      // — the count(DISTINCT) replacement at 10^12 rows); integer
+      // estimator replayed bit-exactly by the oracle
+      graft.ops.Sketches.kmvDistinct(
+        UrlOps.normalize(UrlOps.withRawUrls(
+          docs(s, dir, "documents").select(col("doc_id")))), k = 8)
+        .orderBy("domain")
+    }),
+
+    "heavy_hitters" -> ((s, dir) => {
+      // exact heavy hitters (freq > n/k) via per-partition Misra-Gries
+      // candidates + an exact confirmation count: pass 1 is shuffle-free
+      // (≤ k survivors per task), pass 2 aggregates candidate rows only;
+      // the planted site999 skew domain is the true hitter
+      graft.ops.Sketches.heavyHitters(
+        UrlOps.normalize(UrlOps.withRawUrls(
+          docs(s, dir, "documents").select(col("doc_id"))))
+          .select(col("domain").as("v")), k = 16)
+        .orderBy("v")
+    }),
+
+    "graph_hop_distance" -> ((s, dir) => {
+      // BFS crawl depth from trusted seeds (doc_id%97==0): unit-weight
+      // Bellman-Ford relaxation, one sort-merge join + one 16-byte
+      // (dst,min) shuffle per round, fixed 6 rounds; unreached → -1
+      val d = docs(s, dir, "documents")
+        .select(col("doc_id").as("id"), (col("doc_id") % 97 === 0).as("is_seed"))
+      val n = d.count()
+      graft.ops.Graph.hopDistance(d, graft.ops.Graph.synthEdges(d, n), maxHops = 6)
+        .select(col("id").as("doc_id"), col("dist"))
+        .orderBy("doc_id")
+    }),
+
+    "split_holdout" -> ((s, dir) => {
+      // leakage-safe train/val/test split keyed on the REGISTERED DOMAIN
+      // hash (site-internal near-dups can't straddle train/eval); the
+      // assignment is one codegen'd projection, the rollup is the audit
+      graft.ops.Sampling.splitHoldout(
+        UrlOps.normalize(UrlOps.withRawUrls(
+          docs(s, dir, "documents").select(col("doc_id")))))
+        .orderBy("split")
     })
   )
 

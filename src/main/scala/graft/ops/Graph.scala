@@ -130,4 +130,38 @@ object Graph {
     }
     hubs.join(auths, Seq("id")).select(col("id"), col("hub"), col("auth"))
   }
+
+  /** BFS hop distance from a seed set — the crawl-depth signal (pages far
+    * from any trusted seed are late-frontier, low-priority fetches; in
+    * spam analysis, distance from a whitelist is the complement of
+    * TrustRank's mass). Bellman-Ford relaxation specialised to unit
+    * weights: distₖ₊₁(v) = min(distₖ(v), min over in-edges distₖ(u)+1),
+    * run `maxHops` rounds; nodes still unreached report −1.
+    *
+    * Integer and order-independent (min is idempotent/commutative), so
+    * the DuckDB recursive-CTE oracle matches bit-for-bit. Scale shape
+    * per round: one sort-merge join edges⋈dist on src plus one
+    * partial-aggregated (dst, min) shuffle of 16-byte rows — identical
+    * to the PageRank round shape; the all-nodes dist table is node-sized,
+    * never edge-sized, and rounds are a fixed small count (web crawl
+    * frontiers are shallow — ≤6 hops covers the useful range).
+    *
+    * Input nodes: (id, is_seed). Output: (id, dist). */
+  def hopDistance(nodes: DataFrame, edges: DataFrame, maxHops: Int): DataFrame = {
+    val ids = nodes.select(col("id"), col("is_seed"))
+    // unreached sentinel stays NULL internally so min() ignores it
+    var dist = ids.select(col("id"),
+      when(col("is_seed"), lit(0L)).otherwise(lit(null).cast("long")).as("dist"))
+    for (_ <- 1 to maxHops) {
+      val relaxed = edges.join(dist.where(col("dist").isNotNull),
+          edges("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("dist") + 1L).as("d"))
+      // least() skips NULLs, so an unreached node adopts d and a reached
+      // node keeps min(dist, d)
+      dist = dist.join(relaxed, dist("id") === relaxed("dst"), "left")
+        .select(dist("id"), least(dist("dist"), relaxed("d")).as("dist"))
+        .localCheckpoint(true) // truncate per-round lineage
+    }
+    dist.select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
 }

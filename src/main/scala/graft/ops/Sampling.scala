@@ -77,4 +77,27 @@ object Sampling {
     docs.select(col("doc_id"), col(stratum), bucket.as("bucket"))
       .where(col("bucket") < rate)
   }
+
+  /** Leakage-safe train/val/test split: the split key is the REGISTERED
+    * DOMAIN hash, not the document hash, so every page of a site lands in
+    * the same split — near-duplicate pages within a site (boilerplate,
+    * pagination, mirrors) can never straddle train and eval, the classic
+    * contamination channel a per-document split leaves open. 90/5/5 by
+    * `md5(domain) % 100`; deterministic, so re-runs and incremental
+    * snapshots assign identically.
+    *
+    * The assignment itself is one codegen'd projection (zero shuffle at
+    * 10^12 rows — the rollup here is just the audit view). Output:
+    * (split, n_docs, n_domains) — and because the key is the domain,
+    * Σ n_domains over splits equals the corpus domain count exactly;
+    * a per-doc split would double-count. */
+  def splitHoldout(normalized: DataFrame): DataFrame = {
+    val b = md5Mod(concat(lit("split:"), col("domain")), 100L)
+    normalized
+      .select(col("doc_id"), col("domain"),
+        when(b < 90, "train").when(b < 95, "val").otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("domain")).as("n_domains"))
+  }
 }

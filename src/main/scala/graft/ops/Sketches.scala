@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketch operators — the pre-aggregation primitives a 100-TB
+  * corpus pipeline leans on when exact per-key state no longer fits:
+  * distinct-count sketches per partition key (KMV) and frequent-item
+  * detection (Misra-Gries candidates + an exact confirmation pass).
+  *
+  * Both are deterministic end to end — the KMV hash is the md5 convention
+  * DuckDB can replay ([[Sampling.md5Mod]]) and the heavy-hitter output is
+  * EXACT counts (the sketch only proposes candidates) — so both carry
+  * full value-level oracles, unlike the usual "approximately right"
+  * sketch demo. */
+object Sketches {
+
+  /** KMV hash domain: 2^40. Small enough that (k−1)·2^40 stays far inside
+    * int64 for the estimator's integer division, large enough that
+    * same-domain collisions are ~n²/2^41 (negligible, and deterministic —
+    * the oracle replays the identical hash). */
+  val KmvDomain: Long = 1L << 40
+
+  /** Bounded k-minimum-values buffer: a sorted ascending list of at most
+    * k DISTINCT hashes. Merge is a sorted-list union truncated at k, so
+    * the sketch is associative/commutative — the property that lets
+    * map-side partial aggregation keep the shuffle at O(k) longs per
+    * (task, key) instead of one row per url. */
+  private final class KmvAgg(k: Int)
+      extends Aggregator[Long, List[Long], Seq[Long]] {
+    override def zero: List[Long] = Nil
+    override def reduce(b: List[Long], h: Long): List[Long] = {
+      if (b.lengthCompare(k) >= 0 && h >= b.last) b
+      else {
+        val (pre, post) = b.span(_ < h)
+        if (post.nonEmpty && post.head == h) b // distinct values only
+        else (pre ::: h :: post).take(k)
+      }
+    }
+    override def merge(b1: List[Long], b2: List[Long]): List[Long] = {
+      val out = List.newBuilder[Long]
+      var (l, r, n) = (b1, b2, 0)
+      while (n < k && (l.nonEmpty || r.nonEmpty)) {
+        if (r.isEmpty || (l.nonEmpty && l.head < r.head)) {
+          out += l.head
+          if (r.nonEmpty && r.head == l.head) r = r.tail
+          l = l.tail
+        } else if (l.isEmpty || r.head < l.head) { out += r.head; r = r.tail }
+        else { out += l.head; l = l.tail; r = r.tail } // equal heads: once
+        n += 1
+      }
+      out.result()
+    }
+    override def finish(b: List[Long]): Seq[Long] = b
+    override def bufferEncoder: Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Per-domain distinct-URL estimate from a k-minimum-values sketch
+    * (Bar-Yossef et al., RANDOM 2002): hash every canonical url into
+    * [0, 2^40), keep the k smallest distinct hashes per domain, and
+    * estimate |distinct| = (k−1)·2^40 div kth_min once the buffer is
+    * full (exact buffer size below k). All integer arithmetic — the
+    * DuckDB oracle replays hash, kth order statistic, and estimator
+    * bit-for-bit.
+    *
+    * Scale shape: the hash is one codegen'd projection on the scan; the
+    * sketch is a typed Aggregator with O(k) state combined map-side, so
+    * one Exchange carries ≤ k longs per (task, domain) — the shape that
+    * replaces `count(DISTINCT url)`'s full url shuffle at 10^12 rows.
+    * `n_exact` (the validation column) is the one non-sketch agg; a
+    * production run drops it. */
+  def kmvDistinct(normalized: DataFrame, k: Int): DataFrame = {
+    val kmv = udaf(new KmvAgg(k))
+    normalized
+      .select(col("domain"), col("url_canon"),
+        Sampling.md5Mod(col("url_canon"), KmvDomain).as("h"))
+      .groupBy("domain")
+      .agg(countDistinct(col("url_canon")).as("n_exact"),
+           kmv(col("h")).as("mins"))
+      .select(col("domain"), col("n_exact"),
+        size(col("mins")).cast("long").as("n_sketch"),
+        element_at(col("mins"), -1).as("kth_min"),
+        when(size(col("mins")) < k, size(col("mins")).cast("long"))
+          .otherwise(expr(s"CAST(${k - 1} AS BIGINT) * $KmvDomain div element_at(mins, -1)"))
+          .as("est_distinct"))
+  }
+
+  /** Misra-Gries frequent-items summary of one iterator with k counters:
+    * any value with partition frequency > n_p/k survives. Returned as the
+    * surviving candidate set (counts are NOT trustworthy — the exact pass
+    * re-counts). */
+  private[ops] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counters = new scala.collection.mutable.HashMap[String, Long]
+    while (it.hasNext) {
+      val v = it.next()
+      counters.get(v) match {
+        case Some(c) => counters.update(v, c + 1)
+        case None =>
+          if (counters.size < k) counters.update(v, 1L)
+          else {
+            // decrement-all step; drop zeroed counters
+            val dead = List.newBuilder[String]
+            counters.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counters.update(key, c - 1)
+            }
+            dead.result().foreach(counters.remove)
+          }
+      }
+    }
+    counters.keysIterator.toVector.iterator
+  }
+
+  /** Exact heavy hitters over a single string column `v` by the classic
+    * two-pass design: (1) per-partition Misra-Gries with k counters —
+    * by the averaging argument, any value with GLOBAL frequency > n/k
+    * exceeds n_p/k in at least one partition, so the union of partition
+    * survivors is a guaranteed superset of the true heavy hitters;
+    * (2) an exact count restricted to that candidate set, filtered at
+    * count·k > n. Output is exact (value, cnt) — no approximation
+    * survives to the result, which is what makes it oracle-able.
+    *
+    * Scale shape: pass 1 is a narrow mapPartitions emitting ≤ k strings
+    * per task (no shuffle); the candidate set (≤ k·tasks values) collects
+    * to the driver and ships back as an `isin` literal inside the pass-2
+    * scan filter, so the only Exchange aggregates candidate rows only.
+    * At 10^12 rows with k=16 that Exchange carries a few thousand
+    * partial counts — versus a full groupBy over every distinct value. */
+  def heavyHitters(values: DataFrame, k: Int): DataFrame = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val vs = values.select(col("v").cast("string")).as[String]
+    val candidates = vs.mapPartitions(it => misraGries(it, k))
+      .distinct().collect().toSeq
+    val n = vs.count()
+    // empty-input edge: constant-false filter → empty result, right schema
+    val candFilter =
+      if (candidates.isEmpty) lit(false) else col("v").isin(candidates: _*)
+    values.select(col("v").cast("string").as("v"))
+      .where(candFilter)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * k > n)
+  }
+}

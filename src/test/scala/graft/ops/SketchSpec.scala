@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSessionFixture
+
+/** KMV distinct sketch, two-pass exact heavy hitters, BFS hop distance,
+  * and the leakage-safe holdout split. */
+class SketchSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def urls(n: Int, domains: Int) =
+    (0 until n).map(i => (s"d${i % domains}.com", s"https://d${i % domains}.com/p/$i"))
+      .toDF("domain", "url_canon")
+
+  test("kmv: exact below k, estimate within 40% above k, k is the state bound") {
+    val small = urls(60, 12) // 5 distinct urls per domain < k=8
+    val rs = Sketches.kmvDistinct(small, k = 8).collect()
+    assert(rs.length == 12)
+    rs.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 5L)
+      assert(r.getAs[Long]("est_distinct") == 5L, "below k the sketch is exact")
+      assert(r.getAs[Long]("n_sketch") == 5L)
+    }
+    val big = urls(3000, 2) // 1500 distinct per domain >> k
+    val rb = Sketches.kmvDistinct(big, k = 64).collect()
+    rb.foreach { r =>
+      val est = r.getAs[Long]("est_distinct").toDouble
+      val exact = r.getAs[Long]("n_exact").toDouble
+      assert(r.getAs[Long]("n_sketch") == 64L, "buffer capped at k")
+      assert(math.abs(est - exact) / exact < 0.40, s"est=$est exact=$exact")
+    }
+  }
+
+  test("kmv: duplicate urls do not inflate the sketch") {
+    val dup = urls(40, 4).union(urls(40, 4)) // every url twice
+    val once = Sketches.kmvDistinct(urls(40, 4), k = 8).collect()
+      .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    Sketches.kmvDistinct(dup, k = 8).collect().foreach { r =>
+      assert(r.toSeq.tail == once(r.getString(0)))
+    }
+  }
+
+  test("misra-gries: guaranteed superset of items above n/k") {
+    // 100 'hot' + 90 singletons, one partition, k=8: hot freq 100 > 190/8
+    val stream = Seq.fill(100)("hot") ++ (0 until 90).map(i => s"cold$i")
+    val surv = Sketches.misraGries(stream.iterator, 8).toSet
+    assert(surv.contains("hot"))
+    // adversarial order: hot interleaved last
+    val inter = (0 until 90).map(i => s"cold$i") ++ Seq.fill(100)("hot")
+    assert(Sketches.misraGries(inter.iterator, 8).toSet.contains("hot"))
+  }
+
+  test("heavy hitters: exact counts, only freq > n/k survive") {
+    val vals = (Seq.fill(50)("alpha") ++ Seq.fill(20)("beta") ++
+      (0 until 30).map(i => s"tail$i")).toDF("v").repartition(7)
+    val hh = Sketches.heavyHitters(vals, k = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // n=100, n/k=25: alpha (50) qualifies, beta (20) and tails do not
+    assert(hh == Map("alpha" -> 50L))
+  }
+
+  test("hop distance: hand-checked bfs, unreached is -1") {
+    val nodes = Seq((0L, true), (1L, false), (2L, false), (3L, false), (4L, false))
+      .toDF("id", "is_seed")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val d = Graph.hopDistance(nodes, edges, maxHops = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> -1L))
+  }
+
+  test("hop distance: maxHops bounds the reach") {
+    val nodes = (0L to 5L).map(i => (i, i == 0L)).toDF("id", "is_seed")
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val d = Graph.hopDistance(nodes, chain, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(3L) == 3L && d(4L) == -1L && d(5L) == -1L)
+  }
+
+  test("split holdout: a domain never straddles splits and totals add up") {
+    val norm = (0 until 200).map(i => (i.toLong, s"site${i % 37}.com"))
+      .toDF("doc_id", "domain")
+    val agg = Sampling.splitHoldout(norm).collect()
+    assert(agg.map(_.getAs[Long]("n_docs")).sum == 200L)
+    // domain-keyed: distinct-domain counts across splits sum to the corpus
+    // domain count (a doc-keyed split would overcount)
+    assert(agg.map(_.getAs[Long]("n_domains")).sum == 37L)
+  }
+}
