@@ -2207,6 +2207,66 @@ object OracleSql {
          |  FROM b)
          |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(count(DISTINCT domain) AS BIGINT) AS n_domains
-         |FROM s GROUP BY split ORDER BY split""".stripMargin
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    // mirrors Mirrors.synthMirrored + domainPairs: planted cdn{0,1,2}.net
+    // copies of doc_id%5==0 pages; digest-group cap 2..16, self-join
+    // a<b, containment = shared·1000 // min(|A|,|B|)
+    "mirror_domains" ->
+      s"""WITH $urlCanonCte,
+         |dt AS (SELECT c.doc_id, c.domain, md5(d.text) AS digest
+         |       FROM canon c JOIN documents d USING (doc_id)),
+         |pg AS (SELECT DISTINCT domain, digest FROM (
+         |  SELECT domain, digest FROM dt
+         |  UNION ALL
+         |  SELECT 'cdn' || (doc_id % 3) || '.net', digest FROM dt WHERE doc_id % 5 = 0)),
+         |grp AS (SELECT digest FROM pg GROUP BY digest HAVING count(*) BETWEEN 2 AND 16),
+         |kept AS (SELECT pg.domain, pg.digest FROM pg JOIN grp USING (digest)),
+         |pairs AS (
+         |  SELECT x.domain AS domain_a, y.domain AS domain_b, count(*) AS n_shared
+         |  FROM kept x JOIN kept y ON x.digest = y.digest AND x.domain < y.domain
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sz AS (SELECT domain, count(*) AS n FROM pg GROUP BY domain)
+         |SELECT domain_a, domain_b, CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST(n_shared * 1000 // least(sa.n, sb.n) AS BIGINT) AS containment_permille
+         |FROM pairs JOIN sz sa ON sa.domain = domain_a JOIN sz sb ON sb.domain = domain_b
+         |ORDER BY domain_a, domain_b""".stripMargin,
+
+    // mirrors UrlOps.paramStats: RAW-url query params (pre-canonical),
+    // per (registered domain, param) count + value cardinality
+    "url_param_stats" ->
+      s"""WITH $urlCanonCte,
+         |hosts AS (SELECT doc_id,
+         |    lower(regexp_extract(regexp_replace(url, '^[^:/?#]+://', ''), '^([^/:?#]*)', 1)) AS h,
+         |    regexp_extract(url, '\\?([^#]*)', 1) AS q
+         |  FROM raw),
+         |dom AS (SELECT doc_id, q,
+         |    CASE WHEN len(string_split(h, '.')) <= 2 THEN h
+         |         WHEN (string_split(h, '.')[-2] || '.' || string_split(h, '.')[-1])
+         |              IN ('co.uk', 'ac.uk', 'org.uk', 'com.au', 'co.jp')
+         |         THEN array_to_string(string_split(h, '.')[-3:], '.')
+         |         ELSE array_to_string(string_split(h, '.')[-2:], '.') END AS domain
+         |  FROM hosts),
+         |kv AS (SELECT domain, unnest(list_filter(string_split(q, '&'), x -> x <> '')) AS kv0
+         |  FROM dom)
+         |SELECT domain, string_split(kv0, '=')[1] AS param,
+         |  CAST(count(*) AS BIGINT) AS n_urls,
+         |  CAST(count(DISTINCT regexp_replace(kv0, '^[^=]*=', '')) AS BIGINT) AS n_vals,
+         |  CAST(count(DISTINCT regexp_replace(kv0, '^[^=]*=', '')) * 1000 // count(*) AS BIGINT)
+         |    AS vals_per_url_permille
+         |FROM kv GROUP BY domain, param ORDER BY domain, param""".stripMargin,
+
+    // mirrors Profile.concentration: integer permille shares, HHI =
+    // Σ share² // 1000
+    "corpus_concentration" ->
+      s"""WITH $urlCanonCte,
+         |pd AS (SELECT domain, count(*) AS n FROM canon GROUP BY domain),
+         |t AS (SELECT sum(n) AS total FROM pd),
+         |sh AS (SELECT n * 1000 // total AS share_permille, total FROM pd, t)
+         |SELECT CAST(count(*) AS BIGINT) AS n_domains,
+         |  CAST(max(total) AS BIGINT) AS total_docs,
+         |  CAST(max(share_permille) AS BIGINT) AS top_share_permille,
+         |  CAST(sum(share_permille * share_permille) // 1000 AS BIGINT) AS hhi
+         |FROM sh""".stripMargin
   )
 }

@@ -1657,6 +1657,35 @@ object SparkEntry {
         UrlOps.normalize(UrlOps.withRawUrls(
           docs(s, dir, "documents").select(col("doc_id")))))
         .orderBy("split")
+    }),
+
+    "mirror_domains" -> ((s, dir) => {
+      // cross-domain mirror detection over (domain, digest) pairs only —
+      // digest-group cap before the self-join (boilerplate digests would
+      // go quadratic), integer containment score; cdn mirrors planted
+      val norm = UrlOps.normalize(UrlOps.withRawUrls(
+        docs(s, dir, "documents").select(col("doc_id"))))
+      graft.ops.Mirrors.domainPairs(graft.ops.Mirrors.synthMirrored(
+          norm, docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("domain_a", "domain_b")
+    }),
+
+    "url_param_stats" -> ((s, dir) => {
+      // canonicalization-rule mining on RAW urls: per (domain, param)
+      // value cardinality — session/tracking params approach 1000
+      // vals-per-url-permille; one algebraic rollup, zero joins
+      graft.ops.UrlOps.paramStats(
+        UrlOps.withRawUrls(docs(s, dir, "documents").select(col("doc_id"))))
+        .orderBy("domain", "param")
+    }),
+
+    "corpus_concentration" -> ((s, dir) => {
+      // one-row mixture audit: domain count, top domain share, integer
+      // HHI over permille shares; domain rollup materialized once, the
+      // 1-row total re-attaches as a broadcast
+      graft.ops.Profile.concentration(
+        UrlOps.normalize(UrlOps.withRawUrls(
+          docs(s, dir, "documents").select(col("doc_id")))))
     })
   )
 

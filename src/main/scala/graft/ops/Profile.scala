@@ -40,4 +40,30 @@ object Profile {
       .select(col(stratum), col("k").cast("long").as("decile"),
         col("v").cast("long").as("value"))
   }
+
+  /** Corpus concentration report — the one-row audit a mixture designer
+    * reads before weighting: domain count, the biggest domain's share,
+    * and the Herfindahl–Hirschman index over permille shares (10⁶ = one
+    * domain owns the corpus; 10⁶/n = perfectly uniform). All integer —
+    * shares in permille, HHI = Σ share² div 1000 — so the oracle replays
+    * it exactly; a float HHI would drift with summation order.
+    *
+    * Scale shape: one algebraic (domain, count) rollup over the corpus,
+    * materialized once (localCheckpoint) so the total and the shares both
+    * read the domain-sized table, not the corpus; the 1-row total
+    * re-attaches as a broadcast. No window — an unpartitioned window
+    * would funnel every domain row into one task. */
+  def concentration(normalized: DataFrame): DataFrame = {
+    val perDomain = normalized.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val total = perDomain.agg(sum(col("n")).as("total"))
+    perDomain.crossJoin(broadcast(total))
+      .select(expr("n * 1000 div total").as("share_permille"), col("total"))
+      .agg(count(lit(1)).as("n_domains"),
+           max(col("total")).as("total_docs"),
+           max(col("share_permille")).as("top_share_permille"),
+           expr("CAST(sum(share_permille * share_permille) div 1000 AS BIGINT)")
+             .as("hhi"))
+  }
 }

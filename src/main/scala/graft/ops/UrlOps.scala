@@ -194,4 +194,44 @@ object UrlOps {
       .agg(count(lit(1)).as("n_docs"),
            sum("n_chars").as("sum_chars"),
            countDistinct(col("host")).as("n_hosts"))
+
+  /** Query-parameter cardinality mining over RAW urls — the evidence a
+    * crawler needs to LEARN canonicalization rules instead of hardcoding
+    * them: a param whose value cardinality tracks its url count
+    * (vals_per_url_permille → 1000) is session/tracking noise to strip;
+    * a low-cardinality param is content-bearing (pagination, variant).
+    * Runs pre-canonicalization by construction — canonical urls have the
+    * known trackers already removed.
+    *
+    * Scale shape: param explode is a narrow projection (urls have ≤
+    * handfuls of params); one algebraic rollup on (domain, param) with
+    * map-side combine; countDistinct adds one Expand bounded by the
+    * per-key value cardinality. Zero joins. */
+  def paramStats(rawUrls: DataFrame): DataFrame = {
+    val q = regexp_extract(col("url"), "\\?([^#]*)", 1)
+    val host = lower(regexp_extract(regexp_replace(col("url"), "^[^:/?#]+://", ""),
+      "^([^/:?#]*)", 1))
+    rawUrls
+      .select(udfFreeDomain(host).as("domain"),
+        explode(filter(split(q, "&"), x => x =!= "")).as("kv"))
+      .select(col("domain"),
+        substring_index(col("kv"), "=", 1).as("param"),
+        regexp_replace(col("kv"), "^[^=]*=", "").as("value"))
+      .groupBy("domain", "param")
+      .agg(count(lit(1)).as("n_urls"),
+           countDistinct(col("value")).as("n_vals"))
+      .withColumn("vals_per_url_permille", expr("n_vals * 1000 div n_urls"))
+  }
+
+  /** Registered domain from a host Column using only codegen'd built-ins
+    * (the native expression needs a full url; param mining has a bare
+    * host). Mirrors [[registeredDomain]] for the synthesis's suffix set. */
+  private def udfFreeDomain(host: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val labels = split(host, "\\.")
+    val lastTwo = concat(element_at(labels, -2), lit("."), element_at(labels, -1))
+    when(size(labels) <= 2, host)
+      .when(lastTwo.isin("co.uk", "ac.uk", "org.uk", "com.au", "co.jp"),
+        concat(element_at(labels, -3), lit("."), lastTwo))
+      .otherwise(lastTwo)
+  }
 }
