@@ -2267,6 +2267,53 @@ object OracleSql {
          |  CAST(max(total) AS BIGINT) AS total_docs,
          |  CAST(max(share_permille) AS BIGINT) AS top_share_permille,
          |  CAST(sum(share_permille * share_permille) // 1000 AS BIGINT) AS hhi
-         |FROM sh""".stripMargin
+         |FROM sh""".stripMargin,
+
+    // mirrors TextStats.rarity: bitwidth(N // df) from length(bin(x)) —
+    // the integer floor(log2) — per occurrence, per-doc milli average
+    "text_rarity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |t2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+        |dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM t2 GROUP BY t),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |r AS (SELECT doc_id, length(bin(n // df)) - 1 AS bits
+        |      FROM t2 JOIN dfreq USING (t), nn)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(bits) * 1000 // count(*) AS BIGINT) AS rarity_milli
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors Frontier.budget (budget 10000, cap 2000): Hamilton
+    // largest-remainder apportionment, remainder rank tie-broken by domain
+    "frontier_budget" ->
+      s"""WITH $urlCanonCte,
+         |wts AS (SELECT domain, count(*) AS weight FROM canon GROUP BY domain),
+         |t AS (SELECT sum(weight) AS w FROM wts),
+         |q AS (SELECT domain, weight, weight * 10000 // w AS base,
+         |             (weight * 10000) % w AS rem FROM wts, t),
+         |l AS (SELECT 10000 - sum(base) AS leftover FROM q),
+         |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, domain) AS rk FROM q)
+         |SELECT domain, CAST(weight AS BIGINT) AS weight,
+         |  CAST(least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, 2000) AS BIGINT) AS alloc,
+         |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) > 2000 AS capped
+         |FROM r, l ORDER BY domain""".stripMargin,
+
+    // mirrors Sketches.hllDistinct (m=64): register rank from bin()
+    // bitwidth, max-merge, scaled harmonic sum, integer raw estimator
+    "sketch_hll" ->
+      s"""WITH $urlCanonCte,
+         |hv AS (SELECT domain,
+         |  CAST(md5_number_upper(url_canon) % 1099511627776 AS BIGINT) AS h FROM canon),
+         |rr AS (SELECT domain, h % 64 AS j,
+         |  CASE WHEN h // 64 = 0 THEN 35 ELSE 35 - length(bin(h // 64)) END AS rho
+         |  FROM hv),
+         |mj AS (SELECT domain, j, max(rho) AS m FROM rr GROUP BY domain, j),
+         |s AS (SELECT domain, count(*) AS n_regs,
+         |  sum(CAST(1 AS BIGINT) << CAST(35 - m AS INTEGER)) AS sp
+         |  FROM mj GROUP BY domain)
+         |SELECT domain, CAST(64 - n_regs AS BIGINT) AS v_zero,
+         |  CAST(sp + (64 - n_regs) * 34359738368 AS BIGINT) AS s_scaled,
+         |  CAST(709 * 4096 * 34359738368 //
+         |       (1000 * (sp + (64 - n_regs) * 34359738368)) AS BIGINT) AS est_raw
+         |FROM s ORDER BY domain""".stripMargin
   )
 }

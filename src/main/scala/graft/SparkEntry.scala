@@ -1686,6 +1686,37 @@ object SparkEntry {
       graft.ops.Profile.concentration(
         UrlOps.normalize(UrlOps.withRawUrls(
           docs(s, dir, "documents").select(col("doc_id")))))
+    }),
+
+    "text_rarity" -> ((s, dir) => {
+      // integer IDF novelty: per-token rarity = bitwidth(N div df) from
+      // length(bin(x)) — exact on any engine, unlike float log-IDF; df
+      // rollup + token-keyed re-attach join + per-doc rollup
+      TextStats.rarity(docs(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
+        .orderBy("doc_id")
+    }),
+
+    "frontier_budget" -> ((s, dir) => {
+      // largest-remainder crawl-budget apportionment (Σ alloc = budget,
+      // each within 1 of exact share) + politeness cap with auditable
+      // capped flag; domain-sized table end to end, 1-row broadcasts
+      val norm = UrlOps.normalize(UrlOps.withRawUrls(
+        docs(s, dir, "documents").select(col("doc_id"))))
+      graft.ops.Frontier.budget(
+        norm.groupBy(col("domain")).agg(count(lit(1)).as("weight")),
+        budget = 10000L, cap = 2000L)
+        .orderBy("domain")
+    }),
+
+    "sketch_hll" -> ((s, dir) => {
+      // integer-exact HyperLogLog (m=64): register max-merge rollup,
+      // scaled harmonic sum Σ 2^(35−M_j), raw α·m²·2^35 div (1000·S)
+      // estimator; v_zero ships so consumers can small-range correct
+      graft.ops.Sketches.hllDistinct(
+        UrlOps.normalize(UrlOps.withRawUrls(
+          docs(s, dir, "documents").select(col("doc_id")))))
+        .orderBy("domain")
     })
   )
 

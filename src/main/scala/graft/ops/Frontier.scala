@@ -75,4 +75,41 @@ object Frontier {
     LinkGraph.synthCorpus(spark, 40)
       .filter((p: PageRow) => p.warc_ts.getTime < 1704067200000L + 30 * 1000L)
   }
+
+  /** Crawl-budget apportionment by the largest-remainder (Hamilton)
+    * method: `budget` fetch slots distributed over domains proportional
+    * to integer `weight` (discovered-url counts, rank mass, …), then the
+    * leftover slots go to the largest remainders — the unique
+    * deterministic integer split with Σ alloc = budget and every alloc
+    * within 1 of its exact proportional share. A per-domain politeness
+    * `cap` trims monsters afterwards (no redistribution round: crawl
+    * cycles re-apportion next round anyway, and an iterative water-fill
+    * here would serialize; the `capped` flag makes the trimmed mass
+    * auditable).
+    *
+    * Scale shape: one domain-sized table end to end. The total weight is
+    * a 1-row broadcast; the remainder ranking is a window over domain
+    * rows ordered by (remainder desc, domain) — at web scale that is the
+    * one global sort in the job, over 10^8 16-byte rows, not the corpus.
+    * All integer: quota·, div, mod — the oracle replays it exactly. */
+  def budget(weights: DataFrame, budget: Long, cap: Long): DataFrame = {
+    val tot = weights.agg(sum(col("weight")).as("w")).localCheckpoint(true)
+    val q = weights.crossJoin(broadcast(tot))
+      .select(col("domain"), col("weight"),
+        expr(s"weight * CAST($budget AS BIGINT) div w").as("base"),
+        expr(s"weight * CAST($budget AS BIGINT) % w").as("rem"))
+      .localCheckpoint(true) // read twice: leftover agg + ranking
+    val leftoverDf = q.agg((lit(budget) - sum(col("base"))).as("leftover"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("domain").asc)
+    q.crossJoin(broadcast(leftoverDf))
+      .withColumn("rk", row_number().over(w))
+      .select(col("domain"), col("weight"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("fair"),
+        col("rk"))
+      .select(col("domain"), col("weight"),
+        least(col("fair"), lit(cap)).as("alloc"),
+        (col("fair") > cap).as("capped"))
+  }
 }

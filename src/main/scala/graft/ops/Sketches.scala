@@ -144,4 +144,46 @@ object Sketches {
       .groupBy("v").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * k > n)
   }
+
+  /** HyperLogLog registers per domain, INTEGER-EXACT end to end (Flajolet
+    * et al. 2007, m = 64): register j = h mod 64, rank ρ = leading-zero
+    * count of the remaining 34 hash bits + 1 (= 35 − bitwidth, computed
+    * from `length(bin(w))` — string built-ins, no float log), registers
+    * max-merged, harmonic sum held SCALED as S = Σ_j 2^(35−M_j) (absent
+    * registers contribute 2^35), raw estimate α·m²·2^35 div (1000·S) with
+    * α = 0.709‰-precision. The float small-range (linear-counting)
+    * correction is deliberately left to the consumer — `v_zero` (empty
+    * registers) ships alongside so it CAN be applied — because the sketch
+    * STATE and the raw estimator are what must merge and replay exactly.
+    *
+    * Why next to [[kmvDistinct]]: HLL is the industry default (constant
+    * 64-register state vs KMV's k values; union-mergeable by register
+    * max, which plain SQL can do across shards/snapshots). Spark's own
+    * approx_count_distinct is HLL++ but not oracle-able; this one is.
+    *
+    * Scale shape: two algebraic rollups — (domain, j) max ρ, then a
+    * ≤64-rows-per-domain harmonic sum — both map-side combined; the
+    * widest shuffle row is (domain, j, ρ): ~20 bytes. */
+  def hllDistinct(normalized: DataFrame): DataFrame = {
+    val M = 64
+    val regs = normalized
+      .select(col("domain"),
+        Sampling.md5Mod(col("url_canon"), KmvDomain).as("h"))
+      .select(col("domain"), expr(s"h % $M").as("j"),
+        expr(s"h div $M").as("w"))
+      .select(col("domain"), col("j"),
+        when(col("w") === 0L, lit(35L))
+          .otherwise(lit(35L) - length(bin(col("w"))).cast("long")).as("rho"))
+      .groupBy("domain", "j").agg(max(col("rho")).as("mj"))
+    regs.groupBy("domain")
+      .agg(count(lit(1)).as("n_regs"),
+           sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(35 - mj AS INT))")).as("s_present"))
+      .select(col("domain"),
+        (lit(M.toLong) - col("n_regs")).as("v_zero"),
+        (col("s_present") +
+          (lit(M.toLong) - col("n_regs")) * (1L << 35)).as("s_scaled"))
+      .withColumn("est_raw",
+        // α_64·m²·2^35 = 709·4096·2^35 / 1000, all inside int64
+        expr(s"CAST(709 AS BIGINT) * ${M.toLong * M} * ${1L << 35} div (1000 * s_scaled)"))
+  }
 }

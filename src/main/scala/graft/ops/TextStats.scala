@@ -464,4 +464,32 @@ object TextStats {
     fp.unpersist(false)
     out
   }
+
+  /** Integer IDF rarity score per document — the corpus-relative novelty
+    * signal (boilerplate-heavy docs score near 0, jargon/OOV-heavy docs
+    * score high; mixture designers use it to up-weight rare content).
+    * Per-token rarity is the BIT WIDTH of N div df — floor(log2(N/df)) —
+    * computed from `length(bin(x)) − 1`, pure string built-ins, so unlike
+    * float log-IDF it is bit-exact on any engine and summation order.
+    * Doc score = Σ occurrence-rarity · 1000 div n_tokens.
+    *
+    * Scale shape: token explode is narrow; the df table is one algebraic
+    * (token, countDistinct doc) rollup; the re-attach join shuffles on
+    * the token key (sort-merge, partial-agg'd both sides); the per-doc
+    * rollup shuffles (doc_id, bits) pairs. No collect, no windows —
+    * at 10^12 docs every stage is a standard keyed exchange. */
+  def rarity(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+    val n = docs.count()
+    val dfreq = tok.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
+    tok.join(dfreq, "t")
+      .select(col("doc_id"),
+        (length(bin(expr(s"CAST($n AS BIGINT) div df"))) - 1)
+          .cast("long").as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           expr("sum(bits) * 1000 div count(1)").as("rarity_milli"))
+  }
 }

@@ -79,6 +79,60 @@ class SketchSpec extends AnyFunSuite {
     assert(d(3L) == 3L && d(4L) == -1L && d(5L) == -1L)
   }
 
+  test("hll: zero registers tracked, estimate within rel-err bound at 2000 distinct") {
+    val norm = (0 until 2000).map(i => ("big.com", s"https://big.com/p/$i"))
+      .toDF("domain", "url_canon")
+    val r = Sketches.hllDistinct(norm).collect().head
+    assert(r.getAs[Long]("v_zero") == 0L, "2000 urls fill all 64 registers")
+    val est = r.getAs[Long]("est_raw").toDouble
+    // m=64 → typical rel err 1.04/√64 = 13%; allow 3σ
+    assert(math.abs(est - 2000) / 2000 < 0.4, s"est=$est")
+  }
+
+  test("hll: duplicate urls do not move the registers") {
+    val once = (0 until 50).map(i => ("d.com", s"https://d.com/$i"))
+      .toDF("domain", "url_canon")
+    val twice = once.union(once)
+    assert(Sketches.hllDistinct(once).collect().toSeq.map(_.toSeq) ==
+      Sketches.hllDistinct(twice).collect().toSeq.map(_.toSeq))
+  }
+
+  test("rarity: ubiquitous tokens score 0 bits, rare tokens score high") {
+    // 8 docs all contain 'the'; only doc 0 contains 'zyzzyva'
+    val corpus = (0 until 8).map { i =>
+      (i.toLong, if (i == 0) "the zyzzyva" else "the the")
+    }.toDF("doc_id", "text")
+    val m = TextStats.rarity(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_tokens"), r.getAs[Long]("rarity_milli"))).toMap
+    // 'the': df=8, N/df=1 → 0 bits. 'zyzzyva': df=1, N/df=8 → 3 bits.
+    // doc0: (0+3)*1000 div 2 = 1500; others: 0
+    assert(m(0L) == ((2L, 1500L)))
+    assert(m(1L) == ((2L, 0L)))
+  }
+
+  test("budget: Hamilton apportionment sums to the budget, remainders break ties deterministically") {
+    // weights 5,3,2 over budget 10 → exact shares 5,3,2 (no leftover)
+    val w1 = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("domain", "weight")
+    val r1 = Frontier.budget(w1, budget = 10L, cap = 100L).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(r1 == Map("a" -> 5L, "b" -> 3L, "c" -> 2L))
+    // weights 1,1,1 over budget 10: base 3 each, leftover 1 → first domain
+    // by (rem desc, domain asc) tie-break gets it
+    val w2 = Seq(("x", 1L), ("y", 1L), ("z", 1L)).toDF("domain", "weight")
+    val r2 = Frontier.budget(w2, budget = 10L, cap = 100L).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(r2 == Map("x" -> 4L, "y" -> 3L, "z" -> 3L))
+    assert(r2.values.sum == 10L)
+  }
+
+  test("budget: politeness cap trims and flags without redistribution") {
+    val w = Seq(("hot", 90L), ("cold", 10L)).toDF("domain", "weight")
+    val m = Frontier.budget(w, budget = 100L, cap = 50L).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("alloc"), r.getAs[Boolean]("capped"))).toMap
+    assert(m("hot") == ((50L, true)))
+    assert(m("cold") == ((10L, false)))
+  }
+
   test("split holdout: a domain never straddles splits and totals add up") {
     val norm = (0 until 200).map(i => (i.toLong, s"site${i % 37}.com"))
       .toDF("doc_id", "domain")
