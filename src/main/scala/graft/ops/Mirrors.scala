@@ -38,7 +38,11 @@ object Mirrors {
     * (map-side combined). */
   def domainPairs(pages: DataFrame, maxPerDigest: Int = 16,
                   minShared: Long = 2L): DataFrame = {
+    // (domain, digest) distinct is read FIVE times downstream (cap filter,
+    // both self-join sides, size rollup) — materialize once or the whole
+    // upstream (url synthesis + md5) re-evaluates per read
     val dd = pages.select(col("domain"), col("digest")).distinct()
+      .localCheckpoint(true)
     val keptDigests = dd.groupBy("digest").agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2 && col("nd") <= maxPerDigest)
       .select(col("digest"))
