@@ -2297,6 +2297,37 @@ object OracleSql {
          |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) > 2000 AS capped
          |FROM r, l ORDER BY domain""".stripMargin,
 
+    // mirrors Warc.watExport over LinkGraph.synthCorpus(40): replays the
+    // parser's resolved outlinks (base/dotted/protocol handling collapses
+    // to these five per page), the fixed-key-order JSON, and the WARC
+    // metadata framing — byte-exact via the md5 pin
+    "wat_export" ->
+      """WITH p AS (SELECT CAST(range AS BIGINT) AS p FROM range(0, 40)),
+        |f AS (SELECT p,
+        |  'https://site' || (p%8) || '.example/a/p' || p AS url,
+        |  'Page ' || p AS title,
+        |  '{"url":"https://site' || (p%8) || '.example/"},' ||
+        |  '{"url":"https://site' || (((p*7+1)%40)%8) || '.example/a/p' || ((p*7+1)%40) || '?a=1&b=2"},' ||
+        |  '{"url":"https://site' || (p%8) || '.example/a/p' || ((p*7+14)%40) || '"},' ||
+        |  '{"url":"https://site' || (p%8) || '.example/a/p' || ((p*7+27)%40) || '"},' ||
+        |  '{"url":"https://ads.example/click?id=' || p || '"}' AS links
+        | FROM p),
+        |j AS (SELECT url, title,
+        |  '{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"' || url ||
+        |  '"},"Payload-Metadata":{"HTML-Metadata":{"Head":{"Title":"' || title ||
+        |  '"},"Links":[' || links || ']}}}}' AS json FROM f),
+        |r AS (SELECT url, title, json,
+        |  'WARC/1.0'||chr(13)||chr(10)||'WARC-Type: metadata'||chr(13)||chr(10)||
+        |  'WARC-Target-URI: '||url||chr(13)||chr(10)||
+        |  'Content-Type: application/json'||chr(13)||chr(10)||
+        |  'Content-Length: '||CAST(octet_length(encode(json)) AS VARCHAR)||chr(13)||chr(10)||chr(13)||chr(10)||
+        |  json||chr(13)||chr(10)||chr(13)||chr(10) AS rec FROM j)
+        |SELECT url, title, CAST(5 AS BIGINT) AS n_links,
+        |  CAST(octet_length(encode(json)) AS BIGINT) AS json_len,
+        |  CAST(octet_length(encode(rec)) AS BIGINT) AS rec_len,
+        |  md5(rec) AS rec_md5
+        |FROM r ORDER BY url""".stripMargin,
+
     // mirrors Sketches.hllDistinct (m=64): register rank from bin()
     // bitwidth, max-merge, scaled harmonic sum, integer raw estimator
     "sketch_hll" ->

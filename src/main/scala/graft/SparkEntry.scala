@@ -1709,6 +1709,14 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    "wat_export" -> ((s, dir) => {
+      // WAT metadata-sidecar export (completes the CC derivative family:
+      // WARC ingest ⇄ WET ⇄ WAT ⇄ CDX): hand-framed fixed-key-order JSON
+      // + WARC metadata record, md5-pinned; one narrow typed map
+      graft.spark.Warc.watExport(graft.ops.LinkGraph.synthCorpus(s, 40))
+        .toDF().orderBy("url")
+    }),
+
     "sketch_hll" -> ((s, dir) => {
       // integer-exact HyperLogLog (m=64): register max-merge rollup,
       // scaled harmonic sum Σ 2^(35−M_j), raw α·m²·2^35 div (1000·S)

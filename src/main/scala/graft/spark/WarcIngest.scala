@@ -191,6 +191,48 @@ object Warc {
     * shuffle; a shard writer concatenates `rec` values per partition.
     * Output pins the full record bytes by md5 — a one-byte framing error
     * cannot pass. */
+  final case class WatRow(url: String, title: String, n_links: Long,
+                          json_len: Long, rec_len: Long, rec_md5: String)
+
+  /** WAT export — the metadata-sidecar derivative Common Crawl publishes
+    * next to every WARC (*.warc.wat.gz): per page, a WARC `metadata`
+    * record whose JSON payload carries the target URI, the head title,
+    * and the RESOLVED outlink list in document order (the fields link
+    * researchers actually consume). Completes the CC derivative family
+    * here: WARC ingest ⇄ WET (text) ⇄ WAT (metadata) ⇄ CDX (index).
+    *
+    * One narrow typed map — parse, resolve, serialize, digest per row,
+    * nothing but ~100-byte stat rows leave the task (a shard writer
+    * concatenates `rec` per partition instead). JSON is hand-framed with
+    * fixed key order and explicit string escaping so the record is
+    * byte-deterministic — `to_json` key order or whitespace drift would
+    * break the md5 pin the oracle replays. */
+  def watExport(pages: Dataset[graft.spark.PageRow]): Dataset[WatRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.map { p =>
+      def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val (title, links) =
+        if (p.html == null) ("", Vector.empty[String])
+        else {
+          val docStr = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+          (graft.core.html.HtmlExtract.parse(p.html).title,
+           graft.core.html.HtmlLinks.extractLinks(docStr, p.url).map(_.dst))
+        }
+      val json = "{\"Envelope\":{\"WARC-Header-Metadata\":{\"WARC-Target-URI\":\"" +
+        esc(p.url) + "\"},\"Payload-Metadata\":{\"HTML-Metadata\":{\"Head\":{\"Title\":\"" +
+        esc(title) + "\"},\"Links\":[" +
+        links.map(l => "{\"url\":\"" + esc(l) + "\"}").mkString(",") + "]}}}}"
+      val jsonBytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val rec = ("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: " + p.url +
+        "\r\nContent-Type: application/json\r\nContent-Length: " +
+        jsonBytes.length + "\r\n\r\n").getBytes(ISO_8859_1) ++
+        jsonBytes ++ "\r\n\r\n".getBytes(ISO_8859_1)
+      WatRow(p.url, title, links.length.toLong, jsonBytes.length.toLong,
+        rec.length.toLong, md5Hex(rec))
+    }
+  }
+
   def wetExport(docs: DataFrame): DataFrame = {
     val url = concat(lit("https://example.com/doc/"), col("doc_id").cast("string"))
     val rec = concat(

@@ -71,4 +71,28 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.head.body_md5 == expectedMd5)
     assert(rows.head.n_bytes == "payload seven".length.toLong)
   }
+
+  test("wat export: pinned record md5, JSON escaping, null-payload totality") {
+    val pages = graft.ops.LinkGraph.synthCorpus(spark, 40)
+    val byUrl = Warc.watExport(pages).collect().map(r => r.url -> r).toMap
+    val p0 = byUrl("https://site0.example/a/p0")
+    assert(p0.title == "Page 0" && p0.n_links == 5L)
+    assert(p0.rec_md5 == "d6628ff8b1ee5860a5070b02ffcd4d17") // session-pinned
+    assert(p0.rec_len == p0.json_len + 135L, "framing overhead is fixed for this url")
+
+    // quotes and backslashes in title/links must escape, not corrupt JSON
+    import spark.implicits._
+    val tricky = Seq(graft.spark.PageRow("https://t.example/x",
+      new java.sql.Timestamp(0L),
+      """<html><head><title>A "B" \ C</title></head><body></body></html>"""
+        .getBytes(UTF_8), null, "en")).toDS()
+    val tr = Warc.watExport(tricky).collect().head
+    assert(tr.title == "A \"B\" \\ C")
+    assert(tr.json_len > 0)
+    // a null payload still emits a (titleless, linkless) record
+    val nul = Seq(graft.spark.PageRow("https://t.example/null",
+      new java.sql.Timestamp(0L), null, null, "en")).toDS()
+    val nr = Warc.watExport(nul).collect().head
+    assert(nr.title == "" && nr.n_links == 0L && nr.rec_len > 0L)
+  }
 }
