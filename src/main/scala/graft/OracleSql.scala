@@ -2297,6 +2297,42 @@ object OracleSql {
          |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) > 2000 AS capped
          |FROM r, l ORDER BY domain""".stripMargin,
 
+    // mirrors Quantize.semanticDedup over base ∪ ×1.1 replicas: the
+    // integer coarse router (cellOf), cell-local pairwise cosine, keep
+    // the lexicographic-min (keeper, cos) per dropped id — the oracle
+    // replays the SAME algorithm, so the full output is value-pinned
+    "dedup_semantic" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |rep AS (SELECT vec_id + 100000 AS vec_id,
+        |          list_transform(embedding, x -> CAST(x * CAST(1.1 AS FLOAT) AS FLOAT)) AS embedding
+        |        FROM base WHERE vec_id % 10 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM rep),
+        |cells AS (
+        |  SELECT vec_id, embedding,
+        |    (list_min(list_transform(range(0, 16), j ->
+        |      CAST(list_sum(list_transform(list_transform(range(0, 64), t ->
+        |        CAST(floor(CAST(embedding[t + 1] AS DOUBLE) * 1000) AS BIGINT)
+        |        - ((j*53 + t*29) % 2001 - 1000)), d -> d*d)) AS BIGINT) * 16 + j))
+        |     % 16) AS cell
+        |  FROM corpus),
+        |pairs AS (
+        |  SELECT l.cell, l.vec_id AS a, r.vec_id AS b, l.embedding AS qe, r.embedding AS ce
+        |  FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id),
+        |scored AS (
+        |  SELECT cell, a, b,
+        |    list_aggregate(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(range(1, len(ce)+1), i -> CAST(ce[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE)), 'sum'))) AS sim
+        |  FROM pairs),
+        |hits AS (SELECT * FROM scored WHERE sim >= 0.95),
+        |keepers AS (
+        |  SELECT cell, b AS drop_id,
+        |    min(struct_pack(ka := a, kc := CAST(ROUND(sim, 2) AS DOUBLE))) AS k
+        |  FROM hits GROUP BY cell, b)
+        |SELECT CAST(cell AS BIGINT) AS cell, k.ka AS keep_id, drop_id,
+        |  k.kc AS cos FROM keepers
+        |ORDER BY drop_id""".stripMargin,
+
     // mirrors Warc.watExport over LinkGraph.synthCorpus(40): replays the
     // parser's resolved outlinks (base/dotted/protocol handling collapses
     // to these five per page), the fixed-key-order JSON, and the WARC

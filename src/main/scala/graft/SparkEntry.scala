@@ -1709,6 +1709,18 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup: cell-local semantic dedup — route by the integer coarse
+      // quantizer, pairwise cosine WITHIN cells only (salt-capped), keep
+      // the lowest id; ×1.1 replicas plant guaranteed duplicates
+      val vecs = docs(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val replicas = vecs.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.1f)).cast("array<float>").as("embedding"))
+      graft.ops.Quantize.semanticDedup(vecs.unionByName(replicas))
+        .orderBy("drop_id")
+    }),
+
     "wat_export" -> ((s, dir) => {
       // WAT metadata-sidecar export (completes the CC derivative family:
       // WARC ingest ⇄ WET ⇄ WAT ⇄ CDX): hand-framed fixed-key-order JSON

@@ -190,4 +190,52 @@ object Quantize {
       .select(col("vec_id"), col("rank"), col("neighbor_id"),
         (-col("sim")).cast("long").as("dist"))
   }
+
+  /** SemDeDup (Abbas et al., 2023): semantic deduplication that only ever
+    * compares vectors WITHIN a quantizer cell — the observation that makes
+    * embedding dedup tractable at 10^12 rows: route once (the coarse
+    * router above), then per-cell pairwise cosine, keep the lowest id of
+    * each near-dup pair, drop the rest. Complements the sign-LSH pair
+    * generator ([[Similarity.embeddingNearDupPairs]]): LSH bands recall
+    * pairs probabilistically across the whole corpus; SemDeDup bounds the
+    * work to cell-local comparisons and is the shape used to prune
+    * LAION/CC-scale image-text corpora.
+    *
+    * Scale shape: routing is the narrow integer-codebook projection (zero
+    * shuffle); one shuffle on (cell, sub) co-locates each cell; oversized
+    * cells split into `maxCell`-bounded sub-cells by id hash (the same
+    * salt-cap discipline as the LSH buckets — a degenerate hot cell
+    * cannot go quadratic, at the cost of missing cross-sub pairs inside
+    * that pathological cell); the pair join is cell-local sort-merge,
+    * drops shuffle ids+cos only. Deterministic end to end — integer
+    * router, float cosine replayed identically by the oracle. Output:
+    * (cell, keep_id, drop_id, cos) — `drop_id` has a ≥threshold neighbor
+    * with a smaller id in its cell; `keep_id` is the smallest such. */
+  def semanticDedup(embeddings: DataFrame, dim: Int = 64, nlist: Int = 16,
+                    threshold: Double = 0.95, maxCell: Int = 10000): DataFrame = {
+    val routed = embeddings
+      .select(col("vec_id"), col("embedding"),
+        cellOf(col("embedding"), dim, nlist).as("cell"))
+      .localCheckpoint(true) // read 3×: sizes + both join sides
+    val sizes = routed.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val salted = routed.join(sizes, Seq("cell"))
+      .withColumn("sub",
+        pmod(xxhash64(col("vec_id")), greatest(ceil(col("n") / maxCell), lit(1))))
+    val l = salted.select(col("cell"), col("sub"),
+      col("vec_id").as("a"), col("embedding").as("qe"))
+    val r = salted.select(col("cell"), col("sub"),
+      col("vec_id").as("b"), col("embedding").as("ce"))
+    val out = l.join(r, Seq("cell", "sub"))
+      .where(col("a") < col("b"))
+      .withColumn("sim", Similarity.cosineCol)
+      .where(col("sim") >= threshold)
+      .groupBy(col("cell"), col("b").as("drop_id"))
+      // lexicographic min of (a, sim) = the smallest-id keeper and ITS cos
+      .agg(min(struct(col("a").as("ka"), round(col("sim"), 2).as("kc"))).as("k"))
+      .select(col("cell"), col("k.ka").as("keep_id"), col("drop_id"),
+        col("k.kc").as("cos"))
+      .localCheckpoint(true)
+    routed.unpersist(false)
+    out
+  }
 }

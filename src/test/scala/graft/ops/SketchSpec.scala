@@ -133,6 +133,28 @@ class SketchSpec extends AnyFunSuite {
     assert(m("cold") == ((10L, false)))
   }
 
+  test("semantic dedup: keeps lowest id, all drops above threshold, partition-invariant") {
+    // deterministic synthetic embeddings + exact ×1.0 copies (same cell
+    // guaranteed — identical vectors route identically)
+    val base = (0L until 40L).map { i =>
+      (i, Seq.tabulate(64)(t => (((i * 13 + t * 7) % 19).toFloat - 9f) / 9f))
+    }
+    val copies = base.take(10).map { case (i, e) => (i + 1000L, e) }
+    val emb = (base ++ copies).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = Quantize.semanticDedup(emb).collect()
+    val drops = out.map(_.getAs[Long]("drop_id")).toSet
+    // every exact copy must be dropped, with its base as keeper
+    assert((1000L until 1010L).forall(drops.contains))
+    out.foreach { r =>
+      assert(r.getAs[Double]("cos") >= 0.95)
+      assert(r.getAs[Long]("keep_id") < r.getAs[Long]("drop_id"))
+    }
+    // order-independence: a different partitioning yields the same rows
+    val out2 = Quantize.semanticDedup(emb.repartition(13)).collect()
+    assert(out.map(_.toSeq).toSet == out2.map(_.toSeq).toSet)
+  }
+
   test("split holdout: a domain never straddles splits and totals add up") {
     val norm = (0 until 200).map(i => (i.toLong, s"site${i % 37}.com"))
       .toDF("doc_id", "domain")
