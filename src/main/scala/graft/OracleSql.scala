@@ -2297,6 +2297,68 @@ object OracleSql {
          |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) > 2000 AS capped
          |FROM r, l ORDER BY domain""".stripMargin,
 
+    // mirrors Sketches.hllMerge: per-snapshot registers, union registers
+    // by max — associativity means the union estimate equals sketching
+    // the union; all integer, replayed exactly
+    "sketch_hll_merge" ->
+      s"""WITH $urlCanonCte,
+         |snaps AS (
+         |  SELECT 'a' AS snap, domain, url_canon FROM canon
+         |  UNION ALL
+         |  SELECT 'b', domain,
+         |    CASE WHEN doc_id % 4 = 0 THEN url_canon || '/v2' ELSE url_canon END
+         |  FROM canon),
+         |hv AS (SELECT snap, domain,
+         |  CAST(md5_number_upper(url_canon) % 1099511627776 AS BIGINT) AS h FROM snaps),
+         |rr AS (SELECT snap, domain, h % 64 AS j,
+         |  CASE WHEN h // 64 = 0 THEN 35 ELSE 35 - length(bin(h // 64)) END AS rho
+         |  FROM hv),
+         |mj AS (SELECT snap, domain, j, max(rho) AS m FROM rr GROUP BY snap, domain, j),
+         |est AS (
+         |  SELECT snap, domain,
+         |    709 * 4096 * 34359738368 // (1000 *
+         |      (sum(CAST(1 AS BIGINT) << CAST(35 - m AS INTEGER))
+         |       + (64 - count(*)) * 34359738368)) AS e
+         |  FROM mj GROUP BY snap, domain),
+         |um AS (SELECT domain, j, max(m) AS m FROM mj GROUP BY domain, j),
+         |uest AS (
+         |  SELECT domain,
+         |    709 * 4096 * 34359738368 // (1000 *
+         |      (sum(CAST(1 AS BIGINT) << CAST(35 - m AS INTEGER))
+         |       + (64 - count(*)) * 34359738368)) AS est_union
+         |  FROM um GROUP BY domain)
+         |SELECT ea.domain,
+         |  CAST(ea.e AS BIGINT) AS est_snap_a,
+         |  CAST(eb.e AS BIGINT) AS est_snap_b,
+         |  CAST(uest.est_union AS BIGINT) AS est_union
+         |FROM est ea JOIN est eb ON ea.domain = eb.domain AND ea.snap = 'a' AND eb.snap = 'b'
+         |JOIN uest ON uest.domain = ea.domain
+         |ORDER BY ea.domain""".stripMargin,
+
+    // mirrors Relational.botDetect over events ∪ synthBots(3×600 @2s):
+    // integer epoch-ms rate + distinct-gap regularity; only the planted
+    // metronomic bots may surface
+    "events_bot_detect" ->
+      """WITH bots AS (
+        |  SELECT 9000 + (i % 3) AS user_id,
+        |    make_timestamp((1704067200 + (i // 3) * 2) * 1000000) AS ts
+        |  FROM (SELECT unnest(range(0, 1800)) AS i)),
+        |ev AS (SELECT user_id, ts FROM events
+        |       UNION ALL SELECT user_id, ts FROM bots),
+        |g AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |        epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS gap
+        |      FROM ev),
+        |u AS (SELECT user_id, count(*) AS n_events,
+        |        max(ms) - min(ms) AS span_ms,
+        |        count(DISTINCT gap) AS n_gaps
+        |      FROM g GROUP BY user_id),
+        |r AS (SELECT *, n_events * 60000 // greatest(span_ms, 1) AS rate_per_min FROM u)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(n_events AS BIGINT) AS n_events, CAST(span_ms AS BIGINT) AS span_ms,
+        |  CAST(rate_per_min AS BIGINT) AS rate_per_min, CAST(n_gaps AS BIGINT) AS n_gaps
+        |FROM r WHERE rate_per_min > 10 OR (n_gaps = 1 AND n_events >= 50)
+        |ORDER BY user_id""".stripMargin,
+
     // mirrors Quantize.semanticDedup over base ∪ ×1.1 replicas: the
     // integer coarse router (cellOf), cell-local pairwise cosine, keep
     // the lexicographic-min (keeper, cos) per dropped id — the oracle

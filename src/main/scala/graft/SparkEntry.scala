@@ -1709,6 +1709,32 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    "sketch_hll_merge" -> ((s, dir) => {
+      // the HLL payoff at 10^12 rows: union distinct counts from stored
+      // register state (max-merge), never a re-scan; snapshot b adds /v2
+      // urls for doc_id%4==0, the union estimate comes out of the merged
+      // registers bit-identically to sketching the union directly
+      val norm = UrlOps.normalize(UrlOps.withRawUrls(
+        docs(s, dir, "documents").select(col("doc_id"))))
+        .select(col("doc_id"), col("domain"), col("url_canon"))
+      val snapA = norm.select(lit("a").as("snap"), col("domain"), col("url_canon"))
+      val snapB = norm.select(lit("b").as("snap"), col("domain"),
+        when(col("doc_id") % 4 === 0, concat(col("url_canon"), lit("/v2")))
+          .otherwise(col("url_canon")).as("url_canon"))
+      graft.ops.Sketches.hllMerge(snapA.unionByName(snapB))
+        .orderBy("domain")
+    }),
+
+    "events_bot_detect" -> ((s, dir) => {
+      // scripted-client detection: integer rate + timing-regularity
+      // signals per user; planted metronomic bots (9000..9002) are the
+      // positives, the driver's human events must all pass
+      graft.ops.Relational.botDetect(
+        docs(s, dir, "events").select(col("user_id"), col("ts"))
+          .unionByName(graft.ops.Relational.synthBots(s)))
+        .orderBy("user_id")
+    }),
+
     "dedup_semantic" -> ((s, dir) => {
       // SemDeDup: cell-local semantic dedup — route by the integer coarse
       // quantizer, pairwise cosine WITHIN cells only (salt-capped), keep

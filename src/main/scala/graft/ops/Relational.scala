@@ -178,4 +178,46 @@ object Relational {
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Bot-traffic detection — the ingest-hygiene filter that keeps scripted
+    * clients out of behavioral training data. Two integer signals per
+    * user over (user_id, ts) only: sustained event RATE
+    * (n·60000 div span_ms — humans browse at ~2 events/min, scripts run
+    * orders of magnitude hotter) and TIMING REGULARITY (a metronomic
+    * client emits ONE distinct inter-event gap; humans never do). Flagged
+    * = rate over threshold OR perfectly regular with enough events.
+    *
+    * Scale shape: one window (lag over user_id ordered by ts — partitioned
+    * by user, bounded per-user row counts) and one algebraic per-user
+    * rollup; only flagged users (a tiny set) survive the final filter.
+    * All integer (epoch millis), so the oracle replays it exactly. */
+  def botDetect(events: DataFrame, minEvents: Long = 50,
+                ratePerMinThreshold: Long = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ms"))
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           (max(col("ms")) - min(col("ms"))).as("span_ms"),
+           countDistinct(col("gap")).as("n_gaps"))
+      .withColumn("rate_per_min",
+        expr("n_events * 60000 div greatest(span_ms, 1)"))
+      .where(col("rate_per_min") > ratePerMinThreshold ||
+        (col("n_gaps") === 1 && col("n_events") >= minEvents))
+      .select("user_id", "n_events", "span_ms", "rate_per_min", "n_gaps")
+  }
+
+  /** Deterministic scripted-client synthesis: `nBots` users (ids 9000+b)
+    * each firing `perBot` events at exact 2-second intervals from
+    * 2024-01-01T00:00:00Z — the planted positives [[botDetect]] must flag
+    * (the driver's human events are both slow and irregular). Mirrored
+    * verbatim in the DuckDB oracle. */
+  def synthBots(spark: org.apache.spark.sql.SparkSession,
+                nBots: Int = 3, perBot: Int = 600): DataFrame =
+    spark.range(nBots.toLong * perBot)
+      .select((lit(9000L) + col("id") % nBots).as("user_id"),
+        timestamp_seconds(lit(1704067200L) + expr(s"id div $nBots") * 2)
+          .as("ts"))
 }

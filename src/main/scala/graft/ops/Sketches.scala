@@ -164,26 +164,64 @@ object Sketches {
     * Scale shape: two algebraic rollups — (domain, j) max ρ, then a
     * ≤64-rows-per-domain harmonic sum — both map-side combined; the
     * widest shuffle row is (domain, j, ρ): ~20 bytes. */
-  def hllDistinct(normalized: DataFrame): DataFrame = {
-    val M = 64
-    val regs = normalized
-      .select(col("domain"),
-        Sampling.md5Mod(col("url_canon"), KmvDomain).as("h"))
-      .select(col("domain"), expr(s"h % $M").as("j"),
-        expr(s"h div $M").as("w"))
-      .select(col("domain"), col("j"),
+  private val HllM = 64
+
+  /** (ρ-ranked register rows before the max-merge): one row per input row,
+    * (groupCols..., j, rho). */
+  private def hllRho(urls: DataFrame, groupCols: Seq[String]): DataFrame =
+    urls
+      .select(col("*"), Sampling.md5Mod(col("url_canon"), KmvDomain).as("h"))
+      .select(groupCols.map(col) :+ expr(s"h % $HllM").as("j") :+
+        expr(s"h div $HllM").as("w"): _*)
+      .select(groupCols.map(col) :+ col("j") :+
         when(col("w") === 0L, lit(35L))
-          .otherwise(lit(35L) - length(bin(col("w"))).cast("long")).as("rho"))
-      .groupBy("domain", "j").agg(max(col("rho")).as("mj"))
-    regs.groupBy("domain")
+          .otherwise(lit(35L) - length(bin(col("w"))).cast("long")).as("rho"): _*)
+
+  /** Estimator over max-merged registers (groupCols..., j, mj) →
+    * (groupCols..., v_zero, s_scaled, est_raw). */
+  private def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame =
+    regs.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_regs"),
            sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(35 - mj AS INT))")).as("s_present"))
-      .select(col("domain"),
-        (lit(M.toLong) - col("n_regs")).as("v_zero"),
+      .select(groupCols.map(col) :+
+        (lit(HllM.toLong) - col("n_regs")).as("v_zero") :+
         (col("s_present") +
-          (lit(M.toLong) - col("n_regs")) * (1L << 35)).as("s_scaled"))
+          (lit(HllM.toLong) - col("n_regs")) * (1L << 35)).as("s_scaled"): _*)
       .withColumn("est_raw",
         // α_64·m²·2^35 = 709·4096·2^35 / 1000, all inside int64
-        expr(s"CAST(709 AS BIGINT) * ${M.toLong * M} * ${1L << 35} div (1000 * s_scaled)"))
+        expr(s"CAST(709 AS BIGINT) * ${HllM.toLong * HllM} * ${1L << 35} div (1000 * s_scaled)"))
+
+  def hllDistinct(normalized: DataFrame): DataFrame =
+    hllEstimate(
+      hllRho(normalized.select(col("domain"), col("url_canon")), Seq("domain"))
+        .groupBy("domain", "j").agg(max(col("rho")).as("mj")),
+      Seq("domain"))
+      .select("domain", "v_zero", "s_scaled", "est_raw")
+
+  /** The property that justifies HLL at 10^12 rows: sketches MERGE by
+    * register max — distinct counts over unions of shards/snapshots come
+    * from stored sketch state, never a re-scan of the raw urls. Input:
+    * (snap, domain, url_canon) rows for any number of snapshots. Output
+    * per domain: the per-snapshot raw estimates and the union estimate
+    * computed purely by max-merging the snapshot registers (bit-identical
+    * to sketching the union directly — max is associative). Scale shape:
+    * the same two algebraic rollups as [[hllDistinct]] plus one
+    * register-table (≤ 64·|domains|·|snaps| rows) max-merge. */
+  def hllMerge(snapUrls: DataFrame): DataFrame = {
+    val perSnap = hllRho(snapUrls, Seq("snap", "domain"))
+      .groupBy("snap", "domain", "j").agg(max(col("rho")).as("mj"))
+      .localCheckpoint(true) // read twice: per-snap ests + union merge
+    val ests = hllEstimate(perSnap, Seq("snap", "domain"))
+      .select(col("snap"), col("domain"), col("est_raw"))
+    val union = hllEstimate(
+      perSnap.groupBy("domain", "j").agg(max(col("mj")).as("mj")),
+      Seq("domain"))
+      .select(col("domain"), col("est_raw").as("est_union"))
+    ests.groupBy("domain")
+      .pivot("snap", Seq("a", "b"))
+      .agg(first(col("est_raw")))
+      .withColumnRenamed("a", "est_snap_a")
+      .withColumnRenamed("b", "est_snap_b")
+      .join(union, "domain")
   }
 }

@@ -133,6 +133,37 @@ class SketchSpec extends AnyFunSuite {
     assert(m("cold") == ((10L, false)))
   }
 
+  test("hll merge: union estimate equals sketching the union directly") {
+    val a = (0 until 300).map(i => ("a", "d.com", s"https://d.com/$i"))
+    val b = (150 until 450).map(i => ("b", "d.com", s"https://d.com/$i"))
+    val snaps = (a ++ b).toDF("snap", "domain", "url_canon")
+    val merged = Sketches.hllMerge(snaps).collect().head
+    // direct sketch of the union (450 distinct urls)
+    val direct = Sketches.hllDistinct(
+      (0 until 450).map(i => ("d.com", s"https://d.com/$i"))
+        .toDF("domain", "url_canon")).collect().head
+    assert(merged.getAs[Long]("est_union") == direct.getAs[Long]("est_raw"),
+      "register max-merge must be bit-identical to sketching the union")
+    // per-snapshot estimates are plain 300-distinct sketches — sane range
+    for (c <- Seq("est_snap_a", "est_snap_b")) {
+      val e = merged.getAs[Long](c).toDouble
+      assert(math.abs(e - 300) / 300 < 0.4, s"$c=$e")
+    }
+  }
+
+  test("bot detect: metronomic planted bots flagged, irregular humans pass") {
+    val spark2 = spark
+    import spark2.implicits._
+    // humans: 60 events with irregular growing gaps over ~days
+    val humans = (0 until 3).flatMap { u =>
+      var t = 1704067200000L + u * 999L
+      (0 until 60).map { i => t += 3600000L + i * 7919L + u * 13L; (u.toLong, new java.sql.Timestamp(t)) }
+    }.toDF("user_id", "ts")
+    val all = humans.unionByName(Relational.synthBots(spark, nBots = 2, perBot = 100))
+    val out = Relational.botDetect(all).collect().map(_.getAs[Long]("user_id")).toSet
+    assert(out == Set(9000L, 9001L))
+  }
+
   test("semantic dedup: keeps lowest id, all drops above threshold, partition-invariant") {
     // deterministic synthetic embeddings + exact ×1.0 copies (same cell
     // guaranteed — identical vectors route identically)
