@@ -2297,6 +2297,59 @@ object OracleSql {
          |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) > 2000 AS capped
          |FROM r, l ORDER BY domain""".stripMargin,
 
+    // mirrors Sitemaps.coverage over synthSitemaps ∪ LinkGraph corpus:
+    // full outer on the url key, per-domain backlog/orphan rollup
+    "sitemap_coverage" ->
+      """WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 24)),
+        |sm AS (SELECT 'https://site0.example/a/p' || i AS u FROM ids
+        |  UNION ALL SELECT 'https://site0.example/a?x=1&y=2'
+        |  UNION ALL SELECT 'https://site0.example/ok'),
+        |cr AS (SELECT 'https://site' || (p%8) || '.example/a/p' || p AS u
+        |  FROM (SELECT CAST(range AS BIGINT) AS p FROM range(0, 40))),
+        |j AS (SELECT coalesce(sm.u, cr.u) AS u,
+        |  CASE WHEN sm.u IS NULL THEN 0 ELSE 1 END AS s,
+        |  CASE WHEN cr.u IS NULL THEN 0 ELSE 1 END AS c
+        |  FROM sm FULL OUTER JOIN cr ON sm.u = cr.u)
+        |SELECT regexp_extract(u, '^https?://([^/]+)/', 1) AS domain,
+        |  CAST(sum(s) AS BIGINT) AS n_sitemap,
+        |  CAST(sum(c) AS BIGINT) AS n_crawled,
+        |  CAST(sum(s * c) AS BIGINT) AS n_both,
+        |  CAST(sum(s * (1 - c)) AS BIGINT) AS n_sitemap_only,
+        |  CAST(sum((1 - s) * c) AS BIGINT) AS n_crawled_only
+        |FROM j GROUP BY 1 ORDER BY domain""".stripMargin,
+
+    // mirrors TextStats.corpusWithUrlMentions + urlMentions: three
+    // planting channels, the same regex extraction + punctuation strip +
+    // host case-fold
+    "text_urls" ->
+      """WITH t AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' see https://ref' || (doc_id%7) || '.example/x?b=2&a=1' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' via http://Mirror' || (doc_id%4) || '.Example.org/path.' ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' (www.bare' || (doc_id%3) || '.example/q)' ELSE '' END AS text
+        | FROM documents),
+        |m AS (SELECT doc_id,
+        |  list_transform(regexp_extract_all(text, '(?:https?://|www\.)[^\s)]+'),
+        |    x -> regexp_replace(x, '[.,;!?]+$', '')) AS mentions FROM t),
+        |h AS (SELECT doc_id, mentions,
+        |  list_transform(mentions, c -> lower(regexp_extract(c, '^(?:https?://)?([^/?#]+)', 1))) AS hosts
+        | FROM m WHERE len(mentions) > 0)
+        |SELECT doc_id, CAST(len(mentions) AS BIGINT) AS n_urls,
+        |  CAST(len(list_distinct(hosts)) AS BIGINT) AS n_hosts,
+        |  array_to_string(list_sort(list_distinct(hosts)), ',') AS hosts_csv
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // mirrors HtmlFeatures.templates: md5 of the scanner's open-tag
+    // sequence over synthHtml — formula replay of the DOM shape
+    "html_templates" ->
+      """WITH s AS (SELECT doc_id,
+        |  md5('html,head' || repeat(',script', CAST(doc_id%4 AS INT)) || ',body' ||
+        |      repeat(',p', CAST(1+doc_id%5 AS INT)) || repeat(',iframe', CAST(doc_id%3 AS INT)) ||
+        |      repeat(',form,input', CAST(doc_id%2 AS INT)) || repeat(',a', CAST(doc_id%6 AS INT))) AS fp
+        | FROM documents)
+        |SELECT fp AS template_fp, CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc_id
+        |FROM s GROUP BY fp ORDER BY fp""".stripMargin,
+
     // mirrors Sketches.hllMerge: per-snapshot registers, union registers
     // by max — associativity means the union estimate equals sketching
     // the union; all integer, replayed exactly

@@ -1709,6 +1709,33 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    "sitemap_coverage" -> ((s, dir) => {
+      // discovery-debt audit: sitemap urls vs crawled urls, full outer on
+      // the url key, per-domain backlog/orphan counts
+      graft.ops.Sitemaps.coverage(
+        graft.ops.Sitemaps.entries(graft.ops.Sitemaps.synthSitemaps(s)),
+        graft.ops.LinkGraph.synthCorpus(s, 40).toDF().select(col("url")))
+        .orderBy("domain")
+    }),
+
+    "text_urls" -> ((s, dir) => {
+      // bare-URL mining from plain text: trailing-punct strip, www forms,
+      // host case-fold — one codegen'd regexp/array projection, zero
+      // shuffle; planted mentions via three residue channels
+      TextStats.urlMentions(TextStats.corpusWithUrlMentions(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("doc_id")
+    }),
+
+    "html_templates" -> ((s, dir) => {
+      // DOM-shape template detection: md5 of the REAL scanner's open-tag
+      // sequence (script-body decoys must not perturb the shape), one
+      // algebraic rollup on the 16-byte fingerprint
+      graft.ops.HtmlFeatures.templates(
+        docs(s, dir, "documents").select(col("doc_id")))
+        .orderBy("template_fp")
+    }),
+
     "sketch_hll_merge" -> ((s, dir) => {
       // the HLL payoff at 10^12 rows: union distinct counts from stored
       // register state (max-merge), never a re-scan; snapshot b adds /v2

@@ -92,6 +92,65 @@ object HtmlFeatures {
       s"<body>$ps$iframes$forms$as</body></html>"
   }
 
+  /** Open-tag name sequence in document order — same scanner discipline
+    * as [[features]] (script/style raw-text bodies and comments skipped,
+    * so decoy tags can't perturb the shape). This is the page's DOM-SHAPE
+    * signature: two pages of the same template produce the same sequence
+    * whatever their text says. */
+  def tagSequence(html: String): String = {
+    if (html == null) return ""
+    val out = new StringBuilder
+    var i = 0
+    while (i < html.length) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { i = html.length }
+      else if (html.startsWith("<!--", lt)) {
+        val end = html.indexOf("-->", lt + 4)
+        i = if (end < 0) html.length else end + 3
+      } else {
+        val gt = html.indexOf('>', lt)
+        if (gt < 0) { i = html.length }
+        else {
+          val inner = html.substring(lt + 1, gt)
+          val closing = inner.startsWith("/")
+          val name = (if (closing) inner.drop(1) else inner)
+            .takeWhile(_.isLetter).toLowerCase(java.util.Locale.ROOT)
+          if (!closing && name.nonEmpty) {
+            if (out.nonEmpty) out.append(',')
+            out.append(name)
+            if (name == "script" || name == "style") {
+              val close = skipTo(html, gt + 1, "</" + name)
+              i = if (close >= html.length) html.length
+                  else math.max(html.indexOf('>', close) + 1, close + name.length + 2)
+            } else i = gt + 1
+          } else i = gt + 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Template detection — the boilerplate-at-scale signal: pages sharing
+    * a DOM-shape fingerprint are instances of one template (listing
+    * pages, tag archives, calendar spam), and a corpus that is 95% one
+    * template wants per-template caps, not per-page scoring. Fingerprint
+    * = md5 of the real scanner's tag sequence (decoy-proof); one narrow
+    * parse + one algebraic rollup on the 16-byte fingerprint key. */
+  def templates(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { d =>
+        val fp = java.security.MessageDigest.getInstance("MD5")
+          .digest(tagSequence(synthHtml(d)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(x => f"$x%02x").mkString
+        (d, fp)
+      }
+      .toDF("doc_id", "template_fp")
+      .groupBy("template_fp")
+      .agg(count(lit(1)).as("n_pages"), min(col("doc_id")).as("min_doc_id"))
+  }
+
   /** The routing op: synthesize → parse → project + SPA heuristic
     * (script-heavy AND text-light → needs a rendering fetch). */
   def routing(docs: DataFrame): DataFrame = {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets.UTF_8
 import graft.core.html.HtmlExtract
 
@@ -143,5 +144,35 @@ object Sitemaps {
       ("https://site0.example/truncated.xml", truncated.getBytes(UTF_8)),
       ("https://site0.example/notxml.bin", Array[Byte](1, 2, 3, 4))
     ).toDF("url", "body")
+  }
+
+  /** Sitemap-vs-crawl coverage audit — the discovery-debt report a crawl
+    * operator reads weekly: per domain, how many sitemap urls were never
+    * fetched (sitemap_only — backlog or dead entries) and how many
+    * fetched urls the sitemap never declared (crawled_only — orphan pages
+    * reachable only by links, often the stalest). Full outer join on the
+    * url key, then one algebraic rollup per domain.
+    *
+    * Scale shape: both sides project to bare url strings first (the
+    * sitemap table is site-sized, the crawl table corpus-sized); the
+    * join shuffles url keys only; counts are conditional sums — one
+    * Exchange each side + one rollup. */
+  def coverage(entries: DataFrame, crawledUrls: DataFrame): DataFrame = {
+    val sm = entries.where(col("kind") === "url")
+      .select(col("loc").as("u")).distinct()
+      .withColumn("in_sitemap", lit(1L))
+    val cr = crawledUrls.select(col("url").as("u")).distinct()
+      .withColumn("crawled", lit(1L))
+    sm.join(cr, Seq("u"), "full_outer")
+      .select(
+        regexp_extract(col("u"), "^https?://([^/]+)/", 1).as("domain"),
+        coalesce(col("in_sitemap"), lit(0L)).as("s"),
+        coalesce(col("crawled"), lit(0L)).as("c"))
+      .groupBy("domain")
+      .agg(sum(col("s")).as("n_sitemap"),
+           sum(col("c")).as("n_crawled"),
+           sum(col("s") * col("c")).as("n_both"),
+           sum(col("s") * (lit(1L) - col("c"))).as("n_sitemap_only"),
+           sum((lit(1L) - col("s")) * col("c")).as("n_crawled_only"))
   }
 }

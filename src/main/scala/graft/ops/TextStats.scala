@@ -465,6 +465,45 @@ object TextStats {
     out
   }
 
+  /** Deterministic bare-URL planting (the corpus text has none): three
+    * independent residue channels append mentions with the messiness an
+    * extractor must survive — trailing punctuation, parenthesized
+    * scheme-less www forms, host case noise. Mirrored verbatim in the
+    * DuckDB oracle. */
+  def corpusWithUrlMentions(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" see https://ref"), col("doc_id") % 7,
+            lit(".example/x?b=2&a=1"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" via http://Mirror"), col("doc_id") % 4,
+            lit(".Example.org/path."))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" (www.bare"), col("doc_id") % 3,
+            lit(".example/q)"))).otherwise(lit(""))))
+
+  /** Bare-URL mining from plain text — the reference-graph enrichment a
+    * text corpus gets without any html: every http(s)/www mention,
+    * trailing punctuation stripped, host lowercased. Per doc: mention
+    * count, distinct-host count, and the sorted host list. One codegen'd
+    * projection of regexp/array built-ins — zero shuffle, zero UDFs; at
+    * 100 TB this is a narrow pass whose output is 10³× smaller than its
+    * input. */
+  def urlMentions(docs: DataFrame): DataFrame = {
+    val raw = expr("""regexp_extract_all(text, '(?:https?://|www\\.)[^\\s)]+', 0)""")
+    val cleaned = transform(raw, m => regexp_replace(m, "[.,;!?]+$", ""))
+    val hosts = transform(cleaned, c =>
+      lower(regexp_extract(c, "^(?:https?://)?([^/?#]+)", 1)))
+    docs
+      .select(col("doc_id"), cleaned.as("mentions"), hosts.as("hosts"))
+      .where(size(col("mentions")) > 0)
+      .select(col("doc_id"),
+        size(col("mentions")).cast("long").as("n_urls"),
+        size(array_distinct(col("hosts"))).cast("long").as("n_hosts"),
+        array_join(array_sort(array_distinct(col("hosts"))), ",").as("hosts_csv"))
+  }
+
   /** Integer IDF rarity score per document — the corpus-relative novelty
     * signal (boilerplate-heavy docs score near 0, jargon/OOV-heavy docs
     * score high; mixture designers use it to up-weight rare content).

@@ -51,6 +51,42 @@ class MirrorsSpec extends AnyFunSuite {
     assert(m(("other.net", "lang")) == ((1L, 1L, 1000L)))
   }
 
+  test("tag sequence: decoys in script bodies and comments do not perturb the shape") {
+    val html = """<html><head><!-- <p>x</p> --><script>a("<iframe>")</script></head>
+                 |<body><p>t</p><a href="/x">y</a></body></html>""".stripMargin
+    assert(HtmlFeatures.tagSequence(html) == "html,head,script,body,p,a")
+    // identical shape, different text → same fingerprint input
+    val html2 = html.replace(">t<", ">completely different text<")
+    assert(HtmlFeatures.tagSequence(html2) == HtmlFeatures.tagSequence(html))
+    assert(HtmlFeatures.tagSequence(null) == "")
+  }
+
+  test("sitemap coverage: backlog and orphans both counted") {
+    import spark.implicits._
+    val entries = Seq(
+      ("s", "url", "https://a.com/1"), ("s", "url", "https://a.com/2"),
+      ("s", "url", "https://a.com/3"), ("s", "sitemap", "https://a.com/child.xml"))
+      .toDF("sitemap", "kind", "loc")
+    val crawled = Seq("https://a.com/2", "https://a.com/9", "https://b.net/1")
+      .toDF("url")
+    val m = Sitemaps.coverage(entries, crawled).collect()
+      .map(r => r.getString(0) -> r.toSeq.tail.map(_.asInstanceOf[Long])).toMap
+    assert(m("a.com") == Seq(3L, 2L, 1L, 2L, 1L)) // sitemap,crawled,both,backlog,orphan
+    assert(m("b.net") == Seq(0L, 1L, 0L, 0L, 1L))
+  }
+
+  test("url mentions: punctuation strip, www form, case-folded hosts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "read https://X.Example/a, then (www.y.example/b) now."),
+      (2L, "no links here")).toDF("doc_id", "text")
+    val out = TextStats.urlMentions(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_urls") == 2L && r.getAs[Long]("n_hosts") == 2L)
+    assert(r.getAs[String]("hosts_csv") == "www.y.example,x.example")
+  }
+
   test("concentration: integer HHI and top share") {
     // 8 docs: 4 on a, 2 on b, 1 on c, 1 on d
     val norm = (Seq.fill(4)("a.com") ++ Seq.fill(2)("b.com") ++
