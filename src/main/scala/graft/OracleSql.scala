@@ -2297,6 +2297,57 @@ object OracleSql {
          |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) > 2000 AS capped
          |FROM r, l ORDER BY domain""".stripMargin,
 
+    // pinned goldens: one parse per document feeding BOTH modalities —
+    // page png md5 (deterministic rasterizer) + the reference-golden page
+    // text (text.pdf p0 = the 438-char Lorem golden; multipage pages are
+    // the "Page\nN" literals, reference tests/test_textpage.py)
+    "vlm_page_pairs" ->
+      """SELECT url, CAST(page_idx AS BIGINT) AS page_idx,
+        |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |  png_md5, CAST(n_chars AS BIGINT) AS n_chars, text_prefix
+        |FROM (VALUES
+        |  ('fixture://multipage.pdf', 0, 596, 842, '9291365661a5f01d6c7236a48ee06186', 7, 'Page' || chr(10) || '1'),
+        |  ('fixture://multipage.pdf', 1, 596, 420, '6c3fff17597d59564a1a0c580f78d536', 7, 'Page' || chr(10) || '2'),
+        |  ('fixture://multipage.pdf', 2, 298, 420, 'b8814fc83b9478709ef7ae98e3e3d76c', 7, 'Page' || chr(10) || '3'),
+        |  ('fixture://text.pdf', 0, 596, 842, 'f89a0b2b7c3d67734b367283008d44d6', 438,
+        |   'Lorem ipsum dolor sit amet,' || chr(10) || 'consectetur '),
+        |  ('fixture://text.pdf', 1, 596, 842, '2cf45d80a35b2bc978e7cc5c772c194d', 103,
+        |   'https://www.wikipedia.org/' || chr(10) || 'https://www.o')
+        |) AS t(url, page_idx, width, height, png_md5, n_chars, text_prefix)
+        |ORDER BY url, page_idx""".stripMargin,
+
+    // mirrors Graph.reciprocity over synthEdges: swapped-key self-join,
+    // one-row integer audit
+    "graph_reciprocity" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS src, (doc_id*7+3) % n AS dst FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*13+11) % n FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*31+17) % n FROM documents, nn),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |r AS (SELECT count(*) AS n_recip FROM edges x JOIN edges y
+        |      ON x.src = y.dst AND x.dst = y.src),
+        |t AS (SELECT count(*) AS n_edges FROM edges)
+        |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+        |  CAST(n_recip AS BIGINT) AS n_reciprocal,
+        |  CAST(CASE WHEN n_edges = 0 THEN 0 ELSE n_recip * 1000 // n_edges END AS BIGINT)
+        |    AS reciprocity_permille
+        |FROM r, t""".stripMargin,
+
+    // mirrors Relational.transitions: per-user lead over (ts, event_id),
+    // (from,to) rollup, per-from permille
+    "events_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, sum(n) AS ft FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+        |  CAST(c.n * 1000 // f.ft AS BIGINT) AS share_permille
+        |FROM c JOIN f USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+
     // mirrors Sitemaps.coverage over synthSitemaps ∪ LinkGraph corpus:
     // full outer on the url key, per-domain backlog/orphan rollup
     "sitemap_coverage" ->

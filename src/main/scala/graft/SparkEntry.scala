@@ -1709,6 +1709,30 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    "vlm_page_pairs" -> ((s, _) => {
+      // (page image, page text) aligned pairs off ONE parse per document
+      // — the VLM training-data export; png md5 + geometry + text pinned
+      import s.implicits._
+      graft.ops.Multimodal.vlmPagePairs(
+        PagesTable.ofFixtures(s, Seq("text.pdf", "multipage.pdf")))
+        .toDF().orderBy("url", "page_idx")
+    }),
+
+    "graph_reciprocity" -> ((s, dir) => {
+      // link-farm signal: one swapped-key self-join of the ids-only edge
+      // list, one-row integer audit
+      val d = docs(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = d.count()
+      graft.ops.Graph.reciprocity(graft.ops.Graph.synthEdges(d, n))
+    }),
+
+    "events_transitions" -> ((s, dir) => {
+      // behavioral (from → to) bigram matrix: user-partitioned lead
+      // window, event-type-sized rollup, broadcast per-from totals
+      graft.ops.Relational.transitions(docs(s, dir, "events"))
+        .orderBy("from_type", "to_type")
+    }),
+
     "sitemap_coverage" -> ((s, dir) => {
       // discovery-debt audit: sitemap urls vs crawled urls, full outer on
       // the url key, per-domain backlog/orphan counts

@@ -164,4 +164,23 @@ object Graph {
     }
     dist.select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
+
+  /** Link reciprocity — the link-farm signal: organic webs are heavily
+    * asymmetric (you link Wikipedia, it doesn't link back); paid link
+    * rings reciprocate. One self-join of the edge list on the swapped
+    * key (sort-merge on (src,dst) vs (dst,src) — ids only), one global
+    * algebraic rollup to a single audit row. Integer permille. */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true) // read twice: both self-join sides
+    val recip = e.as("x").join(e.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .select(col("x.src"), col("x.dst"))
+    val n = e.count()
+    val r = recip.count()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((n, r, if (n == 0) 0L else r * 1000L / n))
+      .toDF("n_edges", "n_reciprocal", "reciprocity_permille")
+  }
 }

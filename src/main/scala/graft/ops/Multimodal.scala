@@ -79,6 +79,48 @@ object Multimodal {
     }
   }
 
+  final case class VlmPair(
+      url: String,
+      page_idx: Long,
+      width: Long,
+      height: Long,
+      png_md5: String,
+      n_chars: Long,
+      text_prefix: String)
+
+  /** (page image, page text) training pairs — the export a VLM data
+    * pipeline actually writes: per PDF page, the rendered bitmap NEXT TO
+    * the extracted text of the SAME page, aligned by construction. The
+    * document parses ONCE per row and both modalities come off that one
+    * parse (render + text-page assembly share the object tree and fonts)
+    * — running the image op and the text op separately would parse every
+    * payload twice, the exact double-parse shape the fused
+    * `pdf_stats_native` expression eliminated for stats. Narrow flatMap;
+    * at 100 TB the pairs ride straight to the sink. Emits the png as an
+    * md5 pin + geometry here; a production sink keeps the bytes. */
+  def vlmPagePairs(pages: Dataset[PageRow], scale: Double = 1.0,
+                   maxPages: Int = 32): Dataset[VlmPair] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap { r =>
+      if (r.html == null) Iterator.empty
+      else graft.core.PdfDocument.load(r.html) match {
+        case Left(_) => Iterator.empty
+        case Right(doc) =>
+          (0 until math.min(doc.pageCount, maxPages)).iterator.map { i =>
+            val bmp = graft.core.render.Rasterizer.render(doc.page(i), scale)
+            val png = bmp.toPng
+            val md5 = java.security.MessageDigest.getInstance("MD5")
+              .digest(png).map(x => f"$x%02x").mkString
+            val text = graft.core.TextPage.build(doc.page(i)).text
+            VlmPair(r.url, i.toLong, bmp.width.toLong, bmp.height.toLong,
+              md5, text.length.toLong,
+              text.replace("\r\n", "\n").take(40))
+          }
+      }
+    }
+  }
+
   /** Typed audio/video metadata — the multimodal-column contract for
     * non-image payloads: the sample/frame DECODE stays stubbed (no codecs
     * in the container), but the container headers are parsed for real.

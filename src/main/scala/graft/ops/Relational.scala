@@ -209,6 +209,33 @@ object Relational {
       .select("user_id", "n_events", "span_ms", "rate_per_min", "n_gaps")
   }
 
+  /** Event-transition mining: the (from → to) bigram matrix of user
+    * behavior — the base artifact for Markov session models, funnel
+    * discovery, and bot fingerprinting (scripted clients have degenerate
+    * transition rows). Per user, events ordered by (ts, event_id) —
+    * deterministic under timestamp ties — lag-paired, then one algebraic
+    * (from, to) rollup; the per-from totals re-attach via a broadcast
+    * (|event types|² rows). Integer permille.
+    *
+    * Scale shape: the window partitions by user (bounded per-user rows,
+    * no global sort); the rollup output is event-type-cardinality-sized
+    * regardless of corpus size. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // tiny; read twice (totals + join)
+    val fromTotals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("ft"))
+    pairs.join(broadcast(fromTotals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000 div ft").as("share_permille"))
+  }
+
   /** Deterministic scripted-client synthesis: `nBots` users (ids 9000+b)
     * each firing `perBot` events at exact 2-second intervals from
     * 2024-01-01T00:00:00Z — the planted positives [[botDetect]] must flag

@@ -133,6 +133,29 @@ class SketchSpec extends AnyFunSuite {
     assert(m("cold") == ((10L, false)))
   }
 
+  test("reciprocity: mutual pairs counted, one-way links are not") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val r = Graph.reciprocity(edges).collect().head
+    assert(r.getAs[Long]("n_edges") == 5L)
+    assert(r.getAs[Long]("n_reciprocal") == 4L) // both directions of both pairs
+    assert(r.getAs[Long]("reciprocity_permille") == 800L)
+  }
+
+  test("transitions: lead pairs per user, permille within from-type") {
+    val ts = (i: Int) => new java.sql.Timestamp(1704067200000L + i * 1000L)
+    val ev = Seq(
+      (1L, ts(0), 0L, "view"), (1L, ts(1), 1L, "click"), (1L, ts(2), 2L, "view"),
+      (2L, ts(0), 3L, "view"), (2L, ts(1), 4L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val m = Relational.transitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("share_permille"))).toMap
+    assert(m(("view", "click")) == ((2L, 1000L)))
+    assert(m(("click", "view")) == ((1L, 1000L)))
+    assert(m.size == 2)
+  }
+
   test("hll merge: union estimate equals sketching the union directly") {
     val a = (0 until 300).map(i => ("a", "d.com", s"https://d.com/$i"))
     val b = (150 until 450).map(i => ("b", "d.com", s"https://d.com/$i"))
