@@ -2297,6 +2297,59 @@ object OracleSql {
          |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) > 2000 AS capped
          |FROM r, l ORDER BY domain""".stripMargin,
 
+    // pinned goldens: writer-built portfolio round-trips through the
+    // parser; the inner multipage.pdf re-extracts to the reference
+    // per-page literals
+    "pdf_portfolio" ->
+      """SELECT url, att_name, is_pdf, CAST(n_pages AS BIGINT) AS n_pages,
+        |  CAST(n_chars AS BIGINT) AS n_chars, text_prefix
+        |FROM (VALUES
+        |  ('fixture://portfolio.pdf', 'inner.pdf', true, 3, 25,
+        |   'Page' || chr(10) || '1' || chr(10) || 'Page' || chr(10) || '2' || chr(10) || 'Page' || chr(10) || '3'),
+        |  ('fixture://portfolio.pdf', 'note.txt', false, 0, 21, '')
+        |) AS t(url, att_name, is_pdf, n_pages, n_chars, text_prefix)
+        |ORDER BY att_name""".stripMargin,
+
+    // pinned goldens: bookmark titles are the reference TOC goldens
+    // (tests/expectations/toc*.txt); spans derive from the bookmarks'
+    // destination pages, char sums from per-page extraction
+    "pdf_toc_chunks" ->
+      """SELECT url, CAST(idx AS BIGINT) AS idx, CAST(level AS BIGINT) AS level,
+        |  title, CAST(page_from AS BIGINT) AS page_from,
+        |  CAST(page_to AS BIGINT) AS page_to, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (VALUES
+        |  ('fixture://toc.pdf', 0, 0, 'One', 0, 0, 117),
+        |  ('fixture://toc.pdf', 1, 1, 'One-A', 0, 0, 117),
+        |  ('fixture://toc.pdf', 2, 1, 'One-B', 0, 0, 117),
+        |  ('fixture://toc.pdf', 3, 2, 'One-B-I', 0, 0, 117),
+        |  ('fixture://toc.pdf', 4, 2, 'One-B-II', 0, 0, 117),
+        |  ('fixture://toc.pdf', 5, 0, 'Two', 0, 0, 117),
+        |  ('fixture://toc.pdf', 6, 0, 'Three', 1, 1, 64),
+        |  ('fixture://toc.pdf', 7, 1, 'Three-A', 1, 1, 64),
+        |  ('fixture://toc.pdf', 8, 1, 'Three-B', 1, 1, 64),
+        |  ('fixture://toc_maxdepth.pdf', 0, 0, '1.outline', 0, 0, 59),
+        |  ('fixture://toc_maxdepth.pdf', 1, 1, '1.1.outline', 0, 0, 59),
+        |  ('fixture://toc_maxdepth.pdf', 2, 2, '1.1.1.outline', 0, 0, 59),
+        |  ('fixture://toc_maxdepth.pdf', 3, 3, '1.1.1.1.outline', 0, 0, 59),
+        |  ('fixture://toc_maxdepth.pdf', 4, 4, '1.1.1.1.1.outline', 0, 0, 59),
+        |  ('fixture://toc_maxdepth.pdf', 5, 5, '1.1.1.1.1.1outline', 0, 0, 59),
+        |  ('fixture://toc_maxdepth.pdf', 6, 6, '1.1.1.1.1.1.outline', 0, 0, 59),
+        |  ('fixture://toc_maxdepth.pdf', 7, 7, '1.1.1.1.1.1.1.outline', 0, 0, 59),
+        |  ('fixture://toc_maxdepth.pdf', 8, 8, '1.1.1.1.1.1.1.1.outline', 0, 0, 59),
+        |  ('fixture://toc_maxdepth.pdf', 9, 9, '1.1.1.1.1.1.1.1.1.outline', 0, 0, 59),
+        |  ('fixture://toc_maxdepth.pdf', 10, 10, '1.1.1.1.1.1.1.1.1.1.outline', 0, 0, 59),
+        |  ('fixture://toc_maxdepth.pdf', 11, 11, '1.1.1.1.1.1.1.1.1.1.1.outline', 0, 0, 59),
+        |  ('fixture://toc_maxdepth.pdf', 12, 12, '1.1.1.1.1.1.1.1.1.1.1.1.outline', 0, 0, 59),
+        |  ('fixture://toc_maxdepth.pdf', 13, 13, '1.1.1.1.1.1.1.1.1.1.1.1.1.outline', 0, 0, 59),
+        |  ('fixture://toc_maxdepth.pdf', 14, 14, '1.1.1.1.1.1.1.1.1.1.1.1.1.1.outline', 0, 0, 59),
+        |  ('fixture://toc_maxdepth.pdf', 15, 0, '2.outline', 1, 1, 67),
+        |  ('fixture://toc_maxdepth.pdf', 16, 1, '2.1.outline', 1, 1, 67),
+        |  ('fixture://toc_maxdepth.pdf', 17, 2, '2.1.1.outline', 1, 1, 67),
+        |  ('fixture://toc_maxdepth.pdf', 18, 3, '2.1.1.1.outline', 1, 1, 67),
+        |  ('fixture://toc_maxdepth.pdf', 19, 1, '2.2 outline', 1, 1, 67)
+        |) AS t(url, idx, level, title, page_from, page_to, n_chars)
+        |ORDER BY url, idx""".stripMargin,
+
     // pinned goldens: one parse per document feeding BOTH modalities —
     // page png md5 (deterministic rasterizer) + the reference-golden page
     // text (text.pdf p0 = the 438-char Lorem golden; multipage pages are

@@ -1709,6 +1709,27 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    "pdf_portfolio" -> ((s, _) => {
+      // recursive attachment extraction (1 level — the zip-bomb guard):
+      // writer-built portfolio (text.pdf + attached multipage.pdf + txt)
+      // round-trips through the parser; PDF attachments re-extract on
+      // the same task
+      import s.implicits._
+      val rows = Seq(PageRow("fixture://portfolio.pdf",
+        new java.sql.Timestamp(1704067200000L),
+        graft.ops.PdfCompose.synthPortfolio(), null, "en")).toDS()
+      graft.ops.PdfCompose.portfolioExtract(rows).toDF().orderBy("att_name")
+    }),
+
+    "pdf_toc_chunks" -> ((s, _) => {
+      // TOC-aware section chunking: bookmark destinations bound titled
+      // sections (never straddling a chapter), per-page char sums off the
+      // same parse
+      graft.ops.PdfCompose.tocChunks(
+        PagesTable.ofFixtures(s, Seq("toc.pdf", "toc_maxdepth.pdf")))
+        .toDF().orderBy("url", "idx")
+    }),
+
     "vlm_page_pairs" -> ((s, _) => {
       // (page image, page text) aligned pairs off ONE parse per document
       // — the VLM training-data export; png md5 + geometry + text pinned

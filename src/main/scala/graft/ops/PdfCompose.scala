@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.spark.PageRow
+
+/** Composed PDF-corpus operators: pipelines that chain the core engine's
+  * pieces (writer → attachments → parser → text assembly → TOC) the way a
+  * real archive-mining job does. Both are narrow typed maps — parse where
+  * scanned, emit stat rows only. */
+object PdfCompose {
+
+  final case class PortfolioRow(url: String, att_name: String, is_pdf: Boolean,
+                                n_pages: Long, n_chars: Long, text_prefix: String)
+
+  /** Recursive attachment extraction — PDF portfolios and email archives
+    * carry whole PDFs as embedded files (reference attachment surface:
+    * document.py:340-388); a corpus pipeline that stops at the host
+    * document silently drops that text. One level deep by design:
+    * real-world portfolios are flat, and bounding the depth is the
+    * zip-bomb guard (a chain of PDFs-in-PDFs cannot recurse a task to
+    * death). Emits one row per attachment: PDF attachments get parsed
+    * (page/char counts + prefix off the SAME task), non-PDFs report
+    * is_pdf=false with byte length in n_chars. */
+  def portfolioExtract(pages: Dataset[PageRow]): Dataset[PortfolioRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap { p =>
+      if (p.html == null) Iterator.empty
+      else graft.core.PdfDocument.load(p.html) match {
+        case Left(_) => Iterator.empty
+        case Right(doc) =>
+          doc.attachments.iterator.map { a =>
+            graft.core.PdfDocument.load(a.data) match {
+              case Right(inner) =>
+                val r = graft.core.Extract.extractText(a.data)
+                val text = r.fullText
+                PortfolioRow(p.url, a.name, is_pdf = true,
+                  inner.pageCount.toLong, text.length.toLong,
+                  text.replace("\r\n", "\n").take(30))
+              case Left(_) =>
+                PortfolioRow(p.url, a.name, is_pdf = false,
+                  0L, a.data.length.toLong, "")
+            }
+          }
+      }
+    }
+  }
+
+  /** Deterministic portfolio synthesis: text.pdf rewritten by the writer
+    * with multipage.pdf and a plain-text note attached — the writer →
+    * parser round trip IS the fixture (no binary blobs checked in). */
+  def synthPortfolio(): Array[Byte] = {
+    val host = graft.core.PdfDocument.load(
+      graft.spark.PagesTable.fixture("text.pdf")).toOption.get
+    graft.core.PdfWriter.writeEdited(host, graft.core.EditSpec(
+      newAttachments = Seq(
+        ("inner.pdf", graft.spark.PagesTable.fixture("multipage.pdf")),
+        ("note.txt", "plain text attachment".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)))))
+  }
+
+  final case class TocChunk(url: String, idx: Long, level: Long, title: String,
+                            page_from: Long, page_to: Long, n_chars: Long)
+
+  /** TOC-aware section chunking — the PDF analog of heading-aware HTML
+    * chunking for LM data prep: split a document into titled sections at
+    * its bookmark destinations instead of arbitrary char windows, so a
+    * chunk never straddles a chapter boundary. Section i spans from its
+    * destination page to the page before the NEXT bookmark's destination
+    * (document order; bookmarks without a resolvable destination are
+    * skipped); n_chars sums the per-page extracted text in the span.
+    * One parse per row feeds TOC walk + per-page text assembly. */
+  def tocChunks(pages: Dataset[PageRow], maxDepth: Int = 15): Dataset[TocChunk] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap { p =>
+      if (p.html == null) Iterator.empty
+      else graft.core.PdfDocument.load(p.html) match {
+        case Left(_) => Iterator.empty
+        case Right(doc) =>
+          val pageChars = (0 until doc.pageCount)
+            .map(i => graft.core.TextPage.build(doc.page(i)).text.length.toLong)
+          val bms = doc.toc(maxDepth).filter(_.dest.isDefined)
+          val starts = bms.map(_.dest.get.pageIndex)
+          bms.zipWithIndex.iterator.map { case (bm, i) =>
+            val from = starts(i)
+            // the section ends where the next section starts (document
+            // order), except same-page successors share the page
+            val to = if (i + 1 < starts.length) math.max(from, starts(i + 1) - 1)
+                     else doc.pageCount - 1
+            val n = (from to to).map(pg => pageChars(pg)).sum
+            TocChunk(p.url, i.toLong, bm.level.toLong, bm.title,
+              from.toLong, to.toLong, n)
+          }
+      }
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSessionFixture
+import graft.spark.{PageRow, PagesTable}
+
+/** Composed PDF pipelines: portfolio recursion, TOC chunking. */
+class PdfComposeSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  test("portfolio: writer-attached PDF re-extracts; non-PDF reported; depth bounded") {
+    val rows = Seq(PageRow("p://1", new java.sql.Timestamp(0L),
+      PdfCompose.synthPortfolio(), null, "en")).toDS()
+    val out = PdfCompose.portfolioExtract(rows).collect()
+      .map(r => r.att_name -> r).toMap
+    assert(out("inner.pdf").is_pdf && out("inner.pdf").n_pages == 3L)
+    assert(out("inner.pdf").text_prefix.startsWith("Page\n1"))
+    assert(!out("note.txt").is_pdf && out("note.txt").n_chars == 21L)
+    // depth bound: a portfolio INSIDE a portfolio is listed, not recursed
+    val host2 = graft.core.PdfDocument.load(PagesTable.fixture("text.pdf")).toOption.get
+    val nested = graft.core.PdfWriter.writeEdited(host2, graft.core.EditSpec(
+      newAttachments = Seq(("level1.pdf", PdfCompose.synthPortfolio()))))
+    val out2 = PdfCompose.portfolioExtract(
+      Seq(PageRow("p://2", new java.sql.Timestamp(0L), nested, null, "en")).toDS())
+      .collect()
+    assert(out2.length == 1 && out2.head.att_name == "level1.pdf" && out2.head.is_pdf)
+  }
+
+  test("toc chunks: spans partition the document in order, char sums match pages") {
+    val out = PdfCompose.tocChunks(PagesTable.ofFixtures(spark, Seq("toc.pdf")))
+      .collect().sortBy(_.idx)
+    assert(out.length == 9)
+    assert(out.head.title == "One" && out.head.page_from == 0L)
+    // a section never starts before the previous one
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.page_from >= a.page_from)
+    }
+    // same-page siblings share the span; the last section runs to the end
+    assert(out.last.page_to == 1L)
+    // malformed TOC (cycle) must not hang or throw
+    val circ = PdfCompose.tocChunks(PagesTable.ofFixtures(spark, Seq("toc_circular.pdf")))
+      .collect()
+    assert(circ.length >= 0)
+  }
+}
