@@ -2297,6 +2297,31 @@ object OracleSql {
          |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) > 2000 AS capped
          |FROM r, l ORDER BY domain""".stripMargin,
 
+    // mirrors Warc.wetShards: per-shard ordered concatenation digest —
+    // string_agg ORDER BY replays the incremental MessageDigest
+    "wet_shards" ->
+      """WITH r AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  'WARC/1.0'||chr(13)||chr(10)||'WARC-Type: conversion'||chr(13)||chr(10)||
+        |  'WARC-Target-URI: https://example.com/doc/'||CAST(doc_id AS VARCHAR)||chr(13)||chr(10)||
+        |  'Content-Length: '||CAST(octet_length(encode(text)) AS VARCHAR)||chr(13)||chr(10)||chr(13)||chr(10)||
+        |  text||chr(13)||chr(10)||chr(13)||chr(10) AS rec
+        | FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(sum(octet_length(encode(rec))) AS BIGINT) AS n_bytes,
+        |  md5(string_agg(rec, '' ORDER BY doc_id)) AS shard_md5
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // mirrors Hreflang.clusters over synthMultilingual(40): the cluster
+    // key is md5 of the sorted alternate-url set; langs from the three
+    // self-declaring pages
+    "hreflang_clusters" ->
+      """SELECT md5('https://t.example/' || g || '/de' || chr(10) ||
+        |           'https://t.example/' || g || '/en' || chr(10) ||
+        |           'https://t.example/' || g || '/fr') AS cluster_key,
+        |  CAST(3 AS BIGINT) AS n_pages, 'de,en,fr' AS langs_csv
+        |FROM (SELECT CAST(range AS BIGINT) AS g FROM range(0, 40))
+        |ORDER BY cluster_key""".stripMargin,
+
     // pinned goldens: writer-built portfolio round-trips through the
     // parser; the inner multipage.pdf re-extracts to the reference
     // per-page literals

@@ -1709,6 +1709,24 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    "wet_shards" -> ((s, dir) => {
+      // the WET export JOB: records route to doc_id%8 shards, each shard
+      // md5-digested INCREMENTALLY in one mapGroups pass (no multi-GB
+      // shard string ever materializes); per-shard sort only
+      graft.spark.Warc.wetShards(
+        docs(s, dir, "documents").select(col("doc_id"), col("text")))
+        .toDF().orderBy("shard")
+    }),
+
+    "hreflang_clusters" -> ((s, _) => {
+      // translation-set clustering via self-consistent hreflang keys:
+      // md5 of each page's sorted alternate set — NO join; comment
+      // decoys + attribute-order/quote variance exercised by synthesis
+      graft.ops.Hreflang.clusters(
+        graft.ops.Hreflang.synthMultilingual(s, nGroups = 40))
+        .orderBy("cluster_key")
+    }),
+
     "pdf_portfolio" -> ((s, _) => {
       // recursive attachment extraction (1 level — the zip-bomb guard):
       // writer-built portfolio (text.pdf + attached multipage.pdf + txt)

@@ -191,6 +191,42 @@ object Warc {
     * shuffle; a shard writer concatenates `rec` values per partition.
     * Output pins the full record bytes by md5 — a one-byte framing error
     * cannot pass. */
+  final case class WetShard(shard: Long, n_records: Long, n_bytes: Long, shard_md5: String)
+
+  /** WET shard assembly — the EXPORT job itself, not just per-record
+    * framing: records route to `nShards` deterministic shards
+    * (doc_id mod n), each shard concatenates its records in doc_id order
+    * and reports (count, bytes, md5-of-the-concatenation). The md5 is
+    * computed INCREMENTALLY (MessageDigest.update per record) inside one
+    * mapGroups pass, so shard assembly never materializes the multi-GB
+    * shard string — the memory shape that survives 100-TB exports, where
+    * each group streams straight to its *.warc.wet.gz sink. One shuffle
+    * (the groupByKey on shard id); sorting is per-shard, never global. */
+  def wetShards(docs: DataFrame, nShards: Int = 8): Dataset[WetShard] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 % nShards)
+      .mapGroups { (shard, it) =>
+        // per-shard sort: bounded by shard size (corpus/nShards), the
+        // export's own ordering requirement
+        val rows = it.toArray.sortBy(_._1)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var bytes = 0L
+        rows.foreach { case (docId, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val rec = ("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: " +
+            s"https://example.com/doc/$docId\r\nContent-Length: ${tb.length}\r\n\r\n")
+            .getBytes(ISO_8859_1) ++ tb ++ "\r\n\r\n".getBytes(ISO_8859_1)
+          md.update(rec)
+          bytes += rec.length
+        }
+        WetShard(shard, rows.length.toLong, bytes,
+          md.digest().map(x => f"$x%02x").mkString)
+      }
+  }
+
   final case class WatRow(url: String, title: String, n_links: Long,
                           json_len: Long, rec_len: Long, rec_md5: String)
 

@@ -28,6 +28,40 @@ class PdfComposeSpec extends AnyFunSuite {
     assert(out2.length == 1 && out2.head.att_name == "level1.pdf" && out2.head.is_pdf)
   }
 
+  test("hreflang: decoys skipped, quote/attr variance parsed, clusters self-consistent") {
+    val alts = Hreflang.extractAlternates(
+      """<html><head><!-- <link rel="alternate" hreflang="xx" href="https://no/"> -->
+        |<link href='https://t/x/de' hreflang='de' rel='alternate'>
+        |<link HREFLANG="fr" REL="alternate" HREF="https://t/x/fr">
+        |<link rel="stylesheet" href="/css"></head>
+        |<body><link rel="alternate" hreflang="zz" href="https://body/"></body></html>"""
+        .stripMargin, "https://t/x/de")
+    assert(alts.map(a => (a.hreflang, a.href)) ==
+      Vector(("de", "https://t/x/de"), ("fr", "https://t/x/fr")))
+    val out = Hreflang.clusters(Hreflang.synthMultilingual(spark, 5)).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_pages") == 3L)
+      assert(r.getAs[String]("langs_csv") == "de,en,fr")
+    }
+  }
+
+  test("wet shards: incremental digest equals whole-string digest; shards partition the corpus") {
+    val docs = (0L until 50L).map(i => (i, s"text body $i")).toDF("doc_id", "text")
+    val out = graft.spark.Warc.wetShards(docs, nShards = 4).collect()
+    assert(out.map(_.n_records).sum == 50L)
+    assert(out.map(_.shard).toSet == Set(0L, 1L, 2L, 3L))
+    // recompute shard 1's digest from the whole concatenated string
+    val recs = (0L until 50L).filter(_ % 4 == 1).map { i =>
+      val t = s"text body $i"
+      s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: https://example.com/doc/$i\r\nContent-Length: ${t.length}\r\n\r\n$t\r\n\r\n"
+    }.mkString
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(recs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(x => f"$x%02x").mkString
+    assert(out.find(_.shard == 1L).get.shard_md5 == md5)
+  }
+
   test("toc chunks: spans partition the document in order, char sums match pages") {
     val out = PdfCompose.tocChunks(PagesTable.ofFixtures(spark, Seq("toc.pdf")))
       .collect().sortBy(_.idx)
