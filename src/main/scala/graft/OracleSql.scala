@@ -2297,6 +2297,51 @@ object OracleSql {
          |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) > 2000 AS capped
          |FROM r, l ORDER BY domain""".stripMargin,
 
+    // mirrors Classifier.evalConfusion with the round-6 weights: the same
+    // recursive fit CTE as quality_perceptron, then sign(x·w) inference
+    // and the confusion rollup
+    "quality_classifier_eval" ->
+      s"""WITH RECURSIVE labeled AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || repeat(' zq', 200) ELSE text END AS text,
+         |    CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS y
+         |  FROM documents),
+         |toks AS (SELECT doc_id, y, CASE WHEN trim(text) = '' THEN [] ELSE string_split(text, ' ') END AS t FROM labeled),
+         |u AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |uc AS (SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2),
+         |ustats AS (SELECT doc_id, max(c) AS mu, sum(c) AS n,
+         |           sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM uc GROUP BY 1),
+         |feats AS (
+         |  SELECT t.doc_id, t.y,
+         |    CAST(least(coalesce(n, 0), 1000) AS BIGINT) AS x1,
+         |    CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(mu * 1000.0 / n) END AS BIGINT) AS x2,
+         |    CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(dup * 1000.0 / n) END AS BIGINT) AS x3,
+         |    CAST(1000 AS BIGINT) AS x4
+         |  FROM toks t LEFT JOIN ustats USING (doc_id)),
+         |fit(round, w1, w2, w3, w4) AS (
+         |  SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT round + 1,
+         |    w1 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x1 ELSE 0 END), 0) FROM feats),
+         |    w2 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x2 ELSE 0 END), 0) FROM feats),
+         |    w3 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x3 ELSE 0 END), 0) FROM feats),
+         |    w4 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x4 ELSE 0 END), 0) FROM feats)
+         |  FROM fit WHERE round < 6),
+         |fw AS (SELECT w1, w2, w3, w4 FROM fit WHERE round = 6),
+         |p AS (SELECT y,
+         |  CASE WHEN x1*w1 + x2*w2 + x3*w3 + x4*w4 > 0 THEN 1 ELSE -1 END AS pred
+         |  FROM feats, fw),
+         |c AS (SELECT
+         |  CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN y = -1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN y = 1 AND pred = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN y = -1 AND pred = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM p)
+         |SELECT tp, fp, fn, tn,
+         |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000 // (tp + fp) END AS BIGINT) AS precision_permille,
+         |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000 // (tp + fn) END AS BIGINT) AS recall_permille
+         |FROM c""".stripMargin,
+
     // mirrors Warc.wetShards: per-shard ordered concatenation digest —
     // string_agg ORDER BY replays the incremental MessageDigest
     "wet_shards" ->

@@ -1709,6 +1709,19 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    "quality_classifier_eval" -> ((s, dir) => {
+      // the deployed-gate evaluation: round-6 perceptron weights (the
+      // fit trace is value-pinned by quality_perceptron) frozen into one
+      // codegen'd inference projection; confusion + integer P/R
+      val feats = Classifier.features(Classifier.corpusWithLabels(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .localCheckpoint(true) // read by the fit rounds AND the eval pass
+      val last = Classifier.perceptronFit(feats, rounds = 6)
+        .orderBy(col("round").desc).limit(1).collect()(0)
+      Classifier.evalConfusion(feats,
+        (last.getLong(1), last.getLong(2), last.getLong(3), last.getLong(4)))
+    }),
+
     "wet_shards" -> ((s, dir) => {
       // the WET export JOB: records route to doc_id%8 shards, each shard
       // md5-digested INCREMENTALLY in one mapGroups pass (no multi-GB

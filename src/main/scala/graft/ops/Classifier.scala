@@ -86,4 +86,27 @@ object Classifier {
     import spark.implicits._
     trace.toSeq.toDF("round", "w1", "w2", "w3", "w4", "n_mis")
   }
+
+  /** Classifier EVALUATION — the confusion matrix + integer
+    * precision/recall a quality-filter ships with (nobody deploys a
+    * corpus gate on training loss alone). Inference is one codegen'd
+    * projection with the weights as literals (a deployed classifier is a
+    * frozen artifact riding the scan — zero joins); the confusion rollup
+    * is a single algebraic aggregate. pred = sign(x·w) with 0 → −1,
+    * matching the fit's margin ≤ 0 misclassification convention. */
+  def evalConfusion(feats: DataFrame, w: (Long, Long, Long, Long)): DataFrame = {
+    val score = col("x1") * w._1 + col("x2") * w._2 +
+      col("x3") * w._3 + col("x4") * w._4
+    feats
+      .select(col("y"), when(score > 0, 1L).otherwise(-1L).as("pred"))
+      .agg(sum(when(col("y") === 1L && col("pred") === 1L, 1L).otherwise(0L)).as("tp"),
+           sum(when(col("y") === -1L && col("pred") === 1L, 1L).otherwise(0L)).as("fp"),
+           sum(when(col("y") === 1L && col("pred") === -1L, 1L).otherwise(0L)).as("fn"),
+           sum(when(col("y") === -1L && col("pred") === -1L, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000 div (tp + fp) END")
+          .as("precision_permille"),
+        expr("CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000 div (tp + fn) END")
+          .as("recall_permille"))
+  }
 }

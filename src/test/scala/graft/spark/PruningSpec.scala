@@ -1,0 +1,66 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSessionFixture
+
+/** Partition pruning evidence: a date-partitioned layout (the standard
+  * Common-Crawl snapshot layout — dt=YYYY-MM-DD directories) must turn a
+  * snapshot predicate into PRUNED DIRECTORIES, not a filtered full scan.
+  * This is the §4 claim that a 100-TB corpus query touching one snapshot
+  * reads ~1/N of the files; asserted here on the actual physical plan and
+  * the actual files-read count. */
+class PruningSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+
+  test("snapshot predicate prunes partitions: plan shows PartitionFilters, scan reads one dt") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    (0 until 300).map(i => (i.toLong, s"2024-01-0${1 + i % 3}", s"body $i"))
+      .toDF("doc_id", "dt", "text")
+      .write.partitionBy("dt").mode("overwrite").parquet(dir)
+
+    val q = spark.read.parquet(dir)
+      .where(col("dt") === "2024-01-02")
+      .select(col("doc_id"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("2024-01-02"), s"plan must prune on dt:\n$plan")
+
+    // physical evidence, not just plan text: after execution the scan's
+    // numFiles metric counts ONLY the matching partition's files
+    // collect() executes THIS dataset's plan (count() would build and run
+    // a separate QueryExecution, leaving these metrics at zero)
+    assert(q.collect().length == 100)
+    // unwrap AQE: metrics live on the FINAL physical plan's scan node
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = finalPlan.collectLeaves()
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .get
+    val read = scan.metrics("numFiles").value
+    val inDt = new java.io.File(dir, "dt=2024-01-02").listFiles()
+      .count(_.getName.endsWith(".parquet")).toLong
+    val total = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum.toLong
+    assert(read == inDt, s"scan read $read files, partition holds $inDt")
+    assert(read < total, s"pruning must cut the $total-file relation")
+  }
+
+  test("column pruning reaches the scan: ReadSchema carries only the projected column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("colprune").toString
+    (0 until 50).map(i => (i.toLong, s"t$i", s"u$i", i * 2.0))
+      .toDF("a", "b", "c", "d").write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).select(col("a"))
+    val plan = q.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: struct<a: *bigint".r
+    assert(plan.contains("ReadSchema: struct<a:bigint>"),
+      s"scan must read only column a:\n$plan")
+    val _ = readSchema
+  }
+}
