@@ -2297,6 +2297,90 @@ object OracleSql {
          |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) > 2000 AS capped
          |FROM r, l ORDER BY domain""".stripMargin,
 
+    // mirrors Hygiene.corpusWithScripts + scriptProfile: codepoint-class
+    // counts (RE2 \x{...} ranges ≡ the Java \uXXXX classes)
+    "text_scripts" ->
+      """WITH t AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ' пример текста для проверки' ELSE '' END ||
+        |  CASE WHEN doc_id % 6 = 0 THEN ' 中文样本文本' ELSE '' END AS text
+        | FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk
+        | FROM t)
+        |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk,
+        |  CASE WHEN n_cyrillic > n_cjk AND n_cyrillic > n_latin THEN 'cyrillic'
+        |       WHEN n_cjk > n_latin THEN 'cjk' ELSE 'latin' END AS dominant
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // mirrors Hygiene.keeperPolicy over the clustered replica corpus:
+    // the dedup_clusters recursive CTE + longest-copy keeper (ties →
+    // smallest id via the negated-id struct max)
+    "dedup_keeper" ->
+      s"""WITH RECURSIVE $corpusCte, $shinglesCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND len(list_intersect(a.s, b.s)) >= len(list_distinct(list_concat(a.s, b.s))) * 0.7),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+         |reach(node, root) AS (
+         |  SELECT a AS node, a AS root FROM edges
+         |  UNION
+         |  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node),
+         |cl AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node),
+         |m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM corpus),
+         |j AS (SELECT cl.doc_id, cl.cluster_id, m.n_chars FROM cl JOIN m USING (doc_id)),
+         |k AS (SELECT cluster_id,
+         |        max(struct_pack(kn := n_chars, kneg := -doc_id)) AS kk,
+         |        CAST(count(*) AS BIGINT) AS cluster_size
+         |      FROM j GROUP BY cluster_id)
+         |SELECT j.doc_id, j.cluster_id, -(k.kk.kneg) AS keeper_id,
+         |  j.doc_id = -(k.kk.kneg) AS is_keeper, k.cluster_size
+         |FROM j JOIN k USING (cluster_id) ORDER BY doc_id""".stripMargin,
+
+    // mirrors Hygiene.embeddingHygiene over base ∪ planted bad vectors
+    "embedding_hygiene" ->
+      """WITH bad AS (
+        |  SELECT 900000 AS vec_id, [CAST('NaN' AS FLOAT) FOR i IN range(64)] AS embedding
+        |  UNION ALL SELECT 900001, [CAST(0.0 AS FLOAT) FOR i IN range(64)]
+        |  UNION ALL SELECT 900002, [CAST(9999.0 AS FLOAT) FOR i IN range(64)]),
+        |corpus AS (SELECT vec_id, embedding FROM embeddings
+        |           UNION ALL SELECT vec_id, embedding FROM bad),
+        |f AS (SELECT vec_id,
+        |  list_aggregate(list_transform(embedding, v -> CAST(isnan(v) AS INT)), 'max') = 1 AS has_nan,
+        |  list_aggregate(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum') AS sq
+        | FROM corpus),
+        |g AS (SELECT vec_id, has_nan,
+        |  CASE WHEN has_nan THEN -1 ELSE CAST(floor(sqrt(sq) * 1000) AS BIGINT) END AS norm_milli
+        | FROM f),
+        |h AS (SELECT *, norm_milli = 0 AS is_zero,
+        |  NOT has_nan AND norm_milli <> 0 AND (norm_milli < 100 OR norm_milli > 100000) AS oor
+        | FROM g)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+        |  CAST(sum(CASE WHEN is_zero THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(sum(CASE WHEN oor THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_range,
+        |  CAST(min(CASE WHEN NOT has_nan AND NOT is_zero THEN norm_milli END) AS BIGINT) AS min_norm_milli,
+        |  CAST(max(norm_milli) AS BIGINT) AS max_norm_milli
+        |FROM h""".stripMargin,
+
+    // mirrors Hygiene.compactionPlan (target 1 MB): next-fit grouping by
+    // per-partition prefix sum
+    "compaction_plan" ->
+      """WITH files AS (SELECT doc_id % 4 AS part, doc_id AS file_id,
+        |  CAST(n_chars * 100 AS BIGINT) AS bytes FROM documents),
+        |pre AS (SELECT part, file_id, bytes,
+        |  coalesce(sum(bytes) OVER (PARTITION BY part ORDER BY file_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        | FROM files)
+        |SELECT CAST(part AS BIGINT) AS part, CAST(before // 1000000 AS BIGINT) AS grp,
+        |  CAST(count(*) AS BIGINT) AS n_files, CAST(sum(bytes) AS BIGINT) AS group_bytes,
+        |  CAST(min(file_id) AS BIGINT) AS first_file, CAST(max(file_id) AS BIGINT) AS last_file
+        |FROM pre GROUP BY part, before // 1000000 ORDER BY part, grp""".stripMargin,
+
     // mirrors Classifier.evalConfusion with the round-6 weights: the same
     // recursive fit CTE as quality_perceptron, then sign(x·w) inference
     // and the confusion rollup

@@ -1709,6 +1709,52 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    "text_scripts" -> ((s, dir) => {
+      // unicode-script router (cheaper + more reliable than n-gram langid
+      // as the FIRST pass): per-script char counts by codepoint class,
+      // one codegen'd regexp projection; Cyrillic/CJK runs planted
+      graft.ops.Hygiene.scriptProfile(graft.ops.Hygiene.corpusWithScripts(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_keeper" -> ((s, dir) => {
+      // keeper selection after clustering: keep the LONGEST copy (ties →
+      // smallest id), tag every member; cluster-keyed rollup + join back
+      val corpus = Dedup.corpusWithReplicas(
+        docs(s, dir, "documents").select(col("doc_id"), col("text")))
+      graft.ops.Hygiene.keeperPolicy(
+        Dedup.clusters(corpus),
+        corpus.select(col("doc_id"), length(col("text")).cast("long").as("n_chars")))
+        .orderBy("doc_id")
+    }),
+
+    "embedding_hygiene" -> ((s, dir) => {
+      // vector ingest gate: NaN / zero / out-of-range flags (one NaN makes
+      // every cosine NaN and the row silently vanishes from retrieval);
+      // bad rows planted, one-row integer audit
+      val base = docs(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val bad = s.range(3).select(
+        (col("id") + 900000L).as("vec_id"),
+        when(col("id") === 0, expr("array_repeat(CAST('NaN' AS FLOAT), 64)"))
+          .when(col("id") === 1, expr("array_repeat(CAST(0.0 AS FLOAT), 64)"))
+          .otherwise(expr("array_repeat(CAST(9999.0 AS FLOAT), 64)"))
+          .as("embedding"))
+      graft.ops.Hygiene.embeddingHygiene(base.unionByName(bad))
+    }),
+
+    "compaction_plan" -> ((s, dir) => {
+      // small-file compaction planning: greedy next-fit via per-partition
+      // prefix sum (group = cumulative-bytes-before div target), exactly
+      // SQL-replayable; synthetic file table from documents
+      val files = docs(s, dir, "documents").select(
+        (col("doc_id") % 4).as("part"),
+        col("doc_id").as("file_id"),
+        (col("n_chars") * 100).cast("long").as("bytes"))
+      graft.ops.Hygiene.compactionPlan(files, targetBytes = 1000000L)
+        .orderBy("part", "grp")
+    }),
+
     "quality_classifier_eval" -> ((s, dir) => {
       // the deployed-gate evaluation: round-6 perceptron weights (the
       // fit trace is value-pinned by quality_perceptron) frozen into one
