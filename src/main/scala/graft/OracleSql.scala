@@ -2297,6 +2297,28 @@ object OracleSql {
          |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) > 2000 AS capped
          |FROM r, l ORDER BY domain""".stripMargin,
 
+    // mirrors TextStats.citationGraph: the text_urls extraction joined to
+    // the canonical citing domain, per-edge citing-document counts
+    "text_citation_graph" ->
+      s"""WITH $urlCanonCte,
+         |t AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' see https://ref' || (doc_id%7) || '.example/x?b=2&a=1' ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' via http://Mirror' || (doc_id%4) || '.Example.org/path.' ELSE '' END ||
+         |  CASE WHEN doc_id % 7 = 0 THEN ' (www.bare' || (doc_id%3) || '.example/q)' ELSE '' END AS text
+         | FROM documents),
+         |m AS (SELECT doc_id,
+         |  list_transform(regexp_extract_all(text, '(?:https?://|www\\.)[^\\s)]+'),
+         |    x -> regexp_replace(x, '[.,;!?]+$$', '')) AS mentions FROM t),
+         |h AS (SELECT doc_id,
+         |  list_sort(list_distinct(list_transform(mentions,
+         |    c -> lower(regexp_extract(c, '^(?:https?://)?([^/?#]+)', 1))))) AS hosts
+         | FROM m WHERE len(mentions) > 0),
+         |e AS (SELECT doc_id, unnest(hosts) AS dst_host FROM h)
+         |SELECT canon.domain AS src_domain, e.dst_host,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM e JOIN canon USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY src_domain, dst_host""".stripMargin,
+
     // mirrors Hygiene.corpusWithScripts + scriptProfile: codepoint-class
     // counts (RE2 \x{...} ranges ≡ the Java \uXXXX classes)
     "text_scripts" ->

@@ -1709,6 +1709,18 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    "text_citation_graph" -> ((s, dir) => {
+      // citation edges from bare-URL mentions (papers/forums cite without
+      // <a>): mention mining → doc-keyed domain attach → edge rollup
+      val corpus = TextStats.corpusWithUrlMentions(
+        docs(s, dir, "documents").select(col("doc_id"), col("text")))
+      TextStats.citationGraph(
+        TextStats.urlMentions(corpus),
+        UrlOps.normalize(UrlOps.withRawUrls(
+          docs(s, dir, "documents").select(col("doc_id")))))
+        .orderBy("src_domain", "dst_host")
+    }),
+
     "text_scripts" -> ((s, dir) => {
       // unicode-script router (cheaper + more reliable than n-gram langid
       // as the FIRST pass): per-script char counts by codepoint class,

@@ -504,6 +504,22 @@ object TextStats {
         array_join(array_sort(array_distinct(col("hosts"))), ",").as("hosts_csv"))
   }
 
+  /** Citation graph from plain-text mentions — [[urlMentions]] composed
+    * into (citing domain → cited host) edges with mention counts: the
+    * reference-graph a text-only corpus can still build (papers, forums,
+    * and docs cite by bare URL, not <a>). One narrow extraction, one
+    * doc-keyed join to attach the citing domain, one algebraic edge
+    * rollup. Self-citations kept (consumers filter — internal citation
+    * density is itself a signal). */
+  def citationGraph(mentions: DataFrame, normalized: DataFrame): DataFrame =
+    mentions
+      .select(col("doc_id"), explode(split(col("hosts_csv"), ",")).as("dst_host"))
+      .join(normalized.select(col("doc_id"), col("domain").as("src_domain")), "doc_id")
+      .groupBy("src_domain", "dst_host")
+      // hosts_csv is per-doc-distinct, so this counts CITING DOCUMENTS —
+      // the presence metric a citation graph wants (not raw mention spam)
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Integer IDF rarity score per document — the corpus-relative novelty
     * signal (boilerplate-heavy docs score near 0, jargon/OOV-heavy docs
     * score high; mixture designers use it to up-weight rare content).

@@ -142,4 +142,37 @@ class FuzzSpec extends AnyFunSuite {
     val sec = (System.nanoTime() - t0) / 1e9
     assert(sec < 30, s"jbig2 huffman fuzz too slow: $sec s")
   }
+
+  test("web-scanner fuzz: hreflang/tag-sequence/feed/sitemap parsers never throw, bounded time") {
+    val rnd = new scala.util.Random(4242)
+    val seeds = Seq(
+      "<html><head><link rel=\"alternate\" hreflang=\"en\" href=\"https://a/\"></head></html>",
+      "<rss><channel><item><link>https://x/1</link><title>T &amp; t</title></item></channel></rss>",
+      "<urlset><url><loc>https://s/1</loc></url></urlset>",
+      "<html><head><script>x(\"<iframe>\")</script></head><body><p>t</p></body></html>")
+    val t0 = System.nanoTime()
+    (0 until 400).foreach { i =>
+      val s =
+        if (i % 4 == 0) { val b = new Array[Byte](1 + rnd.nextInt(400)); rnd.nextBytes(b); new String(b, java.nio.charset.StandardCharsets.ISO_8859_1) }
+        else {
+          val base = seeds(i % seeds.length).toCharArray
+          (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+            base(rnd.nextInt(base.length)) = (rnd.nextInt(94) + 33).toChar
+          }
+          new String(base)
+        }
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // none of these may throw; outputs are bounded by input length
+      val a = graft.ops.Hreflang.extractAlternates(s, "https://fuzz/")
+      assert(a.length <= s.length)
+      val seq = graft.ops.HtmlFeatures.tagSequence(s)
+      assert(seq.length <= s.length * 2 + 16)
+      val f = graft.ops.Feeds.parseFeed(bytes)
+      assert(f.length <= s.length)
+      val sm = graft.ops.Sitemaps.parseSitemap("https://fuzz/s.xml", bytes)
+      assert(sm.length <= s.length)
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 20, s"web-scanner fuzz too slow: $sec s")
+  }
 }
