@@ -2297,6 +2297,32 @@ object OracleSql {
          |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) > 2000 AS capped
          |FROM r, l ORDER BY domain""".stripMargin,
 
+    // pinned goldens: the writer-embedded JPEG stays byte-identical
+    // (/DCTDecode passthrough, md5 79de…), so three built docs collapse
+    // to one asset row; the fixture-rotation 'pix' asset appears in both
+    // images.pdf copies
+    "pdf_image_dedup" ->
+      """SELECT img_md5, format, CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_occurrences AS BIGINT) AS n_occurrences
+        |FROM (VALUES
+        |  ('79de823617c0b2b7e612641f17ac2638', 'jpg', 120, 120, 3, 3),
+        |  ('daa4334e0de434b32fd569c19721dc09', 'pix', 115, 48, 2, 2)
+        |) AS t(img_md5, format, width, height, n_docs, n_occurrences)
+        |ORDER BY img_md5""".stripMargin,
+
+    // mirrors Profile.deciles on integer cents per event type: the same
+    // discrete lower decile as corpus_profile
+    "events_value_deciles" ->
+      """WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |hist AS (SELECT event_type, cents AS v, count(*) AS cnt FROM ev GROUP BY 1, 2),
+        |c AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(cnt) OVER (PARTITION BY event_type) AS total FROM hist),
+        |e AS (SELECT event_type, v, cnt, cum, total, unnest(range(1, 10)) AS k FROM c)
+        |SELECT event_type, CAST(k AS BIGINT) AS decile, CAST(v AS BIGINT) AS value
+        |FROM e WHERE cum >= (k*total+9)//10 AND cum - cnt < (k*total+9)//10
+        |ORDER BY event_type, decile""".stripMargin,
+
     // mirrors TextStats.citationGraph: the text_urls extraction joined to
     // the canonical citing domain, per-edge citing-document counts
     "text_citation_graph" ->

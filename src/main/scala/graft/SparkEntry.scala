@@ -1709,6 +1709,33 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    "pdf_image_dedup" -> ((s, _) => {
+      // asset-level image dedup: decoded payload digests across a 20-doc
+      // fixture rotation PLUS three writer-built PDFs sharing ONE
+      // byte-identical JPEG (the repeated-logo case) — the shared asset
+      // collapses to a single row with n_docs=3
+      import s.implicits._
+      val logo = PagesTable.fixture("mona_lisa.jpg")
+      val built = (0 until 3).map { i =>
+        PageRow(s"built://logo/$i", new java.sql.Timestamp(1704067200000L + i),
+          graft.core.PdfWriter.imagesToPdf(Seq(logo)), null, "en")
+      }
+      graft.ops.Multimodal.imageAssetDedup(
+        PagesTable.synthesize(s, 20, 4).union(built.toDS()))
+        .orderBy("img_md5")
+    }),
+
+    "events_value_deciles" -> ((s, dir) => {
+      // exact per-type value deciles via the bounded-domain histogram
+      // (cents integerization) — percentile_approx is not oracle-able,
+      // exact percentile buffers O(corpus); this is neither
+      graft.ops.Profile.deciles(
+        docs(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents")),
+        valueCol = "cents", stratum = "event_type")
+        .orderBy("event_type", "decile")
+    }),
+
     "text_citation_graph" -> ((s, dir) => {
       // citation edges from bare-URL mentions (papers/forums cite without
       // <a>): mention mining → doc-keyed domain attach → edge rollup

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 import graft.spark.PageRow
 
 /** Multimodal-column plumbing: binary payloads with typed metadata columns,
@@ -77,6 +78,36 @@ object Multimodal {
           }
       }
     }
+  }
+
+  /** Image ASSET dedup across documents — logos, headers, and tracking
+    * pixels repeat in thousands of a site's PDFs; asset-level dedup keys
+    * a VLM corpus on distinct image bytes, not distinct (doc, image)
+    * slots. Per doc, every page's embedded images hash in-task (smart
+    * extraction — decoded payload bytes, so byte-identical assets match
+    * whatever their surrounding object dictionaries say); one algebraic
+    * rollup on the 16-byte digest. */
+  def imageAssetDedup(pages: Dataset[PageRow], maxPages: Int = 8): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap { r =>
+      if (r.html == null) Iterator.empty
+      else graft.core.PdfDocument.load(r.html) match {
+        case Left(_) => Iterator.empty
+        case Right(doc) =>
+          (0 until math.min(doc.pageCount, maxPages)).iterator.flatMap { i =>
+            graft.core.ImageExtract.pageImages(doc.page(i)).iterator.map { img =>
+              val md5 = java.security.MessageDigest.getInstance("MD5")
+                .digest(img.data).map(x => f"$x%02x").mkString
+              (md5, img.format, img.width.toLong, img.height.toLong, r.url)
+            }
+          }
+      }
+    }
+      .toDF("img_md5", "format", "width", "height", "url")
+      .groupBy("img_md5", "format", "width", "height")
+      .agg(countDistinct(col("url")).as("n_docs"),
+           count(lit(1)).as("n_occurrences"))
   }
 
   final case class VlmPair(
