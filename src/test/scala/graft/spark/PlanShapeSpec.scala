@@ -1,0 +1,73 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, SparkSessionFixture}
+
+/** Plan-SHAPE regression guards: the 100-TB properties the docs claim
+  * (narrow extraction, bounded Exchange counts, no cartesian blowups) are
+  * asserted here against the actual physical plans, so a future edit that
+  * quietly adds a shuffle or a nested-loop join fails CI instead of
+  * failing at corpus scale. Counts are UPPER bounds — tightening an
+  * operator keeps the suite green; widening it does not. */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def ops(name: String): Map[String, Int] = {
+    val plan = SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+    raw"\(\d+\) ([A-Za-z]+)".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSeq.groupBy(identity).view.mapValues(_.size).toMap
+  }
+
+  private def assertShape(name: String, maxExchange: Int,
+                          forbidden: Seq[String] = Seq("CartesianProduct")): Unit = {
+    val o = ops(name)
+    val ex = o.getOrElse("Exchange", 0)
+    assert(ex <= maxExchange,
+      s"$name: $ex Exchanges (bound $maxExchange) — a shuffle crept in: $o")
+    forbidden.foreach { f =>
+      assert(!o.contains(f), s"$name: forbidden operator $f in plan: $o")
+    }
+  }
+
+  test("narrow family: parse-where-scanned queries never exceed the display sort's Exchange") {
+    // each: one typed map over the scan; the single Exchange is orderBy
+    for (q <- Seq("wat_export", "vlm_page_pairs", "pdf_portfolio",
+        "pdf_toc_chunks", "text_urls"))
+      assertShape(q, maxExchange = 1)
+  }
+
+  test("rollup family: one aggregation exchange plus display sort at most") {
+    for (q <- Seq("sketch_kmv", "sketch_hll", "split_holdout",
+        "url_param_stats", "html_templates", "text_scripts"))
+      assertShape(q, maxExchange = 3)
+  }
+
+  test("join family: bounded exchanges, no nested-loop joins on data tables") {
+    assertShape("heavy_hitters", maxExchange = 2)
+    assertShape("sitemap_coverage", maxExchange = 4)
+    assertShape("events_bot_detect", maxExchange = 2)
+    assertShape("events_transitions", maxExchange = 3)
+    // the 1-row broadcast totals are BroadcastNestedLoopJoin by design
+    // (constant cost); CartesianProduct of data tables stays forbidden
+    assertShape("corpus_concentration", maxExchange = 2)
+    assertShape("frontier_budget", maxExchange = 3)
+  }
+
+  test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
+    val pages = PagesTable.synthesize(spark, 16, 4)
+    // default path: payload parsed where produced, zero Exchange
+    val narrow = ExtractPipeline.extract(pages)
+      .queryExecution.executedPlan.toString
+    assert(!narrow.contains("Exchange"),
+      s"default extraction must stay narrow:\n$narrow")
+    // explicit salting adds exactly the requested url-hash repartition
+    val salted = ExtractPipeline.extract(pages, numPartitions = 4)
+      .queryExecution.executedPlan.toString
+    assert(raw"Exchange".r.findAllIn(salted).size == 1 &&
+      salted.contains("xxhash64"),
+      s"salted extraction must carry exactly the one opt-in Exchange:\n$salted")
+  }
+}
