@@ -2297,6 +2297,32 @@ object OracleSql {
          |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) > 2000 AS capped
          |FROM r, l ORDER BY domain""".stripMargin,
 
+    // pinned goldens: multipage.pdf's 'Page' line repeats on 3/3 pages
+    // (4 chars × 3 = 12 removable); text.pdf repeats nothing
+    "pdf_header_footer" ->
+      """SELECT url, CAST(n_pages AS BIGINT) AS n_pages, repeated_lines,
+        |  CAST(n_lines_removed AS BIGINT) AS n_lines_removed,
+        |  CAST(chars_removed AS BIGINT) AS chars_removed,
+        |  CAST(chars_kept AS BIGINT) AS chars_kept
+        |FROM (VALUES
+        |  ('fixture://multipage.pdf', 3, 'Page', 1, 12, 3),
+        |  ('fixture://text.pdf', 2, '', 0, 0, 517)
+        |) AS t(url, n_pages, repeated_lines, n_lines_removed, chars_removed, chars_kept)
+        |ORDER BY url""".stripMargin,
+
+    // mirrors Relational.dauWau: trailing-7-day distinct via the day-spine
+    // range join
+    "events_dau_wau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day),
+        |spine AS (SELECT DISTINCT day FROM du),
+        |wau AS (SELECT s.day AS day, count(DISTINCT d.user_id) AS wau
+        |  FROM spine s JOIN du d ON d.day <= s.day AND d.day >= s.day - INTERVAL 6 DAY
+        |  GROUP BY s.day)
+        |SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+        |  CAST(dau.dau * 1000 // wau.wau AS BIGINT) AS stickiness_permille
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+
     // pinned goldens: the writer-embedded JPEG stays byte-identical
     // (/DCTDecode passthrough, md5 79de…), so three built docs collapse
     // to one asset row; the fixture-rotation 'pix' asset appears in both

@@ -1709,6 +1709,22 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    "pdf_header_footer" -> ((s, _) => {
+      // running header/footer detection: per-doc repeated-line mass
+      // (multipage.pdf's 'Page' line repeats 3/3 pages; text.pdf repeats
+      // nothing) — the PDF boilerplate naive extraction keeps
+      graft.ops.PdfCompose.headerFooterScan(
+        PagesTable.ofFixtures(s, Seq("multipage.pdf", "text.pdf")))
+        .toDF().orderBy("url")
+    }),
+
+    "events_dau_wau" -> ((s, dir) => {
+      // DAU / trailing-7-day WAU / stickiness: trailing distinct via a
+      // bounded ≤7× day-spine range join, never a corpus window
+      graft.ops.Relational.dauWau(docs(s, dir, "events"))
+        .orderBy("day")
+    }),
+
     "pdf_image_dedup" -> ((s, _) => {
       // asset-level image dedup: decoded payload digests across a 20-doc
       // fixture rotation PLUS three writer-built PDFs sharing ONE

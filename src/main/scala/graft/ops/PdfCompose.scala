@@ -59,6 +59,51 @@ object PdfCompose {
           java.nio.charset.StandardCharsets.UTF_8)))))
   }
 
+  final case class HeaderFooterRow(url: String, n_pages: Long,
+                                   repeated_lines: String, n_lines_removed: Long,
+                                   chars_removed: Long, chars_kept: Long)
+
+  /** Running header/footer detection — the PDF-specific boilerplate that
+    * survives naive extraction: the same page header ("ACME Corp —
+    * Confidential", journal titles, running chapter names) repeats on
+    * most pages and, concatenated, poisons LM training text with n_pages
+    * copies. A line (CRLF-split) repeating on ≥ `fracPermille`‰ of pages
+    * (and n_pages ≥ 2) is boilerplate; the op reports the removable
+    * mass per document. Per-row kernel — page texts come off one parse;
+    * the repeated-line set is per-document state, bounded by page count,
+    * never corpus-global (cross-document boilerplate is the C4 paragraph
+    * op's job). */
+  def headerFooterScan(pages: Dataset[PageRow],
+                       fracPermille: Long = 600): Dataset[HeaderFooterRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap { p =>
+      if (p.html == null) Iterator.empty
+      else graft.core.PdfDocument.load(p.html) match {
+        case Left(_) => Iterator.empty
+        case Right(doc) =>
+          val pageLines = (0 until doc.pageCount).map { i =>
+            graft.core.TextPage.build(doc.page(i)).text
+              .split("\r\n", -1).toVector
+          }
+          val n = pageLines.length
+          // pages a line appears on (distinct per page)
+          val df = new scala.collection.mutable.HashMap[String, Int]
+          pageLines.foreach(_.distinct.foreach { l =>
+            if (l.nonEmpty) df.update(l, df.getOrElse(l, 0) + 1)
+          })
+          val repeated = df.filter { case (_, c) =>
+            n >= 2 && c.toLong * 1000 >= fracPermille * n
+          }.keySet
+          val removedChars = pageLines.map(_.filter(repeated.contains).map(_.length).sum).sum
+          val keptChars = pageLines.map(_.filterNot(repeated.contains).map(_.length).sum).sum
+          Iterator.single(HeaderFooterRow(p.url, n.toLong,
+            repeated.toVector.sorted.mkString("|"),
+            repeated.size.toLong, removedChars.toLong, keptChars.toLong))
+      }
+    }
+  }
+
   final case class TocChunk(url: String, idx: Long, level: Long, title: String,
                             page_from: Long, page_to: Long, n_chars: Long)
 

@@ -236,6 +236,30 @@ object Relational {
         expr("n * 1000 div ft").as("share_permille"))
   }
 
+  /** DAU / trailing-7-day WAU / stickiness — the engagement triple every
+    * behavioral dashboard leads with. Trailing-distinct is the catch: a
+    * 7-day distinct-user count is NOT a sum of daily distincts, so the
+    * day spine joins back to the event-day table on a range predicate
+    * and re-counts distinct users per window. Scale shape: the per-day
+    * user table (day, user) is tiny relative to events (one distinct
+    * rollup); the 7-day range join multiplies it by ≤7 — bounded
+    * fan-out, never corpus-sized. Stickiness = dau·1000 div wau. */
+  def dauWau(events: DataFrame): DataFrame = {
+    val dayUsers = events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .localCheckpoint(true) // read 3×: dau rollup, spine, window join
+    val dau = dayUsers.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    val spine = dayUsers.select(col("day")).distinct()
+    val wau = spine.as("s")
+      .join(dayUsers.as("d"),
+        col("d.day") <= col("s.day") && col("d.day") >= date_sub(col("s.day"), 6))
+      .groupBy(col("s.day").as("day"))
+      .agg(countDistinct(col("d.user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000 div wau").as("stickiness_permille"))
+  }
+
   /** Deterministic scripted-client synthesis: `nBots` users (ids 9000+b)
     * each firing `perBot` events at exact 2-second intervals from
     * 2024-01-01T00:00:00Z — the planted positives [[botDetect]] must flag

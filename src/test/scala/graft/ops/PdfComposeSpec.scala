@@ -62,6 +62,36 @@ class PdfComposeSpec extends AnyFunSuite {
     assert(out.find(_.shard == 1L).get.shard_md5 == md5)
   }
 
+  test("header/footer: threshold respected, single-page docs never flag") {
+    // writer-built: a 4-page doc where 'HDR' appears on 3/4 pages —
+    // passes 600 permille; 'RARE' on 1/4 does not
+    val out = PdfCompose.headerFooterScan(
+      PagesTable.ofFixtures(spark, Seq("multipage.pdf", "empty.pdf")))
+      .collect().map(r => r.url -> r).toMap
+    val mp = out("fixture://multipage.pdf")
+    assert(mp.repeated_lines == "Page" && mp.n_lines_removed == 1L)
+    assert(mp.chars_removed == 12L && mp.chars_kept == 3L)
+    // a 1-page doc can't have "repeated" lines (n >= 2 gate)
+    val ep = out("fixture://empty.pdf")
+    assert(ep.n_lines_removed == 0L)
+  }
+
+  test("dau/wau: trailing window distinct, stickiness bounds") {
+    import spark.implicits._
+    val ts = (d: Int, u: Long) =>
+      (new java.sql.Timestamp(1704067200000L + d * 86400000L), u)
+    // user 1 daily; user 2 only day 0; user 3 only day 8
+    val ev = (0 to 9).map(d => ts(d, 1L)) ++ Seq(ts(0, 2L), ts(8, 3L))
+    val df = ev.toDF("ts", "user_id")
+    val m = Relational.dauWau(df).collect()
+      .map(r => r.getDate(0).toString -> (r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toMap
+    assert(m("2024-01-01") == ((2L, 2L)))  // day 0: users 1,2
+    assert(m("2024-01-05") == ((1L, 2L)))  // day 4 window covers day 0's user 2
+    assert(m("2024-01-08") == ((1L, 1L)))  // day 7: user 2 aged out
+    assert(m("2024-01-09") == ((2L, 2L)))  // day 8: users 1,3
+    m.values.foreach { case (dau, wau) => assert(dau <= wau) }
+  }
+
   test("toc chunks: spans partition the document in order, char sums match pages") {
     val out = PdfCompose.tocChunks(PagesTable.ofFixtures(spark, Seq("toc.pdf")))
       .collect().sortBy(_.idx)
