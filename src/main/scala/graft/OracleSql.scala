@@ -2741,7 +2741,7 @@ object OracleSql {
         |SELECT CAST(user_id AS BIGINT) AS user_id,
         |  CAST(n_events AS BIGINT) AS n_events, CAST(span_ms AS BIGINT) AS span_ms,
         |  CAST(rate_per_min AS BIGINT) AS rate_per_min, CAST(n_gaps AS BIGINT) AS n_gaps
-        |FROM r WHERE rate_per_min > 10 OR (n_gaps = 1 AND n_events >= 50)
+        |FROM r WHERE n_events >= 50 AND (rate_per_min > 10 OR n_gaps = 1)
         |ORDER BY user_id""".stripMargin,
 
     // mirrors Quantize.semanticDedup over base ∪ ×1.1 replicas: the

@@ -22,8 +22,12 @@ object Hreflang {
     * declarations). */
   def extractAlternates(html: String, pageUrl: String): Vector[AltLink] = {
     if (html == null) return Vector.empty
-    val headEnd0 = html.toLowerCase(java.util.Locale.ROOT).indexOf("</head")
-    val headEnd = if (headEnd0 < 0) html.length else headEnd0
+    // case-insensitive search on the ORIGINAL string — lowercasing a copy
+    // can change string length (Turkish İ → "i̇"), misaligning the index
+    val m = java.util.regex.Pattern
+      .compile("</head", java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(html)
+    val headEnd = if (m.find()) m.start() else html.length
     val out = Vector.newBuilder[AltLink]
     var i = 0
     while (i < headEnd) {
@@ -71,7 +75,9 @@ object Hreflang {
           .digest(alts.map(_.href).distinct.sorted.mkString("\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           .map(x => f"$x%02x").mkString
-        val self = alts.find(_.href == p.url).map(_.hreflang).getOrElse("")
+        // no exact self-referential link → no lang claim; emit null so
+        // collect_set skips it instead of polluting langs_csv with ""
+        val self = alts.find(_.href == p.url).map(_.hreflang).orNull
         Iterator.single((key, self))
       }
     }

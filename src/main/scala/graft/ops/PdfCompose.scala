@@ -32,8 +32,11 @@ object PdfCompose {
           doc.attachments.iterator.map { a =>
             graft.core.PdfDocument.load(a.data) match {
               case Right(inner) =>
-                val r = graft.core.Extract.extractText(a.data)
-                val text = r.fullText
+                // text off the SAME parse (Extract.extractText would
+                // rebuild the object tree a second time per attachment)
+                val text = (0 until inner.pageCount)
+                  .map(i => graft.core.TextPage.build(inner.page(i)).text)
+                  .mkString("\r\n")
                 PortfolioRow(p.url, a.name, is_pdf = true,
                   inner.pageCount.toLong, text.length.toLong,
                   text.replace("\r\n", "\n").take(30))

@@ -204,8 +204,11 @@ object Relational {
            countDistinct(col("gap")).as("n_gaps"))
       .withColumn("rate_per_min",
         expr("n_events * 60000 div greatest(span_ms, 1)"))
-      .where(col("rate_per_min") > ratePerMinThreshold ||
-        (col("n_gaps") === 1 && col("n_events") >= minEvents))
+      // BOTH signals need evidence volume: without the n_events floor, a
+      // single-event user (span 0) rates at 60000/min and two clicks 10 s
+      // apart rate at 12/min — sparse humans would flag
+      .where(col("n_events") >= minEvents &&
+        (col("rate_per_min") > ratePerMinThreshold || col("n_gaps") === 1))
       .select("user_id", "n_events", "span_ms", "rate_per_min", "n_gaps")
   }
 

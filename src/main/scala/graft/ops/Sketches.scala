@@ -210,18 +210,22 @@ object Sketches {
   def hllMerge(snapUrls: DataFrame): DataFrame = {
     val perSnap = hllRho(snapUrls, Seq("snap", "domain"))
       .groupBy("snap", "domain", "j").agg(max(col("rho")).as("mj"))
-      .localCheckpoint(true) // read twice: per-snap ests + union merge
+      .localCheckpoint(true) // read 3×: snap labels, per-snap ests, union
     val ests = hllEstimate(perSnap, Seq("snap", "domain"))
       .select(col("snap"), col("domain"), col("est_raw"))
     val union = hllEstimate(
       perSnap.groupBy("domain", "j").agg(max(col("mj")).as("mj")),
       Seq("domain"))
       .select(col("domain"), col("est_raw").as("est_union"))
-    ests.groupBy("domain")
-      .pivot("snap", Seq("a", "b"))
+    // snapshot labels come from the data (a register-table rollup, tiny) —
+    // a hardcoded pivot list would silently NULL any other labeling
+    val snaps = perSnap.select(col("snap")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val pivoted = ests.groupBy("domain")
+      .pivot("snap", snaps.toSeq)
       .agg(first(col("est_raw")))
-      .withColumnRenamed("a", "est_snap_a")
-      .withColumnRenamed("b", "est_snap_b")
+    snaps.foldLeft(pivoted)((df, s) =>
+        df.withColumnRenamed(s, s"est_snap_$s"))
       .join(union, "domain")
   }
 }

@@ -534,6 +534,12 @@ object TextStats {
     * rollup shuffles (doc_id, bits) pairs. No collect, no windows —
     * at 10^12 docs every stage is a standard keyed exchange. */
   def rarity(docs: DataFrame): DataFrame = {
+    // tok is deliberately NOT checkpointed despite feeding two branches
+    // (df rollup + re-attach join): the exploded token table is LARGER
+    // than the text it came from, so materializing it costs more than the
+    // second scan+split — the opposite trade from the small intermediates
+    // this repo checkpoints (domain tables, pair sets). docs.count() is a
+    // parquet-statistics read, not a data scan.
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .where(col("t") =!= "")

@@ -208,22 +208,24 @@ object Warc {
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .groupByKey(_._1 % nShards)
-      .mapGroups { (shard, it) =>
-        // per-shard sort: bounded by shard size (corpus/nShards), the
-        // export's own ordering requirement
-        val rows = it.toArray.sortBy(_._1)
+      // the doc_id ordering rides the SHUFFLE's sorter (spill-able), so
+      // the task streams the group iterator straight into the digest —
+      // neither the shard's rows nor its concatenation ever sit in heap
+      .flatMapSortedGroups(col("doc_id")) { (shard, it) =>
         val md = java.security.MessageDigest.getInstance("MD5")
         var bytes = 0L
-        rows.foreach { case (docId, text) =>
+        var n = 0L
+        it.foreach { case (docId, text) =>
           val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val rec = ("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: " +
             s"https://example.com/doc/$docId\r\nContent-Length: ${tb.length}\r\n\r\n")
             .getBytes(ISO_8859_1) ++ tb ++ "\r\n\r\n".getBytes(ISO_8859_1)
           md.update(rec)
           bytes += rec.length
+          n += 1
         }
-        WetShard(shard, rows.length.toLong, bytes,
-          md.digest().map(x => f"$x%02x").mkString)
+        Iterator.single(WetShard(shard, n, bytes,
+          md.digest().map(x => f"$x%02x").mkString))
       }
   }
 
@@ -247,7 +249,15 @@ object Warc {
     val spark = pages.sparkSession
     import spark.implicits._
     pages.map { p =>
-      def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      // full JSON string escaping: backslash, quote, AND control chars —
+      // link hrefs may legally carry raw tabs/newlines from attribute
+      // values, and an unescaped one makes the whole record unparseable
+      def esc(s: String): String = s.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case c if c < 0x20 => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
       val (title, links) =
         if (p.html == null) ("", Vector.empty[String])
         else {

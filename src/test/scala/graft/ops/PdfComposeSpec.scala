@@ -62,9 +62,7 @@ class PdfComposeSpec extends AnyFunSuite {
     assert(out.find(_.shard == 1L).get.shard_md5 == md5)
   }
 
-  test("header/footer: threshold respected, single-page docs never flag") {
-    // writer-built: a 4-page doc where 'HDR' appears on 3/4 pages —
-    // passes 600 permille; 'RARE' on 1/4 does not
+  test("header/footer: fixtures behave, single-page docs never flag") {
     val out = PdfCompose.headerFooterScan(
       PagesTable.ofFixtures(spark, Seq("multipage.pdf", "empty.pdf")))
       .collect().map(r => r.url -> r).toMap
@@ -74,6 +72,34 @@ class PdfComposeSpec extends AnyFunSuite {
     // a 1-page doc can't have "repeated" lines (n >= 2 gate)
     val ep = out("fixture://empty.pdf")
     assert(ep.n_lines_removed == 0L)
+  }
+
+  test("header/footer: 600-permille boundary is inclusive, below-threshold lines survive") {
+    // synthesized 5-page doc: 'HDR' on pages 0-2 (exactly 3/5 = 600‰ →
+    // flagged under >=, a '>' regression fails here); 'RARE' on 1/5 stays
+    val contents = (0 until 5).map { i =>
+      val hdr = if (i < 3) "BT /F1 12 Tf 72 720 Td (HDR) Tj 0 -30 Td (u" + i + ") Tj ET"
+                else if (i == 3) "BT /F1 12 Tf 72 720 Td (RARE) Tj 0 -30 Td (u" + i + ") Tj ET"
+                else "BT /F1 12 Tf 72 720 Td (u" + i + ") Tj ET"
+      hdr
+    }
+    val fontRef = 3 + 2 * contents.length
+    val objs = Vector.newBuilder[Array[Byte]]
+    objs += "<</Type/Catalog/Pages 2 0 R>>".getBytes
+    val kids = contents.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    objs += s"<</Type/Pages/Kids[$kids]/Count ${contents.length}>>".getBytes
+    contents.zipWithIndex.foreach { case (c, i) =>
+      objs += (s"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]" +
+        s"/Resources<</Font<</F1 $fontRef 0 R>>>>/Contents ${4 + 2 * i} 0 R>>").getBytes
+      objs += (s"<</Length ${c.length}>>\nstream\n$c\nendstream").getBytes
+    }
+    objs += "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>".getBytes
+    val pdf = graft.core.SynthPdf.build(objs.result())
+    val rows = Seq(PageRow("synth://hdr", new java.sql.Timestamp(0L), pdf, null, "en")).toDS()
+    val r = PdfCompose.headerFooterScan(rows).collect().head
+    assert(r.n_pages == 5L)
+    assert(r.repeated_lines == "HDR", s"got '${r.repeated_lines}'")
+    assert(r.chars_removed == 9L) // 'HDR' ×3
   }
 
   test("dau/wau: trailing window distinct, stickiness bounds") {

@@ -58,9 +58,7 @@ class PruningSpec extends AnyFunSuite {
       .toDF("a", "b", "c", "d").write.mode("overwrite").parquet(dir)
     val q = spark.read.parquet(dir).select(col("a"))
     val plan = q.queryExecution.executedPlan.toString
-    val readSchema = "ReadSchema: struct<a: *bigint".r
     assert(plan.contains("ReadSchema: struct<a:bigint>"),
       s"scan must read only column a:\n$plan")
-    val _ = readSchema
   }
 }
