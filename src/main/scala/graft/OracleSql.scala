@@ -2297,6 +2297,22 @@ object OracleSql {
          |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) > 2000 AS capped
          |FROM r, l ORDER BY domain""".stripMargin,
 
+    // pinned goldens: the writer-built scan (image-only, zero text
+    // operators) is the one needs_ocr page; empty.pdf is blank padding;
+    // text pages route to direct extraction
+    "pdf_ocr_routing" ->
+      """SELECT url, CAST(page_idx AS BIGINT) AS page_idx,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(ink_permille AS BIGINT) AS ink_permille, needs_ocr
+        |FROM (VALUES
+        |  ('built://scanned.pdf', 0, 0, 1000, true),
+        |  ('fixture://empty.pdf', 0, 0, 0, false),
+        |  ('fixture://images.pdf', 0, 6, 138, false),
+        |  ('fixture://text.pdf', 0, 438, 20, false),
+        |  ('fixture://text.pdf', 1, 103, 6, false)
+        |) AS t(url, page_idx, n_chars, ink_permille, needs_ocr)
+        |ORDER BY url, page_idx""".stripMargin,
+
     // pinned goldens: multipage.pdf's 'Page' line repeats on 3/3 pages
     // (4 chars × 3 = 12 removable); text.pdf repeats nothing
     "pdf_header_footer" ->

@@ -1709,6 +1709,25 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    "pdf_ocr_routing" -> ((s, _) => {
+      import s.implicits._
+      // the scanned-PDF fork: no text + visible ink → OCR (100× cost);
+      // text → direct extraction; neither → blank padding. Text count
+      // and ink fraction off ONE parse per page. The scanned case is a
+      // writer-built image-only doc (imagesToPdf — exactly what a
+      // scanner emits: one full-page image, zero text operators).
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val scanned = s.createDataset(Seq(0)).map { _ =>
+        val pdf = graft.core.PdfWriter.imagesToPdf(
+          Seq(PagesTable.fixture("mona_lisa.jpg")))
+        PageRow("built://scanned.pdf", ts, pdf, null, "la")
+      }
+      graft.ops.Multimodal.ocrRouting(
+        PagesTable.ofFixtures(s, Seq("text.pdf", "empty.pdf", "images.pdf"))
+          .unionByName(scanned))
+        .toDF().orderBy("url", "page_idx")
+    }),
+
     "pdf_header_footer" -> ((s, _) => {
       // running header/footer detection: per-doc repeated-line mass
       // (multipage.pdf's 'Page' line repeats 3/3 pages; text.pdf repeats

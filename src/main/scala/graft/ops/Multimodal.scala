@@ -110,6 +110,36 @@ object Multimodal {
            count(lit(1)).as("n_occurrences"))
   }
 
+  final case class OcrRoute(url: String, page_idx: Long, n_chars: Long,
+                            ink_permille: Long, needs_ocr: Boolean)
+
+  /** Scanned-PDF routing — the OCR fork every PDF corpus hits: a page
+    * with NO extractable text but visible ink is a scan (or pure
+    * graphics) and must route to OCR at ~100× the cost; a page with text
+    * extracts directly; a page with neither is blank padding. Both
+    * signals come off ONE parse (text assembly + rasterized ink
+    * fraction); narrow, zero shuffle — the router the size-routed
+    * extraction composes with at 100 TB. */
+  def ocrRouting(pages: Dataset[PageRow], scale: Double = 0.5,
+                 maxPages: Int = 32): Dataset[OcrRoute] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap { r =>
+      if (r.html == null) Iterator.empty
+      else graft.core.PdfDocument.load(r.html) match {
+        case Left(_) => Iterator.empty
+        case Right(doc) =>
+          (0 until math.min(doc.pageCount, maxPages)).iterator.map { i =>
+            val nChars = graft.core.TextPage.build(doc.page(i)).text.length
+            val bmp = graft.core.render.Rasterizer.render(doc.page(i), scale)
+            val ink = math.round(bmp.inkFraction * 1000)
+            OcrRoute(r.url, i.toLong, nChars.toLong, ink,
+              nChars == 0 && ink > 0L)
+          }
+      }
+    }
+  }
+
   final case class VlmPair(
       url: String,
       page_idx: Long,

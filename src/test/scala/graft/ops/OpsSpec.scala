@@ -261,4 +261,29 @@ class OpsSpec extends AnyFunSuite {
     // filter semantics directly: every snapshot body hits, most fresh don't
     assert(df.filter(col("hit")).count() >= 20)
   }
+
+  test("ocr routing: scan → OCR, text → direct, blank → neither; page cap holds") {
+    import graft.spark.{PageRow, PagesTable}
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val scanned = PageRow("built://scan.pdf", ts,
+      graft.core.PdfWriter.imagesToPdf(Seq(PagesTable.fixture("mona_lisa.jpg"))), null, "la")
+    val garbage = PageRow("built://garbage.bin", ts, Array[Byte](1, 2, 3), null, "la")
+    val in = PagesTable.ofFixtures(spark, Seq("text.pdf", "empty.pdf"))
+      .unionByName(spark.createDataset(Seq(scanned, garbage)))
+    val r = Multimodal.ocrRouting(in).collect().map(o => o.url -> o).toMap
+    // scan: zero text, full-page ink → OCR branch
+    assert(r("built://scan.pdf").needs_ocr && r("built://scan.pdf").n_chars == 0)
+    assert(r("built://scan.pdf").ink_permille > 900)
+    // text page: extractable chars → direct extraction
+    assert(!r("fixture://text.pdf").needs_ocr && r("fixture://text.pdf").n_chars > 0)
+    // blank page: neither text nor ink → padding, never routed to OCR
+    assert(!r("fixture://empty.pdf").needs_ocr && r("fixture://empty.pdf").ink_permille == 0)
+    // unparseable payloads drop (routing is for parsed PDFs only)
+    assert(!r.contains("built://garbage.bin"))
+    // per-doc page cap bounds task cost on pathological page counts
+    val capped = Multimodal.ocrRouting(
+      PagesTable.ofFixtures(spark, Seq("multipage.pdf")), maxPages = 2).collect()
+    assert(capped.length == 2)
+  }
 }
