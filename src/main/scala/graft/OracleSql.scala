@@ -1203,6 +1203,80 @@ object OracleSql {
         |LEFT JOIN ustats USING (doc_id) LEFT JOIN bstats USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // mirrors ExtractEval.corpusAsPages arithmetic: gold = trimmed 240-char
+    // cap of documents.text; doc_id%7 pages embed a damaged payload (last
+    // 20 chars → drift tail). The Spark side runs the REAL HtmlExtract over
+    // the synthesized page, so equality here proves byte-identical
+    // extraction AND correct eval arithmetic in one oracle.
+    "extract_eval" ->
+      """WITH p AS (SELECT doc_id, trim(substr(text, 1, 240)) AS payload FROM documents),
+        |e AS (SELECT doc_id, payload,
+        |  CASE WHEN doc_id % 7 = 0 AND length(payload) > 60
+        |       THEN rtrim(substr(payload, 1, length(payload) - 20)) || ' extractor drift tail.'
+        |       ELSE payload END AS embedded FROM p)
+        |SELECT doc_id, CAST(length(payload) AS BIGINT) AS gold_len,
+        |  CAST(length(embedded) AS BIGINT) AS ext_len,
+        |  CAST(levenshtein(payload, embedded) AS BIGINT) AS lev,
+        |  levenshtein(payload, embedded) = 0 AS exact
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    // mirrors Dedup.corpusWithExcerpts (+300000 first-25-token excerpts of
+    // every third base doc) and containmentBlocked's first-token blocking;
+    // integer x1000 threshold replayed exactly
+    "dedup_containment" ->
+      s"""WITH ebase AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+         |corpus AS (
+         |  SELECT doc_id, text FROM ebase
+         |  UNION ALL
+         |  SELECT doc_id + 300000 AS doc_id,
+         |         array_to_string(string_split(text, ' ')[1:25], ' ') AS text
+         |  FROM ebase WHERE doc_id % 3 = 0),
+         |$shinglesCte,
+         |shb AS (SELECT doc_id, string_split(text,' ')[1] AS blk, s
+         |        FROM corpus JOIN sh USING (doc_id) WHERE len(s) > 0)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_cnt,
+         |  CAST(len(a.s) AS BIGINT) AS a_cnt,
+         |  CAST(len(b.s) AS BIGINT) AS b_cnt,
+         |  CAST((len(list_intersect(a.s, b.s)) * 1000) // least(len(a.s), len(b.s)) AS BIGINT) AS cont_x1000
+         |FROM shb a JOIN shb b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s)) * 1000 >= least(len(a.s), len(b.s)) * 900
+         |ORDER BY a, b""".stripMargin,
+
+    // replays corpusWithLines (12-token lines, terminal '.' on residue
+    // (doc_id+idx)%3!=2, one junk line per doc_id%4 residue) and the C4
+    // line/page rules; md5 pins the cleaned text byte-for-byte
+    "text_c4_clean" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |nl AS (SELECT doc_id, t, greatest(1, CAST(ceil(len(t) / 12.0) AS BIGINT)) AS nln FROM toks),
+        |body AS (SELECT doc_id, unnest(range(0, nln)) AS idx, t, nln FROM nl),
+        |line0 AS (SELECT doc_id, idx,
+        |  array_to_string(t[idx*12+1 : (idx+1)*12], ' ') ||
+        |  CASE WHEN (doc_id + idx) % 3 <> 2 THEN '.' ELSE '' END AS line FROM body),
+        |junk AS (SELECT doc_id, nln AS idx,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'enable javascript and cookies to continue browsing now.'
+        |    WHEN 1 THEN 'function() { return spam; }'
+        |    ELSE 'lorem ipsum dolor sit amet placeholder text for padding.' END AS line
+        |  FROM nl WHERE doc_id % 4 <> 3),
+        |lines AS (SELECT * FROM line0 UNION ALL SELECT * FROM junk),
+        |marked AS (SELECT doc_id, idx, line,
+        |  (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?' OR line LIKE '%"')
+        |  AND len(list_filter(string_split(line, ' '), x -> x <> '')) >= 5
+        |  AND NOT contains(lower(line), 'javascript') AS kept
+        |  FROM lines),
+        |agg AS (SELECT doc_id, count(*) AS n_lines, count(*) FILTER (WHERE kept) AS n_kept,
+        |  bool_or(contains(line, '{')) AS has_curly,
+        |  bool_or(contains(lower(line), 'lorem ipsum')) AS has_lorem,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE kept), '')) AS clean_md5
+        |  FROM marked GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, CAST(n_kept AS BIGINT) AS n_kept,
+        |  CASE WHEN has_curly THEN 'curly' WHEN has_lorem THEN 'lorem_ipsum'
+        |       WHEN n_kept < 3 THEN 'too_few_lines' ELSE 'ok' END AS reason,
+        |  (NOT has_curly AND NOT has_lorem AND n_kept >= 3) AS page_kept,
+        |  clean_md5
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
     // paragraph chunking mirrors Dedup.corpusWithParagraphs (8-token chunks
     // of the SAME token array, joined by \n); first-occurrence-wins ordered
     // by (doc_id, idx) mirrors dedupParagraphs' min-struct keeper.

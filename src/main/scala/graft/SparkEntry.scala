@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.spark.{DocParts, ExtractPipeline, PageRow, PagesTable}
-import graft.ops.{Assemble, Classifier, Dedup, Graph, Index, Mixture, Relational, Retrieval, Sampling, Similarity, TextStats, Tokenizer, UrlOps}
+import graft.ops.{Assemble, Classifier, Dedup, ExtractEval, Graph, Index, Mixture, Relational, Retrieval, Sampling, Similarity, TextStats, Tokenizer, UrlOps}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB oracle where SQL-expressible.
@@ -1165,6 +1165,38 @@ object SparkEntry {
         d.where(col("doc_id") < 250).select(col("doc_id"), col("text")),
         Dedup.freshBatch(d.where(col("doc_id") < 1000), 250L),
         expectedItems = 10000L)
+        .orderBy("doc_id")
+    }),
+
+    "extract_eval" -> ((s, dir) => {
+      // extractor-quality eval: run the REAL HtmlExtract boilerplate strip
+      // over pages whose gold main content is known (documents.text), score
+      // with codegen'd levenshtein; doc_id%7 pages carry planted drift so
+      // the distance is a known nonzero value there — the oracle recomputes
+      // both sides analytically, so any extraction byte-drift fails it
+      ExtractEval.evaluate(ExtractEval.corpusAsPages(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_containment" -> ((s, dir) => {
+      // asymmetric containment |A∩B|/min(|A|,|B|) ≥ 0.9 over hashed
+      // 3-gram shingles — catches excerpt/quote subset-duplication that
+      // Jaccard dilutes; planted first-25-token excerpts are the ground
+      // truth. Blocked + salt-capped like jaccardBlocked; integer-exact
+      // threshold so the oracle replays the comparison bit-for-bit
+      Dedup.containmentBlocked(Dedup.corpusWithExcerpts(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("a", "b")
+    }),
+
+    "text_c4_clean" -> ((s, dir) => {
+      // C4 cleaning rules (Raffel et al. 2020 §2.2): line-level terminal-
+      // punctuation / ≥5-words / no-javascript filters + page-level
+      // curly-brace, lorem-ipsum, <3-lines drops, over a line-structured
+      // corpus with planted junk; cleaned text pinned by md5
+      TextStats.c4Clean(TextStats.corpusWithLines(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
         .orderBy("doc_id")
     }),
 

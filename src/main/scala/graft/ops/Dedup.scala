@@ -374,6 +374,65 @@ object Dedup {
     out
   }
 
+  /** Containment-test corpus: base docs plus a short EXCERPT (first 25
+    * tokens) of every third document at `doc_id + 300000`. Excerpt↔base
+    * pairs have near-zero Jaccard (the excerpt is ~10% of the doc) but
+    * containment ≈ 1 — the case symmetric similarity misses: quotes,
+    * lead-paragraph syndication, docs embedded inside aggregator pages. */
+  def corpusWithExcerpts(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text")).where(col("doc_id") < 1000)
+    val excerpts = base.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 25), " ").as("text"))
+    base.unionByName(excerpts)
+  }
+
+  /** Asymmetric containment dedup: pairs where the SMALLER document's
+    * shingle set is (near-)contained in the larger one —
+    * `|A∩B| / min(|A|,|B|) ≥ threshold`. Catches subset duplication
+    * (excerpts, quotes, page-in-page embedding) that Jaccard's
+    * union-normalized score dilutes away. Same blocked shape and skew cap
+    * as [[jaccardBlocked]]: first-token blocking (an excerpt of a prefix
+    * shares the base's first token by construction), hashed shingles
+    * (8 B/element shuffle), oversized blocks sub-split by doc-id hash.
+    * Threshold is integer-exact (x1000) so the SQL oracle replays the
+    * comparison bit-for-bit. */
+  def containmentBlocked(corpus: DataFrame, thresholdX1000: Long = 900,
+                         maxBlock: Int = 1000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val withSh = corpus
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val blk = { val sp = text.indexOf(' '); if (sp < 0) text else text.substring(0, sp) }
+        (id, blk, shingleHashes(text))
+      }
+      .filter(_._3.nonEmpty)
+      .toDF("doc_id", "blk", "hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = withSh.groupBy(col("blk")).agg(count(lit(1)).as("blk_n"))
+    val salted = withSh.join(broadcast(sizes), Seq("blk"))
+      .withColumn("sub",
+        pmod(xxhash64(col("doc_id")), greatest(ceil(col("blk_n") / maxBlock), lit(1))))
+    val l = salted.select(col("blk"), col("sub"), col("doc_id").as("a"), col("hs").as("ha"))
+    val r = salted.select(col("blk"), col("sub"), col("doc_id").as("b"), col("hs").as("hb"))
+    val out = l.join(r, Seq("blk", "sub")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ha"), col("hb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .flatMap { case (a, b, ha, hb) =>
+        val inter = sortedIntersectCount(ha, hb).toLong
+        val minCnt = math.min(ha.length, hb.length).toLong
+        if (inter * 1000L >= minCnt * thresholdX1000)
+          Some((a, b, inter, ha.length.toLong, hb.length.toLong, inter * 1000L / minCnt))
+        else None
+      }
+      .toDF("a", "b", "inter_cnt", "a_cnt", "b_cnt", "cont_x1000")
+      .localCheckpoint(true)
+    withSh.unpersist(false)
+    out
+  }
+
   /** 64-bit SimHash over word 3-gram shingles. Deterministic. `hash` picks
     * the per-shingle hash: [[shingleHash]] (fast murmur, default) or
     * [[shingleHashMd5]] (SQL-replicable — what [[simhashPairs]] uses so the

@@ -553,4 +553,66 @@ object TextStats {
       .agg(count(lit(1)).as("n_tokens"),
            expr("sum(bits) * 1000 div count(1)").as("rarity_milli"))
   }
+
+  /** Line-structured corpus for the C4 cleaning rules: rebuild each
+    * document as newline-joined 12-token lines (the corpus text has no
+    * natural line breaks), give ~2/3 of lines a terminal period (residue
+    * `(doc_id + idx) % 3 != 2`), and plant one deterministic junk line per
+    * `doc_id % 4` residue — a "javascript" notice (line rule), a
+    * curly-brace code line (page rule), a lorem-ipsum filler (page rule);
+    * residue 3 stays clean. Fully replayable in SQL. */
+  def corpusWithLines(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val nLines = math.max(1, (toks.length + 11) / 12)
+      val body = (0 until nLines).map { i =>
+        val line = toks.slice(i * 12, (i + 1) * 12).mkString(" ")
+        if ((id + i) % 3 != 2) line + "." else line
+      }
+      val junk = (id % 4) match {
+        case 0 => Seq("enable javascript and cookies to continue browsing now.")
+        case 1 => Seq("function() { return spam; }")
+        case 2 => Seq("lorem ipsum dolor sit amet placeholder text for padding.")
+        case _ => Seq.empty
+      }
+      (id, (body ++ junk).mkString("\n"))
+    }.toDF("doc_id", "text")
+  }
+
+  /** C4-style corpus cleaning (Raffel et al. 2020 §2.2, public heuristics):
+    * LINE rules keep only lines that end in terminal punctuation
+    * (`.` `!` `?` `"`), have ≥ 5 words, and do not mention "javascript";
+    * PAGE rules drop any page containing `{` (code), the phrase
+    * "lorem ipsum" (placeholder), or fewer than 3 surviving lines.
+    *
+    * One typed map per row — the per-line loop is data-dependent, so it
+    * belongs in a typed kernel, not a Catalyst lambda (the winnow/SemDeDup
+    * lesson); plan stays narrow, no shuffle. Output pins the cleaned text
+    * by md5 (computed whether or not the page survives, so the line filter
+    * is verified even on dropped pages). */
+  def c4Clean(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val lines = text.split("\n", -1)
+      val kept = lines.filter { l =>
+        l.nonEmpty &&
+          ".!?\"".indexOf(l.charAt(l.length - 1)) >= 0 &&
+          l.split(" ", -1).count(_.nonEmpty) >= 5 &&
+          !l.toLowerCase(java.util.Locale.ROOT).contains("javascript")
+      }
+      val lower = text.toLowerCase(java.util.Locale.ROOT)
+      val reason =
+        if (text.contains("{")) "curly"
+        else if (lower.contains("lorem ipsum")) "lorem_ipsum"
+        else if (kept.length < 3) "too_few_lines"
+        else "ok"
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      (id, lines.length.toLong, kept.length.toLong, reason, reason == "ok", md)
+    }.toDF("doc_id", "n_lines", "n_kept", "reason", "page_kept", "clean_md5")
+  }
 }
