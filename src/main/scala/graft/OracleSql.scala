@@ -1277,6 +1277,70 @@ object OracleSql {
         |  clean_md5
         |FROM agg ORDER BY doc_id""".stripMargin,
 
+    // rendezvous weights replayed via md5_number_upper % 1000000007 (the
+    // Sampling.md5Mod construction); CASE argmax mirrors the Spark
+    // first-match-wins tie-break; moved ⟺ shard = 7 is the HRW property
+    "url_shard_assign" -> {
+      val ws = (0 until 8)
+        .map(i => s"md5_number_upper(url_canon || '#$i') % 1000000007 AS w$i")
+        .mkString(", ")
+      def argmax(n: Int) =
+        s"CASE " + (0 until n).map(i =>
+          s"WHEN w$i = greatest(${(0 until n).map(j => s"w$j").mkString(", ")}) THEN $i")
+          .mkString(" ") + " END"
+      s"""WITH $urlCanonCte,
+         |w AS (SELECT doc_id, url_canon, $ws FROM canon)
+         |SELECT doc_id, url_canon,
+         |  CAST(${argmax(8)} AS INTEGER) AS shard,
+         |  CAST(${argmax(7)} AS INTEGER) AS shard_drop,
+         |  ${argmax(8)} <> ${argmax(7)} AS moved
+         |FROM w ORDER BY doc_id""".stripMargin
+    },
+
+    // full-dim vs first-16-dim exact rankings replayed with the same
+    // sequential list_aggregate sums the ann oracles use; overlap joined
+    // on (qid, cid) membership of both top-5 sets
+    "embedding_truncate_recall" -> {
+      def cos(n: String) =
+        s"""list_aggregate(list_transform(range(1, $n), i -> CAST(qe[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE)), 'sum')
+           |    / (sqrt(list_aggregate(list_transform(range(1, $n), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)), 'sum'))
+           |     * sqrt(list_aggregate(list_transform(range(1, $n), i -> CAST(ce[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE)), 'sum')))""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+         |scored AS (
+         |  SELECT qid, cid, ${cos("len(qe)+1")} AS sim, ${cos("17")} AS sim_t
+         |  FROM c CROSS JOIN q WHERE qid <> cid),
+         |rf AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rk FROM scored),
+         |rt AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim_t DESC, cid ASC) AS rk FROM scored),
+         |o AS (SELECT f.qid, count(*) AS overlap
+         |      FROM rf f JOIN rt t ON f.qid = t.qid AND f.cid = t.cid
+         |      WHERE f.rk <= 5 AND t.rk <= 5 GROUP BY f.qid)
+         |SELECT qid AS vec_id, CAST(coalesce(overlap, 0) AS BIGINT) AS overlap_cnt,
+         |  CAST(coalesce(overlap, 0) * 1000 // 5 AS BIGINT) AS recall_x1000
+         |FROM (SELECT DISTINCT qid FROM scored) LEFT JOIN o USING (qid)
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    // bigram/follower/continuation counts replayed directly; the p_kn
+    // double arithmetic is written in the SAME operation order as the
+    // Spark expression → bit-identical IEEE doubles, exact floor
+    "text_kn_bigram" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+        |       WHERE t[i] <> '' AND t[i+1] <> ''),
+        |bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        |fw AS (SELECT w1, sum(c) AS ct, count(*) AS nf FROM bc GROUP BY 1),
+        |cw AS (SELECT w2, count(*) AS nc FROM bc GROUP BY 1),
+        |dd AS (SELECT count(*) AS dd FROM bc)
+        |SELECT w1, w2, CAST(c AS BIGINT) AS c,
+        |  CAST(FLOOR(((CAST(c AS DOUBLE) - CAST(0.75 AS DOUBLE)) / CAST(ct AS DOUBLE)
+        |       + CAST(0.75 AS DOUBLE) * CAST(nf AS DOUBLE) / CAST(ct AS DOUBLE)
+        |         * (CAST(nc AS DOUBLE) / CAST(dd AS DOUBLE))) * 1e9) AS BIGINT) AS p_kn_x1e9
+        |FROM bc JOIN fw USING (w1) JOIN cw USING (w2) CROSS JOIN dd
+        |ORDER BY c DESC, w1, w2 LIMIT 30""".stripMargin,
+
     // paragraph chunking mirrors Dedup.corpusWithParagraphs (8-token chunks
     // of the SAME token array, joined by \n); first-occurrence-wins ordered
     // by (doc_id, idx) mirrors dedupParagraphs' min-struct keeper.

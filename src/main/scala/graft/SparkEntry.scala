@@ -1200,6 +1200,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "url_shard_assign" -> ((s, dir) => {
+      // rendezvous (HRW) shard placement: per-row codegen'd projection,
+      // zero shuffle; dropping the top shard moves ONLY its urls (the
+      // oracle sees moved ⟺ shard = 7, the consistent-hashing property)
+      UrlOps.rendezvousAssign(UrlOps.normalize(UrlOps.withRawUrls(
+        docs(s, dir, "documents").select(col("doc_id")))))
+        .orderBy("doc_id")
+    }),
+
+    "embedding_truncate_recall" -> ((s, dir) => {
+      // Matryoshka truncation ablation: exact top-5 overlap between full
+      // 64-dim and first-16-dim cosine rankings — one corpus pass, two
+      // bounded-heap top-k buffers per query in a single aggregation
+      Similarity.truncationRecall(docs(s, dir, "embeddings"),
+        nQueries = 20, k = 5, dims = 16)
+        .orderBy("vec_id")
+    }),
+
+    "text_kn_bigram" -> ((s, dir) => {
+      // interpolated Kneser-Ney bigram LM fit: one bigram-count shuffle,
+      // vocab-sized follower/continuation aggregates, broadcast 1-row type
+      // total; p_kn floored at 1e-9 with oracle-identical IEEE arithmetic
+      TextStats.knBigramFit(docs(s, dir, "documents").select(col("text")))
+    }),
+
     "text_lm_score" -> ((s, dir) => {
       // CCNet-style corpus-LM quality score: unigram model fit on the
       // corpus (one word-count shuffle), scoring as a literal-map

@@ -150,6 +150,40 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Matryoshka-style truncation ablation: per query, exact top-k under
+    * FULL dimensions vs top-k under the first `dims` dimensions, reported
+    * as overlap@k — the eval an embedding pipeline runs before committing
+    * to a cheaper truncated index (truncated dims = `dims/fullDims`× the
+    * ANN memory and bandwidth). ONE corpus pass: both cosines are computed
+    * per candidate row, then a single ObjectHashAggregate carries two
+    * bounded-heap top-k buffers — k rows per task per query per metric
+    * cross the wire, never candidates. Brute-force by design (this is an
+    * EVAL over a sampled query set, like [[bruteForceTopK]] — the scale
+    * serving path stays IVF/PQ). */
+  def truncationRecall(embeddings: DataFrame, nQueries: Int, k: Int,
+                       dims: Int): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val queries = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = base
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .crossJoin(broadcast(queries))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("sim", cosineCol)
+      .withColumn("qe", slice(col("qe"), 1, dims))
+      .withColumn("ce", slice(col("ce"), 1, dims))
+      .withColumn("sim_trunc", cosineCol)
+    val topk = udaf(new TopKAgg(k))
+    scored.groupBy(col("qid"))
+      .agg(topk(col("sim"), col("cid")).as("hf"),
+           topk(col("sim_trunc"), col("cid")).as("ht"))
+      .select(col("qid").as("vec_id"),
+        size(array_intersect(
+          transform(col("hf"), h => h.getField("_2")),
+          transform(col("ht"), h => h.getField("_2")))).cast("long").as("overlap_cnt"))
+      .withColumn("recall_x1000", expr(s"overlap_cnt * 1000 div $k"))
+  }
+
   /** Random-hyperplane LSH signature (sign bits of h deterministic pseudo
     * projections). Buckets share sign prefixes; probing the query's bucket
     * (plus flips of low-margin bits) retrieves candidates. */

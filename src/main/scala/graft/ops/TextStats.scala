@@ -554,6 +554,41 @@ object TextStats {
            expr("sum(bits) * 1000 div count(1)").as("rarity_milli"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM fit (Kneser & Ney 1995; Chen &
+    * Goodman 1999 eq. 4.25) over the corpus — the n-gram LM a CCNet-style
+    * quality scorer trains: absolute discount d = 0.75, continuation
+    * probability from distinct-left-context counts.
+    *
+    *   p_kn(w2|w1) = (c(w1w2) − d)/c(w1·) + d·N1+(w1·)/c(w1·) · N1+(·w2)/D
+    *
+    * Distributed shape: ONE bigram-count shuffle (map-side combined); the
+    * follower/continuation tables are groupBys OF THE COUNTED table (vocab-
+    * sized, far smaller than the corpus); the bigram-type total D joins in
+    * as a broadcast 1-row aggregate, not a driver collect. Probability is
+    * emitted as floor(p·1e9) with the arithmetic written identically in the
+    * SQL oracle — bit-identical IEEE doubles, exact compare. Output: the
+    * `topN` bigrams by count (ties by bigram), with counts and p_kn. */
+  def knBigramFit(docs: DataFrame, topN: Int = 30): DataFrame = {
+    val toks = docs.select(split(col("text"), " ").as("t")).where(size(col("t")) >= 2)
+    val bg = toks
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .where(col("w1") =!= "" && col("w2") =!= "")
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val fw = bc.groupBy("w1").agg(sum(col("c")).as("ct"), count(lit(1)).as("nf"))
+    val cw = bc.groupBy("w2").agg(count(lit(1)).as("nc"))
+    val dd = bc.agg(count(lit(1)).as("dd"))
+    bc.join(fw, "w1").join(cw, "w2").crossJoin(broadcast(dd))
+      .select(col("w1"), col("w2"), col("c"),
+        expr("""CAST(FLOOR(((CAST(c AS DOUBLE) - 0.75D) / CAST(ct AS DOUBLE)
+                 + 0.75D * CAST(nf AS DOUBLE) / CAST(ct AS DOUBLE)
+                   * (CAST(nc AS DOUBLE) / CAST(dd AS DOUBLE))) * 1e9) AS BIGINT)""")
+          .as("p_kn_x1e9"))
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Line-structured corpus for the C4 cleaning rules: rebuild each
     * document as newline-joined 12-token lines (the corpus text has no
     * natural line breaks), give ~2/3 of lines a terminal period (residue

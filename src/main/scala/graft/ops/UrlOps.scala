@@ -223,6 +223,39 @@ object UrlOps {
       .withColumn("vals_per_url_permille", expr("n_vals * 1000 div n_urls"))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment of canonical urls
+    * to `nShards` fetcher/storage shards — the consistent-placement scheme
+    * a 10^12-url frontier needs: when a shard is removed, ONLY the urls
+    * that lived on it move (1/N churn), unlike mod-N hashing where nearly
+    * everything reshuffles. Weight per (url, shard) is the SQL-replicable
+    * md5 construction ([[Sampling.md5Mod]] = DuckDB `md5_number_upper`),
+    * argmax with lowest-shard tie-break; all codegen'd built-ins, zero
+    * shuffle, zero UDFs — the assignment is a per-row projection, which is
+    * exactly what lets it run inside the frontier scan at any scale.
+    *
+    * Output per url: `shard` (all `nShards` alive), `shard_drop` (highest
+    * shard removed), and `moved` — the oracle checks the rendezvous
+    * property end-to-end: `moved ⟺ shard = nShards-1`. */
+  def rendezvousAssign(normalized: DataFrame, nShards: Int = 8): DataFrame = {
+    require(nShards >= 2, "need at least two shards")
+    val ws = (0 until nShards).map { sIdx =>
+      Sampling.md5Mod(concat(col("url_canon"), lit(s"#$sIdx")), 1000000007L).as(s"w$sIdx")
+    }
+    def argmax(n: Int): org.apache.spark.sql.Column = {
+      val gmax = greatest((0 until n).map(i => col(s"w$i")): _*)
+      (0 until n).foldRight(lit(-1): org.apache.spark.sql.Column) { (i, rest) =>
+        when(col(s"w$i") === gmax, i).otherwise(rest)
+      }
+    }
+    // foldRight builds WHEN w0 ... WHEN w(n-1): first match wins → lowest
+    // shard on (vanishingly unlikely) weight ties, same as the SQL CASE
+    normalized.select(col("doc_id") +: col("url_canon") +: ws: _*)
+      .withColumn("shard", argmax(nShards).cast("int"))
+      .withColumn("shard_drop", argmax(nShards - 1).cast("int"))
+      .withColumn("moved", col("shard") =!= col("shard_drop"))
+      .select("doc_id", "url_canon", "shard", "shard_drop", "moved")
+  }
+
   /** Registered domain from a host Column using only codegen'd built-ins
     * (the native expression needs a full url; param mining has a bare
     * host). Mirrors [[registeredDomain]] for the synthesis's suffix set. */
