@@ -1341,6 +1341,64 @@ object OracleSql {
         |FROM bc JOIN fw USING (w1) JOIN cw USING (w2) CROSS JOIN dd
         |ORDER BY c DESC, w1, w2 LIMIT 30""".stripMargin,
 
+    // DSIR replay: same gram stream (unigrams <> '', positional bigrams),
+    // md5_number_upper % 64 buckets, Laplace-smoothed log-ratio floored at
+    // 1e-6 per bucket (identical IEEE op order), exact integer sums
+    "quality_dsir" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, g FROM (SELECT doc_id, unnest(t) AS g FROM toks) WHERE g <> ''),
+        |bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
+        |grams AS (SELECT doc_id, md5_number_upper(g) % 64 AS b
+        |          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |cs AS (SELECT b, count(*) AS cs FROM grams GROUP BY 1),
+        |ct AS (SELECT b, count(*) AS ct FROM grams WHERE doc_id % 25 = 0 GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(cs) FROM cs) AS ts, (SELECT sum(ct) FROM ct) AS tt),
+        |lr AS (SELECT b,
+        |  CAST(FLOOR(LN(((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 64.0))
+        |   / ((CAST(cs AS DOUBLE) + 1.0) / (CAST(ts AS DOUBLE) + 64.0))) * 1e6) AS BIGINT) AS lr_x1e6
+        |  FROM cs LEFT JOIN ct USING (b) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(lr_x1e6) AS BIGINT) AS dsir_x1e6
+        |FROM grams JOIN lr USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // analytic segmentation of the PLANTED layout (Hygiene.corpusWithScripts
+    // appends ' пример текста для проверки' on %4 and ' 中文样本文本' on %6):
+    // neutral chars glue to the current run, so each joining space belongs
+    // to the PRECEDING segment — offsets are pure arithmetic over length(text)
+    "text_script_segments" ->
+      """WITH base AS (SELECT doc_id, length(text) AS n FROM documents),
+        |segs AS (
+        |  SELECT doc_id, 0 AS seg_idx, 'latin' AS script, 0 AS seg_start,
+        |    n + CASE WHEN doc_id % 4 = 0 OR doc_id % 6 = 0 THEN 1 ELSE 0 END AS n_chars
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'cyrillic', n + 1,
+        |    26 + CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END
+        |  FROM base WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END, 'cjk',
+        |    n + CASE WHEN doc_id % 4 = 0 THEN 28 ELSE 1 END, 6
+        |  FROM base WHERE doc_id % 6 = 0)
+        |SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx, script,
+        |  CAST(seg_start AS BIGINT) AS seg_start, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM segs ORDER BY doc_id, seg_idx""".stripMargin,
+
+    // pinned goldens: Article block (attr case + single quotes + escaped
+    // string), @graph envelope, ignored text/javascript block, malformed
+    // block surfacing ok=false, top-level array with @type array
+    "html_jsonld" ->
+      """SELECT url, CAST(block_idx AS INTEGER) AS block_idx,
+        |  CAST(item_idx AS INTEGER) AS item_idx, ok, jtype, name FROM (VALUES
+        |  ('https://s.example/a', 0, 0, TRUE, 'Article', 'Breaking & Entering'),
+        |  ('https://s.example/b', 0, 0, TRUE, 'Organization', 'Acme'),
+        |  ('https://s.example/b', 0, 1, TRUE, 'WebSite', 'Acme Site'),
+        |  ('https://s.example/b', 1, 0, FALSE, '', ''),
+        |  ('https://s.example/b', 2, 0, TRUE, 'Product', 'Widget'),
+        |  ('https://s.example/b', 2, 1, TRUE, 'Offer', '')
+        |) AS t(url, block_idx, item_idx, ok, jtype, name)
+        |ORDER BY url, block_idx, item_idx""".stripMargin,
+
     // paragraph chunking mirrors Dedup.corpusWithParagraphs (8-token chunks
     // of the SAME token array, joined by \n); first-occurrence-wins ordered
     // by (doc_id, idx) mirrors dedupParagraphs' min-struct keeper.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.spark.{DocParts, ExtractPipeline, PageRow, PagesTable}
-import graft.ops.{Assemble, Classifier, Dedup, ExtractEval, Graph, Index, Mixture, Relational, Retrieval, Sampling, Similarity, TextStats, Tokenizer, UrlOps}
+import graft.ops.{Assemble, Classifier, Dedup, ExtractEval, Graph, HtmlMeta, Index, Mixture, Relational, Retrieval, Sampling, Similarity, TextStats, Tokenizer, UrlOps}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB oracle where SQL-expressible.
@@ -1223,6 +1223,48 @@ object SparkEntry {
       // vocab-sized follower/continuation aggregates, broadcast 1-row type
       // total; p_kn floored at 1e-9 with oracle-identical IEEE arithmetic
       TextStats.knBigramFit(docs(s, dir, "documents").select(col("text")))
+    }),
+
+    "quality_dsir" -> ((s, dir) => {
+      // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+      // bucket distributions, target = the %25 benchmark residue; 64-row
+      // log-ratio table broadcast onto the gram stream, integer sums
+      Sampling.dsirWeights(docs(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy("doc_id")
+    }),
+
+    "text_script_segments" -> ((s, dir) => {
+      // contiguous same-script runs with char offsets (the router's
+      // sibling: split multilingual pages before langid/tokenization);
+      // planted Cyrillic/CJK runs make the segmentation analytic
+      graft.ops.Hygiene.scriptSegments(graft.ops.Hygiene.corpusWithScripts(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("doc_id", "seg_idx")
+    }),
+
+    "html_jsonld" -> ((s, _) => {
+      import s.implicits._
+      // JSON-LD structured-data items: @graph envelopes, top-level arrays,
+      // escaped strings, attr-case/quote variance, a non-ld script that
+      // must be ignored, and a malformed block that must surface ok=false
+      val a =
+        """<html><head><script TYPE='application/ld+json'>
+          |{"@context":"https://schema.org","@type":"Article","headline":"Breaking & Entering","author":{"@type":"Person","name":"A. Writer"}}
+          |</script></head><body>text</body></html>""".stripMargin
+      val b =
+        """<html><body>
+          |<script type="application/ld+json">{"@graph":[{"@type":"Organization","name":"Acme"},{"@type":"WebSite","name":"Acme Site"}]}</script>
+          |<script type="text/javascript">var x = {"@type":"Nope"};</script>
+          |<script type="application/ld+json">{"@type":"Product","name":"Widget"</script>
+          |<script type="application/ld+json">[{"@type":["Product","Thing"],"name":"Widget"},{"@type":"Offer"}]</script>
+          |</body></html>""".stripMargin
+      val c = "<html><body>no structured data</body></html>"
+      val rows = Seq(("https://s.example/a", a), ("https://s.example/b", b),
+        ("https://s.example/c", c)).map { case (u, h) =>
+        PageRow(u, new java.sql.Timestamp(1704067200000L), h.getBytes("UTF-8"), null, "en")
+      }
+      HtmlMeta.jsonLd(s.createDataset(rows)).toDF()
+        .orderBy("url", "block_idx", "item_idx")
     }),
 
     "text_lm_score" -> ((s, dir) => {

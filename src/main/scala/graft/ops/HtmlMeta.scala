@@ -35,4 +35,26 @@ object HtmlMeta {
       }
     }
   }
+
+  final case class JsonLdRow(
+      url: String,
+      block_idx: Int,
+      item_idx: Int,
+      ok: Boolean,
+      jtype: String,
+      name: String)
+
+  /** JSON-LD structured-data items per page (schema.org blocks — what CC's
+    * WAT sidecars carry). One narrow typed pass, per-row bounded parser,
+    * malformed blocks surface as ok=false rows instead of throwing. */
+  def jsonLd(pages: Dataset[PageRow]): Dataset[JsonLdRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap { p =>
+      if (p.html == null) Seq.empty[JsonLdRow]
+      else graft.core.html.JsonLd
+        .items(new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+        .map(it => JsonLdRow(p.url, it.blockIdx, it.itemIdx, it.ok, it.jtype, it.name))
+    }
+  }
 }

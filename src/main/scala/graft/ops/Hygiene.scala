@@ -39,6 +39,49 @@ object Hygiene {
           .otherwise("latin"))
   }
 
+  /** Script SEGMENTATION (the router's sibling): contiguous same-script
+    * runs with char offsets, so a multilingual page can be split and each
+    * segment routed to its own langid/tokenizer instead of letting the
+    * dominant script swallow the page. Classes: latin / cyrillic / cjk by
+    * codepoint range; neutral chars (spaces, digits, punct) extend the
+    * CURRENT run, and a leading neutral prefix joins the first scripted
+    * run — so segment boundaries sit exactly where the script actually
+    * changes. Data-dependent per-row loop → typed kernel (the winnow
+    * lesson), one narrow pass, zero shuffle. Output: one row per segment
+    * (doc_id, seg_idx, script, start, n_chars). */
+  def scriptSegments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].flatMap { case (id, text) =>
+      @inline def cls(c: Char): Int =
+        if (c >= 'A' && c <= 'Z' || c >= 'a' && c <= 'z') 1
+        else if (c >= 'Ѐ' && c <= 'ӿ') 2
+        else if (c >= '一' && c <= '鿿') 3
+        else 0
+      val names = Array("none", "latin", "cyrillic", "cjk")
+      val segs = Vector.newBuilder[(Long, Long, String, Long, Long)]
+      var segStart = 0
+      var segCls = 0
+      var idx = 0L
+      var i = 0
+      while (i < text.length) {
+        val k = cls(text.charAt(i))
+        if (k != 0 && k != segCls) {
+          if (segCls != 0) {
+            segs += ((id, idx, names(segCls), segStart.toLong, (i - segStart).toLong))
+            idx += 1
+            segStart = i
+          } // leading neutral prefix stays glued to the first scripted run
+          segCls = k
+        }
+        i += 1
+      }
+      if (text.nonEmpty)
+        segs += ((id, idx, names(segCls), segStart.toLong, (text.length - segStart).toLong))
+      segs.result()
+    }.toDF("doc_id", "seg_idx", "script", "seg_start", "n_chars")
+  }
+
   /** Keeper selection — AFTER near-dup clustering, which copy survives?
     * Naive min-id keeps whatever crawled first; real pipelines keep the
     * BEST copy: longest extracted text, ties to the smallest id (stable).

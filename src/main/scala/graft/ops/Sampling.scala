@@ -100,4 +100,48 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
            countDistinct(col("domain")).as("n_domains"))
   }
+
+  /** DSIR importance weights (Xie et al., NeurIPS 2023 — Data Selection
+    * with Importance Resampling, public method): score every source
+    * document by how target-like its hashed n-gram profile is,
+    * `w(doc) = Σ_grams log p_target(bucket) / p_source(bucket)`,
+    * with unigram+bigram features hashed into `buckets` buckets and
+    * Laplace-smoothed bucket distributions. Docs on the
+    * `doc_id % targetModulus == 0` residue form the target set (the same
+    * benchmark residue text_decontaminate uses).
+    *
+    * Scale shape: gram explosion is map-local; the bucket histograms are
+    * two `buckets`-row aggregates (map-side combined — the shuffle is
+    * O(tasks × buckets), not O(corpus)); the 64-row log-ratio table
+    * BROADCAST-joins back onto the gram stream; per-doc scoring is one
+    * doc-keyed aggregation. No driver collect, no all-pairs anything.
+    * The per-bucket log-ratio is floored at 1e-6 ONCE (64 values), so
+    * per-doc scores are exact integer sums the oracle replays. */
+  def dsirWeights(docs: DataFrame, buckets: Int = 64,
+                  targetModulus: Long = 25): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val uni = toks.select(col("doc_id"), explode(col("t")).as("g"))
+      .where(col("g") =!= "")
+    val bi = toks.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")).as("g"))
+    val grams = uni.unionByName(bi)
+      .withColumn("b", md5Mod(col("g"), buckets))
+    val cs = grams.groupBy("b").agg(count(lit(1)).as("cs"))
+    val ct = grams.where(pmod(col("doc_id"), lit(targetModulus)) === 0)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = cs.agg(sum(col("cs")).as("ts"))
+      .crossJoin(ct.agg(sum(col("ct")).as("tt")))
+    val lr = cs.join(ct, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"), expr(
+        s"""CAST(FLOOR(LN(((CAST(ct AS DOUBLE) + 1.0D) / (CAST(tt AS DOUBLE) + $buckets.0D))
+            | / ((CAST(cs AS DOUBLE) + 1.0D) / (CAST(ts AS DOUBLE) + $buckets.0D))) * 1e6) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("lr_x1e6"))
+    grams.join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(col("lr_x1e6")).as("dsir_x1e6"))
+  }
 }
