@@ -1341,6 +1341,60 @@ object OracleSql {
         |FROM bc JOIN fw USING (w1) JOIN cw USING (w2) CROSS JOIN dd
         |ORDER BY c DESC, w1, w2 LIMIT 30""".stripMargin,
 
+    // pinned goldens over the deterministic CDC corpus (Dedup.synthCdcCorpus
+    // splitmix blocks): A=P1·P2·P3 is fully covered by C=Y·A (23/23 chunks
+    // shared despite C's 777-byte prefix shift — the CDC re-alignment
+    // property); B shares the P1/P3 chunks only; D is unrelated
+    "dedup_cdc" ->
+      """SELECT url, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(n_shared_chunks AS BIGINT) AS n_shared_chunks,
+        |  CAST(shared_bytes AS BIGINT) AS shared_bytes FROM (VALUES
+        |  ('cdc://a', 7500, 23, 23, 7500),
+        |  ('cdc://b', 6000, 18, 11, 4305),
+        |  ('cdc://c', 8277, 27, 22, 6921),
+        |  ('cdc://d', 4000, 9, 0, 0)
+        |) AS t(url, n_bytes, n_chunks, n_shared_chunks, shared_bytes)
+        |ORDER BY url""".stripMargin,
+
+    // assignment replayed via md5_number_upper('ab:'||user_id) % 2; the
+    // pooled two-proportion z written in the same IEEE op order
+    "events_ab_test" ->
+      """WITH u AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' AND value >= 120 THEN 1 ELSE 0 END) AS conv
+        |           FROM events GROUP BY 1),
+        |v AS (SELECT conv, md5_number_upper('ab:' || CAST(user_id AS VARCHAR)) % 2 AS variant FROM u),
+        |a AS (SELECT
+        |  sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_control,
+        |  sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_treat,
+        |  sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS conv_control,
+        |  sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS conv_treat FROM v)
+        |SELECT CAST(n_control AS BIGINT) AS n_control, CAST(n_treat AS BIGINT) AS n_treat,
+        |  CAST(conv_control AS BIGINT) AS conv_control, CAST(conv_treat AS BIGINT) AS conv_treat,
+        |  CAST(FLOOR(((CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+        |    - CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE))
+        |    / SQRT((CAST(conv_control + conv_treat AS DOUBLE) / CAST(n_control + n_treat AS DOUBLE))
+        |      * (1.0 - CAST(conv_control + conv_treat AS DOUBLE) / CAST(n_control + n_treat AS DOUBLE))
+        |      * (1.0 / CAST(n_control AS DOUBLE) + 1.0 / CAST(n_treat AS DOUBLE)))) * 1e6) AS BIGINT) AS z_x1e6,
+        |  abs(CAST(FLOOR(((CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+        |    - CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE))
+        |    / SQRT((CAST(conv_control + conv_treat AS DOUBLE) / CAST(n_control + n_treat AS DOUBLE))
+        |      * (1.0 - CAST(conv_control + conv_treat AS DOUBLE) / CAST(n_control + n_treat AS DOUBLE))
+        |      * (1.0 / CAST(n_control AS DOUBLE) + 1.0 / CAST(n_treat AS DOUBLE)))) * 1e6) AS BIGINT)) > 1960000 AS significant
+        |FROM a""".stripMargin,
+
+    // every (click, purchase) pair within the 10-minute window — the same
+    // multiplicity the streaming interval join emits
+    "events_conversion_window" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, click_id, purchase_id,
+        |  CAST(floor(epoch(purchase_ts)) AS BIGINT) - CAST(floor(epoch(click_ts)) AS BIGINT) AS lag_sec
+        |FROM c JOIN p USING (user_id)
+        |WHERE purchase_ts > click_ts AND purchase_ts <= click_ts + INTERVAL 10 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
     // DSIR replay: same gram stream (unigrams <> '', positional bigrams),
     // md5_number_upper % 64 buckets, Laplace-smoothed log-ratio floored at
     // 1e-6 per bucket (identical IEEE op order), exact integer sums

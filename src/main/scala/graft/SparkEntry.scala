@@ -1225,6 +1225,28 @@ object SparkEntry {
       TextStats.knBigramFit(docs(s, dir, "documents").select(col("text")))
     }),
 
+    "events_ab_test" -> ((s, dir) => {
+      // A/B readout: hash-bucket assignment as a projection (no assignment
+      // table join), one user rollup + one global row; pooled z-test with
+      // oracle-identical IEEE arithmetic
+      Relational.abTest(docs(s, dir, "events"))
+    }),
+
+    "events_conversion_window" -> ((s, dir) => {
+      // batch twin of the stream-stream interval join (EventStreamsSpec
+      // proves parity): purchases within 10 min of a same-user click
+      Relational.conversionWindow(docs(s, dir, "events"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
+    "dedup_cdc" -> ((s, _) => {
+      // content-defined chunking storage dedup: gear rolling-hash chunks,
+      // digest-keyed reuse counts — doc C is doc A behind a 777-byte
+      // prefix insertion and still shares its content chunks (the
+      // alignment-resync property fixed-size blocking lacks)
+      Dedup.cdcStats(Dedup.synthCdcCorpus(s)).orderBy("url")
+    }),
+
     "quality_dsir" -> ((s, dir) => {
       // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
       // bucket distributions, target = the %25 benchmark residue; 64-row

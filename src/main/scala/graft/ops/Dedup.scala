@@ -883,4 +883,93 @@ object Dedup {
     docs.where(col("doc_id") >= split).select(col("doc_id"), col("text"))
       .unionByName(docs.where(col("doc_id") < split && col("doc_id") % 3 === 0)
         .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+
+  // --------------------------------------------------------------------
+  // Content-defined chunking (storage-level dedup over BINARY payloads)
+  // --------------------------------------------------------------------
+
+  /** Gear constants for the rolling hash — splitmix-derived, deterministic. */
+  private val gearTable: Array[Long] =
+    Array.tabulate(256)(i => mix64(0x4345444347454152L + i))
+
+  /** Gear-based content-defined chunk boundaries (the FastCDC/gear family,
+    * public technique): rolling `h = (h << 1) + gear[byte]`, cut when the
+    * low `avgMaskBits` bits of h are zero (expected chunk ≈ min + 2^bits),
+    * bounded by [minSize, maxSize]. Boundaries depend only on LOCAL bytes,
+    * so an insertion near the front re-aligns within one chunk — the
+    * property that makes chunk-level dedup survive prefix/middle edits
+    * where fixed-size blocking shares nothing. Returns
+    * (offset, length, md5 hex) per chunk. */
+  def cdcChunks(bytes: Array[Byte], minSize: Int = 64, avgMaskBits: Int = 8,
+                maxSize: Int = 1024): Vector[(Long, Long, String)] = {
+    val out = Vector.newBuilder[(Long, Long, String)]
+    val mask = (1L << avgMaskBits) - 1
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + gearTable(bytes(i) & 0xff)
+      i += 1
+      val len = i - start
+      if ((len >= minSize && (h & mask) == 0L) || len >= maxSize || i == bytes.length) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.util.Arrays.copyOfRange(bytes, start, i))
+          .map(b => f"$b%02x").mkString
+        out += ((start.toLong, len.toLong, md))
+        start = i
+        h = 0L
+      }
+    }
+    out.result()
+  }
+
+  /** Corpus-level CDC dedup stats: chunk every payload, count per-doc how
+    * many chunks (and bytes) are SHARED with at least one other document.
+    * Distributed shape: chunking is a narrow typed flatMap (payloads never
+    * shuffle); only (digest, url, len) triples — tens of bytes per chunk —
+    * feed one digest-keyed countDistinct and one url-keyed rollup. At a
+    * 100-TB lake this is the storage-dedup planner: shared_bytes is what a
+    * content-addressed store saves. */
+  def cdcStats(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val chunks = pages.select(col("url"), col("payload"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, bytes) =>
+        if (bytes == null) Seq.empty
+        else cdcChunks(bytes).map { case (_, len, digest) => (url, len, digest) }
+      }
+      .toDF("url", "len", "digest")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reuse = chunks.groupBy(col("digest"))
+      .agg(countDistinct(col("url")).as("nd"))
+    val out = chunks.join(reuse, "digest")
+      .groupBy(col("url"))
+      .agg(sum(col("len")).as("n_bytes"),
+           count(lit(1)).as("n_chunks"),
+           sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared_chunks"),
+           sum(when(col("nd") > 1, col("len")).otherwise(0L)).as("shared_bytes"))
+      .localCheckpoint(true)
+    chunks.unpersist(false)
+    out
+  }
+
+  /** Deterministic CDC corpus: four binary docs built from splitmix byte
+    * blocks — A = P1·P2·P3, B = P1·X·P3 (middle replaced), C = Y·A (777-
+    * byte prefix INSERTION, the alignment-shift case fixed-size blocking
+    * fails), D = unrelated. */
+  def synthCdcCorpus(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    def block(seed: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(j => (mix64(seed * 1000003L + j) & 0xff).toByte)
+    val p1 = block(1, 2000); val p2 = block(2, 3000); val p3 = block(3, 2500)
+    val x = block(9, 1500); val y = block(8, 777)
+    val a = p1 ++ p2 ++ p3
+    Seq(
+      ("cdc://a", a),
+      ("cdc://b", p1 ++ x ++ p3),
+      ("cdc://c", y ++ a),
+      ("cdc://d", block(7, 4000)))
+      .toDF("url", "payload")
+  }
 }

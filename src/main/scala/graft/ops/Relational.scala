@@ -274,4 +274,59 @@ object Relational {
       .select((lit(9000L) + col("id") % nBots).as("user_id"),
         timestamp_seconds(lit(1704067200L) + expr(s"id div $nBots") * 2)
           .as("ts"))
+
+  /** Deterministic A/B experiment readout: hash-bucket assignment
+    * (`md5(salt:user_id) % 2` — the [[Sampling.md5Mod]] construction, so
+    * assignment is reproducible across engines and reruns), per-user
+    * conversion on `convType`, and the two-proportion pooled z-test.
+    * Scale shape: ONE user-keyed aggregation (map-side combined) then a
+    * single global rollup row — assignment is a projection, never a join
+    * against an assignment table. The z statistic is floored at 1e-6 with
+    * oracle-identical IEEE arithmetic; `significant` is the two-sided 5%
+    * decision (|z| > 1.96). */
+  def abTest(events: DataFrame, convType: String = "purchase",
+             minValue: Double = 120.0): DataFrame = {
+    // conversion = a big-ticket purchase (value ≥ minValue): near-universal
+    // events make the pooled variance 0 and the z-test degenerate — the
+    // metric must discriminate, which is an experiment-design fact, not an
+    // engine one
+    val users = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === convType && col("value") >= minValue, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("variant",
+        Sampling.md5Mod(concat(lit("ab:"), col("user_id")), 2L))
+    users.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("conv_control"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("conv_treat"))
+      .withColumn("z_x1e6", expr(
+        """CAST(FLOOR(((CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+           - CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE))
+           / SQRT((CAST(conv_control + conv_treat AS DOUBLE) / CAST(n_control + n_treat AS DOUBLE))
+             * (1.0D - CAST(conv_control + conv_treat AS DOUBLE) / CAST(n_control + n_treat AS DOUBLE))
+             * (1.0D / CAST(n_control AS DOUBLE) + 1.0D / CAST(n_treat AS DOUBLE)))) * 1e6) AS BIGINT)"""
+          .replace("\n", " ")))
+      .withColumn("significant", abs(col("z_x1e6")) > 1960000L)
+  }
+
+  /** Conversion-window join: every purchase within `windowMinutes` after a
+    * click by the same user — the batch twin of the Structured Streaming
+    * stream-stream interval join ([[graft.spark.EventStreams]]). One
+    * user-keyed shuffle; the time window is a post-join predicate, so no
+    * per-key explosion beyond the window's true matches. Emits every
+    * qualifying (click, purchase) pair — exactly the multiplicity the
+    * streaming interval join produces. */
+  def conversionWindow(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    clicks.join(purchases, Seq("user_id"))
+      .where(col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("lag_sec"))
+  }
 }

@@ -110,6 +110,44 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Stream-STREAM interval join: purchases matched to clicks by the same
+    * user within `windowMinutes` — in-flight conversion attribution. Both
+    * sides carry event-time watermarks, so the join state is BOUNDED: a
+    * buffered click can be dropped once the purchase watermark passes
+    * click_ts + window (Spark derives the state-cleanup predicate from the
+    * interval condition — this is the canonical watermark + range-condition
+    * shape). Batch twin: [[graft.ops.Relational.conversionWindow]], which
+    * the spec compares row-for-row. */
+  def conversionWindowStream(spark: SparkSession, eventsDir: String, outDir: String,
+                             checkpointDir: String, windowMinutes: Int = 10): Unit = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = stream.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = stream.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases, expr(
+        s"""c_user = p_user AND purchase_ts > click_ts
+           |AND purchase_ts <= click_ts + INTERVAL $windowMinutes MINUTES""".stripMargin
+          .replace("\n", " ")))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("lag_sec"))
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Per-user sessionization: events within 30 minutes of each other belong
     * to one session (flatMapGroupsWithState with processing-time timeout —
     * AvailableNow flushes state at stream end). */

@@ -32,6 +32,24 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.count() > 10)
   }
 
+  test("stream-stream interval join (watermarked) equals the batch conversion window") {
+    val in = stageEvents()
+    val tmp = java.nio.file.Files.createTempDirectory("cw").toString
+    EventStreams.conversionWindowStream(spark, in, s"$tmp/out", s"$tmp/cp",
+      windowMinutes = 120)
+    val streamed = spark.read.parquet(s"$tmp/out")
+    val batch = graft.ops.Relational.conversionWindow(
+      spark.read.parquet(in).withColumn("ts", col("ts").cast("timestamp")),
+      windowMinutes = 120)
+    val keys = Seq("user_id", "click_id", "purchase_id", "lag_sec")
+    assert(streamed.count() == batch.count())
+    assert(streamed.join(batch, keys, "left_anti").count() == 0,
+      "streamed rows missing from batch result")
+    assert(batch.join(streamed, keys, "left_anti").count() == 0,
+      "batch rows missing from streamed result")
+    assert(streamed.count() >= 9) // sf0.001 ground truth
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) equals batch sessionization") {
     import spark.implicits._
     val in = stageEvents()
