@@ -1341,6 +1341,47 @@ object OracleSql {
         |FROM bc JOIN fw USING (w1) JOIN cw USING (w2) CROSS JOIN dd
         |ORDER BY c DESC, w1, w2 LIMIT 30""".stripMargin,
 
+    // HyperBall replay: same md5-derived registers as sketch_hll, max-merge
+    // along the synthetic edges unrolled for 4 hops, integer estimator,
+    // per-hop harmonic terms — bit-identical to the Spark loop
+    "graph_hyperball" -> {
+      def relax(k: Int) =
+        s"""r$k AS (SELECT id, j, max(mj) AS mj FROM (
+           |  SELECT * FROM r${k - 1} UNION ALL
+           |  SELECT e.src AS id, r.j, r.mj FROM edges e JOIN r${k - 1} r ON r.id = e.dst)
+           |  GROUP BY 1, 2)""".stripMargin
+      def est(k: Int) =
+        s"""e$k AS (SELECT id,
+           |  CASE WHEN vz > 0 AND raw <= 160
+           |       THEN CAST(FLOOR(64.0 * LN(64.0 / CAST(vz AS DOUBLE))) AS BIGINT)
+           |       ELSE raw END AS est
+           |  FROM (SELECT id, 64 - count(*) AS vz,
+           |    CAST(709 * 4096 * 34359738368 //
+           |      (1000 * (sum(CAST(1 AS BIGINT) << CAST(35 - mj AS INTEGER))
+           |       + (64 - count(*)) * 34359738368)) AS BIGINT) AS raw
+           |    FROM r$k GROUP BY id))""".stripMargin
+      s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |raw AS (
+         |  SELECT id AS src, (id*7+3) % n AS dst FROM nodes, nn
+         |  UNION ALL SELECT id, (id*13+11) % n FROM nodes, nn
+         |  UNION ALL SELECT id, (id*31+17) % n FROM nodes, nn),
+         |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+         |r0 AS (SELECT id, h % 64 AS j,
+         |  CASE WHEN h // 64 = 0 THEN 35 ELSE 35 - length(bin(h // 64)) END AS mj
+         |  FROM (SELECT id,
+         |    CAST(md5_number_upper('hb:' || CAST(id AS VARCHAR)) % 1099511627776 AS BIGINT) AS h
+         |    FROM nodes)),
+         |${relax(1)}, ${relax(2)}, ${relax(3)}, ${relax(4)},
+         |${est(0)}, ${est(1)}, ${est(2)}, ${est(3)}, ${est(4)}
+         |SELECT n.id AS doc_id, CAST(e4.est AS BIGINT) AS ball_final,
+         |  CAST(greatest((e1.est - e0.est) * 1000 // 1, 0) + greatest((e2.est - e1.est) * 1000 // 2, 0)
+         |     + greatest((e3.est - e2.est) * 1000 // 3, 0) + greatest((e4.est - e3.est) * 1000 // 4, 0) AS BIGINT) AS harmonic_x1000
+         |FROM nodes n JOIN e0 ON e0.id = n.id JOIN e1 ON e1.id = n.id
+         |  JOIN e2 ON e2.id = n.id JOIN e3 ON e3.id = n.id JOIN e4 ON e4.id = n.id
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // pinned goldens over the deterministic CDC corpus (Dedup.synthCdcCorpus
     // splitmix blocks): A=P1·P2·P3 is fully covered by C=Y·A (23/23 chunks
     // shared despite C's 777-byte prefix shift — the CDC re-alignment

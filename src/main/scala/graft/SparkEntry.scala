@@ -1247,6 +1247,17 @@ object SparkEntry {
       Dedup.cdcStats(Dedup.synthCdcCorpus(s)).orderBy("url")
     }),
 
+    "graph_hyperball" -> ((s, dir) => {
+      // HyperBall harmonic centrality: HLL register max-merge along edges,
+      // 4 hops — the O(n·m)-state centrality that replaces impossible
+      // all-pairs BFS at web scale; integer-exact registers replay in SQL
+      val d = docs(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = d.count()
+      graft.ops.Graph.hyperBall(d, graft.ops.Graph.synthEdges(d, n), maxHops = 4)
+        .select(col("id").as("doc_id"), col("ball_final"), col("harmonic_x1000"))
+        .orderBy("doc_id")
+    }),
+
     "quality_dsir" -> ((s, dir) => {
       // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
       // bucket distributions, target = the %25 benchmark residue; 64-row

@@ -183,4 +183,67 @@ object Graph {
     Seq((n, r, if (n == 0) 0L else r * 1000L / n))
       .toDF("n_edges", "n_reciprocal", "reciprocity_permille")
   }
+
+  /** HyperBall (Boldi & Vigna, 2013 — public algorithm): per-node
+    * neighborhood function and harmonic centrality via HLL register
+    * max-merge along edges. THE scale-shaped centrality: exact all-pairs
+    * BFS is O(n²) and impossible at web scale; HyperBall keeps 64 registers
+    * per node and each hop is ONE edge join + ONE (id, j) max rollup —
+    * state O(n·m), traffic O(|E|·m), `maxHops` rounds. The registers are
+    * the same integer-exact HLL construction as [[Sketches]] (md5-derived
+    * ρ, α·m²·2³⁵ integer estimator), so ball sizes — and therefore the
+    * harmonic sums — replay bit-for-bit in SQL.
+    *
+    * harmonic_x1000(u) = Σ_{h=1..H} (|B_h(u)| − |B_{h−1}(u)|)·1000 div h —
+    * the standard HyperBall estimate of Σ_v 1/d(u,v), truncated at H.
+    * Registers max-merge along OUT-edges, so B_h(u) counts nodes REACHABLE
+    * from u. Lineage is cut per hop (eager localCheckpoint — iterative
+    * joins otherwise stack plans). */
+  def hyperBall(nodes: DataFrame, edges: DataFrame, maxHops: Int): DataFrame = {
+    val m = 64
+    val spark = nodes.sparkSession
+    val h = Sampling.md5Mod(concat(lit("hb:"), col("id").cast("string")),
+      Sketches.KmvDomain)
+    var regs = nodes.select(col("id"), h.as("h"))
+      .select(col("id"), expr(s"h % $m").as("j"),
+        when(expr(s"h div $m") === 0L, lit(35L))
+          .otherwise(lit(35L) - length(bin(expr(s"h div $m"))).cast("long")).as("mj"))
+      .localCheckpoint(true)
+    // raw α·m²·2³⁵ estimator + linear-counting small-range correction
+    // (raw HLL is biased HIGH for n ≪ m; balls at low hops are tiny).
+    // The LN double is computed in the same op order by the oracle.
+    def estimate(r: DataFrame, hop: Int): DataFrame =
+      r.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_regs"),
+             sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(35 - mj AS INT))")).as("sp"))
+        .select(col("id"), lit(hop).as("hop"),
+          (lit(m.toLong) - col("n_regs")).as("vz"),
+          expr(s"CAST(709 AS BIGINT) * ${m.toLong * m} * ${1L << 35} " +
+            s"div (1000 * (sp + ($m - n_regs) * ${1L << 35}))").as("raw"))
+        .select(col("id"), col("hop"),
+          when(col("vz") > 0 && col("raw") <= lit(m.toLong * 5 / 2),
+            expr(s"CAST(FLOOR($m.0D * LN($m.0D / CAST(vz AS DOUBLE))) AS BIGINT)"))
+            .otherwise(col("raw")).as("est"))
+    var ests = estimate(regs, 0)
+    for (hop <- 1 to maxHops) {
+      val nbr = edges.join(regs.withColumnRenamed("id", "nid"),
+          edges("dst") === col("nid"))
+        .select(edges("src").as("id"), col("j"), col("mj"))
+      regs = regs.unionByName(nbr)
+        .groupBy(col("id"), col("j")).agg(max(col("mj")).as("mj"))
+        .localCheckpoint(true)
+      ests = ests.unionByName(estimate(regs, hop))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("hop"))
+    ests
+      .withColumn("prev", lag(col("est"), 1).over(w))
+      .withColumn("term",
+        // clamp: the raw→linear-counting crossover can dip a hair
+        when(col("hop") === 0, 0L)
+          .otherwise(greatest(expr("(est - prev) * 1000 div hop"), lit(0L))))
+      .groupBy(col("id"))
+      .agg(max(when(col("hop") === maxHops, col("est"))).as("ball_final"),
+           sum(col("term")).as("harmonic_x1000"))
+  }
 }
