@@ -1341,6 +1341,38 @@ object OracleSql {
         |FROM bc JOIN fw USING (w1) JOIN cw USING (w2) CROSS JOIN dd
         |ORDER BY c DESC, w1, w2 LIMIT 30""".stripMargin,
 
+    // pinned goldens: the writer-roundtripped copy of text.pdf has
+    // different BYTES but identical rendered pixels → same dHash per page,
+    // n_docs_with_hash = 2; render.pdf stands alone
+    "pdf_page_phash" ->
+      """SELECT url, CAST(page_idx AS BIGINT) AS page_idx, phash,
+        |  CAST(n_docs_with_hash AS BIGINT) AS n_docs_with_hash FROM (VALUES
+        |  ('phash://render', 0, '0000330033030f01', 1),
+        |  ('phash://text_orig', 0, '0000000000034103', 2),
+        |  ('phash://text_orig', 1, '0000000000000101', 2),
+        |  ('phash://text_rewritten', 0, '0000000000034103', 2),
+        |  ('phash://text_rewritten', 1, '0000000000000101', 2)
+        |) AS t(url, page_idx, phash, n_docs_with_hash)
+        |ORDER BY url, page_idx""".stripMargin,
+
+    // replay of corpusWithOcrNoise planting + the permille decision rules
+    "text_ocr_artifacts" ->
+      """WITH c AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 6 = 0 THEN ' t h i s i s b r o k e n o c r t e x t' ELSE '' END ||
+        |  CASE WHEN doc_id % 6 = 3 THEN ' w0rd c0rrupt10n m1xed d1g1ts everywh3re' ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM c),
+        |m AS (SELECT doc_id, len(t) AS n_tokens,
+        |  len(list_filter(t, x -> length(x) = 1)) AS n_single,
+        |  len(list_filter(t, x -> regexp_matches(x, '[0-9]') AND regexp_matches(x, '[a-z]'))) AS n_mixed
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE n_single * 1000 // n_tokens END AS BIGINT) AS single_x1000,
+        |  CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE n_mixed * 1000 // n_tokens END AS BIGINT) AS mixed_x1000,
+        |  (CASE WHEN n_tokens = 0 THEN 0 ELSE n_single * 1000 // n_tokens END) >= 150
+        |   OR (CASE WHEN n_tokens = 0 THEN 0 ELSE n_mixed * 1000 // n_tokens END) >= 100 AS ocr_suspect
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // HyperBall replay: same md5-derived registers as sketch_hll, max-merge
     // along the synthetic edges unrolled for 4 hops, integer estimator,
     // per-hop harmonic terms — bit-identical to the Spark loop

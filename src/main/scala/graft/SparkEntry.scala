@@ -1247,6 +1247,38 @@ object SparkEntry {
       Dedup.cdcStats(Dedup.synthCdcCorpus(s)).orderBy("url")
     }),
 
+    "pdf_page_phash" -> ((s, _) => {
+      import s.implicits._
+      // perceptual page dedup: the writer-roundtripped copy has different
+      // BYTES (fresh xref/ids — pdf_image_dedup's byte digest would split
+      // them) but identical pixels → same dHash as the original; render.pdf
+      // differs. Renders in-task, only 8-byte hashes shuffle.
+      val orig = PagesTable.fixture("text.pdf")
+      val rewritten = graft.core.PdfDocument.load(orig) match {
+        case Right(d) => graft.core.PdfWriter.write(d)
+        case Left(e)  => throw new IllegalStateException(s"fixture load: $e")
+      }
+      require(!java.util.Arrays.equals(orig, rewritten),
+        "roundtrip must change bytes for the perceptual-vs-byte contrast")
+      val rows = Seq(
+        ("phash://text_orig", orig),
+        ("phash://text_rewritten", rewritten),
+        ("phash://render", PagesTable.fixture("render.pdf"))).map { case (u, b) =>
+        PageRow(u, new java.sql.Timestamp(1704067200000L), b, null, "la")
+      }
+      graft.ops.Multimodal.pagePhash(s.createDataset(rows))
+        .orderBy("url", "page_idx")
+    }),
+
+    "text_ocr_artifacts" -> ((s, dir) => {
+      // OCR-noise gate: spaced-letter runs and digit-letter confusion
+      // tokens, integer permille vs pinned thresholds; planted on %6
+      // residues so both signals fire independently
+      TextStats.ocrArtifacts(TextStats.corpusWithOcrNoise(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("doc_id")
+    }),
+
     "graph_hyperball" -> ((s, dir) => {
       // HyperBall harmonic centrality: HLL register max-merge along edges,
       // 4 hops — the O(n·m)-state centrality that replaces impossible

@@ -529,4 +529,70 @@ object Multimodal {
       }
     }
   }
+
+  /** 64-bit difference hash (dHash, public perceptual-hash technique) of a
+    * rendered bitmap: 9×8 block-averaged integer grayscale, bit (r,c) set
+    * iff cell(r,c) > cell(r,c+1). Pure integer arithmetic — deterministic
+    * across partitionings and engines. Robust to re-encoding and metadata
+    * churn (the VISUAL content decides), unlike byte digests. */
+  def dhash64(bmp: graft.core.render.Bitmap): Long = {
+    val gw = 9; val gh = 8
+    val sums = new Array[Long](gh * gw)
+    val cnts = new Array[Long](gh * gw)
+    var y = 0
+    while (y < bmp.height) {
+      val r = y * gh / bmp.height
+      var x = 0
+      while (x < bmp.width) {
+        val c = x * gw / bmp.width
+        val px = bmp.buf(y * bmp.width + x)
+        val gray = (299L * ((px >> 16) & 0xff) + 587L * ((px >> 8) & 0xff) +
+          114L * (px & 0xff)) / 1000L
+        sums(r * gw + c) += gray
+        cnts(r * gw + c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var h = 0L
+    var r = 0
+    while (r < gh) {
+      var c = 0
+      while (c < gw - 1) {
+        val a = if (cnts(r * gw + c) == 0) 0L else sums(r * gw + c) / cnts(r * gw + c)
+        val b = if (cnts(r * gw + c + 1) == 0) 0L else sums(r * gw + c + 1) / cnts(r * gw + c + 1)
+        if (a > b) h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Page-level PERCEPTUAL dedup: dHash every rendered page, count how
+    * many distinct documents share each hash — catches re-saved /
+    * re-compressed / metadata-touched duplicates whose bytes (and byte
+    * digests) all differ but whose pixels agree. Rendering is in-task
+    * (narrow, maxPages-capped); only (url, page, 8-byte hash) rows reach
+    * the hash-keyed rollup. */
+  def pagePhash(pages: Dataset[PageRow], scale: Double = 0.5,
+                maxPages: Int = 4): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val hashes = pages.flatMap { r =>
+      if (r.html == null) Iterator.empty
+      else graft.core.PdfDocument.load(r.html) match {
+        case Left(_) => Iterator.empty
+        case Right(doc) =>
+          (0 until math.min(doc.pageCount, maxPages)).iterator.map { i =>
+            val bmp = graft.core.render.Rasterizer.render(doc.page(i), scale)
+            (r.url, i.toLong, f"${dhash64(bmp)}%016x")
+          }
+      }
+    }.toDF("url", "page_idx", "phash")
+    val reuse = hashes.groupBy(col("phash"))
+      .agg(countDistinct(col("url")).as("n_docs_with_hash"))
+    hashes.join(reuse, "phash")
+      .select("url", "page_idx", "phash", "n_docs_with_hash")
+  }
 }

@@ -589,6 +589,40 @@ object TextStats {
       .limit(topN)
   }
 
+  /** OCR-noise planting: residue %6==0 gets a spaced-letters run (the
+    * classic per-glyph OCR failure), %6==3 gets digit-for-letter
+    * substitutions. Mirrored verbatim in the oracle. */
+  def corpusWithOcrNoise(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 6 === 0,
+          lit(" t h i s i s b r o k e n o c r t e x t")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 3,
+          lit(" w0rd c0rrupt10n m1xed d1g1ts everywh3re")).otherwise(lit(""))))
+
+  /** OCR-artifact detection — the quality gate for scanned-PDF text:
+    * per-glyph splits ("t h i s") inflate single-char tokens, confusion
+    * substitutions ("c0rrupt10n") inflate digit-letter-mixed tokens.
+    * Three fixed-shape array lambdas over one split (codegen'd, zero
+    * shuffle); thresholds integer-permille so the oracle replays the
+    * decision exactly. */
+  def ocrArtifacts(docs: DataFrame,
+                   maxSingleX1000: Long = 150,
+                   maxMixedX1000: Long = 100): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(expr("filter(t, x -> length(x) = 1)")).cast("long").as("n_single"),
+        size(expr("filter(t, x -> x rlike '[0-9]' AND x rlike '[a-z]')"))
+          .cast("long").as("n_mixed"))
+      .withColumn("single_x1000", expr("CASE WHEN n_tokens = 0 THEN 0 ELSE n_single * 1000 div n_tokens END"))
+      .withColumn("mixed_x1000", expr("CASE WHEN n_tokens = 0 THEN 0 ELSE n_mixed * 1000 div n_tokens END"))
+      .withColumn("ocr_suspect",
+        col("single_x1000") >= maxSingleX1000 || col("mixed_x1000") >= maxMixedX1000)
+      .select("doc_id", "n_tokens", "single_x1000", "mixed_x1000", "ocr_suspect")
+
   /** Line-structured corpus for the C4 cleaning rules: rebuild each
     * document as newline-joined 12-token lines (the corpus text has no
     * natural line breaks), give ~2/3 of lines a terminal period (residue
