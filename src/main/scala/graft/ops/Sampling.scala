@@ -132,7 +132,7 @@ object Sampling {
       .groupBy("b").agg(count(lit(1)).as("ct"))
     val totals = cs.agg(sum(col("cs")).as("ts"))
       .crossJoin(ct.agg(sum(col("ct")).as("tt")))
-    val lr = cs.join(ct, Seq("b"), "left")
+    val lr = cs.join(broadcast(ct), Seq("b"), "left")
       .na.fill(0L, Seq("ct"))
       .crossJoin(broadcast(totals))
       .select(col("b"), expr(

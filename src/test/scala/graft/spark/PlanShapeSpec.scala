@@ -17,8 +17,18 @@ class PlanShapeSpec extends AnyFunSuite {
   private def ops(name: String): Map[String, Int] = {
     val plan = SparkEntry.queries(name)(spark, dir)
       .queryExecution.executedPlan.toString
-    raw"\(\d+\) ([A-Za-z]+)".r.findAllMatchIn(plan)
-      .map(_.group(1)).toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    // one operator per tree line: strip the tree-drawing prefix (+- : *)
+    // and an optional codegen-stage "(n)" marker, take the first
+    // identifier. The earlier "(n) Op" regex matched ONLY codegen-numbered
+    // text, which the AQE executedPlan string never contains — every count
+    // was 0 and the guards were vacuous (same failure mode as the round-4
+    // bench regression-regex finding; caught by probing the counts).
+    val counts = plan.linesIterator.flatMap { l =>
+      raw"^[\s:+\-*]*(?:\(\d+\)\s*)?([A-Za-z][A-Za-z0-9]*)".r
+        .findFirstMatchIn(l).map(_.group(1))
+    }.toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.nonEmpty, s"$name: plan parser matched nothing:\n$plan")
+    counts
   }
 
   private def assertShape(name: String, maxExchange: Int,
@@ -54,6 +64,27 @@ class PlanShapeSpec extends AnyFunSuite {
     // (constant cost); CartesianProduct of data tables stays forbidden
     assertShape("corpus_concentration", maxExchange = 2)
     assertShape("frontier_budget", maxExchange = 3)
+  }
+
+  test("wave 37-42 narrow family: per-row kernels keep one display-sort Exchange at most") {
+    for (q <- Seq("extract_eval", "dedup_containment", "text_c4_clean",
+        "url_shard_assign", "text_script_segments", "html_jsonld",
+        "events_conversion_window", "dedup_cdc", "text_ocr_artifacts"))
+      assertShape(q, maxExchange = 1)
+  }
+
+  test("wave 37-42 rollup family: bounded exchanges, no cartesian products") {
+    assertShape("events_ab_test", maxExchange = 2)  // user rollup + global row
+    assertShape("pdf_page_phash", maxExchange = 3)  // hash rollup + join back + sort
+    // the broadcast(queries) crossJoin is the LABELED exactness baseline
+    // (BroadcastNestedLoopJoin over a 20-row side, constant cost)
+    assertShape("embedding_truncate_recall", maxExchange = 2)
+    // LM fit: the real corpus-scale exchange is the bigram count; the rest
+    // join vocab-sized aggregate tables (bigram types ≪ corpus tokens)
+    assertShape("text_kn_bigram", maxExchange = 7)
+    // DSIR: two 64-rows-per-task histogram exchanges + doc rollup + sort;
+    // the log-ratio table joins back as a broadcast
+    assertShape("quality_dsir", maxExchange = 8)
   }
 
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
