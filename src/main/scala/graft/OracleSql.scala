@@ -1430,6 +1430,34 @@ object OracleSql {
         |) AS t(url, n_bytes, n_chunks, n_shared_chunks, shared_bytes)
         |ORDER BY url""".stripMargin,
 
+    // CUSUM replay: burst days are analytic (3×400 clicks, Jan 27-29),
+    // per-type recursion over day-ranked counts with integer x1000 state
+    "events_changepoint" ->
+      """WITH RECURSIVE bd AS (
+        |  SELECT 'click' AS event_type,
+        |    CAST(DATE '2024-01-27' + CAST(d AS INTEGER) AS VARCHAR) AS day, 400 AS c
+        |  FROM (SELECT unnest(range(0, 3)) AS d)),
+        |base AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS c
+        |         FROM events GROUP BY 1, 2),
+        |daily AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS c
+        |          FROM (SELECT * FROM base UNION ALL SELECT * FROM bd) GROUP BY 1, 2),
+        |idx AS (SELECT event_type, day, c,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM daily),
+        |st AS (SELECT event_type, sum(c) * 1000 // count(*) AS mean FROM daily GROUP BY 1),
+        |walk AS (
+        |  SELECT i.event_type, i.rn, i.day, i.c,
+        |    greatest(i.c * 1000 - s.mean - s.mean // 20, 0) AS s
+        |  FROM idx i JOIN st s USING (event_type) WHERE i.rn = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.rn, i.day, i.c,
+        |    greatest(w.s + i.c * 1000 - s.mean - s.mean // 20, 0)
+        |  FROM walk w JOIN idx i ON i.event_type = w.event_type AND i.rn = w.rn + 1
+        |  JOIN st s ON s.event_type = i.event_type)
+        |SELECT w.event_type, w.day, CAST(w.c AS BIGINT) AS c,
+        |  CAST(w.s AS BIGINT) AS cusum_x1000, w.s > 2 * st.mean AS alarm
+        |FROM walk w JOIN st ON st.event_type = w.event_type
+        |ORDER BY w.event_type, w.day""".stripMargin,
+
     // assignment replayed via md5_number_upper('ab:'||user_id) % 2; the
     // pooled two-proportion z written in the same IEEE op order
     "events_ab_test" ->

@@ -1225,6 +1225,15 @@ object SparkEntry {
       TextStats.knBigramFit(docs(s, dir, "documents").select(col("text")))
     }),
 
+    "events_changepoint" -> ((s, dir) => {
+      // CUSUM volume monitor: planted 400-click/day burst on Jan 27-29
+      // must alarm; one (type, day) rollup + per-type sorted scan,
+      // integer x1000, replayed as a recursive CTE
+      Relational.cusumChangepoints(
+        docs(s, dir, "events").unionByName(Relational.synthBurst(s)))
+        .orderBy("event_type", "day")
+    }),
+
     "events_ab_test" -> ((s, dir) => {
       // A/B readout: hash-bucket assignment as a projection (no assignment
       // table join), one user rollup + one global row; pooled z-test with

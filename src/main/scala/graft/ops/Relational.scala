@@ -275,6 +275,55 @@ object Relational {
         timestamp_seconds(lit(1704067200L) + expr(s"id div $nBots") * 2)
           .as("ts"))
 
+  /** CUSUM changepoint detection (Page 1954, public method) over per-type
+    * daily event volumes — the monitor that catches a crawl source going
+    * quiet or a bot burst mid-corpus. All integer x1000 arithmetic:
+    * reference = the type's whole-span mean daily count, allowance
+    * k = mean/20,
+    * alarm threshold h = 2×mean; s_d = max(0, s_{d−1} + c_d − mean − k).
+    * Scale shape: one (type, day) count rollup (map-side combined), then a
+    * per-TYPE sorted-group scan — state is one long per type, days stream
+    * in order; types partition the work. The recursion is per-key and
+    * bounded by the day span, exactly replayable as a recursive CTE. */
+  def cusumChangepoints(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("day").cast("string").as("day"), col("c"))
+      .as[(String, String, Long)]
+    daily.groupByKey(_._1).flatMapGroups { (etype, it) =>
+      val days = it.toVector.sortBy(_._2)
+      val n = days.length.toLong
+      val total = days.map(_._3).sum
+      val mean = total * 1000L / n
+      val k = mean / 20L
+      val h = mean * 2L
+      var s = 0L
+      days.map { case (_, day, c) =>
+        s = math.max(0L, s + c * 1000L - mean - k)
+        (etype, day, c, s, s > h)
+      }
+    }.toDF("event_type", "day", "c", "cusum_x1000", "alarm")
+  }
+
+  /** Deterministic burst injection for the CUSUM oracle: `perDay` extra
+    * 'click' events on each of the LAST `burstDays` days of January 2024 —
+    * planted positives the detector must flag. Mirrored in SQL. */
+  def synthBurst(spark: org.apache.spark.sql.SparkSession,
+                 burstDays: Int = 3, perDay: Int = 400): DataFrame = {
+    import spark.implicits._
+    spark.range(burstDays.toLong * perDay)
+      .select((lit(900000L) + col("id")).as("event_id"),
+        timestamp_seconds(lit(1706313600L) + expr(s"id div $perDay") * 86400L +
+          (col("id") % perDay) * 60L).as("ts"),
+        (lit(8000L) + col("id") % 50).as("user_id"),
+        lit("click").as("event_type"),
+        lit(1.0).as("value"),
+        lit("{}").as("props"))
+  }
+
   /** Deterministic A/B experiment readout: hash-bucket assignment
     * (`md5(salt:user_id) % 2` — the [[Sampling.md5Mod]] construction, so
     * assignment is reproducible across engines and reruns), per-user

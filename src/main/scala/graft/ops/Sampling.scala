@@ -125,11 +125,18 @@ object Sampling {
     val bi = toks.where(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")).as("g"))
-    val grams = uni.unionByName(bi)
+    // ONE pass over the expensive gram stream (split+md5 per gram): the
+    // per-doc bucket histogram is ≤ `buckets` rows per document — every
+    // downstream rollup (source/target histograms, scoring) runs on it,
+    // never re-deriving grams. This is also the 100-TB shape: docs×64
+    // rows ≪ gram occurrences.
+    val perDoc = uni.unionByName(bi)
       .withColumn("b", md5Mod(col("g"), buckets))
-    val cs = grams.groupBy("b").agg(count(lit(1)).as("cs"))
-    val ct = grams.where(pmod(col("doc_id"), lit(targetModulus)) === 0)
-      .groupBy("b").agg(count(lit(1)).as("ct"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val cs = perDoc.groupBy("b").agg(sum(col("cnt")).as("cs"))
+    val ct = perDoc.where(pmod(col("doc_id"), lit(targetModulus)) === 0)
+      .groupBy("b").agg(sum(col("cnt")).as("ct"))
     val totals = cs.agg(sum(col("cs")).as("ts"))
       .crossJoin(ct.agg(sum(col("ct")).as("tt")))
     val lr = cs.join(broadcast(ct), Seq("b"), "left")
@@ -139,9 +146,9 @@ object Sampling {
         s"""CAST(FLOOR(LN(((CAST(ct AS DOUBLE) + 1.0D) / (CAST(tt AS DOUBLE) + $buckets.0D))
             | / ((CAST(cs AS DOUBLE) + 1.0D) / (CAST(ts AS DOUBLE) + $buckets.0D))) * 1e6) AS BIGINT)"""
           .stripMargin.replace("\n", " ")).as("lr_x1e6"))
-    grams.join(broadcast(lr), "b")
+    perDoc.join(broadcast(lr), "b")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-           sum(col("lr_x1e6")).as("dsir_x1e6"))
+      .agg(sum(col("cnt")).as("n_grams"),
+           sum(col("cnt") * col("lr_x1e6")).as("dsir_x1e6"))
   }
 }

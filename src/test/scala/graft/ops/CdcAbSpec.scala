@@ -63,6 +63,29 @@ class CdcAbSpec extends AnyFunSuite {
       "B shares its P1/P3 chunks only")
   }
 
+  test("cusumChangepoints: flat volume never alarms, a level shift alarms at the shift") {
+    def mk(etype: String, day: Int, n: Int, base: Long) =
+      (0 until n).map(i => (base + day * 1000 + i,
+        new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L),
+        (i % 7).toLong, etype, 1.0, "{}"))
+    val rows =
+      (0 until 10).flatMap(d => mk("flat", d, 10, 0)) ++            // 10/day
+      (0 until 10).flatMap(d => mk("shift", d, if (d < 7) 10 else 40, 100000))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.cusumChangepoints(df)
+      .as[(String, String, Long, Long, Boolean)].collect()
+    val flat = out.filter(_._1 == "flat")
+    assert(flat.length == 10 && flat.forall(!_._5), "flat series must never alarm")
+    // flat: mean=10000, k=500 → every day s = max(0, s + 10000-10000-500) = 0
+    assert(flat.forall(_._4 == 0L))
+    val shift = out.filter(_._1 == "shift").sortBy(_._2)
+    // mean = (7*10+3*40)*1000/10 = 19000, k=950; pre-shift days drain to 0;
+    // day 8: s = 40000-19950 = 20050 → not yet > h=38000; day 9: 40100 > h
+    assert(shift.take(7).forall(!_._5))
+    assert(!shift(7)._5 && shift(7)._4 == 20050L)
+    assert(shift(9)._5, s"final shifted day must alarm: ${shift.toVector}")
+  }
+
   test("abTest: hand-checked z on a crafted population") {
     // 6 users; variants from the md5 hash are data, so read them back and
     // check the arithmetic instead of assuming the split
