@@ -3195,6 +3195,49 @@ object OracleSql {
          |  CAST(sp + (64 - n_regs) * 34359738368 AS BIGINT) AS s_scaled,
          |  CAST(709 * 4096 * 34359738368 //
          |       (1000 * (sp + (64 - n_regs) * 34359738368)) AS BIGINT) AS est_raw
-         |FROM s ORDER BY domain""".stripMargin
+         |FROM s ORDER BY domain""".stripMargin,
+
+    // pinned goldens for the microdata scanner: nested item-as-property,
+    // content>href>src>text source order, unquoted/case-variant attrs,
+    // orphan itemprop dropped, untyped item, page c contributes no rows
+    "html_microdata" ->
+      """SELECT url, CAST(item_idx AS INTEGER) AS item_idx, item_type, prop, value FROM (VALUES
+        |  ('https://m.example/a', 0, 'https://schema.org/Product', '@type', 'https://schema.org/Product'),
+        |  ('https://m.example/a', 0, 'https://schema.org/Product', 'image', '/w.png'),
+        |  ('https://m.example/a', 0, 'https://schema.org/Product', 'name', 'Widget & Co'),
+        |  ('https://m.example/a', 0, 'https://schema.org/Product', 'offers', 'https://schema.org/Offer'),
+        |  ('https://m.example/a', 0, 'https://schema.org/Product', 'sku', 'W-1'),
+        |  ('https://m.example/a', 0, 'https://schema.org/Product', 'url', 'https://e.example/w'),
+        |  ('https://m.example/a', 1, 'https://schema.org/Offer', '@type', 'https://schema.org/Offer'),
+        |  ('https://m.example/a', 1, 'https://schema.org/Offer', 'price', '9.99'),
+        |  ('https://m.example/b', 0, 'https://schema.org/Person', '@type', 'https://schema.org/Person'),
+        |  ('https://m.example/b', 0, 'https://schema.org/Person', 'jobTitle', 'Engineer'),
+        |  ('https://m.example/b', 0, 'https://schema.org/Person', 'name', 'Ada'),
+        |  ('https://m.example/b', 1, '', '@type', ''),
+        |  ('https://m.example/b', 1, '', 'k', 'v')
+        |) AS t(url, item_idx, item_type, prop, value)
+        |ORDER BY url, item_idx, prop""".stripMargin,
+
+    // mirrors Similarity.topDirectionPower (rounds=3, unrolled): floor
+    // thousandth quantization, v0 = 1000 everywhere, integer matvecs,
+    // renormalize u*1000//max|u| (DuckDB `//` truncates toward zero like
+    // JVM long division — verified -7//2 = -3)
+    "emb_top_direction" ->
+      """WITH q AS (
+        |  SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+        |    unnest(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS qv
+        |  FROM embeddings),
+        |p1 AS (SELECT vec_id, sum(qv) * 1000 AS p FROM q GROUP BY 1),
+        |u1 AS (SELECT d, sum(qv * p) AS u FROM q JOIN p1 USING (vec_id) GROUP BY d),
+        |v1 AS (SELECT d, coalesce(u * 1000 // nullif((SELECT max(abs(u)) FROM u1), 0), 0) AS v FROM u1),
+        |p2 AS (SELECT vec_id, sum(qv * v) AS p FROM q JOIN v1 USING (d) GROUP BY 1),
+        |u2 AS (SELECT d, sum(qv * p) AS u FROM q JOIN p2 USING (vec_id) GROUP BY d),
+        |v2 AS (SELECT d, coalesce(u * 1000 // nullif((SELECT max(abs(u)) FROM u2), 0), 0) AS v FROM u2),
+        |p3 AS (SELECT vec_id, sum(qv * v) AS p FROM q JOIN v2 USING (d) GROUP BY 1),
+        |u3 AS (SELECT d, sum(qv * p) AS u FROM q JOIN p3 USING (vec_id) GROUP BY d),
+        |v3 AS (SELECT d, coalesce(u * 1000 // nullif((SELECT max(abs(u)) FROM u3), 0), 0) AS v FROM u3)
+        |SELECT CAST(d AS BIGINT) AS d, CAST(v AS BIGINT) AS v_x1000
+        |FROM v3 ORDER BY d""".stripMargin
   )
 }

@@ -2159,6 +2159,47 @@ object SparkEntry {
         UrlOps.normalize(UrlOps.withRawUrls(
           docs(s, dir, "documents").select(col("doc_id")))))
         .orderBy("domain")
+    }),
+
+    "html_microdata" -> ((s, _) => {
+      import s.implicits._
+      // Microdata (itemscope/itemprop): nested item-as-property, value
+      // source order content>href>src>text, unquoted/case-variant attrs,
+      // an orphan itemprop outside any item (dropped), an untyped item,
+      // and a page with no microdata at all (zero rows)
+      val a =
+        """<html><body><div itemscope itemtype="https://schema.org/Product">
+          |<span itemprop="name">Widget &amp; Co</span>
+          |<meta itemprop="sku" content="W-1">
+          |<img itemprop="image" src="/w.png">
+          |<a itemprop="url" href="https://e.example/w">link text ignored</a>
+          |<div itemprop="offers" itemscope itemtype="https://schema.org/Offer">
+          |<span itemprop="price">9.99</span>
+          |</div></div></body></html>""".stripMargin
+      val b =
+        """<html><body><div ITEMSCOPE itemtype='https://schema.org/Person'>
+          |<span itemprop=name>Ada</span>
+          |<p>no prop</p>
+          |<span itemprop="jobTitle">Engineer <b>suffix cut</b></span>
+          |</div>
+          |<span itemprop="orphan">outside any item</span>
+          |<div itemscope><span itemprop="k">v</span></div></body></html>""".stripMargin
+      val c = "<html><body>plain page</body></html>"
+      val rows = Seq(("https://m.example/a", a), ("https://m.example/b", b),
+        ("https://m.example/c", c)).map { case (u, h) =>
+        PageRow(u, new java.sql.Timestamp(1704067200000L), h.getBytes("UTF-8"), null, "en")
+      }
+      HtmlMeta.microdata(s.createDataset(rows)).toDF()
+        .orderBy("url", "item_idx", "prop")
+    }),
+
+    "emb_top_direction" -> ((s, dir) => {
+      // corpus top singular direction by INTEGER power iteration (encoder
+      // drift / variance-concentration probe): embeddings quantize to
+      // thousandths, every matvec is int64, so the result is bit-identical
+      // on any partitioning and the oracle replays the 3 unrolled rounds
+      Similarity.topDirectionPower(docs(s, dir, "embeddings"), rounds = 3)
+        .orderBy("d")
     })
   )
 

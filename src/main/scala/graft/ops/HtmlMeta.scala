@@ -44,6 +44,26 @@ object HtmlMeta {
       jtype: String,
       name: String)
 
+  final case class MicrodataRow(
+      url: String,
+      item_idx: Int,
+      item_type: String,
+      prop: String,
+      value: String)
+
+  /** Microdata (itemscope/itemprop) properties per page — one narrow typed
+    * pass over the payloads, lenient scanner, nothing throws. */
+  def microdata(pages: Dataset[PageRow]): Dataset[MicrodataRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap { p =>
+      if (p.html == null) Seq.empty[MicrodataRow]
+      else graft.core.html.Microdata
+        .props(new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+        .map(m => MicrodataRow(p.url, m.itemIdx, m.itemType, m.prop, m.value))
+    }
+  }
+
   /** JSON-LD structured-data items per page (schema.org blocks — what CC's
     * WAT sidecars carry). One narrow typed pass, per-row bounded parser,
     * malformed blocks surface as ok=false rows instead of throwing. */

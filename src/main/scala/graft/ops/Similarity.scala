@@ -184,6 +184,54 @@ object Similarity {
       .withColumn("recall_x1000", expr(s"overlap_cnt * 1000 div $k"))
   }
 
+  /** INTEGER power iteration for the corpus' top singular direction — the
+    * PCA-style drift/whitening probe an embedding pipeline runs (is one
+    * direction eating the variance? did the encoder version shift the
+    * space?). Embeddings quantize to thousandths (floor, exact in both
+    * engines); every matvec is integer, so the result is bit-identical on
+    * any partitioning and replayable in SQL — float power iteration can't
+    * be oracled (sum order drifts ULPs), integer can, and at 1e-3
+    * quantization the direction error is irrelevant.
+    *
+    * Scale shape: per round ONE narrow pass — p_i = qᵢ·v against the
+    * broadcast direction, rows emit qᵢ·p_i, and a per-partition vector
+    * reduce ships 64 longs per task to the driver (the bounded driver
+    * state of a tokenizer-trainer loop, not a data collect). The
+    * quantized matrix caches once and is scanned `rounds` times.
+    * Magnitude bound: |u_d| ≤ n·|q|∞²·dim·1000 — int64-safe to ~1e9 rows
+    * at unit-norm embeddings; shard-and-rescale beyond. */
+  def topDirectionPower(embeddings: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qds = embeddings.select(col("embedding")).as[Seq[Float]]
+      .map(e => e.map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = qds.head().length
+    var v = Array.fill(dim)(1000L)
+    for (_ <- 1 to rounds) {
+      val bv = spark.sparkContext.broadcast(v)
+      val u = qds.map { q =>
+        var p = 0L
+        var d = 0
+        while (d < q.length) { p += q(d) * bv.value(d); d += 1 }
+        val out = new Array[Long](q.length)
+        d = 0
+        while (d < q.length) { out(d) = q(d) * p; d += 1 }
+        out
+      }.reduce { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+      val m = u.map(math.abs).max
+      // JVM long division truncates toward zero — same as DuckDB's `//`
+      v = u.map(x => if (m == 0L) 0L else x * 1000L / m)
+    }
+    qds.unpersist(false)
+    spark.createDataset(v.toVector.zipWithIndex.map { case (x, d) => (d.toLong, x) })
+      .toDF("d", "v_x1000")
+  }
+
   /** Random-hyperplane LSH signature (sign bits of h deterministic pseudo
     * projections). Buckets share sign prefixes; probing the query's bucket
     * (plus flips of low-margin bits) retrieves candidates. */

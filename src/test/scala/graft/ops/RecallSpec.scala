@@ -78,4 +78,43 @@ class RecallSpec extends AnyFunSuite {
     val rows = approx.select("vec_id").distinct().count()
     assert(rows <= 10)
   }
+
+  test("topDirectionPower: finds a planted dominant direction, partition-invariant") {
+    import spark.implicits._
+    // 60 vectors concentrated on axis 3 (±large) + small off-axis noise
+    val dim = 8
+    val vecs = (0 until 60).map { i =>
+      val sign = if (i % 2 == 0) 1f else -1f
+      val e = Array.tabulate(dim)(d =>
+        if (d == 3) sign * (0.9f + 0.001f * (i % 5))
+        else 0.01f * ((i * 7 + d) % 11 - 5))
+      (i.toLong, e.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val v = Similarity.topDirectionPower(df, rounds = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(math.abs(v(3)) == 1000L, s"axis 3 should carry the max component: ${v.toSeq}")
+    assert(v.zipWithIndex.filter(_._2 != 3).forall(x => math.abs(x._1) < 200),
+      s"off-axis components should be small: ${v.toSeq}")
+
+    // exact integer replay: independent local loop must match bit-for-bit
+    val q = vecs.map(_._2.map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+    var ref = Array.fill(dim)(1000L)
+    for (_ <- 1 to 3) {
+      val u = new Array[Long](dim)
+      for (row <- q) {
+        var p = 0L
+        for (d <- 0 until dim) p += row(d) * ref(d)
+        for (d <- 0 until dim) u(d) += row(d) * p
+      }
+      val m = u.map(math.abs).max
+      ref = u.map(x => if (m == 0L) 0L else x * 1000L / m)
+    }
+    assert(v.toSeq == ref.toSeq)
+
+    // integer sums are associative: any partitioning yields identical bits
+    val v7 = Similarity.topDirectionPower(df.repartition(7), rounds = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(v7.toSeq == v.toSeq)
+  }
 }

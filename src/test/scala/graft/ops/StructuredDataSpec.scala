@@ -86,4 +86,54 @@ class StructuredDataSpec extends AnyFunSuite {
     // gram accounting: doc 7 has 3 unigrams + 2 bigrams
     assert(out(7L)._2 == 5)
   }
+
+  test("Microdata: value source order content > href > src > text") {
+    import graft.core.html.Microdata
+    val props = Microdata.props(
+      """<div itemscope itemtype="T">
+        |<meta itemprop="a" content="C" src="S">
+        |<a itemprop="b" href="H">text</a>
+        |<img itemprop="c" src="S2">
+        |<span itemprop="d">Plain &lt;text&gt;</span>
+        |</div>""".stripMargin)
+    val m = props.filter(_.prop != "@type").map(p => p.prop -> p.value).toMap
+    assert(m == Map("a" -> "C", "b" -> "H", "c" -> "S2", "d" -> "Plain <text>"))
+  }
+
+  test("Microdata: nested item attaches to outer as type-valued prop; innermost owns props") {
+    import graft.core.html.Microdata
+    val props = Microdata.props(
+      """<div itemscope itemtype="Outer"><span itemprop="x">ox</span>
+        |<div itemprop="sub" itemscope itemtype="Inner"><span itemprop="y">iy</span></div>
+        |<span itemprop="z">oz</span></div>""".stripMargin)
+    val byItem = props.groupBy(_.itemIdx)
+    assert(byItem(0).map(p => p.prop -> p.value).toSet ==
+      Set("@type" -> "Outer", "x" -> "ox", "sub" -> "Inner", "z" -> "oz"))
+    assert(byItem(1).map(p => p.prop -> p.value).toSet ==
+      Set("@type" -> "Inner", "y" -> "iy"))
+  }
+
+  test("Microdata: orphan itemprop dropped, untyped item kept, misnesting tolerated") {
+    import graft.core.html.Microdata
+    val props = Microdata.props(
+      """<span itemprop="orphan">x</span>
+        |<div itemscope><b><i itemprop="k">v</b></i></div>
+        |<div itemscope itemtype="T2"><span itemprop="m">w</span>""".stripMargin)
+    assert(!props.exists(_.prop == "orphan"))
+    assert(props.filter(_.itemIdx == 0).map(p => p.prop -> p.value).toSet ==
+      Set("@type" -> "", "k" -> "v"))
+    // unclosed T2 div still collects its prop
+    assert(props.filter(_.itemIdx == 1).map(p => p.prop -> p.value).toSet ==
+      Set("@type" -> "T2", "m" -> "w"))
+  }
+
+  test("Microdata: bare/unquoted/case-variant attributes and items with no props") {
+    import graft.core.html.Microdata
+    val props = Microdata.props(
+      "<div ITEMSCOPE itemtype=Bare><span ITEMPROP=k>v</span></div><p itemscope></p>")
+    assert(props.filter(_.itemIdx == 0).map(p => p.prop -> p.value).toSet ==
+      Set("@type" -> "Bare", "k" -> "v"))
+    // the propless item still appears in the inventory
+    assert(props.filter(_.itemIdx == 1) == Vector(Microdata.Prop(1, "", "@type", "")))
+  }
 }
