@@ -3197,6 +3197,44 @@ object OracleSql {
          |       (1000 * (sp + (64 - n_regs) * 34359738368)) AS BIGINT) AS est_raw
          |FROM s ORDER BY domain""".stripMargin,
 
+    // mirrors corpusWithNoisyLines + dedupLinesNormalized: 8-token lines,
+    // doc_id%5==0 appends upper(first line)+' 42!?' (same normalized key),
+    // DROP-ALL of any key with total count >= 2
+    "dedup_lines_ccnet" ->
+      """WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pidx AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS idx, t FROM toksrc),
+        |lines AS (
+        |  SELECT doc_id, idx, array_to_string(t[idx*8+1 : (idx+1)*8], ' ') AS l FROM pidx
+        |  UNION ALL
+        |  SELECT doc_id, CAST(ceil(len(t) / 8.0) AS BIGINT) AS idx,
+        |    upper(array_to_string(t[1:8], ' ')) || ' 42!?' AS l
+        |  FROM toksrc WHERE doc_id % 5 = 0),
+        |keyed AS (SELECT doc_id, idx, l,
+        |  trim(regexp_replace(regexp_replace(lower(l), '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS k
+        |  FROM lines),
+        |cnt AS (SELECT k, count(*) AS n FROM keyed GROUP BY 1),
+        |marked AS (SELECT doc_id, idx, l, n >= 2 AS dropd FROM keyed JOIN cnt USING (k))
+        |SELECT doc_id,
+        |  CAST(count(*) FILTER (WHERE dropd) AS BIGINT) AS n_removed,
+        |  CAST(count(*) FILTER (WHERE NOT dropd) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(l, chr(10) ORDER BY idx) FILTER (WHERE NOT dropd), '')) AS clean_md5
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors Sketches.countMin (depth 4, width 64) over the synthesized
+    // canonical domains: cells from per-key exact counts, est = min over
+    // the key's 4 cells — one-sided (est >= exact) by construction
+    "sketch_countmin" ->
+      s"""WITH $urlCanonCte,
+         |k AS (SELECT domain AS key, count(*) AS exact FROM canon GROUP BY 1),
+         |kc AS (SELECT key, exact, j,
+         |   CAST(md5_number_upper(j || ':' || key) % 64 AS BIGINT) AS cell
+         |   FROM k, (SELECT unnest(range(0, 4)) AS j)),
+         |cells AS (SELECT j, cell, sum(exact) AS c FROM kc GROUP BY 1, 2),
+         |est AS (SELECT key, exact, min(c) AS est FROM kc JOIN cells USING (j, cell) GROUP BY 1, 2)
+         |SELECT key, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS est,
+         |  CAST(est - exact AS BIGINT) AS overcount
+         |FROM est ORDER BY key""".stripMargin,
+
     // pinned goldens for the microdata scanner: nested item-as-property,
     // content>href>src>text source order, unquoted/case-variant attrs,
     // orphan itemprop dropped, untyped item, page c contributes no rows

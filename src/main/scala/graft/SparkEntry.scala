@@ -2161,6 +2161,27 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    "dedup_lines_ccnet" -> ((s, dir) => {
+      // CCNet line dedup (Wenzek et al. 2020 §4.1): DROP-ALL instances of
+      // any line whose NORMALIZED key (case/digit/punct-insensitive)
+      // repeats in the corpus — planted uppercase+"42!?" variants must die
+      // with their originals; hashes shuffle, payloads don't
+      Dedup.dedupLinesNormalized(Dedup.corpusWithNoisyLines(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("doc_id")
+    }),
+
+    "sketch_countmin" -> ((s, dir) => {
+      // count-min frequency sketch over registered domains: 4×64 cells
+      // built from per-key counts (no per-occurrence inflation), broadcast
+      // back for min-over-rows point estimates; est ≥ exact always
+      graft.ops.Sketches.countMin(
+        UrlOps.normalize(UrlOps.withRawUrls(
+          docs(s, dir, "documents").select(col("doc_id"))))
+          .select(col("domain").as("key")))
+        .orderBy("key")
+    }),
+
     "html_microdata" -> ((s, _) => {
       import s.implicits._
       // Microdata (itemscope/itemprop): nested item-as-property, value

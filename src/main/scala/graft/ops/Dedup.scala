@@ -717,6 +717,93 @@ object Dedup {
       .toDF("doc_id", "n_removed", "clean_md5")
   }
 
+  /** Line-corpus with planted NORMALIZATION-only duplicates: each doc's
+    * text becomes 8-token lines (as [[corpusWithParagraphs]]); docs with
+    * doc_id % 5 == 0 additionally append an UPPERCASED copy of their first
+    * line suffixed with " 42!?" — bytes differ, but the CCNet key
+    * (lowercase, digits and punctuation stripped, whitespace collapsed)
+    * is identical, so [[dedupLinesNormalized]] must drop BOTH copies. */
+  def corpusWithNoisyLines(docs: DataFrame, chunk: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val lines = t.split(" ", -1).grouped(chunk).map(_.mkString(" ")).toVector
+        val planted =
+          if (id % 5 == 0 && lines.nonEmpty)
+            lines :+ (lines.head.toUpperCase(java.util.Locale.ROOT) + " 42!?")
+          else lines
+        (id, planted.mkString("\n"))
+      }
+      .toDF("doc_id", "text")
+  }
+
+  /** CCNet normalized line key (Wenzek et al. 2020 §4.1): lowercase, strip
+    * digits and punctuation (everything outside [a-z ]), collapse space
+    * runs, trim — so casing/number/punctuation jitter can't defeat the
+    * dedup. ASCII-scoped like the fixture corpus; DuckDB replays it as
+    * trim(regexp_replace(regexp_replace(lower(l),'[^a-z ]','','g'),' +',' ','g')). */
+  def ccnetLineKey(line: String): String = {
+    val sb = new java.lang.StringBuilder(line.length)
+    var i = 0
+    var pendingSpace = false
+    var started = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      if (lc >= 'a' && lc <= 'z') {
+        if (pendingSpace && started) sb.append(' ')
+        sb.append(lc); started = true; pendingSpace = false
+      } else if (lc == ' ') pendingSpace = true
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** CCNet-style cross-corpus line deduplication (Wenzek et al. 2020 §4.1)
+    * — the boilerplate-removal step that deletes ~70% of raw Common Crawl
+    * text. Differs from [[dedupParagraphs]] on BOTH axes: the key is the
+    * normalized form (casing/digit/punctuation-insensitive), and the
+    * semantics are DROP-ALL — every instance of a line whose key occurs
+    * ≥ 2 times in the corpus is removed, first occurrence included
+    * (cc_net's hash-set behavior: navigation chrome should vanish from
+    * every page, not survive once).
+    *
+    * Scale shape: identical to [[dedupParagraphs]] — line keys hash where
+    * produced, the duplicate decision shuffles (hash, doc_id, idx) triples
+    * only, drop lists return as bounded per-doc index arrays, and clean
+    * text is rebuilt map-side; document payloads never cross a shuffle. */
+  def dedupLinesNormalized(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lineIds = corpus.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        t.split("\n", -1).iterator.zipWithIndex.map { case (l, i) =>
+          (id, i.toLong, md5Hex(ccnetLineKey(l)))
+        }
+      }
+      .toDF("doc_id", "idx", "h")
+    val dupes = lineIds.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .select(col("h"))
+    val removed = lineIds.join(dupes, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("drop_idx"))
+    corpus.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), coalesce(col("drop_idx"), array()).as("drop_idx"))
+      .as[(Long, String, Seq[Long])]
+      .map { case (id, t, drop) =>
+        val dropSet = drop.toSet
+        val all = t.split("\n", -1)
+        val kept = all.iterator.zipWithIndex
+          .collect { case (l, i) if !dropSet.contains(i.toLong) => l }
+          .toVector
+        (id, drop.size.toLong, kept.size.toLong, md5Hex(kept.mkString("\n")))
+      }
+      .toDF("doc_id", "n_removed", "n_kept", "clean_md5")
+  }
+
   /** Cross-document repeated-span detection — the signal behind exact
     * substring deduplication (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better"): for each document, how many of its

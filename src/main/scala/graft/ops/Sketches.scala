@@ -228,4 +228,46 @@ object Sketches {
         df.withColumnRenamed(s, s"est_snap_$s"))
       .join(union, "domain")
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): `depth` hash rows ×
+    * `width` counters answer point frequency queries with one-sided error
+    * (est ≥ exact, overcount ≤ colliding mass / width per row, min over
+    * rows) in O(depth·width) state — the frequency sibling of [[hllDistinct]]
+    * (distinct) and [[kmvDistinct]]. Cells merge by ADDITION, so shard
+    * sketches sum into the corpus sketch (SketchSpec proves it cell-wise).
+    *
+    * Hashes are the repo's DuckDB-replayable md5 convention
+    * (`md5_number_upper(j || ':' || key) % width`), so the whole sketch —
+    * cells AND estimates — carries a value-level oracle instead of an
+    * "approximately right" demo. Scale shape: one exact per-key rollup
+    * (map-side combined — the same shuffle any frequency query pays), a
+    * depth×width cell table built from per-KEY counts (never one row per
+    * occurrence), and a broadcast of the ≤ depth·width cells back onto the
+    * keys. At 10^12 rows the cell table is still 256 longs. */
+  def countMin(keyed: DataFrame, depth: Int = 4, width: Long = 64L): DataFrame = {
+    val keyCells = countMinKeyCells(keyed, depth, width)
+    val cells = keyCells.groupBy(col("j"), col("cell"))
+      .agg(sum(col("exact")).as("c"))
+    keyCells.join(broadcast(cells), Seq("j", "cell"))
+      .groupBy(col("key"), col("exact"))
+      .agg(min(col("c")).as("est"))
+      .select(col("key"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+  }
+
+  /** Per-key exact counts with their `depth` cell coordinates — the input
+    * both to the cell table and to estimation; exposed so SketchSpec can
+    * prove the additive-merge law on the cell tables themselves. */
+  private[ops] def countMinKeyCells(keyed: DataFrame, depth: Int,
+                                    width: Long): DataFrame =
+    keyed.groupBy(col("key")).agg(count(lit(1)).as("exact"))
+      .select(col("key"), col("exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("cell",
+        Sampling.md5Mod(concat(col("j").cast("string"), lit(":"), col("key")), width))
+
+  /** The depth×width cell table alone (for shard-merge composition). */
+  def countMinCells(keyed: DataFrame, depth: Int = 4, width: Long = 64L): DataFrame =
+    countMinKeyCells(keyed, depth, width)
+      .groupBy(col("j"), col("cell")).agg(sum(col("exact")).as("c"))
 }

@@ -218,4 +218,50 @@ class SketchSpec extends AnyFunSuite {
     // domain count (a doc-keyed split would overcount)
     assert(agg.map(_.getAs[Long]("n_domains")).sum == 37L)
   }
+
+  test("count-min: est >= exact for every key; narrow width must overcount somewhere") {
+    import spark.implicits._
+    val keys = (0 until 400).map(i => s"key${i % 40}").toDF("key")
+    val out = Sketches.countMin(keys).collect()
+    assert(out.length == 40)
+    assert(out.forall(r => r.getAs[Long]("est") >= r.getAs[Long]("exact")))
+    assert(out.forall(r => r.getAs[Long]("exact") == 10L))
+    // width 4 forces collisions among 40 keys → some overcount is certain
+    val tight = Sketches.countMin(keys, depth = 2, width = 4L).collect()
+    assert(tight.exists(_.getAs[Long]("overcount") > 0L))
+  }
+
+  test("count-min: shard cell tables merge by addition into the corpus cell table") {
+    import spark.implicits._
+    val a = (0 until 150).map(i => s"k${i % 13}").toDF("key")
+    val b = (0 until 250).map(i => s"k${(i % 17) + 5}").toDF("key")
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      Sketches.countMinCells(df).as[(Int, Long, Long)].collect()
+        .map { case (j, cell, c) => (j, cell) -> c }.toMap
+    val merged = (cellMap(a).toSeq ++ cellMap(b).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(merged == cellMap(a.union(b)))
+  }
+
+  test("ccnet line dedup: drop-all on the normalized key, survivors rebuild") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "Home | About | Contact\nunique alpha line\nCopyright 2024 Acme"),
+      (2L, "HOME | ABOUT | CONTACT!\nunique beta line\ncopyright 1999 acme"),
+      (3L, "something else entirely\nunique gamma line")).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesNormalized(corpus)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // nav + copyright lines normalize equal across docs 1/2 → all 4 dropped
+    assert(out(0) == ((1L, 2L, 1L, Dedup.md5Hex("unique alpha line"))))
+    assert(out(1) == ((2L, 2L, 1L, Dedup.md5Hex("unique beta line"))))
+    assert(out(2) == ((3L, 0L, 2L,
+      Dedup.md5Hex("something else entirely\nunique gamma line"))))
+  }
+
+  test("ccnet line key: casing, digits, punctuation, whitespace jitter collapse") {
+    assert(Dedup.ccnetLineKey("  Home | About,  2024!!") == "home about")
+    assert(Dedup.ccnetLineKey("home about") == "home about")
+    assert(Dedup.ccnetLineKey("42 !?") == "")
+    assert(Dedup.ccnetLineKey("a1b2c3") == "abc")
+  }
 }
