@@ -3256,6 +3256,41 @@ object OracleSql {
         |) AS t(url, item_idx, item_type, prop, value)
         |ORDER BY url, item_idx, prop""".stripMargin,
 
+    // mirrors Similarity.bitextMargin (k=4, queries = even vec_id < 60):
+    // exact integer dots of thousandth-quantized embeddings, 2k-NN sums
+    // both directions, ratio margin via truncating //, mutual top-1
+    "bitext_margin" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings),
+        |qa AS (SELECT vec_id AS a_id, q FROM e WHERE vec_id % 2 = 0 AND vec_id < 60),
+        |ca AS (SELECT vec_id AS a_id, q FROM e WHERE vec_id % 2 = 0),
+        |cb AS (SELECT vec_id AS b_id, q FROM e WHERE vec_id % 2 = 1),
+        |d1 AS (SELECT qa.a_id, cb.b_id,
+        |    CAST(list_sum(list_transform(range(1, len(qa.q) + 1),
+        |      i -> qa.q[i] * cb.q[i])) AS BIGINT) AS dot
+        |  FROM qa CROSS JOIN cb),
+        |r1 AS (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY dot DESC, b_id) AS rn FROM d1),
+        |astat AS (SELECT a_id,
+        |    sum(dot) FILTER (WHERE rn <= 8) AS sum_a,
+        |    max(CASE WHEN rn = 1 THEN b_id END) AS b_id,
+        |    max(CASE WHEN rn = 1 THEN dot END) AS dot_q
+        |  FROM r1 GROUP BY a_id),
+        |qb AS (SELECT DISTINCT b_id FROM astat),
+        |d2 AS (SELECT cb.b_id, ca.a_id,
+        |    CAST(list_sum(list_transform(range(1, len(cb.q) + 1),
+        |      i -> cb.q[i] * ca.q[i])) AS BIGINT) AS dot
+        |  FROM qb JOIN cb USING (b_id) CROSS JOIN ca),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY dot DESC, a_id) AS rn FROM d2),
+        |bstat AS (SELECT b_id,
+        |    sum(dot) FILTER (WHERE rn <= 8) AS sum_b,
+        |    max(CASE WHEN rn = 1 THEN a_id END) AS top_a
+        |  FROM r2 GROUP BY b_id)
+        |SELECT astat.a_id, astat.b_id, dot_q,
+        |  CAST(CASE WHEN sum_a + sum_b = 0 THEN 0
+        |       ELSE dot_q * 8 * 1000 // (sum_a + sum_b) END AS BIGINT) AS margin_x1000,
+        |  (top_a = astat.a_id) AS mutual
+        |FROM astat JOIN bstat USING (b_id) ORDER BY a_id""".stripMargin,
+
     // mirrors Similarity.topDirectionPower (rounds=3, unrolled): floor
     // thousandth quantization, v0 = 1000 everywhere, integer matvecs,
     // renormalize u*1000//max|u| (DuckDB `//` truncates toward zero like

@@ -2214,6 +2214,18 @@ object SparkEntry {
         .orderBy("url", "item_idx", "prop")
     }),
 
+    "bitext_margin" -> ((s, dir) => {
+      // margin-criterion bitext mining (Artetxe & Schwenk 2019): even
+      // vec_ids are the "source language", odd the "target"; ratio margin
+      // over 2k-NN integer dots suppresses hubs, mutual marks the
+      // top-1-both-ways pairs a parallel-corpus miner keeps
+      val emb = docs(s, dir, "embeddings")
+      val a = emb.where(col("vec_id") % 2 === 0)
+      val b = emb.where(col("vec_id") % 2 === 1)
+      Similarity.bitextMargin(a.where(col("vec_id") < 60), a, b, k = 4)
+        .orderBy("a_id")
+    }),
+
     "emb_top_direction" -> ((s, dir) => {
       // corpus top singular direction by INTEGER power iteration (encoder
       // drift / variance-concentration probe): embeddings quantize to

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.{Encoder, Encoders}
@@ -182,6 +182,68 @@ object Similarity {
           transform(col("hf"), h => h.getField("_2")),
           transform(col("ht"), h => h.getField("_2")))).cast("long").as("overlap_cnt"))
       .withColumn("recall_x1000", expr(s"overlap_cnt * 1000 div $k"))
+  }
+
+  /** Thousandth-quantized embedding as array<bigint> — dot products of two
+    * quantized vectors are EXACT int64 (|dot| ≤ dim·10⁶ ≪ 2⁵³, so they
+    * survive the Double leg of [[TopKAgg]] bit-exactly and DuckDB replays
+    * them), the trick that makes margin/power-iteration ops oracle-able. */
+  private def quantCol(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * lit(1000d)).cast("long"))
+
+  private val quantDotCol: Column =
+    expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), CAST(0 AS BIGINT), (s, v) -> s + v)")
+
+  /** Margin-criterion bitext mining (Artetxe & Schwenk 2019, the CCMatrix/
+    * WikiMatrix parallel-corpus miner): for each source-side document, its
+    * best target-side neighbor scored by the RATIO margin — candidate
+    * similarity over the mean of both sides' 2k-NN similarities — which
+    * suppresses hub vectors that are everyone's neighbor; `mutual` marks
+    * pairs that are each other's top-1 (the high-precision cut used for
+    * training-data mining). Shared-space similarity is the exact integer
+    * dot of thousandth-quantized embeddings, so margins are integers and
+    * the oracle replays both passes bit-identically.
+    *
+    * Scale shape: two bounded passes of the [[bruteForceTopK]] exactness
+    * pattern — queries broadcast, corpus streams once, a bounded-heap
+    * aggregate ships ≤ 2k (dot, id) pairs per query per task. Pass 2's
+    * query set is the ≤ |queriesA| distinct retrieved b's. At 10¹²-doc
+    * scale both passes swap brute scoring for IVF/LSH candidates feeding
+    * the SAME margin scorer (the eval-vs-serving split this file uses
+    * throughout); margins only need the candidates' exact dots. */
+  def bitextMargin(queriesA: DataFrame, corpusA: DataFrame, corpusB: DataFrame,
+                   k: Int): DataFrame = {
+    val spark = queriesA.sparkSession
+    val topk = udaf(new TopKAgg(2 * k))
+    val qa = queriesA.select(col("vec_id").as("qid"), quantCol(col("embedding")).as("qe"))
+    val cb = corpusB.select(col("vec_id").as("cid"), quantCol(col("embedding")).as("ce"))
+    val hits1 = cb.crossJoin(broadcast(qa))
+      .withColumn("sim", quantDotCol.cast("double"))
+      .groupBy(col("qid")).agg(topk(col("sim"), col("cid")).as("hits"))
+    val aStats = hits1.select(
+      col("qid").as("a_id"),
+      expr("CAST(aggregate(hits, 0D, (s, h) -> s + h._1) AS BIGINT)").as("sum_a"),
+      expr("hits[0]._2").as("b_id"),
+      expr("CAST(hits[0]._1 AS BIGINT)").as("dot_q"))
+    // pass 2: the retrieved b's (≤ |queriesA| of them) become the queries
+    val qb = cb.join(aStats.select(col("b_id")).distinct(),
+        cb("cid") === col("b_id"), "left_semi")
+      .select(col("cid").as("qid"), col("ce").as("qe"))
+    val ca = corpusA.select(col("vec_id").as("cid"), quantCol(col("embedding")).as("ce"))
+    val hits2 = ca.crossJoin(broadcast(qb))
+      .withColumn("sim", quantDotCol.cast("double"))
+      .groupBy(col("qid")).agg(topk(col("sim"), col("cid")).as("hits"))
+    val bStats = hits2.select(
+      col("qid").as("b_id"),
+      expr("CAST(aggregate(hits, 0D, (s, h) -> s + h._1) AS BIGINT)").as("sum_b"),
+      expr("hits[0]._2").as("top_a"))
+    aStats.join(bStats, Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("dot_q"),
+        when(col("sum_a") + col("sum_b") === 0L, 0L)
+          // `div`: integral division (truncates toward zero, like DuckDB //)
+          .otherwise(expr(s"dot_q * ${2 * k} * 1000 div (sum_a + sum_b)"))
+          .cast("long").as("margin_x1000"),
+        (col("top_a") === col("a_id")).as("mutual"))
   }
 
   /** INTEGER power iteration for the corpus' top singular direction — the

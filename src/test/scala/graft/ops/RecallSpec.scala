@@ -79,6 +79,30 @@ class RecallSpec extends AnyFunSuite {
     assert(rows <= 10)
   }
 
+  test("bitextMargin: planted translations are mutual top-1 with dominant margin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    // "source" = even ids from the natural corpus; "target" = a perturbed
+    // translation twin (id+1, odd) per source + the odd natural decoys
+    val src = base.filter(_._1 % 2 == 0)
+    val twins = src.map { case (id, e) =>
+      (id + 1 + 100000L, e.zipWithIndex.map { case (v, j) => v + (if (j % 5 == 0) 0.02f else 0f) })
+    }
+    val decoys = base.filter(_._1 % 2 == 1).map { case (id, e) => (id + 200001L, e) }
+    val a = src.toSeq.toDF("vec_id", "embedding")
+    val b = (twins ++ decoys).toSeq.toDF("vec_id", "embedding")
+    val out = Similarity.bitextMargin(a, a, b, k = 4)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    val hits = out.count { case (aId, bId, _, _, mutual) => bId == aId + 1 + 100000L && mutual }
+    info(s"planted-translation mutual-top-1 recall = ${hits.toDouble / src.length} ($hits/${src.length})")
+    assert(hits >= src.length * 4 / 5)
+    // ratio margin > 1000 (candidate beats its neighborhood mean) on planted pairs
+    val plantedMargins = out.collect { case (aId, bId, _, m, _) if bId == aId + 1 + 100000L => m }
+    assert(plantedMargins.forall(_ > 1000L), s"margins: ${plantedMargins.take(5).toSeq}")
+  }
+
   test("topDirectionPower: finds a planted dominant direction, partition-invariant") {
     import spark.implicits._
     // 60 vectors concentrated on axis 3 (±large) + small off-axis noise
