@@ -3256,6 +3256,47 @@ object OracleSql {
         |) AS t(url, item_idx, item_type, prop, value)
         |ORDER BY url, item_idx, prop""".stripMargin,
 
+    // mirrors TextStats.knScore (fit on doc_id%4==0, score all): identical
+    // IEEE double formula as text_kn_bigram, backoff ladder via left joins,
+    // integer sum/mean after floor(p*1e9) quantization
+    "text_kn_score" ->
+      """WITH fitsrc AS (SELECT string_split(text, ' ') AS t FROM documents
+        |                WHERE doc_id % 4 = 0 AND len(string_split(text, ' ')) >= 2),
+        |fbg AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |        FROM (SELECT t, unnest(range(1, len(t))) AS i FROM fitsrc)
+        |        WHERE t[i] <> '' AND t[i+1] <> ''),
+        |bc AS (SELECT w1, w2, count(*) AS c FROM fbg GROUP BY 1, 2),
+        |fw AS (SELECT w1, sum(c) AS ct, count(*) AS nf FROM bc GROUP BY 1),
+        |cw AS (SELECT w2, count(*) AS nc FROM bc GROUP BY 1),
+        |dd AS (SELECT count(*) AS dd FROM bc),
+        |voc AS (SELECT count(DISTINCT u) AS v
+        |        FROM (SELECT unnest(t) AS u FROM fitsrc) WHERE u <> ''),
+        |dsrc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |         WHERE len(string_split(text, ' ')) >= 2),
+        |pos AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM dsrc)
+        |        WHERE t[i] <> '' AND t[i+1] <> ''),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bc.c IS NOT NULL THEN
+        |      CAST(FLOOR(((CAST(bc.c AS DOUBLE) - CAST(0.75 AS DOUBLE)) / CAST(fw.ct AS DOUBLE)
+        |        + CAST(0.75 AS DOUBLE) * CAST(fw.nf AS DOUBLE) / CAST(fw.ct AS DOUBLE)
+        |          * (CAST(cw.nc AS DOUBLE) / CAST(dd.dd AS DOUBLE))) * 1e9) AS BIGINT)
+        |    WHEN fw.ct IS NOT NULL THEN
+        |      CAST(FLOOR((CAST(0.75 AS DOUBLE) * CAST(fw.nf AS DOUBLE) / CAST(fw.ct AS DOUBLE)
+        |        * (CAST(coalesce(cw.nc, 0) AS DOUBLE) / CAST(dd.dd AS DOUBLE))) * 1e9) AS BIGINT)
+        |    ELSE 1000000000 // v END AS p,
+        |    (bc.c IS NOT NULL) AS seen,
+        |    (bc.c IS NULL AND fw.ct IS NOT NULL) AS backoff
+        |  FROM pos LEFT JOIN bc USING (w1, w2) LEFT JOIN fw USING (w1)
+        |  LEFT JOIN cw USING (w2) CROSS JOIN dd CROSS JOIN voc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(count(*) FILTER (WHERE seen) AS BIGINT) AS n_seen,
+        |  CAST(count(*) FILTER (WHERE backoff) AS BIGINT) AS n_backoff,
+        |  CAST(sum(p) AS BIGINT) AS score_x1e9,
+        |  CAST(sum(p) // count(*) AS BIGINT) AS mean_x1e9
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // mirrors Similarity.bitextMargin (k=4, queries = even vec_id < 60):
     // exact integer dots of thousandth-quantized embeddings, 2k-NN sums
     // both directions, ratio margin via truncating //, mutual top-1

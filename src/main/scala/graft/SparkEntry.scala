@@ -2214,6 +2214,15 @@ object SparkEntry {
         .orderBy("url", "item_idx", "prop")
     }),
 
+    "text_kn_score" -> ((s, dir) => {
+      // CCNet-proper quality scoring: interpolated-KN bigram LM fit on the
+      // doc_id%4==0 reference slice, ALL docs scored against it — held-out
+      // docs exercise the backoff ladder (seen / w1-backoff / OOV uniform);
+      // floor(p*1e9) quantization makes sums/means exact integers
+      TextStats.knScore(docs(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy("doc_id")
+    }),
+
     "bitext_margin" -> ((s, dir) => {
       // margin-criterion bitext mining (Artetxe & Schwenk 2019): even
       // vec_ids are the "source language", odd the "target"; ratio margin

@@ -589,6 +589,64 @@ object TextStats {
       .limit(topN)
   }
 
+  /** Document scoring under the corpus-fitted interpolated-KN bigram LM —
+    * the CCNet quality signal proper (Wenzek et al. 2020 §4.3 score docs
+    * with an LM trained on a REFERENCE corpus): the model fits on the
+    * doc_id % fitModulus == 0 slice, every document scores against it, so
+    * held-out docs genuinely exercise the backoff classes (bigram seen /
+    * w1-seen backoff / w1 OOV → uniform 1/V). Per-position probability is
+    * quantized floor(p·1e9) with the arithmetic written identically in the
+    * oracle (the [[knBigramFit]] IEEE-replay trick); sums and means are
+    * then exact integers.
+    *
+    * Distributed shape: the fit is [[knBigramFit]]'s one bigram-count
+    * shuffle + vocab-sized rollups; scoring is three hash joins of the
+    * positional gram stream against vocab-sized model tables (the standard
+    * LM-scoring join — at 10^12 docs the model side would bucket or
+    * broadcast per-shard), then one map-side-combined per-doc aggregate.
+    * No collects, no windows. */
+  def knScore(docs: DataFrame, fitModulus: Long = 4): DataFrame = {
+    val bgExpr =
+      "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"
+    val fitToks = docs.where(col("doc_id") % fitModulus === 0)
+      .select(split(col("text"), " ").as("t")).where(size(col("t")) >= 2)
+    val fbg = fitToks.select(explode(expr(bgExpr)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .where(col("w1") =!= "" && col("w2") =!= "")
+    val bc = fbg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val fw = bc.groupBy("w1").agg(sum(col("c")).as("ct"), count(lit(1)).as("nf"))
+    val cw = bc.groupBy("w2").agg(count(lit(1)).as("nc"))
+    val dd = bc.agg(count(lit(1)).as("dd"))
+    val voc = fitToks.select(explode(col("t")).as("u")).where(col("u") =!= "")
+      .agg(countDistinct(col("u")).as("v"))
+    val pos = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(bgExpr)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .where(col("w1") =!= "" && col("w2") =!= "")
+    pos.join(bc, Seq("w1", "w2"), "left")
+      .join(fw, Seq("w1"), "left")
+      .join(cw, Seq("w2"), "left")
+      .crossJoin(broadcast(dd)).crossJoin(broadcast(voc))
+      .select(col("doc_id"),
+        expr("""CASE WHEN c IS NOT NULL THEN
+                  CAST(FLOOR(((CAST(c AS DOUBLE) - 0.75D) / CAST(ct AS DOUBLE)
+                    + 0.75D * CAST(nf AS DOUBLE) / CAST(ct AS DOUBLE)
+                      * (CAST(nc AS DOUBLE) / CAST(dd AS DOUBLE))) * 1e9) AS BIGINT)
+                WHEN ct IS NOT NULL THEN
+                  CAST(FLOOR((0.75D * CAST(nf AS DOUBLE) / CAST(ct AS DOUBLE)
+                    * (CAST(coalesce(nc, 0) AS DOUBLE) / CAST(dd AS DOUBLE))) * 1e9) AS BIGINT)
+                ELSE CAST(1000000000 AS BIGINT) div v END""").as("p"),
+        expr("c IS NOT NULL").as("seen"),
+        expr("c IS NULL AND ct IS NOT NULL").as("backoff"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("CAST(count_if(seen) AS BIGINT)").as("n_seen"),
+        expr("CAST(count_if(backoff) AS BIGINT)").as("n_backoff"),
+        sum(col("p")).as("score_x1e9"),
+        expr("sum(p) div count(1)").as("mean_x1e9"))
+  }
+
   /** OCR-noise planting: residue %6==0 gets a spaced-letters run (the
     * classic per-glyph OCR failure), %6==3 gets digit-for-letter
     * substitutions. Mirrored verbatim in the oracle. */

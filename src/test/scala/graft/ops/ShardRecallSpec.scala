@@ -94,4 +94,31 @@ class ShardRecallSpec extends AnyFunSuite {
     assert(out.map(r => (r._1, r._2)).toSeq ==
       Seq(("a", "b"), ("b", "a"), ("b", "c")))
   }
+
+  test("knScore: held-out docs walk the backoff ladder (seen / w1-backoff / OOV)") {
+    // fit slice = doc 0 only: bigrams (a,b)x2 (b,a)x1 (b,c)x1 → D=3 types,
+    // ct(a)=2 nf(a)=1, ct(b)=2 nf(b)=2, nc=1 everywhere, vocab {a,b,c}
+    val docs = Seq(
+      (0L, "a b a b c"),   // all-seen: 4 bigrams, every one in the model
+      (1L, "a b a c"),     // (a,b),(b,a) seen; (a,c): a seen → backoff
+      (2L, "z q a b")).toDF("doc_id", "text") // (z,q),(q,a): z,q OOV → 1e9/3
+    val out = TextStats.knScore(docs, fitModulus = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 0: everything seen
+    assert(out(0L)._2 == 4 && out(0L)._3 == 4 && out(0L)._4 == 0)
+    val pAB = math.floor(((2.0 - 0.75) / 2.0 + 0.75 * 1.0 / 2.0 * (1.0 / 3.0)) * 1e9).toLong
+    val pBA = math.floor(((1.0 - 0.75) / 2.0 + 0.75 * 2.0 / 2.0 * (1.0 / 3.0)) * 1e9).toLong
+    val pBC = pBA // identical counts: c=1, ct(b)=2, nf(b)=2, nc=1
+    assert(out(0L)._5 == 2 * pAB + pBA + pBC)
+    // doc 1: (a,c) backoff — w1=a has ct=2, nf=1, nc(c)=1
+    val pACback = math.floor((0.75 * 1.0 / 2.0 * (1.0 / 3.0)) * 1e9).toLong
+    assert(out(1L)._3 == 2 && out(1L)._4 == 1)
+    assert(out(1L)._5 == pAB + pBA + pACback)
+    // doc 2: (z,q) and (q,a) OOV-w1 → uniform 1e9/3; (a,b) seen
+    assert(out(2L)._3 == 1 && out(2L)._4 == 0)
+    assert(out(2L)._5 == 2 * (1000000000L / 3) + pAB)
+    // mean is the truncating integer division of the sum
+    assert(out(2L)._6 == out(2L)._5 / 3)
+  }
 }
