@@ -3256,6 +3256,21 @@ object OracleSql {
         |) AS t(url, item_idx, item_type, prop, value)
         |ORDER BY url, item_idx, prop""".stripMargin,
 
+    // pinned goldens for the XMP scanner: Alt/Seq/Bag containers joined
+    // "; ", entity decode, attribute-form props, no-metadata doc emits
+    // nothing, truncated packet yields only its intact attribute
+    "pdf_xmp" ->
+      """SELECT url, prop, value FROM (VALUES
+        |  ('xmp://good', 'dc:creator', 'A. Author; B. Writer'),
+        |  ('xmp://good', 'dc:subject', 'pets; care'),
+        |  ('xmp://good', 'dc:title', 'Dogs & Cats'),
+        |  ('xmp://good', 'pdf:Producer', 'RawPdf 1.0'),
+        |  ('xmp://good', 'xmp:CreateDate', '2024-01-01T00:00:00Z'),
+        |  ('xmp://good', 'xmpMM:DocumentID', 'uuid:fixture-1234'),
+        |  ('xmp://trunc', 'xmp:CreatorTool', 'graft')
+        |) AS t(url, prop, value)
+        |ORDER BY url, prop""".stripMargin,
+
     // mirrors TextStats.knScore (fit on doc_id%4==0, score all): identical
     // IEEE double formula as text_kn_bigram, backoff ladder via left joins,
     // integer sum/mean after floor(p*1e9) quantization

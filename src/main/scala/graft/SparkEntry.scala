@@ -2214,6 +2214,48 @@ object SparkEntry {
         .orderBy("url", "item_idx", "prop")
     }),
 
+    "pdf_xmp" -> ((s, _) => {
+      import s.implicits._
+      // XMP metadata stream (PDF 32000-1 §14.3.2): element form with
+      // rdf:Alt/Seq/Bag containers + entity, attribute form on
+      // rdf:Description, a doc with no /Metadata (zero rows), and a
+      // truncated packet that still yields its intact prefix, never throws
+      val goodXmp =
+        """<?xpacket begin="" id="W5M0MpCehiHzreSzNTczkc9d"?>
+          |<x:xmpmeta xmlns:x="adobe:ns:meta/">
+          | <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+          |  <rdf:Description rdf:about="" pdf:Producer="RawPdf 1.0" xmpMM:DocumentID="uuid:fixture-1234">
+          |   <dc:title><rdf:Alt><rdf:li xml:lang="x-default">Dogs &amp; Cats</rdf:li></rdf:Alt></dc:title>
+          |   <dc:creator><rdf:Seq><rdf:li>A. Author</rdf:li><rdf:li>B. Writer</rdf:li></rdf:Seq></dc:creator>
+          |   <dc:subject><rdf:Bag><rdf:li>pets</rdf:li><rdf:li>care</rdf:li></rdf:Bag></dc:subject>
+          |   <xmp:CreateDate>2024-01-01T00:00:00Z</xmp:CreateDate>
+          |  </rdf:Description>
+          | </rdf:RDF>
+          |</x:xmpmeta>
+          |<?xpacket end="w"?>""".stripMargin
+      val truncXmp = "<x:xmpmeta><rdf:Description xmp:CreatorTool='graft'><dc:title><rdf:Alt><rdf:li>half"
+      def pdfWith(xmp: String) = graft.core.RawPdf.assemble(Seq(
+        "<</Type/Catalog/Pages 2 0 R/Metadata 4 0 R>>",
+        "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]>>",
+        s"<</Type/Metadata/Subtype/XML/Length ${xmp.length}>>\nstream\n$xmp\nendstream"))
+      val noMeta = graft.core.RawPdf.assemble(Seq(
+        "<</Type/Catalog/Pages 2 0 R>>",
+        "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]>>"))
+      val rows = Seq(("xmp://good", pdfWith(goodXmp)), ("xmp://none", noMeta),
+        ("xmp://trunc", pdfWith(truncXmp))).map { case (u, b) =>
+        PageRow(u, new java.sql.Timestamp(1704067200000L), b, null, "en")
+      }
+      s.createDataset(rows).flatMap { p =>
+        graft.core.PdfDocument.load(p.html) match {
+          case Right(doc) => graft.core.Xmp.fromDocument(doc)
+            .map { case (k, v) => (p.url, k, v) }
+          case Left(_) => Seq.empty
+        }
+      }.toDF("url", "prop", "value").orderBy("url", "prop")
+    }),
+
     "text_kn_score" -> ((s, dir) => {
       // CCNet-proper quality scoring: interpolated-KN bigram LM fit on the
       // doc_id%4==0 reference slice, ALL docs scored against it — held-out
