@@ -3256,6 +3256,23 @@ object OracleSql {
         |) AS t(url, item_idx, item_type, prop, value)
         |ORDER BY url, item_idx, prop""".stripMargin,
 
+    // pinned goldens for the tagged-PDF structure walk: DFS pre-order,
+    // UTF-16BE ActualText (U+FB01 ligature), MCID/MCR counting, 2-node
+    // cycle terminates, untagged doc contributes nothing
+    "pdf_struct_tree" ->
+      """SELECT url, CAST(idx AS BIGINT) AS idx, CAST(depth AS BIGINT) AS depth,
+        |  s_type, alt, actual_text, lang, CAST(n_mcids AS BIGINT) AS n_mcids
+        |FROM (VALUES
+        |  ('struct://cycle', 0, 0, 'Sect', '', '', '', 0),
+        |  ('struct://cycle', 1, 1, 'Sect', '', '', '', 0),
+        |  ('struct://tagged', 0, 0, 'Document', '', '', '', 0),
+        |  ('struct://tagged', 1, 1, 'H1', '', 'Title Text', '', 1),
+        |  ('struct://tagged', 2, 1, 'P', '', '', '', 2),
+        |  ('struct://tagged', 3, 1, 'Figure', 'A bar chart of quarterly sales', '', '', 1),
+        |  ('struct://tagged', 4, 1, 'Span', '', chr(64257), 'en-US', 1)
+        |) AS t(url, idx, depth, s_type, alt, actual_text, lang, n_mcids)
+        |ORDER BY url, idx""".stripMargin,
+
     // pinned goldens for the XMP scanner: Alt/Seq/Bag containers joined
     // "; ", entity decode, attribute-form props, no-metadata doc emits
     // nothing, truncated packet yields only its intact attribute

@@ -2214,6 +2214,48 @@ object SparkEntry {
         .orderBy("url", "item_idx", "prop")
     }),
 
+    "pdf_struct_tree" -> ((s, _) => {
+      import s.implicits._
+      // tagged-PDF logical structure (PDF 32000-1 §14.7-14.8): semantic
+      // roles, /Alt figure captions, UTF-16 /ActualText, MCID/MCR content
+      // counting; a crafted /K cycle terminates via the ref visited-set;
+      // untagged doc emits nothing
+      val tagged = graft.core.RawPdf.assemble(Seq(
+        "<</Type/Catalog/Pages 2 0 R/StructTreeRoot 4 0 R>>",
+        "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]>>",
+        "<</Type/StructTreeRoot/K 5 0 R>>",
+        "<</Type/StructElem/S/Document/K[6 0 R 7 0 R 8 0 R 9 0 R]>>",
+        "<</Type/StructElem/S/H1/K 0/ActualText(Title Text)>>",
+        "<</Type/StructElem/S/P/K[1 2]>>",
+        "<</Type/StructElem/S/Figure/Alt(A bar chart of quarterly sales)/K[<</Type/MCR/MCID 3/Pg 3 0 R>>]>>",
+        "<</Type/StructElem/S/Span/Lang(en-US)/ActualText<FEFFFB01>/K 4>>"))
+      val cyclic = graft.core.RawPdf.assemble(Seq(
+        "<</Type/Catalog/Pages 2 0 R/StructTreeRoot 4 0 R>>",
+        "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]>>",
+        "<</Type/StructTreeRoot/K 5 0 R>>",
+        "<</Type/StructElem/S/Sect/K[6 0 R]>>",
+        "<</Type/StructElem/S/Sect/K[5 0 R]>>"))
+      val untagged = graft.core.RawPdf.assemble(Seq(
+        "<</Type/Catalog/Pages 2 0 R>>",
+        "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]>>"))
+      val rows = Seq(("struct://tagged", tagged), ("struct://cycle", cyclic),
+        ("struct://plain", untagged)).map { case (u, b) =>
+        PageRow(u, new java.sql.Timestamp(1704067200000L), b, null, "en")
+      }
+      s.createDataset(rows).flatMap { p =>
+        graft.core.PdfDocument.load(p.html) match {
+          case Right(doc) => graft.core.StructTree.walk(doc).map(n =>
+            (p.url, n.idx.toLong, n.depth.toLong, n.sType, n.alt,
+              n.actualText, n.lang, n.nMcids.toLong))
+          case Left(_) => Seq.empty
+        }
+      }.toDF("url", "idx", "depth", "s_type", "alt", "actual_text", "lang", "n_mcids")
+        .orderBy("url", "idx")
+    }),
+
     "pdf_xmp" -> ((s, _) => {
       import s.implicits._
       // XMP metadata stream (PDF 32000-1 §14.3.2): element form with
