@@ -3256,6 +3256,25 @@ object OracleSql {
         |) AS t(url, item_idx, item_type, prop, value)
         |ORDER BY url, item_idx, prop""".stripMargin,
 
+    // mirrors Hygiene.corpusWithMojibake + mojibakeRepair: the planted
+    // bytes are the ONLY non-ASCII in the corpus, so the generic strict
+    // roundtrip equals the targeted replace; chr(195..) pins exact chars
+    "text_mojibake" ->
+      """WITH aug AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 0
+        |      THEN ' caf' || chr(195) || chr(169) || ' na' || chr(195) || chr(175) || 've'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |rep AS (SELECT doc_id, t,
+        |    CAST(length(t) - length(replace(t, chr(195), '')) AS BIGINT) AS n_ind,
+        |    replace(replace(t, chr(195) || chr(169), chr(233)),
+        |            chr(195) || chr(175), chr(239)) AS fixed
+        |  FROM aug)
+        |SELECT doc_id, n_ind AS n_indicators, n_ind > 0 AS repaired,
+        |  CAST(length(CASE WHEN n_ind > 0 THEN fixed ELSE t END) AS BIGINT) AS n_chars,
+        |  md5(CASE WHEN n_ind > 0 THEN fixed ELSE t END) AS clean_md5
+        |FROM rep ORDER BY doc_id""".stripMargin,
+
     // pinned goldens for the tagged-PDF structure walk: DFS pre-order,
     // UTF-16BE ActualText (U+FB01 ligature), MCID/MCR counting, 2-node
     // cycle terminates, untagged doc contributes nothing

@@ -2214,6 +2214,16 @@ object SparkEntry {
         .orderBy("url", "item_idx", "prop")
     }),
 
+    "text_mojibake" -> ((s, dir) => {
+      // ftfy-style mojibake repair: UTF-8-read-as-Latin-1 text (planted
+      // "cafÃ© naÃ¯ve") detected by the Ã indicator and fixed by the strict
+      // inverse roundtrip; genuine Ã text survives (strict decoder rejects
+      // C3+ASCII). Pure per-row kernel, zero shuffle.
+      graft.ops.Hygiene.mojibakeRepair(graft.ops.Hygiene.corpusWithMojibake(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("doc_id")
+    }),
+
     "pdf_struct_tree" -> ((s, _) => {
       import s.implicits._
       // tagged-PDF logical structure (PDF 32000-1 §14.7-14.8): semantic

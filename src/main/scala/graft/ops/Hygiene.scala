@@ -151,4 +151,61 @@ object Hygiene {
            min(col("file_id")).as("first_file"),
            max(col("file_id")).as("last_file"))
   }
+
+  /** Mojibake planting: docs with doc_id % 7 == 0 get "café naïve" in its
+    * classic UTF-8-read-as-Latin-1 form (é → Ã©, ï → Ã¯) — what a crawler
+    * harvests from a page served UTF-8 but declared ISO-8859-1. Mirrored
+    * in the oracle via chr() so the bytes are pinned. */
+  def corpusWithMojibake(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit(" cafÃ© naÃ¯ve")).otherwise(lit(""))))
+
+  /** Mojibake detection + repair (the ftfy move, Speer 2019): text whose
+    * chars are really UTF-8 bytes misread as Latin-1 is detected by the
+    * indicator char U+00C3 ("Ã" — the first byte of every 2-byte Latin
+    * UTF-8 sequence misdecoded) and repaired by the inverse roundtrip:
+    * re-encode as Latin-1, strictly re-decode as UTF-8. The repair is
+    * attempted ONLY when indicators exist, applied ONLY when the roundtrip
+    * is (a) Latin-1-encodable, (b) strictly valid UTF-8, and (c) reduces
+    * the indicator count — so genuine "Ã" text survives untouched (the
+    * strict decoder rejects C3+ASCII) and ASCII text never churns.
+    * Single-pass repair by design: double-encoded mojibake repairs one
+    * layer per run (matching one ftfy iteration).
+    *
+    * Scale shape: pure per-row typed kernel, zero shuffle; the corpus is
+    * scanned once where it lives. */
+  def mojibakeRepair(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t0) =>
+        val t = if (t0 == null) "" else t0
+        var ind = 0
+        var latin1able = true
+        var i = 0
+        while (i < t.length) {
+          val c = t.charAt(i)
+          if (c == 'Ã') ind += 1
+          if (c > 'ÿ') latin1able = false
+          i += 1
+        }
+        val repaired: Option[String] =
+          if (ind == 0 || !latin1able) None
+          else {
+            val bytes = t.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+            val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+              .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+              .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+            try {
+              val s = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+              if (s.count(_ == 'Ã') < ind) Some(s) else None
+            } catch { case _: java.nio.charset.CharacterCodingException => None }
+          }
+        val out = repaired.getOrElse(t)
+        (id, ind.toLong, repaired.isDefined, out.length.toLong, Dedup.md5Hex(out))
+      }
+      .toDF("doc_id", "n_indicators", "repaired", "n_chars", "clean_md5")
+  }
 }

@@ -64,4 +64,25 @@ class HygieneSpec extends AnyFunSuite {
         r.getAs[Long]("n_files"))
     }
   }
+
+  test("mojibakeRepair: fixes UTF-8-as-Latin-1, leaves genuine text alone") {
+    val docs = Seq(
+      (1L, "plain ascii text"),
+      (2L, "caf\u00c3\u00a9 and na\u00c3\u00afve mojibake"),   // -> café, naïve
+      (3L, "genuine \u00c3 alone stays"),                      // C3+space: invalid UTF-8
+      (4L, "\u4e2d\u6587 beyond latin1 untouched \u00c3\u00a9")  // not latin1-encodable
+    ).toDF("doc_id", "text")
+    val out = Hygiene.mojibakeRepair(docs)
+      .as[(Long, Long, Boolean, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 0 && !out(1L)._3)
+    assert(out(1L)._5 == graft.ops.Dedup.md5Hex("plain ascii text"))
+    assert(out(2L)._2 == 2 && out(2L)._3)
+    assert(out(2L)._5 == graft.ops.Dedup.md5Hex("caf\u00e9 and na\u00efve mojibake"))
+    assert(out(2L)._4 == "caf\u00e9 and na\u00efve mojibake".length.toLong)
+    // strict decoder rejects C3+ASCII -> no repair
+    assert(out(3L)._2 == 1 && !out(3L)._3)
+    assert(out(3L)._5 == graft.ops.Dedup.md5Hex("genuine \u00c3 alone stays"))
+    // CJK chars make the text non-latin1-encodable -> no repair attempted
+    assert(out(4L)._2 == 1 && !out(4L)._3)
+  }
 }
