@@ -226,7 +226,7 @@ object Similarity {
       expr("hits[0]._2").as("b_id"),
       expr("CAST(hits[0]._1 AS BIGINT)").as("dot_q"))
     // pass 2: the retrieved b's (≤ |queriesA| of them) become the queries
-    val qb = cb.join(aStats.select(col("b_id")).distinct(),
+    val qb = cb.join(broadcast(aStats.select(col("b_id")).distinct()),
         cb("cid") === col("b_id"), "left_semi")
       .select(col("cid").as("qid"), col("ce").as("qe"))
     val ca = corpusA.select(col("vec_id").as("cid"), quantCol(col("embedding")).as("ce"))
@@ -237,7 +237,7 @@ object Similarity {
       col("qid").as("b_id"),
       expr("CAST(aggregate(hits, 0D, (s, h) -> s + h._1) AS BIGINT)").as("sum_b"),
       expr("hits[0]._2").as("top_a"))
-    aStats.join(bStats, Seq("b_id"))
+    aStats.join(broadcast(bStats), Seq("b_id"))
       .select(col("a_id"), col("b_id"), col("dot_q"),
         when(col("sum_a") + col("sum_b") === 0L, 0L)
           // `div`: integral division (truncates toward zero, like DuckDB //)

@@ -613,7 +613,11 @@ object TextStats {
     val fbg = fitToks.select(explode(expr(bgExpr)).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .where(col("w1") =!= "" && col("w2") =!= "")
+    // materialize the bigram-count table once: fw/cw/dd and the scoring
+    // join all derive from it — without this the corpus-scale bigram
+    // shuffle re-runs four times (vocab-sized table, cheap to hold)
     val bc = fbg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val fw = bc.groupBy("w1").agg(sum(col("c")).as("ct"), count(lit(1)).as("nf"))
     val cw = bc.groupBy("w2").agg(count(lit(1)).as("nc"))
     val dd = bc.agg(count(lit(1)).as("dd"))

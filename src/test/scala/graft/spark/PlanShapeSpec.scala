@@ -87,6 +87,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("quality_dsir", maxExchange = 8)
   }
 
+  test("wave 43-45 narrow family: per-row kernels keep one display-sort Exchange at most") {
+    for (q <- Seq("html_microdata", "pdf_xmp", "pdf_struct_tree", "text_mojibake"))
+      assertShape(q, maxExchange = 1)
+  }
+
+  test("wave 43-45 rollup/join family: bounded exchanges, no cartesian products") {
+    // CCNet line dedup: line-hash rollup + semi-join back + doc rebuild + sort
+    assertShape("dedup_lines_ccnet", maxExchange = 5)
+    // count-min: per-key rollup; the 256-cell table joins back as broadcast
+    assertShape("sketch_countmin", maxExchange = 4)
+    // KN scoring: bigram-count exchange + vocab-sized model joins + doc rollup
+    assertShape("text_kn_score", maxExchange = 9)
+    // bitext: two bounded-heap top-k aggregations (queries broadcast both
+    // passes — the labeled exactness baseline) + the stats join
+    assertShape("bitext_margin", maxExchange = 5)
+  }
+
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
     val pages = PagesTable.synthesize(spark, 16, 4)
     // default path: payload parsed where produced, zero Exchange
