@@ -3275,6 +3275,18 @@ object OracleSql {
         |  md5(CASE WHEN n_ind > 0 THEN fixed ELSE t END) AS clean_md5
         |FROM rep ORDER BY doc_id""".stripMargin,
 
+    // pinned goldens: the content stream interleaves columns A1 B1 A2 B2;
+    // the structure tree reads column-by-column with a \n between nodes
+    "pdf_reading_order" ->
+      """SELECT url, tagged, logical_text, content_text FROM (VALUES
+        |  ('order://plain', FALSE, '',
+        |   'Column A one.Column B one. Column A two. Column B two.'),
+        |  ('order://tagged', TRUE,
+        |   'Column A one. Column A two.' || chr(10) || 'Column B one. Column B two.',
+        |   'Column A one.Column B one. Column A two. Column B two.')
+        |) AS t(url, tagged, logical_text, content_text)
+        |ORDER BY url""".stripMargin,
+
     // pinned goldens for the tagged-PDF structure walk: DFS pre-order,
     // UTF-16BE ActualText (U+FB01 ligature), MCID/MCR counting, 2-node
     // cycle terminates, untagged doc contributes nothing

@@ -2266,6 +2266,61 @@ object SparkEntry {
         .orderBy("url", "idx")
     }),
 
+    "pdf_reading_order" -> ((s, _) => {
+      import s.implicits._
+      // logical reading order from the structure tree (§14.8.2.5): the
+      // content stream INTERLEAVES two columns (A1 B1 A2 B2); the tagged
+      // walk reads column by column. Untagged doc: tagged=false, callers
+      // fall back to content/geometry order.
+      val cs =
+        """BT
+          |/F1 12 Tf
+          |/P <</MCID 0>> BDC
+          |1 0 0 1 72 720 Tm
+          |(Column A one.) Tj
+          |EMC
+          |/P <</MCID 1>> BDC
+          |1 0 0 1 300 720 Tm
+          |(Column B one.) Tj
+          |EMC
+          |/P <</MCID 2>> BDC
+          |1 0 0 1 72 700 Tm
+          |( Column A two.) Tj
+          |EMC
+          |/P <</MCID 3>> BDC
+          |1 0 0 1 300 700 Tm
+          |( Column B two.) Tj
+          |EMC
+          |ET""".stripMargin
+      val tagged = graft.core.RawPdf.assemble(Seq(
+        "<</Type/Catalog/Pages 2 0 R/StructTreeRoot 6 0 R>>",
+        "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Contents 4 0 R/Resources<</Font<</F1 5 0 R>>>>/StructParents 0>>",
+        s"<</Length ${cs.length}>>\nstream\n$cs\nendstream",
+        "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>",
+        "<</Type/StructTreeRoot/K 7 0 R>>",
+        "<</Type/StructElem/S/Document/K[8 0 R 9 0 R]>>",
+        "<</Type/StructElem/S/P/K[0 2]>>",
+        "<</Type/StructElem/S/P/K[1 3]>>"))
+      val untagged = graft.core.RawPdf.assemble(Seq(
+        "<</Type/Catalog/Pages 2 0 R>>",
+        "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Contents 4 0 R/Resources<</Font<</F1 5 0 R>>>>>>",
+        s"<</Length ${cs.length}>>\nstream\n$cs\nendstream",
+        "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>"))
+      val rows = Seq(("order://tagged", tagged), ("order://plain", untagged))
+        .map { case (u, b) =>
+          PageRow(u, new java.sql.Timestamp(1704067200000L), b, null, "en")
+        }
+      s.createDataset(rows).map { p =>
+        val doc = graft.core.PdfDocument.load(p.html).toOption.get
+        val logical = graft.core.StructTree.readingOrderText(doc)
+        val content = doc.page(0).objects()
+          .filter(_.objType == "text").map(_.text).mkString
+        (p.url, logical.isDefined, logical.getOrElse(""), content)
+      }.toDF("url", "tagged", "logical_text", "content_text").orderBy("url")
+    }),
+
     "pdf_xmp" -> ((s, _) => {
       import s.implicits._
       // XMP metadata stream (PDF 32000-1 §14.3.2): element form with

@@ -261,7 +261,7 @@ object ContentInterpreter {
           textObjs += obj
           objs += PageObjectInfo("text", obj.bbox.getOrElse(Rect(objOrigin._1, objOrigin._2, objOrigin._1, objOrigin._2)),
             level, built.map(_.unicode).mkString, font.baseNameNoSubset, ts.fontSize,
-            0, 0, 0, "", Vector.empty, Some(obj))
+            0, 0, 0, "", Vector.empty, Some(obj), curMcid)
         }
       }
 

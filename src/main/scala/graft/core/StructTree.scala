@@ -16,9 +16,13 @@ package graft.core
 object StructTree {
 
   /** One structure element in DFS pre-order. `n_mcids` counts marked-content
-    * references directly under the element (its content payload size). */
+    * references directly under the element (its content payload size,
+    * OBJR included); `mcids` is the ORDERED list of marked-content ids
+    * (bare integers and MCR /MCID) — the per-node key into the page's
+    * marked content for logical-reading-order assembly. */
   final case class Node(idx: Int, depth: Int, sType: String, alt: String,
-                        actualText: String, lang: String, nMcids: Int)
+                        actualText: String, lang: String, nMcids: Int,
+                        mcids: Vector[Int] = Vector.empty)
 
   def walk(doc: PdfDocument, maxDepth: Int = 64,
            maxNodes: Int = 10000): Vector[Node] = {
@@ -52,19 +56,27 @@ object StructTree {
                 case PdfNull => Vector.empty[PdfObject]
                 case other => Vector(other)
               }
-              val nMcids = children.count { c =>
+              var nMcids = 0
+              val mcids = Vector.newBuilder[Int]
+              children.foreach { c =>
                 doc.resolve(c) match {
-                  case _: PdfNumber => true
+                  case PdfNumber(v) => nMcids += 1; mcids += v.toInt
                   case cd: PdfDict => doc.get(cd, "Type") match {
-                    case PdfName("MCR") | PdfName("OBJR") => true
-                    case _ => false
+                    case PdfName("MCR") =>
+                      nMcids += 1
+                      doc.get(cd, "MCID") match {
+                        case PdfNumber(v) => mcids += v.toInt
+                        case _ =>
+                      }
+                    case PdfName("OBJR") => nMcids += 1
+                    case _ =>
                   }
-                  case _ => false
+                  case _ =>
                 }
               }
               val sType = doc.get(d, "S") match { case PdfName(n) => n; case _ => "" }
               out += Node(idx, depth, sType, str(d, "Alt"),
-                str(d, "ActualText"), str(d, "Lang"), nMcids)
+                str(d, "ActualText"), str(d, "Lang"), nMcids, mcids.result())
               idx += 1
               children.foreach(visit(_, depth + 1))
           }
@@ -77,5 +89,27 @@ object StructTree {
       case _ =>
     }
     out.result()
+  }
+
+  /** Logical-reading-order text (PDF 32000-1 §14.8.2.5): the DFS mcid
+    * sequence keys into the page's marked show-text runs — a node's text
+    * is its /ActualText replacement when present (§14.9.4), else its
+    * mcids' runs in content order; nonempty node texts join with "\n".
+    * Multi-column and sidebar layouts read logically even when the content
+    * stream interleaves columns. Untagged docs return None — callers fall
+    * back to content/geometry order (the extractText default). */
+  def readingOrderText(doc: PdfDocument, pageIdx: Int = 0): Option[String] = {
+    val nodes = walk(doc)
+    if (nodes.isEmpty || pageIdx >= doc.pageCount) return None
+    val byMcid: Map[Int, String] = doc.page(pageIdx).objects()
+      .filter(o => o.objType == "text" && o.mcid >= 0)
+      .groupBy(_.mcid).view.mapValues(_.map(_.text).mkString).toMap
+    val parts = nodes.flatMap { n =>
+      val t =
+        if (n.actualText.nonEmpty) n.actualText
+        else n.mcids.flatMap(byMcid.get).mkString
+      if (t.nonEmpty) Some(t) else None
+    }
+    if (parts.isEmpty) None else Some(parts.mkString("\n"))
   }
 }

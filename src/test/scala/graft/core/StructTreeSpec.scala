@@ -44,6 +44,37 @@ class StructTreeSpec extends AnyFunSuite {
     assert(StructTree.walk(doc, maxNodes = 1).length == 1)
   }
 
+  test("readingOrderText: ActualText overrides mcid runs; missing mcids drop out") {
+    val cs =
+      """BT
+        |/F1 10 Tf
+        |/Span <</MCID 0>> BDC
+        |1 0 0 1 72 700 Tm
+        |(shown glyphs) Tj
+        |EMC
+        |/P <</MCID 1>> BDC
+        |1 0 0 1 72 680 Tm
+        |(kept text) Tj
+        |EMC
+        |ET""".stripMargin
+    val doc = docWith(Seq(
+      "<</Type/Catalog/Pages 2 0 R/StructTreeRoot 6 0 R>>",
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+      "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Contents 4 0 R/Resources<</Font<</F1 5 0 R>>>>>>",
+      s"<</Length ${cs.length}>>\nstream\n$cs\nendstream",
+      "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>",
+      "<</Type/StructTreeRoot/K 7 0 R>>",
+      "<</Type/StructElem/S/Document/K[8 0 R 9 0 R]>>",
+      // ActualText replaces the shown glyphs (e.g. a drop-cap or ligature)
+      "<</Type/StructElem/S/Span/ActualText(replacement)/K[0]>>",
+      // references mcid 1 AND a dangling mcid 9 (no such marked content)
+      "<</Type/StructElem/S/P/K[1 9]>>"))
+    assert(StructTree.readingOrderText(doc).contains("replacement\nkept text"))
+    // struct nodes carry their ordered mcid lists
+    val nodes = StructTree.walk(doc)
+    assert(nodes.map(_.mcids) == Vector(Vector(), Vector(0), Vector(1, 9)))
+  }
+
   test("no StructTreeRoot, or garbage K shapes, yield empty/partial without throwing") {
     val bare = docWith(Seq("<</Type/Catalog/Pages 2 0 R>>") ++ pageObjs)
     assert(StructTree.walk(bare).isEmpty)
