@@ -2071,6 +2071,18 @@ object SparkEntry {
       graft.ops.Graph.reciprocity(graft.ops.Graph.synthEdges(d, n))
     }),
 
+    "graph_triangles" -> ((s, dir) => {
+      // exact triangle counts + clustering coefficient (link-farm clique
+      // signal) via degree-ordered wedge closing: orientation bounds every
+      // oriented out-degree by O(sqrt m) — hubs generate no wedges
+      val d = docs(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = d.count()
+      graft.ops.Graph.triangles(d, graft.ops.Graph.synthEdges(d, n))
+        .select(col("id").as("doc_id"), col("degree"), col("n_triangles"),
+          col("clustering_x1000"))
+        .orderBy("doc_id")
+    }),
+
     "events_transitions" -> ((s, dir) => {
       // behavioral (from → to) bigram matrix: user-partitioned lead
       // window, event-type-sized rollup, broadcast per-from totals

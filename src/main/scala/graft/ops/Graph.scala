@@ -246,4 +246,58 @@ object Graph {
       .agg(max(when(col("hop") === maxHops, col("est"))).as("ball_final"),
            sum(col("term")).as("harmonic_x1000"))
   }
+
+  /** Exact triangle counting + local clustering coefficient (the
+    * link-farm / tight-clique signal) via degree-ordered wedge closing
+    * (Suri & Vassilvitskii 2011 "node-iterator++"): orient every
+    * undirected edge from the lexicographically smaller (degree, id)
+    * endpoint to the larger, build wedges at the common LOW vertex, close
+    * them against the oriented edge set. Orientation bounds every
+    * vertex's oriented out-degree by O(sqrt(m)), so wedge generation --
+    * the only superlinear step -- is O(m^1.5) worst case with NO hot-hub
+    * blowup (a 10^7-degree hub generates no wedges at all; its edges
+    * orient INTO it). Shuffles carry id/degree pairs only.
+    *
+    * Output per node: degree (undirected, deduped), triangle count, and
+    * clustering coefficient in permille = 2t*1000 div (deg*(deg-1)). */
+  def triangles(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // reused: degrees, orientation, closing join
+    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // reused: orientation join + final readout
+    val ow = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("v"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint(true) // read twice: wedge self-join + closing join
+    val o1 = ow.select(col("u"), col("v"), col("dv"))
+    val o2 = ow.select(col("u"), col("v").as("w"), col("dv").as("dw"))
+    val wedges = o1.join(o2, Seq("u"))
+      .where(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+      .select(col("u"), col("v"), col("w"))
+    // the closing edge v-w is oriented v->w because (deg,id)(v) < (deg,id)(w)
+    val tri = wedges.join(
+      ow.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    val perVertex = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("t"))
+    nodes.join(deg, Seq("id"), "left").join(perVertex, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        expr("""CASE WHEN coalesce(deg, 0) >= 2
+                THEN coalesce(t, 0) * 2 * 1000 div (deg * (deg - 1))
+                ELSE 0 END""").as("clustering_x1000"))
+  }
 }

@@ -85,4 +85,29 @@ class LinkGraphSpec extends AnyFunSuite {
     // absolute messy form canonicalized: params sorted, utm gone, host lowered
     assert(content.map(_.dst).count(_.endsWith("?a=1&b=2")) == 40)
   }
+
+  test("triangles: K4, a path, and a pendant vertex hand-check") {
+    import spark.implicits._
+    // K4 on 0-3 (every pair) + pendant 4-0 + path 5-6-7
+    val edges = Seq(
+      (0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L),
+      (4L,0L),
+      (5L,6L),(6L,7L),
+      (1L,0L) // duplicate reversed edge must not double-count
+    ).toDF("src","dst")
+    val nodes = (0L to 7L).toDF("id")
+    val out = Graph.triangles(nodes, edges)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // K4: each vertex sits in C(3,2)=3 triangles; vertex 0 has degree 4 (pendant)
+    assert(out(0) == ((0L, 4L, 3L, 500L)))   // 2*3*1000 / (4*3) = 500
+    assert(out(1) == ((1L, 3L, 3L, 1000L)))  // fully connected corner
+    assert(out(2) == ((2L, 3L, 3L, 1000L)))
+    assert(out(3) == ((3L, 3L, 3L, 1000L)))
+    assert(out(4) == ((4L, 1L, 0L, 0L)))     // pendant: deg<2 -> 0
+    assert(out(5) == ((5L, 1L, 0L, 0L)))
+    assert(out(6) == ((6L, 2L, 0L, 0L)))     // path center: wedge, no closure
+    assert(out(7) == ((7L, 1L, 0L, 0L)))
+    // global triangle count: K4 has exactly 4, attributed 3x each
+    assert(out.map(_._3).sum == 12L)
+  }
 }
