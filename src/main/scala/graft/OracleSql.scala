@@ -2964,6 +2964,22 @@ object OracleSql {
         |) AS t(url, page_idx, width, height, png_md5, n_chars, text_prefix)
         |ORDER BY url, page_idx""".stripMargin,
 
+    // mirrors Mixture.temperatureMix (alpha=1/2, 1000 slots): floor-sqrt
+    // weights, Hamilton largest-remainder split (rem DESC, lang tiebreak)
+    "corpus_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n_docs,
+        |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS weight FROM c),
+        |tot AS (SELECT sum(weight) AS tw FROM w),
+        |q AS (SELECT lang, n_docs, weight,
+        |        weight * 1000 // tw AS base, weight * 1000 % tw AS rem FROM w, tot),
+        |lo AS (SELECT 1000 - sum(base) AS leftover FROM q),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM q)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, weight,
+        |  CAST(base + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+        |  CAST((base + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END) * 1000 // n_docs AS BIGINT) AS epochs_x1000
+        |FROM r, lo ORDER BY lang""".stripMargin,
+
     // mirrors Graph.triangles over synthEdges: undirect+dedupe, orient by
     // (degree, id), wedge at the low vertex, close against oriented edges,
     // attribute to all three corners; clustering = 2t*1000 // deg(deg-1)

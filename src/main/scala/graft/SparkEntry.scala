@@ -2071,6 +2071,16 @@ object SparkEntry {
       graft.ops.Graph.reciprocity(graft.ops.Graph.synthEdges(d, n))
     }),
 
+    "corpus_temperature_mix" -> ((s, dir) => {
+      // mT5-style temperature sampling (alpha=1/2, integer-exact): lang
+      // weights = floor(sqrt(n)), 1000 slots by Hamilton largest-remainder;
+      // low-resource langs upsample (epochs_x1000 > 1000), the head lang
+      // downsamples — the multilingual mixing table
+      Mixture.temperatureMix(
+        docs(s, dir, "documents").select(col("lang")), budgetDocs = 1000L)
+        .orderBy("lang")
+    }),
+
     "graph_triangles" -> ((s, dir) => {
       // exact triangle counts + clustering coefficient (link-farm clique
       // signal) via degree-ordered wedge closing: orientation bounds every

@@ -101,4 +101,30 @@ object Mixture {
       when(col("t_total") > 0, expr("alloc_tokens * 1000000 div t_total"))
         .otherwise(0L).cast("long").as("share_x1e6"))
   }
+
+  /** Temperature-balanced multilingual sampling (the mT5 / XLM-R
+    * α-exponent recipe, α = 1/2 made INTEGER-exact): language weights are
+    * ⌊√n_l⌋ — flattening the raw distribution so low-resource languages
+    * upsample and the head language stops dominating — then `budgetDocs`
+    * slots split by the Hamilton largest-remainder method
+    * ([[Frontier.budget]]). √ via IEEE double sqrt is correctly rounded,
+    * so ⌊√n⌋ is the identical integer in the JVM and DuckDB for any
+    * corpus size that fits int64's exact-double range (n < 2⁵²); every
+    * step after the floor is int64. `epochs_x1000` is the per-language
+    * upsampling factor the mT5 table reports.
+    *
+    * Scale shape: one lang-count rollup (map-side combined) and
+    * lang-cardinality tables thereafter — the one global sort is over
+    * |languages| rows. */
+  def temperatureMix(docs: DataFrame, budgetDocs: Long): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true) // read twice: weights + the final join back
+    val weights = counts.select(col("lang").as("domain"),
+      expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)").as("weight"))
+    Frontier.budget(weights, budgetDocs, cap = Long.MaxValue / 2)
+      .join(counts.withColumnRenamed("lang", "domain"), "domain")
+      .select(col("domain").as("lang"), col("n_docs"), col("weight"),
+        col("alloc"),
+        expr("alloc * 1000 div n_docs").as("epochs_x1000"))
+  }
 }

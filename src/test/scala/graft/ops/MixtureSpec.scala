@@ -98,4 +98,16 @@ class MixtureSpec extends AnyFunSuite {
       assert(s <= t && s > t - r.size, s"sum=$s T=$t at budget=$budget")
     }
   }
+
+  test("temperatureMix: sqrt flattening upsamples the tail, allocs sum to budget") {
+    import spark.implicits._
+    // 900 "en" docs vs 100 "sw": raw share 90/10, sqrt share 30/10 -> 750/250
+    val docs = ((1 to 900).map(_ => "en") ++ (1 to 100).map(_ => "sw")).toDF("lang")
+    val out = Mixture.temperatureMix(docs, budgetDocs = 1000L)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toVector
+    assert(out == Vector(
+      ("en", 900L, 30L, 750L, 833L),   // head downsamples: 0.833 epochs
+      ("sw", 100L, 10L, 250L, 2500L))) // tail upsamples: 2.5 epochs
+    assert(out.map(_._4).sum == 1000L)
+  }
 }
