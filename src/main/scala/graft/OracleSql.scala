@@ -3326,6 +3326,16 @@ object OracleSql {
         |  md5(CASE WHEN n_ind > 0 THEN fixed ELSE t END) AS clean_md5
         |FROM rep ORDER BY doc_id""".stripMargin,
 
+    // pinned goldens: OCG enumeration with default visibility; the
+    // /OCProperties-free twin contributes zero rows
+    "pdf_layers" ->
+      """SELECT url, CAST(layer_idx AS BIGINT) AS layer_idx, name, default_on
+        |FROM (VALUES
+        |  ('layers://doc', 0, 'Watermark', FALSE),
+        |  ('layers://doc', 1, 'Body', TRUE)
+        |) AS t(url, layer_idx, name, default_on)
+        |ORDER BY url, layer_idx""".stripMargin,
+
     // pinned goldens: the content stream interleaves columns A1 B1 A2 B2;
     // the structure tree reads column-by-column with a \n between nodes
     "pdf_reading_order" ->

@@ -2288,6 +2288,29 @@ object SparkEntry {
         .orderBy("url", "idx")
     }),
 
+    "pdf_layers" -> ((s, _) => {
+      import s.implicits._
+      // optional-content groups (§8.11 layers): enumerate name + default
+      // visibility; a doc with no /OCProperties contributes zero rows.
+      // Render/extract semantics (OFF layers don't paint, hidden text
+      // still extracts — PDFium behavior) are proven in OptionalContentSpec.
+      val layered = graft.ops.PdfCompose.synthLayeredPdf(withWatermark = true)
+      val plain = graft.ops.PdfCompose.synthLayeredPdf(withWatermark = false)
+      val rows = Seq(("layers://doc", layered), ("layers://plain", plain))
+        .map { case (u, b) =>
+          PageRow(u, new java.sql.Timestamp(1704067200000L), b, null, "en")
+        }
+      s.createDataset(rows).flatMap { p =>
+        graft.core.PdfDocument.load(p.html) match {
+          case Right(doc) => graft.core.OptionalContent.groups(doc)
+            .zipWithIndex.map { case ((name, on), i) =>
+              (p.url, i.toLong, name, on)
+            }
+          case Left(_) => Seq.empty
+        }
+      }.toDF("url", "layer_idx", "name", "default_on").orderBy("url", "layer_idx")
+    }),
+
     "pdf_reading_order" -> ((s, _) => {
       import s.implicits._
       // logical reading order from the structure tree (§14.8.2.5): the

@@ -34,7 +34,8 @@ final case class RawTextObject(
     rise: Double = 0.0,
     fillArgb: Int = 0xFF000000,      // nonstroking color at show time
     fillAlpha: Double = 1.0,         // ExtGState /ca at show time
-    blendName: String = "Normal") {  // ExtGState /BM at show time
+    blendName: String = "Normal",    // ExtGState /BM at show time
+    ocHidden: Boolean = false) {     // inside a default-OFF optional-content group
 
   /** Coordinate of a device point along the baseline direction. */
   @inline def par(x: Double, y: Double): Double = x * dirX + y * dirY
@@ -115,6 +116,7 @@ object ContentInterpreter {
 
   def run(page: PdfPage): Result = {
     val doc = page.doc
+    val ocOff = OptionalContent.offRefs(doc)
     val fontCache = mutable.Map[String, PdfFontDecoder]()
     val textObjs = Vector.newBuilder[RawTextObject]
     // ArrayBuffer (not a builder): span patching at ET/Do/paint needs to
@@ -158,6 +160,11 @@ object ContentInterpreter {
       // marked-content stack: BDC/BMC push (MCID or -1), EMC pops
       val mcStack = mutable.Stack[Int]()
       @inline def curMcid: Int = mcStack.find(_ >= 0).getOrElse(-1)
+      // parallel optional-content visibility stack (§8.11): text extraction
+      // keeps hidden text (PDFium behavior) but STAMPS it so the renderer's
+      // text overlay can honor layer visibility
+      val ocStack = mutable.Stack[Boolean]()
+      @inline def curOcHidden: Boolean = ocStack.exists(identity)
       // path bounds accumulation
       var pathMinX = Double.MaxValue; var pathMinY = Double.MaxValue
       var pathMaxX = Double.MinValue; var pathMaxY = Double.MinValue
@@ -257,7 +264,7 @@ object ContentInterpreter {
           // baseline direction: image of the text-space x axis
           val (dx, dy) = if (scaleAB > 1e-12) (base.a / scaleAB, base.b / scaleAB) else (1.0, 0.0)
           val obj = RawTextObject(built, kerns.toMap, font, fs, effSize, objOrigin._2, objOrigin._1, dx, dy,
-            base, ts.hscale, ts.rise, gs.fillArgb, gs.fillAlpha, gs.blendName)
+            base, ts.hscale, ts.rise, gs.fillArgb, gs.fillAlpha, gs.blendName, curOcHidden)
           textObjs += obj
           objs += PageObjectInfo("text", obj.bbox.getOrElse(Rect(objOrigin._1, objOrigin._2, objOrigin._1, objOrigin._2)),
             level, built.map(_.unicode).mkString, font.baseNameNoSubset, ts.fontSize,
@@ -465,7 +472,7 @@ object ContentInterpreter {
                   objs(before) = objs(before).copy(
                     span = Some((operandSeqStart, lx.pos)), ctmAtSpan = Some(gs.ctm))
               case "BI" => skipInlineImage()
-              case "BMC" => mcStack.push(-1)
+              case "BMC" => mcStack.push(-1); ocStack.push(false)
               case "BDC" =>
                 val mcid = operands.lastOption.map(doc.resolve) match {
                   case Some(d: PdfDict) => doc.resolve(d("MCID")) match {
@@ -486,7 +493,14 @@ object ContentInterpreter {
                   case _ => -1
                 }
                 mcStack.push(mcid)
-              case "EMC" => if (mcStack.nonEmpty) mcStack.pop()
+                ocStack.push(
+                  if (operands.length >= 2)
+                    OptionalContent.bdcHidden(doc, resources,
+                      operands(operands.length - 2), operands.last, ocOff)
+                  else false)
+              case "EMC" =>
+                if (mcStack.nonEmpty) mcStack.pop()
+                if (ocStack.nonEmpty) ocStack.pop()
               case "m" | "l" | "c" | "v" | "y" | "re" =>
                 if (pathSpanStart < 0) {
                   pathSpanStart = if (operandSeqStart >= 0) operandSeqStart else opStart

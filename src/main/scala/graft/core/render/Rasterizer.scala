@@ -137,7 +137,7 @@ object Rasterizer {
     val text = try ContentInterpreter.run(page)
       catch { case _: Exception => ContentInterpreter.Result(Vector.empty, Vector.empty) }
     val textFillForced: Option[Int] = colorScheme.map(_.textFill)
-    text.textObjects.foreach { obj =>
+    text.textObjects.filterNot(_.ocHidden).foreach { obj =>
       val objFill = textFillForced.getOrElse(obj.fillArgb)
       val fs = obj.fontSize
       val fsh = fs * obj.hscale
@@ -416,6 +416,15 @@ object Rasterizer {
     val subpaths = mutable.ArrayBuffer[mutable.ArrayBuffer[(Double, Double)]]()
     var cx = 0.0; var cy = 0.0 // current point, user space
 
+    // optional-content visibility (§8.11): content inside a default-OFF
+    // layer (/OC ... BDC..EMC, or an XObject /OC entry) must not paint —
+    // the render-path behavior PDFium implements. Paths still accumulate
+    // and clips still apply (graphics STATE is layer-independent); only
+    // the paint/blit/shading calls are gated.
+    val ocOff = OptionalContent.offRefs(doc)
+    val ocStack = mutable.Stack[Boolean]()
+    @inline def ocHidden: Boolean = ocStack.exists(identity)
+
     @inline def nums(n: Int): Array[Double] = {
       val out = new Array[Double](n)
       val base = operands.length - n
@@ -494,6 +503,7 @@ object Rasterizer {
     }
     def clearPath(): Unit = { applyPendingClip(); subpaths.clear() }
     def paint(fill0: Boolean, stroke0: Boolean, evenOdd: Boolean): Unit = {
+      if (ocHidden) { clearPath(); return }
       // FPDF_CONVERT_FILL_TO_STROKE: filled paths render as outlines
       val fill = fill0 && !renderOpts.fillToStroke
       val stroke = stroke0 || (fill0 && renderOpts.fillToStroke)
@@ -980,6 +990,9 @@ object Rasterizer {
 
     def doXObject(tag: String): Unit = doc.resolve(resources("XObject")) match {
       case xobjs: PdfDict => doc.resolve(xobjs(tag)) match {
+        case s @ PdfStream(xd, _)
+            if ocHidden || OptionalContent.isHidden(doc, xd("OC"), ocOff) =>
+          () // default-OFF layer: do not paint the XObject
         case s @ PdfStream(xd, _) => doc.resolve(xd("Subtype")) match {
           case PdfName("Image") =>
             decodeImagePixels(doc, s).foreach(px =>
@@ -1128,9 +1141,10 @@ object Rasterizer {
               case (k, v) => k -> full(v)
             }
             val s = PdfStream(PdfDict(normalized), raw)
-            try decodeImagePixels(doc, s).foreach(px =>
-              blitImage(bmp, gs.ctm, px, gs.fill, gs.clip, gs.fillAlpha, gs.blend, gs.softMask))
-            catch { case _: Exception => () }
+            if (!ocHidden)
+              try decodeImagePixels(doc, s).foreach(px =>
+                blitImage(bmp, gs.ctm, px, gs.fill, gs.clip, gs.fillAlpha, gs.blend, gs.softMask))
+              catch { case _: Exception => () }
           } else if (t.isEmpty) lx.parseObject()
         }
       }
@@ -1284,11 +1298,20 @@ object Rasterizer {
               case Some(PdfName(tag)) => doXObject(tag)
               case _ => ()
             }
-            case "BI" => drawInlineImage()
+            case "BI" => drawInlineImage() // consumes ID..EI; blit gated on ocHidden
             case "sh" => operands.lastOption match {
-              case Some(PdfName(n)) => try drawShading(n) catch { case _: Exception => () }
+              case Some(PdfName(n)) if !ocHidden =>
+                try drawShading(n) catch { case _: Exception => () }
               case _ => ()
             }
+            case "BMC" => ocStack.push(false)
+            case "BDC" =>
+              ocStack.push(
+                if (operands.length >= 2)
+                  OptionalContent.bdcHidden(doc, resources,
+                    operands(operands.length - 2), operands.last, ocOff)
+                else false)
+            case "EMC" => if (ocStack.nonEmpty) ocStack.pop()
             case _ => () // text ops handled by the text overlay pass
           }
           operands.clear()

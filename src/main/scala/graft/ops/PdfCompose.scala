@@ -52,6 +52,44 @@ object PdfCompose {
   /** Deterministic portfolio synthesis: text.pdf rewritten by the writer
     * with multipage.pdf and a plain-text note attached — the writer →
     * parser round trip IS the fixture (no binary blobs checked in). */
+  /** Layered fixture (§8.11): a body line plus — when `withWatermark` — a
+    * DRAFT watermark (filled rect + 24pt text) inside a default-OFF OCG.
+    * The OFF layer must not paint (pixel-equal to the watermark-free twin)
+    * while its text still extracts; OptionalContentSpec asserts both. */
+  def synthLayeredPdf(withWatermark: Boolean): Array[Byte] = {
+    val wm =
+      if (withWatermark)
+        """/OC /WM BDC
+          |0.8 0.8 0.8 rg
+          |100 100 200 200 re f
+          |BT /F1 24 Tf 1 0 0 1 120 400 Tm (DRAFT WATERMARK) Tj ET
+          |EMC
+          |""".stripMargin
+      else ""
+    val cs = wm +
+      """0 0 0 rg
+        |BT /F1 12 Tf 1 0 0 1 72 700 Tm (Visible body text.) Tj ET""".stripMargin
+    if (withWatermark)
+      graft.core.RawPdf.assemble(Seq(
+        "<</Type/Catalog/Pages 2 0 R/OCProperties<</OCGs[6 0 R 7 0 R]" +
+          "/D<</Order[6 0 R 7 0 R]/OFF[6 0 R]>>>>>>",
+        "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Contents 4 0 R" +
+          "/Resources<</Font<</F1 5 0 R>>/Properties<</WM 6 0 R/BD 7 0 R>>>>>>",
+        s"<</Length ${cs.length}>>\nstream\n$cs\nendstream",
+        "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>",
+        "<</Type/OCG/Name(Watermark)>>",
+        "<</Type/OCG/Name(Body)>>"))
+    else
+      graft.core.RawPdf.assemble(Seq(
+        "<</Type/Catalog/Pages 2 0 R>>",
+        "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Contents 4 0 R" +
+          "/Resources<</Font<</F1 5 0 R>>>>>>",
+        s"<</Length ${cs.length}>>\nstream\n$cs\nendstream",
+        "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>"))
+  }
+
   def synthPortfolio(): Array[Byte] = {
     val host = graft.core.PdfDocument.load(
       graft.spark.PagesTable.fixture("text.pdf")).toOption.get
