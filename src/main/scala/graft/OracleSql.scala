@@ -3326,6 +3326,19 @@ object OracleSql {
         |  md5(CASE WHEN n_ind > 0 THEN fixed ELSE t END) AS clean_md5
         |FROM rep ORDER BY doc_id""".stripMargin,
 
+    // pinned goldens: each %%EOF prefix re-parses as its own revision;
+    // the junk tail's stray %%EOF resolves (startxref scan) to rev 1
+    "pdf_revisions" ->
+      """SELECT url, CAST(rev_idx AS BIGINT) AS rev_idx, ok,
+        |  CAST(n_pages AS BIGINT) AS n_pages, text FROM (VALUES
+        |  ('rev://contract', 0, TRUE, 1, 'Original text.'),
+        |  ('rev://contract', 1, TRUE, 1, 'Edited text, revision two.'),
+        |  ('rev://junktail', 0, TRUE, 1, 'Original text.'),
+        |  ('rev://junktail', 1, TRUE, 1, 'Edited text, revision two.'),
+        |  ('rev://junktail', 2, TRUE, 1, 'Edited text, revision two.')
+        |) AS t(url, rev_idx, ok, n_pages, text)
+        |ORDER BY url, rev_idx""".stripMargin,
+
     // pinned goldens: OCG enumeration with default visibility; the
     // /OCProperties-free twin contributes zero rows
     "pdf_layers" ->

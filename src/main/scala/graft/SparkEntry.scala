@@ -2288,6 +2288,23 @@ object SparkEntry {
         .orderBy("url", "idx")
     }),
 
+    "pdf_revisions" -> ((s, _) => {
+      import s.implicits._
+      // incremental-update forensics (§7.5.6): every %%EOF closes a
+      // complete earlier revision — re-parse each prefix (the signed-then-
+      // edited contract / failed-redaction leak detector); trailing junk
+      // after the last update degrades gracefully to the prior revision
+      val twoRev = graft.ops.PdfCompose.synthIncremental()
+      val junkTail = twoRev ++
+        "\nGARBAGE APPENDED BY A BROKEN TOOL\n%%EOF\n".getBytes("ISO-8859-1")
+      val rows = Seq(("rev://contract", twoRev), ("rev://junktail", junkTail))
+        .map { case (u, b) =>
+          PageRow(u, new java.sql.Timestamp(1704067200000L), b, null, "en")
+        }
+      graft.ops.PdfCompose.revisionReport(s.createDataset(rows))
+        .toDF().orderBy("url", "rev_idx")
+    }),
+
     "pdf_layers" -> ((s, _) => {
       import s.implicits._
       // optional-content groups (§8.11 layers): enumerate name + default

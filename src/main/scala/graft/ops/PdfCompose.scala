@@ -49,9 +49,6 @@ object PdfCompose {
     }
   }
 
-  /** Deterministic portfolio synthesis: text.pdf rewritten by the writer
-    * with multipage.pdf and a plain-text note attached — the writer →
-    * parser round trip IS the fixture (no binary blobs checked in). */
   /** Layered fixture (§8.11): a body line plus — when `withWatermark` — a
     * DRAFT watermark (filled rect + 24pt text) inside a default-OFF OCG.
     * The OFF layer must not paint (pixel-equal to the watermark-free twin)
@@ -90,6 +87,78 @@ object PdfCompose {
         "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>"))
   }
 
+  /** Two-revision incremental-update fixture (PDF §7.5.6): a base document
+    * plus an appended update that REPLACES the content stream (object 4),
+    * with a classic xref subsection and a trailer /Prev chaining to the
+    * base xref — the structure a signed-then-edited contract has. */
+  def synthIncremental(): Array[Byte] = {
+    val cs0 = "BT /F1 12 Tf 1 0 0 1 72 700 Tm (Original text.) Tj ET"
+    val base = graft.core.RawPdf.assemble(Seq(
+      "<</Type/Catalog/Pages 2 0 R>>",
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+      "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Contents 4 0 R" +
+        "/Resources<</Font<</F1 5 0 R>>>>>>",
+      s"<</Length ${cs0.length}>>\nstream\n$cs0\nendstream",
+      "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>"))
+    val baseStr = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sxAt = baseStr.lastIndexOf("startxref")
+    val oldXref = baseStr.substring(sxAt + 9).trim.takeWhile(_.isDigit)
+    val cs1 = "BT /F1 12 Tf 1 0 0 1 72 700 Tm (Edited text, revision two.) Tj ET"
+    val sb = new StringBuilder(baseStr)
+    val objOff = sb.length
+    sb.append(s"4 0 obj\n<</Length ${cs1.length}>>\nstream\n$cs1\nendstream\nendobj\n")
+    val xrefAt = sb.length
+    sb.append("xref\n0 1\n0000000000 65535 f \n")
+    sb.append(f"4 1\n$objOff%010d 00000 n \n")
+    sb.append(s"trailer\n<</Size 6/Root 1 0 R/Prev $oldXref>>\n")
+    sb.append(s"startxref\n$xrefAt\n%%EOF\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  final case class RevisionRow(url: String, rev_idx: Long, ok: Boolean,
+                               n_pages: Long, text: String)
+
+  /** Incremental-update forensics (PDF §7.5.6): every `%%EOF` marks a
+    * complete earlier revision — the bytes BEFORE an appended update are
+    * still a valid document, which is how "what did this contract say
+    * before the edit" is answered (and how redaction failures leak).
+    * Re-parses each prefix independently; a corrupt prefix reports
+    * ok=false instead of throwing. Per-row typed kernel, zero shuffle. */
+  def revisionReport(pages: Dataset[PageRow]): Dataset[RevisionRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap { p =>
+      if (p.html == null) Iterator.empty
+      else {
+        val marker = "%%EOF".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        val ends = scala.collection.mutable.ArrayBuffer[Int]()
+        var i = 0
+        while (i >= 0 && i <= p.html.length - marker.length && ends.length < 64) {
+          var j = 0
+          while (j < marker.length && p.html(i + j) == marker(j)) j += 1
+          if (j == marker.length) { ends += i + marker.length; i += marker.length }
+          else i += 1
+        }
+        ends.iterator.zipWithIndex.map { case (end, rev) =>
+          val slice = java.util.Arrays.copyOfRange(p.html, 0, end)
+          graft.core.PdfDocument.load(slice) match {
+            case Right(doc) =>
+              val txt = (0 until doc.pageCount)
+                .map(pi => doc.page(pi).textPage.textRange().getOrElse(""))
+                .mkString
+              RevisionRow(p.url, rev.toLong, ok = true, doc.pageCount.toLong,
+                txt.replace("\r\n", " ").trim)
+            case Left(err) =>
+              RevisionRow(p.url, rev.toLong, ok = false, 0L, err.code)
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic portfolio synthesis: text.pdf rewritten by the writer
+    * with multipage.pdf and a plain-text note attached — the writer →
+    * parser round trip IS the fixture (no binary blobs checked in). */
   def synthPortfolio(): Array[Byte] = {
     val host = graft.core.PdfDocument.load(
       graft.spark.PagesTable.fixture("text.pdf")).toOption.get

@@ -134,4 +134,26 @@ class PdfComposeSpec extends AnyFunSuite {
       .collect()
     assert(circ.length >= 0)
   }
+
+  test("revisionReport: %%EOF inside content data never throws; real revisions parse") {
+    import spark.implicits._
+    // a content stream that CONTAINS the %%EOF marker bytes in a string
+    val cs = "BT /F1 12 Tf 1 0 0 1 72 700 Tm (fake %%EOF inside) Tj ET"
+    val tricky = graft.core.RawPdf.assemble(Seq(
+      "<</Type/Catalog/Pages 2 0 R>>",
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+      "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Contents 4 0 R" +
+        "/Resources<</Font<</F1 5 0 R>>>>>>",
+      s"<</Length ${cs.length}>>\nstream\n$cs\nendstream",
+      "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>"))
+    val rows = Seq(graft.spark.PageRow("t://x",
+      new java.sql.Timestamp(0L), tricky, null, "en")).toDS()
+    val out = PdfCompose.revisionReport(rows).collect().sortBy(_.rev_idx)
+    // two markers: the embedded bytes and the real EOF; the LAST revision
+    // is the complete document and must parse with the full text
+    assert(out.length == 2)
+    assert(out.last.ok && out.last.text == "fake %%EOF inside")
+    // the mid-stream prefix either fails cleanly or recovers -- no throw
+    assert(out.head.rev_idx == 0L)
+  }
 }
