@@ -3326,6 +3326,16 @@ object OracleSql {
         |  md5(CASE WHEN n_ind > 0 THEN fixed ELSE t END) AS clean_md5
         |FROM rep ORDER BY doc_id""".stripMargin,
 
+    // pinned goldens: covered signature, tamper-appended (30 junk bytes
+    // past the signed span), unsigned doc silent
+    "pdf_signatures" ->
+      """SELECT url, field_name, sub_filter, signer, covers_file,
+        |  CAST(trailing_bytes AS BIGINT) AS trailing_bytes FROM (VALUES
+        |  ('sig://ok', 'Signature1', 'adbe.pkcs7.detached', 'Alice Signer', TRUE, 0),
+        |  ('sig://tampered', 'Signature1', 'adbe.pkcs7.detached', 'Alice Signer', FALSE, 30)
+        |) AS t(url, field_name, sub_filter, signer, covers_file, trailing_bytes)
+        |ORDER BY url, field_name""".stripMargin,
+
     // pinned goldens: each %%EOF prefix re-parses as its own revision;
     // the junk tail's stray %%EOF resolves (startxref scan) to rev 1
     "pdf_revisions" ->

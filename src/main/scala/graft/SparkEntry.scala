@@ -2288,6 +2288,31 @@ object SparkEntry {
         .orderBy("url", "idx")
     }),
 
+    "pdf_signatures" -> ((s, _) => {
+      import s.implicits._
+      // signature structure audit (§12.8, certificate-free): /ByteRange
+      // must cover the file except the /Contents hole; bytes appended
+      // AFTER signing surface as trailing_bytes > 0 (the tamper channel
+      // pdf_revisions exposes); unsigned doc contributes zero rows
+      val ok = graft.ops.PdfCompose.synthSignedPdf(appendJunk = false)
+      val tampered = graft.ops.PdfCompose.synthSignedPdf(appendJunk = true)
+      val plain = graft.ops.PdfCompose.synthLayeredPdf(withWatermark = false)
+      val rows = Seq(("sig://ok", ok), ("sig://tampered", tampered),
+        ("sig://plain", plain)).map { case (u, b) =>
+        PageRow(u, new java.sql.Timestamp(1704067200000L), b, null, "en")
+      }
+      s.createDataset(rows).flatMap { p =>
+        graft.core.PdfDocument.load(p.html) match {
+          case Right(doc) =>
+            graft.core.Signatures.scan(doc, p.html.length.toLong).map(si =>
+              (p.url, si.fieldName, si.subFilter, si.signerName,
+                si.coversFile, si.trailingBytes))
+          case Left(_) => Seq.empty
+        }
+      }.toDF("url", "field_name", "sub_filter", "signer", "covers_file",
+        "trailing_bytes").orderBy("url", "field_name")
+    }),
+
     "pdf_revisions" -> ((s, _) => {
       import s.implicits._
       // incremental-update forensics (§7.5.6): every %%EOF closes a

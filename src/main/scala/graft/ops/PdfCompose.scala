@@ -115,6 +115,31 @@ object PdfCompose {
     sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
+  /** Structurally-signed fixture: a /Sig field whose /ByteRange covers the
+    * whole file except the /Contents hole. Built twice with fixed-width
+    * zero-padded numbers (identical byte length both passes), so the
+    * second pass can pin the real offsets. `appendJunk` simulates
+    * content added AFTER signing — the tamper channel. */
+  def synthSignedPdf(appendJunk: Boolean): Array[Byte] = {
+    def build(a: Long, b: Long, c: Long, d: Long): Array[Byte] =
+      graft.core.RawPdf.assemble(Seq(
+        "<</Type/Catalog/Pages 2 0 R/AcroForm<</Fields[4 0 R]/SigFlags 3>>>>",
+        "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Annots[4 0 R]>>",
+        "<</FT/Sig/T(Signature1)/Type/Annot/Subtype/Widget" +
+          "/Rect[0 0 0 0]/P 3 0 R/V 5 0 R>>",
+        "<</Type/Sig/Filter/Adobe.PPKLite/SubFilter/adbe.pkcs7.detached" +
+          "/Name(Alice Signer)/M(D:20240101000000Z)" +
+          f"/ByteRange[$a%010d $b%010d $c%010d $d%010d]/Contents<deadbeef>>>"))
+    val probe = build(0, 0, 0, 0)
+    val probeStr = new String(probe, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val hexAt = probeStr.indexOf("<deadbeef>").toLong
+    val signed = build(0, hexAt, hexAt + 10, probe.length - hexAt - 10)
+    if (!appendJunk) signed
+    else signed ++ "\nTAMPERED AFTER SIGNING\n%%EOF\n".getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
   final case class RevisionRow(url: String, rev_idx: Long, ok: Boolean,
                                n_pages: Long, text: String)
 

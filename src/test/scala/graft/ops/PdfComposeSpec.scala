@@ -156,4 +156,23 @@ class PdfComposeSpec extends AnyFunSuite {
     // the mid-stream prefix either fails cleanly or recovers -- no throw
     assert(out.head.rev_idx == 0L)
   }
+
+  test("Signatures.scan: nested Kids, missing ByteRange, unsigned field") {
+    import graft.core._
+    val pdf = RawPdf.assemble(Seq(
+      "<</Type/Catalog/Pages 2 0 R/AcroForm<</Fields[4 0 R 6 0 R]>>>>",
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+      "<</Type/Page/Parent 2 0 R/MediaBox[0 0 100 100]>>",
+      // parent node whose KID is the signature field
+      "<</T(grp)/Kids[5 0 R]>>",
+      "<</FT/Sig/T(inner)/V<</Type/Sig/SubFilter/adbe.x509.rsa_sha1/Name(B)>>>>",
+      // unsigned signature field: FT Sig, no /V
+      "<</FT/Sig/T(blank)>>"))
+    val doc = PdfDocument.load(pdf).toOption.get
+    val sigs = Signatures.scan(doc, pdf.length.toLong)
+    assert(sigs.map(_.fieldName) == Vector("inner"))
+    assert(sigs.head.byteRange.isEmpty && !sigs.head.coversFile
+      && sigs.head.trailingBytes == -1L)
+    assert(sigs.head.subFilter == "adbe.x509.rsa_sha1")
+  }
 }
