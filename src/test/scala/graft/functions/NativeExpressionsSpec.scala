@@ -100,4 +100,29 @@ class NativeExpressionsSpec extends AnyFunSuite {
     }
     val _ = e
   }
+
+  test("FusePdfStatsRule: natural two-call query rewrites to ONE parse per row") {
+    NativeRegistry.register(spark)
+    PagesTable.ofFixtures(spark, Seq("text.pdf", "multipage.pdf", "empty.pdf"))
+      .toDF().createOrReplaceTempView("pages_fuse_v")
+    val df = spark.sql(
+      """SELECT url, pdf_page_count_native(html) AS p, pdf_char_count_native(html) AS c
+        |FROM pages_fuse_v""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("pdf_stats_native"), optimized.take(800))
+    assert(!optimized.contains("pdf_page_count_native"), optimized.take(800))
+    NativeFns.statsCalls.set(0)
+    val rows = df.collect().sortBy(_.getAs[String]("url"))
+    assert(rows.length == 3)
+    // the rule rewrites both stats to field reads of IDENTICAL stats
+    // subtrees; codegen subexpression elimination evaluates them once
+    assert(NativeFns.statsCalls.get() == 3, s"parses=${NativeFns.statsCalls.get()}")
+    // values match the unfused semantics (goldens: multipage=3 pages)
+    val byUrl = rows.map(r => r.getAs[String]("url") ->
+      (r.getAs[Int]("p"), r.getAs[Long]("c"))).toMap
+    assert(byUrl.exists { case (u, (pp, _)) => u.contains("multipage") && pp == 3 })
+    // a LONE stat call is left alone (already one parse)
+    val lone = spark.sql("SELECT pdf_page_count_native(html) FROM pages_fuse_v")
+    assert(!lone.queryExecution.optimizedPlan.toString.contains("pdf_stats_native"))
+  }
 }
