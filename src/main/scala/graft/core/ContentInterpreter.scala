@@ -150,7 +150,8 @@ object ContentInterpreter {
       })
     }
 
-    def exec(content: Array[Byte], resources: PdfDict, baseCtm: Mat, level: Int): Unit = {
+    def exec(content: Array[Byte], resources: PdfDict, baseCtm: Mat, level: Int,
+             inheritedHidden: Boolean = false): Unit = {
       if (level > 15) return
       val lx = new Lexer(content)
       val operands = mutable.ArrayBuffer[PdfObject]()
@@ -164,7 +165,7 @@ object ContentInterpreter {
       // keeps hidden text (PDFium behavior) but STAMPS it so the renderer's
       // text overlay can honor layer visibility
       val ocStack = mutable.Stack[Boolean]()
-      @inline def curOcHidden: Boolean = ocStack.exists(identity)
+      @inline def curOcHidden: Boolean = inheritedHidden || ocStack.exists(identity)
       // path bounds accumulation
       var pathMinX = Double.MaxValue; var pathMinY = Double.MaxValue
       var pathMaxX = Double.MinValue; var pathMaxY = Double.MinValue
@@ -311,7 +312,11 @@ object ContentInterpreter {
                   }
                   objs += PageObjectInfo("form", gs.ctm.onRect(Rect(0, 0, 1, 1)), level,
                     "", "", 0, 0, 0, 0, "", Vector.empty, None)
-                  exec(doc.streamData(s), formRes, formMat.multiply(gs.ctm), level + 1)
+                  // optional-content state crosses the form boundary: text
+                  // inside a hidden layer (or a form with its own OFF /OC)
+                  // must stamp ocHidden so the render overlay skips it
+                  exec(doc.streamData(s), formRes, formMat.multiply(gs.ctm), level + 1,
+                    curOcHidden || OptionalContent.isHidden(doc, xd("OC"), ocOff))
                 case _ => ()
               }
             case _ => ()

@@ -14,15 +14,21 @@ package graft.core
   * membership is a (num, gen) set test — no dict equality needed. */
 object OptionalContent {
 
-  /** (num, gen) of every default-OFF OCG, from catalog /OCProperties /D /OFF. */
+  /** (num, gen) of every default-OFF OCG from the default configuration:
+    * /BaseState /OFF hides every /OCGs member except the /ON list
+    * (§8.11.4.3 — the shape Acrobat emits); otherwise the /OFF list hides
+    * its members. */
   def offRefs(doc: PdfDocument): Set[(Int, Int)] = {
+    def refsOf(o: PdfObject): Set[(Int, Int)] = doc.resolve(o) match {
+      case PdfArray(items) => items.collect { case PdfRef(n, g) => (n, g) }.toSet
+      case _ => Set.empty
+    }
     doc.resolve(doc.catalog("OCProperties")) match {
       case ocp: PdfDict => doc.resolve(ocp("D")) match {
-        case d: PdfDict => doc.resolve(d("OFF")) match {
-          case PdfArray(items) =>
-            items.collect { case PdfRef(n, g) => (n, g) }.toSet
-          case _ => Set.empty
-        }
+        case d: PdfDict =>
+          val baseOff = doc.get(d, "BaseState") == PdfName("OFF")
+          if (baseOff) refsOf(ocp("OCGs")) -- refsOf(d("ON"))
+          else refsOf(d("OFF"))
         case _ => Set.empty
       }
       case _ => Set.empty
@@ -66,15 +72,17 @@ object OptionalContent {
     if (directOff) return true
     doc.resolve(raw) match {
       case d: PdfDict if doc.get(d, "Type") == PdfName("OCMD") =>
-        val ocgs = d("OCGs") match {
-          case r: PdfRef => Vector(r)
-          case _ => doc.resolve(d("OCGs")) match {
-            case PdfArray(items) => items
-            case r: PdfRef => Vector(r)
+        // /OCGs may be a direct array, an INDIRECT ref to an array
+        // (§8.11.2.2), or a ref to a single OCG dict — resolve first,
+        // fall back to ref identity only for the single-OCG shape
+        val refs = doc.resolve(d("OCGs")) match {
+          case PdfArray(items) => items.collect { case PdfRef(n, g) => (n, g) }
+          case _: PdfDict => d("OCGs") match {
+            case PdfRef(n, g) => Vector((n, g))
             case _ => Vector.empty
           }
+          case _ => Vector.empty
         }
-        val refs = ocgs.collect { case PdfRef(n, g) => (n, g) }
         refs.nonEmpty && refs.forall(off.contains)
       case _ => false
     }

@@ -44,8 +44,20 @@ object Signatures {
                 })
                 case _ => Vector.empty[Long]
               }
-              val covers = br.length == 4 && br(0) == 0L &&
-                br(0) + br(1) <= br(2) && br(2) + br(3) == fileLen
+              // the digest hole [a+b, c) must be EXACTLY the /Contents hex
+              // string (plus a little whitespace slack) — a hole anywhere
+              // else, or wider than the signature blob, means unsigned
+              // bytes the audit must not certify (a crafted
+              // ByteRange [0, 16, len-16, 16] "covers" nothing)
+              val contentsHexLen = doc.get(v, "Contents") match {
+                case s: PdfString => 2L * s.bytes.length + 2L // <…hex…>
+                case _ => -1L
+              }
+              val holeLen = if (br.length == 4) br(2) - (br(0) + br(1)) else -1L
+              val covers = br.length == 4 && br(0) == 0L && br(1) > 0L &&
+                br(0) + br(1) <= br(2) && br(2) + br(3) == fileLen &&
+                contentsHexLen > 0 && holeLen >= contentsHexLen &&
+                holeLen <= contentsHexLen + 16L
               val trailing = if (br.length == 4) fileLen - (br(2) + br(3)) else -1L
               out += SigInfo(str(f, "T"), str(v, "SubFilter"), str(v, "Name"),
                 str(v, "M"), br, covers, trailing)

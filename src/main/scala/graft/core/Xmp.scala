@@ -102,7 +102,10 @@ object Xmp {
     sb.toString
   }
 
-  /** XML's five named entities + numeric character references. */
+  /** XML's five named entities + numeric character references. Kept
+    * separate from html.HtmlExtract.decodeEntities ON PURPOSE: XMP is XML,
+    * where `&copy;`-style HTML names are NOT entities and must pass
+    * through verbatim — sharing the HTML decoder would over-decode. */
   private def decodeXml(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)

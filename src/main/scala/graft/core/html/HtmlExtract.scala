@@ -238,32 +238,44 @@ object HtmlExtract {
     HtmlDoc(title, lang, description, blocks.result(), canonical, ogTitle, ogDescription)
   }
 
+  /** Tag-body attribute lookup via a LINEAR tokenizer that respects quoted
+    * values, so a name occurring INSIDE another attribute's quoted value
+    * can never match (`href="/p?x=1 content=5"` must not surface a
+    * `content` attribute — the indexOf-based scan this replaces did).
+    * First attribute with the given lowercase name wins; bare attributes
+    * (no `=`) yield Some(""), which is how `itemscope` presence tests. */
   private[html] def attr(tagBody: String, name: String): Option[String] = {
-    val lower = tagBody.toLowerCase
-    var from = 0
-    while (true) {
-      val at = lower.indexOf(name, from)
-      if (at < 0) return None
-      // must be a word boundary followed by =
-      val before = at == 0 || !Character.isLetterOrDigit(lower.charAt(at - 1))
-      var p = at + name.length
-      while (p < tagBody.length && tagBody.charAt(p).isWhitespace) p += 1
-      if (before && p < tagBody.length && tagBody.charAt(p) == '=') {
-        p += 1
-        while (p < tagBody.length && tagBody.charAt(p).isWhitespace) p += 1
-        if (p < tagBody.length) {
-          val q = tagBody.charAt(p)
-          if (q == '"' || q == '\'') {
-            val endQ = tagBody.indexOf(q, p + 1)
-            return Some(tagBody.substring(p + 1, if (endQ < 0) tagBody.length else endQ))
-          } else {
-            val endQ = tagBody.indexWhere(_.isWhitespace, p)
-            return Some(tagBody.substring(p, if (endQ < 0) tagBody.length else endQ))
-          }
+    val n = tagBody.length
+    var i = 0
+    // skip the tag name
+    while (i < n && !tagBody.charAt(i).isWhitespace && tagBody.charAt(i) != '/') i += 1
+    while (i < n) {
+      while (i < n && (tagBody.charAt(i).isWhitespace || tagBody.charAt(i) == '/')) i += 1
+      if (i >= n) return None
+      val nameStart = i
+      while (i < n && !tagBody.charAt(i).isWhitespace &&
+             tagBody.charAt(i) != '=' && tagBody.charAt(i) != '/') i += 1
+      val aName = tagBody.substring(nameStart, i).toLowerCase(java.util.Locale.ROOT)
+      while (i < n && tagBody.charAt(i).isWhitespace) i += 1
+      var value: String = null // null = bare attribute
+      if (i < n && tagBody.charAt(i) == '=') {
+        i += 1
+        while (i < n && tagBody.charAt(i).isWhitespace) i += 1
+        if (i < n && (tagBody.charAt(i) == '"' || tagBody.charAt(i) == '\'')) {
+          val q = tagBody.charAt(i)
+          val end = tagBody.indexOf(q, i + 1)
+          value = tagBody.substring(i + 1, if (end < 0) n else end)
+          i = if (end < 0) n else end + 1
+        } else {
+          val vs = i
+          while (i < n && !tagBody.charAt(i).isWhitespace) i += 1
+          value = tagBody.substring(vs, i)
         }
       }
-      from = at + name.length
+      if (aName == name) return Some(if (value == null) "" else value)
+      if (aName.isEmpty) i += 1 // malformed run (e.g. stray '='): make progress
     }
+    None
     None
   }
 

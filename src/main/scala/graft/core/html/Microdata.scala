@@ -44,21 +44,21 @@ object Microdata {
           val name = body.takeWhile(c => !c.isWhitespace && c != '/')
             .toLowerCase(java.util.Locale.ROOT)
           val selfClosing = body.endsWith("/") || Void(name)
-          val scoped = attr(body, "itemscope").isDefined
+          val scoped = HtmlExtract.attr(body, "itemscope").isDefined
           val owner = innerItem // the enclosing item BEFORE this tag opens
           val itemIdx =
             if (scoped) {
-              itemTypes += attr(body, "itemtype").getOrElse("")
+              itemTypes += HtmlExtract.attr(body, "itemtype").getOrElse("")
               itemTypes.length - 1
             } else -1
-          attr(body, "itemprop").foreach { prop =>
+          HtmlExtract.attr(body, "itemprop").foreach { prop =>
             if (scoped) {
               // nested item as a property of the outer item
               if (owner >= 0) raw += ((owner, prop, itemTypes(itemIdx)))
             } else if (owner >= 0) {
-              val value = attr(body, "content")
-                .orElse(attr(body, "href"))
-                .orElse(attr(body, "src"))
+              val value = HtmlExtract.attr(body, "content")
+                .orElse(HtmlExtract.attr(body, "href"))
+                .orElse(HtmlExtract.attr(body, "src"))
                 .getOrElse {
                   val next = html.indexOf('<', gt + 1)
                   val end = if (next < 0) html.length else next
@@ -80,30 +80,4 @@ object Microdata {
     }
   }
 
-  /** Tag-body attribute: name="v" | name='v' | name=v | bare (→ Some("")). */
-  private def attr(tagBody: String, name: String): Option[String] = {
-    val lower = tagBody.toLowerCase(java.util.Locale.ROOT)
-    var i = 0
-    while ({ i = lower.indexOf(name, i); i >= 0 }) {
-      val before = i == 0 || " \t\n\r'\"".indexOf(lower.charAt(i - 1)) >= 0
-      var j = i + name.length
-      val boundaryOk = j >= tagBody.length || "= \t\n\r/".indexOf(tagBody.charAt(j)) >= 0
-      if (before && boundaryOk) {
-        while (j < tagBody.length && " \t\n\r".indexOf(tagBody.charAt(j)) >= 0) j += 1
-        if (j >= tagBody.length || tagBody.charAt(j) != '=') return Some("")
-        var k = j + 1
-        while (k < tagBody.length && " \t\n\r".indexOf(tagBody.charAt(k)) >= 0) k += 1
-        if (k < tagBody.length && (tagBody.charAt(k) == '"' || tagBody.charAt(k) == '\'')) {
-          val q = tagBody.charAt(k)
-          val end = tagBody.indexOf(q, k + 1)
-          return Some(if (end < 0) tagBody.substring(k + 1) else tagBody.substring(k + 1, end))
-        }
-        var end = k
-        while (end < tagBody.length && " \t\n\r".indexOf(tagBody.charAt(end)) < 0) end += 1
-        return Some(tagBody.substring(k, end))
-      }
-      i += name.length
-    }
-    None
-  }
 }

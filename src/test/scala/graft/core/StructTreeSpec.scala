@@ -70,9 +70,10 @@ class StructTreeSpec extends AnyFunSuite {
       // references mcid 1 AND a dangling mcid 9 (no such marked content)
       "<</Type/StructElem/S/P/K[1 9]>>"))
     assert(StructTree.readingOrderText(doc).contains("replacement\nkept text"))
-    // struct nodes carry their ordered mcid lists
+    // struct nodes carry their ordered (page, mcid) lists; /Pg absent -> -1
     val nodes = StructTree.walk(doc)
-    assert(nodes.map(_.mcids) == Vector(Vector(), Vector(0), Vector(1, 9)))
+    assert(nodes.map(_.mcids) ==
+      Vector(Vector(), Vector((-1, 0)), Vector((-1, 1), (-1, 9))))
   }
 
   test("no StructTreeRoot, or garbage K shapes, yield empty/partial without throwing") {
@@ -82,5 +83,29 @@ class StructTreeSpec extends AnyFunSuite {
       "<</Type/Catalog/Pages 2 0 R/StructTreeRoot 4 0 R>>") ++ pageObjs ++ Seq(
       "<</Type/StructTreeRoot/K[(notanode) 99 /Name <</Type/StructElem/S/Ok>>]>>"))
     assert(StructTree.walk(junk).map(_.sType) == Vector("Ok"))
+  }
+
+  test("readingOrderText: multi-page docs key MCIDs per page (/Pg), no cross-page collisions") {
+    def pageCs(txt: String) =
+      s"BT /F1 10 Tf 1 0 0 1 72 700 Tm /P <</MCID 0>> BDC ($txt) Tj EMC ET"
+    val cs1 = pageCs("page one text")
+    val cs2 = pageCs("page two text")
+    val doc = docWith(Seq(
+      "<</Type/Catalog/Pages 2 0 R/StructTreeRoot 8 0 R>>",
+      "<</Type/Pages/Kids[3 0 R 4 0 R]/Count 2>>",
+      "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Contents 5 0 R/Resources<</Font<</F1 7 0 R>>>>>>",
+      "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Contents 6 0 R/Resources<</Font<</F1 7 0 R>>>>>>",
+      s"<</Length ${cs1.length}>>\nstream\n$cs1\nendstream",
+      s"<</Length ${cs2.length}>>\nstream\n$cs2\nendstream",
+      "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>",
+      "<</Type/StructTreeRoot/K 9 0 R>>",
+      // BOTH pages use MCID 0 — the per-page key must disambiguate;
+      // note the struct order reads page TWO first
+      "<</Type/StructElem/S/Document/K[10 0 R 11 0 R]>>",
+      "<</Type/StructElem/S/P/Pg 4 0 R/K[0]>>",
+      "<</Type/StructElem/S/P/Pg 3 0 R/K[0]>>"))
+    assert(StructTree.readingOrderText(doc).contains("page two text\npage one text"))
+    val nodes = StructTree.walk(doc)
+    assert(nodes.map(_.mcids) == Vector(Vector(), Vector((1, 0)), Vector((0, 0))))
   }
 }

@@ -175,4 +175,24 @@ class PdfComposeSpec extends AnyFunSuite {
       && sigs.head.trailingBytes == -1L)
     assert(sigs.head.subFilter == "adbe.x509.rsa_sha1")
   }
+
+  test("Signatures: crafted near-empty ByteRange must NOT report covers_file") {
+    import graft.core._
+    // hole [16, len-16) is vastly wider than the /Contents blob: almost
+    // nothing is digested even though ranges touch both file ends
+    def sig(a: Long, b: Long, c: Long, d: Long) = RawPdf.assemble(Seq(
+      "<</Type/Catalog/Pages 2 0 R/AcroForm<</Fields[4 0 R]>>>>",
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+      "<</Type/Page/Parent 2 0 R/MediaBox[0 0 100 100]>>",
+      "<</FT/Sig/T(s)/V<</Type/Sig/ByteRange[" + s"$a $b $c $d" +
+        "]/Contents<deadbeef>>>>>"))
+    val probe = sig(0, 16, 999999, 16)
+    val len = probe.length.toLong
+    val crafted = sig(0, 16, len - 16, 16) // same digit widths not needed: re-scan
+    val doc = PdfDocument.load(crafted).toOption.get
+    val out = Signatures.scan(doc, crafted.length.toLong)
+    assert(out.length == 1)
+    assert(!out.head.coversFile,
+      s"hole ${out.head.byteRange} certified despite digesting almost nothing")
+  }
 }

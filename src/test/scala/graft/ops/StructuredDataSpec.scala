@@ -136,4 +136,13 @@ class StructuredDataSpec extends AnyFunSuite {
     // the propless item still appears in the inventory
     assert(props.filter(_.itemIdx == 1) == Vector(Microdata.Prop(1, "", "@type", "")))
   }
+
+  test("Microdata: attr names inside QUOTED values of other attributes never match") {
+    import graft.core.html.Microdata
+    // 'content=5' and 'src=x' live inside the href STRING; the tokenizer
+    // must pick href, not the embedded impostors (the indexOf-scan bug)
+    val props = Microdata.props(
+      """<div itemscope itemtype="T"><a itemprop="u" href="/p?q=1 content=5 src=x">t</a></div>""")
+    assert(props.filter(_.prop == "u").map(_.value) == Vector("/p?q=1 content=5 src=x"))
+  }
 }
