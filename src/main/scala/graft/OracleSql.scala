@@ -2980,6 +2980,24 @@ object OracleSql {
         |  CAST((base + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END) * 1000 // n_docs AS BIGINT) AS epochs_x1000
         |FROM r, lo ORDER BY lang""".stripMargin,
 
+    // mirrors LinkGraph.paginationChains over the planted rel=next pages:
+    // heads = pages with no incoming next, recursive chain walk
+    "html_pagination" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |e AS (SELECT doc_id AS id, doc_id + 1 AS nxt FROM documents, nn
+        |      WHERE doc_id % 7 <= 1 AND doc_id + 1 < nn.n),
+        |heads AS (SELECT doc_id AS id FROM documents
+        |          WHERE doc_id NOT IN (SELECT nxt FROM e)),
+        |chain AS (
+        |  SELECT id AS head, id, 0 AS pos FROM heads
+        |  UNION ALL
+        |  SELECT c.head, e.nxt, c.pos + 1 FROM chain c JOIN e ON e.id = c.id),
+        |lens AS (SELECT head, count(*) AS chain_len FROM chain GROUP BY 1)
+        |SELECT 'https://p.example/' || id AS url,
+        |  'https://p.example/' || head AS head_url,
+        |  CAST(pos AS BIGINT) AS pos, CAST(chain_len AS BIGINT) AS chain_len
+        |FROM chain JOIN lens USING (head) ORDER BY url""".stripMargin,
+
     // mirrors Graph.triangles over synthEdges: undirect+dedupe, orient by
     // (degree, id), wedge at the low vertex, close against oriented edges,
     // attribute to all three corners; clustering = 2t*1000 // deg(deg-1)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.spark.{DocParts, ExtractPipeline, PageRow, PagesTable}
-import graft.ops.{Assemble, Classifier, Dedup, ExtractEval, Graph, HtmlMeta, Index, Mixture, Relational, Retrieval, Sampling, Similarity, TextStats, Tokenizer, UrlOps}
+import graft.ops.{Assemble, Classifier, Dedup, ExtractEval, Graph, HtmlMeta, Index, LinkGraph, Mixture, Relational, Retrieval, Sampling, Similarity, TextStats, Tokenizer, UrlOps}
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB oracle where SQL-expressible.
@@ -2079,6 +2079,27 @@ object SparkEntry {
       Mixture.temperatureMix(
         docs(s, dir, "documents").select(col("lang")), budgetDocs = 1000L)
         .orderBy("lang")
+    }),
+
+    "html_pagination" -> ((s, dir) => {
+      import s.implicits._
+      // rel=next pagination chains (multi-page article reassembly): pages
+      // with doc_id%7 in {0,1} link to doc_id+1, forming 3-page chains;
+      // pointer jumping resolves head/pos/len in O(log chain) shuffles
+      val n = docs(s, dir, "documents").count()
+      val pages = docs(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val next =
+            if (id % 7 <= 1 && id + 1 < n)
+              s"""<link rel="next" href="https://p.example/${id + 1}">"""
+            else ""
+          val html =
+            s"""<html><head>$next</head><body>part ${id % 7} of article</body></html>"""
+          PageRow(s"https://p.example/$id", new java.sql.Timestamp(1704067200000L),
+            html.getBytes("UTF-8"), null, "en")
+        }
+      LinkGraph.paginationChains(pages)
+        .orderBy("url")
     }),
 
     "graph_triangles" -> ((s, dir) => {

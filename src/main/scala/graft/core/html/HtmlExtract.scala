@@ -244,7 +244,7 @@ object HtmlExtract {
     * `content` attribute — the indexOf-based scan this replaces did).
     * First attribute with the given lowercase name wins; bare attributes
     * (no `=`) yield Some(""), which is how `itemscope` presence tests. */
-  private[html] def attr(tagBody: String, name: String): Option[String] = {
+  private[graft] def attr(tagBody: String, name: String): Option[String] = {
     val n = tagBody.length
     var i = 0
     // skip the tag name

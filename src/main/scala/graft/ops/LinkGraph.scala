@@ -84,4 +84,76 @@ object LinkGraph {
         html.getBytes(java.nio.charset.StandardCharsets.UTF_8), null, "en")
     }
   }
+
+  /** First rel="next" target in the page head/body — the pagination link
+    * (<link rel="next"> or <a rel="next">) multi-page articles carry.
+    * Lenient scan, quote-aware attrs, rel is a whitespace token list. */
+  private[ops] def relNextOf(html: String): Option[String] = {
+    var i = 0
+    while (i < html.length) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) return None
+      val gt = html.indexOf('>', lt)
+      if (gt < 0) return None
+      val body = html.substring(lt + 1, gt)
+      val name = body.takeWhile(c => !c.isWhitespace && c != '/')
+        .toLowerCase(java.util.Locale.ROOT)
+      if (name == "link" || name == "a") {
+        val isNext = graft.core.html.HtmlExtract.attr(body, "rel")
+          .exists(_.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").contains("next"))
+        if (isNext) {
+          val href = graft.core.html.HtmlExtract.attr(body, "href")
+          if (href.exists(_.nonEmpty)) return href
+        }
+      }
+      i = gt + 1
+    }
+    None
+  }
+
+  /** Pagination-chain assembly: multi-page articles (rel="next" chains)
+    * reassemble into documents — every page learns its chain HEAD, its
+    * position, and the chain length, so a training pipeline can
+    * concatenate page 1..k in order instead of emitting k fragments.
+    *
+    * Scale shape: edge extraction is the narrow flatMap family; the
+    * head-finding is POINTER JUMPING (path doubling) on the reversed
+    * pointers — `maxRounds` self-joins of 16-byte (url, anc, dist) rows
+    * resolve chains up to 2^maxRounds long (64 at the default: beyond any
+    * real pagination) in O(log chain) shuffles, never a per-chain
+    * sequential walk. Targets pointing outside the corpus drop via the
+    * existence semi-join, so truncated tails behave like chain ends. */
+  def paginationChains(pages: Dataset[PageRow], maxRounds: Int = 6): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val edges = pages.flatMap { p =>
+      if (p.html == null) None
+      else relNextOf(new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+        .map(n => (p.url, n))
+    }.toDF("src", "next")
+    val urls = pages.map(_.url).toDF("url")
+    // keep only edges whose target exists in the corpus
+    val e = edges.join(urls.withColumnRenamed("url", "next"), Seq("next"), "left_semi")
+    // reversed pointer: who links TO me (unique by construction of rel=next)
+    val prev = e.select(col("next").as("url"), col("src").as("anc"))
+    var cur = urls.join(prev, Seq("url"), "left")
+      .select(col("url"), col("anc"),
+        when(col("anc").isNull, 0L).otherwise(1L).as("dist"))
+    for (_ <- 1 to maxRounds) {
+      val b = cur.select(col("url").as("b_url"), col("anc").as("b_anc"),
+        col("dist").as("b_dist"))
+      cur = cur.join(b, cur("anc") === b("b_url"), "left")
+        .select(col("url"),
+          coalesce(col("b_anc"), col("anc")).as("anc"),
+          (col("dist") + coalesce(col("b_dist"), lit(0L))).as("dist"))
+        .localCheckpoint(true) // bound lineage across the doubling rounds
+    }
+    val resolved = cur.select(col("url"),
+      coalesce(col("anc"), col("url")).as("head_url"), col("dist").as("pos"))
+    val lens = resolved.groupBy(col("head_url"))
+      .agg(count(lit(1)).as("chain_len"))
+    resolved.join(lens, Seq("head_url"))
+      .select(col("url"), col("head_url"), col("pos"), col("chain_len"))
+  }
 }

@@ -110,4 +110,31 @@ class LinkGraphSpec extends AnyFunSuite {
     // global triangle count: K4 has exactly 4, attributed 3x each
     assert(out.map(_._3).sum == 12L)
   }
+
+  test("paginationChains: heads, positions, lengths; dead next-targets end the chain") {
+    import spark.implicits._
+    def page(u: String, next: Option[String]) = graft.spark.PageRow(u,
+      new java.sql.Timestamp(0L),
+      s"<html><head>${next.map(h => s"<link rel=\"prev next\" href=\"$h\">").getOrElse("")}</head><body>x</body></html>".getBytes("UTF-8"),
+      null, "en")
+    val pages = Seq(
+      page("u://a1", Some("u://a2")), page("u://a2", Some("u://a3")), page("u://a3", None),
+      page("u://solo", None),
+      page("u://dead", Some("u://nowhere"))).toDS()  // target outside the corpus
+    val out = LinkGraph.paginationChains(pages)
+      .as[(String, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("u://a1") == (("u://a1", "u://a1", 0L, 3L)))
+    assert(out("u://a2") == (("u://a2", "u://a1", 1L, 3L)))
+    assert(out("u://a3") == (("u://a3", "u://a1", 2L, 3L)))
+    assert(out("u://solo") == (("u://solo", "u://solo", 0L, 1L)))
+    assert(out("u://dead") == (("u://dead", "u://dead", 0L, 1L)))
+  }
+
+  test("relNextOf: rel token lists, quoting, <a> form, absent -> None") {
+    assert(LinkGraph.relNextOf("""<link rel="prev next" href="/n2">""").contains("/n2"))
+    assert(LinkGraph.relNextOf("""<a rel=next href='/n3'>more</a>""").contains("/n3"))
+    assert(LinkGraph.relNextOf("""<link rel="nexty" href="/no">""").isEmpty)
+    assert(LinkGraph.relNextOf("""<link rel="next">""").isEmpty) // no href
+    assert(LinkGraph.relNextOf("<html><body>plain</body></html>").isEmpty)
+  }
 }
