@@ -3033,6 +3033,92 @@ object OracleSql {
         |LEFT JOIN pv ON pv.id = d.doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    // mirrors Graph.kCore(k=3) over synthEdges: the 20 peel rounds are
+    // unrolled mechanically (post-fixpoint rounds are identities; the
+    // Spark side throws if 20 rounds don't reach fixpoint)
+    "graph_kcore" -> {
+      val rounds = 20
+      // MATERIALIZED: each round references the previous ≥3 times; inlined
+      // CTEs would expand the plan 3^20-fold
+      val peel = (1 to rounds).map { r =>
+        s"""deg$r AS MATERIALIZED (SELECT id, count(*) AS d FROM (SELECT a AS id FROM und${r - 1} UNION ALL SELECT b FROM und${r - 1}) GROUP BY 1),
+           |und$r AS MATERIALIZED (SELECT a, b FROM und${r - 1}
+           |  WHERE a IN (SELECT id FROM deg$r WHERE d >= 3)
+           |    AND b IN (SELECT id FROM deg$r WHERE d >= 3))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |raw AS (
+         |  SELECT doc_id AS src, (doc_id*7+3) % n AS dst FROM documents, nn
+         |  UNION ALL SELECT doc_id, (doc_id*13+11) % n FROM documents, nn
+         |  UNION ALL SELECT doc_id, (doc_id*31+17) % n FROM documents, nn),
+         |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+         |und0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+         |deg0 AS (SELECT id, count(*) AS degree FROM (SELECT a AS id FROM und0 UNION ALL SELECT b FROM und0) GROUP BY 1),
+         |$peel,
+         |core AS (SELECT id, count(*) AS core_degree FROM (SELECT a AS id FROM und$rounds UNION ALL SELECT b FROM und$rounds) GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(deg0.degree, 0) AS BIGINT) AS degree,
+         |  CAST(coalesce(core.core_degree, 0) AS BIGINT) AS core_degree,
+         |  coalesce(core.core_degree, 0) >= 3 AS in_kcore
+         |FROM documents d LEFT JOIN deg0 ON deg0.id = d.doc_id
+         |LEFT JOIN core ON core.id = d.doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // mirrors Sketches.quantileByHashSample: the 1-in-8 item-hash sample
+    // replayed via md5_number_upper, list_sort + ceil-rank indexing
+    "sketch_quantile" ->
+      """WITH s AS (SELECT lang AS key, n_chars AS v,
+        |  md5_number_upper('qs:' || CAST(doc_id AS VARCHAR)) % 1048576 AS h
+        |  FROM documents),
+        |agg AS (SELECT key, count(*) AS n_rows,
+        |  list_sort(list(v) FILTER (WHERE h < 131072)) AS samp,
+        |  list_sort(list(v)) AS allv
+        |  FROM s GROUP BY 1)
+        |SELECT key AS lang, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(len(samp) AS BIGINT) AS sample_n,
+        |  CAST(CASE WHEN len(samp) > 0 THEN samp[CAST((len(samp)*500+999)//1000 AS INT)] END AS BIGINT) AS p50_est,
+        |  CAST(CASE WHEN len(samp) > 0 THEN samp[CAST((len(samp)*900+999)//1000 AS INT)] END AS BIGINT) AS p90_est,
+        |  CAST(CASE WHEN len(samp) > 0 THEN samp[CAST((len(samp)*990+999)//1000 AS INT)] END AS BIGINT) AS p99_est,
+        |  CAST(CASE WHEN n_rows > 0 THEN allv[CAST((n_rows*500+999)//1000 AS INT)] END AS BIGINT) AS p50_exact,
+        |  CAST(CASE WHEN n_rows > 0 THEN allv[CAST((n_rows*900+999)//1000 AS INT)] END AS BIGINT) AS p90_exact,
+        |  CAST(CASE WHEN n_rows > 0 THEN allv[CAST((n_rows*990+999)//1000 AS INT)] END AS BIGINT) AS p99_exact
+        |FROM agg ORDER BY lang""".stripMargin,
+
+    // mirrors TextStats.dehyphenateAudit: plant "-\n" soft breaks inside
+    // every ≥5-letter word (fixed-length pattern — identical match
+    // sequence in Java regex and RE2), heal, assert exact inversion
+    "text_dehyphenate" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  regexp_replace(text, '([a-z]{3})([a-z]{2}) ', '\1-' || chr(10) || '\2 ', 'g') AS broken
+        |  FROM documents),
+        |r AS (SELECT doc_id, text, broken,
+        |  regexp_replace(broken, '([a-z])-\n([a-z])', '\1\2', 'g') AS repaired FROM b)
+        |SELECT doc_id,
+        |  CAST((length(broken) - length(text)) // 2 AS BIGINT) AS n_breaks,
+        |  CAST((length(broken) - length(repaired)) // 2 AS BIGINT) AS n_repairs,
+        |  repaired = text AS restored,
+        |  md5(repaired) AS repaired_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextStats.codeDetect over corpusWithCodeBlocks: replace-
+    // length brace/semicolon counts, regexp_extract_all keyword hits
+    "text_code_detect" ->
+      """WITH c AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 5 = 0 THEN ' function calc(x) { return x * 2; } var total = calc(7); if (total > 10) { emit(total); }' ELSE '' END
+        |       || CASE WHEN doc_id % 5 = 2 THEN ' import util; def helper(a): return a + 1; class thing { int n; };' ELSE '' END AS text
+        |  FROM documents),
+        |f AS (SELECT doc_id, text,
+        |  length(text) - length(replace(text, '{', '')) + length(text) - length(replace(text, '}', '')) AS n_braces,
+        |  length(text) - length(replace(text, ';', '')) AS n_semis,
+        |  len(regexp_extract_all(text, '\b(function|return|var|def|import|class|int)\b')) AS kw_hits
+        |  FROM c)
+        |SELECT doc_id, CAST(n_braces AS BIGINT) AS n_braces,
+        |  CAST(n_semis AS BIGINT) AS n_semis, CAST(kw_hits AS BIGINT) AS kw_hits,
+        |  CAST(n_braces*4 + n_semis*2 + kw_hits*3 AS BIGINT) AS score,
+        |  CAST((n_braces*4 + n_semis*2 + kw_hits*3) * 1000 // greatest(length(text), 1) AS BIGINT) AS score_x1000,
+        |  (n_braces*4 + n_semis*2 + kw_hits*3) >= 8 AS is_code
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     // mirrors Graph.reciprocity over synthEdges: swapped-key self-join,
     // one-row integer audit
     "graph_reciprocity" ->

@@ -2114,6 +2114,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "graph_kcore" -> ((s, dir) => {
+      // k-core peel (k=3): round-synchronous degree-threshold deletion to
+      // fixpoint; per round one 16-byte (id, deg) shuffle + two shrinking
+      // left-semi joins, lineage truncated per round
+      val d = docs(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = d.count()
+      graft.ops.Graph.kCore(d, graft.ops.Graph.synthEdges(d, n), k = 3)
+        .select(col("id").as("doc_id"), col("degree"), col("core_degree"),
+          col("in_kcore"))
+        .orderBy("doc_id")
+    }),
+
+    "sketch_quantile" -> ((s, dir) => {
+      // per-language length quantiles from a deterministic 1-in-8 hash
+      // sample (partition/merge-order invariant, unlike KLL compaction);
+      // *_exact columns are the validation agg a production run drops
+      graft.ops.Sketches.quantileByHashSample(
+        docs(s, dir, "documents").select(col("lang").as("key"),
+          col("doc_id").as("item"), col("n_chars").as("v")))
+        .withColumnRenamed("key", "lang")
+        .orderBy("lang")
+    }),
+
+    "text_dehyphenate" -> ((s, dir) => {
+      // line-wrap hyphen repair: plant "-\n" soft breaks, heal them with
+      // the production regexp column, prove exact inversion; zero shuffle
+      TextStats.dehyphenateAudit(
+        docs(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy("doc_id")
+    }),
+
+    "text_code_detect" -> ((s, dir) => {
+      // code-vs-prose routing gate: brace/semicolon length arithmetic +
+      // keyword regexp hits, integer score; codegen'd projection only
+      TextStats.codeDetect(TextStats.corpusWithCodeBlocks(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("doc_id")
+    }),
+
     "events_transitions" -> ((s, dir) => {
       // behavioral (from → to) bigram matrix: user-partitioned lead
       // window, event-type-sized rollup, broadcast per-from totals

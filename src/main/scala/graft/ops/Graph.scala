@@ -300,4 +300,63 @@ object Graph {
                 THEN coalesce(t, 0) * 2 * 1000 div (deg * (deg - 1))
                 ELSE 0 END""").as("clustering_x1000"))
   }
+
+  /** k-core decomposition for a fixed k (Seidman 1983; the link-farm /
+    * dense-community peel used to separate tightly interlinked spam
+    * clusters and hub cores from the long tail): repeatedly delete every
+    * vertex whose surviving undirected degree is < k until fixpoint. The
+    * survivors are exactly the k-core; `core_degree` is each survivor's
+    * degree INSIDE the core (≥ k by fixpoint).
+    *
+    * Peeling is deterministic and round-synchronous, so the DuckDB oracle
+    * replays it by unrolling the same number of rounds (post-fixpoint
+    * rounds are identities). The loop throws if `maxRounds` doesn't reach
+    * fixpoint — matching the clusters operator's convergence contract.
+    *
+    * Scale shape per round: one partial-aggregated (id, deg) shuffle of
+    * 16-byte rows plus two left-semi joins that only ever SHRINK the edge
+    * table; each round's survivor set is localCheckpoint-truncated so the
+    * loop's lineage stays O(1). Rounds are bounded by the peeling depth
+    * (degeneracy ordering length), which for web graphs is tens, not
+    * thousands — and the hard `maxRounds` bound keeps the plan finite. */
+  def kCore(nodes: DataFrame, edges: DataFrame, k: Int,
+            maxRounds: Int = 20): DataFrame = {
+    val und0 = edges
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg0 = und0.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    var und = und0
+    var nEdges = und.count()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val alive = deg.where(col("d") >= k).select(col("id"))
+      val next = und
+        .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val n2 = next.count()
+      converged = n2 == nEdges
+      if (und ne und0) und.unpersist()
+      und = next; nEdges = n2; round += 1
+    }
+    require(converged, s"kCore: no fixpoint after $maxRounds rounds")
+    val coreDeg = und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("core_degree"))
+    val out = nodes.select(col("id"))
+      .join(deg0, Seq("id"), "left")
+      .join(coreDeg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"),
+        (coalesce(col("core_degree"), lit(0L)) >= k).as("in_kcore"))
+    out
+  }
 }

@@ -270,4 +270,47 @@ object Sketches {
   def countMinCells(keyed: DataFrame, depth: Int = 4, width: Long = 64L): DataFrame =
     countMinKeyCells(keyed, depth, width)
       .groupBy(col("j"), col("cell")).agg(sum(col("exact")).as("c"))
+
+  /** Quantile-hash-sample domain (2^20) and keep-threshold (domain/8 → a
+    * deterministic 1-in-8 Bernoulli sample by item hash). */
+  val QsDomain: Long = 1L << 20
+  val QsKeep: Long = QsDomain / 8
+
+  /** Per-key quantile estimation from a HASH-SAMPLE — the deterministic
+    * alternative to KLL/GK for an oracle-able pipeline: keep exactly the
+    * rows whose item-hash falls under [[QsKeep]] (a partition-invariant,
+    * merge-order-free rule: the "sketch" of a union is the union of
+    * sketches by construction, which randomized-compaction sketches
+    * cannot promise), sort the per-key sample, and read quantiles at the
+    * ceil-rank index. Estimates sit within the usual Bernoulli-sample
+    * rank error (O(1/√(n/8)) ranks) but are BIT-DETERMINISTIC — the same
+    * value on any partitioning, any engine — so DuckDB replays hash,
+    * sample, and index selection exactly.
+    *
+    * `p*_exact` columns are the validation aggregate (full per-key sort),
+    * the `n_exact` analog in [[kmvDistinct]]: a production run drops them
+    * and shuffles ONLY the ~n/8 sampled longs per key. Empty samples
+    * (tiny keys) yield null estimates rather than ANSI index errors.
+    *
+    * Input: (key, item, v). Output: quantiles at p50/p90/p99. */
+  def quantileByHashSample(vals: DataFrame): DataFrame = {
+    def qAt(arr: String, n: String, permille: Int, out: String) =
+      expr(s"CASE WHEN size($arr) > 0 THEN element_at($arr, CAST(($n * $permille + 999) div 1000 AS INT)) END AS $out")
+    vals
+      .select(col("key"), col("v").cast("long").as("v"),
+        Sampling.md5Mod(concat(lit("qs:"), col("item").cast("string")), QsDomain)
+          .as("h"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_rows"),
+        sort_array(collect_list(when(col("h") < QsKeep, col("v")))).as("samp"),
+        sort_array(collect_list(col("v"))).as("allv"))
+      .select(col("key"), col("n_rows"),
+        size(col("samp")).cast("long").as("sample_n"),
+        qAt("samp", "size(samp)", 500, "p50_est"),
+        qAt("samp", "size(samp)", 900, "p90_est"),
+        qAt("samp", "size(samp)", 990, "p99_est"),
+        qAt("allv", "n_rows", 500, "p50_exact"),
+        qAt("allv", "n_rows", 900, "p90_exact"),
+        qAt("allv", "n_rows", 990, "p99_exact"))
+  }
 }

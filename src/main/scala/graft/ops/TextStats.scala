@@ -712,6 +712,78 @@ object TextStats {
     }.toDF("doc_id", "text")
   }
 
+  /** Hyphenated-linebreak corpus: plant an "exam-\nple"-style soft line
+    * break inside every word of ≥ 5 lowercase letters followed by a space
+    * (the corpus text is space-joined lowercase words, so the regex
+    * `([a-z]{3})([a-z]{2}) ` splits the last five letters of each such
+    * word). Fixed-length pattern, non-overlapping global replace — the
+    * identical match sequence in Java regex and RE2, so the DuckDB oracle
+    * replays it verbatim. */
+  def corpusWithHyphenBreaks(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      regexp_replace(col("text"), "([a-z]{3})([a-z]{2}) ", "$1-\n$2 "))
+
+  /** The dehyphenation repair itself — the production column expression:
+    * join `letter-\nletter` back into one word (the classic line-wrap
+    * artifact of PDF/column text extraction; reference text output keeps
+    * the raw break, a training-data pipeline wants it healed). */
+  def dehyphenateCol(text: Column): Column =
+    regexp_replace(text, "([a-z])-\n([a-z])", "$1$2")
+
+  /** Dehyphenation audit: break the corpus with [[corpusWithHyphenBreaks]],
+    * heal it with [[dehyphenateCol]], and prove the repair is the exact
+    * inverse — `restored` pins string equality with the original, and the
+    * healed text is value-pinned by md5. Break/repair counts come from
+    * length arithmetic (each planted break adds exactly "-\n" = 2 chars;
+    * each repair removes them). One codegen'd projection, zero shuffle. */
+  def dehyphenateAudit(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        regexp_replace(col("text"), "([a-z]{3})([a-z]{2}) ", "$1-\n$2 ")
+          .as("broken"))
+      .select(col("doc_id"), col("text"), col("broken"),
+        dehyphenateCol(col("broken")).as("repaired"))
+      .select(col("doc_id"),
+        expr("CAST((length(broken) - length(text)) div 2 AS BIGINT)").as("n_breaks"),
+        expr("CAST((length(broken) - length(repaired)) div 2 AS BIGINT)").as("n_repairs"),
+        (col("repaired") === col("text")).as("restored"),
+        md5(col("repaired").cast("binary")).as("repaired_md5"))
+
+  /** Code-block corpus: append a deterministic JS-flavored snippet to
+    * `doc_id % 5 == 0` and a Python/C-flavored one to `doc_id % 5 == 2`
+    * (none of the code keywords or `{};` glyphs occur in the natural
+    * corpus vocabulary). Mirrored verbatim in the oracle. */
+  def corpusWithCodeBlocks(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        lit(" function calc(x) { return x * 2; } var total = calc(7); if (total > 10) { emit(total); }"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 2,
+        lit(" import util; def helper(a): return a + 1; class thing { int n; };"))
+        .otherwise(lit(""))))
+
+  /** Code-vs-prose detection — the routing gate that keeps code out of a
+    * prose corpus (or routes it INTO a code corpus): brace/semicolon
+    * occurrence counts via length arithmetic plus a keyword-hit count via
+    * `regexp_extract_all` (group 0, identical in Java regex and RE2), all
+    * weighted into one integer score. `is_code` is an absolute-score
+    * threshold — natural prose scores exactly 0 here, and density
+    * (`score_x1000`) is emitted for corpora where prose can contain stray
+    * glyphs. Pure codegen'd projection, zero shuffle. */
+  def codeDetect(docs: DataFrame, minScore: Long = 8): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        expr("CAST(length(text) - length(replace(text, '{', '')) + length(text) - length(replace(text, '}', '')) AS BIGINT)")
+          .as("n_braces"),
+        expr("CAST(length(text) - length(replace(text, ';', '')) AS BIGINT)").as("n_semis"),
+        expr("CAST(size(regexp_extract_all(text, '\\\\b(function|return|var|def|import|class|int)\\\\b', 0)) AS BIGINT)")
+          .as("kw_hits"))
+      .select(col("doc_id"), col("n_braces"), col("n_semis"), col("kw_hits"),
+        (col("n_braces") * 4 + col("n_semis") * 2 + col("kw_hits") * 3).as("score"),
+        expr("CAST((n_braces * 4 + n_semis * 2 + kw_hits * 3) * 1000 div greatest(length(text), 1) AS BIGINT)")
+          .as("score_x1000"))
+      .withColumn("is_code", col("score") >= minScore)
+
   /** C4-style corpus cleaning (Raffel et al. 2020 §2.2, public heuristics):
     * LINE rules keep only lines that end in terminal punctuation
     * (`.` `!` `?` `"`), have ≥ 5 words, and do not mention "javascript";

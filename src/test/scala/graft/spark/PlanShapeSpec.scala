@@ -104,6 +104,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("bitext_margin", maxExchange = 5)
   }
 
+  test("wave 50 narrow family: dehyphenate and code-detect are one display-sort Exchange") {
+    for (q <- Seq("text_dehyphenate", "text_code_detect"))
+      assertShape(q, maxExchange = 1)
+  }
+
+  test("wave 50 rollup family: quantile sample is one per-key rollup") {
+    // hash + collect into per-key buffers: one agg Exchange + display sort
+    assertShape("sketch_quantile", maxExchange = 2)
+  }
+
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
     val pages = PagesTable.synthesize(spark, 16, 4)
     // default path: payload parsed where produced, zero Exchange
