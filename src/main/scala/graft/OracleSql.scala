@@ -240,6 +240,34 @@ object OracleSql {
         |  ('empty.pdf', 15, 'ECE52104D61B28521A8966850ABEA4', 'ECE52104D61B28521A8966850ABEA4', TRUE, 'UseNone', 'None')
         |) AS t(fixture, version, id_permanent, id_changing, tagged, page_mode, form_type)""".stripMargin,
 
+    // pinned by construction: the paragraphs fixture plants 3+2 lines at
+    // 14pt leading with a 54pt gap; bbox values are Helvetica AFM facts
+    "pdf_text_blocks" ->
+      """SELECT url, CAST(block_idx AS BIGINT) AS block_idx,
+        |  CAST(n_lines AS BIGINT) AS n_lines, CAST(l AS BIGINT) AS l,
+        |  CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+        |  CAST(t AS BIGINT) AS t, text
+        |FROM (VALUES
+        |  ('synthetic://paragraphs.pdf', 0, 3, 50, 669, 251, 709,
+        |   'data tables merge under the fast scan the hash join groups every key batch rows spill to sorted runs'),
+        |  ('synthetic://paragraphs.pdf', 1, 2, 50, 601, 217, 627,
+        |   'a second paragraph starts here its lines pack into one block')
+        |) AS t(url, block_idx, n_lines, l, b, r, t, text)
+        |ORDER BY block_idx""".stripMargin,
+
+    // pinned by construction: column membership and in-column order are
+    // fixed by the planted x positions; top-sort would interleave
+    "pdf_columns" ->
+      """SELECT url, CAST(n_columns AS BIGINT) AS n_columns,
+        |  CAST(n_lines AS BIGINT) AS n_lines, reading
+        |FROM (VALUES
+        |  ('synthetic://paragraphs.pdf', 1, 5,
+        |   'data tables merge under the fast scan | the hash join groups every key | batch rows spill to sorted runs | a second paragraph starts here | its lines pack into one block'),
+        |  ('synthetic://twocol.pdf', 2, 5,
+        |   'left column first line | left column second line | left column third line || right column first line | right column second line')
+        |) AS t(url, n_columns, n_lines, reading)
+        |ORDER BY url""".stripMargin,
+
     "pdf_boxes" ->
       """SELECT fixture, CAST(page AS BIGINT) AS page, CAST(width AS DOUBLE) AS width,
         |  CAST(height AS DOUBLE) AS height, CAST(rotation AS BIGINT) AS rotation,
@@ -1785,6 +1813,32 @@ object OracleSql {
         |       WHEN doc_id % 7 = 0 THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM documents ORDER BY url""".stripMargin,
+
+    // mirrors SnapshotDiff.warcRevisit over the synthSnapshots pair:
+    // revisit ⟺ url existed in A (doc_id < n−50) with unchanged digest
+    // (doc_id % 7 ≠ 0) — derived from residues, not a replayed join
+    "warc_revisit" ->
+      """WITH n AS (SELECT count(*) AS c FROM documents),
+        |b AS (SELECT doc_id, n_chars,
+        |  'site' || (doc_id % 8) || '.example' AS domain,
+        |  (doc_id < (SELECT c FROM n) - 50 AND doc_id % 7 <> 0) AS is_rev
+        |  FROM documents WHERE doc_id >= 50)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(sum(CASE WHEN is_rev THEN 1 ELSE 0 END) AS BIGINT) AS n_revisits,
+        |  CAST(sum(CASE WHEN is_rev THEN n_chars ELSE 0 END) AS BIGINT) AS bytes_saved,
+        |  CAST(sum(CASE WHEN is_rev THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS revisit_permille
+        |FROM b GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // mirrors Sampling.quotaSample: the bounded min-k buffer is exactly
+    // row_number over (hash, item) — the oracle runs the Window form
+    "sample_quota" ->
+      """WITH s AS (SELECT lang AS stratum, doc_id AS item,
+        |  CAST(md5_number_upper('strat:' || CAST(doc_id AS VARCHAR)) % 1099511627776 AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT stratum, item, h,
+        |  row_number() OVER (PARTITION BY stratum ORDER BY h, item) AS rank FROM s)
+        |SELECT stratum, item, h, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY stratum, rank""".stripMargin,
 
     // mirrors Retrieval.bm25TopK: same tokenization, same integer
     // micro-unit arithmetic (// = floor div), same rational idf — scores

@@ -800,6 +800,43 @@ object SparkEntry {
         .orderBy(col("b").desc)
     }),
 
+    "pdf_text_blocks" -> ((s, _) => {
+      import s.implicits._
+      // layout parse for UNTAGGED PDFs: vertical-gap paragraph blocks from
+      // the line-rect runs (ratio-of-leading rule, scale-invariant); the
+      // tagged-PDF complement is pdf_struct_tree/pdf_reading_order
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val rows = Seq(PageRow("synthetic://paragraphs.pdf", ts,
+        graft.core.SynthPdf.paragraphsPdf, null, "la"))
+      s.createDataset(rows).flatMap { row =>
+        val doc = graft.core.PdfDocument.load(row.html, "").toOption.get
+        val tp = doc.pages.head.textPage
+        graft.core.Layout.blocks(tp).zipWithIndex.map { case (b, i) =>
+          (row.url, i.toLong, b.lines.length.toLong,
+            math.round(b.rect.left), math.round(b.rect.bottom),
+            math.round(b.rect.right), math.round(b.rect.top), b.text)
+        }
+      }.toDF("url", "block_idx", "n_lines", "l", "b", "r", "t", "text")
+        .orderBy("block_idx")
+    }),
+
+    "pdf_columns" -> ((s, _) => {
+      import s.implicits._
+      // x-projection column detection + column-major reading order — the
+      // fix for top-sorted interleaving on multi-column pages
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val rows = Seq(
+        PageRow("synthetic://paragraphs.pdf", ts, graft.core.SynthPdf.paragraphsPdf, null, "la"),
+        PageRow("synthetic://twocol.pdf", ts, graft.core.SynthPdf.twoColumnPdf, null, "la"))
+      s.createDataset(rows).map { row =>
+        val doc = graft.core.PdfDocument.load(row.html, "").toOption.get
+        val tp = doc.pages.head.textPage
+        val (nCols, reading) = graft.core.Layout.readingOrder(tp, " | ", " || ")
+        (row.url, nCols.toLong, graft.core.Layout.lines(tp).length.toLong, reading)
+      }.toDF("url", "n_columns", "n_lines", "reading")
+        .orderBy("url")
+    }),
+
     "pdf_form_fields" -> ((s, _) => {
       ExtractPipeline.extractDoc(
         PagesTable.ofFixtures(s, Seq("forms.pdf")), parts = Set(DocParts.Meta, DocParts.Forms))
@@ -1443,6 +1480,27 @@ object SparkEntry {
       // payloads never shuffle; bucketed snapshots make it Exchange-free
       val (a, b) = graft.ops.SnapshotDiff.synthSnapshots(docs(s, dir, "documents"))
       graft.ops.SnapshotDiff.diff(a, b).orderBy("url")
+    }),
+
+    "warc_revisit" -> ((s, dir) => {
+      // WARC revisit-record export audit: one (url, md5) join — payloads
+      // never shuffle — then an algebraic per-domain rollup of the bytes
+      // the identical-payload-digest profile saves
+      val d = docs(s, dir, "documents")
+      val (prev, _) = graft.ops.SnapshotDiff.synthSnapshots(d)
+      graft.ops.SnapshotDiff.warcRevisit(
+        graft.ops.SnapshotDiff.synthCurrentWithBytes(d), prev)
+        .orderBy("domain")
+    }),
+
+    "sample_quota" -> ((s, dir) => {
+      // exact-k quota per stratum WITHOUT a Window: bounded min-k hash
+      // buffers combine map-side, k 16-byte pairs per (task, stratum)
+      Sampling.quotaSample(
+        docs(s, dir, "documents")
+          .select(col("lang").as("stratum"), col("doc_id").as("item")),
+        k = 10)
+        .orderBy("stratum", "rank")
     }),
 
     "text_bm25" -> ((s, dir) => {

@@ -42,6 +42,30 @@ object SynthPdf {
         ++ cBytes ++ "\nendstream".getBytes): Array[Byte]))
   }
 
+  /** Two-paragraph single-column page for block segmentation: 3 + 2 lines
+    * at 14 pt leading with a 54 pt paragraph gap. Every line carries an
+    * ascender glyph so line-rect tops march at exactly the leading. */
+  def paragraphsPdf: Array[Byte] = onePage(
+    """BT /F1 12 Tf
+      |50 700 Td (data tables merge under the fast scan) Tj
+      |0 -14 Td (the hash join groups every key) Tj
+      |0 -14 Td (batch rows spill to sorted runs) Tj
+      |0 -54 Td (a second paragraph starts here) Tj
+      |0 -14 Td (its lines pack into one block) Tj
+      |ET""".stripMargin)
+
+  /** Two-column page: three left-column lines at x=50, two right-column
+    * lines at x=320, interleaved in y — a top-sorted reading order would
+    * shuffle the columns together. */
+  def twoColumnPdf: Array[Byte] = onePage(
+    """BT /F1 12 Tf
+      |50 700 Td (left column first line) Tj
+      |0 -14 Td (left column second line) Tj
+      |0 -14 Td (left column third line) Tj
+      |270 28 Td (right column first line) Tj
+      |0 -14 Td (right column second line) Tj
+      |ET""".stripMargin)
+
   /** N-page classic-xref PDF (one text line per page) — the size-skew
     * "monster document" generator for the skew-stress bench (a 5000-page
     * doc among 1-pagers). Object layout: 1 catalog, 2 pages node,

@@ -78,6 +78,67 @@ object Sampling {
       .where(col("bucket") < rate)
   }
 
+  /** Bounded min-k buffer of (hash, id) pairs, ascending by (h, id) —
+    * the quota-sample sibling of the similarity top-k heap: associative,
+    * commutative, O(k) state, so map-side partial aggregation keeps the
+    * shuffle at k pairs per (task, stratum). */
+  private final class MinKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long), List[(Long, Long)], Seq[(Long, Long)]] {
+    @inline private def before(x: (Long, Long), y: (Long, Long)): Boolean =
+      x._1 < y._1 || (x._1 == y._1 && x._2 < y._2)
+    override def zero: List[(Long, Long)] = Nil
+    override def reduce(b: List[(Long, Long)], a: (Long, Long)): List[(Long, Long)] = {
+      if (b.lengthCompare(k) >= 0 && !before(a, b.last)) b
+      else {
+        val (pre, post) = b.span(before(_, a))
+        (pre ::: a :: post).take(k)
+      }
+    }
+    override def merge(b1: List[(Long, Long)], b2: List[(Long, Long)]): List[(Long, Long)] = {
+      val out = List.newBuilder[(Long, Long)]
+      var (l, r, n) = (b1, b2, 0)
+      while (n < k && (l.nonEmpty || r.nonEmpty)) {
+        if (r.isEmpty || (l.nonEmpty && before(l.head, r.head))) { out += l.head; l = l.tail }
+        else { out += r.head; r = r.tail }
+        n += 1
+      }
+      out.result()
+    }
+    override def finish(b: List[(Long, Long)]): Seq[(Long, Long)] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[List[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, Long)]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
+  /** Exact-k quota sample per stratum: the k items with the SMALLEST
+    * deterministic hash in each stratum (ties broken by id). Equivalent
+    * to `row_number() OVER (PARTITION BY stratum ORDER BY hash, id) <= k`
+    * — which is exactly what the oracle runs — but the plan is an
+    * ObjectHashAggregate over O(k) bounded buffers, not a Window: at
+    * 10^12 rows a per-stratum Window pays a full shuffle + sort of every
+    * row, while this shuffles k 16-byte pairs per (task, stratum). The
+    * hash rule also makes quotas STABLE under corpus growth: a document
+    * leaves the sample only when a smaller-hash newcomer displaces it
+    * (bounded churn), where a random re-draw replaces everything.
+    *
+    * Complements [[stratifiedSample]] (rate-based thinning): rates keep
+    * proportions, quotas flatten them (the "equal slices for eval"
+    * shape). Input: (stratum, item). Output one row per kept item with
+    * its 1-based rank. */
+  def quotaSample(docs: DataFrame, k: Int): DataFrame = {
+    val mink = udaf(new MinKAgg(k))
+    docs
+      .select(col("stratum"), col("item").cast("long").as("item"),
+        md5Mod(concat(lit("strat:"), col("item").cast("string")), Sketches.KmvDomain).as("h"))
+      .groupBy("stratum")
+      .agg(mink(col("h"), col("item")).as("kept"))
+      .select(col("stratum"), posexplode(col("kept")).as(Seq("pos", "hit")))
+      .select(col("stratum"), col("hit._2").as("item"), col("hit._1").as("h"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Leakage-safe train/val/test split: the split key is the REGISTERED
     * DOMAIN hash, not the document hash, so every page of a site lands in
     * the same split — near-duplicate pages within a site (boilerplate,

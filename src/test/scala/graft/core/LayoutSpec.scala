@@ -1,0 +1,59 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Layout analysis: line assembly, paragraph block segmentation,
+  * column detection + reading order. */
+class LayoutSpec extends AnyFunSuite {
+
+  private def pageOf(bytes: Array[Byte]): TextPage =
+    PdfDocument.load(bytes, "").toOption.get.pages.head.textPage
+
+  test("paragraphs fixture: two blocks of 3 and 2 lines, texts intact") {
+    val tp = pageOf(SynthPdf.paragraphsPdf)
+    val ls = Layout.lines(tp)
+    assert(ls.length == 5)
+    info(ls.map(l => f"(${l.rect.left}%.2f,${l.rect.bottom}%.2f,${l.rect.right}%.2f,${l.rect.top}%.2f) '${l.text}'").mkString("\n"))
+    val bs = Layout.blocks(tp)
+    assert(bs.length == 2)
+    assert(bs(0).lines.map(_.text) == Vector(
+      "data tables merge under the fast scan",
+      "the hash join groups every key",
+      "batch rows spill to sorted runs"))
+    assert(bs(1).lines.map(_.text) == Vector(
+      "a second paragraph starts here",
+      "its lines pack into one block"))
+    info(bs.map(b => f"block (${b.rect.left}%.3f,${b.rect.bottom}%.3f,${b.rect.right}%.3f,${b.rect.top}%.3f)").mkString("\n"))
+  }
+
+  test("two-column fixture: columns detected, reading order column-major") {
+    val tp = pageOf(SynthPdf.twoColumnPdf)
+    val (n, text) = Layout.readingOrder(tp, lineSep = " | ", colSep = " || ")
+    assert(n == 2)
+    assert(text ==
+      "left column first line | left column second line | left column third line" +
+      " || right column first line | right column second line")
+  }
+
+  test("single-column page is one column; naive top-sort would interleave") {
+    val tp = pageOf(SynthPdf.paragraphsPdf)
+    assert(Layout.columns(tp).length == 1)
+    // sanity on the two-column page: top-sorted lines DO interleave
+    val tp2 = pageOf(SynthPdf.twoColumnPdf)
+    val topSorted = Layout.lines(tp2).sortBy(l => (-l.rect.top, l.rect.left)).map(_.text)
+    assert(topSorted.take(2) == Vector("left column first line", "right column first line"))
+  }
+
+  test("leading estimate and degenerate inputs") {
+    val tp = pageOf(SynthPdf.paragraphsPdf)
+    val leading = Layout.leadingOf(Layout.lines(tp))
+    assert(math.abs(leading - 14.0) < 0.5, s"leading=$leading")
+    assert(Layout.blocksOf(Vector.empty) == Vector.empty)
+    assert(Layout.columnsOf(Vector.empty) == Vector.empty)
+    // single line: one block, one column, leading 0
+    val one = Layout.lines(pageOf(SynthPdf.onePage("BT /F1 12 Tf 50 700 Td (only line) Tj ET")))
+    assert(Layout.leadingOf(one) == 0.0)
+    assert(Layout.blocksOf(one).length == 1)
+    assert(Layout.columnsOf(one).length == 1)
+  }
+}

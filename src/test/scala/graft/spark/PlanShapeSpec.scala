@@ -114,6 +114,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("sketch_quantile", maxExchange = 2)
   }
 
+  test("wave 51: quota sample is an aggregate (no Window over the corpus); revisit is one join + rollup") {
+    val o = ops("sample_quota")
+    assert(!o.contains("Window"),
+      s"sample_quota must not plan a Window sort: $o")
+    assertShape("sample_quota", maxExchange = 2)
+    assertShape("warc_revisit", maxExchange = 5)
+  }
+
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
     val pages = PagesTable.synthesize(spark, 16, 4)
     // default path: payload parsed where produced, zero Exchange
