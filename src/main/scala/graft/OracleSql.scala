@@ -255,6 +255,23 @@ object OracleSql {
         |) AS t(url, block_idx, n_lines, l, b, r, t, text)
         |ORDER BY block_idx""".stripMargin,
 
+    // pinned by construction: the table fixture plants a 3×2 lattice at
+    // known ruling positions with one label per cell; the grid-free
+    // paragraphs page contributes zero rows
+    "pdf_tables" ->
+      """SELECT url, CAST(trow AS BIGINT) AS trow, CAST(tcol AS BIGINT) AS tcol,
+        |  CAST(l AS BIGINT) AS l, CAST(b AS BIGINT) AS b,
+        |  CAST(r AS BIGINT) AS r, CAST(t AS BIGINT) AS t, text
+        |FROM (VALUES
+        |  ('synthetic://table.pdf', 0, 0, 50, 670, 200, 700, 'name'),
+        |  ('synthetic://table.pdf', 0, 1, 200, 670, 350, 700, 'count'),
+        |  ('synthetic://table.pdf', 1, 0, 50, 640, 200, 670, 'alpha'),
+        |  ('synthetic://table.pdf', 1, 1, 200, 640, 350, 670, '12'),
+        |  ('synthetic://table.pdf', 2, 0, 50, 610, 200, 640, 'beta'),
+        |  ('synthetic://table.pdf', 2, 1, 200, 610, 350, 640, '7')
+        |) AS t(url, trow, tcol, l, b, r, t, text)
+        |ORDER BY trow, tcol""".stripMargin,
+
     // pinned by construction: column membership and in-column order are
     // fixed by the planted x positions; top-sort would interleave
     "pdf_columns" ->
@@ -1813,6 +1830,44 @@ object OracleSql {
         |       WHEN doc_id % 7 = 0 THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM documents ORDER BY url""".stripMargin,
+
+    // mirrors Relational.ewmaDaily: the integer recurrence replayed by a
+    // recursive CTE over the row_number-indexed day series per type
+    "events_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, day, n,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS i FROM daily),
+        |r AS (
+        |  SELECT event_type, day, n, i, n * 1000 AS ewma_m FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.event_type, idx.day, idx.n, idx.i,
+        |    (300 * idx.n * 1000 + 700 * r.ewma_m) // 1000
+        |  FROM r JOIN idx ON idx.event_type = r.event_type AND idx.i = r.i + 1)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day, CAST(n AS BIGINT) AS n,
+        |  CAST(ewma_m AS BIGINT) AS ewma_m,
+        |  CAST(abs(n * 1000 - ewma_m) AS BIGINT) AS resid_m
+        |FROM r ORDER BY event_type, day""".stripMargin,
+
+    // mirrors TextStats.tfidfTerms: distinct-term tf, corpus df, rational
+    // integer idf, row_number top-3 (the Window form of the sorted slice)
+    "text_tfidf_terms" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |           FROM documents),
+        |n AS (SELECT count(*) AS c FROM documents),
+        |terms AS (SELECT doc_id, term, len(list_filter(t, x -> x = term)) AS tf
+        |          FROM (SELECT doc_id, t, unnest(list_distinct(t)) AS term FROM d)),
+        |dfs AS (SELECT term, count(*) AS df FROM terms GROUP BY 1),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |         tf * (((SELECT c FROM n) * 1000) // df) AS score
+        |       FROM terms JOIN dfs USING (term)),
+        |rk AS (SELECT doc_id, term, tf, df, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |       FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // mirrors SnapshotDiff.warcRevisit over the synthSnapshots pair:
     // revisit ⟺ url existed in A (doc_id < n−50) with unchanged digest

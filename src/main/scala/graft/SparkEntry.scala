@@ -837,6 +837,25 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    "pdf_tables" -> ((s, _) => {
+      import s.implicits._
+      // lattice (ruled) table extraction from this engine's own path +
+      // charbox primitives; the grid-free page proves corpus safety
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val rows = Seq(
+        PageRow("synthetic://table.pdf", ts, graft.core.SynthPdf.tablePdf, null, "la"),
+        PageRow("synthetic://paragraphs.pdf", ts, graft.core.SynthPdf.paragraphsPdf, null, "la"))
+      s.createDataset(rows).flatMap { row =>
+        val doc = graft.core.PdfDocument.load(row.html, "").toOption.get
+        graft.core.Layout.tables(doc.pages.head).map { c =>
+          (row.url, c.row.toLong, c.col.toLong,
+            math.round(c.rect.left), math.round(c.rect.bottom),
+            math.round(c.rect.right), math.round(c.rect.top), c.text)
+        }
+      }.toDF("url", "trow", "tcol", "l", "b", "r", "t", "text")
+        .orderBy("trow", "tcol")
+    }),
+
     "pdf_form_fields" -> ((s, _) => {
       ExtractPipeline.extractDoc(
         PagesTable.ofFixtures(s, Seq("forms.pdf")), parts = Set(DocParts.Meta, DocParts.Forms))
@@ -1480,6 +1499,21 @@ object SparkEntry {
       // payloads never shuffle; bucketed snapshots make it Exchange-free
       val (a, b) = graft.ops.SnapshotDiff.synthSnapshots(docs(s, dir, "documents"))
       graft.ops.SnapshotDiff.diff(a, b).orderBy("url")
+    }),
+
+    "events_ewma" -> ((s, dir) => {
+      // integer EWMA volume trend per event type: corpus-scale daily
+      // rollup; bounded-domain recurrence runs per key inside one task
+      graft.ops.Relational.ewmaDaily(docs(s, dir, "events"))
+        .orderBy("event_type", "day")
+    }),
+
+    "text_tfidf_terms" -> ((s, dir) => {
+      // per-doc keyword tags: distinct-term explode, broadcast df join,
+      // in-row sorted-slice top-3 (no Window over the corpus)
+      TextStats.tfidfTerms(
+        docs(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy("doc_id", "rank")
     }),
 
     "warc_revisit" -> ((s, dir) => {

@@ -90,4 +90,67 @@ object Layout {
     val cols = columns(tp)
     (cols.length, cols.map(_.map(_.text).mkString(lineSep)).mkString(colSep))
   }
+
+  final case class TableCell(row: Int, col: Int, rect: Rect, text: String)
+
+  /** Deterministic 1-D position clustering: sorted values grouped while
+    * consecutive gaps stay ≤ tol; each cluster is represented by its
+    * minimum (deterministic, no averaging drift). */
+  private def clusterPositions(vs: Vector[Double], tol: Double): Vector[Double] = {
+    if (vs.isEmpty) return Vector.empty
+    val s = vs.sorted
+    val out = Vector.newBuilder[Double]
+    var repr = s.head
+    var prev = s.head
+    for (v <- s.tail) {
+      if (v - prev > tol) { out += repr; repr = v }
+      prev = v
+    }
+    out += repr
+    out.result()
+  }
+
+  /** Lattice (ruled) table extraction — the Camelot-lattice shape over
+    * this engine's own primitives: horizontal rulings are painted path
+    * objects flatter than `tol`, vertical rulings narrower than `tol`;
+    * clustered ruling positions form the grid (m h-rulings × n v-rulings
+    * → (m−1)×(n−1) cells, requiring ≥ 2 of each), and text assigns to
+    * cells by tight-charbox-center containment in PDFium char order.
+    *
+    * Scope: one grid per page (the fixture family's shape); multi-table
+    * pages would first split rulings into connected components — noted,
+    * not implemented. Returns empty when no grid is present, so the
+    * operator is safe to run across an arbitrary corpus. */
+  def tables(page: PdfPage, tol: Double = 2.0): Vector[TableCell] = {
+    val paths = page.objects(Set("path"))
+    val hys = clusterPositions(paths.collect {
+      case p if p.bounds.height <= tol && p.bounds.width > tol =>
+        (p.bounds.top + p.bounds.bottom) / 2
+    }, tol)
+    val vxs = clusterPositions(paths.collect {
+      case p if p.bounds.width <= tol && p.bounds.height > tol =>
+        (p.bounds.left + p.bounds.right) / 2
+    }, tol)
+    if (hys.length < 2 || vxs.length < 2) return Vector.empty
+    val rowsB = hys.sorted(Ordering[Double].reverse) // top -> bottom
+    val colsB = vxs.sorted                           // left -> right
+    val cells = Array.fill(rowsB.length - 1, colsB.length - 1)(new StringBuilder)
+    page.textPage.chars.foreach { c =>
+      if (!c.excluded && !c.generated) c.tight.foreach { b =>
+        val cx = (b.left + b.right) / 2
+        val cy = (b.bottom + b.top) / 2
+        val ri = rowsB.indexWhere(y => cy >= y) - 1  // first boundary below center
+        val ci = colsB.lastIndexWhere(x => cx >= x)
+        if (ri >= 0 && ri < cells.length && ci >= 0 && ci < cells(0).length &&
+            cx <= colsB.last && cy >= rowsB.last)
+          cells(ri)(ci).append(c.unicode)
+      }
+    }
+    (for {
+      ri <- cells.indices
+      ci <- cells(ri).indices
+    } yield TableCell(ri, ci,
+      Rect(colsB(ci), rowsB(ri + 1), colsB(ci + 1), rowsB(ri)),
+      cells(ri)(ci).toString.trim)).toVector
+  }
 }

@@ -66,6 +66,23 @@ object SynthPdf {
       |0 -14 Td (right column second line) Tj
       |ET""".stripMargin)
 
+  /** 3×2 ruled table: 4 horizontal + 3 vertical stroked rulings forming
+    * a lattice grid, one labeled text cell per grid cell. */
+  def tablePdf: Array[Byte] = onePage(
+    """0.7 w
+      |50 700 m 350 700 l S
+      |50 670 m 350 670 l S
+      |50 640 m 350 640 l S
+      |50 610 m 350 610 l S
+      |50 610 m 50 700 l S
+      |200 610 m 200 700 l S
+      |350 610 m 350 700 l S
+      |BT /F1 10 Tf
+      |60 680 Td (name) Tj 150 0 Td (count) Tj
+      |-150 -30 Td (alpha) Tj 150 0 Td (12) Tj
+      |-150 -30 Td (beta) Tj 150 0 Td (7) Tj
+      |ET""".stripMargin)
+
   /** N-page classic-xref PDF (one text line per page) — the size-skew
     * "monster document" generator for the skew-stress bench (a 5000-page
     * doc among 1-pagers). Object layout: 1 catalog, 2 pages node,

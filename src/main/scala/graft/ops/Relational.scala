@@ -308,6 +308,36 @@ object Relational {
     }.toDF("event_type", "day", "c", "cusum_x1000", "alarm")
   }
 
+  /** Integer EWMA (α = 0.3, permille units) over each event type's daily
+    * volume — the short-horizon trend/forecast readout crawl-ops runs
+    * next to the CUSUM alarms: ewma₀ = 1000·n₀, ewmaₜ = (300·1000·nₜ +
+    * 700·ewmaₜ₋₁) div 1000, all int64 floor arithmetic, so the
+    * trajectory is engine-exact and the oracle replays it with a
+    * recursive CTE. `resid_m` = |1000·n − ewma| is the deviation feed.
+    *
+    * Scale shape identical to [[cusumChangepoints]]: the corpus-scale op
+    * is the partial-aggregated daily rollup; the sequential recurrence
+    * runs per event type over the BOUNDED day domain inside one task. */
+  def ewmaDaily(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("day").cast("string").as("day"), col("n"))
+      .as[(String, String, Long)]
+    daily.groupByKey(_._1).flatMapGroups { (etype, it) =>
+      val days = it.toVector.sortBy(_._2)
+      var ewma = 0L
+      var first = true
+      days.map { case (_, day, n) =>
+        ewma = if (first) { first = false; n * 1000L }
+               else (300L * n * 1000L + 700L * ewma) / 1000L
+        (etype, day, n, ewma, math.abs(n * 1000L - ewma))
+      }
+    }.toDF("event_type", "day", "n", "ewma_m", "resid_m")
+  }
+
   /** Deterministic burst injection for the CUSUM oracle: `perDay` extra
     * 'click' events on each of the LAST `burstDays` days of January 2024 —
     * planted positives the detector must flag. Mirrored in SQL. */

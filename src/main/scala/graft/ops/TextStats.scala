@@ -712,6 +712,35 @@ object TextStats {
     }.toDF("doc_id", "text")
   }
 
+  /** Per-document top-k keyword terms by integer tf·idf — the topic-tag
+    * projection a corpus index builds per document: tf = in-row term
+    * count, idf_m = (N·1000) div df (the same rational-idf family as
+    * text_bm25 — monotone in 1/df, engine-exact), score = tf·idf_m,
+    * ties broken by term.
+    *
+    * Scale shape: per-doc DISTINCT terms explode (bounded by doc
+    * vocabulary, not doc length); df is a vocab-sized aggregate that
+    * broadcast-joins back; top-k selects in-row by sorted slice over the
+    * per-doc collected terms — no Window over the corpus. */
+  def tfidfTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val nDocs = docs.count()
+    val terms = docs
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+      .select(col("doc_id"), explode(array_distinct(col("t"))).as("term"), col("t"))
+      .select(col("doc_id"), col("term"),
+        expr("CAST(size(filter(t, x -> x = term)) AS BIGINT)").as("tf"))
+    val dfs = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    terms.join(broadcast(dfs), Seq("term"))
+      .withColumn("score", col("tf") * expr(s"CAST($nDocs AS BIGINT) * 1000 div df"))
+      .groupBy("doc_id")
+      .agg(slice(sort_array(collect_list(struct(
+        (-col("score")).as("ns"), col("term"), col("tf"), col("df")))), 1, k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "h")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("h.term").as("term"), col("h.tf").as("tf"), col("h.df").as("df"),
+        (-col("h.ns")).as("score"))
+  }
+
   /** Hyphenated-linebreak corpus: plant an "exam-\nple"-style soft line
     * break inside every word of ≥ 5 lowercase letters followed by a space
     * (the corpus text is space-joined lowercase words, so the regex

@@ -44,6 +44,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(topSorted.take(2) == Vector("left column first line", "right column first line"))
   }
 
+  test("ruled table: 3x2 lattice cells with centered-charbox text assignment") {
+    val doc = PdfDocument.load(SynthPdf.tablePdf, "").toOption.get
+    val cells = Layout.tables(doc.pages.head)
+    assert(cells.length == 6)
+    val byPos = cells.map(c => (c.row, c.col) -> c).toMap
+    assert(byPos((0, 0)).text == "name")
+    assert(byPos((0, 1)).text == "count")
+    assert(byPos((1, 0)).text == "alpha")
+    assert(byPos((1, 1)).text == "12")
+    assert(byPos((2, 0)).text == "beta")
+    assert(byPos((2, 1)).text == "7")
+    val c00 = byPos((0, 0)).rect
+    assert(c00.left == 50.0 && c00.right == 200.0 && c00.top == 700.0 && c00.bottom == 670.0)
+  }
+
+  test("ruled table: pages without a grid return empty") {
+    val doc = PdfDocument.load(SynthPdf.paragraphsPdf, "").toOption.get
+    assert(Layout.tables(doc.pages.head).isEmpty)
+    // a single ruling (no lattice) is also not a table
+    val one = PdfDocument.load(SynthPdf.onePage(
+      "50 700 m 350 700 l S BT /F1 10 Tf 60 680 Td (x) Tj ET"), "").toOption.get
+    assert(Layout.tables(one.pages.head).isEmpty)
+  }
+
   test("leading estimate and degenerate inputs") {
     val tp = pageOf(SynthPdf.paragraphsPdf)
     val leading = Layout.leadingOf(Layout.lines(tp))

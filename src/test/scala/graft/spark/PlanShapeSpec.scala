@@ -122,6 +122,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("warc_revisit", maxExchange = 5)
   }
 
+  test("wave 52: tfidf top-k has no corpus Window; ewma is rollup + per-key map") {
+    val o = ops("text_tfidf_terms")
+    assert(!o.contains("Window"), s"tfidf must not plan a Window: $o")
+    // distinct-term explode + df rollup/broadcast-back + doc rollup + sort
+    assertShape("text_tfidf_terms", maxExchange = 4)
+    assertShape("events_ewma", maxExchange = 3)
+  }
+
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
     val pages = PagesTable.synthesize(spark, 16, 4)
     // default path: payload parsed where produced, zero Exchange
