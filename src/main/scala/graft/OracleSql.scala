@@ -255,6 +255,18 @@ object OracleSql {
         |) AS t(url, block_idx, n_lines, l, b, r, t, text)
         |ORDER BY block_idx""".stripMargin,
 
+    // pinned by construction: 18/14/14 pt heads over a 10 pt modal body;
+    // tops are Helvetica AFM ascender facts (743.5/710.5/650.5 rounded)
+    "pdf_headings" ->
+      """SELECT url, CAST(ord AS BIGINT) AS ord, CAST(level AS BIGINT) AS level,
+        |  CAST(size_x10 AS BIGINT) AS size_x10, CAST(top AS BIGINT) AS top, text
+        |FROM (VALUES
+        |  ('synthetic://headings.pdf', 0, 1, 180, 744, 'document title'),
+        |  ('synthetic://headings.pdf', 1, 2, 140, 711, 'first section'),
+        |  ('synthetic://headings.pdf', 2, 2, 140, 651, 'second section')
+        |) AS t(url, ord, level, size_x10, top, text)
+        |ORDER BY ord""".stripMargin,
+
     // pinned by construction: the table fixture plants a 3×2 lattice at
     // known ruling positions with one label per cell; the grid-free
     // paragraphs page contributes zero rows
@@ -1849,6 +1861,37 @@ object OracleSql {
         |  CAST(ewma_m AS BIGINT) AS ewma_m,
         |  CAST(abs(n * 1000 - ewma_m) AS BIGINT) AS resid_m
         |FROM r ORDER BY event_type, day""".stripMargin,
+
+    // mirrors TextStats.sentenceStats over corpusWithLines (same line
+    // CTEs as text_c4_clean), [.!?] split with newline flattening
+    "text_sentences" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |nl AS (SELECT doc_id, t, greatest(1, CAST(ceil(len(t) / 12.0) AS BIGINT)) AS nln FROM toks),
+        |body AS (SELECT doc_id, unnest(range(0, nln)) AS idx, t, nln FROM nl),
+        |line0 AS (SELECT doc_id, idx,
+        |  array_to_string(t[idx*12+1 : (idx+1)*12], ' ') ||
+        |  CASE WHEN (doc_id + idx) % 3 <> 2 THEN '.' ELSE '' END AS line FROM body),
+        |junk AS (SELECT doc_id, nln AS idx,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'enable javascript and cookies to continue browsing now.'
+        |    WHEN 1 THEN 'function() { return spam; }'
+        |    ELSE 'lorem ipsum dolor sit amet placeholder text for padding.' END AS line
+        |  FROM nl WHERE doc_id % 4 <> 3),
+        |lines AS (SELECT * FROM line0 UNION ALL SELECT * FROM junk),
+        |doc AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+        |        FROM lines GROUP BY doc_id),
+        |sp AS (SELECT doc_id,
+        |  list_filter(list_transform(string_split_regex(replace(text, chr(10), ' '), '[.!?]'),
+        |    s -> trim(s)), s -> s <> '') AS sents FROM doc),
+        |lens AS (SELECT doc_id, len(sents) AS n_sentences,
+        |  list_transform(sents, s -> len(list_filter(string_split(s, ' '), w -> w <> ''))) AS ls
+        |  FROM sp)
+        |SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(coalesce(list_aggregate(ls, 'sum'), 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(list_aggregate(ls, 'max'), 0) AS BIGINT) AS max_tokens,
+        |  CAST(CASE WHEN n_sentences = 0 THEN 0
+        |       ELSE (coalesce(list_aggregate(ls, 'sum'), 0) * 10) // n_sentences END AS BIGINT) AS avg_tokens_x10
+        |FROM lens ORDER BY doc_id""".stripMargin,
 
     // mirrors TextStats.tfidfTerms: distinct-term tf, corpus df, rational
     // integer idf, row_number top-3 (the Window form of the sorted slice)

@@ -856,6 +856,23 @@ object SparkEntry {
         .orderBy("trow", "tcol")
     }),
 
+    "pdf_headings" -> ((s, _) => {
+      import s.implicits._
+      // font-size heading inference (outline for untagged PDFs): body =
+      // char-weighted modal size, levels by size rank, top-down order
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val rows = Seq(PageRow("synthetic://headings.pdf", ts,
+        graft.core.SynthPdf.headingsPdf, null, "la"))
+      s.createDataset(rows).flatMap { row =>
+        val doc = graft.core.PdfDocument.load(row.html, "").toOption.get
+        graft.core.Layout.headings(doc.pages.head).zipWithIndex.map { case (h, i) =>
+          (row.url, i.toLong, h.level.toLong,
+            math.round(h.fontSize * 10), math.round(h.top), h.text)
+        }
+      }.toDF("url", "ord", "level", "size_x10", "top", "text")
+        .orderBy("ord")
+    }),
+
     "pdf_form_fields" -> ((s, _) => {
       ExtractPipeline.extractDoc(
         PagesTable.ofFixtures(s, Seq("forms.pdf")), parts = Set(DocParts.Meta, DocParts.Forms))
@@ -1506,6 +1523,14 @@ object SparkEntry {
       // rollup; bounded-domain recurrence runs per key inside one task
       graft.ops.Relational.ewmaDaily(docs(s, dir, "events"))
         .orderBy("event_type", "day")
+    }),
+
+    "text_sentences" -> ((s, dir) => {
+      // sentence segmentation stats over the line-structured corpus: one
+      // codegen'd array pipeline, zero shuffle
+      TextStats.sentenceStats(TextStats.corpusWithLines(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("doc_id")
     }),
 
     "text_tfidf_terms" -> ((s, dir) => {

@@ -91,6 +91,29 @@ object Layout {
     (cols.length, cols.map(_.map(_.text).mkString(lineSep)).mkString(colSep))
   }
 
+  final case class Heading(level: Int, fontSize: Double, text: String, top: Double)
+
+  /** Font-size heading inference for untagged PDFs — the outline signal
+    * document chunking wants when no structure tree exists: the BODY size
+    * is the char-weighted modal font size (rounded to 0.1 pt to absorb
+    * float noise); any text object more than 0.5 pt larger is a heading,
+    * its level the rank of its size among heading sizes (largest = 1),
+    * emitted in top-down page order. */
+  def headings(page: PdfPage): Vector[Heading] = {
+    val texts = page.objects(Set("text")).filter(_.text.nonEmpty)
+    if (texts.isEmpty) return Vector.empty
+    val body = texts.groupBy(t => math.round(t.fontSize * 10))
+      .view.mapValues(_.map(_.text.length).sum).toVector
+      .sortBy { case (sz, w) => (-w, sz) }.head._1 / 10.0
+    val hs = texts.filter(_.fontSize > body + 0.5)
+    val sizes = hs.map(h => math.round(h.fontSize * 10)).distinct
+      .sorted(Ordering[Long].reverse)
+    hs.sortBy(h => (-h.bounds.top, h.bounds.left)).map { h =>
+      Heading(sizes.indexOf(math.round(h.fontSize * 10)) + 1,
+        h.fontSize, h.text, h.bounds.top)
+    }
+  }
+
   final case class TableCell(row: Int, col: Int, rect: Rect, text: String)
 
   /** Deterministic 1-D position clustering: sorted values grouped while

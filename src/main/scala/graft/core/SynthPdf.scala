@@ -66,6 +66,16 @@ object SynthPdf {
       |0 -14 Td (right column second line) Tj
       |ET""".stripMargin)
 
+  /** Heading-structured page: one 18 pt title, two 14 pt section heads,
+    * three 10 pt body lines (the char-weighted modal size). */
+  def headingsPdf: Array[Byte] = onePage(
+    """BT /F1 18 Tf 50 730 Td (document title) Tj ET
+      |BT /F1 14 Tf 50 700 Td (first section) Tj ET
+      |BT /F1 10 Tf 50 686 Td (body line one about scans) Tj ET
+      |BT /F1 10 Tf 50 672 Td (body line two about joins) Tj ET
+      |BT /F1 14 Tf 50 640 Td (second section) Tj ET
+      |BT /F1 10 Tf 50 626 Td (more body text here) Tj ET""".stripMargin)
+
   /** 3×2 ruled table: 4 horizontal + 3 vertical stroked rulings forming
     * a lattice grid, one labeled text cell per grid cell. */
   def tablePdf: Array[Byte] = onePage(

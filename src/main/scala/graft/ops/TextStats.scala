@@ -712,6 +712,28 @@ object TextStats {
     }.toDF("doc_id", "text")
   }
 
+  /** Sentence segmentation stats — the primitive under sentence-level
+    * dedup and chunking: sentences split on terminal [.!?] (newlines
+    * flattened to spaces first so cross-line sentences merge), empty
+    * segments dropped, token counts per sentence from the whitespace
+    * split. Everything is one codegen'd array pipeline, zero shuffle,
+    * integer outputs the oracle replays. */
+  def sentenceStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(transform(split(replace(text, '\\n', ' '), '[.!?]'), s -> trim(s)), s -> s <> '')")
+          .as("sents"))
+      .select(col("doc_id"),
+        size(col("sents")).cast("long").as("n_sentences"),
+        expr("transform(sents, s -> CAST(size(filter(split(s, ' '), w -> w <> '')) AS BIGINT))")
+          .as("ls"))
+      .select(col("doc_id"), col("n_sentences"),
+        expr("CAST(coalesce(aggregate(ls, CAST(0 AS BIGINT), (a, x) -> a + x), 0) AS BIGINT)")
+          .as("n_tokens"),
+        expr("CAST(coalesce(array_max(ls), 0) AS BIGINT)").as("max_tokens"))
+      .withColumn("avg_tokens_x10",
+        expr("CASE WHEN n_sentences = 0 THEN 0 ELSE n_tokens * 10 div n_sentences END"))
+
   /** Per-document top-k keyword terms by integer tf·idf — the topic-tag
     * projection a corpus index builds per document: tf = in-row term
     * count, idf_m = (N·1000) div df (the same rational-idf family as

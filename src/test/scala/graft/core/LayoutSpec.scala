@@ -68,6 +68,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.tables(one.pages.head).isEmpty)
   }
 
+  test("headings: modal body size, levels by size rank, top-down order") {
+    val doc = PdfDocument.load(SynthPdf.headingsPdf, "").toOption.get
+    val hs = Layout.headings(doc.pages.head)
+    info(hs.map(h => f"L${h.level} ${h.fontSize}%.1f top=${h.top}%.3f '${h.text}'").mkString("\n"))
+    assert(hs.map(h => (h.level, h.text)) == Vector(
+      (1, "document title"), (2, "first section"), (2, "second section")))
+    // body lines (10 pt) never surface as headings
+    assert(hs.forall(_.fontSize > 10.0))
+  }
+
+  test("headings: single-size pages have none; empty pages are safe") {
+    val doc = PdfDocument.load(SynthPdf.paragraphsPdf, "").toOption.get
+    assert(Layout.headings(doc.pages.head).isEmpty)
+    val empty = PdfDocument.load(SynthPdf.onePage(""), "").toOption.get
+    assert(Layout.headings(empty.pages.head).isEmpty)
+  }
+
   test("leading estimate and degenerate inputs") {
     val tp = pageOf(SynthPdf.paragraphsPdf)
     val leading = Layout.leadingOf(Layout.lines(tp))

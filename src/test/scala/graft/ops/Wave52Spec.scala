@@ -55,6 +55,21 @@ class Wave52Spec extends AnyFunSuite {
     assert(rs.keys.count(_._1 == 1L) == 3)
   }
 
+  test("sentences: terminal-punct split, newline flattening, integer stats") {
+    val docs = Seq(
+      (0L, "the scan runs. the join\nmerges fast! done"),
+      (1L, "no terminal punctuation here"),
+      (2L, "")).toDF("doc_id", "text")
+    val rs = TextStats.sentenceStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_sentences"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("max_tokens"), r.getAs[Long]("avg_tokens_x10")))).toMap
+    // doc 0: "the scan runs" (3) | "the join merges fast" (4) | "done" (1)
+    assert(rs(0L) == ((3L, 8L, 4L, 26L)))
+    assert(rs(1L) == ((1L, 4L, 4L, 40L)))
+    assert(rs(2L) == ((0L, 0L, 0L, 0L)))
+  }
+
   test("tfidf: ties break by term ascending, identical to the oracle rule") {
     val docs = Seq(
       (0L, "aa bb"), (1L, "aa bb")).toDF("doc_id", "text")

@@ -130,6 +130,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("events_ewma", maxExchange = 3)
   }
 
+  test("wave 53: sentence stats are a zero-shuffle array pipeline") {
+    assertShape("text_sentences", maxExchange = 1)
+  }
+
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
     val pages = PagesTable.synthesize(spark, 16, 4)
     // default path: payload parsed where produced, zero Exchange
