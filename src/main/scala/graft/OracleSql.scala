@@ -1862,6 +1862,77 @@ object OracleSql {
         |  CAST(abs(n * 1000 - ewma_m) AS BIGINT) AS resid_m
         |FROM r ORDER BY event_type, day""".stripMargin,
 
+    // pinned by construction: heading levels/order/nav-containment and
+    // entity decode over the three inline fixture pages
+    "html_outline" ->
+      """SELECT url, CAST(ord AS BIGINT) AS ord, CAST(level AS BIGINT) AS level,
+        |  in_boilerplate, text
+        |FROM (VALUES
+        |  ('https://o.example/a', 0, 1, false, 'Main Title & More'),
+        |  ('https://o.example/a', 1, 2, false, 'Background'),
+        |  ('https://o.example/a', 2, 2, true, 'Site Menu'),
+        |  ('https://o.example/a', 3, 3, false, 'Details'),
+        |  ('https://o.example/b', 0, 2, false, 'Upper Case')
+        |) AS t(url, ord, level, in_boilerplate, text)
+        |ORDER BY url, ord""".stripMargin,
+
+    // mirrors TextStats.licenseFilter over corpusWithLicenses: the
+    // residue-planted markers and the contains() taxonomy replayed
+    "text_license" ->
+      """WITH c AS (SELECT doc_id, lower(text ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' licensed under a creative commons attribution license'
+        |       WHEN doc_id % 11 = 1 THEN ' all rights reserved'
+        |       WHEN doc_id % 11 = 2 THEN ' this work is in the public domain'
+        |       ELSE '' END) AS lt FROM documents),
+        |f AS (SELECT doc_id,
+        |  (contains(lt, 'creative commons') OR contains(lt, 'cc by')) AS has_cc,
+        |  contains(lt, 'all rights reserved') AS has_arr,
+        |  contains(lt, 'public domain') AS has_pd FROM c)
+        |SELECT doc_id, has_cc, has_arr, has_pd,
+        |  CASE WHEN has_arr THEN 'restricted'
+        |       WHEN has_cc OR has_pd THEN 'permissive'
+        |       ELSE 'unmarked' END AS license_class,
+        |  NOT has_arr AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextStats.readability over corpusWithLines (same line CTEs
+    // as text_c4_clean): integer Flesch with vowel-group syllable proxy
+    "text_readability" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |nl AS (SELECT doc_id, t, greatest(1, CAST(ceil(len(t) / 12.0) AS BIGINT)) AS nln FROM toks),
+        |body AS (SELECT doc_id, unnest(range(0, nln)) AS idx, t, nln FROM nl),
+        |line0 AS (SELECT doc_id, idx,
+        |  array_to_string(t[idx*12+1 : (idx+1)*12], ' ') ||
+        |  CASE WHEN (doc_id + idx) % 3 <> 2 THEN '.' ELSE '' END AS line FROM body),
+        |junk AS (SELECT doc_id, nln AS idx,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'enable javascript and cookies to continue browsing now.'
+        |    WHEN 1 THEN 'function() { return spam; }'
+        |    ELSE 'lorem ipsum dolor sit amet placeholder text for padding.' END AS line
+        |  FROM nl WHERE doc_id % 4 <> 3),
+        |lines AS (SELECT * FROM line0 UNION ALL SELECT * FROM junk),
+        |doc AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+        |        FROM lines GROUP BY doc_id),
+        |st AS (SELECT doc_id,
+        |  len(list_filter(list_transform(string_split_regex(replace(text, chr(10), ' '), '[.!?]'),
+        |    s -> trim(s)), s -> s <> '')) AS n_sentences,
+        |  len(list_filter(string_split(replace(text, chr(10), ' '), ' '), w -> w <> '')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[aeiou]+')) AS n_syllables FROM doc)
+        |SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  CAST(CASE WHEN n_sentences = 0 OR n_tokens = 0 THEN 0
+        |       ELSE 206835 - (1015 * n_tokens) // n_sentences
+        |            - (84600 * n_syllables) // n_tokens END AS BIGINT) AS flesch_x1000,
+        |  CASE WHEN (CASE WHEN n_sentences = 0 OR n_tokens = 0 THEN 0
+        |       ELSE 206835 - (1015 * n_tokens) // n_sentences
+        |            - (84600 * n_syllables) // n_tokens END) >= 70000 THEN 'easy'
+        |       WHEN (CASE WHEN n_sentences = 0 OR n_tokens = 0 THEN 0
+        |       ELSE 206835 - (1015 * n_tokens) // n_sentences
+        |            - (84600 * n_syllables) // n_tokens END) >= 50000 THEN 'medium'
+        |       ELSE 'hard' END AS band
+        |FROM st ORDER BY doc_id""".stripMargin,
+
     // mirrors TextStats.sentenceStats over corpusWithLines (same line
     // CTEs as text_c4_clean), [.!?] split with newline flattening
     "text_sentences" ->

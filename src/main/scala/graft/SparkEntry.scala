@@ -1525,6 +1525,41 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    "html_outline" -> ((s, _) => {
+      import s.implicits._
+      // h1-h6 outline in document order (the HTML sibling of
+      // pdf_headings); nav containment reported, entity decode pinned
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val o1 =
+        """<html><body><h1>Main Title &amp; More</h1><p>intro text</p>
+          |<h2>Background</h2><p>body</p>
+          |<nav><h2>Site Menu</h2></nav>
+          |<h3>Details</h3></body></html>""".stripMargin
+      val o2 = """<html><body><H2 class="x">Upper Case</H2><p>t</p></body></html>"""
+      val o3 = """<html><body><p>no headings at all</p></body></html>"""
+      val rows = Seq(
+        PageRow("https://o.example/a", ts, o1.getBytes("UTF-8"), null, "en"),
+        PageRow("https://o.example/b", ts, o2.getBytes("UTF-8"), null, "en"),
+        PageRow("https://o.example/c", ts, o3.getBytes("UTF-8"), null, "en"))
+      HtmlMeta.outline(s.createDataset(rows)).toDF().orderBy("url", "ord")
+    }),
+
+    "text_license" -> ((s, dir) => {
+      // provenance gate: phrase-level license-marker detection, one
+      // codegen'd lowercase+contains projection, zero shuffle
+      TextStats.licenseFilter(TextStats.corpusWithLicenses(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("doc_id")
+    }),
+
+    "text_readability" -> ((s, dir) => {
+      // integer Flesch reading-ease over sentence/token/vowel-group
+      // counts; zero shuffle, engine-exact floor arithmetic
+      TextStats.readability(TextStats.corpusWithLines(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("doc_id")
+    }),
+
     "text_sentences" -> ((s, dir) => {
       // sentence segmentation stats over the line-structured corpus: one
       // codegen'd array pipeline, zero shuffle

@@ -36,6 +36,37 @@ object HtmlMeta {
     }
   }
 
+  final case class OutlineRow(
+      url: String,
+      ord: Long,
+      level: Long,
+      in_boilerplate: Boolean,
+      text: String)
+
+  /** h1–h6 heading outline in document order — the HTML sibling of the
+    * PDF font-size heading inference: the chunking/section signal a
+    * training-data pipeline keys section-aware splits on. A heading is a
+    * text block whose tag path bottoms out in hN; nav/header/footer
+    * containment is reported (not dropped) so downstream can filter on
+    * the same boilerplate rule the main-content extractor uses. One
+    * narrow typed flatMap, nothing throws. */
+  def outline(pages: Dataset[PageRow]): Dataset[OutlineRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val H = "(?:^|/)h([1-6])$".r
+    pages.flatMap { p =>
+      if (p.html == null) Seq.empty[OutlineRow]
+      else {
+        val doc = HtmlExtract.parse(p.html)
+        doc.blocks.iterator.collect(Function.unlift { b =>
+          H.findFirstMatchIn(b.tagPath).map(m => (m.group(1).toLong, b))
+        }).zipWithIndex.map { case ((lvl, b), i) =>
+          OutlineRow(p.url, i.toLong, lvl, b.inBoilerplateContainer, b.text)
+        }.toVector
+      }
+    }
+  }
+
   final case class JsonLdRow(
       url: String,
       block_idx: Int,

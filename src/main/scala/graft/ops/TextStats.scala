@@ -734,6 +734,63 @@ object TextStats {
       .withColumn("avg_tokens_x10",
         expr("CASE WHEN n_sentences = 0 THEN 0 ELSE n_tokens * 10 div n_sentences END"))
 
+  /** License-marker corpus: plant license phrases by residue — CC
+    * attribution (%11==0), all-rights-reserved (%11==1), public-domain
+    * dedication (%11==2); the rest carry no marker. Mirrored verbatim. */
+  def corpusWithLicenses(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 11 === 0,
+        lit(" licensed under a creative commons attribution license"))
+        .when(col("doc_id") % 11 === 1, lit(" all rights reserved"))
+        .when(col("doc_id") % 11 === 2, lit(" this work is in the public domain"))
+        .otherwise(lit(""))))
+
+  /** License-marker filtering — the provenance gate a lawful training
+    * corpus runs before anything else: phrase-level detection of the
+    * big three marker families (Creative Commons, all-rights-reserved,
+    * public domain) and a keep/drop class. Marker detection is
+    * `contains` on lowercased text — one codegen'd projection, zero
+    * shuffle, replayed exactly in SQL. Phrase lists are a starting
+    * taxonomy, not legal advice (the standard caveat). */
+  def licenseFilter(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+      .select(col("doc_id"),
+        (col("lt").contains("creative commons") || col("lt").contains("cc by"))
+          .as("has_cc"),
+        col("lt").contains("all rights reserved").as("has_arr"),
+        col("lt").contains("public domain").as("has_pd"))
+      .withColumn("license_class",
+        when(col("has_arr"), "restricted")
+          .when(col("has_cc") || col("has_pd"), "permissive")
+          .otherwise("unmarked"))
+      .withColumn("keep", col("license_class") =!= "restricted")
+
+  /** Integer Flesch reading-ease over sentence/token/syllable-proxy
+    * counts: flesch_x1000 = 206835 − (1015·W) div S − (84600·Y) div W,
+    * with Y the vowel-group count (the standard syllable proxy). All
+    * int64 floor arithmetic — engine-exact. Zero shuffle. */
+  def readability(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(transform(split(replace(text, '\\n', ' '), '[.!?]'), s -> trim(s)), s -> s <> '')")
+          .as("sents"),
+        expr("CAST(size(filter(split(replace(text, '\\n', ' '), ' '), w -> w <> '')) AS BIGINT)")
+          .as("n_tokens"),
+        expr("CAST(size(regexp_extract_all(text, '[aeiou]+', 0)) AS BIGINT)")
+          .as("n_syllables"))
+      .select(col("doc_id"),
+        size(col("sents")).cast("long").as("n_sentences"),
+        col("n_tokens"), col("n_syllables"))
+      .withColumn("flesch_x1000",
+        expr("""CASE WHEN n_sentences = 0 OR n_tokens = 0 THEN 0
+                ELSE 206835 - (1015 * n_tokens) div n_sentences
+                     - (84600 * n_syllables) div n_tokens END"""))
+      .withColumn("band",
+        when(col("flesch_x1000") >= 70000, "easy")
+          .when(col("flesch_x1000") >= 50000, "medium")
+          .otherwise("hard"))
+
   /** Per-document top-k keyword terms by integer tf·idf — the topic-tag
     * projection a corpus index builds per document: tf = in-row term
     * count, idf_m = (N·1000) div df (the same rational-idf family as
