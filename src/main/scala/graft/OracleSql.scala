@@ -255,6 +255,35 @@ object OracleSql {
         |) AS t(url, block_idx, n_lines, l, b, r, t, text)
         |ORDER BY block_idx""".stripMargin,
 
+    // pinned by construction: robots directives per fixture page —
+    // name=googlebot is NOT name=robots; "none" implies noindex+nofollow;
+    // multiple metas union restrictively
+    "html_robots_meta" ->
+      """SELECT url, has_robots_meta, noindex, nofollow, noarchive, indexable
+        |FROM (VALUES
+        |  ('https://r.example/archive', true, false, true, true, true),
+        |  ('https://r.example/noindex', true, true, false, false, false),
+        |  ('https://r.example/none', true, true, true, false, false),
+        |  ('https://r.example/open', false, false, false, false, true),
+        |  ('https://r.example/other', false, false, false, false, true)
+        |) AS t(url, has_robots_meta, noindex, nofollow, noarchive, indexable)
+        |ORDER BY url""".stripMargin,
+
+    // text.pdf rows pinned from the reference fixture (links whose anchor
+    // IS the url); the synthetic row's anchor differs from its URI —
+    // proving the extraction reads text under the rect, not the target
+    "pdf_link_text" ->
+      """SELECT fixture, CAST(page AS BIGINT) AS page, CAST(ord AS BIGINT) AS ord,
+        |  uri, anchor
+        |FROM (VALUES
+        |  ('synthetic://link.pdf', 0, 0, 'https://t.example/x', 'click here for details'),
+        |  ('text.pdf', 1, 0, 'https://www.wikipedia.org/', 'https://www.wikipedia.org/'),
+        |  ('text.pdf', 1, 1, 'https://kde.org/', 'https://kde.org/'),
+        |  ('text.pdf', 1, 2, 'https://www.opensuse.org/', 'https://www.opensuse.org/'),
+        |  ('text.pdf', 1, 3, 'https://www.openstreetmap.org/', 'https://www.openstreetmap.org/')
+        |) AS t(fixture, page, ord, uri, anchor)
+        |ORDER BY fixture, page, ord""".stripMargin,
+
     // pinned by construction: 18/14/14 pt heads over a 10 pt modal body;
     // tops are Helvetica AFM ascender facts (743.5/710.5/650.5 rounded)
     "pdf_headings" ->

@@ -896,6 +896,30 @@ object SparkEntry {
         .toDF("page", "ord", "subtype", "l", "b", "r", "t", "uri")
     }),
 
+    "pdf_link_text" -> ((s, _) => {
+      import s.implicits._
+      // anchor text for PDF hyperlinks: URI annot rects ∩ the text page
+      // (textBounded) — the PDF edge of the corpus link graph, with the
+      // visible anchor carried alongside the target like html_links
+      val fixtures = Seq(
+        "text.pdf" -> PagesTable.fixture("text.pdf"),
+        "synthetic://link.pdf" -> graft.core.SynthPdf.linkPdf)
+      s.createDataset(fixtures).flatMap { case (name, bytes) =>
+        val doc = graft.core.PdfDocument.load(bytes, "").toOption.get
+        doc.pages.zipWithIndex.flatMap { case (p, pi) =>
+          val tp = p.textPage
+          p.annotationInfos.zipWithIndex.collect {
+            case ((_, r, uri), ai) if uri.nonEmpty =>
+              val anchor = tp.textBounded(Some(r.left), Some(r.bottom),
+                  Some(r.right), Some(r.top))
+                .replace("\r\n", " ").replace("\n", " ").trim
+              (name, pi.toLong, ai.toLong, uri, anchor)
+          }
+        }
+      }.toDF("fixture", "page", "ord", "uri", "anchor")
+        .orderBy("fixture", "page", "ord")
+    }),
+
     "pdf_unsupported" -> ((s, _) => {
       import s.implicits._
       // PdfUnspHandler analog (reference unsupported.py:15; feature names
@@ -1542,6 +1566,28 @@ object SparkEntry {
         PageRow("https://o.example/b", ts, o2.getBytes("UTF-8"), null, "en"),
         PageRow("https://o.example/c", ts, o3.getBytes("UTF-8"), null, "en"))
       HtmlMeta.outline(s.createDataset(rows)).toDF().orderBy("url", "ord")
+    }),
+
+    "html_robots_meta" -> ((s, _) => {
+      import s.implicits._
+      // page-level robots directives: noindex drops the page, nofollow
+      // withholds its links; restrictive union over multiple metas
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val pages = Seq(
+        ("https://r.example/open",
+          "<html><head><title>t</title></head><body>x</body></html>"),
+        ("https://r.example/noindex",
+          """<html><head><meta name="robots" content="noindex, follow"></head><body>x</body></html>"""),
+        ("https://r.example/none",
+          """<html><head><META NAME=robots CONTENT="none"></head><body>x</body></html>"""),
+        ("https://r.example/archive",
+          """<html><head><meta name="robots" content="noarchive">
+            |<meta name="robots" content="nofollow"></head><body>x</body></html>""".stripMargin),
+        ("https://r.example/other",
+          """<html><head><meta name="googlebot" content="noindex"></head><body>x</body></html>"""))
+      val rows = pages.map { case (u, h) =>
+        PageRow(u, ts, h.getBytes("UTF-8"), null, "en") }
+      HtmlMeta.robotsMeta(s.createDataset(rows)).toDF().orderBy("url")
     }),
 
     "text_license" -> ((s, dir) => {

@@ -66,6 +66,24 @@ object SynthPdf {
       |0 -14 Td (right column second line) Tj
       |ET""".stripMargin)
 
+  /** Page with a URI link annotation whose visible anchor text ("click
+    * here for details") differs from the target URL — proves anchor
+    * extraction reads the text under the rect, not the URI. */
+  def linkPdf: Array[Byte] = {
+    val content = "BT /F1 12 Tf 50 700 Td (click here for details) Tj " +
+      "0 -20 Td (unlinked body line) Tj ET"
+    build(Vector(
+      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      ("<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]" +
+        "/Resources<</Font<</F1 4 0 R>>>>/Contents 5 0 R" +
+        "/Annots[6 0 R]>>").getBytes,
+      "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>".getBytes,
+      (s"<</Length ${content.length}>>\nstream\n$content\nendstream").getBytes,
+      ("<</Type/Annot/Subtype/Link/Rect[50 695 165 712]" +
+        "/A<</S/URI/URI(https://t.example/x)>>>>").getBytes))
+  }
+
   /** Heading-structured page: one 18 pt title, two 14 pt section heads,
     * three 10 pt body lines (the char-weighted modal size). */
   def headingsPdf: Array[Byte] = onePage(

@@ -67,6 +67,48 @@ object HtmlMeta {
     }
   }
 
+  final case class RobotsMetaRow(
+      url: String,
+      has_robots_meta: Boolean,
+      noindex: Boolean,
+      nofollow: Boolean,
+      noarchive: Boolean,
+      indexable: Boolean)
+
+  /** Page-level robots directives (`<meta name="robots" content="…">`) —
+    * the per-PAGE complement of the robots.txt gate: a compliant corpus
+    * drops noindex pages and withholds nofollow pages' links from the
+    * link graph. Lenient tag scan (same attr parser as the extractor),
+    * directives matched as comma/space-separated tokens, multiple robots
+    * metas OR together (the restrictive union, what search engines do). */
+  def robotsMeta(pages: Dataset[PageRow]): Dataset[RobotsMetaRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val Tag = "(?is)<meta\\b([^>]*)>".r
+    pages.map { p =>
+      if (p.html == null) RobotsMetaRow(p.url, false, false, false, false, true)
+      else {
+        val html = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+        var found = false; var noi = false; var nof = false; var noa = false
+        Tag.findAllMatchIn(html).foreach { m =>
+          val body = "meta " + m.group(1)
+          val isRobots = HtmlExtract.attr(body, "name")
+            .exists(_.trim.equalsIgnoreCase("robots"))
+          if (isRobots) {
+            found = true
+            val toks = HtmlExtract.attr(body, "content").getOrElse("")
+              .toLowerCase(java.util.Locale.ROOT)
+              .split("[,\\s]+").map(_.trim).filter(_.nonEmpty).toSet
+            if (toks.contains("noindex") || toks.contains("none")) noi = true
+            if (toks.contains("nofollow") || toks.contains("none")) nof = true
+            if (toks.contains("noarchive")) noa = true
+          }
+        }
+        RobotsMetaRow(p.url, found, noi, nof, noa, !noi)
+      }
+    }
+  }
+
   final case class JsonLdRow(
       url: String,
       block_idx: Int,

@@ -36,6 +36,35 @@ class Wave54Spec extends AnyFunSuite {
     assert(!rs.exists(_.url == "c"))
   }
 
+  test("robots meta: tokenization, 'none' expansion, restrictive union, malformed safety") {
+    def page(u: String, h: String) = PageRow(u, ts, h.getBytes("UTF-8"), null, "en")
+    val rows = Seq(
+      page("a", """<meta name="robots" content="NOINDEX , NoFollow">"""),
+      page("b", """<meta content="noindex" name="robots">"""),      // attr order
+      page("c", """<meta name="robots">"""),                        // no content
+      page("d", """<meta name="robotsx" content="noindex">"""),     // not robots
+      page("e", "<meta"))                                           // truncated
+    val rs = HtmlMeta.robotsMeta(spark.createDataset(rows)).collect()
+      .map(r => r.url -> ((r.has_robots_meta, r.noindex, r.nofollow))).toMap
+    assert(rs("a") == ((true, true, true)))
+    assert(rs("b") == ((true, true, false)))
+    assert(rs("c") == ((true, false, false)))
+    assert(rs("d") == ((false, false, false)))
+    assert(rs("e") == ((false, false, false)))
+  }
+
+  test("pdf link anchor: synthetic fixture's anchor text differs from its URI") {
+    val doc = graft.core.PdfDocument.load(graft.core.SynthPdf.linkPdf, "").toOption.get
+    val p = doc.pages.head
+    val Vector((sub, r, uri)) = p.annotationInfos
+    assert(sub == "Link" && uri == "https://t.example/x")
+    val anchor = p.textPage.textBounded(Some(r.left), Some(r.bottom),
+      Some(r.right), Some(r.top)).trim
+    assert(anchor == "click here for details")
+    // the unlinked line stays outside the rect
+    assert(!anchor.contains("unlinked"))
+  }
+
   test("license gate: planted markers classify; unmarked docs keep") {
     val docs = Seq(
       (0L, "plain words"),  // %11==0 -> cc
