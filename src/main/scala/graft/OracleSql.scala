@@ -255,6 +255,25 @@ object OracleSql {
         |) AS t(url, block_idx, n_lines, l, b, r, t, text)
         |ORDER BY block_idx""".stripMargin,
 
+    // pinned by construction: the exact markdown strings are fixed by the
+    // fixture geometry (md5 over the full render; first line readable)
+    "pdf_to_markdown" ->
+      """SELECT url, CAST(n_chars AS BIGINT) AS n_chars, md_md5, first_line
+        |FROM (VALUES
+        |  ('synthetic://article.pdf', 134, '8b25be8ddb3dd19b65b153c93934cd18', '# spark graft report'),
+        |  ('synthetic://paragraphs.pdf', 162, 'b455c4b89f5b3c469d90c102ce4eb6d0', 'data tables merge under the fast scan the hash join groups every key batch rows spill to sorted runs')
+        |) AS t(url, n_chars, md_md5, first_line)
+        |ORDER BY url""".stripMargin,
+
+    // pinned by construction: block-stream markdown render of the inline
+    // fixture (entity decode, list items, nav drop)
+    "html_to_markdown" ->
+      """SELECT url, CAST(n_chars AS BIGINT) AS n_chars, md_md5, first_line
+        |FROM (VALUES
+        |  ('https://md.example/a', 84, '0c277d6ed8253d060d2ebc84053e62bd', '# Guide & Notes')
+        |) AS t(url, n_chars, md_md5, first_line)
+        |ORDER BY url""".stripMargin,
+
     // pinned by construction: robots directives per fixture page —
     // name=googlebot is NOT name=robots; "none" implies noindex+nofollow;
     // multiple metas union restrictively

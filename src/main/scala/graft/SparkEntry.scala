@@ -920,6 +920,27 @@ object SparkEntry {
         .orderBy("fixture", "page", "ord")
     }),
 
+    "pdf_to_markdown" -> ((s, _) => {
+      import s.implicits._
+      // composite training-data export (docling/marker output shape):
+      // headings + paragraph blocks + pipe tables in top-down order, all
+      // from this engine's own layout primitives; md5-pinned
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val rows = Seq(
+        PageRow("synthetic://article.pdf", ts, graft.core.SynthPdf.articlePdf, null, "la"),
+        PageRow("synthetic://paragraphs.pdf", ts, graft.core.SynthPdf.paragraphsPdf, null, "la"))
+      s.createDataset(rows).map { row =>
+        val doc = graft.core.PdfDocument.load(row.html, "").toOption.get
+        val md = graft.core.Layout.markdown(doc.pages.head)
+        val hash = java.security.MessageDigest.getInstance("MD5")
+          .digest(md.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString
+        (row.url, md.length.toLong, hash,
+          md.linesIterator.toSeq.headOption.getOrElse(""))
+      }.toDF("url", "n_chars", "md_md5", "first_line")
+        .orderBy("url")
+    }),
+
     "pdf_unsupported" -> ((s, _) => {
       import s.implicits._
       // PdfUnspHandler analog (reference unsupported.py:15; feature names
@@ -1566,6 +1587,22 @@ object SparkEntry {
         PageRow("https://o.example/b", ts, o2.getBytes("UTF-8"), null, "en"),
         PageRow("https://o.example/c", ts, o3.getBytes("UTF-8"), null, "en"))
       HtmlMeta.outline(s.createDataset(rows)).toDF().orderBy("url", "ord")
+    }),
+
+    "html_to_markdown" -> ((s, _) => {
+      import s.implicits._
+      // HTML sibling of pdf_to_markdown: block stream → #/-/paragraph
+      // render, boilerplate containers dropped by the extractor's rule
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val h =
+        """<html><body><h1>Guide &amp; Notes</h1><p>intro paragraph</p>
+          |<ul><li>first item</li><li>second item</li></ul>
+          |<nav><p>menu junk</p></nav>
+          |<h2>Part</h2><p>closing text</p></body></html>""".stripMargin
+      val rows = Seq(PageRow("https://md.example/a", ts, h.getBytes("UTF-8"), null, "en"))
+      HtmlMeta.htmlMarkdown(s.createDataset(rows))
+        .toDF("url", "n_chars", "md_md5", "first_line")
+        .orderBy("url")
     }),
 
     "html_robots_meta" -> ((s, _) => {

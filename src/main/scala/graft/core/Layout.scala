@@ -114,6 +114,44 @@ object Layout {
     }
   }
 
+  /** Page → Markdown — the composite training-data export over this
+    * module's own primitives (the docling/marker-style output shape):
+    * headings render as `#`-prefixed lines by level, ruled tables as
+    * GitHub pipe tables (first row = header, `---` separator), and the
+    * remaining lines as paragraph blocks; elements interleave in
+    * top-down page order. Heading-owned lines (top within 0.5 pt of a
+    * heading) and table-owned lines (center inside the grid bbox) are
+    * excluded from the paragraph stream so nothing renders twice. */
+  def markdown(page: PdfPage): String = {
+    val hs = headings(page)
+    val cells = tables(page)
+    val tableBox =
+      if (cells.isEmpty) None
+      else Some(cells.map(_.rect).reduce(_ union _))
+    val ls = lines(page.textPage).filterNot { l =>
+      hs.exists(h => math.abs(h.top - l.rect.top) < 0.5) ||
+        tableBox.exists { tb =>
+          val cx = (l.rect.left + l.rect.right) / 2
+          val cy = (l.rect.bottom + l.rect.top) / 2
+          cx >= tb.left && cx <= tb.right && cy >= tb.bottom && cy <= tb.top
+        }
+    }
+    val els = Vector.newBuilder[(Double, String)]
+    hs.foreach(h => els += ((h.top, "#" * h.level + " " + h.text)))
+    tableBox.foreach { tb =>
+      val nCols = cells.map(_.col).max + 1
+      val rows = cells.groupBy(_.row).toVector.sortBy(_._1).map { case (_, cs) =>
+        (0 until nCols).map(c => cs.find(_.col == c).map(_.text).getOrElse(""))
+          .mkString("| ", " | ", " |")
+      }
+      val md = (rows.take(1) :+ Seq.fill(nCols)("---").mkString("| ", " | ", " |")) ++
+        rows.drop(1)
+      els += ((tb.top, md.mkString("\n")))
+    }
+    blocksOf(ls).foreach(b => els += ((b.rect.top, b.text)))
+    els.result().sortBy(-_._1).map(_._2).mkString("\n\n")
+  }
+
   final case class TableCell(row: Int, col: Int, rect: Rect, text: String)
 
   /** Deterministic 1-D position clustering: sorted values grouped while

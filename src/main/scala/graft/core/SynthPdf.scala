@@ -84,6 +84,22 @@ object SynthPdf {
         "/A<</S/URI/URI(https://t.example/x)>>>>").getBytes))
   }
 
+  /** Article page: 18 pt title, 14 pt section head, 10 pt body paragraph,
+    * and a ruled 2×2 table below — the pdf-to-markdown fixture. */
+  def articlePdf: Array[Byte] = onePage(
+    """BT /F1 18 Tf 50 740 Td (spark graft report) Tj ET
+      |BT /F1 14 Tf 50 710 Td (results) Tj ET
+      |BT /F1 10 Tf 50 690 Td (the scan results hold steady) Tj
+      |0 -14 Td (joins stay fast at scale) Tj ET
+      |50 600 m 350 600 l S
+      |50 580 m 350 580 l S
+      |50 560 m 350 560 l S
+      |50 560 m 50 600 l S
+      |200 560 m 200 600 l S
+      |350 560 m 350 600 l S
+      |BT /F1 10 Tf 60 585 Td (name) Tj 150 0 Td (count) Tj
+      |-150 -20 Td (alpha) Tj 150 0 Td (12) Tj ET""".stripMargin)
+
   /** Heading-structured page: one 18 pt title, two 14 pt section heads,
     * three 10 pt body lines (the char-weighted modal size). */
   def headingsPdf: Array[Byte] = onePage(

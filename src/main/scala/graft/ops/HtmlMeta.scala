@@ -109,6 +109,40 @@ object HtmlMeta {
     }
   }
 
+  /** HTML → Markdown render over the extractor's block stream (the HTML
+    * sibling of the PDF layout exporter): hN blocks become `#` headings,
+    * li blocks become `-` list items, other non-boilerplate blocks become
+    * paragraphs; boilerplate containers drop (the extractor's own rule). */
+  def markdownOf(doc: HtmlExtract.HtmlDoc): String = {
+    val H = "(?:^|/)h([1-6])$".r
+    val LI = "(?:^|/)li$".r
+    doc.blocks.iterator.filter(b => !b.inBoilerplateContainer && b.text.nonEmpty)
+      .map { b =>
+        H.findFirstMatchIn(b.tagPath) match {
+          case Some(m) => "#" * m.group(1).toInt + " " + b.text
+          case None if LI.findFirstMatchIn(b.tagPath).isDefined => "- " + b.text
+          case None => b.text
+        }
+      }.mkString("\n\n")
+  }
+
+  /** Per-page markdown export: (url, n_chars, md5, first line). */
+  def htmlMarkdown(pages: Dataset[PageRow]): Dataset[(String, Long, String, String)] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.map { p =>
+      if (p.html == null) (p.url, 0L, "", "")
+      else {
+        val md = markdownOf(HtmlExtract.parse(p.html))
+        val hash = java.security.MessageDigest.getInstance("MD5")
+          .digest(md.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString
+        (p.url, md.length.toLong, hash,
+          md.linesIterator.toSeq.headOption.getOrElse(""))
+      }
+    }
+  }
+
   final case class JsonLdRow(
       url: String,
       block_idx: Int,

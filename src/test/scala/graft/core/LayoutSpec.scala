@@ -85,6 +85,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.headings(empty.pages.head).isEmpty)
   }
 
+  test("markdown export: headings, paragraph, pipe table in top-down order") {
+    val doc = PdfDocument.load(SynthPdf.articlePdf, "").toOption.get
+    val md = Layout.markdown(doc.pages.head)
+    info("---\n" + md + "\n---")
+    assert(md ==
+      """# spark graft report
+        |
+        |## results
+        |
+        |the scan results hold steady joins stay fast at scale
+        |
+        || name | count |
+        || --- | --- |
+        || alpha | 12 |""".stripMargin)
+  }
+
+  test("markdown export: table-less and heading-less pages degrade to paragraphs") {
+    val doc = PdfDocument.load(SynthPdf.paragraphsPdf, "").toOption.get
+    val md = Layout.markdown(doc.pages.head)
+    assert(!md.contains("#") && !md.contains("|"))
+    assert(md.split("\n\n").length == 2, "two paragraph blocks")
+  }
+
   test("leading estimate and degenerate inputs") {
     val tp = pageOf(SynthPdf.paragraphsPdf)
     val leading = Layout.leadingOf(Layout.lines(tp))

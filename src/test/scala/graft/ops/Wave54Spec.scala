@@ -65,6 +65,28 @@ class Wave54Spec extends AnyFunSuite {
     assert(!anchor.contains("unlinked"))
   }
 
+  test("html markdown: headings, list items, paragraphs; nav drops") {
+    val h =
+      """<html><body><h1>Guide &amp; Notes</h1><p>intro paragraph</p>
+        |<ul><li>first item</li><li>second item</li></ul>
+        |<nav><p>menu junk</p></nav>
+        |<h2>Part</h2><p>closing text</p></body></html>""".stripMargin
+    val md = HtmlMeta.markdownOf(graft.core.html.HtmlExtract.parseString(h))
+    info("---\n" + md + "\n---")
+    assert(md ==
+      """# Guide & Notes
+        |
+        |intro paragraph
+        |
+        |- first item
+        |
+        |- second item
+        |
+        |## Part
+        |
+        |closing text""".stripMargin)
+  }
+
   test("license gate: planted markers classify; unmarked docs keep") {
     val docs = Seq(
       (0L, "plain words"),  // %11==0 -> cc
