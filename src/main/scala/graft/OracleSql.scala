@@ -255,6 +255,21 @@ object OracleSql {
         |) AS t(url, block_idx, n_lines, l, b, r, t, text)
         |ORDER BY block_idx""".stripMargin,
 
+    // pinned by construction: heading-owned chunking over the two layout
+    // fixtures (empty title-only section, untitled no-heading page)
+    "pdf_sections" ->
+      """SELECT url, CAST(sec_idx AS BIGINT) AS sec_idx, title,
+        |  CAST(level AS BIGINT) AS level, CAST(n_lines AS BIGINT) AS n_lines, text
+        |FROM (VALUES
+        |  ('synthetic://headings.pdf', 0, 'document title', 1, 0, ''),
+        |  ('synthetic://headings.pdf', 1, 'first section', 2, 2,
+        |   'body line one about scans body line two about joins'),
+        |  ('synthetic://headings.pdf', 2, 'second section', 2, 1, 'more body text here'),
+        |  ('synthetic://paragraphs.pdf', 0, '', 0, 5,
+        |   'data tables merge under the fast scan the hash join groups every key batch rows spill to sorted runs a second paragraph starts here its lines pack into one block')
+        |) AS t(url, sec_idx, title, level, n_lines, text)
+        |ORDER BY url, sec_idx""".stripMargin,
+
     // pinned by construction: the exact markdown strings are fixed by the
     // fixture geometry (md5 over the full render; first line readable)
     "pdf_to_markdown" ->

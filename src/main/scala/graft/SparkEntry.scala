@@ -920,6 +920,24 @@ object SparkEntry {
         .orderBy("fixture", "page", "ord")
     }),
 
+    "pdf_sections" -> ((s, _) => {
+      import s.implicits._
+      // heading-owned section chunking (untagged sibling of
+      // pdf_toc_chunks): the section-aware splitter for training chunks
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val rows = Seq(
+        PageRow("synthetic://headings.pdf", ts, graft.core.SynthPdf.headingsPdf, null, "la"),
+        PageRow("synthetic://paragraphs.pdf", ts, graft.core.SynthPdf.paragraphsPdf, null, "la"))
+      s.createDataset(rows).flatMap { row =>
+        val doc = graft.core.PdfDocument.load(row.html, "").toOption.get
+        graft.core.Layout.sections(doc.pages.head).map { sec =>
+          (row.url, sec.idx.toLong, sec.title, sec.level.toLong,
+            sec.lines.length.toLong, sec.text)
+        }
+      }.toDF("url", "sec_idx", "title", "level", "n_lines", "text")
+        .orderBy("url", "sec_idx")
+    }),
+
     "pdf_to_markdown" -> ((s, _) => {
       import s.implicits._
       // composite training-data export (docling/marker output shape):

@@ -114,6 +114,35 @@ object Layout {
     }
   }
 
+  final case class Section(idx: Int, title: String, level: Int,
+                           lines: Vector[Line]) {
+    def text: String = lines.map(_.text).mkString(" ")
+  }
+
+  /** Heading-based section chunking — the untagged-PDF sibling of
+    * TOC-based chunking (and the section-aware splitter a training
+    * pipeline feeds to context-bounded models): each heading owns the
+    * lines strictly below it until the next heading; lines above the
+    * first heading (or the whole page when no headings exist) form an
+    * untitled level-0 preamble section. Heading-owned lines never appear
+    * as body. */
+  def sections(page: PdfPage): Vector[Section] = {
+    val hs = headings(page) // already top-down
+    val ls = lines(page.textPage)
+      .filterNot(l => hs.exists(h => math.abs(h.top - l.rect.top) < 0.5))
+      .sortBy(l => (-l.rect.top, l.rect.left))
+    if (hs.isEmpty)
+      return if (ls.isEmpty) Vector.empty else Vector(Section(0, "", 0, ls))
+    val bounds = hs.map(_.top)
+    val pre = ls.filter(_.rect.top > bounds.head)
+    val titled = hs.zipWithIndex.map { case (h, i) =>
+      val lo = if (i + 1 < bounds.length) bounds(i + 1) else Double.NegativeInfinity
+      Section(0, h.text, h.level, ls.filter(l => l.rect.top < h.top && l.rect.top > lo))
+    }
+    val all = (if (pre.nonEmpty) Vector(Section(0, "", 0, pre)) else Vector.empty) ++ titled
+    all.zipWithIndex.map { case (s, i) => s.copy(idx = i) }
+  }
+
   /** Page → Markdown — the composite training-data export over this
     * module's own primitives (the docling/marker-style output shape):
     * headings render as `#`-prefixed lines by level, ruled tables as

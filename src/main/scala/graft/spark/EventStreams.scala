@@ -51,6 +51,47 @@ object EventStreams {
       .flatMap(_.iterator)
   }
 
+  final case class FetchDecision(domain: String, url: String,
+      ts: java.sql.Timestamp, admitted: Boolean, tokens_after: Long)
+
+  /** Streaming per-domain token-bucket rate limiter — politeness
+    * ENFORCEMENT at ingest time (the planning side is `fetch_plan`):
+    * each domain's bucket holds up to `burst` tokens and refills one per
+    * `refillMillis` of EVENT time; a fetch is admitted iff a token is
+    * available. State per domain is two longs (token count + last refill
+    * stamp) — bounded by |domains|, the politeness envelope itself.
+    * In-batch fetches apply in event-time order, so micro-batch
+    * boundaries never change decisions: the trace is deterministic for a
+    * given input timeline, which is what the spec pins. */
+  def rateLimit(fetches: Dataset[PageRow], burst: Long = 2,
+                refillMillis: Long = 1000): Dataset[FetchDecision] = {
+    val spark = fetches.sparkSession
+    import spark.implicits._
+    fetches
+      .select(regexp_extract(col("url"), "^https?://([^/]+)/", 1).as("domain"),
+        col("url"), col("warc_ts"))
+      .as[(String, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), FetchDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (domain, rows, state) =>
+          var (tokens, last) = state.getOption.getOrElse((burst, Long.MinValue))
+          val out = rows.toVector.sortBy(r => (r._3.getTime, r._2)).map { case (_, url, ts) =>
+            val t = ts.getTime
+            if (last == Long.MinValue) last = t
+            else if (t > last) {
+              val refill = (t - last) / refillMillis
+              if (refill > 0) { tokens = math.min(burst, tokens + refill); last += refill * refillMillis }
+            }
+            val admitted = tokens > 0
+            if (admitted) tokens -= 1
+            FetchDecision(domain, url, ts, admitted, tokens)
+          }
+          state.update((tokens, last))
+          out.iterator
+      }
+  }
+
   /** Streaming change feed — the ingest-time companion to the batch
     * [[graft.ops.SnapshotDiff.diff]]: each refetch of a url classifies
     * against the last content hash seen for that url — `new` (first

@@ -108,6 +108,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(md.split("\n\n").length == 2, "two paragraph blocks")
   }
 
+  test("sections: headings own the lines below them; preamble and no-heading pages") {
+    val doc = PdfDocument.load(SynthPdf.headingsPdf, "").toOption.get
+    val ss = Layout.sections(doc.pages.head)
+    info(ss.map(s => s"[${s.idx}] L${s.level} '${s.title}' -> '${s.text}'").mkString("\n"))
+    assert(ss.map(s => (s.idx, s.title, s.level, s.lines.length)) == Vector(
+      (0, "document title", 1, 0),
+      (1, "first section", 2, 2),
+      (2, "second section", 2, 1)))
+    assert(ss(1).text == "body line one about scans body line two about joins")
+    assert(ss(2).text == "more body text here")
+    // no headings -> single untitled section holding everything
+    val para = PdfDocument.load(SynthPdf.paragraphsPdf, "").toOption.get
+    val ps = Layout.sections(para.pages.head)
+    assert(ps.length == 1 && ps.head.title == "" && ps.head.lines.length == 5)
+  }
+
   test("leading estimate and degenerate inputs") {
     val tp = pageOf(SynthPdf.paragraphsPdf)
     val leading = Layout.leadingOf(Layout.lines(tp))

@@ -129,4 +129,44 @@ class EventStreamsSpec extends AnyFunSuite {
         ("u2", 3500L, "unchanged"), ("u3", 3600L, "new")))
     } finally q.stop()
   }
+
+  test("streaming rate limiter: token bucket per domain, event-time refill, cross-batch state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def row(url: String, t: Long) =
+      PageRow(url, new java.sql.Timestamp(t), Array.empty[Byte], null, "la")
+    val source = MemoryStream[PageRow]
+    val tmp = java.nio.file.Files.createTempDirectory("srate").toString
+    val q = EventStreams.rateLimit(source.toDS(), burst = 2, refillMillis = 1000)
+      .writeStream.format("memory").queryName("srate_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: burst of 3 inside one refill window (3rd denied), then a
+      // refill admits the 4th; another domain has its own bucket
+      source.addData(
+        row("https://d.example/u1", 0), row("https://d.example/u2", 100),
+        row("https://d.example/u3", 200), row("https://d.example/u4", 1200),
+        row("https://e.example/v1", 0))
+      q.processAllAvailable()
+      val b1 = spark.table("srate_out").as[EventStreams.FetchDecision].collect()
+        .map(d => d.url -> d.admitted).toMap
+      assert(b1 == Map(
+        "https://d.example/u1" -> true, "https://d.example/u2" -> true,
+        "https://d.example/u3" -> false, "https://d.example/u4" -> true,
+        "https://e.example/v1" -> true))
+      // batch 2: state carries over — bucket still empty at 1500, two
+      // tokens back by 3100
+      source.addData(row("https://d.example/u5", 1500), row("https://d.example/u6", 3100))
+      q.processAllAvailable()
+      val b2 = spark.table("srate_out").as[EventStreams.FetchDecision].collect()
+        .filter(_.ts.getTime >= 1500).map(d => (d.url, d.admitted, d.tokens_after))
+        .sortBy(_._1).toVector
+      assert(b2 == Vector(
+        ("https://d.example/u5", false, 0L),
+        ("https://d.example/u6", true, 1L)))
+    } finally q.stop()
+  }
 }
