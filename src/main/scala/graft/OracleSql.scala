@@ -3319,6 +3319,32 @@ object OracleSql {
         |LEFT JOIN pv ON pv.id = d.doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    // mirrors Graph.randomWalks over synthEdges: hash-chosen steps over
+    // the sorted (capped) adjacency, 4 unrolled rounds
+    "graph_walks" -> {
+      def stepCte(s: Int) =
+        s"""w${s + 1} AS (SELECT start,
+           |  nb[CAST((md5_number_upper('walk:' || CAST(start AS VARCHAR) || ':$s:' || CAST(cur AS VARCHAR)) % 1099511627776) % len(nb) AS INT) + 1] AS cur
+           |  FROM w$s JOIN adj ON adj.src = w$s.cur)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |raw AS (
+         |  SELECT doc_id AS src, (doc_id*7+3) % n AS dst FROM documents, nn
+         |  UNION ALL SELECT doc_id, (doc_id*13+11) % n FROM documents, nn
+         |  UNION ALL SELECT doc_id, (doc_id*31+17) % n FROM documents, nn),
+         |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+         |adj AS (SELECT src, (list(DISTINCT dst ORDER BY dst))[1:64] AS nb
+         |        FROM edges GROUP BY src),
+         |w0 AS (SELECT doc_id AS start, doc_id AS cur FROM documents),
+         |${(0 until 4).map(stepCte).mkString(",\n")}
+         |SELECT start, CAST(step AS BIGINT) AS step, node FROM (
+         |  SELECT start, 0 AS step, cur AS node FROM w0
+         |  UNION ALL SELECT start, 1, cur FROM w1
+         |  UNION ALL SELECT start, 2, cur FROM w2
+         |  UNION ALL SELECT start, 3, cur FROM w3
+         |  UNION ALL SELECT start, 4, cur FROM w4)
+         |ORDER BY start, step""".stripMargin
+    },
+
     // mirrors Graph.kCore(k=3) over synthEdges: the 20 peel rounds are
     // unrolled mechanically (post-fixpoint rounds are identities; the
     // Spark side throws if 20 rounds don't reach fixpoint)

@@ -2379,6 +2379,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "graph_walks" -> ((s, dir) => {
+      // deterministic DeepWalk corpus: hash-chosen steps over sorted
+      // capped adjacency; each step one 16-byte (start, cur) join
+      val d = docs(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = d.count()
+      graft.ops.Graph.randomWalks(d, graft.ops.Graph.synthEdges(d, n), len = 4)
+        .select(col("start"), col("step"), col("node"))
+        .orderBy("start", "step")
+    }),
+
     "sketch_quantile" -> ((s, dir) => {
       // per-language length quantiles from a deterministic 1-in-8 hash
       // sample (partition/merge-order invariant, unlike KLL compaction);

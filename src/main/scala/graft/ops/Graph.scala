@@ -301,6 +301,39 @@ object Graph {
                 ELSE 0 END""").as("clustering_x1000"))
   }
 
+  /** Deterministic random walks (the DeepWalk/node2vec corpus generator,
+    * Perozzi et al. KDD 2014): one walker per node, `len` steps; the
+    * step choice is hash-derived — idx = md5("walk:start:step:cur") mod
+    * outdeg over the SORTED neighbor list — so walks are bit-identical
+    * on any partitioning/engine and the oracle replays them. Dangling
+    * nodes end their walk early.
+    *
+    * Scale shape: the adjacency table is built once with a hard `maxDeg`
+    * cap (deterministic smallest-dst selection — the hub-bounding
+    * analog of the dedup salt caps); each step is ONE join shuffling
+    * (start, cur) pairs — 16-byte rows — against it. Steps are a fixed
+    * count, so lineage is bounded. Emits (start, step, node) rows. */
+  def randomWalks(nodes: DataFrame, edges: DataFrame, len: Int,
+                  maxDeg: Int = 64): DataFrame = {
+    val adj = edges.groupBy("src")
+      .agg(slice(sort_array(array_distinct(collect_list(col("dst")))), 1, maxDeg).as("nb"))
+      .localCheckpoint(true)
+    var walkers = nodes.select(col("id").as("start"), col("id").as("cur"))
+    val steps = Vector.newBuilder[DataFrame]
+    steps += walkers.select(col("start"), lit(0L).as("step"), col("cur").as("node"))
+    for (s <- 0 until len) {
+      walkers = walkers.join(adj, walkers("cur") === adj("src"))
+        .select(col("start"),
+          element_at(col("nb"),
+            (Sampling.md5Mod(concat(lit("walk:"), col("start").cast("string"),
+              lit(s":$s:"), col("cur").cast("string")), 1L << 40)
+              % size(col("nb")) + 1).cast("int")).as("cur"))
+      steps += walkers.select(col("start"), lit((s + 1).toLong).as("step"),
+        col("cur").as("node"))
+    }
+    steps.result().reduce(_ unionAll _)
+  }
+
   /** k-core decomposition for a fixed k (Seidman 1983; the link-farm /
     * dense-community peel used to separate tightly interlinked spam
     * clusters and hub cores from the long tail): repeatedly delete every

@@ -50,6 +50,33 @@ class Wave51Spec extends AnyFunSuite {
     assert((keep1 -- keep0).forall(_ >= 100L), "new entrants come only from the new rows")
   }
 
+  test("random walks: deterministic, edge-respecting, dangling stops, cap selects smallest") {
+    val nodes = (0L to 5L).toDF("id")
+    // 0->{1,2,3}, 1->{2}, 2->{0}, 3 dangling, 4->{5}, 5->{4}
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (2L, 0L),
+      (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val w = Graph.randomWalks(nodes, edges, len = 3)
+    val a = w.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Graph.randomWalks(nodes.repartition(7), edges.repartition(5), len = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b, "bit-identical on any partitioning")
+    val edgeSet = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every consecutive step follows a real edge
+    val byWalk = a.groupBy(_._1).values
+    byWalk.foreach { steps =>
+      val path = steps.toVector.sortBy(_._2).map(_._3)
+      path.zip(path.drop(1)).foreach(p => assert(edgeSet.contains(p), s"bad hop $p"))
+    }
+    // walker starting at dangling node 3 emits only step 0
+    assert(a.count(_._1 == 3L) == 1)
+    // walkers in the 4<->5 cycle always run the full 3 steps
+    assert(a.count(_._1 == 4L) == 4)
+    // maxDeg=1 restricts node 0 to its smallest neighbor (1)
+    val capped = Graph.randomWalks(nodes, edges, len = 1, maxDeg = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.find(x => x._1 == 0L && x._2 == 1L).get._3 == 1L)
+  }
+
   test("warc revisit: planted digests classify and byte-account correctly") {
     val prev = Seq(
       ("https://a.example/p1", "d1"), ("https://a.example/p2", "d2"),
