@@ -255,6 +255,18 @@ object OracleSql {
         |) AS t(url, block_idx, n_lines, l, b, r, t, text)
         |ORDER BY block_idx""".stripMargin,
 
+    // pinned by construction: the Tm 0 1 -1 0 run reads bottom-up from
+    // (300,100) — tall rect; the Td run stays wide at the usual metrics
+    "pdf_rotated_text" ->
+      """SELECT url, CAST(ord AS BIGINT) AS ord, text, CAST(l AS BIGINT) AS l,
+        |  CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r, CAST(t AS BIGINT) AS t,
+        |  vertical
+        |FROM (VALUES
+        |  ('synthetic://rotated.pdf', 0, 'rotated upward text', 291, 100, 303, 203, true),
+        |  ('synthetic://rotated.pdf', 1, 'horizontal baseline text', 50, 697, 173, 709, false)
+        |) AS t(url, ord, text, l, b, r, t, vertical)
+        |ORDER BY ord""".stripMargin,
+
     // pinned by construction: heading-owned chunking over the two layout
     // fixtures (empty title-only section, untitled no-heading page)
     "pdf_sections" ->
@@ -1995,6 +2007,23 @@ object OracleSql {
         |            - (84600 * n_syllables) // n_tokens END) >= 50000 THEN 'medium'
         |       ELSE 'hard' END AS band
         |FROM st ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextStats.subsampleFreq: positional hash, squared integer
+    // keep rule h²·10⁶·cnt < t_ppm·total·1024²
+    "text_subsample" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |           FROM documents),
+        |toks AS (SELECT doc_id, idx, t[CAST(idx AS INT) + 1] AS term
+        |         FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS idx FROM d)),
+        |fr AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS c FROM toks),
+        |k AS (SELECT doc_id, term,
+        |  (md5_number_upper('ss:' || CAST(doc_id AS VARCHAR) || ':' || CAST(idx AS VARCHAR)) % 1024) AS h,
+        |  cnt FROM toks JOIN fr USING (term))
+        |SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(sum(CASE WHEN h * h * 1000000 * cnt < 20000 * (SELECT c FROM tot) * 1048576
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM k GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
 
     // mirrors TextStats.sentenceStats over corpusWithLines (same line
     // CTEs as text_c4_clean), [.!?] split with newline flattening

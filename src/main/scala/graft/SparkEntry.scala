@@ -920,6 +920,26 @@ object SparkEntry {
         .orderBy("fixture", "page", "ord")
     }),
 
+    "pdf_rotated_text" -> ((s, _) => {
+      import s.implicits._
+      // rotated-text extraction: Tm-rotated runs extract in stream order
+      // with transformed line geometry (tall rect, planted origin)
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val rows = Seq(PageRow("synthetic://rotated.pdf", ts,
+        graft.core.SynthPdf.rotatedTextPdf, null, "la"))
+      s.createDataset(rows).flatMap { row =>
+        val doc = graft.core.PdfDocument.load(row.html, "").toOption.get
+        graft.core.Layout.lines(doc.pages.head.textPage).zipWithIndex.map {
+          case (l, i) =>
+            (row.url, i.toLong, l.text,
+              math.round(l.rect.left), math.round(l.rect.bottom),
+              math.round(l.rect.right), math.round(l.rect.top),
+              l.rect.height > l.rect.width)
+        }
+      }.toDF("url", "ord", "text", "l", "b", "r", "t", "vertical")
+        .orderBy("ord")
+    }),
+
     "pdf_sections" -> ((s, _) => {
       import s.implicits._
       // heading-owned section chunking (untagged sibling of
@@ -1659,6 +1679,14 @@ object SparkEntry {
       TextStats.readability(TextStats.corpusWithLines(
         docs(s, dir, "documents").select(col("doc_id"), col("text"))))
         .orderBy("doc_id")
+    }),
+
+    "text_subsample" -> ((s, dir) => {
+      // Mikolov frequent-word subsampling, integer-exact (squared keep
+      // rule, no float): gram explode + broadcast vocab freqs
+      TextStats.subsampleFreq(
+        docs(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy("doc_id", "term")
     }),
 
     "text_sentences" -> ((s, dir) => {

@@ -84,6 +84,13 @@ object SynthPdf {
         "/A<</S/URI/URI(https://t.example/x)>>>>").getBytes))
   }
 
+  /** One horizontal line and one 90°-rotated (Tm 0 1 -1 0) line — the
+    * rotated-text extraction fixture: rotated glyphs must extract in
+    * stream order with transformed (tall) line geometry. */
+  def rotatedTextPdf: Array[Byte] = onePage(
+    """BT /F1 12 Tf 0 1 -1 0 300 100 Tm (rotated upward text) Tj ET
+      |BT /F1 12 Tf 50 700 Td (horizontal baseline text) Tj ET""".stripMargin)
+
   /** Article page: 18 pt title, 14 pt section head, 10 pt body paragraph,
     * and a ruled 2×2 table below — the pdf-to-markdown fixture. */
   def articlePdf: Array[Byte] = onePage(

@@ -712,6 +712,36 @@ object TextStats {
     }.toDF("doc_id", "text")
   }
 
+  /** Frequent-word subsampling (Mikolov et al. 2013 §2.3, the word2vec
+    * preprocessing): occurrence i of word w survives with probability
+    * √(t / f(w)) — rare words always keep, stopword-frequency words thin
+    * aggressively. The keep decision is INTEGER-EXACT: with h a
+    * deterministic per-occurrence hash in [0, 1024), keep ⟺
+    * h²·10⁶·count < t_ppm·total·1024² (squaring both sides removes the
+    * √ — no float anywhere). int64-safe while the most frequent word's
+    * count stays ≤ ~8.7×10⁶ and total ≤ ~8.7×10⁹; beyond that fold the
+    * 10⁶ into t_ppm on both sides before multiplying.
+    *
+    * Scale shape: one token explode (the standard gram stage), the
+    * vocab-sized frequency table broadcast back, per-doc re-aggregation.
+    * Output per (doc, term): occurrences and survivors. */
+  def subsampleFreq(docs: DataFrame, tPpm: Long = 20000): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(expr("filter(split(text, ' '), x -> x <> '')")).as(Seq("pos", "term")))
+    val freqs = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = toks.count()
+    toks.join(broadcast(freqs), Seq("term"))
+      .withColumn("h", Sampling.md5Mod(
+        concat(lit("ss:"), col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string")), 1024L))
+      .withColumn("kept",
+        expr(s"h * h * 1000000 * cnt < $tPpm * CAST($total AS BIGINT) * 1048576"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("n_occ"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Sentence segmentation stats — the primitive under sentence-level
     * dedup and chunking: sentences split on terminal [.!?] (newlines
     * flattened to spaces first so cross-line sentences merge), empty

@@ -124,6 +124,20 @@ class LayoutSpec extends AnyFunSuite {
     assert(ps.length == 1 && ps.head.title == "" && ps.head.lines.length == 5)
   }
 
+  test("rotated text: stream-order extraction with transformed geometry") {
+    val doc = PdfDocument.load(SynthPdf.rotatedTextPdf, "").toOption.get
+    val tp = doc.pages.head.textPage
+    val ls = Layout.lines(tp)
+    info(ls.map(l => f"(${l.rect.left}%.1f,${l.rect.bottom}%.1f,${l.rect.right}%.1f,${l.rect.top}%.1f) '${l.text}'").mkString("\n"))
+    assert(ls.map(_.text) == Vector("rotated upward text", "horizontal baseline text"))
+    val rot = ls(0).rect
+    val hor = ls(1).rect
+    assert(rot.height > rot.width * 5, s"rotated line is tall: $rot")
+    assert(hor.width > hor.height * 5, s"horizontal line is wide: $hor")
+    // rotated run climbs from y=100 at x≈300
+    assert(math.abs(rot.left - 300) < 15 && rot.bottom >= 100 - 3)
+  }
+
   test("leading estimate and degenerate inputs") {
     val tp = pageOf(SynthPdf.paragraphsPdf)
     val leading = Layout.leadingOf(Layout.lines(tp))

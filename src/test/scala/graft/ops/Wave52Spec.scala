@@ -55,6 +55,28 @@ class Wave52Spec extends AnyFunSuite {
     assert(rs.keys.count(_._1 == 1L) == 3)
   }
 
+  test("subsample: rare words always keep, frequent words thin, deterministic") {
+    // 'hot' dominates (100 of 120 tokens), 'rare' appears twice
+    val hotDoc = (0 until 50).map(_ => "hot").mkString(" ")
+    val docs = Seq(
+      (0L, hotDoc), (1L, hotDoc),
+      (2L, "rare cold " + (0 until 18).map(_ => "warm").mkString(" "))).toDF("doc_id", "text")
+    val rs = TextStats.subsampleFreq(docs, tPpm = 20000).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+        ((r.getAs[Long]("n_occ"), r.getAs[Long]("n_kept")))).toMap
+    // f(rare)=1/120 < t=2% -> p = sqrt(t/f) > 1 -> always kept
+    assert(rs((2L, "rare")) == ((1L, 1L)))
+    assert(rs((2L, "cold")) == ((1L, 1L)))
+    // f(hot)=100/120: p = sqrt(0.02/0.833) ~ 0.155 -> most occurrences drop
+    val (hOcc, hKept) = rs((0L, "hot"))
+    assert(hOcc == 50L && hKept < 20L, s"hot kept $hKept of $hOcc")
+    // deterministic under repartition
+    val again = TextStats.subsampleFreq(docs.repartition(7), tPpm = 20000).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+        ((r.getAs[Long]("n_occ"), r.getAs[Long]("n_kept")))).toMap
+    assert(again == rs)
+  }
+
   test("sentences: terminal-punct split, newline flattening, integer stats") {
     val docs = Seq(
       (0L, "the scan runs. the join\nmerges fast! done"),
