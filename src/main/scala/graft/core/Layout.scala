@@ -225,6 +225,10 @@ object Layout {
     val rowsB = hys.sorted(Ordering[Double].reverse) // top -> bottom
     val colsB = vxs.sorted                           // left -> right
     val cells = Array.fill(rowsB.length - 1, colsB.length - 1)(new StringBuilder)
+    // Last appended charbox per cell: a new run on a different baseline, or
+    // one that leaves a gap wider than half a char, gets a space separator —
+    // otherwise two runs placed in one cell would concatenate ("foobar").
+    val lastBox = Array.fill[Rect](rowsB.length - 1, colsB.length - 1)(null)
     page.textPage.chars.foreach { c =>
       if (!c.excluded && !c.generated) c.tight.foreach { b =>
         val cx = (b.left + b.right) / 2
@@ -232,8 +236,19 @@ object Layout {
         val ri = rowsB.indexWhere(y => cy >= y) - 1  // first boundary below center
         val ci = colsB.lastIndexWhere(x => cx >= x)
         if (ri >= 0 && ri < cells.length && ci >= 0 && ci < cells(0).length &&
-            cx <= colsB.last && cy >= rowsB.last)
-          cells(ri)(ci).append(c.unicode)
+            cx <= colsB.last && cy >= rowsB.last) {
+          val sb = cells(ri)(ci)
+          val prev = lastBox(ri)(ci)
+          if (prev != null && sb.nonEmpty && !sb.last.isWhitespace &&
+              !c.unicode.isWhitespace) {
+            val newLine = b.bottom > prev.top || b.top < prev.bottom
+            val gap = b.left - prev.right
+            if (newLine || gap > math.max(tol, (b.right - b.left) * 0.5))
+              sb.append(' ')
+          }
+          sb.append(c.unicode)
+          lastBox(ri)(ci) = b
+        }
       }
     }
     (for {

@@ -59,6 +59,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(c00.left == 50.0 && c00.right == 200.0 && c00.top == 700.0 && c00.bottom == 670.0)
   }
 
+  test("ruled table: multi-run and multi-line cells get space separators") {
+    // Same 3x2 lattice as tablePdf, but cell (1,0) holds two separate runs
+    // ("big" then "dog" placed 30pt right) and cell (2,0) holds two lines.
+    // Adjacent chars within one run must NOT gain separators.
+    val doc = PdfDocument.load(SynthPdf.onePage(
+      """0.7 w
+        |50 700 m 350 700 l S
+        |50 670 m 350 670 l S
+        |50 640 m 350 640 l S
+        |50 610 m 350 610 l S
+        |50 610 m 50 700 l S
+        |200 610 m 200 700 l S
+        |350 610 m 350 700 l S
+        |BT /F1 10 Tf
+        |60 680 Td (name) Tj 150 0 Td (count) Tj
+        |-150 -30 Td (big) Tj 30 0 Td (dog) Tj 120 0 Td (12) Tj
+        |-150 -26 Td (two) Tj 0 -12 Td (lines) Tj 150 12 Td (7) Tj
+        |ET""".stripMargin), "").toOption.get
+    val byPos = Layout.tables(doc.pages.head).map(c => (c.row, c.col) -> c.text).toMap
+    assert(byPos((0, 0)) == "name", "single run untouched")
+    assert(byPos((1, 0)) == "big dog", "gap between runs becomes one space")
+    assert(byPos((2, 0)) == "two lines", "line break inside a cell becomes one space")
+    assert(byPos((1, 1)) == "12" && byPos((2, 1)) == "7")
+  }
+
   test("ruled table: pages without a grid return empty") {
     val doc = PdfDocument.load(SynthPdf.paragraphsPdf, "").toOption.get
     assert(Layout.tables(doc.pages.head).isEmpty)
