@@ -46,8 +46,8 @@ object HtmlExtract {
     "p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
     "td", "th", "tr", "table", "section", "article", "main", "blockquote",
     "pre", "dd", "dt", "figcaption", "hr", "body")
-  private val BoilerplateTags = Set("nav", "header", "footer", "aside", "form", "menu")
-  private val RawTextTags = Set("script", "style", "noscript", "template", "svg", "iframe")
+  private[html] val BoilerplateTags = Set("nav", "header", "footer", "aside", "form", "menu")
+  private[html] val RawTextTags = Set("script", "style", "noscript", "template", "svg", "iframe")
   private val IgnoreContentTags = Set("head") // except title/meta handled explicitly
 
   private val NamedEntities = Map(
@@ -93,7 +93,9 @@ object HtmlExtract {
     parseString(text)
   }
 
-  private def decodeBytes(bytes: Array[Byte]): String = {
+  /** Charset-sniffed payload decode (declared meta charset → UTF-8 →
+    * Latin-1 fallback) — shared by every HTML-side scanner. */
+  def decodeBytes(bytes: Array[Byte]): String = {
     // declared charset first (meta charset= / http-equiv content=..charset=)
     val head = new String(bytes, 0, math.min(2048, bytes.length),
       java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
@@ -279,7 +281,7 @@ object HtmlExtract {
     None
   }
 
-  private def normalizeWs(s: String): String = {
+  private[html] def normalizeWs(s: String): String = {
     val sb = new StringBuilder(s.length)
     var lastWs = true
     s.foreach { c =>

@@ -171,6 +171,41 @@ object HtmlMeta {
     }
   }
 
+  final case class ImageCaptionRow(
+      url: String,
+      ord: Long,
+      img_url: String,
+      alt: String,
+      caption: String,
+      in_figure: Boolean,
+      boilerplate: Boolean,
+      has_text: Boolean) // alt or caption non-empty: a usable image–text pair
+
+  /** LAION-style image–text pair mining: every <img> with alt text and —
+    * inside <figure> — the figcaption, src resolved against the page URL.
+    * One narrow typed flatMap over the payloads (charset-sniffed decode
+    * shared with the extractor); data: URIs are dropped (inline bytes are
+    * not fetchable pairs), duplicates per (page, src) kept — document
+    * position is signal. Zero shuffle; at 100 TB this is one pass. */
+  def imageCaptions(pages: Dataset[PageRow]): Dataset[ImageCaptionRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap { p =>
+      if (p.html == null) Seq.empty[ImageCaptionRow]
+      else {
+        graft.core.html.ImageCaptions.scan(graft.core.html.HtmlExtract.decodeBytes(p.html))
+          .filter(r => !r.src.toLowerCase.startsWith("data:"))
+          .map { r =>
+            val resolved = graft.core.html.HtmlLinks.resolve(p.url, r.src)
+            ImageCaptionRow(p.url, r.ord.toLong,
+              if (resolved.isEmpty) r.src else resolved,
+              r.alt, r.caption, r.inFigure, r.inBoilerplate,
+              r.alt.nonEmpty || r.caption.nonEmpty)
+          }
+      }
+    }
+  }
+
   /** JSON-LD structured-data items per page (schema.org blocks — what CC's
     * WAT sidecars carry). One narrow typed pass, per-row bounded parser,
     * malformed blocks surface as ok=false rows instead of throwing. */
