@@ -315,6 +315,120 @@ object OracleSql {
         |) AS t(url, has_robots_meta, noindex, nofollow, noarchive, indexable)
         |ORDER BY url""".stripMargin,
 
+    // pinned redaction phases: extraction-side drop keeps the emptied
+    // line's structure (two adjacent newlines); writer-side removal drops
+    // the whole object (2 text objects remain) and the line with it
+    "pdf_redact" ->
+      """SELECT phase, text, has_secret, CAST(n_text_objects AS BIGINT) AS n_text_objects
+        |FROM (VALUES
+        |  ('before', 'public line one' || chr(10) || 'SECRET ssn 123-45-6789' || chr(10) || 'public line two', true, 3),
+        |  ('extract_redact', 'public line one' || chr(10) || chr(10) || 'public line two', false, 3),
+        |  ('writer_redact', 'public line one' || chr(10) || 'public line two', false, 2)
+        |) AS t(phase, text, has_secret, n_text_objects)
+        |ORDER BY phase""".stripMargin,
+
+    // pinned page geometry: multipage.pdf's A4/A5-landscape/A6-ish pages,
+    // render+text A4, box_fallback's ANSI-A letter fallback; sizes are the
+    // ROTATED page size ×10
+    "pdf_page_geometry" ->
+      """SELECT fixture, CAST(page AS BIGINT) AS page, CAST(w_x10 AS BIGINT) AS w_x10,
+        |  CAST(h_x10 AS BIGINT) AS h_x10, paper, orientation
+        |FROM (VALUES
+        |  ('fixture://box_fallback.pdf', 0, 6120, 7920, 'letter', 'portrait'),
+        |  ('fixture://multipage.pdf', 0, 5953, 8419, 'a4', 'portrait'),
+        |  ('fixture://multipage.pdf', 1, 5953, 4195, 'a5', 'landscape'),
+        |  ('fixture://multipage.pdf', 2, 2976, 4195, 'other', 'portrait'),
+        |  ('fixture://render.pdf', 0, 5950, 8420, 'a4', 'portrait'),
+        |  ('fixture://text.pdf', 0, 5953, 8419, 'a4', 'portrait'),
+        |  ('fixture://text.pdf', 1, 5953, 8419, 'a4', 'portrait')
+        |) AS t(fixture, page, w_x10, h_x10, paper, orientation)
+        |ORDER BY fixture, page""".stripMargin,
+
+    // link prediction replayed step-for-step: same synthetic edges as the
+    // other graph ops, hub cap = 8 smallest neighbor ids, integer RA index,
+    // already-linked pairs removed, top-50 by the same total order
+    "graph_link_predict" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS src, (doc_id*7+3) % n AS dst FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*13+11) % n FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*31+17) % n FROM documents, nn),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+        |adj AS (SELECT a AS z, b AS nb FROM und UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY 1),
+        |capped AS (
+        |  SELECT z, nb FROM (
+        |    SELECT z, nb, row_number() OVER (PARTITION BY z ORDER BY nb) AS rn FROM adj)
+        |  WHERE rn <= 8),
+        |wedges AS (
+        |  SELECT x.nb AS a, y.nb AS b, 1000000 // d.deg AS ra
+        |  FROM capped x JOIN capped y ON x.z = y.z AND x.nb < y.nb
+        |  JOIN deg d ON d.z = x.z),
+        |scored AS (SELECT a, b, count(*) AS cn, sum(ra) AS ra_micro
+        |           FROM wedges GROUP BY 1, 2),
+        |cand AS (SELECT s.* FROM scored s ANTI JOIN und u ON u.a = s.a AND u.b = s.b)
+        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(cn AS BIGINT) AS cn, CAST(ra_micro AS BIGINT) AS ra_micro
+        |FROM cand
+        |ORDER BY ra_micro DESC, cn DESC, a, b
+        |LIMIT 50""".stripMargin,
+
+    // pinned action audit: toc.pdf's 9 outline GoTos, text.pdf's 4 URI
+    // links + dest-array OpenAction (flag true, count 0), multipage as the
+    // all-zero negative; the synthetic fixture's planted JS-chain/Launch/
+    // tree-script counts are fixed by construction
+    "pdf_actions" ->
+      """SELECT fixture, CAST(n_js AS BIGINT) AS n_js, CAST(n_uri AS BIGINT) AS n_uri,
+        |  CAST(n_launch AS BIGINT) AS n_launch, CAST(n_gotor AS BIGINT) AS n_gotor,
+        |  CAST(n_submit AS BIGINT) AS n_submit, CAST(n_goto AS BIGINT) AS n_goto,
+        |  CAST(n_named AS BIGINT) AS n_named, CAST(n_other AS BIGINT) AS n_other,
+        |  has_open_action, CAST(names_js AS BIGINT) AS names_js, has_js
+        |FROM (VALUES
+        |  ('fixture://multipage.pdf', 0, 0, 0, 0, 0, 0, 0, 0, false, 0, false),
+        |  ('fixture://text.pdf',      0, 4, 0, 0, 0, 0, 0, 0, true,  0, false),
+        |  ('fixture://toc.pdf',       0, 0, 0, 0, 0, 9, 0, 0, true,  0, false),
+        |  ('synthetic://actions.pdf', 2, 1, 1, 0, 0, 0, 1, 0, true,  1, true)
+        |) AS t(fixture, n_js, n_uri, n_launch, n_gotor, n_submit, n_goto,
+        |       n_named, n_other, has_open_action, names_js, has_js)
+        |ORDER BY fixture""".stripMargin,
+
+    // pinned date parses: fixture CreationDate/ModDate strings (epochs
+    // cross-checked against python datetime), plus spec-edge synthetics —
+    // defaults fill missing fields, out-of-range fields invalidate (no
+    // clamping), offsets are signed minutes
+    "pdf_dates" ->
+      """SELECT source, key, raw, valid,
+        |  CAST(epoch_sec AS BIGINT) AS epoch_sec, CAST(tz_min AS BIGINT) AS tz_min
+        |FROM (VALUES
+        |  ('fixture://multipage.pdf', 'CreationDate', 'D:20211209144456Z', true, 1639061096, 0),
+        |  ('fixture://multipage.pdf', 'ModDate', 'D:20211209144456Z', true, 1639061096, 0),
+        |  ('fixture://render.pdf', 'CreationDate', 'D:20211201134246+01''00''', true, 1638362566, 60),
+        |  ('fixture://text.pdf', 'CreationDate', 'D:20220529190340+02''00''', true, 1653843820, 120),
+        |  ('synthetic://edge', 'feb30', 'D:20240230', false, NULL, NULL),
+        |  ('synthetic://edge', 'garbage', 'yesterday', false, NULL, NULL),
+        |  ('synthetic://edge', 'neg_offset', 'D:20230615120000-07''00''', true, 1686855600, -420),
+        |  ('synthetic://edge', 'no_prefix', '20230615120000', true, 1686830400, 0),
+        |  ('synthetic://edge', 'sec60', 'D:20231231235960', false, NULL, NULL),
+        |  ('synthetic://edge', 'year_only', 'D:2024', true, 1704067200, 0)
+        |) AS t(source, key, raw, valid, epoch_sec, tz_min)
+        |ORDER BY source, key""".stripMargin,
+
+    // pinned image–text pairs: figcaption attaches only inside <figure>
+    // (inline tags inside the caption contribute text, entities decode);
+    // nav containment flags boilerplate; data: URI drops but holds its ord
+    "html_image_captions" ->
+      """SELECT url, CAST(ord AS BIGINT) AS ord, img_url, alt, caption,
+        |  in_figure, boilerplate, has_text
+        |FROM (VALUES
+        |  ('https://img.example/data', 1, 'https://img.example/x.png', '', '', false, false, false),
+        |  ('https://img.example/fig', 0, 'https://img.example/img/cat.jpg', 'a cat', 'A tabby cat & friend', true, false, true),
+        |  ('https://img.example/fig', 1, 'https://cdn.example/dog.png', '', '', false, false, false),
+        |  ('https://img.example/nav', 0, 'https://img.example/logo.svg', 'site logo', '', false, true, true),
+        |  ('https://img.example/nav', 1, 'https://img.example/hero.webp', 'hero "shot"', '', false, false, true)
+        |) AS t(url, ord, img_url, alt, caption, in_figure, boilerplate, has_text)
+        |ORDER BY url, ord""".stripMargin,
+
     // text.pdf rows pinned from the reference fixture (links whose anchor
     // IS the url); the synthetic row's anchor differs from its URI —
     // proving the extraction reads text under the rect, not the target

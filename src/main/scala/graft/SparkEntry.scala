@@ -920,6 +920,104 @@ object SparkEntry {
         .orderBy("fixture", "page", "ord")
     }),
 
+    "pdf_actions" -> ((s, _) => {
+      import s.implicits._
+      // active-content audit: every reachable action (OpenAction, doc/page
+      // /AA, annot /A, outline /A, Names→JavaScript tree) classified by /S
+      // — the hygiene gate a pipeline runs before trusting a crawled PDF.
+      // toc.pdf pins outline GoTo handling; the synthetic fixture plants a
+      // JS OpenAction chained to a Named action, a tree script, a page-open
+      // Launch and a tracking URI
+      val fixtures = Seq(
+        "fixture://multipage.pdf" -> PagesTable.fixture("multipage.pdf"),
+        "fixture://text.pdf" -> PagesTable.fixture("text.pdf"),
+        "fixture://toc.pdf" -> PagesTable.fixture("toc.pdf"),
+        "synthetic://actions.pdf" -> graft.core.SynthPdf.actionsPdf)
+      s.createDataset(fixtures).map { case (name, bytes) =>
+        val doc = graft.core.PdfDocument.load(bytes, "").toOption.get
+        val a = graft.core.Actions.audit(doc)
+        (name, a.nJs.toLong, a.nUri.toLong, a.nLaunch.toLong, a.nGotoR.toLong,
+          a.nSubmit.toLong, a.nGoto.toLong, a.nNamed.toLong, a.nOther.toLong,
+          a.hasOpenAction, a.namesTreeJs.toLong, a.hasJs)
+      }.toDF("fixture", "n_js", "n_uri", "n_launch", "n_gotor", "n_submit",
+          "n_goto", "n_named", "n_other", "has_open_action", "names_js", "has_js")
+        .orderBy("fixture")
+    }),
+
+    "pdf_dates" -> ((s, _) => {
+      import s.implicits._
+      // typed projection of the raw PDF date strings the reference surfaces
+      // uninterpreted (document.py get_metadata_value): spec-lenient parse
+      // (optional D:, defaulted fields, quoted offsets) that is strict on
+      // ranges — Feb 30 or second 60 yields valid=false, never a clamped
+      // fake instant. Fixture dates + planted edge cases, all pinned
+      val fromDocs = s.createDataset(Seq("text.pdf", "render.pdf", "multipage.pdf"))
+        .flatMap { name =>
+          val doc = graft.core.PdfDocument.load(PagesTable.fixture(name), "").toOption.get
+          doc.metadata(skipEmpty = true).toSeq
+            .filter(kv => kv._1 == "CreationDate" || kv._1 == "ModDate")
+            .map { case (k, v) => (s"fixture://$name", k, v) }
+        }
+      val synth = s.createDataset(Seq(
+        ("synthetic://edge", "year_only", "D:2024"),
+        ("synthetic://edge", "no_prefix", "20230615120000"),
+        ("synthetic://edge", "neg_offset", "D:20230615120000-07'00'"),
+        ("synthetic://edge", "feb30", "D:20240230"),
+        ("synthetic://edge", "sec60", "D:20231231235960"),
+        ("synthetic://edge", "garbage", "yesterday")))
+      fromDocs.union(synth).map { case (src, k, raw) =>
+        graft.core.PdfDates.parse(raw) match {
+          case Some(p) => (src, k, raw, true, Some(p.epochSec), Some(p.tzOffsetMin.toLong))
+          case None    => (src, k, raw, false, None: Option[Long], None: Option[Long])
+        }
+      }.toDF("source", "key", "raw", "valid", "epoch_sec", "tz_min")
+        .orderBy("source", "key")
+    }),
+
+    "pdf_redact" -> ((s, _) => {
+      import s.implicits._
+      // PII redaction, both precision modes over one planted-secret
+      // fixture: char-precise extraction-side drop (loose-box hit test)
+      // and writer-side object removal + opaque fill (over-redacting by
+      // design — the safe direction), verified by re-extraction
+      val rect = graft.core.Rect(45, 676, 400, 694)
+      s.createDataset(Seq(0)).flatMap { _ =>
+        val doc = graft.core.PdfDocument.load(graft.core.SynthPdf.redactPdf, "").toOption.get
+        val tp = doc.page(0).textPage
+        def norm(t: String) = t.replace("\r\n", "\n").replace("\r", "\n")
+        val before = norm(tp.text)
+        val extractSide = norm(graft.core.Redact.redactedText(tp, Seq(rect)))
+        val doc2 = graft.core.PdfDocument.load(
+          graft.core.Redact.applyRedactions(doc, 0, Seq(rect)), "").toOption.get
+        val after = norm(doc2.page(0).textPage.text)
+        Seq(
+          ("before", before, before.contains("SECRET"),
+            doc.page(0).objects().count(_.objType == "text").toLong),
+          ("extract_redact", extractSide, extractSide.contains("SECRET"), 3L),
+          ("writer_redact", after, after.contains("SECRET"),
+            doc2.page(0).objects().count(_.objType == "text").toLong))
+      }.toDF("phase", "text", "has_secret", "n_text_objects").orderBy("phase")
+    }),
+
+    "pdf_page_geometry" -> ((s, _) => {
+      import s.implicits._
+      // page-size classification (±1.5 pt paper match on the ROTATED
+      // size, orientation, per-page) — geometry normalization stats
+      val fixtures = Seq("text.pdf", "render.pdf", "multipage.pdf", "box_fallback.pdf")
+      s.createDataset(fixtures).flatMap { name =>
+        val doc = graft.core.PdfDocument.load(PagesTable.fixture(name), "").toOption.get
+        (0 until doc.pageCount).map { i =>
+          val p = doc.page(i)
+          val (w, h) = p.size
+          (s"fixture://$name", i.toLong,
+            math.round(w * 10), math.round(h * 10),
+            graft.core.Reports.paperSize(w, h),
+            if (h >= w) "portrait" else "landscape")
+        }
+      }.toDF("fixture", "page", "w_x10", "h_x10", "paper", "orientation")
+        .orderBy("fixture", "page")
+    }),
+
     "pdf_rotated_text" -> ((s, _) => {
       import s.implicits._
       // rotated-text extraction: Tm-rotated runs extract in stream order
@@ -1665,6 +1763,31 @@ object SparkEntry {
       HtmlMeta.robotsMeta(s.createDataset(rows)).toDF().orderBy("url")
     }),
 
+    "html_image_captions" -> ((s, _) => {
+      import s.implicits._
+      // LAION-style image–text pair mining: <img> src resolved against the
+      // page url, alt text, figcaption when inside <figure>; nav-contained
+      // images flagged as boilerplate, data: URIs dropped. ord is document
+      // position among ALL imgs (stable even when data: rows drop)
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val pages = Seq(
+        ("https://img.example/fig",
+          """<html><body><main>
+            |<figure><img src="/img/cat.jpg" alt="a cat">
+            |<figcaption>A <b>tabby</b> cat &amp; friend</figcaption></figure>
+            |<p>text</p><img src="https://cdn.example/dog.png" alt="">
+            |</main></body></html>""".stripMargin),
+        ("https://img.example/nav",
+          """<html><body><nav><img src="logo.svg" alt="site logo"></nav>
+            |<article><img src="hero.webp" alt="hero &quot;shot&quot;"></article>
+            |</body></html>""".stripMargin),
+        ("https://img.example/data",
+          """<html><body><img src="data:image/png;base64,AAAA" alt="inline">
+            |<img src="x.png"></body></html>""".stripMargin))
+      val rows = pages.map { case (u, h) => PageRow(u, ts, h.getBytes("UTF-8"), null, "en") }
+      HtmlMeta.imageCaptions(s.createDataset(rows)).toDF().orderBy("url", "ord")
+    }),
+
     "text_license" -> ((s, dir) => {
       // provenance gate: phrase-level license-marker detection, one
       // codegen'd lowercase+contains projection, zero shuffle
@@ -2393,6 +2516,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("degree"), col("n_triangles"),
           col("clustering_x1000"))
         .orderBy("doc_id")
+    }),
+
+    "graph_link_predict" -> ((s, dir) => {
+      // link prediction: hub-capped wedge generation, common-neighbor
+      // count + integer resource-allocation index, already-linked pairs
+      // anti-joined away, global top-50 as TakeOrderedAndProject
+      val d = docs(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = d.count()
+      graft.ops.Graph.linkPredict(graft.ops.Graph.synthEdges(d, n), maxDeg = 8, topN = 50)
     }),
 
     "graph_kcore" -> ((s, dir) => {

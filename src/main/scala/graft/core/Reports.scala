@@ -92,6 +92,19 @@ object Reports {
 
   /** CPython bytes-repr emulation (b'...' with \xNN escapes) — the pdfinfo
     * golden prints file identifiers this way. */
+  /** ISO/ANSI paper-size classification of a page size in points (±1.5 pt
+    * tolerance on the sorted short/long pair — scanners jitter by a point).
+    * Corpus use: geometry normalization stats before rendering/chunking. */
+  def paperSize(w: Double, h: Double): String = {
+    val s = math.min(w, h); val l = math.max(w, h)
+    val table = Seq(
+      ("a3", 842.0, 1191.0), ("a4", 595.0, 842.0), ("a5", 420.0, 595.0),
+      ("letter", 612.0, 792.0), ("legal", 612.0, 1008.0), ("tabloid", 792.0, 1224.0))
+    table.find { case (_, ts, tl) =>
+      math.abs(s - ts) <= 1.5 && math.abs(l - tl) <= 1.5
+    }.map(_._1).getOrElse("other")
+  }
+
   def pyBytesRepr(b: Array[Byte]): String = {
     val hasSingle = b.contains('\''.toByte)
     val hasDouble = b.contains('"'.toByte)

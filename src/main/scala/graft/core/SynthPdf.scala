@@ -178,6 +178,36 @@ object SynthPdf {
   /** Deterministic text-like 1=black byte bitmap (sparse strokes) — the
     * JBIG2 fixture pattern; exposed so oracles can recompute the expected
     * decoded bytes independently of the codec. */
+  /** Redaction fixture: three SEPARATE single-show text objects (isolable
+    * spans) — the middle one carries the planted secret. */
+  def redactPdf: Array[Byte] = onePage(
+    "BT /F1 12 Tf 50 700 Td (public line one) Tj ET " +
+    "BT /F1 12 Tf 50 680 Td (SECRET ssn 123-45-6789) Tj ET " +
+    "BT /F1 12 Tf 50 660 Td (public line two) Tj ET")
+
+  /** Active-content fixture for the action audit: catalog OpenAction runs
+    * JavaScript chained (/Next) to a Named action; the Names/JavaScript
+    * tree carries one document-level script; the page's /AA /O launches an
+    * external program; a link annot carries a URI action. */
+  def actionsPdf: Array[Byte] = {
+    val content = "BT /F1 12 Tf 50 700 Td (active content page) Tj ET"
+    build(Vector(
+      ("<</Type/Catalog/Pages 2 0 R/OpenAction 7 0 R" +
+        "/Names<</JavaScript<</Names[(init) 9 0 R]>>>>>>").getBytes,
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>".getBytes,
+      ("<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]" +
+        "/Resources<</Font<</F1 4 0 R>>>>/Contents 5 0 R" +
+        "/Annots[6 0 R]/AA<</O 10 0 R>>>>").getBytes,
+      "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>".getBytes,
+      (s"<</Length ${content.length}>>\nstream\n$content\nendstream").getBytes,
+      ("<</Type/Annot/Subtype/Link/Rect[50 695 165 712]" +
+        "/A<</S/URI/URI(https://evil.example/track)>>>>").getBytes,
+      "<</S/JavaScript/JS(app.alert\\(1\\);)/Next 8 0 R>>".getBytes,
+      "<</S/Named/N/NextPage>>".getBytes,
+      "<</S/JavaScript/JS(console.log\\(2\\);)>>".getBytes,
+      "<</S/Launch/F(cmd.exe)>>".getBytes))
+  }
+
   def strokeBitmap(w: Int, h: Int): Array[Byte] = {
     val bm = new Array[Byte](w * h)
     var y = 8

@@ -260,6 +260,43 @@ object Graph {
     *
     * Output per node: degree (undirected, deduped), triangle count, and
     * clustering coefficient in permille = 2t*1000 div (deg*(deg-1)). */
+  /** Link prediction (Liben-Nowell & Kleinberg 2003): score non-adjacent
+    * two-hop pairs by common-neighbor count and the integer
+    * resource-allocation index Σ_z floor(10⁶ / deg z) (Zhou et al. 2009 —
+    * the 1/deg form stays integer-exact where Adamic-Adar's 1/ln(deg)
+    * would drift by libm). Crawl use: candidate discovery — pages that
+    * share many link neighbors but don't yet link are mirror/series
+    * candidates.
+    *
+    * Scale shape: per-node adjacency is hub-capped to the `maxDeg`
+    * smallest neighbor ids BEFORE wedge generation, so a degree-D hub
+    * emits at most maxDeg² wedge pairs, not D² — the same bound the walk
+    * corpus uses. Wedge rows are (a, b, ra) 24-byte triples; scores
+    * aggregate map-side; the already-linked filter is one left_anti join
+    * against the undirected edge set; the global top-N plans as
+    * TakeOrderedAndProject (no full sort). Oracle replays every step —
+    * including the cap — in SQL. */
+  def linkPredict(edges: DataFrame, maxDeg: Int = 8, topN: Int = 50): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val adj = und.select(col("a").as("z"), col("b").as("nb"))
+      .union(und.select(col("b").as("z"), col("a").as("nb")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("z").orderBy("nb")
+    val capped = adj.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= maxDeg).drop("rn")
+      .join(deg, "z")
+    val wedges = capped.as("x").join(capped.as("y"),
+        col("x.z") === col("y.z") && col("x.nb") < col("y.nb"))
+      .select(col("x.nb").as("a"), col("y.nb").as("b"),
+        floor(lit(1000000L) / col("x.deg")).as("ra"))
+    val scored = wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"), sum("ra").as("ra_micro"))
+    scored.join(und, Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_micro").desc, col("cn").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
   def triangles(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
