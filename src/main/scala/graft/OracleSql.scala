@@ -315,6 +315,32 @@ object OracleSql {
         |) AS t(url, has_robots_meta, noindex, nofollow, noarchive, indexable)
         |ORDER BY url""".stripMargin,
 
+    // pinned attachment hygiene: reference fixture carries a pdf + txt;
+    // the writer-planted set pins PE/shebang/zip/text classification and
+    // the risky gate (executables and scripts, not archives or text)
+    "pdf_attachment_hygiene" ->
+      """SELECT source, name, CAST(n_bytes AS BIGINT) AS n_bytes, kind, risky
+        |FROM (VALUES
+        |  ('fixture://attachments.pdf', '1.txt', 4, 'text', false),
+        |  ('fixture://attachments.pdf', 'attached.pdf', 5869, 'pdf', false),
+        |  ('synthetic://planted.pdf', 'bundle.zip', 6, 'zip', false),
+        |  ('synthetic://planted.pdf', 'evil.exe', 11, 'pe', true),
+        |  ('synthetic://planted.pdf', 'notes.txt', 11, 'text', false),
+        |  ('synthetic://planted.pdf', 'run.sh', 17, 'script', true)
+        |) AS t(source, name, n_bytes, kind, risky)
+        |ORDER BY source, name""".stripMargin,
+
+    // day-of-week profile: DuckDB dayofweek (0=Sunday) == Spark dayofweek-1;
+    // permille shares by integer floor division
+    "events_seasonality" ->
+      """WITH ev AS (SELECT event_type, dayofweek(ts) AS dow FROM events),
+        |hist AS (SELECT event_type, dow, count(*) AS n FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS total FROM ev GROUP BY 1)
+        |SELECT h.event_type, CAST(h.dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n,
+        |  CAST(n * 1000 // total AS BIGINT) AS share_permille
+        |FROM hist h JOIN tot t ON t.event_type = h.event_type
+        |ORDER BY h.event_type, dow""".stripMargin,
+
     // pinned redaction phases: extraction-side drop keeps the emptied
     // line's structure (two adjacent newlines); writer-side removal drops
     // the whole object (2 text objects remain) and the line with it
@@ -1137,6 +1163,43 @@ object OracleSql {
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.fp, b.fp)) <= 3
          |ORDER BY a, b""".stripMargin,
+
+    // bucket observability replayed step-for-step: same md5 fingerprints as
+    // dedup_simhash, blocks unpacked per the 11/11/11/11/10/10 layout, the
+    // 20 lexicographic 3-of-6 combination keys re-packed, then aggregated
+    "dedup_simhash_buckets" ->
+      s"""WITH $corpusCte, $shinglesCte,
+         |u AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),
+         |hv AS (SELECT doc_id, md5_number_upper(g) AS h FROM u),
+         |bits AS (
+         |  SELECT doc_id, b.bit AS bit,
+         |    SUM(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+         |  FROM hv CROSS JOIN (SELECT CAST(range AS INT) AS bit FROM range(0,64)) b
+         |  GROUP BY 1, 2),
+         |fp AS (
+         |  SELECT doc_id,
+         |    bit_or(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << bit) ELSE CAST(0 AS UBIGINT) END) AS fp
+         |  FROM bits GROUP BY doc_id),
+         |blocks AS (SELECT doc_id,
+         |  (fp >> 0) & 2047 AS b0, (fp >> 11) & 2047 AS b1, (fp >> 22) & 2047 AS b2,
+         |  (fp >> 33) & 2047 AS b3, (fp >> 44) & 1023 AS b4, (fp >> 54) & 1023 AS b5
+         |  FROM fp),
+         |combos(c, i, j, k) AS (VALUES
+         |  (0,0,1,2),(1,0,1,3),(2,0,1,4),(3,0,1,5),(4,0,2,3),(5,0,2,4),(6,0,2,5),
+         |  (7,0,3,4),(8,0,3,5),(9,0,4,5),(10,1,2,3),(11,1,2,4),(12,1,2,5),
+         |  (13,1,3,4),(14,1,3,5),(15,1,4,5),(16,2,3,4),(17,2,3,5),(18,2,4,5),(19,3,4,5)),
+         |keys AS (SELECT doc_id, c,
+         |  (CASE i WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 WHEN 3 THEN b3 WHEN 4 THEN b4 ELSE b5 END << 22)
+         |  | (CASE j WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 WHEN 3 THEN b3 WHEN 4 THEN b4 ELSE b5 END << 11)
+         |  | (CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 WHEN 3 THEN b3 WHEN 4 THEN b4 ELSE b5 END) AS bk
+         |  FROM blocks CROSS JOIN combos),
+         |sizes AS (SELECT c, bk, count(*) AS n FROM keys GROUP BY 1, 2)
+         |SELECT CAST(c AS BIGINT) AS combo,
+         |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_multi,
+         |  CAST(max(n) AS BIGINT) AS max_bucket,
+         |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs,
+         |  CAST(sum(CASE WHEN n > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap
+         |FROM sizes GROUP BY 1 ORDER BY combo""".stripMargin,
 
     // ---- similarity --------------------------------------------------------
     // embedding-cosine near-dup pairs: brute-force oracle over base ∪

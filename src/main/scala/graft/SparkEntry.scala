@@ -974,6 +974,34 @@ object SparkEntry {
         .orderBy("source", "key")
     }),
 
+    "pdf_attachment_hygiene" -> ((s, _) => {
+      import s.implicits._
+      // embedded-file quarantine gate: PE/ELF/shebang/zip classification of
+      // attachment payloads (the attachment sibling of pdf_actions) —
+      // reference fixture attachments + a writer-planted hostile set
+      val planted = {
+        val base = graft.core.PdfDocument.load(graft.core.SynthPdf.onePage(
+          "BT /F1 12 Tf 50 700 Td (carrier) Tj ET"), "").toOption.get
+        graft.core.PdfWriter.writeEdited(base, graft.core.EditSpec(newAttachments = Seq(
+          "bundle.zip" -> Array[Byte]('P', 'K', 3, 4, 0, 0),
+          "evil.exe" -> "MZ payload".getBytes("ISO-8859-1"),
+          "notes.txt" -> "plain notes".getBytes("UTF-8"),
+          "run.sh" -> "#!/bin/sh\necho x\n".getBytes("UTF-8"))))
+      }
+      val fixtures = Seq(
+        "fixture://attachments.pdf" -> PagesTable.fixture("attachments.pdf"),
+        "synthetic://planted.pdf" -> planted)
+      s.createDataset(fixtures).flatMap { case (src, bytes) =>
+        val doc = graft.core.PdfDocument.load(bytes, "").toOption.get
+        doc.attachments.map { a =>
+          val kind = graft.ops.Multimodal.detectAttachmentKind(a.data)
+          (src, a.name, a.data.length.toLong, kind,
+            kind == "pe" || kind == "elf" || kind == "script")
+        }
+      }.toDF("source", "name", "n_bytes", "kind", "risky")
+        .orderBy("source", "name")
+    }),
+
     "pdf_redact" -> ((s, _) => {
       import s.implicits._
       // PII redaction, both precision modes over one planted-secret
@@ -1194,6 +1222,19 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    "events_seasonality" -> ((s, dir) => {
+      // day-of-week traffic profile per event type (crawl-scheduling
+      // seasonality): counts + integer permille share; one rollup shuffle
+      val ev = docs(s, dir, "events")
+        .select(col("event_type"), (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+      val hist = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+      val tot = ev.groupBy("event_type").agg(count(lit(1)).as("total"))
+      hist.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("dow"), col("n"),
+          expr("n * 1000 div total").as("share_permille"))
+        .orderBy("event_type", "dow")
+    }),
+
     "q_set_ops" -> ((s, dir) => {
       // union/intersect/except semantics (SURVEY.md §2.7 import_pages analog)
       val c = docs(s, dir, "customer").select(col("c_nationkey").cast("int").as("k"))
@@ -1233,6 +1274,14 @@ object SparkEntry {
       // for hamming ≤ 3 so the sets must match exactly
       Dedup.simhashPairs(Dedup.corpusWithReplicas(docs(s, dir, "documents").select(col("doc_id"), col("text"))))
         .orderBy("a", "b")
+    }),
+
+    "dedup_simhash_buckets" -> ((s, dir) => {
+      // banded-bucket observability: per combination key, non-singleton
+      // buckets, the largest, candidate-pair mass, salt-cap breaches —
+      // what an operator watches before unleashing the pair join at scale
+      Dedup.simhashBucketStats(Dedup.corpusWithReplicas(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
     }),
 
     // ---- similarity search ----------------------------------------------

@@ -621,6 +621,34 @@ object Dedup {
     out
   }
 
+  /** Banded-bucket observability for [[simhashPairs]]: per combination key,
+    * the bucket-size facts an operator watches at 100 TB — non-singleton
+    * bucket count, largest bucket, candidate-pair mass Σ n·(n−1)/2, and how
+    * many buckets exceed the salt cap (each of those costs an extra shuffle
+    * sub-round). One banding pass + one aggregation; integer-exact, so the
+    * DuckDB oracle replays the md5 fingerprints and the key packing. */
+  def simhashBucketStats(corpus: DataFrame, maxBucket: Int = 10000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val banded = corpus.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, shingleStrings(text)) }
+      .filter(_._2.nonEmpty)
+      .flatMap { case (id, sh) =>
+        val fp = simhash64(sh, shingleHashMd5)
+        simhashBandKeys(fp).iterator.map(bk => (id, bk))
+      }
+      .toDF("doc_id", "bk")
+    val sizes = banded.groupBy("bk").agg(count(lit(1)).as("n"))
+    sizes.groupBy(shiftrightunsigned(col("bk"), 33).cast("long").as("combo"))
+      .agg(
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_buckets_multi"),
+        max(col("n")).as("max_bucket"),
+        expr("sum(n * (n - 1) div 2)").as("cand_pairs"),
+        sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("n_over_cap"))
+      .orderBy("combo")
+  }
+
   /** SimHash near-dup pairs: candidates bucketed by the 20 combination keys
     * (guaranteed recall for hamming ≤ 3), verified by exact hamming. Buckets
     * larger than `maxBucket` (mass-identical boilerplate at web scale) are

@@ -30,6 +30,34 @@ object Multimodal {
     else "bin"
   }
 
+  /** Executable/active-content classification for embedded-file payloads —
+    * the attachment-hygiene sibling of [[detectMagic]]: PE/ELF/shebang
+    * scripts and archives are what a corpus gate quarantines before a PDF's
+    * attachments are trusted. `text` = first 256 bytes are all printable
+    * ASCII/UTF-8-continuation; `empty` for zero-length payloads. */
+  def detectAttachmentKind(b: Array[Byte]): String = {
+    if (b.isEmpty) "empty"
+    else if (b.length >= 2 && b(0) == 'M' && b(1) == 'Z') "pe"
+    else if (b.length >= 4 && (b(0) & 0xff) == 0x7f && b(1) == 'E' && b(2) == 'L' && b(3) == 'F') "elf"
+    else if (b.length >= 2 && b(0) == '#' && b(1) == '!') "script"
+    else if (b.length >= 4 && b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4) "zip"
+    else {
+      val m = detectMagic(b)
+      if (m != "bin") m
+      else {
+        val n = math.min(256, b.length)
+        var i = 0
+        var printable = true
+        while (i < n && printable) {
+          val c = b(i) & 0xff
+          printable = c == 0x09 || c == 0x0a || c == 0x0d || (c >= 0x20 && c != 0x7f)
+          i += 1
+        }
+        if (printable) "text" else "bin"
+      }
+    }
+  }
+
   /** JPEG dimensions from the SOF0/SOF2 marker (real header decode; the
     * pixel decode itself is the stubbed step). */
   def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
