@@ -92,14 +92,28 @@ object TextStats {
       needle.length.toDouble).cast("long")
   }
 
-  def langScores(docs: DataFrame): DataFrame = {
+  def langScores(docs: DataFrame): DataFrame = langScoresKeyed(docs, "doc_id")
+
+  /** [[langScores]] over any key column (urls, hosts, …). */
+  def langScoresKeyed(docs: DataFrame, key: String): DataFrame = {
     val nTok = tokenCountCol(col("text"))
     val scoreCols = markers.map { case (lang, words) =>
       val cnt = words.map(occurrences).reduce(_ + _)
       when(nTok > 0, floor(cnt.cast("double") * 1000.0 / nTok.cast("double")))
         .otherwise(0L).cast("long").as(s"score_$lang")
     }
-    docs.select((col("doc_id") +: scoreCols): _*)
+    docs.select((col(key) +: scoreCols): _*)
+  }
+
+  /** Deterministic argmax over [[langScores]] columns: highest score wins,
+    * marker order (en, de, es, fr) breaks ties, all-zero → "und". */
+  def langArgmax(scored: DataFrame): DataFrame = {
+    val langs = markers.map(_._1)
+    val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
+    val pickFirstWins = langs.foldRight(lit("und"): Column) { (l, acc) =>
+      when(col(s"score_$l") === best && best > 0, l).otherwise(acc)
+    }
+    scored.withColumn("detected", pickFirstWins)
   }
 
   /** Document fingerprint: md5 of case-folded, punctuation-stripped,

@@ -182,6 +182,32 @@ object UrlOps {
       .withColumn("blocked", col("rule") =!= "")
   }
 
+  /** Structural URL risk audit — the phish/malware-shape gate a crawler
+    * applies before fetching: userinfo@host tricks, IP-literal hosts,
+    * punycode (homograph) hosts, non-standard ports, path traversal,
+    * overlong URLs. Pure codegen'd string/regex projection, zero shuffle;
+    * every rule replays verbatim in the oracle. */
+  def hygiene(urls: DataFrame): DataFrame = {
+    val u = col("url")
+    val hostPart = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val hasUserinfo = hostPart.contains("@")
+    val host = when(hasUserinfo, regexp_extract(hostPart, "@([^@]*)$", 1)).otherwise(hostPart)
+    val hostNoPort = regexp_extract(host, "^(\\[[^\\]]*\\]|[^:]*)", 1)
+    val ipLiteral = hostNoPort.rlike("^([0-9]{1,3}\\.){3}[0-9]{1,3}$") ||
+      hostNoPort.startsWith("[")
+    val punycode = lower(hostNoPort).contains("xn--")
+    val port = regexp_extract(host, ":([0-9]+)$", 1)
+    val oddPort = port =!= "" && port =!= "80" && port =!= "443"
+    val traversal = u.contains("/../") || u.endsWith("/..")
+    val overlong = length(u) > lit(2048)
+    urls.select(u.as("url"),
+      hasUserinfo.as("userinfo"), ipLiteral.as("ip_literal"),
+      punycode.as("punycode"), oddPort.as("odd_port"),
+      traversal.as("traversal"), overlong.as("overlong"),
+      (hasUserinfo || ipLiteral || punycode || oddPort || traversal || overlong)
+        .as("risky"))
+  }
+
   /** Per-registered-domain rollup. Algebraic aggregates only, so Spark's
     * map-side partial aggregation absorbs the planted hot domain (~50% of
     * rows on site999.co.uk): each task emits one partial row per domain,
