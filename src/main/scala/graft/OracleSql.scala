@@ -315,6 +315,51 @@ object OracleSql {
         |) AS t(url, has_robots_meta, noindex, nofollow, noarchive, indexable)
         |ORDER BY url""".stripMargin,
 
+    // pinned subset-prefix detection: the reference fixtures really DO
+    // subset (BAAAAA+Ubuntu, HXCLXY+Carlito); the synthetic row pins an
+    // unembedded subset name; CMUSansSerif is the unprefixed control
+    "pdf_fonts_subset" ->
+      """SELECT fixture, CAST(page AS BIGINT) AS page, font, base_font, embedded, subset
+        |FROM (VALUES
+        |  ('fixture://multipage.pdf', 0, 'CMUSansSerif', 'CMUSansSerif', true, false),
+        |  ('fixture://multipage.pdf', 0, 'HXCLXY+Carlito', 'Carlito', true, true),
+        |  ('fixture://multipage.pdf', 1, 'HXCLXY+Carlito', 'Carlito', true, true),
+        |  ('fixture://multipage.pdf', 2, 'HXCLXY+Carlito', 'Carlito', true, true),
+        |  ('fixture://render.pdf', 0, 'BAAAAA+CantarellRegular', 'CantarellRegular', true, true),
+        |  ('fixture://text.pdf', 0, 'BAAAAA+Ubuntu', 'Ubuntu', true, true),
+        |  ('fixture://text.pdf', 1, 'BAAAAA+Ubuntu', 'Ubuntu', true, true),
+        |  ('synthetic://subset.pdf', 0, 'ABCDEF+Helvetica', 'Helvetica', false, true)
+        |) AS t(fixture, page, font, base_font, embedded, subset)
+        |ORDER BY fixture, page, font""".stripMargin,
+
+    // pinned tracking-pixel audit: 1×1 beacon, display:none, known host at
+    // 2×2 (pixel=false, tracker=true), and the 640×480 hero control
+    "html_tracking_pixels" ->
+      """SELECT url, CAST(ord AS BIGINT) AS ord, img_url, CAST(w AS BIGINT) AS w,
+        |  CAST(h AS BIGINT) AS h, pixel, hidden, tracker_host, tracking
+        |FROM (VALUES
+        |  ('https://t.example/a', 0, 'https://ad.doubleclick.net/px.gif', 1, 1, true, false, true, true),
+        |  ('https://t.example/a', 1, 'https://t.example/hero.jpg', 640, 480, false, false, false, false),
+        |  ('https://t.example/b', 0, 'https://t.example/spy.png', -1, -1, false, true, false, true),
+        |  ('https://t.example/b', 1, 'https://www.google-analytics.com/collect.gif', 2, 2, false, false, true, true)
+        |) AS t(url, ord, img_url, w, h, pixel, hidden, tracker_host, tracking)
+        |ORDER BY url, ord""".stripMargin,
+
+    // pinned caption-quality funnel: reason precedence
+    // boilerplate > no_text > placeholder_alt > too_short > ok
+    "html_caption_quality" ->
+      """SELECT url, CAST(ord AS BIGINT) AS ord, pair_text, reason, usable
+        |FROM (VALUES
+        |  ('https://q.example/p', 0, 'A detailed caption of the scene', 'ok', true),
+        |  ('https://q.example/p', 1, 'logo', 'placeholder_alt', false),
+        |  ('https://q.example/p', 2, '12 34', 'placeholder_alt', false),
+        |  ('https://q.example/p', 3, 'tiny', 'too_short', false),
+        |  ('https://q.example/p', 4, '', 'no_text', false),
+        |  ('https://q.example/p', 5, 'a perfectly good nav description', 'boilerplate', false),
+        |  ('https://q.example/p', 6, 'a golden retriever catching a frisbee', 'ok', true)
+        |) AS t(url, ord, pair_text, reason, usable)
+        |ORDER BY url, ord""".stripMargin,
+
     // pinned attachment hygiene: reference fixture carries a pdf + txt;
     // the writer-planted set pins PE/shebang/zip/text classification and
     // the risky gate (executables and scripts, not archives or text)

@@ -974,6 +974,31 @@ object SparkEntry {
         .orderBy("source", "key")
     }),
 
+    "pdf_fonts_subset" -> ((s, _) => {
+      import s.implicits._
+      // subset-prefix (ABCDEF+) detection + embedded flag per page font —
+      // the font-provenance stats a rendering/extraction audit reads
+      val fixtures = Seq(
+        "fixture://text.pdf" -> PagesTable.fixture("text.pdf"),
+        "fixture://render.pdf" -> PagesTable.fixture("render.pdf"),
+        "fixture://multipage.pdf" -> PagesTable.fixture("multipage.pdf"),
+        "synthetic://subset.pdf" -> graft.core.SynthPdf.onePage(
+          "BT /F1 12 Tf 50 700 Td (subset text) Tj ET",
+          "<</Type/Font/Subtype/Type1/BaseFont/ABCDEF+Helvetica>>"))
+      s.createDataset(fixtures).flatMap { case (name, bytes) =>
+        val doc = graft.core.PdfDocument.load(bytes, "").toOption.get
+        doc.pages.zipWithIndex.flatMap { case (p, pi) =>
+          p.textPage.textObjects.filter(_.chars.nonEmpty)
+            .map(o => (o.font.baseFont, o.font.baseNameNoSubset, o.font.isEmbedded))
+            .distinct
+            .map { case (raw, base, emb) =>
+              (name, pi.toLong, raw, base, emb, raw != base)
+            }
+        }
+      }.toDF("fixture", "page", "font", "base_font", "embedded", "subset")
+        .orderBy("fixture", "page", "font")
+    }),
+
     "pdf_attachment_hygiene" -> ((s, _) => {
       import s.implicits._
       // embedded-file quarantine gate: PE/ELF/shebang/zip classification of
@@ -1921,6 +1946,42 @@ object SparkEntry {
       UrlOps.hygiene(s.createDataset(urls).toDF("url"))
         .withColumn("url", substring(col("url"), 1, 40)) // pin-friendly
         .orderBy("url")
+    }),
+
+    "html_tracking_pixels" -> ((s, _) => {
+      import s.implicits._
+      // privacy/boilerplate audit: 1×1 and hidden images, known beacon
+      // hosts — pixels must never become VLM pairs
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val pages = Seq(
+        ("https://t.example/a",
+          """<html><body><img src="https://ad.doubleclick.net/px.gif" width=1 height=1>
+            |<img src="hero.jpg" width="640" height="480" alt="hero"></body></html>""".stripMargin),
+        ("https://t.example/b",
+          """<html><body><img src="/spy.png" style="display: none">
+            |<img src="https://www.google-analytics.com/collect.gif" width="2" height="2">
+            |</body></html>""".stripMargin))
+      val rows = pages.map { case (u, h) => PageRow(u, ts, h.getBytes("UTF-8"), null, "en") }
+      HtmlMeta.trackingPixels(s.createDataset(rows)).toDF().orderBy("url", "ord")
+    }),
+
+    "html_caption_quality" -> ((s, _) => {
+      import s.implicits._
+      // the filter between alt-text mining and a VLM pair: reason-coded
+      // funnel (boilerplate > no_text > placeholder_alt > too_short > ok)
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val h =
+        """<html><body>
+          |<figure><img src="a.jpg" alt="x"><figcaption>A detailed caption of the scene</figcaption></figure>
+          |<img src="b.jpg" alt="logo">
+          |<img src="c.jpg" alt="12 34">
+          |<img src="d.jpg" alt="tiny">
+          |<img src="e.jpg">
+          |<nav><img src="f.jpg" alt="a perfectly good nav description"></nav>
+          |<img src="g.jpg" alt="a golden retriever catching a frisbee">
+          |</body></html>""".stripMargin
+      val rows = Seq(PageRow("https://q.example/p", ts, h.getBytes("UTF-8"), null, "en"))
+      HtmlMeta.captionQuality(s.createDataset(rows)).toDF().orderBy("url", "ord")
     }),
 
     "text_license" -> ((s, dir) => {

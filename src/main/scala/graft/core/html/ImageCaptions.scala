@@ -21,7 +21,10 @@ object ImageCaptions {
       alt: String,         // alt text, ws-normalized ("" when absent)
       caption: String,     // nearest enclosing <figure>'s figcaption text ("" outside figures)
       inFigure: Boolean,
-      inBoilerplate: Boolean) // nav/header/footer/aside/form/menu container
+      inBoilerplate: Boolean, // nav/header/footer/aside/form/menu container
+      width: Int = -1,     // width attribute (integer px), -1 absent/non-numeric
+      height: Int = -1,    // height attribute
+      hidden: Boolean = false) // inline style display:none / visibility:hidden
 
   private final class Fig {
     val imgs = mutable.ArrayBuffer[Int]() // indices into the out buffer
@@ -76,7 +79,19 @@ object ImageCaptions {
                       .map(v => HtmlExtract.normalizeWs(HtmlExtract.decodeEntities(v)))
                       .getOrElse("")
                     if (src.nonEmpty) {
-                      out += ImageRef(ord, src, alt, "", figStack.nonEmpty, boilerDepth > 0)
+                      def dim(attrName: String): Int =
+                        HtmlExtract.attr(body, attrName).flatMap(v =>
+                          v.trim.takeWhile(_.isDigit) match {
+                            case "" => None
+                            case d if d.length <= 6 => Some(d.toInt)
+                            case _ => None
+                          }).getOrElse(-1)
+                      val style = HtmlExtract.attr(body, "style")
+                        .map(_.toLowerCase.replace(" ", "")).getOrElse("")
+                      val hidden = style.contains("display:none") ||
+                        style.contains("visibility:hidden")
+                      out += ImageRef(ord, src, alt, "", figStack.nonEmpty,
+                        boilerDepth > 0, dim("width"), dim("height"), hidden)
                       if (figStack.nonEmpty) figStack.top.imgs += out.length - 1
                       ord += 1
                     }

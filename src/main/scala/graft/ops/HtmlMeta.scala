@@ -206,6 +206,75 @@ object HtmlMeta {
     }
   }
 
+  final case class TrackingPixelRow(
+      url: String,
+      ord: Long,
+      img_url: String,
+      w: Long, h: Long,     // -1 when the attribute is absent/non-numeric
+      pixel: Boolean,       // declared ≤1×1
+      hidden: Boolean,      // inline display:none / visibility:hidden
+      tracker_host: Boolean,
+      tracking: Boolean)
+
+  private val TrackerHosts = Seq(
+    "doubleclick.net", "google-analytics.com", "googletagmanager.com",
+    "facebook.com", "scorecardresearch.com", "quantserve.com")
+
+  /** Tracking-pixel audit: 1×1/hidden images and known beacon hosts — the
+    * privacy/boilerplate complement of image–text mining (a tracking pixel
+    * must never become a VLM training pair, and pixel density is a page
+    * quality signal). Same single-pass scanner, zero shuffle. */
+  def trackingPixels(pages: Dataset[PageRow]): Dataset[TrackingPixelRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap { p =>
+      if (p.html == null) Seq.empty[TrackingPixelRow]
+      else graft.core.html.ImageCaptions.scan(
+          graft.core.html.HtmlExtract.decodeBytes(p.html)).map { r =>
+        val resolved = graft.core.html.HtmlLinks.resolve(p.url, r.src)
+        val full = if (resolved.isEmpty) r.src else resolved
+        val host = full.toLowerCase
+          .replaceFirst("^[a-z][a-z0-9+.-]*://", "").takeWhile(c => c != '/' && c != '?')
+        val tracker = TrackerHosts.exists(t => host == t || host.endsWith("." + t))
+        val pixel = r.width >= 0 && r.width <= 1 && r.height >= 0 && r.height <= 1
+        TrackingPixelRow(p.url, r.ord.toLong, full, r.width.toLong, r.height.toLong,
+          pixel, r.hidden, tracker, pixel || r.hidden || tracker)
+      }
+    }
+  }
+
+  final case class CaptionQualityRow(
+      url: String,
+      ord: Long,
+      pair_text: String,    // caption if present, else alt — the candidate caption
+      reason: String,       // boilerplate | no_text | placeholder_alt | too_short | ok
+      usable: Boolean)
+
+  private val PlaceholderAlts = Set(
+    "image", "img", "photo", "picture", "logo", "icon", "banner", "spacer", "alt")
+
+  /** Caption-quality gate over [[imageCaptions]] — the filter between raw
+    * alt-text mining and a VLM training pair (LAION-style: placeholder
+    * alts, too-short text and boilerplate-contained images are dropped,
+    * with reason codes for the funnel audit). First matching reason wins. */
+  def captionQuality(pages: Dataset[PageRow]): Dataset[CaptionQualityRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    imageCaptions(pages).map { r =>
+      val pairText = if (r.caption.nonEmpty) r.caption else r.alt
+      val altNorm = r.alt.toLowerCase.trim
+      val reason =
+        if (r.boilerplate) "boilerplate"
+        else if (pairText.isEmpty) "no_text"
+        else if (pairText == r.alt &&
+          (PlaceholderAlts.contains(altNorm) || altNorm.forall(c => c.isDigit || c == ' ')))
+          "placeholder_alt"
+        else if (pairText.length < 10) "too_short"
+        else "ok"
+      CaptionQualityRow(r.url, r.ord, pairText, reason, reason == "ok")
+    }
+  }
+
   /** JSON-LD structured-data items per page (schema.org blocks — what CC's
     * WAT sidecars carry). One narrow typed pass, per-row bounded parser,
     * malformed blocks surface as ok=false rows instead of throwing. */
