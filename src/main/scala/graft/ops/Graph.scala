@@ -276,9 +276,18 @@ object Graph {
     * against the undirected edge set; the global top-N plans as
     * TakeOrderedAndProject (no full sort). Oracle replays every step —
     * including the cap — in SQL. */
-  def linkPredict(edges: DataFrame, maxDeg: Int = 8, topN: Int = 50): DataFrame = {
+  /** `materialize = false` skips the eager localCheckpoint (and the cache
+    * release) so tests can inspect the live physical plan; production
+    * callers keep the default, which materializes once and frees both
+    * caches. */
+  def linkPredict(edges: DataFrame, maxDeg: Int = 8, topN: Int = 50,
+                  materialize: Boolean = true): DataFrame = {
+    // und feeds three consumers (both adj legs + the anti join) and capped
+    // feeds both sides of the wedge self-join — persist each once so the
+    // plan reads caches instead of replaying the whole lineage 4×
     val und = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adj = und.select(col("a").as("z"), col("b").as("nb"))
       .union(und.select(col("b").as("z"), col("a").as("nb")))
     val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
@@ -286,15 +295,23 @@ object Graph {
     val capped = adj.withColumn("rn", row_number().over(w))
       .where(col("rn") <= maxDeg).drop("rn")
       .join(deg, "z")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wedges = capped.as("x").join(capped.as("y"),
         col("x.z") === col("y.z") && col("x.nb") < col("y.nb"))
       .select(col("x.nb").as("a"), col("y.nb").as("b"),
         floor(lit(1000000L) / col("x.deg")).as("ra"))
     val scored = wedges.groupBy("a", "b")
       .agg(count(lit(1)).as("cn"), sum("ra").as("ra_micro"))
-    scored.join(und, Seq("a", "b"), "left_anti")
+    val ranked = scored.join(und, Seq("a", "b"), "left_anti")
       .orderBy(col("ra_micro").desc, col("cn").desc, col("a"), col("b"))
       .limit(topN)
+    if (!materialize) ranked
+    else {
+      val out = ranked.localCheckpoint(true)
+      capped.unpersist(false)
+      und.unpersist(false)
+      out
+    }
   }
 
   def triangles(nodes: DataFrame, edges: DataFrame): DataFrame = {

@@ -134,6 +134,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("text_sentences", maxExchange = 1)
   }
 
+  test("waves 60-64: narrow fixture queries stay at the display sort") {
+    for (q <- Seq("html_image_captions", "html_tracking_pixels",
+        "html_caption_quality", "url_hygiene", "pdf_dates"))
+      assertShape(q, maxExchange = 1)
+  }
+
+  test("wave 61/62/63 rollups: bounded exchanges, no cartesian blowups") {
+    // link prediction: adjacency window + wedge self-join + score rollup +
+    // anti join + global top-k — every Exchange keyed, the und/capped
+    // subtrees read from cache (InMemoryTableScan) instead of replaying,
+    // and the top-50 plans as TakeOrdered, never a full candidate Sort
+    val d = SparkEntry.queries("q1_agg")(spark, dir).sparkSession // session handle
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select(
+      org.apache.spark.sql.functions.col("doc_id").as("id"))
+    val n = docs.count()
+    val lpPlan = graft.ops.Graph.linkPredict(
+        graft.ops.Graph.synthEdges(docs, n), maxDeg = 8, topN = 50,
+        materialize = false)
+      .queryExecution.executedPlan.toString
+    // the plan STRING repeats each cached subtree under every
+    // InMemoryTableScan, so count DISTINCT Exchange lines (cached-subtree
+    // repeats are verbatim, outer Exchanges are unique) — the true
+    // number of shuffles the job executes
+    val distinctExchanges = lpPlan.linesIterator
+      .filter(_.matches(raw"^[\s:+\-*]*(?:\(\d+\)\s*)?Exchange.*"))
+      .map(_.replaceAll("^.*?Exchange", "Exchange")).toSet
+    assert(distinctExchanges.size <= 8,
+      s"link-predict: ${distinctExchanges.size} distinct shuffles:\n${distinctExchanges.mkString("\n")}")
+    assert(!lpPlan.contains("CartesianProduct"), "cartesian product crept in")
+    assert(lpPlan.contains("TakeOrderedAndProject"),
+      s"link-predict top-50 must be TakeOrderedAndProject:\n$lpPlan")
+    assert(lpPlan.contains("InMemoryTableScan"),
+      "link-predict must reuse the cached adjacency")
+    spark.catalog.clearCache()
+    assertShape("dedup_simhash_buckets", maxExchange = 3)
+    assertShape("events_seasonality", maxExchange = 4)
+    assertShape("events_holt", maxExchange = 3)
+  }
+
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
     val pages = PagesTable.synthesize(spark, 16, 4)
     // default path: payload parsed where produced, zero Exchange
