@@ -315,6 +315,72 @@ object OracleSql {
         |) AS t(url, has_robots_meta, noindex, nofollow, noarchive, indexable)
         |ORDER BY url""".stripMargin,
 
+    // pinned meta-refresh grammar: delay-0 redirect, capitalized attrs with
+    // quoted target, bare-delay reload, no-meta, unparseable-delay ignored
+    "html_meta_refresh" ->
+      """SELECT url, has_refresh, CAST(delay AS BIGINT) AS delay, target, immediate
+        |FROM (VALUES
+        |  ('https://r.example/bad', false, -1, '', false),
+        |  ('https://r.example/caps', true, 5, 'https://other.example/x', false),
+        |  ('https://r.example/none', false, -1, '', false),
+        |  ('https://r.example/reload', true, 30, '', false),
+        |  ('https://r.example/zero', true, 0, 'https://r.example/next-page', true)
+        |) AS t(url, has_refresh, delay, target, immediate)
+        |ORDER BY url""".stripMargin,
+
+    // pinned catalog-/Lang audit: all three catalogs declare de-DE;
+    // text.pdf's lorem ipsum detects as fr (latin "et") → planted mismatch;
+    // empty/render extract no marker text → und, never a mismatch
+    "pdf_lang_mismatch" ->
+      """SELECT fixture, declared, "primary", detected, mismatch
+        |FROM (VALUES
+        |  ('fixture://empty.pdf', 'de-DE', 'de', 'und', false),
+        |  ('fixture://render.pdf', 'de-DE', 'de', 'und', false),
+        |  ('fixture://text.pdf', 'de-DE', 'de', 'fr', true)
+        |) AS t(fixture, declared, "primary", detected, mismatch)
+        |ORDER BY fixture""".stripMargin,
+
+    // funnel replayed: stage 1 = md5 keepers; stage 2 = the dedup_simhash
+    // pair set (banding == brute force by the recall guarantee) over
+    // stage-1 survivors, connected components, non-representatives removed
+    "corpus_dedup_funnel" ->
+      s"""WITH RECURSIVE $corpusCte,
+         |keep1 AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+         |c2 AS (SELECT c.doc_id, c.text FROM corpus c JOIN keep1 k ON k.doc_id = c.doc_id),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+         |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+         |  FROM c2),
+         |u AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),
+         |hv AS (SELECT doc_id, md5_number_upper(g) AS h FROM u),
+         |bits AS (
+         |  SELECT doc_id, b.bit AS bit,
+         |    SUM(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+         |  FROM hv CROSS JOIN (SELECT CAST(range AS INT) AS bit FROM range(0,64)) b
+         |  GROUP BY 1, 2),
+         |fp AS (
+         |  SELECT doc_id,
+         |    bit_or(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << bit) ELSE CAST(0 AS UBIGINT) END) AS fp
+         |  FROM bits GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b FROM fp a JOIN fp b
+         |          ON a.doc_id < b.doc_id WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach(node, root) AS (
+         |  SELECT a AS node, a AS root FROM edges
+         |  UNION
+         |  SELECT e.b AS node, r.root FROM reach r JOIN edges e ON e.a = r.node),
+         |cl AS (SELECT node, MIN(root) AS root FROM reach GROUP BY node),
+         |rm2 AS (SELECT count(*) AS n FROM cl WHERE node <> root),
+         |n0 AS (SELECT count(*) AS n FROM corpus),
+         |n1 AS (SELECT count(*) AS n FROM keep1)
+         |SELECT stage, CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+         |  CAST(n_in - n_out AS BIGINT) AS n_removed
+         |FROM (
+         |  SELECT '1_exact' AS stage, n0.n AS n_in, n1.n AS n_out FROM n0, n1
+         |  UNION ALL
+         |  SELECT '2_simhash_cc', n1.n, n1.n - rm2.n FROM n1, rm2)
+         |ORDER BY stage""".stripMargin,
+
     // pinned subset-prefix detection: the reference fixtures really DO
     // subset (BAAAAA+Ubuntu, HXCLXY+Carlito); the synthetic row pins an
     // unembedded subset name; CMUSansSerif is the unprefixed control

@@ -974,6 +974,33 @@ object SparkEntry {
         .orderBy("source", "key")
     }),
 
+    "pdf_lang_mismatch" -> ((s, _) => {
+      import s.implicits._
+      // catalog /Lang vs langid over the extracted text — the PDF sibling
+      // of html_lang_mismatch. All three fixtures' CATALOGS declare de-DE
+      // (text.pdf also carries zxx struct-element spans, which are NOT the
+      // document language); text.pdf's lorem-ipsum extracts as "fr" (latin
+      // "et" hits the fr markers) → a genuine planted mismatch
+      val fixtures = Seq("text.pdf", "render.pdf", "empty.pdf")
+      val parsed = s.createDataset(fixtures).map { name =>
+        val doc = graft.core.PdfDocument.load(PagesTable.fixture(name), "").toOption.get
+        val declared = doc.get(doc.catalog, "Lang") match {
+          case ps: graft.core.PdfString => ps.asText
+          case _ => ""
+        }
+        val primary = declared.takeWhile(_ != '-').toLowerCase
+        val text = doc.pages.map(_.textPage.text).mkString(" ")
+          .replace("\r\n", " ").replace("\n", " ")
+        (s"fixture://$name", declared, primary, text)
+      }.toDF("fixture", "declared", "primary", "text")
+      TextStats.langArgmax(TextStats.langScoresKeyed(parsed, "fixture"))
+        .join(parsed.select("fixture", "declared", "primary"), "fixture")
+        .select(col("fixture"), col("declared"), col("primary"), col("detected"),
+          (col("declared") =!= "" && col("primary") =!= "zxx" &&
+            col("detected") =!= "und" && col("primary") =!= col("detected")).as("mismatch"))
+        .orderBy("fixture")
+    }),
+
     "pdf_fonts_subset" -> ((s, _) => {
       import s.implicits._
       // subset-prefix (ABCDEF+) detection + embedded flag per page font —
@@ -1331,6 +1358,15 @@ object SparkEntry {
       // for hamming ≤ 3 so the sets must match exactly
       Dedup.simhashPairs(Dedup.corpusWithReplicas(docs(s, dir, "documents").select(col("doc_id"), col("text"))))
         .orderBy("a", "b")
+    }),
+
+    "corpus_dedup_funnel" -> ((s, dir) => {
+      // per-stage survivor audit: exact (md5) then simhash-cc near-dup —
+      // the numbers a corpus release report publishes; only counts reach
+      // the driver, the corpus never collects
+      Dedup.dedupFunnel(Dedup.corpusWithReplicas(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("stage")
     }),
 
     "dedup_simhash_buckets" -> ((s, dir) => {
@@ -1946,6 +1982,27 @@ object SparkEntry {
       UrlOps.hygiene(s.createDataset(urls).toDF("url"))
         .withColumn("url", substring(col("url"), 1, 40)) // pin-friendly
         .orderBy("url")
+    }),
+
+    "html_meta_refresh" -> ((s, _) => {
+      import s.implicits._
+      // meta-refresh redirects — the hop the HTTP resolver can't see:
+      // delay-0 = crawl-visible redirect, delayed = soft redirect,
+      // bare delay = reload-in-place; attr case/quotes pinned
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val pages = Seq(
+        ("https://r.example/zero",
+          """<html><head><meta http-equiv="refresh" content="0;url=/next-page"></head></html>"""),
+        ("https://r.example/caps",
+          """<html><head><META HTTP-EQUIV=Refresh CONTENT="5; URL='https://other.example/x'"></head></html>"""),
+        ("https://r.example/reload",
+          """<html><head><meta http-equiv="refresh" content="30"></head></html>"""),
+        ("https://r.example/none",
+          """<html><head><meta name="viewport" content="width=device-width"></head></html>"""),
+        ("https://r.example/bad",
+          """<html><head><meta http-equiv="refresh" content="soon;url=/x"></head></html>"""))
+      val rows = pages.map { case (u, h) => PageRow(u, ts, h.getBytes("UTF-8"), null, "en") }
+      HtmlMeta.metaRefresh(s.createDataset(rows)).toDF().orderBy("url")
     }),
 
     "html_tracking_pixels" -> ((s, _) => {

@@ -486,6 +486,30 @@ object Dedup {
     * localCheckpoint so join lineage never stacks. `maxIter` is a runaway
     * bound only — hitting it without a fixed point throws rather than
     * silently mislabeling. */
+  /** End-to-end dedup funnel audit: the per-stage survivor counts a corpus
+    * report publishes (how much did exact dedup take vs near-dup?). Stage 1
+    * removes exact duplicates (md5, min-doc_id keeper); stage 2 runs
+    * simhash hamming≤3 pairs over the stage-1 survivors and removes every
+    * non-representative member of each connected cluster. Counts only cross
+    * the driver — the corpus never collects; DuckDB replays both stages
+    * (the simhash recall guarantee makes banding == brute force). */
+  def dedupFunnel(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n0 = c.count()
+    val keepers = c.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+    val surv1 = c.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n1 = surv1.count()
+    val cl = connectedComponents(simhashPairs(surv1).select(col("a"), col("b")))
+    val removed2 = cl.where(col("doc_id") =!= col("cluster_id")).count()
+    c.unpersist(false); surv1.unpersist(false)
+    Seq(("1_exact", n0, n1), ("2_simhash_cc", n1, n1 - removed2))
+      .toDF("stage", "n_in", "n_out")
+      .withColumn("n_removed", col("n_in") - col("n_out"))
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 32): DataFrame = {
     // canonical larger→smaller orientation, self-loops dropped
     var edges = pairs

@@ -206,6 +206,66 @@ object HtmlMeta {
     }
   }
 
+  final case class MetaRefreshRow(
+      url: String,
+      has_refresh: Boolean,
+      delay: Long,          // seconds, -1 when no refresh / unparseable
+      target: String,       // resolved redirect target ("" = reload-in-place)
+      immediate: Boolean)   // delay 0 with a target: a crawl-visible redirect
+
+  /** `<meta http-equiv="refresh">` extraction — the redirect source the
+    * HTTP-level resolver can't see (CC corpora are full of delay-0
+    * meta-refresh hops). content grammar: `delay[;url=TARGET]`, URL=
+    * case-insensitive, optional quotes around the target; first refresh
+    * meta wins. One narrow pass, zero shuffle. */
+  def metaRefresh(pages: Dataset[PageRow]): Dataset[MetaRefreshRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.map { p =>
+      if (p.html == null) MetaRefreshRow(p.url, false, -1L, "", false)
+      else {
+        val html = HtmlExtract.decodeBytes(p.html)
+        val lower = html.toLowerCase
+        var found: Option[(Long, String)] = None
+        var i = lower.indexOf("<meta")
+        while (i >= 0 && found.isEmpty) {
+          val close = html.indexOf('>', i)
+          if (close < 0) i = -1
+          else {
+            val body = html.substring(i + 1, close)
+            if (HtmlExtract.attr(body, "http-equiv").exists(_.equalsIgnoreCase("refresh"))) {
+              val content = HtmlExtract.attr(body, "content").getOrElse("")
+              val parts = content.split(";", 2)
+              val delay = parts(0).trim.takeWhile(_.isDigit) match {
+                case "" => -1L
+                case d if d.length <= 9 => d.toLong
+                case _ => -1L
+              }
+              val target =
+                if (parts.length < 2) ""
+                else {
+                  val rest = parts(1).trim
+                  val eq = rest.indexOf('=')
+                  if (eq < 0 || !rest.substring(0, eq).trim.equalsIgnoreCase("url")) ""
+                  else rest.substring(eq + 1).trim
+                    .stripPrefix("'").stripSuffix("'")
+                    .stripPrefix("\"").stripSuffix("\"").trim
+                }
+              if (delay >= 0) found = Some((delay,
+                if (target.isEmpty) ""
+                else graft.core.html.HtmlLinks.resolve(p.url, HtmlExtract.decodeEntities(target))))
+            }
+            i = lower.indexOf("<meta", close)
+          }
+        }
+        found match {
+          case Some((d, t)) => MetaRefreshRow(p.url, true, d, t, d == 0L && t.nonEmpty)
+          case None         => MetaRefreshRow(p.url, false, -1L, "", false)
+        }
+      }
+    }
+  }
+
   final case class TrackingPixelRow(
       url: String,
       ord: Long,
