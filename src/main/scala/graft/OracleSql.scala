@@ -340,6 +340,68 @@ object OracleSql {
         |) AS t(fixture, declared, "primary", detected, mismatch)
         |ORDER BY fixture""".stripMargin,
 
+    // pinned watermark detection: the rotated large-font DRAFT stamp
+    // repeats at one position on all 3 pages; multipage's per-page lines
+    // differ and are small-font — the negative control
+    "pdf_watermark" ->
+      """SELECT fixture, CAST(page AS BIGINT) AS page,
+        |  CAST(n_watermarks AS BIGINT) AS n_watermarks, wm_text, body
+        |FROM (VALUES
+        |  ('synthetic://multipage.pdf', 0, 0, '', 'Page 1 of 3'),
+        |  ('synthetic://multipage.pdf', 1, 0, '', 'Page 2 of 3'),
+        |  ('synthetic://multipage.pdf', 2, 0, '', 'Page 3 of 3'),
+        |  ('synthetic://watermark.pdf', 0, 1, 'DRAFT COPY', 'body text of page 1'),
+        |  ('synthetic://watermark.pdf', 1, 1, 'DRAFT COPY', 'body text of page 2'),
+        |  ('synthetic://watermark.pdf', 2, 1, 'DRAFT COPY', 'body text of page 3')
+        |) AS t(fixture, page, n_watermarks, wm_text, body)
+        |ORDER BY fixture, page""".stripMargin,
+
+    // JSONL export replayed byte-for-byte: same escape order (backslash
+    // first), planted rows force quote/backslash/newline/CR/tab/BEL; md5
+    // per line proves identity without shipping text
+    "corpus_jsonl_export" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (900001, 'en', 'quote " and backslash \ here'),
+        |    (900002, 'en', 'line one' || chr(10) || 'line two' || chr(13) || 'cr' || chr(9) || 'tab'),
+        |    (900003, 'en', 'bell ' || chr(7) || ' control')) v(doc_id, lang, text)),
+        |e AS (SELECT doc_id, lang,
+        |  replace(replace(replace(replace(replace(replace(text,
+        |    '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t'),
+        |    chr(7), chr(92) || 'u0007') AS t
+        |  FROM base),
+        |l AS (SELECT doc_id,
+        |  '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang ||
+        |  '","text":"' || t || '"}' AS line FROM e)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(length(line) AS BIGINT) AS n_chars, md5(line) AS line_md5
+        |FROM l ORDER BY doc_id""".stripMargin,
+
+    // minhash signature export rebuilt hash-by-hash: md5_number_upper of
+    // "seed:gram", unsigned→signed reinterpretation, min per (doc, seed)
+    "dedup_minhash_sig" ->
+      """WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+        |  FROM c),
+        |u AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),
+        |seeds AS (SELECT CAST(range AS BIGINT) AS seed FROM range(0, 8)),
+        |hv AS (SELECT doc_id, seed,
+        |  md5_number_upper(CAST(seed AS VARCHAR) || ':' || g) AS h
+        |  FROM u CROSS JOIN seeds),
+        |sgn AS (SELECT doc_id, seed,
+        |  CAST(CASE WHEN h >= CAST(9223372036854775808 AS UBIGINT)
+        |       THEN CAST(h AS HUGEINT) - 18446744073709551616
+        |       ELSE CAST(h AS HUGEINT) END AS BIGINT) AS hs
+        |  FROM hv)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(seed AS BIGINT) AS seed,
+        |  CAST(min(hs) AS BIGINT) AS minhash
+        |FROM sgn GROUP BY 1, 2
+        |ORDER BY doc_id, seed""".stripMargin,
+
     // funnel replayed: stage 1 = md5 keepers; stage 2 = the dedup_simhash
     // pair set (banding == brute force by the recall guarantee) over
     // stage-1 survivors, connected components, non-representatives removed

@@ -974,6 +974,36 @@ object SparkEntry {
         .orderBy("source", "key")
     }),
 
+    "pdf_watermark" -> ((s, _) => {
+      import s.implicits._
+      // watermark detection: large-font text repeated at the SAME position
+      // on ≥2 pages (the rotated DRAFT stamp shape); body text re-emitted
+      // without the watermark lines — the cleanup step before a page's
+      // text enters a corpus. multiPage is the negative control (its
+      // repeated-position lines differ per page and are small-font)
+      val fixtures = Seq(
+        "synthetic://watermark.pdf" -> graft.core.SynthPdf.watermarkPdf(3),
+        "synthetic://multipage.pdf" -> graft.core.SynthPdf.multiPage(3))
+      s.createDataset(fixtures).flatMap { case (name, bytes) =>
+        val doc = graft.core.PdfDocument.load(bytes, "").toOption.get
+        val keyed = doc.pages.zipWithIndex.flatMap { case (p, pi) =>
+          p.objects().filter(_.objType == "text").map(o =>
+            ((o.text, math.round(o.bounds.left), math.round(o.bounds.bottom),
+              math.round(o.fontSize * 10)), pi))
+        }
+        val wmTexts = keyed.groupBy(_._1)
+          .filter { case (key, v) => v.map(_._2).distinct.size >= 2 && key._4 >= 240 }
+          .keySet.map(_._1)
+        doc.pages.zipWithIndex.map { case (p, pi) =>
+          val lines = graft.core.Layout.lines(p.textPage)
+          val body = lines.filterNot(l => wmTexts.contains(l.text)).map(_.text).mkString(" | ")
+          (name, pi.toLong, wmTexts.size.toLong,
+            wmTexts.toSeq.sorted.mkString("|"), body)
+        }
+      }.toDF("fixture", "page", "n_watermarks", "wm_text", "body")
+        .orderBy("fixture", "page")
+    }),
+
     "pdf_lang_mismatch" -> ((s, _) => {
       import s.implicits._
       // catalog /Lang vs langid over the extracted text — the PDF sibling
@@ -1358,6 +1388,45 @@ object SparkEntry {
       // for hamming ≤ 3 so the sets must match exactly
       Dedup.simhashPairs(Dedup.corpusWithReplicas(docs(s, dir, "documents").select(col("doc_id"), col("text"))))
         .orderBy("a", "b")
+    }),
+
+    "corpus_jsonl_export" -> ((s, dir) => {
+      // the standard training-data export: one JSON line per doc, manual
+      // escape pass (backslash first), md5 per line so the oracle proves
+      // byte-identity without shipping the text; planted rows force every
+      // escape (quote, backslash, newline, CR, tab, BEL)
+      import s.implicits._
+      val base = docs(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val planted = s.createDataFrame(Seq(
+        (900001L, "en", "quote \" and backslash \\ here"),
+        (900002L, "en", "line one\nline two\rcr\ttab"),
+        (900003L, "en", "bell \u0007 control")))
+        .toDF("doc_id", "lang", "text")
+      base.unionByName(planted).as[(Long, String, String)].map { case (id, lang, text) =>
+        val sb = new java.lang.StringBuilder(text.length + 32)
+        text.foreach {
+          case '\\' => sb.append("\\\\")
+          case '"'  => sb.append("\\\"")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case '\t' => sb.append("\\t")
+          case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+          case c => sb.append(c)
+        }
+        val line = s"""{"doc_id":$id,"lang":"$lang","text":"$sb"}"""
+        (id, line.length.toLong, Dedup.md5Hex(line))
+      }.toDF("doc_id", "n_chars", "line_md5")
+        .orderBy("doc_id")
+    }),
+
+    "dedup_minhash_sig" -> ((s, dir) => {
+      // cross-run minhash signature export (k=8 md5-seeded signed mins) —
+      // the artifact the NEXT snapshot joins against; DuckDB rebuilds
+      // every hash from scratch
+      Dedup.minhashSigMd5(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))
+          .where(col("doc_id") < 100))
+        .orderBy("doc_id", "seed")
     }),
 
     "corpus_dedup_funnel" -> ((s, dir) => {

@@ -156,6 +156,29 @@ object SynthPdf {
     build(objs.result())
   }
 
+  /** Watermark fixture: nPages pages, each with a unique body line plus
+    * the same 45°-rotated large-font DRAFT stamp (Tm 0.707 cos/sin) — the
+    * repeated-rotated-text shape watermark detection keys on. */
+  def watermarkPdf(nPages: Int = 3): Array[Byte] = {
+    val fontRef = 3 + 2 * nPages
+    val objs = Vector.newBuilder[Array[Byte]]
+    objs += "<</Type/Catalog/Pages 2 0 R>>".getBytes
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    objs += s"<</Type/Pages/Kids[$kids]/Count $nPages>>".getBytes
+    var i = 0
+    while (i < nPages) {
+      objs += (s"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]" +
+        s"/Resources<</Font<</F1 $fontRef 0 R>>>>/Contents ${4 + 2 * i} 0 R>>").getBytes
+      val content =
+        s"BT /F1 12 Tf 72 700 Td (body text of page ${i + 1}) Tj ET " +
+        "BT /F1 48 Tf 0.707 0.707 -0.707 0.707 150 200 Tm (DRAFT COPY) Tj ET"
+      objs += (s"<</Length ${content.length}>>\nstream\n$content\nendstream").getBytes
+      i += 1
+    }
+    objs += "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>".getBytes
+    build(objs.result())
+  }
+
   /** One-page PDF with a FreeText annotation carrying a normal appearance
     * stream (Form XObject with its own text) — the flatten fixture: the AP
     * text is invisible to content-stream extraction until

@@ -486,6 +486,30 @@ object Dedup {
     * localCheckpoint so join lineage never stacks. `maxIter` is a runaway
     * bound only — hitting it without a fixed point throws rather than
     * silently mislabeling. */
+  /** Cross-run MinHash signature EXPORT — the persistent artifact that
+    * lets the next crawl snapshot near-dedup against this one without
+    * re-shingling it: k md5-seeded min-hashes per doc, SIGNED 64-bit min
+    * (md5 little-endian reinterpretation), so DuckDB replays it exactly
+    * (`md5_number_upper(seed:gram)` + the unsigned→signed shift). One
+    * narrow pass, k longs per doc. */
+  def minhashSigMd5(corpus: DataFrame, k: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val grams = shingleStrings(text)
+        if (grams.isEmpty) Iterator.empty
+        else (0 until k).iterator.map { s =>
+          var mn = Long.MaxValue
+          grams.foreach { g =>
+            val h = shingleHashMd5(s"$s:$g")
+            if (h < mn) mn = h
+          }
+          (id, s.toLong, mn)
+        }
+      }.toDF("doc_id", "seed", "minhash")
+  }
+
   /** End-to-end dedup funnel audit: the per-stage survivor counts a corpus
     * report publishes (how much did exact dedup take vs near-dup?). Stage 1
     * removes exact duplicates (md5, min-doc_id keeper); stage 2 runs
