@@ -402,6 +402,43 @@ object OracleSql {
         |FROM sgn GROUP BY 1, 2
         |ORDER BY doc_id, seed""".stripMargin,
 
+    // bias audit replayed: planted en-only duplicates, md5 keepers, per-lang
+    // removal permille (truncating division)
+    "dedup_lang_bias" ->
+      """WITH base AS (SELECT doc_id, lang, text FROM documents),
+        |planted AS (SELECT doc_id + 500000 AS doc_id, lang, text FROM base
+        |            WHERE lang = 'en' AND doc_id % 7 = 0),
+        |c AS (SELECT doc_id, lang, md5(text) AS h FROM
+        |      (SELECT * FROM base UNION ALL SELECT * FROM planted)),
+        |mins AS (SELECT h, min(doc_id) AS keep_id FROM c GROUP BY h)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN c.doc_id <> m.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN c.doc_id <> m.keep_id THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS removal_permille
+        |FROM c JOIN mins m ON m.h = c.h
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // assortativity moments replayed over the same synthetic edges; all
+    // integer sums, cov/var numerators computed identically
+    "graph_assortativity" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS src, (doc_id*7+3) % n AS dst FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*13+11) % n FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*31+17) % n FROM documents, nn),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+        |sym AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT x, count(*) AS d FROM sym GROUP BY 1),
+        |pairs AS (SELECT dx.d AS dxv, dy.d AS dyv FROM sym
+        |          JOIN deg dx ON dx.x = sym.x JOIN deg dy ON dy.x = sym.y)
+        |SELECT CAST(count(*) AS BIGINT) AS m,
+        |  CAST(sum(dxv) AS BIGINT) AS sum_x,
+        |  CAST(sum(dxv * dyv) AS BIGINT) AS sum_xy,
+        |  CAST(sum(dxv * dxv) AS BIGINT) AS sum_x2,
+        |  CAST(count(*) * sum(dxv * dyv) - sum(dxv) * sum(dxv) AS BIGINT) AS cov_num,
+        |  CAST(count(*) * sum(dxv * dxv) - sum(dxv) * sum(dxv) AS BIGINT) AS var_num
+        |FROM pairs""".stripMargin,
+
     // funnel replayed: stage 1 = md5 keepers; stage 2 = the dedup_simhash
     // pair set (banding == brute force by the recall guarantee) over
     // stage-1 survivors, connected components, non-representatives removed

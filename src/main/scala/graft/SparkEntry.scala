@@ -1429,6 +1429,34 @@ object SparkEntry {
         .orderBy("doc_id", "seed")
     }),
 
+    "dedup_lang_bias" -> ((s, dir) => {
+      // pipeline-stage bias audit: does dedup disproportionately remove
+      // some languages? Planted en-only duplicates make the skew visible:
+      // the audit must show en removals > 0 and every other lang at 0.
+      // One md5 rollup + one lang rollup — counts only
+      val base = docs(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val planted = base.where(col("lang") === "en" && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("lang"), col("text"))
+      val c = base.unionByName(planted).withColumn("h", md5(col("text")))
+      val mins = c.groupBy("h").agg(min("doc_id").as("keep_id"))
+      c.join(mins, "h")
+        .withColumn("removed", col("doc_id") =!= col("keep_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"))
+        .select(col("lang"), col("n_docs"), col("n_removed"),
+          expr("n_removed * 1000 div n_docs").as("removal_permille"))
+        .orderBy("lang")
+    }),
+
+    "graph_assortativity" -> ((s, dir) => {
+      // integer-exact degree-mixing moments over the synthetic link graph;
+      // cov_num's sign is the assortativity verdict, no sqrt anywhere
+      val d = docs(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = d.count()
+      graft.ops.Graph.assortativity(graft.ops.Graph.synthEdges(d, n))
+    }),
+
     "corpus_dedup_funnel" -> ((s, dir) => {
       // per-stage survivor audit: exact (md5) then simhash-cc near-dup —
       // the numbers a corpus release report publishes; only counts reach

@@ -314,6 +314,36 @@ object Graph {
     }
   }
 
+  /** Degree assortativity MOMENTS (Newman 2002) over the undirected graph,
+    * kept integer-exact: emitting the raw sums (m, Σx, Σxy, Σx²) instead of
+    * the final Pearson r avoids the sqrt that would break bit-level
+    * oracle equality; cov_num = m·Σxy − Σx·Σy is the sign-carrying
+    * numerator (negative = disassortative, the organic-web shape; positive
+    * = link-farm-like degree mixing). x and y are symmetric (every edge
+    * counted both ways), so Σx = Σy and one variance suffices. One
+    * degree join + one all-integer aggregation. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val sym = und.select(col("a").as("x"), col("b").as("y"))
+      .union(und.select(col("b").as("x"), col("a").as("y")))
+    val deg = sym.groupBy("x").agg(count(lit(1)).as("d"))
+    val pairs = sym
+      .join(deg.withColumnRenamed("x", "xx").withColumnRenamed("d", "dx"),
+        col("x") === col("xx"))
+      .join(deg.withColumnRenamed("x", "yy").withColumnRenamed("d", "dy"),
+        col("y") === col("yy"))
+      .select(col("dx"), col("dy"))
+    pairs.agg(
+        count(lit(1)).as("m"),
+        sum(col("dx")).as("sum_x"),
+        sum(col("dx") * col("dy")).as("sum_xy"),
+        sum(col("dx") * col("dx")).as("sum_x2"))
+      .select(col("m"), col("sum_x"), col("sum_xy"), col("sum_x2"),
+        (col("m") * col("sum_xy") - col("sum_x") * col("sum_x")).as("cov_num"),
+        (col("m") * col("sum_x2") - col("sum_x") * col("sum_x")).as("var_num"))
+  }
+
   def triangles(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),

@@ -151,6 +151,37 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** [[windowedCounts]] variant that RETURNS the watermark-drop count —
+    * the late-data audit a streaming pipeline publishes (how many events
+    * arrived too late to count?). Designed for resumed runs over one
+    * checkpoint: the watermark persists, so a second invocation after new
+    * files land drops events older than (max event time − 2 h) and reports
+    * them instead of silently double-counting or mutating closed windows.
+    * At scale this is THE correctness/observability contract of windowed
+    * streaming aggregation. */
+  def windowedCountsAudited(spark: SparkSession, eventsDir: String, outDir: String,
+                            checkpointDir: String): Long = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("window.start").as("w_start"), col("cnt"))
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.iterator
+      .flatMap(p => Option(p.stateOperators).iterator.flatten)
+      .map(_.numRowsDroppedByWatermark).sum
+  }
+
   /** Stream-STREAM interval join: purchases matched to clicks by the same
     * user within `windowMinutes` — in-flight conversion attribution. Both
     * sides carry event-time watermarks, so the join state is BOUNDED: a
