@@ -402,6 +402,26 @@ object OracleSql {
         |FROM sgn GROUP BY 1, 2
         |ORDER BY doc_id, seed""".stripMargin,
 
+    // typosquat rule replayed: same synthetic domains + 3 planted
+    // s1te999.co.uk rows, top-100 by (count desc, domain), levenshtein ≤ 1
+    // with the ±1-length window, smaller side is the squatter
+    "url_typosquat" ->
+      s"""WITH $urlCanonCte,
+         |alldom AS (
+         |  SELECT domain FROM canon
+         |  UNION ALL
+         |  SELECT 's1te999.co.uk' FROM range(3)),
+         |dc AS (SELECT domain, count(*) AS n_docs FROM alldom GROUP BY 1),
+         |top AS (SELECT domain AS legit, n_docs AS legit_docs FROM dc
+         |        ORDER BY n_docs DESC, domain LIMIT 100)
+         |SELECT dc.domain AS suspect, CAST(dc.n_docs AS BIGINT) AS suspect_docs,
+         |  top.legit, CAST(top.legit_docs AS BIGINT) AS legit_docs
+         |FROM dc JOIN top ON dc.domain <> top.legit
+         |  AND abs(length(dc.domain) - length(top.legit)) <= 1
+         |  AND levenshtein(dc.domain, top.legit) <= 1
+         |WHERE dc.n_docs < top.legit_docs
+         |ORDER BY suspect, legit""".stripMargin,
+
     // bias audit replayed: planted en-only duplicates, md5 keepers, per-lang
     // removal permille (truncating division)
     "dedup_lang_bias" ->
@@ -591,6 +611,33 @@ object OracleSql {
         |  CAST(lvl AS BIGINT) AS level_m, CAST(trd AS BIGINT) AS trend_m,
         |  CAST(lvl + trd AS BIGINT) AS forecast_m
         |FROM r ORDER BY event_type, day""".stripMargin,
+
+    // forecast backtest replayed: the Holt recursion plus lagged forecast
+    // and lagged naive baseline, absolute errors summed per type
+    "events_forecast_eval" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, day, n,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS i FROM daily),
+        |r AS (
+        |  SELECT event_type, day, n, i, n * 1000 AS lvl, CAST(0 AS BIGINT) AS trd
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.event_type, idx.day, idx.n, idx.i,
+        |    (300 * idx.n * 1000 + 700 * (r.lvl + r.trd)) // 1000,
+        |    (100 * ((300 * idx.n * 1000 + 700 * (r.lvl + r.trd)) // 1000 - r.lvl) + 900 * r.trd) // 1000
+        |  FROM r JOIN idx ON idx.event_type = r.event_type AND idx.i = r.i + 1),
+        |w AS (SELECT event_type, day, n,
+        |  lag(lvl + trd) OVER (PARTITION BY event_type ORDER BY day) AS fc,
+        |  lag(n) OVER (PARTITION BY event_type ORDER BY day) AS pn
+        |  FROM r)
+        |SELECT event_type, CAST(count(fc) AS BIGINT) AS n_evals,
+        |  CAST(sum(abs(n * 1000 - fc)) AS BIGINT) AS holt_abs_err_m,
+        |  CAST(sum(abs(n - pn) * 1000) AS BIGINT) AS naive_abs_err_m,
+        |  sum(abs(n * 1000 - fc)) < sum(abs(n - pn) * 1000) AS holt_wins
+        |FROM w WHERE fc IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // day-of-week profile: DuckDB dayofweek (0=Sunday) == Spark dayofweek-1;
     // permille shares by integer floor division

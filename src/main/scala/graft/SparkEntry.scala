@@ -1317,6 +1317,39 @@ object SparkEntry {
         .orderBy("event_type", "dow")
     }),
 
+    "events_forecast_eval" -> ((s, dir) => {
+      import s.implicits._
+      // forecast backtest: one-step-ahead Holt vs the naive last-value
+      // forecast, absolute errors in milli-units — a forecaster that can't
+      // beat naive shouldn't drive the crawl scheduler. Same integer fold
+      // as events_holt with the error accumulated BEFORE the state update
+      docs(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("day").cast("string").as("day"), col("n"))
+        .as[(String, String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (et, it) =>
+          val rows = it.toVector.sortBy(_._2)
+          var lvl = 0L; var trd = 0L
+          var holtErr = 0L; var naiveErr = 0L; var cnt = 0L; var prevN = 0L
+          rows.zipWithIndex.foreach { case ((_, _, n), i) =>
+            if (i == 0) { lvl = n * 1000; trd = 0 }
+            else {
+              holtErr += math.abs(n * 1000 - (lvl + trd))
+              naiveErr += math.abs(n - prevN) * 1000
+              cnt += 1
+              val prev = lvl
+              lvl = (300L * n * 1000L + 700L * (lvl + trd)) / 1000L
+              trd = (100L * (lvl - prev) + 900L * trd) / 1000L
+            }
+            prevN = n
+          }
+          (et, cnt, holtErr, naiveErr, holtErr < naiveErr)
+        }.toDF("event_type", "n_evals", "holt_abs_err_m", "naive_abs_err_m", "holt_wins")
+        .orderBy("event_type")
+    }),
+
     "events_holt" -> ((s, dir) => {
       import s.implicits._
       // Holt double-exponential smoothing (level+trend, α=0.3 β=0.1 in
@@ -2060,6 +2093,20 @@ object SparkEntry {
           (col("declared") =!= "" && col("detected") =!= "und" &&
             col("declared") =!= col("detected")).as("mismatch"))
         .orderBy("url")
+    }),
+
+    "url_typosquat" -> ((s, dir) => {
+      // phishing-lookalike detection: low-traffic domains one edit from a
+      // top-K domain; planted s1te999.co.uk must surface against the
+      // corpus' dominant site999.co.uk (natural distance-1 siblings like
+      // site0.com/site4.com surface too — the audit's point)
+      import s.implicits._
+      val base = UrlOps.normalize(UrlOps.withRawUrls(
+        docs(s, dir, "documents").select(col("doc_id"))))
+      val planted = UrlOps.normalize(
+        s.range(3).select((col("id") + 888000L).as("doc_id"),
+          concat(lit("https://www.s1te999.co.uk/p/"), col("id")).as("url")))
+      UrlOps.typosquats(base.unionByName(planted))
     }),
 
     "url_hygiene" -> ((s, _) => {

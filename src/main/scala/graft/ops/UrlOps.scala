@@ -208,6 +208,30 @@ object UrlOps {
         .as("risky"))
   }
 
+  /** Typosquat candidate detection: low-traffic domains within edit
+    * distance 1 of a top-K domain (the phishing-lookalike shape: one
+    * substituted/dropped/added char). The top-K side is tiny and
+    * BROADCASTS; a length-window prefilter (|len diff| ≤ 1) bounds the
+    * candidate product before the levenshtein evaluates, and same-domain
+    * pairs drop. At 10^12 rows the only corpus-scale work is the domain
+    * rollup — the pair join is K×|domains|. */
+  def typosquats(normalized: DataFrame, topK: Int = 100): DataFrame = {
+    val domCounts = normalized.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val top = domCounts
+      .orderBy(col("n_docs").desc, col("domain"))
+      .limit(topK)
+      .select(col("domain").as("legit"), col("n_docs").as("legit_docs"))
+    domCounts.join(broadcast(top),
+        col("domain") =!= col("legit") &&
+        abs(length(col("domain")) - length(col("legit"))) <= 1 &&
+        levenshtein(col("domain"), col("legit")) <= 1)
+      .select(col("domain").as("suspect"), col("n_docs").as("suspect_docs"),
+        col("legit"), col("legit_docs"))
+      .where(col("suspect_docs") < col("legit_docs")) // the smaller side is the squatter
+      .orderBy(col("suspect"), col("legit"))
+  }
+
   /** Per-registered-domain rollup. Algebraic aggregates only, so Spark's
     * map-side partial aggregation absorbs the planted hot domain (~50% of
     * rows on site999.co.uk): each task emits one partial row per domain,
