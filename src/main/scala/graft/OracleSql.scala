@@ -315,6 +315,42 @@ object OracleSql {
         |) AS t(url, has_robots_meta, noindex, nofollow, noarchive, indexable)
         |ORDER BY url""".stripMargin,
 
+    // pinned stream-mode table: the full 4×3 whitespace-aligned grid; the
+    // prose fixture contributes ZERO rows (left margin alone can't form a
+    // second column)
+    "pdf_tables_stream" ->
+      """SELECT fixture, CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col, text
+        |FROM (VALUES
+        |  ('synthetic://streamtable.pdf', 0, 0, 'item'),
+        |  ('synthetic://streamtable.pdf', 0, 1, 'qty'),
+        |  ('synthetic://streamtable.pdf', 0, 2, 'price'),
+        |  ('synthetic://streamtable.pdf', 1, 0, 'apples'),
+        |  ('synthetic://streamtable.pdf', 1, 1, '12'),
+        |  ('synthetic://streamtable.pdf', 1, 2, '3.40'),
+        |  ('synthetic://streamtable.pdf', 2, 0, 'pears'),
+        |  ('synthetic://streamtable.pdf', 2, 1, '7'),
+        |  ('synthetic://streamtable.pdf', 2, 2, '2.10'),
+        |  ('synthetic://streamtable.pdf', 3, 0, 'plums'),
+        |  ('synthetic://streamtable.pdf', 3, 1, '19'),
+        |  ('synthetic://streamtable.pdf', 3, 2, '5.05')
+        |) AS t(fixture, row, col, text)
+        |ORDER BY fixture, row, col""".stripMargin,
+
+    // pinned video-embed mining: og:video + youtube/vimeo suffix-rule
+    // providers, native <source> children, ad iframe classified other,
+    // og:title preferred over <title>
+    "html_video_embeds" ->
+      """SELECT url, CAST(ord AS BIGINT) AS ord, kind, video_url, provider, title
+        |FROM (VALUES
+        |  ('https://v.example/a', 0, 'og', 'https://cdn.v.example/pasta.mp4', 'other', 'Cooking pasta at home'),
+        |  ('https://v.example/a', 1, 'iframe', 'https://www.youtube.com/embed/abc123', 'youtube', 'Cooking pasta at home'),
+        |  ('https://v.example/a', 2, 'iframe', 'https://v.example/ads/banner.html', 'other', 'Cooking pasta at home'),
+        |  ('https://v.example/b', 0, 'video', 'https://v.example/clip.webm', 'other', 'Mountain timelapse'),
+        |  ('https://v.example/b', 1, 'video', 'https://v.example/clip.mp4', 'other', 'Mountain timelapse'),
+        |  ('https://v.example/b', 2, 'iframe', 'https://player.vimeo.com/video/99', 'vimeo', 'Mountain timelapse')
+        |) AS t(url, ord, kind, video_url, provider, title)
+        |ORDER BY url, ord""".stripMargin,
+
     // pinned meta-refresh grammar: delay-0 redirect, capitalized attrs with
     // quoted target, bare-delay reload, no-meta, unparseable-delay ignored
     "html_meta_refresh" ->

@@ -974,6 +974,24 @@ object SparkEntry {
         .orderBy("source", "key")
     }),
 
+    "pdf_tables_stream" -> ((s, _) => {
+      import s.implicits._
+      // stream-mode (whitespace-aligned) table extraction — completes the
+      // ruled-lattice pdf_tables: columns are shared word-left positions,
+      // no rulings anywhere; prose pages (paragraphs fixture) must yield
+      // zero rows (only the left margin aligns — one column never fires)
+      val fixtures = Seq(
+        "synthetic://streamtable.pdf" -> graft.core.SynthPdf.streamTablePdf,
+        "synthetic://paragraphs.pdf" -> graft.core.SynthPdf.paragraphsPdf)
+      s.createDataset(fixtures).flatMap { case (name, bytes) =>
+        val doc = graft.core.PdfDocument.load(bytes, "").toOption.get
+        graft.core.Layout.streamTable(doc.pages.head).map { c =>
+          (name, c.row.toLong, c.col.toLong, c.text)
+        }
+      }.toDF("fixture", "row", "col", "text")
+        .orderBy("fixture", "row", "col")
+    }),
+
     "pdf_watermark" -> ((s, _) => {
       import s.implicits._
       // watermark detection: large-font text repeated at the SAME position
@@ -2126,6 +2144,27 @@ object SparkEntry {
       UrlOps.hygiene(s.createDataset(urls).toDF("url"))
         .withColumn("url", substring(col("url"), 1, 40)) // pin-friendly
         .orderBy("url")
+    }),
+
+    "html_video_embeds" -> ((s, _) => {
+      import s.implicits._
+      // video–text pair mining: players/natives/og:video with the page
+      // title as the caption candidate; provider by host suffix rule
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val pages = Seq(
+        ("https://v.example/a",
+          """<html><head><title>Cooking pasta at home</title>
+            |<meta property="og:video" content="https://cdn.v.example/pasta.mp4"></head>
+            |<body><iframe src="https://www.youtube.com/embed/abc123"></iframe>
+            |<iframe src="/ads/banner.html"></iframe></body></html>""".stripMargin),
+        ("https://v.example/b",
+          """<html><head><title>fallback title</title>
+            |<meta property="og:title" content="Mountain timelapse"></head>
+            |<body><video poster="p.jpg"><source src="clip.webm"><source src="clip.mp4">
+            |</video><iframe src="https://player.vimeo.com/video/99"></iframe>
+            |</body></html>""".stripMargin))
+      val rows = pages.map { case (u, h) => PageRow(u, ts, h.getBytes("UTF-8"), null, "en") }
+      HtmlMeta.videoEmbeds(s.createDataset(rows)).toDF().orderBy("url", "ord")
     }),
 
     "html_meta_refresh" -> ((s, _) => {

@@ -200,6 +200,68 @@ object Layout {
     out.result()
   }
 
+  final case class Word(line: Int, left: Double, right: Double, text: String)
+
+  /** Word boxes in PDFium char order: words split on generated CRLF /
+    * generated word-gaps / real space chars; geometry from tight charboxes.
+    * The primitive under stream-mode table detection. */
+  def wordsOf(tp: TextPage): Vector[Word] = {
+    val out = Vector.newBuilder[Word]
+    var line = 0
+    val sb = new StringBuilder
+    var l = 0.0; var r = 0.0; var has = false
+    def flush(): Unit = {
+      if (has && sb.nonEmpty) out += Word(line, l, r, sb.toString)
+      sb.setLength(0); has = false
+    }
+    tp.chars.foreach { c =>
+      if (c.generated) {
+        flush()
+        if (c.unicode == '\n') line += 1
+      } else if (!c.excluded) {
+        if (c.unicode == ' ') flush()
+        else {
+          c.tight.foreach { bx =>
+            if (!has) { l = bx.left; has = true }
+            r = bx.right
+          }
+          sb.append(c.unicode)
+        }
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** Stream-mode (whitespace-aligned) table extraction — the Camelot-stream
+    * shape, completing the ruled-lattice [[tables]]: columns are word-LEFT
+    * positions shared (within `tol`) by ≥ `minRows` multi-word lines; rows
+    * are the lines hitting ≥ 2 kept columns; a word assigns to the last
+    * column at-or-left of it. Returns empty when no aligned grid exists
+    * (prose pages share only the left margin — one column never fires),
+    * so the operator is corpus-safe. */
+  def streamTable(page: PdfPage, tol: Double = 3.0, minRows: Int = 3): Vector[TableCell] = {
+    val ws = wordsOf(page.textPage)
+    val byLine = ws.groupBy(_.line).filter(_._2.size >= 2)
+    if (byLine.size < minRows) return Vector.empty
+    val cols0 = clusterPositions(byLine.values.flatten.map(_.left).toVector, tol)
+    val keep = cols0.filter(c =>
+      byLine.count(_._2.exists(w => math.abs(w.left - c) <= tol)) >= minRows)
+    if (keep.length < 2) return Vector.empty
+    def colOf(w: Word): Int = {
+      val i = keep.lastIndexWhere(c => c <= w.left + tol)
+      i
+    }
+    val rowLines = byLine.toVector.sortBy(_._1).map(_._2)
+      .filter(lws => lws.map(colOf).filter(_ >= 0).distinct.size >= 2)
+    rowLines.zipWithIndex.flatMap { case (lws, ri) =>
+      lws.groupBy(colOf).collect { case (ci, cws) if ci >= 0 =>
+        TableCell(ri, ci, Rect(cws.map(_.left).min, 0, cws.map(_.right).max, 0),
+          cws.sortBy(_.left).map(_.text).mkString(" "))
+      }.toVector.sortBy(_.col)
+    }
+  }
+
   /** Lattice (ruled) table extraction — the Camelot-lattice shape over
     * this engine's own primitives: horizontal rulings are painted path
     * objects flatter than `tol`, vertical rulings narrower than `tol`;

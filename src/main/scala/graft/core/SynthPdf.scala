@@ -156,6 +156,17 @@ object SynthPdf {
     build(objs.result())
   }
 
+  /** Stream-table fixture: a 4-row × 3-column whitespace-aligned table —
+    * NO rulings anywhere, columns exist only as shared word-left
+    * positions (50 / 150 / 230). */
+  def streamTablePdf: Array[Byte] = onePage(
+    """BT /F1 10 Tf
+      |50 700 Td (item) Tj 100 0 Td (qty) Tj 80 0 Td (price) Tj
+      |-180 -15 Td (apples) Tj 100 0 Td (12) Tj 80 0 Td (3.40) Tj
+      |-180 -15 Td (pears) Tj 100 0 Td (7) Tj 80 0 Td (2.10) Tj
+      |-180 -15 Td (plums) Tj 100 0 Td (19) Tj 80 0 Td (5.05) Tj
+      |ET""".stripMargin)
+
   /** Watermark fixture: nPages pages, each with a unique body line plus
     * the same 45°-rotated large-font DRAFT stamp (Tm 0.707 cos/sin) — the
     * repeated-rotated-text shape watermark detection keys on. */

@@ -303,6 +303,35 @@ object HtmlMeta {
     }
   }
 
+  final case class VideoEmbedRow(
+      url: String,
+      ord: Long,
+      kind: String,       // iframe | video | og
+      video_url: String,  // resolved
+      provider: String,   // youtube | vimeo | dailymotion | other
+      title: String)      // og:title falling back to <title> — the text side
+
+  /** Video–text pair mining: embedded players, native <video>/<source>,
+    * og:video — with the page's best title as the caption candidate. One
+    * narrow pass; the video half of multimodal harvesting. */
+  def videoEmbeds(pages: Dataset[PageRow]): Dataset[VideoEmbedRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap { p =>
+      if (p.html == null) Seq.empty[VideoEmbedRow]
+      else {
+        val html = graft.core.html.HtmlExtract.decodeBytes(p.html)
+        val doc = HtmlExtract.parseString(html)
+        val title = if (doc.ogTitle.nonEmpty) doc.ogTitle else doc.title
+        graft.core.html.VideoEmbeds.scan(html).map { e =>
+          val resolved = graft.core.html.HtmlLinks.resolve(p.url, e.src)
+          VideoEmbedRow(p.url, e.ord.toLong, e.kind,
+            if (resolved.isEmpty) e.src else resolved, e.provider, title)
+        }
+      }
+    }
+  }
+
   final case class CaptionQualityRow(
       url: String,
       ord: Long,
