@@ -458,6 +458,62 @@ object OracleSql {
          |WHERE dc.n_docs < top.legit_docs
          |ORDER BY suspect, legit""".stripMargin,
 
+    // dedup-method eval replayed: exact-jaccard truth (integer 10·inter ≥
+    // 7·union gate) vs simhash hamming≤3 predictions, TP/FP/FN by joins
+    "dedup_simhash_eval" ->
+      s"""WITH $corpusCte, $shinglesCte,
+         |truth AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND 10 * len(list_intersect(a.s, b.s)) >= 7 * len(list_distinct(list_concat(a.s, b.s)))),
+         |u AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0),
+         |hv AS (SELECT doc_id, md5_number_upper(g) AS h FROM u),
+         |bits AS (
+         |  SELECT doc_id, b.bit AS bit,
+         |    SUM(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+         |  FROM hv CROSS JOIN (SELECT CAST(range AS INT) AS bit FROM range(0,64)) b
+         |  GROUP BY 1, 2),
+         |fps AS (
+         |  SELECT doc_id,
+         |    bit_or(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << bit) ELSE CAST(0 AS UBIGINT) END) AS fp
+         |  FROM bits GROUP BY doc_id),
+         |pred AS (SELECT a.doc_id AS a, b.doc_id AS b FROM fps a JOIN fps b
+         |         ON a.doc_id < b.doc_id WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         |tpc AS (SELECT count(*) AS n FROM pred p JOIN truth t ON t.a = p.a AND t.b = p.b),
+         |fpc AS (SELECT count(*) AS n FROM pred p ANTI JOIN truth t ON t.a = p.a AND t.b = p.b),
+         |fnc AS (SELECT count(*) AS n FROM truth t ANTI JOIN pred p ON p.a = t.a AND p.b = t.b)
+         |SELECT CAST(tpc.n + fnc.n AS BIGINT) AS n_truth,
+         |  CAST(tpc.n + fpc.n AS BIGINT) AS n_pred,
+         |  CAST(tpc.n AS BIGINT) AS tp, CAST(fpc.n AS BIGINT) AS fp,
+         |  CAST(fnc.n AS BIGINT) AS fn,
+         |  CAST(CASE WHEN tpc.n + fpc.n > 0 THEN tpc.n * 1000 // (tpc.n + fpc.n) ELSE 0 END AS BIGINT) AS precision_permille,
+         |  CAST(CASE WHEN tpc.n + fnc.n > 0 THEN tpc.n * 1000 // (tpc.n + fnc.n) ELSE 0 END AS BIGINT) AS recall_permille
+         |FROM tpc, fpc, fnc""".stripMargin,
+
+    // modularity moments replayed: same synthetic edges, doc_id%10
+    // partition, Q·4m² as exact integer sums
+    "graph_modularity" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS src, (doc_id*7+3) % n AS dst FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*13+11) % n FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*31+17) % n FROM documents, nn),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+        |tagged AS (SELECT a, b, a % 10 AS ca, b % 10 AS cb FROM und),
+        |m AS (SELECT count(*) AS m FROM tagged),
+        |ein AS (SELECT ca AS c, count(*) AS e_c FROM tagged WHERE ca = cb GROUP BY 1),
+        |degs AS (SELECT c, count(*) AS d_c FROM
+        |         (SELECT ca AS c FROM tagged UNION ALL SELECT cb FROM tagged) GROUP BY 1),
+        |pc AS (SELECT degs.c, coalesce(ein.e_c, 0) AS e_c, degs.d_c
+        |       FROM degs LEFT JOIN ein ON ein.c = degs.c)
+        |SELECT CAST(m.m AS BIGINT) AS m,
+        |  CAST(sum(4 * m.m * pc.e_c - pc.d_c * pc.d_c) AS BIGINT) AS q_num,
+        |  CAST(4 * m.m * m.m AS BIGINT) AS q_den,
+        |  CAST(sum(4 * m.m * pc.e_c - pc.d_c * pc.d_c) * 1000 // (4 * m.m * m.m) AS BIGINT) AS q_permille
+        |FROM pc, m GROUP BY m.m""".stripMargin,
+
     // bias audit replayed: planted en-only duplicates, md5 keepers, per-lang
     // removal permille (truncating division)
     "dedup_lang_bias" ->

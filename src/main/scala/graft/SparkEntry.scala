@@ -1500,6 +1500,25 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "dedup_simhash_eval" -> ((s, dir) => {
+      // dedup-method evaluation: simhash hamming≤3 vs exact-Jaccard≥0.7
+      // brute-force ground truth (eval-only O(n²), capped corpus) —
+      // TP/FP/FN with integer permille precision/recall
+      Dedup.simhashEval(Dedup.corpusWithReplicas(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+    }),
+
+    "graph_modularity" -> ((s, dir) => {
+      // integer-exact Newman modularity of the doc_id%10 partition over
+      // the synthetic link graph — Q·4m² carried as exact sums, permille
+      // readout only at the end
+      val d = docs(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = d.count()
+      graft.ops.Graph.modularity(
+        graft.ops.Graph.synthEdges(d, n),
+        d.select(col("id"), (col("id") % 10).as("cluster")))
+    }),
+
     "graph_assortativity" -> ((s, dir) => {
       // integer-exact degree-mixing moments over the synthetic link graph;
       // cov_num's sign is the assortativity verdict, no sqrt anywhere

@@ -486,6 +486,43 @@ object Dedup {
     * localCheckpoint so join lineage never stacks. `maxIter` is a runaway
     * bound only — hitting it without a fixed point throws rather than
     * silently mislabeling. */
+  /** Dedup-method EVALUATION: simhash hamming≤3 predictions scored against
+    * exact-Jaccard≥0.7 ground truth (TP/FP/FN + integer permille precision/
+    * recall). The ground truth is a labeled O(n²) brute force — eval-only,
+    * run on the capped oracle corpus, never the production path (same
+    * status as Similarity.bruteForceTopK). The comparison every dedup
+    * threshold choice should be justified by. */
+  def simhashEval(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val docs2 = corpus.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, shingleStrings(t)) }
+      .filter(_._2.nonEmpty)
+      .toDF("id", "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = docs2.select(col("id").as("a"), col("s").as("sa"))
+    val r = docs2.select(col("id").as("b"), col("s").as("sb"))
+    // integer jaccard gate: inter/union >= 0.7  <=>  10*inter >= 7*union
+    val truth = l.crossJoin(r).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        size(array_union(col("sa"), col("sb"))).as("uni"))
+      .where(col("inter") * 10 >= col("uni") * 7)
+      .select("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pred = simhashPairs(corpus).select("a", "b")
+    val tp = pred.join(truth, Seq("a", "b"), "left_semi").count()
+    val fp = pred.join(truth, Seq("a", "b"), "left_anti").count()
+    val fn = truth.join(pred, Seq("a", "b"), "left_anti").count()
+    docs2.unpersist(false); truth.unpersist(false)
+    val nPred = tp + fp; val nTruth = tp + fn
+    Seq((nTruth, nPred, tp, fp, fn,
+        if (nPred > 0) tp * 1000 / nPred else 0L,
+        if (nTruth > 0) tp * 1000 / nTruth else 0L))
+      .toDF("n_truth", "n_pred", "tp", "fp", "fn",
+        "precision_permille", "recall_permille")
+  }
+
   /** Cross-run MinHash signature EXPORT — the persistent artifact that
     * lets the next crawl snapshot near-dedup against this one without
     * re-shingling it: k md5-seeded min-hashes per doc, SIGNED 64-bit min
