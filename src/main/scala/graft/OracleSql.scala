@@ -336,6 +336,35 @@ object OracleSql {
         |) AS t(fixture, row, col, text)
         |ORDER BY fixture, row, col""".stripMargin,
 
+    // pinned article extraction: Person-object and array authors, @graph
+    // envelope with the WebSite node skipped, date-only ISO defaulting to
+    // midnight UTC, bad date flagged invalid (never fabricated)
+    "html_jsonld_article" ->
+      """SELECT url, CAST(block AS BIGINT) AS block, CAST(item AS BIGINT) AS item,
+        |  jtype, headline, author, date_raw,
+        |  CAST(epoch_sec AS BIGINT) AS epoch_sec, date_valid
+        |FROM (VALUES
+        |  ('https://n.example/a', 0, 0, 'NewsArticle', 'Markets rally', 'Ada Writer', '2024-03-01T10:30:00+02:00', 1709281800, true),
+        |  ('https://n.example/b', 0, 1, 'BlogPosting', 'On sourdough', 'Basil Baker', '2023-11-05', 1699142400, true),
+        |  ('https://n.example/c', 0, 0, 'Article', 'No date', 'Cy Zero', 'not-a-date', NULL, false)
+        |) AS t(url, block, item, jtype, headline, author, date_raw, epoch_sec, date_valid)
+        |ORDER BY url, block, item""".stripMargin,
+
+    // pinned intra-doc navigation: the GoTo annot resolves to page index 1,
+    // URI links are external (-1); text.pdf's four page-2 links are all uri
+    "pdf_internal_links" ->
+      """SELECT fixture, CAST(from_page AS BIGINT) AS from_page,
+        |  CAST(ord AS BIGINT) AS ord, kind, CAST(to_page AS BIGINT) AS to_page
+        |FROM (VALUES
+        |  ('fixture://text.pdf', 1, 0, 'uri', -1),
+        |  ('fixture://text.pdf', 1, 1, 'uri', -1),
+        |  ('fixture://text.pdf', 1, 2, 'uri', -1),
+        |  ('fixture://text.pdf', 1, 3, 'uri', -1),
+        |  ('synthetic://goto.pdf', 0, 0, 'goto', 1),
+        |  ('synthetic://goto.pdf', 0, 1, 'uri', -1)
+        |) AS t(fixture, from_page, ord, kind, to_page)
+        |ORDER BY fixture, from_page, ord""".stripMargin,
+
     // pinned video-embed mining: og:video + youtube/vimeo suffix-rule
     // providers, native <source> children, ad iframe classified other,
     // og:title preferred over <title>

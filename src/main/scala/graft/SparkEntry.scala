@@ -974,6 +974,52 @@ object SparkEntry {
         .orderBy("source", "key")
     }),
 
+    "pdf_internal_links" -> ((s, _) => {
+      import s.implicits._
+      // within-document navigation edges: GoTo link annots resolved to
+      // their target PAGE INDEX (the intra-doc half of the link graph);
+      // URI links report external with to_page -1
+      val fixtures = Seq(
+        "synthetic://goto.pdf" -> graft.core.SynthPdf.gotoLinkPdf,
+        "fixture://text.pdf" -> PagesTable.fixture("text.pdf"))
+      s.createDataset(fixtures).flatMap { case (name, bytes) =>
+        val doc = graft.core.PdfDocument.load(bytes, "").toOption.get
+        val pageIdxByRef = doc.pages.zipWithIndex.flatMap { case (p, i) =>
+          p.ref.map(_ -> i)
+        }.toMap
+        doc.pages.zipWithIndex.flatMap { case (p, pi) =>
+          p.annotations.zipWithIndex.flatMap { case (a, ai) =>
+            val subtype = doc.get(a, "Subtype") match {
+              case graft.core.PdfName(x) => x; case _ => "" }
+            if (subtype != "Link") None
+            else {
+              val action = doc.get(a, "A")
+              val (kind, toPage) = action match {
+                case d: graft.core.PdfDict =>
+                  doc.get(d, "S") match {
+                    case graft.core.PdfName("GoTo") =>
+                      val dest = doc.get(d, "D") match {
+                        case arr: graft.core.PdfArray if arr.items.nonEmpty =>
+                          arr.items.head match {
+                            case r: graft.core.PdfRef => pageIdxByRef.get(r.num)
+                            case _ => None
+                          }
+                        case _ => None
+                      }
+                      ("goto", dest.map(_.toLong).getOrElse(-1L))
+                    case graft.core.PdfName("URI") => ("uri", -1L)
+                    case _ => ("other", -1L)
+                  }
+                case _ => ("none", -1L)
+              }
+              Some((name, pi.toLong, ai.toLong, kind, toPage))
+            }
+          }
+        }
+      }.toDF("fixture", "from_page", "ord", "kind", "to_page")
+        .orderBy("fixture", "from_page", "ord")
+    }),
+
     "pdf_tables_stream" -> ((s, _) => {
       import s.implicits._
       // stream-mode (whitespace-aligned) table extraction — completes the
@@ -2163,6 +2209,43 @@ object SparkEntry {
       UrlOps.hygiene(s.createDataset(urls).toDF("url"))
         .withColumn("url", substring(col("url"), 1, 40)) // pin-friendly
         .orderBy("url")
+    }),
+
+    "html_jsonld_article" -> ((s, _) => {
+      import s.implicits._
+      // news/article corpus mining: Article-shaped JSON-LD nodes with
+      // headline / author (string | Person | array) / datePublished parsed
+      // to an epoch by the same integer-exact civil-day arithmetic as
+      // pdf_dates; non-article blocks ignored, bad dates flagged not fab'd
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val pages = Seq(
+        ("https://n.example/a",
+          """<html><head><script type="application/ld+json">
+            |{"@type":"NewsArticle","headline":"Markets rally",
+            | "author":{"@type":"Person","name":"Ada Writer"},
+            | "datePublished":"2024-03-01T10:30:00+02:00"}
+            |</script></head><body>x</body></html>""".stripMargin),
+        ("https://n.example/b",
+          """<html><head><script type="application/ld+json">
+            |{"@graph":[{"@type":"WebSite","name":"site"},
+            | {"@type":"BlogPosting","headline":"On sourdough",
+            |  "author":"Basil Baker","datePublished":"2023-11-05"}]}
+            |</script></head><body>x</body></html>""".stripMargin),
+        ("https://n.example/c",
+          """<html><head><script type="application/ld+json">
+            |{"@type":"Article","headline":"No date","author":["Cy Zero"],
+            | "datePublished":"not-a-date"}
+            |</script></head><body>x</body></html>""".stripMargin))
+      val rows = pages.map { case (u, h) => PageRow(u, ts, h.getBytes("UTF-8"), null, "en") }
+      s.createDataset(rows).flatMap { p =>
+        graft.core.html.JsonLd.articles(new String(p.html, "UTF-8")).map { a =>
+          val parsed = graft.core.PdfDates.parseIso(a.datePublished)
+          (p.url, a.blockIdx.toLong, a.itemIdx.toLong, a.jtype, a.headline,
+            a.author, a.datePublished, parsed.map(_.epochSec), parsed.isDefined)
+        }
+      }.toDF("url", "block", "item", "jtype", "headline", "author",
+          "date_raw", "epoch_sec", "date_valid")
+        .orderBy("url", "block", "item")
     }),
 
     "html_video_embeds" -> ((s, _) => {

@@ -35,6 +35,41 @@ object PdfDates {
     toYear + toMonth + (d - 1) - 719162L // 719162 = days 0001-01-01..1970-01-01
   }
 
+  /** ISO-8601 parse (the web-metadata sibling of [[parse]]):
+    * `YYYY-MM-DD[THH:MM[:SS][Z|±HH:MM]]`, same integer-exact civil-day
+    * arithmetic, same range strictness (no clamping). Fractional seconds
+    * are accepted and truncated. */
+  def parseIso(raw: String): Option[Parsed] = {
+    if (raw == null) return None
+    val s = raw.trim
+    val re = ("^(\\d{4})-(\\d{2})-(\\d{2})" +
+      "(?:[Tt ](\\d{2}):(\\d{2})(?::(\\d{2})(?:\\.\\d+)?)?" +
+      "(Z|z|[+-]\\d{2}:?\\d{2})?)?$").r
+    s match {
+      case re(y, mo, d, h, mi, sec, off) =>
+        val year = y.toInt; val month = mo.toInt; val day = d.toInt
+        if (year < 1 || month < 1 || month > 12) return None
+        if (day < 1 || day > daysInMonth(year, month)) return None
+        val hour = Option(h).map(_.toInt).getOrElse(0)
+        val min = Option(mi).map(_.toInt).getOrElse(0)
+        val ss = Option(sec).map(_.toInt).getOrElse(0)
+        if (hour > 23 || min > 59 || ss > 59) return None
+        val offMin = Option(off) match {
+          case Some("Z") | Some("z") | None => 0
+          case Some(o) =>
+            val sign = if (o.charAt(0) == '-') -1 else 1
+            val digits = o.substring(1).replace(":", "")
+            val oh = digits.substring(0, 2).toInt
+            val om = digits.substring(2, 4).toInt
+            if (oh > 23 || om > 59) return None
+            sign * (oh * 60 + om)
+        }
+        Some(Parsed(epochDays(year, month, day) * 86400L +
+          hour * 3600L + min * 60L + ss - offMin * 60L, offMin))
+      case _ => None
+    }
+  }
+
   /** Parse a PDF date string. None = malformed or out-of-range. */
   def parse(raw: String): Option[Parsed] = {
     if (raw == null) return None

@@ -156,6 +156,27 @@ object SynthPdf {
     build(objs.result())
   }
 
+  /** Internal-navigation fixture: two pages, page 0 carries a GoTo link
+    * annot targeting page 1 plus an external URI link. */
+  def gotoLinkPdf: Array[Byte] = {
+    val c0 = "BT /F1 12 Tf 50 700 Td (see chapter two) Tj 0 -20 Td (visit site) Tj ET"
+    val c1 = "BT /F1 12 Tf 50 700 Td (chapter two content) Tj ET"
+    build(Vector(
+      "<</Type/Catalog/Pages 2 0 R>>".getBytes,
+      "<</Type/Pages/Kids[3 0 R 4 0 R]/Count 2>>".getBytes,
+      ("<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]" +
+        "/Resources<</Font<</F1 7 0 R>>>>/Contents 5 0 R/Annots[8 0 R 9 0 R]>>").getBytes,
+      ("<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]" +
+        "/Resources<</Font<</F1 7 0 R>>>>/Contents 6 0 R>>").getBytes,
+      (s"<</Length ${c0.length}>>\nstream\n$c0\nendstream").getBytes,
+      (s"<</Length ${c1.length}>>\nstream\n$c1\nendstream").getBytes,
+      "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>".getBytes,
+      ("<</Type/Annot/Subtype/Link/Rect[50 695 150 712]" +
+        "/A<</S/GoTo/D[4 0 R /XYZ 0 792 0]>>>>").getBytes,
+      ("<</Type/Annot/Subtype/Link/Rect[50 675 120 692]" +
+        "/A<</S/URI/URI(https://ext.example/)>>>>").getBytes))
+  }
+
   /** Stream-table fixture: a 4-row × 3-column whitespace-aligned table —
     * NO rulings anywhere, columns exist only as shared word-left
     * positions (50 / 150 / 230). */

@@ -88,6 +88,54 @@ object JsonLd {
       }
     }
 
+  final case class ArticleItem(blockIdx: Int, itemIdx: Int, jtype: String,
+                               headline: String, author: String,
+                               datePublished: String)
+
+  private val ArticleTypes =
+    Set("Article", "NewsArticle", "BlogPosting", "ScholarlyArticle", "Report")
+
+  /** Article-shaped nodes with the fields a news/article corpus keys on:
+    * headline, author (string | Person object | array — first name wins),
+    * datePublished (raw; the op parses it to an epoch). Walks the same
+    * single/array/@graph shapes as [[items]]. */
+  def articles(html: String): Vector[ArticleItem] =
+    blocks(html).zipWithIndex.flatMap { case (payload, bi) =>
+      MiniJson.parse(payload) match {
+        case None => Vector.empty
+        case Some(v) =>
+          val nodes = v match {
+            case m: Map[_, _] =>
+              val mm = m.asInstanceOf[Map[String, Any]]
+              mm.get("@graph") match {
+                case Some(g: Vector[_]) => g.toVector
+                case _                  => Vector(mm)
+              }
+            case a: Vector[_] => a.toVector
+            case other        => Vector(other)
+          }
+          nodes.zipWithIndex.collect {
+            case (m: Map[_, _], ii)
+              if ArticleTypes.contains(strOf(m.asInstanceOf[Map[String, Any]].get("@type"))) =>
+              val mm = m.asInstanceOf[Map[String, Any]]
+              val author = mm.get("author") match {
+                case Some(s: String) => s
+                case Some(am: Map[_, _]) =>
+                  strOf(am.asInstanceOf[Map[String, Any]].get("name"))
+                case Some(arr: Vector[_]) =>
+                  arr.collectFirst {
+                    case s: String => s
+                    case am: Map[_, _] => strOf(am.asInstanceOf[Map[String, Any]].get("name"))
+                  }.getOrElse("")
+                case _ => ""
+              }
+              ArticleItem(bi, ii, strOf(mm.get("@type")),
+                strOf(mm.get("headline").orElse(mm.get("name"))),
+                author, strOf(mm.get("datePublished")))
+          }
+      }
+    }
+
   /** @type may be a string or an array of strings — take the first. */
   private def strOf(v: Option[Any]): String = v match {
     case Some(s: String)    => s
