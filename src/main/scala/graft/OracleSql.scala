@@ -336,6 +336,48 @@ object OracleSql {
         |) AS t(fixture, row, col, text)
         |ORDER BY fixture, row, col""".stripMargin,
 
+    // pinned HTTP dates: all three RFC 7231 forms agree on the same
+    // instant (784111777); the imf row carries age/TTL derivations
+    "http_dates" ->
+      """SELECT name, CAST(date_epoch AS BIGINT) AS date_epoch,
+        |  CAST(lastmod_epoch AS BIGINT) AS lastmod_epoch,
+        |  CAST(expires_epoch AS BIGINT) AS expires_epoch,
+        |  CAST(lastmod_age_sec AS BIGINT) AS lastmod_age_sec,
+        |  CAST(ttl_sec AS BIGINT) AS ttl_sec
+        |FROM (VALUES
+        |  ('asctime', 784111777, NULL, NULL, NULL, NULL),
+        |  ('bad', NULL, NULL, NULL, NULL, NULL),
+        |  ('imf', 784111777, 783938977, 784198177, 172800, 86400),
+        |  ('rfc850', 784111777, NULL, NULL, NULL, NULL)
+        |) AS t(name, date_epoch, lastmod_epoch, expires_epoch, lastmod_age_sec, ttl_sec)
+        |ORDER BY name""".stripMargin,
+
+    // pinned X-Robots-Tag: comma directives, date-valued unavailable_after
+    // (commas inside!), agent-scoped directive excluded from global verdict
+    "http_robots_tag" ->
+      """SELECT name, has_tag, noindex, nofollow,
+        |  CAST(unavailable_epoch AS BIGINT) AS unavailable_epoch
+        |FROM (VALUES
+        |  ('dated', true, false, false, 784111777),
+        |  ('none', false, false, false, NULL),
+        |  ('plain', true, true, true, NULL),
+        |  ('scoped', true, false, false, NULL)
+        |) AS t(name, has_tag, noindex, nofollow, unavailable_epoch)
+        |ORDER BY name""".stripMargin,
+
+    // pinned punycode decode: cyrillic-а homograph flags, pure-cyrillic
+    // and latin-umlaut don't, malformed label passes through untouched
+    "url_idn_decode" ->
+      """SELECT host, decoded, is_idn, homograph
+        |FROM (VALUES
+        |  ('plain.example', 'plain.example', false, false),
+        |  ('www.xn--e1afmkfd.org', 'www.пример.org', true, false),
+        |  ('xn--@bad@.example', 'xn--@bad@.example', true, false),
+        |  ('xn--bcher-kva.example', 'bücher.example', true, false),
+        |  ('xn--pple-43d.com', 'аpple.com', true, true)
+        |) AS t(host, decoded, is_idn, homograph)
+        |ORDER BY host""".stripMargin,
+
     // pinned article extraction: Person-object and array authors, @graph
     // envelope with the WebSite node skipped, date-only ISO defaulting to
     // midnight UTC, bad date flagged invalid (never fabricated)

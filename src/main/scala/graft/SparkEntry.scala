@@ -779,6 +779,86 @@ object SparkEntry {
       graft.ops.HttpOps.parse(graft.ops.HttpOps.synthResponses(s)).orderBy("name")
     }),
 
+    "http_dates" -> ((s, _) => {
+      import s.implicits._
+      // HTTP-date parsing (all three RFC 7231 forms) + the cache facts a
+      // recrawl scheduler derives: Last-Modified age and Expires TTL
+      val responses = Seq(
+        ("imf", "HTTP/1.1 200 OK\r\nDate: Sun, 06 Nov 1994 08:49:37 GMT\r\n" +
+          "Last-Modified: Fri, 04 Nov 1994 08:49:37 GMT\r\n" +
+          "Expires: Mon, 07 Nov 1994 08:49:37 GMT\r\n\r\nbody"),
+        ("rfc850", "HTTP/1.1 200 OK\r\nDate: Sunday, 06-Nov-94 08:49:37 GMT\r\n\r\nbody"),
+        ("asctime", "HTTP/1.1 200 OK\r\nDate: Sun Nov  6 08:49:37 1994\r\n\r\nbody"),
+        ("bad", "HTTP/1.1 200 OK\r\nDate: yesterday-ish\r\n\r\nbody"))
+      s.createDataset(responses).map { case (name, raw) =>
+        val hs = graft.core.Http.headers(raw.getBytes("ISO-8859-1")).toMap
+        def ep(k: String): Option[Long] =
+          hs.get(k).flatMap(v => graft.core.PdfDates.parseHttpDate(v).map(_.epochSec))
+        val d = ep("date"); val lm = ep("last-modified"); val ex = ep("expires")
+        (name, d, lm, ex,
+          for { a <- d; b <- lm } yield a - b,   // content age at fetch
+          for { a <- ex; b <- d } yield a - b)   // cache TTL
+      }.toDF("name", "date_epoch", "lastmod_epoch", "expires_epoch",
+          "lastmod_age_sec", "ttl_sec")
+        .orderBy("name")
+    }),
+
+    "http_robots_tag" -> ((s, _) => {
+      import s.implicits._
+      // X-Robots-Tag — the HTTP-header twin of html_robots_meta (applies
+      // to PDFs and images that carry no meta): comma-split directives,
+      // unavailable_after parsed as an HTTP date, agent-scoped directives
+      // (googlebot: noindex) excluded from the global verdict
+      val responses = Seq(
+        ("plain", "HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex, nofollow\r\n\r\nx"),
+        ("dated", "HTTP/1.1 200 OK\r\nX-Robots-Tag: unavailable_after: Sun, 06 Nov 1994 08:49:37 GMT\r\n\r\nx"),
+        ("scoped", "HTTP/1.1 200 OK\r\nX-Robots-Tag: googlebot: noindex\r\n\r\nx"),
+        ("none", "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nx"))
+      s.createDataset(responses).map { case (name, raw) =>
+        val hs = graft.core.Http.headers(raw.getBytes("ISO-8859-1"))
+        val tags = hs.filter(_._1 == "x-robots-tag").map(_._2)
+        // agent-scoped form: "<agent>: <directives>" where agent has no '='
+        // and isn't itself a directive keyword
+        val global = tags.filterNot { v =>
+          val head = v.split(":", 2)(0).trim.toLowerCase
+          v.contains(":") && !head.startsWith("unavailable_after") &&
+            !Set("noindex", "nofollow", "noarchive", "none").contains(head)
+        }
+        // unavailable_after's VALUE contains commas (it's an HTTP date) —
+        // it must be pulled out before the comma split of plain directives
+        val unavailable = global.map(_.trim)
+          .filter(_.toLowerCase.startsWith("unavailable_after"))
+          .flatMap(v => graft.core.PdfDates.parseHttpDate(
+            v.split(":", 2).lift(1).getOrElse("").trim).map(_.epochSec))
+          .headOption
+        val ds = global.filterNot(_.trim.toLowerCase.startsWith("unavailable_after"))
+          .flatMap(_.split(",").map(_.trim.toLowerCase))
+        val none = ds.contains("none")
+        (name, tags.nonEmpty,
+          none || ds.contains("noindex"), none || ds.contains("nofollow"),
+          unavailable)
+      }.toDF("name", "has_tag", "noindex", "nofollow", "unavailable_epoch")
+        .orderBy("name")
+    }),
+
+    "url_idn_decode" -> ((s, _) => {
+      import s.implicits._
+      // punycode (RFC 3492) decode of xn-- host labels + the homograph
+      // verdict run on what the USER sees: latin+cyrillic mixing flags,
+      // pure-cyrillic and pure-ascii don't
+      val hosts = Seq(
+        "xn--pple-43d.com",        // аpple.com — cyrillic а homograph
+        "www.xn--e1afmkfd.org",    // пример — pure cyrillic, legit
+        "xn--bcher-kva.example",   // bücher — latin+umlaut, not confusable
+        "plain.example",
+        "xn--@bad@.example")       // malformed label: passes through
+      s.createDataset(hosts).map { h =>
+        val (decoded, idn) = graft.core.Punycode.decodeHost(h)
+        (h, decoded, idn, graft.core.Punycode.mixedScript(decoded))
+      }.toDF("host", "decoded", "is_idn", "homograph")
+        .orderBy("host")
+    }),
+
     "sitemap_entries" -> ((s, _) => {
       // sitemaps.org ingest: urlset + sitemapindex, gzip-sniffed, leaves
       // kept as written; narrow flatMap over the sitemap files

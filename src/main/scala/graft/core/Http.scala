@@ -27,6 +27,31 @@ object Http {
       location: String,
       payload: Array[Byte])
 
+  /** Raw response headers in order (lowercased names, OWS-trimmed values),
+    * without decoding the body — the header-audit surface (dates, caching,
+    * X-Robots-Tag). Stops at the blank line; malformed lines are skipped. */
+  def headers(b: Array[Byte]): Vector[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    val n = b.length
+    // skip the status line
+    var i = 0
+    while (i < n && b(i) != '\n') i += 1
+    i += 1
+    while (i < n) {
+      var j = i
+      while (j < n && b(j) != '\n') j += 1
+      val line = new String(b, i, math.max(0, j - i),
+        java.nio.charset.StandardCharsets.ISO_8859_1).stripSuffix("\r")
+      if (line.isEmpty) return out.result()
+      val colon = line.indexOf(':')
+      if (colon > 0)
+        out += ((line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT),
+          line.substring(colon + 1).trim))
+      i = j + 1
+    }
+    out.result()
+  }
+
   private def fail(err: String) =
     Response(ok = false, err, 0, "", "", "", chunked = false, "", Array.emptyByteArray)
 

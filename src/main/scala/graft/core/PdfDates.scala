@@ -70,6 +70,41 @@ object PdfDates {
     }
   }
 
+  private val MonthNames = Map(
+    "jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4, "may" -> 5, "jun" -> 6,
+    "jul" -> 7, "aug" -> 8, "sep" -> 9, "oct" -> 10, "nov" -> 11, "dec" -> 12)
+
+  /** HTTP-date parse (RFC 7231 §7.1.1.1): IMF-fixdate preferred, obsolete
+    * RFC 850 (2-digit year: 70-99 → 19xx else 20xx) and asctime accepted —
+    * the third date family a crawl sees (headers), same integer-exact
+    * arithmetic and strictness. All HTTP dates are GMT. */
+  def parseHttpDate(raw: String): Option[Parsed] = {
+    if (raw == null) return None
+    val s = raw.trim
+    val imf = ("^[A-Za-z]{3}, (\\d{2}) ([A-Za-z]{3}) (\\d{4}) " +
+      "(\\d{2}):(\\d{2}):(\\d{2}) GMT$").r
+    val rfc850 = ("^[A-Za-z]+, (\\d{2})-([A-Za-z]{3})-(\\d{2}) " +
+      "(\\d{2}):(\\d{2}):(\\d{2}) GMT$").r
+    val asctime = ("^[A-Za-z]{3} ([A-Za-z]{3}) {1,2}(\\d{1,2}) " +
+      "(\\d{2}):(\\d{2}):(\\d{2}) (\\d{4})$").r
+    def mk(y: Int, moName: String, d: Int, h: Int, mi: Int, sec: Int): Option[Parsed] = {
+      val mo = MonthNames.getOrElse(moName.toLowerCase(java.util.Locale.ROOT), return None)
+      if (y < 1 || d < 1 || d > daysInMonth(y, mo)) return None
+      if (h > 23 || mi > 59 || sec > 59) return None
+      Some(Parsed(epochDays(y, mo, d) * 86400L + h * 3600L + mi * 60L + sec, 0))
+    }
+    s match {
+      case imf(d, mo, y, h, mi, sec) =>
+        mk(y.toInt, mo, d.toInt, h.toInt, mi.toInt, sec.toInt)
+      case rfc850(d, mo, y2, h, mi, sec) =>
+        val y = y2.toInt
+        mk(if (y >= 70) 1900 + y else 2000 + y, mo, d.toInt, h.toInt, mi.toInt, sec.toInt)
+      case asctime(mo, d, h, mi, sec, y) =>
+        mk(y.toInt, mo, d.toInt, h.toInt, mi.toInt, sec.toInt)
+      case _ => None
+    }
+  }
+
   /** Parse a PDF date string. None = malformed or out-of-range. */
   def parse(raw: String): Option[Parsed] = {
     if (raw == null) return None
