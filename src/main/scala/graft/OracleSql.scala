@@ -4593,6 +4593,34 @@ object OracleSql {
         |u3 AS (SELECT d, sum(qv * p) AS u FROM q JOIN p3 USING (vec_id) GROUP BY d),
         |v3 AS (SELECT d, coalesce(u * 1000 // nullif((SELECT max(abs(u)) FROM u3), 0), 0) AS v FROM u3)
         |SELECT CAST(d AS BIGINT) AS d, CAST(v AS BIGINT) AS v_x1000
-        |FROM v3 ORDER BY d""".stripMargin
+        |FROM v3 ORDER BY d""".stripMargin,
+
+    // mirrors the text_nfc query: UAX#15 NFC normalization audit. Planted
+    // NFD rows are rebuilt byte-for-byte via chr() so this SQL stays ASCII
+    // while the Scala literals carry the raw combining marks (U+0301/U+0308)
+    "text_nfc" ->
+      """WITH planted(doc_id, text) AS (VALUES
+        |  (910001, 'cafe' || chr(769) || ' visitors'),
+        |  (910002, 'already composed caf' || chr(233)),
+        |  (910003, 'angstro' || chr(776) || 'm and more')),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM planted)
+        |SELECT doc_id, nfc_normalize(text) != text AS changed,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+        |  md5(nfc_normalize(text)) AS nfc_md5
+        |FROM corpus ORDER BY doc_id""".stripMargin,
+
+    // mirrors the corpus_ngrams query: per-doc DISTINCT word trigrams
+    // (Scala split(" ", -1) == string_split: empty tokens kept), then
+    // document frequency, top-50 by (n_docs desc, gram asc) — total order
+    "corpus_ngrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+        |  WHERE len(t) >= 3)
+        |SELECT gram, count(*) AS n_docs FROM grams
+        |GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 50""".stripMargin
   )
 }

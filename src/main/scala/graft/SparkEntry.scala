@@ -1567,6 +1567,40 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    "text_nfc" -> ((s, dir) => {
+      import s.implicits._
+      // Unicode NFC normalization audit — the canonicalization every text
+      // key (dedup hashes, URL paths, search terms) must agree on:
+      // decomposed sequences (e + combining acute) fold to precomposed é;
+      // planted NFD rows force the change path. Per doc: changed flag +
+      // md5 of the normalized text (DuckDB nfc_normalize replays exactly)
+      val base = docs(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = s.createDataFrame(Seq(
+        (910001L, "café visitors"),            // NFD é
+        (910002L, "already composed café"),      // NFC already
+        (910003L, "angström and more")))        // NFD ö
+        .toDF("doc_id", "text")
+      base.unionByName(planted).as[(Long, String)].map { case (id, t) =>
+        val norm = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+        (id, norm != t, norm.length.toLong, Dedup.md5Hex(norm))
+      }.toDF("doc_id", "changed", "n_chars_nfc", "nfc_md5")
+        .orderBy("doc_id")
+    }),
+
+    "corpus_ngrams" -> ((s, dir) => {
+      // the classic corpus artifact: top-50 word trigrams by count (count
+      // desc, gram asc — total order), map-side combined rollup then
+      // TakeOrdered; gram strings shuffle only post-aggregation
+      import s.implicits._
+      docs(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (_, t) => graft.ops.Dedup.ngramStrings(t, 3) }
+        .toDF("gram")
+        .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("gram"))
+        .limit(50)
+    }),
+
     "corpus_jsonl_export" -> ((s, dir) => {
       // the standard training-data export: one JSON line per doc, manual
       // escape pass (backslash first), md5 per line so the oracle proves
