@@ -4621,6 +4621,93 @@ object OracleSql {
         |  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
         |  WHERE len(t) >= 3)
         |SELECT gram, count(*) AS n_docs FROM grams
-        |GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 50""".stripMargin
+        |GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 50""".stripMargin,
+
+    // mirrors Graph.synthSccEdges + Graph.scc, but derives components
+    // INDEPENDENTLY of the algorithm: full transitive closure (recursive
+    // CTE with set-union semantics), then scc_id = min over the mutual-
+    // reachability set — ground truth the FW-BW coloring must reproduce
+    "graph_scc" ->
+      """WITH RECURSIVE nodes AS (SELECT doc_id AS id FROM documents),
+        |nn AS (SELECT count(*) AS n, count(*) - count(*) % 17 AS nfull FROM documents),
+        |raw AS (
+        |  SELECT id AS src, (id - id % 17) + ((id % 17 + 1) % 17) AS dst
+        |  FROM nodes, nn WHERE id < nfull
+        |  UNION ALL SELECT id, (id - id % 17) + ((id % 17 + 5) % 17)
+        |  FROM nodes, nn WHERE id < nfull AND id % 2 = 0
+        |  UNION ALL SELECT id, id + 17 FROM nodes, nn
+        |  WHERE id % 3 = 0 AND id + 17 < nfull
+        |  UNION ALL SELECT id, id - 34 FROM nodes, nn
+        |  WHERE id < nfull AND id % 17 = 4 AND ((id // 17) % 7) = 5 AND id - 34 >= 0
+        |  UNION ALL SELECT id, 0 FROM nodes, nn WHERE id >= nfull),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |reach AS (
+        |  SELECT src AS u, dst AS v FROM edges
+        |  UNION
+        |  SELECT r.u, e.dst FROM reach r JOIN edges e ON e.src = r.v),
+        |mutual AS (
+        |  SELECT r1.u, r1.v FROM reach r1
+        |  JOIN reach r2 ON r2.u = r1.v AND r2.v = r1.u)
+        |SELECT n2.id AS doc_id,
+        |  CAST(coalesce(least(min(m.v), n2.id), n2.id) AS BIGINT) AS scc_id
+        |FROM nodes n2 LEFT JOIN mutual m ON m.u = n2.id
+        |GROUP BY n2.id ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextStats.invisibleChars: every invisible-char class counted
+    // via length arithmetic over chr()-built regex classes (this SQL stays
+    // pure ASCII); clean_md5 = invisibles stripped, NBSP -> space
+    "text_invisible_chars" ->
+      """WITH planted(doc_id, text) AS (VALUES
+        |  (920001, 'plain' || chr(8203) || 'split word and' || chr(160) || 'nbsp'),
+        |  (920002, 'account balance ' || chr(8238) || '0001' || chr(8236) || ' USD'),
+        |  (920003, 'dangling ' || chr(8294) || 'isolate here'),
+        |  (920004, 'hy' || chr(173) || 'phen plus zero' || chr(8205) || 'joiner')),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM planted),
+        |m AS (SELECT doc_id, text,
+        |  length(text) - length(regexp_replace(text,
+        |    '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g')) AS zw,
+        |  length(text) - length(regexp_replace(text,
+        |    '[' || chr(8234) || chr(8235) || chr(8237) || chr(8238) ||
+        |    chr(8294) || chr(8295) || chr(8296) || ']', '', 'g')) AS push,
+        |  length(text) - length(regexp_replace(text,
+        |    '[' || chr(8236) || chr(8297) || ']', '', 'g')) AS pop,
+        |  length(text) - length(regexp_replace(text,
+        |    '[' || chr(8237) || chr(8238) || ']', '', 'g')) AS ovr,
+        |  length(text) - length(replace(text, chr(160), '')) AS nbsp,
+        |  length(text) - length(replace(text, chr(173), '')) AS shy
+        |  FROM corpus)
+        |SELECT doc_id,
+        |  CAST(zw AS BIGINT) AS n_zero_width,
+        |  CAST(push AS BIGINT) AS n_bidi_push,
+        |  CAST(pop AS BIGINT) AS n_bidi_pop,
+        |  CAST(ovr AS BIGINT) AS n_override,
+        |  CAST(nbsp AS BIGINT) AS n_nbsp,
+        |  CAST(shy AS BIGINT) AS n_soft_hyphen,
+        |  (push != pop OR ovr > 0) AS suspicious,
+        |  md5(replace(regexp_replace(text,
+        |    '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) ||
+        |    chr(8234) || chr(8235) || chr(8236) || chr(8237) || chr(8238) ||
+        |    chr(8294) || chr(8295) || chr(8296) || chr(8297) || chr(173) || ']',
+        |    '', 'g'), chr(160), ' ')) AS clean_md5
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // mirrors the quality_domain_wilson query: same integer inequality —
+    // LB >= 1/3 at z=2 without any sqrt (DuckDB sum() widens to HUGEINT,
+    // outputs CAST back to BIGINT)
+    "quality_domain_wilson" ->
+      """WITH d AS (SELECT doc_id % 37 AS domain_id,
+        |    CASE WHEN length(text) BETWEEN 150 AND 420 THEN 1 ELSE 0 END AS pass
+        |  FROM documents),
+        |a AS (SELECT domain_id, count(*) AS n_docs, sum(pass) AS n_pass
+        |  FROM d GROUP BY 1)
+        |SELECT domain_id, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_pass AS BIGINT) AS n_pass,
+        |  CAST(n_pass * 1000 // n_docs AS BIGINT) AS pass_permille,
+        |  (n_pass * 3 - n_docs + 2 >= 0 AND
+        |   (n_pass * 3 - n_docs + 2) * (n_pass * 3 - n_docs + 2) * n_docs >=
+        |   (n_pass * (n_docs - n_pass) + n_docs) * 36) AS keep_domain
+        |FROM a ORDER BY domain_id""".stripMargin
   )
 }

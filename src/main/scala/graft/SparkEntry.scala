@@ -1601,6 +1601,58 @@ object SparkEntry {
         .limit(50)
     }),
 
+    "graph_scc" -> ((s, dir) => {
+      // strongly connected components over the structured link graph
+      // (directed block rings + forward chains + sparse back edges +
+      // sink tails): forward-backward coloring, 16-byte label shuffles,
+      // TWO outer rounds on this corpus (the tail sinks' min-label lies
+      // outside their own component). The oracle re-derives components
+      // via full transitive closure — algorithm-independent ground truth
+      val d = docs(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = d.count()
+      graft.ops.Graph.scc(d, graft.ops.Graph.synthSccEdges(d, n))
+        .select(col("id").as("doc_id"), col("scc_id"))
+        .orderBy("doc_id")
+    }),
+
+    "text_invisible_chars" -> ((s, dir) => {
+      // trojan-source / invisible-char hygiene gate: zero-width, bidi
+      // push/pop/override, NBSP, soft-hyphen counts + unbalanced-bidi
+      // verdict + md5 of the repaired text (invisibles stripped,
+      // NBSP -> space); planted rows force every category (corpus ASCII)
+      val base = docs(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = s.createDataFrame(Seq(
+        (920001L, "plain\u200Bsplit word and\u00A0nbsp"),
+        (920002L, "account balance \u202E0001\u202C USD"),
+        (920003L, "dangling \u2066isolate here"),
+        (920004L, "hy\u00ADphen plus zero\u200Djoiner")))
+        .toDF("doc_id", "text")
+      graft.ops.TextStats.invisibleChars(base.unionByName(planted))
+        .orderBy("doc_id")
+    }),
+
+    "quality_domain_wilson" -> ((s, dir) => {
+      // per-domain quality admission via a Wilson lower bound at z=2,
+      // decided INTEGER-EXACTLY (the sqrt is eliminated algebraically):
+      //   LB >= 1/3  <=>  3s-n+2 >= 0  AND  (3s-n+2)^2*n >= 36*(s*(n-s)+n)
+      // so the oracle replays the decision bit-for-bit, no float anywhere.
+      // One map-side-combined hash aggregate over domain buckets; at web
+      // scale the cube term stays < 2^63 for any n <= 2^20 per domain
+      val d = docs(s, dir, "documents")
+        .select((col("doc_id") % 37).as("domain_id"),
+          (length(col("text")) >= 150 && length(col("text")) <= 420)
+            .cast("long").as("pass"))
+      val a = col("n_pass") * 3 - col("n_docs") + 2
+      d.groupBy("domain_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"))
+        .select(col("domain_id"), col("n_docs"), col("n_pass"),
+          expr("n_pass * 1000 DIV n_docs").as("pass_permille"),
+          (a >= 0 && a * a * col("n_docs") >=
+            (col("n_pass") * (col("n_docs") - col("n_pass")) + col("n_docs")) * 36)
+            .as("keep_domain"))
+        .orderBy("domain_id")
+    }),
+
     "corpus_jsonl_export" -> ((s, dir) => {
       // the standard training-data export: one JSON line per doc, manual
       // escape pass (backslash first), md5 per line so the oracle proves

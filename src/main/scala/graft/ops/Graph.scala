@@ -506,4 +506,122 @@ object Graph {
         (coalesce(col("core_degree"), lit(0L)) >= k).as("in_kcore"))
     out
   }
+
+  /** Deterministic directed graph with a KNOWN nontrivial SCC structure
+    * (the plain affine synthesis of [[synthEdges]] is almost surely one
+    * giant SCC — useless for exercising an SCC algorithm). Blocks of 17
+    * consecutive ids form directed rings (one SCC each), forward cross
+    * edges chain blocks without merging them, a sparse BACK edge at every
+    * 7th block (block index ≡ 5 mod 7) merges exactly three consecutive
+    * blocks into one SCC, and the tail ids past the last full block are
+    * edge-sinks pointing at node 0 — they reach block 0's SCC but nothing
+    * reaches them, so they are singleton SCCs whose forward min-label lies
+    * OUTSIDE their own component (the case that forces a second
+    * forward-backward round). Mirrored verbatim in the DuckDB oracle,
+    * which re-derives components independently via transitive closure. */
+  def synthSccEdges(nodes: DataFrame, n: Long): DataFrame = {
+    val B = 17L
+    val nfull = n - n % B
+    val id = col("id")
+    val base = id - (id % B)
+    val full = nodes.where(id < nfull)
+    val ring = full.select(id.as("src"), (base + (id % B + 1) % B).as("dst"))
+    val chord = full.where(id % 2 === 0)
+      .select(id.as("src"), (base + (id % B + 5) % B).as("dst"))
+    val cross = full.where(id % 3 === 0 && id + B < nfull)
+      .select(id.as("src"), (id + B).as("dst"))
+    val back = full
+      .where(id % B === 4 && expr(s"(id DIV $B) % 7") === 5 && id - 2 * B >= 0)
+      .select(id.as("src"), (id - 2 * B).as("dst"))
+    val tail = nodes.where(id >= nfull).select(id.as("src"), lit(0L).as("dst"))
+    ring.unionByName(chord).unionByName(cross).unionByName(back).unionByName(tail)
+      .where(col("src") =!= col("dst")).distinct()
+  }
+
+  /** Strongly connected components over a directed edge list (`src`,`dst`)
+    * → (`id`, `scc_id` = component-minimum id), every node labeled.
+    * Forward-backward coloring (the FW-BW-MIN family — Slota et al.,
+    * IPDPS'14; the standard distributed SCC shape):
+    *
+    *  1. forward min-label propagation to fixpoint over the REMAINING
+    *     subgraph: lab(u) = min id reachable from u (so u reaches lab(u));
+    *  2. roots are nodes with lab(r) = r; a forward BFS from each root,
+    *     restricted to its own label class, collects exactly SCC(r)
+    *     (any intermediate node w on a path r→u with u ∈ SCC(r) satisfies
+    *     r→w and w→u→r, hence lab(w) = r — the restriction loses nothing);
+    *  3. assigned nodes leave; unassigned nodes (they reach a smaller-id
+    *     SCC they don't belong to) repeat on the shrunken subgraph.
+    *
+    * Every label class assigns at least its root per round, so the loop
+    * terminates; each inner step shuffles only 16-byte (id,label) rows —
+    * no neighborhood materialization, no collect — and every iterate is
+    * localCheckpoint'd so join lineage never stacks. On web-scale graphs
+    * the propagation rounds are bounded by the reachability diameter,
+    * which real link graphs keep in the tens. Convergence is detected by
+    * an order-independent signature (count + xor of row hashes); `maxRounds`
+    * / `maxProp` are runaway bounds that throw rather than mislabel. */
+  def scc(nodes: DataFrame, edges: DataFrame,
+          maxRounds: Int = 32, maxProp: Int = 96): DataFrame = {
+    def sig(df: DataFrame, c1: String, c2: String): (Long, Long) = {
+      val r = df.select(xxhash64(col(c1), col(c2)).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var remaining = nodes.select(col("id")).localCheckpoint(true)
+    var out: DataFrame = null
+    var round = 0
+    var remN = remaining.count()
+    while (remN > 0 && round < maxRounds) {
+      val e = edges
+        .join(remaining.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(remaining.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      // (1) forward min-label to fixpoint
+      var lab = remaining.select(col("id"), col("id").as("lab")).localCheckpoint(true)
+      var labSig = sig(lab, "id", "lab")
+      var fixed = false
+      var p = 0
+      while (!fixed && p < maxProp) {
+        val nbrMin = e.join(lab.select(col("id").as("dst"), col("lab")), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("lab")).as("nmin"))
+          .withColumnRenamed("src", "id")
+        val next = lab.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+          .localCheckpoint(true)
+        val s2 = sig(next, "id", "lab")
+        fixed = s2 == labSig
+        lab = next; labSig = s2; p += 1
+      }
+      require(fixed, s"Graph.scc: min-label propagation hit maxProp=$maxProp")
+      // (2) forward BFS from roots inside their own label class
+      var reached = lab.where(col("id") === col("lab"))
+        .select(col("id"), col("lab").as("root")).localCheckpoint(true)
+      var frontier = reached
+      var fN = frontier.count()
+      var b = 0
+      while (fN > 0 && b < maxProp) {
+        val step = e.join(frontier.select(col("id").as("src"), col("root")), Seq("src"))
+          .select(col("dst").as("id"), col("root"))
+          .join(lab, Seq("id"))
+          .where(col("lab") === col("root"))
+          .select(col("id"), col("root"))
+          .distinct()
+          .join(reached, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        fN = step.count()
+        if (fN > 0) reached = reached.unionByName(step).localCheckpoint(true)
+        frontier = step
+        b += 1
+      }
+      require(fN == 0, s"Graph.scc: BFS hit maxProp=$maxProp")
+      out = if (out == null) reached else out.unionByName(reached)
+      remaining = remaining.join(reached.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      remN = remaining.count()
+      round += 1
+    }
+    require(remN == 0, s"Graph.scc: $remN nodes unassigned after $maxRounds rounds")
+    out.select(col("id"), col("root").as("scc_id"))
+  }
 }

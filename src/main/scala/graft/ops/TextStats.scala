@@ -970,4 +970,42 @@ object TextStats {
       (id, lines.length.toLong, kept.length.toLong, reason, reason == "ok", md)
     }.toDF("doc_id", "n_lines", "n_kept", "reason", "page_kept", "clean_md5")
   }
+
+  /** Invisible/bidi-control character audit — the trojan-source and
+    * token-hygiene gate every web corpus needs before tokenization:
+    * zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) silently split tokens,
+    * bidi embedding/override/isolate controls (U+202A–E, U+2066–69) can
+    * visually reorder text (CVE-2021-42574 "Trojan Source"), soft hyphens
+    * and NBSPs break whitespace tokenizers. Per doc: category counts, a
+    * `suspicious` verdict (unbalanced push/pop or ANY override), and the
+    * md5 of the cleaned text (invisibles stripped, NBSP → space) so the
+    * repair itself is value-checked. One typed pass per row, narrow plan,
+    * zero shuffle; counts are replayed in DuckDB via chr()-built regex
+    * classes. */
+  def invisibleChars(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, t) =>
+      var zw = 0L; var push = 0L; var pop = 0L; var ovr = 0L
+      var nbsp = 0L; var shy = 0L
+      val sb = new java.lang.StringBuilder(t.length)
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        (c: @annotation.switch) match {
+          case '\u200B' | '\u200C' | '\u200D' | '\uFEFF' => zw += 1
+          case '\u202A' | '\u202B' | '\u2066' | '\u2067' | '\u2068' => push += 1
+          case '\u202D' | '\u202E' => push += 1; ovr += 1
+          case '\u202C' | '\u2069' => pop += 1
+          case '\u00AD' => shy += 1
+          case '\u00A0' => nbsp += 1; sb.append(' ')
+          case other => sb.append(other)
+        }
+        i += 1
+      }
+      (id, zw, push, pop, ovr, nbsp, shy, push != pop || ovr > 0,
+        Dedup.md5Hex(sb.toString))
+    }.toDF("doc_id", "n_zero_width", "n_bidi_push", "n_bidi_pop",
+      "n_override", "n_nbsp", "n_soft_hyphen", "suspicious", "clean_md5")
+  }
 }
