@@ -4708,6 +4708,114 @@ object OracleSql {
         |  (n_pass * 3 - n_docs + 2 >= 0 AND
         |   (n_pass * 3 - n_docs + 2) * (n_pass * 3 - n_docs + 2) * n_docs >=
         |   (n_pass * (n_docs - n_pass) + n_docs) * 36) AS keep_domain
-        |FROM a ORDER BY domain_id""".stripMargin
+        |FROM a ORDER BY domain_id""".stripMargin,
+
+    // mirrors Dedup.minhashEval (k=16, bands=4): every md5-seeded signed
+    // min-hash rebuilt from scratch, exact Jaccard per pair via distinct
+    // trigram lists, any-band collision via per-band bool_and over the 4
+    // seed matches, decile rollup — the measured S-curve
+    "dedup_minhash_eval" ->
+      s"""WITH $corpusCte,
+         |ev AS (SELECT doc_id, text FROM corpus WHERE doc_id % 100000 < 100),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+         |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+         |  FROM ev),
+         |shv AS (SELECT * FROM sh WHERE len(s) > 0),
+         |u AS (SELECT doc_id, unnest(s) AS g FROM shv),
+         |seeds AS (SELECT CAST(range AS BIGINT) AS seed FROM range(0, 16)),
+         |hv AS (SELECT doc_id, seed,
+         |  md5_number_upper(CAST(seed AS VARCHAR) || ':' || g) AS h
+         |  FROM u CROSS JOIN seeds),
+         |sig AS (SELECT doc_id, seed, min(
+         |  CAST(CASE WHEN h >= CAST(9223372036854775808 AS UBIGINT)
+         |       THEN CAST(h AS HUGEINT) - 18446744073709551616
+         |       ELSE CAST(h AS HUGEINT) END AS BIGINT)) AS mh
+         |  FROM hv GROUP BY 1, 2),
+         |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
+         |    len(list_intersect(a.s, b.s)) AS inter,
+         |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+         |  FROM shv a JOIN shv b ON a.doc_id < b.doc_id),
+         |bm AS (SELECT p.a, p.b, sa.seed // 4 AS band,
+         |    CASE WHEN bool_and(sa.mh = sb.mh) THEN 1 ELSE 0 END AS bandhit
+         |  FROM pairs p
+         |  JOIN sig sa ON sa.doc_id = p.a
+         |  JOIN sig sb ON sb.doc_id = p.b AND sb.seed = sa.seed
+         |  GROUP BY 1, 2, 3),
+         |coll AS (SELECT a, b, max(bandhit) AS c FROM bm GROUP BY 1, 2),
+         |dec AS (SELECT CASE WHEN uni = 0 THEN 0 ELSE inter * 10 // uni END AS d, c
+         |  FROM pairs p JOIN coll USING (a, b))
+         |SELECT CAST(d AS BIGINT) AS jaccard_decile, count(*) AS n_pairs,
+         |  CAST(sum(c) AS BIGINT) AS n_collide,
+         |  CAST(sum(c) * 1000 // count(*) AS BIGINT) AS collide_permille
+         |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // mirrors the corpus_drop_attribution query: md5-window keeper, then
+    // the same gate cascade (tokens, gopher mean word length, langid
+    // argmax with en>de>es>fr tie order) — first failure wins
+    "corpus_drop_attribution" -> {
+      val meanLen = s"""CAST(CASE WHEN $nTok > 0
+         |    THEN floor(CAST((length(text) - ($nTok - 1)) AS DOUBLE) * 1000.0
+         |      / CAST($nTok AS DOUBLE))
+         |    ELSE 0 END AS BIGINT)""".stripMargin
+      val langs = Seq(
+        "en" -> Seq("the", "and", "of"),
+        "de" -> Seq("der", "und", "die"),
+        "es" -> Seq("el", "los", "de"),
+        "fr" -> Seq("le", "les", "et"))
+      val scoreDefs = langs.map { case (l, ws) =>
+        s"CAST(CASE WHEN $nTok > 0 THEN floor(CAST((${markerScore(ws)}) AS DOUBLE) * 1000.0 / CAST($nTok AS DOUBLE)) ELSE 0 END AS BIGINT) AS score_$l"
+      }.mkString(",\n  ")
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |pl AS (SELECT doc_id + 930000 AS doc_id, text FROM base WHERE doc_id % 11 = 0),
+         |c AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+         |k AS (SELECT doc_id, text,
+         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM c),
+         |f AS (SELECT doc_id, keeper, $nTok AS ntok, $meanLen AS mlen,
+         |  $scoreDefs
+         |  FROM k),
+         |det AS (SELECT *, greatest(score_en, score_de, score_es, score_fr) AS best FROM f)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id <> keeper THEN 'exact_dup'
+         |       WHEN ntok < 50 THEN 'too_short'
+         |       WHEN mlen < 3000 OR mlen > 10000 THEN 'word_length'
+         |       WHEN best = 0 THEN 'lang_unknown'
+         |       ELSE 'kept' END AS reason
+         |FROM det ORDER BY doc_id""".stripMargin
+    },
+
+    // mirrors the quality_gate_agreement query: same Gopher keep verdict
+    // (text_gopher_rules expressions), same length-band gate, same
+    // integer kappa with the degenerate-pe guard
+    "quality_gate_agreement" -> {
+      val meanLen = s"""CAST(CASE WHEN $nTok > 0
+         |    THEN floor(CAST((length(text) - (length(text)-length(replace(text,' ','')))) AS DOUBLE) * 1000.0
+         |      / CAST($nTok AS DOUBLE))
+         |    ELSE 0 END AS BIGINT)""".stripMargin
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(w => s"(CASE WHEN ' '||text||' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH g AS (SELECT doc_id,
+         |  ($nTok >= 50 AND $nTok <= 100000
+         |   AND $meanLen >= 3000 AND $meanLen <= 10000
+         |   AND (length(text)-length(replace(text,'#','')))*10 <= $nTok
+         |   AND ($stops) >= 2) AS ga,
+         |  (length(text) BETWEEN 150 AND 420) AS gb
+         |  FROM documents),
+         |m AS (SELECT
+         |  CAST(sum(CASE WHEN ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |  CAST(sum(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |  CAST(sum(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |  CAST(sum(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         |  FROM g)
+         |SELECT n11, n10, n01, n00,
+         |  CAST(CASE WHEN (n11+n10+n01+n00)*(n11+n10+n01+n00)
+         |    = (n11+n10)*(n11+n01) + (n01+n00)*(n10+n00) THEN 1000000
+         |    ELSE 1000000 * ((n11+n10+n01+n00)*(n11+n00)
+         |    - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))
+         |    // ((n11+n10+n01+n00)*(n11+n10+n01+n00)
+         |    - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))) END AS BIGINT) AS kappa_x1e6
+         |FROM m""".stripMargin
+    }
   )
 }

@@ -1653,6 +1653,72 @@ object SparkEntry {
         .orderBy("domain_id")
     }),
 
+    "dedup_minhash_eval" -> ((s, dir) => {
+      // minhash banding calibration: measured S-curve — exact-Jaccard
+      // deciles vs any-band collision (k=16, 4 bands of 4) on the capped
+      // replica corpus; eval-only O(n^2), md5-seeded sigs so DuckDB
+      // rebuilds every hash bit-identically
+      val c = graft.ops.Dedup.corpusWithReplicas(docs(s, dir, "documents"))
+        .where(col("doc_id") % 100000 < 100)
+      graft.ops.Dedup.minhashEval(c, k = 16, bands = 4)
+    }),
+
+    "corpus_drop_attribution" -> ((s, dir) => {
+      // per-doc provenance of WHY a document leaves the corpus: gates in
+      // pipeline order (exact-dup -> too_short -> word-length -> lang),
+      // FIRST failure wins — the audit column every filtered corpus
+      // publishes. Planted exact duplicates (+930000) force the dup path.
+      // One md5-window shuffle; every predicate is a codegen'd built-in
+      val base = docs(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = base.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 930000L).as("doc_id"), col("text"))
+      val c = base.unionByName(planted)
+      val keeper = min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
+      val nTok = graft.ops.TextStats.tokenCountCol(col("text"))
+      val meanLen = when(nTok > 0,
+        floor((length(col("text")).cast("long") - (nTok - 1)).cast("double") * 1000.0
+          / nTok.cast("double"))).otherwise(0L).cast("long")
+      val det = graft.ops.TextStats.langArgmax(graft.ops.TextStats.langScores(c))
+        .select(col("doc_id"), col("detected"))
+      c.withColumn("keeper", keeper)
+        .join(det, Seq("doc_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") =!= col("keeper"), "exact_dup")
+            .when(nTok < 50, "too_short")
+            .when(meanLen < 3000 || meanLen > 10000, "word_length")
+            .when(col("detected") === "und", "lang_unknown")
+            .otherwise("kept").as("reason"))
+        .orderBy("doc_id")
+    }),
+
+    "quality_gate_agreement" -> ((s, dir) => {
+      // inter-gate agreement audit: Cohen's kappa between the Gopher keep
+      // verdict and an independent length-band gate, INTEGER-EXACT —
+      // kappa_x1e6 = 1e6*(N*(n11+n00) - pe_num) DIV (N^2 - pe_num) with
+      // pe_num = (n11+n10)(n11+n01) + (n01+n00)(n10+n00). Low kappa means
+      // the gates measure different things (both are worth running); one
+      // map-side-combined 4-cell rollup, nothing else shuffles
+      val g = graft.ops.TextStats.gopherRules(docs(s, dir, "documents"))
+        .select(col("doc_id"), col("keep").as("ga"))
+      val b = docs(s, dir, "documents")
+        .select(col("doc_id"),
+          (length(col("text")) >= 150 && length(col("text")) <= 420).as("gb"))
+      g.join(b, Seq("doc_id"))
+        .agg(
+          sum(when(col("ga") && col("gb"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("ga") && !col("gb"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("ga") && col("gb"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("ga") && !col("gb"), 1L).otherwise(0L)).as("n00"))
+        .select(col("n11"), col("n10"), col("n01"), col("n00"),
+          expr("""CAST(CASE WHEN (n11+n10+n01+n00)*(n11+n10+n01+n00)
+            = (n11+n10)*(n11+n01) + (n01+n00)*(n10+n00) THEN 1000000
+            ELSE 1000000 * ((n11+n10+n01+n00)*(n11+n00)
+            - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))
+            DIV ((n11+n10+n01+n00)*(n11+n10+n01+n00)
+            - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))) END AS BIGINT)""")
+            .as("kappa_x1e6"))
+    }),
+
     "corpus_jsonl_export" -> ((s, dir) => {
       // the standard training-data export: one JSON line per doc, manual
       // escape pass (backslash first), md5 per line so the oracle proves

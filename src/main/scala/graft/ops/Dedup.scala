@@ -523,6 +523,64 @@ object Dedup {
         "precision_permille", "recall_permille")
   }
 
+  /** MinHash banding CALIBRATION — the S-curve measured, not assumed: for
+    * every pair of the (capped) eval corpus, exact shingle Jaccard is
+    * bucketed into integer deciles and compared against whether ANY of
+    * `bands` signature bands collides. This is the evidence behind the
+    * production (k, bands) choice in [[minhashLsh]] — the same role
+    * [[simhashEval]] plays for hamming thresholds. Signatures use the
+    * md5-seeded SIGNED-min hash of [[minhashSigMd5]] so DuckDB rebuilds
+    * every hash bit-identically; the O(n²) pair loop is EVAL-ONLY on the
+    * capped corpus (same status as Similarity.bruteForceTopK), never the
+    * production path. Output: (jaccard_decile, n_pairs, n_collide,
+    * collide_permille) — integer-exact everywhere. */
+  def minhashEval(corpus: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rpb = k / bands
+    val prep = corpus.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val grams = shingleStrings(t)
+        val sig = Array.tabulate(k) { s =>
+          var mn = Long.MaxValue
+          grams.foreach { g =>
+            val h = shingleHashMd5(s"$s:$g"); if (h < mn) mn = h
+          }
+          mn
+        }
+        (id, grams, sig)
+      }
+      .filter(_._2.nonEmpty)
+      .toDF("id", "grams", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = prep.select(col("id").as("a"), col("grams").as("ga"), col("sig").as("sa"))
+    val r = prep.select(col("id").as("b"), col("grams").as("gb"), col("sig").as("sb"))
+    val out = l.crossJoin(r).where(col("a") < col("b"))
+      .as[(Long, Array[String], Array[Long], Long, Array[String], Array[Long])]
+      .map { case (_, ga, sa, _, gb, sb) =>
+        val gaSet = ga.toSet
+        val inter = gb.count(gaSet)
+        val union = ga.length + gb.length - inter
+        val dec = if (union == 0) 0L else inter * 10L / union
+        var collide = false
+        var bd = 0
+        while (bd < bands && !collide) {
+          var i = 0; var all = true
+          while (i < rpb && all) { all = sa(bd * rpb + i) == sb(bd * rpb + i); i += 1 }
+          collide = all; bd += 1
+        }
+        (dec, if (collide) 1L else 0L)
+      }
+      .toDF("jaccard_decile", "coll")
+      .groupBy("jaccard_decile")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("coll")).as("n_collide"))
+      .withColumn("collide_permille", expr("n_collide * 1000 DIV n_pairs"))
+      .orderBy("jaccard_decile")
+      .localCheckpoint(true)
+    prep.unpersist(false)
+    out
+  }
+
   /** Cross-run MinHash signature EXPORT — the persistent artifact that
     * lets the next crawl snapshot near-dedup against this one without
     * re-shingling it: k md5-seeded min-hashes per doc, SIGNED 64-bit min
