@@ -4816,6 +4816,141 @@ object OracleSql {
          |    // ((n11+n10+n01+n00)*(n11+n10+n01+n00)
          |    - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))) END AS BIGINT) AS kappa_x1e6
          |FROM m""".stripMargin
-    }
+    },
+
+    // mirrors UrlOps.withRoutedUrls + routeTemplates: the same five path
+    // branches, digit segments → {n}, hex(≥8) → {h}, per (domain,
+    // template) url/distinct-path counts, trap_risk on deep expanding
+    // placeholder templates
+    "url_route_templates" ->
+      """WITH r AS (SELECT doc_id,
+        |    'site' || (doc_id % 5) || '.example' AS domain,
+        |    CASE WHEN doc_id % 7 = 0 THEN '/cal/' || (2020 + doc_id % 3) || '/' || (1 + doc_id % 12) || '/' || (1 + doc_id % 28)
+        |         WHEN doc_id % 7 IN (1, 2) THEN '/article/' || doc_id
+        |         WHEN doc_id % 7 = 3 THEN '/s/' || substring(md5('route:' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |         WHEN doc_id % 7 = 4 THEN '/about'
+        |         ELSE '/p/' || (doc_id % 10) || '/comments' END AS path
+        |  FROM documents),
+        |t AS (SELECT domain, path,
+        |    '/' || array_to_string(list_transform(
+        |      list_filter(string_split(path, '/'), x -> x <> ''),
+        |      x -> CASE WHEN regexp_matches(x, '^[0-9]+$') THEN '{n}'
+        |                WHEN regexp_matches(x, '^[0-9a-f]{8,}$') THEN '{h}'
+        |                ELSE x END), '/') AS template,
+        |    len(list_filter(string_split(path, '/'), x -> x <> '')) AS depth
+        |  FROM r)
+        |SELECT domain, template, CAST(depth AS BIGINT) AS depth,
+        |  CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+        |  (contains(template, '{') AND count(DISTINCT path) >= 10 AND depth >= 3) AS trap_risk
+        |FROM t GROUP BY domain, template, depth
+        |ORDER BY domain, template""".stripMargin,
+
+    // html_paywall: literal goldens — every signal hand-derivable from
+    // the fixture HTML (password input present, ld+json
+    // isAccessibleForFree:false, teaser phrase in main text, main < 500)
+    "html_paywall" ->
+      """SELECT * FROM (VALUES
+        |  ('pw://free',     false, false, false, false, false),
+        |  ('pw://login',    true,  false, false, true,  true),
+        |  ('pw://meter',    false, true,  true,  true,  true),
+        |  ('pw://open',     false, false, false, false, false),
+        |  ('pw://softwall', false, false, true,  true,  true))
+        |AS t(url, has_password_input, jsonld_not_free, teaser_marker, short_main, gated)
+        |ORDER BY url""".stripMargin,
+
+    // mirrors UrlOps.withParamUrls + paramContentInference: same 2×2
+    // (page, ref) grid per (domain, item), same group-minus-param
+    // evidence counts and keep/droppable/unknown verdict
+    "url_param_infer" ->
+      """WITH u AS (SELECT doc_id,
+        |    'shop' || (doc_id % 2) || '.example' AS domain,
+        |    doc_id // 8 AS item, (doc_id // 4) % 2 AS page,
+        |    'r' || ((doc_id // 2) % 2) AS ref,
+        |    md5('c:' || (doc_id // 8) || ':' || ((doc_id // 4) % 2)) AS content
+        |  FROM documents),
+        |rows_ AS (
+        |  SELECT domain, 'id' AS param,
+        |    CAST(page AS VARCHAR) || '|' || ref AS grp,
+        |    CAST(item AS VARCHAR) AS value, content FROM u
+        |  UNION ALL SELECT domain, 'page',
+        |    CAST(item AS VARCHAR) || '|' || ref,
+        |    CAST(page AS VARCHAR), content FROM u
+        |  UNION ALL SELECT domain, 'ref',
+        |    CAST(item AS VARCHAR) || '|' || CAST(page AS VARCHAR),
+        |    ref, content FROM u),
+        |g AS (SELECT domain, param, grp, count(DISTINCT value) AS nv,
+        |        count(DISTINCT content) AS nc
+        |      FROM rows_ GROUP BY 1, 2, 3)
+        |SELECT domain, param,
+        |  CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_multi,
+        |  CAST(sum(CASE WHEN nv > 1 AND nc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_invariant,
+        |  CAST(sum(CASE WHEN nv > 1 AND nc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_variant,
+        |  CASE WHEN sum(CASE WHEN nv > 1 AND nc > 1 THEN 1 ELSE 0 END) > 0 THEN 'keep'
+        |       WHEN sum(CASE WHEN nv > 1 AND nc = 1 THEN 1 ELSE 0 END) > 0 THEN 'droppable'
+        |       ELSE 'unknown' END AS verdict
+        |FROM g GROUP BY domain, param ORDER BY domain, param""".stripMargin,
+
+    // mirrors Sketches.sourceOverlap over src0..src3 + the planted 20%
+    // cross-labeled slice: identical md5-minhash signatures (seed || ':'
+    // || md5(text), KMV domain 2^40), identical exact set Jaccard
+    "corpus_overlap" ->
+      """WITH four AS (SELECT * FROM documents WHERE source IN ('src0','src1','src2','src3')),
+        |c AS (
+        |  SELECT source, text FROM four
+        |  UNION ALL
+        |  SELECT 'src' || ((CAST(substring(source, 4, 2) AS INT) + 1) % 4) AS source, text
+        |  FROM four WHERE doc_id % 5 = 0),
+        |el AS (SELECT DISTINCT source, md5(text) AS e FROM c),
+        |seeds AS (SELECT unnest(range(32)) AS seed),
+        |sig AS (SELECT source, seed,
+        |          min(md5_number_upper(seed || ':' || e) % 1099511627776) AS mh
+        |        FROM el, seeds GROUP BY 1, 2),
+        |mt AS (SELECT x.source AS src_a, y.source AS src_b,
+        |         sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS sig_match
+        |       FROM sig x JOIN sig y ON x.seed = y.seed AND x.source < y.source
+        |       GROUP BY 1, 2),
+        |sz AS (SELECT source, count(*) AS n FROM el GROUP BY 1),
+        |iv AS (SELECT p.source AS src_a, q.source AS src_b, count(*) AS inter
+        |       FROM el p JOIN el q ON p.e = q.e AND p.source < q.source
+        |       GROUP BY 1, 2)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |  CAST(coalesce(iv.inter, 0) AS BIGINT) AS inter,
+        |  CAST(coalesce(mt.sig_match, 0) AS BIGINT) AS sig_match,
+        |  CAST(a.n + b.n - coalesce(iv.inter, 0) AS BIGINT) AS n_union,
+        |  CAST(coalesce(iv.inter, 0) * 1000 // (a.n + b.n - coalesce(iv.inter, 0)) AS BIGINT) AS exact_permille,
+        |  CAST(coalesce(mt.sig_match, 0) * 1000 // 32 AS BIGINT) AS est_permille
+        |FROM sz a JOIN sz b ON a.source < b.source
+        |LEFT JOIN iv ON iv.src_a = a.source AND iv.src_b = b.source
+        |LEFT JOIN mt ON mt.src_a = a.source AND mt.src_b = b.source
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // html_amp_pairs: literal goldens — canonical-driven pairing over the
+    // fixture pages (a: mutual pair; b: declared amp never crawled)
+    "html_amp_pairs" ->
+      """SELECT * FROM (VALUES
+        |  ('https://x.example/a', 'https://x.example/a.amp', true,  true),
+        |  ('https://x.example/b', 'https://x.example/b.amp', false, false))
+        |AS t(canonical_url, amp_url, amp_found, mutual)
+        |ORDER BY canonical_url""".stripMargin,
+
+    // mirrors Sketches.bloomMembership (m=2048, k=4, inserted =
+    // doc_id%4<>3): identical md5 positions, sparse distinct-position
+    // "bitmap", hits=k membership — the false-positive set is replayed
+    // bit-for-bit, not estimated
+    "sketch_bloom" ->
+      """WITH keys AS (SELECT doc_id, 'url:' || CAST(doc_id AS VARCHAR) AS key FROM documents),
+        |seeds AS (SELECT unnest(range(4)) AS i),
+        |ins AS (SELECT DISTINCT md5_number_upper('bloom' || i || ':' || key) % 2048 AS pos
+        |        FROM keys, seeds WHERE doc_id % 4 <> 3),
+        |pp AS (SELECT doc_id, md5_number_upper('bloom' || i || ':' || key) % 2048 AS p
+        |       FROM keys, seeds),
+        |m AS (SELECT doc_id, count(ins.pos) AS hits
+        |      FROM pp LEFT JOIN ins ON pp.p = ins.pos GROUP BY doc_id)
+        |SELECT doc_id, (doc_id % 4 <> 3) AS present,
+        |  (hits = 4) AS bloom_positive,
+        |  (hits = 4 AND doc_id % 4 = 3) AS false_positive
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

@@ -3724,6 +3724,131 @@ object SparkEntry {
         .orderBy("a_id")
     }),
 
+    "url_route_templates" -> ((s, dir) => {
+      // route-template mining + crawler-trap triage: numeric segments →
+      // {n}, long-hex → {h}; per (domain, template) url + DISTINCT-path
+      // counts; deep expanding placeholder templates (the calendar
+      // archive) flag trap_risk — the budget-cap input for crawl_frontier
+      UrlOps.routeTemplates(UrlOps.withRoutedUrls(
+        docs(s, dir, "documents").select(col("doc_id"))))
+        .orderBy("domain", "template")
+    }),
+
+    "html_paywall" -> ((s, _) => {
+      import s.implicits._
+      // access-gate triage before trusting extracted text: password-input
+      // login wall, schema.org isAccessibleForFree:false, teaser-marker
+      // phrases in the boilerplate-stripped main text + a short-main flag
+      // separating hard walls from long editorial mentions
+      val longBody = ("The committee reviewed the harbor dredging plan in detail. " * 12).trim
+      val pages = Seq(
+        ("pw://login",
+          """<html><body><p>Please sign in to your account to proceed.</p>
+            |<form action="/login"><input type="text" name="u">
+            |<input type="password" name="p"></form></body></html>""".stripMargin),
+        ("pw://meter",
+          """<html><head><script type="application/ld+json">
+            |{"@type":"NewsArticle","headline":"Port expansion approved",
+            | "isAccessibleForFree": false}
+            |</script></head><body><p>The port authority voted late on
+            |Tuesday. Subscribe to continue reading this story.</p></body></html>""".stripMargin),
+        ("pw://free",
+          s"""<html><head><script type="application/ld+json">
+             |{"@type":"NewsArticle","headline":"Harbor plan",
+             | "isAccessibleForFree": true}
+             |</script></head><body><p>$longBody</p></body></html>""".stripMargin),
+        ("pw://open",
+          s"<html><body><p>$longBody</p></body></html>"),
+        ("pw://softwall",
+          """<html><body><p>Already a subscriber? Sign in here for the
+            |full story about the election results.</p></body></html>""".stripMargin))
+      s.createDataset(pages).map { case (u, h) =>
+        val sig = graft.core.html.Paywall.scan(h)
+        (u, sig.hasPasswordInput, sig.jsonldNotFree, sig.teaserMarker,
+          sig.mainChars < 500, sig.gated)
+      }.toDF("url", "has_password_input", "jsonld_not_free", "teaser_marker",
+        "short_main", "gated").orderBy("url")
+    }),
+
+    "sketch_bloom" -> ((s, dir) => {
+      // crawl seen-set Bloom filter, measured not estimated: 75% of urls
+      // inserted (doc_id%4 != 3), ALL probed; the m-bit array lives as a
+      // broadcast distinct-position set (≤ m rows); zero false negatives
+      // by construction, false positives oracle-checked bit-for-bit
+      val keyed = docs(s, dir, "documents").select(col("doc_id"))
+        .withColumn("key", concat(lit("url:"), col("doc_id")))
+      val inserted = keyed.where(col("doc_id") % 4 =!= 3).select("key")
+      graft.ops.Sketches.bloomMembership(inserted, keyed.select("key"),
+          mBits = 2048L, k = 4)
+        .withColumn("doc_id", substring(col("key"), 5, 20).cast("long"))
+        .withColumn("present", col("doc_id") % 4 =!= 3)
+        .withColumn("false_positive", col("bloom_positive") && !col("present"))
+        .select("doc_id", "present", "bloom_positive", "false_positive")
+        .orderBy("doc_id")
+    }),
+
+    "url_param_infer" -> ((s, dir) => {
+      // canonicalization-rule LEARNING: which query params are provably
+      // content-invariant (droppable) vs content-determining (keep) —
+      // grouped-evidence inference over (url-minus-param, content-hash),
+      // the data-driven upgrade to url_normalize's static blocklist
+      UrlOps.paramContentInference(UrlOps.withParamUrls(
+        docs(s, dir, "documents").select(col("doc_id"))))
+        .orderBy("domain", "param")
+    }),
+
+    "corpus_overlap" -> ((s, dir) => {
+      // cross-source content-overlap audit (src0..src3 + a planted 20%
+      // cross-labeled slice): k=32 md5-minhash signature-agreement
+      // Jaccard estimate next to the exact set Jaccard — estimator error
+      // is IN the oracle, not asserted from the formula
+      val four = docs(s, dir, "documents")
+        .where(col("source").isin("src0", "src1", "src2", "src3"))
+      val base = four.select(col("source"), col("text"))
+      val planted = four.where(col("doc_id") % 5 === 0)
+        .select(concat(lit("src"),
+          (substring(col("source"), 4, 2).cast("int") + 1) % 4).as("source"),
+          col("text"))
+      graft.ops.Sketches.sourceOverlap(base.unionAll(planted), k = 32)
+        .orderBy("src_a", "src_b")
+    }),
+
+    "html_amp_pairs" -> ((s, _) => {
+      import s.implicits._
+      // AMP mirror pairing: canonical pages declaring rel=amphtml joined
+      // to <html amp> pages at that url; `mutual` = the amp page's
+      // rel=canonical points straight back (the AMP spec's bidirectional
+      // discipline); one-sided declarations surface as amp_found=false
+      val pages = Seq(
+        ("https://x.example/a",
+          """<html><head><link rel="amphtml" href="https://x.example/a.amp"></head>
+            |<body><p>Article A canonical body text, long enough to keep.</p></body></html>""".stripMargin),
+        ("https://x.example/a.amp",
+          """<html amp><head><link rel="canonical" href="https://x.example/a"></head>
+            |<body><p>Article A mobile mirror body text content here.</p></body></html>""".stripMargin),
+        ("https://x.example/b",
+          """<html><head><link rel="amphtml" href="https://x.example/b.amp"></head>
+            |<body><p>Article B canonical; its amp target was never crawled.</p></body></html>""".stripMargin),
+        ("https://x.example/c.amp",
+          """<html ⚡><head><link rel="canonical" href="https://x.example/c"></head>
+            |<body><p>Orphan amp page whose canonical is missing too.</p></body></html>""".stripMargin),
+        ("https://x.example/d",
+          "<html><head></head><body><p>A page with no AMP relationship at all.</p></body></html>"))
+      val info = s.createDataset(pages).map { case (u, h) =>
+        val a = graft.core.html.AmpLinks.scan(h)
+        (u, a.isAmp, a.canonical.orNull, a.amphtml.orNull)
+      }.toDF("url", "is_amp", "canonical", "amphtml")
+      val canon = info.where(!col("is_amp") && col("amphtml").isNotNull)
+        .select(col("url").as("canonical_url"), col("amphtml").as("amp_url"))
+      val amps = info.where(col("is_amp"))
+        .select(col("url").as("amp_url"), col("canonical").as("amp_declares"))
+      canon.join(amps, Seq("amp_url"), "left")
+        .select(col("canonical_url"), col("amp_url"),
+          col("amp_declares").isNotNull.as("amp_found"),
+          coalesce(col("amp_declares") === col("canonical_url"), lit(false)).as("mutual"))
+        .orderBy("canonical_url")
+    }),
+
     "emb_top_direction" -> ((s, dir) => {
       // corpus top singular direction by INTEGER power iteration (encoder
       // drift / variance-concentration probe): embeddings quantize to

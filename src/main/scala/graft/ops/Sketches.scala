@@ -16,6 +16,78 @@ import org.apache.spark.sql.functions._
   * sketch demo. */
 object Sketches {
 
+  /** Bloom-filter membership for the crawl seen-set: k md5-derived bit
+    * positions per key over an m-bit domain. The bit array is held in its
+    * SPARSE form — the DISTINCT set of inserted positions, at most m rows
+    * — which (a) is exactly what a bitmap is semantically, (b) broadcasts
+    * to every probe task (m is a design constant, 2^11–2^27, independent
+    * of corpus size), and (c) makes the whole structure replayable in
+    * DuckDB SQL, so the false-positive behavior itself is oracle-checked
+    * rather than asserted from the textbook formula.
+    *
+    * Scale shape: inserts are a map-side explode (k rows per key) into
+    * one distinct-aggregation bounded by m; probes never shuffle — they
+    * hash-join the broadcast position set and reduce `hits == k` per key
+    * with partial aggregation. Zero false negatives by construction (the
+    * spec asserts it); false positives are measured, not estimated.
+    *
+    * Output: one row per probe key — (key, bloom_positive). */
+  def bloomMembership(inserted: DataFrame, probes: DataFrame,
+                      mBits: Long, k: Int): DataFrame = {
+    require(k >= 1 && mBits >= 2, "need k >= 1 hash functions, m >= 2 bits")
+    def positions(key: org.apache.spark.sql.Column) =
+      array((0 until k).map(i =>
+        Sampling.md5Mod(concat(lit(s"bloom$i:"), key), mBits)): _*)
+    val bits = inserted.select(explode(positions(col("key"))).as("pos")).distinct()
+    probes.select(col("key"), explode(positions(col("key"))).as("p"))
+      .join(broadcast(bits), col("p") === col("pos"), "left")
+      .groupBy(col("key"))
+      .agg((count(col("pos")) === k).as("bloom_positive"))
+  }
+
+  /** Cross-source content-overlap report: per source pair, the k-seed
+    * md5-minhash SIGNATURE-agreement estimate of Jaccard next to the
+    * exact set Jaccard — the audit a corpus mixer runs before weighting
+    * sources ("how much of src2 is already in src0?"), with the estimator
+    * error measurable in the same row. Elements are distinct md5(text)
+    * per source; per seed s the source's signature is min over elements
+    * of md5Mod(s:element) — the identical convention DuckDB replays with
+    * `md5_number_upper`, so the ESTIMATE itself is oracle-checked.
+    *
+    * Scale shape: elements dedup in one shuffle; signatures are a k-row
+    * broadcast-seeds explode + one (source, seed) min aggregation —
+    * k·#sources rows total after partial agg; everything downstream
+    * (pair frame, matches, exact intersection on the deduped element
+    * keys) is source-vocabulary-sized or one element-keyed join. */
+  def sourceOverlap(corpus: DataFrame, k: Int = 32): DataFrame = {
+    val spark = corpus.sparkSession
+    val el = corpus.select(col("source"), md5(col("text")).as("e")).distinct()
+      .localCheckpoint(true)
+    val seeds = spark.range(k).select(col("id").as("seed"))
+    val sig = el.crossJoin(broadcast(seeds))
+      .select(col("source"), col("seed"),
+        Sampling.md5Mod(concat(col("seed"), lit(":"), col("e")), KmvDomain).as("h"))
+      .groupBy(col("source"), col("seed")).agg(min(col("h")).as("mh"))
+    val matches = sig.as("x")
+      .join(sig.as("y"),
+        col("x.seed") === col("y.seed") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(sum(when(col("x.mh") === col("y.mh"), 1L).otherwise(0L)).as("sig_match"))
+    val sizes = el.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = el.as("p")
+      .join(el.as("q"), col("p.e") === col("q.e") && col("p.source") < col("q.source"))
+      .groupBy(col("p.source").as("src_a"), col("q.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    sizes.as("a").join(sizes.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .join(inter, Seq("src_a", "src_b"), "left").na.fill(0L, Seq("inter"))
+      .join(matches, Seq("src_a", "src_b"), "left").na.fill(0L, Seq("sig_match"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("exact_permille", expr("CAST(inter * 1000 DIV n_union AS BIGINT)"))
+      .withColumn("est_permille", expr(s"CAST(sig_match * 1000 DIV $k AS BIGINT)"))
+  }
+
   /** KMV hash domain: 2^40. Small enough that (k−1)·2^40 stays far inside
     * int64 for the estimator's integer division, large enough that
     * same-domain collisions are ~n²/2^41 (negligible, and deterministic —

@@ -306,6 +306,103 @@ object UrlOps {
       .select("doc_id", "url_canon", "shard", "shard_drop", "moved")
   }
 
+  /** Deterministic routed-URL synthesis for route-template mining: five
+    * path shapes a real site exhibits — a calendar archive (the classic
+    * crawler trap: deep, numeric, combinatorially expanding), an article
+    * id space, hex session paths, a static page, and a paginated section.
+    * Every branch is exactly reproducible in DuckDB SQL (the
+    * `url_route_templates` oracle replays it). */
+  def withRoutedUrls(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val domain = concat(lit("site"), d % 5, lit(".example"))
+    val path = when(d % 7 === 0,
+        concat(lit("/cal/"), (d % 3) + 2020, lit("/"), (d % 12) + 1,
+               lit("/"), (d % 28) + 1))
+      .when(d % 7 === 1 || d % 7 === 2, concat(lit("/article/"), d))
+      .when(d % 7 === 3,
+        concat(lit("/s/"), substring(md5(concat(lit("route:"), d)), 1, 12)))
+      .when(d % 7 === 4, lit("/about"))
+      .otherwise(concat(lit("/p/"), d % 10, lit("/comments")))
+    docs.withColumn("domain", domain).withColumn("path", path)
+  }
+
+  /** URL route-template mining + crawler-trap triage: collapse each path
+    * into a structural template (`/cal/{n}/{n}/{n}`) by mapping all-digit
+    * segments to `{n}` and long-hex segments (session ids, content
+    * hashes) to `{h}`, then count urls and DISTINCT paths per
+    * (domain, template). A template that is deep (≥3 segments), contains
+    * a placeholder, and keeps expanding (≥10 distinct paths) is flagged
+    * `trap_risk` — the calendar-archive signature a crawl frontier must
+    * budget-cap before it eats the fetch quota.
+    *
+    * Scale shape: templating is a pure codegen'd projection (split +
+    * transform + regexp, no UDF); the rollup is one partial-aggregated
+    * hash shuffle keyed (domain, template) — bounded by the number of
+    * ROUTES, not pages, so the output is tiny at any corpus size. */
+  def routeTemplates(routed: DataFrame): DataFrame = {
+    val segs = filter(split(col("path"), "/"), x => x =!= "")
+    val tsegs = transform(segs, x =>
+      when(x.rlike("^[0-9]+$"), lit("{n}"))
+        .when(x.rlike("^[0-9a-f]{8,}$"), lit("{h}"))
+        .otherwise(x))
+    routed
+      .withColumn("template", concat(lit("/"), array_join(tsegs, "/")))
+      .withColumn("depth", size(segs).cast("long"))
+      .groupBy(col("domain"), col("template"), col("depth"))
+      .agg(count(lit(1)).as("n_urls"),
+           countDistinct(col("path")).as("n_paths"))
+      .withColumn("trap_risk",
+        col("template").contains("{") && col("n_paths") >= 10 &&
+          col("depth") >= 3)
+  }
+
+  /** Deterministic parameterized-URL synthesis for canonicalization-rule
+    * LEARNING (vs the static blocklist in [[canonicalizeUrl]]): each doc
+    * is a url with three query params — `id` (doc_id div 8, the item),
+    * `page` ((div 4) mod 2) and `ref` ((div 2) mod 2) — forming a full
+    * 2×2 (page, ref) grid per (domain, item). Content is a hash of
+    * (item, page): `ref` never changes content, `page` and `id` do. */
+  def withParamUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit("shop"), col("doc_id") % 2, lit(".example")).as("domain"),
+      expr("doc_id div 8").as("item"),
+      expr("(doc_id div 4) % 2").as("page"),
+      concat(lit("r"), expr("(doc_id div 2) % 2")).as("ref"),
+      md5(concat(lit("c:"), expr("doc_id div 8"), lit(":"),
+                 expr("(doc_id div 4) % 2"))).as("content"))
+
+  /** Content-invariant query-param inference — learning which params are
+    * safe to strip during URL canonicalization by EVIDENCE instead of a
+    * hand-kept tracking-param blocklist: for each param, group urls by
+    * "the url minus that param"; a group holding ≥2 distinct values of
+    * the param with exactly one distinct content hash is invariant
+    * evidence (same page either way), ≥2 contents is variant evidence.
+    * Verdict per (domain, param): any variant group → `keep`; else any
+    * invariant group → `droppable`; no multi-value group → `unknown`.
+    *
+    * Scale shape: a 3-way column-projection union (no row explosion
+    * beyond ×#params), two partial-aggregated hash shuffles — group-key
+    * then (domain, param) — output bounded by the PARAM vocabulary. */
+  def paramContentInference(urls: DataFrame): DataFrame = {
+    def proj(param: String, value: Column, grp: Column) =
+      urls.select(col("domain"), lit(param).as("param"), grp.as("grp"),
+        value.cast("string").as("value"), col("content"))
+    val rows = proj("id", col("item"), concat_ws("|", col("page"), col("ref")))
+      .unionAll(proj("page", col("page"), concat_ws("|", col("item"), col("ref"))))
+      .unionAll(proj("ref", col("ref"), concat_ws("|", col("item"), col("page"))))
+    rows.groupBy(col("domain"), col("param"), col("grp"))
+      .agg(countDistinct(col("value")).as("nv"),
+           countDistinct(col("content")).as("nc"))
+      .groupBy(col("domain"), col("param"))
+      .agg(sum(when(col("nv") > 1, 1L).otherwise(0L)).as("n_groups_multi"),
+           sum(when(col("nv") > 1 && col("nc") === 1, 1L).otherwise(0L)).as("n_invariant"),
+           sum(when(col("nv") > 1 && col("nc") > 1, 1L).otherwise(0L)).as("n_variant"))
+      .withColumn("verdict",
+        when(col("n_variant") > 0, "keep")
+          .when(col("n_invariant") > 0, "droppable")
+          .otherwise("unknown"))
+  }
+
   /** Registered domain from a host Column using only codegen'd built-ins
     * (the native expression needs a full url; param mining has a bare
     * host). Mirrors [[registeredDomain]] for the synthesis's suffix set. */
