@@ -4935,6 +4935,41 @@ object OracleSql {
         |AS t(canonical_url, amp_url, amp_found, mutual)
         |ORDER BY canonical_url""".stripMargin,
 
+    // html_breadcrumbs: literal goldens — @graph list with @id items,
+    // bare list with string item + missing position (index fallback),
+    // no-structured-data page contributes nothing
+    "html_breadcrumbs" ->
+      """SELECT * FROM (VALUES
+        |  ('https://t.example/post', CAST(1 AS BIGINT), 'Blog', 'https://t.example/blog'),
+        |  ('https://t.example/post', CAST(2 AS BIGINT), 'Post', ''),
+        |  ('https://t.example/prod', CAST(1 AS BIGINT), 'Home', 'https://t.example/'),
+        |  ('https://t.example/prod', CAST(2 AS BIGINT), 'Tools', 'https://t.example/tools'),
+        |  ('https://t.example/prod', CAST(3 AS BIGINT), 'Saw', 'https://t.example/prod'))
+        |AS t(url, position, name, item_url)
+        |ORDER BY url, position""".stripMargin,
+
+    // mirrors TextStats.markupLeak + the planted residue strata: the
+    // same five regex families counted with len(regexp_extract_all)
+    "text_markup_leak" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0 THEN text || ' leftover &amp; markup <b>bold</b> here'
+        |         WHEN doc_id % 9 = 3 THEN text || ' template {{cite web}} and **emphasis** residue'
+        |         WHEN doc_id % 9 = 6 THEN text || ' forum [b]bold[/b] rest [url]x[/url] &#39; trail'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '&(amp|lt|gt|quot|nbsp|#[0-9]+);')) AS BIGINT) AS n_entity,
+        |    CAST(len(regexp_extract_all(text, '</?[a-zA-Z][a-zA-Z0-9]*( [^>]*)?>')) AS BIGINT) AS n_tag,
+        |    CAST(len(regexp_extract_all(text, '\*\*[^*]+\*\*'))
+        |       + len(regexp_extract_all(text, '(^|\n)#{1,6} ')) AS BIGINT) AS n_md,
+        |    CAST(len(regexp_extract_all(text, '\{\{[^}]*\}\}')) AS BIGINT) AS n_wiki,
+        |    CAST(len(regexp_extract_all(text, '\[/?(b|i|url|img|quote)\]')) AS BIGINT) AS n_bbcode
+        |  FROM p)
+        |SELECT doc_id, n_entity, n_tag, n_md, n_wiki, n_bbcode,
+        |  n_entity + n_tag + n_md + n_wiki + n_bbcode AS n_total,
+        |  (n_entity + n_tag + n_md + n_wiki + n_bbcode >= 3) AS leak
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // mirrors Sketches.bloomMembership (m=2048, k=4, inserted =
     // doc_id%4<>3): identical md5 positions, sparse distinct-position
     // "bitmap", hits=k membership — the false-positive set is replayed

@@ -3849,6 +3849,48 @@ object SparkEntry {
         .orderBy("canonical_url")
     }),
 
+    "html_breadcrumbs" -> ((s, _) => {
+      import s.implicits._
+      // BreadcrumbList taxonomy mining: @graph-wrapped and bare lists,
+      // item as object(@id)/plain-string/absent, missing position falls
+      // back to index+1 — the trail (position, name, url) per page
+      val pages = Seq(
+        ("https://t.example/prod",
+          """<html><head><script type="application/ld+json">
+            |{"@graph":[{"@type":"WebSite","name":"shop"},
+            | {"@type":"BreadcrumbList","itemListElement":[
+            |  {"@type":"ListItem","position":1,"name":"Home","item":{"@id":"https://t.example/"}},
+            |  {"@type":"ListItem","position":2,"name":"Tools","item":{"@id":"https://t.example/tools"}},
+            |  {"@type":"ListItem","position":3,"name":"Saw","item":{"@id":"https://t.example/prod"}}]}]}
+            |</script></head><body>x</body></html>""".stripMargin),
+        ("https://t.example/post",
+          """<html><head><script type="application/ld+json">
+            |{"@type":"BreadcrumbList","itemListElement":[
+            | {"@type":"ListItem","name":"Blog","item":"https://t.example/blog"},
+            | {"@type":"ListItem","name":"Post"}]}
+            |</script></head><body>x</body></html>""".stripMargin),
+        ("https://t.example/plain",
+          "<html><body><p>No structured data at all here.</p></body></html>"))
+      s.createDataset(pages).flatMap { case (u, h) =>
+        graft.core.html.JsonLd.breadcrumbs(h)
+          .map(c => (u, c.position, c.name, c.itemUrl))
+      }.toDF("url", "position", "name", "item_url").orderBy("url", "position")
+    }),
+
+    "text_markup_leak" -> ((s, dir) => {
+      // extractor-residue gate: entity/tag/markdown/wiki/BBCode counts
+      // over the corpus with three deterministic planted-residue strata;
+      // leak at total ≥ 3 — all five regex families replayed in DuckDB
+      val d = col("doc_id")
+      val planted = docs(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("text",
+          when(d % 9 === 0, concat(col("text"), lit(" leftover &amp; markup <b>bold</b> here")))
+            .when(d % 9 === 3, concat(col("text"), lit(" template {{cite web}} and **emphasis** residue")))
+            .when(d % 9 === 6, concat(col("text"), lit(" forum [b]bold[/b] rest [url]x[/url] &#39; trail")))
+            .otherwise(col("text")))
+      TextStats.markupLeak(planted).orderBy("doc_id")
+    }),
+
     "emb_top_direction" -> ((s, dir) => {
       // corpus top singular direction by INTEGER power iteration (encoder
       // drift / variance-concentration probe): embeddings quantize to

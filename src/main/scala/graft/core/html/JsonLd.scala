@@ -136,6 +136,56 @@ object JsonLd {
       }
     }
 
+  final case class Crumb(position: Long, name: String, itemUrl: String)
+
+  /** BreadcrumbList trails — the site-taxonomy signal (Home › Section ›
+    * Page) publishers expose for search engines; a corpus pipeline mines
+    * it for topic labels and site-structure features. Each ListItem
+    * yields (position, name, item-url); `item` may be a plain url string
+    * or an object carrying `@id`/`name` (both real-world shapes).
+    * Missing/non-numeric positions fall back to the array index + 1. */
+  def breadcrumbs(html: String): Vector[Crumb] =
+    blocks(html).flatMap { payload =>
+      MiniJson.parse(payload) match {
+        case None => Vector.empty
+        case Some(v) =>
+          val nodes = v match {
+            case m: Map[_, _] =>
+              val mm = m.asInstanceOf[Map[String, Any]]
+              mm.get("@graph") match {
+                case Some(g: Vector[_]) => g.toVector
+                case _                  => Vector(mm)
+              }
+            case a: Vector[_] => a.toVector
+            case other        => Vector(other)
+          }
+          nodes.collect {
+            case m: Map[_, _]
+              if strOf(m.asInstanceOf[Map[String, Any]].get("@type")) == "BreadcrumbList" =>
+              m.asInstanceOf[Map[String, Any]].get("itemListElement") match {
+                case Some(arr: Vector[_]) =>
+                  arr.zipWithIndex.collect { case (li: Map[_, _], idx) =>
+                    val lm = li.asInstanceOf[Map[String, Any]]
+                    val pos = lm.get("position") match {
+                      case Some(d: Double) => d.toLong
+                      case _               => idx + 1L
+                    }
+                    val (name, itemUrl) = lm.get("item") match {
+                      case Some(s: String) => (strOf(lm.get("name")), s)
+                      case Some(im: Map[_, _]) =>
+                        val imm = im.asInstanceOf[Map[String, Any]]
+                        (strOf(lm.get("name").orElse(imm.get("name"))),
+                          strOf(imm.get("@id").orElse(imm.get("id"))))
+                      case _ => (strOf(lm.get("name")), "")
+                    }
+                    Crumb(pos, name, itemUrl)
+                  }
+                case _ => Vector.empty
+              }
+          }.flatten
+      }
+    }
+
   /** @type may be a string or an array of strings — take the first. */
   private def strOf(v: Option[Any]): String = v match {
     case Some(s: String)    => s

@@ -1008,4 +1008,30 @@ object TextStats {
     }.toDF("doc_id", "n_zero_width", "n_bidi_push", "n_bidi_pop",
       "n_override", "n_nbsp", "n_soft_hyphen", "suspicious", "clean_md5")
   }
+
+  /** Leftover-markup hygiene gate: text that survived extraction but still
+    * carries HTML entities, raw tags, markdown/wiki/BBCode residue is a
+    * broken-extractor symptom (double-escaped feeds, wikitext dumps,
+    * forum exports) — a training corpus wants those rows flagged, not
+    * silently learned. Five marker families counted per doc with plain
+    * regex built-ins (codegen'd, zero shuffle); `leak` at total ≥ 3 —
+    * one entity in clean prose is normal, clusters are not.
+    * Every pattern uses the regex subset Java and RE2 count identically,
+    * so the oracle replays bit-for-bit in DuckDB. */
+  def markupLeak(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val nEntity = regexp_count(t, lit("&(amp|lt|gt|quot|nbsp|#[0-9]+);"))
+    val nTag = regexp_count(t, lit("</?[a-zA-Z][a-zA-Z0-9]*( [^>]*)?>"))
+    val nMd = regexp_count(t, lit("\\*\\*[^*]+\\*\\*")) +
+      regexp_count(t, lit("(^|\\n)#{1,6} "))
+    val nWiki = regexp_count(t, lit("\\{\\{[^}]*\\}\\}"))
+    val nBb = regexp_count(t, lit("\\[/?(b|i|url|img|quote)\\]"))
+    docs.select(col("doc_id"),
+        nEntity.cast("long").as("n_entity"), nTag.cast("long").as("n_tag"),
+        nMd.cast("long").as("n_md"), nWiki.cast("long").as("n_wiki"),
+        nBb.cast("long").as("n_bbcode"))
+      .withColumn("n_total", col("n_entity") + col("n_tag") + col("n_md") +
+        col("n_wiki") + col("n_bbcode"))
+      .withColumn("leak", col("n_total") >= 3)
+  }
 }
