@@ -4986,6 +4986,90 @@ object OracleSql {
         |SELECT doc_id, (doc_id % 4 <> 3) AS present,
         |  (hits = 4) AS bloom_positive,
         |  (hits = 4 AND doc_id % 4 = 3) AS false_positive
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextStats.textDates + the planted date strata: same three
+    // RE2-safe patterns counted, same ISO-wins normalization precedence,
+    // month names mapped through an identical CASE ladder
+    "text_dates" -> {
+      val iso = "(19|20)[0-9]{2}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])"
+      val months = Seq("January", "February", "March", "April", "May",
+        "June", "July", "August", "September", "October", "November",
+        "December")
+      val mn = s"(${months.mkString("|")}) ([1-9]|[12][0-9]|3[01]), ((?:19|20)[0-9]{2})"
+      val sl = "(0?[1-9]|1[0-2])/(0?[1-9]|[12][0-9]|3[01])/((?:19|20)[0-9]{2})"
+      val monthCase = months.zipWithIndex
+        .map { case (m, i) => f"WHEN '$m' THEN '${i + 1}%02d'" }
+        .mkString(" ")
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 1 THEN text || ' Published 2021-03-15 by the desk.'
+         |         WHEN doc_id % 11 = 4 THEN text || ' Updated: March 7, 2019 edition.'
+         |         WHEN doc_id % 11 = 7 THEN text || ' Release notes 12/25/2020 follow.'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |e AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$iso')) AS BIGINT) AS n_iso,
+         |    CAST(len(regexp_extract_all(text, '$mn')) AS BIGINT) AS n_monthname,
+         |    CAST(len(regexp_extract_all(text, '$sl')) AS BIGINT) AS n_slash,
+         |    regexp_extract(text, '$iso', 0) AS iso0,
+         |    regexp_extract(text, '$mn', 1) AS mn_m,
+         |    regexp_extract(text, '$mn', 2) AS mn_d,
+         |    regexp_extract(text, '$mn', 3) AS mn_y,
+         |    regexp_extract(text, '$sl', 1) AS sl_m,
+         |    regexp_extract(text, '$sl', 2) AS sl_d,
+         |    regexp_extract(text, '$sl', 3) AS sl_y
+         |  FROM p)
+         |SELECT doc_id, n_iso, n_monthname, n_slash,
+         |  CASE WHEN iso0 <> '' THEN iso0
+         |       WHEN mn_m <> '' THEN mn_y || '-' ||
+         |         (CASE mn_m $monthCase ELSE '00' END) || '-' || lpad(mn_d, 2, '0')
+         |       WHEN sl_y <> '' THEN sl_y || '-' || lpad(sl_m, 2, '0') || '-' || lpad(sl_d, 2, '0')
+         |       ELSE '' END AS date_norm,
+         |  (n_iso + n_monthname + n_slash > 0) AS has_date
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
+
+    // mirrors TextStats.charEntropy + the planted low-entropy strata:
+    // per-letter counts via length/replace arithmetic, the SAME
+    // floor(k·ln k·1000) per-term quantization (integers from there on),
+    // final milli-bit division by the identical ln 2 literal
+    "text_entropy" -> {
+      val counts = ('a' to 'z')
+        .map(ch => s"length(t) - length(replace(t, '$ch', ''))")
+        .mkString(", ")
+      s"""WITH p AS (SELECT doc_id,
+         |    lower(CASE WHEN doc_id % 13 = 2 THEN 'ha ha ha ha ha ha ha ha ha ha ha ha'
+         |               WHEN doc_id % 13 = 6 THEN 'zzzzzzzz zzzzzzzz zzzzzzzz'
+         |               ELSE text END) AS t
+         |  FROM documents),
+         |k AS (SELECT doc_id, unnest([$counts]) AS k FROM p),
+         |g AS (SELECT doc_id,
+         |    CAST(sum(k) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+         |    CAST(sum(CASE WHEN k > 0 THEN CAST(floor(k * ln(k) * 1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS s
+         |  FROM k GROUP BY doc_id)
+         |SELECT doc_id, n AS n_letters, nd AS n_distinct, s AS sum_clnc,
+         |  CASE WHEN n > 0
+         |       THEN CAST(floor((CAST(floor(n * ln(n) * 1000) AS BIGINT) - s)
+         |            / CAST(n AS DOUBLE) / 0.6931471805599453) AS BIGINT)
+         |       ELSE 0 END AS ent_milli,
+         |  (n >= 20 AND ent_milli < 3000) AS low_entropy
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    // html_forms_audit: literal goldens — every row hand-derivable from
+    // the fixture HTML (precedence: password beats email; lone text named
+    // q is search; hidden/submit excluded from n_inputs; method default
+    // GET, uppercased)
+    "html_forms_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('f://login',      CAST(0 AS BIGINT), '/login',   'POST', CAST(2 AS BIGINT), 'login'),
+        |  ('f://multi',      CAST(0 AS BIGINT), '/q',       'GET',  CAST(1 AS BIGINT), 'search'),
+        |  ('f://multi',      CAST(1 AS BIGINT), '/contact', 'POST', CAST(2 AS BIGINT), 'other'),
+        |  ('f://newsletter', CAST(0 AS BIGINT), '/sub',     'POST', CAST(1 AS BIGINT), 'newsletter'),
+        |  ('f://search',     CAST(0 AS BIGINT), '/find',    'GET',  CAST(1 AS BIGINT), 'search'),
+        |  ('f://upload',     CAST(0 AS BIGINT), '/up',      'POST', CAST(2 AS BIGINT), 'upload'))
+        |AS t(url, form_idx, action, method, n_inputs, kind)
+        |ORDER BY url, form_idx""".stripMargin
   )
 }

@@ -3898,6 +3898,71 @@ object SparkEntry {
       // on any partitioning and the oracle replays the 3 unrolled rounds
       Similarity.topDirectionPower(docs(s, dir, "embeddings"), rounds = 3)
         .orderBy("d")
+    }),
+
+    "text_dates" -> ((s, dir) => {
+      // freshness/provenance mining: three date families (ISO, long-form,
+      // US slash) counted per doc with a normalized ISO date_norm key;
+      // three deterministic planted strata exercise each family and the
+      // normalization precedence — regexes replay exactly in DuckDB
+      val d = col("doc_id")
+      val planted = docs(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("text",
+          when(d % 11 === 1, concat(col("text"), lit(" Published 2021-03-15 by the desk.")))
+            .when(d % 11 === 4, concat(col("text"), lit(" Updated: March 7, 2019 edition.")))
+            .when(d % 11 === 7, concat(col("text"), lit(" Release notes 12/25/2020 follow.")))
+            .otherwise(col("text")))
+      TextStats.textDates(planted).orderBy("doc_id")
+    }),
+
+    "text_entropy" -> ((s, dir) => {
+      // gibberish/repetition gate: letter-frequency Shannon entropy in
+      // milli-bits, engine-exact via per-term floor quantization (cf.
+      // text_kn_score); two planted low-entropy strata (two-letter chant,
+      // single-letter flood) must flag, natural prose must not
+      val d = col("doc_id")
+      val planted = docs(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("text",
+          when(d % 13 === 2, lit("ha ha ha ha ha ha ha ha ha ha ha ha"))
+            .when(d % 13 === 6, lit("zzzzzzzz zzzzzzzz zzzzzzzz"))
+            .otherwise(col("text")))
+      TextStats.charEntropy(planted).orderBy("doc_id")
+    }),
+
+    "html_forms_audit" -> ((s, _) => {
+      import s.implicits._
+      // form-taxonomy audit: login walls (password input), upload portals,
+      // search/newsletter boilerplate — classified per <form> with
+      // first-match precedence (password beats email, so a login form
+      // asking for an email stays login); hidden/submit inputs are
+      // excluded from n_inputs
+      val pages = Seq(
+        ("f://login",
+          """<html><body><form action="/login" method="post">
+            |<input type="email" name="u"><input type="password" name="p">
+            |<input type="hidden" name="csrf" value="x">
+            |<input type="submit" value="go"></form></body></html>""".stripMargin),
+        ("f://search",
+          """<html><body><form action="/find">
+            |<input type="search" name="term"></form></body></html>""".stripMargin),
+        ("f://newsletter",
+          """<html><body><form action="/sub" method="POST">
+            |<input type="email" name="em"></form></body></html>""".stripMargin),
+        ("f://multi",
+          """<html><body><form action="/q"><input type="text" name="q"></form>
+            |<form action="/contact" method="post">
+            |<input type="text" name="name"><input type="text" name="msg">
+            |</form></body></html>""".stripMargin),
+        ("f://upload",
+          """<html><body><form action="/up" method="post" enctype="multipart/form-data">
+            |<input type="text" name="title"><input type="file" name="doc">
+            |</form></body></html>""".stripMargin),
+        ("f://none", "<html><body><p>No forms on this page at all.</p></body></html>"))
+      s.createDataset(pages).flatMap { case (u, h) =>
+        graft.core.html.Forms.scan(h)
+          .map(f => (u, f.idx.toLong, f.action, f.method, f.nInputs.toLong, f.kind))
+      }.toDF("url", "form_idx", "action", "method", "n_inputs", "kind")
+        .orderBy("url", "form_idx")
     })
   )
 

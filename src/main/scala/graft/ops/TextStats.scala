@@ -1034,4 +1034,90 @@ object TextStats {
         col("n_wiki") + col("n_bbcode"))
       .withColumn("leak", col("n_total") >= 3)
   }
+
+  private val isoPat =
+    "(19|20)[0-9]{2}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])"
+  private val monthNames = Seq("January", "February", "March", "April",
+    "May", "June", "July", "August", "September", "October", "November",
+    "December")
+  private val mnPat =
+    s"(${monthNames.mkString("|")}) ([1-9]|[12][0-9]|3[01]), ((?:19|20)[0-9]{2})"
+  private val slashPat =
+    "(0?[1-9]|1[0-2])/(0?[1-9]|[12][0-9]|3[01])/((?:19|20)[0-9]{2})"
+
+  /** Date-mention extraction: corpus freshness/provenance scoring wants the
+    * publication date buried in body text, and dedup of re-syndicated
+    * articles wants a normalized date key. Three families — ISO
+    * `YYYY-MM-DD`, long-form `Month D, YYYY`, US `M/D/YYYY` — are counted,
+    * and the FIRST match (ISO wins, then long-form, then slash) normalizes
+    * to an ISO `date_norm` string. Patterns stay in the regex subset Java
+    * and RE2 evaluate identically (no lookaround, no backrefs), so the
+    * whole projection replays in DuckDB. Codegen'd built-ins, zero
+    * shuffle. */
+  def textDates(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val mnMonth = regexp_extract(t, mnPat, 1)
+    val mnIso = concat(regexp_extract(t, mnPat, 3), lit("-"),
+      monthNames.zipWithIndex.foldLeft(lit("00")) { case (acc, (m, i)) =>
+        when(mnMonth === m, lit(f"${i + 1}%02d")).otherwise(acc)
+      }, lit("-"), lpad(regexp_extract(t, mnPat, 2), 2, "0"))
+    val slIso = concat(regexp_extract(t, slashPat, 3), lit("-"),
+      lpad(regexp_extract(t, slashPat, 1), 2, "0"), lit("-"),
+      lpad(regexp_extract(t, slashPat, 2), 2, "0"))
+    val iso = regexp_extract(t, isoPat, 0)
+    val nIso = regexp_count(t, lit(isoPat)).cast("long")
+    val nMn = regexp_count(t, lit(mnPat)).cast("long")
+    val nSl = regexp_count(t, lit(slashPat)).cast("long")
+    docs.select(col("doc_id"),
+      nIso.as("n_iso"), nMn.as("n_monthname"), nSl.as("n_slash"),
+      when(iso =!= "", iso)
+        .when(mnMonth =!= "", mnIso)
+        .when(regexp_extract(t, slashPat, 3) =!= "", slIso)
+        .otherwise(lit("")).as("date_norm"),
+      (nIso + nMn + nSl > 0).as("has_date"))
+  }
+
+  /** Character-entropy gate: keyboard-mash spam, repeated-phrase SEO
+    * filler, and single-token floods all collapse letter-frequency entropy
+    * well below prose (~4.1 bits for English). Counted over ASCII letters
+    * of the lowercased text in ONE pass per row (typed map, zero shuffle,
+    * 26-long state). Shannon entropy is made engine-exact by the repo's
+    * ln-quantization discipline (cf. knScore): each per-letter term floors
+    * to milli-nats FIRST (`floor(c·ln c·1000)` — integers from there on),
+    * so the sum is order-independent and DuckDB replays `ent_milli`
+    * bit-for-bit; the final milli-bit value divides integers by the ln 2
+    * literal both engines parse identically. `low_entropy` flags docs with
+    * ≥ 20 letters under 3.0 bits. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val lower = text.toLowerCase(java.util.Locale.ROOT)
+        val counts = new Array[Long](26)
+        var i = 0
+        while (i < lower.length) {
+          val c = lower.charAt(i)
+          if (c >= 'a' && c <= 'z') counts(c - 'a') += 1
+          i += 1
+        }
+        var n = 0L; var nd = 0L; var s = 0L
+        var j = 0
+        while (j < 26) {
+          val k = counts(j)
+          if (k > 0) {
+            n += k; nd += 1
+            s += math.floor(k.toDouble * math.log(k.toDouble) * 1000.0).toLong
+          }
+          j += 1
+        }
+        val entMilli =
+          if (n > 0) {
+            val nlnn = math.floor(n.toDouble * math.log(n.toDouble) * 1000.0).toLong
+            math.floor((nlnn - s).toDouble / n.toDouble / 0.6931471805599453).toLong
+          } else 0L
+        (id, n, nd, s, entMilli, n >= 20 && entMilli < 3000)
+      }
+      .toDF("doc_id", "n_letters", "n_distinct", "sum_clnc", "ent_milli",
+        "low_entropy")
+  }
 }

@@ -173,6 +173,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("events_holt", maxExchange = 3)
   }
 
+  test("waves 76-79: narrow text gates stay at the display sort; route/param/bloom rollups bounded") {
+    for (q <- Seq("text_markup_leak", "text_dates", "text_entropy"))
+      assertShape(q, maxExchange = 1)
+    assertShape("url_route_templates", maxExchange = 3)
+    assertShape("url_param_infer", maxExchange = 4)
+    assertShape("sketch_bloom", maxExchange = 4)
+  }
+
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
     val pages = PagesTable.synthesize(spark, 16, 4)
     // default path: payload parsed where produced, zero Exchange
