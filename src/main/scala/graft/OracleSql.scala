@@ -5070,6 +5070,64 @@ object OracleSql {
         |  ('f://search',     CAST(0 AS BIGINT), '/find',    'GET',  CAST(1 AS BIGINT), 'search'),
         |  ('f://upload',     CAST(0 AS BIGINT), '/up',      'POST', CAST(2 AS BIGINT), 'upload'))
         |AS t(url, form_idx, action, method, n_inputs, kind)
-        |ORDER BY url, form_idx""".stripMargin
+        |ORDER BY url, form_idx""".stripMargin,
+
+    // html_hidden_text: literal goldens — hidden_chars hand-derivable from
+    // the fixture HTML (stuffing block = 107 collapsed chars; "menu" = 4;
+    // opacity:0 block = 56; visible teaser/footer text makes the totals)
+    "html_hidden_text" ->
+      """SELECT * FROM (VALUES
+        |  ('h://aria',      CAST(1 AS BIGINT), CAST(107 AS BIGINT), CAST(125 AS BIGINT), CAST(856 AS BIGINT), true),
+        |  ('h://clean',     CAST(0 AS BIGINT), CAST(0 AS BIGINT),   CAST(55 AS BIGINT),  CAST(0 AS BIGINT),   false),
+        |  ('h://offscreen', CAST(1 AS BIGINT), CAST(107 AS BIGINT), CAST(127 AS BIGINT), CAST(842 AS BIGINT), true),
+        |  ('h://opacity',   CAST(1 AS BIGINT), CAST(56 AS BIGINT),  CAST(91 AS BIGINT),  CAST(615 AS BIGINT), true),
+        |  ('h://stuffed',   CAST(1 AS BIGINT), CAST(107 AS BIGINT), CAST(133 AS BIGINT), CAST(804 AS BIGINT), true),
+        |  ('h://template',  CAST(1 AS BIGINT), CAST(4 AS BIGINT),   CAST(72 AS BIGINT),  CAST(55 AS BIGINT),  false))
+        |AS t(url, n_hidden_blocks, hidden_chars, total_chars, ratio_x1000, suspicious)
+        |ORDER BY url""".stripMargin,
+
+    // html_soft404: literal goldens — error title + thin body gates; the
+    // long article MENTIONING "page not found" survives by design
+    "html_soft404" ->
+      """SELECT * FROM (VALUES
+        |  ('s://article',  false, true,  CAST(707 AS BIGINT), false, false),
+        |  ('s://errtitle', true,  false, CAST(653 AS BIGINT), false, false),
+        |  ('s://ok',       false, false, CAST(653 AS BIGINT), false, false),
+        |  ('s://real404',  true,  true,  CAST(57 AS BIGINT),  true,  true),
+        |  ('s://thinbody', false, true,  CAST(55 AS BIGINT),  true,  true))
+        |AS t(url, title_marker, body_marker, main_chars, short_main, soft404)
+        |ORDER BY url""".stripMargin,
+
+    // mirrors TextStats.boilerplatePhrases + the planted chrome strata:
+    // identical phrase lists, identical length/replace occurrence
+    // arithmetic (the diff is an exact multiple of the phrase length, so
+    // the integer division is exact)
+    "text_boilerplate" -> {
+      def cnt(p: String) =
+        s"(length(t) - length(replace(t, '$p', ''))) // ${p.length}"
+      def fam(ps: Seq[String]) = ps.map(cnt).mkString(" + ")
+      val cookie = fam(Seq("we use cookies", "accept all cookies", "cookie policy"))
+      val sub = fam(Seq("subscribe to our newsletter", "sign up for our newsletter", "enter your email"))
+      val social = fam(Seq("share on facebook", "follow us on twitter", "share this article"))
+      val nav = fam(Seq("skip to content", "back to top"))
+      val legal = fam(Seq("all rights reserved", "privacy policy", "terms of service"))
+      s"""WITH p AS (SELECT doc_id,
+         |    lower(CASE WHEN doc_id % 17 = 1 THEN text || ' We use cookies to improve this site. Accept all cookies or read our cookie policy.'
+         |               WHEN doc_id % 17 = 5 THEN text || ' Share on Facebook or follow us on Twitter. Back to top.'
+         |               WHEN doc_id % 17 = 9 THEN text || ' Subscribe to our newsletter and enter your email. All rights reserved.'
+         |               ELSE text END) AS t
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST($cookie AS BIGINT) AS n_cookie,
+         |    CAST($sub AS BIGINT) AS n_subscribe,
+         |    CAST($social AS BIGINT) AS n_social,
+         |    CAST($nav AS BIGINT) AS n_nav,
+         |    CAST($legal AS BIGINT) AS n_legal
+         |  FROM p)
+         |SELECT doc_id, n_cookie, n_subscribe, n_social, n_nav, n_legal,
+         |  n_cookie + n_subscribe + n_social + n_nav + n_legal AS n_total,
+         |  (n_cookie + n_subscribe + n_social + n_nav + n_legal >= 2) AS boiler
+         |FROM c ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -3963,6 +3963,92 @@ object SparkEntry {
           .map(f => (u, f.idx.toLong, f.action, f.method, f.nInputs.toLong, f.kind))
       }.toDF("url", "form_idx", "action", "method", "n_inputs", "kind")
         .orderBy("url", "form_idx")
+    }),
+
+    "html_hidden_text" -> ((s, _) => {
+      import s.implicits._
+      // SEO hidden-text gate: display:none / visibility:hidden /
+      // opacity:0 / zero font / off-screen indent / aria-hidden content a
+      // CSS-blind stripper would leak into the corpus; suspicious at ≥ 50
+      // hidden chars AND ≥ 10% of body text (a lone hidden template div
+      // is normal, wholesale hidden paragraphs are not)
+      val stuffing = "cheap widgets best widgets buy widgets discount " +
+        "widgets widget sale widget deals widget prices widget store"
+      val pages = Seq(
+        ("h://clean",
+          "<html><body><p>A perfectly ordinary paragraph of visible text content.</p></body></html>"),
+        ("h://stuffed",
+          s"""<html><body><p>Short visible teaser text.</p>
+             |<div style="display:none">$stuffing</div></body></html>""".stripMargin),
+        ("h://template",
+          """<html><body><p>Normal article text that is long enough to dominate the page easily.</p>
+            |<span style="display: none">menu</span></body></html>""".stripMargin),
+        ("h://offscreen",
+          s"""<html><body><p style="text-indent: -9999px">$stuffing</p>
+             |<p>Tiny visible footer.</p></body></html>""".stripMargin),
+        ("h://aria",
+          s"""<html><body><div aria-hidden="true"><p>$stuffing</p></div>
+             |<p>Visible body here.</p></body></html>""".stripMargin),
+        ("h://opacity",
+          """<html><body><p style="opacity: 0.8">Dimmed but visible paragraph stays.</p>
+            |<p style="opacity: 0">fully transparent keyword block hidden from every reader</p>
+            |</body></html>""".stripMargin))
+      s.createDataset(pages).map { case (u, h) =>
+        val sig = graft.core.html.HiddenText.scan(h)
+        (u, sig.nHiddenBlocks.toLong, sig.hiddenChars.toLong,
+          sig.totalChars.toLong, sig.ratioX1000, sig.suspicious)
+      }.toDF("url", "n_hidden_blocks", "hidden_chars", "total_chars",
+        "ratio_x1000", "suspicious").orderBy("url")
+    }),
+
+    "html_soft404" -> ((s, _) => {
+      import s.implicits._
+      // soft-404 gate: HTTP-200 error pages detected by content — error
+      // title AND (error phrase OR thin main text), or error phrase on a
+      // thin page; a long article MENTIONING "page not found" survives
+      val longBody = ("The council approved the new bicycle lane network " +
+        "after a lengthy public comment session on Tuesday evening. ") * 6
+      val pages = Seq(
+        ("s://real404",
+          """<html><head><title>404 Not Found</title></head><body>
+            |<p>The page you requested could not be found on this server.</p>
+            |</body></html>""".stripMargin),
+        ("s://article",
+          s"""<html><head><title>When missing pages hurt readers</title></head>
+             |<body><p>$longBody A classic page not found response frustrates readers.</p>
+             |</body></html>""".stripMargin),
+        ("s://ok",
+          s"<html><head><title>Bike lanes approved</title></head><body><p>$longBody</p></body></html>"),
+        ("s://errtitle",
+          s"""<html><head><title>Error log retrospective</title></head>
+             |<body><p>$longBody</p></body></html>""".stripMargin),
+        ("s://thinbody",
+          """<html><body><p>Sorry, we couldn't find that page. Try searching below.</p>
+            |</body></html>""".stripMargin))
+      s.createDataset(pages).map { case (u, h) =>
+        val sig = graft.core.html.Soft404.scan(h)
+        (u, sig.titleMarker, sig.bodyMarker, sig.mainChars.toLong,
+          sig.shortMain, sig.soft404)
+      }.toDF("url", "title_marker", "body_marker", "main_chars",
+        "short_main", "soft404").orderBy("url")
+    }),
+
+    "text_boilerplate" -> ((s, dir) => {
+      // chrome-phrase residue gate: cookie/subscribe/social/nav/legal
+      // phrase families counted with integer length/replace arithmetic;
+      // three planted residue strata exercise each family — replayed
+      // bit-for-bit in DuckDB
+      val d = col("doc_id")
+      val planted = docs(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("text",
+          when(d % 17 === 1, concat(col("text"),
+            lit(" We use cookies to improve this site. Accept all cookies or read our cookie policy.")))
+            .when(d % 17 === 5, concat(col("text"),
+              lit(" Share on Facebook or follow us on Twitter. Back to top.")))
+            .when(d % 17 === 9, concat(col("text"),
+              lit(" Subscribe to our newsletter and enter your email. All rights reserved.")))
+            .otherwise(col("text")))
+      TextStats.boilerplatePhrases(planted).orderBy("doc_id")
     })
   )
 

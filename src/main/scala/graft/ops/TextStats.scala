@@ -1077,6 +1077,39 @@ object TextStats {
       (nIso + nMn + nSl > 0).as("has_date"))
   }
 
+  private val boilerFamilies: Seq[(String, Seq[String])] = Seq(
+    "n_cookie" -> Seq("we use cookies", "accept all cookies", "cookie policy"),
+    "n_subscribe" -> Seq("subscribe to our newsletter",
+      "sign up for our newsletter", "enter your email"),
+    "n_social" -> Seq("share on facebook", "follow us on twitter",
+      "share this article"),
+    "n_nav" -> Seq("skip to content", "back to top"),
+    "n_legal" -> Seq("all rights reserved", "privacy policy",
+      "terms of service"))
+
+  /** Chrome-phrase residue gate: cookie banners, newsletter prompts,
+    * share buttons, footer legalese that a boilerplate stripper missed.
+    * Unlike [[markupLeak]] (markup residue) this catches PHRASE residue —
+    * the page chrome that reads as fluent English and so survives
+    * perplexity filters, yet repeats millions of times across a crawl.
+    * Occurrence counts are pure length/replace arithmetic over the
+    * lowercased text (the diff is an exact multiple of the phrase length,
+    * so the division is integer-exact and replays in DuckDB bit-for-bit).
+    * Codegen'd built-ins, zero shuffle. `boiler` at total ≥ 2: one footer
+    * phrase is normal, clusters are chrome. */
+  def boilerplatePhrases(docs: DataFrame): DataFrame = {
+    val lt = lower(col("text"))
+    def cnt(p: String): Column =
+      ((length(lt) - length(replace(lt, lit(p), lit("")))) / p.length)
+        .cast("long")
+    val fams = boilerFamilies.map { case (name, ps) =>
+      ps.map(cnt).reduce(_ + _).as(name)
+    }
+    docs.select(col("doc_id") +: fams: _*)
+      .withColumn("n_total", boilerFamilies.map(f => col(f._1)).reduce(_ + _))
+      .withColumn("boiler", col("n_total") >= 2)
+  }
+
   /** Character-entropy gate: keyboard-mash spam, repeated-phrase SEO
     * filler, and single-token floods all collapse letter-frequency entropy
     * well below prose (~4.1 bits for English). Counted over ASCII letters

@@ -174,7 +174,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("waves 76-79: narrow text gates stay at the display sort; route/param/bloom rollups bounded") {
-    for (q <- Seq("text_markup_leak", "text_dates", "text_entropy"))
+    for (q <- Seq("text_markup_leak", "text_dates", "text_entropy", "text_boilerplate"))
       assertShape(q, maxExchange = 1)
     assertShape("url_route_templates", maxExchange = 3)
     assertShape("url_param_infer", maxExchange = 4)
