@@ -18,6 +18,26 @@ package graft
   */
 object OracleSql {
 
+  /** Shared CTE body replaying Similarity.topDirectionPower's 3 unrolled
+    * integer power-iteration rounds (quantize → matvec → renormalize by
+    * max-abs with `//`); v3 is the final direction. Used by
+    * emb_top_direction and emb_abtt. */
+  private val topDirCte =
+    """q AS (
+      |  SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+      |    unnest(list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS qv
+      |  FROM embeddings),
+      |p1 AS (SELECT vec_id, sum(qv) * 1000 AS p FROM q GROUP BY 1),
+      |u1 AS (SELECT d, sum(qv * p) AS u FROM q JOIN p1 USING (vec_id) GROUP BY d),
+      |v1 AS (SELECT d, coalesce(u * 1000 // nullif((SELECT max(abs(u)) FROM u1), 0), 0) AS v FROM u1),
+      |p2 AS (SELECT vec_id, sum(qv * v) AS p FROM q JOIN v1 USING (d) GROUP BY 1),
+      |u2 AS (SELECT d, sum(qv * p) AS u FROM q JOIN p2 USING (vec_id) GROUP BY d),
+      |v2 AS (SELECT d, coalesce(u * 1000 // nullif((SELECT max(abs(u)) FROM u2), 0), 0) AS v FROM u2),
+      |p3 AS (SELECT vec_id, sum(qv * v) AS p FROM q JOIN v2 USING (d) GROUP BY 1),
+      |u3 AS (SELECT d, sum(qv * p) AS u FROM q JOIN p3 USING (vec_id) GROUP BY d),
+      |v3 AS (SELECT d, coalesce(u * 1000 // nullif((SELECT max(abs(u)) FROM u3), 0), 0) AS v FROM u3)""".stripMargin
+
   /** Shared corpus CTE for dedup oracles — must mirror
     * graft.ops.Dedup.corpusWithReplicas exactly. */
   private val corpusCte =
@@ -4578,20 +4598,7 @@ object OracleSql {
     // renormalize u*1000//max|u| (DuckDB `//` truncates toward zero like
     // JVM long division — verified -7//2 = -3)
     "emb_top_direction" ->
-      """WITH q AS (
-        |  SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-        |    unnest(list_transform(embedding,
-        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS qv
-        |  FROM embeddings),
-        |p1 AS (SELECT vec_id, sum(qv) * 1000 AS p FROM q GROUP BY 1),
-        |u1 AS (SELECT d, sum(qv * p) AS u FROM q JOIN p1 USING (vec_id) GROUP BY d),
-        |v1 AS (SELECT d, coalesce(u * 1000 // nullif((SELECT max(abs(u)) FROM u1), 0), 0) AS v FROM u1),
-        |p2 AS (SELECT vec_id, sum(qv * v) AS p FROM q JOIN v1 USING (d) GROUP BY 1),
-        |u2 AS (SELECT d, sum(qv * p) AS u FROM q JOIN p2 USING (vec_id) GROUP BY d),
-        |v2 AS (SELECT d, coalesce(u * 1000 // nullif((SELECT max(abs(u)) FROM u2), 0), 0) AS v FROM u2),
-        |p3 AS (SELECT vec_id, sum(qv * v) AS p FROM q JOIN v2 USING (d) GROUP BY 1),
-        |u3 AS (SELECT d, sum(qv * p) AS u FROM q JOIN p3 USING (vec_id) GROUP BY d),
-        |v3 AS (SELECT d, coalesce(u * 1000 // nullif((SELECT max(abs(u)) FROM u3), 0), 0) AS v FROM u3)
+      s"""WITH $topDirCte
         |SELECT CAST(d AS BIGINT) AS d, CAST(v AS BIGINT) AS v_x1000
         |FROM v3 ORDER BY d""".stripMargin,
 
@@ -5128,6 +5135,68 @@ object OracleSql {
          |  n_cookie + n_subscribe + n_social + n_nav + n_legal AS n_total,
          |  (n_cookie + n_subscribe + n_social + n_nav + n_legal >= 2) AS boiler
          |FROM c ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // mirrors Graph.bowtie over Graph.bowtieEdges: identical arithmetic
+    // edge rules, SCCs from recursive-CTE transitive closure (scc_id(x) =
+    // min{y : x↔y}), largest SCC = core (tie → min id), reachability sets
+    // from the closure, same classification precedence
+    "graph_bowtie" ->
+      """WITH RECURSIVE n AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100),
+        |e AS (
+        |  SELECT id AS src, (id + 1) % 30 AS dst FROM n WHERE id < 30
+        |  UNION ALL SELECT id, (id * 7) % 30 FROM n WHERE id < 30 AND (id * 7) % 30 <> id
+        |  UNION ALL SELECT id, id + 1 FROM n WHERE id BETWEEN 30 AND 43
+        |  UNION ALL SELECT id, 0 FROM n WHERE id = 44
+        |  UNION ALL SELECT id, 50 FROM n WHERE id = 29
+        |  UNION ALL SELECT id, id + 1 FROM n WHERE id BETWEEN 50 AND 68
+        |  UNION ALL SELECT id, 70 FROM n WHERE id = 35
+        |  UNION ALL SELECT id, id + 1 FROM n WHERE id BETWEEN 70 AND 73
+        |  UNION ALL SELECT id, id + 1 FROM n WHERE id BETWEEN 75 AND 78
+        |  UNION ALL SELECT id, 55 FROM n WHERE id = 79
+        |  UNION ALL SELECT id, 80 FROM n WHERE id = 40
+        |  UNION ALL SELECT id, id + 1 FROM n WHERE id BETWEEN 80 AND 83
+        |  UNION ALL SELECT id, 60 FROM n WHERE id = 84
+        |  UNION ALL SELECT id, 85 + ((id - 85 + 1) % 15) FROM n WHERE id BETWEEN 85 AND 99),
+        |tc AS (SELECT src, dst FROM e
+        |       UNION SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src),
+        |r AS (SELECT src, dst FROM tc UNION SELECT id, id FROM n),
+        |sccm AS (SELECT x.src AS id, min(x.dst) AS scc_id
+        |         FROM r x JOIN r y ON y.src = x.dst AND y.dst = x.src
+        |         GROUP BY x.src),
+        |core AS (SELECT id FROM sccm WHERE scc_id =
+        |  (SELECT scc_id FROM (SELECT scc_id, count(*) AS c FROM sccm GROUP BY 1)
+        |   ORDER BY c DESC, scc_id LIMIT 1)),
+        |ins AS (SELECT DISTINCT r.src AS id FROM r JOIN core ON r.dst = core.id
+        |        WHERE r.src NOT IN (SELECT id FROM core)),
+        |outs AS (SELECT DISTINCT r.dst AS id FROM r JOIN core ON r.src = core.id
+        |         WHERE r.dst NOT IN (SELECT id FROM core)),
+        |f2 AS (SELECT DISTINCT r.dst AS id FROM r JOIN ins ON r.src = ins.id),
+        |b2 AS (SELECT DISTINCT r.src AS id FROM r JOIN outs ON r.dst = outs.id)
+        |SELECT CAST(n.id AS BIGINT) AS id,
+        |  CASE WHEN n.id IN (SELECT id FROM core) THEN 'core'
+        |       WHEN n.id IN (SELECT id FROM ins) THEN 'in'
+        |       WHEN n.id IN (SELECT id FROM outs) THEN 'out'
+        |       WHEN n.id IN (SELECT id FROM f2) AND n.id IN (SELECT id FROM b2) THEN 'tube'
+        |       WHEN n.id IN (SELECT id FROM f2) THEN 'tendril_in'
+        |       WHEN n.id IN (SELECT id FROM b2) THEN 'tendril_out'
+        |       ELSE 'disc' END AS cls
+        |FROM n ORDER BY n.id""".stripMargin,
+
+    // mirrors Similarity.topDirectionComponent: the shared power-iteration
+    // CTE's v3 direction, then per-vector integer dot/norm and the exact
+    // p²·1000 // (‖q‖²‖v‖²) energy-share division
+    "emb_abtt" ->
+      s"""WITH $topDirCte,
+        |vn AS (SELECT sum(v * v) AS vn2 FROM v3),
+        |s AS (SELECT vec_id, sum(qv * v) AS p, sum(qv * qv) AS n2
+        |      FROM q JOIN v3 USING (d) GROUP BY 1),
+        |fin AS (SELECT vec_id, p, n2,
+        |    CASE WHEN n2 = 0 OR vn2 = 0 THEN 0
+        |         ELSE p * p * 1000 // (n2 * vn2) END AS ratio
+        |  FROM s, vn)
+        |SELECT vec_id, CAST(p AS BIGINT) AS dot_top, CAST(n2 AS BIGINT) AS norm2_q,
+        |  CAST(ratio AS BIGINT) AS ratio_x1000, (ratio >= 500) AS top_heavy
+        |FROM fin ORDER BY vec_id""".stripMargin
   )
 }

@@ -4049,6 +4049,26 @@ object SparkEntry {
               lit(" Subscribe to our newsletter and enter your email. All rights reserved.")))
             .otherwise(col("text")))
       TextStats.boilerplatePhrases(planted).orderBy("doc_id")
+    }),
+
+    "graph_bowtie" -> ((s, dir) => {
+      // Broder bow-tie decomposition of the crawl graph: largest SCC =
+      // CORE, IN/OUT by core reachability, TUBE/TENDRIL/DISC among the
+      // rest — one SCC run + four single-long-frontier BFS passes over a
+      // deterministic 100-node fixture graph the oracle rebuilds via
+      // recursive-CTE transitive closure
+      val nodes = docs(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id").as("id"))
+      Graph.bowtie(nodes, Graph.bowtieEdges(nodes)).orderBy("id")
+    }),
+
+    "emb_abtt" -> ((s, dir) => {
+      // all-but-the-top anisotropy audit: per-vector energy share along
+      // the corpus top direction (integer power iteration reused from
+      // emb_top_direction), cos²×1000 as exact integer division — the
+      // decision input for the standard embedding debias
+      Similarity.topDirectionComponent(docs(s, dir, "embeddings"), rounds = 3)
+        .orderBy("vec_id")
     })
   )
 

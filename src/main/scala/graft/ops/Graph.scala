@@ -624,4 +624,107 @@ object Graph {
     require(remN == 0, s"Graph.scc: $remN nodes unassigned after $maxRounds rounds")
     out.select(col("id"), col("root").as("scc_id"))
   }
+
+  /** Forward BFS to fixpoint: all nodes reachable from `seed` (inclusive).
+    * Frontier rows are single longs; O(diameter) rounds, each one keyed
+    * join + distinct + anti-join — the same bounded-lineage discipline as
+    * [[scc]] (localCheckpoint per round). */
+  private def reachFrom(seed: DataFrame, edges: DataFrame,
+                        maxProp: Int = 96): DataFrame = {
+    var reached = seed.select(col("id")).distinct().localCheckpoint(true)
+    var frontier = reached
+    var fN = frontier.count()
+    var b = 0
+    while (fN > 0 && b < maxProp) {
+      val step = edges.join(frontier.select(col("id").as("src")), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(reached, Seq("id"), "left_anti").localCheckpoint(true)
+      fN = step.count()
+      if (fN > 0) reached = reached.unionByName(step).localCheckpoint(true)
+      frontier = step
+      b += 1
+    }
+    require(fN == 0, s"Graph.reachFrom: BFS hit maxProp=$maxProp")
+    reached
+  }
+
+  /** Web bow-tie decomposition (Broder et al., "Graph structure in the
+    * web", WWW 2000): the canonical macro-map of a crawl graph. The
+    * largest SCC is the CORE; IN reaches it, OUT is reached from it;
+    * among the rest, TUBEs run IN→OUT avoiding the core, TENDRIL_IN hangs
+    * forward off IN, TENDRIL_OUT feeds backward into OUT, and DISC is
+    * disconnected from all of it. Crawl planners read the map directly:
+    * seeds in IN are cheap reach, OUT-heavy graphs signal link farms.
+    *
+    * Shape: one [[scc]] run, then four BFS passes ([[reachFrom]] over the
+    * forward and reversed edge tables) whose frontiers are single longs;
+    * the only driver-side state is the core SCC id (one row). The final
+    * classification is five id-keyed left joins of node-sized boolean
+    * tables — no payloads, no cartesian products, O(diameter) rounds. */
+  def bowtie(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // materialize the edge table ONCE: every BFS round joins it, and an
+    // unmaterialized wide plan (e.g. a many-way union of synthesis rules)
+    // would re-plan + re-codegen per round — at any scale the edge list
+    // is the thing you checkpoint first
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val comp = scc(nodes, e).localCheckpoint(true)
+    val coreId = comp.groupBy(col("scc_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("scc_id").asc).limit(1)
+      .collect()(0).getLong(0)
+    val core = comp.where(col("scc_id") === coreId).select(col("id"))
+      .localCheckpoint(true)
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      .localCheckpoint(true)
+    val fwd = reachFrom(core, e)
+    val bwd = reachFrom(core, rev)
+    val inSet = bwd.join(core, Seq("id"), "left_anti").localCheckpoint(true)
+    val outSet = fwd.join(core, Seq("id"), "left_anti").localCheckpoint(true)
+    val f2 = reachFrom(inSet, e)
+    val b2 = reachFrom(outSet, rev)
+    def flag(df: DataFrame, name: String): DataFrame =
+      df.select(col("id"), lit(true).as(name))
+    nodes.select(col("id"))
+      .join(flag(core, "is_core"), Seq("id"), "left")
+      .join(flag(inSet, "is_in"), Seq("id"), "left")
+      .join(flag(outSet, "is_out"), Seq("id"), "left")
+      .join(flag(f2, "is_f2"), Seq("id"), "left")
+      .join(flag(b2, "is_b2"), Seq("id"), "left")
+      .select(col("id"),
+        when(coalesce(col("is_core"), lit(false)), "core")
+          .when(coalesce(col("is_in"), lit(false)), "in")
+          .when(coalesce(col("is_out"), lit(false)), "out")
+          .when(coalesce(col("is_f2"), lit(false)) &&
+            coalesce(col("is_b2"), lit(false)), "tube")
+          .when(coalesce(col("is_f2"), lit(false)), "tendril_in")
+          .when(coalesce(col("is_b2"), lit(false)), "tendril_out")
+          .otherwise("disc").as("cls"))
+  }
+
+  /** Deterministic 100-node bow-tie fixture graph over node ids 0..99:
+    * CORE = 0..29 (cycle + ×7 chords), IN = 30..44 (chain into the core),
+    * OUT = 50..69 (chain out of it), TENDRIL_IN = 70..74 (hangs off IN
+    * node 35), TENDRIL_OUT = 75..79 (feeds OUT node 55), TUBE = 80..84
+    * (IN node 40 → OUT node 60 avoiding the core), DISC = a separate
+    * 15-cycle 85..99 plus isolated 45..49. Every rule is arithmetic over
+    * the id, so the DuckDB oracle rebuilds the identical edge table. */
+  def bowtieEdges(nodes: DataFrame): DataFrame = {
+    val id = col("id")
+    def chain(lo: Long, hi: Long): DataFrame =
+      nodes.where(id.between(lo, hi)).select(id.as("src"), (id + 1L).as("dst"))
+    def one(from: Long, to: Long): DataFrame =
+      nodes.where(id === from).select(id.as("src"), lit(to).as("dst"))
+    val core = nodes.where(id < 30)
+    Seq(
+      core.select(id.as("src"), ((id + 1L) % 30L).as("dst")),
+      core.select(id.as("src"), ((id * 7L) % 30L).as("dst"))
+        .where(col("src") =!= col("dst")),
+      chain(30, 43), one(44, 0),                    // IN → core
+      one(29, 50), chain(50, 68),                   // core → OUT
+      one(35, 70), chain(70, 73),                   // tendril off IN
+      chain(75, 78), one(79, 55),                   // tendril into OUT
+      one(40, 80), chain(80, 83), one(84, 60),      // tube IN → OUT
+      nodes.where(id.between(85, 99))
+        .select(id.as("src"), (lit(85L) + ((id - 85L + 1L) % 15L)).as("dst")))
+      .reduce(_ unionByName _)
+  }
 }

@@ -294,6 +294,40 @@ object Similarity {
       .toDF("d", "v_x1000")
   }
 
+  /** All-but-the-top diagnostic (Mu & Viswanath, ICLR 2018): how much of
+    * each embedding's energy lies along the corpus top singular direction.
+    * Anisotropic encoders concentrate mass on one direction, which washes
+    * out cosine contrast; the standard fix removes that component. This
+    * reports the decision inputs per vector: `dot_top` (integer dot with
+    * the quantized power-iteration direction), `norm2_q`, and
+    * `ratio_x1000` = cos²(q, v)·1000 as EXACT integer division —
+    * p²·1000 // (‖q‖²‖v‖²) — so the result is bit-identical on any
+    * partitioning and replays in DuckDB. `top_heavy` flags vectors with
+    * ≥ half their energy on the top direction.
+    *
+    * Shape: [[topDirectionPower]]'s bounded driver vector (dim longs)
+    * broadcasts back over one narrow typed map — no shuffle beyond the
+    * power iteration's own per-round reduce. */
+  def topDirectionComponent(embeddings: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = topDirectionPower(embeddings, rounds).orderBy("d")
+      .collect().map(_.getLong(1))
+    val vn2 = v.map(x => x * x).sum
+    val bv = spark.sparkContext.broadcast(v)
+    embeddings.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .map { case (id, e) =>
+        var p = 0L; var n2 = 0L; var d = 0
+        while (d < e.length) {
+          val q = math.floor(e(d).toDouble * 1000).toLong
+          p += q * bv.value(d); n2 += q * q; d += 1
+        }
+        val ratio = if (n2 == 0L || vn2 == 0L) 0L
+          else p * p * 1000L / (n2 * vn2)
+        (id, p, n2, ratio, ratio >= 500L)
+      }.toDF("vec_id", "dot_top", "norm2_q", "ratio_x1000", "top_heavy")
+  }
+
   /** Random-hyperplane LSH signature (sign bits of h deterministic pseudo
     * projections). Buckets share sign prefixes; probing the query's bucket
     * (plus flips of low-margin bits) retrieves candidates. */

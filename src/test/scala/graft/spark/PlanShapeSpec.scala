@@ -179,6 +179,7 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("url_route_templates", maxExchange = 3)
     assertShape("url_param_infer", maxExchange = 4)
     assertShape("sketch_bloom", maxExchange = 4)
+    assertShape("emb_abtt", maxExchange = 1)
   }
 
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
