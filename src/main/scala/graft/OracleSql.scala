@@ -5197,6 +5197,78 @@ object OracleSql {
         |  FROM s, vn)
         |SELECT vec_id, CAST(p AS BIGINT) AS dot_top, CAST(n2 AS BIGINT) AS norm2_q,
         |  CAST(ratio AS BIGINT) AS ratio_x1000, (ratio >= 500) AS top_heavy
-        |FROM fin ORDER BY vec_id""".stripMargin
+        |FROM fin ORDER BY vec_id""".stripMargin,
+
+    // mirrors Storage.sortLayoutEval: same three layout keys (z-order via
+    // the identical 8-bit Morton interleave), same 50-row file packing by
+    // total-order row_number, same min/max manifest stats and measured
+    // point/range scan permilles in exact integer division
+    "layout_sort_eval" -> {
+      val z = (0 until 8).map { i =>
+        s"((domain_idx >> $i) & 1) * ${1L << (2 * i + 1)} + " +
+          s"((ts_bucket >> $i) & 1) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+      s"""WITH r AS (SELECT doc_id AS row_key, doc_id % 37 AS domain_idx,
+         |    (doc_id * 7) % 100 AS ts_bucket FROM documents),
+         |z AS (SELECT *, $z AS zv FROM r),
+         |lay AS (
+         |  SELECT 'insertion' AS layout, row_key AS k, domain_idx, ts_bucket FROM z
+         |  UNION ALL SELECT 'domain_major', domain_idx * 1000000 + row_key, domain_idx, ts_bucket FROM z
+         |  UNION ALL SELECT 'zorder', zv * 1000000 + row_key, domain_idx, ts_bucket FROM z),
+         |filed AS (SELECT layout, domain_idx, ts_bucket,
+         |    (row_number() OVER (PARTITION BY layout ORDER BY k, domain_idx, ts_bucket) - 1) // 50 AS file_id
+         |  FROM lay),
+         |stats AS (SELECT layout, file_id, min(domain_idx) AS dmin, max(domain_idx) AS dmax,
+         |    min(ts_bucket) AS tmin, max(ts_bucket) AS tmax
+         |  FROM filed GROUP BY 1, 2),
+         |nf AS (SELECT layout, count(*) AS n_files FROM stats GROUP BY 1),
+         |dq AS (SELECT DISTINCT domain_idx AS q FROM r),
+         |dgrid AS (SELECT layout, q FROM nf CROSS JOIN dq),
+         |dhit AS (SELECT layout, q, count(*) AS hit FROM dq
+         |         JOIN stats ON q BETWEEN dmin AND dmax GROUP BY 1, 2),
+         |dav AS (SELECT layout, sum(coalesce(hit, 0)) AS tot, count(*) AS nq
+         |        FROM dgrid LEFT JOIN dhit USING (layout, q) GROUP BY 1),
+         |tq AS (SELECT unnest(range(10)) * 10 AS lo, unnest(range(10)) * 10 + 9 AS hi),
+         |tgrid AS (SELECT layout, lo FROM nf CROSS JOIN tq),
+         |thit AS (SELECT layout, lo, count(*) AS hit FROM tq
+         |         JOIN stats ON hi >= tmin AND lo <= tmax GROUP BY 1, 2),
+         |tav AS (SELECT layout, sum(coalesce(hit, 0)) AS tot, count(*) AS nq
+         |        FROM tgrid LEFT JOIN thit USING (layout, lo) GROUP BY 1)
+         |SELECT nf.layout, CAST(n_files AS BIGINT) AS n_files,
+         |  CAST(dav.tot * 1000 // (dav.nq * n_files) AS BIGINT) AS domain_scan_pm,
+         |  CAST(tav.tot * 1000 // (tav.nq * n_files) AS BIGINT) AS ts_scan_pm
+         |FROM nf JOIN dav USING (layout) JOIN tav USING (layout)
+         |ORDER BY layout""".stripMargin
+    },
+
+    // mirrors Storage.partitionSkewPlan over the planted-hot-domain and
+    // uniform-shard candidates: same rollups, same integer skew/salt
+    // arithmetic, hot key tie-broken by (count, key) DESC
+    "layout_partition_skew" ->
+      """WITH r AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'hot.example'
+        |         ELSE 'd' || CAST(doc_id % 97 AS VARCHAR) END AS domain,
+        |    CAST(doc_id % 10 AS VARCHAR) AS shard
+        |  FROM documents),
+        |c1 AS (SELECT domain AS k, count(*) AS c FROM r GROUP BY 1),
+        |c2 AS (SELECT shard AS k, count(*) AS c FROM r GROUP BY 1),
+        |a AS (
+        |  SELECT 'domain' AS part_key, count(*) AS n_keys, sum(c) AS n_rows,
+        |    max(c) AS max_rows,
+        |    (SELECT k FROM c1 ORDER BY c DESC, k DESC LIMIT 1) AS hot_key
+        |  FROM c1
+        |  UNION ALL
+        |  SELECT 'shard', count(*), sum(c), max(c),
+        |    (SELECT k FROM c2 ORDER BY c DESC, k DESC LIMIT 1)
+        |  FROM c2)
+        |SELECT part_key, CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(n_rows AS BIGINT) AS n_rows, CAST(max_rows AS BIGINT) AS max_rows,
+        |  hot_key, CAST(n_rows // n_keys AS BIGINT) AS avg_rows,
+        |  CAST(max_rows * 1000 // (n_rows // n_keys) AS BIGINT) AS skew_x1000,
+        |  CAST(ceil(CAST(max_rows AS DOUBLE) /
+        |       CAST((n_rows // n_keys) * 2 AS DOUBLE)) AS BIGINT) AS salt_factor,
+        |  (CAST(ceil(CAST(max_rows AS DOUBLE) /
+        |       CAST((n_rows // n_keys) * 2 AS DOUBLE)) AS BIGINT) > 1) AS needs_salt
+        |FROM a ORDER BY part_key""".stripMargin
   )
 }

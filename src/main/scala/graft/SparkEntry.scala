@@ -4069,6 +4069,33 @@ object SparkEntry {
       // decision input for the standard embedding debias
       Similarity.topDirectionComponent(docs(s, dir, "embeddings"), rounds = 3)
         .orderBy("vec_id")
+    }),
+
+    "layout_sort_eval" -> ((s, dir) => {
+      // Iceberg write-layout choice, MEASURED: pack 50-row files in three
+      // candidate sort orders, collect per-file min/max (exactly the
+      // manifest stats), answer every domain point query and ts range
+      // query from stats alone — z-order serves both dimensions,
+      // insertion order prunes neither
+      val base = docs(s, dir, "documents").select(
+        col("doc_id").as("row_key"),
+        (col("doc_id") % 37).as("domain_idx"),
+        ((col("doc_id") * 7) % 100).as("ts_bucket"))
+      graft.ops.Storage.sortLayoutEval(base, fileRows = 50).orderBy("layout")
+    }),
+
+    "layout_partition_skew" -> ((s, dir) => {
+      // partition-key triage with a planted hot domain (1/3 of rows):
+      // per-key rollup → exact skew ratio + the salt factor that caps
+      // any task at 2× the mean — the number extractSizeRouted consumes
+      val d = col("doc_id")
+      val base = docs(s, dir, "documents").select(
+        when(d % 3 === 0, lit("hot.example"))
+          .otherwise(concat(lit("d"), (d % 97).cast("string"))).as("domain"),
+        (d % 10).cast("string").as("shard"))
+      graft.ops.Storage.partitionSkewPlan(base, Seq(
+        ("domain", col("domain")), ("shard", col("shard"))))
+        .orderBy("part_key")
     })
   )
 
