@@ -5269,6 +5269,62 @@ object OracleSql {
         |       CAST((n_rows // n_keys) * 2 AS DOUBLE)) AS BIGINT) AS salt_factor,
         |  (CAST(ceil(CAST(max_rows AS DOUBLE) /
         |       CAST((n_rows // n_keys) * 2 AS DOUBLE)) AS BIGINT) > 1) AS needs_salt
-        |FROM a ORDER BY part_key""".stripMargin
+        |FROM a ORDER BY part_key""".stripMargin,
+
+    // split_leakage: the dedup_minhash_lsh verified pair set (same corpus
+    // CTE, same exact-Jaccard ≥ 0.7 ground truth) joined to the naive and
+    // canonical md5 splits — md5_number_upper % 100 replays
+    // Sampling.md5Mod exactly (cf. split_holdout)
+    "split_leakage" ->
+      s"""WITH $corpusCte, $shinglesCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0
+         |    AND len(list_intersect(a.s, b.s)) >= len(list_distinct(list_concat(a.s, b.s))) * 0.7),
+         |sp AS (SELECT a, b, (a % 100000 = b % 100000) AS replica_pair,
+         |  CASE WHEN md5_number_upper('split:' || CAST(a AS VARCHAR)) % 100 < 90 THEN 'train' ELSE 'eval' END AS na,
+         |  CASE WHEN md5_number_upper('split:' || CAST(b AS VARCHAR)) % 100 < 90 THEN 'train' ELSE 'eval' END AS nb,
+         |  CASE WHEN md5_number_upper('split:' || CAST(a % 100000 AS VARCHAR)) % 100 < 90 THEN 'train' ELSE 'eval' END AS ca,
+         |  CASE WHEN md5_number_upper('split:' || CAST(b % 100000 AS VARCHAR)) % 100 < 90 THEN 'train' ELSE 'eval' END AS cb
+         |  FROM pairs)
+         |SELECT a, b, replica_pair, (na <> nb) AS naive_cross, (ca <> cb) AS canonical_cross
+         |FROM sp ORDER BY a, b""".stripMargin,
+
+    // pdf_extract_consistency: literal goldens — text.pdf page 0 carries
+    // the 438-char reference golden (tests/expectations/text_extract.txt);
+    // the page/objs char deltas are the assembler's generated line breaks
+    "pdf_extract_consistency" ->
+      """SELECT * FROM (VALUES
+        |  ('multipage.pdf', CAST(0 AS BIGINT), CAST(7 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT)),
+        |  ('multipage.pdf', CAST(1 AS BIGINT), CAST(7 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT)),
+        |  ('multipage.pdf', CAST(2 AS BIGINT), CAST(7 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT)),
+        |  ('render.pdf',    CAST(0 AS BIGINT), CAST(33 AS BIGINT), CAST(27 AS BIGINT), CAST(4 AS BIGINT)),
+        |  ('text.pdf',      CAST(0 AS BIGINT), CAST(438 AS BIGINT), CAST(423 AS BIGINT), CAST(13 AS BIGINT)),
+        |  ('text.pdf',      CAST(1 AS BIGINT), CAST(103 AS BIGINT), CAST(97 AS BIGINT), CAST(4 AS BIGINT)))
+        |AS t(fixture, page, n_chars_page, n_chars_objs, n_text_objs)
+        |ORDER BY fixture, page""".stripMargin,
+
+    // mirrors Similarity.sourceCentroidDrift: same ×1000 quantization,
+    // same floor-quantized per-dim means (floor on both engines handles
+    // negative sums identically), same integer squared-drift rollup
+    "emb_source_drift" ->
+      """WITH q AS (
+        |  SELECT vec_id % 4 AS source_idx, unnest(range(0, len(embedding))) AS d,
+        |    unnest(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS qv
+        |  FROM embeddings),
+        |bysrc AS (SELECT source_idx, d, sum(qv) AS s, count(*) AS n
+        |          FROM q GROUP BY 1, 2),
+        |gl AS (SELECT d, sum(qv) AS gs, count(*) AS gn FROM q GROUP BY 1),
+        |m AS (SELECT source_idx, n,
+        |    CAST(floor(s * 1000.0 / n) AS BIGINT) AS ms,
+        |    CAST(floor(gs * 1000.0 / gn) AS BIGINT) AS mg
+        |  FROM bysrc JOIN gl USING (d))
+        |SELECT CAST(source_idx AS BIGINT) AS source_idx,
+        |  CAST(max(n) AS BIGINT) AS n_vecs,
+        |  CAST(sum((ms - mg) * (ms - mg)) AS BIGINT) AS drift2,
+        |  CAST(max((ms - mg) * (ms - mg)) AS BIGINT) AS max_dim_diff2
+        |FROM m GROUP BY 1 ORDER BY source_idx""".stripMargin
   )
 }

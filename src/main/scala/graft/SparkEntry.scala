@@ -4096,6 +4096,58 @@ object SparkEntry {
       graft.ops.Storage.partitionSkewPlan(base, Seq(
         ("domain", col("domain")), ("shard", col("shard"))))
         .orderBy("part_key")
+    }),
+
+    "pdf_extract_consistency" -> ((s, _) => {
+      import s.implicits._
+      // extraction-QA invariant: per page, chars assembled by the text
+      // page vs chars carried by the raw show-text objects — the pinned
+      // delta is exactly the assembler's behavior (generated line breaks,
+      // invisible-rect skips); drift in EITHER path breaks the pin
+      ExtractPipeline.mapDocs(PagesTable.ofFixtures(s,
+          Seq("text.pdf", "multipage.pdf", "render.pdf"))) { (url, d) =>
+        val name = url.stripPrefix("fixture://")
+        (0 until d.pageCount).iterator.map { p =>
+          val tp = d.page(p).textPage
+          val objs = d.page(p).objects(filter = Set("text"))
+          (name, p.toLong, tp.countChars.toLong,
+            objs.map(_.text.length.toLong).sum, objs.length.toLong)
+        }
+      }.toDF("fixture", "page", "n_chars_page", "n_chars_objs", "n_text_objs")
+        .orderBy("fixture", "page")
+    }),
+
+    "split_leakage" -> ((s, dir) => {
+      // eval-contamination audit: verified near-dup pairs joined to TWO
+      // split rules. Naive per-doc-id hashing strands replica pairs
+      // across train/eval; the canonical-id rule (doc_id % 100000, the
+      // replica inverse) provably keeps every replica_pair on one side —
+      // but NATURAL near-dups still cross it, which is exactly the case
+      // for split_holdout's domain-keyed rule. Same md5 split hash.
+      val corpus = Dedup.corpusWithReplicas(
+        docs(s, dir, "documents").select(col("doc_id"), col("text")))
+      val pairs = Dedup.minhashLsh(corpus).select(col("a"), col("b"))
+      def naive(c: Column): Column =
+        when(graft.ops.Sampling.md5Mod(
+          concat(lit("split:"), c.cast("string")), 100L) < 90, "train")
+          .otherwise("eval")
+      def canon(c: Column): Column =
+        when(graft.ops.Sampling.md5Mod(
+          concat(lit("split:"), (c % 100000L).cast("string")), 100L) < 90, "train")
+          .otherwise("eval")
+      pairs.select(col("a"), col("b"),
+        (col("a") % 100000L === col("b") % 100000L).as("replica_pair"),
+        (naive(col("a")) =!= naive(col("b"))).as("naive_cross"),
+        (canon(col("a")) =!= canon(col("b"))).as("canonical_cross"))
+        .orderBy("a", "b")
+    }),
+
+    "emb_source_drift" -> ((s, dir) => {
+      // encoder/source-shift audit over vec_id%4 source slices: integer
+      // centroid drift per source (×1000 floor-quantized per-dim means),
+      // bit-identical on any partitioning, replayed exactly in DuckDB
+      Similarity.sourceCentroidDrift(docs(s, dir, "embeddings"), nSources = 4)
+        .orderBy("source_idx")
     })
   )
 

@@ -328,6 +328,35 @@ object Similarity {
       }.toDF("vec_id", "dot_top", "norm2_q", "ratio_x1000", "top_heavy")
   }
 
+  /** Per-source embedding-centroid drift — the encoder/source-shift audit
+    * a mixed corpus runs before trusting one ANN index across sources
+    * (re-encoded batches, a new crawl slice, a different mime pipeline all
+    * move the centroid). Per-dim means are ×1000 floor-quantized integers
+    * (`floor(sum·1000/n)` — floor on BOTH engines, safe for negative
+    * sums), so `drift2` = Σ_d (m_src − m_global)² is bit-identical on any
+    * partitioning. Shape: one posexplode into (source, dim) partial sums —
+    * the shuffle is sources×dim rows after map-side combine, never
+    * per-vector. */
+  def sourceCentroidDrift(embeddings: DataFrame, nSources: Int = 4): DataFrame = {
+    val q = embeddings.select((col("vec_id") % nSources).as("source_idx"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("source_idx").cast("long").as("source_idx"),
+        col("d").cast("long").as("d"),
+        floor(col("x").cast("double") * 1000).cast("long").as("qv"))
+    val bySrc = q.groupBy("source_idx", "d")
+      .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+    val glob = q.groupBy("d").agg(sum("qv").as("gs"), count(lit(1)).as("gn"))
+    val m = bySrc.join(glob, Seq("d"))
+      .select(col("source_idx"), col("n"),
+        floor(col("s") * 1000.0 / col("n")).cast("long").as("ms"),
+        floor(col("gs") * 1000.0 / col("gn")).cast("long").as("mg"))
+    val diff2 = (col("ms") - col("mg")) * (col("ms") - col("mg"))
+    m.groupBy("source_idx")
+      .agg(max(col("n")).as("n_vecs"),
+        sum(diff2).as("drift2"),
+        max(diff2).as("max_dim_diff2"))
+  }
+
   /** Random-hyperplane LSH signature (sign bits of h deterministic pseudo
     * projections). Buckets share sign prefixes; probing the query's bucket
     * (plus flips of low-margin bits) retrieves candidates. */
