@@ -5325,6 +5325,34 @@ object OracleSql {
         |  CAST(max(n) AS BIGINT) AS n_vecs,
         |  CAST(sum((ms - mg) * (ms - mg)) AS BIGINT) AS drift2,
         |  CAST(max((ms - mg) * (ms - mg)) AS BIGINT) AS max_dim_diff2
-        |FROM m GROUP BY 1 ORDER BY source_idx""".stripMargin
+        |FROM m GROUP BY 1 ORDER BY source_idx""".stripMargin,
+
+    // html_charset_audit: literal goldens — every row hand-derivable from
+    // the fixture byte constructions (UTF-8 bytes under a latin-1
+    // declaration = double-decode flag; undeclared invalid-UTF-8 = blind
+    // Latin-1 fallback flag; BOM and plain ASCII pass clean)
+    "html_charset_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('c://blind_fallback', '',           '',      false, 'latin-1',  true),
+        |  ('c://bom',            '',           'utf-8', true,  'utf-8',    false),
+        |  ('c://double_decode',  'iso-8859-1', '',      true,  'declared', true),
+        |  ('c://latin1_real',    'iso-8859-1', '',      false, 'declared', false),
+        |  ('c://plain',          '',           '',      true,  'utf-8',    false),
+        |  ('c://utf8ok',         'utf-8',      '',      true,  'utf-8',    false))
+        |AS t(url, declared, bom, valid_utf8, route, mismatch)
+        |ORDER BY url""".stripMargin,
+
+    // html_iframe_audit: literal goldens — third-party = src host differs
+    // from the page host; schemeless src has no host; sandbox attribute
+    // and ad-network markers read straight off the fixtures
+    "html_iframe_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('i://p1', CAST(0 AS BIGINT), 'video.example',       true,  false, false),
+        |  ('i://p1', CAST(1 AS BIGINT), 'news.example',        false, false, false),
+        |  ('i://p2', CAST(0 AS BIGINT), 'ads.doubleclick.net', true,  false, true),
+        |  ('i://p2', CAST(1 AS BIGINT), '',                    false, false, false),
+        |  ('i://p2', CAST(2 AS BIGINT), 'widgets.example',     true,  true,  false))
+        |AS t(url, frame_idx, src_host, third_party, sandboxed, ad_slot)
+        |ORDER BY url, frame_idx""".stripMargin
   )
 }

@@ -4148,6 +4148,61 @@ object SparkEntry {
       // bit-identical on any partitioning, replayed exactly in DuckDB
       Similarity.sourceCentroidDrift(docs(s, dir, "embeddings"), nSources = 4)
         .orderBy("source_idx")
+    }),
+
+    "html_charset_audit" -> ((s, _) => {
+      import s.implicits._
+      import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+      // mojibake early warning on the RAW bytes: declared charset vs
+      // strict UTF-8 validation vs BOM — flags the double-decode case
+      // (latin-1 declared over valid multibyte UTF-8) and the blind
+      // Latin-1 fallback (no declaration, invalid UTF-8)
+      val pages: Seq[(String, Array[Byte])] = Seq(
+        ("c://utf8ok",
+          "<html><head><meta charset=\"utf-8\"></head><body>caf\u00e9</body></html>"
+            .getBytes(UTF_8)),
+        ("c://double_decode",
+          "<html><head><meta charset=\"iso-8859-1\"></head><body>caf\u00e9 r\u00e9sum\u00e9</body></html>"
+            .getBytes(UTF_8)),
+        ("c://latin1_real",
+          "<html><head><meta charset=\"iso-8859-1\"></head><body>caf\u00e9</body></html>"
+            .getBytes(ISO_8859_1)),
+        ("c://blind_fallback",
+          "<html><body>na\u00efve text without any declaration</body></html>"
+            .getBytes(ISO_8859_1)),
+        ("c://bom",
+          Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+            "<html><body>plain ascii after a BOM</body></html>".getBytes(UTF_8)),
+        ("c://plain",
+          "<html><body>pure ascii page</body></html>".getBytes(UTF_8)))
+      s.createDataset(pages).map { case (u, b) =>
+        val a = graft.core.html.CharsetAudit.scan(b)
+        (u, a.declared, a.bom, a.validUtf8, a.route, a.mismatch)
+      }.toDF("url", "declared", "bom", "valid_utf8", "route", "mismatch")
+        .orderBy("url")
+    }),
+
+    "html_iframe_audit" -> ((s, _) => {
+      import s.implicits._
+      // embedded-frame audit: third-party vs same-host frames, sandbox
+      // attribute, ad-network src heuristic — framed-in pages carry
+      // little first-party text and ad slots mark commercial templates
+      val pages = Seq(
+        ("news.example",
+          "<html><body><p>No frames here at all on this page.</p></body></html>"),
+        ("news.example",
+          """<html><body><iframe src="https://video.example/embed/1"></iframe>
+            |<iframe src="https://news.example/inner"></iframe></body></html>""".stripMargin),
+        ("blog.example",
+          """<html><body><iframe src="https://ads.doubleclick.net/slot/7"></iframe>
+            |<iframe src="/local/frame"></iframe>
+            |<iframe sandbox src="https://widgets.example/w"></iframe></body></html>""".stripMargin))
+        .zipWithIndex.map { case ((h, html), i) => (s"i://p$i", h, html) }
+      s.createDataset(pages).flatMap { case (u, h, html) =>
+        graft.core.html.Iframes.scan(html, h).map(f =>
+          (u, f.idx.toLong, f.srcHost, f.thirdParty, f.sandboxed, f.adSlot))
+      }.toDF("url", "frame_idx", "src_host", "third_party", "sandboxed", "ad_slot")
+        .orderBy("url", "frame_idx")
     })
   )
 
