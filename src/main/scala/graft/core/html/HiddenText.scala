@@ -47,8 +47,7 @@ object HiddenText {
 
   /** Strip tags from an html range, skipping script/style bodies; returns
     * the visible-ish character count (whitespace runs collapse to one). */
-  private def textChars(html: String, from: Int, until: Int): Int = {
-    val lower = html.toLowerCase(java.util.Locale.ROOT)
+  private def textChars(html: String, lower: String, from: Int, until: Int): Int = {
     var i = from
     var n = 0
     var lastWasSpace = true
@@ -59,10 +58,14 @@ object HiddenText {
         if (close < 0 || close >= until) return n
         if (lower.startsWith("<script", i)) {
           val end = lower.indexOf("</script", close)
-          i = if (end < 0 || end > until) until else lower.indexOf('>', end) + 1
+          // a missing '>' after the close tag must land on `until`, not
+          // indexOf's -1 (+1 = 0 would restart the walk: infinite loop)
+          val gt = if (end < 0) -1 else lower.indexOf('>', end)
+          i = if (end < 0 || end > until || gt < 0) until else gt + 1
         } else if (lower.startsWith("<style", i)) {
           val end = lower.indexOf("</style", close)
-          i = if (end < 0 || end > until) until else lower.indexOf('>', end) + 1
+          val gt = if (end < 0) -1 else lower.indexOf('>', end)
+          i = if (end < 0 || end > until || gt < 0) until else gt + 1
         } else i = close + 1
         lastWasSpace = true
       } else {
@@ -99,7 +102,7 @@ object HiddenText {
 
   def scan(html: String): Signals = {
     val lower = html.toLowerCase(java.util.Locale.ROOT)
-    val total = textChars(html, 0, html.length)
+    val total = textChars(html, lower, 0, html.length)
     var i = 0
     var blocks = 0
     var hidden = 0
@@ -116,7 +119,7 @@ object HiddenText {
           blocks += 1
           val close = matchClose(lower, tag, tagEnd + 1)
           val until = if (close < 0) html.length else close
-          hidden += textChars(html, tagEnd + 1, until)
+          hidden += textChars(html, lower, tagEnd + 1, until)
           i = if (close < 0) html.length else until
         } else i = tagEnd + 1
       } else i = tagEnd + 1

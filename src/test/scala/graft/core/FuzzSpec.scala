@@ -175,4 +175,51 @@ class FuzzSpec extends AnyFunSuite {
     val sec = (System.nanoTime() - t0) / 1e9
     assert(sec < 20, s"web-scanner fuzz too slow: $sec s")
   }
+
+  test("page-gate scanner fuzz: forms/hidden/soft404/paywall/amp/iframe/charset never throw, bounded time") {
+    val rnd = new scala.util.Random(8484)
+    val seeds = Seq(
+      """<form action="/q" method=post><input type="password" name=p><input type=search></form>""",
+      """<div style="display:none"><div>inner</div> spam</div><p style="opacity: 0">x</p>""",
+      """<title>404 Not Found</title><body><p>The page you requested could not be found.</p>""",
+      """<script type="application/ld+json">{"isAccessibleForFree": false,
+        |"@type":"BreadcrumbList","itemListElement":[{"position":1}]}</script>""".stripMargin,
+      """<html amp><link rel="canonical" href="https://a/"><link rel=amphtml href=https://a/amp>""",
+      """<iframe src="https://ads.doubleclick.net/x" sandbox></iframe><iframe src=/rel>""",
+      """<meta charset="iso-8859-1"><body>café résumé �""",
+      // regression: unterminated </script close inside a hidden block once
+      // sent HiddenText.textChars back to index 0 (infinite loop)
+      """<div hidden>spam<script>var x=1;</script""",
+      """<style>.a{}</style  <p style="opacity: 0">x""")
+    val t0 = System.nanoTime()
+    (0 until 600).foreach { i =>
+      val s =
+        if (i % 5 == 0) {
+          val b = new Array[Byte](1 + rnd.nextInt(500)); rnd.nextBytes(b)
+          new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+        } else {
+          val base = seeds(i % seeds.length).toCharArray
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            base(rnd.nextInt(base.length)) = (rnd.nextInt(94) + 33).toChar
+          }
+          new String(base)
+        }
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      // none of these may throw; outputs are bounded by input size
+      val fo = graft.core.html.Forms.scan(s)
+      assert(fo.length <= s.length)
+      val h = graft.core.html.HiddenText.scan(s)
+      assert(h.hiddenChars <= s.length && h.totalChars <= s.length)
+      graft.core.html.Soft404.scan(s)
+      graft.core.html.Paywall.scan(s)
+      graft.core.html.AmpLinks.scan(s)
+      graft.core.html.JsonLd.breadcrumbs(s)
+      val ifr = graft.core.html.Iframes.scan(s, "fuzz.example")
+      assert(ifr.length <= s.length)
+      graft.core.html.CharsetAudit.scan(bytes)
+      graft.core.html.CharsetAudit.scan(Array.empty[Byte])
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 25, s"page-gate scanner fuzz too slow: $sec s")
+  }
 }
