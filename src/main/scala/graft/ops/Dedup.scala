@@ -495,26 +495,49 @@ object Dedup {
   def simhashEval(corpus: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val docs2 = corpus.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, t) => (id, shingleStrings(t)) }
+    // Ground truth via a partitioned triangle sweep over the CAPPED eval
+    // corpus's sorted shingle-hash sets (broadcast — a few MB): per pair, a
+    // lossless size-ratio prefilter (J ≥ 0.7 ⟹ 10·min(|A|,|B|) ≥
+    // 7·max(|A|,|B|), since inter ≤ min and union ≥ max) then a primitive
+    // sorted-merge intersection; union size is |A|+|B|−inter, never an
+    // array_union. ~10× cheaper than the string-array crossJoin this
+    // replaces, identical truth set (same TP/FP/FN the oracle recomputes).
+    val all = corpus.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, shingleHashes(t)) }
       .filter(_._2.nonEmpty)
-      .toDF("id", "s")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = docs2.select(col("id").as("a"), col("s").as("sa"))
-    val r = docs2.select(col("id").as("b"), col("s").as("sb"))
-    // integer jaccard gate: inter/union >= 0.7  <=>  10*inter >= 7*union
-    val truth = l.crossJoin(r).where(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        size(array_intersect(col("sa"), col("sb"))).as("inter"),
-        size(array_union(col("sa"), col("sb"))).as("uni"))
-      .where(col("inter") * 10 >= col("uni") * 7)
-      .select("a", "b")
+      .collect()
+      .sortBy(_._1)
+    // O(n²) eval harness, never the production path: refuse uncapped input
+    require(all.length <= 100000,
+      s"simhashEval is an O(n²) eval harness; got ${all.length} docs — cap the corpus (corpusWithReplicas) first")
+    val bc = spark.sparkContext.broadcast(all)
+    val truth = spark.range(0, all.length.toLong)
+      .repartition(spark.sparkContext.defaultParallelism) // balance the triangular sweep
+      .as[Long]
+      .mapPartitions { it =>
+        val arr = bc.value
+        it.flatMap { ii =>
+          val i = ii.toInt
+          val ida = arr(i)._1; val ha = arr(i)._2; val na = ha.length
+          Iterator.range(i + 1, arr.length).flatMap { j =>
+            val hb = arr(j)._2; val nb = hb.length
+            if (10L * math.min(na, nb) < 7L * math.max(na, nb)) None
+            else {
+              val inter = sortedIntersectCount(ha, hb)
+              // integer jaccard gate: inter/union >= 0.7 <=> 10*inter >= 7*union
+              if (10L * inter >= 7L * (na + nb - inter)) Some((ida, arr(j)._1))
+              else None
+            }
+          }
+        }
+      }
+      .toDF("a", "b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pred = simhashPairs(corpus).select("a", "b")
     val tp = pred.join(truth, Seq("a", "b"), "left_semi").count()
     val fp = pred.join(truth, Seq("a", "b"), "left_anti").count()
     val fn = truth.join(pred, Seq("a", "b"), "left_anti").count()
-    docs2.unpersist(false); truth.unpersist(false)
+    truth.unpersist(false); bc.destroy()
     val nPred = tp + fp; val nTruth = tp + fn
     Seq((nTruth, nPred, tp, fp, fn,
         if (nPred > 0) tp * 1000 / nPred else 0L,

@@ -560,8 +560,151 @@ object Graph {
     * which real link graphs keep in the tens. Convergence is detected by
     * an order-independent signature (count + xor of row hashes); `maxRounds`
     * / `maxProp` are runaway bounds that throw rather than mislabel. */
+  /** Active-subgraph size (node AND edge count) under which [[scc]] /
+    * [[reachFrom]] finish on the driver instead of running O(diameter)
+    * Spark rounds. Same principle as AQE's broadcast threshold: the
+    * distributed algorithm is the 10^12-node path, but paying dozens of
+    * per-round job latencies on a sub-cap residual graph is pure overhead —
+    * real distributed SCC implementations (FW-BW-MIN, GraphX's Pregel
+    * variants) all short-circuit small remainders. The gate is measured
+    * (a count on the checkpointed edge table), lossless (identical labels,
+    * asserted by Wave74Spec's cap=0 equality test), and 2M rows ≈ 32 MB of
+    * driver arrays — far under any sane driver heap. */
+  private val LocalGraphCap = 2000000L
+
+  /** Driver-local SCC labels (component-minimum id, aligned with `nodeIds`)
+    * via iterative Tarjan over a CSR adjacency — the sub-cap kernel behind
+    * [[scc]]. Edges with either endpoint outside `nodeIds` are ignored
+    * (mirrors the distributed path's semi-joins onto the remaining set). */
+  private[ops] def sccLocalKernel(nodeIds: Array[Long],
+                                  srcIds: Array[Long],
+                                  dstIds: Array[Long]): Array[Long] = {
+    val n = nodeIds.length
+    val idx = new java.util.HashMap[Long, Integer](n * 2)
+    var i = 0
+    while (i < n) { idx.put(nodeIds(i), i); i += 1 }
+    val m0 = srcIds.length
+    val sArr = new Array[Int](m0); val dArr = new Array[Int](m0)
+    var m = 0
+    i = 0
+    while (i < m0) {
+      val si = idx.get(srcIds(i)); val di = idx.get(dstIds(i))
+      if (si != null && di != null) { sArr(m) = si; dArr(m) = di; m += 1 }
+      i += 1
+    }
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < m) { off(sArr(i) + 1) += 1; i += 1 }
+    i = 0; while (i < n) { off(i + 1) += off(i); i += 1 }
+    val adj = new Array[Int](m)
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0; while (i < m) { adj(fill(sArr(i))) = dArr(i); fill(sArr(i)) += 1; i += 1 }
+    val UNVISITED = -1
+    val num = new Array[Int](n); java.util.Arrays.fill(num, UNVISITED)
+    val low = new Array[Int](n)
+    val comp = new Array[Int](n)
+    val onStk = new Array[Boolean](n)
+    val sccStack = new Array[Int](n); var sccTop = 0
+    val callV = new Array[Int](n); val callE = new Array[Int](n); var callTop = 0
+    var counter = 0
+    var compCount = 0
+    var root = 0
+    while (root < n) {
+      if (num(root) == UNVISITED) {
+        num(root) = counter; low(root) = counter; counter += 1
+        sccStack(sccTop) = root; sccTop += 1; onStk(root) = true
+        callV(0) = root; callE(0) = off(root); callTop = 1
+        while (callTop > 0) {
+          val v = callV(callTop - 1)
+          val e = callE(callTop - 1)
+          if (e < off(v + 1)) {
+            callE(callTop - 1) = e + 1
+            val w = adj(e)
+            if (num(w) == UNVISITED) {
+              num(w) = counter; low(w) = counter; counter += 1
+              sccStack(sccTop) = w; sccTop += 1; onStk(w) = true
+              callV(callTop) = w; callE(callTop) = off(w); callTop += 1
+            } else if (onStk(w) && num(w) < low(v)) low(v) = num(w)
+          } else {
+            callTop -= 1
+            if (callTop > 0 && low(v) < low(callV(callTop - 1)))
+              low(callV(callTop - 1)) = low(v)
+            if (low(v) == num(v)) {
+              var go = true
+              while (go) {
+                sccTop -= 1
+                val w = sccStack(sccTop)
+                onStk(w) = false
+                comp(w) = compCount
+                go = w != v
+              }
+              compCount += 1
+            }
+          }
+        }
+      }
+      root += 1
+    }
+    val minId = new Array[Long](compCount)
+    java.util.Arrays.fill(minId, Long.MaxValue)
+    i = 0; while (i < n) { val c = comp(i); if (nodeIds(i) < minId(c)) minId(c) = nodeIds(i); i += 1 }
+    val out = new Array[Long](n)
+    i = 0; while (i < n) { out(i) = minId(comp(i)); i += 1 }
+    out
+  }
+
+  /** Driver-local forward BFS (seeds inclusive) — the sub-cap kernel behind
+    * [[reachFrom]]. Node universe = seeds ∪ edge endpoints. */
+  private def reachLocalKernel(seeds: Array[Long],
+                               srcIds: Array[Long],
+                               dstIds: Array[Long]): Array[Long] = {
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def intern(id: Long): Int = {
+      val got = idx.get(id)
+      if (got != null) got.intValue()
+      else { val k = ids.length; idx.put(id, k); ids += id; k }
+    }
+    val sArr = new Array[Int](srcIds.length)
+    val dArr = new Array[Int](srcIds.length)
+    var i = 0
+    while (i < srcIds.length) { sArr(i) = intern(srcIds(i)); dArr(i) = intern(dstIds(i)); i += 1 }
+    val seedIdx = seeds.map(intern)
+    val n = ids.length
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < sArr.length) { off(sArr(i) + 1) += 1; i += 1 }
+    i = 0; while (i < n) { off(i + 1) += off(i); i += 1 }
+    val adj = new Array[Int](sArr.length)
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0; while (i < sArr.length) { adj(fill(sArr(i))) = dArr(i); fill(sArr(i)) += 1; i += 1 }
+    val seen = new Array[Boolean](n)
+    val queue = new Array[Int](n); var qh = 0; var qt = 0
+    seedIdx.foreach { s => if (!seen(s)) { seen(s) = true; queue(qt) = s; qt += 1 } }
+    while (qh < qt) {
+      val v = queue(qh); qh += 1
+      var e = off(v)
+      while (e < off(v + 1)) {
+        val w = adj(e)
+        if (!seen(w)) { seen(w) = true; queue(qt) = w; qt += 1 }
+        e += 1
+      }
+    }
+    val out = new Array[Long](qt)
+    i = 0; while (i < qt) { out(i) = ids(queue(i)); i += 1 }
+    out
+  }
+
   def scc(nodes: DataFrame, edges: DataFrame,
-          maxRounds: Int = 32, maxProp: Int = 96): DataFrame = {
+          maxRounds: Int = 32, maxProp: Int = 96,
+          localCap: Long = LocalGraphCap): DataFrame = {
+    val spark = nodes.sparkSession
+    if (localCap > 0 && edges.count() <= localCap && nodes.count() <= localCap) {
+      val nodeIds = nodes.select(col("id")).collect().map(_.getLong(0))
+      val eRows = edges.select(col("src"), col("dst")).collect()
+      val labels = sccLocalKernel(nodeIds,
+        eRows.map(_.getLong(0)), eRows.map(_.getLong(1)))
+      return spark.createDataFrame(nodeIds.zip(labels).toIndexedSeq)
+        .toDF("id", "scc_id")
+    }
     def sig(df: DataFrame, c1: String, c2: String): (Long, Long) = {
       val r = df.select(xxhash64(col(c1), col(c2)).as("h"))
         .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
@@ -630,7 +773,17 @@ object Graph {
     * join + distinct + anti-join — the same bounded-lineage discipline as
     * [[scc]] (localCheckpoint per round). */
   private def reachFrom(seed: DataFrame, edges: DataFrame,
-                        maxProp: Int = 96): DataFrame = {
+                        maxProp: Int = 96,
+                        localCap: Long = LocalGraphCap): DataFrame = {
+    if (localCap > 0 && edges.count() <= localCap) {
+      val spark = seed.sparkSession
+      val seeds = seed.select(col("id")).collect().map(_.getLong(0))
+      val eRows = edges.select(col("src"), col("dst")).collect()
+      val reached = reachLocalKernel(seeds,
+        eRows.map(_.getLong(0)), eRows.map(_.getLong(1)))
+      return spark.createDataFrame(reached.map(Tuple1(_)).toIndexedSeq)
+        .toDF("id")
+    }
     var reached = seed.select(col("id")).distinct().localCheckpoint(true)
     var frontier = reached
     var fN = frontier.count()

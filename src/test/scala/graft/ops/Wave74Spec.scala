@@ -37,6 +37,17 @@ class Wave74Spec extends AnyFunSuite {
     for (u <- 17L until 20L) assert(got(u) == u)
   }
 
+  test("scc: distributed peeling (localCap=0) matches the driver-local Tarjan gate") {
+    val n = 120L
+    val nodes = spark.range(n).select(col("id"))
+    val edges = Graph.synthSccEdges(nodes, n)
+    val local = Graph.scc(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graph.scc(nodes, edges, localCap = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == local)
+  }
+
   test("invisibleChars: planted categories count and repair exactly") {
     val df = Seq(
       (1L, "plain\u200Bsplit word and\u00A0nbsp"),
