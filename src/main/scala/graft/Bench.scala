@@ -350,8 +350,12 @@ object Bench {
       f -> extractPrevNormalized(txt, sfDir)
     }.collectFirst { case (f, m) if m.nonEmpty => (Some(f), m) }
       .getOrElse((None, Map.empty[String, Double]))
+    // regression = BOTH 1.5× the prior normalized time AND ≥0.5 probe-units
+    // absolute growth: sub-second queries are best-of-2 jitter samples, and
+    // a noisy query leg was flagging 100+ ~0.1s queries whose "regression"
+    // was scheduler noise, burying any real one (observed 2026-08-20 run)
     val regressions = normalized.collect {
-      case (k, v) if prevNorm.get(k).exists(p => v > p * 1.5) => k
+      case (k, v) if prevNorm.get(k).exists(p => v > p * 1.5 && v - p >= 0.5) => k
     }.toSeq.sorted
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${v.sec}%.3f" }

@@ -5353,6 +5353,75 @@ object OracleSql {
         |  ('i://p2', CAST(1 AS BIGINT), '',                    false, false, false),
         |  ('i://p2', CAST(2 AS BIGINT), 'widgets.example',     true,  true,  false))
         |AS t(url, frame_idx, src_host, third_party, sandboxed, ad_slot)
-        |ORDER BY url, frame_idx""".stripMargin
+        |ORDER BY url, frame_idx""".stripMargin,
+
+    // mirrors Lexicon.zipf: term counts, rank by (count desc, term),
+    // integer rank×frequency permille at the 7 probe ranks; -1 when the
+    // vocabulary is shorter than the probe rank
+    "corpus_zipf" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok WHERE t <> '' GROUP BY t),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+        |               CAST(sum(c) AS BIGINT) AS n_tokens FROM cnt),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r
+        |       FROM cnt QUALIFY r <= 100),
+        |t1 AS (SELECT c AS c1 FROM rk WHERE r = 1),
+        |p AS (SELECT
+        |  coalesce(max(CASE WHEN r = 1   THEN r * c * 1000 // c1 END), -1) AS rxf_pm_1,
+        |  coalesce(max(CASE WHEN r = 2   THEN r * c * 1000 // c1 END), -1) AS rxf_pm_2,
+        |  coalesce(max(CASE WHEN r = 5   THEN r * c * 1000 // c1 END), -1) AS rxf_pm_5,
+        |  coalesce(max(CASE WHEN r = 10  THEN r * c * 1000 // c1 END), -1) AS rxf_pm_10,
+        |  coalesce(max(CASE WHEN r = 20  THEN r * c * 1000 // c1 END), -1) AS rxf_pm_20,
+        |  coalesce(max(CASE WHEN r = 50  THEN r * c * 1000 // c1 END), -1) AS rxf_pm_50,
+        |  coalesce(max(CASE WHEN r = 100 THEN r * c * 1000 // c1 END), -1) AS rxf_pm_100
+        |  FROM rk, t1)
+        |SELECT n_types, n_tokens, CAST(c1 AS BIGINT) AS top1_cnt,
+        |  CAST(rxf_pm_1 AS BIGINT) AS rxf_pm_1, CAST(rxf_pm_2 AS BIGINT) AS rxf_pm_2,
+        |  CAST(rxf_pm_5 AS BIGINT) AS rxf_pm_5, CAST(rxf_pm_10 AS BIGINT) AS rxf_pm_10,
+        |  CAST(rxf_pm_20 AS BIGINT) AS rxf_pm_20, CAST(rxf_pm_50 AS BIGINT) AS rxf_pm_50,
+        |  CAST(rxf_pm_100 AS BIGINT) AS rxf_pm_100
+        |FROM tot, t1, p""".stripMargin,
+
+    // mirrors Lexicon.heaps: id-space deciles (d = id*10 // (max_id+1)),
+    // per-doc token counts, vocabulary attributed to the decile of each
+    // term's first occurrence, cumulative sums over the 10-row table
+    "corpus_heaps" ->
+      """WITH nn AS (SELECT max(doc_id) + 1 AS nmax FROM documents),
+        |b AS (SELECT doc_id, doc_id * 10 // nmax AS d, text FROM documents, nn),
+        |pd AS (SELECT d, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_toks
+        |  FROM b GROUP BY d),
+        |fs AS (SELECT t, min(d) AS fb FROM (
+        |    SELECT d, unnest(string_split(text, ' ')) AS t FROM b) WHERE t <> '' GROUP BY t),
+        |nv AS (SELECT fb AS d, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY fb),
+        |cum AS (SELECT pd.d AS decile,
+        |    sum(pd.n_docs) OVER (ORDER BY pd.d) AS docs_cum,
+        |    sum(pd.n_toks) OVER (ORDER BY pd.d) AS tokens_cum,
+        |    sum(coalesce(nv.n_new, 0)) OVER (ORDER BY pd.d) AS vocab_cum
+        |  FROM pd LEFT JOIN nv ON pd.d = nv.d)
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(docs_cum AS BIGINT) AS docs_cum,
+        |  CAST(tokens_cum AS BIGINT) AS tokens_cum, CAST(vocab_cum AS BIGINT) AS vocab_cum,
+        |  CAST(CASE WHEN tokens_cum = 0 THEN -1
+        |       ELSE vocab_cum * 1000 // tokens_cum END AS BIGINT) AS ttr_pm
+        |FROM cum ORDER BY decile""".stripMargin,
+
+    // mirrors Lexicon.varintIndex: distinct (term, doc) postings, per-term
+    // delta gaps (first stored as doc_id+1), LEB128 byte cost
+    // ceil(bitwidth/7) via length(bin(gap)), one summary row
+    "index_varint_size" ->
+      """WITH post AS (SELECT DISTINCT t, doc_id FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |g AS (SELECT t,
+        |    coalesce(doc_id - lag(doc_id) OVER (PARTITION BY t ORDER BY doc_id),
+        |             doc_id + 1) AS gap
+        |  FROM post),
+        |v AS (SELECT t, (length(bin(gap)) + 6) // 7 AS vbytes FROM g),
+        |agg AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_terms,
+        |    CAST(count(*) AS BIGINT) AS n_postings,
+        |    CAST(sum(vbytes) AS BIGINT) AS varint_bytes FROM v)
+        |SELECT n_terms, n_postings, n_postings * 8 AS raw_bytes, varint_bytes,
+        |  (n_postings * 8 - varint_bytes) * 1000 // (n_postings * 8) AS saving_pm
+        |FROM agg""".stripMargin
   )
 }

@@ -4203,6 +4203,30 @@ object SparkEntry {
           (u, f.idx.toLong, f.srcHost, f.thirdParty, f.sandboxed, f.adSlot))
       }.toDF("url", "frame_idx", "src_host", "third_party", "sandboxed", "ad_slot")
         .orderBy("url", "frame_idx")
+    }),
+
+    "corpus_zipf" -> ((s, dir) => {
+      // one-row Zipf audit: integer rank×frequency stability at 7 probe
+      // ranks — one term-count shuffle, TakeOrdered(100), no log floats
+      graft.ops.Lexicon.zipf(
+        docs(s, dir, "documents").select(col("text")))
+    }),
+
+    "corpus_heaps" -> ((s, dir) => {
+      // Heaps vocabulary-growth curve over id-space deciles: first-
+      // occurrence attribution (min doc_id per term) replaces the
+      // sequential replay — one term-keyed shuffle, 10 rows out
+      graft.ops.Lexicon.heaps(
+        docs(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy("decile")
+    }),
+
+    "index_varint_size" -> ((s, dir) => {
+      // inverted-index cost accounting: delta + LEB128 varint postings
+      // vs raw int64 — distinct postings shuffle, window reuses the
+      // partitioning, integer-exact byte totals
+      graft.ops.Lexicon.varintIndex(
+        docs(s, dir, "documents").select(col("doc_id"), col("text")))
     })
   )
 
