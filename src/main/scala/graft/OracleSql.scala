@@ -2803,6 +2803,140 @@ object OracleSql {
         |  CAST(score_micro AS BIGINT) AS score_micro, CAST(rank AS INTEGER) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // mirrors Retrieval.bm25HardNegatives(kCand=20, kNeg=3): bm25 top-20,
+    // positive = lexicographic-min (rank, doc_id) among phrase-rel >= 2,
+    // negatives = first 3 rank-ordered candidates WITHOUT a phrase match
+    // (rel <= 1, unjudged included)
+    "retrieval_hard_negatives" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |           FROM documents),
+        |st AS (SELECT count(*) AS n, sum(len(t)) AS tdl FROM d),
+        |av AS (SELECT greatest(1, (tdl * 1000) // greatest(1, n)) AS avgdl_m FROM st),
+        |q AS (SELECT * FROM (VALUES
+        |  (0, 'table'), (0, 'scan'), (0, 'fast'),
+        |  (1, 'window'), (1, 'agg'), (1, 'group'),
+        |  (2, 'customer'), (2, 'query'), (2, 'join'),
+        |  (3, 'stream'), (3, 'batch'), (3, 'merge'),
+        |  (4, 'vector'), (4, 'hash'), (4, 'sort')) v(query_id, term)),
+        |tfq AS (SELECT doc_id, len(t) AS dl, term, count(*) AS tf
+        |        FROM (SELECT doc_id, t, unnest(t) AS term FROM d) u
+        |        WHERE term IN (SELECT term FROM q) GROUP BY doc_id, len(t), term),
+        |idf AS (SELECT term, (1000000 * (2 * ((SELECT n FROM st) - count(*)) + 1))
+        |               // (2 * count(*) + 1) AS idf_micro
+        |        FROM tfq GROUP BY term),
+        |contrib AS (SELECT q.query_id, f.doc_id,
+        |  (i.idf_micro * ((f.tf * (1200 + 1000) * 1000) //
+        |    (f.tf * 1000 + ((1200 * ((1000 - 750) +
+        |      ((750 * f.dl * 1000) // (SELECT avgdl_m FROM av)))) // 1000)))) // 1000 AS c
+        |  FROM tfq f JOIN idf i USING (term) JOIN q ON q.term = f.term),
+        |scored AS (SELECT query_id, doc_id, sum(c) AS score_micro FROM contrib GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank
+        |  FROM scored QUALIFY rank <= 20),
+        |qd AS (SELECT * FROM (VALUES
+        |  (0, 'table', 'scan', 'fast'), (1, 'window', 'agg', 'group'),
+        |  (2, 'customer', 'query', 'join'), (3, 'stream', 'batch', 'merge'),
+        |  (4, 'vector', 'hash', 'sort')) v(query_id, w1, w2, w3)),
+        |rel AS (SELECT * FROM (
+        |  SELECT qd.query_id, d.doc_id,
+        |    (CASE WHEN list_contains(t, w1) AND list_contains(t, w2)
+        |               AND list_contains(t, w3) THEN 1 ELSE 0 END)
+        |  + (CASE WHEN len(t) >= 2 AND len(list_filter(range(1, len(t)),
+        |       i -> t[i] = w1 AND t[i+1] = w2)) > 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN len(t) >= 2 AND len(list_filter(range(1, len(t)),
+        |       i -> t[i] = w2 AND t[i+1] = w3)) > 0 THEN 1 ELSE 0 END) AS rel
+        |  FROM d, qd) r WHERE rel >= 1),
+        |cand AS (SELECT ranked.query_id, ranked.doc_id, ranked.rank,
+        |           COALESCE(rel.rel, 0) AS rel
+        |         FROM ranked LEFT JOIN rel
+        |           ON rel.query_id = ranked.query_id AND rel.doc_id = ranked.doc_id),
+        |pos AS (SELECT query_id, min(rank) AS pos_rank,
+        |          min_by(doc_id, rank) AS pos_doc_id
+        |        FROM cand WHERE rel >= 2 GROUP BY 1),
+        |neg AS (SELECT query_id, doc_id AS neg_doc_id, rank AS neg_rank,
+        |          row_number() OVER (PARTITION BY query_id ORDER BY rank, doc_id) AS neg_ord
+        |        FROM cand WHERE rel <= 1 QUALIFY neg_ord <= 3)
+        |SELECT CAST(pos.query_id AS BIGINT) AS query_id,
+        |  CAST(pos_doc_id AS BIGINT) AS pos_doc_id,
+        |  CAST(pos_rank AS INTEGER) AS pos_rank,
+        |  CAST(neg_doc_id AS BIGINT) AS neg_doc_id,
+        |  CAST(neg_rank AS INTEGER) AS neg_rank,
+        |  CAST(neg_ord AS INTEGER) AS neg_ord
+        |FROM pos JOIN neg ON neg.query_id = pos.query_id
+        |ORDER BY query_id, neg_ord""".stripMargin,
+
+    // mirrors Retrieval.ndcgEval(k=10): same bm25 pipeline ranked to 10,
+    // PHRASE-GRADED rel = [all 3 terms] + [bigram w1w2] + [bigram w2w3]
+    // (token-level adjacency, 1-based lists in both engines), DCG via the
+    // SHARED integer discount literals (Retrieval.NdcgDiscU), IDCG via
+    // the (n3,n2,n1) count ladder — no logarithm evaluated on either
+    // engine
+    "retrieval_ndcg" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |           FROM documents),
+        |st AS (SELECT count(*) AS n, sum(len(t)) AS tdl FROM d),
+        |av AS (SELECT greatest(1, (tdl * 1000) // greatest(1, n)) AS avgdl_m FROM st),
+        |q AS (SELECT * FROM (VALUES
+        |  (0, 'table'), (0, 'scan'), (0, 'fast'),
+        |  (1, 'window'), (1, 'agg'), (1, 'group'),
+        |  (2, 'customer'), (2, 'query'), (2, 'join'),
+        |  (3, 'stream'), (3, 'batch'), (3, 'merge'),
+        |  (4, 'vector'), (4, 'hash'), (4, 'sort')) v(query_id, term)),
+        |tfq AS (SELECT doc_id, len(t) AS dl, term, count(*) AS tf
+        |        FROM (SELECT doc_id, t, unnest(t) AS term FROM d) u
+        |        WHERE term IN (SELECT term FROM q) GROUP BY doc_id, len(t), term),
+        |idf AS (SELECT term, (1000000 * (2 * ((SELECT n FROM st) - count(*)) + 1))
+        |               // (2 * count(*) + 1) AS idf_micro
+        |        FROM tfq GROUP BY term),
+        |contrib AS (SELECT q.query_id, f.doc_id,
+        |  (i.idf_micro * ((f.tf * (1200 + 1000) * 1000) //
+        |    (f.tf * 1000 + ((1200 * ((1000 - 750) +
+        |      ((750 * f.dl * 1000) // (SELECT avgdl_m FROM av)))) // 1000)))) // 1000 AS c
+        |  FROM tfq f JOIN idf i USING (term) JOIN q ON q.term = f.term),
+        |scored AS (SELECT query_id, doc_id, sum(c) AS score_micro FROM contrib GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank
+        |  FROM scored),
+        |disc AS (SELECT * FROM (VALUES (1, 1000000), (2, 630929), (3, 500000),
+        |  (4, 430676), (5, 386852), (6, 356207), (7, 333333), (8, 315464),
+        |  (9, 301029), (10, 289064)) v(i, disc_u)),
+        |qd AS (SELECT * FROM (VALUES
+        |  (0, 'table', 'scan', 'fast'), (1, 'window', 'agg', 'group'),
+        |  (2, 'customer', 'query', 'join'), (3, 'stream', 'batch', 'merge'),
+        |  (4, 'vector', 'hash', 'sort')) v(query_id, w1, w2, w3)),
+        |rel AS (SELECT * FROM (
+        |  SELECT qd.query_id, d.doc_id,
+        |    (CASE WHEN list_contains(t, w1) AND list_contains(t, w2)
+        |               AND list_contains(t, w3) THEN 1 ELSE 0 END)
+        |  + (CASE WHEN len(t) >= 2 AND len(list_filter(range(1, len(t)),
+        |       i -> t[i] = w1 AND t[i+1] = w2)) > 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN len(t) >= 2 AND len(list_filter(range(1, len(t)),
+        |       i -> t[i] = w2 AND t[i+1] = w3)) > 0 THEN 1 ELSE 0 END) AS rel
+        |  FROM d, qd) r WHERE rel >= 1),
+        |dcg AS (SELECT r.query_id,
+        |          sum(((1 << rel.rel) - 1) * disc.disc_u) AS dcg_u
+        |        FROM ranked r JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+        |        JOIN disc ON disc.i = r.rank WHERE r.rank <= 10 GROUP BY 1),
+        |cnts AS (SELECT query_id, count(*) AS n_judged,
+        |           sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS n3,
+        |           sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS n2,
+        |           sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS n1
+        |         FROM rel GROUP BY 1),
+        |ideal AS (SELECT c.query_id, c.n_judged,
+        |            sum(((1 << (CASE WHEN disc.i <= n3 THEN 3
+        |                             WHEN disc.i <= n3 + n2 THEN 2
+        |                             WHEN disc.i <= n3 + n2 + n1 THEN 1
+        |                             ELSE 0 END)) - 1) * disc.disc_u) AS idcg_u
+        |          FROM cnts c, disc GROUP BY 1, 2)
+        |SELECT CAST(ideal.query_id AS BIGINT) AS query_id,
+        |  CAST(n_judged AS BIGINT) AS n_judged,
+        |  CAST(COALESCE(dcg.dcg_u, 0) AS BIGINT) AS dcg_u,
+        |  CAST(idcg_u AS BIGINT) AS idcg_u,
+        |  CAST(CASE WHEN idcg_u = 0 THEN -1
+        |       ELSE COALESCE(dcg.dcg_u, 0) * 1000 // idcg_u END AS BIGINT) AS ndcg_pm
+        |FROM ideal LEFT JOIN dcg ON dcg.query_id = ideal.query_id
+        |ORDER BY ideal.query_id""".stripMargin,
+
     // mirrors TextStats.repeatedNgrams(n=5, minDocs=2): in-row gram
     // expansion (DuckDB list slice t[a:b] is 1-based inclusive = Spark
     // slice(toks, a, n)), per-doc distinct, count+min aggregate

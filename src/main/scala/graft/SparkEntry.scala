@@ -2628,6 +2628,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "retrieval_hard_negatives" -> ((s, dir) => {
+      // contrastive training pairs, lexical flavor: BM25 top-20 candidates,
+      // positive = best phrase-judged hit (rel>=2), hard negatives = top-3
+      // unjudged candidates — high unigram score, no coverage/phrase
+      Retrieval.bm25HardNegatives(docs(s, dir, "documents"),
+          Retrieval.synthQueries(s), kCand = 20, kNeg = 3)
+        .orderBy("query_id", "neg_ord")
+    }),
+
+    "retrieval_ndcg" -> ((s, dir) => {
+      // graded-relevance ranking quality: nDCG@10 of the BM25 ranking vs
+      // term-coverage judgments; log2 discounts frozen as shared integer
+      // literals, ideal ranking via count-ladder (no per-query sort)
+      Retrieval.ndcgEval(docs(s, dir, "documents"),
+          Retrieval.synthQueries(s), k = 10)
+        .orderBy("query_id")
+    }),
+
     "text_repeated_ngrams" -> ((s, dir) => {
       // gram-side memorization-risk inventory: in-row gram expansion,
       // algebraic (count, min) agg — hot grams combine map-side

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSessionFixture
+
+/** Systematic determinism audit: every operator in the repo claims
+  * bit-reproducibility on any partitioning (integer arithmetic, packed
+  * argmins, order-independent aggregates). This spec TESTS that claim
+  * across a representative shuffle-heavy subset of `SparkEntry.queries`:
+  * each query runs twice against the same sf0.001 tables — once on the
+  * shared fixture session (shuffle.partitions=8, AQE on) and once on a
+  * sibling session with shuffle.partitions=3 and AQE OFF — and the two
+  * canonicalized result sets must be IDENTICAL. A task-retry or
+  * speculative re-execution at 100 TB replays exactly this perturbation,
+  * so any mismatch here is a silent-corruption bug at scale.
+  *
+  * Subset choice: at least one query per family whose plan contains a
+  * real exchange (dedup bands, graph iterations, sketches, windows,
+  * retrieval, clustering, sampling); purely per-row projections are
+  * trivially invariant and are left to their own specs. */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  private val names = Seq(
+    "q1_agg", "q_join_revenue", "q_topk_global", "q_window_topk",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+    "dedup_jaccard_block", "dedup_paragraph", "dedup_substring_spans",
+    "dedup_cdc", "dedup_keeper",
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_pq_adc",
+    "embedding_pq", "dedup_semantic",
+    "graph_scc", "graph_kcore", "graph_triangles", "graph_hyperball",
+    "graph_bowtie", "domain_rank", "domain_trustrank",
+    "sketch_hll", "sketch_kmv", "sketch_quantile", "sketch_bloom",
+    "heavy_hitters",
+    "text_bm25", "retrieval_ndcg", "retrieval_hard_negatives",
+    "text_tfidf_terms", "text_index",
+    "text_winnow", "text_rarity", "corpus_ngrams", "corpus_zipf",
+    "corpus_heaps", "index_varint_size",
+    "events_sessionize", "events_funnel", "events_retention",
+    "url_dedup", "url_domain_stats", "mirror_domains", "redirect_resolve",
+    "sample_priority", "sample_quota", "split_holdout", "corpus_pack",
+    "quality_dsir", "quality_perceptron")
+
+  /** Canonical dump: JSON rows sorted — order- and layout-free. */
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.toJSON.collect().toSeq.sorted
+
+  test("shuffle-heavy queries are bit-identical at 3-wide AQE-off vs 8-wide AQE-on") {
+    val base = SparkSessionFixture.spark
+    val alt = base.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "3")
+    alt.conf.set("spark.sql.adaptive.enabled", "false")
+    val queries = graft.SparkEntry.queries
+    val missing = names.filterNot(queries.contains)
+    assert(missing.isEmpty, s"unknown query names in subset: $missing")
+    val diffs = names.flatMap { n =>
+      val a = canon(queries(n)(base, sf))
+      val b = canon(queries(n)(alt, sf))
+      if (a == b) None
+      else Some(s"$n: ${a.length} vs ${b.length} rows; first diff: " +
+        a.zipAll(b, "<missing>", "<missing>").find { case (x, y) => x != y }
+          .map { case (x, y) => s"\n  8-wide: $x\n  3-wide: $y" }.getOrElse(""))
+    }
+    assert(diffs.isEmpty, diffs.mkString("\n"))
+  }
+}
