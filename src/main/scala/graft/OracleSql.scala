@@ -2803,6 +2803,122 @@ object OracleSql {
         |  CAST(score_micro AS BIGINT) AS score_micro, CAST(rank AS INTEGER) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // mirrors Retrieval.mrrEval(k=10): bm25 top-10 joined to the phrase-
+    // relevant pool (rel >= 2), first-rank / reciprocal-rank / recall
+    "retrieval_mrr" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |           FROM documents),
+        |st AS (SELECT count(*) AS n, sum(len(t)) AS tdl FROM d),
+        |av AS (SELECT greatest(1, (tdl * 1000) // greatest(1, n)) AS avgdl_m FROM st),
+        |q AS (SELECT * FROM (VALUES
+        |  (0, 'table'), (0, 'scan'), (0, 'fast'),
+        |  (1, 'window'), (1, 'agg'), (1, 'group'),
+        |  (2, 'customer'), (2, 'query'), (2, 'join'),
+        |  (3, 'stream'), (3, 'batch'), (3, 'merge'),
+        |  (4, 'vector'), (4, 'hash'), (4, 'sort')) v(query_id, term)),
+        |tfq AS (SELECT doc_id, len(t) AS dl, term, count(*) AS tf
+        |        FROM (SELECT doc_id, t, unnest(t) AS term FROM d) u
+        |        WHERE term IN (SELECT term FROM q) GROUP BY doc_id, len(t), term),
+        |idf AS (SELECT term, (1000000 * (2 * ((SELECT n FROM st) - count(*)) + 1))
+        |               // (2 * count(*) + 1) AS idf_micro
+        |        FROM tfq GROUP BY term),
+        |contrib AS (SELECT q.query_id, f.doc_id,
+        |  (i.idf_micro * ((f.tf * (1200 + 1000) * 1000) //
+        |    (f.tf * 1000 + ((1200 * ((1000 - 750) +
+        |      ((750 * f.dl * 1000) // (SELECT avgdl_m FROM av)))) // 1000)))) // 1000 AS c
+        |  FROM tfq f JOIN idf i USING (term) JOIN q ON q.term = f.term),
+        |scored AS (SELECT query_id, doc_id, sum(c) AS score_micro FROM contrib GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank
+        |  FROM scored QUALIFY rank <= 10),
+        |qd AS (SELECT * FROM (VALUES
+        |  (0, 'table', 'scan', 'fast'), (1, 'window', 'agg', 'group'),
+        |  (2, 'customer', 'query', 'join'), (3, 'stream', 'batch', 'merge'),
+        |  (4, 'vector', 'hash', 'sort')) v(query_id, w1, w2, w3)),
+        |rel AS (SELECT * FROM (
+        |  SELECT qd.query_id, d.doc_id,
+        |    (CASE WHEN list_contains(t, w1) AND list_contains(t, w2)
+        |               AND list_contains(t, w3) THEN 1 ELSE 0 END)
+        |  + (CASE WHEN len(t) >= 2 AND len(list_filter(range(1, len(t)),
+        |       i -> t[i] = w1 AND t[i+1] = w2)) > 0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN len(t) >= 2 AND len(list_filter(range(1, len(t)),
+        |       i -> t[i] = w2 AND t[i+1] = w3)) > 0 THEN 1 ELSE 0 END) AS rel
+        |  FROM d, qd) r WHERE rel >= 2),
+        |hits AS (SELECT r.query_id, min(r.rank) AS first_rank, count(*) AS n_hits
+        |         FROM ranked r JOIN rel ON rel.query_id = r.query_id
+        |           AND rel.doc_id = r.doc_id GROUP BY 1),
+        |pool AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1)
+        |SELECT CAST(pool.query_id AS BIGINT) AS query_id,
+        |  CAST(n_rel AS BIGINT) AS n_rel,
+        |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(first_rank, -1) AS INTEGER) AS first_rank,
+        |  CAST(CASE WHEN first_rank IS NULL THEN 0
+        |       ELSE 1000 // first_rank END AS BIGINT) AS rr_pm,
+        |  CAST(COALESCE(n_hits, 0) * 1000 // n_rel AS BIGINT) AS recall_pm
+        |FROM pool LEFT JOIN hits ON hits.query_id = pool.query_id
+        |ORDER BY query_id""".stripMargin,
+
+    // mirrors Lexicon.distinctN(ns=1,2,3): in-row gram expansion per n
+    // (1-based inclusive slices match Spark's slice(t, i, n)), gram-keyed
+    // count, distinct/total rollup per (lang, n)
+    "corpus_distinct_n" ->
+      """WITH toks AS (SELECT lang, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |              FROM documents),
+        |g0 AS (SELECT lang, n, t, unnest(range(1, len(t) - n + 2)) AS i
+        |       FROM toks, (VALUES (1), (2), (3)) nn(n) WHERE len(t) >= n),
+        |g AS (SELECT lang, n, array_to_string(t[i:i+n-1], ' ') AS gram FROM g0),
+        |cnt AS (SELECT lang, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3)
+        |SELECT lang, CAST(n AS INTEGER) AS n,
+        |  CAST(sum(c) AS BIGINT) AS total_grams,
+        |  CAST(count(*) AS BIGINT) AS distinct_grams,
+        |  CAST(count(*) * 1000 // sum(c) AS BIGINT) AS distinct_pm
+        |FROM cnt GROUP BY 1, 2 ORDER BY lang, n""".stripMargin,
+
+    // mirrors Graph.labelPropagation(iters=3) over synthSccEdges: the
+    // UNDIRECTED edge set, then three unrolled sync rounds — per round the
+    // per-node argmax label with (count desc, label asc) tie-break via
+    // QUALIFY row_number; isolated nodes keep theirs
+    "graph_communities" ->
+      """WITH nodes AS (SELECT doc_id AS id FROM documents),
+        |nn AS (SELECT count(*) AS n, count(*) - count(*) % 17 AS nfull FROM documents),
+        |raw AS (
+        |  SELECT id AS src, (id - id % 17) + ((id % 17 + 1) % 17) AS dst
+        |  FROM nodes, nn WHERE id < nfull
+        |  UNION ALL SELECT id, (id - id % 17) + ((id % 17 + 5) % 17)
+        |  FROM nodes, nn WHERE id < nfull AND id % 2 = 0
+        |  UNION ALL SELECT id, id + 17 FROM nodes, nn
+        |  WHERE id % 3 = 0 AND id + 17 < nfull
+        |  UNION ALL SELECT id, id - 34 FROM nodes, nn
+        |  WHERE id < nfull AND id % 17 = 4 AND ((id // 17) % 7) = 5 AND id - 34 >= 0
+        |  UNION ALL SELECT id, 0 FROM nodes, nn WHERE id >= nfull),
+        |dedges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |und AS (SELECT src, dst FROM dedges
+        |        UNION SELECT dst AS src, src AS dst FROM dedges),
+        |l0 AS (SELECT id, id AS label FROM nodes),
+        |c1 AS (SELECT u.src, l.label, count(*) AS c FROM und u
+        |       JOIN l0 l ON l.id = u.dst GROUP BY 1, 2),
+        |b1 AS (SELECT src AS id, label FROM c1
+        |       QUALIFY row_number() OVER (PARTITION BY src
+        |         ORDER BY c DESC, label ASC) = 1),
+        |l1 AS (SELECT nodes.id, COALESCE(b1.label, nodes.id) AS label
+        |       FROM nodes LEFT JOIN b1 ON b1.id = nodes.id),
+        |c2 AS (SELECT u.src, l.label, count(*) AS c FROM und u
+        |       JOIN l1 l ON l.id = u.dst GROUP BY 1, 2),
+        |b2 AS (SELECT src AS id, label FROM c2
+        |       QUALIFY row_number() OVER (PARTITION BY src
+        |         ORDER BY c DESC, label ASC) = 1),
+        |l2 AS (SELECT nodes.id, COALESCE(b2.label, nodes.id) AS label
+        |       FROM nodes LEFT JOIN b2 ON b2.id = nodes.id),
+        |c3 AS (SELECT u.src, l.label, count(*) AS c FROM und u
+        |       JOIN l2 l ON l.id = u.dst GROUP BY 1, 2),
+        |b3 AS (SELECT src AS id, label FROM c3
+        |       QUALIFY row_number() OVER (PARTITION BY src
+        |         ORDER BY c DESC, label ASC) = 1),
+        |l3 AS (SELECT nodes.id, COALESCE(b3.label, nodes.id) AS label
+        |       FROM nodes LEFT JOIN b3 ON b3.id = nodes.id)
+        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS community
+        |FROM l3 ORDER BY doc_id""".stripMargin,
+
     // mirrors Retrieval.bm25HardNegatives(kCand=20, kNeg=3): bm25 top-20,
     // positive = lexicographic-min (rank, doc_id) among phrase-rel >= 2,
     // negatives = first 3 rank-ordered candidates WITHOUT a phrase match

@@ -2628,6 +2628,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "retrieval_mrr" -> ((s, dir) => {
+      // rank-position metrics next to nDCG: first relevant rank,
+      // reciprocal rank, success/recall@10 vs the phrase-relevant pool
+      Retrieval.mrrEval(docs(s, dir, "documents"),
+          Retrieval.synthQueries(s), k = 10)
+        .orderBy("query_id")
+    }),
+
+    "corpus_distinct_n" -> ((s, dir) => {
+      // distinct-n diversity per language (Li et al. 2016): one gram-keyed
+      // map-side-combined shuffle per n, vocab-sized rollup
+      graft.ops.Lexicon.distinctN(
+          docs(s, dir, "documents").select(col("lang"), col("text")))
+        .orderBy("lang", "n")
+    }),
+
+    "graph_communities" -> ((s, dir) => {
+      // deterministic synchronous label propagation (3 rounds, smallest-
+      // label tie-break) over the block-structured SCC graph: 16-byte
+      // (node, label) shuffles with map-side combine, struct-min argmax
+      val d = docs(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = d.count()
+      graft.ops.Graph.labelPropagation(
+          d, graft.ops.Graph.synthSccEdges(d, n), iters = 3)
+        .select(col("id").as("doc_id"), col("community"))
+        .orderBy("doc_id")
+    }),
+
     "retrieval_hard_negatives" -> ((s, dir) => {
       // contrastive training pairs, lexical flavor: BM25 top-20 candidates,
       // positive = best phrase-judged hit (rel>=2), hard negatives = top-3

@@ -538,6 +538,49 @@ object Graph {
       .where(col("src") =!= col("dst")).distinct()
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007, the LPA
+    * community-detection baseline), made DETERMINISTIC: labels start as
+    * node ids; each round every node adopts the most frequent label among
+    * its undirected neighbors, ties broken by SMALLEST label (classic LPA
+    * breaks ties randomly — that nondeterminism is exactly what a
+    * retry-safe distributed job cannot have); isolated nodes keep their
+    * own label. A FIXED round count (not a convergence loop) bounds
+    * lineage and lets the oracle unroll the same rounds.
+    *
+    * Scale shape: the symmetrized edge list is computed once and each
+    * round shuffles (node, label) pairs — 16-byte rows with map-side
+    * combine on (node, label) — plus one node-sized argmin aggregate
+    * (lexicographic min of (−count, label): min over structs IS the
+    * deterministic tie-break, no window, no sort). Lineage truncated per
+    * round. Output: (id, community) for every node. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+                       iters: Int = 3): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // reused every round
+    val labels0 = nodes.select(col("id"), col("id").as("label"))
+    var labels = labels0
+    for (_ <- 1 to iters) {
+      val counts = und
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+      val best = counts
+        .groupBy(col("src"))
+        .agg(min(struct((-col("c")).as("negc"), col("label").as("l"))).as("b"))
+        .select(col("src").as("id"), col("b.l").as("label"))
+      val next = nodes.select(col("id"))
+        .join(best, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("label"), col("id")).as("label"))
+        .localCheckpoint(true)
+      if (labels ne labels0) labels.unpersist(false)
+      labels = next
+    }
+    und.unpersist(false)
+    labels.select(col("id"), col("label").as("community"))
+  }
+
   /** Strongly connected components over a directed edge list (`src`,`dst`)
     * → (`id`, `scc_id` = component-minimum id), every node labeled.
     * Forward-backward coloring (the FW-BW-MIN family — Slota et al.,

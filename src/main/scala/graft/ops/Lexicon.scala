@@ -91,6 +91,35 @@ object Lexicon {
           .as("ttr_pm"))
   }
 
+  /** Distinct-n diversity (Li et al. 2016, NAACL — the standard
+    * generation/corpus diversity metric): per (lang, n) the total and
+    * distinct n-gram counts and their permille ratio. A collapsing
+    * distinct-2/3 flags template- or dedup-starved corpora long before a
+    * human reads a sample; per-language rows expose the low-resource tail
+    * where diversity collapses first.
+    *
+    * Shape: one in-row gram expansion per n (guarded so short docs emit
+    * nothing — never a descending `sequence`), then ONE gram-keyed
+    * map-side-combined shuffle per (lang, n); the distinct/total rollup
+    * aggregates the gram-count table, vocab-sized not corpus-sized. */
+  def distinctN(docs: DataFrame, ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    val perN = ns.map { n =>
+      docs.select(col("lang"), toks.as("t"))
+        .select(col("lang"), lit(n).as("n"),
+          explode(when(size(col("t")) >= n,
+            transform(sequence(lit(1), size(col("t")) - (n - 1)),
+              i => concat_ws(" ", slice(col("t"), i, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+    }.reduce(_ unionByName _)
+    perN.groupBy(col("lang"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"), col("n"))
+      .agg(sum(col("c")).as("total_grams"), count(lit(1)).as("distinct_grams"))
+      .select(col("lang"), col("n"), col("total_grams"), col("distinct_grams"),
+        expr("distinct_grams * 1000 div total_grams").as("distinct_pm"))
+  }
+
   /** Inverted-index storage accounting under the standard delta + LEB128
     * varint postings encoding: per term the sorted distinct doc_id list
     * becomes gaps (first entry stored as doc_id+1 so every value ≥ 1),

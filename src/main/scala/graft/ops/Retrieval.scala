@@ -225,6 +225,33 @@ object Retrieval {
     out
   }
 
+  /** Rank-position retrieval metrics vs the phrase-relevant set
+    * (rel ≥ 2 under [[phraseRel]]): per query the first relevant rank,
+    * reciprocal rank (permille, floor), success@k and recall@k — the
+    * metrics reported next to nDCG in every retrieval eval. Queries whose
+    * relevant pool never enters the top-k report first_rank = -1, rr_pm =
+    * 0. Everything after [[bm25TopK]] is candidate-set-sized; integer
+    * arithmetic end to end. Output: (query_id, n_rel, n_hits, first_rank,
+    * rr_pm, recall_pm). */
+  def mrrEval(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val relevant = phraseRel(docs, queries).where(col("rel") >= 2)
+      .localCheckpoint(true) // pool-sized; feeds hits join + pool counts
+    val hits = bm25TopK(docs, queries, k)
+      .join(relevant, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(min(col("rank")).as("first_rank"), count(lit(1)).as("n_hits"))
+    val pool = relevant.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val out = pool.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("first_rank"), lit(-1)).as("first_rank"),
+        when(col("first_rank").isNull, 0L)
+          .otherwise(expr("1000 div first_rank")).as("rr_pm"),
+        expr("coalesce(n_hits, 0L) * 1000 div n_rel").as("recall_pm"))
+    relevant.unpersist(false)
+    out
+  }
+
   /** Deterministic query set over the corpus vocabulary. */
   def synthQueries(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -33,6 +33,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "sketch_hll", "sketch_kmv", "sketch_quantile", "sketch_bloom",
     "heavy_hitters",
     "text_bm25", "retrieval_ndcg", "retrieval_hard_negatives",
+    "retrieval_mrr", "corpus_distinct_n", "graph_communities",
     "text_tfidf_terms", "text_index",
     "text_winnow", "text_rarity", "corpus_ngrams", "corpus_zipf",
     "corpus_heaps", "index_varint_size",
