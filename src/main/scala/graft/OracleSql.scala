@@ -4059,6 +4059,70 @@ object OracleSql {
     // mirrors Classifier.evalConfusion with the round-6 weights: the same
     // recursive fit CTE as quality_perceptron, then sign(x·w) inference
     // and the confusion rollup
+    // mirrors Classifier.calibrationBins over the round-6 fit: same
+    // feature + recursive-fit CTEs as quality_classifier_eval, then the
+    // clamped shifted-linear squash (numerator non-negative, so // and
+    // Spark div agree), fixed-width bins, per-bin reliability row
+    "quality_calibration" ->
+      s"""WITH RECURSIVE labeled AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || repeat(' zq', 200) ELSE text END AS text,
+         |    CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS y
+         |  FROM documents),
+         |toks AS (SELECT doc_id, y, CASE WHEN trim(text) = '' THEN [] ELSE string_split(text, ' ') END AS t FROM labeled),
+         |u AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |uc AS (SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2),
+         |ustats AS (SELECT doc_id, max(c) AS mu, sum(c) AS n,
+         |           sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM uc GROUP BY 1),
+         |feats AS (
+         |  SELECT t.doc_id, t.y,
+         |    CAST(least(coalesce(n, 0), 1000) AS BIGINT) AS x1,
+         |    CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(mu * 1000.0 / n) END AS BIGINT) AS x2,
+         |    CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(dup * 1000.0 / n) END AS BIGINT) AS x3,
+         |    CAST(1000 AS BIGINT) AS x4
+         |  FROM toks t LEFT JOIN ustats USING (doc_id)),
+         |fit(round, w1, w2, w3, w4) AS (
+         |  SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT round + 1,
+         |    w1 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x1 ELSE 0 END), 0) FROM feats),
+         |    w2 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x2 ELSE 0 END), 0) FROM feats),
+         |    w3 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x3 ELSE 0 END), 0) FROM feats),
+         |    w4 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x4 ELSE 0 END), 0) FROM feats)
+         |  FROM fit WHERE round < 6),
+         |fw AS (SELECT w1, w2, w3, w4 FROM fit WHERE round = 6),
+         |sc AS (SELECT y, x1*w1 + x2*w2 + x3*w3 + x4*w4 AS s FROM feats, fw),
+         |scl AS (SELECT greatest(1, coalesce(max(abs(s)), 0) // 500) AS k FROM sc),
+         |pp AS (SELECT y,
+         |    (greatest(-500*k, least(500*k, s)) + 500*k) // k AS p_pm
+         |  FROM sc, scl),
+         |b AS (SELECT y, p_pm, least(p_pm // 100, 9) AS bin FROM pp),
+         |g AS (SELECT bin, count(*) AS n, sum(p_pm) AS sp,
+         |        sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS npos
+         |      FROM b GROUP BY 1)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+         |  CAST(sp // n AS BIGINT) AS mean_pred_pm,
+         |  CAST(npos * 1000 // n AS BIGINT) AS obs_pos_pm,
+         |  CAST(abs(sp // n - npos * 1000 // n) AS BIGINT) AS gap_pm
+         |FROM g ORDER BY bin""".stripMargin,
+
+    // mirrors Relational.ctrSmoothed(m=100, cohorts=40): cohort view/click
+    // counts, global prior permille, m-estimate shrinkage
+    "events_ctr_smoothing" ->
+      """WITH base AS (SELECT user_id % 40 AS cohort,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CASE WHEN sum(views) = 0 THEN 0
+        |        ELSE sum(clicks) * 1000 // sum(views) END AS p0 FROM base)
+        |SELECT CAST(cohort AS BIGINT) AS cohort,
+        |  CAST(views AS BIGINT) AS views, CAST(clicks AS BIGINT) AS clicks,
+        |  CAST(CASE WHEN views = 0 THEN -1
+        |       ELSE clicks * 1000 // views END AS BIGINT) AS raw_pm,
+        |  CAST((clicks * 1000 + 100 * (SELECT p0 FROM g)) // (views + 100)
+        |    AS BIGINT) AS smoothed_pm
+        |FROM base ORDER BY cohort""".stripMargin,
+
     "quality_classifier_eval" ->
       s"""WITH RECURSIVE labeled AS (
          |  SELECT doc_id,

@@ -1955,6 +1955,29 @@ object SparkEntry {
         .orderBy("round")
     }),
 
+    "quality_calibration" -> ((s, dir) => {
+      // reliability diagram of the deployed gate: margins → clamped
+      // permille pseudo-probabilities → ten fixed-width bins (no quantile
+      // sort), mean-predicted vs observed positive rate per bin
+      val feats = Classifier.features(Classifier.corpusWithLabels(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .localCheckpoint(true) // read by the fit rounds AND the scoring pass
+      val last = Classifier.perceptronFit(feats, rounds = 6)
+        .orderBy(col("round").desc).limit(1).collect()(0)
+      val out = Classifier.calibrationBins(feats,
+        (last.getLong(1), last.getLong(2), last.getLong(3), last.getLong(4)))
+        .orderBy("bin")
+      feats.unpersist(false)
+      out
+    }),
+
+    "events_ctr_smoothing" -> ((s, dir) => {
+      // empirical-Bayes m-estimate CTR per user cohort: sparse cohorts
+      // shrink to the global prior; one map-side-combined aggregate
+      graft.ops.Relational.ctrSmoothed(docs(s, dir, "events"))
+        .orderBy("cohort")
+    }),
+
     "text_pii" -> ((s, dir) => {
       TextStats.piiStats(TextStats.corpusWithPii(
         docs(s, dir, "documents").select(col("doc_id"), col("text"))))

@@ -87,6 +87,46 @@ object Classifier {
     trace.toSeq.toDF("round", "w1", "w2", "w3", "w4", "n_mis")
   }
 
+  /** Calibration audit of the frozen classifier — the reliability-diagram
+    * table every deployed gate needs next to P/R: margins squash to a
+    * permille pseudo-probability (clamped linear map, scale = the
+    * corpus-max |margin| so bins spread by construction), fall into ten
+    * FIXED-WIDTH bins (never a corpus-wide quantile sort), and each bin
+    * reports mean predicted vs observed positive rate and their gap.
+    * |gap| summed n-weighted is ECE; the per-bin rows keep the full
+    * diagram. The numerator is shifted non-negative BEFORE the integer
+    * division so Spark's truncating `div` and DuckDB's flooring `//`
+    * agree — divisions on possibly-negative values never happen.
+    *
+    * Scale shape: one codegen'd scoring projection, one 2-long max
+    * aggregate for the scale, one 10-row group-by. */
+  def calibrationBins(feats: DataFrame, w: (Long, Long, Long, Long),
+                      nBins: Int = 10): DataFrame = {
+    val score = col("x1") * w._1 + col("x2") * w._2 +
+      col("x3") * w._3 + col("x4") * w._4
+    val scored = feats.select(col("y"), score.as("s")).localCheckpoint(true)
+    val sMax = scored.agg(coalesce(max(abs(col("s"))), lit(0L)))
+      .head().getLong(0)
+    val scale = math.max(1L, sMax / 500L)
+    val half = 500L * scale
+    val out = scored
+      .select(col("y"),
+        expr(s"(greatest(${-half}L, least(${half}L, s)) + ${half}L) div ${scale}L")
+          .as("p_pm"))
+      .select(col("y"), col("p_pm"),
+        least(expr("p_pm div 100"), lit((nBins - 1).toLong)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("p_pm")).as("sp"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("npos"))
+      .select(col("bin"), col("n"),
+        expr("sp div n").as("mean_pred_pm"),
+        expr("npos * 1000 div n").as("obs_pos_pm"),
+        expr("abs(sp div n - npos * 1000 div n)").as("gap_pm"))
+      .localCheckpoint(true)
+    scored.unpersist(false)
+    out
+  }
+
   /** Classifier EVALUATION — the confusion matrix + integer
     * precision/recall a quality-filter ships with (nobody deploys a
     * corpus gate on training loss alone). Inference is one codegen'd

@@ -93,6 +93,38 @@ object Relational {
     * key and AQE/co-partitioning collapses the Exchanges. No per-user
     * event lists ever materialize. Output: one row per stage with user
     * counts and conversion vs stage 1 in integer permille. */
+  /** Empirical-Bayes counter smoothing (the m-estimate / additive prior —
+    * the standard fix for small-sample rate estimates in ranking and
+    * quality pipelines): per cohort, CTR = clicks/views shrinks toward
+    * the GLOBAL rate with `mPseudo` pseudo-observations —
+    * smoothed_pm = (clicks·1000 + m·p0_pm) div (views + m). Sparse
+    * cohorts collapse to the prior, dense cohorts keep their own rate;
+    * raw_pm = −1 flags zero-view cohorts the raw estimate can't rank at
+    * all. Integer permille end to end.
+    *
+    * Scale shape: one map-side-combined cohort aggregate; the global
+    * prior is a 2-long driver fold broadcast back as a literal. */
+  def ctrSmoothed(events: DataFrame, mPseudo: Long = 100L,
+                  cohorts: Int = 40): DataFrame = {
+    val base = events.select((col("user_id") % cohorts).as("cohort"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("v"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("c"))
+      .groupBy("cohort")
+      .agg(sum(col("v")).as("views"), sum(col("c")).as("clicks"))
+      .localCheckpoint(true) // cohort-sized; feeds prior AND output
+    val g = base.agg(coalesce(sum(col("views")), lit(0L)),
+      coalesce(sum(col("clicks")), lit(0L))).head()
+    val p0pm = if (g.getLong(0) == 0L) 0L else g.getLong(1) * 1000L / g.getLong(0)
+    val out = base.select(col("cohort"), col("views"), col("clicks"),
+        expr("CASE WHEN views = 0 THEN -1 ELSE clicks * 1000 div views END")
+          .as("raw_pm"),
+        expr(s"(clicks * 1000 + ${mPseudo}L * ${p0pm}L) div (views + ${mPseudo}L)")
+          .as("smoothed_pm"))
+      .localCheckpoint(true)
+    base.unpersist(false)
+    out
+  }
+
   def funnel(events: DataFrame,
              stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     var cur = events.where(col("event_type") === stages.head)

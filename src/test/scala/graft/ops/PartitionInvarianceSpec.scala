@@ -40,7 +40,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "events_sessionize", "events_funnel", "events_retention",
     "url_dedup", "url_domain_stats", "mirror_domains", "redirect_resolve",
     "sample_priority", "sample_quota", "split_holdout", "corpus_pack",
-    "quality_dsir", "quality_perceptron")
+    "quality_dsir", "quality_perceptron", "quality_calibration",
+    "events_ctr_smoothing")
 
   /** Canonical dump: JSON rows sorted — order- and layout-free. */
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
