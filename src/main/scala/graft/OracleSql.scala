@@ -2803,6 +2803,24 @@ object OracleSql {
         |  CAST(score_micro AS BIGINT) AS score_micro, CAST(rank AS INTEGER) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // pins the poison-audit outcomes: every hostile payload class must
+    // come back as exactly this row — a changed outcome (or a missing one,
+    // i.e. a crash/hang) fails the gate. healthy/truncated rows also pin
+    // recovered page and char counts.
+    "extract_poison_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('poison://flate_bomb', true, '', 1, CAST(0 AS BIGINT)),
+        |  ('poison://garbage', false, 'FORMAT', 0, CAST(0 AS BIGINT)),
+        |  ('poison://healthy', true, '', 3, CAST(33 AS BIGINT)),
+        |  ('poison://nest_bomb', false, 'FORMAT', 0, CAST(0 AS BIGINT)),
+        |  ('poison://no_header', false, 'FORMAT', 0, CAST(0 AS BIGINT)),
+        |  ('poison://page_cycle', true, '', 0, CAST(0 AS BIGINT)),
+        |  ('poison://truncated_10', true, '', 0, CAST(0 AS BIGINT)),
+        |  ('poison://truncated_50', true, '', 2, CAST(22 AS BIGINT)),
+        |  ('poison://truncated_90', true, '', 3, CAST(33 AS BIGINT))
+        |) v(url, ok, err_code, n_pages, n_chars)
+        |ORDER BY url""".stripMargin,
+
     // mirrors Retrieval.mrrEval(k=10): bm25 top-10 joined to the phrase-
     // relevant pool (rel >= 2), first-rank / reciprocal-rank / recall
     "retrieval_mrr" ->

@@ -1331,6 +1331,22 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    "extract_poison_audit" -> ((s, _) => {
+      import s.implicits._
+      // adversarial-corpus audit as a first-class gate: every hostile
+      // payload class (nest bomb, flate bomb, page-tree cycle,
+      // truncations, non-PDF bytes) must come back as a clean row from
+      // the REAL pipeline — the oracle pins the exact per-class outcome
+      val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      val rows = graft.spark.SynthFixtures.poisonCorpus.map { case (n, b) =>
+        PageRow(s"poison://$n", ts, b, null, "xx") }
+      val pages = s.createDataset(rows)
+      ExtractPipeline.extract(pages)
+        .select(col("url"), col("ok"), col("err_code"), col("n_pages"),
+          col("n_chars"))
+        .orderBy("url")
+    }),
+
     "pdf_unsupported" -> ((s, _) => {
       import s.implicits._
       // PdfUnspHandler analog (reference unsupported.py:15; feature names

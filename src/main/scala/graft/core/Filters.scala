@@ -10,6 +10,10 @@ package graft.core
 object Filters {
 
   final case class FilterException(msg: String) extends RuntimeException(msg)
+  /** Decompression-bomb cap hit — deliberately NOT a FilterException so
+    * lenient corrupt-stream fallbacks (e.g. flate's raw-deflate retry)
+    * never re-decode the bomb; propagates to the document error model. */
+  final case class DecodeCapException(msg: String) extends RuntimeException(msg)
 
   /** zlib-deflate (writer-side encoder for FlateDecode payloads). */
   def deflate(data: Array[Byte]): Array[Byte] = {
@@ -95,14 +99,29 @@ object Filters {
     // tolerate leading garbage: find zlib header if the first attempt fails
     try inflateAll(inf, in)
     catch {
+      case cap: DecodeCapException => throw cap
       case _: Exception =>
         // raw deflate fallback (some generators omit the zlib wrapper)
         val inf2 = new java.util.zip.Inflater(true)
         try inflateAll(inf2, in)
-        catch { case _: Exception => throw FilterException("flate: corrupt stream") }
+        catch {
+          case cap: DecodeCapException => throw cap
+          case _: Exception => throw FilterException("flate: corrupt stream")
+        }
         finally inf2.end()
     } finally inf.end()
   }
+
+  /** Absolute per-stage decode-output cap. Deflate's ~1000:1 ratio turns
+    * a 1 MB payload into ~1 GB of heap, and /Filter CHAINS compound it —
+    * the classic decompression bomb, and on a shared executor one
+    * poisoned row's OOM kills every other task in the JVM. 256 MiB is far
+    * above any legitimate page stream (the biggest reference-corpus
+    * stream is <8 MB decoded) and far below the per-task heap budget;
+    * exceeding it throws FilterException → an (ok=false, errCode) row,
+    * never an executor death. Applied to the unbounded expanders (flate,
+    * LZW, run-length); ASCII filters contract or expand ≤4/5-bounded. */
+  private[core] val MaxDecodedBytes: Int = 1 << 28
 
   private def inflateAll(inf: java.util.zip.Inflater, in: Array[Byte]): Array[Byte] = {
     inf.setInput(in)
@@ -111,7 +130,11 @@ object Filters {
     var finished = false
     while (!finished) {
       val n = inf.inflate(buf)
-      if (n > 0) out.write(buf, 0, n)
+      if (n > 0) {
+        if (out.size() + n > MaxDecodedBytes)
+          throw DecodeCapException(s"flate: output exceeds $MaxDecodedBytes bytes")
+        out.write(buf, 0, n)
+      }
       else if (inf.finished() || inf.needsDictionary()) finished = true
       else if (inf.needsInput()) {
         // truncated stream: keep what we decoded (lenient, like PDFium)
@@ -181,6 +204,8 @@ object Filters {
     var i = 0
     var done = false
     while (i < in.length && !done) {
+      if (out.size() > MaxDecodedBytes)
+        throw DecodeCapException(s"runlength: output exceeds $MaxDecodedBytes bytes")
       val l = in(i) & 0xff
       i += 1
       if (l == 128) done = true
@@ -228,6 +253,8 @@ object Filters {
             else if (prev != null) prev :+ prev(0)
             else { done = true; Array.emptyByteArray }
           if (!done) {
+            if (out.size() + entry.length > MaxDecodedBytes)
+              throw DecodeCapException(s"lzw: output exceeds $MaxDecodedBytes bytes")
             out.write(entry, 0, entry.length)
             if (prev != null && dictSize < 4096) {
               dict(dictSize) = prev :+ entry(0)

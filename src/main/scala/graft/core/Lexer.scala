@@ -11,6 +11,17 @@ package graft.core
 final class Lexer(val data: Array[Byte], var pos: Int) {
   def this(data: Array[Byte]) = this(data, 0)
 
+  /** Container-nesting depth of the current parseObject descent. The
+    * recursive-descent parser otherwise turns a crafted `[[[[…` payload
+    * into a StackOverflowError — an Error, NOT an Exception, so it would
+    * sail past every per-document catch and kill the task (and, retried,
+    * the 100-TB job). Real PDFs nest a handful of levels; PDFium's own
+    * syntax parser enforces a comparable constant (kMaxNestedParsingLevel).
+    * Exceeding the bound throws a plain Exception that the document-level
+    * error model converts to an (ok=false, FORMAT) row. */
+  private var nest = 0
+  private val MaxNest = 256
+
   @inline def atEnd: Boolean = pos >= data.length
   @inline def peek: Int = if (pos < data.length) data(pos) & 0xff else -1
   @inline def peekAt(off: Int): Int =
@@ -141,14 +152,24 @@ final class Lexer(val data: Array[Byte], var pos: Int) {
       case '(' => readLiteralString()
       case '[' =>
         pos += 1
+        nest += 1
+        if (nest > MaxNest)
+          throw new IllegalStateException(s"container nesting > $MaxNest")
         val items = Vector.newBuilder[PdfObject]
         skipWs()
         while (!atEnd && peek != ']') { items += parseObject(resolveLen); skipWs() }
         if (peek == ']') pos += 1
+        nest -= 1
         PdfArray(items.result())
       case '<' =>
-        if (peekAt(1) == '<') parseDictOrStream(resolveLen)
-        else readHexString()
+        if (peekAt(1) == '<') {
+          nest += 1
+          if (nest > MaxNest)
+            throw new IllegalStateException(s"container nesting > $MaxNest")
+          val r = parseDictOrStream(resolveLen)
+          nest -= 1
+          r
+        } else readHexString()
       case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
         parseNumberOrRef()
       case _ =>

@@ -6,6 +6,71 @@ import graft.core.RawPdf
   * document structures absent from the reference corpus. */
 object SynthFixtures {
 
+  /** Deterministic hostile corpus for the poison-audit query — each case
+    * is a payload class a 10^12-row Common-Crawl scan WILL contain, and
+    * each must come back as a clean (ok=false, errCode) row or a degraded
+    * parse, NEVER a thrown Error, an OOM, or an executor death:
+    *  - nest_bomb: 100k-deep `[[[[…` — without the Lexer nesting guard
+    *    this is a StackOverflowError (an Error, invisible to
+    *    catch-Exception) that kills the task and, retried, the job;
+    *  - flate_bomb: 2 GB of zeros deflated to ~2 MB — without the decode
+    *    cap this OOMs the shared executor JVM;
+    *  - page_cycle: a /Pages tree whose Kids loops back to its root;
+    *  - truncated_10/50/90: the same healthy doc cut at 10/50/90% —
+    *    90% keeps enough xref to recover (ok with recovery), short cuts
+    *    must fail cleanly;
+    *  - no_header / garbage: not a PDF at all;
+    *  - healthy: the uncorrupted control row. */
+  lazy val poisonCorpus: Seq[(String, Array[Byte])] = {
+    val healthy = graft.core.SynthPdf.multiPage(3)
+    def truncated(pct: Int) = healthy.take(healthy.length * pct / 100)
+    val nestBomb = {
+      val sb = new StringBuilder("%PDF-1.7\n1 0 obj\n")
+      sb.append("[" * 100000).append("]" * 100000)
+      sb.append("\nendobj\ntrailer<</Root 1 0 R>>\n%%EOF")
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    val flateBomb = {
+      // deflate 256 MB + 1 MiB of zeros in streaming windows (heap-light
+      // to BUILD; the attack is on the decoder)
+      val d = new java.util.zip.Deflater(9)
+      val out = new java.io.ByteArrayOutputStream(1 << 20)
+      val zeros = new Array[Byte](1 << 20)
+      val buf = new Array[Byte](1 << 16)
+      var fed = 0L
+      val total = (1L << 28) + (1L << 20)
+      while (fed < total) {
+        d.setInput(zeros)
+        while (!d.needsInput()) out.write(buf, 0, d.deflate(buf))
+        fed += zeros.length
+      }
+      d.finish()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      val z = out.toByteArray
+      graft.core.RawPdf.assemble(Seq(
+        "<</Type/Catalog/Pages 2 0 R>>",
+        "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        "<</Type/Page/Parent 2 0 R/MediaBox[0 0 200 200]/Contents 4 0 R>>",
+        s"<</Length ${z.length}/Filter/FlateDecode>>\nstream\n" +
+          new String(z, java.nio.charset.StandardCharsets.ISO_8859_1) + "\nendstream"))
+    }
+    val pageCycle = graft.core.RawPdf.assemble(Seq(
+      "<</Type/Catalog/Pages 2 0 R>>",
+      "<</Type/Pages/Kids[3 0 R]/Count 2>>",
+      "<</Type/Pages/Parent 2 0 R/Kids[2 0 R]/Count 1>>"))
+    Seq(
+      "healthy" -> healthy,
+      "truncated_90" -> truncated(90),
+      "truncated_50" -> truncated(50),
+      "truncated_10" -> truncated(10),
+      "no_header" -> "this is not a pdf at all, just plain text".getBytes("UTF-8"),
+      "garbage" -> Array.tabulate[Byte](4096)(i => ((i * 131 + 7) % 251).toByte),
+      "nest_bomb" -> nestBomb,
+      "flate_bomb" -> flateBomb,
+      "page_cycle" -> pageCycle)
+  }
+
   /** One page carrying every structure the reference's PdfUnspHandler
     * surface reports (unsupported.py:15; names internal/consts.py:149-166):
     * XFA AcroForm, catalog /Collection, shared-form XMP (adhocwf
