@@ -2803,6 +2803,33 @@ object OracleSql {
         |  CAST(score_micro AS BIGINT) AS score_micro, CAST(rank AS INTEGER) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // pins the conformance triage rows for the three synthesized classes
+    "pdf_conformance" ->
+      """SELECT * FROM (VALUES
+        |  ('synthetic://pdfa1b.pdf', '1', 'B', true, 'en-US', 1),
+        |  ('synthetic://plain.pdf', '', '', false, '', 0),
+        |  ('synthetic://tagged.pdf', '', '', true, '', 0)
+        |) v(url, pdfa_part, pdfa_conformance, tagged, lang, n_output_intents)
+        |ORDER BY url""".stripMargin,
+
+    // mirrors Similarity.semanticDecontaminate(nEval=20, threshold=0.8):
+    // identical sequential cosine fold, argmax by (sim desc, eval_id asc)
+    "decontaminate_semantic" ->
+      """WITH q AS (SELECT vec_id AS eval_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id >= 20),
+        |scored AS (
+        |  SELECT vec_id, eval_id,
+        |    list_aggregate(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(range(1, len(ce)+1), i -> CAST(ce[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE)), 'sum'))) AS cos
+        |  FROM c CROSS JOIN q),
+        |best AS (SELECT vec_id, eval_id, cos,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id ASC) AS rn
+        |  FROM scored)
+        |SELECT vec_id, CAST(eval_id AS BIGINT) AS nearest_eval,
+        |  round(cos, 4) AS max_cos, cos >= 0.8 AS contaminated
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
     // pins the poison-audit outcomes: every hostile payload class must
     // come back as exactly this row — a changed outcome (or a missing one,
     // i.e. a crash/hang) fails the gate. healthy/truncated rows also pin

@@ -1331,6 +1331,36 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    "pdf_conformance" -> ((s, _) => {
+      import s.implicits._
+      // archival/accessibility routing facts per doc: PDF/A claim (XMP
+      // pdfaid), Tagged flag, catalog language, output intents — one
+      // narrow typed map over the payloads, pinned VALUES oracle
+      val corpus = Seq(
+        "synthetic://pdfa1b.pdf" -> graft.spark.SynthFixtures.pdfaPdf,
+        "synthetic://tagged.pdf" -> graft.spark.SynthFixtures.taggedPdf,
+        "synthetic://plain.pdf" -> graft.core.SynthPdf.multiPage(1))
+      s.createDataset(corpus).map { case (url, bytes) =>
+        graft.core.PdfDocument.load(bytes, "") match {
+          case Right(doc) =>
+            val (part, conf, tagged, lang, nOI) = graft.core.Reports.conformance(doc)
+            (url, part, conf, tagged, lang, nOI)
+          case Left(_) => (url, "", "", false, "", 0)
+        }
+      }.toDF("url", "pdfa_part", "pdfa_conformance", "tagged", "lang",
+        "n_output_intents")
+        .orderBy("url")
+    }),
+
+    "decontaminate_semantic" -> ((s, dir) => {
+      // paraphrase-robust eval decontamination: 20 broadcast eval vectors
+      // × corpus scan, fused codegen cosines, per-doc argmax — flags docs
+      // an exact n-gram check misses
+      graft.ops.Similarity.semanticDecontaminate(
+          docs(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+        .orderBy("vec_id")
+    }),
+
     "extract_poison_audit" -> ((s, _) => {
       import s.implicits._
       // adversarial-corpus audit as a first-class gate: every hostile

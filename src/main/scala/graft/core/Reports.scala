@@ -256,6 +256,32 @@ object Reports {
       .distinct
       .map { case (bn, fam, emb, w) => (bn, fam, emb, w) }
   }
+  /** Conformance / accessibility triage per document — the routing facts a
+    * corpus pipeline reads before deciding whether a PDF is archival-grade
+    * (PDF/A via XMP pdfaid), screen-reader-usable (Tagged PDF via
+    * MarkInfo/Marked, §14.7), language-labeled (catalog /Lang, §14.9.2),
+    * and color-managed (OutputIntents, §14.11.5). Returns
+    * (pdfa_part, pdfa_conformance, tagged, lang, n_output_intents);
+    * absent facts are empty/false/0, never errors. */
+  def conformance(doc: PdfDocument): (String, String, Boolean, String, Int) = {
+    val props = Xmp.fromDocument(doc).toMap
+    val part = props.getOrElse("pdfaid:part", "")
+    val conf = props.getOrElse("pdfaid:conformance", "")
+    val cat = doc.catalog
+    val tagged = doc.get(cat, "MarkInfo") match {
+      case d: PdfDict => doc.get(d, "Marked") == PdfBool(true)
+      case _ => false
+    }
+    val lang = doc.get(cat, "Lang") match {
+      case s: PdfString => s.asText
+      case _ => ""
+    }
+    val nOI = doc.get(cat, "OutputIntents") match {
+      case PdfArray(items) => items.length
+      case _ => 0
+    }
+    (part, conf, tagged, lang, nOI)
+  }
 }
 
 /** Device↔page coordinate transforms (reference page.py device coords,

@@ -20,7 +20,8 @@ object Xmp {
   val Props: Vector[String] = Vector(
     "dc:title", "dc:creator", "dc:description", "dc:subject",
     "xmp:CreateDate", "xmp:ModifyDate", "xmp:CreatorTool",
-    "pdf:Producer", "pdf:Keywords", "xmpMM:DocumentID")
+    "pdf:Producer", "pdf:Keywords", "xmpMM:DocumentID",
+    "pdfaid:part", "pdfaid:conformance")
 
   private val MaxPacket = 1 << 20 // bounded scan: 1 MiB of XMP is plenty
 

@@ -647,4 +647,33 @@ object Similarity {
     vecs.unpersist(false)
     out
   }
+
+  /** Semantic benchmark decontamination — the embedding twin of
+    * TextStats' exact n-gram decontaminate: a SMALL eval set (vec_id <
+    * nEval) broadcasts against the corpus scan, every corpus vector gets
+    * its max cosine over the eval set plus the nearest eval id
+    * (deterministic argmax: struct-min over (−cos, eval_id) — ties take
+    * the smallest id), and `contaminated` flags max_cos ≥ threshold.
+    * Paraphrased eval leakage survives exact 13-gram checks but not this.
+    *
+    * Scale shape: eval vectors are a broadcast literal-sized relation
+    * (benchmarks are thousands of rows, not billions); the corpus side is
+    * ONE narrow pass — |eval| codegen'd cosines per row fused in the
+    * scan projection, zero shuffle beyond the per-doc argmax combine.
+    * Cosines replay bit-identically in the oracle (same sequential fold),
+    * so the flag is exact. */
+  def semanticDecontaminate(embeddings: DataFrame, nEval: Int = 20,
+                            threshold: Double = 0.8): DataFrame = {
+    val evals = embeddings.where(col("vec_id") < nEval)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("qe"))
+    val corpus = embeddings.where(col("vec_id") >= nEval)
+      .select(col("vec_id"), col("embedding").as("ce"))
+    corpus.crossJoin(broadcast(evals))
+      .select(col("vec_id"), col("eval_id"), cosineCol.as("cos"))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("cos")).as("nc"), col("eval_id").as("eid"))).as("m"))
+      .select(col("vec_id"), col("m.eid").as("nearest_eval"),
+        round(-col("m.nc"), 4).as("max_cos"),
+        (-col("m.nc") >= threshold).as("contaminated"))
+  }
 }

@@ -6,6 +6,36 @@ import graft.core.RawPdf
   * document structures absent from the reference corpus. */
 object SynthFixtures {
 
+  /** PDF/A-1b-declaring document: XMP pdfaid part/conformance, Tagged
+    * (MarkInfo/Marked true), catalog /Lang, one OutputIntent — the
+    * archival-grade routing positive for [[graft.core.Reports.conformance]]. */
+  lazy val pdfaPdf: Array[Byte] = {
+    val xmp =
+      """<?xpacket begin="" id="W5M0MpCehiHzreSzNTczkc9d"?>
+        |<x:xmpmeta xmlns:x="adobe:ns:meta/">
+        | <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+        |  <rdf:Description rdf:about="" xmlns:pdfaid="http://www.aiim.org/pdfa/ns/id/">
+        |   <pdfaid:part>1</pdfaid:part>
+        |   <pdfaid:conformance>B</pdfaid:conformance>
+        |  </rdf:Description>
+        | </rdf:RDF>
+        |</x:xmpmeta>
+        |<?xpacket end="w"?>""".stripMargin
+    RawPdf.assemble(Seq(
+      "<</Type/Catalog/Pages 2 0 R/Metadata 4 0 R/MarkInfo<</Marked true>>" +
+        "/Lang(en-US)/OutputIntents[5 0 R]>>",
+      "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+      "<</Type/Page/Parent 2 0 R/MediaBox[0 0 200 200]>>",
+      s"<</Type/Metadata/Subtype/XML/Length ${xmp.length}>>\nstream\n$xmp\nendstream",
+      "<</Type/OutputIntent/S/GTS_PDFA1/OutputConditionIdentifier(sRGB)>>"))
+  }
+
+  /** Tagged-only document (Marked true, no PDF/A claim, no /Lang). */
+  lazy val taggedPdf: Array[Byte] = RawPdf.assemble(Seq(
+    "<</Type/Catalog/Pages 2 0 R/MarkInfo<</Marked true>>>>",
+    "<</Type/Pages/Kids[3 0 R]/Count 1>>",
+    "<</Type/Page/Parent 2 0 R/MediaBox[0 0 200 200]>>"))
+
   /** Deterministic hostile corpus for the poison-audit query — each case
     * is a payload class a 10^12-row Common-Crawl scan WILL contain, and
     * each must come back as a clean (ok=false, errCode) row or a degraded

@@ -27,7 +27,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "dedup_jaccard_block", "dedup_paragraph", "dedup_substring_spans",
     "dedup_cdc", "dedup_keeper",
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_pq_adc",
-    "embedding_pq", "dedup_semantic",
+    "embedding_pq", "dedup_semantic", "decontaminate_semantic",
     "graph_scc", "graph_kcore", "graph_triangles", "graph_hyperball",
     "graph_bowtie", "domain_rank", "domain_trustrank",
     "sketch_hll", "sketch_kmv", "sketch_quantile", "sketch_bloom",
