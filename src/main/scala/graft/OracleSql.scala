@@ -2836,6 +2836,7 @@ object OracleSql {
     // recovered page and char counts.
     "extract_poison_audit" ->
       """SELECT * FROM (VALUES
+        |  ('poison://array_bomb', false, 'FORMAT', 0, CAST(0 AS BIGINT)),
         |  ('poison://flate_bomb', true, '', 1, CAST(0 AS BIGINT)),
         |  ('poison://garbage', false, 'FORMAT', 0, CAST(0 AS BIGINT)),
         |  ('poison://healthy', true, '', 3, CAST(33 AS BIGINT)),

@@ -22,6 +22,16 @@ final class Lexer(val data: Array[Byte], var pos: Int) {
   private var nest = 0
   private val MaxNest = 256
 
+  /** Per-container element cap. A decode-capped 256 MiB stream can still
+    * encode ~128M two-byte tokens; parsed into one PdfArray that is
+    * multiple GB of boxed objects — an OOM the nesting guard doesn't see.
+    * Legitimate ceilings are orders of magnitude lower (the largest real
+    * arrays — flat /Kids, Type0 /W — run to the tens of thousands), so
+    * 4M elements / 1M dict entries cuts only crafted payloads; exceeding
+    * throws the same catchable format error as the nesting guard. */
+  private val MaxArrayElems = 4 << 20
+  private val MaxDictEntries = 1 << 20
+
   @inline def atEnd: Boolean = pos >= data.length
   @inline def peek: Int = if (pos < data.length) data(pos) & 0xff else -1
   @inline def peekAt(off: Int): Int =
@@ -156,8 +166,15 @@ final class Lexer(val data: Array[Byte], var pos: Int) {
         if (nest > MaxNest)
           throw new IllegalStateException(s"container nesting > $MaxNest")
         val items = Vector.newBuilder[PdfObject]
+        var nItems = 0
         skipWs()
-        while (!atEnd && peek != ']') { items += parseObject(resolveLen); skipWs() }
+        while (!atEnd && peek != ']') {
+          items += parseObject(resolveLen)
+          nItems += 1
+          if (nItems > MaxArrayElems)
+            throw new IllegalStateException(s"array > $MaxArrayElems elements")
+          skipWs()
+        }
         if (peek == ']') pos += 1
         nest -= 1
         PdfArray(items.result())
@@ -230,6 +247,7 @@ final class Lexer(val data: Array[Byte], var pos: Int) {
   private def parseDictOrStream(resolveLen: PdfObject => Option[Long]): PdfObject = {
     pos += 2 // <<
     val entries = Map.newBuilder[String, PdfObject]
+    var nEntries = 0
     skipWs()
     var done = false
     while (!atEnd && !done) {
@@ -239,6 +257,9 @@ final class Lexer(val data: Array[Byte], var pos: Int) {
         val key = readName().name
         val value = parseObject(resolveLen)
         entries += key -> value
+        nEntries += 1
+        if (nEntries > MaxDictEntries)
+          throw new IllegalStateException(s"dict > $MaxDictEntries entries")
       } else {
         pos += 1 // junk inside dict: skip byte (lenient)
       }

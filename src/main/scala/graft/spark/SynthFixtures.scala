@@ -89,6 +89,15 @@ object SynthFixtures {
       "<</Type/Catalog/Pages 2 0 R>>",
       "<</Type/Pages/Kids[3 0 R]/Count 2>>",
       "<</Type/Pages/Parent 2 0 R/Kids[2 0 R]/Count 1>>"))
+    val arrayBomb = {
+      // 5M-element flat array (~10 MB payload): parsed into boxed objects
+      // it would be GBs of heap — the Lexer element cap must reject it
+      val sb = new StringBuilder("%PDF-1.7\n1 0 obj\n[")
+      var i = 0
+      while (i < 5000000) { sb.append("0 "); i += 1 }
+      sb.append("]\nendobj\ntrailer<</Root 1 0 R>>\n%%EOF")
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
     Seq(
       "healthy" -> healthy,
       "truncated_90" -> truncated(90),
@@ -97,6 +106,7 @@ object SynthFixtures {
       "no_header" -> "this is not a pdf at all, just plain text".getBytes("UTF-8"),
       "garbage" -> Array.tabulate[Byte](4096)(i => ((i * 131 + 7) % 251).toByte),
       "nest_bomb" -> nestBomb,
+      "array_bomb" -> arrayBomb,
       "flate_bomb" -> flateBomb,
       "page_cycle" -> pageCycle)
   }

@@ -28,6 +28,31 @@ class Wave91HardeningSpec extends AnyFunSuite {
     assert(ms < 5000, s"nest bomb took ${ms}ms — guard not engaging")
   }
 
+  test("lexer: 5M-element flat array hits the element cap as FORMAT") {
+    val bomb = graft.spark.SynthFixtures.poisonCorpus.toMap.apply("array_bomb")
+    val r = Extract.extractText(bomb)
+    assert(!r.ok && r.errCode == ErrCodes.Format)
+    // boundary: a 1000-element array is far under the cap and parses
+    val small = ("[" + ("1 " * 1000) + "]").getBytes("ISO-8859-1")
+    val o = new Lexer(small).parseObject()
+    assert(o.asInstanceOf[PdfArray].items.length == 1000)
+  }
+
+  test("lexer: 2M-entry dict is rejected, normal dicts parse") {
+    val ok = new Lexer("<</A 1/B 2>>".getBytes("ISO-8859-1")).parseObject()
+    assert(ok.asInstanceOf[PdfDict].entries.size == 2)
+    // build just over the cap cheaply? 1M+ entries is a ~10 MB string —
+    // acceptable for one spec
+    val sb = new StringBuilder("<<")
+    var i = 0
+    while (i <= (1 << 20)) { sb.append("/K").append(i).append(" 1 "); i += 1 }
+    sb.append(">>")
+    val e = intercept[Exception] {
+      new Lexer(sb.toString.getBytes("ISO-8859-1")).parseObject()
+    }
+    assert(e.getMessage.contains("entries"))
+  }
+
   test("flate: decompression bomb hits the output cap, not the heap") {
     // 300 MiB of zeros deflates to ~300 KB; decode must throw the cap
     // exception (NOT the corrupt-stream fallback, which would re-inflate)
