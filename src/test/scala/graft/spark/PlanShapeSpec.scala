@@ -182,6 +182,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("emb_abtt", maxExchange = 1)
   }
 
+  test("waves 88-93: retrieval metrics bounded by the candidate stage; audits stay at the display sort") {
+    // bm25-based evals: every exchange is df-bounded candidate/pool data —
+    // the corpus contributes only the narrow tf pass (measured 8)
+    assertShape("retrieval_ndcg", maxExchange = 9)
+    assertShape("retrieval_mrr", maxExchange = 9)
+    // negatives: final assembly after the checkpointed candidate set
+    assertShape("retrieval_hard_negatives", maxExchange = 2)
+    // one gram-keyed shuffle per n plus rollup
+    assertShape("corpus_distinct_n", maxExchange = 4)
+    // LPA rounds materialize via localCheckpoint; the tail is one sort
+    assertShape("graph_communities", maxExchange = 2)
+    assertShape("quality_calibration", maxExchange = 2)
+    assertShape("events_ctr_smoothing", maxExchange = 2)
+    // broadcast evals: corpus-side scan + per-doc argmax + display sort
+    assertShape("decontaminate_semantic", maxExchange = 4)
+    assertShape("pdf_conformance", maxExchange = 2)
+    assertShape("extract_poison_audit", maxExchange = 2)
+  }
+
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
     val pages = PagesTable.synthesize(spark, 16, 4)
     // default path: payload parsed where produced, zero Exchange
