@@ -4105,6 +4105,128 @@ object OracleSql {
     // mirrors Classifier.evalConfusion with the round-6 weights: the same
     // recursive fit CTE as quality_perceptron, then sign(x·w) inference
     // and the confusion rollup
+    // mirrors Graph.coreness over synthSccEdges: undirected edges, degree
+    // start, TEN unrolled h-index rounds — the iteration is stationary at
+    // its fixpoint, so extra rounds are no-ops; Spark's convergence loop
+    // reached the same fixpoint (signature-stable) in fewer rounds
+    "graph_coreness" ->
+      """WITH nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+        |nn AS (SELECT count(*) AS n, count(*) - count(*) % 17 AS nfull FROM documents),
+        |raw AS (
+        |  SELECT id AS src, (id - id % 17) + ((id % 17 + 1) % 17) AS dst
+        |  FROM nodes, nn WHERE id < nfull
+        |  UNION ALL SELECT id, (id - id % 17) + ((id % 17 + 5) % 17)
+        |  FROM nodes, nn WHERE id < nfull AND id % 2 = 0
+        |  UNION ALL SELECT id, id + 17 FROM nodes, nn
+        |  WHERE id % 3 = 0 AND id + 17 < nfull
+        |  UNION ALL SELECT id, id - 34 FROM nodes, nn
+        |  WHERE id < nfull AND id % 17 = 4 AND ((id // 17) % 7) = 5 AND id - 34 >= 0
+        |  UNION ALL SELECT id, 0 FROM nodes, nn WHERE id >= nfull),
+        |dedges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |und AS MATERIALIZED (SELECT src, dst FROM dedges
+        |        UNION SELECT dst AS src, src AS dst FROM dedges),
+        |deg AS (SELECT src AS id, count(*) AS h FROM und GROUP BY 1),
+        |h0 AS (SELECT nodes.id, coalesce(deg.h, 0) AS h
+        |       FROM nodes LEFT JOIN deg USING (id)),
+        |hi1 AS (SELECT src, max(CASE WHEN hv >= rn THEN rn ELSE 0 END) AS hi FROM (
+        |  SELECT u.src, l.h AS hv,
+        |    row_number() OVER (PARTITION BY u.src ORDER BY l.h DESC, u.dst ASC) AS rn
+        |  FROM und u JOIN h0 l ON l.id = u.dst) t GROUP BY src),
+        |h1 AS (SELECT h0.id, least(h0.h, coalesce(hi1.hi, 0)) AS h
+        |       FROM h0 LEFT JOIN hi1 ON hi1.src = h0.id),
+        |hi2 AS (SELECT src, max(CASE WHEN hv >= rn THEN rn ELSE 0 END) AS hi FROM (
+        |  SELECT u.src, l.h AS hv,
+        |    row_number() OVER (PARTITION BY u.src ORDER BY l.h DESC, u.dst ASC) AS rn
+        |  FROM und u JOIN h1 l ON l.id = u.dst) t GROUP BY src),
+        |h2 AS (SELECT h1.id, least(h1.h, coalesce(hi2.hi, 0)) AS h
+        |       FROM h1 LEFT JOIN hi2 ON hi2.src = h1.id),
+        |hi3 AS (SELECT src, max(CASE WHEN hv >= rn THEN rn ELSE 0 END) AS hi FROM (
+        |  SELECT u.src, l.h AS hv,
+        |    row_number() OVER (PARTITION BY u.src ORDER BY l.h DESC, u.dst ASC) AS rn
+        |  FROM und u JOIN h2 l ON l.id = u.dst) t GROUP BY src),
+        |h3 AS (SELECT h2.id, least(h2.h, coalesce(hi3.hi, 0)) AS h
+        |       FROM h2 LEFT JOIN hi3 ON hi3.src = h2.id),
+        |hi4 AS (SELECT src, max(CASE WHEN hv >= rn THEN rn ELSE 0 END) AS hi FROM (
+        |  SELECT u.src, l.h AS hv,
+        |    row_number() OVER (PARTITION BY u.src ORDER BY l.h DESC, u.dst ASC) AS rn
+        |  FROM und u JOIN h3 l ON l.id = u.dst) t GROUP BY src),
+        |h4 AS (SELECT h3.id, least(h3.h, coalesce(hi4.hi, 0)) AS h
+        |       FROM h3 LEFT JOIN hi4 ON hi4.src = h3.id),
+        |hi5 AS (SELECT src, max(CASE WHEN hv >= rn THEN rn ELSE 0 END) AS hi FROM (
+        |  SELECT u.src, l.h AS hv,
+        |    row_number() OVER (PARTITION BY u.src ORDER BY l.h DESC, u.dst ASC) AS rn
+        |  FROM und u JOIN h4 l ON l.id = u.dst) t GROUP BY src),
+        |h5 AS (SELECT h4.id, least(h4.h, coalesce(hi5.hi, 0)) AS h
+        |       FROM h4 LEFT JOIN hi5 ON hi5.src = h4.id),
+        |hi6 AS (SELECT src, max(CASE WHEN hv >= rn THEN rn ELSE 0 END) AS hi FROM (
+        |  SELECT u.src, l.h AS hv,
+        |    row_number() OVER (PARTITION BY u.src ORDER BY l.h DESC, u.dst ASC) AS rn
+        |  FROM und u JOIN h5 l ON l.id = u.dst) t GROUP BY src),
+        |h6 AS (SELECT h5.id, least(h5.h, coalesce(hi6.hi, 0)) AS h
+        |       FROM h5 LEFT JOIN hi6 ON hi6.src = h5.id),
+        |hi7 AS (SELECT src, max(CASE WHEN hv >= rn THEN rn ELSE 0 END) AS hi FROM (
+        |  SELECT u.src, l.h AS hv,
+        |    row_number() OVER (PARTITION BY u.src ORDER BY l.h DESC, u.dst ASC) AS rn
+        |  FROM und u JOIN h6 l ON l.id = u.dst) t GROUP BY src),
+        |h7 AS (SELECT h6.id, least(h6.h, coalesce(hi7.hi, 0)) AS h
+        |       FROM h6 LEFT JOIN hi7 ON hi7.src = h6.id),
+        |hi8 AS (SELECT src, max(CASE WHEN hv >= rn THEN rn ELSE 0 END) AS hi FROM (
+        |  SELECT u.src, l.h AS hv,
+        |    row_number() OVER (PARTITION BY u.src ORDER BY l.h DESC, u.dst ASC) AS rn
+        |  FROM und u JOIN h7 l ON l.id = u.dst) t GROUP BY src),
+        |h8 AS (SELECT h7.id, least(h7.h, coalesce(hi8.hi, 0)) AS h
+        |       FROM h7 LEFT JOIN hi8 ON hi8.src = h7.id),
+        |hi9 AS (SELECT src, max(CASE WHEN hv >= rn THEN rn ELSE 0 END) AS hi FROM (
+        |  SELECT u.src, l.h AS hv,
+        |    row_number() OVER (PARTITION BY u.src ORDER BY l.h DESC, u.dst ASC) AS rn
+        |  FROM und u JOIN h8 l ON l.id = u.dst) t GROUP BY src),
+        |h9 AS (SELECT h8.id, least(h8.h, coalesce(hi9.hi, 0)) AS h
+        |       FROM h8 LEFT JOIN hi9 ON hi9.src = h8.id),
+        |hi10 AS (SELECT src, max(CASE WHEN hv >= rn THEN rn ELSE 0 END) AS hi FROM (
+        |  SELECT u.src, l.h AS hv,
+        |    row_number() OVER (PARTITION BY u.src ORDER BY l.h DESC, u.dst ASC) AS rn
+        |  FROM und u JOIN h9 l ON l.id = u.dst) t GROUP BY src),
+        |h10 AS (SELECT h9.id, least(h9.h, coalesce(hi10.hi, 0)) AS h
+        |       FROM h9 LEFT JOIN hi10 ON hi10.src = h9.id),
+        |fin AS (SELECT id, h FROM h10)
+        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(h AS BIGINT) AS coreness
+        |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // same fit CTEs as quality_calibration, then the 20 nearest-boundary
+    // rows by (|margin|, doc_id) — mirrors Classifier.uncertaintySample
+    "quality_uncertainty_sample" ->
+      s"""WITH RECURSIVE labeled AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || repeat(' zq', 200) ELSE text END AS text,
+         |    CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS y
+         |  FROM documents),
+         |toks AS (SELECT doc_id, y, CASE WHEN trim(text) = '' THEN [] ELSE string_split(text, ' ') END AS t FROM labeled),
+         |u AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |uc AS (SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2),
+         |ustats AS (SELECT doc_id, max(c) AS mu, sum(c) AS n,
+         |           sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM uc GROUP BY 1),
+         |feats AS (
+         |  SELECT t.doc_id, t.y,
+         |    CAST(least(coalesce(n, 0), 1000) AS BIGINT) AS x1,
+         |    CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(mu * 1000.0 / n) END AS BIGINT) AS x2,
+         |    CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(dup * 1000.0 / n) END AS BIGINT) AS x3,
+         |    CAST(1000 AS BIGINT) AS x4
+         |  FROM toks t LEFT JOIN ustats USING (doc_id)),
+         |fit(round, w1, w2, w3, w4) AS (
+         |  SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT round + 1,
+         |    w1 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x1 ELSE 0 END), 0) FROM feats),
+         |    w2 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x2 ELSE 0 END), 0) FROM feats),
+         |    w3 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x3 ELSE 0 END), 0) FROM feats),
+         |    w4 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x4 ELSE 0 END), 0) FROM feats)
+         |  FROM fit WHERE round < 6),
+         |fw AS (SELECT w1, w2, w3, w4 FROM fit WHERE round = 6),
+         |m AS (SELECT doc_id, y, x1*w1 + x2*w2 + x3*w3 + x4*w4 AS margin FROM feats, fw)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(y AS BIGINT) AS y,
+         |  CAST(margin AS BIGINT) AS margin, CAST(abs(margin) AS BIGINT) AS abs_margin
+         |FROM m ORDER BY abs(margin), doc_id LIMIT 20""".stripMargin,
+
     // mirrors Classifier.calibrationBins over the round-6 fit: same
     // feature + recursive-fit CTEs as quality_classifier_eval, then the
     // clamped shifted-linear squash (numerator non-negative, so // and

@@ -2713,6 +2713,33 @@ object SparkEntry {
         .orderBy("lang", "n")
     }),
 
+    "graph_coreness" -> ((s, dir) => {
+      // full core decomposition via the distributed h-index fixpoint
+      // (Montresor et al.): per round one edge-sized (node, h) shuffle +
+      // degree-bounded window; converges exactly to peeling coreness
+      val d = docs(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = d.count()
+      graft.ops.Graph.coreness(d, graft.ops.Graph.synthSccEdges(d, n))
+        .select(col("id").as("doc_id"), col("coreness"))
+        .orderBy("doc_id")
+    }),
+
+    "quality_uncertainty_sample" -> ((s, dir) => {
+      // active-learning pick: the 20 rows nearest the frozen gate's
+      // decision boundary — TakeOrdered on |margin|, never a corpus sort
+      val feats = Classifier.features(Classifier.corpusWithLabels(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .localCheckpoint(true)
+      val last = Classifier.perceptronFit(feats, rounds = 6)
+        .orderBy(col("round").desc).limit(1).collect()(0)
+      val out = Classifier.uncertaintySample(feats,
+        (last.getLong(1), last.getLong(2), last.getLong(3), last.getLong(4)),
+        k = 20)
+        .orderBy("abs_margin", "doc_id")
+      feats.unpersist(false)
+      out
+    }),
+
     "graph_communities" -> ((s, dir) => {
       // deterministic synchronous label propagation (3 rounds, smallest-
       // label tie-break) over the block-structured SCC graph: 16-byte

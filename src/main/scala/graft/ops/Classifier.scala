@@ -87,6 +87,26 @@ object Classifier {
     trace.toSeq.toDF("round", "w1", "w2", "w3", "w4", "n_mis")
   }
 
+  /** Uncertainty sampling (Lewis & Gale 1994 — the active-learning
+    * baseline every labeling budget starts with): the k corpus rows the
+    * frozen classifier is LEAST sure about (smallest |margin|), i.e.
+    * where one human label buys the most decision-boundary information.
+    * Deterministic ties by doc_id.
+    *
+    * Scale shape: scoring is the same codegen'd projection as inference;
+    * the selection is orderBy+limit = TakeOrderedAndProject — k rows per
+    * task cross the wire, never a corpus sort. */
+  def uncertaintySample(feats: DataFrame, w: (Long, Long, Long, Long),
+                        k: Int): DataFrame = {
+    val score = col("x1") * w._1 + col("x2") * w._2 +
+      col("x3") * w._3 + col("x4") * w._4
+    feats.select(col("doc_id"), col("y"), score.as("margin"))
+      .orderBy(abs(col("margin")).asc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("y"), col("margin"),
+        abs(col("margin")).as("abs_margin"))
+  }
+
   /** Calibration audit of the frozen classifier — the reliability-diagram
     * table every deployed gate needs next to P/R: margins squash to a
     * permille pseudo-probability (clamped linear map, scale = the

@@ -538,6 +538,63 @@ object Graph {
       .where(col("src") =!= col("dst")).distinct()
   }
 
+  /** Full core decomposition — every node's CORENESS (the largest k for
+    * which it survives k-core peeling), not just membership at one k:
+    * the standard graph-mining centrality for crawl-frontier triage and
+    * community-density profiling. Computed by the distributed h-index
+    * fixpoint (Montresor, De Pellegrini & Miorandi, 2011; Lü et al.,
+    * Nature Comm. 2016): h₀(v) = deg(v); hₜ₊₁(v) = min(hₜ(v), H(hₜ of
+    * neighbors)) where H is the h-index — monotonically non-increasing,
+    * converges to coreness exactly. Termination by order-independent
+    * (count, xor) signature; `maxRounds` throws rather than mislabels.
+    *
+    * Scale shape: per round one edge-sized (node, neighbor-h) shuffle
+    * whose h-index reduces via a per-node descending window (bounded by
+    * degree) + a node-sized min join; no neighborhood materialization,
+    * lineage truncated per round. Real graphs converge in a handful of
+    * rounds (the fixture converges ≤ 8 — the oracle unrolls 10, no-op
+    * past the fixpoint since the iteration is stationary there). */
+  def coreness(nodes: DataFrame, edges: DataFrame,
+               maxRounds: Int = 32): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("h"))
+    val h0 = nodes.select(col("id"))
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("h"), lit(0L)).as("h"))
+      .localCheckpoint(true)
+    var h = h0
+    var prevSig = (-1L, -1L)
+    var round = 0
+    var stable = false
+    while (!stable) {
+      round += 1
+      require(round <= maxRounds, s"coreness: no fixpoint in $maxRounds rounds")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("hv").desc, col("dst").asc)
+      val hIdx = und
+        .join(h.select(col("id").as("dst"), col("h").as("hv")), Seq("dst"))
+        .select(col("src"), col("hv"), row_number().over(w).as("rn"))
+        .groupBy(col("src"))
+        .agg(max(when(col("hv") >= col("rn"), col("rn")).otherwise(0L)).as("hi"))
+      val next = h.join(hIdx.select(col("src").as("id"), col("hi")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("h"), coalesce(col("hi"), lit(0L))).as("h"))
+        .localCheckpoint(true)
+      val s = next.select(xxhash64(col("id"), col("h")).as("hh"))
+        .agg(count(lit(1)), expr("bit_xor(hh)")).collect()(0)
+      val nextSig = (s.getLong(0), if (s.isNullAt(1)) 0L else s.getLong(1))
+      if (h ne h0) h.unpersist(false)
+      h = next
+      stable = nextSig == prevSig
+      prevSig = nextSig
+    }
+    und.unpersist(false)
+    h.select(col("id"), col("h").as("coreness"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007, the LPA
     * community-detection baseline), made DETERMINISTIC: labels start as
     * node ids; each round every node adopts the most frequent label among

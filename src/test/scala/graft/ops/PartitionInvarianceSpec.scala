@@ -28,7 +28,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "dedup_cdc", "dedup_keeper",
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_pq_adc",
     "embedding_pq", "dedup_semantic", "decontaminate_semantic",
-    "graph_scc", "graph_kcore", "graph_triangles", "graph_hyperball",
+    "graph_scc", "graph_kcore", "graph_coreness", "graph_triangles",
+    "graph_hyperball", "quality_uncertainty_sample",
     "graph_bowtie", "domain_rank", "domain_trustrank",
     "sketch_hll", "sketch_kmv", "sketch_quantile", "sketch_bloom",
     "heavy_hitters",

@@ -199,6 +199,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("decontaminate_semantic", maxExchange = 4)
     assertShape("pdf_conformance", maxExchange = 2)
     assertShape("extract_poison_audit", maxExchange = 2)
+    // coreness rounds materialize via localCheckpoint; tail is one sort
+    assertShape("graph_coreness", maxExchange = 2)
+    // TakeOrderedAndProject: no full-sort Exchange beyond the rollup
+    assertShape("quality_uncertainty_sample", maxExchange = 2)
   }
 
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
