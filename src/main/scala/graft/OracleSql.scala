@@ -4274,6 +4274,36 @@ object OracleSql {
          |  CAST(abs(sp // n - npos * 1000 // n) AS BIGINT) AS gap_pm
          |FROM g ORDER BY bin""".stripMargin,
 
+    // mirrors Relational.cuped: second-truncated epoch split at the
+    // window midpoint, cents quantization, pooled integer theta; DuckDB's
+    // flooring // IS the floor division Spark reproduces via the
+    // divisible-numerator identity
+    "events_cuped" ->
+      """WITH b AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+        |             CAST(floor(epoch(max(ts))) AS BIGINT) AS t1 FROM events),
+        |pu AS (SELECT user_id, user_id % 2 AS arm,
+        |    sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < t0 + (t1 - t0) // 2
+        |        THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS x,
+        |    sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= t0 + (t1 - t0) // 2
+        |        THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS y
+        |  FROM events, b GROUP BY 1, 2),
+        |p AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*y) AS sxy, sum(x*x) AS sxx FROM pu),
+        |th AS (SELECT CASE WHEN n*sxx - sx*sx = 0 THEN 0
+        |         ELSE ((n*sxy - sx*sy) * 1000) // (n*sxx - sx*sx) END AS theta_pm,
+        |         n, sx FROM p),
+        |adj AS (SELECT arm, y,
+        |    y * 1000 * (SELECT n FROM th)
+        |      - (SELECT theta_pm FROM th) * (x * (SELECT n FROM th) - (SELECT sx FROM th)) AS a
+        |  FROM pu),
+        |g AS (SELECT arm, count(*) AS n_users, sum(y) AS sy2, sum(a) AS sadj
+        |      FROM adj GROUP BY 1)
+        |SELECT CAST(arm AS BIGINT) AS arm, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST((SELECT theta_pm FROM th) AS BIGINT) AS theta_pm,
+        |  CAST((sy2 * 1000) // n_users AS BIGINT) AS mean_post_m,
+        |  CAST(sadj // (n_users * (SELECT n FROM th)) AS BIGINT) AS mean_adj_m
+        |FROM g ORDER BY arm""".stripMargin,
+
     // mirrors Relational.ctrSmoothed(m=100, cohorts=40): cohort view/click
     // counts, global prior permille, m-estimate shrinkage
     "events_ctr_smoothing" ->

@@ -2017,6 +2017,13 @@ object SparkEntry {
       out
     }),
 
+    "events_cuped" -> ((s, dir) => {
+      // CUPED variance-reduced A/B metric: pre-period covariate adjustment
+      // with pooled integer theta; floor-div identity keeps Spark div and
+      // DuckDB // identical on signed adjustments
+      graft.ops.Relational.cuped(docs(s, dir, "events")).orderBy("arm")
+    }),
+
     "events_ctr_smoothing" -> ((s, dir) => {
       // empirical-Bayes m-estimate CTR per user cohort: sparse cohorts
       // shrink to the global prior; one map-side-combined aggregate

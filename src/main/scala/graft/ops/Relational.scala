@@ -84,15 +84,70 @@ object Relational {
         countDistinct(col("event_type")).as("n_event_types"))
   }
 
-  /** Ordered-funnel completion (earliest-completion semantics): a user is
-    * at stage k iff an event of stage k exists STRICTLY AFTER their
-    * earliest completion of stage k−1 — the standard product-analytics
-    * funnel, computed as a chain of per-user min-aggregates: each step is
-    * one groupBy(user) plus one user-keyed join against the (user-sized,
-    * always shrinking) survivor table, so all K steps hash on the same
-    * key and AQE/co-partitioning collapses the Exchanges. No per-user
-    * event lists ever materialize. Output: one row per stage with user
-    * counts and conversion vs stage 1 in integer permille. */
+  /** CUPED variance reduction for A/B metrics (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013 — the experimentation-platform standard): the post-period
+    * metric is adjusted by the pre-period covariate, y' = y − θ(x − x̄),
+    * with pooled θ = cov(x,y)/var(x); the treatment/control delta keeps
+    * its expectation but sheds the variance the pre-period explains, so
+    * experiments need a fraction of the traffic.
+    *
+    * Everything is INTEGER-exact: values quantize to cents, θ and the
+    * means come from the five pooled sums (n, Σx, Σy, Σxy, Σx²) via
+    * FLOOR division implemented as `(a − ((a%b + b)%b)) div b` — the
+    * identity that makes Spark's truncating `div` and DuckDB's flooring
+    * `//` agree for any sign of `a` (b > 0), since the corrected
+    * numerator is exactly divisible. The adjustment multiplies through
+    * by n (x̄ = Σx/n stays rational): adj_u = y_u·1000·n − θ_pm·(x_u·n −
+    * Σx), so no intermediate division happens per user at all.
+    *
+    * Scale shape: one user-keyed aggregate (pre/post sums per user), one
+    * 5-long pooled rollup, one 2-row arm rollup. Pre = first half of the
+    * event window, post = second half; arm = user parity. Output per arm:
+    * (arm, n_users, theta_pm, mean_post_m, mean_adj_m). */
+  def cuped(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val bounds = events.agg(
+      unix_timestamp(min(col("ts"))).as("t0"),
+      unix_timestamp(max(col("ts"))).as("t1")).head()
+    val (t0, t1) = (bounds.getLong(0), bounds.getLong(1))
+    val mid = t0 + (t1 - t0) / 2
+    val perUser = events
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) < mid).as("pre"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"))
+      .select(col("user_id"), (col("user_id") % 2).as("arm"),
+        col("x"), col("y"))
+      .localCheckpoint(true) // user-sized; feeds pooled sums AND arm rollup
+    val p = perUser.agg(count(lit(1)), sum(col("x")), sum(col("y")),
+      sum(col("x") * col("y")), sum(col("x") * col("x"))).head()
+    val (n, sx, sy, sxy, sxx) =
+      (p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3), p.getLong(4))
+    val thetaDen = n * sxx - sx * sx
+    val thetaPm =
+      if (thetaDen == 0L) 0L else Math.floorDiv((n * sxy - sx * sy) * 1000L, thetaDen)
+    // adj_u (scaled by 1000·n): y·1000·n − θ_pm·(x·n − Σx)
+    val out = perUser
+      .select(col("arm"),
+        (col("y") * 1000L * n - lit(thetaPm) * (col("x") * n - sx)).as("adj"),
+        col("y"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("y")).as("sy"),
+        sum(col("adj")).as("sadj"))
+      .select(col("arm"), col("n_users"), lit(thetaPm).as("theta_pm"),
+        // floor-div identity: both operands of div exactly divisible
+        expr("(sy * 1000 - ((sy * 1000 % n_users + n_users) % n_users)) div n_users")
+          .as("mean_post_m"),
+        expr(s"(sadj - ((sadj % (n_users * ${n}L) + n_users * ${n}L) % (n_users * ${n}L))) div (n_users * ${n}L)")
+          .as("mean_adj_m"))
+      .localCheckpoint(true)
+    perUser.unpersist(false)
+    out
+  }
+
   /** Empirical-Bayes counter smoothing (the m-estimate / additive prior —
     * the standard fix for small-sample rate estimates in ranking and
     * quality pipelines): per cohort, CTR = clicks/views shrinks toward
@@ -125,6 +180,15 @@ object Relational {
     out
   }
 
+  /** Ordered-funnel completion (earliest-completion semantics): a user is
+    * at stage k iff an event of stage k exists STRICTLY AFTER their
+    * earliest completion of stage k−1 — the standard product-analytics
+    * funnel, computed as a chain of per-user min-aggregates: each step is
+    * one groupBy(user) plus one user-keyed join against the (user-sized,
+    * always shrinking) survivor table, so all K steps hash on the same
+    * key and AQE/co-partitioning collapses the Exchanges. No per-user
+    * event lists ever materialize. Output: one row per stage with user
+    * counts and conversion vs stage 1 in integer permille. */
   def funnel(events: DataFrame,
              stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     var cur = events.where(col("event_type") === stages.head)

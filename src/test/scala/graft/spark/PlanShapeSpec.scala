@@ -203,6 +203,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("graph_coreness", maxExchange = 2)
     // TakeOrderedAndProject: no full-sort Exchange beyond the rollup
     assertShape("quality_uncertainty_sample", maxExchange = 2)
+    // user rollup + arm rollup materialize via localCheckpoint; tail sort
+    assertShape("events_cuped", maxExchange = 2)
   }
 
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
