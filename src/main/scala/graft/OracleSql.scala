@@ -4321,6 +4321,64 @@ object OracleSql {
         |    AS BIGINT) AS smoothed_pm
         |FROM base ORDER BY cohort""".stripMargin,
 
+    // mirrors Relational.diffInDiff: cuped's epoch-midpoint pre/post split
+    // and cents quantization; sums are non-negative so DuckDB's flooring //
+    // IS Spark's truncating div; deltas/DiD are exact integer subtractions
+    "events_did" ->
+      """WITH b AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+        |             CAST(floor(epoch(max(ts))) AS BIGINT) AS t1 FROM events),
+        |pu AS (SELECT user_id, user_id % 2 AS arm,
+        |    sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < t0 + (t1 - t0) // 2
+        |        THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS x,
+        |    sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= t0 + (t1 - t0) // 2
+        |        THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS y
+        |  FROM events, b GROUP BY 1, 2),
+        |g AS (SELECT arm, count(*) AS n_users, sum(x) AS sx, sum(y) AS sy
+        |      FROM pu GROUP BY 1),
+        |m AS (SELECT arm, n_users, sx * 1000 // n_users AS pre_m,
+        |        sy * 1000 // n_users AS post_m FROM g)
+        |SELECT
+        |  CAST(max(CASE WHEN arm = 0 THEN n_users END) AS BIGINT) AS n_c,
+        |  CAST(max(CASE WHEN arm = 1 THEN n_users END) AS BIGINT) AS n_t,
+        |  CAST(max(CASE WHEN arm = 0 THEN pre_m END) AS BIGINT) AS mean_pre_c_m,
+        |  CAST(max(CASE WHEN arm = 0 THEN post_m END) AS BIGINT) AS mean_post_c_m,
+        |  CAST(max(CASE WHEN arm = 1 THEN pre_m END) AS BIGINT) AS mean_pre_t_m,
+        |  CAST(max(CASE WHEN arm = 1 THEN post_m END) AS BIGINT) AS mean_post_t_m,
+        |  CAST(max(CASE WHEN arm = 0 THEN post_m - pre_m END) AS BIGINT) AS delta_c_m,
+        |  CAST(max(CASE WHEN arm = 1 THEN post_m - pre_m END) AS BIGINT) AS delta_t_m,
+        |  CAST(max(CASE WHEN arm = 1 THEN post_m - pre_m END)
+        |     - max(CASE WHEN arm = 0 THEN post_m - pre_m END) AS BIGINT) AS did_m
+        |FROM m""".stripMargin,
+
+    // mirrors Relational.srmCheck: per-event-type distinct users by arm,
+    // 2-cell chi-square (a-b)^2/(a+b) in micro-units, 3.841459 critical
+    "events_srm" ->
+      """WITH g AS (SELECT event_type,
+        |    count(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS n_even,
+        |    count(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END) AS n_odd
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, CAST(n_even AS BIGINT) AS n_even,
+        |  CAST(n_odd AS BIGINT) AS n_odd,
+        |  CAST((n_even - n_odd) * (n_even - n_odd) * 1000000
+        |    // (n_even + n_odd) AS BIGINT) AS chi2_micro,
+        |  CAST(CASE WHEN (n_even - n_odd) * (n_even - n_odd) * 1000000
+        |    // (n_even + n_odd) > 3841459 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // mirrors Sampling.corpusShuffle(seed='shuf1', hexDigits=1): md5 key,
+    // first-nibble shard via instr on the hex alphabet, in-shard rank by
+    // (key, doc_id) — recomputable in any engine with md5 + instr
+    "corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    md5('shuf1:' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+        |s AS (SELECT doc_id, k,
+        |    CAST(instr('0123456789abcdef', substring(k, 1, 1)) - 1 AS BIGINT) AS shard
+        |  FROM k)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+
     "quality_classifier_eval" ->
       s"""WITH RECURSIVE labeled AS (
          |  SELECT doc_id,

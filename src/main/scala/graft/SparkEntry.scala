@@ -2031,6 +2031,26 @@ object SparkEntry {
         .orderBy("cohort")
     }),
 
+    "events_did" -> ((s, dir) => {
+      // difference-in-differences: treated-arm change minus control-arm
+      // change nets out the shared trend; integer cents/milli end to end
+      graft.ops.Relational.diffInDiff(docs(s, dir, "events"))
+    }),
+
+    "events_srm" -> ((s, dir) => {
+      // sample-ratio-mismatch guard: per-event-type distinct-user counts
+      // by arm, 2-cell chi-square in exact int64 micro-units
+      graft.ops.Relational.srmCheck(docs(s, dir, "events"))
+        .orderBy("event_type")
+    }),
+
+    "corpus_shuffle" -> ((s, dir) => {
+      // deterministic training-order shuffle: md5-keyed shard + in-shard
+      // rank; shard is a key prefix so shard order IS the global order
+      Sampling.corpusShuffle(docs(s, dir, "documents").select(col("doc_id")))
+        .orderBy("shard", "pos")
+    }),
+
     "text_pii" -> ((s, dir) => {
       TextStats.piiStats(TextStats.corpusWithPii(
         docs(s, dir, "documents").select(col("doc_id"), col("text"))))

@@ -180,6 +180,89 @@ object Relational {
     out
   }
 
+  /** Difference-in-differences (Card & Krueger 1994; the quasi-experiment
+    * workhorse when assignment isn't randomized — e.g. a crawler-policy or
+    * ranking change rolled out to half the fleet): the treatment effect is
+    * the change in the treated arm minus the change in the control arm,
+    * which nets out any shared trend between the periods. Pre = first half
+    * of the event window, post = second half, arm = user parity — the same
+    * split discipline as [[cuped]] so the two estimators are directly
+    * comparable on one events table.
+    *
+    * INTEGER-exact: values quantize to cents; per-arm period means are
+    * milli-cents via truncating `div` (sums are non-negative, so Spark's
+    * `div` and DuckDB's `//` agree with no identity needed); the deltas
+    * and the DiD are exact integer subtractions of those means.
+    *
+    * Scale shape: one user-keyed pre/post aggregate (map-side combined),
+    * one 2-row arm rollup, one 1-row pivot — driver traffic is a single
+    * row of longs. Output (one row): n_c, n_t, mean_pre_c_m,
+    * mean_post_c_m, mean_pre_t_m, mean_post_t_m, delta_c_m, delta_t_m,
+    * did_m. */
+  def diffInDiff(events: DataFrame): DataFrame = {
+    val bounds = events.agg(
+      unix_timestamp(min(col("ts"))).as("t0"),
+      unix_timestamp(max(col("ts"))).as("t1")).head()
+    val (t0, t1) = (bounds.getLong(0), bounds.getLong(1))
+    val mid = t0 + (t1 - t0) / 2
+    val perUser = events
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) < mid).as("pre"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"))
+      .select((col("user_id") % 2).as("arm"), col("x"), col("y"))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"))
+      .select(col("arm"), col("n_users"),
+        expr("sx * 1000 div n_users").as("pre_m"),
+        expr("sy * 1000 div n_users").as("post_m"))
+    def pick(arm: Int, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      max(when(col("arm") === arm, c))
+    arms.agg(
+      pick(0, col("n_users")).as("n_c"),
+      pick(1, col("n_users")).as("n_t"),
+      pick(0, col("pre_m")).as("mean_pre_c_m"),
+      pick(0, col("post_m")).as("mean_post_c_m"),
+      pick(1, col("pre_m")).as("mean_pre_t_m"),
+      pick(1, col("post_m")).as("mean_post_t_m"),
+      pick(0, col("post_m") - col("pre_m")).as("delta_c_m"),
+      pick(1, col("post_m") - col("pre_m")).as("delta_t_m"),
+      (pick(1, col("post_m") - col("pre_m")) -
+        pick(0, col("post_m") - col("pre_m"))).as("did_m"))
+  }
+
+  /** Sample-ratio-mismatch guard (Fabijan et al., KDD 2019 — the first
+    * check every experimentation platform runs): under 50/50 assignment
+    * by user parity, the per-event-type distinct-user counts of the two
+    * arms should differ only by chance; a chi-square far in the tail
+    * means the assignment or logging is broken and every downstream
+    * metric (cuped, DiD, funnels) is garbage. For a 2-cell test the
+    * statistic collapses to χ² = (a−b)²/(a+b), computed here in
+    * micro-units of exact int64 — valid while |a−b| < 3·10⁶ per event
+    * type (beyond that, pre-scale the counts); the 0.05 critical value
+    * for 1 df is 3.841459 → 3841459 micro.
+    *
+    * Scale shape: one expand-style distinct aggregate keyed on
+    * (event_type, user) then the per-type rollup — two shuffles of
+    * narrow rows, no distinct-user set ever materializes. Output:
+    * (event_type, n_even, n_odd, chi2_micro, srm_flag). */
+  def srmCheck(events: DataFrame): DataFrame = {
+    events.groupBy(col("event_type"))
+      .agg(
+        countDistinct(when(col("user_id") % 2 === 0, col("user_id")))
+          .as("n_even"),
+        countDistinct(when(col("user_id") % 2 === 1, col("user_id")))
+          .as("n_odd"))
+      .select(col("event_type"), col("n_even"), col("n_odd"),
+        expr("(n_even - n_odd) * (n_even - n_odd) * 1000000 div (n_even + n_odd)")
+          .as("chi2_micro"))
+      .withColumn("srm_flag",
+        when(col("chi2_micro") > 3841459L, 1L).otherwise(0L))
+  }
+
   /** Ordered-funnel completion (earliest-completion semantics): a user is
     * at stage k iff an event of stage k exists STRICTLY AFTER their
     * earliest completion of stage k−1 — the standard product-analytics

@@ -212,4 +212,36 @@ object Sampling {
       .agg(sum(col("cnt")).as("n_grams"),
            sum(col("cnt") * col("lr_x1e6")).as("dsir_x1e6"))
   }
+
+  /** Deterministic global training-order shuffle: every epoch-level data
+    * loader needs documents in a pseudorandom order that is REPRODUCIBLE
+    * (resume mid-epoch, re-materialize a shard, audit what example N was)
+    * — `orderBy(rand())` is none of those. Key = md5(seed:doc_id); the
+    * first `hexDigits` nibbles of the key pick the shard (16^hexDigits
+    * shards), and the position within the shard is the rank by (key,
+    * doc_id). Because the shard is a PREFIX of the sort key, reading
+    * shards in order replays the exact global md5 order — but no global
+    * sort ever runs.
+    *
+    * Scale shape: one hash-partition exchange on shard + a per-shard
+    * local sort (Spark sorts each shard's partitions independently); at
+    * 10^12 docs set hexDigits so one shard ≈ one output file (4 nibbles =
+    * 65k shards ≈ 15M docs each). The nibble lookup is `instr` on the
+    * hex alphabet — portable to any engine with md5 + instr, so the
+    * assignment is recomputable outside Spark. */
+  def corpusShuffle(docs: DataFrame, seed: String = "shuf1",
+                    hexDigits: Int = 1): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 8, "hexDigits in [1,8]")
+    val keyed = docs.select(col("doc_id"),
+      md5(concat(lit(seed + ":"), col("doc_id").cast("string"))).as("k"))
+    val shard = (1 to hexDigits).map(i =>
+        (expr(s"instr('0123456789abcdef', substring(k, $i, 1))") - 1)
+          .cast("long") * math.pow(16, hexDigits - i).toLong)
+      .reduce(_ + _)
+    keyed.select(col("doc_id"), shard.as("shard"), col("k"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("k", "doc_id")).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
 }

@@ -207,6 +207,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("events_cuped", maxExchange = 2)
   }
 
+  test("wave 96: experimentation guards and the training shuffle stay narrow") {
+    // user agg + 2-row arm rollup + 1-row pivot
+    assertShape("events_did", maxExchange = 3)
+    // expand-style distinct + per-type rollup + display sort
+    assertShape("events_srm", maxExchange = 3)
+    // ONE shard exchange for the window + display sort — never a global sort
+    assertShape("corpus_shuffle", maxExchange = 2)
+  }
+
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
     val pages = PagesTable.synthesize(spark, 16, 4)
     // default path: payload parsed where produced, zero Exchange
