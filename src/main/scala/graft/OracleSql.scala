@@ -4365,6 +4365,45 @@ object OracleSql {
         |    // (n_even + n_odd) > 3841459 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
         |FROM g ORDER BY event_type""".stripMargin,
 
+    // mirrors Relational.powerAnalysis: per-user cents totals, population
+    // variance floored FIRST (cents^2), then ceil-div n_req — the floor
+    // order is part of the contract so both engines agree exactly
+    "events_power" ->
+      """WITH pu AS (SELECT event_type, user_id,
+        |    sum(CAST(floor(value * 100) AS BIGINT)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, count(*) AS n_users, sum(y) AS sy,
+        |        sum(y*y) AS syy FROM pu GROUP BY 1),
+        |v AS (SELECT event_type, n_users, sy // n_users AS mean_c,
+        |        (n_users*syy - sy*sy) // (n_users*n_users) AS var_c2 FROM g)
+        |SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(mean_c AS BIGINT) AS mean_c, CAST(var_c2 AS BIGINT) AS var_c2,
+        |  CAST((2*7848880*var_c2 + 249999999999) // 250000000000 AS BIGINT) AS n_req_mde5,
+        |  CAST((2*7848880*var_c2 + 999999999999) // 1000000000000 AS BIGINT) AS n_req_mde10
+        |FROM v ORDER BY event_type""".stripMargin,
+
+    // mirrors Graph.labelSmooth(alpha=700) over Graph.synthEdges on the
+    // n_chars signal: one-hop in-neighbor mean in milli, isolated nodes
+    // fall back to their own score
+    "graph_smooth" ->
+      """WITH nodes AS (SELECT doc_id AS id, n_chars AS score FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT id AS src, (id*7+3) % n AS dst FROM nodes, nn
+        |  UNION ALL SELECT id, (id*13+11) % n FROM nodes, nn
+        |  UNION ALL SELECT id, (id*31+17) % n FROM nodes, nn),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |agg AS (SELECT e.dst, sum(s.score) AS nbr_sum, count(*) AS indeg
+        |        FROM edges e JOIN nodes s ON s.id = e.src GROUP BY e.dst),
+        |j AS (SELECT nodes.id, nodes.score,
+        |        COALESCE(agg.indeg, 0) AS indeg,
+        |        COALESCE(agg.nbr_sum * 1000 // agg.indeg, nodes.score * 1000) AS nbr_mean_m
+        |      FROM nodes LEFT JOIN agg ON agg.dst = nodes.id)
+        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score,
+        |  CAST(indeg AS BIGINT) AS indeg, CAST(nbr_mean_m AS BIGINT) AS nbr_mean_m,
+        |  CAST((700 * score * 1000 + 300 * nbr_mean_m) // 1000 AS BIGINT) AS smoothed_m
+        |FROM j ORDER BY doc_id""".stripMargin,
+
     // mirrors Sampling.corpusShuffle(seed='shuf1', hexDigits=1): md5 key,
     // first-nibble shard via instr on the hex alphabet, in-shard rank by
     // (key, doc_id) — recomputable in any engine with md5 + instr

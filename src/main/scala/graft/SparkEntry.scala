@@ -2051,6 +2051,25 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "events_power" -> ((s, dir) => {
+      // two-sample power analysis per event type: users-per-arm to detect
+      // a $5/$10 mean shift at alpha=.05 / 80% power, integer cents^2
+      graft.ops.Relational.powerAnalysis(docs(s, dir, "events"))
+        .orderBy("event_type")
+    }),
+
+    "graph_smooth" -> ((s, dir) => {
+      // one-hop mean label smoothing (GraphSAGE aggregate / spam-score
+      // propagation) of the char-count signal over synthetic out-links
+      val d = docs(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("n_chars").as("score"))
+      val n = d.count()
+      Graph.labelSmooth(d, Graph.synthEdges(d, n))
+        .select(col("id").as("doc_id"), col("score"), col("indeg"),
+          col("nbr_mean_m"), col("smoothed_m"))
+        .orderBy("doc_id")
+    }),
+
     "text_pii" -> ((s, dir) => {
       TextStats.piiStats(TextStats.corpusWithPii(
         docs(s, dir, "documents").select(col("doc_id"), col("text"))))

@@ -55,6 +55,40 @@ object Graph {
     scores
   }
 
+  /** One-hop label smoothing — the mean-aggregate building block of
+    * GraphSAGE (Hamilton et al., NeurIPS 2017) and of classic web-spam
+    * score propagation: each node's signal is blended with the mean of
+    * its in-neighbors' signals, smoothed = (α·own + (1−α)·nbr_mean). In a
+    * corpus pipeline this turns a sparse per-domain quality score into a
+    * dense one (a domain linked only by junk inherits junk). INTEGER-exact
+    * in milli-units: nbr_mean_m = (Σ nbr score · 1000) div indeg, smoothed_m
+    * = (α_pm·score·1000 + (1000−α_pm)·nbr_mean_m) div 1000; isolated nodes
+    * (indeg 0) fall back to their own score. Valid while score < 9·10¹² /
+    * max-indeg (scores here are char counts — comfortably inside).
+    *
+    * Scale shape: ONE sort-merge join of edges with the node scores on
+    * src, ONE partial-aggregated (dst, sum, count) shuffle, one node-sized
+    * left join back — the exact per-round shape of [[pageRankInt]], run
+    * once. No neighborhood list ever materializes.
+    *
+    * Input: nodes (id, score), edges (src, dst). Output: (id, score,
+    * indeg, nbr_mean_m, smoothed_m). */
+  def labelSmooth(nodes: DataFrame, edges: DataFrame,
+                  alphaPm: Long = 700L): DataFrame = {
+    require(alphaPm >= 0L && alphaPm <= 1000L, "alphaPm in [0,1000]")
+    val s = nodes.select(col("id"), col("score"))
+    val agg = edges.join(s, edges("src") === s("id"))
+      .groupBy(col("dst"))
+      .agg(sum(col("score")).as("nbr_sum"), count(lit(1)).as("indeg"))
+    s.join(agg, s("id") === agg("dst"), "left")
+      .select(col("id"), col("score"),
+        coalesce(col("indeg"), lit(0L)).as("indeg"),
+        coalesce(expr("nbr_sum * 1000 div indeg"), col("score") * 1000L)
+          .as("nbr_mean_m"))
+      .withColumn("smoothed_m",
+        expr(s"($alphaPm * score * 1000 + ${1000L - alphaPm} * nbr_mean_m) div 1000"))
+  }
+
   /** Integer TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
     * PageRank with initial mass AND teleport restricted to a trusted seed
     * set — trust flows out along links, so spam farms that rank high on

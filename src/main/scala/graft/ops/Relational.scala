@@ -263,6 +263,42 @@ object Relational {
         when(col("chi2_micro") > 3841459L, 1L).otherwise(0L))
   }
 
+  /** Experiment power analysis (the textbook two-sample formula every
+    * platform quotes before launch): per event type, the users-per-arm
+    * needed to detect a mean shift of δ cents at α=0.05 two-sided with
+    * 80% power — n = 2(z₀.₉₇₅+z₀.₈)²σ²/δ², constant (1.95996+0.84162)² =
+    * 7.848880 pinned in micro-units. INTEGER-exact with a documented
+    * floor order: the per-user population variance in cents² floors
+    * FIRST, var_c2 = (n·Σy² − (Σy)²) div n², then n_req =
+    * ceil(2·C·var_c2 / (10⁶·δ²)) via the non-negative ceil-div identity
+    * (a + b − 1) div b. Valid while var_c2 < 5.8·10¹¹ cents²
+    * (σ < $7.6k/user) and n·Σy² < 9·10¹⁸ — pre-scale to dollars beyond.
+    *
+    * Scale shape: one user-keyed aggregate (map-side combined) + one
+    * per-type 3-long rollup; no row ever carries more than five longs.
+    * Output: (event_type, n_users, mean_c, var_c2, n_req_mde5,
+    * n_req_mde10) for δ = $5 and $10. */
+  def powerAnalysis(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("event_type"), col("user_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("cents")).as("y"))
+    val c = 7848880L // (z_0.975 + z_0.80)^2 in micro
+    def nReq(deltaCents: Long): org.apache.spark.sql.Column = {
+      val den = 1000000L * deltaCents * deltaCents
+      expr(s"(2 * $c * var_c2 + ${den - 1}L) div ${den}L")
+    }
+    perUser.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n_users"),
+        expr("sy div n_users").as("mean_c"),
+        expr("(n_users * syy - sy * sy) div (n_users * n_users)").as("var_c2"))
+      .select(col("event_type"), col("n_users"), col("mean_c"), col("var_c2"),
+        nReq(500L).as("n_req_mde5"), nReq(1000L).as("n_req_mde10"))
+  }
+
   /** Ordered-funnel completion (earliest-completion semantics): a user is
     * at stage k iff an event of stage k exists STRICTLY AFTER their
     * earliest completion of stage k−1 — the standard product-analytics

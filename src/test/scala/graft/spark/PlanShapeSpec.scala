@@ -214,6 +214,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("events_srm", maxExchange = 3)
     // ONE shard exchange for the window + display sort — never a global sort
     assertShape("corpus_shuffle", maxExchange = 2)
+    // user agg + per-type rollup + display sort
+    assertShape("events_power", maxExchange = 3)
+    // edge join + dst rollup + node-sized join back + display sort
+    assertShape("graph_smooth", maxExchange = 5)
   }
 
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
