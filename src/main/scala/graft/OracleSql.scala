@@ -4365,6 +4365,99 @@ object OracleSql {
         |    // (n_even + n_odd) > 3841459 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
         |FROM g ORDER BY event_type""".stripMargin,
 
+    // mirrors Relational.ltvCohorts(gamma=950pm, 64 days): the gamma chain
+    // is the same 64-step integer recurrence, contributions sum exactly,
+    // one final floor to discounted cents
+    "events_ltv" ->
+      """WITH RECURSIVE gamma(d, g) AS (
+        |  SELECT 0, CAST(1000000 AS BIGINT)
+        |  UNION ALL SELECT d + 1, g * 950 // 1000 FROM gamma WHERE d < 63),
+        |t0 AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS t0 FROM events),
+        |ft AS (SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS first_s
+        |       FROM events GROUP BY 1),
+        |pc AS (SELECT e.user_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+        |         least((CAST(floor(epoch(e.ts)) AS BIGINT) - ft.first_s) // 86400, 63) AS d
+        |       FROM events e JOIN ft USING (user_id)
+        |       WHERE e.event_type = 'purchase'),
+        |con AS (SELECT user_id, sum(cents) AS raw, sum(cents * g) AS disc
+        |        FROM pc JOIN gamma USING (d) GROUP BY 1),
+        |pu AS (SELECT (ft.first_s - (SELECT t0 FROM t0)) // 86400 AS cohort_day,
+        |         COALESCE(con.raw, 0) AS raw, COALESCE(con.disc, 0) AS disc
+        |       FROM ft LEFT JOIN con USING (user_id))
+        |SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(raw) AS BIGINT) AS raw_cents,
+        |  CAST(sum(disc) // 1000000 AS BIGINT) AS ltv_cents
+        |FROM pu GROUP BY 1 ORDER BY cohort_day""".stripMargin,
+
+    // mirrors Relational.markovAttribution(rounds=12): journeys truncate
+    // at the first purchase, transition probs floor to micro AFTER the
+    // redirect-merge, and the value-vector recurrence is carried one row
+    // per (removal, round) — the perceptron-fit recursive-CTE pattern
+    "events_markov_attrib" -> {
+      def nv(s: String) =
+        s"""COALESCE((SELECT sum(p.pm * CASE p.dst
+           |      WHEN 'conv' THEN 1000000 WHEN 'null' THEN 0
+           |      WHEN 'start' THEN it.v_start WHEN 'click' THEN it.v_click
+           |      WHEN 'error' THEN it.v_error WHEN 'signup' THEN it.v_signup
+           |      WHEN 'view' THEN it.v_view END)
+           |    FROM p WHERE p.r = it.r AND p.src = '$s'), 0) // 1000000""".stripMargin
+      s"""WITH RECURSIVE ev AS (SELECT user_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id, event_type
+         |  FROM events),
+         |fp AS (SELECT user_id, s AS fs, event_id AS fe FROM (
+         |    SELECT user_id, s, event_id,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY s, event_id) AS rn
+         |    FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+         |pre AS (SELECT ev.user_id, ev.s, ev.event_id, ev.event_type,
+         |          fp.user_id IS NOT NULL AS conv
+         |        FROM ev LEFT JOIN fp USING (user_id)
+         |        WHERE ev.event_type <> 'purchase'
+         |          AND (fp.user_id IS NULL OR (ev.s, ev.event_id) < (fp.fs, fp.fe))),
+         |lg AS (SELECT user_id, event_type, conv,
+         |         lag(event_type) OVER (PARTITION BY user_id ORDER BY s, event_id) AS prev,
+         |         lead(event_type) OVER (PARTITION BY user_id ORDER BY s, event_id) AS next
+         |       FROM pre),
+         |steps AS (
+         |  SELECT COALESCE(prev, 'start') AS src, event_type AS dst FROM lg
+         |  UNION ALL
+         |  SELECT event_type, CASE WHEN conv THEN 'conv' ELSE 'null' END
+         |  FROM lg WHERE next IS NULL
+         |  UNION ALL
+         |  SELECT 'start', 'conv' FROM fp
+         |  WHERE user_id NOT IN (SELECT DISTINCT user_id FROM pre)),
+         |trans AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+         |          FROM steps GROUP BY 1, 2),
+         |rml AS (SELECT * FROM (VALUES ('BASE'), ('click'), ('error'),
+         |                              ('signup'), ('view')) t(r)),
+         |rt AS (SELECT rml.r, t.src,
+         |         CASE WHEN t.dst = rml.r THEN 'null' ELSE t.dst END AS dst, t.cnt
+         |       FROM trans t CROSS JOIN rml WHERE t.src <> rml.r),
+         |rta AS (SELECT r, src, dst, sum(cnt) AS cnt FROM rt GROUP BY 1, 2, 3),
+         |outc AS (SELECT r, src, sum(cnt) AS oc FROM rta GROUP BY 1, 2),
+         |p AS (SELECT rta.r, rta.src, rta.dst, rta.cnt * 1000000 // outc.oc AS pm
+         |      FROM rta JOIN outc ON rta.r = outc.r AND rta.src = outc.src),
+         |it(r, round, v_start, v_click, v_error, v_signup, v_view) AS (
+         |  SELECT r, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM rml
+         |  UNION ALL
+         |  SELECT it.r, it.round + 1,
+         |    ${nv("start")},
+         |    ${nv("click")},
+         |    ${nv("error")},
+         |    ${nv("signup")},
+         |    ${nv("view")}
+         |  FROM it WHERE it.round < 12)
+         |SELECT rem.r AS channel,
+         |  CAST((SELECT v_start FROM it WHERE r = 'BASE' AND round = 12) AS BIGINT)
+         |    AS p_base_micro,
+         |  CAST(rem.v_start AS BIGINT) AS p_removed_micro,
+         |  CAST((SELECT v_start FROM it WHERE r = 'BASE' AND round = 12)
+         |    - rem.v_start AS BIGINT) AS removal_micro
+         |FROM it rem WHERE rem.r <> 'BASE' AND rem.round = 12
+         |ORDER BY channel""".stripMargin
+    },
+
     // mirrors Relational.powerAnalysis: per-user cents totals, population
     // variance floored FIRST (cents^2), then ceil-div n_req — the floor
     // order is part of the contract so both engines agree exactly

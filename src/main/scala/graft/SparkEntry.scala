@@ -2051,6 +2051,21 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "events_markov_attrib" -> ((s, dir) => {
+      // Markov removal-effect attribution: journeys to first purchase →
+      // absorbing chain; channel credit = absorption-probability drop
+      // when the channel's edges are removed; 12 unrolled integer rounds
+      graft.ops.Relational.markovAttribution(docs(s, dir, "events"))
+        .orderBy("channel")
+    }),
+
+    "events_ltv" -> ((s, dir) => {
+      // discounted LTV by acquisition cohort: integer gamma-power chain
+      // (950‰/day, 64 steps), exact cents·gamma sums, one broadcast join
+      graft.ops.Relational.ltvCohorts(docs(s, dir, "events"))
+        .orderBy("cohort_day")
+    }),
+
     "events_power" -> ((s, dir) => {
       // two-sample power analysis per event type: users-per-arm to detect
       // a $5/$10 mean shift at alpha=.05 / 80% power, integer cents^2

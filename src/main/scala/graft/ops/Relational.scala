@@ -278,6 +278,129 @@ object Relational {
     * per-type 3-long rollup; no row ever carries more than five longs.
     * Output: (event_type, n_users, mean_c, var_c2, n_req_mde5,
     * n_req_mde10) for δ = $5 and $10. */
+  /** Markov removal-effect attribution (Anderl, Becker, von Wangenheim &
+    * Schumann 2014 — the data-driven successor to last-touch): user
+    * journeys (event sequences up to the FIRST purchase) define a
+    * first-order Markov chain over channels with absorbing states `conv`
+    * and `null`; a channel's credit is how much the start→conv absorption
+    * probability DROPS when that channel is removed (its in-edges
+    * redirected to `null`, its out-edges deleted). Everything is
+    * INTEGER-exact: transition probabilities floor to micro-units AFTER
+    * redirect-merge, and absorption runs a fixed `rounds` unrolled
+    * iterations of v(s) ← (Σ_d p(s,d)·v(d)) div 10⁶ with conv/null pinned
+    * — the same bounded-rounds discipline as [[Graph.pageRankInt]], so any
+    * engine replays the trajectory bit-for-bit.
+    *
+    * Scale shape: the corpus-sized work is ONE user-keyed window pass
+    * (first-purchase struct-min, lag/lead over each user's pre-purchase
+    * events) plus a (src, dst) count rollup; the chain itself is ≤
+    * (channels+3)² count rows — driver math, like the perceptron-θ fold.
+    * Output per channel: (channel, p_base_micro, p_removed_micro,
+    * removal_micro). */
+  def markovAttribution(events: DataFrame, rounds: Int = 12): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col("user_id"),
+      unix_timestamp(col("ts")).as("s"), col("event_id"), col("event_type"))
+    val fp = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("s"), col("event_id"))).as("fp"))
+    val pre = ev.join(fp, Seq("user_id"), "left")
+      .where(col("event_type") =!= "purchase")
+      .where(col("fp").isNull || struct(col("s"), col("event_id")) < col("fp"))
+    val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val lagged = pre.select(col("user_id"), col("event_type"),
+      lag(col("event_type"), 1).over(w).as("prev"),
+      lead(col("event_type"), 1).over(w).as("next"),
+      col("fp").isNotNull.as("converted"))
+    val steps = lagged
+      .select(coalesce(col("prev"), lit("start")).as("src"),
+        col("event_type").as("dst"))
+      .unionByName(lagged.where(col("next").isNull)
+        .select(col("event_type").as("src"),
+          when(col("converted"), "conv").otherwise("null").as("dst")))
+      .unionByName(fp.join(pre.select("user_id").distinct(),
+          Seq("user_id"), "left_anti")
+        .select(lit("start").as("src"), lit("conv").as("dst")))
+    val trans = steps.groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val channels = (trans.map(_._1) ++ trans.map(_._2)).distinct
+      .filterNot(Set("start", "conv", "null")).sorted
+    def absorbProb(removed: Option[String]): Long = {
+      val redirected = trans.iterator
+        .filter(t => !removed.contains(t._1))
+        .map { case (s, d, c) => ((s, if (removed.contains(d)) "null" else d), c) }
+        .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.map { case ((s, d), c) => (s, d, c) }
+      val out = redirected.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val pm = redirected.map { case (s, d, c) => (s, d, c * 1000000L / out(s)) }
+      val live = channels.filterNot(removed.contains) :+ "start"
+      var v = Map("conv" -> 1000000L, "null" -> 0L) ++ live.map(_ -> 0L)
+      for (_ <- 1 to rounds) {
+        v = Map("conv" -> 1000000L, "null" -> 0L) ++ live.map { s =>
+          s -> pm.iterator.filter(_._1 == s)
+            .map { case (_, d, p) => p * v.getOrElse(d, 0L) }.sum / 1000000L
+        }
+      }
+      v("start")
+    }
+    val base = absorbProb(None)
+    val rows = channels.map { c =>
+      val removedP = absorbProb(Some(c))
+      (c, base, removedP, base - removedP)
+    }
+    spark.createDataset(rows.toSeq)
+      .toDF("channel", "p_base_micro", "p_removed_micro", "removal_micro")
+  }
+
+  /** Discounted lifetime value by acquisition cohort (the subscription /
+    * marketplace planning staple): each user's purchases are discounted by
+    * γ^d for d = whole days since the user's first event, then rolled up
+    * by the user's acquisition day. γ = 0.95/day is materialized as the
+    * INTEGER power chain g₀ = 10⁶, g_{d+1} = g_d·950 div 1000 (capped at
+    * d = 63 — past that the chain is ≈ 0.04 and flat), so the discount
+    * factors are bit-identical in any engine that can run the same
+    * 64-step recurrence; contribution = cents·g_d summed exactly, one
+    * final div 10⁶ to discounted cents.
+    *
+    * Scale shape: one user-keyed min(ts) aggregate, one broadcast join
+    * of the 64-row gamma table, one cohort rollup — the events table is
+    * scanned once and never shuffles wider than (user, day, cents).
+    * Output: (cohort_day, n_users, raw_cents, ltv_cents). */
+  def ltvCohorts(events: DataFrame, gammaPm: Long = 950L,
+                 maxDays: Int = 64): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val t0 = events.agg(unix_timestamp(min(col("ts")))).head().getLong(0)
+    val gamma = {
+      val chain = Iterator.iterate(1000000L)(g => g * gammaPm / 1000L)
+        .take(maxDays).zipWithIndex.map { case (g, d) => (d.toLong, g) }.toSeq
+      spark.createDataset(chain).toDF("d", "g")
+    }
+    val firstTs = events.groupBy(col("user_id"))
+      .agg(unix_timestamp(min(col("ts"))).as("first_s"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("s"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val contrib = purchases.join(firstTs, "user_id")
+      .select(col("user_id"), col("first_s"), col("cents"),
+        least(expr("(s - first_s) div 86400"), lit(maxDays - 1L)).as("d"))
+      .join(broadcast(gamma), "d")
+      .select(col("user_id"), col("first_s"), col("cents"),
+        (col("cents") * col("g")).as("disc"))
+    // every user keeps a cohort row even with zero purchases
+    val perUser = firstTs.join(
+        contrib.groupBy("user_id")
+          .agg(sum(col("cents")).as("raw"), sum(col("disc")).as("disc")),
+        Seq("user_id"), "left")
+      .select(expr(s"(first_s - ${t0}L) div 86400").as("cohort_day"),
+        coalesce(col("raw"), lit(0L)).as("raw"),
+        coalesce(col("disc"), lit(0L)).as("disc"))
+    perUser.groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_users"), sum(col("raw")).as("raw_cents"),
+        expr("sum(disc) div 1000000").as("ltv_cents"))
+  }
+
   def powerAnalysis(events: DataFrame): DataFrame = {
     val perUser = events
       .select(col("event_type"), col("user_id"),

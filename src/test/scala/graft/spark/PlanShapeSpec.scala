@@ -218,6 +218,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("events_power", maxExchange = 3)
     // edge join + dst rollup + node-sized join back + display sort
     assertShape("graph_smooth", maxExchange = 5)
+    // chain math is driver-side; the RESULT plan is a local scan + sort
+    assertShape("events_markov_attrib", maxExchange = 1)
+    // first-ts agg + purchase join + broadcast gamma + cohort rollup
+    assertShape("events_ltv", maxExchange = 6)
   }
 
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
