@@ -2849,6 +2849,53 @@ object OracleSql {
         |) v(url, ok, err_code, n_pages, n_chars)
         |ORDER BY url""".stripMargin,
 
+    // mirrors Retrieval.rrfFuse(bm25TopK(10), tfTopK(10), k=10, kappa=60):
+    // same bm25 CTEs as retrieval_mrr, a plain sum(tf) second run, then
+    // integer 1e6//(60+rank) credits over the union of the top-10 lists
+    "retrieval_rrf" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |           FROM documents),
+        |st AS (SELECT count(*) AS n, sum(len(t)) AS tdl FROM d),
+        |av AS (SELECT greatest(1, (tdl * 1000) // greatest(1, n)) AS avgdl_m FROM st),
+        |q AS (SELECT * FROM (VALUES
+        |  (0, 'table'), (0, 'scan'), (0, 'fast'),
+        |  (1, 'window'), (1, 'agg'), (1, 'group'),
+        |  (2, 'customer'), (2, 'query'), (2, 'join'),
+        |  (3, 'stream'), (3, 'batch'), (3, 'merge'),
+        |  (4, 'vector'), (4, 'hash'), (4, 'sort')) v(query_id, term)),
+        |tfq AS (SELECT doc_id, len(t) AS dl, term, count(*) AS tf
+        |        FROM (SELECT doc_id, t, unnest(t) AS term FROM d) u
+        |        WHERE term IN (SELECT term FROM q) GROUP BY doc_id, len(t), term),
+        |idf AS (SELECT term, (1000000 * (2 * ((SELECT n FROM st) - count(*)) + 1))
+        |               // (2 * count(*) + 1) AS idf_micro
+        |        FROM tfq GROUP BY term),
+        |contrib AS (SELECT q.query_id, f.doc_id,
+        |  (i.idf_micro * ((f.tf * (1200 + 1000) * 1000) //
+        |    (f.tf * 1000 + ((1200 * ((1000 - 750) +
+        |      ((750 * f.dl * 1000) // (SELECT avgdl_m FROM av)))) // 1000)))) // 1000 AS c
+        |  FROM tfq f JOIN idf i USING (term) JOIN q ON q.term = f.term),
+        |bscored AS (SELECT query_id, doc_id, sum(c) AS s FROM contrib GROUP BY 1, 2),
+        |branked AS (SELECT query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+        |  FROM bscored QUALIFY rank <= 10),
+        |tscored AS (SELECT q.query_id, f.doc_id, sum(f.tf) AS s
+        |            FROM tfq f JOIN q ON q.term = f.term GROUP BY 1, 2),
+        |tranked AS (SELECT query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+        |  FROM tscored QUALIFY rank <= 10),
+        |u AS (SELECT query_id, doc_id, rank FROM branked
+        |      UNION ALL SELECT query_id, doc_id, rank FROM tranked),
+        |fused AS (SELECT query_id, doc_id, sum(1000000 // (60 + rank)) AS rrf_micro,
+        |            count(*) AS n_runs FROM u GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, rrf_micro, n_runs,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC)
+        |    AS fused_rank
+        |  FROM fused QUALIFY fused_rank <= 10)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(rrf_micro AS BIGINT) AS rrf_micro, CAST(n_runs AS BIGINT) AS n_runs,
+        |  CAST(fused_rank AS INTEGER) AS fused_rank
+        |FROM fr ORDER BY query_id, fused_rank""".stripMargin,
+
     // mirrors Retrieval.mrrEval(k=10): bm25 top-10 joined to the phrase-
     // relevant pool (rel >= 2), first-rank / reciprocal-rank / recall
     "retrieval_mrr" ->

@@ -2758,6 +2758,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "retrieval_rrf" -> ((s, dir) => {
+      // reciprocal-rank fusion of the BM25 and plain-tf runs: integer
+      // 1e6/(60+rank) credits over the k-bounded union — fusion never
+      // touches the corpus, only the two top-10 lists
+      val d = docs(s, dir, "documents")
+      val q = Retrieval.synthQueries(s)
+      Retrieval.rrfFuse(Seq(
+          Retrieval.bm25TopK(d, q, 10), Retrieval.tfTopK(d, q, 10)), k = 10)
+        .orderBy("query_id", "fused_rank")
+    }),
+
     "retrieval_mrr" -> ((s, dir) => {
       // rank-position metrics next to nDCG: first relevant rank,
       // reciprocal rank, success/recall@10 vs the phrase-relevant pool

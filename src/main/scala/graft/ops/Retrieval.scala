@@ -26,22 +26,25 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** (query_id, doc_id, score_micro, rank ≤ k), ranked per query by
-    * (score desc, doc_id asc). `queries` must be small (collected to
-    * build the term filter). Query terms are deduplicated. */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
-               k1Milli: Long = 1200, bMilli: Long = 750): DataFrame = {
-    val spark = docs.sparkSession
+  /** Query terms as (query_id, term) pairs, deduplicated per query —
+    * collected to the driver (query sets are human-sized). */
+  private def collectQueryTerms(queries: DataFrame): Array[(Long, String)] = {
+    val spark = queries.sparkSession
     import spark.implicits._
-
-    val qterms = queries.select(col("query_id"),
+    queries.select(col("query_id"),
         explode(array_distinct(filter(split(col("qtext"), " ", -1),
           t => length(t) > 0))).as("term"))
       .as[(Long, String)].collect()
-    val termSet = qterms.map(_._2).toSet
+  }
 
-    // one narrow pass: per-doc length + in-row term counts, query terms only
-    val tfq = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+  /** One narrow pass over the corpus: per-doc length + in-row counts of
+    * the query terms ONLY — (doc_id, dl, term, tf). Shared by every
+    * lexical run so fused retrieval does not rescan the corpus per run. */
+  private def termCounts(docs: DataFrame,
+                         termSet: Set[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           val toks = if (text == null) Array.empty[String]
@@ -52,6 +55,18 @@ object Retrieval {
           counts.iterator.map { case (t, c) => (id, dl, t, c) }
         }
       }.toDF("doc_id", "dl", "term", "tf")
+  }
+
+  /** (query_id, doc_id, score_micro, rank ≤ k), ranked per query by
+    * (score desc, doc_id asc). `queries` must be small (collected to
+    * build the term filter). Query terms are deduplicated. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               k1Milli: Long = 1200, bMilli: Long = 750): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val qterms = collectQueryTerms(queries)
+    val tfq = termCounts(docs, qterms.map(_._2).toSet)
 
     // corpus stats ride a 2-long aggregate, never a collect of rows
     val st = docs.select(
@@ -250,6 +265,48 @@ object Retrieval {
         expr("coalesce(n_hits, 0L) * 1000 div n_rel").as("recall_pm"))
     relevant.unpersist(false)
     out
+  }
+
+  /** Plain term-frequency run — the "query likelihood" lexical baseline a
+    * fusion stack diversifies against BM25: score = Σ tf over the query's
+    * terms, ranked (score desc, doc_id asc), top k per query. Shares
+    * [[termCounts]] so a two-run fusion still scans the corpus once per
+    * run's narrow projection, never per (run × term). */
+  def tfTopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = collectQueryTerms(queries)
+    val scored = termCounts(docs, qterms.map(_._2).toSet)
+      .join(broadcast(qterms.toSeq.toDF("query_id", "term")), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("tf")).as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009 —
+    * the standard way to combine retrieval runs without score
+    * calibration): for every (query, doc) in the union of the runs'
+    * top-k lists, rrf = Σ_runs 1/(κ + rank) with κ = 60, here in exact
+    * integer micro-units (10⁶ div (κ + rank)); docs absent from a run
+    * simply contribute nothing. Output re-ranks by (rrf desc, doc_id)
+    * and keeps the fused top k, carrying n_runs for coverage audits.
+    *
+    * Scale shape: the inputs are already k-bounded per query, so the
+    * union, the (query, doc) rollup, and the per-query window all touch
+    * ≤ |queries|·k·runs rows — fusion never sees the corpus. */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, kRrf: Long = 60L): DataFrame = {
+    require(runs.nonEmpty, "at least one run")
+    val union = runs.map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_.unionByName(_))
+    val fused = union.groupBy("query_id", "doc_id")
+      .agg(sum(expr(s"1000000 div (${kRrf}L + rank)")).as("rrf_micro"),
+        count(lit(1)).as("n_runs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    fused.withColumn("fused_rank", row_number().over(w))
+      .where(col("fused_rank") <= k)
   }
 
   /** Deterministic query set over the corpus vocabulary. */

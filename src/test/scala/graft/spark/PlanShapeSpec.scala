@@ -220,6 +220,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("graph_smooth", maxExchange = 5)
     // chain math is driver-side; the RESULT plan is a local scan + sort
     assertShape("events_markov_attrib", maxExchange = 1)
+    // two k-bounded runs (each: narrow tf pass + bounded rollup/window)
+    // + the fused rollup/window — the bm25 run alone measures 8
+    assertShape("retrieval_rrf", maxExchange = 12)
     // first-ts agg + purchase join + broadcast gamma + cohort rollup
     assertShape("events_ltv", maxExchange = 6)
   }
