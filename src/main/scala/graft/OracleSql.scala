@@ -4412,6 +4412,34 @@ object OracleSql {
         |    // (n_even + n_odd) > 3841459 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
         |FROM g ORDER BY event_type""".stripMargin,
 
+    // mirrors TextStats.rakeKeywords(k=3, stopwords {a, the}): phrase runs
+    // via gaps-and-islands (pos - row_number), per-occurrence degree/freq,
+    // floored milli word scores summed per phrase, dedup, top-3
+    "text_keywords" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |              FROM documents),
+        |pos AS (SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS p FROM toks),
+        |ns AS (SELECT doc_id, w, p,
+        |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |       FROM pos WHERE w NOT IN ('a', 'the')),
+        |ph AS (SELECT doc_id, grp, array_to_string(list(w ORDER BY p), ' ') AS phrase,
+        |         count(*) AS plen, list(w ORDER BY p) AS words
+        |       FROM ns GROUP BY 1, 2),
+        |wstat AS (SELECT doc_id, w, count(*) AS freq, sum(plen) AS degree
+        |          FROM (SELECT doc_id, plen, unnest(words) AS w FROM ph) u GROUP BY 1, 2),
+        |pscore AS (SELECT u.doc_id, u.grp, u.phrase,
+        |             sum(ws.degree * 1000 // ws.freq) AS score_m
+        |           FROM (SELECT doc_id, grp, phrase, unnest(words) AS w FROM ph) u
+        |           JOIN wstat ws ON ws.doc_id = u.doc_id AND ws.w = u.w
+        |           GROUP BY 1, 2, 3),
+        |dedup AS (SELECT DISTINCT doc_id, phrase, score_m FROM pscore),
+        |top AS (SELECT doc_id, phrase, score_m,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score_m DESC, phrase ASC) AS rank
+        |  FROM dedup QUALIFY rank <= 3)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, phrase,
+        |  CAST(score_m AS BIGINT) AS score_m, CAST(rank AS INTEGER) AS rank
+        |FROM top ORDER BY doc_id, rank""".stripMargin,
+
     // mirrors Relational.ltvCohorts(gamma=950pm, 64 days): the gamma chain
     // is the same 64-step integer recurrence, contributions sum exactly,
     // one final floor to discounted cents

@@ -2091,6 +2091,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_keywords" -> ((s, dir) => {
+      // RAKE keyword extraction: per-row phrase runs + degree/freq word
+      // scores, top-3 phrases — a pure narrow flatMap over the scan
+      TextStats.rakeKeywords(
+          docs(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy("doc_id", "rank")
+    }),
+
     "text_repetition" -> ((s, dir) => {
       TextStats.repetition(docs(s, dir, "documents").select(col("doc_id"), col("text")))
         .orderBy("doc_id")

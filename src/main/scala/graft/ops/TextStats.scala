@@ -193,6 +193,55 @@ object TextStats {
       md5(redacted).as("redacted_md5"))
   }
 
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010 — the
+    * document-local keyword staple for corpus indexing and topic audits):
+    * candidate phrases are the maximal runs of non-stopword tokens;
+    * word score = degree/freq where degree sums the lengths of the
+    * phrases the word occurs in and freq counts its occurrences; a
+    * phrase scores the sum of its words' scores. All INTEGER: word score
+    * floors to milli (degree·1000 div freq), phrase score sums exactly;
+    * duplicate phrases in a doc dedupe (their stats already counted
+    * every occurrence); top `k` per doc by (score desc, phrase asc).
+    *
+    * Scale shape: pure per-row flatMap — each document's phrases, word
+    * stats, and ranking live entirely in that row's task; the corpus
+    * never shuffles (the only Exchange is the caller's display sort).
+    * Output: (doc_id, phrase, score_m, rank). */
+  def rakeKeywords(docs: DataFrame, k: Int = 3,
+                   stopwords: Set[String] = Set("a", "the")): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = if (text == null) Array.empty[String]
+          else text.split(" ", -1).filter(_.nonEmpty)
+        // maximal non-stopword runs
+        val phrases = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+        var run = scala.collection.mutable.ArrayBuffer.empty[String]
+        toks.foreach { t =>
+          if (stopwords.contains(t)) {
+            if (run.nonEmpty) { phrases += run.toArray; run = scala.collection.mutable.ArrayBuffer.empty }
+          } else run += t
+        }
+        if (run.nonEmpty) phrases += run.toArray
+        val freq = new scala.collection.mutable.HashMap[String, Long]()
+        val degree = new scala.collection.mutable.HashMap[String, Long]()
+        phrases.foreach { p =>
+          p.foreach { w =>
+            freq.update(w, freq.getOrElse(w, 0L) + 1L)
+            degree.update(w, degree.getOrElse(w, 0L) + p.length.toLong)
+          }
+        }
+        val scored = phrases.map { p =>
+          (p.mkString(" "), p.map(w => degree(w) * 1000L / freq(w)).sum)
+        }.distinct
+        scored.sortBy { case (phrase, s) => (-s, phrase) }
+          .take(k).zipWithIndex
+          .map { case ((phrase, s), i) => (id, phrase, s, i + 1) }
+      }
+      .toDF("doc_id", "phrase", "score_m", "rank")
+  }
+
   /** Within-document repetition signals — the second half of the Gopher
     * §A1.1 rule set (Rae et al. 2021: top-n-gram fraction, duplicate-line
     * fraction), adapted to word-stream documents: the most-frequent unigram

@@ -223,6 +223,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // two k-bounded runs (each: narrow tf pass + bounded rollup/window)
     // + the fused rollup/window — the bm25 run alone measures 8
     assertShape("retrieval_rrf", maxExchange = 12)
+    // RAKE is a pure per-row flatMap; the only Exchange is the display sort
+    assertShape("text_keywords", maxExchange = 1)
     // first-ts agg + purchase join + broadcast gamma + cohort rollup
     assertShape("events_ltv", maxExchange = 6)
   }
