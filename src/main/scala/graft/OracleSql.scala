@@ -4321,6 +4321,96 @@ object OracleSql {
          |  CAST(abs(sp // n - npos * 1000 // n) AS BIGINT) AS gap_pm
          |FROM g ORDER BY bin""".stripMargin,
 
+    // mirrors Classifier.rocBins over the same fit as quality_calibration:
+    // identical score/permille/bin CTEs, then cumulative (tp, fp) from the
+    // top bin down, permille rates, and the lag-trapezoid AUC halved once
+    "quality_roc" ->
+      s"""WITH RECURSIVE labeled AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || repeat(' zq', 200) ELSE text END AS text,
+         |    CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS y
+         |  FROM documents),
+         |toks AS (SELECT doc_id, y, CASE WHEN trim(text) = '' THEN [] ELSE string_split(text, ' ') END AS t FROM labeled),
+         |u AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |uc AS (SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2),
+         |ustats AS (SELECT doc_id, max(c) AS mu, sum(c) AS n,
+         |           sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM uc GROUP BY 1),
+         |feats AS (
+         |  SELECT t.doc_id, t.y,
+         |    CAST(least(coalesce(n, 0), 1000) AS BIGINT) AS x1,
+         |    CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(mu * 1000.0 / n) END AS BIGINT) AS x2,
+         |    CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(dup * 1000.0 / n) END AS BIGINT) AS x3,
+         |    CAST(1000 AS BIGINT) AS x4
+         |  FROM toks t LEFT JOIN ustats USING (doc_id)),
+         |fit(round, w1, w2, w3, w4) AS (
+         |  SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT round + 1,
+         |    w1 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x1 ELSE 0 END), 0) FROM feats),
+         |    w2 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x2 ELSE 0 END), 0) FROM feats),
+         |    w3 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x3 ELSE 0 END), 0) FROM feats),
+         |    w4 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x4 ELSE 0 END), 0) FROM feats)
+         |  FROM fit WHERE round < 6),
+         |fw AS (SELECT w1, w2, w3, w4 FROM fit WHERE round = 6),
+         |sc AS (SELECT y, x1*w1 + x2*w2 + x3*w3 + x4*w4 AS s FROM feats, fw),
+         |scl AS (SELECT greatest(1, coalesce(max(abs(s)), 0) // 500) AS k FROM sc),
+         |pp AS (SELECT y,
+         |    (greatest(-500*k, least(500*k, s)) + 500*k) // k AS p_pm
+         |  FROM sc, scl),
+         |b AS (SELECT y, least(p_pm // 100, 9) AS bin FROM pp),
+         |g AS (SELECT bin, count(*) AS n,
+         |        sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS npos FROM b GROUP BY 1),
+         |g2 AS (SELECT bin, n, npos, n - npos AS nneg FROM g),
+         |c AS (SELECT bin, n, npos,
+         |    sum(npos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         |    sum(nneg) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+         |    sum(npos) OVER () AS p, sum(nneg) OVER () AS nn
+         |  FROM g2),
+         |r AS (SELECT bin AS thr_bin, n, npos, tp, fp,
+         |    CASE WHEN p = 0 THEN 0 ELSE tp * 1000 // p END AS tpr_pm,
+         |    CASE WHEN nn = 0 THEN 0 ELSE fp * 1000 // nn END AS fpr_pm
+         |  FROM c),
+         |t AS (SELECT thr_bin, n, npos, tp, fp, tpr_pm, fpr_pm,
+         |    (fpr_pm - COALESCE(lag(fpr_pm) OVER (ORDER BY thr_bin DESC), 0))
+         |      * (tpr_pm + COALESCE(lag(tpr_pm) OVER (ORDER BY thr_bin DESC), 0)) AS trap
+         |  FROM r)
+         |SELECT CAST(thr_bin AS BIGINT) AS thr_bin, CAST(n AS BIGINT) AS n,
+         |  CAST(npos AS BIGINT) AS npos, CAST(tp AS BIGINT) AS tp,
+         |  CAST(fp AS BIGINT) AS fp, CAST(tpr_pm AS BIGINT) AS tpr_pm,
+         |  CAST(fpr_pm AS BIGINT) AS fpr_pm,
+         |  CAST(sum(trap) OVER () // 2 AS BIGINT) AS auc_micro
+         |FROM t ORDER BY thr_bin""".stripMargin,
+
+    // mirrors Relational.conversionPaths(maxSteps=8, topK=20): the markov
+    // journey CTEs, per-user ordered string_agg capped at 8 steps, path
+    // rollup, (n_users desc, path asc) top-20
+    "events_paths" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id, event_type
+        |  FROM events),
+        |fp AS (SELECT user_id, s AS fs, event_id AS fe FROM (
+        |    SELECT user_id, s, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY s, event_id) AS rn
+        |    FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+        |pre AS (SELECT ev.user_id, ev.s, ev.event_id, ev.event_type,
+        |          fp.user_id IS NOT NULL AS conv
+        |        FROM ev LEFT JOIN fp USING (user_id)
+        |        WHERE ev.event_type <> 'purchase'
+        |          AND (fp.user_id IS NULL OR (ev.s, ev.event_id) < (fp.fs, fp.fe))),
+        |pre8 AS (SELECT user_id, event_type, conv,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY s, event_id) AS rn
+        |  FROM pre QUALIFY rn <= 8),
+        |walked AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+        |    max(CASE WHEN conv THEN 1 ELSE 0 END) AS conv FROM pre8 GROUP BY 1),
+        |direct AS (SELECT fp.user_id, '' AS path, 1 AS conv FROM fp
+        |  WHERE user_id NOT IN (SELECT DISTINCT user_id FROM pre)),
+        |u AS (SELECT * FROM walked UNION ALL SELECT * FROM direct),
+        |g AS (SELECT path, count(*) AS n_users, sum(conv) AS n_conv FROM u GROUP BY 1)
+        |SELECT path, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_conv AS BIGINT) AS n_conv,
+        |  CAST(n_conv * 1000 // n_users AS BIGINT) AS conv_pm
+        |FROM g ORDER BY n_users DESC, path ASC LIMIT 20""".stripMargin,
+
     // mirrors Relational.cuped: second-truncated epoch split at the
     // window midpoint, cents quantization, pooled integer theta; DuckDB's
     // flooring // IS the floor division Spark reproduces via the

@@ -2051,6 +2051,27 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "events_paths" -> ((s, dir) => {
+      // top converting journey paths: first-purchase-truncated sequences
+      // (<=8 steps) rolled up to users + permille conversion, top-20
+      graft.ops.Relational.conversionPaths(docs(s, dir, "events"))
+    }),
+
+    "quality_roc" -> ((s, dir) => {
+      // binned ROC + exact trapezoid AUC of the deployed gate: same
+      // frozen weights and permille scale as quality_calibration
+      val feats = Classifier.features(Classifier.corpusWithLabels(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .localCheckpoint(true) // read by the fit rounds AND the ROC pass
+      val last = Classifier.perceptronFit(feats, rounds = 6)
+        .orderBy(col("round").desc).limit(1).collect()(0)
+      val out = Classifier.rocBins(feats,
+        (last.getLong(1), last.getLong(2), last.getLong(3), last.getLong(4)))
+        .orderBy("thr_bin")
+      feats.unpersist(false)
+      out
+    }),
+
     "events_markov_attrib" -> ((s, dir) => {
       // Markov removal-effect attribution: journeys to first purchase →
       // absorbing chain; channel credit = absorption-probability drop

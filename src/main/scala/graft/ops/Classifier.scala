@@ -169,4 +169,62 @@ object Classifier {
         expr("CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000 div (tp + fn) END")
           .as("recall_permille"))
   }
+
+  /** Binned ROC curve + exact trapezoid AUC of the deployed gate — the
+    * threshold-choice companion to [[calibrationBins]]: scores quantize
+    * to the same clamped permille scale and ten fixed bins (no corpus
+    * sort — an exact rank-based AUC would need a global order; the
+    * documented deviation is 10-bin resolution), each bin-boundary
+    * threshold "predict positive if bin ≥ t" yields a cumulative
+    * (tp, fp) point, and AUC is the trapezoid sum over those points in
+    * micro-units, halved once at the end so every step stays integer.
+    * Empty bins simply skip a point — the lag-based trapezoid spans the
+    * gap exactly.
+    *
+    * Scale shape: one map-side-combined 10-row bin aggregate; the
+    * cumsum/lag/total windows run on ≤ 10 rows. Output per non-empty
+    * bin: (thr_bin, n, npos, tp, fp, tpr_pm, fpr_pm, auc_micro). */
+  def rocBins(feats: DataFrame, w: (Long, Long, Long, Long),
+              nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val score = col("x1") * w._1 + col("x2") * w._2 +
+      col("x3") * w._3 + col("x4") * w._4
+    val scored = feats.select(col("y"), score.as("s")).localCheckpoint(true)
+    val sMax = scored.agg(coalesce(max(abs(col("s"))), lit(0L)))
+      .head().getLong(0)
+    val scale = math.max(1L, sMax / 500L)
+    val half = 500L * scale
+    val bins = scored
+      .select(col("y"),
+        expr(s"(greatest(${-half}L, least(${half}L, s)) + ${half}L) div ${scale}L")
+          .as("p_pm"))
+      .select(col("y"), least(expr("p_pm div 100"), lit((nBins - 1).toLong)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("npos"))
+      .withColumn("nneg", col("n") - col("npos"))
+    val desc = Window.orderBy(col("bin").desc)
+    val cum = desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val out = bins
+      .withColumn("tp", sum(col("npos")).over(cum))
+      .withColumn("fp", sum(col("nneg")).over(cum))
+      .withColumn("p", sum(col("npos")).over(all))
+      .withColumn("nn", sum(col("nneg")).over(all))
+      .select(col("bin").as("thr_bin"), col("n"), col("npos"),
+        col("tp"), col("fp"),
+        expr("CASE WHEN p = 0 THEN 0 ELSE tp * 1000 div p END").as("tpr_pm"),
+        expr("CASE WHEN nn = 0 THEN 0 ELSE fp * 1000 div nn END").as("fpr_pm"))
+      .withColumn("trap", {
+        val descThr = Window.orderBy(col("thr_bin").desc)
+        (col("fpr_pm") - coalesce(lag(col("fpr_pm"), 1).over(descThr), lit(0L))) *
+          (col("tpr_pm") + coalesce(lag(col("tpr_pm"), 1).over(descThr), lit(0L)))
+      })
+      .withColumn("auc_micro", expr("sum(trap) OVER () div 2"))
+      .drop("trap")
+      .localCheckpoint(true)
+    scored.unpersist(false)
+    out
+  }
 }

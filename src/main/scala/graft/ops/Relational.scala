@@ -353,6 +353,47 @@ object Relational {
       .toDF("channel", "p_base_micro", "p_removed_micro", "removal_micro")
   }
 
+  /** Top converting journey paths (product-analytics "path analysis" —
+    * the qualitative companion to [[markovAttribution]]'s quantitative
+    * credit): each user's pre-purchase event sequence (same
+    * first-purchase truncation, first `maxSteps` steps) becomes a '>'
+    * -joined path string; paths roll up to user counts and integer
+    * permille conversion rates, top `topK` by (n_users desc, path asc).
+    * Direct conversions (purchase with no prior events) appear as the
+    * empty path.
+    *
+    * Scale shape: one user-keyed window pass (row_number capped at
+    * maxSteps bounds the per-user state to 8 structs), one path rollup,
+    * and a TakeOrderedAndProject for the top-k — no global sort.
+    * Output: (path, n_users, n_conv, conv_pm). */
+  def conversionPaths(events: DataFrame, maxSteps: Int = 8,
+                      topK: Int = 20): DataFrame = {
+    val ev = events.select(col("user_id"),
+      unix_timestamp(col("ts")).as("s"), col("event_id"), col("event_type"))
+    val fp = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("s"), col("event_id"))).as("fp"))
+    val pre = ev.join(fp, Seq("user_id"), "left")
+      .where(col("event_type") =!= "purchase")
+      .where(col("fp").isNull || struct(col("s"), col("event_id")) < col("fp"))
+    val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val walked = pre.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= maxSteps)
+      .groupBy(col("user_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type), '>')")
+          .as("path"),
+        max(when(col("fp").isNotNull, 1L).otherwise(0L)).as("conv"))
+    val direct = fp.join(pre.select("user_id").distinct(),
+        Seq("user_id"), "left_anti")
+      .select(col("user_id"), lit("").as("path"), lit(1L).as("conv"))
+    walked.unionByName(direct)
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      .withColumn("conv_pm", expr("n_conv * 1000 div n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(topK)
+  }
+
   /** Discounted lifetime value by acquisition cohort (the subscription /
     * marketplace planning staple): each user's purchases are discounted by
     * γ^d for d = whole days since the user's first event, then rolled up

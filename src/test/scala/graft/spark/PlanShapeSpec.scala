@@ -225,6 +225,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("retrieval_rrf", maxExchange = 12)
     // RAKE is a pure per-row flatMap; the only Exchange is the display sort
     assertShape("text_keywords", maxExchange = 1)
+    // fp agg + journey window + walked rollup + anti-join distinct +
+    // path rollup; the top-k is TakeOrderedAndProject, never a global sort
+    assertShape("events_paths", maxExchange = 6)
+    assert(ops("events_paths").contains("TakeOrderedAndProject"),
+      "events_paths top-k must plan as TakeOrderedAndProject")
+    // bin rollup + <=10-row windows + display sort
+    assertShape("quality_roc", maxExchange = 5)
     // first-ts agg + purchase join + broadcast gamma + cohort rollup
     assertShape("events_ltv", maxExchange = 6)
   }
