@@ -3570,6 +3570,80 @@ object OracleSql {
 
     // mirrors TextStats.corpusGate: gopher keep + repetition caps with
     // first-failing-reason precedence
+    // mirrors TextStats.dupQualityMatrix over the replica corpus: md5
+    // cluster sizes, the corpus_gate decision re-derived on the SAME
+    // corpus, bucket x keep rollup with permille keep rates
+    "corpus_dup_quality" -> {
+      val meanLen = s"""CAST(CASE WHEN $nTok > 0
+         |    THEN floor(CAST((length(text) - (length(text)-length(replace(text,' ','')))) AS DOUBLE) * 1000.0
+         |      / CAST($nTok AS DOUBLE))
+         |    ELSE 0 END AS BIGINT)""".stripMargin
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(w => s"(CASE WHEN ' '||text||' ' LIKE '% $w %' THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $corpusCte,
+         |sizes AS (SELECT md5(text) AS h, count(*) AS csize FROM corpus GROUP BY 1),
+         |ws AS (SELECT c.doc_id, s.csize FROM corpus c JOIN sizes s ON md5(c.text) = s.h),
+         |gop AS (
+         |  SELECT doc_id,
+         |    ($nTok >= 50 AND $nTok <= 100000
+         |     AND $meanLen >= 3000 AND $meanLen <= 10000
+         |     AND (length(text)-length(replace(text,'#','')))*10 <= $nTok
+         |     AND ($stops) >= 2) AS gopher_keep
+         |  FROM corpus),
+         |toks AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE string_split(text, ' ') END AS t FROM corpus),
+         |u AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |uc AS (SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2),
+         |ustats AS (SELECT doc_id, max(c) AS mu, sum(c) AS n,
+         |           sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM uc GROUP BY 1),
+         |rep AS (
+         |  SELECT d.doc_id,
+         |    CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(mu * 1000.0 / n) END AS BIGINT) AS top_unigram_x1000,
+         |    CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(dup * 1000.0 / n) END AS BIGINT) AS dup_token_x1000
+         |  FROM corpus d LEFT JOIN ustats USING (doc_id)),
+         |gate AS (
+         |  SELECT gop.doc_id,
+         |    (gopher_keep AND top_unigram_x1000 <= 200 AND dup_token_x1000 <= 500) AS keep
+         |  FROM gop JOIN rep USING (doc_id)),
+         |j AS (SELECT ws.csize, g.keep FROM ws JOIN gate g USING (doc_id)),
+         |bq AS (SELECT CASE WHEN csize = 1 THEN 'unique'
+         |         WHEN csize <= 3 THEN 'dup_2_3'
+         |         WHEN csize <= 7 THEN 'dup_4_7'
+         |         ELSE 'dup_8_plus' END AS bucket,
+         |         CASE WHEN keep THEN 1 ELSE 0 END AS k FROM j)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(k) AS BIGINT) AS n_keep,
+         |  CAST(sum(k) * 1000 // count(*) AS BIGINT) AS keep_pm
+         |FROM bq GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
+    // mirrors Dedup.lshTune(threshold=700, budget 128): the same floor
+    // power chains via list_reduce over constant lists, bucket-midpoint
+    // integration, argmin with fewer-bands tie-break
+    "dedup_lsh_tune" ->
+      """WITH cand AS (SELECT * FROM (VALUES (64, 2), (32, 4), (16, 8), (8, 16))
+        |               v(bands, rows_per_band)),
+        |grid AS (SELECT bands, rows_per_band, 5 + 10*i AS s
+        |         FROM cand, (SELECT unnest(range(0, 100)) AS i) g),
+        |sc AS (SELECT bands, rows_per_band, s,
+        |    list_reduce(list_transform(range(1, rows_per_band + 1), x -> s),
+        |      (a, x) -> (a*x) // 1000) AS p_and FROM grid),
+        |pc AS (SELECT bands, rows_per_band, s,
+        |    1000 - list_reduce(list_transform(range(1, bands + 1), x -> 1000 - p_and),
+        |      (a, x) -> (a*x) // 1000) AS p_catch FROM sc),
+        |agg AS (SELECT bands, rows_per_band,
+        |    sum(CASE WHEN s <= 700 THEN p_catch ELSE 0 END) AS fp_area,
+        |    sum(CASE WHEN s > 700 THEN 1000 - p_catch ELSE 0 END) AS fn_area
+        |  FROM pc GROUP BY 1, 2),
+        |c AS (SELECT bands, rows_per_band, fp_area, fn_area,
+        |        fp_area + fn_area AS cost FROM agg)
+        |SELECT CAST(bands AS INTEGER) AS bands,
+        |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
+        |  CAST(fp_area AS BIGINT) AS fp_area, CAST(fn_area AS BIGINT) AS fn_area,
+        |  CAST(cost AS BIGINT) AS cost,
+        |  row_number() OVER (ORDER BY cost ASC, bands ASC) = 1 AS chosen
+        |FROM c ORDER BY bands""".stripMargin,
+
     "corpus_gate" -> {
       val meanLen = s"""CAST(CASE WHEN $nTok > 0
          |    THEN floor(CAST((length(text) - (length(text)-length(replace(text,' ','')))) AS DOUBLE) * 1000.0

@@ -3101,6 +3101,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "corpus_dup_quality" -> ((s, dir) => {
+      // duplication x quality interaction: exact-dup cluster sizes (md5)
+      // bucketed against the assembled gate decision, permille keep rates
+      TextStats.dupQualityMatrix(Dedup.corpusWithReplicas(
+          docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("bucket")
+    }),
+
+    "dedup_lsh_tune" -> ((s, dir) => {
+      // LSH band planning at budget 128: exact fixed-point S-curves over
+      // the 100 bucket midpoints, fp/fn areas vs the 0.7 target, argmin
+      Dedup.lshTune(s).orderBy("bands")
+    }),
+
     "corpus_gate" -> ((s, dir) => {
       // the assembled keep/drop decision with auditable reason codes
       // (first failing signal wins): gopher structural rules + repetition

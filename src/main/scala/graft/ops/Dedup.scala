@@ -1253,4 +1253,46 @@ object Dedup {
       ("cdc://d", block(7, 4000)))
       .toDF("url", "payload")
   }
+
+  /** LSH band planning — the design step the MinHash family needs before
+    * any signature is computed (Leskovec/Rajaraman/Ullman ch. 3): for a
+    * fixed hash budget b·r, each (bands, rowsPerBand) choice trades the
+    * S-curve P(catch|s) = 1 − (1 − s^r)^b between false positives below
+    * the target threshold and false negatives above it. Evaluated here in
+    * EXACT fixed-point permille — powers are the floor chain
+    * x_{k+1} = (x_k·base) div 1000 (the same order any engine can
+    * replay), integrated over the 100 bucket midpoints s = 5, 15, …,
+    * 995: fn_area = Σ_{s>t}(1000 − p), fp_area = Σ_{s≤t} p, cost =
+    * fp + fn, `chosen` marks the argmin (ties → fewer bands).
+    *
+    * Scale shape: a 4×100 literal grid of codegen'd higher-order folds —
+    * corpus-free planning that runs in milliseconds and pins the (b, r)
+    * every downstream minhash job uses. Output per candidate: (bands,
+    * rows_per_band, fp_area, fn_area, cost, chosen). */
+  def lshTune(spark: org.apache.spark.sql.SparkSession,
+              thresholdPm: Long = 700L,
+              candidates: Seq[(Int, Int)] =
+                Seq((64, 2), (32, 4), (16, 8), (8, 16))): DataFrame = {
+    import spark.implicits._
+    require(candidates.forall { case (b, r) => b >= 2 && r >= 2 },
+      "bands and rowsPerBand must be >= 2 (the fold runs base^(n-1) merges)")
+    val grid = candidates.toDF("bands", "rows_per_band")
+      .crossJoin(spark.range(0, 100).select((col("id") * 10 + 5).as("s")))
+    val scored = grid
+      .withColumn("p_and",
+        expr("aggregate(sequence(2, rows_per_band), s, (acc, x) -> (acc * s) div 1000)"))
+      .withColumn("q", lit(1000L) - col("p_and"))
+      .withColumn("p_catch",
+        lit(1000L) - expr("aggregate(sequence(2, bands), q, (acc, x) -> (acc * q) div 1000)"))
+      .groupBy("bands", "rows_per_band")
+      .agg(
+        sum(when(col("s") <= thresholdPm, col("p_catch")).otherwise(0L))
+          .as("fp_area"),
+        sum(when(col("s") > thresholdPm, lit(1000L) - col("p_catch"))
+          .otherwise(0L)).as("fn_area"))
+      .withColumn("cost", col("fp_area") + col("fn_area"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cost").asc, col("bands").asc)
+    scored.withColumn("chosen", row_number().over(w) === 1)
+  }
 }

@@ -402,6 +402,35 @@ object TextStats {
         reason.as("reason"), (reason === "keep").as("keep"))
   }
 
+  /** Duplication × quality interaction matrix — the curation sanity check
+    * "does dedup remove disproportionately low-quality documents?" that
+    * decides whether to dedup before or after the quality gate (CCNet and
+    * RefinedWeb both report this interaction): exact-dup cluster size per
+    * doc (md5 groups) bucketed {unique, 2-3, 4-7, 8+} crossed with the
+    * assembled [[corpusGate]] keep/drop decision, with integer permille
+    * keep rates per bucket.
+    *
+    * Scale shape: one md5 rollup + one hash join back (both on the
+    * 16-byte digest), the gate's own joins, and a 4-row bucket rollup —
+    * no pairwise work anywhere. Output: (bucket, n_docs, n_keep,
+    * keep_pm). */
+  def dupQualityMatrix(corpus: DataFrame): DataFrame = {
+    val sizes = corpus.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("csize"))
+    val withSize = corpus.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(sizes, "h")
+    val gate = corpusGate(corpus).select(col("doc_id"), col("keep"))
+    withSize.join(gate, Seq("doc_id"))
+      .select(when(col("csize") === 1, "unique")
+        .when(col("csize") <= 3, "dup_2_3")
+        .when(col("csize") <= 7, "dup_4_7")
+        .otherwise("dup_8_plus").as("bucket"), col("keep"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_pm", expr("n_keep * 1000 div n_docs"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
     * the MOSS algorithm): hash every char k-gram, slide a w-window over
     * the hash sequence, select each window's MINIMUM (rightmost on ties),

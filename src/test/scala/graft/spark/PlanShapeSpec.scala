@@ -232,6 +232,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "events_paths top-k must plan as TakeOrderedAndProject")
     // bin rollup + <=10-row windows + display sort
     assertShape("quality_roc", maxExchange = 5)
+    // md5 rollup + digest join back + gate joins + 4-row bucket rollup
+    assertShape("corpus_dup_quality", maxExchange = 8)
+    // 400-row literal grid of codegen'd folds + 4-row window
+    assertShape("dedup_lsh_tune", maxExchange = 4)
     // first-ts agg + purchase join + broadcast gamma + cohort rollup
     assertShape("events_ltv", maxExchange = 6)
   }
