@@ -4604,6 +4604,54 @@ object OracleSql {
         |  CAST(score_m AS BIGINT) AS score_m, CAST(rank AS INTEGER) AS rank
         |FROM top ORDER BY doc_id, rank""".stripMargin,
 
+    // mirrors Relational.madAnomaly(k=4448 milli): lower medians at rank
+    // (n+1)//2 under the deterministic (value, day) order, MAD flagging
+    "events_anomaly_mad" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m1 AS (SELECT event_type, cnt AS med FROM (
+        |    SELECT event_type, cnt, day,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY cnt, day) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM daily) x WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT d.event_type, d.day, d.cnt, m1.med,
+        |          abs(d.cnt - m1.med) AS adev
+        |        FROM daily d JOIN m1 USING (event_type)),
+        |m2 AS (SELECT event_type, adev AS mad FROM (
+        |    SELECT event_type, adev, day,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY adev, day) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM dev) x WHERE rn = (n + 1) // 2)
+        |SELECT dev.event_type, CAST(dev.day AS BIGINT) AS day,
+        |  CAST(cnt AS BIGINT) AS cnt, CAST(med AS BIGINT) AS med,
+        |  CAST(mad AS BIGINT) AS mad, CAST(adev * 1000 AS BIGINT) AS dev_m,
+        |  adev * 1000 > mad * 4448 AS anomaly
+        |FROM dev JOIN m2 USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
+
+    // mirrors Graph.degreeHist over Graph.synthEdges: total (in+out)
+    // degree, bit-length buckets (= floor(log2)+1 with zero libm),
+    // bucket 0 for isolated nodes
+    "graph_degree_hist" ->
+      """WITH nodes AS (SELECT doc_id AS id FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT id AS src, (id*7+3) % n AS dst FROM nodes, nn
+        |  UNION ALL SELECT id, (id*13+11) % n FROM nodes, nn
+        |  UNION ALL SELECT id, (id*31+17) % n FROM nodes, nn),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |u AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges),
+        |deg AS (SELECT id, count(*) AS deg FROM u GROUP BY 1),
+        |j AS (SELECT nodes.id, COALESCE(deg.deg, 0) AS deg
+        |      FROM nodes LEFT JOIN deg USING (id)),
+        |b AS (SELECT deg, CASE WHEN deg = 0 THEN 0
+        |        ELSE length(printf('%b', deg)) END AS bucket FROM j)
+        |SELECT CAST(bucket AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(min(deg) AS BIGINT) AS min_deg, CAST(max(deg) AS BIGINT) AS max_deg
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     // mirrors Relational.ltvCohorts(gamma=950pm, 64 days): the gamma chain
     // is the same 64-step integer recurrence, contributions sum exactly,
     // one final floor to discounted cents

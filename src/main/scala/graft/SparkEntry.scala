@@ -3005,6 +3005,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "events_anomaly_mad" -> ((s, dir) => {
+      // robust daily anomaly detection: lower-median MAD per event type,
+      // |dev|*1000 > 4448*mad flags; windows run over days, not events
+      graft.ops.Relational.madAnomaly(docs(s, dir, "events"))
+        .orderBy("event_type", "day")
+    }),
+
+    "graph_degree_hist" -> ((s, dir) => {
+      // exact bit-length degree buckets over the synthetic link graph:
+      // floor(log2)+1 with zero libm, isolated nodes in bucket 0
+      val d = docs(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = d.count()
+      Graph.degreeHist(d, Graph.synthEdges(d, n)).orderBy("bucket")
+    }),
+
     "events_error_anomaly" -> ((s, dir) => {
       // per-minute error-burst detection vs corpus baseline, integer
       // permille; one minute-keyed algebraic rollup + a 1-row broadcast

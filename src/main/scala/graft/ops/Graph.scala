@@ -55,6 +55,30 @@ object Graph {
     scores
   }
 
+  /** Degree histogram on exact power-of-two buckets — the first
+    * diagnostic run on any web link graph (is the tail power-law? where
+    * do the hubs start?): total degree (in+out) per node, bucketed by
+    * the BIT LENGTH of the degree (length of its binary string — exactly
+    * floor(log2)+1 with zero libm involvement, so the bucketing is
+    * bit-reproducible in any engine), bucket 0 reserved for isolated
+    * nodes.
+    *
+    * Scale shape: one edge-union count rollup + a node-sized left join +
+    * a ≤64-row bucket rollup — never a sort, never a histogram of raw
+    * degrees. Output: (bucket, n_nodes, min_deg, max_deg). */
+  def degreeHist(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    nodes.select(col("id")).join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .select(col("deg"),
+        when(col("deg") === 0L, 0).otherwise(length(bin(col("deg")))).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"))
+  }
+
   /** One-hop label smoothing — the mean-aggregate building block of
     * GraphSAGE (Hamilton et al., NeurIPS 2017) and of classic web-spam
     * score propagation: each node's signal is blended with the mean of

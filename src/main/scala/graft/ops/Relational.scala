@@ -353,6 +353,49 @@ object Relational {
       .toDF("channel", "p_base_micro", "p_removed_micro", "removal_micro")
   }
 
+  /** Robust daily-anomaly detection via median absolute deviation (the
+    * Hampel / Leys-et-al. recommendation over z-scores — one bad day
+    * cannot drag the baseline the way it drags a mean): per event type,
+    * the LOWER median of daily counts (element at rank (n+1) div 2 under
+    * the deterministic (value, day) order — integer, no interpolation),
+    * MAD as the lower median of |x − med|, and a day flags when
+    * |x − med|·1000 > 4448·mad — k=3 times the 1.4826 normal-consistency
+    * constant, floored to milli. mad = 0 degrades to "any deviation
+    * flags", the strict-consistency reading.
+    *
+    * Scale shape: one (type, day)-keyed count rollup (the only pass over
+    * the events table), then two rank windows over the days-per-type
+    * series — bounded by the calendar, not the corpus. Output per
+    * (event_type, day): (cnt, med, mad, dev_m, anomaly). */
+  def madAnomaly(events: DataFrame, kMilli: Long = 4448L): DataFrame = {
+    val daily = events
+      .select(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // read by both median passes and the output
+    def lowerMedian(df: DataFrame, valueCol: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(col(valueCol), col("day"))
+      val n = Window.partitionBy("event_type")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(n))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as("m"))
+    }
+    val med = lowerMedian(daily, "cnt")
+    val dev = daily.join(med, "event_type")
+      .select(col("event_type"), col("day"), col("cnt"), col("m").as("med"),
+        abs(col("cnt") - col("m")).as("adev"))
+    val mad = lowerMedian(dev.select(col("event_type"), col("day"),
+      col("adev").as("cnt")), "cnt")
+      .withColumnRenamed("m", "mad")
+    val out = dev.join(mad, "event_type")
+      .select(col("event_type"), col("day"), col("cnt"), col("med"),
+        col("mad"), (col("adev") * 1000L).as("dev_m"))
+      .withColumn("anomaly", col("dev_m") > col("mad") * kMilli)
+      .localCheckpoint(true)
+    daily.unpersist(false)
+    out
+  }
+
   /** Top converting journey paths (product-analytics "path analysis" —
     * the qualitative companion to [[markovAttribution]]'s quantitative
     * credit): each user's pre-purchase event sequence (same

@@ -236,6 +236,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("corpus_dup_quality", maxExchange = 8)
     // 400-row literal grid of codegen'd folds + 4-row window
     assertShape("dedup_lsh_tune", maxExchange = 4)
+    // ONE events pass (day rollup); both median windows run over days
+    assertShape("events_anomaly_mad", maxExchange = 6)
+    // edge-union rollup + node join + <=64-row bucket rollup
+    assertShape("graph_degree_hist", maxExchange = 5)
     // first-ts agg + purchase join + broadcast gamma + cohort rollup
     assertShape("events_ltv", maxExchange = 6)
   }
