@@ -4604,6 +4604,87 @@ object OracleSql {
         |  CAST(score_m AS BIGINT) AS score_m, CAST(rank AS INTEGER) AS rank
         |FROM top ORDER BY doc_id, rank""".stripMargin,
 
+    // mirrors Relational.upliftBySegment(segments=4): intent-to-treat
+    // per-user purchase cents, strata orthogonal to the parity arm,
+    // integer milli means and exact uplift differences
+    "events_uplift" ->
+      """WITH pu AS (SELECT user_id, sum(CAST(floor(value * 100) AS BIGINT)) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |us AS (SELECT DISTINCT user_id FROM events),
+        |j AS (SELECT us.user_id % 2 AS arm, (us.user_id // 2) % 4 AS segment,
+        |        COALESCE(pu.y, 0) AS y
+        |      FROM us LEFT JOIN pu USING (user_id)),
+        |g AS (SELECT segment,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_c,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_t,
+        |    sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sc,
+        |    sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS st
+        |  FROM j GROUP BY 1)
+        |SELECT CAST(segment AS BIGINT) AS segment, CAST(n_c AS BIGINT) AS n_c,
+        |  CAST(n_t AS BIGINT) AS n_t,
+        |  CAST(sc * 1000 // n_c AS BIGINT) AS mean_c_m,
+        |  CAST(st * 1000 // n_t AS BIGINT) AS mean_t_m,
+        |  CAST(st * 1000 // n_t - sc * 1000 // n_c AS BIGINT) AS uplift_m
+        |FROM g ORDER BY segment""".stripMargin,
+
+    // mirrors Classifier.crossFitDisagreement: the quality_roc fit CTEs
+    // duplicated per parity fold, each half scored with the OTHER half's
+    // round-6 weights, (fold, y, pred) rollup with per-fold permille
+    "quality_label_noise" ->
+      s"""WITH RECURSIVE labeled AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || repeat(' zq', 200) ELSE text END AS text,
+         |    CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END AS y
+         |  FROM documents),
+         |toks AS (SELECT doc_id, y, CASE WHEN trim(text) = '' THEN [] ELSE string_split(text, ' ') END AS t FROM labeled),
+         |u AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |uc AS (SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2),
+         |ustats AS (SELECT doc_id, max(c) AS mu, sum(c) AS n,
+         |           sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM uc GROUP BY 1),
+         |feats AS (
+         |  SELECT t.doc_id, t.y,
+         |    CAST(least(coalesce(n, 0), 1000) AS BIGINT) AS x1,
+         |    CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(mu * 1000.0 / n) END AS BIGINT) AS x2,
+         |    CAST(CASE WHEN coalesce(n, 0) = 0 THEN 0 ELSE floor(dup * 1000.0 / n) END AS BIGINT) AS x3,
+         |    CAST(1000 AS BIGINT) AS x4
+         |  FROM toks t LEFT JOIN ustats USING (doc_id)),
+         |f0 AS (SELECT * FROM feats WHERE doc_id % 2 = 0),
+         |f1 AS (SELECT * FROM feats WHERE doc_id % 2 = 1),
+         |fit0(round, w1, w2, w3, w4) AS (
+         |  SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT round + 1,
+         |    w1 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x1 ELSE 0 END), 0) FROM f0),
+         |    w2 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x2 ELSE 0 END), 0) FROM f0),
+         |    w3 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x3 ELSE 0 END), 0) FROM f0),
+         |    w4 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x4 ELSE 0 END), 0) FROM f0)
+         |  FROM fit0 WHERE round < 6),
+         |fit1(round, w1, w2, w3, w4) AS (
+         |  SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT round + 1,
+         |    w1 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x1 ELSE 0 END), 0) FROM f1),
+         |    w2 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x2 ELSE 0 END), 0) FROM f1),
+         |    w3 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x3 ELSE 0 END), 0) FROM f1),
+         |    w4 + (SELECT coalesce(sum(CASE WHEN y*(x1*w1 + x2*w2 + x3*w3 + x4*w4) <= 0 THEN y*x4 ELSE 0 END), 0) FROM f1)
+         |  FROM fit1 WHERE round < 6),
+         |fw0 AS (SELECT w1, w2, w3, w4 FROM fit0 WHERE round = 6),
+         |fw1 AS (SELECT w1, w2, w3, w4 FROM fit1 WHERE round = 6),
+         |p AS (
+         |  SELECT 0 AS fold, y,
+         |    CASE WHEN x1*w1 + x2*w2 + x3*w3 + x4*w4 > 0 THEN 1 ELSE -1 END AS pred
+         |  FROM f0, fw1
+         |  UNION ALL
+         |  SELECT 1, y,
+         |    CASE WHEN x1*w1 + x2*w2 + x3*w3 + x4*w4 > 0 THEN 1 ELSE -1 END
+         |  FROM f1, fw0),
+         |g AS (SELECT fold, y, pred, count(*) AS n FROM p GROUP BY 1, 2, 3)
+         |SELECT CAST(fold AS BIGINT) AS fold, CAST(y AS BIGINT) AS y,
+         |  CAST(pred AS BIGINT) AS pred, CAST(n AS BIGINT) AS n,
+         |  CAST(sum(n) OVER (PARTITION BY fold) AS BIGINT) AS fold_n,
+         |  CAST(n * 1000 // sum(n) OVER (PARTITION BY fold) AS BIGINT) AS rate_pm
+         |FROM g ORDER BY fold, y, pred""".stripMargin,
+
     // mirrors Relational.madAnomaly(k=4448 milli): lower medians at rank
     // (n+1)//2 under the deterministic (value, day) order, MAD flagging
     "events_anomaly_mad" ->

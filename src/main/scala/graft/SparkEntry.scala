@@ -3005,6 +3005,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "events_uplift" -> ((s, dir) => {
+      // heterogeneous treatment effect: per-segment arm means in milli-
+      // cents, exact integer uplift; strata orthogonal to the parity arm
+      graft.ops.Relational.upliftBySegment(docs(s, dir, "events"))
+        .orderBy("segment")
+    }),
+
+    "quality_label_noise" -> ((s, dir) => {
+      // confident-learning-lite: 2-fold cross-fit, each half scored by
+      // the OTHER half's frozen gate; off-diagonal = label-noise signal
+      Classifier.crossFitDisagreement(Classifier.features(
+          Classifier.corpusWithLabels(
+            docs(s, dir, "documents").select(col("doc_id"), col("text")))))
+        .orderBy("fold", "y", "pred")
+    }),
+
     "events_anomaly_mad" -> ((s, dir) => {
       // robust daily anomaly detection: lower-median MAD per event type,
       // |dev|*1000 > 4448*mad flags; windows run over days, not events

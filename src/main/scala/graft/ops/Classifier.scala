@@ -170,6 +170,45 @@ object Classifier {
           .as("recall_permille"))
   }
 
+  /** Two-fold cross-fit disagreement — the Confident-Learning-style
+    * label-noise audit (Northcutt, Jiang & Chuang, JAIR 2021, reduced to
+    * its deterministic core): fit the gate on each half of the corpus
+    * (doc_id parity folds), score each half with the OTHER half's frozen
+    * weights, and tabulate (fold, label, prediction) counts — the
+    * off-diagonal mass is the out-of-sample disagreement that flags
+    * candidate label errors, uncontaminated by memorization because no
+    * document is scored by a model that saw it. Rates in integer
+    * permille of the fold.
+    *
+    * Scale shape: two [[perceptronFit]] runs (each a per-round 5-long
+    * driver fold over half the corpus) + one codegen'd scoring pass +
+    * an ≤8-row rollup. Output: (fold, y, pred, n, fold_n, rate_pm). */
+  def crossFitDisagreement(feats: DataFrame, rounds: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = feats.localCheckpoint(true)
+    def lastW(fold: Long): (Long, Long, Long, Long) = {
+      val last = perceptronFit(f.where(col("doc_id") % 2 === fold), rounds)
+        .orderBy(col("round").desc).limit(1).collect()(0)
+      (last.getLong(1), last.getLong(2), last.getLong(3), last.getLong(4))
+    }
+    val w0 = lastW(0L)
+    val w1 = lastW(1L)
+    def evalFold(fold: Long, w: (Long, Long, Long, Long)): DataFrame = {
+      val score = col("x1") * w._1 + col("x2") * w._2 +
+        col("x3") * w._3 + col("x4") * w._4
+      f.where(col("doc_id") % 2 === fold)
+        .select(lit(fold).as("fold"), col("y"),
+          when(score > 0, 1L).otherwise(-1L).as("pred"))
+    }
+    val out = evalFold(0L, w1).unionByName(evalFold(1L, w0))
+      .groupBy("fold", "y", "pred").agg(count(lit(1)).as("n"))
+      .withColumn("fold_n", sum(col("n")).over(Window.partitionBy("fold")))
+      .withColumn("rate_pm", expr("n * 1000 div fold_n"))
+      .localCheckpoint(true)
+    f.unpersist(false)
+    out
+  }
+
   /** Binned ROC curve + exact trapezoid AUC of the deployed gate — the
     * threshold-choice companion to [[calibrationBins]]: scores quantize
     * to the same clamped permille scale and ten fixed bins (no corpus

@@ -353,6 +353,39 @@ object Relational {
       .toDF("channel", "p_base_micro", "p_removed_micro", "removal_micro")
   }
 
+  /** Heterogeneous treatment effect by segment (the CATE table every
+    * experiment readout ends with — a flat average hides segments where
+    * the treatment hurts): users split into `segments` strata ORTHOGONAL
+    * to the parity arm assignment (stratum = (user_id div 2) mod
+    * segments, so both arms populate every stratum), per-user purchase
+    * cents roll up to per-(segment, arm) means in milli-cents, and
+    * uplift is the exact integer difference of arm means. Zero-purchase
+    * users count with y = 0 — the intent-to-treat convention.
+    *
+    * Scale shape: one purchase rollup + one distinct-user pass + a
+    * segment-sized pivot rollup. Output per segment: (segment, n_c, n_t,
+    * mean_c_m, mean_t_m, uplift_m). */
+  def upliftBySegment(events: DataFrame, segments: Int = 4): DataFrame = {
+    val perUser = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id").agg(sum(col("cents")).as("y"))
+    val users = events.select(col("user_id")).distinct()
+    val ju = users.join(perUser, Seq("user_id"), "left")
+      .select((col("user_id") % 2).as("arm"),
+        expr(s"(user_id div 2) % $segments").as("segment"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    ju.groupBy("segment")
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sc"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("st"))
+      .select(col("segment"), col("n_c"), col("n_t"),
+        expr("sc * 1000 div n_c").as("mean_c_m"),
+        expr("st * 1000 div n_t").as("mean_t_m"),
+        expr("st * 1000 div n_t - sc * 1000 div n_c").as("uplift_m"))
+  }
+
   /** Robust daily-anomaly detection via median absolute deviation (the
     * Hampel / Leys-et-al. recommendation over z-scores — one bad day
     * cannot drag the baseline the way it drags a mean): per event type,

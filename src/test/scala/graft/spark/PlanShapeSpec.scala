@@ -240,6 +240,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("events_anomaly_mad", maxExchange = 6)
     // edge-union rollup + node join + <=64-row bucket rollup
     assertShape("graph_degree_hist", maxExchange = 5)
+    // purchase rollup + distinct users + segment pivot rollup
+    assertShape("events_uplift", maxExchange = 5)
+    // cross-scoring pass + <=8-row rollup (fits ran in the driver fold)
+    assertShape("quality_label_noise", maxExchange = 4)
     // first-ts agg + purchase join + broadcast gamma + cohort rollup
     assertShape("events_ltv", maxExchange = 6)
   }
