@@ -4604,6 +4604,54 @@ object OracleSql {
         |  CAST(score_m AS BIGINT) AS score_m, CAST(rank AS INTEGER) AS rank
         |FROM top ORDER BY doc_id, rank""".stripMargin,
 
+    // mirrors Relational.sequentialMonitor(looks=5, Pocock c^2=5822569
+    // micro): span-proportional look assignment, cumulative arm counts,
+    // the srm-style 2-cell z^2 collapse
+    "events_sequential" ->
+      """WITH b AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+        |             CAST(floor(epoch(max(ts))) AS BIGINT) AS t1 FROM events),
+        |w AS (SELECT least((CAST(floor(epoch(ts)) AS BIGINT) - t0) * 5
+        |          // greatest(1, t1 - t0 + 1), 4) AS look,
+        |        user_id % 2 AS arm
+        |      FROM events, b WHERE event_type = 'purchase'),
+        |g AS (SELECT look,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS wa,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS wb
+        |  FROM w GROUP BY 1),
+        |c AS (SELECT look,
+        |    sum(wa) OVER (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_a,
+        |    sum(wb) OVER (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_b
+        |  FROM g)
+        |SELECT CAST(look AS BIGINT) AS look, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b,
+        |  CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) AS BIGINT) AS z2_micro,
+        |  (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) > 5822569 AS cross
+        |FROM c ORDER BY look""".stripMargin,
+
+    // mirrors Relational.timeToConvert: fused conditional mins per user,
+    // fixed operational delay buckets, cumulative permille of converters
+    "events_time_to_convert" ->
+      """WITH pu AS (SELECT user_id,
+        |    min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_s,
+        |    min(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS conv_s
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT conv_s - first_s AS delay FROM pu WHERE conv_s IS NOT NULL),
+        |bk AS (SELECT CASE WHEN delay <= 3600 THEN 'a_1h'
+        |         WHEN delay <= 21600 THEN 'b_6h'
+        |         WHEN delay <= 86400 THEN 'c_24h'
+        |         WHEN delay <= 604800 THEN 'd_7d'
+        |         ELSE 'e_more' END AS bucket FROM d),
+        |g AS (SELECT bucket, count(*) AS n_users FROM bk GROUP BY 1),
+        |c AS (SELECT bucket, n_users,
+        |    sum(n_users) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users,
+        |    sum(n_users) OVER () AS total
+        |  FROM g)
+        |SELECT bucket, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(cum_users AS BIGINT) AS cum_users,
+        |  CAST(cum_users * 1000 // total AS BIGINT) AS cum_pm
+        |FROM c ORDER BY bucket""".stripMargin,
+
     // mirrors Relational.upliftBySegment(segments=4): intent-to-treat
     // per-user purchase cents, strata orthogonal to the parity arm,
     // integer milli means and exact uplift differences

@@ -3005,6 +3005,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "events_sequential" -> ((s, dir) => {
+      // group-sequential monitoring: cumulative per-arm purchases at 5
+      // looks, 2-cell z^2 in micro vs the pinned Pocock bound
+      graft.ops.Relational.sequentialMonitor(docs(s, dir, "events"))
+        .orderBy("look")
+    }),
+
+    "events_time_to_convert" -> ((s, dir) => {
+      // funnel latency: first-event -> first-purchase delay on fixed
+      // operational buckets, counts + cumulative permille
+      graft.ops.Relational.timeToConvert(docs(s, dir, "events"))
+        .orderBy("bucket")
+    }),
+
     "events_uplift" -> ((s, dir) => {
       // heterogeneous treatment effect: per-segment arm means in milli-
       // cents, exact integer uplift; strata orthogonal to the parity arm

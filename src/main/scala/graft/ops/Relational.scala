@@ -353,6 +353,80 @@ object Relational {
       .toDF("channel", "p_base_micro", "p_removed_micro", "removal_micro")
   }
 
+  /** Group-sequential experiment monitoring (Pocock 1977 — the guard
+    * against peeking: a fixed z-bound per interim look keeps the overall
+    * α at 0.05 across K looks): cumulative per-arm purchase-event counts
+    * at weekly looks, the 2-cell chi-square z² = (a−b)²/(a+b) in exact
+    * micro-units (the same collapse as [[srmCheck]]), and a crossing
+    * flag against the pinned Pocock bound for K = 5 looks at α = 0.05 —
+    * c_P = 2.413, c² = 5822569 micro. A look that crosses justifies an
+    * early stop; the bound is a literal, so any engine replays the
+    * decision bit-for-bit.
+    *
+    * Scale shape: one (week, arm) rollup over the events table, then
+    * cumulative windows over ≤ K look rows. Output per look: (look,
+    * n_a, n_b, z2_micro, cross). */
+  def sequentialMonitor(events: DataFrame, looks: Int = 5,
+                        boundMicro: Long = 5822569L): DataFrame = {
+    val bounds = events.agg(
+      unix_timestamp(min(col("ts"))).as("t0"),
+      unix_timestamp(max(col("ts"))).as("t1")).head()
+    val (t0, t1) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, t1 - t0 + 1L)
+    val weekly = events.where(col("event_type") === "purchase")
+      .select(
+        least(expr(s"(unix_timestamp(ts) - ${t0}L) * ${looks}L div ${span}L"),
+          lit(looks - 1L)).as("look"),
+        (col("user_id") % 2).as("arm"))
+      .groupBy("look")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("wa"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("wb"))
+    val cum = org.apache.spark.sql.expressions.Window.orderBy("look")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    weekly
+      .withColumn("n_a", sum(col("wa")).over(cum))
+      .withColumn("n_b", sum(col("wb")).over(cum))
+      .select(col("look"), col("n_a"), col("n_b"),
+        expr("(n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)").as("z2_micro"))
+      .withColumn("cross", col("z2_micro") > boundMicro)
+  }
+
+  /** Time-to-conversion histogram (the funnel-latency readout behind
+    * "how long do users take to buy?"): per converting user, the delay
+    * from their FIRST event to their FIRST purchase, bucketed on fixed
+    * operational boundaries (≤1h, ≤6h, ≤24h, ≤7d, >7d), with counts and
+    * cumulative permille of all converters — exact integers throughout.
+    *
+    * Scale shape: two user-keyed min-aggregates fused into one pass
+    * (conditional mins), a 5-row bucket rollup, cumulative windows over
+    * the 5 rows. Output: (bucket, n_users, cum_users, cum_pm). */
+  def timeToConvert(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("s"),
+        col("event_type"))
+      .groupBy("user_id")
+      .agg(min(col("s")).as("first_s"),
+        min(when(col("event_type") === "purchase", col("s"))).as("conv_s"))
+      .where(col("conv_s").isNotNull)
+      .select((col("conv_s") - col("first_s")).as("delay"))
+    val bucket = when(col("delay") <= 3600L, "a_1h")
+      .when(col("delay") <= 21600L, "b_6h")
+      .when(col("delay") <= 86400L, "c_24h")
+      .when(col("delay") <= 604800L, "d_7d")
+      .otherwise("e_more")
+    val cum = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perUser.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_users"))
+      .withColumn("cum_users", sum(col("n_users")).over(cum))
+      .withColumn("total", sum(col("n_users")).over(all))
+      .withColumn("cum_pm", expr("cum_users * 1000 div total"))
+      .drop("total")
+  }
+
   /** Heterogeneous treatment effect by segment (the CATE table every
     * experiment readout ends with — a flat average hides segments where
     * the treatment hurts): users split into `segments` strata ORTHOGONAL

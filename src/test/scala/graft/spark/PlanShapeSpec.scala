@@ -244,6 +244,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("events_uplift", maxExchange = 5)
     // cross-scoring pass + <=8-row rollup (fits ran in the driver fold)
     assertShape("quality_label_noise", maxExchange = 4)
+    // ONE purchase rollup; cumulative windows run over <=5 look rows
+    assertShape("events_sequential", maxExchange = 4)
+    // fused conditional mins per user + 5-row bucket rollup
+    assertShape("events_time_to_convert", maxExchange = 5)
     // first-ts agg + purchase join + broadcast gamma + cohort rollup
     assertShape("events_ltv", maxExchange = 6)
   }
