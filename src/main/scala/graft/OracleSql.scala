@@ -4576,6 +4576,26 @@ object OracleSql {
         |    // (n_even + n_odd) > 3841459 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
         |FROM g ORDER BY event_type""".stripMargin,
 
+    // mirrors Tokenizer.vocabCoverage(sizes 1k/2k/4k): word counts ranked
+    // (count desc, word asc), per-size covered/OOV token mass in permille
+    "tok_coverage" ->
+      """WITH u AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |             x -> len(x) > 0)) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+        |r AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w ASC) AS r FROM c),
+        |s AS (SELECT * FROM (VALUES (1000), (2000), (4000)) v(vocab_size)),
+        |g AS (SELECT vocab_size,
+        |    sum(CASE WHEN r.r <= vocab_size THEN 1 ELSE 0 END) AS n_types,
+        |    sum(CASE WHEN r.r <= vocab_size THEN r.c ELSE 0 END) AS covered_tokens,
+        |    sum(CASE WHEN r.r > vocab_size THEN r.c ELSE 0 END) AS oov_tokens
+        |  FROM s CROSS JOIN r GROUP BY 1)
+        |SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(covered_tokens AS BIGINT) AS covered_tokens,
+        |  CAST(oov_tokens AS BIGINT) AS oov_tokens,
+        |  CAST(oov_tokens * 1000 // (covered_tokens + oov_tokens) AS BIGINT) AS oov_pm
+        |FROM g ORDER BY vocab_size""".stripMargin,
+
     // mirrors TextStats.rakeKeywords(k=3, stopwords {a, the}): phrase runs
     // via gaps-and-islands (pos - row_number), per-occurrence degree/freq,
     // floored milli word scores summed per phrase, dedup, top-3

@@ -2112,6 +2112,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "tok_coverage" -> ((s, dir) => {
+      // vocabulary-coverage curve: one word-count shuffle; rank window
+      // and per-size sums run on the vocab-sized table, output 3 rows
+      Tokenizer.vocabCoverage(
+          docs(s, dir, "documents").select(col("text")))
+        .orderBy("vocab_size")
+    }),
+
     "text_keywords" -> ((s, dir) => {
       // RAKE keyword extraction: per-row phrase runs + degree/freq word
       // scores, top-3 phrases — a pure narrow flatMap over the scan

@@ -136,4 +136,48 @@ object Tokenizer {
       aggregate(mergedFlags, lit(0L), (acc, x) => acc + x).as("n_merged_words"),
       aggregate(col("t"), lit(0L), (acc, x) => acc + x * x).as("sum_sq_tokens"))
   }
+
+  /** Vocabulary-coverage curve — the word-level tokenizer-design metric
+    * (how big must the vocab be before the OOV/fallback rate is
+    * tolerable?): corpus word frequencies rank by (count desc, word asc),
+    * the top-k words form each candidate vocabulary, and every candidate
+    * size reports the token mass it covers vs the OOV mass in integer
+    * permille. The curve is the empirical complement of [[bpeFit]]: BPE
+    * exists precisely because this curve flattens too slowly for open
+    * vocabularies.
+    *
+    * Scale shape: ONE word-count shuffle over the corpus (map-side
+    * combined); the rank window and the per-size conditional sums run on
+    * the VOCABULARY-sized count table (types ≪ tokens — Heaps' law), and
+    * the output is |sizes| rows. Output: (vocab_size, n_types,
+    * covered_tokens, oov_tokens, oov_pm). */
+  def vocabCoverage(docs: DataFrame,
+                    sizes: Seq[Int] = Seq(1000, 2000, 4000)): DataFrame = {
+    val counts = docs
+      .select(explode(filter(split(col("text"), " ", -1),
+        t => length(t) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("w").asc)
+    val ranked = counts.withColumn("r", row_number().over(w))
+      .localCheckpoint(true) // vocab-sized; read once per candidate size
+    val sizesDf = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      sizes.map(_.toLong).toDF("vocab_size")
+    }
+    val out = sizesDf.crossJoin(ranked)
+      .groupBy("vocab_size")
+      .agg(
+        sum(when(col("r") <= col("vocab_size"), 1L).otherwise(0L)).as("n_types"),
+        sum(when(col("r") <= col("vocab_size"), col("c")).otherwise(0L))
+          .as("covered_tokens"),
+        sum(when(col("r") > col("vocab_size"), col("c")).otherwise(0L))
+          .as("oov_tokens"))
+      .withColumn("oov_pm",
+        expr("oov_tokens * 1000 div (covered_tokens + oov_tokens)"))
+      .localCheckpoint(true)
+    ranked.unpersist(false)
+    out
+  }
 }

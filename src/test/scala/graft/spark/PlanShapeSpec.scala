@@ -248,6 +248,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("events_sequential", maxExchange = 4)
     // fused conditional mins per user + 5-row bucket rollup
     assertShape("events_time_to_convert", maxExchange = 5)
+    // ONE word-count shuffle; rank window runs on the vocab-sized table
+    assertShape("tok_coverage", maxExchange = 5)
     // first-ts agg + purchase join + broadcast gamma + cohort rollup
     assertShape("events_ltv", maxExchange = 6)
   }
