@@ -5123,6 +5123,48 @@ object OracleSql {
     // mirrors Graph.triangles over synthEdges: undirect+dedupe, orient by
     // (degree, id), wedge at the low vertex, close against oriented edges,
     // attribute to all three corners; clustering = 2t*1000 // deg(deg-1)
+    // mirrors Graph.globalClustering: the graph_triangles per-node CTEs
+    // wrapped in one aggregate — Sum(n_triangles) IS 3T, wedges from the
+    // degree terms, both permille divisions floored once
+    "graph_clustering" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS src, (doc_id*7+3) % n AS dst FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*13+11) % n FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*31+17) % n FROM documents, nn),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+        |deg AS (SELECT id, count(*) AS deg
+        |        FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |ow AS (SELECT
+        |    CASE WHEN (d1.deg, a) < (d2.deg, b) THEN a ELSE b END AS u,
+        |    CASE WHEN (d1.deg, a) < (d2.deg, b) THEN b ELSE a END AS v,
+        |    CASE WHEN (d1.deg, a) < (d2.deg, b) THEN d2.deg ELSE d1.deg END AS dv
+        |  FROM und JOIN deg d1 ON d1.id = a JOIN deg d2 ON d2.id = b),
+        |wedge AS (SELECT o1.u, o1.v, o2.v AS w
+        |          FROM ow o1 JOIN ow o2 ON o1.u = o2.u
+        |          AND (o1.dv, o1.v) < (o2.dv, o2.v)),
+        |tri AS (SELECT wedge.u, wedge.v, wedge.w FROM wedge
+        |        JOIN ow o ON o.u = wedge.v AND o.v = wedge.w),
+        |pv AS (SELECT id, count(*) AS t
+        |       FROM (SELECT u AS id FROM tri UNION ALL SELECT v FROM tri
+        |             UNION ALL SELECT w FROM tri) GROUP BY 1),
+        |per AS (SELECT d.doc_id, coalesce(deg.deg, 0) AS degree,
+        |          coalesce(pv.t, 0) AS nt,
+        |          CASE WHEN coalesce(deg.deg, 0) >= 2
+        |            THEN coalesce(pv.t, 0) * 2 * 1000 // (deg.deg * (deg.deg - 1))
+        |            ELSE 0 END AS cl
+        |        FROM documents d LEFT JOIN deg ON deg.id = d.doc_id
+        |        LEFT JOIN pv ON pv.id = d.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges,
+        |  CAST(sum(nt) // 3 AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN sum(degree * (degree - 1) // 2) = 0 THEN 0
+        |       ELSE sum(nt) * 1000 // sum(degree * (degree - 1) // 2)
+        |       END AS BIGINT) AS transitivity_pm,
+        |  CAST(sum(cl) // count(*) AS BIGINT) AS avg_local_x1000
+        |FROM per""".stripMargin,
+
     "graph_triangles" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
         |raw AS (

@@ -3050,6 +3050,14 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    "graph_clustering" -> ((s, dir) => {
+      // global transitivity + average local clustering in one row: the
+      // per-node triangle table already carries 3T and the wedge terms
+      val d = docs(s, dir, "documents").select(col("doc_id").as("id"))
+      val n = d.count()
+      Graph.globalClustering(d, Graph.synthEdges(d, n))
+    }),
+
     "graph_degree_hist" -> ((s, dir) => {
       // exact bit-length degree buckets over the synthetic link graph:
       // floor(log2)+1 with zero libm, isolated nodes in bucket 0

@@ -473,6 +473,29 @@ object Graph {
                 ELSE 0 END""").as("clustering_x1000"))
   }
 
+  /** Global clustering summary — the one-row companion to the per-node
+    * [[triangles]] table: transitivity = 3·|triangles| / |wedges|
+    * (Newman's global coefficient; the per-node triangle counts already
+    * sum to 3T, so no new counting pass runs) and the Watts–Strogatz
+    * average local coefficient, both floored to exact integer permille.
+    * Web graphs score high transitivity inside template clusters and low
+    * across hosts — the single number that flags template-farm subgraphs
+    * before community detection runs.
+    *
+    * Scale shape: [[triangles]]' plan plus ONE single-row aggregate.
+    * Output: (n_nodes, n_wedges, n_triangles, transitivity_pm,
+    * avg_local_x1000). */
+  def globalClustering(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    triangles(nodes, edges).agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("degree * (degree - 1) div 2")).as("n_wedges"),
+      expr("sum(n_triangles) div 3").as("n_triangles"),
+      expr("""CASE WHEN sum(degree * (degree - 1) div 2) = 0 THEN 0
+              ELSE sum(n_triangles) * 1000 div sum(degree * (degree - 1) div 2)
+              END""").as("transitivity_pm"),
+      expr("sum(clustering_x1000) div count(1)").as("avg_local_x1000"))
+  }
+
   /** Deterministic random walks (the DeepWalk/node2vec corpus generator,
     * Perozzi et al. KDD 2014): one walker per node, `len` steps; the
     * step choice is hash-derived — idx = md5("walk:start:step:cur") mod

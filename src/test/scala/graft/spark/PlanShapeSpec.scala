@@ -250,6 +250,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("events_time_to_convert", maxExchange = 5)
     // ONE word-count shuffle; rank window runs on the vocab-sized table
     assertShape("tok_coverage", maxExchange = 5)
+    // the triangles plan + one single-row aggregate
+    assertShape("graph_clustering", maxExchange = 12)
     // first-ts agg + purchase join + broadcast gamma + cohort rollup
     assertShape("events_ltv", maxExchange = 6)
   }
