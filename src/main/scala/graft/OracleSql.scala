@@ -1948,6 +1948,39 @@ object OracleSql {
       s"SELECT doc_id,\n  $cols\nFROM documents ORDER BY doc_id"
     },
 
+    // mirrors TextStats.langidEval: the text_langid score columns, the
+    // greatest+first-wins argmax (marker order en,de,es,fr; all-zero →
+    // 'und'), joined to the labeled lang and rolled into the confusion
+    // matrix with per-label permille
+    "text_langid_eval" -> {
+      val langs = Seq(
+        "en" -> Seq("the", "and", "of"),
+        "de" -> Seq("der", "und", "die"),
+        "es" -> Seq("el", "los", "de"),
+        "fr" -> Seq("le", "les", "et"))
+      val cols = langs.map { case (l, ws) =>
+        s"CAST(CASE WHEN $nTok > 0 THEN floor(CAST((${markerScore(ws)}) AS DOUBLE) * 1000.0 / CAST($nTok AS DOUBLE)) ELSE 0 END AS BIGINT) AS score_$l"
+      }.mkString(",\n  ")
+      s"""WITH sc AS (SELECT doc_id, lang,
+         |  $cols
+         |FROM documents),
+         |d AS (SELECT doc_id, lang,
+         |    greatest(score_en, score_de, score_es, score_fr) AS best,
+         |    score_en, score_de, score_es, score_fr FROM sc),
+         |det AS (SELECT doc_id, lang,
+         |    CASE WHEN best <= 0 THEN 'und'
+         |         WHEN score_en = best THEN 'en'
+         |         WHEN score_de = best THEN 'de'
+         |         WHEN score_es = best THEN 'es'
+         |         ELSE 'fr' END AS detected
+         |  FROM d),
+         |g AS (SELECT lang, detected, count(*) AS n FROM det GROUP BY 1, 2)
+         |SELECT lang, detected, CAST(n AS BIGINT) AS n,
+         |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_n,
+         |  CAST(n * 1000 // sum(n) OVER (PARTITION BY lang) AS BIGINT) AS share_pm
+         |FROM g ORDER BY lang, detected""".stripMargin
+    },
+
     // benchmark decontamination: exact word-8-gram overlap vs the every-25th
     // document benchmark set (mirrors TextStats.decontaminate; benchmark
     // docs are contaminated by construction, others only via real overlap)

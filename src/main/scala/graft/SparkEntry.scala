@@ -1938,6 +1938,15 @@ object SparkEntry {
       TextStats.langScores(docs(s, dir, "documents")).orderBy("doc_id")
     }),
 
+    "text_langid_eval" -> ((s, dir) => {
+      // detector confusion matrix vs the labeled lang column: per-cell
+      // counts + permille share of the label row; zh has no markers by
+      // construction, so its routing cost is visible, not silent
+      TextStats.langidEval(
+          docs(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")))
+        .orderBy("lang", "detected")
+    }),
+
     "text_fingerprint" -> ((s, dir) => {
       TextStats.fingerprint(docs(s, dir, "documents")).orderBy("doc_id")
     }),

@@ -116,6 +116,27 @@ object TextStats {
     scored.withColumn("detected", pickFirstWins)
   }
 
+  /** Language-ID EVALUATION against the table's labeled `lang` column —
+    * the confusion matrix the marker detector ships with (a detector
+    * without its error profile routes zh docs silently into 'und' or a
+    * false positive; the matrix makes that cost visible before routing
+    * decisions depend on it). Counts per (label, detected) plus each
+    * cell's integer permille share of its label row.
+    *
+    * Scale shape: the scoring projection is the same codegen'd pass as
+    * [[langScores]]; the rollup is (langs × langs+1)-sized, and the
+    * per-label window runs on that tiny table. Output: (lang, detected,
+    * n, lang_n, share_pm). */
+  def langidEval(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val detected = langArgmax(langScores(docs))
+      .select(col("doc_id"), col("detected"))
+    docs.select(col("doc_id"), col("lang")).join(detected, "doc_id")
+      .groupBy("lang", "detected").agg(count(lit(1)).as("n"))
+      .withColumn("lang_n", sum(col("n")).over(Window.partitionBy("lang")))
+      .withColumn("share_pm", expr("n * 1000 div lang_n"))
+  }
+
   /** Document fingerprint: md5 of case-folded, punctuation-stripped,
     * space-normalized text — the cheap exact-dedup key for web corpora. */
   /** Benchmark decontamination — the training-data pipeline staple: flag

@@ -252,6 +252,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("tok_coverage", maxExchange = 5)
     // the triangles plan + one single-row aggregate
     assertShape("graph_clustering", maxExchange = 12)
+    // codegen'd scoring projection + doc_id join + tiny matrix rollup
+    assertShape("text_langid_eval", maxExchange = 6)
     // first-ts agg + purchase join + broadcast gamma + cohort rollup
     assertShape("events_ltv", maxExchange = 6)
   }
