@@ -4657,6 +4657,32 @@ object OracleSql {
         |  CAST(score_m AS BIGINT) AS score_m, CAST(rank AS INTEGER) AS rank
         |FROM top ORDER BY doc_id, rank""".stripMargin,
 
+    // mirrors Relational.rfmSegments: corpus-end recency days, fused
+    // conditional monetary sum, pinned 1-3 boundaries, permille shares
+    "events_rfm" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |en AS (SELECT max(s) AS end_s FROM e),
+        |pu AS (SELECT user_id, max(s) AS last_s, count(*) AS f,
+        |    sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS m
+        |  FROM e GROUP BY 1),
+        |sc AS (SELECT
+        |    (CASE WHEN ((SELECT end_s FROM en) - last_s) // 86400 <= 1 THEN 3
+        |          WHEN ((SELECT end_s FROM en) - last_s) // 86400 <= 7 THEN 2
+        |          ELSE 1 END) * 100 +
+        |    (CASE WHEN f >= 50 THEN 3 WHEN f >= 10 THEN 2 ELSE 1 END) * 10 +
+        |    (CASE WHEN m >= 10000 THEN 3 WHEN m >= 1000 THEN 2 ELSE 1 END)
+        |      AS segment, m
+        |  FROM pu),
+        |g AS (SELECT segment, count(*) AS n_users, sum(m) AS sum_cents
+        |      FROM sc GROUP BY 1)
+        |SELECT CAST(segment AS BIGINT) AS segment,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(sum_cents AS BIGINT) AS sum_cents,
+        |  CAST(n_users * 1000 // sum(n_users) OVER () AS BIGINT) AS share_pm
+        |FROM g ORDER BY segment""".stripMargin,
+
     // mirrors Relational.sequentialMonitor(looks=5, Pocock c^2=5822569
     // micro): span-proportional look assignment, cumulative arm counts,
     // the srm-style 2-cell z^2 collapse

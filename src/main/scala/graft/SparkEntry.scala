@@ -3022,6 +3022,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "events_rfm" -> ((s, dir) => {
+      // RFM segmentation on pinned integer boundaries: one fused user
+      // aggregate, 27-row segment rollup, permille user shares
+      graft.ops.Relational.rfmSegments(docs(s, dir, "events"))
+        .orderBy("segment")
+    }),
+
     "events_sequential" -> ((s, dir) => {
       // group-sequential monitoring: cumulative per-arm purchases at 5
       // looks, 2-cell z^2 in micro vs the pinned Pocock bound

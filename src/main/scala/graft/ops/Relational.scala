@@ -353,6 +353,47 @@ object Relational {
       .toDF("channel", "p_base_micro", "p_removed_micro", "removal_micro")
   }
 
+  /** RFM segmentation (Hughes 1994 — the marketing-analytics workhorse
+    * for user-base composition): per user, Recency = whole days from the
+    * last event to the corpus end, Frequency = event count, Monetary =
+    * purchase cents; each scored 1–3 on FIXED operational boundaries
+    * (recency ≤1d/≤7d, frequency ≥50/≥10, monetary ≥$100/≥$10 — pinned
+    * integers, no data-dependent quantiles, so segments are stable
+    * across reruns and engines), composed into the familiar 3-digit
+    * segment code (RFM: 333 = best). Rollup reports users, revenue, and
+    * the integer permille share of the user base per segment.
+    *
+    * Scale shape: one user-keyed aggregate with fused conditional sums
+    * (one pass for all three letters), a ≤27-row segment rollup, and a
+    * window over those rows. Output: (segment, n_users, sum_cents,
+    * share_pm). */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val endS = events.agg(unix_timestamp(max(col("ts")))).head().getLong(0)
+    val perUser = events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("s"),
+        col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(max(col("s")).as("last_s"), count(lit(1)).as("f"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("m"))
+      .select(
+        expr(s"($endS - last_s) div 86400").as("rd"),
+        col("f"), col("m"))
+    val seg = (when(col("rd") <= 1L, 3L).when(col("rd") <= 7L, 2L).otherwise(1L) * 100L +
+      when(col("f") >= 50L, 3L).when(col("f") >= 10L, 2L).otherwise(1L) * 10L +
+      when(col("m") >= 10000L, 3L).when(col("m") >= 1000L, 2L).otherwise(1L))
+      .as("segment")
+    val all = org.apache.spark.sql.expressions.Window.orderBy("segment")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perUser.select(seg, col("m"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_users"), sum(col("m")).as("sum_cents"))
+      .withColumn("total", sum(col("n_users")).over(all))
+      .withColumn("share_pm", expr("n_users * 1000 div total"))
+      .drop("total")
+  }
+
   /** Group-sequential experiment monitoring (Pocock 1977 — the guard
     * against peeking: a fixed z-bound per interim look keeps the overall
     * α at 0.05 across K looks): cumulative per-arm purchase-event counts

@@ -254,6 +254,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("graph_clustering", maxExchange = 12)
     // codegen'd scoring projection + doc_id join + tiny matrix rollup
     assertShape("text_langid_eval", maxExchange = 6)
+    // one fused user aggregate + <=27-row segment rollup
+    assertShape("events_rfm", maxExchange = 4)
     // first-ts agg + purchase join + broadcast gamma + cohort rollup
     assertShape("events_ltv", maxExchange = 6)
   }
