@@ -1948,6 +1948,24 @@ object OracleSql {
       s"SELECT doc_id,\n  $cols\nFROM documents ORDER BY doc_id"
     },
 
+    // mirrors TextStats.boilerplatePrefix over corpusWithSitePrefix:
+    // LCP(set) = LCP(lexicographic min, max); the filter-count is exact
+    // because prefix equality is downward-closed in k
+    "text_boilerplate_prefix" ->
+      """WITH c AS (SELECT doc_id, doc_id % 25 AS site,
+        |    'SITE' || CAST(doc_id % 25 AS VARCHAR) || ' NAV HOME ABOUT | ' || text AS text
+        |  FROM documents),
+        |g AS (SELECT site, count(*) AS n, min(text) AS lo, max(text) AS hi
+        |      FROM c GROUP BY 1),
+        |l AS (SELECT site, n, lo,
+        |    len(list_filter(range(1, least(length(lo), length(hi)) + 1),
+        |      k -> lo[1:k] = hi[1:k])) AS lcp_len
+        |  FROM g)
+        |SELECT CAST(site AS BIGINT) AS site, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(lcp_len AS BIGINT) AS lcp_len,
+        |  md5(lo[1:CAST(lcp_len AS INTEGER)]) AS lcp_md5
+        |FROM l ORDER BY site""".stripMargin,
+
     // mirrors TextStats.langidEval: the text_langid score columns, the
     // greatest+first-wins argmax (marker order en,de,es,fr; all-zero →
     // 'und'), joined to the labeled lang and rolled into the confusion

@@ -1938,6 +1938,14 @@ object SparkEntry {
       TextStats.langScores(docs(s, dir, "documents")).orderBy("doc_id")
     }),
 
+    "text_boilerplate_prefix" -> ((s, dir) => {
+      // per-site template-header detection: LCP(set) = LCP(min, max) —
+      // one min/max aggregate, character scan on the site-sized result
+      TextStats.boilerplatePrefix(TextStats.corpusWithSitePrefix(
+          docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("site")
+    }),
+
     "text_langid_eval" -> ((s, dir) => {
       // detector confusion matrix vs the labeled lang column: per-cell
       // counts + permille share of the label row; zh has no markers by

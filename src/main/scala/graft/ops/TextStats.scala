@@ -116,6 +116,41 @@ object TextStats {
     scored.withColumn("detected", pickFirstWins)
   }
 
+  /** Deterministic boilerplate-planted corpus for [[boilerplatePrefix]]:
+    * every doc gets its site-group's navigation header prepended — the
+    * per-site constant prefix a template engine emits. */
+  def corpusWithSitePrefix(docs: DataFrame, groups: Int = 25): DataFrame =
+    docs.select(col("doc_id"), (col("doc_id") % groups).as("site"),
+      concat(lit("SITE"), (col("doc_id") % groups).cast("string"),
+        lit(" NAV HOME ABOUT | "), col("text")).as("text"))
+
+  /** Per-site common-prefix boilerplate detection — the template-header
+    * finder that decides how many leading characters to strip before
+    * text enters the training corpus. Uses the classic order-statistics
+    * identity: the longest common prefix of a SET of strings equals
+    * LCP(lexicographic min, lexicographic max) — so a site with millions
+    * of pages costs ONE min/max aggregate (map-side combined) and one
+    * tiny per-site character scan, never a pairwise or positional
+    * comparison. Output: (site, n_docs, lcp_len, lcp_md5).
+    *
+    * Scale shape: one (site, min, max) aggregate over the corpus; the
+    * LCP loop runs on the site-count-sized result in a typed map. */
+  def boilerplatePrefix(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.groupBy(col("site"))
+      .agg(count(lit(1)).as("n"), min(col("text")).as("lo"),
+        max(col("text")).as("hi"))
+      .as[(Long, Long, String, String)]
+      .map { case (site, n, lo, hi) =>
+        val m = math.min(lo.length, hi.length)
+        var i = 0
+        while (i < m && lo.charAt(i) == hi.charAt(i)) i += 1
+        (site, n, i.toLong, Dedup.md5Hex(lo.substring(0, i)))
+      }
+      .toDF("site", "n_docs", "lcp_len", "lcp_md5")
+  }
+
   /** Language-ID EVALUATION against the table's labeled `lang` column —
     * the confusion matrix the marker detector ships with (a detector
     * without its error profile routes zh docs silently into 'und' or a

@@ -256,6 +256,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("text_langid_eval", maxExchange = 6)
     // one fused user aggregate + <=27-row segment rollup
     assertShape("events_rfm", maxExchange = 4)
+    // ONE (site, min, max) aggregate; LCP scans the site-sized result
+    assertShape("text_boilerplate_prefix", maxExchange = 3)
     // first-ts agg + purchase join + broadcast gamma + cohort rollup
     assertShape("events_ltv", maxExchange = 6)
   }
