@@ -1746,6 +1746,30 @@ object OracleSql {
       """SELECT vec_id, CAST(3 AS BIGINT) AS k, TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin,
 
+    // mirrors Similarity.filteredTopK: pre-filter rank within the tag vs
+    // the tag-matching prefix (first 3) of the unfiltered top-9; identical
+    // (sim DESC, cid ASC) tie order on both paths
+    "ann_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cid, embedding AS ce, vec_id % 4 AS ctag FROM embeddings),
+        |scored AS (
+        |  SELECT qid, cid, ctag,
+        |    list_aggregate(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(range(1, len(qe)+1), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(range(1, len(ce)+1), i -> CAST(ce[i] AS DOUBLE)*CAST(ce[i] AS DOUBLE)), 'sum'))) AS sim
+        |  FROM c CROSS JOIN q WHERE qid <> cid),
+        |rf AS (SELECT qid, cid, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+        |  FROM scored WHERE ctag = qid % 4),
+        |ru AS (SELECT qid, cid, ctag,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank FROM scored),
+        |post AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY rank) AS prank
+        |  FROM ru WHERE rank <= 9 AND ctag = qid % 4)
+        |SELECT rf.qid AS vec_id, CAST(rf.rank AS BIGINT) AS rank, rf.cid AS neighbor_id,
+        |  round(rf.sim, 4) AS sim, p.cid IS NOT NULL AS post_hit
+        |FROM rf LEFT JOIN post p ON p.qid = rf.qid AND p.cid = rf.cid AND p.prank <= 3
+        |WHERE rf.rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
@@ -2013,6 +2037,45 @@ object OracleSql {
         |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
         |  coalesce(h.n_hits, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors TextStats.contaminationSpans: POSITIONAL (non-distinct)
+    // 8-grams, hits vs the every-25th benchmark gram set, consecutive
+    // positions merged via the pos − row_number() island trick
+    "text_contamination_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |pg AS (
+        |  SELECT doc_id, unnest(range(1, len(t)-6)) AS pos,
+        |    unnest(list_transform(range(1, len(t)-6),
+        |      i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7])) AS g
+        |  FROM toks WHERE len(t) >= 8),
+        |bg AS (SELECT DISTINCT g FROM pg WHERE doc_id % 25 = 0),
+        |hits AS (SELECT pg.doc_id, pg.pos FROM pg JOIN bg USING (g)),
+        |isl AS (SELECT doc_id,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM hits),
+        |spans AS (SELECT doc_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_hit_grams,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(max(len) + 7 AS BIGINT) AS max_span_words
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextStats.ngramNovelty: distinct per-doc 8-grams, first
+    // occurrence = min doc_id; the first table re-keyed by its min doc_id
+    // counts each doc's novel grams (no gram join-back)
+    "text_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |dg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)-6),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]))) AS g
+        |  FROM toks WHERE len(t) >= 8),
+        |frst AS (SELECT g, min(doc_id) AS doc_id FROM dg GROUP BY g),
+        |ng AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1),
+        |nv AS (SELECT doc_id, count(*) AS n_novel FROM frst GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(ng.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(CASE WHEN coalesce(ng.n_grams, 0) = 0 THEN -1
+        |       ELSE coalesce(nv.n_novel, 0) * 1000 // ng.n_grams END AS BIGINT) AS novel_pm
+        |FROM documents d LEFT JOIN ng USING (doc_id) LEFT JOIN nv USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp
@@ -5858,6 +5921,29 @@ object OracleSql {
       s"""WITH $topDirCte
         |SELECT CAST(d AS BIGINT) AS d, CAST(v AS BIGINT) AS v_x1000
         |FROM v3 ORDER BY d""".stripMargin,
+
+    // mirrors Similarity.dimVariance: per-dim variance numerator over the
+    // ×1000 floor-quantized corpus (n·Σq² − (Σq)², exact), permille share
+    // and participation-ratio effective rank — HUGEINT squares mirror the
+    // Scala BigInt path; all operands positive so // == floor on both
+    "emb_effective_rank" ->
+      """WITH q AS (
+        |  SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+        |    unnest(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS qv
+        |  FROM embeddings),
+        |per AS (SELECT d, count(*) AS n, sum(qv) AS s, sum(qv * qv) AS ssq
+        |        FROM q GROUP BY d),
+        |v AS (SELECT d, n, s, n * ssq - s * s AS var_num FROM per),
+        |tot AS (SELECT sum(CAST(var_num AS HUGEINT)) AS total,
+        |  sum(CAST(var_num AS HUGEINT) * CAST(var_num AS HUGEINT)) AS ssq2 FROM v)
+        |SELECT CAST(v.d AS BIGINT) AS d, CAST(v.n AS BIGINT) AS n_vecs,
+        |  CAST(v.s AS BIGINT) AS sum_q, CAST(v.var_num AS BIGINT) AS var_num,
+        |  CAST(CASE WHEN t.total = 0 THEN 0
+        |       ELSE CAST(v.var_num AS HUGEINT) * 1000 // t.total END AS BIGINT) AS share_pm,
+        |  CAST(CASE WHEN t.ssq2 = 0 THEN 0
+        |       ELSE t.total * t.total * 1000 // t.ssq2 END AS BIGINT) AS er_pm
+        |FROM v, tot t ORDER BY d""".stripMargin,
 
     // mirrors the text_nfc query: UAX#15 NFC normalization audit. Planted
     // NFD rows are rebuilt byte-for-byte via chr() so this SQL stays ASCII

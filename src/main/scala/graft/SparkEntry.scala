@@ -1907,6 +1907,16 @@ object SparkEntry {
         .orderBy("vec_id", "rank")
     }),
 
+    "ann_filtered_topk" -> ((s, dir) => {
+      // filtered vector search eval: pre-filter exact top-3 within the
+      // query's tag (vec_id % 4) vs post-filtering the unfiltered top-9 —
+      // per-rank post_hit is the overfetch-factor evidence; ONE corpus
+      // pass, two bounded heaps per query, sentinel −9 keeps the typed
+      // heap null-free
+      Similarity.filteredTopK(docs(s, dir, "embeddings"), nQueries = 20, k = 3)
+        .orderBy("vec_id", "rank")
+    }),
+
     "ann_ivf_topk" -> ((s, dir) => {
       // IVF-Flat; nprobe = nlist here → exhaustive (value-level oracle);
       // nprobe ≪ nlist is the scale path, recall-measured in RecallSpec
@@ -1969,6 +1979,25 @@ object SparkEntry {
       // overlap — engine-portable gram strings, broadcast semi-join shape
       val d = docs(s, dir, "documents").select(col("doc_id"), col("text"))
       TextStats.decontaminate(d, d.where(col("doc_id") % 25 === 0), n = 8)
+        .orderBy("doc_id")
+    }),
+
+    "text_contamination_spans" -> ((s, dir) => {
+      // span-level refinement of text_decontaminate: longest CONTIGUOUS
+      // benchmark overlap per doc (pos − row_number islands) — separates
+      // a quoted sentence from wholesale leakage; hits-only window input
+      val d = docs(s, dir, "documents").select(col("doc_id"), col("text"))
+      TextStats.contaminationSpans(d, d.where(col("doc_id") % 25 === 0), n = 8)
+        .orderBy("doc_id")
+    }),
+
+    "text_ngram_novelty" -> ((s, dir) => {
+      // per-doc marginal novelty: share of the doc's distinct 8-grams
+      // whose corpus-wide first occurrence is this doc — no gram join-back
+      // (the first-occurrence table re-keyed by min doc_id IS the novel
+      // count); −1 sentinels docs shorter than 8 words
+      TextStats.ngramNovelty(
+          docs(s, dir, "documents").select(col("doc_id"), col("text")), n = 8)
         .orderBy("doc_id")
     }),
 
@@ -4411,6 +4440,15 @@ object SparkEntry {
       // decision input for the standard embedding debias
       Similarity.topDirectionComponent(docs(s, dir, "embeddings"), rounds = 3)
         .orderBy("vec_id")
+    }),
+
+    "emb_effective_rank" -> ((s, dir) => {
+      // dimensional-collapse audit: exact integer variance spectrum over
+      // the quantized corpus + participation-ratio effective rank (the n²
+      // factor cancels; BigInt squares mirror DuckDB HUGEINT) — D-sized
+      // reduce state, nothing per-vector shuffles
+      Similarity.dimVariance(docs(s, dir, "embeddings"))
+        .orderBy("d")
     }),
 
     "layout_sort_eval" -> ((s, dir) => {

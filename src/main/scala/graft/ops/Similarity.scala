@@ -150,6 +150,58 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** FILTERED vector search — top-k under a metadata predicate (the
+    * production-common case every ANN service must answer: "nearest
+    * neighbors in MY language/collection/date-range"), evaluated both
+    * ways the literature runs it: PRE-filter (apply the predicate before
+    * scoring — exact, the ground truth) and POST-filter (take the
+    * unfiltered top-k·`overfetch`, then filter — the cheap retrofit that
+    * silently loses recall when the predicate is selective: with a 1/nTags
+    * selectivity, an unfiltered top-3k holds ≈3k/nTags matching rows, so
+    * under-fetch shows up as missing tail ranks). Per pre-filter hit,
+    * `post_hit` says whether post-filtering would also have returned it —
+    * the per-rank evidence for choosing overfetch factors.
+    *
+    * Scale shape: ONE corpus pass, both answers from the same scored
+    * rows via two bounded-heap ObjectHashAggregate buffers (k and
+    * k·overfetch entries per task per query); the predicate (tag =
+    * vec_id mod nTags) is codegen'd, no second scan. Brute-force scoring
+    * by design — this is the EVAL over a sampled query set, like
+    * [[bruteForceTopK]]; the serving path stays IVF/LSH. */
+  def filteredTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                   nTags: Int = 4, overfetch: Int = 3): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val queries = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = base
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        (col("vec_id") % nTags).as("ctag"))
+      .crossJoin(broadcast(queries))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("sim", cosineCol)
+    val topk = udaf(new TopKAgg(k))
+    val topOver = udaf(new TopKAgg(k * overfetch))
+    // non-matching rows enter the pre-heap at sentinel −9 (< any cosine):
+    // a null would decode to primitive 0.0 inside the typed heap, so the
+    // sentinel keeps the single-pass shape and is dropped after explode —
+    // a query whose tag has <k corpus rows correctly returns fewer ranks
+    val agg = scored.groupBy(col("qid")).agg(
+      topk(when(col("ctag") === col("qid") % nTags, col("sim"))
+        .otherwise(lit(-9.0d)), col("cid")).as("pre"),
+      topOver(col("sim"), col("cid")).as("over"))
+    // post-filter answer: the tag-matching prefix (first k) of the
+    // unfiltered overfetched heap — order inside `over` is (sim desc, id)
+    agg
+      .withColumn("post_ids", slice(transform(
+        filter(col("over"), h => h.getField("_2") % nTags === col("qid") % nTags),
+        h => h.getField("_2")), 1, k))
+      .select(col("qid"), posexplode(col("pre")).as(Seq("pos", "hit")), col("post_ids"))
+      .where(col("hit._1") > lit(-2.0d)) // drop sentinel fills
+      .select(col("qid").as("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit._2").as("neighbor_id"), round(col("hit._1"), 4).as("sim"),
+        array_contains(col("post_ids"), col("hit._2")).as("post_hit"))
+  }
+
   /** Matryoshka-style truncation ablation: per query, exact top-k under
     * FULL dimensions vs top-k under the first `dims` dimensions, reported
     * as overlap@k — the eval an embedding pipeline runs before committing
@@ -326,6 +378,44 @@ object Similarity {
           else p * p * 1000L / (n2 * vn2)
         (id, p, n2, ratio, ratio >= 500L)
       }.toDF("vec_id", "dot_top", "norm2_q", "ratio_x1000", "top_heavy")
+  }
+
+  /** Embedding variance spectrum + effective rank — the dimensional-
+    * collapse audit run before trusting distances from an encoder: if a
+    * few dimensions carry all the variance, cosine contrast degrades and
+    * every downstream ANN/dedup threshold is miscalibrated. Reports the
+    * per-dimension variance numerator `var_num = n·Σq² − (Σq)²` (= n²·var,
+    * exact integers over the ×1000 floor-quantized corpus convention),
+    * each dim's permille share, and the participation-ratio effective
+    * rank PR = (Σλ)²/Σλ² ∈ [1, D] over the diagonal spectrum (×1000; the
+    * common n² factor cancels in both ratios, so quantization is the only
+    * approximation and it is shared bit-for-bit with the DuckDB oracle —
+    * squares run in BigInt, mirrored by HUGEINT).
+    *
+    * Scale shape: one typed map-reduce with D-sized state (two arrays of
+    * D longs per partition, like [[topDirectionPower]]'s round reduce);
+    * nothing per-vector ever shuffles, the driver finishes on 2D longs. */
+  def dimVariance(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (n, s, ssq) = embeddings.select(col("embedding")).as[Seq[Float]]
+      .map { e =>
+        val q = e.map(x => math.floor(x.toDouble * 1000).toLong).toArray
+        (1L, q, q.map(x => x * x))
+      }
+      .reduce { (a, b) =>
+        var i = 0
+        while (i < a._2.length) { a._2(i) += b._2(i); a._3(i) += b._3(i); i += 1 }
+        (a._1 + b._1, a._2, a._3)
+      }
+    val varNum = s.indices.map(d => n * ssq(d) - s(d) * s(d)).toArray
+    val total = varNum.map(BigInt(_)).sum
+    val sumSq = varNum.map(v => BigInt(v) * BigInt(v)).sum
+    val erPm = if (sumSq == 0) 0L else ((total * total * 1000) / sumSq).toLong
+    spark.createDataset(varNum.toVector.zipWithIndex.map { case (v, d) =>
+      (d.toLong, n, s(d), v,
+        if (total == 0) 0L else (BigInt(v) * 1000 / total).toLong, erPm)
+    }).toDF("d", "n_vecs", "sum_q", "var_num", "share_pm", "er_pm")
   }
 
   /** Per-source embedding-centroid drift — the encoder/source-shift audit

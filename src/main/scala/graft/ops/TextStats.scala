@@ -201,6 +201,80 @@ object TextStats {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Span-level decontamination — the refinement every serious eval-hygiene
+    * pass applies on top of any-gram flagging ([[decontaminate]]): a doc
+    * quoting one benchmark sentence and a doc embedding three benchmark
+    * paragraphs both flag "contaminated", but the LENGTH of the longest
+    * CONTIGUOUS overlap separates fair-use quotation from true leakage
+    * (the ≥N-consecutive-token rules of the GPT-4 / Llama decontamination
+    * reports). Consecutive hit positions merge into islands via the
+    * classic pos − row_number() grouping; per doc: total hit grams, span
+    * count, and the longest span in words (island length + n−1).
+    *
+    * Scale shape: benchmark grams broadcast (eval sets are small by
+    * nature); positional corpus grams never shuffle — only the surviving
+    * (doc_id, pos) hit pairs enter the doc_id-keyed window, and a doc's
+    * hit count is bounded by its own word count. Output rows only for
+    * contaminated docs. */
+  def contaminationSpans(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bGrams = benchmark.select(col("text")).as[String]
+      .flatMap(t => graft.ops.Dedup.ngramStrings(t, n))
+      .distinct().toDF("g")
+    // positional grams, 1-based start index, NOT deduped — span geometry
+    // needs every occurrence, unlike the distinct-gram flagging pass
+    val pGrams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = t.split(" ", -1)
+        if (toks.length < n) Iterator.empty
+        else (0 to toks.length - n).iterator.map { i =>
+          (id, (i + 1).toLong, toks.slice(i, i + n).mkString(" "))
+        }
+      }.toDF("doc_id", "pos", "g")
+    val hits = pGrams.join(broadcast(bGrams), Seq("g")).select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = hits.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("len"))
+    islands.groupBy("doc_id").agg(
+      sum(col("len")).as("n_hit_grams"),
+      count(lit(1)).as("n_spans"),
+      (max(col("len")) + lit((n - 1).toLong)).as("max_span_words"))
+  }
+
+  /** Per-document n-gram NOVELTY — the marginal-value curve of corpus
+    * growth: of each doc's distinct word 8-grams, how many occur in NO
+    * earlier document (first occurrence = min doc_id over the corpus)?
+    * High-novelty docs add content; near-zero novelty marks template
+    * echoes and syndication tails that any dedup pass will later fight —
+    * this is the signal for ORDERING ingestion, not just deduping it.
+    *
+    * Scale shape: novelty needs NO gram-to-doc join-back — the
+    * first-occurrence table itself, re-keyed by its min doc_id, counts
+    * each doc's novel grams. So: one gram-keyed min aggregate (map-side
+    * combined), two doc_id-keyed counts, and a doc_id join; gram strings
+    * cross the wire once (a web-scale run would hash them to 8 bytes,
+    * same shape). `novel_pm` = −1 sentinels docs with no 8-grams. */
+  def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) => graft.ops.Dedup.ngramStrings(t, n).map(g => (id, g)) }
+      .toDF("doc_id", "g")
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("doc_id"))
+    val nGrams = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val nNovel = first.groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    docs.select(col("doc_id"))
+      .join(nGrams, Seq("doc_id"), "left")
+      .join(nNovel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novel_pm", when(col("n_grams") === 0, lit(-1L))
+        .otherwise(expr("n_novel * 1000 div n_grams")))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

@@ -260,6 +260,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("text_boilerplate_prefix", maxExchange = 3)
     // first-ts agg + purchase join + broadcast gamma + cohort rollup
     assertShape("events_ltv", maxExchange = 6)
+    // gram-min agg + two doc_id counts + doc_id joins + display sort;
+    // novelty needs NO gram join-back (first table re-keyed by min doc_id)
+    assertShape("text_ngram_novelty", maxExchange = 7)
+    // benchmark-gram distinct + doc_id window + island/doc rollups + sort;
+    // positional corpus grams reach the window only as (doc_id, pos) hits
+    assertShape("text_contamination_spans", maxExchange = 6)
+    // D-sized typed reduce + driver-built 64-row result: no data Exchange
+    // beyond the reduce's own partial collection
+    assertShape("emb_effective_rank", maxExchange = 2)
   }
 
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
