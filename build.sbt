@@ -31,5 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // pre-size the heap: adaptive expansion makes early bench legs run in a
+  // smaller heap with more frequent GCs than later ones — a measured
+  // 10-25% leg-time drift that reads as scaling noise
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:+UseParallelGC",
 )

@@ -97,6 +97,11 @@ object Bench {
       val s = session(level)
       try {
         runExtraction(s, 2000, level * 3) // warm scheduler + fixture broadcast
+        // reset collector state before the timed run: adaptive GC sizing
+        // carries heap pressure from the previous leg into this one (a
+        // measured 10-25% leg drift that reads as scaling noise); paired
+        // with -Xms=-Xmx in build.sbt so generation sizes stay fixed
+        System.gc(); Thread.sleep(200)
         runExtraction(s, docs, level * 3)
       } finally {
         s.stop()

@@ -2058,6 +2058,53 @@ object OracleSql {
         |  CAST(max(len) + 7 AS BIGINT) AS max_span_words
         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // mirrors TextStats.continuationPairs over corpusWithContinuations:
+    // planted partners (id+940000) open with the base doc's trailing 8
+    // words; edges are 2 grams/doc, boundary buckets capped at 64
+    "text_continuation_pairs" ->
+      """WITH src AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |partners AS (
+        |  SELECT src.doc_id + 940000 AS doc_id,
+        |    array_to_string(t[len(t)-7:len(t)], ' ') || ' continuation body of doc '
+        |      || CAST(src.doc_id AS VARCHAR) || ' carries on here' AS text
+        |  FROM src WHERE src.doc_id % 13 = 0 AND len(t) >= 8),
+        |corpus AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id, text FROM partners),
+        |toks AS (SELECT doc_id, string_split(text,' ') AS t FROM corpus),
+        |edges AS (
+        |  SELECT doc_id, 'H' AS side, array_to_string(t[1:8], ' ') AS g
+        |  FROM toks WHERE len(t) >= 8
+        |  UNION ALL
+        |  SELECT doc_id, 'T', array_to_string(t[len(t)-7:len(t)], ' ')
+        |  FROM toks WHERE len(t) >= 8),
+        |capped AS (SELECT * FROM (
+        |  SELECT doc_id, side, g, count(*) OVER (PARTITION BY g) AS bn FROM edges)
+        |  WHERE bn <= 64)
+        |SELECT a.doc_id AS prev_id, b.doc_id AS next_id, md5(a.g) AS boundary_md5
+        |FROM capped a JOIN capped b ON a.g = b.g
+        |WHERE a.side = 'T' AND b.side = 'H' AND a.doc_id <> b.doc_id
+        |ORDER BY prev_id, next_id""".stripMargin,
+
+    // mirrors TextStats.snapshotDrift: pinned token-count buckets, floored
+    // permille shares BEFORE differencing, integer TVD = sum|delta| div 2
+    "corpus_snapshot_drift" ->
+      s"""WITH t AS (SELECT doc_id, $nTok AS n FROM documents),
+        |b AS (SELECT CASE WHEN n < 50 THEN 'a_lt50' WHEN n < 100 THEN 'b_50_99'
+        |  WHEN n < 200 THEN 'c_100_199' WHEN n < 500 THEN 'd_200_499'
+        |  ELSE 'e_ge500' END AS bucket, doc_id % 2 = 0 AS snap_a FROM t),
+        |counts AS (SELECT bucket,
+        |  sum(CASE WHEN snap_a THEN 1 ELSE 0 END) AS n_a,
+        |  sum(CASE WHEN NOT snap_a THEN 1 ELSE 0 END) AS n_b FROM b GROUP BY 1),
+        |sh AS (SELECT bucket, n_a, n_b,
+        |  n_a * 1000 // (sum(n_a) OVER ()) AS share_a_pm,
+        |  n_b * 1000 // (sum(n_b) OVER ()) AS share_b_pm FROM counts)
+        |SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(share_a_pm AS BIGINT) AS share_a_pm,
+        |  CAST(share_b_pm AS BIGINT) AS share_b_pm,
+        |  CAST(share_a_pm - share_b_pm AS BIGINT) AS delta_pm,
+        |  CAST(sum(abs(share_a_pm - share_b_pm)) OVER () // 2 AS BIGINT) AS tvd_pm
+        |FROM sh ORDER BY bucket""".stripMargin,
+
     // mirrors TextStats.ngramNovelty: distinct per-doc 8-grams, first
     // occurrence = min doc_id; the first table re-keyed by its min doc_id
     // counts each doc's novel grams (no gram join-back)

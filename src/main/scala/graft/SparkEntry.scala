@@ -1991,6 +1991,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_continuation_pairs" -> ((s, dir) => {
+      // markup-free fragment stitching: trailing 8-gram == leading 8-gram
+      // pairs over the continuation-planted corpus; 2 edge grams per doc,
+      // salt-capped boundary buckets
+      TextStats.continuationPairs(TextStats.corpusWithContinuations(
+          docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("prev_id", "next_id")
+    }),
+
+    "corpus_snapshot_drift" -> ((s, dir) => {
+      // snapshot-over-snapshot distribution monitor: pinned token-count
+      // buckets, floored permille shares, per-bucket deltas + integer TVD;
+      // the corpus contributes ONE map-side-combined scan
+      TextStats.snapshotDrift(docs(s, dir, "documents")).orderBy("bucket")
+    }),
+
     "text_ngram_novelty" -> ((s, dir) => {
       // per-doc marginal novelty: share of the doc's distinct 8-grams
       // whose corpus-wide first occurrence is this doc — no gram join-back

@@ -275,6 +275,97 @@ object TextStats {
         .otherwise(expr("n_novel * 1000 div n_grams")))
   }
 
+  /** Fragment stitching — boundary-window continuation pairs: doc A's
+    * trailing word n-gram equals doc B's leading n-gram. This is the
+    * markup-free reassembly signal for re-chunked corpora (overlapping
+    * chunk exports, WET-style text that lost its rel=next links, syndicated
+    * articles that lead with the feed summary's tail); [[Dedup]] removes
+    * copies, this finds SEQUENCE. Output one row per ordered candidate
+    * pair with the shared boundary's md5.
+    *
+    * Scale shape: each doc contributes exactly TWO edge grams (head +
+    * tail) — the join input is 2 rows/doc regardless of length, so the
+    * gram-keyed shuffle is corpus-count-sized, never corpus-content-sized.
+    * A boilerplate boundary gram (site chrome) fans out head×tail; the
+    * `maxBucket` salt-cap drops those buckets the same way the LSH paths
+    * do, keeping worst-case quadratic blowup bounded. */
+  def continuationPairs(docs: DataFrame, n: Int = 8,
+                        maxBucket: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val edges = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = t.split(" ", -1)
+        if (toks.length < n) Iterator.empty
+        else Iterator(
+          (id, "H", toks.take(n).mkString(" ")),
+          (id, "T", toks.takeRight(n).mkString(" ")))
+      }.toDF("doc_id", "side", "g")
+    val capped = edges
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .where(col("bn") <= maxBucket)
+    capped.where(col("side") === "T")
+      .select(col("doc_id").as("prev_id"), col("g"))
+      .join(capped.where(col("side") === "H")
+        .select(col("doc_id").as("next_id"), col("g")), Seq("g"))
+      .where(col("prev_id") =!= col("next_id"))
+      .select(col("prev_id"), col("next_id"), md5(col("g")).as("boundary_md5"))
+  }
+
+  /** Deterministic continuation-planted corpus for [[continuationPairs]]:
+    * every doc_id % 13 == 0 base doc gets a partner (id + 940000) whose
+    * text OPENS with the base doc's trailing n words — the ground-truth
+    * stitched pair set. */
+  def corpusWithContinuations(docs: DataFrame, n: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val partners = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .filter(r => r._1 % 13 == 0 && r._2.split(" ", -1).length >= n)
+      .map { case (id, t) =>
+        val tail = t.split(" ", -1).takeRight(n).mkString(" ")
+        (id + 940000L, tail + s" continuation body of doc $id carries on here")
+      }.toDF("doc_id", "text")
+    docs.select(col("doc_id"), col("text")).unionByName(partners)
+  }
+
+  /** Corpus distribution DRIFT between two crawl snapshots — the data-
+    * quality monitor that catches a silently-changed extractor or a
+    * crawler policy shift before it poisons training mixes: token-count
+    * distribution over PINNED buckets (no data-dependent quantiles — the
+    * monitor must mean the same thing every run), per-snapshot floored
+    * permille shares, per-bucket deltas, and the total-variation distance
+    * Σ|Δ|/2 in permille. Integer-exact end to end: shares floor BEFORE
+    * differencing, so both engines agree bit-for-bit (documented
+    * quantization ±1 pm per bucket).
+    *
+    * Scale shape: one map-side-combined (snapshot, bucket) count — the
+    * corpus contributes a single scan; everything after runs on ≤5 rows. */
+  def snapshotDrift(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = tokenCountCol(col("text"))
+    val bucket = when(nTok < 50, "a_lt50")
+      .when(nTok < 100, "b_50_99")
+      .when(nTok < 200, "c_100_199")
+      .when(nTok < 500, "d_200_499")
+      .otherwise("e_ge500")
+    val counts = docs
+      .select(bucket.as("bucket"), (col("doc_id") % 2 === 0).as("snap_a"))
+      .groupBy("bucket")
+      .agg(sum(when(col("snap_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("snap_a"), 1L).otherwise(0L)).as("n_b"))
+    val w = Window.partitionBy()
+    counts
+      .withColumn("tot_a", sum(col("n_a")).over(w))
+      .withColumn("tot_b", sum(col("n_b")).over(w))
+      .withColumn("share_a_pm", expr("n_a * 1000 div tot_a"))
+      .withColumn("share_b_pm", expr("n_b * 1000 div tot_b"))
+      .withColumn("delta_pm", col("share_a_pm") - col("share_b_pm"))
+      .withColumn("sum_abs", sum(abs(col("delta_pm"))).over(w))
+      .withColumn("tvd_pm", expr("sum_abs div 2"))
+      .drop("tot_a", "tot_b", "sum_abs")
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

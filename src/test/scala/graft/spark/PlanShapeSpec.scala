@@ -269,6 +269,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // D-sized typed reduce + driver-built 64-row result: no data Exchange
     // beyond the reduce's own partial collection
     assertShape("emb_effective_rank", maxExchange = 2)
+    // 2 edge grams/doc: gram-keyed cap window + same-key self-join + sort
+    assertShape("text_continuation_pairs", maxExchange = 6)
+    // ONE (bucket) count aggregate; windows run on the ≤5-row result
+    assertShape("corpus_snapshot_drift", maxExchange = 4)
   }
 
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
