@@ -2085,6 +2085,35 @@ object OracleSql {
         |WHERE a.side = 'T' AND b.side = 'H' AND a.doc_id <> b.doc_id
         |ORDER BY prev_id, next_id""".stripMargin,
 
+    // mirrors TextStats.maskedDedupStats over corpusWithMirroredBodies:
+    // per-site LCP via max(i: prefixes equal) — the prefix property makes
+    // max-where exactly the LCP; groups keyed by text (md5 in Spark is a
+    // bijection here up to collisions, counts agree)
+    "dedup_boilerplate_masked" ->
+      """WITH base AS (SELECT doc_id, doc_id % 5 AS site, doc_id // 5 AS k FROM documents),
+        |corpus AS (SELECT doc_id, site,
+        |  'SITE' || site || ' NAV HOME ABOUT | ' ||
+        |  substr('abcdefghijklmnopqrstuvw', CAST(k % 23 AS INT) + 1, 1) ||
+        |  'body ' || k || ' shared content tail for dedup' AS text FROM base),
+        |mm AS (SELECT site, count(*) AS nd, min(text) AS lo, max(text) AS hi FROM corpus GROUP BY site),
+        |lcp AS (SELECT site, CASE WHEN nd = 1 THEN 0 ELSE
+        |  len(list_filter(range(1, least(length(lo), length(hi)) + 1),
+        |      i -> substr(lo, 1, CAST(i AS INT)) = substr(hi, 1, CAST(i AS INT))))
+        |  END AS lcp_len FROM mm),
+        |stripped AS (SELECT c.text, substr(c.text, CAST(l.lcp_len AS INT) + 1) AS stext
+        |             FROM corpus c JOIN lcp l USING (site)),
+        |gb AS (SELECT text AS g, count(*) AS n FROM stripped GROUP BY 1),
+        |ga AS (SELECT stext AS g, count(*) AS n FROM stripped GROUP BY 1)
+        |SELECT 'after' AS phase, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS dup_pairs FROM ga
+        |UNION ALL
+        |SELECT 'before', CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT),
+        |  CAST(sum(n * (n - 1) // 2) AS BIGINT) FROM gb
+        |ORDER BY phase""".stripMargin,
+
     // mirrors TextStats.snapshotDrift: pinned token-count buckets, floored
     // permille shares BEFORE differencing, integer TVD = sum|delta| div 2
     "corpus_snapshot_drift" ->

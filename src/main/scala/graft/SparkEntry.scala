@@ -2000,6 +2000,15 @@ object SparkEntry {
         .orderBy("prev_id", "next_id")
     }),
 
+    "dedup_boilerplate_masked" -> ((s, dir) => {
+      // the integration: cross-site mirror pages are hash-distinct until
+      // the per-site LCP header strip — before/after dup-group summary;
+      // the delta IS the duplication the chrome hid
+      TextStats.maskedDedupStats(TextStats.corpusWithMirroredBodies(
+          docs(s, dir, "documents"), sites = 5))
+        .orderBy("phase")
+    }),
+
     "corpus_snapshot_drift" -> ((s, dir) => {
       // snapshot-over-snapshot distribution monitor: pinned token-count
       // buckets, floored permille shares, per-bucket deltas + integer TVD;

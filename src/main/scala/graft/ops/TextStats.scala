@@ -329,6 +329,53 @@ object TextStats {
     docs.select(col("doc_id"), col("text")).unionByName(partners)
   }
 
+  /** Boilerplate-MASKED dedup — the integration the two standalone ops
+    * exist for: site chrome (nav headers) makes cross-site mirror pages
+    * hash-distinct, so exact dedup under-counts until the per-site
+    * boilerplate prefix ([[boilerplatePrefix]]'s LCP(min,max)) is
+    * stripped. Reports the md5-group histogram summary BEFORE and AFTER
+    * the strip: docs, groups, docs-in-dup-groups, and Σ C(n,2) dup pairs
+    * — the before→after delta is exactly the duplication the chrome hid.
+    *
+    * Scale shape: the LCP table is site-sized and broadcasts back; each
+    * phase is one md5-keyed count (map-side combined) + a single-row
+    * rollup. Input contract: (doc_id, site, text). */
+  def maskedDedupStats(corpus: DataFrame): DataFrame = {
+    // a single-doc site's LCP is its whole text — stripping would leave ""
+    // and glue unrelated singletons into one spurious dup group
+    val lcp = boilerplatePrefix(corpus)
+      .select(col("site"),
+        when(col("n_docs") === 1, 0L).otherwise(col("lcp_len")).as("lcp_len"))
+    val stripped = corpus.join(broadcast(lcp), Seq("site"))
+      .select(col("text"),
+        expr("substring(text, cast(lcp_len as int) + 1)").as("stext"))
+    def stats(key: String, phase: String): DataFrame =
+      stripped.groupBy(md5(col(key)).as("g")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_groups"),
+          coalesce(sum(when(col("n") > 1, col("n"))), lit(0L)).as("n_dup_docs"),
+          sum(expr("n * (n - 1) div 2")).as("dup_pairs"))
+        .select(lit(phase).as("phase"), col("n_docs"), col("n_groups"),
+          col("n_dup_docs"), col("dup_pairs"))
+    stats("text", "before").unionByName(stats("stext", "after"))
+  }
+
+  /** Deterministic mirrored-body corpus for [[maskedDedupStats]]: doc i
+    * lives on site i mod `sites` with that site's nav header; its BODY
+    * depends only on i div `sites`, so every body appears once per site —
+    * cross-site duplicates that full-text hashing cannot see. Body first
+    * letters cycle a 23-letter alphabet so the site LCP stops exactly at
+    * the header (bodies share no common prefix within a site). */
+  def corpusWithMirroredBodies(docs: DataFrame, sites: Int = 5): DataFrame =
+    docs.select(col("doc_id"))
+      .withColumn("site", col("doc_id") % sites)
+      .withColumn("k", expr(s"doc_id div $sites"))
+      .select(col("doc_id"), col("site"),
+        concat(lit("SITE"), col("site").cast("string"),
+          lit(" NAV HOME ABOUT | "),
+          expr("substr('abcdefghijklmnopqrstuvw', cast(k % 23 as int) + 1, 1)"),
+          lit("body "), col("k").cast("string"),
+          lit(" shared content tail for dedup")).as("text"))
+
   /** Corpus distribution DRIFT between two crawl snapshots — the data-
     * quality monitor that catches a silently-changed extractor or a
     * crawler policy shift before it poisons training mixes: token-count

@@ -47,6 +47,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "events_time_to_convert", "tok_coverage", "graph_clustering", "text_langid_eval", "events_rfm", "text_boilerplate_prefix",
     "text_ngram_novelty", "text_contamination_spans", "emb_effective_rank",
     "ann_filtered_topk", "text_continuation_pairs", "corpus_snapshot_drift",
+    "dedup_boilerplate_masked",
     "url_dedup", "url_domain_stats", "mirror_domains", "redirect_resolve",
     "sample_priority", "sample_quota", "split_holdout", "corpus_pack",
     "quality_dsir", "quality_perceptron", "quality_calibration",

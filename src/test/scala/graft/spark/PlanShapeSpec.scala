@@ -273,6 +273,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("text_continuation_pairs", maxExchange = 6)
     // ONE (bucket) count aggregate; windows run on the ≤5-row result
     assertShape("corpus_snapshot_drift", maxExchange = 4)
+    // site LCP agg + broadcast-back + two md5 rollups + union of 1-row halves
+    assertShape("dedup_boilerplate_masked", maxExchange = 8)
   }
 
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
