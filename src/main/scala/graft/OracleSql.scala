@@ -6841,6 +6841,58 @@ object OracleSql {
         |    CAST(sum(vbytes) AS BIGINT) AS varint_bytes FROM v)
         |SELECT n_terms, n_postings, n_postings * 8 AS raw_bytes, varint_bytes,
         |  (n_postings * 8 - varint_bytes) * 1000 // (n_postings * 8) AS saving_pm
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // mirrors TextStats.pmiCollocations: lift_micro = floor(1e6·c_xy·N /
+    // (c_x·c_y)) in HUGEINT (= Spark's DECIMAL(38,0) path), adjacent-pair
+    // counts over 1-based list indexing, N = Σ unigram counts
+    "text_collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (SELECT u.w AS w, CAST(count(*) AS HUGEINT) AS c
+        |  FROM toks, UNNEST(t) AS u(w) GROUP BY 1),
+        |n AS (SELECT sum(c) AS n_tok FROM uni),
+        |big AS (SELECT t[i] AS w1, t[i + 1] AS w2,
+        |    CAST(count(*) AS HUGEINT) AS c_pair
+        |  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2 GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1, w2, CAST(c_pair AS BIGINT) AS c_pair,
+        |  CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+        |  CAST((1000000::HUGEINT * c_pair * n.n_tok) // (u1.c * u2.c)
+        |       AS BIGINT) AS lift_micro
+        |FROM big JOIN uni u1 ON big.w1 = u1.w JOIN uni u2 ON big.w2 = u2.w
+        |CROSS JOIN n
+        |WHERE u1.c >= 20 AND u2.c >= 20
+        |ORDER BY lift_micro DESC, w1, w2 LIMIT 40""".stripMargin,
+
+    // mirrors Dedup.titleCorpus + titleNearDup: first-7-word titles,
+    // planted case-flip+truncate mutations at doc_id%41==3 (+500000),
+    // 4-char-prefix blocks capped at 64 by (id mod 500000, id) row_number,
+    // in-block self-join, exact levenshtein ≤ 2
+    "dedup_titles" ->
+      """WITH titles0 AS (
+        |  SELECT doc_id, array_to_string(
+        |    list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 7),
+        |    ' ') AS title
+        |  FROM documents),
+        |titles1 AS (SELECT doc_id, title FROM titles0 WHERE length(title) >= 8),
+        |mut AS (SELECT doc_id + 500000 AS doc_id,
+        |    upper(substr(title, 1, 1)) || substr(title, 2, length(title) - 2) AS title
+        |  FROM titles1 WHERE doc_id % 41 = 3),
+        |corpus AS (SELECT * FROM titles1 UNION ALL SELECT * FROM mut),
+        |blocked AS (SELECT doc_id, title, lower(substr(title, 1, 4)) AS bkey,
+        |    row_number() OVER (PARTITION BY lower(substr(title, 1, 4))
+        |      ORDER BY doc_id % 500000, doc_id) AS rn
+        |  FROM corpus),
+        |capped AS (SELECT * FROM blocked WHERE rn <= 64)
+        |SELECT least(a.doc_id, b.doc_id) AS doc_a,
+        |  greatest(a.doc_id, b.doc_id) AS doc_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM capped a JOIN capped b
+        |  ON a.bkey = b.bkey AND a.rn < b.rn
+        |WHERE abs(length(a.title) - length(b.title)) <= 2
+        |  AND levenshtein(a.title, b.title) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

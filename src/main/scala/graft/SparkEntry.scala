@@ -4632,6 +4632,22 @@ object SparkEntry {
       // partitioning, integer-exact byte totals
       graft.ops.Lexicon.varintIndex(
         docs(s, dir, "documents").select(col("doc_id"), col("text")))
+    }),
+    "text_collocations" -> ((s, dir) => {
+      // PMI collocation mining: DECIMAL(38,0) lift (exact to 1e38 — BIGINT
+      // dies at ~1e6 docs) — one token explode, two count shuffles, two
+      // vocab-keyed joins of count tables, global top-k sort-limit
+      TextStats.pmiCollocations(
+        docs(s, dir, "documents").select(col("text")))
+    }),
+    "dedup_titles" -> ((s, dir) => {
+      // blocked-Levenshtein near-dup titles: the sub-shingle edit case
+      // MinHash misses — prefix blocks, salt-capped at 64, ±2 length
+      // prefilter, exact Wagner–Fischer verify; ids+short titles shuffle,
+      // never payloads
+      Dedup.titleNearDup(Dedup.titleCorpus(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("doc_a", "doc_b")
     })
   )
 

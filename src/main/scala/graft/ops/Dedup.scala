@@ -1295,4 +1295,59 @@ object Dedup {
       .orderBy(col("cost").asc, col("bands").asc)
     scored.withColumn("chosen", row_number().over(w) === 1)
   }
+
+  /** Title corpus for edit-distance near-dup: title = first 7 words of the
+    * document, plus a planted mutated copy (id + 500000) for every
+    * doc_id % 41 == 3 — first letter case-flipped and last character
+    * dropped, so the planted pair sits at Levenshtein distance ≤ 2. Both
+    * transforms are single-character substr arithmetic the DuckDB oracle
+    * replays verbatim. */
+  def titleCorpus(docs0: DataFrame): DataFrame = {
+    val titles = docs0.select(col("doc_id"),
+      expr("array_join(slice(filter(split(text, ' '), x -> x <> ''), 1, 7), ' ')")
+        .as("title"))
+      .where(length(col("title")) >= 8)
+    val mutated = titles.where(col("doc_id") % 41 === 3)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        expr("concat(upper(substr(title, 1, 1)), substr(title, 2, length(title) - 2))")
+          .as("title"))
+    titles.unionByName(mutated)
+  }
+
+  /** Near-duplicate titles via blocked Levenshtein — the headline/near-
+    * identical-title case MinHash misses (edits below the shingle size).
+    * Never all-pairs: candidates are generated inside blocks keyed by the
+    * lowercased 4-char title prefix, each block capped at `maxBlock`
+    * members (row_number ordered by (doc_id mod 500000, doc_id) so a
+    * planted mutation sorts adjacent to its original and survives the cap
+    * deterministically). Within a block the self-join is on the block key
+    * with rn_a < rn_b, a ±2 length prefilter (free: Levenshtein ≥ length
+    * gap), and the exact distance as the verify step.
+    *
+    * Scale: titles are short strings, so the block join shuffles
+    * (block_key, id, title) only — never document payloads; the cap bounds
+    * any hot prefix (e.g. "the ") at maxBlock² comparisons of ≤ 60-char
+    * strings. Levenshtein is the classic Wagner–Fischer distance in both
+    * engines, so the DuckDB oracle is exact. */
+  def titleNearDup(titles: DataFrame, maxDist: Int = 2, maxBlock: Int = 64): DataFrame = {
+    val blocked = titles
+      .withColumn("bkey", lower(substring(col("title"), 1, 4)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bkey")
+          .orderBy((col("doc_id") % 500000L).asc, col("doc_id").asc)))
+      .where(col("rn") <= maxBlock)
+    val a = blocked.select(col("bkey"), col("rn").as("rn_a"),
+      col("doc_id").as("doc_a"), col("title").as("title_a"))
+    val b = blocked.select(col("bkey"), col("rn").as("rn_b"),
+      col("doc_id").as("doc_b"), col("title").as("title_b"))
+    a.join(b, Seq("bkey"))
+      .where(col("rn_a") < col("rn_b") &&
+        abs(length(col("title_a")) - length(col("title_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("title_a"), col("title_b")))
+      .where(col("dist") <= maxDist)
+      .select(
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        col("dist").cast("long").as("dist"))
+  }
 }

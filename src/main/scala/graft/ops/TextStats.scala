@@ -1499,4 +1499,53 @@ object TextStats {
       .toDF("doc_id", "n_letters", "n_distinct", "sum_clnc", "ent_milli",
         "low_entropy")
   }
+
+  /** PMI-style collocation mining: adjacent word pairs whose corpus
+    * frequency exceeds the independence expectation. The PMI *ordering*
+    * statistic is kept exact by replacing log(p_xy/(p_x·p_y)) with the
+    * monotone integer lift
+    *
+    *   lift_micro = floor(1e6 · c_xy · N / (c_x · c_y))
+    *
+    * computed in DECIMAL(38,0): at 10^12 tokens the worst product is
+    * 1e6·1e12·1e12 = 1e30 < 1e38, so the arithmetic stays exact at any
+    * realistic corpus size (BIGINT would overflow at ~1e6 docs), and the
+    * DuckDB oracle replays it bit-for-bit in HUGEINT.
+    *
+    * Shape: one token explode feeding two count shuffles (bigram keyed by
+    * the pair, unigram keyed by the word — the vocab table), then two
+    * vocab-keyed joins of the *count* tables (never token instances) and a
+    * global top-k via sort-limit (TakeOrderedAndProject). N = Σ c_x comes
+    * from the unigram table — no second corpus pass. */
+  def pmiCollocations(docs: DataFrame, minPair: Long = 5, minWord: Long = 20,
+                      k: Int = 40): DataFrame = {
+    val toks = docs.select(
+      expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+    val uni = toks
+      .select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).as("n_tok"))
+    val pairs = toks
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_pair"))
+      .where(col("c_pair") >= minPair)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .where(col("c1") >= minWord && col("c2") >= minWord)
+      .crossJoin(broadcast(nTok))
+      .withColumn("lift_micro", expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * CAST(c_pair AS DECIMAL(38,0))
+          |      * CAST(n_tok AS DECIMAL(38,0)))
+          |     div (CAST(c1 AS DECIMAL(38,0)) * CAST(c2 AS DECIMAL(38,0)))
+          |     AS BIGINT)""".stripMargin))
+      .select(col("w1"), col("w2"), col("c_pair"), col("c1"), col("c2"),
+        col("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }
