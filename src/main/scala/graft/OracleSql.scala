@@ -6893,6 +6893,64 @@ object OracleSql {
         |  ON a.bkey = b.bkey AND a.rn < b.rn
         |WHERE abs(length(a.title) - length(b.title)) <= 2
         |  AND levenshtein(a.title, b.title) <= 2
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // mirrors Relational.survival: per-user [first,last] day spans,
+    // censored within 3 days of the horizon, KM risk sets by suffix sum,
+    // and the floored permille running product via recursive CTE — the
+    // sequential twin of Spark's bounded aggregate() fold
+    "events_survival" ->
+      """WITH RECURSIVE per_user AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS fd, max(CAST(ts AS DATE)) AS ld
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT max(CAST(ts AS DATE)) AS horizon FROM events),
+        |durs AS (SELECT date_diff('day', fd, ld) AS dur,
+        |    date_diff('day', ld, horizon) < 3 AS censored
+        |  FROM per_user, h),
+        |by_day AS (SELECT dur,
+        |    CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS n_churn,
+        |    CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+        |  FROM durs GROUP BY 1),
+        |risk AS (SELECT dur, n_churn, n_censored,
+        |    CAST(sum(n_churn + n_censored) OVER (ORDER BY dur DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        |  FROM by_day),
+        |ordered AS (SELECT *, row_number() OVER (ORDER BY dur) AS rn FROM risk),
+        |rec AS (
+        |  SELECT rn, dur, n_churn, n_censored, n_risk,
+        |    1000 * (n_risk - n_churn) // n_risk AS surv_pm
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.dur, o.n_churn, o.n_censored, o.n_risk,
+        |    r.surv_pm * (o.n_risk - o.n_churn) // o.n_risk
+        |  FROM ordered o JOIN rec r ON o.rn = r.rn + 1)
+        |SELECT CAST(dur AS BIGINT) AS t_day, n_churn, n_censored, n_risk,
+        |  CAST(surv_pm AS BIGINT) AS surv_pm
+        |FROM rec ORDER BY t_day""".stripMargin,
+
+    // mirrors Relational.scd2: tier runs via lag-change flags and a
+    // running version sum, interval bounds per (user, version), lead
+    // closes each interval (−1 = current)
+    "events_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN value < 10 THEN 'low'
+        |         WHEN value < 100 THEN 'mid' ELSE 'high' END AS tier
+        |  FROM events),
+        |r AS (SELECT *,
+        |    CASE WHEN lag(tier) OVER w IS NULL
+        |         OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |v AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS version FROM r),
+        |s AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+        |    min(tier) AS tier, min(us) AS valid_from_us,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM v GROUP BY 1, 2)
+        |SELECT user_id, version, tier, valid_from_us,
+        |  coalesce(lead(valid_from_us) OVER wv, -1) AS valid_to_us,
+        |  coalesce(lead(valid_from_us) OVER wv, -1) = -1 AS is_current,
+        |  n_events
+        |FROM s WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin
   )
 }

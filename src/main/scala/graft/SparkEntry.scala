@@ -4648,6 +4648,19 @@ object SparkEntry {
       Dedup.titleNearDup(Dedup.titleCorpus(
         docs(s, dir, "documents").select(col("doc_id"), col("text"))))
         .orderBy("doc_a", "doc_b")
+    }),
+    "events_survival" -> ((s, dir) => {
+      // Kaplan–Meier churn table: one user-keyed aggregate is the only
+      // corpus pass; the permille survival curve folds over the bounded
+      // day table with a floor at every step (recursive-CTE oracle)
+      Relational.survival(docs(s, dir, "events")).orderBy("t_day")
+    }),
+    "events_scd2" -> ((s, dir) => {
+      // SCD2 interval history: gaps-and-islands runs of the value tier,
+      // versioned validity intervals, one user-keyed Exchange for all
+      // three windows + the rollup
+      Relational.scd2(docs(s, dir, "events"))
+        .orderBy("user_id", "version")
     })
   )
 

@@ -978,4 +978,99 @@ object Relational {
         (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
           .as("lag_sec"))
   }
+
+  /** Kaplan–Meier churn/survival table at day granularity. Per user the
+    * observation is [first event day, last event day]; a user whose last
+    * activity falls within `censorWindowDays` of the global horizon (the
+    * corpus max day) is right-CENSORED — still possibly active — otherwise
+    * the last day is a churn event at duration = datediff(last, first).
+    * Standard KM risk-set accounting: n_risk(t) counts durations ≥ t
+    * (censored users stay at risk through their censor day), and the
+    * survival curve is the running product S(t) = S(t−)·(n_risk−d)/n_risk,
+    * carried in integer permille with a floor at every step so the DuckDB
+    * recursive-CTE oracle replays it bit-for-bit.
+    *
+    * Scale shape: ONE user-keyed aggregate is the only corpus pass; the
+    * day table is bounded by the study length (≤ horizon span rows), so
+    * the suffix-sum window, the sort_array fold that threads the running
+    * product, and the explode all run on a metadata-sized relation. The
+    * sequential floor-product lives in an `aggregate()` fold over that
+    * bounded array — no driver loop, no UDF. */
+  def survival(events: DataFrame, censorWindowDays: Int = 3): DataFrame = {
+    val perUser = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id")
+      .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+    val horizon = events.agg(max(to_date(col("ts"))).as("horizon"))
+    val durs = perUser.crossJoin(broadcast(horizon))
+      .select(datediff(col("last_d"), col("first_d")).cast("long").as("dur"),
+        (datediff(col("horizon"), col("last_d")) < censorWindowDays)
+          .as("censored"))
+    val byDay = durs.groupBy("dur")
+      .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("n_churn"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+    val wDesc = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val risk = byDay
+      .withColumn("n_risk",
+        sum(col("n_churn") + col("n_censored")).over(wDesc))
+    risk
+      .agg(sort_array(collect_list(struct(col("dur"), col("n_churn"),
+        col("n_censored"), col("n_risk")))).as("days"))
+      .select(explode(expr(
+        """aggregate(days,
+          |  named_struct('s', CAST(1000 AS BIGINT),
+          |    'out', CAST(array() AS ARRAY<STRUCT<dur: BIGINT, n_churn: BIGINT,
+          |                 n_censored: BIGINT, n_risk: BIGINT, surv: BIGINT>>)),
+          |  (acc, x) -> named_struct(
+          |    's', acc.s * (x.n_risk - x.n_churn) div x.n_risk,
+          |    'out', concat(acc.out, array(named_struct(
+          |      'dur', x.dur, 'n_churn', x.n_churn, 'n_censored', x.n_censored,
+          |      'n_risk', x.n_risk,
+          |      'surv', acc.s * (x.n_risk - x.n_churn) div x.n_risk)))),
+          |  acc -> acc.out)""".stripMargin)).as("f"))
+      .select(col("f.dur").as("t_day"), col("f.n_churn").as("n_churn"),
+        col("f.n_censored").as("n_censored"), col("f.n_risk").as("n_risk"),
+        col("f.surv").as("surv_pm"))
+  }
+
+  /** SCD2 (slowly-changing-dimension type 2) interval history from an
+    * event stream: per user, consecutive runs of the derived `tier`
+    * attribute (value-bucket low/mid/high) collapse into versioned
+    * validity intervals [valid_from_us, valid_to_us) with an is_current
+    * flag — the standard warehouse shape for "what was this entity's
+    * attribute at time T" point-in-time joins.
+    *
+    * Gaps-and-islands with deterministic (ts, event_id) tie order: a lag
+    * marks tier changes, a running sum numbers versions, one (user,
+    * version) rollup takes interval bounds, and a lead closes each
+    * interval with the next version's start (−1 = open/current — kept
+    * integer so the row hashes portably). All three windows and the
+    * rollup share the user_id partitioning: ONE Exchange total. */
+  def scd2(events: DataFrame): DataFrame = {
+    val tier = when(col("value") < 10, "low")
+      .when(col("value") < 100, "mid").otherwise("high")
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val rows = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), tier.as("tier"))
+      .withColumn("prev", lag(col("tier"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("tier"), 1L)
+          .otherwise(0L))
+      .withColumn("version",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = rows.groupBy(col("user_id"), col("version"))
+      .agg(min(col("tier")).as("tier"),            // constant within a run
+        min(col("us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy("user_id").orderBy("version")
+    spans
+      .withColumn("valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(wv), lit(-1L)))
+      .withColumn("is_current", col("valid_to_us") === -1L)
+      .select(col("user_id"), col("version"), col("tier"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"),
+        col("n_events"))
+  }
 }
