@@ -6951,6 +6951,98 @@ object OracleSql {
         |  coalesce(lead(valid_from_us) OVER wv, -1) = -1 AS is_current,
         |  n_events
         |FROM s WINDOW wv AS (PARTITION BY user_id ORDER BY version)
-        |ORDER BY user_id, version""".stripMargin
+        |ORDER BY user_id, version""".stripMargin,
+
+    // mirrors CodeStats.codeCorpus + langId: the corpus is rebuilt from
+    // pipe-encoded literals (| = newline; repeat() regenerates the
+    // minified line), then the identical ext → shebang → keyword CASE
+    // runs in SQL — a full independent replay of the decision
+    "code_langid" ->
+      """WITH raw(path, c) AS (VALUES
+        |  ('a/util.py', '#!/usr/bin/env python|# helper||def add(a, b):|    return a + b|'),
+        |  ('web/app.js', '// entry|function main() {|  var x = 1; /* init|     block */|  return x;|}|'),
+        |  ('lib/vec.c', '#include <stdio.h>|/* dot product */|int dot(int a, int b) { return a * b; }|'),
+        |  ('run', '#!/bin/sh|echo start|'),
+        |  ('tool', '#!/usr/bin/env python3|print(1)|'),
+        |  ('web/min.js', 'function f(){' || repeat('var a0=1;', 70) || '}'),
+        |  ('notes.txt', 'just some plain prose notes about the build|'),
+        |  ('data/cfg.json', '{ "k": 1, "n": [1, 2, 3] }|'),
+        |  ('core/Main.scala', 'object Main {|  // entry|  def main(args: Array[String]): Unit = println(42)|}|'),
+        |  ('x/unknown.zzz', 'def mystery():|    return 7|')),
+        |files AS (SELECT path, replace(c, '|', chr(10)) AS content FROM raw),
+        |feat AS (SELECT path, content,
+        |    lower(regexp_extract(path, '\.([a-zA-Z0-9]+)$', 1)) AS ext,
+        |    regexp_extract(content, '^#!\S*[ /](python|bash|sh|node|perl|ruby)', 1) AS shebang
+        |  FROM files)
+        |SELECT path, ext, shebang,
+        |  CASE WHEN ext = 'py' THEN 'python'
+        |       WHEN ext = 'js' THEN 'javascript'
+        |       WHEN ext = 'c' THEN 'c'
+        |       WHEN ext = 'scala' THEN 'scala'
+        |       WHEN ext = 'java' THEN 'java'
+        |       WHEN ext = 'json' THEN 'json'
+        |       WHEN ext = 'txt' THEN 'text'
+        |       WHEN shebang = 'python' THEN 'python'
+        |       WHEN shebang IN ('bash', 'sh') THEN 'shell'
+        |       WHEN shebang = 'node' THEN 'javascript'
+        |       WHEN shebang = 'perl' THEN 'perl'
+        |       WHEN shebang = 'ruby' THEN 'ruby'
+        |       WHEN regexp_matches(content, '\bdef ') THEN 'python'
+        |       WHEN regexp_matches(content, '\bfunction |\bvar ') THEN 'javascript'
+        |       WHEN contains(content, '#include') THEN 'c'
+        |       ELSE 'unknown' END AS lang
+        |FROM feat ORDER BY path""".stripMargin,
+
+    // mirrors CodeStats.minifiedGate on the same rebuilt corpus — every
+    // column is occurrence arithmetic DuckDB replays exactly
+    "code_minified" ->
+      """WITH raw(path, c) AS (VALUES
+        |  ('a/util.py', '#!/usr/bin/env python|# helper||def add(a, b):|    return a + b|'),
+        |  ('web/app.js', '// entry|function main() {|  var x = 1; /* init|     block */|  return x;|}|'),
+        |  ('lib/vec.c', '#include <stdio.h>|/* dot product */|int dot(int a, int b) { return a * b; }|'),
+        |  ('run', '#!/bin/sh|echo start|'),
+        |  ('tool', '#!/usr/bin/env python3|print(1)|'),
+        |  ('web/min.js', 'function f(){' || repeat('var a0=1;', 70) || '}'),
+        |  ('notes.txt', 'just some plain prose notes about the build|'),
+        |  ('data/cfg.json', '{ "k": 1, "n": [1, 2, 3] }|'),
+        |  ('core/Main.scala', 'object Main {|  // entry|  def main(args: Array[String]): Unit = println(42)|}|'),
+        |  ('x/unknown.zzz', 'def mystery():|    return 7|')),
+        |files AS (SELECT path, replace(c, '|', chr(10)) AS content FROM raw),
+        |m AS (SELECT path,
+        |    CAST(length(content) AS BIGINT) AS len,
+        |    CAST(length(content) - length(replace(content, chr(10), ''))
+        |      + CASE WHEN content LIKE '%' || chr(10) THEN 0 ELSE 1 END
+        |      AS BIGINT) AS n_lines,
+        |    CAST(list_max(list_transform(string_split(content, chr(10)),
+        |      x -> length(x))) AS BIGINT) AS max_line_len,
+        |    CAST(length(content) - length(replace(replace(replace(content,
+        |      ' ', ''), chr(10), ''), chr(9), '')) AS BIGINT) AS ws
+        |  FROM files)
+        |SELECT path, n_lines, max_line_len,
+        |  len // greatest(n_lines, 1) AS avg_line_len,
+        |  ws * 1000 // greatest(len, 1) AS ws_pm,
+        |  (len // greatest(n_lines, 1)) > 200
+        |    OR (max_line_len > 500 AND ws * 1000 // greatest(len, 1) < 100)
+        |    AS minified
+        |FROM m ORDER BY path""".stripMargin,
+
+    // mirrors CodeStats.slocStats: hand-counted line classes for the
+    // fixture corpus (block-comment state machine documented in the
+    // Scaladoc; e.g. app.js line 3 is CODE and opens the block, line 4 is
+    // the closing comment; #include is code, shebangs are comments)
+    "code_sloc" ->
+      """SELECT * FROM (VALUES
+        |  ('a/util.py',      CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+        |  ('core/Main.scala', 4, 0, 1, 3),
+        |  ('data/cfg.json',  1, 0, 0, 1),
+        |  ('lib/vec.c',      3, 0, 1, 2),
+        |  ('notes.txt',      1, 0, 0, 1),
+        |  ('run',            2, 0, 1, 1),
+        |  ('tool',           2, 0, 1, 1),
+        |  ('web/app.js',     6, 0, 2, 4),
+        |  ('web/min.js',     1, 0, 0, 1),
+        |  ('x/unknown.zzz',  2, 0, 0, 2))
+        |AS t(path, n_lines, n_blank, n_comment, n_sloc)
+        |ORDER BY path""".stripMargin
   )
 }

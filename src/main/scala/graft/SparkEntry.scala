@@ -4661,6 +4661,25 @@ object SparkEntry {
       // three windows + the rollup
       Relational.scd2(docs(s, dir, "events"))
         .orderBy("user_id", "version")
+    }),
+    "code_langid" -> ((s, _) => {
+      // source-file language ID: extension → shebang → keyword evidence,
+      // all CASE/regexp — the full decision replays in the DuckDB oracle
+      // over the same pipe-encoded corpus literals
+      graft.ops.CodeStats.langId(graft.ops.CodeStats.codeCorpus(s))
+        .orderBy("path")
+    }),
+    "code_minified" -> ((s, _) => {
+      // minified-bundle gate: occurrence arithmetic + one bounded list op
+      // per row; full SQL replay oracle
+      graft.ops.CodeStats.minifiedGate(graft.ops.CodeStats.codeCorpus(s))
+        .orderBy("path")
+    }),
+    "code_sloc" -> ((s, _) => {
+      // SLOC/comment/blank accounting with block-comment state — typed
+      // per-row kernel, narrow plan; hand-counted pinned oracle
+      graft.ops.CodeStats.slocStats(graft.ops.CodeStats.codeCorpus(s))
+        .orderBy("path")
     })
   )
 
