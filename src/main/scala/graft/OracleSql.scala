@@ -7043,6 +7043,71 @@ object OracleSql {
         |  ('web/min.js',     1, 0, 0, 1),
         |  ('x/unknown.zzz',  2, 0, 0, 2))
         |AS t(path, n_lines, n_blank, n_comment, n_sloc)
-        |ORDER BY path""".stripMargin
+        |ORDER BY path""".stripMargin,
+
+    // mirrors Similarity.jlAudit: milli quantization, md5-parity ±1 sign
+    // matrix (j:i keyed — identical string, identical md5, identical
+    // parity in both engines), signed per-pair differences, exact integer
+    // squared distances
+    "emb_jl_audit" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+        |q AS (SELECT vec_id, i.i AS i,
+        |    CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q,
+        |    vec_id // 2 AS pair, 1 - 2 * (vec_id % 2) AS s
+        |  FROM e, UNNEST(range(0, 64)) AS i(i)),
+        |signs AS (SELECT j.j AS j, i.i AS i,
+        |    CASE WHEN ascii(substr(md5(CAST(j.j AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)), 1, 1)) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM UNNEST(range(0, 16)) AS j(j), UNNEST(range(0, 64)) AS i(i)),
+        |d_orig AS (SELECT pair, sum(d * d) AS d2_orig FROM (
+        |    SELECT pair, i, sum(s * q) AS d FROM q GROUP BY 1, 2) GROUP BY 1),
+        |d_proj AS (SELECT pair, sum(y * y) AS d2_proj FROM (
+        |    SELECT pair, j, sum(s * sgn * q) AS y
+        |    FROM q JOIN signs USING (i) GROUP BY 1, 2) GROUP BY 1)
+        |SELECT CAST(pair AS BIGINT) AS pair, CAST(d2_orig AS BIGINT) AS d2_orig,
+        |  CAST(d2_proj AS BIGINT) AS d2_proj,
+        |  CAST(d2_proj * 1000 // (16 * greatest(d2_orig, 1)) AS BIGINT) AS ratio_pm
+        |FROM d_orig JOIN d_proj USING (pair) ORDER BY pair""".stripMargin,
+
+    // mirrors EntityResolution.dirtyCustomers + resolve: synthetic phone
+    // from custkey arithmetic, planted replicas at custkey%53==7, block +
+    // cap + integer agreement weights, threshold 50
+    "er_customers" ->
+      """WITH base AS (SELECT c_custkey AS key, c_name AS name,
+        |    CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+        |    CAST(10 + c_custkey % 89 AS VARCHAR) || '-' ||
+        |      lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |      lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0') AS phone,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents
+        |  FROM customer),
+        |rep AS (SELECT key + 1000000 AS key, upper(name) AS name, nation,
+        |    segment,
+        |    substr(phone, 1, length(phone) - 1) ||
+        |      CAST((CAST(substr(phone, length(phone), 1) AS BIGINT) + 1) % 10
+        |           AS VARCHAR) AS phone,
+        |    acct_cents
+        |  FROM base WHERE key % 53 = 7),
+        |recs AS (SELECT * FROM base UNION ALL SELECT * FROM rep),
+        |blocked AS (SELECT *, row_number() OVER (PARTITION BY nation, segment
+        |    ORDER BY key % 1000000, key) AS rn FROM recs),
+        |capped AS (SELECT * FROM blocked WHERE rn <= 64),
+        |pairs AS (SELECT a.key AS ka, b.key AS kb,
+        |    CASE WHEN lower(a.name) = lower(b.name) THEN 40 ELSE 0 END AS name_pts,
+        |    CASE WHEN a.phone = b.phone THEN 25 ELSE 0 END AS phone_pts,
+        |    CASE WHEN a.phone <> b.phone
+        |         AND substr(a.phone, 1, 6) = substr(b.phone, 1, 6)
+        |         THEN 10 ELSE 0 END AS prefix_pts,
+        |    CASE WHEN a.acct_cents = b.acct_cents THEN 15 ELSE 0 END AS cents_pts
+        |  FROM capped a JOIN capped b ON a.nation = b.nation
+        |    AND a.segment = b.segment AND a.rn < b.rn)
+        |SELECT least(ka, kb) AS key_a, greatest(ka, kb) AS key_b,
+        |  CAST(name_pts AS BIGINT) AS name_pts,
+        |  CAST(phone_pts AS BIGINT) AS phone_pts,
+        |  CAST(prefix_pts AS BIGINT) AS prefix_pts,
+        |  CAST(cents_pts AS BIGINT) AS cents_pts,
+        |  CAST(name_pts + phone_pts + prefix_pts + cents_pts AS BIGINT) AS score
+        |FROM pairs
+        |WHERE name_pts + phone_pts + prefix_pts + cents_pts >= 50
+        |ORDER BY key_a, key_b""".stripMargin
   )
 }

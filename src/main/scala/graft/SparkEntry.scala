@@ -4680,6 +4680,19 @@ object SparkEntry {
       // per-row kernel, narrow plan; hand-counted pinned oracle
       graft.ops.CodeStats.slocStats(graft.ops.CodeStats.codeCorpus(s))
         .orderBy("path")
+    }),
+    "emb_jl_audit" -> ((s, dir) => {
+      // JL sign-projection distortion: milli-quantized integer geometry,
+      // md5-parity sign matrix (regenerated bit-identically in DuckDB),
+      // fixed 50-pair probe — corpus never self-joins
+      Similarity.jlAudit(docs(s, dir, "embeddings")).orderBy("pair")
+    }),
+    "er_customers" -> ((s, dir) => {
+      // Fellegi–Sunter-style record linkage: (nation, segment) blocks,
+      // salt-capped, integer agreement weights, full SQL-replay oracle
+      graft.ops.EntityResolution.resolve(
+        graft.ops.EntityResolution.dirtyCustomers(docs(s, dir, "customer")))
+        .orderBy("key_a", "key_b")
     })
   )
 

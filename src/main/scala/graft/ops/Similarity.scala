@@ -766,4 +766,46 @@ object Similarity {
         round(-col("m.nc"), 4).as("max_cos"),
         (-col("m.nc") >= threshold).as("contaminated"))
   }
+
+  /** Johnson–Lindenstrauss sign-projection distortion audit: quantize
+    * embeddings to exact milli integers, project D → dProj with a ±1 sign
+    * matrix derived from md5 parity (engine-portable — the DuckDB oracle
+    * regenerates the identical matrix), and report per-pair squared-distance
+    * distortion ratio_pm = 1000·d2_proj div (dProj·d2_orig), which
+    * concentrates near 1000 when the projection preserves geometry
+    * (E‖Pδ‖² = dProj·‖δ‖² for ±1 entries). The decision input for "how few
+    * dimensions can the dedup/ANN stages run at".
+    *
+    * All arithmetic integer-exact after the one milli quantization. Audit
+    * scope: `nPairs` consecutive id pairs (2k, 2k+1) — a fixed-size probe
+    * regardless of corpus size; the corpus never joins itself. The sign
+    * matrix is dProj·dim rows and broadcasts. */
+  def jlAudit(emb: DataFrame, dim: Int = 64, dProj: Int = 16,
+              nPairs: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    val q = emb.where(col("vec_id") < nPairs * 2L)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("q"))
+      // signed per-pair difference: side 0 adds, side 1 subtracts
+      .withColumn("pair", expr("vec_id div 2"))
+      .withColumn("s", lit(1L) - lit(2L) * (col("vec_id") % 2L))
+    val signs = spark.range(dProj).select(col("id").as("j"))
+      .crossJoin(spark.range(dim).select(col("id").as("i")))
+      .withColumn("sgn", expr(
+        """CASE WHEN ascii(substr(md5(concat(CAST(j AS STRING), ':',
+          |  CAST(i AS STRING))), 1, 1)) % 2 = 0 THEN 1 ELSE -1 END"""
+          .stripMargin))
+    val dOrig = q.groupBy("pair", "i")
+      .agg(sum(col("s") * col("q")).as("d"))
+      .groupBy("pair").agg(sum(col("d") * col("d")).as("d2_orig"))
+    val dProj2 = q.join(broadcast(signs), Seq("i"))
+      .groupBy("pair", "j")
+      .agg(sum(col("s") * col("sgn") * col("q")).as("y"))
+      .groupBy("pair").agg(sum(col("y") * col("y")).as("d2_proj"))
+    dOrig.join(dProj2, Seq("pair"))
+      .select(col("pair"), col("d2_orig"), col("d2_proj"),
+        expr(s"d2_proj * 1000 div ($dProj * greatest(d2_orig, 1))")
+          .as("ratio_pm"))
+  }
 }
