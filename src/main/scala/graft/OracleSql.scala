@@ -7108,6 +7108,60 @@ object OracleSql {
         |  CAST(name_pts + phone_pts + prefix_pts + cents_pts AS BIGINT) AS score
         |FROM pairs
         |WHERE name_pts + phone_pts + prefix_pts + cents_pts >= 50
-        |ORDER BY key_a, key_b""".stripMargin
+        |ORDER BY key_a, key_b""".stripMargin,
+
+    // mirrors Sampling.bootstrapCI: md5_number_upper('boot:rep:i') % n is
+    // bit-identical to the Spark md5Mod little-endian construction; exact
+    // milli means, rank-read CI at 5/100/195 of 200
+    "corpus_bootstrap" ->
+      """WITH toks AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(text) - length(replace(text, ' ', '')) + 1
+        |    END AS tok
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n FROM toks),
+        |draws AS (SELECT rep.r AS rep,
+        |    CAST(md5_number_upper('boot:' || CAST(rep.r AS VARCHAR) || ':' ||
+        |      CAST(i.i AS VARCHAR)) % nn.n AS BIGINT) AS doc_id
+        |  FROM UNNEST(range(0, 200)) AS rep(r), nn,
+        |       UNNEST(range(0, CAST(nn.n AS BIGINT))) AS i(i)),
+        |reps AS (SELECT rep, sum(t.tok) AS tok_sum, count(*) AS n_draws
+        |  FROM draws d JOIN toks t USING (doc_id) GROUP BY rep),
+        |m AS (SELECT rep, tok_sum * 1000 // n_draws AS mean_milli FROM reps),
+        |r AS (SELECT rep, mean_milli,
+        |    row_number() OVER (ORDER BY mean_milli, rep) AS rk FROM m)
+        |SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_docs,
+        |  CAST(200 AS BIGINT) AS n_reps,
+        |  CAST(sum(CASE WHEN rk = 5 THEN mean_milli END) AS BIGINT) AS ci_lo_milli,
+        |  CAST(sum(CASE WHEN rk = 100 THEN mean_milli END) AS BIGINT) AS ci_med_milli,
+        |  CAST(sum(CASE WHEN rk = 195 THEN mean_milli END) AS BIGINT) AS ci_hi_milli
+        |FROM r""".stripMargin,
+
+    // mirrors Privacy.kAnonymity: +100000 shift before // so floor and
+    // truncate agree on the (possibly negative) balance cents
+    "privacy_k_anonymity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS bal_bucket,
+        |  CAST(count(*) AS BIGINT) AS k,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l,
+        |  count(*) < 5 AS k_violation,
+        |  count(DISTINCT c_mktsegment) < 2 AS l_violation
+        |FROM customer GROUP BY 1, 2 ORDER BY nation, bal_bucket""".stripMargin,
+
+    // mirrors Privacy.releaseGate over the same class table
+    "privacy_release_gate" ->
+      """WITH cls AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS bal_bucket,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes, min(k) AS k_min,
+        |  min(l) AS l_min,
+        |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |    AS rows_in_k_violations,
+        |  CAST(sum(CASE WHEN l < 2 THEN k ELSE 0 END) AS BIGINT)
+        |    AS rows_in_l_violations,
+        |  sum(CASE WHEN k < 5 OR l < 2 THEN 1 ELSE 0 END) = 0 AS releasable
+        |FROM cls""".stripMargin
   )
 }

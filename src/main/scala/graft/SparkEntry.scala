@@ -4693,6 +4693,23 @@ object SparkEntry {
       graft.ops.EntityResolution.resolve(
         graft.ops.EntityResolution.dirtyCustomers(docs(s, dir, "customer")))
         .orderBy("key_a", "key_b")
+    }),
+    "corpus_bootstrap" -> ((s, dir) => {
+      // deterministic bootstrap CI of mean tokens/doc: md5-routed draws
+      // (every draw regenerated in DuckDB), exact milli means, rank-read
+      // CI bounds; one summary row
+      Sampling.bootstrapCI(
+        docs(s, dir, "documents").select(col("doc_id"), col("text")))
+    }),
+    "privacy_k_anonymity" -> ((s, dir) => {
+      // k-anonymity / l-diversity class table: one QI group-by, class-
+      // table-sized output, +100000 shift keeps div/floor engines aligned
+      graft.ops.Privacy.kAnonymity(docs(s, dir, "customer"))
+        .orderBy("nation", "bal_bucket")
+    }),
+    "privacy_release_gate" -> ((s, dir) => {
+      // one-row release verdict over the class table
+      graft.ops.Privacy.releaseGate(docs(s, dir, "customer"))
     })
   )
 

@@ -244,4 +244,44 @@ object Sampling {
           .partitionBy("shard").orderBy("k", "doc_id")).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
   }
+
+  /** Deterministic bootstrap confidence interval for the corpus mean
+    * token count: `nReps` with-replacement resamples, each draw routed by
+    * the md5 hash `boot:<rep>:<i> mod n` (the [[md5Mod]] construction —
+    * DuckDB regenerates every draw), per-replica mean in exact milli, CI
+    * bounds read off the sorted replica means at ranks nReps/40,
+    * nReps/2, nReps−nReps/40 (2.5/50/97.5% for nReps=200). One summary
+    * row out.
+    *
+    * Scale shape: the corpus contributes ONE token-count projection; the
+    * draw table is ids-only (two longs × nReps·n) and joins on the dense
+    * doc_id key — no payload moves. Bootstrap is an eval-stage audit:
+    * point it at an eval-sized stratum (the caller filters), not the raw
+    * 10^12-row table; the draw inflation is nReps× the stratum, by
+    * design. */
+  def bootstrapCI(docs: DataFrame, nReps: Int = 200): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col("doc_id"),
+      TextStats.tokenCountCol(col("text")).as("tok"))
+    val n = toks.count()
+    val draws = spark.range(nReps).select(col("id").as("rep"))
+      .crossJoin(spark.range(n).select(col("id").as("i")))
+      .select(col("rep"), md5Mod(
+        concat(lit("boot:"), col("rep").cast("string"), lit(":"),
+          col("i").cast("string")), n).as("doc_id"))
+    val reps = draws.join(toks, Seq("doc_id"))
+      .groupBy("rep")
+      .agg(sum(col("tok")).as("tok_sum"), count(lit(1)).as("n_draws"))
+      .select(col("rep"),
+        expr("tok_sum * 1000 div n_draws").as("mean_milli"))
+    val ranked = reps.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("mean_milli").asc, col("rep").asc)))
+    val lo = nReps / 40; val mid = nReps / 2; val hi = nReps - nReps / 40
+    ranked.agg(
+      lit(n).as("n_docs"), lit(nReps.toLong).as("n_reps"),
+      sum(when(col("rk") === lo, col("mean_milli"))).as("ci_lo_milli"),
+      sum(when(col("rk") === mid, col("mean_milli"))).as("ci_med_milli"),
+      sum(when(col("rk") === hi, col("mean_milli"))).as("ci_hi_milli"))
+  }
 }
