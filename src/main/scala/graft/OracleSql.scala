@@ -7162,6 +7162,65 @@ object OracleSql {
         |  CAST(sum(CASE WHEN l < 2 THEN k ELSE 0 END) AS BIGINT)
         |    AS rows_in_l_violations,
         |  sum(CASE WHEN k < 5 OR l < 2 THEN 1 ELSE 0 END) = 0 AS releasable
-        |FROM cls""".stripMargin
+        |FROM cls""".stripMargin,
+
+    // mirrors PipelinePlan.gateCascadePlan: same four gate predicates
+    // (plain replace is global in both engines), cost-to-kill ordering,
+    // and the floored survival/cost chain via recursive CTE
+    "gate_cascade_plan" ->
+      """WITH RECURSIVE f AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE length(text) - length(replace(text, ' ', '')) + 1 END) < 40
+        |      THEN 1 ELSE 0 END) AS k1,
+        |  sum(CASE WHEN length(text) - length(replace(text, ' the ', '')) = 0
+        |      THEN 1 ELSE 0 END) AS k2,
+        |  sum(CASE WHEN length(text) - length(replace(text, ' a ', '')) < 6
+        |      THEN 1 ELSE 0 END) AS k3,
+        |  sum(CASE WHEN NOT contains(text, 'query') THEN 1 ELSE 0 END) AS k4
+        |  FROM documents),
+        |g(gate, cost_milli, reject_pm) AS (
+        |  SELECT 'g1_short', CAST(1 AS BIGINT), k1 * 1000 // n FROM f
+        |  UNION ALL SELECT 'g2_stopword', 10, k2 * 1000 // n FROM f
+        |  UNION ALL SELECT 'g3_article', 25, k3 * 1000 // n FROM f
+        |  UNION ALL SELECT 'g4_scan', 60, k4 * 1000 // n FROM f),
+        |rk AS (SELECT *,
+        |    cost_milli * 1000000 // greatest(reject_pm, 1) AS ratio_micro,
+        |    row_number() OVER (ORDER BY
+        |      cost_milli * 1000000 // greatest(reject_pm, 1), gate) AS rank_opt
+        |  FROM g),
+        |rec AS (
+        |  SELECT rank_opt, gate, cost_milli, reject_pm, ratio_micro,
+        |    CAST(1000 AS BIGINT) AS surv_before_pm,
+        |    CAST(cost_milli * 1000 AS BIGINT) AS cum_cost_micro,
+        |    CAST(1000 * (1000 - reject_pm) // 1000 AS BIGINT) AS surv_after_pm
+        |  FROM rk WHERE rank_opt = 1
+        |  UNION ALL
+        |  SELECT o.rank_opt, o.gate, o.cost_milli, o.reject_pm, o.ratio_micro,
+        |    r.surv_after_pm,
+        |    r.cum_cost_micro + o.cost_milli * r.surv_after_pm,
+        |    r.surv_after_pm * (1000 - o.reject_pm) // 1000
+        |  FROM rk o JOIN rec r ON o.rank_opt = r.rank_opt + 1)
+        |SELECT CAST(rank_opt AS BIGINT) AS rank_opt, gate,
+        |  CAST(cost_milli AS BIGINT) AS cost_milli,
+        |  CAST(reject_pm AS BIGINT) AS reject_pm,
+        |  CAST(ratio_micro AS BIGINT) AS ratio_micro,
+        |  surv_before_pm, cum_cost_micro
+        |FROM rec ORDER BY rank_opt""".stripMargin,
+
+    // mirrors PipelinePlan.shardBalance: size-descending rank, serpentine
+    // shard, per-shard rollup, permille skew vs ideal
+    "shard_balance" ->
+      """WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS bytes
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (ORDER BY bytes DESC, doc_id) - 1
+        |    AS rr FROM s),
+        |a AS (SELECT CASE WHEN (rr // 8) % 2 = 0 THEN rr % 8
+        |    ELSE 7 - (rr % 8) END AS shard, bytes FROM r),
+        |p AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(bytes) AS BIGINT) AS bytes FROM a GROUP BY 1),
+        |t AS (SELECT sum(bytes) AS total FROM p)
+        |SELECT CAST(shard AS BIGINT) AS shard, n_docs, bytes,
+        |  CAST(bytes * 1000 * 8 // t.total AS BIGINT) AS skew_pm
+        |FROM p, t ORDER BY shard""".stripMargin
   )
 }

@@ -4710,6 +4710,20 @@ object SparkEntry {
     "privacy_release_gate" -> ((s, dir) => {
       // one-row release verdict over the class table
       graft.ops.Privacy.releaseGate(docs(s, dir, "customer"))
+    }),
+    "gate_cascade_plan" -> ((s, dir) => {
+      // cascade-order planner: one corpus pass measures the four gate
+      // reject rates, ordering + floored expected-cost chain fold over
+      // the 4-row plan table (recursive-CTE oracle)
+      graft.ops.PipelinePlan.gateCascadePlan(
+        docs(s, dir, "documents").select(col("text"))).orderBy("rank_opt")
+    }),
+    "shard_balance" -> ((s, dir) => {
+      // serpentine size-balanced shard assignment (SQL-replayable LPT
+      // cousin): global size rank, per-shard totals, skew vs ideal
+      graft.ops.PipelinePlan.shardBalance(
+        docs(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy("shard")
     })
   )
 

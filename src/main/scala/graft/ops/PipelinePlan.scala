@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pipeline-economics planners: pick the cheapest ORDER for a short-circuit
+  * quality-gate cascade from measured reject rates, and assign documents to
+  * size-balanced shards. Both are "plan from one cheap corpus pass, then
+  * reason on a bounded table" shapes — the corpus never moves twice. */
+object PipelinePlan {
+
+  /** Measured per-gate reject rates for four synthetic quality gates of
+    * very different unit cost (cost_milli = relative CPU per doc,
+    * pinned constants): g1_short (token floor, cheapest), g2_stopword
+    * (' the ' presence), g3_article (' a ' coverage), g4_scan (full-text
+    * substring scan, priciest). ONE map-side-combined corpus pass emits
+    * all four counts. */
+  def gateRates(docs: DataFrame): DataFrame = {
+    val tok = TextStats.tokenCountCol(col("text"))
+    // plain (non-regex) replace is global left-to-right in BOTH engines;
+    // the length delta is 5·occ(' the ') / 3·occ(' a ') — compared in the
+    // delta domain so everything stays integer
+    val dThe = length(col("text")) -
+      length(expr("replace(text, ' the ', '')"))
+    val dA = length(col("text")) -
+      length(expr("replace(text, ' a ', '')"))
+    val hasQuery = col("text").contains("query")
+    val flagged = docs.select(
+      when(tok < 40, 1L).otherwise(0L).as("r1"),
+      when(dThe === 0, 1L).otherwise(0L).as("r2"),
+      when(dA < 6, 1L).otherwise(0L).as("r3"),
+      when(!hasQuery, 1L).otherwise(0L).as("r4"))
+    val agg = flagged.agg(count(lit(1)).as("n"),
+      sum(col("r1")).as("k1"), sum(col("r2")).as("k2"),
+      sum(col("r3")).as("k3"), sum(col("r4")).as("k4"))
+    agg.select(explode(array(
+      struct(lit("g1_short").as("gate"), lit(1L).as("cost_milli"),
+        expr("k1 * 1000 div n").as("reject_pm")),
+      struct(lit("g2_stopword").as("gate"), lit(10L).as("cost_milli"),
+        expr("k2 * 1000 div n").as("reject_pm")),
+      struct(lit("g3_article").as("gate"), lit(25L).as("cost_milli"),
+        expr("k3 * 1000 div n").as("reject_pm")),
+      struct(lit("g4_scan").as("gate"), lit(60L).as("cost_milli"),
+        expr("k4 * 1000 div n").as("reject_pm")))).as("g"))
+      .select(col("g.gate"), col("g.cost_milli"), col("g.reject_pm"))
+  }
+
+  /** Short-circuit cascade ordering: for independent gates the expected
+    * cost Σᵢ costᵢ·Π_{j<i} pass_j is minimized by running gates in
+    * ascending cost-to-kill ratio (exchange argument) — ratio_micro =
+    * cost_milli·1,000,000 div max(reject_pm, 1). The expected-cost chain
+    * is folded over the (gate-count-sized) plan table with a floor at
+    * every step: surv_before_pm is the permille of documents still alive
+    * when a gate runs, cum_cost_micro the accumulated expected spend.
+    * Corpus cost: the ONE pass inside [[gateRates]]. */
+  def gateCascadePlan(docs: DataFrame): DataFrame = {
+    val ranked = gateRates(docs)
+      .withColumn("ratio_micro",
+        expr("cost_milli * 1000000 div greatest(reject_pm, 1)"))
+      .withColumn("rank_opt", row_number().over(
+        Window.orderBy(col("ratio_micro").asc, col("gate").asc)))
+    ranked
+      .agg(sort_array(collect_list(struct(col("rank_opt"), col("gate"),
+        col("cost_milli"), col("reject_pm"), col("ratio_micro")))).as("gs"))
+      .select(explode(expr(
+        """aggregate(gs,
+          |  named_struct('s', CAST(1000 AS BIGINT), 'c', CAST(0 AS BIGINT),
+          |    'out', CAST(array() AS ARRAY<STRUCT<rank_opt: INT, gate: STRING,
+          |      cost_milli: BIGINT, reject_pm: BIGINT, ratio_micro: BIGINT,
+          |      surv_before_pm: BIGINT, cum_cost_micro: BIGINT>>)),
+          |  (acc, x) -> named_struct(
+          |    's', acc.s * (1000 - x.reject_pm) div 1000,
+          |    'c', acc.c + x.cost_milli * acc.s,
+          |    'out', concat(acc.out, array(named_struct(
+          |      'rank_opt', x.rank_opt, 'gate', x.gate,
+          |      'cost_milli', x.cost_milli, 'reject_pm', x.reject_pm,
+          |      'ratio_micro', x.ratio_micro,
+          |      'surv_before_pm', acc.s,
+          |      'cum_cost_micro', acc.c + x.cost_milli * acc.s)))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.rank_opt").cast("long").as("rank_opt"), col("r.gate"),
+        col("r.cost_milli"), col("r.reject_pm"), col("r.ratio_micro"),
+        col("r.surv_before_pm"), col("r.cum_cost_micro"))
+  }
+
+  /** Size-balanced shard assignment: serpentine (boustrophedon) placement
+    * over the size-descending rank — the deterministic, SQL-replayable
+    * cousin of LPT greedy bin packing. Row r (0-based) goes to shard
+    * `r mod k` on even passes and `k−1−(r mod k)` on odd passes, which
+    * pairs heavy rows with light ones pass-over-pass. Emits per-shard
+    * totals and skew_pm vs the ideal equal split.
+    *
+    * Scale note: the global rank is a full sort of (id, size) pairs —
+    * fine for layout planning over file/partition metadata (the intended
+    * input); for raw 10^12-doc tables run it per size-bucket summary
+    * first. */
+  def shardBalance(docs: DataFrame, k: Int = 8): DataFrame = {
+    val sized = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("bytes"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("bytes").desc, col("doc_id").asc)) - 1)
+      .withColumn("shard", expr(
+        s"CASE WHEN (r div $k) % 2 = 0 THEN r % $k ELSE $k - 1 - (r % $k) END"))
+    val per = sized.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).as("bytes"))
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    per
+      .withColumn("total", sum(col("bytes")).over(tot))
+      .withColumn("skew_pm", expr(s"bytes * 1000 * $k div total"))
+      .drop("total")
+      .select(col("shard").cast("long").as("shard"), col("n_docs"),
+        col("bytes"), col("skew_pm"))
+  }
+}
