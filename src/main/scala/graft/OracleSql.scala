@@ -7221,6 +7221,59 @@ object OracleSql {
         |t AS (SELECT sum(bytes) AS total FROM p)
         |SELECT CAST(shard AS BIGINT) AS shard, n_docs, bytes,
         |  CAST(bytes * 1000 * 8 // t.total AS BIGINT) AS skew_pm
-        |FROM p, t ORDER BY shard""".stripMargin
+        |FROM p, t ORDER BY shard""".stripMargin,
+
+    // mirrors PipelinePlan.gateShapley: 4-bit reject patterns, v(S) over
+    // all 16 subsets, integer-twelfth Shapley weights (3/1/1/3), exact
+    // marginal sums — efficiency axiom checkable in the result
+    "gate_shapley" ->
+      """WITH pat AS (SELECT
+        |    (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE length(text) - length(replace(text, ' ', '')) + 1 END) < 40
+        |       THEN 1 ELSE 0 END
+        |     + CASE WHEN length(text) - length(replace(text, ' the ', '')) = 0
+        |       THEN 2 ELSE 0 END
+        |     + CASE WHEN length(text) - length(replace(text, ' a ', '')) < 6
+        |       THEN 4 ELSE 0 END
+        |     + CASE WHEN NOT contains(text, 'query') THEN 8 ELSE 0 END) AS p,
+        |    count(*) AS cnt
+        |  FROM documents GROUP BY 1),
+        |subsets AS (SELECT s.s AS s FROM UNNEST(range(0, 16)) AS s(s)),
+        |v AS (SELECT su.s AS s,
+        |    coalesce(sum(pat.cnt) FILTER (WHERE (su.s & pat.p) <> 0), 0) AS v
+        |  FROM subsets su CROSS JOIN pat GROUP BY 1),
+        |gates(gate, bit) AS (VALUES ('g1_short', 1), ('g2_stopword', 2),
+        |  ('g3_article', 4), ('g4_scan', 8)),
+        |m AS (SELECT g.gate, g.bit, su.s AS s, su.s + g.bit AS s_with,
+        |    CASE bit_count(su.s) WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 1
+        |      ELSE 3 END AS w12
+        |  FROM gates g, subsets su WHERE (su.s & g.bit) = 0),
+        |phi AS (SELECT gate, bit, sum(w12 * (v2.v - v1.v)) AS phi_twelfths
+        |  FROM m JOIN v v1 ON v1.s = m.s JOIN v v2 ON v2.s = m.s_with
+        |  GROUP BY 1, 2),
+        |t AS (SELECT sum(phi_twelfths) AS tot FROM phi)
+        |SELECT gate, CAST(bit AS BIGINT) AS bit,
+        |  CAST(phi_twelfths AS BIGINT) AS phi_twelfths,
+        |  CAST(t.tot AS BIGINT) AS total_twelfths,
+        |  CAST(phi_twelfths * 1000 // greatest(t.tot, 1) AS BIGINT) AS share_pm
+        |FROM phi, t ORDER BY bit""".stripMargin,
+
+    // mirrors TextStats.burstiness: per-(word,doc) counts, zeros enter
+    // through n only, HUGEINT replay of the DECIMAL(38,0) identity
+    "text_burstiness" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |tok AS (SELECT doc_id, u.w AS w FROM (
+        |    SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |    UNNEST(t) AS u(w)
+        |  WHERE u.w <> ''),
+        |xc AS (SELECT w, doc_id, count(*) AS x FROM tok GROUP BY 1, 2),
+        |ws AS (SELECT w, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(x) AS BIGINT) AS t,
+        |    CAST(sum(x * x) AS BIGINT) AS sx2 FROM xc GROUP BY 1)
+        |SELECT w, df, t, sx2,
+        |  CAST((1000::HUGEINT * (nn.n::HUGEINT * sx2::HUGEINT
+        |      - t::HUGEINT * t::HUGEINT))
+        |    // (nn.n::HUGEINT * t::HUGEINT) AS BIGINT) AS vmr_milli
+        |FROM ws, nn ORDER BY t DESC, w LIMIT 30""".stripMargin
   )
 }

@@ -4724,6 +4724,19 @@ object SparkEntry {
       graft.ops.PipelinePlan.shardBalance(
         docs(s, dir, "documents").select(col("doc_id"), col("text")))
         .orderBy("shard")
+    }),
+    "gate_shapley" -> ((s, dir) => {
+      // exact Shapley drop attribution: one corpus pass folds docs to
+      // 4-bit reject patterns; v(S), marginals, and integer-twelfth
+      // weights run on 16-row tables; efficiency axiom holds bit-for-bit
+      graft.ops.PipelinePlan.gateShapley(
+        docs(s, dir, "documents").select(col("text"))).orderBy("bit")
+    }),
+    "text_burstiness" -> ((s, dir) => {
+      // Church–Gale dispersion: exact integer VMR with zeros included,
+      // DECIMAL(38,0) keeps n·Σx² exact at web scale
+      TextStats.burstiness(
+        docs(s, dir, "documents").select(col("doc_id"), col("text")))
     })
   )
 

@@ -113,4 +113,56 @@ object PipelinePlan {
       .select(col("shard").cast("long").as("shard"), col("n_docs"),
         col("bytes"), col("skew_pm"))
   }
+
+  /** EXACT Shapley attribution of rejected documents across the four
+    * gates — the order-free complement of first-reason attribution
+    * (`corpus_drop_attribution`): φᵢ = Σ_{S∌i} w(|S|)·[v(S∪{i})−v(S)]
+    * with v(S) = docs rejected by ANY gate in S. With n=4 the weights
+    * s!(3−s)!/4! are 3/12, 1/12, 1/12, 3/12 — carried as integer
+    * twelfths, so everything is exact and Σφᵢ = 12·v(N) (efficiency)
+    * holds bit-for-bit.
+    *
+    * Scale shape: ONE corpus pass folds each doc to a 4-bit reject
+    * pattern and counts the ≤16 patterns; v(S), the 8 marginals per
+    * gate, and the weights all run on 16-row tables. Adding a gate costs
+    * one bit, not a corpus pass. */
+  def gateShapley(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = TextStats.tokenCountCol(col("text"))
+    val dThe = length(col("text")) -
+      length(expr("replace(text, ' the ', '')"))
+    val dA = length(col("text")) -
+      length(expr("replace(text, ' a ', '')"))
+    val pat = docs.select(
+      (when(tok < 40, 1L).otherwise(0L) +
+        when(dThe === 0, 2L).otherwise(0L) +
+        when(dA < 6, 4L).otherwise(0L) +
+        when(!col("text").contains("query"), 8L).otherwise(0L)).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("cnt"))
+    val subsets = spark.range(16).select(col("id").as("s"))
+    val v = subsets.join(pat, expr("(s & p) <> 0"), "left")
+      .groupBy("s").agg(coalesce(sum(col("cnt")), lit(0L)).as("v"))
+    val gates = Seq(("g1_short", 1L), ("g2_stopword", 2L),
+      ("g3_article", 4L), ("g4_scan", 8L)).toDF("gate", "bit")
+    val marginals = gates.crossJoin(subsets)
+      .where(expr("(s & bit) = 0"))
+      .withColumn("s_with", col("s") + col("bit"))
+      .join(v.select(col("s"), col("v").as("v_s")), Seq("s"))
+      .join(v.select(col("s").as("s_with"), col("v").as("v_si")),
+        Seq("s_with"))
+      .withColumn("w12", expr(
+        "CASE bit_count(s) WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 3 END")
+        .cast("long"))
+    val phi = marginals.groupBy("gate", "bit")
+      .agg(sum(col("w12") * (col("v_si") - col("v_s"))).as("phi_twelfths"))
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    phi
+      .withColumn("total_twelfths", sum(col("phi_twelfths")).over(tot))
+      .withColumn("share_pm", expr(
+        "phi_twelfths * 1000 div greatest(total_twelfths, 1)"))
+      .select(col("gate"), col("bit"), col("phi_twelfths"),
+        col("total_twelfths"), col("share_pm"))
+  }
 }

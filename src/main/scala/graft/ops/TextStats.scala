@@ -1548,4 +1548,39 @@ object TextStats {
       .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Word burstiness (Church–Gale dispersion): the variance-to-mean ratio
+    * of per-document counts, zeros included — Poisson-like words sit at
+    * ~1000 milli, topical/bursty words far above, rigid boilerplate below.
+    * The separator between function words and content words that raw
+    * frequency can't see. Exact integer identity over the full corpus
+    * (zero docs enter only through n):
+    *
+    *   vmr_milli = 1000·(n·Σx² − T²) div (n·T)
+    *
+    * carried in DECIMAL(38,0) — n·Σx² reaches ~1e12·(1e12)² at web scale,
+    * far past int64 (worst case ~1e36 < 1e38; DuckDB replays in HUGEINT
+    * up to its 1.7e38 ceiling).
+    *
+    * Shape: one token explode → (word, doc) count rollup → word rollup
+    * (two shuffles on well-spread word keys), top-k by total via
+    * sort-limit. */
+  def burstiness(docs: DataFrame, k: Int = 30): DataFrame = {
+    val n = docs.count()
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("x"))
+      .groupBy("w").agg(count(lit(1)).as("df"), sum(col("x")).as("t"),
+        sum(col("x") * col("x")).as("sx2"))
+      .withColumn("vmr_milli", expr(
+        s"""CAST((CAST(1000 AS DECIMAL(38,0)) *
+           |  (CAST($n AS DECIMAL(38,0)) * CAST(sx2 AS DECIMAL(38,0))
+           |   - CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))))
+           | div (CAST($n AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)))
+           | AS BIGINT)""".stripMargin))
+      .select(col("w"), col("df"), col("t"), col("sx2"), col("vmr_milli"))
+      .orderBy(col("t").desc, col("w"))
+      .limit(k)
+  }
 }
