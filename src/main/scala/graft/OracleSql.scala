@@ -7274,6 +7274,36 @@ object OracleSql {
         |  CAST((1000::HUGEINT * (nn.n::HUGEINT * sx2::HUGEINT
         |      - t::HUGEINT * t::HUGEINT))
         |    // (nn.n::HUGEINT * t::HUGEINT) AS BIGINT) AS vmr_milli
-        |FROM ws, nn ORDER BY t DESC, w LIMIT 30""".stripMargin
+        |FROM ws, nn ORDER BY t DESC, w LIMIT 30""".stripMargin,
+
+    // mirrors Relational.rangeBucketJoin: the oracle uses the naive exact
+    // BETWEEN join (fine at oracle scale) — the bucketed equi-join must
+    // reproduce it exactly because coverage is total and the post-filter
+    // is the same predicate
+    "range_bucket_join" ->
+      """WITH p AS (SELECT (user_id * 997 + event_id * 13) % 100000 AS ip
+        |  FROM events),
+        |r AS (SELECT n_name AS geo,
+        |    CAST(n_nationkey AS BIGINT) * 4000 AS lo,
+        |    CAST(n_nationkey AS BIGINT) * 4000 + 3999 AS hi FROM nation)
+        |SELECT geo, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(ip) AS BIGINT) AS min_ip, CAST(max(ip) AS BIGINT) AS max_ip
+        |FROM p JOIN r ON p.ip BETWEEN r.lo AND r.hi
+        |GROUP BY geo ORDER BY geo""".stripMargin,
+
+    // mirrors Relational.joinSkewEstimate on events.user_id; hot key by
+    // (count DESC, key DESC) — the same total order as Spark's
+    // max(struct(c, k))
+    "join_skew_estimate" ->
+      """WITH c AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS d,
+        |    CAST(sum(c * c) AS BIGINT) AS f2 FROM c),
+        |h AS (SELECT k, c FROM c ORDER BY c DESC, k DESC LIMIT 1)
+        |SELECT n, d, f2, n * n // d AS est_uniform,
+        |  f2 * d * 1000 // (n * n) AS amplification_pm,
+        |  CAST(h.k AS BIGINT) AS hot_key, h.c AS hot_c,
+        |  h.c * h.c * 1000 // f2 AS hot_share_pm
+        |FROM a, h""".stripMargin
   )
 }

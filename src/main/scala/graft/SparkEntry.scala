@@ -4737,6 +4737,17 @@ object SparkEntry {
       // DECIMAL(38,0) keeps n·Σx² exact at web scale
       TextStats.burstiness(
         docs(s, dir, "documents").select(col("doc_id"), col("text")))
+    }),
+    "range_bucket_join" -> ((s, dir) => {
+      // interval join as a bucket equi-join (no BroadcastNestedLoop):
+      // ranges explode to ≤4 buckets, exact BETWEEN post-filter
+      Relational.rangeBucketJoin(docs(s, dir, "events"),
+        docs(s, dir, "nation")).orderBy("geo")
+    }),
+    "join_skew_estimate" -> ((s, dir) => {
+      // shuffle-planning diagnostic: exact F2 self-join size vs uniform
+      // estimate, hot-key share — the salting decision input
+      Relational.joinSkewEstimate(docs(s, dir, "events"), "user_id")
     })
   )
 

@@ -1034,6 +1034,62 @@ object Relational {
         col("f.surv").as("surv_pm"))
   }
 
+  /** Interval (range) join without the theta-join explosion — the IP→geo
+    * lookup shape. Spark plans a raw `lo <= x AND x <= hi` join as
+    * BroadcastNestedLoop (or worse, a cartesian): every probe row visits
+    * every range. The scalable form EQUI-joins on a fixed-width bucket:
+    * each range explodes to the ⌈span/B⌉ buckets it overlaps (bounded,
+    * here 4 per range), each point hashes to `x div B`, and the exact
+    * `BETWEEN` is a cheap post-filter on bucket-local candidates. One
+    * hash shuffle on the bucket key; a point meets only the ranges
+    * sharing its bucket, never the whole dimension.
+    *
+    * Points are synthetic ips from event arithmetic (user_id·997 +
+    * event_id·13 mod 100000); ranges tile [0, 100000) from the 25-row
+    * nation table (4000 wide each), so coverage is total and the DuckDB
+    * BETWEEN-join oracle is exact. Output: per-geo event counts with ip
+    * extremes. */
+  def rangeBucketJoin(events: DataFrame, nation: DataFrame,
+                      bucket: Long = 1000L): DataFrame = {
+    val points = events.select(
+      ((col("user_id") * 997L + col("event_id") * 13L) % 100000L).as("ip"))
+      .withColumn("b", expr(s"ip div $bucket"))
+    val ranges = nation.select(
+      col("n_name").as("geo"),
+      (col("n_nationkey").cast("long") * 4000L).as("lo"))
+      .withColumn("hi", col("lo") + 3999L)
+      .withColumn("b", explode(expr(
+        s"sequence(lo div $bucket, hi div $bucket)")))
+    points.join(ranges, Seq("b"))
+      .where(col("ip") >= col("lo") && col("ip") <= col("hi"))
+      .groupBy("geo")
+      .agg(count(lit(1)).as("n_events"), min(col("ip")).as("min_ip"),
+        max(col("ip")).as("max_ip"))
+  }
+
+  /** Self-join size / skew estimator — the shuffle-planning diagnostic
+    * run BEFORE a big key-equi join: F2 = Σ c(k)² is the exact output
+    * size of the self-join, n²/d what a uniform-key assumption predicts,
+    * and amplification_pm = F2·d·1000 div n² how wrong uniform is (1000
+    * = uniform; ≫1000 = skew that will strangle one reducer). Also pins
+    * the hottest key and its share of the join output — the salting
+    * decision input. One key-count aggregate; everything downstream runs
+    * on the (bounded) count table. */
+  def joinSkewEstimate(df: DataFrame, key: String): DataFrame = {
+    val counts = df.groupBy(col(key).as("k"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("d"),
+        sum(col("c") * col("c")).as("f2"),
+        max(struct(col("c"), col("k"))).as("hot"))
+      .select(col("n"), col("d"), col("f2"),
+        expr("n * n div d").as("est_uniform"),
+        expr("f2 * d * 1000 div (n * n)").as("amplification_pm"),
+        col("hot.k").cast("long").as("hot_key"),
+        col("hot.c").as("hot_c"),
+        expr("hot.c * hot.c * 1000 div f2").as("hot_share_pm"))
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) interval history from an
     * event stream: per user, consecutive runs of the derived `tier`
     * attribute (value-bucket low/mid/high) collapse into versioned
