@@ -7304,6 +7304,54 @@ object OracleSql {
         |  f2 * d * 1000 // (n * n) AS amplification_pm,
         |  CAST(h.k AS BIGINT) AS hot_key, h.c AS hot_c,
         |  h.c * h.c * 1000 // f2 AS hot_share_pm
-        |FROM a, h""".stripMargin
+        |FROM a, h""".stripMargin,
+
+    // mirrors StatTests.ksTest: rational ECDF gap on the value grid,
+    // HUGEINT replay of the DECIMAL(38,0) decision (c² = 1.844164 micro)
+    "stats_ks_test" ->
+      """WITH t AS (SELECT CASE WHEN source = 'src0' THEN 'a' ELSE 'b' END
+        |    AS side,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(text) - length(replace(text, ' ', '')) + 1
+        |    END AS v
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT side, v, CAST(count(*) AS BIGINT) AS c FROM t
+        |  GROUP BY 1, 2),
+        |g AS (SELECT v, sum(CASE WHEN side = 'a' THEN c ELSE 0 END) AS ca,
+        |    sum(CASE WHEN side = 'b' THEN c ELSE 0 END) AS cb
+        |  FROM c GROUP BY 1),
+        |cum AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+        |    sum(ca) OVER () AS n, sum(cb) OVER () AS m
+        |  FROM g),
+        |d AS (SELECT CAST(max(n) AS BIGINT) AS n_a,
+        |    CAST(max(m) AS BIGINT) AS n_b,
+        |    CAST(max(abs(cum_a * m - cum_b * n)) AS BIGINT) AS d_num
+        |  FROM cum)
+        |SELECT n_a, n_b, d_num, d_num * 1000 // (n_a * n_b) AS d_pm,
+        |  d_num::HUGEINT * d_num::HUGEINT * 1000000 >
+        |    1844164::HUGEINT * n_a::HUGEINT * n_b::HUGEINT
+        |    * (n_a + n_b)::HUGEINT AS reject_05
+        |FROM d""".stripMargin,
+
+    // mirrors StatTests.sourceLengthQuantiles: value at rank ceil(q·n)
+    // under the deterministic (value, doc_id) order
+    "source_length_quantiles" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(text) - length(replace(text, ' ', '')) + 1
+        |    END AS v
+        |  FROM documents),
+        |r AS (SELECT source, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM t)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN r = (n * 25 + 99) // 100 THEN v END) AS BIGINT) AS p25,
+        |  CAST(sum(CASE WHEN r = (n * 50 + 99) // 100 THEN v END) AS BIGINT) AS p50,
+        |  CAST(sum(CASE WHEN r = (n * 75 + 99) // 100 THEN v END) AS BIGINT) AS p75,
+        |  CAST(sum(CASE WHEN r = (n * 95 + 99) // 100 THEN v END) AS BIGINT) AS p95
+        |FROM r GROUP BY source ORDER BY source""".stripMargin
   )
 }

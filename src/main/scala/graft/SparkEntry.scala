@@ -4748,6 +4748,17 @@ object SparkEntry {
       // shuffle-planning diagnostic: exact F2 self-join size vs uniform
       // estimate, hot-key share — the salting decision input
       Relational.joinSkewEstimate(docs(s, dir, "events"), "user_id")
+    }),
+    "stats_ks_test" -> ((s, dir) => {
+      // exact two-sample KS: rational ECDF gap D_num/(n·m), integer
+      // α=0.05 decision in DECIMAL(38,0) — no floats anywhere
+      graft.ops.StatTests.ksTest(docs(s, dir, "documents"), "src0", "src1")
+    }),
+    "source_length_quantiles" -> ((s, dir) => {
+      // exact per-source rank-selected quantiles (the sketch_quantile
+      // exact twin): one source Exchange for window + rollup
+      graft.ops.StatTests.sourceLengthQuantiles(docs(s, dir, "documents"))
+        .orderBy("source")
     })
   )
 
