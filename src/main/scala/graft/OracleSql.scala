@@ -7352,6 +7352,53 @@ object OracleSql {
         |  CAST(sum(CASE WHEN r = (n * 50 + 99) // 100 THEN v END) AS BIGINT) AS p50,
         |  CAST(sum(CASE WHEN r = (n * 75 + 99) // 100 THEN v END) AS BIGINT) AS p75,
         |  CAST(sum(CASE WHEN r = (n * 95 + 99) // 100 THEN v END) AS BIGINT) AS p95
-        |FROM r GROUP BY source ORDER BY source""".stripMargin
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // mirrors Blocklist.scan with the default self-overlap-free patterns:
+    // AC total occurrences == non-overlapping replace counts, dominant
+    // pattern by (hits DESC, list index ASC) — the kernel's tie order
+    "blocklist_match" ->
+      """WITH pats(pi, p, plen) AS (VALUES
+        |  (0, 'spark', 5), (1, 'hash join', 9), (2, 'slow scan', 9),
+        |  (3, 'big table', 9), (4, 'stream', 6)),
+        |h AS (SELECT d.doc_id, p.pi, p.p,
+        |    (length(d.text) - length(replace(d.text, p.p, ''))) // p.plen AS c
+        |  FROM documents d CROSS JOIN pats p
+        |  WHERE (length(d.text) - length(replace(d.text, p.p, ''))) // p.plen > 0),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_hits,
+        |    CAST(count(*) AS BIGINT) AS n_patterns FROM h GROUP BY 1),
+        |top AS (SELECT doc_id, p AS top_pattern, CAST(c AS BIGINT) AS top_hits,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, pi ASC)
+        |      AS rn
+        |  FROM h)
+        |SELECT a.doc_id, a.total_hits, a.n_patterns, t.top_pattern, t.top_hits
+        |FROM agg a JOIN top t ON a.doc_id = t.doc_id AND t.rn = 1
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // mirrors Relational.ivmMergeAudit: base/delta split on the cutoff
+    // day, semigroup merge, full-recompute comparison
+    "ivm_merge_audit" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s, max(cents) AS x
+        |  FROM e WHERE d < DATE '2024-01-20' GROUP BY 1),
+        |dl AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s, max(cents) AS x
+        |  FROM e WHERE d >= DATE '2024-01-20' GROUP BY 1),
+        |m AS (SELECT coalesce(b.event_type, dl.event_type) AS event_type,
+        |    coalesce(b.n, 0) + coalesce(dl.n, 0) AS n_merged,
+        |    coalesce(b.s, 0) + coalesce(dl.s, 0) AS sum_merged,
+        |    greatest(coalesce(b.x, dl.x), coalesce(dl.x, b.x)) AS max_merged
+        |  FROM b FULL OUTER JOIN dl ON b.event_type = dl.event_type),
+        |f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_full,
+        |    CAST(sum(cents) AS BIGINT) AS sum_full, max(cents) AS max_full
+        |  FROM e GROUP BY 1)
+        |SELECT f.event_type, n_full, n_merged, sum_full, sum_merged,
+        |  max_full, max_merged,
+        |  n_full = n_merged AND sum_full = sum_merged
+        |    AND max_full = max_merged AS consistent
+        |FROM f JOIN m ON f.event_type = m.event_type
+        |ORDER BY f.event_type""".stripMargin
   )
 }

@@ -4759,6 +4759,20 @@ object SparkEntry {
       // exact twin): one source Exchange for window + rollup
       graft.ops.StatTests.sourceLengthQuantiles(docs(s, dir, "documents"))
         .orderBy("source")
+    }),
+    "blocklist_match" -> ((s, dir) => {
+      // Aho–Corasick multi-pattern blocklist: one typed pass per doc
+      // regardless of |patterns|; self-overlap-free patterns make the
+      // replace-arithmetic SQL oracle exact; hit-sized output
+      graft.ops.Blocklist.scan(
+        docs(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy("doc_id")
+    }),
+    "ivm_merge_audit" -> ((s, dir) => {
+      // incremental-view maintenance: base ⊕ delta merged with semigroup
+      // algebra vs full recompute, row-for-row consistency pinned
+      Relational.ivmMergeAudit(docs(s, dir, "events"))
+        .orderBy("event_type")
     })
   )
 

@@ -1090,6 +1090,48 @@ object Relational {
         expr("hot.c * hot.c * 1000 div f2").as("hot_share_pm"))
   }
 
+  /** Incremental-view-maintenance audit — the evidence that a 10^12-row
+    * aggregate table can absorb a daily delta WITHOUT the full recompute:
+    * base (before cutoff day) and delta (after) are aggregated
+    * independently and MERGED with combinable algebra only (counts/sums
+    * add, max takes greatest; every statistic here is a semigroup), then
+    * compared row-for-row against the from-scratch aggregate. The merge
+    * step costs O(groups), not O(rows) — that asymmetry is the whole
+    * point, and the `consistent` column proves it loses nothing.
+    *
+    * Three group-by passes at audit time; in production the base
+    * aggregate is a stored table and only the delta pass runs. */
+  def ivmMergeAudit(events: DataFrame,
+                    cutoff: String = "2024-01-20"): DataFrame = {
+    val cents = expr("CAST(round(value * 100) AS BIGINT)")
+    def aggOf(df: DataFrame, suf: String) =
+      df.groupBy("event_type").agg(
+        count(lit(1)).as("n" + suf), sum(cents).as("s" + suf),
+        max(cents).as("x" + suf))
+    val isBase = to_date(col("ts")) < lit(cutoff).cast("date")
+    val merged = aggOf(events.where(isBase), "_b")
+      .join(aggOf(events.where(!isBase), "_d"), Seq("event_type"),
+        "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+          .as("n_merged"),
+        (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L)))
+          .as("sum_merged"),
+        greatest(col("x_b"), col("x_d")).as("max_merged"))
+    aggOf(events, "_f")
+      .withColumnRenamed("n_f", "n_full")
+      .withColumnRenamed("s_f", "sum_full")
+      .withColumnRenamed("x_f", "max_full")
+      .join(merged, Seq("event_type"))
+      .withColumn("consistent",
+        col("n_full") === col("n_merged") &&
+          col("sum_full") === col("sum_merged") &&
+          col("max_full") === col("max_merged"))
+      .select(col("event_type"), col("n_full"), col("n_merged"),
+        col("sum_full"), col("sum_merged"), col("max_full"),
+        col("max_merged"), col("consistent"))
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) interval history from an
     * event stream: per user, consecutive runs of the derived `tier`
     * attribute (value-bucket low/mid/high) collapse into versioned
