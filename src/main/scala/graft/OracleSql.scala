@@ -7399,6 +7399,72 @@ object OracleSql {
         |  n_full = n_merged AND sum_full = sum_merged
         |    AND max_full = max_merged AS consistent
         |FROM f JOIN m ON f.event_type = m.event_type
-        |ORDER BY f.event_type""".stripMargin
+        |ORDER BY f.event_type""".stripMargin,
+
+    // mirrors PipelinePlan.truncationCurve: one aggregate, caps unrolled
+    "truncation_curve" ->
+      """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE length(text) - length(replace(text, ' ', '')) + 1
+        |  END AS t FROM documents),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(t) AS BIGINT) AS tot,
+        |    CAST(sum(CASE WHEN t > 32 THEN 1 ELSE 0 END) AS BIGINT) AS c32,
+        |    CAST(sum(least(t, 32)) AS BIGINT) AS k32,
+        |    CAST(sum(CASE WHEN t > 64 THEN 1 ELSE 0 END) AS BIGINT) AS c64,
+        |    CAST(sum(least(t, 64)) AS BIGINT) AS k64,
+        |    CAST(sum(CASE WHEN t > 128 THEN 1 ELSE 0 END) AS BIGINT) AS c128,
+        |    CAST(sum(least(t, 128)) AS BIGINT) AS k128,
+        |    CAST(sum(CASE WHEN t > 256 THEN 1 ELSE 0 END) AS BIGINT) AS c256,
+        |    CAST(sum(least(t, 256)) AS BIGINT) AS k256
+        |  FROM t)
+        |SELECT CAST(cap AS BIGINT) AS cap, n AS n_docs, cut AS n_truncated,
+        |  (n - cut) * 1000 // n AS docs_intact_pm, kept AS tokens_kept,
+        |  kept * 1000 // tot AS tokens_kept_pm
+        |FROM (
+        |  SELECT 32 AS cap, n, c32 AS cut, k32 AS kept, tot FROM a
+        |  UNION ALL SELECT 64, n, c64, k64, tot FROM a
+        |  UNION ALL SELECT 128, n, c128, k128, tot FROM a
+        |  UNION ALL SELECT 256, n, c256, k256, tot FROM a)
+        |ORDER BY cap""".stripMargin,
+
+    // mirrors PipelinePlan.featureHashAudit: md5_number_upper('fh:'||w)
+    // % 4096 is the Spark md5Mod bucket
+    "feature_hash_audit" ->
+      """WITH w AS (SELECT u.w AS w, CAST(count(*) AS BIGINT) AS mass
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents),
+        |    UNNEST(t) AS u(w)
+        |  WHERE u.w <> '' GROUP BY 1),
+        |b AS (SELECT CAST(md5_number_upper('fh:' || w) % 4096 AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS nw, CAST(sum(mass) AS BIGINT) AS bmass
+        |  FROM w GROUP BY 1)
+        |SELECT CAST(sum(nw) AS BIGINT) AS n_vocab,
+        |  CAST(count(*) AS BIGINT) AS n_buckets_occupied,
+        |  CAST(sum(CASE WHEN nw >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_collided_buckets,
+        |  CAST(sum(CASE WHEN nw >= 2 THEN nw ELSE 0 END) AS BIGINT)
+        |    AS collided_words,
+        |  CAST(sum(CASE WHEN nw >= 2 THEN nw ELSE 0 END) * 1000
+        |    // greatest(sum(nw), 1) AS BIGINT) AS collision_pm,
+        |  CAST(sum(CASE WHEN nw >= 2 THEN bmass ELSE 0 END) * 1000
+        |    // greatest(sum(bmass), 1) AS BIGINT) AS collided_mass_pm
+        |FROM b""".stripMargin,
+
+    // mirrors PipelinePlan.hamiltonAllocation over lang with 100 slots
+    "hamilton_allocation" ->
+      """WITH c AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT stratum, n_docs,
+        |    100 * n_docs // sum(n_docs) OVER () AS base,
+        |    (100 * n_docs) % sum(n_docs) OVER () AS remainder
+        |  FROM c),
+        |r AS (SELECT *, 100 - sum(base) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY remainder DESC, stratum ASC) AS rk
+        |  FROM b)
+        |SELECT stratum, n_docs, CAST(base AS BIGINT) AS base,
+        |  CAST(remainder AS BIGINT) AS remainder,
+        |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r ORDER BY stratum""".stripMargin
   )
 }

@@ -4773,6 +4773,24 @@ object SparkEntry {
       // algebra vs full recompute, row-for-row consistency pinned
       Relational.ivmMergeAudit(docs(s, dir, "events"))
         .orderBy("event_type")
+    }),
+    "truncation_curve" -> ((s, dir) => {
+      // sequence-length decision table: all caps from ONE map-side
+      // aggregate, rows exploded from the single result row
+      graft.ops.PipelinePlan.truncationCurve(
+        docs(s, dir, "documents").select(col("text"))).orderBy("cap")
+    }),
+    "feature_hash_audit" -> ((s, dir) => {
+      // 2^b hashed-features collision audit: vocab AND token-mass
+      // collision shares, md5-routed buckets replayed in SQL
+      graft.ops.PipelinePlan.featureHashAudit(
+        docs(s, dir, "documents").select(col("text")))
+    }),
+    "hamilton_allocation" -> ((s, dir) => {
+      // exact largest-remainder eval-slot apportionment per language
+      graft.ops.PipelinePlan.hamiltonAllocation(
+        docs(s, dir, "documents").select(col("lang")))
+        .orderBy("stratum")
     })
   )
 

@@ -165,4 +165,90 @@ object PipelinePlan {
       .select(col("gate"), col("bit"), col("phi_twelfths"),
         col("total_twelfths"), col("share_pm"))
   }
+
+  /** Truncation-budget curve: for each candidate context cap, what share
+    * of documents survives intact and what share of the token mass is
+    * kept — the decision table for "what sequence length do we train
+    * at". ONE corpus pass: all caps are conditional sums in the same
+    * map-side-combined aggregate; exploding the 4 cap rows happens on
+    * the single result row. */
+  def truncationCurve(docs: DataFrame,
+                      caps: Seq[Long] = Seq(32L, 64L, 128L, 256L)): DataFrame = {
+    val tok = TextStats.tokenCountCol(col("text"))
+    val aggExprs = Seq(count(lit(1)).as("n"), sum(col("t")).as("tot")) ++
+      caps.flatMap(c => Seq(
+        sum(when(col("t") > c, 1L).otherwise(0L)).as(s"cut_$c"),
+        sum(least(col("t"), lit(c))).as(s"kept_$c")))
+    val aggs = docs.select(tok.as("t"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    aggs.select(explode(array(caps.map(c => struct(
+      lit(c).as("cap"),
+      col("n"),
+      col(s"cut_$c").as("n_truncated"),
+      expr(s"(n - cut_$c) * 1000 div n").as("docs_intact_pm"),
+      col(s"kept_$c").as("tokens_kept"),
+      expr(s"kept_$c * 1000 div tot").as("tokens_kept_pm"))): _*)).as("r"))
+      .select(col("r.cap"), col("r.n").as("n_docs"), col("r.n_truncated"),
+        col("r.docs_intact_pm"), col("r.tokens_kept"),
+        col("r.tokens_kept_pm"))
+  }
+
+  /** Feature-hashing collision audit for a 2^b-bucket hashed
+    * bag-of-words model: how many vocabulary words share buckets, and —
+    * the number that actually matters — how much TOKEN MASS sits in
+    * collided buckets (a collision on two rare words is noise; on two
+    * frequent words it merges features). md5-routed buckets replay in
+    * DuckDB; one token explode feeds both the vocab and mass sides. */
+  def featureHashAudit(docs: DataFrame, buckets: Long = 4096L): DataFrame = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("mass"))
+      .withColumn("b", Sampling.md5Mod(concat(lit("fh:"), col("w")), buckets))
+    val perBucket = words.groupBy("b")
+      .agg(count(lit(1)).as("nw"), sum(col("mass")).as("bmass"))
+    perBucket.agg(
+      sum(col("nw")).as("n_vocab"),
+      count(lit(1)).as("n_buckets_occupied"),
+      sum(when(col("nw") >= 2, 1L).otherwise(0L)).as("n_collided_buckets"),
+      sum(when(col("nw") >= 2, col("nw")).otherwise(0L))
+        .as("collided_words"),
+      sum(col("bmass")).as("token_mass"),
+      sum(when(col("nw") >= 2, col("bmass")).otherwise(0L))
+        .as("collided_mass"))
+      .select(col("n_vocab"), col("n_buckets_occupied"),
+        col("n_collided_buckets"), col("collided_words"),
+        expr("collided_words * 1000 div greatest(n_vocab, 1)")
+          .as("collision_pm"),
+        expr("collided_mass * 1000 div greatest(token_mass, 1)")
+          .as("collided_mass_pm"))
+  }
+
+  /** Exact proportional allocation of `slots` eval seats across strata
+    * (Hamilton / largest-remainder method): floor quotas, then the
+    * leftover seats go to the largest remainders (stratum-name
+    * tie-break). The principled "how many eval docs per language" answer
+    * — hash sampling approximates these proportions, this pins them.
+    * One stratum count aggregate; the apportionment runs on the
+    * stratum-sized table. */
+  def hamiltonAllocation(docs: DataFrame, stratum: String = "lang",
+                         slots: Long = 100L): DataFrame = {
+    val counts = docs.groupBy(col(stratum).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val based = counts
+      .withColumn("n", sum(col("n_docs")).over(tot))
+      .withColumn("base", expr(s"$slots * n_docs div n"))
+      .withColumn("remainder", expr(s"($slots * n_docs) % n"))
+      .withColumn("leftover", lit(slots) - sum(col("base")).over(tot))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("remainder").desc, col("stratum").asc)))
+    based
+      .withColumn("extra", when(col("rk") <= col("leftover"), 1L)
+        .otherwise(0L))
+      .withColumn("alloc", col("base") + col("extra"))
+      .select(col("stratum"), col("n_docs"), col("base"), col("remainder"),
+        col("extra"), col("alloc"))
+  }
 }
