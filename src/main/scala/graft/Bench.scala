@@ -76,6 +76,34 @@ object Bench {
     }.getOrElse(Map.empty)
   }
 
+  /** Prior artifact's raw per-query seconds (same unescape/sf rules as
+    * [[extractPrevNormalized]]) — needed to re-normalize the prior run in
+    * BANDWIDTH-probe units for the dual-unit regression gate. */
+  def extractPrevQueriesRaw(rawText: String, sfDir: String): Map[String, Double] = {
+    val txt = rawText.replace("\\\"", "\"")
+    if (s""""sf":"$sfDir"""".r.findFirstIn(txt).isEmpty) Map.empty
+    else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map {
+      _.group(1).split(",").toSeq.flatMap { kv =>
+        kv.split(":") match {
+          case Array(k, v) =>
+            try Some(k.replace("\"", "") -> v.toDouble)
+            catch { case _: Throwable => None }
+          case _ => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** Prior artifact's bandwidth-probe seconds, if recorded. */
+  def extractPrevBwProbe(rawText: String, sfDir: String): Option[Double] = {
+    val txt = rawText.replace("\\\"", "\"")
+    if (s""""sf":"$sfDir"""".r.findFirstIn(txt).isEmpty) None
+    else """"bw_probe_sec":([0-9.]+)""".r.findFirstMatchIn(txt)
+      .flatMap(m => try Some(m.group(1).toDouble) catch {
+        case _: Throwable => None
+      })
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -389,18 +417,35 @@ object Bench {
     val candidates = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName == "BENCH_LOCAL.json" || f.getName.matches("BENCH_r\\d+\\.json"))
       .sortBy(-_.lastModified())
-    val (prevFile, prevNorm) = candidates.iterator.map { f =>
+    val (prevFile, prevNorm, prevRaw, prevBw) = candidates.iterator.map { f =>
       val txt = try new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         catch { case _: Throwable => "" }
-      f -> extractPrevNormalized(txt, sfDir)
-    }.collectFirst { case (f, m) if m.nonEmpty => (Some(f), m) }
-      .getOrElse((None, Map.empty[String, Double]))
+      (f, extractPrevNormalized(txt, sfDir), extractPrevQueriesRaw(txt, sfDir),
+        extractPrevBwProbe(txt, sfDir))
+    }.collectFirst { case (f, m, raw, bw) if m.nonEmpty =>
+      (Some(f), m, raw, bw)
+    }.getOrElse((None, Map.empty[String, Double], Map.empty[String, Double],
+      Option.empty[Double]))
     // regression = BOTH 1.5× the prior normalized time AND ≥0.5 probe-units
     // absolute growth: sub-second queries are best-of-2 jitter samples, and
     // a noisy query leg was flagging 100+ ~0.1s queries whose "regression"
-    // was scheduler noise, burying any real one (observed 2026-08-20 run)
+    // was scheduler noise, burying any real one (observed 2026-08-20 run).
+    // DUAL-UNIT gate: the CPU spin probe normalizes compute speed but NOT
+    // memory bandwidth, and the two regimes move independently on this
+    // host (observed: probe_sec 0.848→0.76 while bw_probe_sec 0.044→0.066
+    // — every "regressed" query was shuffle/bandwidth-bound). A query only
+    // counts as regressed if it ALSO regressed in bandwidth-probe units;
+    // artifacts without a bw probe fall back to the CPU-only gate.
+    def bwRegressed(k: String, curSec: Double): Boolean =
+      (prevBw, prevRaw.get(k)) match {
+        case (Some(pb), Some(ps)) if pb > 0 && bwSec > 0 =>
+          curSec / bwSec > (ps / pb) * 1.5
+        case _ => true // no bw evidence → defer to the CPU gate alone
+      }
+    val resultsMap = results.toMap
     val regressions = normalized.collect {
-      case (k, v) if prevNorm.get(k).exists(p => v > p * 1.5 && v - p >= 0.5) => k
+      case (k, v) if prevNorm.get(k).exists(p => v > p * 1.5 && v - p >= 0.5) &&
+        bwRegressed(k, resultsMap(k).sec) => k
     }.toSeq.sorted
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"${v.sec}%.3f" }
@@ -417,6 +462,7 @@ object Bench {
         s""","scaling_skipped":$skipScaling""" +
         s""","queries_normalized":${normalized.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")}""" +
         s""","bench_prev":${prevFile.map(f => "\"" + f.getName + "\"").getOrElse("null")}""" +
+        s""","prev_bw_probe_sec":${prevBw.map(v => f"$v%.3f").getOrElse("null")}""" +
         s""","query_regressions":${regressions.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
         f""","extract_docs":$nDocs,"extract_pages":$p4N,"extract_chars":$c4N""" +
         s""","scaling_levels":"local[$levelN]->local[$level4N]","scaling_reps":$rep""" +

@@ -7465,6 +7465,49 @@ object OracleSql {
         |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
         |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
         |    AS alloc
-        |FROM r ORDER BY stratum""".stripMargin
+        |FROM r ORDER BY stratum""".stripMargin,
+
+    // mirrors PipelinePlan.trainInterleave: per-source rank then
+    // (rank, source) schedule order, first 60 positions
+    "train_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+        |  FROM documents),
+        |p AS (SELECT *, row_number() OVER (ORDER BY r, source) AS position
+        |  FROM r)
+        |SELECT CAST(position AS BIGINT) AS position, doc_id, source,
+        |  CAST(r AS BIGINT) AS src_rank
+        |FROM p WHERE position <= 60 ORDER BY position""".stripMargin,
+
+    // mirrors PipelinePlan.qualityRankBlend: per-lang permille percentile
+    // ranks with (value, doc_id) tie order, integer floor blend
+    "quality_rank_blend" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(text) - length(replace(text, ' ', '')) + 1
+        |    END AS s_tok,
+        |    len(list_distinct(list_filter(string_split(text, ' '),
+        |      x -> x <> ''))) * 1000
+        |      // greatest(len(list_filter(string_split(text, ' '),
+        |      x -> x <> '')), 1) AS s_distinct,
+        |    length(text) - length(replace(text, '.', '')) AS s_period
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    (row_number() OVER (PARTITION BY lang ORDER BY s_tok, doc_id) - 1)
+        |      * 1000 // greatest(count(*) OVER (PARTITION BY lang) - 1, 1)
+        |      AS r_tok_pm,
+        |    (row_number() OVER (PARTITION BY lang ORDER BY s_distinct, doc_id)
+        |      - 1) * 1000 // greatest(count(*) OVER (PARTITION BY lang) - 1, 1)
+        |      AS r_distinct_pm,
+        |    (row_number() OVER (PARTITION BY lang ORDER BY s_period, doc_id)
+        |      - 1) * 1000 // greatest(count(*) OVER (PARTITION BY lang) - 1, 1)
+        |      AS r_period_pm
+        |  FROM s)
+        |SELECT doc_id, lang, CAST(r_tok_pm AS BIGINT) AS r_tok_pm,
+        |  CAST(r_distinct_pm AS BIGINT) AS r_distinct_pm,
+        |  CAST(r_period_pm AS BIGINT) AS r_period_pm,
+        |  CAST((r_tok_pm + r_distinct_pm + r_period_pm) // 3 AS BIGINT)
+        |    AS blend_pm
+        |FROM r WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
   )
 }

@@ -4791,6 +4791,19 @@ object SparkEntry {
       graft.ops.PipelinePlan.hamiltonAllocation(
         docs(s, dir, "documents").select(col("lang")))
         .orderBy("stratum")
+    }),
+    "train_interleave" -> ((s, dir) => {
+      // deterministic round-robin source interleave: exact early-mix
+      // ratios, no source repeats within an active window
+      graft.ops.PipelinePlan.trainInterleave(
+        docs(s, dir, "documents").select(col("doc_id"), col("source")))
+        .orderBy("position")
+    }),
+    "quality_rank_blend" -> ((s, dir) => {
+      // scale-free rank fusion of three quality signals, per-language
+      // percentile ranks — no global sort, doc_id tie order
+      graft.ops.PipelinePlan.qualityRankBlend(docs(s, dir, "documents"))
+        .orderBy("doc_id")
     })
   )
 

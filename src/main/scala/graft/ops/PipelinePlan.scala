@@ -251,4 +251,65 @@ object PipelinePlan {
       .select(col("stratum"), col("n_docs"), col("base"), col("remainder"),
         col("extra"), col("alloc"))
   }
+
+  /** Deterministic source-interleaved training order: rank documents
+    * within their source (by doc_id), then schedule by (within-rank,
+    * source) — round-robin across sources, so no source repeats inside
+    * any window of |active sources| and a hot source cannot monopolize a
+    * training stretch (the non-random complement of the md5 shuffle,
+    * used when mixing ratios must be exact early in training). Emits the
+    * first `take` schedule positions.
+    *
+    * Scale note: the global position is a sort over (rank, source) —
+    * production interleaves per shard and concatenates; the per-source
+    * rank windows are the real work and they partition cleanly. */
+  def trainInterleave(docs: DataFrame, take: Int = 60): DataFrame = {
+    val wSrc = Window.partitionBy("source").orderBy("doc_id")
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("r", row_number().over(wSrc))
+      .withColumn("position", row_number().over(
+        Window.orderBy(col("r").asc, col("source").asc)))
+      .where(col("position") <= take)
+      .select(col("position").cast("long").as("position"), col("doc_id"),
+        col("source"), col("r").cast("long").as("src_rank"))
+  }
+
+  /** Rank-blended quality score: three cheap signals (token count,
+    * distinct-word ratio, sentence-period count) are converted to
+    * PER-LANGUAGE permille percentile ranks and averaged — rank fusion
+    * is scale-free, so no signal's units dominate and outliers can't
+    * drag the blend (the corpus-scoring twin of retrieval RRF). Windows
+    * partition by lang — no global sort; ties break by doc_id so both
+    * engines agree. Emits the doc_id < `cap` audit slice. */
+  def qualityRankBlend(docs: DataFrame, cap: Long = 100L): DataFrame = {
+    val tok = TextStats.tokenCountCol(col("text"))
+    val scored = docs.select(col("doc_id"), col("lang"),
+      tok.as("s_tok"),
+      expr("""CAST(size(array_distinct(filter(split(text, ' '), x -> x <> '')))
+             |  * 1000 AS BIGINT)
+             |div greatest(CAST(size(filter(split(text, ' '), x -> x <> ''))
+             |  AS BIGINT), 1)""".stripMargin).as("s_distinct"),
+      (length(col("text")) - length(expr("replace(text, '.', '')")))
+        .cast("long").as("s_period"))
+    def rankPm(c: String) = {
+      val w = Window.partitionBy("lang").orderBy(col(c).asc,
+        col("doc_id").asc)
+      val n = Window.partitionBy("lang")
+      // double-div + trunc == integer floor-div here: the quotient of two
+      // ints can only round across an integer boundary when the divisor
+      // exceeds ~1.7e13 (distance to the integer is ≥ 1/b vs ulp ~6e-14),
+      // far past any per-language stratum
+      (row_number().over(w) - 1) * 1000 /
+        greatest(count(lit(1)).over(n) - 1, lit(1L))
+    }
+    scored
+      .withColumn("r_tok_pm", rankPm("s_tok").cast("long"))
+      .withColumn("r_distinct_pm", rankPm("s_distinct").cast("long"))
+      .withColumn("r_period_pm", rankPm("s_period").cast("long"))
+      .withColumn("blend_pm", expr(
+        "(r_tok_pm + r_distinct_pm + r_period_pm) div 3"))
+      .where(col("doc_id") < cap)
+      .select(col("doc_id"), col("lang"), col("r_tok_pm"),
+        col("r_distinct_pm"), col("r_period_pm"), col("blend_pm"))
+  }
 }

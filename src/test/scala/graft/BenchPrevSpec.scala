@@ -38,6 +38,25 @@ class BenchPrevSpec extends AnyFunSuite {
     }
   }
 
+  test("extractPrevQueriesRaw: picks the raw queries map, not _normalized") {
+    val inner = """{"sf":"/root/testdata/sf0.1","queries":{"q1":1.500,"q2":0.250},"queries_normalized":{"q1":0.120,"q2":3.400},"bw_probe_sec":0.044}"""
+    val wrapped = s"""{"tail": "${inner.replace("\"", "\\\"")}"}"""
+    assert(Bench.extractPrevQueriesRaw(wrapped, "/root/testdata/sf0.1") ==
+      Map("q1" -> 1.5, "q2" -> 0.25))
+    assert(Bench.extractPrevBwProbe(wrapped, "/root/testdata/sf0.1")
+      .contains(0.044))
+    assert(Bench.extractPrevBwProbe(wrapped, "/root/testdata/sf0.01").isEmpty)
+  }
+
+  test("real BENCH_LOCAL.json exposes raw seconds and a bw probe") {
+    readIfExists("BENCH_LOCAL.json").foreach { txt =>
+      val sf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1)).get
+      val raw = Bench.extractPrevQueriesRaw(txt, sf)
+      assert(raw.size >= 50 && raw.values.forall(_ >= 0))
+      assert(Bench.extractPrevBwProbe(txt, sf).exists(v => v > 0 && v < 10))
+    }
+  }
+
   test("real BENCH_r04.json (front-truncated tail) returns empty without error") {
     readIfExists("BENCH_r04.json").foreach { txt =>
       // r4's 2000-char tail truncated queries_normalized away entirely;
