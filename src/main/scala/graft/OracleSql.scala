@@ -191,7 +191,37 @@ object OracleSql {
 
   private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  def all: Map[String, String] = Map(
+  /** Composed oracle: the detector-agreement Venn reuses the three
+    * ALREADY-VERIFIED pair oracles verbatim as subqueries — agreement is
+    * checked end-to-end against exactly the SQL that validates each
+    * detector on its own. */
+  private def vennSql(b: Map[String, String]): String = {
+    def pairs(name: String) = s"SELECT a, b FROM (${b(name)})"
+    s"""WITH mh AS (${pairs("dedup_minhash_lsh")}),
+       |sh2 AS (${pairs("dedup_simhash")}),
+       |jc AS (${pairs("dedup_jaccard_block")}),
+       |u AS (SELECT a, b FROM mh UNION SELECT a, b FROM sh2
+       |      UNION SELECT a, b FROM jc),
+       |f AS (SELECT u.a, u.b,
+       |    CASE WHEN EXISTS (SELECT 1 FROM mh WHERE mh.a = u.a AND mh.b = u.b)
+       |      THEN 1 ELSE 0 END
+       |  + CASE WHEN EXISTS (SELECT 1 FROM sh2 WHERE sh2.a = u.a AND sh2.b = u.b)
+       |      THEN 2 ELSE 0 END
+       |  + CASE WHEN EXISTS (SELECT 1 FROM jc WHERE jc.a = u.a AND jc.b = u.b)
+       |      THEN 4 ELSE 0 END AS mask
+       |  FROM u)
+       |SELECT CAST(mask AS BIGINT) AS mask,
+       |  concat_ws('+',
+       |    CASE WHEN mask & 1 = 1 THEN 'minhash' END,
+       |    CASE WHEN mask & 2 = 2 THEN 'simhash' END,
+       |    CASE WHEN mask & 4 = 4 THEN 'jaccard' END) AS detectors,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM f GROUP BY mask ORDER BY mask""".stripMargin
+  }
+
+  def all: Map[String, String] = base + ("dedup_venn" -> vennSql(base))
+
+  private lazy val base: Map[String, String] = Map(
 
     "pdf_extract_text" ->
       s"""SELECT url, ok, CAST(n_pages AS BIGINT) AS n_pages, CAST(n_chars AS BIGINT) AS n_chars, text
@@ -7508,6 +7538,46 @@ object OracleSql {
         |  CAST(r_period_pm AS BIGINT) AS r_period_pm,
         |  CAST((r_tok_pm + r_distinct_pm + r_period_pm) // 3 AS BIGINT)
         |    AS blend_pm
-        |FROM r WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+        |FROM r WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    // mirrors PipelinePlan.mixtureWaterfill (budget 20000): fill point =
+    // first ascending rank whose uniform-ceiling fill busts the budget
+    "mixture_waterfill" ->
+      """WITH per AS (SELECT source,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE length(text) - length(replace(text, ' ', '')) + 1 END)
+        |      AS BIGINT) AS t
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT source, t,
+        |    row_number() OVER (ORDER BY t, source) AS j,
+        |    sum(t) OVER (ORDER BY t, source ROWS UNBOUNDED PRECEDING)
+        |      AS prefix,
+        |    count(*) OVER () AS k, sum(t) OVER () AS total
+        |  FROM per),
+        |m AS (SELECT *,
+        |    CASE WHEN prefix - t + (k - j + 1) * t > 20000 THEN j END AS inf
+        |  FROM r),
+        |g0 AS (SELECT *, min(inf) OVER () AS first_inf,
+        |    max(t) OVER () AS tmax
+        |  FROM m),
+        |g AS (SELECT *,
+        |    min(CASE WHEN j = first_inf THEN prefix - t END) OVER ()
+        |      AS prefix_before
+        |  FROM g0),
+        |c AS (SELECT *,
+        |    CASE WHEN first_inf IS NULL THEN tmax
+        |      ELSE greatest(0, (20000 - prefix_before) // (k - first_inf + 1))
+        |    END AS cap
+        |  FROM g),
+        |o AS (SELECT source, t, cap, least(t, cap) AS kept,
+        |    t * 1000 // total AS share_before_pm,
+        |    sum(least(t, cap)) OVER () AS kept_total
+        |  FROM c)
+        |SELECT source, t AS tokens, CAST(cap AS BIGINT) AS cap,
+        |  CAST(kept AS BIGINT) AS kept,
+        |  CAST(share_before_pm AS BIGINT) AS share_before_pm,
+        |  CAST(kept * 1000 // greatest(kept_total, 1) AS BIGINT)
+        |    AS share_after_pm
+        |FROM o ORDER BY source""".stripMargin
   )
 }

@@ -4804,6 +4804,21 @@ object SparkEntry {
       // percentile ranks — no global sort, doc_id tie order
       graft.ops.PipelinePlan.qualityRankBlend(docs(s, dir, "documents"))
         .orderBy("doc_id")
+    }),
+    "dedup_venn" -> ((s, dir) => {
+      // detector-agreement Venn across minhash/simhash/jaccard pair sets
+      // — the threshold-calibration histogram; oracle composes the three
+      // verified pair oracles end-to-end
+      Dedup.vennPairs(Dedup.corpusWithReplicas(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("mask")
+    }),
+    "mixture_waterfill" -> ((s, dir) => {
+      // uniform-ceiling token-budget trim: small sources keep everything,
+      // hot sources absorb the cut; fill point from source-sized windows
+      graft.ops.PipelinePlan.mixtureWaterfill(
+        docs(s, dir, "documents").select(col("source"), col("text")))
+        .orderBy("source")
     })
   )
 

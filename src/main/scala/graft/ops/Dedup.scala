@@ -1296,6 +1296,34 @@ object Dedup {
     scored.withColumn("chosen", row_number().over(w) === 1)
   }
 
+  /** Detector-agreement Venn over the three pair-emitting near-dup
+    * detectors (MinHash-LSH bit 1, SimHash bit 2, blocked Jaccard bit 4):
+    * which duplicates does each family see that the others miss? The
+    * mask histogram is the calibration table for choosing detector
+    * thresholds — e.g. mass at mask 1 (minhash-only) means SimHash's
+    * hamming radius is too tight for this corpus. Pairs are ids-only
+    * through both full-outer joins; each detector keeps its own verified
+    * scale shape. The oracle COMPOSES the three already-verified pair
+    * oracles as subqueries, so agreement is checked end-to-end. */
+  def vennPairs(corpus: DataFrame): DataFrame = {
+    val mh = minhashLsh(corpus).select(col("a"), col("b"))
+      .withColumn("f1", lit(1L))
+    val sh = simhashPairs(corpus).select(col("a"), col("b"))
+      .withColumn("f2", lit(2L))
+    val jc = jaccardBlocked(corpus).select(col("a"), col("b"))
+      .withColumn("f4", lit(4L))
+    mh.join(sh, Seq("a", "b"), "full_outer")
+      .join(jc, Seq("a", "b"), "full_outer")
+      .select((coalesce(col("f1"), lit(0L)) + coalesce(col("f2"), lit(0L)) +
+        coalesce(col("f4"), lit(0L))).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("detectors", concat_ws("+",
+        when(expr("mask & 1") === 1L, "minhash"),
+        when(expr("mask & 2") === 2L, "simhash"),
+        when(expr("mask & 4") === 4L, "jaccard")))
+      .select(col("mask"), col("detectors"), col("n_pairs"))
+  }
+
   /** Title corpus for edit-distance near-dup: title = first 7 words of the
     * document, plus a planted mutated copy (id + 500000) for every
     * doc_id % 41 == 3 — first letter case-flipped and last character

@@ -312,4 +312,47 @@ object PipelinePlan {
       .select(col("doc_id"), col("lang"), col("r_tok_pm"),
         col("r_distinct_pm"), col("r_period_pm"), col("blend_pm"))
   }
+
+  /** Water-filling token-budget trim: find the single common cap C such
+    * that Σ_s min(tokens_s, C) fills the budget — the uniform-ceiling
+    * mixture trim that protects small sources (they keep everything)
+    * while hot sources absorb the whole cut. Sources sorted by token
+    * count ascending; C sits at the first rank j where keeping ranks < j
+    * whole and giving the rest t_j would bust the budget:
+    * C = (B − prefix_{j−1}) div (k−j+1). Budget ≥ total → no trim
+    * (C = max). One source rollup; the fill point and cap come from
+    * windows on the source-sized table. */
+  def mixtureWaterfill(docs: DataFrame, budget: Long = 20000L): DataFrame = {
+    val tok = TextStats.tokenCountCol(col("text"))
+    val per = docs.groupBy("source").agg(sum(tok).as("t"))
+    val wAsc = Window.orderBy(col("t").asc, col("source").asc)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val rows = per
+      .withColumn("j", row_number().over(wAsc))
+      .withColumn("prefix", sum(col("t")).over(
+        wAsc.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("k", count(lit(1)).over(tot))
+      .withColumn("total", sum(col("t")).over(tot))
+      .withColumn("infeasible",
+        col("prefix") - col("t") +
+          (col("k") - col("j") + 1) * col("t") > budget)
+      .withColumn("first_inf",
+        min(when(col("infeasible"), col("j"))).over(tot))
+      .withColumn("prefix_before",
+        min(when(col("j") === col("first_inf"), col("prefix") - col("t")))
+          .over(tot))
+    rows
+      .withColumn("cap",
+        when(col("first_inf").isNull, max(col("t")).over(tot))
+          .otherwise(greatest(lit(0L),
+            expr(s"($budget - prefix_before) div (k - first_inf + 1)"))))
+      .withColumn("kept", least(col("t"), col("cap")))
+      .withColumn("share_before_pm", expr("t * 1000 div total"))
+      .withColumn("kept_total", sum(col("kept")).over(tot))
+      .withColumn("share_after_pm",
+        expr("kept * 1000 div greatest(kept_total, 1)"))
+      .select(col("source"), col("t").as("tokens"), col("cap"),
+        col("kept"), col("share_before_pm"), col("share_after_pm"))
+  }
 }
