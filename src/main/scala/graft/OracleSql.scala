@@ -219,7 +219,47 @@ object OracleSql {
        |FROM f GROUP BY mask ORDER BY mask""".stripMargin
   }
 
-  def all: Map[String, String] = base + ("dedup_venn" -> vennSql(base))
+  /** Unrolled greedy k-center replay: step r picks the row with the
+    * maximal running min-distance (vec_id tie-break) and folds its
+    * distances into the running minimum — the same k−1 rounds the Spark
+    * driver loop executes, as chained CTEs. */
+  private def kcenterSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH q AS (SELECT vec_id, i.i AS d,
+             |    CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+             |  FROM embeddings, UNNEST(range(0, 64)) AS i(i)),
+             |s1 AS (SELECT min(vec_id) AS sid FROM q),
+             |d1 AS (SELECT a.vec_id, sum((a.q - b.q) * (a.q - b.q)) AS md2
+             |  FROM q a JOIN q b ON a.d = b.d AND b.vec_id = (SELECT sid FROM s1)
+             |  GROUP BY a.vec_id),
+             |""".stripMargin
+    for (r <- 2 to k) {
+      val prev = s"d${r - 1}"
+      sb ++= s"p$r AS (SELECT vec_id AS sid, md2 FROM $prev " +
+        "ORDER BY md2 DESC, vec_id LIMIT 1),\n"
+      if (r < k)
+        sb ++= s"""d$r AS (SELECT $prev.vec_id, least($prev.md2, nd.d2) AS md2
+                  |  FROM $prev JOIN (
+                  |    SELECT a.vec_id, sum((a.q - b.q) * (a.q - b.q)) AS d2
+                  |    FROM q a JOIN q b ON a.d = b.d
+                  |      AND b.vec_id = (SELECT sid FROM p$r)
+                  |    GROUP BY a.vec_id) nd ON nd.vec_id = $prev.vec_id),
+                  |""".stripMargin
+    }
+    val rows = Seq(
+      "SELECT CAST(1 AS BIGINT) AS seed_rank, " +
+        "CAST((SELECT sid FROM s1) AS BIGINT) AS vec_id, " +
+        "CAST(0 AS BIGINT) AS radius_d2") ++
+      (2 to k).map(r =>
+        s"SELECT CAST($r AS BIGINT), CAST((SELECT sid FROM p$r) AS BIGINT), " +
+          s"CAST((SELECT md2 FROM p$r) AS BIGINT)")
+    // drop the trailing comma+newline of the last CTE
+    sb.setLength(sb.length - 2)
+    sb.toString + "\n" + rows.mkString("\nUNION ALL ") + "\nORDER BY seed_rank"
+  }
+
+  def all: Map[String, String] = base +
+    ("dedup_venn" -> vennSql(base)) + ("emb_kcenter" -> kcenterSql(8))
 
   private lazy val base: Map[String, String] = Map(
 
@@ -7578,6 +7618,30 @@ object OracleSql {
         |  CAST(share_before_pm AS BIGINT) AS share_before_pm,
         |  CAST(kept * 1000 // greatest(kept_total, 1) AS BIGINT)
         |    AS share_after_pm
-        |FROM o ORDER BY source""".stripMargin
+        |FROM o ORDER BY source""".stripMargin,
+
+    // mirrors Similarity.centroidConfusion: truncating integer-division
+    // centroids (Spark div and DuckDB // both round toward zero —
+    // verified on negative sums), exact integer squared distances,
+    // (d2, label) tie order
+    "emb_centroid_confusion" ->
+      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i.i AS d,
+        |    CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * 1000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings, UNNEST(range(0, 64)) AS i(i)),
+        |cent AS (SELECT label AS cl, d, sum(q) // count(*) AS c
+        |  FROM q GROUP BY 1, 2),
+        |dist AS (SELECT q.vec_id, q.label, cent.cl,
+        |    sum((q.q - cent.c) * (q.q - cent.c)) AS d2
+        |  FROM q JOIN cent ON q.d = cent.d GROUP BY 1, 2, 3),
+        |asg AS (SELECT vec_id, label AS true_label, cl AS pred_label,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+        |  FROM dist),
+        |conf AS (SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+        |  FROM asg WHERE rn = 1 GROUP BY 1, 2)
+        |SELECT true_label, pred_label, n,
+        |  CAST(n * 1000 // sum(n) OVER (PARTITION BY true_label) AS BIGINT)
+        |    AS row_pm
+        |FROM conf ORDER BY true_label, pred_label""".stripMargin
   )
 }

@@ -4819,6 +4819,18 @@ object SparkEntry {
       graft.ops.PipelinePlan.mixtureWaterfill(
         docs(s, dir, "documents").select(col("source"), col("text")))
         .orderBy("source")
+    }),
+    "emb_centroid_confusion" -> ((s, dir) => {
+      // do the labels separate in embedding space? nearest-centroid
+      // confusion with exact integer distances, floored integer centroids
+      Similarity.centroidConfusion(docs(s, dir, "embeddings"))
+        .orderBy("true_label", "pred_label")
+    }),
+    "emb_kcenter" -> ((s, dir) => {
+      // greedy farthest-point diversity seeds: k−1 single-pass rounds
+      // against the newest seed, running min-distance carries the rest
+      Similarity.kcenterSeeds(docs(s, dir, "embeddings"))
+        .orderBy("seed_rank")
     })
   )
 

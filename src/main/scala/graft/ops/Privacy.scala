@@ -19,10 +19,11 @@ object Privacy {
 
   /** k-anonymity / l-diversity audit over customers with quasi-identifiers
     * (nation, 1000-currency-unit balance bucket) and sensitive attribute
-    * mktsegment. The bucket shifts cents by +100000 before dividing so the
-    * division operates on positives — Spark `div` truncates toward zero
-    * while DuckDB `//` floors, and they only agree on non-negative
-    * operands (balances start at −999.99). */
+    * mktsegment. The bucket shifts cents by +100000 before dividing so
+    * negative balances land in non-negative, contiguous bucket ids
+    * (truncating division would otherwise fold (−999, 999) into one
+    * double-width bucket 0; Spark `div` and DuckDB `//` both truncate
+    * toward zero — verified: −417//46 = −9 in both). */
   def kAnonymity(cust: DataFrame, kMin: Long = 5, lMin: Long = 2): DataFrame =
     cust
       .select(col("c_nationkey").cast("long").as("nation"),

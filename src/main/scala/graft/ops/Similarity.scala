@@ -808,4 +808,88 @@ object Similarity {
         expr(s"d2_proj * 1000 div ($dProj * greatest(d2_orig, 1))")
           .as("ratio_pm"))
   }
+
+  /** Nearest-centroid confusion matrix: do the labeled clusters actually
+    * separate in embedding space? Milli-quantized integer geometry
+    * throughout: per-label centroids as floored integer means
+    * (sum div n per dimension — replayable), every vector assigned to
+    * its nearest centroid (exact integer squared distance, label-asc tie
+    * break), and the (true, predicted) confusion rollup with per-true-
+    * label permille shares. High off-diagonal mass = the labels are not
+    * an embedding-space signal.
+    *
+    * Shape: one label-keyed centroid aggregate; assignment joins each
+    * vector's dims against the BROADCAST (labels × dim) centroid table —
+    * per-vector work is the standard L·D nearest-centroid cost, nothing
+    * quadratic in corpus size. */
+  def centroidConfusion(emb: DataFrame): DataFrame = {
+    val q = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("label"), col("d"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("q"))
+    val cent = q.groupBy("label", "d")
+      // truncating integer division on BOTH sides: Spark `div` and
+      // DuckDB `//` agree (both round toward zero — verified on
+      // negatives: -417//46 = -9 in DuckDB, not floor's -10)
+      .agg(expr("sum(q) div count(1)").as("c"))
+      .select(col("label").as("cl"), col("d"), col("c"))
+    val assigned = q.join(broadcast(cent), Seq("d"))
+      .groupBy(col("vec_id"), col("label"), col("cl"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+      .groupBy("vec_id", "label")
+      .agg(min(struct(col("d2"), col("cl"))).as("m"))
+      .select(col("label").as("true_label"), col("m.cl").as("pred_label"))
+    val wTrue = org.apache.spark.sql.expressions.Window
+      .partitionBy("true_label")
+    assigned.groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_pm",
+        expr("n * 1000") / sum(col("n")).over(wTrue))
+      .withColumn("row_pm", expr("CAST(row_pm AS BIGINT)"))
+  }
+
+  /** k-center diversity seeds (greedy farthest-point / Gonzalez): start
+    * from the smallest vec_id, then repeatedly take the vector farthest
+    * from its nearest chosen seed — the classic coreset/diversity
+    * selection for "which k documents summarize this embedding space".
+    * Exact milli-integer distances, vec_id-asc tie break, so the DuckDB
+    * oracle unrolls the same k−1 steps bit-for-bit.
+    *
+    * Shape: k−1 rounds, each ONE distance pass against the newest seed
+    * (the running min-distance column makes earlier seeds free) and one
+    * TakeOrdered(1); seeds are single collected rows (metadata, not
+    * payload). The 2-approximation guarantee of greedy k-center is the
+    * standard trade for never materializing pairwise distances. */
+  def kcenterSeeds(emb: DataFrame, k: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("q"))
+    q.persist()
+    def dist2To(seed: Long) = {
+      val sv = q.where(col("vec_id") === seed)
+        .select(col("d"), col("q").as("sq"))
+      q.join(broadcast(sv), Seq("d"))
+        .groupBy("vec_id")
+        .agg(sum((col("q") - col("sq")) * (col("q") - col("sq"))).as("d2"))
+    }
+    val first = emb.agg(min(col("vec_id"))).head().getLong(0)
+    var minD2 = dist2To(first).withColumnRenamed("d2", "md2")
+    var chosen = List((1L, first, 0L))
+    (2 to k).foreach { rank =>
+      val next = minD2.orderBy(col("md2").desc, col("vec_id").asc)
+        .head()
+      val sid = next.getLong(0)
+      chosen ::= ((rank.toLong, sid, next.getLong(1)))
+      if (rank < k) {
+        minD2 = minD2.join(dist2To(sid), Seq("vec_id"))
+          .select(col("vec_id"), least(col("md2"), col("d2")).as("md2"))
+          .localCheckpoint(true)
+      }
+    }
+    q.unpersist()
+    chosen.reverse.toDF("seed_rank", "vec_id", "radius_d2")
+  }
 }
