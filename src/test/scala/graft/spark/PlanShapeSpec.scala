@@ -277,6 +277,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("dedup_boilerplate_masked", maxExchange = 8)
   }
 
+  test("waves 115-121 queries: bounded exchanges, no cartesian products") {
+    // measured 2026-08-20 at sf0.001; bounds are the measured counts —
+    // a widening diff fails here before it fails at corpus scale.
+    // corpus-touching exchanges are far fewer than the totals: e.g.
+    // gate_shapley's 9 include 8 over ≤16-row subset tables
+    assertShape("text_collocations", maxExchange = 8)
+    assertShape("dedup_titles", maxExchange = 4)
+    assertShape("events_survival", maxExchange = 5)
+    assertShape("events_scd2", maxExchange = 2)
+    for (q <- Seq("code_langid", "code_minified", "code_sloc"))
+      assertShape(q, maxExchange = 1)
+    assertShape("emb_jl_audit", maxExchange = 8)
+    assertShape("er_customers", maxExchange = 4)
+    assertShape("corpus_bootstrap", maxExchange = 4)
+    assertShape("privacy_k_anonymity", maxExchange = 3)
+    assertShape("privacy_release_gate", maxExchange = 3)
+    assertShape("gate_cascade_plan", maxExchange = 1)
+    assertShape("shard_balance", maxExchange = 1)
+    assertShape("gate_shapley", maxExchange = 9)
+    assertShape("text_burstiness", maxExchange = 2)
+  }
+
+  test("waves 122-128 queries: bounded exchanges, no cartesian/nested-loop on data tables") {
+    assertShape("range_bucket_join", maxExchange = 3,
+      forbidden = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    assertShape("join_skew_estimate", maxExchange = 2)
+    assertShape("stats_ks_test", maxExchange = 3)
+    assertShape("source_length_quantiles", maxExchange = 2)
+    assertShape("blocklist_match", maxExchange = 1)
+    assertShape("ivm_merge_audit", maxExchange = 5)
+    assertShape("truncation_curve", maxExchange = 1)
+    assertShape("feature_hash_audit", maxExchange = 3)
+    assertShape("hamilton_allocation", maxExchange = 2)
+    assertShape("train_interleave", maxExchange = 1)
+    assertShape("quality_rank_blend", maxExchange = 2)
+    assertShape("mixture_waterfill", maxExchange = 2)
+    assertShape("emb_centroid_confusion", maxExchange = 7)
+  }
+
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
     val pages = PagesTable.synthesize(spark, 16, 4)
     // default path: payload parsed where produced, zero Exchange
