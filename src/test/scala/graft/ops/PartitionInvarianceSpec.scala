@@ -51,7 +51,17 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "url_dedup", "url_domain_stats", "mirror_domains", "redirect_resolve",
     "sample_priority", "sample_quota", "split_holdout", "corpus_pack",
     "quality_dsir", "quality_perceptron", "quality_calibration",
-    "events_ctr_smoothing")
+    "events_ctr_smoothing",
+    // waves 115-128: every new shuffle-carrying operator
+    "text_collocations", "dedup_titles", "events_survival", "events_scd2",
+    "emb_jl_audit", "er_customers", "corpus_bootstrap",
+    "privacy_k_anonymity", "privacy_release_gate", "gate_cascade_plan",
+    "shard_balance", "gate_shapley", "text_burstiness",
+    "range_bucket_join", "join_skew_estimate", "stats_ks_test",
+    "source_length_quantiles", "ivm_merge_audit", "truncation_curve",
+    "feature_hash_audit", "hamilton_allocation", "train_interleave",
+    "quality_rank_blend", "mixture_waterfill", "emb_centroid_confusion",
+    "emb_kcenter", "dedup_venn")
 
   /** Canonical dump: JSON rows sorted — order- and layout-free. */
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
