@@ -1663,6 +1663,49 @@ object OracleSql {
          |SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keeper
          |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
 
+    // mirrors Dedup.noveltyForecast on the same replica corpus:
+    // Good–Turing unseen mass N1/n and bias-corrected Chao1
+    "crawl_novelty_forecast" ->
+      s"""WITH $corpusCte,
+         |sizes AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS c
+         |  FROM corpus GROUP BY 1),
+         |a AS (SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_distinct,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         |  FROM sizes)
+         |SELECT n_docs, n_distinct, f1, f2,
+         |  f1 * 1000 // n_docs AS gt_unseen_pm,
+         |  n_distinct + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS chao1_est
+         |FROM a""".stripMargin,
+
+    // mirrors Relational.crostonForecast: recursive replay of the twin
+    // integer-milli EWMAs (size and interval, alpha = 0.2)
+    "events_croston" ->
+      """WITH RECURSIVE daily AS (SELECT day, cents FROM (
+        |    SELECT CAST(ts AS DATE) AS day,
+        |      CAST(round(sum(value) * 100) AS BIGINT) AS cents
+        |    FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |  WHERE cents > 0),
+        |g AS (SELECT day, cents,
+        |    CAST(coalesce(date_diff('day', lag(day) OVER (ORDER BY day), day),
+        |      1) AS BIGINT) AS gap_days,
+        |    row_number() OVER (ORDER BY day) AS rn
+        |  FROM daily),
+        |rec AS (
+        |  SELECT rn, day, cents, gap_days,
+        |    cents * 1000 AS z, gap_days * 1000 AS p
+        |  FROM g WHERE rn = 1
+        |  UNION ALL
+        |  SELECT g.rn, g.day, g.cents, g.gap_days,
+        |    (200 * g.cents * 1000 + 800 * r.z) // 1000,
+        |    (200 * g.gap_days * 1000 + 800 * r.p) // 1000
+        |  FROM g JOIN rec r ON g.rn = r.rn + 1)
+        |SELECT day, cents, gap_days, CAST(z AS BIGINT) AS z_milli,
+        |  CAST(p AS BIGINT) AS p_milli,
+        |  CAST(z * 1000 // greatest(p, 1) AS BIGINT) AS rate_milli
+        |FROM rec ORDER BY day""".stripMargin,
+
     "dedup_minhash_lsh" ->
       s"""WITH $corpusCte, $shinglesCte
          |SELECT a.doc_id AS a, b.doc_id AS b,

@@ -4831,6 +4831,17 @@ object SparkEntry {
       // against the newest seed, running min-distance carries the rest
       Similarity.kcenterSeeds(docs(s, dir, "embeddings"))
         .orderBy("seed_rank")
+    }),
+    "crawl_novelty_forecast" -> ((s, dir) => {
+      // Good–Turing unseen mass + Chao1 richness from the dup-cluster
+      // size spectrum: is another crawl worth it? two rollups, one row
+      Dedup.noveltyForecast(Dedup.corpusWithReplicas(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+    }),
+    "events_croston" -> ((s, dir) => {
+      // intermittent-demand smoother: size and interval smoothed apart,
+      // integer milli fold over the bounded nonzero-day array
+      Relational.crostonForecast(docs(s, dir, "events")).orderBy("day")
     })
   )
 

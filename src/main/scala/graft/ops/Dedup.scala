@@ -1324,6 +1324,29 @@ object Dedup {
       .select(col("mask"), col("detectors"), col("n_pairs"))
   }
 
+  /** Crawl-novelty forecast from the duplicate-cluster size spectrum
+    * (Good–Turing + Chao1): the frequency-of-frequencies of md5 clusters
+    * gives (a) Good–Turing's unseen-mass estimate N1/n — the probability
+    * the next crawled page is NEW — and (b) the bias-corrected Chao1
+    * richness estimate d + N1(N1−1)/(2(N2+1)) — how many distinct pages
+    * exist including never-seen ones. The "is another crawl worth it"
+    * decision from two rollups: ONE md5 aggregate (cluster sizes) and one
+    * size-histogram aggregate; everything else is arithmetic on a
+    * histogram-sized table. All integer (permille / floor). */
+  def noveltyForecast(corpus: DataFrame): DataFrame = {
+    val sizes = corpus.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    sizes.agg(
+      sum(col("c")).as("n_docs"),
+      count(lit(1)).as("n_distinct"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_docs"), col("n_distinct"), col("f1"), col("f2"),
+        expr("f1 * 1000 div n_docs").as("gt_unseen_pm"),
+        expr("n_distinct + (f1 * (f1 - 1)) div (2 * (f2 + 1))")
+          .as("chao1_est"))
+  }
+
   /** Title corpus for edit-distance near-dup: title = first 7 words of the
     * document, plus a planted mutated copy (id + 500000) for every
     * doc_id % 41 == 3 — first letter case-flipped and last character

@@ -1132,6 +1132,56 @@ object Relational {
         col("max_merged"), col("consistent"))
   }
 
+  /** Croston's method for INTERMITTENT demand (the right smoother when a
+    * series is mostly zeros — per-day purchase value here): on each
+    * nonzero day, smooth the demand SIZE and the INTER-ARRIVAL interval
+    * separately (α = 0.2, integer milli: z' = (200·y + 800·z) div 1000,
+    * same for p), forecast rate = z/p. Plain EWMA on such a series decays
+    * toward zero between arrivals and systematically under-forecasts —
+    * that bias is why this operator exists next to `events_ewma`.
+    *
+    * Shape: ONE day rollup (the only corpus pass); the sequential smooth
+    * folds over the ≤study-length nonzero-day array (same bounded
+    * aggregate() pattern as `events_survival`), replayed by a recursive
+    * CTE in the oracle. */
+  def crostonForecast(events: DataFrame,
+                      eventType: String = "purchase"): DataFrame = {
+    val daily = events
+      .where(col("event_type") === eventType)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("CAST(round(sum(value) * 100) AS BIGINT)").as("cents"))
+      .where(col("cents") > 0)
+    val first = Window.orderBy("day")
+    val withGap = daily
+      .withColumn("prev_day", lag(col("day"), 1).over(first))
+      .withColumn("gap_days",
+        coalesce(datediff(col("day"), col("prev_day")), lit(1)).cast("long"))
+    withGap
+      .agg(sort_array(collect_list(struct(col("day"), col("cents"),
+        col("gap_days")))).as("ds"))
+      .select(explode(expr(
+        """aggregate(ds,
+          |  named_struct('z', CAST(-1 AS BIGINT), 'p', CAST(-1 AS BIGINT),
+          |    'out', CAST(array() AS ARRAY<STRUCT<day: DATE, cents: BIGINT,
+          |      gap_days: BIGINT, z_milli: BIGINT, p_milli: BIGINT>>)),
+          |  (acc, x) -> named_struct(
+          |    'z', CASE WHEN acc.z < 0 THEN x.cents * 1000
+          |         ELSE (200 * x.cents * 1000 + 800 * acc.z) div 1000 END,
+          |    'p', CASE WHEN acc.p < 0 THEN x.gap_days * 1000
+          |         ELSE (200 * x.gap_days * 1000 + 800 * acc.p) div 1000 END,
+          |    'out', concat(acc.out, array(named_struct(
+          |      'day', x.day, 'cents', x.cents, 'gap_days', x.gap_days,
+          |      'z_milli', CASE WHEN acc.z < 0 THEN x.cents * 1000
+          |        ELSE (200 * x.cents * 1000 + 800 * acc.z) div 1000 END,
+          |      'p_milli', CASE WHEN acc.p < 0 THEN x.gap_days * 1000
+          |        ELSE (200 * x.gap_days * 1000 + 800 * acc.p) div 1000 END)))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.day"), col("r.cents"), col("r.gap_days"),
+        col("r.z_milli"), col("r.p_milli"),
+        expr("r.z_milli * 1000 div greatest(r.p_milli, 1)")
+          .as("rate_milli"))
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) interval history from an
     * event stream: per user, consecutive runs of the derived `tier`
     * attribute (value-bucket low/mid/high) collapse into versioned
