@@ -1706,6 +1706,58 @@ object OracleSql {
         |  CAST(z * 1000 // greatest(p, 1) AS BIGINT) AS rate_milli
         |FROM rec ORDER BY day""".stripMargin,
 
+    // mirrors Dedup.thresholdCurve: the verified blocked candidate pass
+    // at a 0.3 floor, then the per-threshold filter + distinct-doc
+    // rollups over the pair set
+    "dedup_threshold_curve" ->
+      s"""WITH $corpusCte, $shinglesCte,
+         |shb AS (SELECT doc_id, string_split(text,' ')[1] AS blk, s
+         |        FROM corpus JOIN sh USING (doc_id) WHERE len(s) > 0),
+         |cand AS (SELECT a.doc_id AS a, b.doc_id AS b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS i,
+         |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS u
+         |  FROM shb a JOIN shb b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) >=
+         |    len(list_distinct(list_concat(a.s, b.s))) * 0.3),
+         |th(t) AS (VALUES (500), (600), (700), (800), (900)),
+         |f AS (SELECT th.t, cand.a, cand.b FROM th JOIN cand
+         |  ON cand.i * 1000 >= th.t * cand.u),
+         |p AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs FROM f
+         |  GROUP BY 1),
+         |d AS (SELECT t, CAST(count(DISTINCT dd) AS BIGINT) AS n_docs FROM (
+         |    SELECT t, a AS dd FROM f UNION ALL SELECT t, b AS dd FROM f)
+         |  GROUP BY 1)
+         |SELECT CAST(th.t AS BIGINT) AS threshold_pm,
+         |  coalesce(p.n_pairs, 0) AS n_pairs, coalesce(d.n_docs, 0) AS n_docs
+         |FROM th LEFT JOIN p ON p.t = th.t LEFT JOIN d ON d.t = th.t
+         |ORDER BY threshold_pm""".stripMargin,
+
+    // mirrors StatTests.conformalBounds: finite-sample-adjusted rank
+    // selection on the even half, realized coverage on the odd half
+    "conformal_length_bounds" ->
+      """WITH v AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(text) - length(replace(text, ' ', '')) + 1
+        |    END AS v
+        |  FROM documents),
+        |cal AS (SELECT v,
+        |    row_number() OVER (ORDER BY v, doc_id) AS r,
+        |    count(*) OVER () AS n
+        |  FROM v WHERE doc_id % 2 = 0),
+        |b AS (SELECT CAST(max(n) AS BIGINT) AS n_cal,
+        |    CAST(sum(CASE WHEN r = greatest(1, ((n + 1) * 50) // 1000)
+        |      THEN v END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN r = least(n, ((n + 1) * 950 + 999) // 1000)
+        |      THEN v END) AS BIGINT) AS hi
+        |  FROM cal),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN v.v BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_covered
+        |  FROM v, b WHERE doc_id % 2 <> 0)
+        |SELECT b.n_cal, t.n_test, b.lo, b.hi,
+        |  t.n_covered * 1000 // greatest(t.n_test, 1) AS coverage_pm
+        |FROM b, t""".stripMargin,
+
     "dedup_minhash_lsh" ->
       s"""WITH $corpusCte, $shinglesCte
          |SELECT a.doc_id AS a, b.doc_id AS b,

@@ -4842,6 +4842,18 @@ object SparkEntry {
       // intermittent-demand smoother: size and interval smoothed apart,
       // integer milli fold over the bounded nonzero-day array
       Relational.crostonForecast(docs(s, dir, "events")).orderBy("day")
+    }),
+    "dedup_threshold_curve" -> ((s, dir) => {
+      // Jaccard threshold-sensitivity sweep: one blocked candidate pass
+      // (verified jaccardBlocked machinery) feeds every threshold
+      Dedup.thresholdCurve(Dedup.corpusWithReplicas(
+        docs(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy("threshold_pm")
+    }),
+    "conformal_length_bounds" -> ((s, dir) => {
+      // split-conformal token-count interval: finite-sample-adjusted
+      // ranks on the even-id half, realized coverage on the odd half
+      graft.ops.StatTests.conformalBounds(docs(s, dir, "documents"))
     })
   )
 

@@ -1324,6 +1324,38 @@ object Dedup {
       .select(col("mask"), col("detectors"), col("n_pairs"))
   }
 
+  /** Jaccard threshold-sensitivity curve: how many pairs (and how many
+    * documents) a dedup pass would touch at each candidate threshold —
+    * the before-you-commit calibration table for the 0.7-vs-0.8 decision
+    * the banded detectors then target. ONE blocked candidate pass (the
+    * verified [[jaccardBlocked]] machinery at a 0.3 floor) feeds the
+    * whole sweep; the per-threshold filter and the distinct-doc rollups
+    * run on the pair set, so the corpus is scanned once no matter how
+    * many thresholds are probed. Thresholds with zero qualifying pairs
+    * still emit (left join against the threshold list). */
+  def thresholdCurve(corpus: DataFrame,
+                     thresholdsPm: Seq[Long] =
+                       Seq(500L, 600L, 700L, 800L, 900L)): DataFrame = {
+    val cand = jaccardBlocked(corpus, threshold = 0.3)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val filtered = cand
+      .select(col("a"), col("b"), col("inter_cnt"), col("union_cnt"),
+        explode(array(thresholdsPm.map(lit): _*)).as("threshold_pm"))
+      .where(col("inter_cnt") * 1000 >= col("threshold_pm") * col("union_cnt"))
+    val nPairs = filtered.groupBy("threshold_pm")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = filtered
+      .select(col("threshold_pm"), explode(array(col("a"), col("b"))).as("d"))
+      .groupBy("threshold_pm").agg(countDistinct(col("d")).as("n_docs"))
+    thresholdsPm.toDF("threshold_pm")
+      .join(nPairs, Seq("threshold_pm"), "left")
+      .join(nDocs, Seq("threshold_pm"), "left")
+      .select(col("threshold_pm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** Crawl-novelty forecast from the duplicate-cluster size spectrum
     * (Good–Turing + Chao1): the frequency-of-frequencies of md5 clusters
     * gives (a) Good–Turing's unseen-mass estimate N1/n — the probability

@@ -77,4 +77,41 @@ object StatTests {
       .select(col("source"), col("n_docs"), col("p25"), col("p50"),
         col("p75"), col("p95"))
   }
+
+  /** Split-conformal prediction interval for the token count: the
+    * calibration half (even doc_ids) yields the finite-sample-adjusted
+    * empirical quantile ranks ⌈(n+1)·α/2⌉ and ⌈(n+1)·(1−α/2)⌉, and the
+    * held-out half measures realized coverage. For exchangeable rows the
+    * interval is guaranteed ≥ 1−α coverage WITHOUT distributional
+    * assumptions — the honest "what lengths are normal" band a pipeline
+    * alerts on. All rank selection and integer permille (α in permille);
+    * one pass per half, the bounds broadcast to the test side. */
+  def conformalBounds(docs: DataFrame, alphaPm: Long = 100L): DataFrame = {
+    val tok = TextStats.tokenCountCol(col("text"))
+    val vals = docs.select(col("doc_id"), tok.as("v"))
+    val half = alphaPm / 2
+    val ranked = vals.where(col("doc_id") % 2 === 0)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("v").asc, col("doc_id").asc)))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val bounds = ranked.agg(
+      max(col("n")).as("n_cal"),
+      sum(when(col("r") ===
+        expr(s"greatest(1, ((n + 1) * $half) div 1000)"), col("v")))
+        .as("lo"),
+      sum(when(col("r") ===
+        expr(s"least(n, ((n + 1) * ${1000 - half} + 999) div 1000)"),
+        col("v"))).as("hi"))
+    vals.where(col("doc_id") % 2 =!= 0)
+      .crossJoin(broadcast(bounds))
+      .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(when(col("v").between(col("lo"), col("hi")), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .select(col("n_cal"), col("n_test"), col("lo"), col("hi"),
+        expr("n_covered * 1000 div greatest(n_test, 1)")
+          .as("coverage_pm"))
+  }
 }
