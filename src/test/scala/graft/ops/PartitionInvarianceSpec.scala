@@ -61,7 +61,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "source_length_quantiles", "ivm_merge_audit", "truncation_curve",
     "feature_hash_audit", "hamilton_allocation", "train_interleave",
     "quality_rank_blend", "mixture_waterfill", "emb_centroid_confusion",
-    "emb_kcenter", "dedup_venn")
+    "emb_kcenter", "dedup_venn",
+    "crawl_novelty_forecast", "events_croston", "dedup_threshold_curve",
+    "conformal_length_bounds")
 
   /** Canonical dump: JSON rows sorted — order- and layout-free. */
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =

@@ -314,6 +314,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assertShape("quality_rank_blend", maxExchange = 2)
     assertShape("mixture_waterfill", maxExchange = 2)
     assertShape("emb_centroid_confusion", maxExchange = 7)
+    // wave 131-132 closers (measured)
+    assertShape("crawl_novelty_forecast", maxExchange = 2)
+    assertShape("events_croston", maxExchange = 3)
+    assertShape("dedup_threshold_curve", maxExchange = 5)
+    assertShape("conformal_length_bounds", maxExchange = 3)
   }
 
   test("flagship extraction is shuffle-free by default; salting is the ONE opt-in Exchange") {
