@@ -30,58 +30,39 @@ object Quantize {
 
   /** Codebook formula: cval(j, t) = ((j·31 + t·17) mod 2001) − 1000 for
     * centroid j at GLOBAL dim t — spans the same milli-unit range as
-    * unit-norm embedding components. Mirrored verbatim in the oracle. */
+    * unit-norm embedding components. Mirrored verbatim in the oracle.
+    *
+    * The argmin runs in the codegen'd [[graft.functions.VecFns.pqEncode]]
+    * kernel (one primitive loop per row) instead of the former nested
+    * `transform`/`aggregate` HOFs, which are CodegenFallback and paid
+    * ~1024 interpreted lambda steps per row — identical integer math,
+    * identical packed (dist, code) argmin, two orders of magnitude less
+    * per-row cost (guide step 4). */
   def pqEncode(embeddings: DataFrame, dim: Int = 64, m: Int = 4,
                ks: Int = 16): DataFrame = {
     require(dim % m == 0, "dim must split evenly into m subspaces")
     require(ks == 16, "ks fixed at 16: the packed argmin decodes by >> 4")
-    val d0 = dim / m
-    val subs = transform(sequence(lit(0), lit(m - 1)), s => {
-      val packed = array_min(transform(sequence(lit(0), lit(ks - 1)), j => {
-        val dist = aggregate(
-          sequence(s * lit(d0), s * lit(d0) + lit(d0 - 1)), lit(0L),
-          (acc, t) => {
-            val q = floor(element_at(col("embedding"), t + 1).cast("double") * 1000)
-              .cast("long")
-            val cv = (pmod(j * 31 + t * 17, lit(2001)) - 1000).cast("long")
-            acc + (q - cv) * (q - cv)
-          })
-        dist * ks + j.cast("long")
-      }))
-      struct(s.cast("long").as("sub"),
-        pmod(packed, lit(ks.toLong)).as("code"),
-        shiftright(packed, 4).as("err"))
-    })
-    embeddings.select(col("vec_id"), explode(subs).as("e"))
+    graft.functions.VecRegistry.register(embeddings.sparkSession)
+    embeddings.select(col("vec_id"),
+      explode(call_function("vec_pq_encode_native",
+        col("embedding"), lit(dim), lit(m), lit(ks))).as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"),
         col("e.code").as("code"), col("e.err").as("err"))
   }
 
   /** Codes array column (m entries) for an embedding column — the
-    * serving-table layout. Same argmin as [[pqEncode]]. */
-  private def codesCol(emb: Column, dim: Int, m: Int, ks: Int): Column = {
-    val d0 = dim / m
-    transform(sequence(lit(0), lit(m - 1)), s => {
-      val packed = array_min(transform(sequence(lit(0), lit(ks - 1)), j => {
-        val dist = aggregate(
-          sequence(s * lit(d0), s * lit(d0) + lit(d0 - 1)), lit(0L),
-          (acc, t) => {
-            val q = floor(element_at(emb, t + 1).cast("double") * 1000)
-              .cast("long")
-            val cv = (pmod(j * 31 + t * 17, lit(2001)) - 1000).cast("long")
-            acc + (q - cv) * (q - cv)
-          })
-        dist * ks + j.cast("long")
-      }))
-      pmod(packed, lit(ks.toLong))
-    })
-  }
+    * serving-table layout. Same argmin as [[pqEncode]], same codegen'd
+    * kernel. Callers must have registered [[graft.functions.VecRegistry]]
+    * on the session that analyzes the plan. */
+  private def codesCol(emb: Column, dim: Int, m: Int, ks: Int): Column =
+    call_function("vec_pq_codes_native", emb, lit(dim), lit(m), lit(ks))
 
   /** Codes as one array<long> per vector (the serving-table layout: m
     * codes per row instead of m rows). Same argmin as [[pqEncode]]. */
   def pqCodes(embeddings: DataFrame, dim: Int = 64, m: Int = 4,
               ks: Int = 16): DataFrame = {
     require(dim % m == 0 && ks == 16)
+    graft.functions.VecRegistry.register(embeddings.sparkSession)
     embeddings.select(col("vec_id"),
       codesCol(col("embedding"), dim, m, ks).as("codes"))
   }
@@ -101,19 +82,18 @@ object Quantize {
     * window). Output: (vec_id, rank, neighbor_id, dist). */
   def adcTopK(embeddings: DataFrame, nQueries: Int, k: Int,
               dim: Int = 64, m: Int = 4): DataFrame = {
-    val d0 = dim / m
+    graft.functions.VecRegistry.register(embeddings.sparkSession)
     val codes = pqCodes(embeddings, dim, m)
+    // each query ships its m·ks ADC lookup table instead of the raw
+    // embedding: LUT[s][j] = Σ_t (q_t − c(j,t))², so per-candidate work
+    // drops from m·d0 multiply-adds to m table lookups (Jégou §5.2) —
+    // integer addition is associative, the regrouped sum is bit-identical
     val queries = embeddings.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val dist = aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, s) =>
-      acc + aggregate(
-        sequence(s * lit(d0), s * lit(d0) + lit(d0 - 1)), lit(0L),
-        (a2, t) => {
-          val q = floor(element_at(col("qe"), t + 1).cast("double") * 1000).cast("long")
-          val j = element_at(col("codes"), s + 1)
-          val cv = (pmod(j * 31 + t * 17, lit(2001)) - 1000).cast("long")
-          a2 + (q - cv) * (q - cv)
-        }))
+      .select(col("vec_id").as("qid"),
+        call_function("vec_adc_lut_native",
+          col("embedding"), lit(dim), lit(m), lit(16)).as("lut"))
+    val dist = call_function("vec_adc_dist_native",
+      col("lut"), col("codes"), lit(16))
     val scored = codes.crossJoin(broadcast(queries))
       .where(col("vec_id") =!= col("qid")) // self is trivially nearest
       .select(col("qid"), col("vec_id").as("cid"),
@@ -130,15 +110,7 @@ object Quantize {
     * PQ codebook, over the FULL dimension. Packed argmin (dist·nlist+j),
     * deterministic ties. */
   private def cellOf(emb: Column, dim: Int, nlist: Int): Column =
-    pmod(array_min(transform(sequence(lit(0), lit(nlist - 1)), j => {
-      val dist = aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
-        (acc, t) => {
-          val q = floor(element_at(emb, t + 1).cast("double") * 1000).cast("long")
-          val cv = (pmod(j * 53 + t * 29, lit(2001)) - 1000).cast("long")
-          acc + (q - cv) * (q - cv)
-        })
-      dist * nlist + j.cast("long")
-    })), lit(nlist.toLong))
+    call_function("vec_ivf_cell_native", emb, lit(dim), lit(nlist))
 
   /** IVF + ADC — the composed 10^12-row serve pipeline: a coarse router
     * prunes the scan to each query's `nprobe` nearest cells, and PQ
@@ -154,35 +126,23 @@ object Quantize {
   def ivfAdcTopK(embeddings: DataFrame, nQueries: Int, k: Int,
                  dim: Int = 64, m: Int = 4, nlist: Int = 16,
                  nprobe: Int = 4): DataFrame = {
-    val d0 = dim / m
+    graft.functions.VecRegistry.register(embeddings.sparkSession)
     // codes and routing cell in ONE narrow projection — no second
-    // embedding scan, no vec_id self-join
+    // embedding scan, no vec_id self-join; both are codegen'd kernels
     val corpus = embeddings.select(col("vec_id"),
       codesCol(col("embedding"), dim, m, ks = 16).as("codes"),
       cellOf(col("embedding"), dim, nlist).as("cell"))
+    // queries carry their ADC lookup table (see [[adcTopK]]) and explode
+    // to nprobe (cell, qid, lut) rows — nearest cells from the same
+    // packed (dist, j) sort as before, in one codegen'd kernel
     val queries = embeddings.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        // nprobe nearest cells: sort the packed (dist, j) array, decode
-        explode(transform(
-          slice(array_sort(transform(sequence(lit(0), lit(nlist - 1)), j => {
-            val dist = aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
-              (acc, t) => {
-                val q = floor(element_at(col("embedding"), t + 1).cast("double") * 1000).cast("long")
-                val cv = (pmod(j * 53 + t * 29, lit(2001)) - 1000).cast("long")
-                acc + (q - cv) * (q - cv)
-              })
-            dist * nlist + j.cast("long")
-          })), 1, nprobe),
-          p => pmod(p, lit(nlist.toLong)))).as("cell"))
-    val dist = aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, s) =>
-      acc + aggregate(
-        sequence(s * lit(d0), s * lit(d0) + lit(d0 - 1)), lit(0L),
-        (a2, t) => {
-          val q = floor(element_at(col("qe"), t + 1).cast("double") * 1000).cast("long")
-          val j = element_at(col("codes"), s + 1)
-          val cv = (pmod(j * 31 + t * 17, lit(2001)) - 1000).cast("long")
-          a2 + (q - cv) * (q - cv)
-        }))
+      .select(col("vec_id").as("qid"),
+        call_function("vec_adc_lut_native",
+          col("embedding"), lit(dim), lit(m), lit(16)).as("lut"),
+        explode(call_function("vec_ivf_probes_native",
+          col("embedding"), lit(dim), lit(nlist), lit(nprobe))).as("cell"))
+    val dist = call_function("vec_adc_dist_native",
+      col("lut"), col("codes"), lit(16))
     val scored = corpus.join(broadcast(queries), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"), (-dist).cast("double").as("sim"))
@@ -215,6 +175,7 @@ object Quantize {
                     threshold: Double = 0.95, maxCell: Int = 10000): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    graft.functions.VecRegistry.register(spark)
     val routed = embeddings
       .select(col("vec_id"), col("embedding"),
         cellOf(col("embedding"), dim, nlist).as("cell"))

@@ -97,15 +97,19 @@ object Similarity {
         col("hit._2").as("neighbor_id"), round(col("hit._1"), 4).as("sim"))
   }
 
-  /** Cosine similarity between two array<float|double> columns, computed in
-    * double, as a codegen-friendly expression (functions.aggregate/zip_with —
-    * no UDF). */
-  def cosineCol = {
-    expr("""
-      aggregate(zip_with(qe, ce, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, v) -> s + v)
-      / (sqrt(aggregate(qe, 0D, (s, v) -> s + cast(v as double) * cast(v as double)))
-         * sqrt(aggregate(ce, 0D, (s, v) -> s + cast(v as double) * cast(v as double))))
-    """)
+  /** Cosine similarity between two array<float> columns `qe`/`ce`, computed
+    * in double by the codegen'd [[graft.functions.VecFns.cosineF]] kernel —
+    * the former `aggregate(zip_with(...))` HOF form is CodegenFallback and
+    * paid ~400 interpreted lambda steps (and three array allocations) per
+    * candidate pair; the kernel runs the IDENTICAL sequential double fold
+    * (dot and both norms ascending, then dot/(√na·√nb)) in one primitive
+    * loop, so every similarity value is bit-identical (guide step 4).
+    * Callers register [[graft.functions.VecRegistry]] on the session that
+    * analyzes the plan. */
+  def cosineCol: Column = {
+    try graft.functions.VecRegistry.register(SparkSession.active)
+    catch { case _: Throwable => () }
+    call_function("vec_cosine_native", col("qe"), col("ce"))
   }
 
   /** Brute-force cosine top-k: queries (vec_id < nQueries) × corpus. The
@@ -125,6 +129,7 @@ object Similarity {
     * identically — apply the ceiling after the exact re-rank. */
   def hardNegatives(embeddings: DataFrame, nQueries: Int, k: Int,
                     simCeiling: Double = 0.98): DataFrame = {
+    graft.functions.VecRegistry.register(embeddings.sparkSession)
     val base = embeddings.select(col("vec_id"), col("embedding"))
     val replicas = base.where(col("vec_id") < nQueries)
       .select((col("vec_id") + lit(100000L)).as("vec_id"),
@@ -141,6 +146,7 @@ object Similarity {
   }
 
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    graft.functions.VecRegistry.register(embeddings.sparkSession)
     val queries = embeddings.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val corpus = embeddings.select(col("vec_id").as("cid"), col("embedding").as("ce"))
@@ -170,6 +176,7 @@ object Similarity {
     * [[bruteForceTopK]]; the serving path stays IVF/LSH. */
   def filteredTopK(embeddings: DataFrame, nQueries: Int, k: Int,
                    nTags: Int = 4, overfetch: Int = 3): DataFrame = {
+    graft.functions.VecRegistry.register(embeddings.sparkSession)
     val base = embeddings.select(col("vec_id"), col("embedding"))
     val queries = base.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -214,6 +221,7 @@ object Similarity {
     * serving path stays IVF/PQ). */
   def truncationRecall(embeddings: DataFrame, nQueries: Int, k: Int,
                        dims: Int): DataFrame = {
+    graft.functions.VecRegistry.register(embeddings.sparkSession)
     val base = embeddings.select(col("vec_id"), col("embedding"))
     val queries = base.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -241,10 +249,10 @@ object Similarity {
     * survive the Double leg of [[TopKAgg]] bit-exactly and DuckDB replays
     * them), the trick that makes margin/power-iteration ops oracle-able. */
   private def quantCol(c: Column): Column =
-    transform(c, x => floor(x.cast("double") * lit(1000d)).cast("long"))
+    call_function("vec_quant_milli_native", c)
 
-  private val quantDotCol: Column =
-    expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), CAST(0 AS BIGINT), (s, v) -> s + v)")
+  private def quantDotCol: Column =
+    call_function("vec_quant_dot_native", col("qe"), col("ce"))
 
   /** Margin-criterion bitext mining (Artetxe & Schwenk 2019, the CCMatrix/
     * WikiMatrix parallel-corpus miner): for each source-side document, its
@@ -266,6 +274,7 @@ object Similarity {
   def bitextMargin(queriesA: DataFrame, corpusA: DataFrame, corpusB: DataFrame,
                    k: Int): DataFrame = {
     val spark = queriesA.sparkSession
+    graft.functions.VecRegistry.register(spark)
     val topk = udaf(new TopKAgg(2 * k))
     val qa = queriesA.select(col("vec_id").as("qid"), quantCol(col("embedding")).as("qe"))
     val cb = corpusB.select(col("vec_id").as("cid"), quantCol(col("embedding")).as("ce"))
@@ -530,6 +539,7 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, nQueries: Int, k: Int, bits: Int = 12,
               probes: Int = 24): DataFrame = {
     val spark = embeddings.sparkSession
+    graft.functions.VecRegistry.register(spark)
     import spark.implicits._
     val corpusB = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
@@ -568,6 +578,7 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int, nlist: Int = 16,
               nprobe: Int = 4, iters: Int = 3): DataFrame = {
     val spark = embeddings.sparkSession
+    graft.functions.VecRegistry.register(spark)
     import spark.implicits._
     val corpus = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
@@ -704,6 +715,7 @@ object Similarity {
                             maxBucket: Int = 10000): DataFrame = {
     require(bands * bits <= 64, "bands*bits must fit one 64-bit signature")
     val spark = embeddings.sparkSession
+    graft.functions.VecRegistry.register(spark)
     import spark.implicits._
     val mask = (1L << bits) - 1
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
@@ -754,6 +766,7 @@ object Similarity {
     * so the flag is exact. */
   def semanticDecontaminate(embeddings: DataFrame, nEval: Int = 20,
                             threshold: Double = 0.8): DataFrame = {
+    graft.functions.VecRegistry.register(embeddings.sparkSession)
     val evals = embeddings.where(col("vec_id") < nEval)
       .select(col("vec_id").as("eval_id"), col("embedding").as("qe"))
     val corpus = embeddings.where(col("vec_id") >= nEval)
