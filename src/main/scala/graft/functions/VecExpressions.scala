@@ -197,6 +197,24 @@ object VecFns {
     new GenericArrayData(out)
   }
 
+
+  /** Digest-byte twin of Sampling.md5Mod: unsigned little-endian 64-bit
+    * value of md5(s)[0..7], pmod m (m > 0). */
+  def md5Mod(s: org.apache.spark.unsafe.types.UTF8String, m: Long): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (d(i) & 0xffL); i -= 1 }
+    java.lang.Long.remainderUnsigned(v, m)
+  }
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** ADC distance: Σ_s LUT[s·ks + code_s] — bit-identical regrouping of
     * the direct Σ_s Σ_t integer sum. */
   def adcDist(lut: ArrayData, codes: ArrayData, ks: Int): Long = {
@@ -414,4 +432,24 @@ object VecRegistry {
     entries.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+}
+
+/** md5_mod_native(s string, m) → bigint: pmod(unsigned-LE-64(md5(s)[0..7]), m)
+  * — the exact value of Sampling.md5Mod's hex/conv/decimal pipeline
+  * (concat of reversed hex byte pairs = little-endian reinterpretation of
+  * the first 8 digest bytes; conv(·,16,10) into DECIMAL(20,0) = the
+  * unsigned 64-bit value; pmod by m), computed directly from digest bytes
+  * with Long.remainderUnsigned. No hex strings, no decimal parse. */
+final case class Md5ModExpr(child: Expression, m: Long) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expected string, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    VecFns.md5Mod(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecFns.md5Mod($c, ${m}L)")
+  override protected def withNewChildInternal(newChild: Expression): Md5ModExpr =
+    copy(child = newChild)
+  override def prettyName: String = "md5_mod_native"
 }

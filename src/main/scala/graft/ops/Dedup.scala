@@ -129,6 +129,18 @@ object Dedup {
     java.nio.ByteBuffer.wrap(d, 0, 8).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
   }
 
+  /** [[shingleHashMd5]] over a UTF-8 byte slice — identical value for the
+    * slice's string, without the per-position substring + String + UTF-8
+    * re-encode (substringSpans hashes every character position of every
+    * document; the string path tripled its allocation cost). */
+  def shingleHashMd5Bytes(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    java.nio.ByteBuffer.wrap(d, 0, 8).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+  }
+
   /** Lowercase MD5 hex of a UTF-8 string — identical to Spark's `md5()`
     * and DuckDB's `md5()`, for Scala-side paragraph/fingerprint keys. */
   def md5Hex(s: String): String = {
@@ -672,7 +684,12 @@ object Dedup {
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      val next = ccSmallStar(ccLargeStar(edges)).localCheckpoint(true)
+      // LAZY checkpoint: the signature aggregate right below is the first
+      // action and materializes the checkpoint in the same job — the
+      // eager form paid a separate materialization job per round (~80 ms
+      // of scheduler latency each on the bench host). Lineage truncation
+      // and results are identical.
+      val next = ccSmallStar(ccLargeStar(edges)).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig
       edges = next
@@ -1051,8 +1068,16 @@ object Dedup {
     import spark.implicits._
     val posGrams = corpus.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
-        (0 to t.length - L).iterator.map(i =>
-          (id, (i + 1).toLong, shingleHashMd5(t.substring(i, i + L))))
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (bytes.length == t.length)
+          // ASCII fast path: char offsets == byte offsets, so each L-gram
+          // hashes as a slice of the one encoded buffer — same digest
+          // bytes, none of the per-position substring/String/re-encode
+          (0 to t.length - L).iterator.map(i =>
+            (id, (i + 1).toLong, shingleHashMd5Bytes(bytes, i, L)))
+        else
+          (0 to t.length - L).iterator.map(i =>
+            (id, (i + 1).toLong, shingleHashMd5(t.substring(i, i + L))))
       }
       .toDF("doc_id", "pos", "h")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

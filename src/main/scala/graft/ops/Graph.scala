@@ -165,26 +165,30 @@ object Graph {
     var hubs = ids.select(col("id"), lit(1000000L).as("hub"))
     var auths = ids.select(col("id"), lit(1000000L).as("auth"))
     for (_ <- 1 to iters) {
+      // LAZY checkpoints: the max-aggregate right after each raw score
+      // table is its first action and materializes the checkpoint in the
+      // same job (the eager form paid a separate job per half-round).
+      // The normalized score tables need no checkpoint of their own —
+      // they are a single projection over the just-checkpointed raw
+      // table, so lineage stays one node deep either way.
       val aRaw = ids.join(
           edges.join(hubs, edges("src") === hubs("id"))
             .groupBy(col("dst")).agg(sum(col("hub")).as("s")),
           ids("id") === col("dst"), "left")
         .select(ids("id"), coalesce(col("s"), lit(0L)).as("s"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val aMax = math.max(aRaw.agg(max(col("s"))).collect()(0).getLong(0), 1L)
       auths = aRaw.select(col("id"),
         expr(s"s * 1000000 div CAST($aMax AS BIGINT)").as("auth"))
-        .localCheckpoint(true)
       val hRaw = ids.join(
           edges.join(auths, edges("dst") === auths("id"))
             .groupBy(col("src")).agg(sum(col("auth")).as("s")),
           ids("id") === col("src"), "left")
         .select(ids("id"), coalesce(col("s"), lit(0L)).as("s"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val hMax = math.max(hRaw.agg(max(col("s"))).collect()(0).getLong(0), 1L)
       hubs = hRaw.select(col("id"),
         expr(s"s * 1000000 div CAST($hMax AS BIGINT)").as("hub"))
-        .localCheckpoint(true)
     }
     hubs.join(auths, Seq("id")).select(col("id"), col("hub"), col("auth"))
   }

@@ -22,12 +22,17 @@ object Sampling {
   def md5Bucket(s: Column): Column = md5Mod(s, 1000L).cast("int")
 
   /** Generalized form: little-endian uint64 of the first 8 md5 bytes mod
-    * `m` — exactly DuckDB's `md5_number_upper(s) % m` — as a long. */
-  def md5Mod(s: Column, m: Long): Column = {
-    val h = md5(s)
-    val le = concat((7 to 0 by -1).map(i => substring(h, 1 + 2 * i, 2)): _*)
-    pmod(conv(le, 16, 10).cast(DecimalType(20, 0)), lit(m)).cast("long")
-  }
+    * `m` — exactly DuckDB's `md5_number_upper(s) % m` — as a long.
+    * Computed by the codegen'd [[graft.functions.Md5ModExpr]] directly
+    * from digest bytes (Long.remainderUnsigned); the former
+    * hex-substring/conv/DECIMAL(20,0) pipeline produced the identical
+    * value (Md5ModSpec pins them against each other) but paid hex
+    * formatting, 8 substring+concat nodes and a decimal parse per call —
+    * this column sits under the draw generators that evaluate it
+    * millions of times per query (guide step 4). */
+  def md5Mod(s: Column, m: Long): Column =
+    org.apache.spark.sql.GraftExprShim.column(
+      graft.functions.Md5ModExpr(org.apache.spark.sql.GraftExprShim.expression(s), m))
 
   /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): a weighted
     * WITHOUT-replacement sample of k documents with unbiased subset-sum

@@ -836,29 +836,85 @@ object Similarity {
     * per-vector work is the standard L·D nearest-centroid cost, nothing
     * quadratic in corpus size. */
   def centroidConfusion(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // Same milli quantization (SQL round → HALF_UP), but carried as one
+    // typed (id, label, q[dim]) row per vector instead of the former
+    // (vec_id, d, q) posexplode — which inflated the corpus ×dim and
+    // paid a (label,d) rollup, a broadcast join back on d (×labels row
+    // inflation) and two more corpus-keyed aggregations. Centroids are
+    // one label-keyed array-sum aggregate (map-side combined, labels×dim
+    // longs on the wire — the same bounded state as before's broadcast
+    // cent table); assignment is one narrow map against the collected
+    // centroid table. Identical integers: per-dim sums reassociate
+    // exactly, `sum div count` = JVM long division (both truncate toward
+    // zero), and the argmin iterates labels ascending so ties keep the
+    // smallest label exactly like min(struct(d2, cl)).
     val q = emb.select(col("vec_id"), col("label").cast("long").as("label"),
-      posexplode(col("embedding")).as(Seq("d", "x")))
-      .select(col("vec_id"), col("label"), col("d"),
-        expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("q"))
-    val cent = q.groupBy("label", "d")
-      // truncating integer division on BOTH sides: Spark `div` and
-      // DuckDB `//` agree (both round toward zero — verified on
-      // negatives: -417//46 = -9 in DuckDB, not floor's -10)
-      .agg(expr("sum(q) div count(1)").as("c"))
-      .select(col("label").as("cl"), col("d"), col("c"))
-    val assigned = q.join(broadcast(cent), Seq("d"))
-      .groupBy(col("vec_id"), col("label"), col("cl"))
-      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
-      .groupBy("vec_id", "label")
-      .agg(min(struct(col("d2"), col("cl"))).as("m"))
-      .select(col("label").as("true_label"), col("m.cl").as("pred_label"))
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .as[(Long, Long, Array[Long])]
+      .persist()
+    val longVecSum = udaf(new LongVecSumAgg)
+    val cents = q.map { case (_, l, arr) => (l, arr) }.toDF("label", "q")
+      .groupBy("label").agg(longVecSum(col("q")).as("sn"))
+      .select(col("label"), col("sn._1").as("s"), col("sn._2").as("n"))
+      .collect()
+      .map { r =>
+        val n = r.getLong(2)
+        (r.getLong(0), r.getSeq[Long](1).map(_ / n).toArray)
+      }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = q.map { case (_, label, arr) =>
+      val cs = bc.value
+      var bestD2 = Long.MaxValue; var bestL = 0L
+      var c = 0
+      while (c < cs.length) {
+        val cv = cs(c)._2
+        var d2 = 0L; var i = 0
+        while (i < cv.length) { val d = arr(i) - cv(i); d2 += d * d; i += 1 }
+        if (d2 < bestD2) { bestD2 = d2; bestL = cs(c)._1 }
+        c += 1
+      }
+      (label, bestL)
+    }.toDF("true_label", "pred_label")
     val wTrue = org.apache.spark.sql.expressions.Window
       .partitionBy("true_label")
-    assigned.groupBy("true_label", "pred_label")
+    val out = assigned.groupBy("true_label", "pred_label")
       .agg(count(lit(1)).as("n"))
       .withColumn("row_pm",
         expr("n * 1000") / sum(col("n")).over(wTrue))
       .withColumn("row_pm", expr("CAST(row_pm AS BIGINT)"))
+      .localCheckpoint(true)
+    q.unpersist(false)
+    out
+  }
+
+  /** Long-array (sum-vector, count) aggregator — the integer twin of
+    * [[VecSumAgg]]: map-side combined, labels×dim longs per task. */
+  private final class LongVecSumAgg
+      extends Aggregator[Seq[Long], (Array[Long], Long), (Seq[Long], Long)] {
+    override def zero: (Array[Long], Long) = (Array.emptyLongArray, 0L)
+    override def reduce(b: (Array[Long], Long), e: Seq[Long]): (Array[Long], Long) = {
+      val acc = if (b._1.length == 0) new Array[Long](e.length) else b._1
+      var i = 0
+      while (i < e.length) { acc(i) += e(i); i += 1 }
+      (acc, b._2 + 1)
+    }
+    override def merge(a: (Array[Long], Long), b: (Array[Long], Long)): (Array[Long], Long) = {
+      if (a._1.length == 0) b
+      else if (b._1.length == 0) a
+      else {
+        var i = 0
+        while (i < b._1.length) { a._1(i) += b._1(i); i += 1 }
+        (a._1, a._2 + b._2)
+      }
+    }
+    override def finish(b: (Array[Long], Long)): (Seq[Long], Long) = (b._1.toSeq, b._2)
+    override def bufferEncoder: Encoder[(Array[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Long], Long)]()
+    override def outputEncoder: Encoder[(Seq[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Long], Long)]()
   }
 
   /** k-center diversity seeds (greedy farthest-point / Gonzalez): start
@@ -876,31 +932,40 @@ object Similarity {
   def kcenterSeeds(emb: DataFrame, k: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // quantize ONCE into a typed (id, q[dim]) corpus — same
+    // CAST(round(x*1000) AS BIGINT) values as before, computed by the SQL
+    // round (HALF_UP) so the engine-portable convention is untouched.
+    // The former shape posexploded to (id, d, q) rows and ran, per round,
+    // a broadcast join on d + a corpus-keyed re-join + an eager
+    // checkpoint + a global sort — 3 shuffles and ~3 jobs a round. Here
+    // each round is ONE narrow map (distance to the newest seed folded
+    // into the running min — identical integer sums) and ONE reduce-based
+    // argmax with the same (md2 desc, vec_id asc) tie order; the argmax
+    // row carries the seed's own vector, so no lookup job either. Rounds
+    // recompute the ≤k-deep map chain from the persisted base — narrow,
+    // and exactly the running-min semantics the scaladoc promises.
     val q = emb.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("d", "x")))
-      .select(col("vec_id"), col("d"),
-        expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("q"))
-    q.persist()
-    def dist2To(seed: Long) = {
-      val sv = q.where(col("vec_id") === seed)
-        .select(col("d"), col("q").as("sq"))
-      q.join(broadcast(sv), Seq("d"))
-        .groupBy("vec_id")
-        .agg(sum((col("q") - col("sq")) * (col("q") - col("sq"))).as("d2"))
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .as[(Long, Array[Long])]
+      .persist()
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
     }
-    val first = emb.agg(min(col("vec_id"))).head().getLong(0)
-    var minD2 = dist2To(first).withColumnRenamed("d2", "md2")
-    var chosen = List((1L, first, 0L))
+    val firstRow = q.reduce((a, b) => if (a._1 <= b._1) a else b)
+    var chosen = List((1L, firstRow._1, 0L))
+    // rows carry (id, vec, running-min d2 to the chosen seeds)
+    var cur = q.map { case (id, v) => (id, v, Long.MaxValue) }
+    var seed = firstRow._2
     (2 to k).foreach { rank =>
-      val next = minD2.orderBy(col("md2").desc, col("vec_id").asc)
-        .head()
-      val sid = next.getLong(0)
-      chosen ::= ((rank.toLong, sid, next.getLong(1)))
-      if (rank < k) {
-        minD2 = minD2.join(dist2To(sid), Seq("vec_id"))
-          .select(col("vec_id"), least(col("md2"), col("d2")).as("md2"))
-          .localCheckpoint(true)
+      val sv = seed
+      cur = cur.map { case (id, v, md2) => (id, v, math.min(md2, d2(v, sv))) }
+      val far = cur.reduce { (a, b) =>
+        if (a._3 > b._3 || (a._3 == b._3 && a._1 < b._1)) a else b
       }
+      chosen ::= ((rank.toLong, far._1, far._3))
+      seed = far._2
     }
     q.unpersist()
     chosen.reverse.toDF("seed_rank", "vec_id", "radius_d2")
