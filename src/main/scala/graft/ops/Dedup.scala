@@ -718,7 +718,11 @@ object Dedup {
       .join(mins, "x")
       .select(col("y").as("u"), col("m").as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
+    // no distinct here: the output is ≤ |E| rows either way (one per
+    // oriented sym edge), duplicates don't change ccSmallStar's min
+    // aggregate, and smallStar's closing distinct restores the exact edge
+    // SET — so each round saves one full (u,v) exchange + aggregate while
+    // the per-round edge set (and the convergence signature) is identical
   }
 
   /** One small-star round: all v < u here, so m(u) = min(N(u)); connects

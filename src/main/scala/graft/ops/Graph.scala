@@ -270,7 +270,8 @@ object Graph {
       .select(col("id"), expr(s"h % $m").as("j"),
         when(expr(s"h div $m") === 0L, lit(35L))
           .otherwise(lit(35L) - length(bin(expr(s"h div $m"))).cast("long")).as("mj"))
-      .localCheckpoint(true)
+      // lazy (see loop note below)
+      .localCheckpoint(false)
     // raw α·m²·2³⁵ estimator + linear-counting small-range correction
     // (raw HLL is biased HIGH for n ≪ m; balls at low hops are tiny).
     // The LN double is computed in the same op order by the oracle.
@@ -293,7 +294,12 @@ object Graph {
         .select(edges("src").as("id"), col("j"), col("mj"))
       regs = regs.unionByName(nbr)
         .groupBy(col("id"), col("j")).agg(max(col("mj")).as("mj"))
-        .localCheckpoint(true)
+        // lazy: nothing acts per hop — the final harmonic aggregate is
+        // the one action, so all hops compute in ONE job DAG (each hop's
+        // RDD is still cache-materialized once and read by both its
+        // consumers; the logical lineage is truncated immediately either
+        // way). The eager form paid one materialization job per hop.
+        .localCheckpoint(false)
       ests = ests.unionByName(estimate(regs, hop))
     }
     val w = org.apache.spark.sql.expressions.Window
@@ -573,7 +579,8 @@ object Graph {
       val next = und
         .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint(true)
+        // lazy: the count below materializes the checkpoint in-job
+        .localCheckpoint(false)
       val n2 = next.count()
       converged = n2 == nEdges
       if (und ne und0) und.unpersist()
@@ -667,7 +674,10 @@ object Graph {
       val next = h.join(hIdx.select(col("src").as("id"), col("hi")), Seq("id"), "left")
         .select(col("id"),
           least(col("h"), coalesce(col("hi"), lit(0L))).as("h"))
-        .localCheckpoint(true)
+        // lazy: the signature aggregate below is the first action and
+        // materializes the checkpoint in the same job (unpersist of the
+        // previous iterate happens only after that action)
+        .localCheckpoint(false)
       val s = next.select(xxhash64(col("id"), col("h")).as("hh"))
         .agg(count(lit(1)), expr("bit_xor(hh)")).collect()(0)
       val nextSig = (s.getLong(0), if (s.isNullAt(1)) 0L else s.getLong(1))

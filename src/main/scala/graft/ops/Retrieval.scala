@@ -68,10 +68,14 @@ object Retrieval {
     val qterms = collectQueryTerms(queries)
     val tfq = termCounts(docs, qterms.map(_._2).toSet)
 
-    // corpus stats ride a 2-long aggregate, never a collect of rows
-    val st = docs.select(
-      count(lit(1)).as("n"),
-      sum(size(filter(split(col("text"), " ", -1), t => length(t) > 0))).as("tdl"))
+    // corpus stats ride a 2-long aggregate, never a collect of rows;
+    // token counting is a typed map — the former size(filter(split(...)))
+    // used a CodegenFallback higher-order filter, interpreted per token
+    val st = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (_, t) =>
+        if (t == null) 0L else t.split(" ", -1).count(_.nonEmpty).toLong
+      }
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("tdl"))
       .head()
     val nDocs = st.getLong(0)
     val avgdlMilli = math.max(1L, st.getLong(1) * 1000L / math.max(1L, nDocs))
@@ -118,24 +122,32 @@ object Retrieval {
       .map { case (q, txt) => (q, txt.split(" ").filter(_.nonEmpty)) }
     require(qdefs.forall(_._2.length == 3),
       "phrase grading needs 3-term queries (two phrase bigrams)")
-    val qlit = broadcast(qdefs.toSeq
-      .map { case (q, ts) => (q, ts(0), ts(1), ts(2)) }
-      .toDF("query_id", "w1", "w2", "w3"))
-    val toks = filter(split(col("text"), " ", -1), t => length(t) > 0)
-    def bigram(a: Column, b: Column): Column =
-      when(size(col("t")) >= 2,
-        exists(sequence(lit(1), size(col("t")) - 1), i =>
-          element_at(col("t"), i) === a && element_at(col("t"), i + 1) === b))
-        .otherwise(lit(false))
-    docs.select(col("doc_id"), toks.as("t"))
-      .crossJoin(qlit)
-      .select(col("query_id"), col("doc_id"),
-        ((array_contains(col("t"), col("w1")) &&
-          array_contains(col("t"), col("w2")) &&
-          array_contains(col("t"), col("w3"))).cast("long") +
-          bigram(col("w1"), col("w2")).cast("long") +
-          bigram(col("w2"), col("w3")).cast("long")).as("rel"))
-      .where(col("rel") >= 1)
+    // typed pass: per doc ONE token-set + bigram-set build, then O(1)
+    // lookups per query — the former crossJoin form re-scanned the token
+    // array per query through interpreted exists(sequence(...)) HOFs
+    // (~2×|tokens|×|queries| lambda evals per doc). Identical rel values:
+    // same filtered token list, same membership/adjacency semantics.
+    val bq = spark.sparkContext.broadcast(
+      qdefs.map { case (q, ts) => (q, ts(0), ts(1), ts(2)) })
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val qs = bq.value
+        it.flatMap { case (id, text) =>
+          val toks = if (text == null) Array.empty[String]
+            else text.split(" ", -1).filter(_.nonEmpty)
+          val tokSet = toks.toSet
+          val bigrams = new java.util.HashSet[String]()
+          var i = 0
+          while (i < toks.length - 1) { bigrams.add(toks(i) + " " + toks(i + 1)); i += 1 }
+          qs.iterator.flatMap { case (q, w1, w2, w3) =>
+            val rel = (if (tokSet(w1) && tokSet(w2) && tokSet(w3)) 1L else 0L) +
+              (if (bigrams.contains(w1 + " " + w2)) 1L else 0L) +
+              (if (bigrams.contains(w2 + " " + w3)) 1L else 0L)
+            if (rel >= 1) Some((q, id, rel)) else None
+          }
+        }
+      }
+      .toDF("query_id", "doc_id", "rel")
   }
 
   /** Graded-relevance ranking quality: nDCG@k of the [[bm25TopK]] ranking
@@ -158,7 +170,10 @@ object Retrieval {
     require(k <= NdcgDiscU.length, s"k > ${NdcgDiscU.length}: extend NdcgDiscU")
 
     val rel = phraseRel(docs, queries)
-      .localCheckpoint(true) // pool-sized; feeds DCG join + ideal counts
+      // lazy: both consumers sit in the final job's DAG, which computes
+      // the pool once and caches it (Dataset.unpersist below is a no-op
+      // for checkpoint blocks); the eager form paid a separate job
+      .localCheckpoint(false) // pool-sized; feeds DCG join + ideal counts
 
     val discCol = {
       val pairs = NdcgDiscU.take(k).zipWithIndex
@@ -219,7 +234,7 @@ object Retrieval {
       .join(rel, Seq("query_id", "doc_id"), "left")
       .select(col("query_id"), col("doc_id"), col("rank"),
         coalesce(col("rel"), lit(0L)).as("rel"))
-      .localCheckpoint(true) // candidate-sized; read for pos AND neg sides
+      .localCheckpoint(false) // candidate-sized; read for pos AND neg sides (lazy: one job)
     // positive: lexicographic min (rank, doc_id) among rel ≥ 2 — no window
     val pos = cand.where(col("rel") >= 2)
       .groupBy("query_id")
@@ -250,7 +265,7 @@ object Retrieval {
     * rr_pm, recall_pm). */
   def mrrEval(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     val relevant = phraseRel(docs, queries).where(col("rel") >= 2)
-      .localCheckpoint(true) // pool-sized; feeds hits join + pool counts
+      .localCheckpoint(false) // pool-sized; feeds hits join + pool counts (lazy: one job)
     val hits = bm25TopK(docs, queries, k)
       .join(relevant, Seq("query_id", "doc_id"))
       .groupBy("query_id")

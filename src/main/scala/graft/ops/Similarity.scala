@@ -483,17 +483,35 @@ object Similarity {
     math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
   }
 
+  /** Per-JVM memo of the deterministic weight matrix W[b][i] for a given
+    * (bits, dim): gaussianWeight is pure in (b, i) but costs a log + cos
+    * per call, and the signature loop was re-deriving all bits×dim weights
+    * for EVERY vector (~8M transcendental calls per 2000-row corpus at
+    * bits=64) — the dominant cost of the sign-LSH family. Executors build
+    * the same matrix once per JVM; values are identical by construction. */
+  private val weightMatrixCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private def weightMatrix(bits: Int, dim: Int): Array[Array[Double]] =
+    weightMatrixCache.computeIfAbsent((bits, dim),
+      _ => Array.tabulate(bits, dim)((b, i) => gaussianWeight(b, i)))
+
   /** Signature plus the per-bit projection values. |projection| is the
     * query's distance to that hyperplane — the multi-probe ordering key. */
   def hyperplaneSigMargins(vec: Seq[Float], bits: Int): (Long, Array[Double]) = {
+    val w = weightMatrix(bits, vec.length)
+    val v: Array[Float] = vec match {
+      case ws: scala.collection.immutable.ArraySeq.ofFloat => ws.unsafeArray
+      case other => other.toArray
+    }
     var out = 0L
     val margins = new Array[Double](bits)
     var b = 0
     while (b < bits) {
+      val wb = w(b)
       var acc = 0.0
       var i = 0
-      while (i < vec.length) {
-        acc += vec(i) * gaussianWeight(b, i)
+      while (i < v.length) {
+        acc += v(i) * wb(i)
         i += 1
       }
       margins(b) = acc

@@ -52,7 +52,8 @@ object Storage {
       val stats = filed.groupBy(col("file_id")).agg(
         min(col("domain_idx")).as("dmin"), max(col("domain_idx")).as("dmax"),
         min(col("ts_bucket")).as("tmin"), max(col("ts_bucket")).as("tmax"))
-        .localCheckpoint(true)
+        // lazy: the count below materializes the checkpoint in-job
+        .localCheckpoint(false)
       val nFiles = stats.count()
       // point queries: one per distinct domain_idx
       val domains = rows.select(col("domain_idx").as("q")).distinct()
