@@ -124,7 +124,7 @@ object Classifier {
                       nBins: Int = 10): DataFrame = {
     val score = col("x1") * w._1 + col("x2") * w._2 +
       col("x3") * w._3 + col("x4") * w._4
-    val scored = feats.select(col("y"), score.as("s")).localCheckpoint(true)
+    val scored = feats.select(col("y"), score.as("s")).localCheckpoint(false)
     val sMax = scored.agg(coalesce(max(abs(col("s"))), lit(0L)))
       .head().getLong(0)
     val scale = math.max(1L, sMax / 500L)
@@ -142,7 +142,7 @@ object Classifier {
         expr("sp div n").as("mean_pred_pm"),
         expr("npos * 1000 div n").as("obs_pos_pm"),
         expr("abs(sp div n - npos * 1000 div n)").as("gap_pm"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     scored.unpersist(false)
     out
   }
@@ -185,14 +185,35 @@ object Classifier {
     * an ≤8-row rollup. Output: (fold, y, pred, n, fold_n, rate_pm). */
   def crossFitDisagreement(feats: DataFrame, rounds: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val f = feats.localCheckpoint(true)
-    def lastW(fold: Long): (Long, Long, Long, Long) = {
-      val last = perceptronFit(f.where(col("doc_id") % 2 === fold), rounds)
-        .orderBy(col("round").desc).limit(1).collect()(0)
-      (last.getLong(1), last.getLong(2), last.getLong(3), last.getLong(4))
+    val f = feats.localCheckpoint(false) // first round's aggregate materializes
+    // Both folds' fits are independent, so each round runs ONE fused
+    // aggregate computing the parity-conditional update sums for fold 0
+    // AND fold 1 together — `rounds` driver round-trips instead of the
+    // former 2×(rounds+1) separate perceptronFit collects. The per-fold
+    // sums are exactly perceptronFit's batch sums (integer, conditional
+    // on doc_id parity), so the resulting weights are bit-identical to
+    // fitting each fold separately; only the final weights are needed
+    // here (the trace row the old code read was the post-update one).
+    val wa = Array(0L, 0L, 0L, 0L)
+    val wb = Array(0L, 0L, 0L, 0L)
+    for (_ <- 1 to rounds) {
+      def mis(w: Array[Long]) = (col("y") *
+        (col("x1") * w(0) + col("x2") * w(1) + col("x3") * w(2) + col("x4") * w(3))) <= 0
+      val even = col("doc_id") % 2 === 0L
+      val sums = Seq( // fold 0 (even ids) under wa, fold 1 under wb
+        ("x1", wa, even), ("x2", wa, even), ("x3", wa, even), ("x4", wa, even),
+        ("x1", wb, !even), ("x2", wb, !even), ("x3", wb, !even), ("x4", wb, !even))
+        .map { case (c, w, side) =>
+          coalesce(sum(when(side && mis(w), col("y") * col(c)).otherwise(0L)), lit(0L))
+        }
+      val row = f.select(sums: _*).collect()(0)
+      (0 to 3).foreach { j =>
+        wa(j) += row.getLong(j)
+        wb(j) += row.getLong(4 + j)
+      }
     }
-    val w0 = lastW(0L)
-    val w1 = lastW(1L)
+    val w0 = (wa(0), wa(1), wa(2), wa(3))
+    val w1 = (wb(0), wb(1), wb(2), wb(3))
     def evalFold(fold: Long, w: (Long, Long, Long, Long)): DataFrame = {
       val score = col("x1") * w._1 + col("x2") * w._2 +
         col("x3") * w._3 + col("x4") * w._4
@@ -204,7 +225,7 @@ object Classifier {
       .groupBy("fold", "y", "pred").agg(count(lit(1)).as("n"))
       .withColumn("fold_n", sum(col("n")).over(Window.partitionBy("fold")))
       .withColumn("rate_pm", expr("n * 1000 div fold_n"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     f.unpersist(false)
     out
   }

@@ -545,10 +545,15 @@ object Dedup {
       }
       .toDF("a", "b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pred reads the checkpointed simhashPairs output — counting it twice
+    // is two cache reads, not two recomputes
     val pred = simhashPairs(corpus).select("a", "b")
+    // fp/fn by complement counts: |pred|−tp and |truth|−tp equal the
+    // former anti-join counts exactly (pred and truth are both distinct
+    // a<b pair sets), so two plain counts replace two anti-join jobs
     val tp = pred.join(truth, Seq("a", "b"), "left_semi").count()
-    val fp = pred.join(truth, Seq("a", "b"), "left_anti").count()
-    val fn = truth.join(pred, Seq("a", "b"), "left_anti").count()
+    val fp = pred.count() - tp
+    val fn = truth.count() - tp
     truth.unpersist(false); bc.destroy()
     val nPred = tp + fp; val nTruth = tp + fn
     Seq((nTruth, nPred, tp, fp, fn,

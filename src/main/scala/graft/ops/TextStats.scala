@@ -1192,12 +1192,25 @@ object TextStats {
     * broadcast-joins back; top-k selects in-row by sorted slice over the
     * per-doc collected terms — no Window over the corpus. */
   def tfidfTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val nDocs = docs.count()
-    val terms = docs
-      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("t"))
-      .select(col("doc_id"), explode(array_distinct(col("t"))).as("term"), col("t"))
-      .select(col("doc_id"), col("term"),
-        expr("CAST(size(filter(t, x -> x = term)) AS BIGINT)").as("tf"))
+    // typed per-doc counting: one hash-map pass per document — the former
+    // explode(array_distinct) + size(filter(t, x -> x = term)) re-scanned
+    // the whole token array through an interpreted lambda once PER
+    // DISTINCT TERM (|vocab|·|tokens| steps per doc). Same (doc_id, term,
+    // tf) rows: identical token filter, identical counts.
+    val terms = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val counts = new java.util.LinkedHashMap[String, Long]()
+        t.split(" ", -1).foreach { w =>
+          if (w.nonEmpty) counts.merge(w, 1L, (a, b) => a + b)
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, String, Long)](counts.size)
+        counts.forEach((term, tf) => out += ((id, term, tf)))
+        out.iterator
+      }
+      .toDF("doc_id", "term", "tf")
     val dfs = terms.groupBy("term").agg(count(lit(1)).as("df"))
     terms.join(broadcast(dfs), Seq("term"))
       .withColumn("score", col("tf") * expr(s"CAST($nDocs AS BIGINT) * 1000 div df"))
