@@ -222,7 +222,12 @@ object Graph {
       // node keeps min(dist, d)
       dist = dist.join(relaxed, dist("id") === relaxed("dst"), "left")
         .select(dist("id"), least(dist("dist"), relaxed("d")).as("dist"))
-        .localCheckpoint(true) // truncate per-round lineage
+        // lazy: no per-round action exists and each round is the sole
+        // consumer of the previous one, so the final action computes the
+        // whole relaxation chain in ONE job (logical lineage still
+        // truncates at every checkpoint; hop RDDs cache as computed) —
+        // the eager form paid one materialization job per hop
+        .localCheckpoint(false)
     }
     dist.select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
@@ -725,7 +730,11 @@ object Graph {
         .join(best, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("label"), col("id")).as("label"))
-        .localCheckpoint(true)
+        // lazy for the same reason as hopDistance: one consumer per
+        // round, no per-round action — all rounds compute in the final
+        // job (the unpersist below is the Dataset-level no-op on
+        // checkpoint blocks, so nothing is dropped before that job)
+        .localCheckpoint(false)
       if (labels ne labels0) labels.unpersist(false)
       labels = next
     }

@@ -60,20 +60,23 @@ object Storage {
       val dScan = domains.join(stats,
           col("q") >= col("dmin") && col("q") <= col("dmax"))
         .groupBy(col("q")).agg(count(lit(1)).as("hit"))
-      val dAvg = domains.join(dScan, Seq("q"), "left")
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("tot"),
-          count(lit(1)).as("nq")).collect()(0)
+      val dAgg = domains.join(dScan, Seq("q"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("dtot"),
+          count(lit(1)).as("dnq"))
       // range queries: ts_bucket in [10*b, 10*b+9] for b = 0..9
       val ranges = rows.sparkSession.range(10)
         .select((col("id") * 10).as("lo"), (col("id") * 10 + 9).as("hi"))
       val tScan = ranges.join(stats,
           col("hi") >= col("tmin") && col("lo") <= col("tmax"))
         .groupBy(col("lo")).agg(count(lit(1)).as("hit"))
-      val tAvg = ranges.join(tScan, Seq("lo"), "left")
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("tot"),
-          count(lit(1)).as("nq")).collect()(0)
-      val dPm = dAvg.getLong(0) * 1000L / (dAvg.getLong(1) * nFiles)
-      val tPm = tAvg.getLong(0) * 1000L / (tAvg.getLong(1) * nFiles)
+      val tAgg = ranges.join(tScan, Seq("lo"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("ttot"),
+          count(lit(1)).as("tnq"))
+      // both 1-row aggregates in ONE collect (they are independent; the
+      // crossJoin of two single rows is a constant-cost fuse)
+      val avg = dAgg.crossJoin(tAgg).collect()(0)
+      val dPm = avg.getLong(0) * 1000L / (avg.getLong(1) * nFiles)
+      val tPm = avg.getLong(2) * 1000L / (avg.getLong(3) * nFiles)
       (name, nFiles, dPm, tPm)
     }.foldLeft(Option.empty[DataFrame]) { case (acc, row) =>
       import rows.sparkSession.implicits._
