@@ -600,12 +600,33 @@ object TextStats {
     * per-DOC shared-position shares): this is the gram-side inventory —
     * which spans repeat, how widely, and where to look first. */
   def repeatedNgrams(docs: DataFrame, n: Int = 5, minDocs: Long = 2): DataFrame = {
-    val toks = filter(split(col("text"), " ", -1), t => length(t) > 0)
-    docs.select(col("doc_id"), toks.as("toks"))
-      .where(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))).as("gram"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // typed gram expansion: one pass per doc with an insertion-ordered
+    // distinct set — the former transform(sequence)+slice+concat_ws HOF
+    // chain evaluated ~8 interpreted sub-expressions per position per doc.
+    // Same gram strings (space-joined n-token windows over the nonempty
+    // token list), same distinct-per-doc set feeding the same rollup.
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val toks = t.split(" ", -1).filter(_.nonEmpty)
+        if (toks.length < n) Iterator.empty
+        else {
+          val seen = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i <= toks.length - n) {
+            val sb = new java.lang.StringBuilder(toks(i))
+            var j = i + 1
+            while (j < i + n) { sb.append(' ').append(toks(j)); j += 1 }
+            seen.add(sb.toString)
+            i += 1
+          }
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, String)](seen.size)
+          seen.forEach(g => out += ((id, g)))
+          out.iterator
+        }
+      }
+      .toDF("doc_id", "gram")
       .groupBy("gram")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .where(col("n_docs") >= minDocs)
@@ -1086,12 +1107,26 @@ object TextStats {
     * vocab-sized frequency table broadcast back, per-doc re-aggregation.
     * Output per (doc, term): occurrences and survivors. */
   def subsampleFreq(docs: DataFrame, tPpm: Long = 20000): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"),
-        posexplode(expr("filter(split(text, ' '), x -> x <> '')")).as(Seq("pos", "term")))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // typed positional tokens, computed ONCE (persist): the former plan
+    // re-ran the interpreted filter-HOF tokenization three times — for the
+    // vocab rollup, the corpus-total count, and the join leg. pos is the
+    // index in the nonempty-token list, exactly posexplode's ordinal.
+    val toks = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        var pos = 0
+        t.split(" ", -1).iterator.filter(_.nonEmpty).map { w =>
+          val r = (id, pos, w); pos += 1; r
+        }
+      }
+      .toDF("doc_id", "pos", "term")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freqs = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-    val total = toks.count()
-    toks.join(broadcast(freqs), Seq("term"))
+    // corpus total = Σ vocab counts — a vocab-sized aggregate over the
+    // cached tokens instead of a third tokenization pass
+    val total = freqs.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    val out = toks.join(broadcast(freqs), Seq("term"))
       .withColumn("h", Sampling.md5Mod(
         concat(lit("ss:"), col("doc_id").cast("string"), lit(":"),
           col("pos").cast("string")), 1024L))
@@ -1100,6 +1135,9 @@ object TextStats {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("n_occ"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .localCheckpoint(true) // materialize so the token cache can release
+    toks.unpersist(false)
+    out
   }
 
   /** Sentence segmentation stats — the primitive under sentence-level
