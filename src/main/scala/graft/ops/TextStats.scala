@@ -1109,10 +1109,12 @@ object TextStats {
   def subsampleFreq(docs: DataFrame, tPpm: Long = 20000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // typed positional tokens, computed ONCE (persist): the former plan
-    // re-ran the interpreted filter-HOF tokenization three times — for the
-    // vocab rollup, the corpus-total count, and the join leg. pos is the
-    // index in the nonempty-token list, exactly posexplode's ordinal.
+    // typed positional tokens — the former interpreted filter-HOF
+    // tokenization ran once per consumer; the typed flatMap is cheap
+    // enough that recomputing it per leg beats caching it (measured: a
+    // persist+checkpoint variant cost more in materialization jobs than
+    // the recomputes). pos is the index in the nonempty-token list,
+    // exactly posexplode's ordinal.
     val toks = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
         var pos = 0
@@ -1121,10 +1123,9 @@ object TextStats {
         }
       }
       .toDF("doc_id", "pos", "term")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freqs = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-    // corpus total = Σ vocab counts — a vocab-sized aggregate over the
-    // cached tokens instead of a third tokenization pass
+    // corpus total = Σ vocab counts — a vocab-sized aggregate instead of
+    // a separate corpus-length count pass
     val total = freqs.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
     val out = toks.join(broadcast(freqs), Seq("term"))
       .withColumn("h", Sampling.md5Mod(
@@ -1135,8 +1136,6 @@ object TextStats {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("n_occ"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
-      .localCheckpoint(true) // materialize so the token cache can release
-    toks.unpersist(false)
     out
   }
 
