@@ -1395,12 +1395,22 @@ object Dedup {
     * scale shape. The oracle COMPOSES the three already-verified pair
     * oracles as subqueries, so agreement is checked end-to-end. */
   def vennPairs(corpus: DataFrame): DataFrame = {
-    val mh = minhashLsh(corpus).select(col("a"), col("b"))
-      .withColumn("f1", lit(1L))
-    val sh = simhashPairs(corpus).select(col("a"), col("b"))
-      .withColumn("f2", lit(2L))
-    val jc = jaccardBlocked(corpus).select(col("a"), col("b"))
-      .withColumn("f4", lit(4L))
+    // the three detectors are independent pipelines whose construction
+    // runs eager work (persist + checkpoint materialization); build them
+    // on concurrent driver threads so their jobs overlap (guide §2.6) —
+    // each detector's internal shape and its output are unchanged
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fMh = Future(minhashLsh(corpus).select(col("a"), col("b"))
+      .withColumn("f1", lit(1L)))
+    val fSh = Future(simhashPairs(corpus).select(col("a"), col("b"))
+      .withColumn("f2", lit(2L)))
+    val fJc = Future(jaccardBlocked(corpus).select(col("a"), col("b"))
+      .withColumn("f4", lit(4L)))
+    val mh = Await.result(fMh, Duration.Inf)
+    val sh = Await.result(fSh, Duration.Inf)
+    val jc = Await.result(fJc, Duration.Inf)
     mh.join(sh, Seq("a", "b"), "full_outer")
       .join(jc, Seq("a", "b"), "full_outer")
       .select((coalesce(col("f1"), lit(0L)) + coalesce(col("f2"), lit(0L)) +
