@@ -353,6 +353,40 @@ object Graph {
     * release) so tests can inspect the live physical plan; production
     * callers keep the default, which materializes once and frees both
     * caches. */
+
+  /** Bounded k-smallest typed aggregate: buffer is a sorted ascending
+    * list of ≤ k longs, merged map-side — per-task state O(k), the
+    * hub-cap replacement for a per-key row_number window (which sorts
+    * every hub's full adjacency). Input values are distinct per key
+    * here (deduped undirected edges), so the k-smallest set equals the
+    * window's rank ≤ k rows exactly. */
+  private final class SmallestKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, List[Long], Seq[Long]] {
+    override def zero: List[Long] = Nil
+    override def reduce(b: List[Long], a: Long): List[Long] = {
+      if (b.lengthCompare(k) >= 0 && a >= b.last) b
+      else {
+        val (pre, post) = b.span(_ < a)
+        (pre ::: a :: post).take(k)
+      }
+    }
+    override def merge(b1: List[Long], b2: List[Long]): List[Long] = {
+      val out = List.newBuilder[Long]
+      var (l, r, n) = (b1, b2, 0)
+      while (n < k && (l.nonEmpty || r.nonEmpty)) {
+        if (r.isEmpty || (l.nonEmpty && l.head < r.head)) { out += l.head; l = l.tail }
+        else { out += r.head; r = r.tail }
+        n += 1
+      }
+      out.result()
+    }
+    override def finish(b: List[Long]): Seq[Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   def linkPredict(edges: DataFrame, maxDeg: Int = 8, topN: Int = 50,
                   materialize: Boolean = true): DataFrame = {
     // und feeds three consumers (both adj legs + the anti join) and capped
@@ -363,11 +397,17 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adj = und.select(col("a").as("z"), col("b").as("nb"))
       .union(und.select(col("b").as("z"), col("a").as("nb")))
-    val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("z").orderBy("nb")
-    val capped = adj.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= maxDeg).drop("rn")
-      .join(deg, "z")
+    // full degree AND the maxDeg smallest neighbors in ONE map-side-
+    // combined aggregate: the former row_number window sorted every
+    // node's full adjacency behind its own Exchange and then joined a
+    // separately-aggregated degree table back — two corpus-keyed
+    // exchanges and a per-z full sort replaced by one bounded-heap
+    // aggregate (O(maxDeg) task state; per-z neighbor values are
+    // distinct, so "rank ≤ maxDeg by nb asc" ≡ the maxDeg smallest)
+    val smallK = udaf(new SmallestKAgg(maxDeg))
+    val capped = adj.groupBy("z")
+      .agg(count(lit(1)).as("deg"), smallK(col("nb")).as("nbs"))
+      .select(col("z"), explode(col("nbs")).as("nb"), col("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wedges = capped.as("x").join(capped.as("y"),
         col("x.z") === col("y.z") && col("x.nb") < col("y.nb"))
